@@ -14,8 +14,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is a nanosecond parquet timestamp, which Spark only reads
+    // as a raw long (DuckDB truncates it to µs instead); queries convert
+    // with `ts div 1e9`. Runtime-settable, so any driver session works.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every table as a temp view so `spark.sql` mirrors the DuckDB
     * oracle's naming exactly. Idempotent per session+dir. */

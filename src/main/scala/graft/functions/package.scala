@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY.md §2.8 F1-F19), expressed as Column
+  * combinators over built-in Catalyst expressions wherever one exists —
+  * codegen'd and foldable, never closure UDFs. The two genuinely custom
+  * pieces are [[functions.HtmlUnescape]] (F7, native Expression) and the
+  * markdown renderer (F10, render-layer only, see graft.render).
+  */
+package object functions {
+
+  // ---- F1: reddit base-36 id codec (reference common.py:43-65) ----------
+  /** "abc123" → 623485333 (reddit ids are unsigned; sign branch not needed). */
+  def b36decode(c: Column): Column = conv(lower(c), 36, 10).cast("long")
+  /** 623485333 → "abc123" (lowercase, reddit convention). */
+  def b36encode(c: Column): Column = lower(conv(c.cast("string"), 10, 36))
+
+  // ---- F2: fullname prefixes (common.py:147-150) -------------------------
+  def t3Prefix(c: Column): Column =
+    when(c.startsWith("t3_"), c).otherwise(concat(lit("t3_"), c))
+  def t1Prefix(c: Column): Column =
+    when(c.startsWith("t1_"), c).otherwise(concat(lit("t1_"), c))
+  /** Strip a `tN_` fullname prefix back to the bare base-36 id. */
+  def stripTypePrefix(c: Column): Column =
+    when(c.rlike("^t[0-9]_"), substring(c, 4, Int.MaxValue)).otherwise(c)
+
+  // ---- F3/F4: human timestamp formats (common.py:94-97; index.py:17) ----
+  /** epoch seconds → "Jan 01 2024 10:30:00" UTC (reference `human`). */
+  def humanTime(epoch: Column): Column =
+    date_format(to_utc_timestamp(from_unixtime(epoch), "UTC"), "MMM dd yyyy HH:mm:ss")
+  /** epoch seconds → "2024 Jan 01" (reference index listing format). */
+  def indexTime(epoch: Column): Column =
+    date_format(to_utc_timestamp(from_unixtime(epoch), "UTC"), "yyyy MMM dd")
+
+  // ---- F5: current UTC epoch (common.py:88-92) ---------------------------
+  def nowEpoch(): Column = unix_timestamp(current_timestamp())
+
+  // ---- F6: stored text length (tsdb.py:424,485) ---------------------------
+  def textlen(c: Column): Column = length(c).cast("long")
+
+  // ---- F7: HTML unescape (pushshift.py:72-73) — native Expression --------
+  def htmlUnescape(c: Column): Column = column(HtmlUnescape(expression(c)))
+
+  // ---- F8: HTML escape of brackets (offline_reading.py:285-291) ----------
+  /** Correct `&gt;` (the reference's `&rt;` is a bug — SURVEY §7.4.5). */
+  def htmlEscapeBrackets(c: Column): Column =
+    regexp_replace(regexp_replace(c, "<", "&lt;"), ">", "&gt;")
+
+  // ---- F9: brace sanitizer (offline_reading.py:293-296) ------------------
+  def sanitizeBraces(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\{", "{{"), "\\}", "}}")
+
+  // ---- F11: multi-delimiter split (common.py:135-140) --------------------
+  def splitAny(c: Column): Column = split(c, "[+ ,]+")
+
+  // ---- F12: newline strip in titles (index.py:159) ------------------------
+  def stripNewlines(c: Column): Column = regexp_replace(c, "\n", " ")
+
+  // ---- F16: author tombstone sentinel (tsdb.py:394-397) -------------------
+  def authorOrDeleted(c: Column): Column = coalesce(c, lit("[DELETED]"))
+
+  // ---- F17: link templating (index.py:137-146) -----------------------------
+  /** Short reddit link for a submission id ("abc123" → redd.it/abc123). */
+  def shortLink(id: Column): Column =
+    concat(lit("https://redd.it/"), stripTypePrefix(id))
+  def permalink(subreddit: Column, submissionId: Column): Column =
+    format_string("https://reddit.com/r/%s/comments/%s",
+      subreddit, stripTypePrefix(submissionId))
+
+  /** Column ↔ Expression bridges (Spark 4 classic API, via graftshim). */
+  private[graft] def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.graftshim.ColumnBridge.expression(c)
+  private[graft] def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(e)
+}
