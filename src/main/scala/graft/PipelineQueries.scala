@@ -3,9 +3,201 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
-  * text analysis, multimodal plumbing) over documents/embeddings. */
+  * text analysis, multimodal plumbing) over documents/embeddings.
+  *
+  * Approximate operators (MinHash-LSH, SimHash banding) are made
+  * oracle-checkable by exact verification of candidates — the oracle
+  * computes ground truth relationally, the Spark side must find exactly
+  * that set. Ratios/similarities are integer basis points throughout.
+  */
 object PipelineQueries {
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** documents ∪ planted exact duplicates (every 10th doc re-inserted
+    * under a shifted id) — the corpus for exact-dedup. */
+  private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on md5 of normalized text.
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(corpusWithDups(s, dir), "doc_id", "text")
+        .orderBy("canonical_id")
+    }),
+
+    // n-gram Jaccard near-dup: inverted-index block join, exact.
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, thresholdBp = 8000)
+        .orderBy("i", "j")
+    }),
+
+    // MinHash+LSH with exact candidate verification — must reproduce the
+    // exact-Jaccard ground truth (banding makes misses ~1e-15 at J≥0.9).
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, thresholdBp = 8000)
+        .orderBy("i", "j")
+    }),
+
+    // SimHash near-dup (pigeonhole banding, exact hamming verify). Hash
+    // function is engine-private → no SQL oracle; rows-only + scalatest.
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("i", "j")
+    }),
+
+    // Embedding-cosine near-dup pairs (exact quadratic baseline).
+    "q_dedup_embed" -> ((s, dir) => {
+      Similarity.cosinePairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", thresholdBp = 4500)
+        .orderBy("i", "j")
+    }),
+
+    // Brute-force exact top-k cosine neighbors for 8 query vectors.
+    "q_ann_topk" -> ((s, dir) => {
+      Similarity.bruteTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryIds = (0L to 7L), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF approximate top-k — scale path; recall asserted in scalatest,
+    // not hash-matched (approximate by design).
+    "q_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryIds = (0L to 7L), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Text analysis: token counts, quality, language-ID, fingerprint.
+    "q_text_profile" -> ((s, dir) => {
+      TextAnalysis.profile(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: binary payload + metadata; stubbed decode via
+    // partition-local mapPartitions; byte math exact-checked vs oracle.
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.asMedia(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media, stride = 1).toDF()
+      feats.select(
+          col("doc_id"), col("modality"), col("byte_len"), col("n_frames"),
+          aggregate(col("frame_bytes"), lit(0L), (a, v) => a + v).as("byte_sum"))
+        .withColumn("mean_byte_c", expr("byte_sum * 100 div byte_len"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val jaccardOracle =
+    """WITH words AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id AS doc,
+                unnest(list_transform(range(1, len(w)-1),
+                                      i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+         FROM words),
+       sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc AS i, b.doc AS j, count(*) AS c
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+         GROUP BY 1, 2)
+       SELECT i, j,
+              CAST(floor(c * 10000.0 / (x.n + y.n - c)) AS BIGINT) AS jac_bp
+       FROM inter JOIN sizes x ON x.doc = i JOIN sizes y ON y.doc = j
+       WHERE floor(c * 10000.0 / (x.n + y.n - c)) >= 8000
+       ORDER BY i, j"""
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM corpus
+         GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         ORDER BY canonical_id""",
+
+    "q_dedup_ngram" -> jaccardOracle,
+    "q_dedup_minhash" -> jaccardOracle,
+
+    "q_dedup_embed" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS i, b.vec_id AS j,
+                CAST(floor(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_bp
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 4500
+         ORDER BY i, j""",
+
+    "q_ann_topk" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id <= 7),
+         s AS (
+           SELECT qid, vec_id AS nid,
+                  CAST(floor(list_cosine_similarity(v, qv) * 10000) AS BIGINT) AS cos_bp
+           FROM n, q WHERE vec_id != qid)
+         SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, cos_bp
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rn FROM s)
+         WHERE rn <= 10
+         ORDER BY query_id, rank""",
+
+    "q_text_profile" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           FROM documents),
+         m AS (
+           SELECT doc_id, text,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subwords,
+                  CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(floor(list_sum(list_transform(toks, x -> length(x))) * 10000.0 / len(toks)) AS BIGINT) AS mean_word_len_bp,
+                  CAST(floor(len(regexp_extract_all(text, '[.,;:!?]')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
+                  CAST(floor(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this'], x))) * 10000.0 / len(ltoks)) AS BIGINT) AS stopword_ratio_bp,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is'], x))) AS BIGINT) AS s_en,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['el','la','de','que','es'], x))) AS BIGINT) AS s_es,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est'], x))) AS BIGINT) AS s_fr
+           FROM t)
+         SELECT doc_id, n_tokens, n_subwords, n_chars, mean_word_len_bp,
+                punct_ratio_bp, stopword_ratio_bp,
+                greatest(0, least(10000,
+                  5000 + CAST(floor(stopword_ratio_bp / 2.0) AS BIGINT)
+                       - CAST(floor(abs(mean_word_len_bp - 50000) / 20.0) AS BIGINT)
+                       - punct_ratio_bp)) AS quality_bp,
+                CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                     WHEN (CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
+                           CASE WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
+                           CASE WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
+                           CASE WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END) > 1 THEN 'und'
+                     WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+                     WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+                     WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+                     ELSE 'fr' END AS lang_pred,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+                CAST(('0x' || substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4)) AS BIGINT) AS fp_bucket
+         FROM m ORDER BY doc_id""",
+
+    "q_multimodal" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                CAST(1 + octet_length(encode(text)) // 64 AS INT) AS n_frames,
+                CAST(list_sum(list_transform(range(1, length(text)+1),
+                     i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS byte_sum,
+                CAST(list_sum(list_transform(range(1, length(text)+1),
+                     i -> ascii(substr(text, CAST(i AS INT), 1)))) * 100
+                     // octet_length(encode(text)) AS BIGINT) AS mean_byte_c
+         FROM documents ORDER BY doc_id"""
+  )
 }

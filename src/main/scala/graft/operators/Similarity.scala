@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (`Array[Float]` columns).
+  *
+  * Cosine is computed with higher-order functions (`zip_with` +
+  * `aggregate`) in DOUBLE, accumulated left-to-right — bit-identical
+  * between runs and matching DuckDB's sequential list kernels, which makes
+  * similarity outputs oracle-comparable after basis-point rounding.
+  */
+object Similarity {
+
+  /** dot(a,b) in double; sequential fold, deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Pre-normalize once so pair scoring is a plain dot product — n·d work
+    * instead of 3·n·d, and the norm never recomputes per candidate pair. */
+  def normalized(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id).as("vid"),
+      transform(col(vec), x => x.cast("double") / norm(col(vec))).as("nv"))
+
+  /** Brute-force exact top-k neighbors for the given query ids.
+    *
+    * Queries are a broadcast nested-loop join (small side broadcast, big
+    * side streamed — the correct physical shape: every executor scores its
+    * local shard against all queries, no shuffle of the corpus). The only
+    * exchange is the final per-query top-k, which `rank ≤ k` turns into a
+    * partial TakeOrdered per partition under AQE.
+    *
+    * Output: (query_id, rank, neighbor_id, cos_bp).
+    */
+  def bruteTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv").as("qv")))
+    val scored = n.join(q, col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        floor(dot(col("nv"), col("qv")) * 10000).cast("long").as("cos_bp"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_bp").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("cos_bp"))
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-duplicate dedup).
+    * Exact O(n²/2) pair scan — correct but quadratic; the IVF/LSH variants
+    * below are the 100 TB path, this is the oracle-checkable baseline and
+    * fine for corpora that fit a broadcast (≤ ~1M vectors sharded). */
+  def cosinePairs(emb: DataFrame, id: String, vec: String,
+      thresholdBp: Long): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val a = n.as("a"); val b = n.as("b")
+    a.join(b, col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("i"), col("b.vid").as("j"),
+        floor(dot(col("a.nv"), col("b.nv")) * 10000).cast("long").as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+  }
+
+  /** IVF (inverted-file) approximate top-k — the scale path.
+    *
+    * Coarse quantizer: `nlist` centroids (here: deterministic sample of
+    * corpus vectors — a k-means refinement drops in without changing the
+    * plan). Every vector is assigned to its nearest centroid (broadcast
+    * NLJ against nlist rows); a query probes only its `nprobe` nearest
+    * cells, so the pair scan touches n·nprobe/nlist of the corpus instead
+    * of all of it. Recall vs [[bruteTopK]] is asserted in tests — approx
+    * results are NOT oracle-hashable by design.
+    */
+  def ivfTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = normalized(emb, id, vec).cache()
+    // deterministic coarse centroids: every (count/nlist)-th vector by id
+    val cents = broadcast(
+      n.withColumn("_rn", row_number().over(Window.orderBy("vid")))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
+        .filter(((col("_rn") - 1) % greatest(floor(col("_n") / nlist), lit(1))) === 0)
+        .withColumn("_cid", row_number().over(Window.orderBy("vid")))
+        .filter(col("_cid") <= nlist)
+        .select(col("_cid").as("cid"), col("nv").as("cv")))
+    def assign(df: DataFrame, vcol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy("vid").orderBy(col("_sim").desc, col("cid").asc)
+      df.crossJoin(cents)
+        .withColumn("_sim", dot(col(vcol), col("cv")))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= keep)
+        .drop("cv", "_sim", "_r")
+    }
+    val corpus = assign(n, "nv", 1)                       // each vector → 1 cell
+    val queries = assign(
+      n.filter(col("vid").isin(queryIds: _*)), "nv", nprobe)  // query → nprobe cells
+      .select(col("vid").as("qid"), col("nv").as("qv"), col("cid"))
+    val scored = corpus.join(queries, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        floor(dot(col("nv"), col("qv")) * 10000).cast("long").as("cos_bp"))
+      .distinct()   // a neighbor can appear via several probed cells
+    val w = Window.partitionBy("qid").orderBy(col("cos_bp").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("vid").as("neighbor_id"),
+        col("cos_bp"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, fingerprinting. Pure per-row projections (no
+  * shuffle, fully codegen'd): at 100 TB these fuse into the document scan.
+  * Ratios are emitted in basis points (BIGINT) for oracle-exact compare.
+  */
+object TextAnalysis {
+
+  private def ws(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0L).otherwise(size(ws(c)).cast("long"))
+
+  /** BPE-ish subword count: alpha runs, digit runs, punctuation singletons.
+    * A cheap stand-in for a real tokenizer with the same plan shape. */
+  def subwordCount(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+
+  /** Quality heuristics (length/punct/stopword ratios), all integer bp. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "on", "for", "with", "as", "at", "by", "from", "that", "this")
+
+  def stopwordRatioBp(c: Column): Column = {
+    val toks = ws(lower(c))
+    val stops = filter(toks, t => t.isin(stopwords.map(lit(_)): _*))
+    when(size(toks) === 0, 0L)
+      .otherwise(floor(size(stops) * 10000.0 / size(toks)).cast("long"))
+  }
+
+  def punctRatioBp(c: Column): Column =
+    when(length(c) === 0, 0L)
+      .otherwise(floor(regexp_count(c, lit("[.,;:!?]")) * 10000.0 / length(c)).cast("long"))
+
+  def meanWordLenBp(c: Column): Column = {
+    val toks = ws(c)
+    when(size(toks) === 0, 0L)
+      .otherwise(floor(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)) * 10000.0 / size(toks))
+        .cast("long"))
+  }
+
+  /** Composite quality score in bp: rewards stopword presence (natural
+    * prose) and sane word length, penalizes punctuation soup. Weights are
+    * arbitrary but fixed — the contract is determinism, not linguistics. */
+  def qualityScoreBp(c: Column): Column =
+    greatest(lit(0L), least(lit(10000L),
+      lit(5000L)
+        + floor(stopwordRatioBp(c) / 2.0)
+        - floor(abs(meanWordLenBp(c) - lit(50000L)) / 20.0)
+        - punctRatioBp(c)))
+
+  /** n-gram-heuristic language ID: score = stopword hits per language,
+    * argmax with fixed tiebreak order. */
+  val langStops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val toks = ws(lower(c))
+    langStops.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      lang -> size(filter(toks, t => t.isin(stops.map(lit(_)): _*))).cast("long")
+    }
+  }
+
+  /** Predicted language: highest stopword-hit count; ties → 'und' unless a
+    * single language leads. Unknown (all zero) → 'und'. */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val winners = scores.map { case (l, s) =>
+      when(s === best && best > 0, lit(l)) }
+    val nWinners = scores.map { case (_, s) =>
+      when(s === best && best > 0, 1).otherwise(0) }.reduce(_ + _)
+    when(nWinners === 1, coalesce(winners: _*)).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (stable, portable,
+    * collision-safe at corpus scale); bucket = top 16 bits for sharding. */
+  def fingerprint(c: Column): Column = md5(Dedup.normText(c))
+  def fingerprintBucket(c: Column): Column =
+    conv(substring(fingerprint(c), 1, 4), 16, 10).cast("long")
+
+  /** One-pass document profile. */
+  def profile(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(
+      col(id),
+      tokenCount(col(text)).as("n_tokens"),
+      subwordCount(col(text)).as("n_subwords"),
+      length(col(text)).cast("long").as("n_chars"),
+      meanWordLenBp(col(text)).as("mean_word_len_bp"),
+      punctRatioBp(col(text)).as("punct_ratio_bp"),
+      stopwordRatioBp(col(text)).as("stopword_ratio_bp"),
+      qualityScoreBp(col(text)).as("quality_bp"),
+      langId(col(text)).as("lang_pred"),
+      fingerprint(col(text)).as("fingerprint"),
+      fingerprintBucket(col(text)).as("fp_bucket"))
+}

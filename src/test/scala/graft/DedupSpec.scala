@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "THE  QUICK brown fox jumps over the lazy dog"),   // norm-dup of 1
+    (4L, "the quick brown fox jumps over the sleepy dog"),  // near-dup of 1
+    (5L, "completely different words entirely here now today"),
+    (6L, "another unrelated document with its own words")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, canonical = min id") {
+    val r = Dedup.exact(docs, "doc_id", "text").orderBy("canonical_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ===
+      Seq((1L, 3L), (4L, 1L), (5L, 1L), (6L, 1L)))
+  }
+
+  test("exact dedup by raw text vs by hash agree") {
+    val a = Dedup.exact(docs, "doc_id", "text", byHash = true)
+    val b = Dedup.exact(docs, "doc_id", "text", byHash = false)
+    assert(a.orderBy("canonical_id").collect() === b.orderBy("canonical_id").collect())
+  }
+
+  test("n-gram jaccard finds near-dups above threshold only") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, thresholdBp = 5000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))  // identical → 10000 bp
+    assert(pairs.contains((1L, 4L)))  // 1-word change in 9 → jac ≈ 0.5-0.7
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("jaccard of identical docs is exactly 10000 bp") {
+    val p = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 9999)
+      .filter($"i" === 1 && $"j" === 2).head
+    assert(p.getAs[Long]("jac_bp") === 10000L)
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on the sf0.001 corpus") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", 3, 8000)
+      .select("i", "j", "jac_bp").collect().toSet
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 8000)
+      .select("i", "j", "jac_bp").collect().toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty) // the corpus plants near-dups; test must bite
+  }
+
+  test("simhash: identical normalized text → identical hash") {
+    val s = Dedup.simhash(docs, "doc_id", "text")
+      .filter($"doc".isin(1L, 2L, 3L)).select("simhash").distinct()
+    assert(s.count() === 1)
+  }
+
+  test("simhash banding finds every pair within maxHamming (pigeonhole, no FNs)") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val sims = Dedup.simhash(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i, hi) <- sims; (j, hj) <- sims if i < j
+      h = java.lang.Long.bitCount(hi ^ hj) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    val banded = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))).toSet
+    assert(banded === brute)
+  }
+
+  test("shingle frequency cap sheds hot shingles (skew guard)") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0, freqCap = 1L)
+    // with cap=1 every shared shingle is dropped → no pairs at all
+    assert(capped.count() === 0)
+    assert(sh.count() > 0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(1.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: hand-checked values") {
+    val c = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(c((0L, 2L))) < 1e-12)
+    assert(math.abs(c((0L, 3L)) + 1.0) < 1e-12)
+    assert(math.abs(c((0L, 4L)) - 1.0 / math.sqrt(2)) < 1e-9)
+  }
+
+  test("bruteTopK: ranks by cosine desc with id tiebreak, excludes self") {
+    val r = Similarity.bruteTopK(vecs, "vec_id", "embedding", Seq(0L), k = 3)
+      .orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(r.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
+  test("cosinePairs finds only pairs above threshold") {
+    val pairs = Similarity.cosinePairs(vecs, "vec_id", "embedding", 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))  // cos ≈ 0.9939
+  }
+
+  test("IVF recall ≥ 0.5 vs brute on sf0.001 (approximate, must still be useful)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = (0L to 7L)
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = resultSet(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    val ivf = resultSet(Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 10,
+      nlist = 8, nprobe = 4))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+    assert(brute.size === 80)
+  }
+
+  test("IVF with nprobe = nlist degenerates to exact (full scan)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = Seq(0L, 1L)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 5,
+      nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(full === brute)
+  }
+}

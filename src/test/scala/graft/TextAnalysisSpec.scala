@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def profile(text: String) =
+    TextAnalysis.profile(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").head
+
+  test("token and subword counts") {
+    val p = profile("The cat, sat on 42 mats!")
+    assert(p.getAs[Long]("n_tokens") === 6L)
+    // the|cat|,|sat|on|42|mats|! → 8 subword units
+    assert(p.getAs[Long]("n_subwords") === 8L)
+  }
+
+  test("empty text yields zeros, not nulls or NaN") {
+    val p = profile("")
+    assert(p.getAs[Long]("n_tokens") === 0L)
+    assert(p.getAs[Long]("punct_ratio_bp") === 0L)
+    assert(p.getAs[Long]("stopword_ratio_bp") === 0L)
+  }
+
+  test("stopword ratio: half the tokens are stopwords → 5000 bp") {
+    val p = profile("the fox and dog")
+    assert(p.getAs[Long]("stopword_ratio_bp") === 5000L)
+  }
+
+  test("punct ratio counts [.,;:!?] only") {
+    val p = profile("a.b,c!d")  // 3 punct / 7 chars = 4285 bp
+    assert(p.getAs[Long]("punct_ratio_bp") === 4285L)
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    assert(profile("the cat and the dog of the house is big")
+      .getAs[String]("lang_pred") === "en")
+    assert(profile("el perro que corre es grande la casa")
+      .getAs[String]("lang_pred") === "es")
+    assert(profile("xyzzy plugh qwerty").getAs[String]("lang_pred") === "und")
+  }
+
+  test("ambiguous language (tie) → und") {
+    // 'la de' scores 2 for both es and fr
+    assert(profile("la de").getAs[String]("lang_pred") === "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive md5") {
+    val a = profile("Hello   World").getAs[String]("fingerprint")
+    val b = profile("  hello world ").getAs[String]("fingerprint")
+    assert(a === b)
+    assert(a.length === 32)
+  }
+
+  test("quality score is bounded [0, 10000]") {
+    val scores = Seq("", "x", "the a of to in is!!!,,,...;;;",
+      "a perfectly normal sentence with the usual words in it")
+      .map(t => profile(t).getAs[Long]("quality_bp"))
+    assert(scores.forall(s => s >= 0L && s <= 10000L))
+  }
+}
