@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.Merge
+
+/** Livestream analog (SURVEY §2.1 S6, §2.9 T1-T8; livestream.py:45-196).
+  *
+  * The reference polls /new every 30 s and upserts each ≤100-row batch into
+  * SQLite. Spark-first re-expression: any streaming source → micro-batches
+  * → `foreachBatch` running the SAME batch merge as offline ingest
+  * (graft.operators.Merge) into a versioned parquet table. Identical code
+  * path for batch and streaming writes is what makes replay idempotent
+  * (T3: unbounded lateness, duplicate batches collapse in the merge).
+  */
+object Livestream {
+
+  /** Parquet-backed upsert target with atomic version swap.
+    *
+    * Layout: `path/v=N/` table versions (readers pick max N via a pointer
+    * file written last), `path/edits/` append-only CDC log. A Delta/Iceberg
+    * table would subsume this; the contract here is engine-agnostic and
+    * filesystem-atomic (pointer rename). One SQLite file per target in the
+    * reference ↔ one table directory per target here.
+    */
+  final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
+      emptyLike: DataFrame) {
+    private val ptr = Paths.get(path, "_VERSION")
+
+    def currentVersion: Long =
+      if (Files.exists(ptr)) new String(Files.readAllBytes(ptr)).trim.toLong else -1L
+
+    def current: DataFrame = {
+      val v = currentVersion
+      if (v < 0) emptyLike.limit(0)
+      else spark.read.parquet(s"$path/v=$v")
+    }
+
+    def edits: DataFrame = {
+      val d = Paths.get(path, "edits")
+      if (Files.exists(d) && Files.list(d).findFirst().isPresent)
+        spark.read.parquet(s"$path/edits")
+      else spark.emptyDataFrame
+    }
+
+    /** Merge one batch and atomically publish the next version. */
+    def merge(batch: DataFrame, seqCol: String, storeEdits: Boolean = true): Unit = {
+      val next = currentVersion + 1
+      val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = storeEdits)
+      r.table.write.mode("overwrite").parquet(s"$path/v=$next")
+      if (storeEdits)
+        r.edits.write.mode("append").parquet(s"$path/edits")
+      val tmp = Paths.get(path, "_VERSION.tmp")
+      Files.write(tmp, next.toString.getBytes)
+      Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Wire a streaming DataFrame into the upsert table. Each micro-batch
+    * gets a monotone `_seq` from (batchId, input order) so within-batch
+    * precedence survives (dummy-then-live, pushshift.py:224-243).
+    *
+    * Trigger choices mirror the reference CLI: `ProcessingTime("30 seconds")`
+    * ↔ `--wait 30`, `AvailableNow` ↔ `--once` (timesearch.py:257-264).
+    */
+  def upsertSink(stream: DataFrame, table: UpsertTable,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val seqd = batch.withColumn("_seq",
+          lit(batchId) * 1000000000L + monotonically_increasing_id())
+        table.merge(seqd, "_seq")
+      }
+
+  /** T2/T6 rate shaping: newest ≤limit rows per cycle per target — on a
+    * file/queue source this is `maxFilesPerTrigger`/`maxOffsetsPerTrigger`;
+    * provided here as a helper for sources that lack the option. */
+  def capBatch(batch: DataFrame, orderCol: String, limit: Int): DataFrame =
+    batch.orderBy(col(orderCol).desc).limit(limit)
+
+  /** T7 round-robin over targets = union of per-target streams; Spark's
+    * scheduler interleaves micro-batches fairly. */
+  def unionTargets(streams: Seq[DataFrame]): DataFrame =
+    streams.reduce(_.unionByName(_, allowMissingColumns = true))
+}

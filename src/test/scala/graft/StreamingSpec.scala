@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Merge
+import graft.streaming.Livestream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // comment-shaped rows as a case class for MemoryStream
+  case class C(idint: Long, idstr: String, created: Long, author: String,
+      parent: String, submission: String, body: String, score: Long,
+      subreddit: String, distinguish: String, textlen: Long)
+  private def c(id: Long, body: String, score: Long) =
+    C(id, s"t1_$id", id, s"u$id", "t3_r", "t3_r", body, score, "sub", null, body.length.toLong)
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("T1-T4 livestream upsert: micro-batches merge into versioned table") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[C]
+    val table = new Livestream.UpsertTable(spark, tmp("tbl"),
+      Merge.comments, Seq.empty[C].toDF())
+    val q = Livestream.upsertSink(mem.toDF(), table, tmp("ckp"),
+      Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(c(1, "v1", 10), c(2, "x", 5))
+      q.processAllAvailable()
+      assert(table.current.count() === 2)
+      mem.addData(c(1, "v2", 11), c(3, "y", 1))   // edit + new row
+      q.processAllAvailable()
+      val rows = table.current.collect().map(r =>
+        r.getAs[String]("idstr") -> r.getAs[String]("body")).toMap
+      assert(rows === Map("t1_1" -> "v2", "t1_2" -> "x", "t1_3" -> "y"))
+      // T8: the edit was archived
+      val ed = table.edits.collect()
+      assert(ed.length === 1 && ed.head.getAs[String]("previous_body") === "v1")
+    } finally q.stop()
+  }
+
+  test("T3 idempotence: replaying the same batch changes nothing") {
+    val table = new Livestream.UpsertTable(spark, tmp("tbl2"),
+      Merge.comments, Seq.empty[C].toDF())
+    val batch = Seq(c(1, "a", 1), c(2, "b", 2)).toDF()
+      .withColumn("_seq", monotonically_increasing_id())
+    table.merge(batch, "_seq")
+    val v1 = table.current.collect().sortBy(_.getAs[String]("idstr"))
+    table.merge(batch, "_seq")                    // replay
+    val v2 = table.current.collect().sortBy(_.getAs[String]("idstr"))
+    assert(v1 === v2)
+    assert(table.edits.isEmpty || table.edits.count() === 0) // same text → no CDC
+  }
+
+  test("T2 batch cap keeps the newest rows") {
+    val capped = Livestream.capBatch(
+      Seq(c(1, "a", 1), c(2, "b", 2), c(3, "c", 3)).toDF(), "created", 2)
+    assert(capped.select("idstr").as[String].collect().toSet === Set("t1_2", "t1_3"))
+  }
+
+  test("T7 union of target streams tolerates missing columns") {
+    val a = Seq((1L, "x")).toDF("id", "a_only")
+    val b = Seq((2L, 9.0)).toDF("id", "b_only")
+    val u = Livestream.unionTargets(Seq(a, b))
+    assert(u.count() === 2 && u.columns.toSet === Set("id", "a_only", "b_only"))
+  }
+
+  test("windowed aggregation with watermark over a replayed stream (T3 windows)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("ts", "kind", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"kind")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((t(0), "a", 1.0), (t(1), "a", 2.0), (t(6), "a", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out").collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+      assert(out.toSet === Set(
+        ("2024-01-01 10:00:00.0", 2L, 3.0),
+        ("2024-01-01 10:05:00.0", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
