@@ -43,6 +43,12 @@ package object functions {
   // ---- F7: HTML unescape (pushshift.py:72-73) — native Expression --------
   def htmlUnescape(c: Column): Column = column(HtmlUnescape(expression(c)))
 
+  // ---- vector math (similarity/dedup scale path) — native Expression -----
+  /** dot(a, b) over numeric arrays (cast to double), codegen'd tight loop. */
+  def vecDot(a: Column, b: Column): Column =
+    column(VectorDot(expression(a.cast("array<double>")),
+      expression(b.cast("array<double>"))))
+
   // ---- F8: HTML escape of brackets (offline_reading.py:285-291) ----------
   /** Correct `&gt;` (the reference's `&rt;` is a bug — SURVEY §7.4.5). */
   def htmlEscapeBrackets(c: Column): Column =

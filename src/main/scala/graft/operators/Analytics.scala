@@ -35,6 +35,8 @@ object Analytics {
     case "submissions" => b.orderBy(col("n_submissions").desc, lower(col("name")).asc, col("name").asc)
     case "comments"    => b.orderBy(col("n_comments").desc, lower(col("name")).asc, col("name").asc)
     case "total"       => b.orderBy(col("total").desc, lower(col("name")).asc, col("name").asc)
+    case other => throw new IllegalArgumentException(
+      s"unknown breakdown sort '$other' (valid: name, submissions, comments, total)")
   }
 
   /** P2 + O1-O5 — index.py:43-109: score-threshold filter + one of the
@@ -52,6 +54,8 @@ object Analytics {
       case "sub"    => filtered.orderBy(col("subreddit").asc, tie)
       // O5: flaired rows first, each group time-ordered (index.py:91-92)
       case "flair"  => filtered.orderBy(col("flair_text").isNull.asc, col("created").asc, tie)
+      case other => throw new IllegalArgumentException(
+        s"unknown index sort '$other' (valid: date, title, score, author, sub, flair)")
     }
   }
 

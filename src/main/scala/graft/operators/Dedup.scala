@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact, n-gram
@@ -19,12 +18,19 @@ object Dedup {
 
   /** Distinct word n-gram shingles: (id, shingle) rows.
     * `transform(sequence(...))` keeps shingling inside codegen; `explode`
-    * then `distinct` gives the set semantics Jaccard needs. */
+    * then `distinct` gives the set semantics Jaccard needs.
+    *
+    * Docs with fewer than n words have an empty shingle set and emit no
+    * rows (the `when` guard matters: `sequence(0, size-n)` with size<n
+    * would produce a DESCENDING sequence and crash `slice`; short docs are
+    * guaranteed in any real corpus). */
   def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     val w = words(col(text))
     df.select(col(id).as("doc"),
-        explode(transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n))))).as("s"))
+        explode(when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - n),
+            i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("s"))
       .distinct()
   }
 
@@ -57,8 +63,13 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       thresholdBp: Int, freqCap: Long = 1000000L): DataFrame = {
     val sh = shingles(df, id, text, n)
-    val capped = sh.withColumn("_f", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("_f") <= freqCap).drop("_f")
+    // Heavy-hitter shedding: shingles above the cap are by definition FEW
+    // (heavy hitters), so they broadcast — the anti-join is a map-side
+    // filter on the big side, no extra shuffle and no per-key sort (a
+    // count-over-window formulation would shuffle AND sort every shingle).
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("_f"))
+      .filter(col("_f") > freqCap).select("s")
+    val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n"))
     val a = capped.as("a"); val b = capped.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -113,12 +124,15 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("i"), col("y.doc").as("j"))
       .distinct()
-    // exact verify: intersect shingle sets of candidate pairs only
+    // Exact verify: intersect shingle sets of candidate pairs only. The
+    // second join is keyed on BOTH (j, s) — joining on j alone and
+    // filtering s afterwards would cross every i-shingle with every
+    // j-shingle per pair (|sh_i|×|sh_j| intermediate rows instead of
+    // |sh_i| + matches).
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(sh.withColumnRenamed("doc", "i").withColumnRenamed("s", "si"), "i")
-      .join(sh.withColumnRenamed("doc", "j").withColumnRenamed("s", "sj"), "j")
-      .filter(col("si") === col("sj"))
+      .join(sh.withColumnRenamed("doc", "i"), "i")
+      .join(sh.withColumnRenamed("doc", "j"), Seq("j", "s"))
       .groupBy("i", "j").agg(count(lit(1)).as("c"))
     inter
       .join(sizes.withColumnRenamed("doc", "i").withColumnRenamed("n", "ni"), "i")

@@ -4,29 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.vecDot
+
 /** Embedding similarity search (`Array[Float]` columns).
   *
-  * Cosine is computed with higher-order functions (`zip_with` +
-  * `aggregate`) in DOUBLE, accumulated left-to-right — bit-identical
+  * Pair scoring runs through [[graft.functions.VectorDot]] — a native
+  * codegen'd Catalyst expression (tight primitive loop over Tungsten array
+  * data) instead of interpreted higher-order functions; the accumulation
+  * order is a sequential left-to-right fold in DOUBLE, bit-identical
   * between runs and matching DuckDB's sequential list kernels, which makes
   * similarity outputs oracle-comparable after basis-point rounding.
   */
 object Similarity {
 
   /** dot(a,b) in double; sequential fold, deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Pre-normalize once so pair scoring is a plain dot product — n·d work
-    * instead of 3·n·d, and the norm never recomputes per candidate pair. */
+    * instead of 3·n·d, and the norm never recomputes per candidate pair.
+    * The norm itself is materialized into a column FIRST so the per-element
+    * division is O(d), not O(d²) (a lambda that re-folds the vector per
+    * element would be quadratic on the hot path). Zero-norm vectors carry
+    * no direction and are dropped explicitly rather than turning every
+    * score they touch into null via 0/0. */
   def normalized(df: DataFrame, id: String, vec: String): DataFrame =
-    df.select(col(id).as("vid"),
-      transform(col(vec), x => x.cast("double") / norm(col(vec))).as("nv"))
+    df.select(col(id).as("vid"), col(vec).cast("array<double>").as("_v"))
+      .withColumn("_norm", norm(col("_v")))
+      .filter(col("_norm") > 0)
+      .select(col("vid"), transform(col("_v"), x => x / col("_norm")).as("nv"))
 
   /** Brute-force exact top-k neighbors for the given query ids.
     *
@@ -69,25 +78,29 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the scale path.
     *
-    * Coarse quantizer: `nlist` centroids (here: deterministic sample of
-    * corpus vectors — a k-means refinement drops in without changing the
+    * Coarse quantizer: `nlist` centroids (here: a deterministic
+    * pseudo-random sample of corpus vectors, the `nlist` smallest by
+    * `xxhash64(vid)` — a k-means refinement drops in without changing the
     * plan). Every vector is assigned to its nearest centroid (broadcast
     * NLJ against nlist rows); a query probes only its `nprobe` nearest
     * cells, so the pair scan touches n·nprobe/nlist of the corpus instead
     * of all of it. Recall vs [[bruteTopK]] is asserted in tests — approx
     * results are NOT oracle-hashable by design.
+    *
+    * Centroid selection is TakeOrdered (top-nlist by hash) + a
+    * single-partition id assignment on nlist rows — no global window over
+    * the corpus (a `Window.orderBy` without partitioning would serialize
+    * the whole table through one task at scale).
     */
   def ivfTopK(emb: DataFrame, id: String, vec: String,
       queryIds: Seq[Long], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val n = normalized(emb, id, vec).cache()
-    // deterministic coarse centroids: every (count/nlist)-th vector by id
     val cents = broadcast(
-      n.withColumn("_rn", row_number().over(Window.orderBy("vid")))
-        .withColumn("_n", count(lit(1)).over(Window.partitionBy()))
-        .filter(((col("_rn") - 1) % greatest(floor(col("_n") / nlist), lit(1))) === 0)
-        .withColumn("_cid", row_number().over(Window.orderBy("vid")))
-        .filter(col("_cid") <= nlist)
-        .select(col("_cid").as("cid"), col("nv").as("cv")))
+      n.orderBy(xxhash64(col("vid")).asc, col("vid").asc)
+        .limit(nlist)
+        .coalesce(1)
+        .sortWithinPartitions("vid")
+        .select(monotonically_increasing_id().as("cid"), col("nv").as("cv")))
     def assign(df: DataFrame, vcol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy("vid").orderBy(col("_sim").desc, col("cid").asc)
       df.crossJoin(cents)

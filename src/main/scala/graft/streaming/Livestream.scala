@@ -40,20 +40,37 @@ object Livestream {
       else spark.read.parquet(s"$path/v=$v")
     }
 
+    private def emptyEdits: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Schemas.edits(entity.editTextCol))
+
+    /** The CDC log up to the CURRENT version — edit batches staged under a
+      * not-yet-published version are invisible until the pointer moves. */
     def edits: DataFrame = {
       val d = Paths.get(path, "edits")
-      if (Files.exists(d) && Files.list(d).findFirst().isPresent)
-        spark.read.parquet(s"$path/edits")
-      else spark.emptyDataFrame
+      val hasFiles = Files.exists(d) && {
+        val s = Files.list(d)
+        try s.findFirst().isPresent finally s.close()
+      }
+      if (!hasFiles) emptyEdits
+      else spark.read.parquet(s"$path/edits")
+        .filter(col("ev") <= currentVersion)
+        .drop("ev")
     }
 
-    /** Merge one batch and atomically publish the next version. */
+    /** Merge one batch and atomically publish the next version.
+      *
+      * Retry-idempotent (T3): the table overwrites `v=N+1` and the edit
+      * batch overwrites `edits/ev=N+1`; both only become visible when the
+      * version pointer moves, which happens last — a foreachBatch replay
+      * after a mid-merge crash rewrites the same staging dirs instead of
+      * appending duplicate CDC rows. */
     def merge(batch: DataFrame, seqCol: String, storeEdits: Boolean = true): Unit = {
       val next = currentVersion + 1
       val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = storeEdits)
       r.table.write.mode("overwrite").parquet(s"$path/v=$next")
       if (storeEdits)
-        r.edits.write.mode("append").parquet(s"$path/edits")
+        r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
       val tmp = Paths.get(path, "_VERSION.tmp")
       Files.write(tmp, next.toString.getBytes)
       Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,

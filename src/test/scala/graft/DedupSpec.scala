@@ -73,6 +73,25 @@ class DedupSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("short docs (< n words) shingle to empty sets, never crash") {
+    val shorties = Seq(
+      (1L, "hi"),                                          // 1 word < n
+      (2L, "two words"),                                   // 2 words < n
+      (3L, "exactly three words"),                         // == n → 1 shingle
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(shorties, "doc_id", "text", 3)
+    assert(sh.filter($"doc".isin(1L, 2L)).count() === 0)
+    assert(sh.filter($"doc" === 3L).count() === 1)
+    val jac = Dedup.jaccardPairs(shorties, "doc_id", "text", 3, 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac === Set((4L, 5L)))
+    val lsh = Dedup.minhashLshPairs(shorties, "doc_id", "text", 3, 8000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === Set((4L, 5L)))
+  }
+
   test("shingle frequency cap sheds hot shingles (skew guard)") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0, freqCap = 1L)

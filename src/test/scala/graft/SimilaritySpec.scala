@@ -27,6 +27,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(c((0L, 4L)) - 1.0 / math.sqrt(2)) < 1e-9)
   }
 
+  test("vecDot matches a hand fold; normalized drops zero vectors") {
+    val withZero = vecs.union(Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val n = Similarity.normalized(withZero, "vec_id", "embedding")
+    assert(n.filter($"vid" === 9L).count() === 0)      // zero-norm dropped
+    assert(n.count() === 5)
+    val d = vecs.filter($"vec_id" === 4L)
+      .select(graft.functions.vecDot($"embedding", $"embedding").as("d"))
+      .head.getDouble(0)
+    assert(math.abs(d - 2.0) < 1e-12)
+    // unit norm after normalization
+    val norms = n.select(Similarity.norm($"nv").as("m")).collect().map(_.getDouble(0))
+    assert(norms.forall(m => math.abs(m - 1.0) < 1e-12))
+  }
+
   test("bruteTopK: ranks by cosine desc with id tiebreak, excludes self") {
     val r = Similarity.bruteTopK(vecs, "vec_id", "embedding", Seq(0L), k = 3)
       .orderBy("rank").collect()

@@ -10,14 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Merge
 import graft.streaming.Livestream
 
+// comment-shaped rows as a case class for MemoryStream (top-level: Spark
+// cannot build encoders for classes nested inside the suite instance)
+case class C(idint: Long, idstr: String, created: Long, author: String,
+    parent: String, submission: String, body: String, score: Long,
+    subreddit: String, distinguish: String, textlen: Long)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  // comment-shaped rows as a case class for MemoryStream
-  case class C(idint: Long, idstr: String, created: Long, author: String,
-      parent: String, submission: String, body: String, score: Long,
-      subreddit: String, distinguish: String, textlen: Long)
   private def c(id: Long, body: String, score: Long) =
     C(id, s"t1_$id", id, s"u$id", "t3_r", "t3_r", body, score, "sub", null, body.length.toLong)
 
@@ -56,6 +58,34 @@ class StreamingSpec extends AnyFunSuite {
     val v2 = table.current.collect().sortBy(_.getAs[String]("idstr"))
     assert(v1 === v2)
     assert(table.edits.isEmpty || table.edits.count() === 0) // same text → no CDC
+  }
+
+  test("edits on a fresh table carries the CDC schema, not zero columns") {
+    val table = new Livestream.UpsertTable(spark, tmp("tbl3"),
+      Merge.comments, Seq.empty[C].toDF())
+    assert(table.edits.columns.toSeq === Seq("idstr", "previous_body", "replaced_at"))
+    assert(table.edits.count() === 0)
+    // downstream union/select on the empty frame must resolve
+    assert(table.edits.select("idstr").count() === 0)
+  }
+
+  test("T3 CDC retry idempotence: replay after a mid-merge crash does not duplicate edits") {
+    val dir = tmp("tbl4")
+    val table = new Livestream.UpsertTable(spark, dir,
+      Merge.comments, Seq.empty[C].toDF())
+    table.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    val editBatch = Seq(c(1, "b", 2)).toDF().withColumn("_seq", lit(0L))
+    table.merge(editBatch, "_seq")
+    assert(table.edits.count() === 1)
+    // simulate a crash AFTER the v=1/ev=1 stage writes but BEFORE the
+    // pointer move: roll the pointer back...
+    Files.writeString(java.nio.file.Paths.get(dir, "_VERSION"), "0")
+    // ...staged-but-unpublished edits must be invisible...
+    assert(table.edits.count() === 0)
+    // ...and the foreachBatch replay must overwrite the stage, not append.
+    table.merge(editBatch, "_seq")
+    assert(table.edits.count() === 1)
+    assert(table.current.collect().map(_.getAs[String]("body")).toSeq === Seq("b"))
   }
 
   test("T2 batch cap keeps the newest rows") {
