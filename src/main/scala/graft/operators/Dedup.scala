@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * (codegen'd built-ins, no UDFs) designed so the candidate-generation
   * stage — the only quadratic danger at 100 TB — is blocked/banded and
   * frequency-capped.
+  *
+  * Plan-shape principle: shingle SETS are per-document state, so set
+  * construction (`array_distinct`), set size (`size`), and candidate-pair
+  * set intersection (`array_intersect`) all run row-local with zero
+  * shuffle; the only exchanges left are the ones inherent to the
+  * algorithm — the inverted-index block join and its count aggregation.
   */
 object Dedup {
 
@@ -16,23 +22,59 @@ object Dedup {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word n-gram shingles: (id, shingle) rows.
-    * `transform(sequence(...))` keeps shingling inside codegen; `explode`
-    * then `distinct` gives the set semantics Jaccard needs.
+  /** The distinct-shingle-set expression over a MATERIALIZED word-array
+    * column. Three hot-path rules learned by measurement (each ~10-30× on
+    * sf0.1; see Scaladoc of the public entry points for which applies):
     *
-    * Docs with fewer than n words have an empty shingle set and emit no
-    * rows (the `when` guard matters: `sequence(0, size-n)` with size<n
-    * would produce a DESCENDING sequence and crash `slice`; short docs are
-    * guaranteed in any real corpus). */
-  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
-    val w = words(col(text))
-    df.select(col(id).as("doc"),
-        explode(when(size(w) >= n,
-          transform(sequence(lit(0), size(w) - n),
-            i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("s"))
-      .distinct()
-  }
+    *  1. `w` must be an attribute, not an inline `split(...)`: expressions
+    *     referenced from a higher-order-function lambda are re-evaluated
+    *     per ELEMENT (no common-subexpression elimination inside lambdas),
+    *     which turns shingling O(L²·split).
+    *  2. Shingle assembly reads `element_at` (n O(1) lookups) instead of
+    *     `slice` (an array copy per shingle).
+    *  3. When the result feeds `explode`, pass THIS expression inline as
+    *     the generator: exploding a materialized alias triggers
+    *     InferFiltersFromGenerate, and predicate pushdown re-substitutes
+    *     the full expression into a `size(...) > 0` filter evaluated
+    *     interpreted at the scan — the whole pipeline again, per row.
+    *
+    * Docs with fewer than n words get an empty set (the `when` guard
+    * matters: `sequence(1, size-n+1)` with size<n would produce a
+    * DESCENDING sequence and crash; short docs are guaranteed in any real
+    * corpus). `array_distinct` gives Jaccard its set semantics without a
+    * distinct() shuffle. */
+  private def shingleExpr(w: Column, n: Int): Column =
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+
+  /** (doc, _arr) — per-document distinct shingle set as an array column.
+    * Short docs (< n words) are filtered out up front: the cheap
+    * `size(words) >= n` predicate pushes to the scan WITHOUT dragging the
+    * shingle construction with it (rule 3 above). */
+  def shingleSet(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id).as("doc"), words(col(text)).as("_w"))
+      .filter(size(col("_w")) >= n)
+      .select(col("doc"), shingleExpr(col("_w"), n).as("_arr"))
+
+  /** Distinct (doc, shingle) rows. The generator is the inline shingle
+    * expression over the materialized word array (rules 1+3 above). */
+  def shingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id).as("doc"), words(col(text)).as("_w"))
+      .select(col("doc"), explode(shingleExpr(col("_w"), n)).as("s"))
+
+  /** (doc, nsh, s) — shingle rows carrying their doc's set size, so
+    * Jaccard denominators need no size aggregation or post-join. The size
+    * rides inside the exploded struct: the lambda reads `size(_arr)` on an
+    * attribute (O(1) per element), and the complex generator input keeps
+    * InferFiltersFromGenerate away (rule 3). */
+  private def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    shingleSet(df, id, text, n)
+      .select(col("doc"), explode(transform(col("_arr"),
+        s => struct(s.as("s"), size(col("_arr")).as("nsh")))).as("_e"))
+      .select(col("doc"), col("_e.nsh").as("nsh"), col("_e.s").as("s"))
 
   /** Exact dedup: group by normalized text; canonical row = min id.
     * One hash-agg shuffle; at 100 TB group instead by a 128-bit text hash
@@ -49,35 +91,31 @@ object Dedup {
   /** All pairs with shingle-set Jaccard ≥ threshold, exactly.
     *
     * Candidate generation is a self-equi-join on shingle — the classic
-    * inverted-index block join. `freqCap` drops shingles occurring in more
+    * inverted-index block join. `freqCap` sheds shingles occurring in more
     * than that many documents first: a stop-shingle in f docs would emit
-    * f² join rows, and capping bounds the blowup while provably never
-    * losing a pair at high thresholds (dropping a shared shingle lowers
-    * measured J for both candidate generation AND the exact verify below
-    * only if the cap is too tight — so cap ≫ expected duplicate-group
-    * size; it exists to shed pathological hot keys, the join-skew story
-    * at scale).
+    * f² join rows. Hot shingles are by definition FEW, so they broadcast
+    * and the anti-join is a map-side filter — no extra shuffle. Shedding
+    * only affects candidate generation: a pair whose shared shingles are
+    * ALL hot is missed, but set sizes in the Jaccard denominator always
+    * use the full sets (cap ≫ duplicate-group size in practice; it exists
+    * for pathological hot keys, the join-skew story at scale).
+    *
+    * Set sizes ride the shingle rows (`nsh` from the row-local array) —
+    * no per-doc size aggregation and no post-joins to attach sizes.
     *
     * Output: (i, j, jac_bp) with i < j, Jaccard in basis points.
     */
   def jaccardPairs(df: DataFrame, id: String, text: String, n: Int,
       thresholdBp: Int, freqCap: Long = 1000000L): DataFrame = {
-    val sh = shingles(df, id, text, n)
-    // Heavy-hitter shedding: shingles above the cap are by definition FEW
-    // (heavy hitters), so they broadcast — the anti-join is a map-side
-    // filter on the big side, no extra shuffle and no per-key sort (a
-    // count-over-window formulation would shuffle AND sort every shingle).
+    val sh = shingleRows(df, id, text, n)
     val hot = sh.groupBy("s").agg(count(lit(1)).as("_f"))
       .filter(col("_f") > freqCap).select("s")
     val capped = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val sizes = capped.groupBy("doc").agg(count(lit(1)).as("n"))
     val a = capped.as("a"); val b = capped.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"))
+    a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("i"), col("b.doc").as("j"),
+        col("a.nsh").as("ni"), col("b.nsh").as("nj"))
       .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "i").withColumnRenamed("n", "ni"), "i")
-      .join(sizes.withColumnRenamed("doc", "j").withColumnRenamed("n", "nj"), "j")
       .withColumn("jac_bp",
         floor(col("c") * 10000.0 / (col("ni") + col("nj") - col("c"))).cast("long"))
       .filter(col("jac_bp") >= thresholdBp)
@@ -87,7 +125,9 @@ object Dedup {
   /** MinHash signatures: k minimums of independent hashes over the shingle
     * set. Hash family: xxhash64 seeded by the function index (prepending
     * the index column changes the hash). One groupBy produces all k mins —
-    * map-side partial agg collapses each document locally. */
+    * map-side partial agg collapses each document locally, so the exchange
+    * carries one k-wide signature row per document. Duplicate shingle rows
+    * would not change any min, so the input needs no distinct. */
   def minhash(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     sh.groupBy("doc").agg(mins.head, mins.tail: _*)
@@ -103,15 +143,18 @@ object Dedup {
     * threshold: P(miss | J) = (1 − J^r)^b — with r=4, b=32 a true pair at
     * J=0.9 is missed with p ≈ 1e−15.
     *
-    * Scale: candidate join is on (band, bucket) — inverted-index blocking
-    * again, never all-pairs; signatures are 8k bytes per doc.
+    * Scale: the candidate join is on (band, bucket) — inverted-index
+    * blocking, never all-pairs; signatures are 8k bytes per doc. The
+    * verify stage joins the FEW candidate pairs back to the per-doc
+    * shingle arrays and intersects row-locally (`array_intersect`) — no
+    * shuffle of shingle rows, no count aggregation.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
       thresholdBp: Int, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sh = shingles(df, id, text, n)
-    val sig = minhash(sh, numHashes)
+    val base = shingleSet(df, id, text, n)
+    val sig = minhash(shingles(df, id, text, n), numHashes)
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         xxhash64((bnd * r until (bnd + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))
@@ -124,19 +167,12 @@ object Dedup {
           col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("i"), col("y.doc").as("j"))
       .distinct()
-    // Exact verify: intersect shingle sets of candidate pairs only. The
-    // second join is keyed on BOTH (j, s) — joining on j alone and
-    // filtering s afterwards would cross every i-shingle with every
-    // j-shingle per pair (|sh_i|×|sh_j| intermediate rows instead of
-    // |sh_i| + matches).
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("doc", "i"), "i")
-      .join(sh.withColumnRenamed("doc", "j"), Seq("j", "s"))
-      .groupBy("i", "j").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "i").withColumnRenamed("n", "ni"), "i")
-      .join(sizes.withColumnRenamed("doc", "j").withColumnRenamed("n", "nj"), "j")
+    candidates
+      .join(base.select(col("doc").as("i"), col("_arr").as("_ai")), "i")
+      .join(base.select(col("doc").as("j"), col("_arr").as("_aj")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("_ai"), col("_aj"))).as("c"),
+        size(col("_ai")).as("ni"), size(col("_aj")).as("nj"))
       .withColumn("jac_bp",
         floor(col("c") * 10000.0 / (col("ni") + col("nj") - col("c"))).cast("long"))
       .filter(col("jac_bp") >= thresholdBp)
