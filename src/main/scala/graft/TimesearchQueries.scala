@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{Analytics, Merge, Trees}
+import graft.operators.{Analytics, Merge, Normalize, Trees}
+import graft.streaming.Livestream
 
 /** Timesearch-semantics operators (SURVEY.md §2 ingest/store/analytics)
   * demonstrated over the driver tables. Role mapping per FIXTURES.md §3:
@@ -69,6 +71,54 @@ object TimesearchQueries {
     def pipe(f: Column => Column): Column = f(c)
   }
 
+  /** orders → submission-shaped rows shared by the q_index_* listings. */
+  private def indexSubs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("idstr"),
+      epochSec(col("o_orderdate")).as("created"),
+      cents(col("o_totalprice")).as("score"),
+      col("o_orderpriority").as("title"),
+      col("o_custkey").cast("string").as("author"),
+      col("o_orderstatus").as("subreddit"),
+      nullif(col("o_orderpriority"), lit("1-URGENT")).as("flair_text"))
+
+  /** orders → raw pushshift-shaped submission rows (S1's dynamic JSON
+    * surface synthesized deterministically): base-36 ids, absent fullnames,
+    * HTML-escaped selftext, null authors/scores, relative + crosspost
+    * urls, dual-typed `edited` — every fallback path Normalize handles. */
+  private def rawSubmissions(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val id = lower(conv(k.cast("string"), 10, 36))
+    Tables.load(s, dir, "orders").select(
+      id.as("id"),
+      when(k % 2 === 0, concat(lit("t3_"), id)).as("name"),
+      epochSec(col("o_orderdate")).as("created_utc"),
+      (k % 2 === 0).as("is_self"),
+      when(k % 3 === 0, lit(null).cast("boolean")).otherwise(k % 7 === 0).as("over_18"),
+      when(k % 7 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("u"), col("o_custkey"))).as("author"),
+      col("o_orderpriority").as("title"),
+      when(k % 4 === 1, concat(lit("/r/test/comments/"), id))
+        .otherwise(concat(lit("https://example.com/"), id)).as("url"),
+      when(k % 2 === 0,
+        concat(lit("x &amp; y &lt;"), col("o_orderpriority"), lit("&gt; &quot;z&#39;")))
+        .as("selftext"),
+      when(k % 3 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey").cast("long")).as("score"),
+      concat(lit("sub_"), col("o_orderstatus")).as("subreddit"),
+      when(k % 11 === 0, lit("moderator")).as("distinguished"),
+      nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("link_flair_text"),
+      when(k % 5 === 0, lit("blue")).as("link_flair_css_class"),
+      when(k % 2 === 0, lit(null).cast("long"))
+        .otherwise((col("o_custkey") % 100).cast("long")).as("num_comments"),
+      when(k % 5 === 0, lit("t3_parent")).as("crosspost_parent"),
+      when(k % 5 === 0,
+        array(struct(concat(lit("/r/xp/comments/"), id).as("permalink"))))
+        .as("crosspost_parent_list"),
+      when(k % 6 === 0, (epochSec(col("o_orderdate")) + 100).cast("string"))
+        .otherwise(lit("false")).as("edited"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1+O7 — breakdown.py union+agg+zero-fill with the 'total' sort.
@@ -84,20 +134,81 @@ object TimesearchQueries {
     // P2+O5 — index listing: threshold filter, flair-first two-key sort,
     // F4/F12/F17 formatting folded into one projection.
     "q_index_listing" -> ((s, dir) => {
-      val subs = Tables.load(s, dir, "orders").select(
-        col("o_orderkey").cast("string").as("idstr"),
-        epochSec(col("o_orderdate")).as("created"),
-        cents(col("o_totalprice")).as("score"),
-        col("o_orderpriority").as("title"),
-        col("o_custkey").cast("string").as("author"),
-        col("o_orderstatus").as("subreddit"),
-        nullif(col("o_orderpriority"), lit("1-URGENT")).as("flair_text"))
-      Analytics.indexListing(subs, 30000000L, "flair")
+      Analytics.indexListing(indexSubs(s, dir), 30000000L, "flair")
         .select(col("idstr"), col("flair_text"), col("created"),
           format_string("%s: [%s] %s",
             graft.functions.indexTime(col("created")),
             col("idstr"),
             graft.functions.stripNewlines(col("title"))).as("line"))
+    }),
+
+    // O3 + F3 — score-sorted listing with MATERIALIZED position (the sort
+    // survives an order-insensitive compare) and the `human` timestamp.
+    "q_index_score" -> ((s, dir) => {
+      Analytics.indexListingRanked(indexSubs(s, dir), 30000000L, "score")
+        .select(col("pos"), col("idstr"), col("score"),
+          graft.functions.humanTime(col("created")).as("when_str"))
+        .orderBy("pos")
+    }),
+
+    // O1 — date-sorted listing, ranked.
+    "q_index_date" -> ((s, dir) => {
+      Analytics.indexListingRanked(indexSubs(s, dir), 30000000L, "date")
+        .select(col("pos"), col("idstr"), col("created")).orderBy("pos")
+    }),
+
+    // O2 — title-sorted listing, ranked.
+    "q_index_title" -> ((s, dir) => {
+      Analytics.indexListingRanked(indexSubs(s, dir), 30000000L, "title")
+        .select(col("pos"), col("idstr"), col("title")).orderBy("pos")
+    }),
+
+    // O4 — author-sorted listing, ranked.
+    "q_index_author" -> ((s, dir) => {
+      Analytics.indexListingRanked(indexSubs(s, dir), 30000000L, "author")
+        .select(col("pos"), col("idstr"), col("author")).orderBy("pos")
+    }),
+
+    // S1/S2 + P6 + F1/F2/F6/F7/F16 — the full ingest-normalization
+    // pipeline: raw pushshift-shaped rows → canonical store rows.
+    "q_ingest_normalize" -> ((s, dir) => {
+      Normalize.submissions(rawSubmissions(s, dir)).orderBy("idstr")
+    }),
+
+    // J4 — submission↔comments equi-join (left outer: submissions keep a
+    // row even when no comment survives the filter).
+    "q_thread_join" -> ((s, dir) => {
+      val subs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").cast("string").as("submission"),
+          col("o_orderpriority").as("title"))
+      val comments = Tables.load(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 2 && col("l_quantity") <= 25)
+        .select(col("l_orderkey").cast("string").as("submission"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("string").as("cidstr"),
+          epochSec(col("l_shipdate")).as("created"),
+          cents(col("l_extendedprice")).as("score"))
+      subs.join(comments, Seq("submission"), "left_outer")
+        .orderBy("submission", "cidstr")
+    }),
+
+    // S6/T1-T8 — livestream analog end-to-end: a REAL Structured Streaming
+    // query (file source → AvailableNow trigger → foreachBatch upsert into
+    // the versioned table) seeded with the same "old" store as
+    // q_merge_upsert; the published table must equal the batch merge.
+    "q_stream_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+      val src = tmp.resolve("in").toString
+      val batch = newComments(s, dir).drop("_seq")
+      batch.write.mode("overwrite").parquet(src)
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0))
+      table.merge(oldComments(s, dir).withColumn("_seq", col("idint")), "_seq")
+      val stream = s.readStream.schema(batch.schema).parquet(src)
+      val q = Livestream.upsertSink(stream, table,
+        tmp.resolve("ckp").toString, Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      table.current.orderBy("idstr")
     }),
 
     // J2+A5+P5 — the batch upsert merge: final table state.
@@ -169,7 +280,143 @@ object TimesearchQueries {
     })
   )
 
+  /** Final-table state of the old+new comment merge — shared by the batch
+    * (q_merge_upsert) and streaming (q_stream_upsert) paths, which must
+    * produce identical tables. */
+  private val upsertOracle: String =
+    """WITH old AS (
+         SELECT CAST(event_id AS BIGINT) AS idint, 'e'||event_id AS idstr,
+                user_id AS created, 'u'||user_id AS author,
+                'p0' AS parent, 's0' AS submission, props AS body,
+                CAST(round(value*100) AS BIGINT) AS score, 'sub' AS subreddit,
+                CASE WHEN event_id % 3 = 0 THEN 'mod' END AS distinguish,
+                CAST(length(props) AS BIGINT) AS textlen
+         FROM events WHERE event_id % 4 != 1),
+       new AS (
+         SELECT CAST(event_id AS BIGINT) AS idint, 'e'||event_id AS idstr,
+                user_id AS created,
+                CASE WHEN event_id % 5 = 0 THEN '[DELETED]' ELSE 'u'||user_id END AS author,
+                'p0' AS parent, 's0' AS submission,
+                CASE WHEN event_id % 5 = 0 THEN '[removed]' ELSE props||'-v2' END AS body,
+                CAST(round(value*100) AS BIGINT) + 1 AS score, 'sub' AS subreddit,
+                CAST(NULL AS VARCHAR) AS distinguish,
+                CAST(length(CASE WHEN event_id % 5 = 0 THEN '[removed]' ELSE props||'-v2' END) AS BIGINT) AS textlen
+         FROM events WHERE event_id % 2 = 0)
+       SELECT COALESCE(o.idint, n.idint) AS idint,
+              COALESCE(o.idstr, n.idstr) AS idstr,
+              COALESCE(o.created, n.created) AS created,
+              COALESCE(o.author, n.author) AS author,
+              COALESCE(o.parent, n.parent) AS parent,
+              COALESCE(o.submission, n.submission) AS submission,
+              CASE WHEN o.idstr IS NULL THEN n.body
+                   WHEN n.idstr IS NULL THEN o.body
+                   WHEN (n.author IS NULL OR n.author='[DELETED]')
+                        AND n.body IN ('[removed]','[deleted]') THEN o.body
+                   WHEN n.body LIKE '%has been overwritten%'
+                        OR n.body LIKE '%pastebin.com/64GuVi2F%' THEN o.body
+                   ELSE n.body END AS body,
+              COALESCE(n.score, o.score) AS score,
+              COALESCE(o.subreddit, n.subreddit) AS subreddit,
+              COALESCE(o.distinguish, n.distinguish) AS distinguish,
+              COALESCE(o.textlen, n.textlen) AS textlen
+       FROM old o FULL OUTER JOIN new n ON o.idstr = n.idstr
+       ORDER BY idstr"""
+
+  /** subs CTE shared by the q_index_* oracles. */
+  private val indexSubsCte: String =
+    """SELECT CAST(o_orderkey AS VARCHAR) AS idstr,
+              CAST(floor(epoch(o_orderdate)) AS BIGINT) AS created,
+              CAST(round(o_totalprice*100) AS BIGINT) AS score,
+              o_orderpriority AS title,
+              CAST(o_custkey AS VARCHAR) AS author
+       FROM orders"""
+
   val oracles: Map[String, String] = Map(
+    "q_stream_upsert" -> upsertOracle,
+
+    "q_index_score" ->
+      s"""WITH subs AS ($indexSubsCte)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, idstr ASC) AS INT) AS pos,
+                idstr, score,
+                strftime(to_timestamp(created), '%b %d %Y %H:%M:%S') AS when_str
+         FROM subs WHERE score >= 30000000
+         ORDER BY pos""",
+
+    "q_index_date" ->
+      s"""WITH subs AS ($indexSubsCte)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY created ASC, idstr ASC) AS INT) AS pos,
+                idstr, created
+         FROM subs WHERE score >= 30000000
+         ORDER BY pos""",
+
+    "q_index_title" ->
+      s"""WITH subs AS ($indexSubsCte)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY title ASC, idstr ASC) AS INT) AS pos,
+                idstr, title
+         FROM subs WHERE score >= 30000000
+         ORDER BY pos""",
+
+    "q_index_author" ->
+      s"""WITH subs AS ($indexSubsCte)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY author ASC, idstr ASC) AS INT) AS pos,
+                idstr, author
+         FROM subs WHERE score >= 30000000
+         ORDER BY pos""",
+
+    "q_ingest_normalize" ->
+      """WITH r AS (
+           SELECT o_orderkey AS k, o_custkey AS c,
+                  lower(to_base(o_orderkey, 36)) AS b36,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS created,
+                  o_orderpriority AS pri, o_orderstatus AS st
+           FROM orders),
+         u AS (
+           SELECT *,
+             CASE WHEN k % 2 = 0 THEN
+               replace(replace(replace(replace(replace(
+                 'x &amp; y &lt;' || pri || '&gt; &quot;z&#39;',
+                 '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&amp;','&')
+               ELSE '' END AS sel
+           FROM r)
+         SELECT
+           k AS idint,
+           't3_' || b36 AS idstr,
+           created,
+           (k % 2 = 0) AS self,
+           CASE WHEN k % 3 = 0 THEN false ELSE (k % 7 = 0) END AS nsfw,
+           CASE WHEN k % 7 = 0 THEN '[DELETED]' ELSE 'u' || c END AS author,
+           pri AS title,
+           CASE WHEN k % 2 = 0 THEN NULL
+                WHEN k % 5 = 0 THEN 'https://reddit.com/r/xp/comments/' || b36
+                WHEN k % 4 = 1 THEN 'https://reddit.com/r/test/comments/' || b36
+                ELSE 'https://example.com/' || b36 END AS url,
+           sel AS selftext,
+           CAST(CASE WHEN k % 3 = 0 THEN 0 ELSE c END AS BIGINT) AS score,
+           'sub_' || st AS subreddit,
+           CASE WHEN k % 11 = 0 THEN 'moderator' END AS distinguish,
+           CAST(length(sel) AS BIGINT) AS textlen,
+           CAST(CASE WHEN k % 2 = 0 THEN 0 ELSE c % 100 END AS BIGINT) AS num_comments,
+           nullif(pri, '3-MEDIUM') AS flair_text,
+           CASE WHEN k % 5 = 0 THEN 'blue' END AS flair_css_class,
+           CAST(NULL AS BIGINT) AS augmented_at,
+           CAST(NULL AS BIGINT) AS augmented_count,
+           CAST(CASE WHEN k % 6 = 0 THEN created + 100 END AS BIGINT) AS _edited
+         FROM u ORDER BY idstr""",
+
+    "q_thread_join" ->
+      """WITH subs AS (
+           SELECT CAST(o_orderkey AS VARCHAR) AS submission, o_orderpriority AS title
+           FROM orders WHERE o_orderstatus = 'F'),
+         comments AS (
+           SELECT CAST(l_orderkey AS VARCHAR) AS submission,
+                  CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS cidstr,
+                  CAST(floor(epoch(l_shipdate)) AS BIGINT) AS created,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS score
+           FROM lineitem WHERE l_linenumber <= 2 AND l_quantity <= 25)
+         SELECT s.submission, s.title, c.cidstr, c.created, c.score
+         FROM subs s LEFT JOIN comments c ON s.submission = c.submission
+         ORDER BY s.submission, c.cidstr""",
+
     "q_breakdown" ->
       """WITH s AS (SELECT CAST(user_id AS VARCHAR) AS name, COUNT(*) AS ns
                     FROM events WHERE event_type='signup' GROUP BY 1),
@@ -197,44 +444,7 @@ object TimesearchQueries {
          FROM subs WHERE score >= 30000000
          ORDER BY (flair_text IS NULL) ASC, created ASC, idstr ASC""",
 
-    "q_merge_upsert" ->
-      """WITH old AS (
-           SELECT CAST(event_id AS BIGINT) AS idint, 'e'||event_id AS idstr,
-                  user_id AS created, 'u'||user_id AS author,
-                  'p0' AS parent, 's0' AS submission, props AS body,
-                  CAST(round(value*100) AS BIGINT) AS score, 'sub' AS subreddit,
-                  CASE WHEN event_id % 3 = 0 THEN 'mod' END AS distinguish,
-                  CAST(length(props) AS BIGINT) AS textlen
-           FROM events WHERE event_id % 4 != 1),
-         new AS (
-           SELECT CAST(event_id AS BIGINT) AS idint, 'e'||event_id AS idstr,
-                  user_id AS created,
-                  CASE WHEN event_id % 5 = 0 THEN '[DELETED]' ELSE 'u'||user_id END AS author,
-                  'p0' AS parent, 's0' AS submission,
-                  CASE WHEN event_id % 5 = 0 THEN '[removed]' ELSE props||'-v2' END AS body,
-                  CAST(round(value*100) AS BIGINT) + 1 AS score, 'sub' AS subreddit,
-                  CAST(NULL AS VARCHAR) AS distinguish,
-                  CAST(length(CASE WHEN event_id % 5 = 0 THEN '[removed]' ELSE props||'-v2' END) AS BIGINT) AS textlen
-           FROM events WHERE event_id % 2 = 0)
-         SELECT COALESCE(o.idint, n.idint) AS idint,
-                COALESCE(o.idstr, n.idstr) AS idstr,
-                COALESCE(o.created, n.created) AS created,
-                COALESCE(o.author, n.author) AS author,
-                COALESCE(o.parent, n.parent) AS parent,
-                COALESCE(o.submission, n.submission) AS submission,
-                CASE WHEN o.idstr IS NULL THEN n.body
-                     WHEN n.idstr IS NULL THEN o.body
-                     WHEN (n.author IS NULL OR n.author='[DELETED]')
-                          AND n.body IN ('[removed]','[deleted]') THEN o.body
-                     WHEN n.body LIKE '%has been overwritten%'
-                          OR n.body LIKE '%pastebin.com/64GuVi2F%' THEN o.body
-                     ELSE n.body END AS body,
-                COALESCE(n.score, o.score) AS score,
-                COALESCE(o.subreddit, n.subreddit) AS subreddit,
-                COALESCE(o.distinguish, n.distinguish) AS distinguish,
-                COALESCE(o.textlen, n.textlen) AS textlen
-         FROM old o FULL OUTER JOIN new n ON o.idstr = n.idstr
-         ORDER BY idstr""",
+    "q_merge_upsert" -> upsertOracle,
 
     "q_merge_edits" ->
       """WITH old AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Offline analytics (SURVEY §2.4 A1-A3, §2.3 J3, §2.6 O1-O7;
@@ -39,24 +40,42 @@ object Analytics {
       s"unknown breakdown sort '$other' (valid: name, submissions, comments, total)")
   }
 
+  /** O1-O5 sort keys for the index listings (index.py:70-92); idstr
+    * tiebreak appended by callers keeps listings deterministic
+    * (SURVEY §7.4.4). */
+  private def indexSortKeys(sort: String): Seq[Column] = sort match {
+    case "date"   => Seq(col("created").asc)
+    case "title"  => Seq(col("title").asc)
+    case "score"  => Seq(col("score").desc)
+    case "author" => Seq(col("author").asc)
+    case "sub"    => Seq(col("subreddit").asc)
+    // O5: flaired rows first, each group time-ordered (index.py:91-92)
+    case "flair"  => Seq(col("flair_text").isNull.asc, col("created").asc)
+    case other => throw new IllegalArgumentException(
+      s"unknown index sort '$other' (valid: date, title, score, author, sub, flair)")
+  }
+
   /** P2 + O1-O5 — index.py:43-109: score-threshold filter + one of the
     * index sort orders. Global sort = range-partitioned exchange; the
-    * filter is pushed to the parquet scan. Tiebreak on idstr keeps the
-    * listing deterministic (SURVEY §7.4.4). */
-  def indexListing(table: DataFrame, threshold: Long, sort: String): DataFrame = {
-    val filtered = table.filter(col("score") >= threshold)
-    val tie = col("idstr").asc
-    sort match {
-      case "date"   => filtered.orderBy(col("created").asc, tie)
-      case "title"  => filtered.orderBy(col("title").asc, tie)
-      case "score"  => filtered.orderBy(col("score").desc, tie)
-      case "author" => filtered.orderBy(col("author").asc, tie)
-      case "sub"    => filtered.orderBy(col("subreddit").asc, tie)
-      // O5: flaired rows first, each group time-ordered (index.py:91-92)
-      case "flair"  => filtered.orderBy(col("flair_text").isNull.asc, col("created").asc, tie)
-      case other => throw new IllegalArgumentException(
-        s"unknown index sort '$other' (valid: date, title, score, author, sub, flair)")
-    }
+    * filter is pushed to the parquet scan. */
+  def indexListing(table: DataFrame, threshold: Long, sort: String): DataFrame =
+    table.filter(col("score") >= threshold)
+      .orderBy(indexSortKeys(sort) :+ col("idstr").asc: _*)
+
+  /** [[indexListing]] with the listing position MATERIALIZED as a column
+    * (`pos`, 1-based) — the form whose ordering is value-checkable by an
+    * order-insensitive comparer.
+    *
+    * The unpartitioned window intentionally mirrors the operator's
+    * semantics: a listing is ONE output stream (the reference writes a
+    * single index file per sort, index.py:111-167), so its final
+    * numbering is inherently single-task; the filter before it is what
+    * bounds the row count. A 100 TB table feeding an unfiltered listing
+    * would instead take per-partition offsets over a range exchange. */
+  def indexListingRanked(table: DataFrame, threshold: Long, sort: String): DataFrame = {
+    val keys = indexSortKeys(sort) :+ col("idstr").asc
+    table.filter(col("score") >= threshold)
+      .withColumn("pos", row_number().over(Window.orderBy(keys: _*)))
   }
 
   /** A3 — incremental lower bound: max(created) − 1 overlap re-fetch
