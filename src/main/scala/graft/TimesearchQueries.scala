@@ -253,6 +253,46 @@ object TimesearchQueries {
         .orderBy("grp", "rank")
     }),
 
+    // E3/J5/O9/F3/F8-F10/S8 — distributed thread render: cogroup per
+    // submission, in-task tree assembly, markdown + escapes, score-desc
+    // siblings. HTML is not SQL-expressible → rows-only driver check; the
+    // structure is asserted in RenderSpec.
+    "q_render_html" -> ((s, dir) => {
+      import s.implicits._
+      val subs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(
+          concat(lit("t3_"), col("o_orderkey")).as("idstr"),
+          col("o_orderpriority").as("title"),
+          when(col("o_orderkey") % 7 === 0, lit("[deleted]"))
+            .otherwise(concat(lit("u"), col("o_custkey"))).as("author"),
+          epochSec(col("o_orderdate")).as("created"),
+          cents(col("o_totalprice")).as("score"),
+          lit("test").as("subreddit"),
+          when(col("o_orderkey") % 2 === 0, concat(lit("https://ex.com/"), col("o_orderkey")))
+            .as("url"),
+          when(col("o_orderkey") % 2 =!= 0,
+            concat(lit("body **"), col("o_orderpriority"), lit("** <raw>")))
+            .as("selftext"))
+      val coms = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(
+          concat(lit("t1_"), col("l_orderkey") * 10 + col("l_linenumber")).as("idstr"),
+          concat(lit("t3_"), col("l_orderkey")).as("submission"),
+          when(col("l_linenumber") === 1, concat(lit("t3_"), col("l_orderkey")))
+            .otherwise(concat(lit("t1_"),
+              col("l_orderkey") * 10 + col("l_linenumber") - 1)).as("parent"),
+          concat(lit("u"), col("l_suppkey")).as("author"),
+          epochSec(col("l_shipdate")).as("created"),
+          cents(col("l_extendedprice")).as("score"),
+          concat(lit("comment *"), col("l_returnflag"), lit("*")).as("body"))
+      graft.render.OfflineReading.fromFrames(subs, coms)
+        .toDF("idstr", "html")
+        .select(col("idstr"), length(col("html")).as("html_len"),
+          md5(col("html")).as("html_md5"))
+        .orderBy("idstr")
+    }),
+
     // S3/S5 — page-overlap/live-enrichment dedupe: newest wins per key.
     "q_dedupe_latest" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")

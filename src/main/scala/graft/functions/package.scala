@@ -49,6 +49,9 @@ package object functions {
     column(VectorDot(expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))
 
+  // ---- F10: markdown → HTML5 (offline_reading.py:285-291) ----------------
+  def markdownRender(c: Column): Column = column(MarkdownRender(expression(c)))
+
   // ---- F8: HTML escape of brackets (offline_reading.py:285-291) ----------
   /** Correct `&gt;` (the reference's `&rt;` is a bug — SURVEY §7.4.5). */
   def htmlEscapeBrackets(c: Column): Column =

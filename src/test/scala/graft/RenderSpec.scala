@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.render.OfflineReading
+import graft.render.OfflineReading.{ComRow, SubRow}
+
+class RenderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sub = SubRow("t3_a", "A Title", "alice", 1000L, 42L, "test",
+    None, Some("hello **world**"))
+
+  test("F10 markdown subset: paragraphs, bold, italic, code, links, escape") {
+    import graft.functions.MarkdownLite.render
+    assert(render("plain") === "<p>plain</p>")
+    assert(render("a\n\nb") === "<p>a</p>\n<p>b</p>")
+    assert(render("**bold** and *em*") === "<p><strong>bold</strong> and <em>em</em></p>")
+    assert(render("`x < y`") === "<p><code>x &lt; y</code></p>")
+    assert(render("[click](https://x.com/a)") ===
+      """<p><a href="https://x.com/a">click</a></p>""")
+    // escape-first contract; correct &gt; (divergence from reference &rt;)
+    assert(render("<b>raw</b>") === "<p>&lt;b&gt;raw&lt;/b&gt;</p>")
+  }
+
+  test("markdownRender expression works column-level") {
+    import spark.implicits._
+    val out = Seq("**hi**").toDF("t")
+      .select(graft.functions.markdownRender($"t")).head.getString(0)
+    assert(out === "<p><strong>hi</strong></p>")
+  }
+
+  test("thread render: nesting, score-desc siblings, deleted author, url branch") {
+    val comments = Array(
+      ComRow("t1_c1", "t3_a", "t3_a", "bob", 1001L, 5L, "first"),
+      ComRow("t1_c2", "t3_a", "t3_a", "[deleted]", 1002L, 9L, "top scorer"),
+      ComRow("t1_c3", "t3_a", "t1_c1", "carol", 1003L, 1L, "reply to c1"),
+      ComRow("t1_c4", "t3_a", "t1_missing", "dan", 1004L, 2L, "orphan → root"))
+    val html = OfflineReading.renderThread(sub, comments)
+    // submission header + selftext markdown
+    assert(html.contains("<title>A Title</title>"))
+    assert(html.contains("<p><p>hello <strong>world</strong></p></p>"))
+    // score-desc root order: c2 (9) before c4 (2) before c1 (5)? no — c1=5 > c4=2
+    val i2 = html.indexOf("id=\"t1_c2\""); val i1 = html.indexOf("id=\"t1_c1\"")
+    val i4 = html.indexOf("id=\"t1_c4\""); val i3 = html.indexOf("id=\"t1_c3\"")
+    assert(i2 >= 0 && i1 >= 0 && i4 >= 0 && i3 >= 0)
+    assert(i2 < i1 && i1 < i4)          // 9 > 5 > 2 at root level
+    assert(i3 > i1)                     // nested reply after its parent opens
+    // c3 nested INSIDE c1's div: find c1's collapsible span containing c3
+    assert(html.contains("[deleted]"))  // deleted author not linked
+    assert(!html.contains("""u/[deleted]"""))
+    // url branch: a url-submission renders an <a>, not selftext
+    val withUrl = sub.copy(url = Some("https://ex.com/x"), selftext = None)
+    assert(OfflineReading.renderThread(withUrl, Array.empty)
+      .contains("""<a href="https://ex.com/x">https://ex.com/x</a>"""))
+  }
+
+  test("distributed cogroup render + S8 per-thread file sink") {
+    val spark2 = spark
+    import spark2.implicits._
+    val subs = Seq(
+      sub, sub.copy(idstr = "t3_b", title = "B", selftext = Some("b text"))).toDS()
+    val coms = Seq(
+      ComRow("t1_x", "t3_a", "t3_a", "bob", 1L, 1L, "x"),
+      ComRow("t1_y", "t3_zzz", "t3_zzz", "eve", 1L, 1L, "orphan thread")).toDS()
+    val pages = OfflineReading.htmlForThreads(subs, coms).collect().toMap
+    assert(pages.keySet === Set("t3_a", "t3_b"))       // orphan thread dropped
+    assert(pages("t3_a").contains("id=\"t1_x\""))
+    assert(pages("t3_b").contains("<p>b text</p>"))
+    val out = java.nio.file.Files.createTempDirectory("render").toString
+    OfflineReading.writeHtmlFiles(OfflineReading.htmlForThreads(subs, coms), out)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "t3_a.html")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "t3_b.html")))
+  }
+}
