@@ -135,6 +135,28 @@ class MergeSpec extends AnyFunSuite {
     assert(merged.filter($"idstr" === "t1_a").head.getAs[String]("body") === "mine")
   }
 
+  test("property: upsert is idempotent — merge(merge(t,b), b) == merge(t,b)") {
+    val ex = comments(
+      ("t1_a", 1L, "alice", "v0", 5L, null),
+      ("t1_b", 2L, "bob", "keep", 1L, null))
+    val in = withSeq(comments(
+      ("t1_a", 1L, "alice", "v1", 6L, null),
+      ("t1_c", 3L, "carol", "new", 2L, null)))
+    val once = Merge.upsert(ex, in, Merge.comments, "_seq", now).table
+    val twice = Merge.upsert(once, in, Merge.comments, "_seq", now).table
+    assert(once.orderBy("idstr").collect() === twice.orderBy("idstr").collect())
+    // and the replay produces no NEW edits (text already matches)
+    assert(Merge.upsert(once, in, Merge.comments, "_seq", now).edits.count() === 0)
+  }
+
+  test("property: mergeDb commutes on disjoint key sets") {
+    val a = comments(("t1_a", 1L, "alice", "x", 1L, null))
+    val b = comments(("t1_b", 2L, "bob", "y", 2L, null))
+    val ab = Merge.mergeDb(a, b).orderBy("idstr").collect()
+    val ba = Merge.mergeDb(b, a).orderBy("idstr").collect()
+    assert(ab === ba)
+  }
+
   test("S3/S5 dedupeLatest keeps newest version per key") {
     val df = withSeq(comments(
       ("t1_a", 1L, "alice", "v1", 1L, null),
