@@ -301,6 +301,20 @@ object TimesearchQueries {
         .orderBy("user_id")
     }),
 
+    // Engine extension beyond the reference surface: event-time tumbling
+    // windows (the batch form of the streaming windowed agg in
+    // StreamingSpec). window() start is exposed as epoch for the oracle.
+    "q_window_agg" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").select(
+        to_timestamp(tsSec).as("t"), col("event_type"),
+        cents(col("value")).as("v_c"))
+      ev.groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("v_c").as("sum_v_c"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_v_c"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // A3 — incremental lower bound: max(created) − 1 overlap.
     "q_incremental_bound" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events").select(tsSec.as("created"))
@@ -551,6 +565,12 @@ object TimesearchQueries {
 
     "q_incremental_bound" ->
       """SELECT CAST(max(floor(epoch(ts))) - 1 AS BIGINT) AS lower_bound FROM events""",
+
+    "q_window_agg" ->
+      """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS w_start,
+                event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_v_c
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_latest_unaugmented" ->
       """SELECT CAST(l_orderkey*10 + l_linenumber AS VARCHAR) AS idstr,

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Column ↔ Expression bridge for custom Catalyst expressions.
@@ -9,10 +9,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * Spark 4 moved the classic bridge behind `private[sql]`
   * (`org.apache.spark.sql.classic.ExpressionUtils`); extensions reach it
   * from an `org.apache.spark.sql` subpackage. This shim is the only place
-  * the engine touches a non-public Spark API, and it wraps two one-line
-  * pure functions.
+  * the engine touches non-public Spark API, and it wraps three one-line
+  * pure delegations.
   */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Post-build function registration (the `spark.sql.extensions` config
+    * path only applies while a session is being built). */
+  def registerFunction(spark: SparkSession, name: String, info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }
