@@ -61,6 +61,16 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // SRP-LSH embedding near-dup — the scale path for q_dedup_embed's
+    // semantics: banded random-hyperplane candidates + exact cosine
+    // verify. Probabilistic recall → rows-only; recall vs the exact
+    // operator asserted in SimilaritySpec.
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      Similarity.srpPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", thresholdBp = 4500L)
+        .orderBy("i", "j")
+    }),
+
     // Brute-force exact top-k cosine neighbors for 8 query vectors.
     "q_ann_topk" -> ((s, dir) => {
       Similarity.bruteTopK(Tables.load(s, dir, "embeddings"),

@@ -98,7 +98,7 @@ object Dedup {
     * task at f²·|group| pair emissions — the same bound the join form has,
     * but concentrated; that is exactly what the cap is for.
     */
-  private def groupPairs(keyed: DataFrame, keys: Seq[String], member: Column,
+  private[operators] def groupPairs(keyed: DataFrame, keys: Seq[String], member: Column,
       pairOf: (Column, Column) => Column, freqCap: Long): DataFrame =
     keyed.groupBy(keys.map(col): _*).agg(collect_list(member).as("_ds"))
       .filter(size(col("_ds")).between(2, freqCap))

@@ -76,6 +76,55 @@ object Similarity {
       .filter(col("cos_bp") >= thresholdBp)
   }
 
+  /** SRP (signed-random-projection / random-hyperplane) LSH near-duplicate
+    * pairs — the scale path for embedding dedup.
+    *
+    * Signature: `bits` hyperplanes drawn from a FIXED-seed gaussian (plan
+    * is deterministic across runs/executors); bit b = sign(v·r_b).
+    * P(bits agree) = 1 − θ/π, so banding (`bands` bands of bits/bands
+    * rows; docs sharing a band value become candidates) concentrates
+    * candidate generation on similar vectors instead of the exact
+    * operator's O(n²) scan. Candidates are verified with the exact cosine,
+    * so precision is exact; recall is probabilistic:
+    * 1 − (1 − (1−θ/π)^w)^b. Tune (bits, bands) to the threshold — narrow
+    * bands (small w) for moderate thresholds, wide bands for ≥0.9
+    * near-dup. The hyperplane bootstrap reads the vector dimension from
+    * one row (requires a non-empty corpus).
+    *
+    * Output: (i, j, cos_bp), i < j — a high-recall subset of
+    * [[cosinePairs]]; rows-only checked by the driver, recall asserted in
+    * SimilaritySpec.
+    */
+  def srpPairs(emb: DataFrame, id: String, vec: String, thresholdBp: Long,
+      bits: Int = 64, bands: Int = 16): DataFrame = {
+    require(bits <= 64 && bits % bands == 0)
+    val w = bits / bands
+    val dim = emb.select(size(col(vec)).as("d")).head.getInt(0)
+    val rnd = new scala.util.Random(1234567L)
+    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val n = normalized(emb, id, vec)
+    val sigBits = planes.zipWithIndex.map { case (p, b) =>
+      when(dot(col("nv"), lit(p)) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    val sig = n.select(col("vid"), sigBits.reduce(_.bitwiseOR(_)).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * w).bitwiseAND((1L << w) - 1).as("key"))
+    }
+    val blocked = sig.select(col("vid"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("vid"))
+    val candidates = Dedup.groupPairs(blocked, Seq("band", "key"), col("vid"),
+        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), Long.MaxValue)
+      .select(col("_p.i").as("i"), col("_p.j").as("j"))
+      .distinct()
+    candidates
+      .join(n.select(col("vid").as("i"), col("nv").as("ni")), "i")
+      .join(n.select(col("vid").as("j"), col("nv").as("nj")), "j")
+      .select(col("i"), col("j"),
+        floor(dot(col("ni"), col("nj")) * 10000).cast("long").as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+  }
+
   /** IVF (inverted-file) approximate top-k — the scale path.
     *
     * Coarse quantizer: `nlist` centroids (here: a deterministic

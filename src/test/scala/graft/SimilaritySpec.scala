@@ -67,6 +67,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.size === 80)
   }
 
+  test("SRP LSH pairs: clones always found (deterministic), recall vs exact usable") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // identical clones → cos=1.0 → identical signature → guaranteed candidates
+    val clones = emb.filter($"vec_id" % 5 === 0).withColumn("vec_id", $"vec_id" + 100000L)
+    val withClones = emb.unionByName(clones)
+    val pairs = Similarity.srpPairs(withClones, "vec_id", "embedding", 9999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.filter($"vec_id" % 5 === 0)
+      .select("vec_id").as[Long].collect().map(v => (v, v + 100000L)).toSet
+    assert(expected.subsetOf(pairs))
+    // moderate-threshold recall against the exact quadratic operator
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 4500L).count()
+    val lsh = Similarity.srpPairs(emb, "vec_id", "embedding", 4500L).count()
+    assert(lsh <= exact)                       // exact-verify: no false positives
+    if (exact > 0) assert(lsh.toDouble / exact >= 0.5, s"recall $lsh/$exact")
+  }
+
   test("IVF with nprobe = nlist degenerates to exact (full scan)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qids = Seq(0L, 1L)
