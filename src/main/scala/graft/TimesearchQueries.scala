@@ -27,7 +27,7 @@ object TimesearchQueries {
   private val tsSec: Column = expr("ts div 1000000000")
 
   /** events → comment-shaped "old" store (the archive before a batch). */
-  private def oldComments(s: SparkSession, dir: String): DataFrame =
+  private[graft] def oldComments(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .filter(col("event_id") % 4 =!= 1)
       .select(
@@ -45,7 +45,7 @@ object TimesearchQueries {
 
   /** events → the incoming batch: edited bodies, bumped scores, some
     * deletion tombstones, some rows new to the store. */
-  private def newComments(s: SparkSession, dir: String): DataFrame =
+  private[graft] def newComments(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .filter(col("event_id") % 2 === 0)
       .select(

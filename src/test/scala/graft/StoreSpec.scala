@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Store
+
+class StoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("partitioned store prunes to one target at the scan") {
+    val dir = tmp("store")
+    val df = Seq(
+      ("sub_a", "t3_1", 10L), ("sub_a", "t3_2", 20L),
+      ("sub_b", "t3_3", 30L)).toDF("target", "idstr", "score")
+    Store.writePartitioned(df, dir)
+    val one = Store.readTarget(spark, dir, "sub_a")
+    assert(one.count() === 2)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("target"),
+      s"expected partition pruning in:\n$plan")
+    // the pruned scan must not list sub_b's directory
+    val scanned = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("sub_b"))
+  }
+
+  test("co-bucketed tables join with zero shuffle exchanges") {
+    val wh = tmp("wh") // explicit per-table paths; warehouse.dir is static
+    val left = (1L to 1000L).map(i => (i, s"body$i")).toDF("idint", "body")
+    val right = (500L to 1500L).map(i => (i, i * 2)).toDF("idint", "score")
+    Store.writeBucketed(left, "bk_left", s"$wh/bk_left", "idint", 8)
+    Store.writeBucketed(right, "bk_right", s"$wh/bk_right", "idint", 8)
+    val joined = spark.table("bk_left").join(spark.table("bk_right"), "idint")
+    assert(joined.count() === 501)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join in:\n$plan")
+  }
+}
