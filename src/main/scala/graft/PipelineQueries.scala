@@ -79,7 +79,9 @@ object PipelineQueries {
     }),
 
     // IVF approximate top-k — scale path; recall asserted in scalatest,
-    // not hash-matched (approximate by design).
+    // not hash-matched (approximate by design). The spherical k-means
+    // codebook refinement (kmeansIters > 0) is exercised in
+    // SimilaritySpec; the bench entry serves from the seed codebook.
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", queryIds = (0L to 7L), k = 10)

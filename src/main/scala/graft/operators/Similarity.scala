@@ -141,15 +141,50 @@ object Similarity {
     * the corpus (a `Window.orderBy` without partitioning would serialize
     * the whole table through one task at scale).
     */
+  /** Spherical k-means refinement of a coarse codebook: assign each
+    * vector to its nearest centroid (broadcast NLJ), recompute each
+    * cell's mean via `posexplode` → (cid, dim) partial sums → rebuild the
+    * vector with an ordered collect, renormalize to the unit sphere
+    * (cosine geometry). Empty cells drop out. Each iteration is two
+    * shuffles of (nlist·d) partial rows — independent of corpus width —
+    * plus the broadcast assign; the serving plan (ivfTopK) is unchanged,
+    * only centroid VALUES improve. */
+  def kmeansRefine(n: DataFrame, cents: DataFrame, iters: Int): DataFrame = {
+    var c = cents
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vid").orderBy(col("_sim").desc, col("cid").asc)
+      val assigned = n.crossJoin(broadcast(c))
+        .withColumn("_sim", dot(col("nv"), col("cv")))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col("cid"), col("nv"))
+      val mean = assigned
+        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), (col("sx") / col("cnt")).as("m"))))
+          .as("pm"))
+        .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("mv"))
+      c = mean
+        .withColumn("_norm", norm(col("mv")))
+        .filter(col("_norm") > 0)
+        .select(col("cid"), transform(col("mv"), x => x / col("_norm")).as("cv"))
+    }
+    c
+  }
+
   def ivfTopK(emb: DataFrame, id: String, vec: String,
-      queryIds: Seq[Long], k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      queryIds: Seq[Long], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
     val n = normalized(emb, id, vec).cache()
-    val cents = broadcast(
+    val seed =
       n.orderBy(xxhash64(col("vid")).asc, col("vid").asc)
         .limit(nlist)
         .coalesce(1)
         .sortWithinPartitions("vid")
-        .select(monotonically_increasing_id().as("cid"), col("nv").as("cv")))
+        .select(monotonically_increasing_id().as("cid"), col("nv").as("cv"))
+    val cents = broadcast(
+      if (kmeansIters <= 0) seed else kmeansRefine(n, seed, kmeansIters))
     def assign(df: DataFrame, vcol: String, keep: Int): DataFrame = {
       val w = Window.partitionBy("vid").orderBy(col("_sim").desc, col("cid").asc)
       df.crossJoin(cents)

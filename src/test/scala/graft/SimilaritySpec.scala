@@ -67,6 +67,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.size === 80)
   }
 
+  test("IVF with k-means-refined codebook keeps recall and determinism") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = rs(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    val refined = Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 10,
+      nlist = 8, nprobe = 4, kmeansIters = 2)
+    val r1 = rs(refined)
+    val r2 = rs(Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 10,
+      nlist = 8, nprobe = 4, kmeansIters = 2))
+    assert(r1 === r2)                                   // deterministic
+    assert((brute & r1).size.toDouble / brute.size >= 0.5)
+  }
+
   test("SRP LSH pairs: clones always found (deterministic), recall vs exact usable") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // identical clones → cos=1.0 → identical signature → guaranteed candidates
