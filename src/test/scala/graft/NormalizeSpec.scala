@@ -75,4 +75,24 @@ class NormalizeSpec extends AnyFunSuite {
     assert(shape(subs.drop("_edited").schema) === shape(graft.model.Schemas.submissions))
     assert(shape(coms.drop("_edited").schema) === shape(graft.model.Schemas.comments))
   }
+
+  test("schema evolution: a v1 archive aligns forward (database_upgrader.py:24-49)") {
+    import graft.model.{SchemaEvolution, Schemas}
+    // v1: fewer columns, epoch as int, extra legacy column
+    val v1 = spark.createDataFrame(Seq(
+      (1L, "t1_1", 100, "alice", "t3_r", "t3_r", "hi", 5, "legacy")))
+      .toDF("idint", "idstr", "created", "author", "parent", "submission",
+        "body", "score", "obsolete_col")
+    val up = SchemaEvolution.upgradeComments(v1)
+    // shape comparison: alignment keeps tighter nullability where the
+    // source column was non-null, which is fine
+    assert(up.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Schemas.comments.fields.map(f => (f.name, f.dataType)).toSeq)
+    val row = up.head
+    assert(row.getAs[Long]("created") === 100L)           // int → long cast
+    assert(row.isNullAt(up.columns.indexOf("textlen")))   // new col as null
+    assert(!up.columns.contains("obsolete_col"))          // legacy pruned
+    // idempotent
+    assert(SchemaEvolution.upgradeComments(up).collect() === up.collect())
+  }
 }
