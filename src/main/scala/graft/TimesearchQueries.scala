@@ -202,7 +202,7 @@ object TimesearchQueries {
       val batch = newComments(s, dir).drop("_seq")
       batch.write.mode("overwrite").parquet(src)
       val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
-        Merge.comments, oldComments(s, dir).limit(0))
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(4))
       table.merge(oldComments(s, dir).withColumn("_seq", col("idint")), "_seq")
       val stream = s.readStream.schema(batch.schema).parquet(src)
       val q = Livestream.upsertSink(stream, table,

@@ -101,12 +101,16 @@ object Similarity {
     val w = bits / bands
     val dim = emb.select(size(col(vec)).as("d")).head.getInt(0)
     val rnd = new scala.util.Random(1234567L)
-    val planes = Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     val n = normalized(emb, id, vec)
-    val sigBits = planes.zipWithIndex.map { case (p, b) =>
-      when(dot(col("nv"), lit(p)) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    val sig = n.select(col("vid"), sigBits.reduce(_.bitwiseOR(_)).as("sig"))
+    // One 2-D literal + a fold over it: 64 separate VectorDot calls with
+    // inline plane literals would generate a 4096-constant plan whose
+    // one-time janino compile dominates small runs; the fold keeps the
+    // plan a single constant and the dot kernel call per plane.
+    val sig = n.select(col("vid"),
+      aggregate(typedLit(planes), lit(0L),
+        (acc, p) => shiftleft(acc, 1)
+          .bitwiseOR(when(dot(col("nv"), p) > 0, 1L).otherwise(0L))).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * w).bitwiseAND((1L << w) - 1).as("key"))

@@ -27,8 +27,12 @@ object Livestream {
     * filesystem-atomic (pointer rename). One SQLite file per target in the
     * reference ↔ one table directory per target here.
     */
+  /** @param outputPartitions cap on files per published version — for
+    *        SMALL targets (a single subreddit's table) where the default
+    *        shuffle parallelism would write hundreds of tiny files; leave
+    *        None at scale and let the shuffle partitioning flow through. */
   final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
-      emptyLike: DataFrame) {
+      emptyLike: DataFrame, outputPartitions: Option[Int] = None) {
     private val ptr = Paths.get(path, "_VERSION")
 
     def currentVersion: Long =
@@ -68,7 +72,8 @@ object Livestream {
     def merge(batch: DataFrame, seqCol: String, storeEdits: Boolean = true): Unit = {
       val next = currentVersion + 1
       val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = storeEdits)
-      r.table.write.mode("overwrite").parquet(s"$path/v=$next")
+      val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
+      out.write.mode("overwrite").parquet(s"$path/v=$next")
       if (storeEdits)
         r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
       val tmp = Paths.get(path, "_VERSION.tmp")
