@@ -175,6 +175,37 @@ object TimesearchQueries {
       Normalize.submissions(rawSubmissions(s, dir)).orderBy("idstr")
     }),
 
+    // The comments side of the same pipeline — exercises the parent_id
+    // repair chain (null → link_id; raw JSON int → t1_ + base36;
+    // already-prefixed passes through; pushshift.py:74-78).
+    "q_ingest_comments" -> ((s, dir) => {
+      val k = col("l_orderkey") * 10 + col("l_linenumber")
+      val id = lower(conv(k.cast("string"), 10, 36))
+      val raw = Tables.load(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 3)
+        .select(
+          id.as("id"),
+          when(k % 2 === 0, concat(lit("t1_"), id)).as("name"),
+          epochSec(col("l_shipdate")).as("created_utc"),
+          when(k % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("u"), col("l_suppkey"))).as("author"),
+          concat(lit("b &amp; "), col("l_returnflag")).as("body"),
+          // parent_id: null (→ link_id) | raw int digits (→ t1_+b36) | prefixed
+          when(k % 3 === 0, lit(null).cast("string"))
+            .when(k % 3 === 1, col("l_orderkey").cast("string"))
+            .otherwise(concat(lit("t1_"), lower(conv(col("l_orderkey").cast("string"), 10, 36))))
+            .as("parent_id"),
+          concat(lit("t3_"), lower(conv(col("l_orderkey").cast("string"), 10, 36)))
+            .as("link_id"),
+          when(k % 5 === 0, lit(null).cast("long")).otherwise(col("l_linenumber").cast("long"))
+            .as("score"),
+          lit("sub").as("subreddit"),
+          when(k % 11 === 0, lit("moderator")).as("distinguished"),
+          when(k % 6 === 0, (epochSec(col("l_shipdate")) + 9).cast("string"))
+            .otherwise(lit("false")).as("edited"))
+      Normalize.comments(raw).orderBy("idstr")
+    }),
+
     // J4 — submission↔comments equi-join (left outer: submissions keep a
     // row even when no comment survives the filter).
     "q_thread_join" -> ((s, dir) => {
@@ -456,6 +487,28 @@ object TimesearchQueries {
            CAST(NULL AS BIGINT) AS augmented_count,
            CAST(CASE WHEN k % 6 = 0 THEN created + 100 END AS BIGINT) AS _edited
          FROM u ORDER BY idstr""",
+
+    "q_ingest_comments" ->
+      """WITH r AS (
+           SELECT l_orderkey*10 + l_linenumber AS k, l_orderkey AS ok,
+                  l_suppkey AS sk, l_linenumber AS ln, l_returnflag AS fl,
+                  CAST(floor(epoch(l_shipdate)) AS BIGINT) AS created
+           FROM lineitem WHERE l_linenumber <= 3)
+         SELECT
+           k AS idint,
+           't1_' || lower(to_base(k, 36)) AS idstr,
+           created,
+           CASE WHEN k % 7 = 0 THEN '[DELETED]' ELSE 'u' || sk END AS author,
+           CASE WHEN k % 3 = 0 THEN 't3_' || lower(to_base(ok, 36))
+                ELSE 't1_' || lower(to_base(ok, 36)) END AS parent,
+           't3_' || lower(to_base(ok, 36)) AS submission,
+           'b & ' || fl AS body,
+           CAST(CASE WHEN k % 5 = 0 THEN 0 ELSE ln END AS BIGINT) AS score,
+           'sub' AS subreddit,
+           CASE WHEN k % 11 = 0 THEN 'moderator' END AS distinguish,
+           CAST(length('b & ' || fl) AS BIGINT) AS textlen,
+           CAST(CASE WHEN k % 6 = 0 THEN created + 9 END AS BIGINT) AS _edited
+         FROM r ORDER BY idstr""",
 
     "q_thread_join" ->
       """WITH subs AS (

@@ -92,13 +92,24 @@ object Livestream {
     */
   def upsertSink(stream: DataFrame, table: UpsertTable,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
+    stream
+      // A4 per-batch counters (tsdb.py:335-358 new_submissions/new_comments
+      // tallies): observe() rides the existing scan — no extra job — and
+      // surfaces in StreamingQueryProgress.observedMetrics("graft_batch").
+      .observe("graft_batch",
+        count(lit(1)).as("rows"),
+        approx_count_distinct(col("idstr")).as("distinct_ids"))
+      .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // persist: the merge materializes the batch twice (table write +
+        // CDC write) — caching scans the source once per trigger, and
+        // keeps the observed metrics counted once (a micro-batch is
+        // bounded by the trigger cap, so the cache is small by contract)
         val seqd = batch.withColumn("_seq",
-          lit(batchId) * 1000000000L + monotonically_increasing_id())
-        table.merge(seqd, "_seq")
+          lit(batchId) * 1000000000L + monotonically_increasing_id()).persist()
+        try table.merge(seqd, "_seq") finally seqd.unpersist()
       }
 
   /** T2/T6 rate shaping: newest ≤limit rows per cycle per target — on a

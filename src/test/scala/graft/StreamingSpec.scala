@@ -44,6 +44,11 @@ class StreamingSpec extends AnyFunSuite {
       // T8: the edit was archived
       val ed = table.edits.collect()
       assert(ed.length === 1 && ed.head.getAs[String]("previous_body") === "v1")
+      // A4: per-batch observe() counters surfaced in query progress
+      val observed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_batch")))
+      assert(observed.nonEmpty)
+      assert(observed.map(_.getAs[Long]("rows")).sum === 4L) // 2 + 2 rows
     } finally q.stop()
   }
 
