@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)   // SQL-callable custom expressions
     // Untimed warmup: initialize codegen, parquet reader, and shuffle
     // machinery so the first timed query doesn't absorb one-time JVM cost.
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()

@@ -54,6 +54,16 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // Winnowing fingerprint near-dup candidates (Schleimer et al. local
+    // fingerprinting — guarantees detection of shared runs ≥ w+k-1
+    // tokens). Engine-private hash → rows-only; guarantee asserted in
+    // TextAnalysisSpec.
+    "q_dedup_winnow" -> ((s, dir) => {
+      TextAnalysis.winnowPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 3, w = 4, minShared = 3)
+        .orderBy("i", "j")
+    }),
+
     // Embedding-cosine near-dup pairs (exact quadratic baseline).
     "q_dedup_embed" -> ((s, dir) => {
       Similarity.cosinePairs(Tables.load(s, dir, "embeddings"),

@@ -56,6 +56,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.length === 32)
   }
 
+  test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
+    import graft.operators.TextAnalysis
+    val shared = "alpha beta gamma delta epsilon zeta"  // 6 tokens >= w+k-1 = 6
+    val docs = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"$shared completely different tail here"),
+      (3L, "nothing in common with the others at all")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)       // the winnowing guarantee
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing: short docs still fingerprint; sub-k docs drop") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "just three words"), (2L, "tiny")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(_.getLong(0))
+    assert(fps.toSeq === Seq(1L))                  // doc 1: 1 fp; doc 2: none
+  }
+
   test("quality score is bounded [0, 10000]") {
     val scores = Seq("", "x", "the a of to in is!!!,,,...;;;",
       "a perfectly normal sentence with the usual words in it")
