@@ -129,18 +129,49 @@ object TextAnalysis {
       .groupBy("i", "j").agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
 
-  /** One-pass document profile. */
-  def profile(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(
-      col(id),
-      tokenCount(col(text)).as("n_tokens"),
-      subwordCount(col(text)).as("n_subwords"),
-      length(col(text)).cast("long").as("n_chars"),
-      meanWordLenBp(col(text)).as("mean_word_len_bp"),
-      punctRatioBp(col(text)).as("punct_ratio_bp"),
-      stopwordRatioBp(col(text)).as("stopword_ratio_bp"),
-      qualityScoreBp(col(text)).as("quality_bp"),
-      langId(col(text)).as("lang_pred"),
-      fingerprint(col(text)).as("fingerprint"),
-      fingerprintBucket(col(text)).as("fp_bucket"))
+  /** One-pass document profile.
+    *
+    * The token arrays are materialized ONCE into their own projection and
+    * every metric reads the attributes: the naive form re-splits the text
+    * per metric (≈8 splits/row), and interpreted HOF predicates
+    * (stopword/language filters) get no cross-expression CSE — the same
+    * hot-path rule as Dedup.shingleSet. */
+  def profile(df: DataFrame, id: String, text: String): DataFrame = {
+    val x = col("_x"); val toks = col("_toks"); val ltoks = col("_ltoks")
+    def ratioBp(num: Column, den: Column): Column =
+      when(den === 0, 0L).otherwise(floor(num * 10000.0 / den).cast("long"))
+    val scores = langStops.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      lang -> size(filter(ltoks, t => t.isin(stops.map(lit(_)): _*))).cast("long")
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val winners = scores.map { case (l, s) => when(s === best && best > 0, lit(l)) }
+    val nWinners = scores.map { case (_, s) =>
+      when(s === best && best > 0, 1).otherwise(0) }.reduce(_ + _)
+    val nTokens = when(length(trim(x)) === 0, 0L).otherwise(size(toks).cast("long"))
+    val meanWl = ratioBp(aggregate(toks, lit(0L), (acc, t) => acc + length(t)), size(toks))
+    val punct = ratioBp(regexp_count(x, lit("[.,;:!?]")), length(x))
+    val stopr = ratioBp(size(filter(ltoks, t => t.isin(stopwords.map(lit(_)): _*))),
+      size(ltoks))
+    df.select(col(id), col(text).as("_x"))
+      .select(col(id), x, ws(x).as("_toks"), ws(lower(x)).as("_ltoks"))
+      .select(
+        col(id),
+        nTokens.as("n_tokens"),
+        regexp_count(lower(x), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+          .as("n_subwords"),
+        length(x).cast("long").as("n_chars"),
+        meanWl.as("mean_word_len_bp"),
+        punct.as("punct_ratio_bp"),
+        stopr.as("stopword_ratio_bp"),
+        greatest(lit(0L), least(lit(10000L),
+          lit(5000L)
+            + floor(stopr / 2.0)
+            - floor(abs(meanWl - lit(50000L)) / 20.0)
+            - punct)).as("quality_bp"),
+        when(nWinners === 1, coalesce(winners: _*)).otherwise(lit("und"))
+          .as("lang_pred"),
+        md5(Dedup.normText(x)).as("fingerprint"),
+        conv(substring(md5(Dedup.normText(x)), 1, 4), 16, 10).cast("long")
+          .as("fp_bucket"))
+  }
 }
