@@ -31,6 +31,17 @@ object PipelineQueries {
         .orderBy("canonical_id")
     }),
 
+    // Connected-components dup clustering: min-label propagation over the
+    // exact-dup pair graph; cluster = min reachable doc id (the keep-one
+    // canonical policy). Oracle: groups of equal normalized text ARE the
+    // components when every group is emitted as a clique.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      Dedup.clusters(corpus, "doc_id",
+          Dedup.exactPairs(corpus, "doc_id", "text"))
+        .orderBy("doc")
+    }),
+
     // n-gram Jaccard near-dup: inverted-index block join, exact.
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
@@ -147,6 +158,17 @@ object PipelineQueries {
          FROM corpus
          GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
          ORDER BY canonical_id""",
+
+    "q_dedup_clusters" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id AS doc,
+                min(doc_id) OVER (
+                  PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                ) AS cluster
+         FROM corpus ORDER BY doc""",
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,

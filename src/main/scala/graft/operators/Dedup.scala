@@ -204,6 +204,57 @@ object Dedup {
       .select("i", "j", "jac_bp")
   }
 
+  /** All (i, j) pairs of exact (normalized-text) duplicates — each hash
+    * group emitted as a clique via [[groupPairs]]. */
+  def exactPairs(df: DataFrame, id: String, text: String): DataFrame =
+    groupPairs(
+        df.select(md5(normText(col(text))).as("k"), col(id).cast("long").as("doc")),
+        Seq("k"), col("doc"),
+        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), Long.MaxValue)
+      .select(col("_p.i").as("i"), col("_p.j").as("j"))
+
+  /** Connected components over near-duplicate pairs: every document gets
+    * `cluster` = the minimum doc id reachable through the pair graph, so
+    * a dedup keep-policy is "keep doc == cluster".
+    *
+    * Min-label propagation: each round joins labels across edges and
+    * keeps the per-node minimum; converges in O(component diameter)
+    * rounds — near-dup clusters are shallow (a dup family links through
+    * its overlaps), so 2-4 rounds typical, `maxIters` bounds adversarial
+    * chains. The driver-side loop is rounds-many ACTIONS, not data on the
+    * driver: each round is two shuffles (join + min-agg) sized by |edges|.
+    * Deterministic; isolated docs keep their own id via the left join
+    * back to the corpus.
+    */
+  def clusters(docs: DataFrame, id: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val nodes = docs.select(col(id).cast("long").as("doc"))
+    val ij = pairs.select(col("i").cast("long").as("u"), col("j").cast("long").as("v"))
+    val edges = ij.unionByName(ij.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    // localCheckpoint each round: iterative plans otherwise grow their
+    // lineage (and re-execute every prior round) — the standard pattern
+    // for fixpoint algorithms on DataFrames.
+    var labels = nodes.select(col("doc"), col("doc").as("lbl")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc", "u").withColumnRenamed("lbl", "ulbl"), "u")
+        .select(col("v").as("doc"), col("ulbl").as("lbl"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("doc").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      it += 1
+    }
+    labels.select(col("doc"), col("lbl").as("cluster"))
+  }
+
   /** 64-bit SimHash over word unigrams: per bit, majority vote of the
     * word-hash bits (weight 1). All 64 votes are one hash-agg pass. */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {

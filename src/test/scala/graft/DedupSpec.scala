@@ -92,6 +92,24 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === Set((4L, 5L)))
   }
 
+  test("clusters: chain and star components collapse to min id; isolates keep their own") {
+    val nodes = (1L to 9L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain → cluster 1
+      (6L, 7L), (6L, 8L)              // star  → cluster 6
+    ).toDF("i", "j")
+    val c = Dedup.clusters(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L))
+  }
+
+  test("exactPairs emits each duplicate group as a clique") {
+    val p = Dedup.exactPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p === Set((1L, 2L), (1L, 3L), (2L, 3L)))   // docs 1,2,3 normalize equal
+  }
+
   test("shingle frequency cap sheds hot shingles (skew guard)") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0, freqCap = 1L)
