@@ -27,6 +27,10 @@ object Multimodal {
       doc_id: Long, modality: String, byte_len: Long,
       mean_byte: Double, n_frames: Int, frame_bytes: Array[Long])
 
+  /** A resized payload row (thumbnail analog). */
+  final case class MediaThumb(
+      doc_id: Long, modality: String, orig_len: Long, thumb: Array[Byte])
+
   /** Wrap a text/bytes column as a media payload table. Modality is
     * round-robin by id — synthetic, but exercises the real schema. */
   def asMedia(df: DataFrame, id: String, payloadText: String): DataFrame =
@@ -57,6 +61,33 @@ object Multimodal {
       .collect { case (chunk, i) if i % stride == 0 =>
         chunk.map(b => (b & 0xff).toLong).sum }
       .toArray
+
+  /** STUB: resize — byte-domain downsample to ≤ targetLen by averaging
+    * fixed-width windows (a real image path decodes, bilinear-resamples,
+    * re-encodes; same signature, batching, and output shape). */
+  private def resizeStub(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+    // STUB: real resample goes here.
+    if (payload.length <= targetLen) payload
+    else {
+      val window = math.ceil(payload.length.toDouble / targetLen).toInt
+      payload.grouped(window)
+        .map(w => (w.map(b => (b & 0xff).toLong).sum / w.length).toByte)
+        .toArray
+    }
+  }
+
+  /** Resize pass: partition-local like [[extractFeatures]] — the batch
+    * shape a JNI/subprocess codec needs (context per partition, row
+    * streaming, no shuffle). */
+  def resize(media: DataFrame, targetLen: Int = 64): Dataset[MediaThumb] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "modality", "byte_len", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        // a real decoder would open its codec context once, here
+        it.map(r => MediaThumb(r.doc_id, r.modality, r.byte_len,
+          resizeStub(r.payload, targetLen)))
+      }
+  }
 
   /** Feature extraction over a media table: partition-local, zero-shuffle,
     * iterator-to-iterator (never materializes a partition). */

@@ -92,6 +92,24 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh === Set((4L, 5L)))
   }
 
+  test("property: LSH == exact jaccard on random small-vocab corpora (seeded)") {
+    // small vocabulary forces heavy shingle overlap — the worst case for
+    // banding false-positives and a dense pair graph for false-negatives
+    for (seed <- Seq(7, 42, 1337)) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val corpus = (1L to 40L).map { i =>
+        val len = 3 + rng.nextInt(12)
+        (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 8000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 8000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(lsh === exact, s"seed=$seed")
+    }
+  }
+
   test("clusters: chain and star components collapse to min id; isolates keep their own") {
     val nodes = (1L to 9L).map(i => Tuple1(i)).toDF("doc_id")
     val pairs = Seq(

@@ -38,6 +38,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(2).frame_bytes.toSeq === Seq(66L * 64, 66L * 2)) // frames 0 and 2
   }
 
+  test("resize stub: bounded length, identity for small payloads, deterministic") {
+    import graft.operators.Multimodal
+    val media = Multimodal.asMedia(
+      Seq((1L, "x" * 300), (2L, "tiny")).toDF("doc_id", "text"), "doc_id", "text")
+    val thumbs = Multimodal.resize(media, targetLen = 64)
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(thumbs(1L).thumb.length <= 64 && thumbs(1L).orig_len === 300L)
+    assert(thumbs(2L).thumb.toSeq === "tiny".getBytes("UTF-8").toSeq) // small → identity
+    val again = Multimodal.resize(media, targetLen = 64)
+      .collect().map(t => t.doc_id -> t.thumb.toSeq).toMap
+    assert(again(1L) === thumbs(1L).thumb.toSeq)
+  }
+
   test("empty payload does not divide by zero") {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
     val f = Multimodal.extractFeatures(
