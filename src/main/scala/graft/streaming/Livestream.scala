@@ -62,6 +62,31 @@ object Livestream {
         .drop("ev")
     }
 
+    /** Drop table versions older than the `keep` most recent published
+      * ones (each merge rewrites the FULL table, so old versions are pure
+      * storage overhead). The CDC log is history and is never vacuumed —
+      * the reference's edits tables are permanent (tsdb.py:88-99). */
+    def vacuum(keep: Int = 2): Unit = {
+      require(keep >= 1)
+      val cur = currentVersion
+      if (cur < 0) return
+      val cutoff = cur - (keep - 1)
+      val s = Files.list(Paths.get(path))
+      val doomed = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("v="))
+          .filter(_.getFileName.toString.drop(2).toLong < cutoff)
+          .toList
+      } finally s.close()
+      doomed.foreach { d =>
+        val files = Files.walk(d)
+        try files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        finally files.close()
+      }
+    }
+
     /** Merge one batch and atomically publish the next version.
       *
       * Retry-idempotent (T3): the table overwrites `v=N+1` and the edit

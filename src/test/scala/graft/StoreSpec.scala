@@ -29,6 +29,17 @@ class StoreSpec extends AnyFunSuite {
     assert(!scanned.contains("sub_b"))
   }
 
+  test("S8 single-file listing and JSON sinks") {
+    import graft.sources.Sinks
+    val d1 = tmp("listing")
+    Sinks.writeListing(Seq("line one", "line two").toDF("line"), "line", s"$d1/out")
+    val lines = spark.read.text(s"$d1/out").collect().map(_.getString(0)).toSet
+    assert(lines === Set("line one", "line two"))
+    Sinks.writeJson(Seq((1L, "a")).toDF("n", "s"), s"$d1/json")
+    val back = spark.read.json(s"$d1/json").collect()
+    assert(back.length === 1 && back.head.getAs[String]("s") === "a")
+  }
+
   test("co-bucketed tables join with zero shuffle exchanges") {
     val wh = tmp("wh") // explicit per-table paths; warehouse.dir is static
     val left = (1L to 1000L).map(i => (i, s"body$i")).toDF("idint", "body")

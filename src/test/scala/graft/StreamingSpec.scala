@@ -93,6 +93,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.current.collect().map(_.getAs[String]("body")).toSeq === Seq("b"))
   }
 
+  test("vacuum drops old table versions, keeps current + CDC history") {
+    val dir = tmp("tbl5")
+    val table = new Livestream.UpsertTable(spark, dir,
+      Merge.comments, Seq.empty[C].toDF())
+    table.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    table.merge(Seq(c(1, "b", 2)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    table.merge(Seq(c(1, "d", 3)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    table.vacuum(keep = 1)
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally dirs.close()
+    assert(names.filter(_.startsWith("v=")) === Set("v=2"))
+    assert(table.current.head.getAs[String]("body") === "d")
+    assert(table.edits.count() === 2)            // CDC history intact
+  }
+
   test("T2 batch cap keeps the newest rows") {
     val capped = Livestream.capBatch(
       Seq(c(1, "a", 1), c(2, "b", 2), c(3, "c", 3)).toDF(), "created", 2)
