@@ -235,7 +235,12 @@ object Dedup {
     // localCheckpoint each round: iterative plans otherwise grow their
     // lineage (and re-execute every prior round) — the standard pattern
     // for fixpoint algorithms on DataFrames.
-    var labels = nodes.select(col("doc"), col("doc").as("lbl")).localCheckpoint()
+    // Labels seed from nodes ∪ edge endpoints: an endpoint missing from
+    // `docs` must still contribute its OWN id as a label candidate, or a
+    // node smaller than all its neighbors would converge to the wrong
+    // cluster id.
+    var labels = nodes.unionByName(edges.select(col("u").as("doc"))).distinct()
+      .select(col("doc"), col("doc").as("lbl")).localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
