@@ -177,7 +177,8 @@ object Dedup {
     * shuffle of shingle rows, no count aggregation.
     */
   def minhashLshPairs(df: DataFrame, id: String, text: String, n: Int,
-      thresholdBp: Int, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      thresholdBp: Int, numHashes: Int = 128, bands: Int = 32,
+      bucketCap: Long = 1000000L): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val base = shingleSet(df, id, text, n)
@@ -188,8 +189,12 @@ object Dedup {
     }
     val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    // bucketCap: an all-identical-doc family lands in ONE bucket per band
+    // and would emit its f² pairs in one task — same shed-on-pathology
+    // contract as jaccardPairs' freqCap (collapse exact dups FIRST when a
+    // corpus has giant identical families).
     val candidates = groupPairs(buckets, Seq("band", "bucket"), col("doc"),
-        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), Long.MaxValue)
+        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), bucketCap)
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .distinct()
     candidates
@@ -204,14 +209,17 @@ object Dedup {
       .select("i", "j", "jac_bp")
   }
 
-  /** All (i, j) pairs of exact (normalized-text) duplicates — each hash
-    * group emitted as a clique via [[groupPairs]]. */
+  /** (i, j) pairs of exact (normalized-text) duplicates, emitted as a
+    * STAR per hash group (every member paired with the group minimum):
+    * O(f) edges instead of a clique's O(f²) with identical connected
+    * components — a 1M-copy family yields 1M−1 edges, not 5·10¹¹. One
+    * aggregation on the text hash; no blowup anywhere. */
   def exactPairs(df: DataFrame, id: String, text: String): DataFrame =
-    groupPairs(
-        df.select(md5(normText(col(text))).as("k"), col(id).cast("long").as("doc")),
-        Seq("k"), col("doc"),
-        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), Long.MaxValue)
-      .select(col("_p.i").as("i"), col("_p.j").as("j"))
+    df.select(md5(normText(col(text))).as("k"), col(id).cast("long").as("doc"))
+      .withColumn("i", min(col("doc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      .filter(col("doc") =!= col("i"))
+      .select(col("i"), col("doc").as("j"))
 
   /** Connected components over near-duplicate pairs: every document gets
     * `cluster` = the minimum doc id reachable through the pair graph, so
@@ -283,7 +291,7 @@ object Dedup {
     * negatives, unlike probabilistic LSH), then `bit_count(xor)` verifies.
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Long = 1000000L): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val s = simhash(df, id, text)
@@ -300,7 +308,7 @@ object Dedup {
         (x, y) => when(x.getField("doc") < y.getField("doc"),
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"),
             x.getField("simhash").as("hi"), y.getField("simhash").as("hj"))),
-        Long.MaxValue)
+        bucketCap)
       .select(col("_p.i").as("i"), col("_p.j").as("j"),
         bit_count(col("_p.hi").bitwiseXOR(col("_p.hj"))).as("hamming"))
       .distinct()

@@ -96,7 +96,7 @@ object Similarity {
     * SimilaritySpec.
     */
   def srpPairs(emb: DataFrame, id: String, vec: String, thresholdBp: Long,
-      bits: Int = 64, bands: Int = 16): DataFrame = {
+      bits: Int = 64, bands: Int = 16, bucketCap: Long = 1000000L): DataFrame = {
     require(bits <= 64 && bits % bands == 0)
     val w = bits / bands
     val dim = emb.select(size(col(vec)).as("d")).head.getInt(0)
@@ -118,7 +118,7 @@ object Similarity {
     val blocked = sig.select(col("vid"), explode(array(bandCols: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("vid"))
     val candidates = Dedup.groupPairs(blocked, Seq("band", "key"), col("vid"),
-        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), Long.MaxValue)
+        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), bucketCap)
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .distinct()
     candidates

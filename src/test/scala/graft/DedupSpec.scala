@@ -122,10 +122,10 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L))
   }
 
-  test("exactPairs emits each duplicate group as a clique") {
+  test("exactPairs emits each duplicate group as a star on the min id") {
     val p = Dedup.exactPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(p === Set((1L, 2L), (1L, 3L), (2L, 3L)))   // docs 1,2,3 normalize equal
+    assert(p === Set((1L, 2L), (1L, 3L)))   // docs 1,2,3 normalize equal
   }
 
   test("shingle frequency cap sheds hot shingles (skew guard)") {
