@@ -234,7 +234,10 @@ object TimesearchQueries {
       batch.write.mode("overwrite").parquet(src)
       val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
         Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(4))
-      table.merge(oldComments(s, dir).withColumn("_seq", col("idint")), "_seq")
+      // seed batch has unique keys → no CDC possible; storeEdits=false
+      // skips the second execution of the merge DAG for the edits write
+      table.merge(oldComments(s, dir).withColumn("_seq", col("idint")), "_seq",
+        storeEdits = false)
       val stream = s.readStream.schema(batch.schema).parquet(src)
       val q = Livestream.upsertSink(stream, table,
         tmp.resolve("ckp").toString, Trigger.AvailableNow()).start()
