@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact, n-gram
-  * Jaccard, MinHash+LSH, SimHash. All operators are pure DataFrame plans
-  * (codegen'd built-ins, no UDFs) designed so the candidate-generation
-  * stage — the only quadratic danger at 100 TB — is blocked/banded and
+  * Jaccard, MinHash+LSH, SimHash, plus connected-components clustering
+  * over the resulting pair graphs. All operators are pure DataFrame plans
+  * (codegen'd built-ins, no UDFs; [[clusters]] adds a driver-side fixpoint
+  * loop of DataFrame rounds) designed so the candidate-generation stage —
+  * the only quadratic danger at 100 TB — is blocked/banded and
   * frequency-capped.
   *
   * Plan-shape principle: shingle SETS are per-document state, so set
@@ -231,8 +233,8 @@ object Dedup {
     * its overlaps), so 2-4 rounds typical, `maxIters` bounds adversarial
     * chains. The driver-side loop is rounds-many ACTIONS, not data on the
     * driver: each round is two shuffles (join + min-agg) sized by |edges|.
-    * Deterministic; isolated docs keep their own id via the left join
-    * back to the corpus.
+    * Deterministic; isolated docs are seeded with their own id and no
+    * edge ever updates them, so they form singleton clusters.
     */
   def clusters(docs: DataFrame, id: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
