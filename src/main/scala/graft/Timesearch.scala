@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.{Analytics, Merge, Normalize}
+import graft.render.OfflineReading
+import graft.sources.{Ndjson, Sinks}
+import graft.streaming.Livestream
+
+/** The reference's command surface (timesearch.py:22-60 module dispatch),
+  * verb-for-verb, over a [[Archive]] (the versioned submission+comment
+  * store standing in for one per-target SQLite file). A timesearch user
+  * maps their workflow directly:
+  *
+  * {{{
+  * val a = Timesearch.openArchive(spark, "/data/archives/r_scala")
+  * Timesearch.ingestJsonFile(spark, a, "dump.ndjson")     // ingest_jsonfile
+  * Timesearch.breakdown(a, sort = "total")                // breakdown -r
+  * Timesearch.index(a, threshold = 100, sort = "score")   // index --score
+  * Timesearch.offlineReading(a, "out/html")               // offline_reading
+  * Timesearch.mergeDb(spark, a, other)                    // merge_db
+  * Timesearch.livestream(stream, a, "ckp")                // livestream
+  * }}}
+  *
+  * `get_submissions`/`get_comments` (API ingest) reduce to
+  * [[ingestFrames]] + [[incrementalLowerBound]] once rows are fetched —
+  * the HTTP layer is out of engine scope (SURVEY §2.1 S4); `get_styles`
+  * and `get_wiki` are [[Sinks]] writes of fetched payloads.
+  */
+object Timesearch {
+
+  /** One archive target = two versioned upsert tables sharing a root. */
+  final case class Archive(
+      submissions: Livestream.UpsertTable,
+      comments: Livestream.UpsertTable)
+
+  def openArchive(spark: SparkSession, root: String,
+      outputPartitions: Option[Int] = None): Archive = {
+    def empty(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    Archive(
+      new Livestream.UpsertTable(spark, s"$root/submissions", Merge.submissions,
+        empty(model.Schemas.submissions), outputPartitions),
+      new Livestream.UpsertTable(spark, s"$root/comments", Merge.comments,
+        empty(model.Schemas.comments), outputPartitions))
+  }
+
+  /** ingest_jsonfile: NDJSON dump → discriminate → normalize → upsert. */
+  def ingestJsonFile(spark: SparkSession, archive: Archive, path: String): Unit = {
+    val raw = Ndjson.read(spark, path)
+    ingestFrames(archive,
+      Normalize.submissions(Ndjson.submissionsRaw(raw)),
+      Normalize.comments(Ndjson.commentsRaw(raw)))
+  }
+
+  /** Merge normalized frames into the archive (the shared tail of
+    * ingest_jsonfile / get_submissions / get_comments). Precedence within
+    * the batch follows input order via a monotone sequence. */
+  def ingestFrames(archive: Archive, submissions: DataFrame, comments: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    archive.submissions.merge(
+      submissions.withColumn("_seq", monotonically_increasing_id()), "_seq")
+    archive.comments.merge(
+      comments.withColumn("_seq", monotonically_increasing_id()), "_seq")
+  }
+
+  /** get_submissions/get_comments `lower='update'` bound (A3). */
+  def incrementalLowerBound(archive: Archive): DataFrame =
+    Analytics.incrementalBound(archive.submissions.current
+      .select("created")
+      .unionByName(archive.comments.current.select("created")))
+
+  /** breakdown: per-author counts (subreddit archives). */
+  def breakdown(archive: Archive, sort: String = "name"): DataFrame =
+    Analytics.breakdownSorted(
+      Analytics.breakdown(archive.submissions.current, archive.comments.current,
+        "author"), sort)
+
+  /** index: threshold-filtered sorted listing of submissions. */
+  def index(archive: Archive, threshold: Long, sort: String): DataFrame =
+    Analytics.indexListing(archive.submissions.current, threshold, sort)
+
+  /** offline_reading: every thread rendered to one HTML file. */
+  def offlineReading(archive: Archive, outDir: String): Unit =
+    OfflineReading.writeHtmlFiles(
+      OfflineReading.fromFrames(archive.submissions.current,
+        archive.comments.current), outDir)
+
+  /** merge_db: copy rows absent from this archive (never update). */
+  def mergeDb(spark: SparkSession, mine: Archive, other: Archive): Unit = {
+    import org.apache.spark.sql.functions.lit
+    mine.submissions.merge(
+      Merge.mergeDb(mine.submissions.current, other.submissions.current)
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = false)
+    mine.comments.merge(
+      Merge.mergeDb(mine.comments.current, other.comments.current)
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = false)
+  }
+
+  /** livestream: a comment-shaped stream upserted every trigger. */
+  def livestream(stream: DataFrame, archive: Archive, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): DataStreamWriter[org.apache.spark.sql.Row] =
+    Livestream.upsertSink(stream, archive.comments, checkpoint, trigger)
+
+  /** get_wiki / get_styles: fetched payloads → per-key file sinks. */
+  def writePages(pages: org.apache.spark.sql.Dataset[(String, String)],
+      outDir: String, ext: String): Unit =
+    Sinks.writeFilesPerRow(pages, outDir, ext)
+}

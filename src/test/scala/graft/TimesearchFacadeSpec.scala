@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimesearchFacadeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("verb surface: ingest_jsonfile, breakdown, index, offline_reading, merge_db") {
+    val a = Timesearch.openArchive(spark, tmp("arch_a"), outputPartitions = Some(2))
+    Timesearch.ingestJsonFile(spark, a, TestSpark.fixture("pushshift_fixture.ndjson"))
+    val nSubs = a.submissions.current.count()
+    val nComs = a.comments.current.count()
+    assert(nSubs > 0 && nComs > 0)
+
+    val bd = Timesearch.breakdown(a, "total").collect()
+    assert(bd.map(_.getAs[Long]("total")).sum === nSubs + nComs)
+
+    assert(Timesearch.index(a, threshold = 0, sort = "date").count() === nSubs)
+    assert(Timesearch.incrementalLowerBound(a).count() === 1)
+
+    val htmlDir = tmp("arch_html")
+    Timesearch.offlineReading(a, htmlDir)
+    val files = Files.list(java.nio.file.Paths.get(htmlDir))
+    val n = try files.count() finally files.close()
+    assert(n === nSubs)
+
+    // merge_db: an empty archive absorbs a's rows; a is unchanged
+    val b = Timesearch.openArchive(spark, tmp("arch_b"), outputPartitions = Some(2))
+    Timesearch.mergeDb(spark, b, a)
+    assert(b.submissions.current.count() === nSubs)
+    assert(b.comments.current.count() === nComs)
+    assert(a.submissions.current.count() === nSubs)
+  }
+}
