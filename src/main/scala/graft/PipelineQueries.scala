@@ -109,6 +109,26 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PII-style redaction (pre-training hygiene): plant emails/URLs/digit
+    // runs, scrub to typed placeholders, count replacements.
+    "q_redact" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@example.com or https://x.io/p?id="), col("doc_id"),
+          lit(" tel 12345678")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.redact(col("text")).as("clean"),
+          TextAnalysis.redactionCount(col("text")).as("n_redactions"))
+        .orderBy("doc_id")
+    }),
+
+    // Training-sequence packing: fixed token windows with overlap.
+    "q_chunk" -> ((s, dir) => {
+      TextAnalysis.chunk(Tables.load(s, dir, "documents"),
+          "doc_id", "text", window = 16, stride = 8)
+        .orderBy("doc", "chunk_idx")
+    }),
+
     // Text analysis: token counts, quality, language-ID, fingerprint.
     "q_text_profile" -> ((s, dir) => {
       TextAnalysis.profile(Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -193,6 +213,47 @@ object PipelineQueries {
                  (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rn FROM s)
          WHERE rn <= 10
          ORDER BY query_id, rank""",
+
+    "q_redact" ->
+      """WITH planted AS (
+           SELECT doc_id,
+                  text || ' contact u' || doc_id || '@example.com or https://x.io/p?id='
+                       || doc_id || ' tel 12345678' AS text
+           FROM documents)
+         SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<NUM>', 'g') AS clean,
+                CAST(
+                  len(regexp_extract_all(text, 'https?://[^\s]+')) +
+                  len(regexp_extract_all(
+                    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+                  len(regexp_extract_all(
+                    regexp_replace(
+                      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '[0-9]{7,}')) AS BIGINT) AS n_redactions
+         FROM planted ORDER BY doc_id""",
+
+    "q_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks,
+                  greatest(1, CAST(ceil((len(toks) - 16) / 8.0) AS BIGINT) + 1) AS nc
+           FROM t WHERE len(toks) > 0),
+         e AS (
+           SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM n)
+         SELECT doc_id AS doc, CAST(ci AS BIGINT) AS chunk_idx,
+                array_to_string(toks[CAST(ci*8+1 AS BIGINT):CAST(ci*8+16 AS BIGINT)], ' ')
+                  AS chunk_text,
+                CAST(len(toks[CAST(ci*8+1 AS BIGINT):CAST(ci*8+16 AS BIGINT)]) AS BIGINT)
+                  AS n_tokens
+         FROM e ORDER BY doc, chunk_idx""",
 
     "q_text_profile" ->
       """WITH t AS (

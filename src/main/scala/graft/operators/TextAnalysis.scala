@@ -88,6 +88,54 @@ object TextAnalysis {
   def fingerprintBucket(c: Column): Column =
     conv(substring(fingerprint(c), 1, 4), 16, 10).cast("long")
 
+  /** PII-style scrubbing: emails, bare URLs, and long digit runs replaced
+    * with typed placeholder tokens (the standard pre-training hygiene
+    * pass). Pure projection — fuses into the scan; `redactionCount`
+    * reports how many replacements a row received (for filtering or
+    * audit). Patterns are deliberately simple and FIXED — determinism and
+    * oracle-portability over recall. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlRe = "https?://[^\\s]+"
+  val longDigitsRe = "[0-9]{7,}"
+
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      longDigitsRe, "<NUM>")
+
+  def redactionCount(c: Column): Column =
+    (regexp_count(c, lit(urlRe)) +
+      regexp_count(regexp_replace(c, urlRe, "<URL>"), lit(emailRe)) +
+      regexp_count(regexp_replace(regexp_replace(c, urlRe, "<URL>"), emailRe, "<EMAIL>"),
+        lit(longDigitsRe))).cast("long")
+
+  /** Fixed-window token chunking with overlap (training-sequence packing):
+    * each document's token array splits into windows of `window` tokens
+    * advancing by `stride` (< window ⇒ overlap), emitting
+    * (doc, chunk_idx, chunk_text, n_tokens). The final partial window is
+    * kept iff it adds new tokens. Row-local (`transform` over a
+    * materialized token array + inline-generator explode — the
+    * Dedup.shingleSet rules); no shuffle. */
+  def chunk(df: DataFrame, id: String, text: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window)
+    val toks = col("_t")
+    val nChunks = // ceil((L - window) / stride) + 1, min 1
+      greatest(lit(1L), (ceil((size(toks) - window) / lit(stride.toDouble))) + 1)
+    df.select(col(id).as("doc"), ws(col(text)).as("_t"))
+      .filter(size(toks) > 0)
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1),
+          i => concat_ws(" ",
+            slice(toks, (i * stride + 1).cast("int"), lit(window))))))
+      .select(col("doc"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        when(length(col("col")) === 0, 0L)
+          .otherwise(size(split(col("col"), " ")).cast("long")).as("n_tokens"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's local document
     * fingerprinting): hash every k-gram, slide a window of w hashes, keep
     * each window's minimum — the selected set is a position-independent

@@ -56,6 +56,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.length === 32)
   }
 
+  test("redact scrubs emails, urls, long digit runs; counts replacements") {
+    import graft.operators.TextAnalysis
+    val r = Seq((1L, "mail a@b.co or http://x.io/z then call 12345678 or 123"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.redact($"text").as("c"),
+        TextAnalysis.redactionCount($"text").as("n"))
+      .head
+    assert(r.getString(0) === "mail <EMAIL> or <URL> then call <NUM> or 123")
+    assert(r.getLong(1) === 3L)
+  }
+
+  test("chunk: overlapping windows cover every token; single window for short docs") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),  // 10 tokens
+      (2L, "a b c")                                     // shorter than window
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(docs, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 === "t1 t2 t3 t4")
+    assert(d1.map(_._2).toSeq === d1.indices.map(_.toLong))   // dense idx
+    // every token appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+    // last chunk ends at the last token
+    assert(d1.last._3.endsWith("t10"))
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._3 === "a b c" && d2.head._4 === 3L)
+  }
+
   test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
     import graft.operators.TextAnalysis
     val shared = "alpha beta gamma delta epsilon zeta"  // 6 tokens >= w+k-1 = 6
