@@ -38,11 +38,14 @@ object Livestream {
     def currentVersion: Long =
       if (Files.exists(ptr)) new String(Files.readAllBytes(ptr)).trim.toLong else -1L
 
-    def current: DataFrame = {
-      val v = currentVersion
-      if (v < 0) emptyLike.limit(0)
-      else spark.read.parquet(s"$path/v=$v")
-    }
+    def current: DataFrame = at(currentVersion)
+
+    /** Time travel: read a specific published version (−1 or a vacuumed
+      * version yields the empty frame). */
+    def at(version: Long): DataFrame =
+      if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
+        emptyLike.limit(0)
+      else spark.read.parquet(s"$path/v=$version")
 
     private def emptyEdits: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

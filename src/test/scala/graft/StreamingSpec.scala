@@ -93,6 +93,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.current.collect().map(_.getAs[String]("body")).toSeq === Seq("b"))
   }
 
+  test("time travel: at(v) reads historical versions; missing → empty") {
+    val table = new Livestream.UpsertTable(spark, tmp("tbl6"),
+      Merge.comments, Seq.empty[C].toDF())
+    table.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    table.merge(Seq(c(1, "b", 2)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    assert(table.at(0).head.getAs[String]("body") === "a")
+    assert(table.at(1).head.getAs[String]("body") === "b")
+    assert(table.at(99).count() === 0 && table.at(-1).count() === 0)
+  }
+
   test("vacuum drops old table versions, keeps current + CDC history") {
     val dir = tmp("tbl5")
     val table = new Livestream.UpsertTable(spark, dir,
