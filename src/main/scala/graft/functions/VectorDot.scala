@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
@@ -50,6 +50,35 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unit-normalization as ONE native expression: a materialized-norm
+  * formulation is defeated by CollapseProject, which re-inlines a
+  * single-use norm alias into the per-element division lambda — O(d²) per
+  * row again (verified in the optimized plan). One expression, one pass,
+  * nothing for the optimizer to duplicate. NULL result for zero-norm
+  * vectors (callers filter). */
+case class VectorNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"VectorNormalize requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.normalize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorOps.normalize($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNormalize =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Sequential fold over the common prefix; elements must be non-null
     * (embedding vectors never carry null elements). */
@@ -59,5 +88,21 @@ object VectorOps {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** Unit-normalize in ONE traversal pair (norm fold + scale); null for
+    * zero-norm vectors (no direction). Accumulation order matches
+    * `dot(a, a)` so results are bit-identical to sqrt(dot)+divide. */
+  def normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    if (s == 0.0) return null
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

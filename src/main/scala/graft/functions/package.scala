@@ -49,6 +49,10 @@ package object functions {
     column(VectorDot(expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))
 
+  /** Unit-normalize a numeric array in one pass; null for zero vectors. */
+  def vecNormalize(a: Column): Column =
+    column(VectorNormalize(expression(a.cast("array<double>"))))
+
   // ---- F10: markdown → HTML5 (offline_reading.py:285-291) ----------------
   def markdownRender(c: Column): Column = column(MarkdownRender(expression(c)))
 

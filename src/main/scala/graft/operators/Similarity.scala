@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.vecDot
+import graft.functions.{vecDot, vecNormalize}
 
 /** Embedding similarity search (`Array[Float]` columns).
   *
@@ -26,16 +26,14 @@ object Similarity {
 
   /** Pre-normalize once so pair scoring is a plain dot product — n·d work
     * instead of 3·n·d, and the norm never recomputes per candidate pair.
-    * The norm itself is materialized into a column FIRST so the per-element
-    * division is O(d), not O(d²) (a lambda that re-folds the vector per
-    * element would be quadratic on the hot path). Zero-norm vectors carry
-    * no direction and are dropped explicitly rather than turning every
-    * score they touch into null via 0/0. */
+    * Normalization is ONE native expression ([[graft.functions.VectorNormalize]],
+    * norm fold + scale in a single traversal): a materialize-the-norm
+    * formulation gets re-inlined into the division lambda by
+    * CollapseProject and turns O(d²) per row again. Zero-norm vectors
+    * carry no direction and are dropped (the expression yields null). */
   def normalized(df: DataFrame, id: String, vec: String): DataFrame =
-    df.select(col(id).as("vid"), col(vec).cast("array<double>").as("_v"))
-      .withColumn("_norm", norm(col("_v")))
-      .filter(col("_norm") > 0)
-      .select(col("vid"), transform(col("_v"), x => x / col("_norm")).as("nv"))
+    df.select(col(id).as("vid"), vecNormalize(col(vec)).as("nv"))
+      .filter(col("nv").isNotNull)
 
   /** Brute-force exact top-k neighbors for the given query ids.
     *
