@@ -168,9 +168,8 @@ object Similarity {
           .as("pm"))
         .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("mv"))
       c = mean
-        .withColumn("_norm", norm(col("mv")))
-        .filter(col("_norm") > 0)
-        .select(col("cid"), transform(col("mv"), x => x / col("_norm")).as("cv"))
+        .select(col("cid"), vecNormalize(col("mv")).as("cv"))
+        .filter(col("cv").isNotNull)
     }
     c
   }
