@@ -25,9 +25,10 @@ object Livestream {
     * file written last), `path/edits/` append-only CDC log. A Delta/Iceberg
     * table would subsume this; the contract here is engine-agnostic and
     * filesystem-atomic (pointer rename). One SQLite file per target in the
-    * reference ↔ one table directory per target here.
-    */
-  /** @param outputPartitions cap on files per published version — for
+    * reference ↔ one table directory per target here. Single-writer per
+    * table (the reference's one-process contract); readers are lock-free.
+    *
+    * @param outputPartitions cap on files per published version — for
     *        SMALL targets (a single subreddit's table) where the default
     *        shuffle parallelism would write hundreds of tiny files; leave
     *        None at scale and let the shuffle partitioning flow through. */
