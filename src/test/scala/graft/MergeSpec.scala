@@ -149,6 +149,52 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.upsert(once, in, Merge.comments, "_seq", now).edits.count() === 0)
   }
 
+  test("property: batch boundaries don't matter — merge(merge(t,b1),b2) == merge(t, b1++b2)") {
+    // THE invariant behind the streaming path: however the stream slices
+    // into micro-batches, the final table (and CDC stream) match the
+    // one-shot merge. Seeded random batches over a small key space with
+    // edits, tombstones, score bumps, and brand-new keys.
+    val rng = new scala.util.Random(4242)
+    def randRows(seqBase: Long, n: Int) = (0 until n).map { i =>
+      val id = rng.nextInt(6)                       // collisions guaranteed
+      val tomb = rng.nextInt(5) == 0
+      (s"t1_$id", id.toLong,
+        if (tomb) "[DELETED]" else s"u$id",
+        if (tomb) "[removed]" else s"body-${rng.nextInt(4)}",
+        rng.nextInt(100).toLong,
+        seqBase + i)
+    }
+    for (trial <- 1 to 5) {
+      val existing = comments(("t1_0", 0L, "alice", "v0", 1L, null),
+        ("t1_1", 1L, "bob", "w0", 2L, null))
+      val b1 = randRows(0, 6); val b2 = randRows(100, 6)
+      def df(rows: Seq[(String, Long, String, String, Long, Long)]) = {
+        import spark.implicits._
+        rows.toDF("idstr", "created", "author", "body", "score", "_seq")
+          .withColumn("idint", $"created")
+          .withColumn("parent", lit("p")).withColumn("submission", lit("s"))
+          .withColumn("subreddit", lit("sub"))
+          .withColumn("distinguish", lit(null).cast("string"))
+          .withColumn("textlen", length($"body").cast("long"))
+      }
+      val now = lit(9L)
+      val stepped = {
+        val s1 = Merge.upsert(existing, df(b1), Merge.comments, "_seq", now)
+        val s2 = Merge.upsert(s1.table, df(b2), Merge.comments, "_seq", now)
+        (s2.table.orderBy("idstr").collect().toSeq,
+          s1.edits.unionByName(s2.edits)
+            .orderBy("idstr", "replaced_at", "previous_body").collect().toSeq)
+      }
+      val oneShot = {
+        val r = Merge.upsert(existing, df(b1 ++ b2), Merge.comments, "_seq", now)
+        (r.table.orderBy("idstr").collect().toSeq,
+          r.edits.orderBy("idstr", "replaced_at", "previous_body").collect().toSeq)
+      }
+      assert(stepped._1 === oneShot._1, s"trial $trial: tables diverge")
+      assert(stepped._2 === oneShot._2, s"trial $trial: CDC streams diverge")
+    }
+  }
+
   test("property: mergeDb commutes on disjoint key sets") {
     val a = comments(("t1_a", 1L, "alice", "x", 1L, null))
     val b = comments(("t1_b", 2L, "bob", "y", 2L, null))
