@@ -349,6 +349,16 @@ object TimesearchQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // Gap-based session windows over the event stream (batch form of the
+    // flatMapGroupsWithState sessionizer — data-dependent windows that
+    // clock-aligned window() cannot express).
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.batch(
+          Tables.load(s, dir, "events").select(col("user_id"), tsSec.as("ts")),
+          "user_id", col("ts"), gapSec = 3600)
+        .orderBy("user_id", "session_id")
+    }),
+
     // A3 — incremental lower bound: max(created) − 1 overlap.
     "q_incremental_bound" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events").select(tsSec.as("created"))
@@ -621,6 +631,25 @@ object TimesearchQueries {
 
     "q_incremental_bound" ->
       """SELECT CAST(max(floor(epoch(ts))) - 1 AS BIGINT) AS lower_bound FROM events""",
+
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 3600
+                         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         s AS (
+           SELECT user_id, t,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM m)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
 
     "q_window_agg" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS w_start,

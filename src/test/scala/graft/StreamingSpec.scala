@@ -134,6 +134,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(u.count() === 2 && u.columns.toSet === Set("id", "a_only", "b_only"))
   }
 
+  test("flatMapGroupsWithState sessionization: data-driven close + watermark timeout") {
+    import graft.streaming.Sessionize
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.streaming(mem.toDS(), gapSec = 10)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      def out() = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      mem.addData(Sessionize.Ev(1, ts(100)), Sessionize.Ev(1, ts(105)),
+        Sessionize.Ev(2, ts(100)))
+      q.processAllAvailable()
+      assert(out().isEmpty)                      // nothing closed yet
+      // a far-future event for user 1 closes their session DATA-DRIVEN
+      mem.addData(Sessionize.Ev(1, ts(200)))
+      q.processAllAvailable()
+      assert(out().contains((1L, 100L, 105L, 2L)))
+      // watermark advance times out user 2's idle session
+      mem.addData(Sessionize.Ev(3, ts(300)))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Ev(99, ts(400)))    // advance again → user 1's 2nd closes
+      q.processAllAvailable()
+      val o = out()
+      assert(o.contains((2L, 100L, 100L, 1L)))
+      assert(o.contains((1L, 200L, 200L, 1L)))
+      assert(!o.exists(_._1 == 99L))             // newest session still open
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over a replayed stream (T3 windows)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
