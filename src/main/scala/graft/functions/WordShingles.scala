@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingle set as ONE native expression.
+  *
+  * The higher-order-function formulation
+  * (`array_distinct(transform(sequence(...), concat_ws(element_at...)))`)
+  * works but is interpreted per element and exposed to three optimizer
+  * traps (lambda re-evaluation, slice copies, InferFiltersFromGenerate
+  * re-substitution — see Dedup.shingleExpr history). A single codegen'd
+  * expression does one pass per row over UTF8String words with
+  * first-occurrence dedup, and gives the optimizer nothing to take apart.
+  * Output order = first occurrence, matching `array_distinct`.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"WordShingles requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object TextOps {
+  private val Space = UTF8String.fromString(" ")
+
+  /** One pass: L−n+1 shingles, first-occurrence dedup. Null words (never
+    * produced by split) are treated as empty strings. */
+  def shingles(words: ArrayData, n: Int): ArrayData = {
+    val L = words.numElements()
+    if (L < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= L - n) {
+      var k = 0
+      while (k < n) {
+        val w = words.getUTF8String(i + k)
+        parts(k) = if (w == null) UTF8String.EMPTY_UTF8 else w
+        k += 1
+      }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}

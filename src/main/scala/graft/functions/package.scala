@@ -53,6 +53,10 @@ package object functions {
   def vecNormalize(a: Column): Column =
     column(VectorNormalize(expression(a.cast("array<double>"))))
 
+  /** Distinct word n-gram shingle set over a word array, one codegen'd pass. */
+  def wordShingles(words: Column, n: Int): Column =
+    column(WordShingles(expression(words), n))
+
   // ---- F10: markdown → HTML5 (offline_reading.py:285-291) ----------------
   def markdownRender(c: Column): Column = column(MarkdownRender(expression(c)))
 

@@ -24,33 +24,18 @@ object Dedup {
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** The distinct-shingle-set expression over a MATERIALIZED word-array
-    * column. Three hot-path rules learned by measurement (each ~10-30× on
-    * sf0.1; see Scaladoc of the public entry points for which applies):
-    *
-    *  1. `w` must be an attribute, not an inline `split(...)`: expressions
-    *     referenced from a higher-order-function lambda are re-evaluated
-    *     per ELEMENT (no common-subexpression elimination inside lambdas),
-    *     which turns shingling O(L²·split).
-    *  2. Shingle assembly reads `element_at` (n O(1) lookups) instead of
-    *     `slice` (an array copy per shingle).
-    *  3. When the result feeds `explode`, pass THIS expression inline as
-    *     the generator: exploding a materialized alias triggers
-    *     InferFiltersFromGenerate, and predicate pushdown re-substitutes
-    *     the full expression into a `size(...) > 0` filter evaluated
-    *     interpreted at the scan — the whole pipeline again, per row.
-    *
-    * Docs with fewer than n words get an empty set (the `when` guard
-    * matters: `sequence(1, size-n+1)` with size<n would produce a
-    * DESCENDING sequence and crash; short docs are guaranteed in any real
-    * corpus). `array_distinct` gives Jaccard its set semantics without a
-    * distinct() shuffle. */
+  /** The distinct-shingle-set expression: one codegen'd pass
+    * ([[graft.functions.WordShingles]]). The earlier higher-order-function
+    * formulation was rebuilt twice around optimizer traps measured at
+    * 10-30× each (lambda re-evaluation of inline `split`, `slice` array
+    * copies, InferFiltersFromGenerate re-substituting the whole pipeline
+    * into a scan filter); a single native expression is faster than the
+    * best HOF form AND structurally immune — there is nothing for the
+    * optimizer to take apart. Docs with fewer than n words yield the
+    * empty set; set semantics (first-occurrence dedup) come from the
+    * expression, never a distinct() shuffle. */
   private def shingleExpr(w: Column, n: Int): Column =
-    array_distinct(
-      when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
-        .otherwise(array().cast("array<string>")))
+    graft.functions.wordShingles(w, n)
 
   /** (doc, _arr) — per-document distinct shingle set as an array column.
     * Short docs (< n words) are filtered out up front: the cheap
