@@ -39,6 +39,32 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over a word array as ONE native expression: per-bit
+  * majority vote of the word hashes, folded row-locally. Replaces an
+  * explode + 64-column hash aggregate — i.e. removes the token exchange
+  * from the simhash plan entirely; the operator becomes a map-only
+  * projection. The hash family is engine-private (FNV-1a 64), so only
+  * internal consistency matters, and both the signature and banding
+  * paths share this one implementation. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SimHash64 requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object TextOps {
   private val Space = UTF8String.fromString(" ")
 
@@ -61,5 +87,45 @@ object TextOps {
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** FNV-1a 64 over UTF8String bytes (JVM wrap-around multiply — this is
+    * engine code, not SQL arithmetic, so ANSI overflow rules don't apply). */
+  private def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Per-bit majority vote of word hashes; empty input → 0. */
+  def simhash64(words: ArrayData): Long = {
+    val L = words.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < L) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        val h = fnv1a64(w)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 }

@@ -57,6 +57,10 @@ package object functions {
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))
 
+  /** 64-bit SimHash of a word array, one codegen'd pass (no shuffle). */
+  def simHash64(words: Column): Column =
+    column(SimHash64(expression(words)))
+
   // ---- F10: markdown → HTML5 (offline_reading.py:285-291) ----------------
   def markdownRender(c: Column): Column = column(MarkdownRender(expression(c)))
 

@@ -256,19 +256,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word unigrams: per bit, majority vote of the
-    * word-hash bits (weight 1). All 64 votes are one hash-agg pass. */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tok = df.select(col(id).as("doc"), explode(words(normText(col(text)))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val agg = tok.groupBy("doc").agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc"), sim.as("simhash"))
-  }
+    * word-hash bits (weight 1), folded row-locally by ONE native
+    * expression ([[graft.functions.SimHash64]]) — a map-only projection.
+    * The previous explode + 64-column hash aggregate exchanged every
+    * token; this exchanges nothing. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("doc"),
+      graft.functions.simHash64(words(normText(col(text)))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
