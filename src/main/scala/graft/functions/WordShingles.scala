@@ -65,6 +65,33 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint selection as ONE native expression: k-gram
+  * rolling hashes + per-window minima + first-occurrence dedup, one pass
+  * per row (see TextAnalysis.winnowFingerprints for the algorithm and
+  * guarantee). Output: array<long> selected fingerprints; empty for docs
+  * with fewer than k words. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"WinnowFingerprints requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.winnow(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object TextOps {
   private val Space = UTF8String.fromString(" ")
 
@@ -101,6 +128,50 @@ object TextOps {
       i += 1
     }
     h
+  }
+
+  /** k-gram hashes → sliding-window minima → first-occurrence dedup.
+    * Gram hash = FNV-1a over the k words' bytes with a separator byte
+    * (no intermediate string concatenation). */
+  def winnow(words: ArrayData, k: Int, w: Int): ArrayData = {
+    val L = words.numElements()
+    if (L < k) return new GenericArrayData(Array.empty[Any])
+    val g = L - k + 1
+    val grams = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        val word = words.getUTF8String(i + j)
+        if (word != null) {
+          val bytes = word.getBytes
+          var b = 0
+          while (b < bytes.length) {
+            h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1
+          }
+        }
+        h ^= 0x20L; h *= 0x100000001b3L   // separator
+        j += 1
+      }
+      grams(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (g < w) {
+      var m = grams(0); var x = 1
+      while (x < g) { if (grams(x) < m) m = grams(x); x += 1 }
+      seen.add(m)
+    } else {
+      var j = 0
+      while (j <= g - w) {
+        var m = grams(j); var x = j + 1
+        while (x < j + w) { if (grams(x) < m) m = grams(x); x += 1 }
+        seen.add(m)
+        j += 1
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
   /** Per-bit majority vote of word hashes; empty input → 0. */

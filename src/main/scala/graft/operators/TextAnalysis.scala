@@ -141,27 +141,17 @@ object TextAnalysis {
     * each window's minimum — the selected set is a position-independent
     * ~2/(w+1) sample with the GUARANTEE that any shared run of at least
     * w+k-1 tokens between two documents yields at least one shared
-    * fingerprint. Everything is row-local HOFs over the materialized
-    * token array (see Dedup.shingleSet for why materialization and inline
-    * generators matter); the only shuffle is whatever the caller does
-    * with the (doc, fp) rows. Docs shorter than k+w-1 tokens fall back to
-    * their global minimum k-gram hash (still one fingerprint). */
+    * fingerprint. Selection is ONE native codegen'd pass per row
+    * ([[graft.functions.WinnowFingerprints]]); the only shuffle is
+    * whatever the caller does with the (doc, fp) rows. Docs shorter than
+    * k+w-1 tokens fall back to their global minimum k-gram hash (still
+    * one fingerprint); docs under k tokens yield none. */
   def winnowFingerprints(df: DataFrame, id: String, text: String,
-      k: Int = 3, w: Int = 4): DataFrame = {
-    val toks = col("_t")
-    val grams = col("_g")
-    val nWin = size(grams) - (w - 1)
+      k: Int = 3, w: Int = 4): DataFrame =
     df.select(col(id).as("doc"), ws(Dedup.normText(col(text))).as("_t"))
-      .filter(size(toks) >= k)
-      .select(col("doc"),
-        transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => xxhash64(concat_ws(" ",
-            (0 until k).map(j => element_at(toks, i + j)): _*))).as("_g"))
-      .select(col("doc"), explode(when(nWin >= 1,
-          array_distinct(transform(sequence(lit(1), nWin),
-            j => array_min(slice(grams, j, lit(w))))))
-        .otherwise(array(array_min(grams)))).as("fp"))
-  }
+      .select(col("doc"), explode(graft.functions.column(
+        graft.functions.WinnowFingerprints(
+          graft.functions.expression(col("_t")), k, w))).as("fp"))
 
   /** Winnowing near-dup candidates: pairs sharing ≥ minShared selected
     * fingerprints (grouped inverted-index blocking, like the other dedup
