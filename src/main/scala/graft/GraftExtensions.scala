@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{HtmlUnescape, MarkdownRender, VectorDot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{HtmlUnescape, MarkdownRender, SimHash64, VectorDot,
+  VectorNormalize, WinnowFingerprints, WordShingles}
 
 /** Engine extension point: registers the custom Catalyst expressions as
   * SQL functions so `spark.sql` and the DataFrame API can call them by
@@ -36,13 +40,33 @@ object GraftExtensions {
   private def unary(f: Expression => Expression): Seq[Expression] => Expression =
     es => { require(es.length == 1, "expected 1 argument"); f(es.head) }
 
+  /** Extract a literal int argument (e.g. shingle width in SQL calls). */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("html_unescape", info("html_unescape", "html_unescape(str) - decode HTML entities"),
       unary(HtmlUnescape)),
     ("markdown_render", info("markdown_render", "markdown_render(str) - markdown to HTML5"),
       unary(MarkdownRender)),
     ("vec_dot", info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
-      es => { require(es.length == 2, "expected 2 arguments"); VectorDot(es(0), es(1)) }))
+      es => { require(es.length == 2, "expected 2 arguments"); VectorDot(es(0), es(1)) }),
+    ("vec_normalize", info("vec_normalize",
+      "vec_normalize(a) - unit-normalize a double array; NULL for zero vectors"),
+      unary(VectorNormalize)),
+    ("simhash64", info("simhash64", "simhash64(words) - 64-bit SimHash of a word array"),
+      unary(SimHash64)),
+    ("word_shingles", info("word_shingles",
+      "word_shingles(words, n) - distinct word n-gram shingle set"),
+      es => { require(es.length == 2, "expected 2 arguments")
+        WordShingles(es(0), litInt(es(1), "shingle width")) }),
+    ("winnow_fingerprints", info("winnow_fingerprints",
+      "winnow_fingerprints(words, k, w) - winnowing fingerprint selection"),
+      es => { require(es.length == 3, "expected 3 arguments")
+        WinnowFingerprints(es(0), litInt(es(1), "k"), litInt(es(2), "w")) }))
 
   /** Register into an existing session (the extensions config path only
     * applies at session build time). */

@@ -18,7 +18,20 @@ class ExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions()(ext) // injection path must not throw
     assert(GraftExtensions.functions.map(_._1).toSet ===
-      Set("html_unescape", "markdown_render", "vec_dot"))
+      Set("html_unescape", "markdown_render", "vec_dot", "vec_normalize",
+        "simhash64", "word_shingles", "winnow_fingerprints"))
+  }
+
+  test("array expressions callable from SQL") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT vec_normalize(array(3.0d, 4.0d))").head
+      .getSeq[Double](0) === Seq(0.6, 0.8))
+    assert(spark.sql("SELECT size(word_shingles(array('a','b','c','b','a','b','c'), 3))")
+      .head.getInt(0) === 4)   // abc, bcb, cba, bab — abc repeats
+    assert(spark.sql("SELECT simhash64(array('x','y'))").head.getLong(0) !== 0L)
+    assert(spark.sql(
+      "SELECT size(winnow_fingerprints(array('a','b','c','d','e','f'), 3, 4))")
+      .head.getInt(0) >= 1)
   }
 
   test("vec_dot arity is validated") {
