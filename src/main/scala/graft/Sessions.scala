@@ -26,6 +26,10 @@ object Sessions {
       // runtime bloom filters stand in for the reference's idstr indexes
       // on selective key joins (SURVEY §4)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // spill-awareness: the default 128 MB input split is right for this
+      // engine's scan-heavy plans; shrink on memory-tight executors rather
+      // than raising shuffle partitions reactively
+      .config("spark.sql.files.maxPartitionBytes", s"${128 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
 
   /** Local gate session (Verify/Bench): worker threads from the env. */

@@ -196,6 +196,14 @@ object Dedup {
       .select("i", "j", "jac_bp")
   }
 
+  /** Keep-one-canonical policy in one call: retain each normalized-text
+    * group's minimum-id row (the reference row [[exact]] reports). One
+    * aggregation + a semi join on the id — at scale the join side is
+    * |distinct texts| canonical ids. */
+  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame =
+    df.join(exact(df, id, text).select(col("canonical_id").as(id)),
+      Seq(id), "left_semi")
+
   /** (i, j) pairs of exact (normalized-text) duplicates, emitted as a
     * STAR per hash group (every member paired with the group minimum):
     * O(f) edges instead of a clique's O(f²) with identical connected

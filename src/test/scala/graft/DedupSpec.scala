@@ -122,6 +122,12 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 9L))
   }
 
+  test("dropExactDuplicates keeps exactly the canonical row per text group") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L, 5L, 6L))   // 2,3 are norm-dups of 1
+  }
+
   test("exactPairs emits each duplicate group as a star on the min id") {
     val p = Dedup.exactPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
