@@ -97,7 +97,7 @@ object Similarity {
       bits: Int = 64, bands: Int = 16, bucketCap: Long = 1000000L): DataFrame = {
     require(bits <= 64 && bits % bands == 0)
     val w = bits / bands
-    val dim = emb.select(size(col(vec)).as("d")).head.getInt(0)
+    val dim = emb.select(size(col(vec)).as("d")).head().getInt(0)
     val rnd = new scala.util.Random(1234567L)
     val planes = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     val n = normalized(emb, id, vec)
