@@ -35,4 +35,25 @@ class TimesearchFacadeSpec extends AnyFunSuite {
     assert(b.comments.current.count() === nComs)
     assert(a.submissions.current.count() === nSubs)
   }
+
+  test("verb surface: livestream and wiki/styles page sinks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val a = Timesearch.openArchive(spark, tmp("arch_ls"), outputPartitions = Some(2))
+    val mem = MemoryStream[C]
+    val q = Timesearch.livestream(mem.toDF(), a, tmp("ls_ckp"),
+      Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(C(1, "t1_1", 1L, "u1", "t3_r", "t3_r", "hello", 1L, "s", null, 5L))
+      q.processAllAvailable()
+      assert(a.comments.current.count() === 1)
+    } finally q.stop()
+    val pagesDir = tmp("wiki")
+    Timesearch.writePages(Seq(("index", "# wiki"), ("faq", "# faq")).toDS(),
+      pagesDir, ".md")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pagesDir, "index.md")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(pagesDir, "faq.md")))
+  }
 }
