@@ -244,6 +244,13 @@ object Dedup {
     // cluster id.
     var labels = nodes.unionByName(edges.select(col("u").as("doc"))).distinct()
       .select(col("doc"), col("doc").as("lbl")).localCheckpoint()
+    // Convergence check: labels only ever DECREASE, so the label sum
+    // strictly decreases iff any node changed — one overflow-safe decimal
+    // aggregation per round instead of a join-compare of full label sets.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)   // empty corpus
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -253,10 +260,9 @@ object Dedup {
       val next = labels.unionByName(viaEdges)
         .groupBy("doc").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-      converged = changed == 0
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       it += 1
     }
