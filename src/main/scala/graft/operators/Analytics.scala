@@ -66,16 +66,43 @@ object Analytics {
     * (`pos`, 1-based) — the form whose ordering is value-checkable by an
     * order-insensitive comparer.
     *
-    * The unpartitioned window intentionally mirrors the operator's
-    * semantics: a listing is ONE output stream (the reference writes a
-    * single index file per sort, index.py:111-167), so its final
-    * numbering is inherently single-task; the filter before it is what
-    * bounds the row count. A 100 TB table feeding an unfiltered listing
-    * would instead take per-partition offsets over a range exchange. */
+    * Scale shape: a global `Window.orderBy` would serialize the whole
+    * listing through ONE task. Instead the global rank is assembled from a
+    * range exchange + per-partition offsets:
+    *
+    *   1. range-repartition + sort on the listing keys — the same exchange
+    *      a global ORDER BY plans, every partition holds a contiguous key
+    *      range;
+    *   2. per-partition row counts (one tiny aggregate: one row per
+    *      partition) → cumulative offsets via a window over those few
+    *      rows (the only unpartitioned window left sees |partitions| rows,
+    *      not the data);
+    *   3. broadcast the offsets back; pos = offset + local row_number
+    *      (windowed BY partition id — parallel).
+    *
+    * Both references to the ranged frame hang off the same Exchange node,
+    * which Spark reuses (ReuseExchange), so the range shuffle runs once and
+    * the partition ids the offsets were computed from are the ones the
+    * final rank sees. The sort keys always end with the unique `idstr`
+    * tiebreak, so the ordering (and therefore `pos`) is total and
+    * deterministic regardless of partitioning. */
   def indexListingRanked(table: DataFrame, threshold: Long, sort: String): DataFrame = {
     val keys = indexSortKeys(sort) :+ col("idstr").asc
-    table.filter(col("score") >= threshold)
-      .withColumn("pos", row_number().over(Window.orderBy(keys: _*)))
+    val ranged = table.filter(col("score") >= threshold)
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val offsets = ranged.groupBy("_pid")
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum("_cnt").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    ranged.join(broadcast(offsets), "_pid")
+      .withColumn("pos", (col("_off") +
+        row_number().over(Window.partitionBy("_pid").orderBy(keys: _*)))
+        .cast("int"))
+      .drop("_pid", "_off")
   }
 
   /** A3 — incremental lower bound: max(created) − 1 overlap re-fetch

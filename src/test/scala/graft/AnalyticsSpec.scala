@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def subs(n: Int) =
+    (1 to n).map { i =>
+      (f"id$i%05d", i.toLong * 7 % 1000, (i * 13 % 500).toLong,
+        s"t${i % 17}", s"a${i % 29}", s"s${i % 5}",
+        if (i % 3 == 0) null else s"f${i % 11}")
+    }.toDF("idstr", "created", "score", "title", "author", "subreddit", "flair_text")
+
+  test("indexListingRanked: pos equals the global sort position") {
+    val df = subs(500)
+    for (sort <- Seq("date", "title", "score", "author", "flair")) {
+      val ranked = Analytics.indexListingRanked(df, 100L, sort)
+        .orderBy("pos").collect()
+      val listed = Analytics.indexListing(df, 100L, sort)
+        .select("idstr").as[String].collect()
+      assert(ranked.map(_.getAs[String]("idstr")).toSeq === listed.toSeq,
+        s"sort=$sort")
+      assert(ranked.map(_.getAs[Int]("pos")).toSeq === (1 to listed.length),
+        s"sort=$sort positions must be contiguous from 1")
+    }
+  }
+
+  test("indexListingRanked: no unpartitioned window over the data (scale shape)") {
+    // AQE wraps completed stages in QueryStageExec nodes that hide their
+    // subtrees from collect(); turn it off to see the full physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try Analytics.indexListingRanked(subs(500), 0L, "score")
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    // the only global window allowed is the cumulative-offset one, which
+    // runs over the per-partition count rows (one row per partition), never
+    // over listing rows — identified by its _cnt/_off bookkeeping output
+    assert(unpartitioned.forall(w =>
+      w.output.exists(a => a.name == "_off" || a.name == "_cnt")),
+      s"unpartitioned WindowExec over data rows:\n$plan")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "per-partition local rank window missing")
+  }
+
+  test("indexListingRanked: ranks stay correct across many partitions") {
+    val big = subs(5000).repartition(7)   // force several range partitions
+    val ranked = Analytics.indexListingRanked(big, 0L, "date")
+    assert(ranked.count() === 5000)
+    val positions = ranked.select("pos").as[Int].collect().sorted
+    assert(positions.toSeq === (1 to 5000))
+    // spot-check global ordering property: pos order == key order
+    val rows = ranked.orderBy("pos")
+      .select("created", "idstr").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === rows.sortBy(identity).toSeq)
+  }
+
+  test("unknown sort keys raise a useful error, not MatchError") {
+    val e = intercept[IllegalArgumentException] {
+      Analytics.indexListing(subs(5), 0L, "nope").collect()
+    }
+    assert(e.getMessage.contains("valid:"))
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.breakdownSorted(subs(5).withColumnRenamed("idstr", "name")
+        .withColumn("n_submissions", lit(1L))
+        .withColumn("n_comments", lit(1L))
+        .withColumn("total", lit(2L)), "nope")
+    }
+    assert(e2.getMessage.contains("valid:"))
+  }
+}
