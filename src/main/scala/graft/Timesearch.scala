@@ -92,10 +92,10 @@ object Timesearch {
     import org.apache.spark.sql.functions.lit
     mine.submissions.merge(
       Merge.mergeDb(mine.submissions.current, other.submissions.current)
-        .withColumn("_seq", lit(0L)), "_seq", storeEdits = false)
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
     mine.comments.merge(
       Merge.mergeDb(mine.comments.current, other.comments.current)
-        .withColumn("_seq", lit(0L)), "_seq", storeEdits = false)
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
   }
 
   /** livestream: a comment-shaped stream upserted every trigger. */

@@ -237,7 +237,7 @@ object TimesearchQueries {
       // seed batch has unique keys → no CDC possible; storeEdits=false
       // skips the second execution of the merge DAG for the edits write
       table.merge(oldComments(s, dir).withColumn("_seq", col("idint")), "_seq",
-        storeEdits = false)
+        storeEdits = Some(false))
       val stream = s.readStream.schema(batch.schema).parquet(src)
       val q = Livestream.upsertSink(stream, table,
         tmp.resolve("ckp").toString, Trigger.AvailableNow()).start()

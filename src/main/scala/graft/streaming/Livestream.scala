@@ -2,7 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
@@ -28,25 +29,113 @@ object Livestream {
     * reference ↔ one table directory per target here. Single-writer per
     * table (the reference's one-process contract); readers are lock-free.
     *
+    * ==Partition-pruned incremental merge==
+    *
+    * With `partitioning` set, each version directory holds ONLY the
+    * partitions the batch touched (`v=N/pt=X/…`), and a per-version
+    * manifest (`_manifest/m=N`) maps every live partition to the version
+    * that last rewrote it. A merge then:
+    *   1. derives the touched-partition set from the batch (a
+    *      driver-side distinct over at most |partitions| values — bounded
+    *      by the batch, not the table);
+    *   2. reads ONLY those partitions' current data (manifest-pruned
+    *      scan), merges the batch in, and writes just those partitions
+    *      under `v=N+1`;
+    *   3. publishes manifest = previous manifest ++ (touched → N+1), then
+    *      moves the `_VERSION` pointer (still the single commit point).
+    * Untouched partitions are carried BY REFERENCE — their files are the
+    * same physical files across versions, so a 30 s micro-batch against a
+    * 100 TB table pays |touched partitions|, not a table rewrite. This is
+    * the reference's per-row-upsert cost model (tsdb.py:389-509 touches
+    * only affected rows) re-expressed at partition granularity.
+    *
+    * The partition expression must be DETERMINISTIC AND STABLE PER KEY
+    * (the same `idstr` always lands in the same partition) — otherwise a
+    * key could appear in two partitions and the pruned read would miss its
+    * old row. [[Livestream.keyBucket]] (hash-bucket of the key) satisfies
+    * this by construction and is the scale default; an archive-target
+    * column (`subreddit`) satisfies it under the reference's semantics
+    * (a row never changes target).
+    *
     * @param outputPartitions cap on files per published version — for
     *        SMALL targets (a single subreddit's table) where the default
     *        shuffle parallelism would write hundreds of tiny files; leave
-    *        None at scale and let the shuffle partitioning flow through. */
+    *        None at scale and let the shuffle partitioning flow through.
+    * @param partitioning key-stable partition expression (see above);
+    *        None = legacy full-rewrite layout. */
   final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
-      emptyLike: DataFrame, outputPartitions: Option[Int] = None) {
+      emptyLike: DataFrame, outputPartitions: Option[Int] = None,
+      partitioning: Option[Column] = None) {
     private val ptr = Paths.get(path, "_VERSION")
+    private val PartCol = "pt"
 
     def currentVersion: Long =
       if (Files.exists(ptr)) new String(Files.readAllBytes(ptr)).trim.toLong else -1L
 
     def current: DataFrame = at(currentVersion)
 
+    /** Partition value as an escaped, path/manifest-safe string. */
+    private def ptCol(e: Column): Column =
+      coalesce(e.cast("string"), lit("_null_"))
+
+    /** The manifest of a version: live partition value → version that last
+      * rewrote it. Values are stored path-escaped (one `v<TAB>pt` line per
+      * partition), so the manifest line format and the directory name
+      * agree byte-for-byte. */
+    def manifest(version: Long): Map[String, Long] = {
+      val f = Paths.get(path, "_manifest", s"m=$version")
+      if (version < 0 || !Files.exists(f)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          line.substring(i + 1) -> line.substring(0, i).toLong
+        }.toMap
+      }
+    }
+
+    private def writeManifest(version: Long, m: Map[String, Long]): Unit = {
+      val dir = Paths.get(path, "_manifest")
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(s"m=$version.tmp")
+      Files.write(tmp, m.toSeq.sortBy(_._1)
+        .map { case (pt, v) => s"$v\t$pt" }.mkString("\n").getBytes)
+      Files.move(tmp, dir.resolve(s"m=$version"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** Leaf directory of one partition in one version. */
+    private def leaf(v: Long, escapedPt: String) =
+      Paths.get(path, s"v=$v", s"$PartCol=$escapedPt")
+
+    /** Read a set of (escapedPt → version) partitions as one frame.
+      * `basePath` recovers the `v`/`pt` directory levels as columns, which
+      * are bookkeeping and dropped — data files carry the entity columns. */
+    private def readParts(m: Map[String, Long]): DataFrame =
+      if (m.isEmpty) emptyLike.limit(0)
+      else spark.read.option("basePath", path)
+        .parquet(m.toSeq.map { case (pt, v) => leaf(v, pt).toString }: _*)
+        .drop("v", PartCol)
+
     /** Time travel: read a specific published version (−1 or a vacuumed
       * version yields the empty frame). */
-    def at(version: Long): DataFrame =
-      if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
-        emptyLike.limit(0)
-      else spark.read.parquet(s"$path/v=$version")
+    def at(version: Long): DataFrame = partitioning match {
+      case Some(_) => readParts(manifest(version))
+      case None =>
+        if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
+          emptyLike.limit(0)
+        else spark.read.parquet(s"$path/v=$version")
+    }
+
+    /** Pruned read of ONE partition value (e.g. one archive target): only
+      * that partition's files are listed — the partition analog of the
+      * reference's open-one-SQLite-file access path. */
+    def partition(value: String): DataFrame = partitioning match {
+      case Some(_) =>
+        val pt = ExternalCatalogUtils.escapePathName(value)
+        readParts(manifest(currentVersion).view.filterKeys(_ == pt).toMap)
+      case None => current.filter(ptCol(lit(value)) === lit(value))   // degenerate
+    }
 
     private def emptyEdits: DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -66,51 +155,217 @@ object Livestream {
         .drop("ev")
     }
 
-    /** Drop table versions older than the `keep` most recent published
-      * ones (each merge rewrites the FULL table, so old versions are pure
-      * storage overhead). The CDC log is history and is never vacuumed —
-      * the reference's edits tables are permanent (tsdb.py:88-99). */
+    /** Drop data no kept version references. Unpartitioned: version dirs
+      * older than the `keep` most recent. Partitioned: a LEAF dir
+      * `v=K/pt=X` survives as long as any kept manifest still points at it
+      * (untouched partitions are carried by reference across versions, so
+      * age alone never dooms a leaf). The CDC log is history and is never
+      * vacuumed — the reference's edits tables are permanent
+      * (tsdb.py:88-99). */
     def vacuum(keep: Int = 2): Unit = {
       require(keep >= 1)
       val cur = currentVersion
       if (cur < 0) return
       val cutoff = cur - (keep - 1)
-      val s = Files.list(Paths.get(path))
-      val doomed = try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
+      import scala.jdk.CollectionConverters._
+      def versionDirs(): List[java.nio.file.Path] = {
+        val s = Files.list(Paths.get(path))
+        try s.iterator().asScala
           .filter(_.getFileName.toString.startsWith("v="))
-          .filter(_.getFileName.toString.drop(2).toLong < cutoff)
           .toList
-      } finally s.close()
-      doomed.foreach { d =>
+        finally s.close()
+      }
+      def deleteTree(d: java.nio.file.Path): Unit = {
         val files = Files.walk(d)
         try files.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
         finally files.close()
       }
+      partitioning match {
+        case None =>
+          versionDirs()
+            .filter(_.getFileName.toString.drop(2).toLong < cutoff)
+            .foreach(deleteTree)
+        case Some(_) =>
+          val live: Set[(Long, String)] = (cutoff to cur).flatMap { v =>
+            manifest(v).map { case (pt, mv) => (mv, pt) }
+          }.toSet
+          versionDirs().foreach { vd =>
+            val v = vd.getFileName.toString.drop(2).toLong
+            def leaves(): List[java.nio.file.Path] = {
+              val s = Files.list(vd)
+              try s.iterator().asScala.toList
+                .filter(_.getFileName.toString.startsWith(s"$PartCol="))
+              finally s.close()
+            }
+            leaves().foreach { ld =>
+              val pt = ld.getFileName.toString.drop(PartCol.length + 1)
+              if (!live.contains((v, pt))) deleteTree(ld)
+            }
+            // no live partition leaves left → the version dir (and its
+            // _SUCCESS-style markers) is dead weight
+            if (leaves().isEmpty) deleteTree(vd)
+          }
+          val mdir = Paths.get(path, "_manifest")
+          if (Files.exists(mdir)) {
+            val ms = Files.list(mdir)
+            try ms.iterator().asScala.toList
+              .filter { p =>
+                val n = p.getFileName.toString
+                n.startsWith("m=") && !n.endsWith(".tmp") &&
+                  n.drop(2).toLong < cutoff
+              }
+              .foreach(Files.delete)
+            finally ms.close()
+          }
+      }
     }
+
+    // ==== per-archive config KV (tsdb.py:46-49, 204-215) ================
+
+    private val cfgFile = Paths.get(path, "_config")
+
+    /** The persisted per-archive key/value surface (the reference's
+      * `config` table — `store_edits`, schema version, …). Driver-side
+      * metadata, a handful of keys: a properties file with atomic rename,
+      * not a Spark table. */
+    def config: Map[String, String] =
+      if (!Files.exists(cfgFile)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(cfgFile).asScala.filter(_.contains('='))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+          .toMap
+      }
+
+    def setConfig(key: String, value: String): Unit = {
+      require(!key.contains('=') && !key.contains('\n') && !value.contains('\n'))
+      val m = config + (key -> value)
+      val tmp = Paths.get(path, "_config.tmp")
+      Files.createDirectories(Paths.get(path))
+      Files.write(tmp, m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes)
+      Files.move(tmp, cfgFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** `store_edits` from the archive config (tsdb.py:204-215); defaults
+      * true like the reference's fresh databases. */
+    def storeEditsEnabled: Boolean =
+      config.get("store_edits").forall(_.toBoolean)
+
+    // ==== merge =========================================================
 
     /** Merge one batch and atomically publish the next version.
       *
-      * Retry-idempotent (T3): the table overwrites `v=N+1` and the edit
-      * batch overwrites `edits/ev=N+1`; both only become visible when the
-      * version pointer moves, which happens last — a foreachBatch replay
-      * after a mid-merge crash rewrites the same staging dirs instead of
-      * appending duplicate CDC rows. */
-    def merge(batch: DataFrame, seqCol: String, storeEdits: Boolean = true): Unit = {
+      * Retry-idempotent (T3): the table overwrites `v=N+1` (partitioned:
+      * only the touched partitions under it) and the edit batch overwrites
+      * `edits/ev=N+1`; all of it only becomes visible when the version
+      * pointer moves, which happens last — a foreachBatch replay after a
+      * mid-merge crash rewrites the same staging dirs instead of appending
+      * duplicate CDC rows.
+      *
+      * @param storeEdits explicit CDC override; None (the default) follows
+      *        the archive's persisted `store_edits` config. */
+    def merge(batch: DataFrame, seqCol: String,
+        storeEdits: Option[Boolean] = None): Unit = {
+      val cdc = storeEdits.getOrElse(storeEditsEnabled)
       val next = currentVersion + 1
-      val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = storeEdits)
-      val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
-      out.write.mode("overwrite").parquet(s"$path/v=$next")
-      if (storeEdits)
-        r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+      partitioning match {
+        case None =>
+          val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = cdc)
+          val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
+          out.write.mode("overwrite").parquet(s"$path/v=$next")
+          if (cdc)
+            r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+          publish(next)
+
+        case Some(pexpr) =>
+          // Touched-partition set: a driver-side distinct over the batch's
+          // partition VALUES — |result| is bounded by the batch (micro-
+          // batches touch a handful of targets / key buckets), never by
+          // the table. The escaped form is both the dir name and the
+          // manifest key.
+          val withPt = batch.withColumn(PartCol, ptCol(pexpr))
+          val touched = withPt.select(PartCol).distinct().collect()
+            .map(r => ExternalCatalogUtils.escapePathName(r.getString(0)))
+            .toSet
+          if (touched.isEmpty) return   // empty batch: nothing to publish
+          val prev = manifest(currentVersion)
+          // Pruned read: only the partitions this batch touches.
+          val existing = readParts(prev.view.filterKeys(touched).toMap)
+          val r = Merge.upsert(existing, batch, entity, seqCol, storeEdits = cdc)
+          val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
+          // Re-derive pt from the MERGED rows (key-stable expression ⇒
+          // still inside the touched set) and fan files out per partition:
+          // graft.sources.Store.writePartitioned is this same shape for
+          // flat stores.
+          out.withColumn(PartCol, ptCol(pexpr))
+            .write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$path/v=$next")
+          if (cdc)
+            r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+          writeManifest(next, prev ++ touched.map(_ -> next))
+          publish(next)
+      }
+    }
+
+    /** OPTIMIZE-style compaction: rewrite partitions (or the whole table,
+      * unpartitioned) whose file count exceeds `maxFiles` into coalesced
+      * files under a NEW version — data is byte-equal, only layout
+      * changes; readers never see a half-compacted table because the
+      * pointer moves last. Complements [[vacuum]], which then reclaims the
+      * superseded originals. */
+    def optimize(maxFiles: Int = 1): Unit = {
+      require(maxFiles >= 1)
+      val cur = currentVersion
+      if (cur < 0) return
+      val next = cur + 1
+      def parquetCount(d: java.nio.file.Path): Int = {
+        if (!Files.exists(d)) return 0
+        import scala.jdk.CollectionConverters._
+        val s = Files.list(d)
+        try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      partitioning match {
+        case None =>
+          if (parquetCount(Paths.get(path, s"v=$cur")) <= maxFiles) return
+          at(cur).coalesce(maxFiles).write.mode("overwrite")
+            .parquet(s"$path/v=$next")
+          publish(next)
+        case Some(_) =>
+          val prev = manifest(cur)
+          val oversized = prev.filter { case (pt, v) =>
+            parquetCount(leaf(v, pt)) > maxFiles
+          }
+          if (oversized.isEmpty) return
+          // rewrite each oversized partition coalesced, addressed by its
+          // manifest key — no re-derivation of the partition expression
+          oversized.foreach { case (pt, v) =>
+            spark.read.parquet(leaf(v, pt).toString).coalesce(maxFiles)
+              .write.mode("overwrite").parquet(leaf(next, pt).toString)
+          }
+          writeManifest(next, prev ++ oversized.keys.map(_ -> next))
+          publish(next)
+      }
+    }
+
+    private def publish(version: Long): Unit = {
       val tmp = Paths.get(path, "_VERSION.tmp")
-      Files.write(tmp, next.toString.getBytes)
+      Files.write(tmp, version.toString.getBytes)
       Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
   }
+
+  /** The default key-stable partition expression for [[UpsertTable]]:
+    * `nBuckets` hash buckets of the row key. Stable per key by
+    * construction, so the pruned merge read can never miss a key's old
+    * row; a micro-batch of B rows touches ≤ B buckets out of `nBuckets`,
+    * which is the merge's whole write cost. */
+  def keyBucket(keyColName: String = "idstr", nBuckets: Int = 64): Column =
+    pmod(xxhash64(col(keyColName)), lit(nBuckets))
 
   /** Wire a streaming DataFrame into the upsert table. Each micro-batch
     * gets a monotone `_seq` from (batchId, input order) so within-batch

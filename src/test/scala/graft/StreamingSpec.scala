@@ -121,6 +121,174 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.edits.count() === 2)            // CDC history intact
   }
 
+  // ==== partition-pruned incremental merge ============================
+
+  private def listLeafFiles(dir: java.nio.file.Path): Set[String] = {
+    if (!Files.exists(dir)) return Set.empty
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toSet
+    } finally s.close()
+  }
+
+  private def cSub(id: Long, sub: String, body: String, score: Long) =
+    C(id, s"t1_$id", id, s"u$id", "t3_r", "t3_r", body, score, sub, null, body.length.toLong)
+
+  test("partitioned merge rewrites only touched partitions; untouched files are identical") {
+    val dir = tmp("ptbl")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    // v=0: two targets
+    table.merge(Seq(cSub(1, "aa", "a1", 1), cSub(2, "bb", "b1", 1)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq")
+    assert(table.manifest(0) === Map("aa" -> 0L, "bb" -> 0L))
+    val bbFilesV0 = listLeafFiles(java.nio.file.Paths.get(dir, "v=0", "pt=bb"))
+    assert(bbFilesV0.nonEmpty)
+    // v=1: batch touches only target aa
+    table.merge(Seq(cSub(1, "aa", "a2", 2), cSub(3, "aa", "a3", 1)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq")
+    // manifest: aa rewritten at 1, bb still referenced AT VERSION 0
+    assert(table.manifest(1) === Map("aa" -> 1L, "bb" -> 0L))
+    // v=1 contains ONLY the touched partition
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "v=1", "pt=bb")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "v=1", "pt=aa")))
+    // the untouched target's files are the SAME physical files (stronger
+    // than byte-identical: carried by reference, zero write amplification)
+    assert(listLeafFiles(java.nio.file.Paths.get(dir, "v=0", "pt=bb")) === bbFilesV0)
+    // merged state is correct across both partitions
+    val rows = table.current.collect()
+      .map(r => r.getAs[String]("idstr") -> r.getAs[String]("body")).toMap
+    assert(rows === Map("t1_1" -> "a2", "t1_2" -> "b1", "t1_3" -> "a3"))
+    // pruned single-partition read
+    assert(table.partition("bb").collect().map(_.getAs[String]("idstr")).toSeq
+      === Seq("t1_2"))
+  }
+
+  test("partitioned (keyBucket) merge state equals the flat full-rewrite merge") {
+    val flat = new Livestream.UpsertTable(spark, tmp("flat"), Merge.comments,
+      Seq.empty[C].toDF())
+    val parted = new Livestream.UpsertTable(spark, tmp("part"), Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    val b1 = (1L to 20L).map(i => c(i, s"v$i", i)).toDF()
+      .withColumn("_seq", lit(0L))
+    val b2 = (10L to 30L).map(i => c(i, s"w$i", i * 2)).toDF()
+      .withColumn("_seq", lit(1L))
+    Seq(flat, parted).foreach { t => t.merge(b1, "_seq"); t.merge(b2, "_seq") }
+    val f = flat.current.orderBy("idstr").collect().toSeq
+    val p = parted.current.select(flat.current.columns.map(col): _*)
+      .orderBy("idstr").collect().toSeq
+    assert(p === f)
+    // replaced_at defaults to wall-clock now() — compare the stable columns
+    assert(flat.edits.select("idstr", "previous_body").orderBy("idstr").collect().toSeq
+      === parted.edits.select("idstr", "previous_body").orderBy("idstr").collect().toSeq)
+  }
+
+  test("partitioned merge batch-boundary invariance: one batch == two batches") {
+    val one = new Livestream.UpsertTable(spark, tmp("pb1"), Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    val two = new Livestream.UpsertTable(spark, tmp("pb2"), Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    val rows = (1L to 12L).map(i => c(i, s"v$i", i))
+    val edits = (1L to 12L).filter(_ % 3 == 0).map(i => c(i, s"e$i", i + 100))
+    one.merge((rows ++ edits).toDF()
+      .withColumn("_seq", monotonically_increasing_id()), "_seq")
+    two.merge(rows.toDF().withColumn("_seq", monotonically_increasing_id()), "_seq")
+    two.merge(edits.toDF().withColumn("_seq", monotonically_increasing_id()), "_seq")
+    assert(one.current.orderBy("idstr").collect().toSeq
+      === two.current.orderBy("idstr").collect().toSeq)
+  }
+
+  test("partitioned crash-replay: staged partitions invisible, replay overwrites") {
+    val dir = tmp("ptbl2")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    table.merge(Seq(cSub(1, "aa", "a1", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    val editBatch = Seq(cSub(1, "aa", "a2", 2)).toDF().withColumn("_seq", lit(0L))
+    table.merge(editBatch, "_seq")
+    assert(table.edits.count() === 1)
+    // crash between stage write and pointer move: roll the pointer back
+    Files.writeString(java.nio.file.Paths.get(dir, "_VERSION"), "0")
+    assert(table.current.head.getAs[String]("body") === "a1")   // v=1 invisible
+    assert(table.edits.count() === 0)
+    table.merge(editBatch, "_seq")                              // replay
+    assert(table.current.head.getAs[String]("body") === "a2")
+    assert(table.edits.count() === 1)
+  }
+
+  test("partitioned vacuum keeps leaves still referenced by kept manifests") {
+    val dir = tmp("ptbl3")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    table.merge(Seq(cSub(1, "aa", "a1", 1), cSub(2, "bb", "b1", 1)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq")                     // v=0: aa, bb
+    table.merge(Seq(cSub(1, "aa", "a2", 2)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq")                     // v=1: aa
+    table.merge(Seq(cSub(1, "aa", "a3", 3)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq")                     // v=2: aa
+    table.vacuum(keep = 1)
+    // v=0/pt=aa superseded twice over → gone; v=0/pt=bb still live → kept
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "v=0", "pt=aa")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "v=0", "pt=bb")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "v=1")))  // fully superseded
+    val rows = table.current.collect()
+      .map(r => r.getAs[String]("idstr") -> r.getAs[String]("body")).toMap
+    assert(rows === Map("t1_1" -> "a3", "t1_2" -> "b1"))
+    assert(table.edits.count() === 2)                           // CDC intact
+  }
+
+  test("optimize compacts many files into few, preserving data (flat + partitioned)") {
+    // seed with AQE partition-coalescing off so the merge writes several
+    // small files — the fragmentation optimize exists to fix
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val flat = new Livestream.UpsertTable(spark, tmp("opt1"), Merge.comments,
+      Seq.empty[C].toDF())
+    val parted = new Livestream.UpsertTable(spark, tmp("opt2"), Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    try {
+      flat.merge((1L to 40L).map(i => c(i, s"v$i", i)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq")
+      parted.merge((1L to 40L).map(i => cSub(i, s"s${i % 2}", s"v$i", i)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val before = flat.current.inputFiles.length
+    assert(before > 1)
+    val data = flat.current.orderBy("idstr").collect().toSeq
+    flat.optimize(maxFiles = 1)
+    assert(flat.current.inputFiles.length === 1)
+    assert(flat.current.orderBy("idstr").collect().toSeq === data)
+    // partitioned table: each oversized partition compacts; manifest advances
+    val pBefore = parted.current.inputFiles.length
+    assert(pBefore > 2)
+    val pData = parted.current.orderBy("idstr").collect().toSeq
+    parted.optimize(maxFiles = 1)
+    assert(parted.current.inputFiles.length === 2)   // one file per partition
+    assert(parted.current.orderBy("idstr").collect().toSeq === pData)
+    // idempotent: nothing left oversized → no new version
+    val v = parted.currentVersion
+    parted.optimize(maxFiles = 1)
+    assert(parted.currentVersion === v)
+  }
+
+  test("config KV persists across reopen; store_edits toggles CDC") {
+    val dir = tmp("cfg")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF())
+    assert(table.storeEditsEnabled)                  // reference default: on
+    table.setConfig("store_edits", "false")
+    table.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    table.merge(Seq(c(1, "b", 2)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    assert(table.edits.count() === 0)                // CDC suppressed by config
+    table.setConfig("store_edits", "true")
+    table.merge(Seq(c(1, "d", 3)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    assert(table.edits.count() === 1)                // CDC back on
+    // reopened handle sees the same persisted config
+    val reopened = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF())
+    assert(reopened.config === Map("store_edits" -> "true"))
+  }
+
   test("T2 batch cap keeps the newest rows") {
     val capped = Livestream.capBatch(
       Seq(c(1, "a", 1), c(2, "b", 2), c(3, "c", 3)).toDF(), "created", 2)
