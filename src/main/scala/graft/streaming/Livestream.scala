@@ -68,9 +68,31 @@ object Livestream {
       partitioning: Option[Column] = None) {
     private val ptr = Paths.get(path, "_VERSION")
     private val PartCol = "pt"
+    private val PartKey = "partitioning"
 
     def currentVersion: Long =
       if (Files.exists(ptr)) new String(Files.readAllBytes(ptr)).trim.toLong else -1L
+
+    /** Canonical string form of the partitioning layout, persisted in the
+      * archive `_config` on first publish and REQUIRED to match on every
+      * later open: the manifest format, directory layout, and the pruned
+      * merge read all assume one stable key→partition mapping, so reopening
+      * a partitioned table unpartitioned (or with a different expression /
+      * bucket count) would silently drop carried-by-reference partitions or
+      * duplicate keys. The expression's canonical string form is the
+      * descriptor — deterministic for a deterministic expression tree. */
+    private def partitioningDescriptor: String =
+      partitioning.map(_.toString).getOrElse("none")
+
+    /** Fails fast on a layout mismatch instead of returning wrong data. */
+    private def validatePartitioning(): Unit =
+      config.get(PartKey).foreach { stored =>
+        val mine = partitioningDescriptor
+        require(stored == mine,
+          s"UpsertTable at $path was published with partitioning '$stored' " +
+            s"but reopened with '$mine'; reopen with the original partition " +
+            "expression (the layout is fixed at first publish)")
+      }
 
     def current: DataFrame = at(currentVersion)
 
@@ -87,10 +109,14 @@ object Livestream {
       if (version < 0 || !Files.exists(f)) Map.empty
       else {
         import scala.jdk.CollectionConverters._
-        Files.readAllLines(f).asScala.filter(_.nonEmpty).map { line =>
-          val i = line.indexOf('\t')
-          line.substring(i + 1) -> line.substring(0, i).toLong
-        }.toMap
+        // skip malformed (tab-less) lines defensively: a torn write on a
+        // filesystem without atomic rename must not throw from every read
+        Files.readAllLines(f).asScala
+          .filter(l => l.nonEmpty && l.indexOf('\t') > 0)
+          .map { line =>
+            val i = line.indexOf('\t')
+            line.substring(i + 1) -> line.substring(0, i).toLong
+          }.toMap
       }
     }
 
@@ -101,7 +127,7 @@ object Livestream {
       Files.write(tmp, m.toSeq.sortBy(_._1)
         .map { case (pt, v) => s"$v\t$pt" }.mkString("\n").getBytes)
       Files.move(tmp, dir.resolve(s"m=$version"),
-        StandardCopyOption.REPLACE_EXISTING)
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
 
     /** Leaf directory of one partition in one version. */
@@ -119,12 +145,15 @@ object Livestream {
 
     /** Time travel: read a specific published version (−1 or a vacuumed
       * version yields the empty frame). */
-    def at(version: Long): DataFrame = partitioning match {
-      case Some(_) => readParts(manifest(version))
-      case None =>
-        if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
-          emptyLike.limit(0)
-        else spark.read.parquet(s"$path/v=$version")
+    def at(version: Long): DataFrame = {
+      validatePartitioning()
+      partitioning match {
+        case Some(_) => readParts(manifest(version))
+        case None =>
+          if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
+            emptyLike.limit(0)
+          else spark.read.parquet(s"$path/v=$version")
+      }
     }
 
     /** Pruned read of ONE partition value (e.g. one archive target): only
@@ -132,9 +161,13 @@ object Livestream {
       * reference's open-one-SQLite-file access path. */
     def partition(value: String): DataFrame = partitioning match {
       case Some(_) =>
+        validatePartitioning()
         val pt = ExternalCatalogUtils.escapePathName(value)
         readParts(manifest(currentVersion).view.filterKeys(_ == pt).toMap)
-      case None => current.filter(ptCol(lit(value)) === lit(value))   // degenerate
+      case None => throw new UnsupportedOperationException(
+        s"UpsertTable at $path is unpartitioned: partition($value) has no " +
+          "pruned access path — read `current` and filter, or publish with " +
+          "a partitioning expression")
     }
 
     private def emptyEdits: DataFrame = spark.createDataFrame(
@@ -250,9 +283,13 @@ object Livestream {
     }
 
     /** `store_edits` from the archive config (tsdb.py:204-215); defaults
-      * true like the reference's fresh databases. */
+      * true like the reference's fresh databases. Parsed defensively: only
+      * an explicit falsy value disables CDC — a hand-edited or foreign
+      * value ("1", "yes", garbage) degrades to the default instead of
+      * throwing from every merge. */
     def storeEditsEnabled: Boolean =
-      config.get("store_edits").forall(_.toBoolean)
+      config.get("store_edits")
+        .forall(v => !Set("false", "0", "no", "off").contains(v.trim.toLowerCase))
 
     // ==== merge =========================================================
 
@@ -269,8 +306,12 @@ object Livestream {
       *        the archive's persisted `store_edits` config. */
     def merge(batch: DataFrame, seqCol: String,
         storeEdits: Option[Boolean] = None): Unit = {
+      validatePartitioning()
       val cdc = storeEdits.getOrElse(storeEditsEnabled)
       val next = currentVersion + 1
+      // Pin the layout in the archive config before the first publish so
+      // every later open is validated against it (see validatePartitioning).
+      if (config.get(PartKey).isEmpty) setConfig(PartKey, partitioningDescriptor)
       partitioning match {
         case None =>
           val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = cdc)
@@ -318,6 +359,7 @@ object Livestream {
       * superseded originals. */
     def optimize(maxFiles: Int = 1): Unit = {
       require(maxFiles >= 1)
+      validatePartitioning()
       val cur = currentVersion
       if (cur < 0) return
       val next = cur + 1

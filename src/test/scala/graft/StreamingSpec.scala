@@ -283,10 +283,72 @@ class StreamingSpec extends AnyFunSuite {
     table.setConfig("store_edits", "true")
     table.merge(Seq(c(1, "d", 3)).toDF().withColumn("_seq", lit(0L)), "_seq")
     assert(table.edits.count() === 1)                // CDC back on
-    // reopened handle sees the same persisted config
+    // reopened handle sees the same persisted config (merge also pins the
+    // partitioning descriptor on first publish)
     val reopened = new Livestream.UpsertTable(spark, dir, Merge.comments,
       Seq.empty[C].toDF())
-    assert(reopened.config === Map("store_edits" -> "true"))
+    assert(reopened.config === Map("store_edits" -> "true", "partitioning" -> "none"))
+  }
+
+  test("store_edits parses defensively: foreign values degrade to default") {
+    val table = new Livestream.UpsertTable(spark, tmp("cfg2"), Merge.comments,
+      Seq.empty[C].toDF())
+    for (v <- Seq("1", "yes", "TRUE", "garbage")) {
+      table.setConfig("store_edits", v)
+      assert(table.storeEditsEnabled, s"'$v' should not disable CDC")
+    }
+    for (v <- Seq("false", "FALSE", "0", "no", "off", " False "))  {
+      table.setConfig("store_edits", v)
+      assert(!table.storeEditsEnabled, s"'$v' should disable CDC")
+    }
+  }
+
+  test("partitioning descriptor is pinned at first publish; mismatched reopen fails fast") {
+    val dir = tmp("pin")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    table.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    // same expression → reopen reads fine
+    val same = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    assert(same.current.count() === 1)
+    // reopened UNPARTITIONED: at()/merge() must throw, not read v=N directly
+    val asFlat = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF())
+    intercept[IllegalArgumentException](asFlat.current)
+    intercept[IllegalArgumentException](
+      asFlat.merge(Seq(c(2, "b", 1)).toDF().withColumn("_seq", lit(0L)), "_seq"))
+    // reopened with a DIFFERENT bucket count: pruned read would miss keys
+    val rebucketed = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    intercept[IllegalArgumentException](rebucketed.current)
+    // and the flat table refuses a partitioned reopen symmetrically
+    val flatDir = tmp("pinflat")
+    val flat = new Livestream.UpsertTable(spark, flatDir, Merge.comments,
+      Seq.empty[C].toDF())
+    flat.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    val asParted = new Livestream.UpsertTable(spark, flatDir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    intercept[IllegalArgumentException](asParted.current)
+  }
+
+  test("partition() on an unpartitioned table throws instead of returning all rows") {
+    val table = new Livestream.UpsertTable(spark, tmp("nopart"), Merge.comments,
+      Seq.empty[C].toDF())
+    table.merge(Seq(c(1, "a", 1), c(2, "b", 2)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq")
+    intercept[UnsupportedOperationException](table.partition("sub"))
+  }
+
+  test("manifest read skips malformed (tab-less) lines from a torn write") {
+    val dir = tmp("torn")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    table.merge(Seq(cSub(1, "aa", "a1", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    val m = java.nio.file.Paths.get(dir, "_manifest", "m=0")
+    Files.writeString(m, Files.readString(m) + "\n0")   // truncated trailing line
+    assert(table.manifest(0) === Map("aa" -> 0L))       // parses, skips the torn line
+    assert(table.current.count() === 1)
   }
 
   test("T2 batch cap keeps the newest rows") {
