@@ -88,10 +88,19 @@ object Analytics {
     * deterministic regardless of partitioning. */
   def indexListingRanked(table: DataFrame, threshold: Long, sort: String): DataFrame = {
     val keys = indexSortKeys(sort) :+ col("idstr").asc
-    val ranged = table.filter(col("score") >= threshold)
+    val shuffled = table.filter(col("score") >= threshold)
       .repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .withColumn("_pid", spark_partition_id())
+    // Correctness requires offsets and ranks to see the SAME partition-id
+    // assignment. With exchange reuse on, both consumers hang off one
+    // Exchange node (asserted by the plan-shape spec); with it off, each
+    // consumer would re-execute the range exchange and RangePartitioner
+    // would resample boundaries independently — so share one physical
+    // materialization instead of relying on plan-level dedup.
+    val reuseOn = table.sparkSession.conf
+      .get("spark.sql.exchange.reuse", "true").toBoolean
+    val ranged = if (reuseOn) shuffled else shuffled.localCheckpoint()
     val offsets = ranged.groupBy("_pid")
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(

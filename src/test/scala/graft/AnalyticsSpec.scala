@@ -65,6 +65,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.toSeq === rows.sortBy(identity).toSeq)
   }
 
+  test("indexListingRanked: correct with exchange reuse disabled and AQE variants") {
+    // With spark.sql.exchange.reuse=false the two consumers of the range
+    // exchange would each re-execute it, and RangePartitioner resamples
+    // boundaries per execution — offsets computed against one partition-id
+    // assignment would be applied to another. The operator guards this by
+    // sharing one materialization; assert positions stay a permutation of
+    // the global sort order under every config combination.
+    val df = subs(1200).repartition(5)
+    val expected = Analytics.indexListing(df, 100L, "score")
+      .select("idstr").as[String].collect().toSeq
+    for (reuse <- Seq("true", "false"); aqe <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.exchange.reuse", reuse)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      try {
+        val ranked = Analytics.indexListingRanked(df, 100L, "score")
+          .orderBy("pos").collect()
+        assert(ranked.map(_.getAs[Int]("pos")).toSeq === (1 to expected.length),
+          s"reuse=$reuse aqe=$aqe")
+        assert(ranked.map(_.getAs[String]("idstr")).toSeq === expected,
+          s"reuse=$reuse aqe=$aqe")
+      } finally {
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
+  }
+
   test("unknown sort keys raise a useful error, not MatchError") {
     val e = intercept[IllegalArgumentException] {
       Analytics.indexListing(subs(5), 0L, "nope").collect()
