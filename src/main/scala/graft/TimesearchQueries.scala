@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Analytics, Merge, Normalize, Trees}
+import graft.sources.Ndjson
 import graft.streaming.Livestream
 
 /** Timesearch-semantics operators (SURVEY.md §2 ingest/store/analytics)
@@ -81,6 +82,62 @@ object TimesearchQueries {
       col("o_custkey").cast("string").as("author"),
       col("o_orderstatus").as("subreddit"),
       nullif(col("o_orderpriority"), lit("1-URGENT")).as("flair_text"))
+
+  /** Write the deterministic NDJSON fixture for `q_ingest_file`: submission
+    * lines from orders, comment lines from lineitem, plus planted
+    * unclassified / corrupt / blank lines. Null struct fields are OMITTED
+    * by `to_json` (absent JSON keys, the pushshift reality), and `edited`
+    * is post-processed into a BARE false/number token to exercise the
+    * dual-typed read (tsdb.py:374-377). Path is per-sf under /tmp so the
+    * static oracle SQL can reference the sf0.01 file. */
+  private def ingestFileFixture(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = s"/tmp/graft_ingest_file/${new java.io.File(dir).getName}"
+    val k = col("o_orderkey")
+    val id = lower(conv(k.cast("string"), 10, 36))
+    val subs = Tables.load(s, dir, "orders").filter(k % 10 < 3).select(
+      to_json(struct(
+        id.as("id"),
+        when(k % 2 === 0, concat(lit("t3_"), id)).as("name"),
+        epochSec(col("o_orderdate")).as("created_utc"),
+        when(k % 7 =!= 0, concat(lit("u"), col("o_custkey"))).as("author"),
+        col("o_orderpriority").as("title"),
+        when(k % 4 === 1, concat(lit("/r/test/comments/"), id))
+          .otherwise(concat(lit("https://example.com/"), id)).as("url"),
+        when(k % 2 === 0, concat(lit("x &amp; y &lt;"), col("o_orderpriority"),
+          lit("&gt; &quot;z&#39;"))).as("selftext"),
+        when(k % 3 =!= 0, col("o_custkey").cast("long")).as("score"),
+        concat(lit("sub_"), col("o_orderstatus")).as("subreddit"),
+        when(k % 11 === 0, lit("moderator")).as("distinguished"),
+        when(k % 5 === 0, lit(true)).as("over_18"),
+        (k % 2 === 0).as("is_self"),
+        when(k % 6 === 0, (epochSec(col("o_orderdate")) + 100).cast("string"))
+          .otherwise(lit("false")).as("edited"))).as("line"))
+      .select(regexp_replace(col("line"),
+        "\"edited\":\"(false|[0-9]+)\"", "\"edited\":$1").as("line"))
+    val ck = col("l_orderkey") * 10 + col("l_linenumber")
+    val cid = lower(conv(ck.cast("string"), 10, 36))
+    val coms = Tables.load(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") % 7 === 0)
+      .select(to_json(struct(
+        cid.as("id"),
+        concat(lit("t1_"), cid).as("name"),
+        epochSec(col("l_shipdate")).as("created_utc"),
+        concat(lit("u"), col("l_suppkey")).as("author"),
+        concat(lit("b "), col("l_returnflag")).as("body"),
+        concat(lit("t3_"), lower(conv(col("l_orderkey").cast("string"), 10, 36)))
+          .as("link_id"),
+        lit("sub").as("subreddit"))).as("line"))
+    val planted = Seq(
+      "{\"title\":\"orphan parsed line\"}",   // parses; neither sub nor comment
+      "{\"id\":\"zz\",\"name\":\"t3_zz",      // corrupt: unterminated object
+      "definitely not json",                  // corrupt: not an object at all
+      ""                                      // blank: dropped, not EOF
+    ).toDF("line")
+    subs.unionByName(coms).unionByName(planted)
+      .coalesce(1).write.mode("overwrite").text(out)
+    out
+  }
 
   /** orders → raw pushshift-shaped submission rows (S1's dynamic JSON
     * surface synthesized deterministically): base-36 ids, absent fullnames,
@@ -204,6 +261,31 @@ object TimesearchQueries {
           when(k % 6 === 0, (epochSec(col("l_shipdate")) + 9).cast("string"))
             .otherwise(lit("false")).as("edited"))
       Normalize.comments(raw).orderBy("idstr")
+    }),
+
+    // S1 end-to-end over an ACTUAL .ndjson file (ingest_jsonfile.py:25-40):
+    // a deterministic dump is written to disk, then read back through
+    // Ndjson.read's pinned-schema PERMISSIVE scan — type discrimination
+    // (S2), `_corrupt_record` quarantine incl. a planted corrupt line,
+    // blank-line tolerance, and raw-JSON dual typing (`edited` as a bare
+    // false/number token) all exercised on the real JSON surface. The
+    // oracle re-reads the same file with DuckDB read_json and counts
+    // quarantined lines independently via json_valid over the raw text.
+    "q_ingest_file" -> ((s, dir) => {
+      val path = ingestFileFixture(s, dir)
+      val raw = Ndjson.read(s, path)
+      val counts = raw.agg(
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("_corrupt_record").isNull &&
+            !Ndjson.isSubmission && Ndjson.isComment, 1L).otherwise(0L))
+          .as("n_comment_rows"),
+        sum(when(col("_corrupt_record").isNull &&
+            !Ndjson.isSubmission && !Ndjson.isComment, 1L).otherwise(0L))
+          .as("n_unclassified"))
+      Normalize.submissions(Ndjson.submissionsRaw(raw))
+        .crossJoin(counts)
+        .orderBy("idstr")
     }),
 
     // J4 — submission↔comments equi-join (left outer: submissions keep a
@@ -665,6 +747,74 @@ object TimesearchQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders o
                            WHERE CAST(o.o_orderkey AS VARCHAR) = CAST(l.l_orderkey AS VARCHAR)
                              AND o.o_orderstatus = 'F')
-         ORDER BY created DESC, idstr DESC LIMIT 1"""
+         ORDER BY created DESC, idstr DESC LIMIT 1""",
+
+    // Re-reads the file q_ingest_file wrote (Verify runs first, at sf0.01).
+    // ignore_errors=true surfaces corrupt lines as all-NULL ghost rows, so
+    // parsed excludes them structurally (every real line has id or title);
+    // quarantine is counted independently from the raw text via json_valid.
+    "q_ingest_file" ->
+      """WITH lines AS (
+           SELECT unnest(string_split(content, chr(10))) AS line
+           FROM read_text('/tmp/graft_ingest_file/sf0.01/*.txt')),
+         parsed AS (
+           SELECT * FROM read_json('/tmp/graft_ingest_file/sf0.01/*.txt',
+             format='newline_delimited', ignore_errors=true,
+             columns={id:'VARCHAR', name:'VARCHAR', created_utc:'DOUBLE',
+                      author:'VARCHAR', title:'VARCHAR', url:'VARCHAR',
+                      selftext:'VARCHAR', score:'BIGINT', subreddit:'VARCHAR',
+                      distinguished:'VARCHAR', over_18:'BOOLEAN',
+                      is_self:'BOOLEAN', edited:'VARCHAR', body:'VARCHAR',
+                      parent_id:'VARCHAR', link_id:'VARCHAR'})
+           WHERE id IS NOT NULL OR title IS NOT NULL),
+         cls AS (
+           SELECT *,
+             (coalesce(starts_with(name, 't3_'), false)
+               OR over_18 IS NOT NULL) AS is_sub,
+             (coalesce(starts_with(name, 't1_'), false)
+               OR coalesce(starts_with(parent_id, 't3_'), false)
+               OR coalesce(starts_with(parent_id, 't1_'), false)
+               OR coalesce(starts_with(link_id, 't3_'), false)) AS is_com
+           FROM parsed),
+         counts AS (
+           SELECT
+             (SELECT count(*) FROM lines
+              WHERE trim(line) <> '' AND NOT json_valid(line)) AS n_quarantined,
+             count(*) FILTER (WHERE NOT is_sub AND is_com) AS n_comment_rows,
+             count(*) FILTER (WHERE NOT is_sub AND NOT is_com) AS n_unclassified
+           FROM cls),
+         u AS (
+           SELECT c.*, o.o_orderkey AS k,
+             replace(replace(replace(replace(replace(coalesce(c.selftext, ''),
+               '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&amp;','&') AS sel,
+             coalesce(c.is_self, false) AS self0
+           FROM cls c JOIN orders o ON c.id = lower(to_base(o.o_orderkey, 36))
+           WHERE c.is_sub)
+         SELECT
+           k AS idint,
+           coalesce(name, 't3_' || id) AS idstr,
+           CAST(created_utc AS BIGINT) AS created,
+           self0 AS self,
+           coalesce(over_18, false) AS nsfw,
+           coalesce(author, '[DELETED]') AS author,
+           title,
+           CASE WHEN self0 THEN NULL
+                WHEN starts_with(url, '/r/') THEN 'https://reddit.com' || url
+                ELSE url END AS url,
+           sel AS selftext,
+           coalesce(score, 0) AS score,
+           subreddit,
+           distinguished AS distinguish,
+           CAST(length(sel) AS BIGINT) AS textlen,
+           CAST(0 AS BIGINT) AS num_comments,
+           CAST(NULL AS VARCHAR) AS flair_text,
+           CAST(NULL AS VARCHAR) AS flair_css_class,
+           CAST(NULL AS BIGINT) AS augmented_at,
+           CAST(NULL AS BIGINT) AS augmented_count,
+           CASE WHEN regexp_matches(edited, '^[0-9]+(\.[0-9]+)?$')
+                THEN CAST(CAST(edited AS DOUBLE) AS BIGINT) END AS _edited,
+           counts.n_quarantined, counts.n_comment_rows, counts.n_unclassified
+         FROM u CROSS JOIN counts
+         ORDER BY idstr"""
   )
 }
