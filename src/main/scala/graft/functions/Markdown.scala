@@ -13,10 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * The reference escapes angle brackets then delegates to the python
   * `markdown` package. A full CommonMark engine is out of scope (and no
   * JVM markdown dependency is available offline), so this renders the
-  * subset that dominates reddit bodies — paragraphs, **bold**, *italic*,
+  * subset that dominates reddit bodies — paragraphs, `# headers`,
+  * `&gt;`-quoted blockquotes, `-`/`*` and `1.` lists, **bold**, *italic*,
   * `code`, [text](url) links — with the same escape-first contract.
-  * Divergence (documented, SURVEY §7.4.5): `>` escapes to the CORRECT
-  * `&gt;`, not the reference's `&rt;` typo.
+  * Because escaping runs FIRST (the reference's order too), the
+  * blockquote marker is matched in its ESCAPED form `&gt;`. Divergence
+  * (documented, SURVEY §7.4.5): `>` escapes to the CORRECT `&gt;`, not
+  * the reference's `&rt;` typo. Nested lists/quotes render flat — one
+  * level, the overwhelmingly common reddit shape.
   *
   * Pure function of its input: safe as a codegen'd Catalyst expression
   * and inside distributed render tasks.
@@ -26,23 +30,50 @@ object MarkdownLite {
   private val Link = "\\[([^\\]]+)\\]\\(([^)\\s]+)\\)".r
   private val Bold = "(?s)\\*\\*(.+?)\\*\\*".r
   private val Ital = "(?s)(?<!\\*)\\*([^*]+)\\*(?!\\*)".r
+  private val Header = "^(#{1,6})\\s+(.*)$".r
+
+  /** Inline spans — order matters: code wins over links wins over
+    * emphasis, mirroring python-markdown's span precedence. */
+  private def inline(p: String): String = {
+    var s = p
+    s = Code.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<code>${m.group(1)}</code>"))
+    s = Link.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"""<a href="${m.group(2)}">${m.group(1)}</a>"""))
+    s = Bold.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+    s = Ital.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    s
+  }
+
+  /** One blank-line-delimited block → one HTML block element. A block is
+    * a list/quote only if EVERY line carries the marker (python-markdown's
+    * lazy-continuation subtleties are out of subset). */
+  private def renderBlock(b: String): String = {
+    val lines = b.split("\n").toIndexedSeq.map(_.trim)
+    b match {
+      case Header(hashes, rest) if !b.contains("\n") =>
+        val h = hashes.length
+        s"<h$h>${inline(rest.trim)}</h$h>"
+      case _ if lines.forall(_.startsWith("&gt;")) =>
+        val inner = lines.map(_.stripPrefix("&gt;").stripPrefix(" ")).mkString("\n")
+        s"<blockquote><p>${inline(inner)}</p></blockquote>"
+      case _ if lines.forall(_.matches("^[-*]\\s+.*")) =>
+        lines.map(l => s"<li>${inline(l.replaceFirst("^[-*]\\s+", ""))}</li>")
+          .mkString("<ul>", "", "</ul>")
+      case _ if lines.forall(_.matches("^[0-9]+\\.\\s+.*")) =>
+        lines.map(l => s"<li>${inline(l.replaceFirst("^[0-9]+\\.\\s+", ""))}</li>")
+          .mkString("<ol>", "", "</ol>")
+      case _ => s"<p>${inline(b)}</p>"
+    }
+  }
 
   def render(text: String): String = {
     if (text == null) return null
     val escaped = text.replace("<", "&lt;").replace(">", "&gt;")
-    val paras = escaped.split("\n{2,}").iterator.map(_.trim).filter(_.nonEmpty)
-    paras.map { p =>
-      var s = p
-      s = Code.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<code>${m.group(1)}</code>"))
-      s = Link.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"""<a href="${m.group(2)}">${m.group(1)}</a>"""))
-      s = Bold.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
-      s = Ital.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
-      s"<p>$s</p>"
-    }.mkString("\n")
+    val blocks = escaped.split("\n{2,}").iterator.map(_.trim).filter(_.nonEmpty)
+    blocks.map(renderBlock).mkString("\n")
   }
 
   def renderUTF8(u: UTF8String): UTF8String =

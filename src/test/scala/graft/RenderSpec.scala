@@ -24,6 +24,37 @@ class RenderSpec extends AnyFunSuite {
     assert(render("<b>raw</b>") === "<p>&lt;b&gt;raw&lt;/b&gt;</p>")
   }
 
+  test("F10 markdown blocks: headers, blockquotes, lists") {
+    import graft.functions.MarkdownLite.render
+    // ATX headers, h1-h6, with inline spans
+    assert(render("# Title") === "<h1>Title</h1>")
+    assert(render("### Sub **head**") === "<h3>Sub <strong>head</strong></h3>")
+    assert(render("###### deep") === "<h6>deep</h6>")
+    assert(render("####### seven") === "<p>####### seven</p>")   // >6 → paragraph
+    assert(render("#nospace") === "<p>#nospace</p>")
+    // blockquote — matched in ESCAPED form (escape-first contract)
+    assert(render("> quoted *text*") ===
+      "<blockquote><p>quoted <em>text</em></p></blockquote>")
+    assert(render("> line one\n> line two") ===
+      "<blockquote><p>line one\nline two</p></blockquote>")
+    // mid-line > is NOT a quote
+    assert(render("5 > 3") === "<p>5 &gt; 3</p>")
+    // unordered lists, - and * markers
+    assert(render("- a\n- b") === "<ul><li>a</li><li>b</li></ul>")
+    assert(render("* a **x**\n* b") ===
+      "<ul><li>a <strong>x</strong></li><li>b</li></ul>")
+    // ordered list
+    assert(render("1. one\n2. two\n3. three") ===
+      "<ol><li>one</li><li>two</li><li>three</li></ol>")
+    // a lone *emphasis* line is not a bullet (marker needs trailing space)
+    assert(render("*em*") === "<p><em>em</em></p>")
+    // mixed-marker block falls back to paragraph (not silently a list)
+    assert(render("- a\nplain") === "<p>- a\nplain</p>")
+    // blocks compose in document order
+    assert(render("# H\n\n> q\n\n- i\n\npara") ===
+      "<h1>H</h1>\n<blockquote><p>q</p></blockquote>\n<ul><li>i</li></ul>\n<p>para</p>")
+  }
+
   test("markdownRender expression works column-level") {
     import spark.implicits._
     val out = Seq("**hi**").toDF("t")
