@@ -89,13 +89,27 @@ object Similarity {
     * near-dup. The hyperplane bootstrap reads the vector dimension from
     * one row (requires a non-empty corpus).
     *
+    * ==Multi-probe (`probeBits` > 0)==
+    *
+    * Each doc additionally emits, per band, the `probeBits` keys at
+    * Hamming distance 1 in the band's low bits (flagged non-base). A pair
+    * becomes a candidate when its docs meet in a bucket and AT LEAST ONE
+    * side is a base emission — i.e. band keys within Hamming distance 1 —
+    * which recovers the near-misses that cost banding its recall without
+    * the bucket-size blowup of halving the band width: emissions grow
+    * linearly (×(1+probeBits)) while the collision probability per probe
+    * stays that of the FULL band width. Standard multi-probe LSH (Lv et
+    * al., VLDB'07) adapted to the self-join/dedup setting.
+    *
     * Output: (i, j, cos_bp), i < j — a high-recall subset of
     * [[cosinePairs]]; rows-only checked by the driver, recall asserted in
     * SimilaritySpec.
     */
   def srpPairs(emb: DataFrame, id: String, vec: String, thresholdBp: Long,
-      bits: Int = 64, bands: Int = 16, bucketCap: Long = 1000000L): DataFrame = {
+      bits: Int = 64, bands: Int = 16, bucketCap: Long = 1000000L,
+      probeBits: Int = 0): DataFrame = {
     require(bits <= 64 && bits % bands == 0)
+    require(probeBits >= 0)
     val w = bits / bands
     val dim = emb.select(size(col(vec)).as("d")).head().getInt(0)
     val rnd = new scala.util.Random(1234567L)
@@ -109,14 +123,24 @@ object Similarity {
       aggregate(typedLit(planes), lit(0L),
         (acc, p) => shiftleft(acc, 1)
           .bitwiseOR(when(dot(col("nv"), p) > 0, 1L).otherwise(0L))).as("sig"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * w).bitwiseAND((1L << w) - 1).as("key"))
+    val bandCols = (0 until bands).flatMap { b =>
+      val key = shiftright(col("sig"), b * w).bitwiseAND((1L << w) - 1)
+      val base = struct(lit(b).as("band"), key.as("key"), lit(true).as("base"))
+      val flips = (0 until math.min(probeBits, w)).map { bit =>
+        struct(lit(b).as("band"),
+          key.bitwiseXOR(lit(1L << bit)).as("key"), lit(false).as("base"))
+      }
+      base +: flips
     }
     val blocked = sig.select(col("vid"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("vid"))
-    val candidates = Dedup.groupPairs(blocked, Seq("band", "key"), col("vid"),
-        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), bucketCap)
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        struct(col("vid"), col("bk.base").as("base")).as("vb"))
+    // probe∧probe meetings are Hamming-2 — outside the probe radius — so
+    // at least one side must be a base emission for a candidate
+    val candidates = Dedup.groupPairs(blocked, Seq("band", "key"), col("vb"),
+        (x, y) => when(x.getField("vid") < y.getField("vid") &&
+            (x.getField("base") || y.getField("base")),
+          struct(x.getField("vid").as("i"), y.getField("vid").as("j"))), bucketCap)
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .distinct()
     candidates
@@ -174,10 +198,21 @@ object Similarity {
     c
   }
 
+  /** @param persistCorpus memory contract: true (default) persists the
+    *        normalized corpus MEMORY_AND_DISK for the duration of the
+    *        returned plan — it is read 2 + kmeansIters times (corpus
+    *        assign, query assign, refinement rounds) and spills rather
+    *        than OOMs when it outgrows executor memory. Pass false for a
+    *        one-shot query over a corpus too large to be worth staging
+    *        (each consumer then rescans + renormalizes the source — a
+    *        compute/storage trade the CALLER owns, not this operator). */
   def ivfTopK(emb: DataFrame, id: String, vec: String,
       queryIds: Seq[Long], k: Int, nlist: Int = 16, nprobe: Int = 4,
-      kmeansIters: Int = 0): DataFrame = {
-    val n = normalized(emb, id, vec).cache()
+      kmeansIters: Int = 0, persistCorpus: Boolean = true): DataFrame = {
+    val n0 = normalized(emb, id, vec)
+    val n = if (persistCorpus)
+      n0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else n0
     val seed =
       n.orderBy(xxhash64(col("vid")).asc, col("vid").asc)
         .limit(nlist)

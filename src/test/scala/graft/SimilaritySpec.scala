@@ -99,6 +99,39 @@ class SimilaritySpec extends AnyFunSuite {
     if (exact > 0) assert(lsh.toDouble / exact >= 0.5, s"recall $lsh/$exact")
   }
 
+  test("multi-probe SRP: recall ≥ single-probe at the same band layout, no false positives") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 4500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // WIDE bands (w=8, 8 bands): weak single-probe recall by design — the
+    // regime multi-probe exists for (vs the default's 16 narrow bands)
+    def lsh(probeBits: Int) =
+      Similarity.srpPairs(emb, "vec_id", "embedding", 4500L,
+          bits = 64, bands = 8, probeBits = probeBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = lsh(0)
+    val probed = lsh(8)
+    assert(single.subsetOf(exact) && probed.subsetOf(exact))  // exact verify holds
+    // Hamming-1 buckets strictly add candidates → pair set can only grow
+    assert(single.subsetOf(probed))
+    val (rS, rP) = (single.size.toDouble / exact.size, probed.size.toDouble / exact.size)
+    info(f"exact=${exact.size} recall single=$rS%.3f probed=$rP%.3f")
+    // the probes must actually buy recall at this fixed layout
+    assert(probed.size > single.size, s"probing added nothing ($rS -> $rP)")
+    assert(rP >= 0.5, s"multi-probe recall $rP too low")
+  }
+
+  test("ivfTopK persistCorpus=false returns identical results (no staging)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    def rs(persist: Boolean) =
+      Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 5,
+          nlist = 8, nprobe = 3, persistCorpus = persist)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+    assert(rs(true) === rs(false))
+  }
+
   test("IVF with nprobe = nlist degenerates to exact (full scan)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qids = Seq(0L, 1L)
