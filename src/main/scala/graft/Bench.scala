@@ -7,8 +7,14 @@ object Bench {
     // machinery so the first timed query doesn't absorb one-time JVM cost.
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset (driver
+    // leaves it unset → full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
     // sorted order: stable run-to-run comparisons across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

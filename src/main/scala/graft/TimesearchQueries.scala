@@ -314,8 +314,13 @@ object TimesearchQueries {
       val src = tmp.resolve("in").toString
       val batch = newComments(s, dir).drop("_seq")
       batch.write.mode("overwrite").parquet(src)
+      // keyBucket partitioning: the scale path — each micro-batch rewrites
+      // only the key buckets it touches, never the table (this one seed +
+      // one big batch touches all 16, but the LAYOUT is the 100 TB shape;
+      // per-bucket pruning is asserted in StreamingSpec)
       val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
-        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(4))
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(4),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
       // seed batch has unique keys → no CDC possible; storeEdits=false
       // skips the second execution of the merge DAG for the edits write
       table.merge(oldComments(s, dir).withColumn("_seq", col("idint")), "_seq",

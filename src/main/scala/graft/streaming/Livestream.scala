@@ -325,8 +325,9 @@ object Livestream {
           // Touched-partition set: a driver-side distinct over the batch's
           // partition VALUES — |result| is bounded by the batch (micro-
           // batches touch a handful of targets / key buckets), never by
-          // the table. The escaped form is both the dir name and the
-          // manifest key.
+          // the table, and the scan is column-pruned to the key the
+          // partition expression reads. The escaped form is both the dir
+          // name and the manifest key.
           val withPt = batch.withColumn(PartCol, ptCol(pexpr))
           val touched = withPt.select(PartCol).distinct().collect()
             .map(r => ExternalCatalogUtils.escapePathName(r.getString(0)))
