@@ -79,6 +79,47 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Signed-random-projection signature as ONE native expression: all
+  * `planes.length` (≤64) hyperplane dot products over the vector in a
+  * single codegen'd pass, bit b set when v·plane_b > 0 (MSB-first fold
+  * order, bit-identical to the `aggregate(shiftleft|bitwiseOR)` HOF
+  * formulation it replaces). The HOF form evaluates its lambda through
+  * interpreted expression trees per PLANE per row — measured hot path of
+  * the embedding-LSH dedup; here the plane matrix rides along as one
+  * codegen reference object (`double[][]`) and the whole signature is a
+  * primitive loop nest the JIT can vectorize.
+  *
+  * `planes` is a constructor parameter (not a child expression): it is a
+  * plan-time constant, and `IndexedSeq` keeps case-class equality
+  * structural so canonicalization/reuse still dedupe identical plans. */
+case class SrpSignature(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 64,
+    s"SrpSignature supports 1..64 planes, got ${planes.length}")
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SrpSignature requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.srpSign(v.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("srpPlanes", matrix, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.srpSign($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Sequential fold over the common prefix; elements must be non-null
     * (embedding vectors never carry null elements). */
@@ -88,6 +129,24 @@ object VectorOps {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** SRP signature: bit per plane, MSB-first (plane 0 → highest emitted
+    * bit), sign test strictly > 0 — both exactly matching the HOF fold
+    * `acc = (acc << 1) | (dot(v, plane) > 0 ? 1 : 0)`. */
+  def srpSign(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var acc = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(v.numElements(), pl.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * pl(i); i += 1 }
+      acc = (acc << 1) | (if (s > 0) 1L else 0L)
+      p += 1
+    }
+    acc
   }
 
   /** Unit-normalize in ONE traversal pair (norm fold + scale); null for

@@ -53,6 +53,12 @@ package object functions {
   def vecNormalize(a: Column): Column =
     column(VectorNormalize(expression(a.cast("array<double>"))))
 
+  /** SRP/LSH signature: one bit per hyperplane (≤64), all dot products in
+    * one codegen'd pass over the vector. */
+  def srpSignature(v: Column, planes: Seq[Seq[Double]]): Column =
+    column(SrpSignature(expression(v.cast("array<double>")),
+      planes.map(_.toIndexedSeq).toIndexedSeq))
+
   /** Distinct word n-gram shingle set over a word array, one codegen'd pass. */
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))

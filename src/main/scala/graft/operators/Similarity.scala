@@ -115,14 +115,14 @@ object Similarity {
     val rnd = new scala.util.Random(1234567L)
     val planes = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     val n = normalized(emb, id, vec)
-    // One 2-D literal + a fold over it: 64 separate VectorDot calls with
-    // inline plane literals would generate a 4096-constant plan whose
-    // one-time janino compile dominates small runs; the fold keeps the
-    // plan a single constant and the dot kernel call per plane.
+    // The whole signature is ONE native expression (SrpSignature): the
+    // plane matrix rides as a single codegen reference object and all
+    // `bits` dot products run in one primitive loop nest per row. The
+    // predecessor — an aggregate() fold calling the dot kernel per plane —
+    // evaluated its lambda through interpreted expression trees per plane
+    // per row (HOF lambdas never codegen), the measured hot path here.
     val sig = n.select(col("vid"),
-      aggregate(typedLit(planes), lit(0L),
-        (acc, p) => shiftleft(acc, 1)
-          .bitwiseOR(when(dot(col("nv"), p) > 0, 1L).otherwise(0L))).as("sig"))
+      graft.functions.srpSignature(col("nv"), planes).as("sig"))
     val bandCols = (0 until bands).flatMap { b =>
       val key = shiftright(col("sig"), b * w).bitwiseAND((1L << w) - 1)
       val base = struct(lit(b).as("band"), key.as("key"), lit(true).as("base"))

@@ -99,6 +99,21 @@ class SimilaritySpec extends AnyFunSuite {
     if (exact > 0) assert(lsh.toDouble / exact >= 0.5, s"recall $lsh/$exact")
   }
 
+  test("SrpSignature native expression is bit-identical to the HOF fold") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val rnd = new scala.util.Random(987L)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val planes = Seq.fill(64)(Seq.fill(dim)(rnd.nextGaussian()))
+    val n = Similarity.normalized(emb, "vec_id", "embedding")
+    val both = n.select($"vid",
+      graft.functions.srpSignature($"nv", planes).as("native"),
+      aggregate(typedLit(planes), lit(0L), (acc, p) =>
+        shiftleft(acc, 1).bitwiseOR(
+          when(graft.functions.vecDot($"nv", p) > 0, 1L).otherwise(0L))).as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+    assert(both.count() > 0)
+  }
+
   test("multi-probe SRP: recall ≥ single-probe at the same band layout, no false positives") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 4500L)
