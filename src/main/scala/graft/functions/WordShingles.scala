@@ -92,8 +92,87 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** MinHash LSH band buckets as ONE native expression: per document, the
+  * `numHashes` signature minima AND the `bands` band-bucket hashes in a
+  * single pass over the shingle array — `array<long>` of length `bands`
+  * out, ready to `posexplode` into (band, bucket) blocking keys.
+  *
+  * Replaces a 128-buffer hash aggregate over exploded shingle ROWS: that
+  * shape pays a one-time multi-second whole-stage-codegen compile for the
+  * 128-column aggregate, an exchange of per-doc partials, and the explode
+  * itself. Here the signature never materializes in the plan (no 128-col
+  * row), the shingle set is the SAME `_arr` the verification stage
+  * already computes, and the only generated column is the bands array.
+  *
+  * Hash family: base = XXH64(shingle bytes, seed 42) — Spark's own
+  * `xxhash64` kernel — re-hashed per function index with `hashLong(base,
+  * i)` (12 fixed bytes per member, never the string). Band bucket =
+  * chained `hashLong` over the band's `r` minima. Candidate exactness
+  * never depends on these values (verification is exact); only recall
+  * does, and the family is deterministic across runs/executors. */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+    s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"MinHashBands requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.minhashBands(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.minhashBands($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
 object TextOps {
   private val Space = UTF8String.fromString(" ")
+
+  /** See [[MinHashBands]]. Empty shingle array → empty bands array (a doc
+    * with no shingles can never be a candidate — mirrors the aggregate
+    * form, where a doc with no shingle rows produced no signature row). */
+  def minhashBands(shingles: ArrayData, k: Int, bands: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val L = shingles.numElements()
+    if (L == 0) return new GenericArrayData(Array.empty[Any])
+    val r = k / bands
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var s = 0
+    while (s < L) {
+      val sh = shingles.getUTF8String(s)
+      if (sh != null) {
+        val base = XXH64.hashUTF8String(sh, 42L)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(base, i)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      s += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 42L
+      var j = b * r
+      while (j < (b + 1) * r) { acc = XXH64.hashLong(mins(j), acc); j += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** One pass: L−n+1 shingles, first-occurrence dedup. Null words (never
     * produced by split) are treated as empty strings. */

@@ -67,6 +67,11 @@ package object functions {
   def simHash64(words: Column): Column =
     column(SimHash64(expression(words)))
 
+  /** MinHash-LSH band buckets (length-`bands` array<long>) over a shingle
+    * array, one codegen'd pass — signature and banding fused. */
+  def minhashBands(shingles: Column, numHashes: Int, bands: Int): Column =
+    column(MinHashBands(expression(shingles), numHashes, bands))
+
   // ---- F10: markdown → HTML5 (offline_reading.py:285-291) ----------------
   def markdownRender(c: Column): Column = column(MarkdownRender(expression(c)))
 

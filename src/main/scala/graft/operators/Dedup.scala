@@ -125,28 +125,6 @@ object Dedup {
       .select("i", "j", "jac_bp")
   }
 
-  /** MinHash signatures: k minimums of independent hashes over the shingle
-    * set. The shingle string is hashed ONCE (xxhash64) into a 64-bit base;
-    * the k family members re-hash that base with the function index as
-    * seed — hashing 12 fixed bytes per member instead of the full string,
-    * measured ~4× on the signature stage. (An odd-multiplier permutation
-    * would be cheaper still, but long multiplication overflows throw under
-    * ANSI mode — Spark 4's default.) Exactness of the final output never
-    * depends on hash quality (candidates are verified); only candidate
-    * recall does. One groupBy produces all k mins — map-side partial agg
-    * collapses each document locally, so the exchange carries one k-wide
-    * signature row per document. Duplicate shingle rows would not change
-    * any min, so the input needs no distinct. */
-  def minhash(sh: DataFrame, k: Int): DataFrame = {
-    // base hash materialized in its own projection — k agg expressions
-    // referencing an inline xxhash64 would each re-hash the string
-    val based = sh.select(col("doc"), xxhash64(col("s")).as("_h"))
-    val mins = (0 until k).map { i =>
-      min(xxhash64(lit(i), col("_h"))).as(s"h$i")
-    }
-    based.groupBy("doc").agg(mins.head, mins.tail: _*)
-  }
-
   /** MinHash + LSH banding + exact verification.
     *
     * Pipeline: shingle → k-wide signature → b bands of r rows hashed to a
@@ -167,15 +145,18 @@ object Dedup {
       thresholdBp: Int, numHashes: Int = 128, bands: Int = 32,
       bucketCap: Long = 1000000L): DataFrame = {
     require(numHashes % bands == 0)
-    val r = numHashes / bands
     val base = shingleSet(df, id, text, n)
-    val sig = minhash(shingles(df, id, text, n), numHashes)
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        xxhash64((bnd * r until (bnd + 1) * r).map(i => col(s"h$i")): _*).as("bucket"))
-    }
-    val buckets = sig.select(col("doc"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc"), col("bb.band"), col("bb.bucket"))
+    // Signature + banding fused into ONE native expression over the same
+    // shingle array the verify stage uses: no exploded shingle rows, no
+    // 128-buffer aggregate (and its multi-second one-time codegen), no
+    // signature exchange — the only generated column is the bands array.
+    // The posexplode input is a complex expression on purpose: it keeps
+    // InferFiltersFromGenerate from re-substituting the pipeline into a
+    // scan filter (see shingleExpr's notes).
+    val buckets = base
+      .select(col("doc"), posexplode(
+        graft.functions.minhashBands(col("_arr"), numHashes, bands))
+        .as(Seq("band", "bucket")))
     // bucketCap: an all-identical-doc family lands in ONE bucket per band
     // and would emit its f² pairs in one task — same shed-on-pathology
     // contract as jaccardPairs' freqCap (collapse exact dups FIRST when a
