@@ -120,6 +120,48 @@ case class SrpSignature(child: Expression, planes: IndexedSeq[IndexedSeq[Double]
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment as ONE native map-only expression: the
+  * `keep` codebook indices nearest to the vector (cosine on pre-normalized
+  * inputs = plain dot), ordered (similarity desc, index asc). The codebook
+  * rides as a codegen reference object (`double[][]`) — it is plan-time
+  * metadata, bounded by nlist·d doubles.
+  *
+  * Replaces a `crossJoin(broadcast(centroids))` + `row_number` window
+  * filtered to the top `keep`: that shape multiplies the corpus by nlist
+  * rows and then SHUFFLES them all through a `Window.partitionBy(vid)`
+  * exchange — nlist× the corpus through the wire for a per-row argmax. At
+  * any corpus size this expression assigns in the scan's own stage: zero
+  * exchange, zero row blowup. */
+case class NearestCentroids(child: Expression,
+    cents: IndexedSeq[IndexedSeq[Double]], keep: Int) extends UnaryExpression {
+  require(cents.nonEmpty, "NearestCentroids requires a non-empty codebook")
+  require(keep >= 1, s"keep must be >= 1, got $keep")
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"NearestCentroids requires array<double>, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCentroids(v.asInstanceOf[ArrayData], matrix, keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfCodebook", matrix, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.nearestCentroids($c, $m, $keep)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Sequential fold over the common prefix; elements must be non-null
     * (embedding vectors never carry null elements). */
@@ -129,6 +171,41 @@ object VectorOps {
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
+  }
+
+  /** See [[NearestCentroids]]: top-`keep` codebook indices by
+    * (dot desc, index asc) — strict `>` keeps the earliest index on ties,
+    * matching a `row_number` over (sim desc, cid asc). Selection scan per
+    * slot: O(m·keep), m = |codebook| (small by construction). */
+  def nearestCentroids(v: ArrayData, cents: Array[Array[Double]], keep: Int): ArrayData = {
+    val m = cents.length
+    val sims = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val ct = cents(c)
+      val n = math.min(v.numElements(), ct.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * ct(i); i += 1 }
+      sims(c) = s
+      c += 1
+    }
+    val kk = math.min(keep, m)
+    val taken = new Array[Boolean](m)
+    val out = new Array[Int](kk)
+    var o = 0
+    while (o < kk) {
+      var best = -1
+      var j = 0
+      while (j < m) {
+        if (!taken(j) && (best < 0 || sims(j) > sims(best))) best = j
+        j += 1
+      }
+      taken(best) = true
+      out(o) = best
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** SRP signature: bit per plane, MSB-first (plane 0 → highest emitted

@@ -59,6 +59,11 @@ package object functions {
     column(SrpSignature(expression(v.cast("array<double>")),
       planes.map(_.toIndexedSeq).toIndexedSeq))
 
+  /** Top-`keep` nearest codebook indices (dot desc, index asc), map-only. */
+  def nearestCentroids(v: Column, cents: Seq[Seq[Double]], keep: Int): Column =
+    column(NearestCentroids(expression(v.cast("array<double>")),
+      cents.map(_.toIndexedSeq).toIndexedSeq, keep))
+
   /** Distinct word n-gram shingle set over a word array, one codegen'd pass. */
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))

@@ -153,47 +153,53 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the scale path.
     *
-    * Coarse quantizer: `nlist` centroids (here: a deterministic
-    * pseudo-random sample of corpus vectors, the `nlist` smallest by
-    * `xxhash64(vid)` — a k-means refinement drops in without changing the
-    * plan). Every vector is assigned to its nearest centroid (broadcast
-    * NLJ against nlist rows); a query probes only its `nprobe` nearest
-    * cells, so the pair scan touches n·nprobe/nlist of the corpus instead
-    * of all of it. Recall vs [[bruteTopK]] is asserted in tests — approx
-    * results are NOT oracle-hashable by design.
+    * Coarse quantizer: `nlist` centroids (a deterministic pseudo-random
+    * sample of corpus vectors, the `nlist` smallest by `xxhash64(vid)`,
+    * optionally k-means-refined). A query probes only its `nprobe`
+    * nearest cells, so the pair scan touches n·nprobe/nlist of the corpus
+    * instead of all of it. Recall vs [[bruteTopK]] is asserted in tests —
+    * approx results are NOT oracle-hashable by design.
     *
-    * Centroid selection is TakeOrdered (top-nlist by hash) + a
-    * single-partition id assignment on nlist rows — no global window over
-    * the corpus (a `Window.orderBy` without partitioning would serialize
-    * the whole table through one task at scale).
+    * Centroid selection is TakeOrdered (top-nlist by hash) — no global
+    * window over the corpus (a `Window.orderBy` without partitioning
+    * would serialize the whole table through one task at scale). The
+    * codebook is COLLECTED (nlist·d doubles — plan metadata, the same
+    * payload the former broadcast carried) and assignment happens in one
+    * map-only native expression ([[graft.functions.nearestCentroids]]):
+    * the previous crossJoin+window shape multiplied the corpus by nlist
+    * rows and shuffled them all through a `Window.partitionBy(vid)`
+    * exchange; now the corpus never shuffles for assignment at any size.
     */
-  /** Spherical k-means refinement of a coarse codebook: assign each
-    * vector to its nearest centroid (broadcast NLJ), recompute each
-    * cell's mean via `posexplode` → (cid, dim) partial sums → rebuild the
-    * vector with an ordered collect, renormalize to the unit sphere
-    * (cosine geometry). Empty cells drop out. Each iteration is two
-    * shuffles of (nlist·d) partial rows — independent of corpus width —
-    * plus the broadcast assign; the serving plan (ivfTopK) is unchanged,
-    * only centroid VALUES improve. */
-  def kmeansRefine(n: DataFrame, cents: DataFrame, iters: Int): DataFrame = {
+  /** Spherical k-means refinement of a coarse codebook, driver-resident:
+    * assignment is the same map-only [[graft.functions.nearestCentroids]]
+    * expression the serving path uses; each cell's new mean comes back as
+    * (cid, dim) partial-sum rows — nlist·d rows, CODEBOOK-sized, never
+    * corpus-sized — assembled and unit-renormalized on the driver
+    * (cosine geometry). Empty cells drop out. Per iteration: one map-only
+    * assignment pass + one aggregation of nlist·d partials; no growing
+    * lineage (each round's codebook is a plain array, not a plan). */
+  private[graft] def kmeansRefine(n: DataFrame, cents: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
     var c = cents
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("vid").orderBy(col("_sim").desc, col("cid").asc)
-      val assigned = n.crossJoin(broadcast(c))
-        .withColumn("_sim", dot(col("nv"), col("cv")))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") === 1)
-        .select(col("cid"), col("nv"))
-      val mean = assigned
+      val parts = n
+        .select(graft.functions.nearestCentroids(col("nv"), c, 1)
+          .getItem(0).as("cid"), col("nv"))
         .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), (col("sx") / col("cnt")).as("m"))))
-          .as("pm"))
-        .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("mv"))
-      c = mean
-        .select(col("cid"), vecNormalize(col("mv")).as("cv"))
-        .filter(col("cv").isNotNull)
+        .collect()
+      c = parts.groupBy(_.getInt(0)).toSeq.sortBy(_._1).flatMap { case (_, rows) =>
+        val mean = rows.sortBy(_.getInt(1))
+          .map(r => r.getDouble(2) / r.getLong(3)).toArray
+        var s = 0.0
+        var i = 0
+        while (i < mean.length) { s += mean(i) * mean(i); i += 1 }
+        if (s == 0.0) None    // zero direction: cell drops out
+        else {
+          val norm = math.sqrt(s)
+          Some(mean.map(_ / norm).toIndexedSeq)
+        }
+      }
     }
     c
   }
@@ -213,25 +219,24 @@ object Similarity {
     val n = if (persistCorpus)
       n0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else n0
-    val seed =
+    // Codebook bootstrap: TakeOrdered + collect, sorted by vid for a
+    // stable index order. Requires a non-empty corpus (throws otherwise,
+    // like srpPairs' dimension probe).
+    val seed: Seq[Seq[Double]] =
       n.orderBy(xxhash64(col("vid")).asc, col("vid").asc)
         .limit(nlist)
-        .coalesce(1)
-        .sortWithinPartitions("vid")
-        .select(monotonically_increasing_id().as("cid"), col("nv").as("cv"))
-    val cents = broadcast(
-      if (kmeansIters <= 0) seed else kmeansRefine(n, seed, kmeansIters))
-    def assign(df: DataFrame, vcol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy("vid").orderBy(col("_sim").desc, col("cid").asc)
-      df.crossJoin(cents)
-        .withColumn("_sim", dot(col(vcol), col("cv")))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") <= keep)
-        .drop("cv", "_sim", "_r")
-    }
-    val corpus = assign(n, "nv", 1)                       // each vector → 1 cell
-    val queries = assign(
-      n.filter(col("vid").isin(queryIds: _*)), "nv", nprobe)  // query → nprobe cells
+        .select(col("vid"), col("nv"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(seed.nonEmpty, "ivfTopK requires a non-empty corpus")
+    val codebook = if (kmeansIters <= 0) seed else kmeansRefine(n, seed, kmeansIters)
+    // Map-only assignment: no crossJoin row blowup, no window exchange.
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      df.select(col("vid"), col("nv"), explode(
+        graft.functions.nearestCentroids(col("nv"), codebook, keep)).as("cid"))
+    val corpus = assign(n, 1)                                  // vector → 1 cell
+    val queries = assign(n.filter(col("vid").isin(queryIds: _*)), nprobe)
       .select(col("vid").as("qid"), col("nv").as("qv"), col("cid"))
     val scored = corpus.join(queries, Seq("cid"))
       .filter(col("vid") =!= col("qid"))
