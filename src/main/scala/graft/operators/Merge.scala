@@ -53,7 +53,13 @@ object Merge {
     frozen = Seq("idint", "created", "author", "parent", "submission",
       "subreddit", "textlen"))
 
-  final case class MergeResult(table: DataFrame, edits: DataFrame)
+  /** @param staged the shared windowed intermediate both outputs derive
+    *        from. A caller that executes BOTH `table` and `edits` (e.g. a
+    *        versioned-store publish) can persist it so the union + exchange
+    *        + window stack runs once instead of per output; single-output
+    *        consumers ignore it (no cost — it is a lazy plan). */
+  final case class MergeResult(table: DataFrame, edits: DataFrame,
+      staged: DataFrame)
 
   /** Tombstone guard (tsdb.py:527-545 should_keep_existing_text): deleted
     * rows and greasy overwrite bots must not clobber archived text. */
@@ -138,7 +144,7 @@ object Merge {
           col("_prev_stored").as(entity.editTextCol),
           coalesce(col("_edited"), nowEpoch).cast("long").as("replaced_at"))
 
-    MergeResult(merged, edits)
+    MergeResult(merged, edits, staged)
   }
 
   /** J1 — merge_db.py:7-23: copy rows absent from `mine`; never update

@@ -315,11 +315,18 @@ object Livestream {
       partitioning match {
         case None =>
           val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = cdc)
-          val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
-          out.write.mode("overwrite").parquet(s"$path/v=$next")
-          if (cdc)
-            r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
-          publish(next)
+          // With CDC on, table + edits are two actions over the same
+          // union+window stack — stage it once (bounded by existing+batch,
+          // i.e. by what this merge reads anyway; spills, never OOMs).
+          if (cdc) r.staged.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
+            out.write.mode("overwrite").parquet(s"$path/v=$next")
+            if (cdc)
+              r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+            publish(next)
+          } finally if (cdc) r.staged.unpersist()
 
         case Some(pexpr) =>
           // Touched-partition set: a driver-side distinct over the batch's
@@ -337,18 +344,24 @@ object Livestream {
           // Pruned read: only the partitions this batch touches.
           val existing = readParts(prev.view.filterKeys(touched).toMap)
           val r = Merge.upsert(existing, batch, entity, seqCol, storeEdits = cdc)
-          val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
-          // Re-derive pt from the MERGED rows (key-stable expression ⇒
-          // still inside the touched set) and fan files out per partition:
-          // graft.sources.Store.writePartitioned is this same shape for
-          // flat stores.
-          out.withColumn(PartCol, ptCol(pexpr))
-            .write.mode("overwrite").partitionBy(PartCol)
-            .parquet(s"$path/v=$next")
-          if (cdc)
-            r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
-          writeManifest(next, prev ++ touched.map(_ -> next))
-          publish(next)
+          // Same two-consumer staging as the flat branch, bounded here by
+          // the TOUCHED partitions + batch — the pruned merge's working set.
+          if (cdc) r.staged.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
+            // Re-derive pt from the MERGED rows (key-stable expression ⇒
+            // still inside the touched set) and fan files out per partition:
+            // graft.sources.Store.writePartitioned is this same shape for
+            // flat stores.
+            out.withColumn(PartCol, ptCol(pexpr))
+              .write.mode("overwrite").partitionBy(PartCol)
+              .parquet(s"$path/v=$next")
+            if (cdc)
+              r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+            writeManifest(next, prev ++ touched.map(_ -> next))
+            publish(next)
+          } finally if (cdc) r.staged.unpersist()
       }
     }
 
