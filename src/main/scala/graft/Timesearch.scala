@@ -35,15 +35,22 @@ object Timesearch {
       submissions: Livestream.UpsertTable,
       comments: Livestream.UpsertTable)
 
+  /** @param keyBuckets Some(n) = key-bucket-partitioned tables (the scale
+    *        layout: a merge rewrites only the buckets a batch touches —
+    *        see [[Livestream.UpsertTable]]); None = legacy flat layout.
+    *        The choice is pinned at first publish and validated on every
+    *        reopen, so pass the same value for the archive's lifetime. */
   def openArchive(spark: SparkSession, root: String,
-      outputPartitions: Option[Int] = None): Archive = {
+      outputPartitions: Option[Int] = None,
+      keyBuckets: Option[Int] = None): Archive = {
     def empty(s: org.apache.spark.sql.types.StructType) =
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    val pt = keyBuckets.map(b => Livestream.keyBucket(nBuckets = b))
     Archive(
       new Livestream.UpsertTable(spark, s"$root/submissions", Merge.submissions,
-        empty(model.Schemas.submissions), outputPartitions),
+        empty(model.Schemas.submissions), outputPartitions, pt),
       new Livestream.UpsertTable(spark, s"$root/comments", Merge.comments,
-        empty(model.Schemas.comments), outputPartitions))
+        empty(model.Schemas.comments), outputPartitions, pt))
   }
 
   /** ingest_jsonfile: NDJSON dump → discriminate → normalize → upsert. */

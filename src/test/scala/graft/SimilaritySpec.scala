@@ -99,6 +99,14 @@ class SimilaritySpec extends AnyFunSuite {
     if (exact > 0) assert(lsh.toDouble / exact >= 0.5, s"recall $lsh/$exact")
   }
 
+  test("nearestCentroids: ties break to the lower index, keep caps at codebook size") {
+    val df = Seq((1L, Seq(1.0, 0.0))).toDF("vid", "nv")
+    val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))  // c0 == c1
+    val out = df.select(graft.functions.nearestCentroids($"nv", cents, 5).as("c"))
+      .head.getSeq[Int](0)
+    assert(out === Seq(0, 1, 2))   // tie → index order; keep=5 capped to 3
+  }
+
   test("SrpSignature native expression is bit-identical to the HOF fold") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val rnd = new scala.util.Random(987L)

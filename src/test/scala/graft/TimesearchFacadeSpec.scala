@@ -36,6 +36,22 @@ class TimesearchFacadeSpec extends AnyFunSuite {
     assert(a.submissions.current.count() === nSubs)
   }
 
+  test("bucketed archive: same verb surface on the partitioned layout, reopen pinned") {
+    val root = tmp("arch_bk")
+    val a = Timesearch.openArchive(spark, root, keyBuckets = Some(4))
+    Timesearch.ingestJsonFile(spark, a, TestSpark.fixture("pushshift_fixture.ndjson"))
+    val nSubs = a.submissions.current.count()
+    assert(nSubs > 0 && a.comments.current.count() > 0)
+    assert(Timesearch.index(a, threshold = 0, sort = "date").count() === nSubs)
+    // same-layout reopen works; mismatched reopen fails fast on read
+    val same = Timesearch.openArchive(spark, root, keyBuckets = Some(4))
+    assert(same.submissions.current.count() === nSubs)
+    val wrong = Timesearch.openArchive(spark, root, keyBuckets = Some(8))
+    intercept[IllegalArgumentException](wrong.submissions.current)
+    val flat = Timesearch.openArchive(spark, root)
+    intercept[IllegalArgumentException](flat.submissions.current)
+  }
+
   test("verb surface: livestream and wiki/styles page sinks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
