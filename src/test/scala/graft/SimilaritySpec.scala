@@ -155,6 +155,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rs(true) === rs(false))
   }
 
+  test("IVF plan shape: the only window is the final per-query top-k (no assignment shuffle)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  // see AnalyticsSpec note
+    val plan =
+      try Similarity.ivfTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 5,
+          nlist = 8, nprobe = 3).queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size === 1 && windows.head.partitionSpec.nonEmpty,
+      s"assignment must be map-only; windows found:\n$windows")
+    // and no corpus×codebook join remains anywhere
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"corpus×codebook join found:\n$plan")
+  }
+
   test("IVF with nprobe = nlist degenerates to exact (full scan)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qids = Seq(0L, 1L)
