@@ -31,6 +31,26 @@ object PipelineQueries {
         .orderBy("canonical_id")
     }),
 
+    // Keep-one-canonical policy applied: rows surviving exact dedup.
+    "q_dedup_keep" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(corpusWithDups(s, dir), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // Deterministic train/val/test split by key hash (reproducible,
+    // order-independent, stable under corpus growth).
+    "q_split" -> ((s, dir) => {
+      TextAnalysis.hashSplit(
+          Tables.load(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary building: top-100 tokens by corpus frequency.
+    "q_vocab" -> ((s, dir) => {
+      TextAnalysis.topTokens(Tables.load(s, dir, "documents"), "text", 100)
+        .orderBy("pos")
+    }),
+
     // Connected-components dup clustering: min-label propagation over the
     // exact-dup pair graph; cluster = min reachable doc id (the keep-one
     // canonical policy). Oracle: groups of equal normalized text ARE the
@@ -189,6 +209,37 @@ object PipelineQueries {
                   PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
                 ) AS cluster
          FROM corpus ORDER BY doc""",
+
+    "q_dedup_keep" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         k AS (
+           SELECT doc_id,
+                  min(doc_id) OVER (
+                    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                  ) AS keep
+           FROM corpus)
+         SELECT doc_id FROM k WHERE doc_id = keep ORDER BY doc_id""",
+
+    "q_split" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "q_vocab" ->
+      """WITH toks AS (
+           SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+           FROM documents),
+         counts AS (
+           SELECT token, count(*) AS n FROM toks WHERE token <> '' GROUP BY token),
+         top AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 100)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS pos,
+                token, n
+         FROM top ORDER BY pos""",
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,

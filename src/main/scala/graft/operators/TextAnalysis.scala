@@ -212,4 +212,41 @@ object TextAnalysis {
         conv(substring(md5(Dedup.normText(x)), 1, 4), 16, 10).cast("long")
           .as("fp_bucket"))
   }
+
+  /** Deterministic train/val/test assignment by KEY hash — the standard
+    * reproducible-split primitive for a training corpus: stable across
+    * runs, clusters, and corpus growth (a doc's split never changes when
+    * other docs arrive), and independent of row order. Map-only.
+    *
+    * The first 4 hex chars of md5(key) give 65536 uniform buckets; the
+    * percentage cutoffs compare LEXICOGRAPHICALLY, which equals numeric
+    * order on lowercase hex — so the same literals work in any engine
+    * (the DuckDB oracle uses identical string compares). */
+  def hashSplit(df: DataFrame, key: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val cut1 = f"${65536 * trainPct / 100}%04x"
+    val cut2 = f"${65536 * (trainPct + valPct) / 100}%04x"
+    val h = substring(md5(col(key).cast("string")), 1, 4)
+    df.withColumn("split",
+      when(h < cut1, "train").when(h < cut2, "val").otherwise("test"))
+  }
+
+  /** Corpus vocabulary: the `k` most frequent tokens (lowercased runs of
+    * [a-z0-9]) with 1-based rank materialized. One map-side-combined
+    * aggregation exchanges |vocab| partial counts, then TakeOrdered picks
+    * the top k — the only unpartitioned window runs over those k rows,
+    * never the corpus. */
+  def topTokens(df: DataFrame, text: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df
+      .select(explode(split(lower(col(text)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+    top.withColumn("pos",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("int"))
+      .select("pos", "token", "n")
+  }
 }

@@ -119,4 +119,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(t => profile(t).getAs[Long]("quality_bp"))
     assert(scores.forall(s => s >= 0L && s <= 10000L))
   }
+
+  test("hashSplit: deterministic, order-independent, roughly proportional") {
+    import graft.operators.TextAnalysis
+    val ids = (1L to 5000L).map(Tuple1(_)).toDF("doc_id")
+    val s1 = TextAnalysis.hashSplit(ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same assignment regardless of row order / partitioning
+    val s2 = TextAnalysis.hashSplit(ids.orderBy($"doc_id".desc).repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2)
+    // a doc's split never changes when the corpus grows
+    val s3 = TextAnalysis.hashSplit((1L to 9000L).map(Tuple1(_)).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.forall { case (k, v) => s3(k) == v })
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / 5000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
+  }
+
+  test("topTokens matches a naive count on a known corpus") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "The cat; the DOG!"), (2L, "cat cat dog-42")).toDF("doc_id", "text")
+    val out = TextAnalysis.topTokens(docs, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1, "cat", 3L), (2, "dog", 2L), (3, "the", 2L)))
+  }
 }
