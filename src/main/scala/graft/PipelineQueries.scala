@@ -51,6 +51,17 @@ object PipelineQueries {
         .orderBy("pos")
     }),
 
+    // Benchmark decontamination: corpus docs sharing any 3-gram with the
+    // benchmark subset (every 17th doc), with contaminated-shingle counts.
+    "q_contamination" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextAnalysis.contamination(
+          d.filter(col("doc_id") % 17 =!= 0),
+          d.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", 3)
+        .orderBy("doc")
+    }),
+
     // Connected-components dup clustering: min-label propagation over the
     // exact-dup pair graph; cluster = min reachable doc id (the keep-one
     // canonical policy). Oracle: groups of equal normalized text ARE the
@@ -240,6 +251,20 @@ object PipelineQueries {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS pos,
                 token, n
          FROM top ORDER BY pos""",
+
+    "q_contamination" ->
+      """WITH words AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id AS doc,
+                  unnest(list_transform(range(1, len(w)-1),
+                                        i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM words),
+         bs AS (SELECT DISTINCT s FROM sh WHERE doc % 17 = 0)
+         SELECT doc, count(*) AS n_hits
+         FROM sh JOIN bs USING (s)
+         WHERE doc % 17 <> 0
+         GROUP BY doc ORDER BY doc""",
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,

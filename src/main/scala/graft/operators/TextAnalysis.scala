@@ -249,4 +249,20 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("int"))
       .select("pos", "token", "n")
   }
+
+  /** Benchmark decontamination: training docs sharing at least one word
+    * n-gram with a benchmark/eval set, with the count of DISTINCT
+    * contaminated shingles per doc — the standard pre-training hygiene
+    * filter (drop or audit the flagged docs).
+    *
+    * Scale shape: the BENCHMARK's shingle set is broadcast — benchmarks
+    * are small by nature (eval sets, not corpora) — so the 100 TB corpus
+    * side streams through a broadcast semi-ish join in its own scan
+    * stage; the only exchange is the (doc, count) partial aggregation.
+    * Shingling is the same one-pass native kernel as the dedup family. */
+  def contamination(docs: DataFrame, bench: DataFrame,
+      id: String, text: String, n: Int): DataFrame =
+    Dedup.shingles(docs, id, text, n)
+      .join(broadcast(Dedup.shingles(bench, id, text, n).select("s").distinct()), "s")
+      .groupBy("doc").agg(count(lit(1)).as("n_hits"))
 }

@@ -139,6 +139,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
   }
 
+  test("contamination flags only docs sharing an n-gram with the benchmark") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),        // shares "quick brown fox"
+      (2L, "completely different words here"),  // clean
+      (3L, "a quick brown fox appears twice quick brown fox")).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox runs")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 3's repeat counts ONCE (distinct shingles); doc 2 absent
+    assert(out === Map(1L -> 1L, 3L -> 1L))
+  }
+
   test("topTokens matches a naive count on a known corpus") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "The cat; the DOG!"), (2L, "cat cat dog-42")).toDF("doc_id", "text")
