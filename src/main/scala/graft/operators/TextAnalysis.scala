@@ -225,11 +225,17 @@ object TextAnalysis {
   def hashSplit(df: DataFrame, key: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
-    val cut1 = f"${65536 * trainPct / 100}%04x"
-    val cut2 = f"${65536 * (trainPct + valPct) / 100}%04x"
+    // A 100% cutoff would format as the 5-char "10000", which sorts BEFORE
+    // "ffff" lexicographically — use "g" (> any hex char) as +infinity.
+    def cut(pct: Int): String = {
+      val c = 65536 * pct / 100
+      if (c >= 65536) "g" else f"$c%04x"
+    }
     val h = substring(md5(col(key).cast("string")), 1, 4)
     df.withColumn("split",
-      when(h < cut1, "train").when(h < cut2, "val").otherwise("test"))
+      when(h < cut(trainPct), "train")
+        .when(h < cut(trainPct + valPct), "val")
+        .otherwise("test"))
   }
 
   /** Corpus vocabulary: the `k` most frequent tokens (lowercased runs of

@@ -137,6 +137,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(frac("train") - 0.8) < 0.03, s"train ${frac("train")}")
     assert(math.abs(frac("val") - 0.1) < 0.02, s"val ${frac("val")}")
     assert(math.abs(frac("test") - 0.1) < 0.02, s"test ${frac("test")}")
+    // 100% boundary: "10000" would sort before "ffff" — every row must
+    // still land in train (resp. train/val), never leak to test
+    val all = TextAnalysis.hashSplit(ids, "doc_id", trainPct = 100, valPct = 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(all === Set("train"))
+    val noTest = TextAnalysis.hashSplit(ids, "doc_id", trainPct = 90, valPct = 10)
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(noTest === Set("train", "val"))
   }
 
   test("contamination flags only docs sharing an n-gram with the benchmark") {
