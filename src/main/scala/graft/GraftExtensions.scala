@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{HtmlUnescape, MarkdownRender, SimHash64, VectorDot,
-  VectorNormalize, WinnowFingerprints, WordShingles}
+import graft.functions.{HtmlUnescape, MarkdownRender, MinHashBands, SimHash64,
+  VectorDot, VectorNormalize, WinnowFingerprints, WordShingles}
 
 /** Engine extension point: registers the custom Catalyst expressions as
   * SQL functions so `spark.sql` and the DataFrame API can call them by
@@ -66,7 +66,14 @@ object GraftExtensions {
     ("winnow_fingerprints", info("winnow_fingerprints",
       "winnow_fingerprints(words, k, w) - winnowing fingerprint selection"),
       es => { require(es.length == 3, "expected 3 arguments")
-        WinnowFingerprints(es(0), litInt(es(1), "k"), litInt(es(2), "w")) }))
+        WinnowFingerprints(es(0), litInt(es(1), "k"), litInt(es(2), "w")) }),
+    ("minhash_bands", info("minhash_bands",
+      "minhash_bands(shingles, numHashes, bands) - MinHash-LSH band buckets"),
+      es => { require(es.length == 3, "expected 3 arguments")
+        MinHashBands(es(0), litInt(es(1), "numHashes"), litInt(es(2), "bands")) }))
+  // SrpSignature / NearestCentroids are intentionally NOT SQL-registered:
+  // their hyperplane/codebook matrices are plan-time Scala values with no
+  // SQL literal form — the Scala column API is their surface.
 
   /** Register into an existing session (the extensions config path only
     * applies at session build time). */

@@ -19,7 +19,7 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions()(ext) // injection path must not throw
     assert(GraftExtensions.functions.map(_._1).toSet ===
       Set("html_unescape", "markdown_render", "vec_dot", "vec_normalize",
-        "simhash64", "word_shingles", "winnow_fingerprints"))
+        "simhash64", "word_shingles", "winnow_fingerprints", "minhash_bands"))
   }
 
   test("array expressions callable from SQL") {
@@ -32,6 +32,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT size(winnow_fingerprints(array('a','b','c','d','e','f'), 3, 4))")
       .head.getInt(0) >= 1)
+    assert(spark.sql("SELECT size(minhash_bands(array('a b', 'b c'), 16, 4))")
+      .head.getInt(0) === 4)
   }
 
   test("vec_dot arity is validated") {
