@@ -8,9 +8,13 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset (driver
-    // leaves it unset → full suite)
+    // leaves it unset → full suite). A typo'd name must fail loudly, not
+    // print a plausible-looking empty/partial total.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
+      s"${unknown.mkString(", ")}")
     // sorted order: stable run-to-run comparisons across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }

@@ -17,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `&gt;`-quoted blockquotes, `-`/`*` and `1.` lists, **bold**, *italic*,
   * `code`, [text](url) links — with the same escape-first contract.
   * Because escaping runs FIRST (the reference's order too), the
-  * blockquote marker is matched in its ESCAPED form `&gt;`. Divergence
+  * blockquote marker is matched in its ESCAPED form `&gt;` — which means
+  * a body whose text LITERALLY contains `&gt;` at line start is
+  * indistinguishable from a quote marker after the escape pass and
+  * renders as a blockquote (accepted ambiguity of the escape-first
+  * contract; the reference renders neither as a quote). Divergence
   * (documented, SURVEY §7.4.5): `>` escapes to the CORRECT `&gt;`, not
   * the reference's `&rt;` typo. Nested lists/quotes render flat — one
   * level, the overwhelmingly common reddit shape.

@@ -92,7 +92,9 @@ object Similarity {
     * ==Multi-probe (`probeBits` > 0)==
     *
     * Each doc additionally emits, per band, the `probeBits` keys at
-    * Hamming distance 1 in the band's low bits (flagged non-base). A pair
+    * Hamming distance 1 in the band's low bits (flagged non-base;
+    * `probeBits` is capped at the band width `bits/bands` — a band has
+    * no more bits to flip). A pair
     * becomes a candidate when its docs meet in a bucket and AT LEAST ONE
     * side is a base emission — i.e. band keys within Hamming distance 1 —
     * which recovers the near-misses that cost banding its recall without

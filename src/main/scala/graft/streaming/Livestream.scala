@@ -80,19 +80,44 @@ object Livestream {
       * a partitioned table unpartitioned (or with a different expression /
       * bucket count) would silently drop carried-by-reference partitions or
       * duplicate keys. The expression's canonical string form is the
-      * descriptor — deterministic for a deterministic expression tree. */
+      * descriptor — deterministic for a deterministic expression tree
+      * WITHIN one Spark version. A Spark upgrade that changes expression
+      * pretty-printing makes the same expression stringify differently,
+      * which surfaces as a (false-positive) mismatch on open — safe
+      * direction, and the error message names the recovery: after
+      * manually confirming the layout, update the `partitioning` key via
+      * [[setConfig]]. */
     private def partitioningDescriptor: String =
       partitioning.map(_.toString).getOrElse("none")
 
-    /** Fails fast on a layout mismatch instead of returning wrong data. */
-    private def validatePartitioning(): Unit =
-      config.get(PartKey).foreach { stored =>
+    /** Fails fast on a layout mismatch instead of returning wrong data.
+      * Descriptor-less tables with published versions (pre-guard legacy)
+      * are checked STRUCTURALLY: the on-disk manifest dir distinguishes
+      * partitioned from flat, so at least that axis of mismatch cannot
+      * slip through — nor get the wrong descriptor pinned by a later
+      * merge. (A legacy bucket-count mismatch is not detectable from
+      * disk; descriptor-less tables are upgraded on their next
+      * same-layout merge.) */
+    private def validatePartitioning(): Unit = config.get(PartKey) match {
+      case Some(stored) =>
         val mine = partitioningDescriptor
         require(stored == mine,
           s"UpsertTable at $path was published with partitioning '$stored' " +
             s"but reopened with '$mine'; reopen with the original partition " +
-            "expression (the layout is fixed at first publish)")
-      }
+            "expression (the layout is fixed at first publish). If the " +
+            "expression is actually identical and only its string form " +
+            "changed (e.g. a Spark upgrade), verify the layout and update " +
+            "the 'partitioning' config key via setConfig.")
+      case None =>
+        if (currentVersion >= 0) {
+          val hasManifest = Files.exists(Paths.get(path, "_manifest"))
+          require(partitioning.isDefined == hasManifest,
+            s"UpsertTable at $path has published versions with " +
+              s"${if (hasManifest) "a partitioned" else "a flat"} layout but " +
+              s"was opened ${if (partitioning.isDefined) "partitioned" else "flat"}; " +
+              "reopen with the original layout")
+        }
+    }
 
     def current: DataFrame = at(currentVersion)
 
@@ -310,7 +335,9 @@ object Livestream {
       val cdc = storeEdits.getOrElse(storeEditsEnabled)
       val next = currentVersion + 1
       // Pin the layout in the archive config before the first publish so
-      // every later open is validated against it (see validatePartitioning).
+      // every later open is validated against it. validatePartitioning
+      // above already structurally vetted a descriptor-less legacy table,
+      // so the pin never legitimizes a flat-vs-partitioned mismatch.
       if (config.get(PartKey).isEmpty) setConfig(PartKey, partitioningDescriptor)
       partitioning match {
         case None =>

@@ -332,6 +332,43 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](asParted.current)
   }
 
+  test("legacy descriptor-less table: mismatched layout caught structurally, not pinned") {
+    // simulate a pre-guard archive: publish partitioned, then strip the
+    // descriptor from _config (tables written before the guard existed)
+    val dir = tmp("legacy")
+    val orig = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    orig.merge(Seq(cSub(1, "aa", "a1", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    val cfg = java.nio.file.Paths.get(dir, "_config")
+    Files.writeString(cfg, Files.readString(cfg).linesIterator
+      .filterNot(_.startsWith("partitioning=")).mkString("\n"))
+    // flat reopen must fail on READ (not silently scan v=N) and must not
+    // pin its own wrong descriptor via merge
+    val asFlat = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF())
+    intercept[IllegalArgumentException](asFlat.current)
+    intercept[IllegalArgumentException](
+      asFlat.merge(Seq(c(2, "b", 1)).toDF().withColumn("_seq", lit(0L)), "_seq"))
+    assert(!Files.readString(cfg).contains("partitioning=none"))
+    // the correct layout still opens, and its next merge re-pins the key
+    val same = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    assert(same.current.count() === 1)
+    same.merge(Seq(cSub(2, "bb", "b1", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    assert(same.config.get("partitioning").exists(_ != "none"))
+    // symmetric: a legacy FLAT table refuses a partitioned reopen
+    val fdir = tmp("legacyflat")
+    val flat = new Livestream.UpsertTable(spark, fdir, Merge.comments,
+      Seq.empty[C].toDF())
+    flat.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
+    val fcfg = java.nio.file.Paths.get(fdir, "_config")
+    Files.writeString(fcfg, Files.readString(fcfg).linesIterator
+      .filterNot(_.startsWith("partitioning=")).mkString("\n"))
+    val asParted = new Livestream.UpsertTable(spark, fdir, Merge.comments,
+      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+    intercept[IllegalArgumentException](asParted.current)
+  }
+
   test("partition() on an unpartitioned table throws instead of returning all rows") {
     val table = new Livestream.UpsertTable(spark, tmp("nopart"), Merge.comments,
       Seq.empty[C].toDF())
