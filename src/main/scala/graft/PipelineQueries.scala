@@ -51,6 +51,21 @@ object PipelineQueries {
         .orderBy("pos")
     }),
 
+    // Gopher-style repetition quality signals per document.
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc")
+    }),
+
+    // Data mixing: deterministic per-source sampling rates (80% of src0,
+    // 50% of src1, 10% of src2, drop the rest) — reproducible mixture.
+    "q_mixture" -> ((s, dir) => {
+      TextAnalysis.stratifiedSample(
+          Tables.load(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", Map("src0" -> 80, "src1" -> 50, "src2" -> 10))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing any 3-gram with the
     // benchmark subset (every 17th doc), with contaminated-shingle counts.
     "q_contamination" -> ((s, dir) => {
@@ -251,6 +266,29 @@ object PipelineQueries {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS pos,
                 token, n
          FROM top ORDER BY pos""",
+
+    "q_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+           FROM documents),
+         tc AS (
+           SELECT doc, token, count(*) AS c
+           FROM toks WHERE token <> '' GROUP BY 1, 2)
+         SELECT doc,
+                CAST(floor(max(c) * 10000.0 / sum(c)) AS BIGINT) AS top_token_share_bp,
+                CAST(floor(count(*) * 10000.0 / sum(c)) AS BIGINT) AS distinct_ratio_bp
+         FROM tc GROUP BY doc ORDER BY doc""",
+
+    "q_mixture" ->
+      """SELECT doc_id, source
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+               CASE source WHEN 'src0' THEN 'cccc'
+                           WHEN 'src1' THEN '8000'
+                           WHEN 'src2' THEN '1999'
+                           ELSE '0000' END
+         ORDER BY doc_id""",
 
     "q_contamination" ->
       """WITH words AS (

@@ -256,6 +256,44 @@ object TextAnalysis {
       .select("pos", "token", "n")
   }
 
+  /** Gopher-style repetition signals per document: the share of the most
+    * frequent token and the distinct-token ratio, in basis points — the
+    * classic "drop boilerplate / keyboard-mash" quality filters. Docs
+    * with no tokens are absent (nothing to measure). Two map-side-combined
+    * aggregations: (doc, token) then doc — exchange volume is bounded by
+    * distinct (doc, token) pairs, not corpus bytes. */
+  def repetition(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id).as("doc"),
+        explode(split(lower(col(text)), "[^a-z0-9]+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("doc", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc").agg(
+        max("c").as("_m"), sum("c").as("_n"), count(lit(1)).as("_d"))
+      .select(col("doc"),
+        floor(col("_m") * 10000.0 / col("_n")).cast("long").as("top_token_share_bp"),
+        floor(col("_d") * 10000.0 / col("_n")).cast("long").as("distinct_ratio_bp"))
+
+  /** Deterministic per-stratum sampling — the data-mixing primitive: take
+    * `ratesPct(stratum)`% of each stratum (e.g. per-source mixture
+    * weights), by the same md5-bucket rule as [[hashSplit]], so the
+    * sample is reproducible, order-independent, stable under corpus
+    * growth, and CONSISTENT with hashSplit splits (a doc's bucket is a
+    * function of its key alone). Strata not in the map keep `defaultPct`.
+    * Map-only: the rate lookup folds into one CASE expression. */
+  def stratifiedSample(df: DataFrame, key: String, strata: String,
+      ratesPct: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100))
+    def cut(p: Int): String = {
+      val c = 65536 * p / 100
+      if (c >= 65536) "g" else f"$c%04x"
+    }
+    val h = substring(md5(col(key).cast("string")), 1, 4)
+    val cutCol = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(cut(defaultPct))) {
+      case (acc, (s, p)) => when(col(strata) === s, cut(p)).otherwise(acc)
+    }
+    df.filter(h < cutCol)
+  }
+
   /** Benchmark decontamination: training docs sharing at least one word
     * n-gram with a benchmark/eval set, with the count of DISTINCT
     * contaminated shingles per doc — the standard pre-training hygiene

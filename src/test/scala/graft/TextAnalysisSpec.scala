@@ -147,6 +147,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(noTest === Set("train", "val"))
   }
 
+  test("repetition: degenerate doc maxes the share; varied doc spreads it") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "spam spam spam spam"),            // 1 distinct token, share 100%
+      (2L, "all words here are different"),   // share 1/5, distinct 5/5
+      (3L, "")                                // tokenless: absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> (10000L, 2500L), 2L -> (2000L, 10000L)))
+  }
+
+  test("stratifiedSample: per-stratum rates, consistent with hashSplit buckets") {
+    import graft.operators.TextAnalysis
+    val df = (1L to 4000L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "source")
+    val out = TextAnalysis.stratifiedSample(df, "doc_id", "source",
+      Map("s0" -> 100, "s1" -> 25))
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") === 2000L)                         // 100% keeps all
+    assert(math.abs(bySrc("s1") - 500L) < 60, s"s1=${bySrc("s1")}")   // ~25%
+    // unlisted strata default to 0%
+    val dropped = TextAnalysis.stratifiedSample(
+      df.withColumn("source", lit("other")), "doc_id", "source", Map("s0" -> 100))
+    assert(dropped.count() === 0)
+  }
+
   test("contamination flags only docs sharing an n-gram with the benchmark") {
     import graft.operators.TextAnalysis
     val corpus = Seq(
