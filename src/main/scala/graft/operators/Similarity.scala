@@ -153,6 +153,43 @@ object Similarity {
       .filter(col("cos_bp") >= thresholdBp)
   }
 
+  /** Auto-tune [[srpPairs]] banding: the (bands, probeBits) pair whose
+    * ANALYTIC recall at the given cosine threshold meets `targetRecall`
+    * with the least candidate noise (collision probability for unrelated,
+    * near-orthogonal vectors). The SRP collision model is exact, not
+    * heuristic: P(bit agrees) = 1 − θ/π; a band of width w matches with
+    * p^w, plus w·p^(w−1)(1−p) per Hamming-1 probe bit; recall over b
+    * bands = 1 − (1 − P_band)^b. Enumerates the divisors of `bits`.
+    * Returns the tuned (bands, probeBits); throws if no configuration
+    * reaches the target (lower the threshold's ambition or raise bits).
+    *
+    * Rule of thumb it reproduces: moderate thresholds need narrow bands
+    * (w=4 at 0.45), near-dup thresholds (≥0.9) get wide bands + probes —
+    * orders of magnitude fewer noise candidates for the same recall. */
+  def srpTune(thresholdBp: Long, bits: Int = 64,
+      targetRecall: Double = 0.9): (Int, Int) = {
+    require(thresholdBp >= 0 && thresholdBp <= 10000 && bits >= 1 && bits <= 64)
+    val p = 1.0 - math.acos(thresholdBp / 10000.0) / math.Pi
+    val pNoise = 0.5                       // cos 0: unrelated vectors
+    def bandP(q: Double, w: Int, probes: Int): Double =
+      math.pow(q, w) + probes * math.pow(q, w - 1) * (1 - q)
+    def recall(q: Double, w: Int, b: Int, probes: Int): Double =
+      1.0 - math.pow(1.0 - math.min(1.0, bandP(q, w, probes)), b)
+    val candidates = for {
+      b <- (1 to bits).filter(bits % _ == 0)
+      w = bits / b
+      probes <- 0 to w
+      noise = recall(pNoise, w, b, probes)
+      // a config that pairs (nearly) everything is all-pairs in disguise,
+      // not LSH — never "meet recall" through degenerate banding
+      if noise < 0.999 && recall(p, w, b, probes) >= targetRecall
+    } yield ((b, probes), noise)
+    require(candidates.nonEmpty,
+      s"no non-degenerate (bands, probeBits) at bits=$bits reaches recall " +
+        s"$targetRecall for threshold $thresholdBp bp")
+    candidates.minBy(_._2)._1
+  }
+
   /** IVF (inverted-file) approximate top-k — the scale path.
     *
     * Coarse quantizer: `nlist` centroids (a deterministic pseudo-random

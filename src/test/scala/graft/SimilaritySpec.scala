@@ -99,6 +99,31 @@ class SimilaritySpec extends AnyFunSuite {
     if (exact > 0) assert(lsh.toDouble / exact >= 0.5, s"recall $lsh/$exact")
   }
 
+  test("srpTune: near-dup thresholds get wider bands and less noise than moderate ones") {
+    val (bModerate, _) = Similarity.srpTune(4500L)
+    val (bNear, prNear) = Similarity.srpTune(9000L)
+    // wider bands = FEWER bands over the same 64 bits
+    assert(bNear < bModerate, s"near-dup bands $bNear !< moderate $bModerate")
+    def noise(bands: Int, probes: Int): Double = {
+      val w = 64 / bands
+      val pb = math.pow(0.5, w) + probes * math.pow(0.5, w - 1) * 0.5
+      1 - math.pow(1 - pb, bands)
+    }
+    assert(noise(bNear, prNear) < noise(bModerate, 0))
+    // e2e on real data: tuned params still find the planted clones
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val clones = emb.filter($"vec_id" % 5 === 0).withColumn("vec_id", $"vec_id" + 100000L)
+    val pairs = Similarity.srpPairs(emb.unionByName(clones), "vec_id", "embedding",
+        9999L, bands = bNear, probeBits = prNear)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.filter($"vec_id" % 5 === 0)
+      .select("vec_id").as[Long].collect().map(v => (v, v + 100000L)).toSet
+    assert(expected.subsetOf(pairs))
+    // impossible targets fail loudly instead of silently under-recalling
+    intercept[IllegalArgumentException](Similarity.srpTune(500L, bits = 8,
+      targetRecall = 0.999999))
+  }
+
   test("nearestCentroids: ties break to the lower index, keep caps at codebook size") {
     val df = Seq((1L, Seq(1.0, 0.0))).toDF("vid", "nv")
     val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))  // c0 == c1
