@@ -40,7 +40,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("jaccard of identical docs is exactly 10000 bp") {
     val p = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 9999)
-      .filter($"i" === 1 && $"j" === 2).head
+      .filter($"i" === 1 && $"j" === 2).head()
     assert(p.getAs[Long]("jac_bp") === 10000L)
   }
 

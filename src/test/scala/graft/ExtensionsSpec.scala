@@ -7,11 +7,11 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("custom expressions callable from SQL after register()") {
     GraftExtensions.register(spark)
-    assert(spark.sql("SELECT html_unescape('a &amp; b')").head.getString(0) === "a & b")
-    assert(spark.sql("SELECT markdown_render('**x**')").head.getString(0) ===
+    assert(spark.sql("SELECT html_unescape('a &amp; b')").head().getString(0) === "a & b")
+    assert(spark.sql("SELECT markdown_render('**x**')").head().getString(0) ===
       "<p><strong>x</strong></p>")
     assert(spark.sql(
-      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head.getDouble(0) === 11.0)
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0) === 11.0)
   }
 
   test("SparkSessionExtensions wiring exposes the same function set") {
@@ -24,16 +24,16 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("array expressions callable from SQL") {
     GraftExtensions.register(spark)
-    assert(spark.sql("SELECT vec_normalize(array(3.0d, 4.0d))").head
+    assert(spark.sql("SELECT vec_normalize(array(3.0d, 4.0d))").head()
       .getSeq[Double](0) === Seq(0.6, 0.8))
     assert(spark.sql("SELECT size(word_shingles(array('a','b','c','b','a','b','c'), 3))")
-      .head.getInt(0) === 4)   // abc, bcb, cba, bab — abc repeats
-    assert(spark.sql("SELECT simhash64(array('x','y'))").head.getLong(0) !== 0L)
+      .head().getInt(0) === 4)   // abc, bcb, cba, bab — abc repeats
+    assert(spark.sql("SELECT simhash64(array('x','y'))").head().getLong(0) !== 0L)
     assert(spark.sql(
       "SELECT size(winnow_fingerprints(array('a','b','c','d','e','f'), 3, 4))")
-      .head.getInt(0) >= 1)
+      .head().getInt(0) >= 1)
     assert(spark.sql("SELECT size(minhash_bands(array('a b', 'b c'), 16, 4))")
-      .head.getInt(0) === 4)
+      .head().getInt(0) === 4)
   }
 
   test("vec_dot arity is validated") {

@@ -10,7 +10,7 @@ class FunctionsSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def eval(c: org.apache.spark.sql.Column): Any =
-    spark.range(1).select(c).head.get(0)
+    spark.range(1).select(c).head().get(0)
 
   test("F1 base36 decode matches reference examples (common.py:43-65)") {
     assert(eval(b36decode(lit("0"))) === 0L)
@@ -64,7 +64,7 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("F11 splitAny on + space comma (common.py:135-140)") {
-    val got = spark.range(1).select(splitAny(lit("a+b c,d"))).head.getSeq[String](0)
+    val got = spark.range(1).select(splitAny(lit("a+b c,d"))).head().getSeq[String](0)
     assert(got === Seq("a", "b", "c", "d"))
   }
 

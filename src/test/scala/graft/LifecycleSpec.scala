@@ -58,10 +58,10 @@ class LifecycleSpec extends AnyFunSuite {
       assert(html.startsWith("<html>") && html.endsWith("</html>"))
     }
     // a comment of a known thread lands inside its submission's page
-    val aThread = storedComs.select("submission").head.getString(0)
+    val aThread = storedComs.select("submission").head().getString(0)
     if (pages.contains(aThread)) {
       val cid = storedComs.filter($"submission" === aThread)
-        .select("idstr").head.getString(0)
+        .select("idstr").head().getString(0)
       assert(pages(aThread).contains(s"""id="$cid""""))
     }
   }

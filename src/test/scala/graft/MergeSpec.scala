@@ -31,7 +31,7 @@ class MergeSpec extends AnyFunSuite {
     val in = withSeq(comments(("t1_a", 1L, "alice", "hi", 5L, null)))
     val r = Merge.upsert(ex, in, Merge.comments, "_seq", now)
     assert(r.table.count() === 1)
-    val row = r.table.head
+    val row = r.table.head()
     assert(row.getAs[String]("body") === "hi")
     assert(row.getAs[Long]("score") === 5L)
     assert(r.edits.count() === 0)
@@ -41,7 +41,7 @@ class MergeSpec extends AnyFunSuite {
     val ex = comments(("t1_a", 1L, "alice", "old body", 5L, "mod"))
     val in = withSeq(comments(("t1_a", 2L, "HACKED", "new body", 7L, null)))
     val r = Merge.upsert(ex, in, Merge.comments, "_seq", now)
-    val row = r.table.head
+    val row = r.table.head()
     assert(row.getAs[Long]("score") === 7L)            // updated
     assert(row.getAs[String]("body") === "new body")   // updated
     assert(row.getAs[String]("distinguish") === "mod") // null new → keep old
@@ -59,7 +59,7 @@ class MergeSpec extends AnyFunSuite {
     assert(e.length === 1)
     assert(e(0).getAs[String]("previous_body") === "v0")
     assert(e(0).getAs[Long]("replaced_at") === 1234L)
-    assert(r.table.head.getAs[String]("body") === "v1")
+    assert(r.table.head().getAs[String]("body") === "v1")
   }
 
   test("T8: unchanged text emits no edit row") {
@@ -73,9 +73,9 @@ class MergeSpec extends AnyFunSuite {
     val ex = comments(("t1_a", 1L, "alice", "precious text", 5L, null))
     val in = withSeq(comments(("t1_a", 2L, "[DELETED]", "[removed]", 0L, null)))
     val r = Merge.upsert(ex, in, Merge.comments, "_seq", now)
-    assert(r.table.head.getAs[String]("body") === "precious text")
+    assert(r.table.head().getAs[String]("body") === "precious text")
     assert(r.edits.count() === 0)
-    assert(r.table.head.getAs[Long]("score") === 0L) // other cols still update
+    assert(r.table.head().getAs[Long]("score") === 0L) // other cols still update
   }
 
   test("P5 greasy overwrite markers keep old text") {
@@ -83,14 +83,14 @@ class MergeSpec extends AnyFunSuite {
     val in = withSeq(comments(
       ("t1_a", 2L, "alice", "this post has been overwritten by a script", 5L, null)))
     val r = Merge.upsert(ex, in, Merge.comments, "_seq", now)
-    assert(r.table.head.getAs[String]("body") === "precious")
+    assert(r.table.head().getAs[String]("body") === "precious")
   }
 
   test("P5: tombstone-looking text on first INSERT does land (update-only guard)") {
     val ex = comments().limit(0)
     val in = withSeq(comments(("t1_a", 1L, "[DELETED]", "[removed]", 0L, null)))
     val r = Merge.upsert(ex, in, Merge.comments, "_seq", now)
-    assert(r.table.head.getAs[String]("body") === "[removed]")
+    assert(r.table.head().getAs[String]("body") === "[removed]")
   }
 
   test("within-batch sequential chain: v1 then tombstone then v2 (dummy-then-live order)") {
@@ -100,8 +100,8 @@ class MergeSpec extends AnyFunSuite {
       ("t1_a", 2L, "[DELETED]", "[deleted]", 3L, null),
       ("t1_a", 2L, "alice", "v2", 4L, null)))
     val r = Merge.upsert(ex, in, Merge.comments, "_seq", now)
-    assert(r.table.head.getAs[String]("body") === "v2")
-    assert(r.table.head.getAs[Long]("score") === 4L)
+    assert(r.table.head().getAs[String]("body") === "v2")
+    assert(r.table.head().getAs[Long]("score") === 4L)
     val prevs = r.edits.select("previous_body").as[String].collect().sorted
     assert(prevs === Array("v0", "v1")) // v0→v1, v1→v2; tombstone step archived nothing
   }
@@ -122,7 +122,7 @@ class MergeSpec extends AnyFunSuite {
     val in = withSeq(comments(("t1_a", 2L, "alice", "v1", 6L, null)))
     val r = Merge.upsert(ex, in, Merge.comments, "_seq", now, storeEdits = false)
     assert(r.edits.count() === 0)
-    assert(r.table.head.getAs[String]("body") === "v1")
+    assert(r.table.head().getAs[String]("body") === "v1")
   }
 
   test("J1 mergeDb: anti-join insert, existing rows never updated (merge_db.py:7-23)") {
@@ -132,7 +132,7 @@ class MergeSpec extends AnyFunSuite {
       ("t1_b", 2L, "bob", "only-other", 1L, null))
     val merged = Merge.mergeDb(mine, other)
     assert(merged.count() === 2)
-    assert(merged.filter($"idstr" === "t1_a").head.getAs[String]("body") === "mine")
+    assert(merged.filter($"idstr" === "t1_a").head().getAs[String]("body") === "mine")
   }
 
   test("property: upsert is idempotent — merge(merge(t,b), b) == merge(t,b)") {
@@ -210,6 +210,6 @@ class MergeSpec extends AnyFunSuite {
       ("t1_b", 1L, "bob", "x", 1L, null)))
     val d = Merge.dedupeLatest(df, "idstr", "_seq")
     assert(d.count() === 2)
-    assert(d.filter($"idstr" === "t1_a").head.getAs[String]("body") === "v2")
+    assert(d.filter($"idstr" === "t1_a").head().getAs[String]("body") === "v2")
   }
 }

@@ -24,6 +24,6 @@ class ModelSpec extends AnyFunSuite {
     val c = Comment(1L, "t1_1", 100L, "alice", Some("t3_r"), Some("t3_r"),
       "hi", 5L, Some("test"), None, 2L)
     val ds = Models.comments(Seq(c).toDS().toDF())
-    assert(ds.head === c)
+    assert(ds.head() === c)
   }
 }

@@ -35,14 +35,14 @@ class NormalizeSpec extends AnyFunSuite {
   }
 
   test("F7 html unescape applied to selftext/body at ingest") {
-    val st = subs.filter(col("idstr") === "t3_aaa111").head.getAs[String]("selftext")
+    val st = subs.filter(col("idstr") === "t3_aaa111").head().getAs[String]("selftext")
     assert(st === "hello & welcome <b> 'quoted'")
-    val b = coms.filter(col("idstr") === "t1_eee555").head.getAs[String]("body")
+    val b = coms.filter(col("idstr") === "t1_eee555").head().getAs[String]("body")
     assert(b === "a comment > quoted")
   }
 
   test("F16 deleted-author sentinel; promo post null subreddit") {
-    val d = subs.filter(col("idstr") === "t3_ddd444").head
+    val d = subs.filter(col("idstr") === "t3_ddd444").head()
     assert(d.getAs[String]("author") === "[DELETED]")
     assert(d.getAs[String]("subreddit") === null)
     assert(d.getAs[String]("idstr") === "t3_ddd444") // name absent → t3_ + id
@@ -57,15 +57,15 @@ class NormalizeSpec extends AnyFunSuite {
   }
 
   test("F6 textlen computed on unescaped text; idint = b36(id)") {
-    val r = subs.filter(col("idstr") === "t3_aaa111").head
+    val r = subs.filter(col("idstr") === "t3_aaa111").head()
     assert(r.getAs[Long]("textlen") === "hello & welcome <b> 'quoted'".length.toLong)
     assert(r.getAs[Long]("idint") === java.lang.Long.parseLong("aaa111", 36))
   }
 
   test("_edited carries the edit epoch, null for false (tsdb.py:374-377)") {
-    val e = coms.filter(col("idstr") === "t1_fff666").head.getAs[Long]("_edited")
+    val e = coms.filter(col("idstr") === "t1_fff666").head().getAs[Long]("_edited")
     assert(e === 1371043555L)
-    assert(coms.filter(col("idstr") === "t1_eee555").head.isNullAt(
+    assert(coms.filter(col("idstr") === "t1_eee555").head().isNullAt(
       coms.columns.indexOf("_edited")))
   }
 
@@ -88,7 +88,7 @@ class NormalizeSpec extends AnyFunSuite {
     // source column was non-null, which is fine
     assert(up.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
       Schemas.comments.fields.map(f => (f.name, f.dataType)).toSeq)
-    val row = up.head
+    val row = up.head()
     assert(row.getAs[Long]("created") === 100L)           // int → long cast
     assert(row.isNullAt(up.columns.indexOf("textlen")))   // new col as null
     assert(!up.columns.contains("obsolete_col"))          // legacy pruned

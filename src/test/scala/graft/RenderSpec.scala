@@ -58,7 +58,7 @@ class RenderSpec extends AnyFunSuite {
   test("markdownRender expression works column-level") {
     import spark.implicits._
     val out = Seq("**hi**").toDF("t")
-      .select(graft.functions.markdownRender($"t")).head.getString(0)
+      .select(graft.functions.markdownRender($"t")).head().getString(0)
     assert(out === "<p><strong>hi</strong></p>")
   }
 

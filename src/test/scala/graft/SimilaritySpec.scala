@@ -34,7 +34,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n.count() === 5)
     val d = vecs.filter($"vec_id" === 4L)
       .select(graft.functions.vecDot($"embedding", $"embedding").as("d"))
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(math.abs(d - 2.0) < 1e-12)
     // unit norm after normalization
     val norms = n.select(Similarity.norm($"nv").as("m")).collect().map(_.getDouble(0))
@@ -128,14 +128,14 @@ class SimilaritySpec extends AnyFunSuite {
     val df = Seq((1L, Seq(1.0, 0.0))).toDF("vid", "nv")
     val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))  // c0 == c1
     val out = df.select(graft.functions.nearestCentroids($"nv", cents, 5).as("c"))
-      .head.getSeq[Int](0)
+      .head().getSeq[Int](0)
     assert(out === Seq(0, 1, 2))   // tie → index order; keep=5 capped to 3
   }
 
   test("SrpSignature native expression is bit-identical to the HOF fold") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val rnd = new scala.util.Random(987L)
-    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val dim = emb.select(size($"embedding")).head().getInt(0)
     val planes = Seq.fill(64)(Seq.fill(dim)(rnd.nextGaussian()))
     val n = Similarity.normalized(emb, "vec_id", "embedding")
     val both = n.select($"vid",

@@ -98,8 +98,8 @@ class StreamingSpec extends AnyFunSuite {
       Merge.comments, Seq.empty[C].toDF())
     table.merge(Seq(c(1, "a", 1)).toDF().withColumn("_seq", lit(0L)), "_seq")
     table.merge(Seq(c(1, "b", 2)).toDF().withColumn("_seq", lit(0L)), "_seq")
-    assert(table.at(0).head.getAs[String]("body") === "a")
-    assert(table.at(1).head.getAs[String]("body") === "b")
+    assert(table.at(0).head().getAs[String]("body") === "a")
+    assert(table.at(1).head().getAs[String]("body") === "b")
     assert(table.at(99).count() === 0 && table.at(-1).count() === 0)
   }
 
@@ -117,7 +117,7 @@ class StreamingSpec extends AnyFunSuite {
       dirs.iterator().asScala.map(_.getFileName.toString).toSet
     } finally dirs.close()
     assert(names.filter(_.startsWith("v=")) === Set("v=2"))
-    assert(table.current.head.getAs[String]("body") === "d")
+    assert(table.current.head().getAs[String]("body") === "d")
     assert(table.edits.count() === 2)            // CDC history intact
   }
 
@@ -177,7 +177,7 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("_seq", lit(1L))
     Seq(flat, parted).foreach { t => t.merge(b1, "_seq"); t.merge(b2, "_seq") }
     val f = flat.current.orderBy("idstr").collect().toSeq
-    val p = parted.current.select(flat.current.columns.map(col): _*)
+    val p = parted.current.select(flat.current.columns.toSeq.map(col(_)): _*)
       .orderBy("idstr").collect().toSeq
     assert(p === f)
     // replaced_at defaults to wall-clock now() — compare the stable columns
@@ -210,10 +210,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(table.edits.count() === 1)
     // crash between stage write and pointer move: roll the pointer back
     Files.writeString(java.nio.file.Paths.get(dir, "_VERSION"), "0")
-    assert(table.current.head.getAs[String]("body") === "a1")   // v=1 invisible
+    assert(table.current.head().getAs[String]("body") === "a1")   // v=1 invisible
     assert(table.edits.count() === 0)
     table.merge(editBatch, "_seq")                              // replay
-    assert(table.current.head.getAs[String]("body") === "a2")
+    assert(table.current.head().getAs[String]("body") === "a2")
     assert(table.edits.count() === 1)
   }
 

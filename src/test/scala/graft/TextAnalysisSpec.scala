@@ -10,7 +10,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def profile(text: String) =
-    TextAnalysis.profile(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").head
+    TextAnalysis.profile(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").head()
 
   test("token and subword counts") {
     val p = profile("The cat, sat on 42 mats!")
@@ -62,7 +62,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
       .select(TextAnalysis.redact($"text").as("c"),
         TextAnalysis.redactionCount($"text").as("n"))
-      .head
+      .head()
     assert(r.getString(0) === "mail <EMAIL> or <URL> then call <NUM> or 123")
     assert(r.getLong(1) === 3L)
   }

@@ -21,11 +21,11 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.minhashBands(arr(Seq.empty), 16, 4).numElements() === 0)
     val a = TextOps.minhashBands(arr(Seq("x y", "y z")), 16, 4)
     val b = TextOps.minhashBands(arr(Seq("x y", "y z")), 16, 4)
-    assert(a.toLongArray.toSeq === b.toLongArray.toSeq)
+    assert(a.toLongArray().toSeq === b.toLongArray().toSeq)
     assert(a.numElements() === 4)
     // identical sets share every band; disjoint sets share (whp) none
     val c = TextOps.minhashBands(arr(Seq("p q", "q r")), 16, 4)
-    assert(a.toLongArray.toSeq !== c.toLongArray.toSeq)
+    assert(a.toLongArray().toSeq !== c.toLongArray().toSeq)
   }
 
   test("minhashBands kernel: a superset-heavy overlap shares some bands (banding sanity)") {
@@ -34,8 +34,8 @@ class TextOpsSpec extends AnyFunSuite {
     // deterministic trials (kernel is fixed-seed, so this is a fixed fact)
     val trials = (0 until 8).map { t =>
       val base = Seq(s"a$t", s"b$t", s"c$t")
-      val x = TextOps.minhashBands(arr(base :+ "x"), 16, 4).toLongArray
-      val y = TextOps.minhashBands(arr(base :+ "y"), 16, 4).toLongArray
+      val x = TextOps.minhashBands(arr(base :+ "x"), 16, 4).toLongArray()
+      val y = TextOps.minhashBands(arr(base :+ "y"), 16, 4).toLongArray()
       x.zip(y).count { case (u, v) => u == v }
     }
     assert(trials.sum > 0)
