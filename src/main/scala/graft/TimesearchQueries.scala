@@ -319,12 +319,12 @@ object TimesearchQueries {
       // one big batch touches all 16, but the LAYOUT is the 100 TB shape;
       // per-bucket pruning is asserted in StreamingSpec)
       val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
-        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(4),
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
         partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
-      // seed batch has unique keys → no CDC possible; storeEdits=false
-      // skips the second execution of the merge DAG for the edits write
-      table.merge(oldComments(s, dir).withColumn("_seq", col("idint")), "_seq",
-        storeEdits = Some(false))
+      // backfill-then-stream: the initial load is a bulk seed (plain
+      // partitioned write + manifest), not an upsert against empty —
+      // the merge machinery is reserved for the streamed increment
+      table.seed(oldComments(s, dir))
       val stream = s.readStream.schema(batch.schema).parquet(src)
       val q = Livestream.upsertSink(stream, table,
         tmp.resolve("ckp").toString, Trigger.AvailableNow()).start()

@@ -57,10 +57,14 @@ object Livestream {
     * column (`subreddit`) satisfies it under the reference's semantics
     * (a row never changes target).
     *
-    * @param outputPartitions cap on files per published version — for
-    *        SMALL targets (a single subreddit's table) where the default
-    *        shuffle parallelism would write hundreds of tiny files; leave
-    *        None at scale and let the shuffle partitioning flow through.
+    * @param outputPartitions file-count control. Flat table: cap on files
+    *        per published version (coalesce before write) — for SMALL
+    *        targets where the default shuffle parallelism would write
+    *        hundreds of tiny files. Partitioned table: max files AND
+    *        write tasks PER BUCKET (a salted repartition splits each
+    *        bucket across that many tasks); None/Some(1) = one file per
+    *        touched bucket. Raise it when single buckets are large
+    *        enough that one write task per bucket becomes the straggler.
     * @param partitioning key-stable partition expression (see above);
     *        None = legacy full-rewrite layout. */
   final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
@@ -125,6 +129,19 @@ object Livestream {
     private def ptCol(e: Column): Column =
       coalesce(e.cast("string"), lit("_null_"))
 
+    /** Write-task alignment for a partitioned publish: hash-repartition on
+      * pt puts each bucket in exactly one task (one file per touched
+      * leaf); with outputPartitions = n > 1 a deterministic key salt
+      * spreads each bucket over ≤ n tasks/files for intra-bucket write
+      * parallelism. Either way the file count is a per-bucket contract,
+      * never tasks×buckets (the coalesce+partitionBy fan-out shape). */
+    private def alignToBuckets(df: DataFrame): DataFrame =
+      outputPartitions.filter(_ > 1) match {
+        case Some(n) => df.repartition(col(PartCol),
+          pmod(xxhash64(col("idstr")), lit(n.toLong)))
+        case None => df.repartition(col(PartCol))
+      }
+
     /** The manifest of a version: live partition value → version that last
       * rewrote it. Values are stored path-escaped (one `v<TAB>pt` line per
       * partition), so the manifest line format and the directory name
@@ -164,7 +181,10 @@ object Livestream {
       * are bookkeeping and dropped — data files carry the entity columns. */
     private def readParts(m: Map[String, Long]): DataFrame =
       if (m.isEmpty) emptyLike.limit(0)
-      else spark.read.option("basePath", path)
+      // explicit schema (the published entity schema is fixed): skips the
+      // per-open footer-inference pass over every pruned leaf — at many
+      // leaves that inference is a second full file-listing's worth of IO
+      else spark.read.option("basePath", path).schema(emptyLike.schema)
         .parquet(m.toSeq.map { case (pt, v) => leaf(v, pt).toString }: _*)
         .drop("v", PartCol)
 
@@ -334,11 +354,6 @@ object Livestream {
       validatePartitioning()
       val cdc = storeEdits.getOrElse(storeEditsEnabled)
       val next = currentVersion + 1
-      // Pin the layout in the archive config before the first publish so
-      // every later open is validated against it. validatePartitioning
-      // above already structurally vetted a descriptor-less legacy table,
-      // so the pin never legitimizes a flat-vs-partitioned mismatch.
-      if (config.get(PartKey).isEmpty) setConfig(PartKey, partitioningDescriptor)
       partitioning match {
         case None =>
           val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = cdc)
@@ -351,8 +366,9 @@ object Livestream {
             val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
             out.write.mode("overwrite").parquet(s"$path/v=$next")
             if (cdc)
-              r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
-            publish(next)
+              outputPartitions.map(r.edits.coalesce).getOrElse(r.edits)
+                .write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+            publishAndPin(next)
           } finally if (cdc) r.staged.unpersist()
 
         case Some(pexpr) =>
@@ -362,10 +378,12 @@ object Livestream {
           // the table, and the scan is column-pruned to the key the
           // partition expression reads. The escaped form is both the dir
           // name and the manifest key.
-          val withPt = batch.withColumn(PartCol, ptCol(pexpr))
-          val touched = withPt.select(PartCol).distinct().collect()
-            .map(r => ExternalCatalogUtils.escapePathName(r.getString(0)))
-            .toSet
+          // collect_set, not distinct().collect(): one partial-agg stage
+          // into a single reduce task instead of a full shuffle — the set
+          // is bounded by |partitions| either way.
+          val touched = batch.select(ptCol(pexpr).as(PartCol))
+            .agg(collect_set(col(PartCol))).head.getSeq[String](0)
+            .map(ExternalCatalogUtils.escapePathName).toSet
           if (touched.isEmpty) return   // empty batch: nothing to publish
           val prev = manifest(currentVersion)
           // Pruned read: only the partitions this batch touches.
@@ -376,20 +394,52 @@ object Livestream {
           if (cdc) r.staged.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
             // Re-derive pt from the MERGED rows (key-stable expression ⇒
-            // still inside the touched set) and fan files out per partition:
-            // graft.sources.Store.writePartitioned is this same shape for
-            // flat stores.
-            out.withColumn(PartCol, ptCol(pexpr))
+            // still inside the touched set) and align write tasks to
+            // buckets (see alignToBuckets).
+            alignToBuckets(r.table.withColumn(PartCol, ptCol(pexpr)))
               .write.mode("overwrite").partitionBy(PartCol)
               .parquet(s"$path/v=$next")
             if (cdc)
-              r.edits.write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+              outputPartitions.map(r.edits.coalesce).getOrElse(r.edits)
+                .write.mode("overwrite").parquet(s"$path/edits/ev=$next")
             writeManifest(next, prev ++ touched.map(_ -> next))
-            publish(next)
+            publishAndPin(next)
           } finally if (cdc) r.staged.unpersist()
       }
+    }
+
+    /** Bulk initial load: publish `df` as version 0 WITHOUT the upsert
+      * machinery (no union+window, no CDC — there is nothing to merge
+      * against). The bootstrap analog of the reference creating a fresh
+      * database and inserting the first fetch wholesale; at scale this is
+      * the "backfill then stream" pattern — pay a plain partitioned write
+      * for the backfill, reserve the merge for increments. Keys must be
+      * unique in `df` (first-load contract; the next merge enforces the
+      * usual precedence for any later duplicates). */
+    def seed(df: DataFrame): Unit = {
+      require(currentVersion < 0,
+        s"UpsertTable at $path already has published versions; use merge()")
+      validatePartitioning()
+      partitioning match {
+        case None =>
+          val out = outputPartitions.map(df.coalesce).getOrElse(df)
+          out.write.mode("overwrite").parquet(s"$path/v=0")
+        case Some(pexpr) =>
+          alignToBuckets(df.withColumn(PartCol, ptCol(pexpr)))
+            .write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$path/v=0")
+          // manifest from the directories actually written — one listing,
+          // no extra job over the data
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(Paths.get(path, "v=0"))
+          val pts = try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(s"$PartCol=")).map(_.drop(PartCol.length + 1))
+            .toList
+          finally s.close()
+          writeManifest(0, pts.map(_ -> 0L).toMap)
+      }
+      publishAndPin(0)
     }
 
     /** OPTIMIZE-style compaction: rewrite partitions (or the whole table,
@@ -440,6 +490,17 @@ object Livestream {
       Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+
+    /** Publish, then pin the layout descriptor on the first successful
+      * publish. Pinning AFTER the pointer moves means a failed first
+      * merge/seed never locks an empty table into a layout the caller
+      * may want to change; the crash window between publish and pin is
+      * covered by the structural manifest check in
+      * [[validatePartitioning]]. */
+    private def publishAndPin(version: Long): Unit = {
+      publish(version)
+      if (config.get(PartKey).isEmpty) setConfig(PartKey, partitioningDescriptor)
+    }
   }
 
   /** The default key-stable partition expression for [[UpsertTable]]:
@@ -476,7 +537,11 @@ object Livestream {
         // bounded by the trigger cap, so the cache is small by contract)
         val seqd = batch.withColumn("_seq",
           lit(batchId) * 1000000000L + monotonically_increasing_id()).persist()
-        try table.merge(seqd, "_seq") finally seqd.unpersist()
+        // no-data micro-batches (noDataMicroBatches, restart replays of
+        // fully-consumed sources) must not publish a new version — for a
+        // flat table a merge of zero rows would rewrite the whole table
+        try { if (!seqd.isEmpty) table.merge(seqd, "_seq") }
+        finally seqd.unpersist()
       }
 
   /** T2/T6 rate shaping: newest ≤limit rows per cycle per target — on a

@@ -240,12 +240,15 @@ class StreamingSpec extends AnyFunSuite {
 
   test("optimize compacts many files into few, preserving data (flat + partitioned)") {
     // seed with AQE partition-coalescing off so the merge writes several
-    // small files — the fragmentation optimize exists to fix
+    // small files — the fragmentation optimize exists to fix. The parted
+    // table sets a files-per-bucket cap > 1 (intra-bucket write
+    // parallelism), which is exactly the fragmentation optimize compacts.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val flat = new Livestream.UpsertTable(spark, tmp("opt1"), Merge.comments,
       Seq.empty[C].toDF())
     val parted = new Livestream.UpsertTable(spark, tmp("opt2"), Merge.comments,
-      Seq.empty[C].toDF(), partitioning = Some(col("subreddit")))
+      Seq.empty[C].toDF(), outputPartitions = Some(4),
+      partitioning = Some(col("subreddit")))
     try {
       flat.merge((1L to 40L).map(i => c(i, s"v$i", i)).toDF()
         .withColumn("_seq", lit(0L)), "_seq")
