@@ -141,4 +141,70 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() === 0)
     assert(sh.count() > 0)
   }
+
+  // ==== adversarial skew: the 100 TB cap contract, demonstrated ==========
+  //
+  // Two pathologies at once, each 10,000 docs deep:
+  //  - an identical-text FAMILY (every shingle hot: uncapped, each of its
+  //    6 shingle groups would emit f² = 10⁸ pairs in ONE task);
+  //  - a STOP-SHINGLE shared by 10,000 otherwise-unique docs (one hot
+  //    group, ~5·10⁷ candidate pairs uncapped).
+  // The documented contract (jaccardPairs/minhashLshPairs scaladoc): the
+  // caps shed exactly the above-cap groups, the job completes without the
+  // giant task, and the ONLY pairs missed are those whose every shared
+  // key is hot — pairs with any cold shared shingle still surface.
+
+  private lazy val skewCorpus = {
+    val family = (100000L until 110000L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val stop = (200000L until 210000L)
+      .map(i => (i, s"common shared phrase uq${i}a uq${i}b uq${i}c"))
+    // the one COLD near-dup pair: must survive every capped run
+    val planted = Seq(
+      (300001L, "planted cold pair text one two three four five"),
+      (300002L, "planted cold pair text one two three four five"))
+    (family ++ stop ++ planted).toDF("doc_id", "text")
+  }
+
+  test("adversarial skew: freqCap sheds exactly the 7 hot shingle groups; cold pair survives") {
+    val cap = 1000L
+    // ground truth on the hot side: group sizes straight from the shingle
+    // rows — 6 family shingles + 1 stop shingle, each exactly 10,000 deep
+    val hot = Dedup.shingles(skewCorpus, "doc_id", "text", 3)
+      .groupBy("s").count().filter($"count" > cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hot.size === 7)
+    assert(hot.values.forall(_ === 10000L))
+    assert(hot.contains("common shared phrase"))
+    // thresholdBp=0 so NOTHING is filtered post-candidate: every surviving
+    // candidate pair is returned — shedding is the only reduction
+    val pairs = Dedup.jaccardPairs(skewCorpus, "doc_id", "text", 3, 0, freqCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the planted cold pair: the family's pairs are hot-only (missed
+    // by contract — collapse exact dups first), the stop corpus shares
+    // nothing but the hot shingle
+    assert(pairs === Set((300001L, 300002L)))
+  }
+
+  test("adversarial skew: minhash bucketCap sheds the identical family's 32 band buckets") {
+    val cap = 1000L
+    val pairs = Dedup.minhashLshPairs(skewCorpus, "doc_id", "text", 3, 8000,
+        bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // family: identical signatures → ONE 10,000-deep bucket per band, all
+    // 32 shed; stop docs: unique tails randomize the bands. The planted
+    // pair (identical → jac 10000 bp) must come through.
+    assert(pairs === Set((300001L, 300002L, 10000L)))
+  }
+
+  test("adversarial skew: simhash bucketCap sheds the family's chunk groups; cold pair survives") {
+    val pairs = Dedup.simhashPairs(skewCorpus, "doc_id", "text",
+        maxHamming = 3, bucketCap = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // family → one identical simhash → 4 chunk groups of 10,000, all shed;
+    // planted pair hamming 0 survives. Stop docs may collide by chance on
+    // a 16-bit chunk, so only assert family absence + planted presence.
+    assert(pairs.contains((300001L, 300002L)))
+    assert(!pairs.exists(p => p._1 >= 100000L && p._1 < 110000L))
+  }
 }
