@@ -14,17 +14,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * `markdown` package. A full CommonMark engine is out of scope (and no
   * JVM markdown dependency is available offline), so this renders the
   * subset that dominates reddit bodies — paragraphs, `# headers`,
-  * `&gt;`-quoted blockquotes, `-`/`*` and `1.` lists, **bold**, *italic*,
-  * `code`, [text](url) links — with the same escape-first contract.
-  * Because escaping runs FIRST (the reference's order too), the
+  * `&gt;`-quoted blockquotes (one nesting level), `-`/`*` and `1.` lists
+  * (one nesting level via 2+-space indent), ``` fenced code blocks
+  * (verbatim, inline spans suppressed, blank lines kept), **bold**,
+  * *italic*, `code`, [text](url) links — with the same escape-first
+  * contract. Because escaping runs FIRST (the reference's order too), the
   * blockquote marker is matched in its ESCAPED form `&gt;` — which means
   * a body whose text LITERALLY contains `&gt;` at line start is
   * indistinguishable from a quote marker after the escape pass and
   * renders as a blockquote (accepted ambiguity of the escape-first
   * contract; the reference renders neither as a quote). Divergence
   * (documented, SURVEY §7.4.5): `>` escapes to the CORRECT `&gt;`, not
-  * the reference's `&rt;` typo. Nested lists/quotes render flat — one
-  * level, the overwhelmingly common reddit shape.
+  * the reference's `&rt;` typo. Nesting deeper than one level renders
+  * flat at the inner level — two levels cover the overwhelmingly common
+  * reddit shapes; an unterminated fence swallows the rest of the body as
+  * code (CommonMark's rule).
   *
   * Pure function of its input: safe as a codegen'd Catalyst expression
   * and inside distributed render tasks.
@@ -51,24 +55,74 @@ object MarkdownLite {
     s
   }
 
+  private val TopUl = "^[-*]\\s+.*"
+  private val TopOl = "^[0-9]+\\.\\s+.*"
+  private val NestedItem = "^\\s{2,}(?:[-*]|[0-9]+\\.)\\s+.*"
+
+  private def stripMarker(l: String): String =
+    l.trim.replaceFirst("^(?:[-*]|[0-9]+\\.)\\s+", "")
+
+  /** List block with one nesting level: a 2+-space-indented marker line
+    * attaches as a sublist of the preceding top-level item; the sublist's
+    * tag follows ITS marker (an ordered sublist under an unordered list
+    * works). Deeper indents flatten into the same sublist. */
+  private def renderListBlock(rawLines: Seq[String], tag: String): String = {
+    val items = scala.collection.mutable.ListBuffer
+      .empty[(String, scala.collection.mutable.ListBuffer[String])]
+    rawLines.foreach { l =>
+      if (l.matches(NestedItem) && items.nonEmpty) items.last._2 += l
+      else items += ((stripMarker(l), scala.collection.mutable.ListBuffer.empty[String]))
+    }
+    items.map { case (txt, nested) =>
+      val sub =
+        if (nested.isEmpty) ""
+        else {
+          val subTag = if (nested.head.trim.matches(TopOl)) "ol" else "ul"
+          nested.map(n => s"<li>${inline(stripMarker(n))}</li>")
+            .mkString(s"<$subTag>", "", s"</$subTag>")
+        }
+      s"<li>${inline(txt)}$sub</li>"
+    }.mkString(s"<$tag>", "", s"</$tag>")
+  }
+
+  /** Blockquote with one nesting level: after stripping the outer `&gt;`
+    * marker, runs of lines still carrying a marker become an inner
+    * blockquote between the outer quote's paragraphs. */
+  private def renderQuoteBlock(lines: Seq[String]): String = {
+    val inner = lines.map(_.stripPrefix("&gt;").stripPrefix(" "))
+    val parts = new StringBuilder
+    var i = 0
+    while (i < inner.length) {
+      val isQ = inner(i).startsWith("&gt;")
+      val run = inner.drop(i).takeWhile(_.startsWith("&gt;") == isQ)
+      val body = run
+        .map(l => if (isQ) l.stripPrefix("&gt;").stripPrefix(" ") else l)
+        .mkString("\n")
+      if (isQ) parts.append(s"<blockquote><p>${inline(body)}</p></blockquote>")
+      else parts.append(s"<p>${inline(body)}</p>")
+      i += run.length
+    }
+    s"<blockquote>$parts</blockquote>"
+  }
+
   /** One blank-line-delimited block → one HTML block element. A block is
-    * a list/quote only if EVERY line carries the marker (python-markdown's
+    * a list/quote only if EVERY line carries a marker (python-markdown's
     * lazy-continuation subtleties are out of subset). */
   private def renderBlock(b: String): String = {
-    val lines = b.split("\n").toIndexedSeq.map(_.trim)
+    val rawLines = b.split("\n").toIndexedSeq
+    val lines = rawLines.map(_.trim)
     b match {
       case Header(hashes, rest) if !b.contains("\n") =>
         val h = hashes.length
         s"<h$h>${inline(rest.trim)}</h$h>"
       case _ if lines.forall(_.startsWith("&gt;")) =>
-        val inner = lines.map(_.stripPrefix("&gt;").stripPrefix(" ")).mkString("\n")
-        s"<blockquote><p>${inline(inner)}</p></blockquote>"
-      case _ if lines.forall(_.matches("^[-*]\\s+.*")) =>
-        lines.map(l => s"<li>${inline(l.replaceFirst("^[-*]\\s+", ""))}</li>")
-          .mkString("<ul>", "", "</ul>")
-      case _ if lines.forall(_.matches("^[0-9]+\\.\\s+.*")) =>
-        lines.map(l => s"<li>${inline(l.replaceFirst("^[0-9]+\\.\\s+", ""))}</li>")
-          .mkString("<ol>", "", "</ol>")
+        renderQuoteBlock(lines)
+      case _ if rawLines.head.matches(TopUl) &&
+          rawLines.forall(l => l.matches(TopUl) || l.matches(NestedItem)) =>
+        renderListBlock(rawLines, "ul")
+      case _ if rawLines.head.matches(TopOl) &&
+          rawLines.forall(l => l.matches(TopOl) || l.matches(NestedItem)) =>
+        renderListBlock(rawLines, "ol")
       case _ => s"<p>${inline(b)}</p>"
     }
   }
@@ -76,8 +130,36 @@ object MarkdownLite {
   def render(text: String): String = {
     if (text == null) return null
     val escaped = text.replace("<", "&lt;").replace(">", "&gt;")
-    val blocks = escaped.split("\n{2,}").iterator.map(_.trim).filter(_.nonEmpty)
-    blocks.map(renderBlock).mkString("\n")
+    // Fenced code regions are carved out BEFORE blank-line block splitting
+    // (a fence may contain blank lines) and rendered verbatim — the
+    // escape pass already ran, inline spans never apply.
+    val lines = escaped.split("\n", -1)
+    val out = List.newBuilder[String]
+    val buf = new StringBuilder
+    def flushBuf(): Unit = {
+      buf.toString.split("\n{2,}").iterator.map(_.trim).filter(_.nonEmpty)
+        .foreach(b => out += renderBlock(b))
+      buf.clear()
+    }
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).trim.startsWith("```")) {
+        flushBuf()
+        val fence = new StringBuilder
+        i += 1    // info string on the opening fence is dropped
+        while (i < lines.length && !lines(i).trim.startsWith("```")) {
+          fence.append(lines(i)).append('\n')
+          i += 1
+        }
+        if (i < lines.length) i += 1   // consume the closing fence
+        out += s"<pre><code>$fence</code></pre>"
+      } else {
+        buf.append(lines(i)).append('\n')
+        i += 1
+      }
+    }
+    flushBuf()
+    out.result().mkString("\n")
   }
 
   def renderUTF8(u: UTF8String): UTF8String =

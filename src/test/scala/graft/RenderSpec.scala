@@ -55,6 +55,53 @@ class RenderSpec extends AnyFunSuite {
       "<h1>H</h1>\n<blockquote><p>q</p></blockquote>\n<ul><li>i</li></ul>\n<p>para</p>")
   }
 
+  test("F10 markdown fenced code blocks: verbatim, blank lines kept, spans suppressed") {
+    import graft.functions.MarkdownLite.render
+    assert(render("```\nval x = 1\n```") ===
+      "<pre><code>val x = 1\n</code></pre>")
+    // info string dropped; ESCAPED contents stay verbatim — no <em>, no <a>
+    assert(render("```scala\nif (a < b) *not em* [x](y)\n```") ===
+      "<pre><code>if (a &lt; b) *not em* [x](y)\n</code></pre>")
+    // a blank line inside the fence does NOT split the block
+    assert(render("```\nline one\n\nline two\n```") ===
+      "<pre><code>line one\n\nline two\n</code></pre>")
+    // prose around the fence renders normally
+    assert(render("before\n\n```\ncode\n```\nafter") ===
+      "<p>before</p>\n<pre><code>code\n</code></pre>\n<p>after</p>")
+    // unterminated fence swallows the rest (CommonMark)
+    assert(render("```\nno close\nstill code") ===
+      "<pre><code>no close\nstill code\n</code></pre>")
+    // inline single-backtick code is untouched by the fence pass
+    assert(render("a `b` c") === "<p>a <code>b</code> c</p>")
+  }
+
+  test("F10 markdown one-level nesting: lists and blockquotes") {
+    import graft.functions.MarkdownLite.render
+    // indented markers nest under the preceding top-level item
+    assert(render("- a\n  - a1\n  - a2\n- b") ===
+      "<ul><li>a<ul><li>a1</li><li>a2</li></ul></li><li>b</li></ul>")
+    // ordered sublist under an unordered parent keeps its own tag
+    assert(render("- a\n  1. one\n  2. two") ===
+      "<ul><li>a<ol><li>one</li><li>two</li></ol></li></ul>")
+    // ordered parent with unordered sublist
+    assert(render("1. a\n  - x\n2. b") ===
+      "<ol><li>a<ul><li>x</li></ul></li><li>b</li></ol>")
+    // deeper indents flatten into the same sublist (one level only)
+    assert(render("- a\n  - a1\n    - a1i") ===
+      "<ul><li>a<ul><li>a1</li><li>a1i</li></ul></li></ul>")
+    // flat lists unchanged
+    assert(render("- a\n- b") === "<ul><li>a</li><li>b</li></ul>")
+    // nested blockquote: > > inner between outer paragraphs
+    assert(render("> outer\n> > inner\n> back") ===
+      "<blockquote><p>outer</p><blockquote><p>inner</p></blockquote>" +
+        "<p>back</p></blockquote>")
+    // all-nested quote renders as quote-in-quote
+    assert(render("> > only inner") ===
+      "<blockquote><blockquote><p>only inner</p></blockquote></blockquote>")
+    // flat quotes unchanged
+    assert(render("> a\n> b") === "<blockquote><p>a\nb</p></blockquote>")
+  }
+
   test("markdownRender expression works column-level") {
     import spark.implicits._
     val out = Seq("**hi**").toDF("t")
