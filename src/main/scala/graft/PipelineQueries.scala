@@ -130,11 +130,16 @@ object PipelineQueries {
 
     // SRP-LSH embedding near-dup — the scale path for q_dedup_embed's
     // semantics: banded random-hyperplane candidates + exact cosine
-    // verify. Probabilistic recall → rows-only; recall vs the exact
-    // operator asserted in SimilaritySpec.
+    // verify. Banding is AUTO-TUNED to the threshold (srpTune's analytic
+    // collision model) so the bench serves the tuned configuration, not a
+    // hard-coded one. Probabilistic recall → rows-only; recall vs the
+    // exact operator (and tuned ≥ legacy-config recall) asserted in
+    // SimilaritySpec.
     "q_dedup_embed_lsh" -> ((s, dir) => {
+      val (bands, probeBits) = Similarity.srpTune(4500L)
       Similarity.srpPairs(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", thresholdBp = 4500L)
+          "vec_id", "embedding", thresholdBp = 4500L,
+          bands = bands, probeBits = probeBits)
         .orderBy("i", "j")
     }),
 

@@ -140,7 +140,12 @@ object TextOps {
 
   /** See [[MinHashBands]]. Empty shingle array → empty bands array (a doc
     * with no shingles can never be a candidate — mirrors the aggregate
-    * form, where a doc with no shingle rows produced no signature row). */
+    * form, where a doc with no shingle rows produced no signature row).
+    * An array whose elements are ALL null gets the same empty-array
+    * treatment: without it, every such doc would keep its mins at
+    * Long.MaxValue and spuriously collide with every other all-null doc
+    * (unreachable via Dedup.shingleSet, but the SQL-registered
+    * `minhash_bands` accepts arbitrary arrays). */
   def minhashBands(shingles: ArrayData, k: Int, bands: Int): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val L = shingles.numElements()
@@ -148,10 +153,12 @@ object TextOps {
     val r = k / bands
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    var hashedAny = false
     var s = 0
     while (s < L) {
       val sh = shingles.getUTF8String(s)
       if (sh != null) {
+        hashedAny = true
         val base = XXH64.hashUTF8String(sh, 42L)
         var i = 0
         while (i < k) {
@@ -162,6 +169,7 @@ object TextOps {
       }
       s += 1
     }
+    if (!hashedAny) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {

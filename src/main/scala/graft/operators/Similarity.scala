@@ -138,11 +138,16 @@ object Similarity {
       .select(col("bk.band").as("band"), col("bk.key").as("key"),
         struct(col("vid"), col("bk.base").as("base")).as("vb"))
     // probe∧probe meetings are Hamming-2 — outside the probe radius — so
-    // at least one side must be a base emission for a candidate
+    // at least one side must be a base emission for a candidate.
+    // groupPairs caps on ROWS per (band, key) group, and multi-probe
+    // multiplies each doc's rows by (1 + probes) — scale the cap by the
+    // same factor so `bucketCap` keeps its documented meaning (docs per
+    // bucket, up to probe-collision variance) at any probeBits.
+    val effCap = bucketCap * (1 + math.min(probeBits, w))
     val candidates = Dedup.groupPairs(blocked, Seq("band", "key"), col("vb"),
         (x, y) => when(x.getField("vid") < y.getField("vid") &&
             (x.getField("base") || y.getField("base")),
-          struct(x.getField("vid").as("i"), y.getField("vid").as("j"))), bucketCap)
+          struct(x.getField("vid").as("i"), y.getField("vid").as("j"))), effCap)
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .distinct()
     candidates
@@ -244,11 +249,13 @@ object Similarity {
   }
 
   /** @param persistCorpus memory contract: true (default) persists the
-    *        normalized corpus MEMORY_AND_DISK for the duration of the
-    *        returned plan — it is read 2 + kmeansIters times (corpus
-    *        assign, query assign, refinement rounds) and spills rather
-    *        than OOMs when it outgrows executor memory. Pass false for a
-    *        one-shot query over a corpus too large to be worth staging
+    *        normalized corpus MEMORY_AND_DISK — it is read 2 + kmeansIters
+    *        times (corpus assign, query assign, refinement rounds) and
+    *        spills rather than OOMs when it outgrows executor memory.
+    *        NOTHING UNPERSISTS IT: the block lives until the session ends,
+    *        the LRU store evicts it, or the caller clears it
+    *        (`spark.catalog.clearCache()`). In a long-lived driver, pass
+    *        false for one-shot queries over corpora not worth staging
     *        (each consumer then rescans + renormalizes the source — a
     *        compute/storage trade the CALLER owns, not this operator). */
   def ivfTopK(emb: DataFrame, id: String, vec: String,

@@ -124,6 +124,33 @@ class SimilaritySpec extends AnyFunSuite {
       targetRecall = 0.999999))
   }
 
+  test("serving path is srpTune'd: tuned recall ≥ the former hard-coded config, no extra noise") {
+    // q_dedup_embed_lsh now serves srpTune(4500)'s (bands, probeBits)
+    // instead of the former hard-coded (16, 0); the tuned config must be
+    // at least as good on BOTH axes — measured recall vs the exact
+    // operator, and analytic candidate noise for unrelated vectors.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (bands, probes) = Similarity.srpTune(4500L)
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 4500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lsh(b: Int, p: Int) =
+      Similarity.srpPairs(emb, "vec_id", "embedding", 4500L,
+          bands = b, probeBits = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tuned = lsh(bands, probes)
+    val legacy = lsh(16, 0)
+    assert(tuned.subsetOf(exact) && legacy.subsetOf(exact))   // exact verify
+    assert(tuned.size >= legacy.size,
+      s"tuned ($bands,$probes) recall ${tuned.size}/${exact.size} < " +
+        s"legacy (16,0) ${legacy.size}/${exact.size}")
+    def noise(b: Int, pr: Int): Double = {
+      val w = 64 / b
+      val pb = math.pow(0.5, w) + pr * math.pow(0.5, w - 1) * 0.5
+      1 - math.pow(1 - pb, b)
+    }
+    assert(noise(bands, probes) <= noise(16, 0) + 1e-12)
+  }
+
   test("nearestCentroids: ties break to the lower index, keep caps at codebook size") {
     val df = Seq((1L, Seq(1.0, 0.0))).toDF("vid", "nv")
     val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))  // c0 == c1

@@ -28,6 +28,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a.toLongArray().toSeq !== c.toLongArray().toSeq)
   }
 
+  test("minhashBands kernel: all-null array → empty bands, no spurious collisions") {
+    // an array of only nulls hashes nothing — without the guard every such
+    // doc would share the identical MaxValue-mins signature and collide
+    // with every other all-null doc via the SQL-registered function
+    val allNull = new GenericArrayData(Array[Any](null, null))
+    assert(TextOps.minhashBands(allNull, 16, 4).numElements() === 0)
+    // a null mixed into real shingles still hashes the real ones
+    val mixed = new GenericArrayData(
+      Array[Any](null, UTF8String.fromString("x y"), UTF8String.fromString("y z")))
+    assert(TextOps.minhashBands(mixed, 16, 4).toLongArray().toSeq ===
+      TextOps.minhashBands(arr(Seq("x y", "y z")), 16, 4).toLongArray().toSeq)
+  }
+
   test("minhashBands kernel: a superset-heavy overlap shares some bands (banding sanity)") {
     // jaccard 3/4 sets: with 16 hashes / 4 bands (r=4), P(band match) ≈ 0.32
     // per band — at least one of 4 bands should match for SOME of several
