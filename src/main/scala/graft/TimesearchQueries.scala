@@ -88,8 +88,10 @@ object TimesearchQueries {
     * unclassified / corrupt / blank lines. Null struct fields are OMITTED
     * by `to_json` (absent JSON keys, the pushshift reality), and `edited`
     * is post-processed into a BARE false/number token to exercise the
-    * dual-typed read (tsdb.py:374-377). Path is per-sf under /tmp so the
-    * static oracle SQL can reference the sf0.01 file. */
+    * dual-typed read (tsdb.py:374-377). Path is per-sf under /tmp; the
+    * oracle references it through the `__INGEST_SF__` token, bound by
+    * [[oraclesAt]] to whatever sf Verify runs — no run-ordering
+    * dependence between Verify and Bench. */
   private def ingestFileFixture(s: SparkSession, dir: String): String = {
     import s.implicits._
     val out = s"/tmp/graft_ingest_file/${new java.io.File(dir).getName}"
@@ -358,6 +360,31 @@ object TimesearchQueries {
         .orderBy("idint")
     }),
 
+    // J2-at-rest over the BUCKETED layout (Store.writeBucketed) — the
+    // at-scale answer to the reference's idstr secondary index
+    // (tsdb.py:71, 86): both sides are written bucketed+sorted on the
+    // join key, so the upsert-probe-shaped join plans with ZERO hash
+    // exchanges (co-located scan-side buckets; asserted in StoreSpec's
+    // driver-query plan test). The bucketed write is part of the query on
+    // purpose: it is the amortized cost the layout trades for every
+    // subsequent shuffle-free join.
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = s"/tmp/graft_bucketed/${new java.io.File(dir).getName}"
+      s.sql("DROP TABLE IF EXISTS graft_bucket_old")
+      s.sql("DROP TABLE IF EXISTS graft_bucket_new")
+      graft.sources.Store.writeBucketed(oldComments(s, dir),
+        "graft_bucket_old", s"$base/old", "idstr", 8)
+      graft.sources.Store.writeBucketed(newComments(s, dir).drop("_seq", "_edited"),
+        "graft_bucket_new", s"$base/new", "idstr", 8)
+      val o = s.table("graft_bucket_old")
+      val n = s.table("graft_bucket_new")
+      o.join(n, Seq("idstr"))
+        .select(col("idstr"),
+          o("body").as("body_old"), n("body").as("body_new"),
+          o("score").as("score_old"), n("score").as("score_new"))
+        .orderBy("idstr")
+    }),
+
     // J5/O9 — comment-tree reconstruction over an events-derived forest
     // (binary trees of 16 nodes); preorder rank + depth, DuckDB oracle via
     // WITH RECURSIVE — the operator Spark SQL itself cannot express.
@@ -516,8 +543,32 @@ object TimesearchQueries {
               CAST(o_custkey AS VARCHAR) AS author
        FROM orders"""
 
-  val oracles: Map[String, String] = Map(
+  /** `__INGEST_SF__` in an oracle stands for the scale-factor directory
+    * name the fixture was written under; [[oraclesAt]] binds it to the sf
+    * Verify actually ran — the former hard-coded `sf0.01` silently relied
+    * on Verify-running-before-Bench ordering. */
+  private val IngestSfToken = "__INGEST_SF__"
+
+  private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
+
+    // the bucketed layout holds the same rows — the oracle joins the same
+    // derivations straight from the events table
+    "q_bucketed_join" ->
+      """WITH old AS (
+           SELECT 'e'||event_id AS idstr, props AS body,
+                  CAST(round(value*100) AS BIGINT) AS score
+           FROM events WHERE event_id % 4 != 1),
+         new AS (
+           SELECT 'e'||event_id AS idstr,
+                  CASE WHEN event_id % 5 = 0 THEN '[removed]'
+                       ELSE props||'-v2' END AS body,
+                  CAST(round(value*100) AS BIGINT) + 1 AS score
+           FROM events WHERE event_id % 2 = 0)
+         SELECT o.idstr, o.body AS body_old, n.body AS body_new,
+                o.score AS score_old, n.score AS score_new
+         FROM old o JOIN new n ON o.idstr = n.idstr
+         ORDER BY o.idstr""",
 
     "q_index_score" ->
       s"""WITH subs AS ($indexSubsCte)
@@ -761,9 +812,9 @@ object TimesearchQueries {
     "q_ingest_file" ->
       """WITH lines AS (
            SELECT unnest(string_split(content, chr(10))) AS line
-           FROM read_text('/tmp/graft_ingest_file/sf0.01/*.txt')),
+           FROM read_text('/tmp/graft_ingest_file/__INGEST_SF__/*.txt')),
          parsed AS (
-           SELECT * FROM read_json('/tmp/graft_ingest_file/sf0.01/*.txt',
+           SELECT * FROM read_json('/tmp/graft_ingest_file/__INGEST_SF__/*.txt',
              format='newline_delimited', ignore_errors=true,
              columns={id:'VARCHAR', name:'VARCHAR', created_utc:'DOUBLE',
                       author:'VARCHAR', title:'VARCHAR', url:'VARCHAR',
@@ -822,4 +873,11 @@ object TimesearchQueries {
          FROM u CROSS JOIN counts
          ORDER BY idstr"""
   )
+
+  /** Oracle SQL with fixture paths bound to `sfName` (e.g. "sf0.01"). */
+  def oraclesAt(sfName: String): Map[String, String] =
+    oraclesRaw.map { case (k, v) => k -> v.replace(IngestSfToken, sfName) }
+
+  /** Default binding, kept for direct readers of the static contract. */
+  val oracles: Map[String, String] = oraclesAt("sf0.01")
 }

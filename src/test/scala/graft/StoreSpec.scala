@@ -40,6 +40,19 @@ class StoreSpec extends AnyFunSuite {
     assert(back.length === 1 && back.head.getAs[String]("s") === "a")
   }
 
+  test("q_bucketed_join driver query: join side has zero hash exchanges, rows match a plain join") {
+    val q = TimesearchQueries.all("q_bucketed_join")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    // the only exchange allowed is the final ORDER BY's range partitioning —
+    // the join itself must ride the co-located buckets
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed driver join must not hash-exchange:\n$plan")
+    val rows = q.collect()
+    val expected = spark.table("graft_bucket_old")
+      .join(spark.table("graft_bucket_new"), "idstr").count()
+    assert(rows.length.toLong === expected && rows.nonEmpty)
+  }
+
   test("co-bucketed tables join with zero shuffle exchanges") {
     val wh = tmp("wh") // explicit per-table paths; warehouse.dir is static
     val left = (1L to 1000L).map(i => (i, s"body$i")).toDF("idint", "body")
