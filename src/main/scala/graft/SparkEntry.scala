@@ -27,4 +27,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TimesearchQueries.oracles ++ PipelineQueries.oracles
+
+  /** [[oracleSql]] with file-fixture paths bound to the sf directory the
+    * verification actually runs at (Verify passes its own sfDir) —
+    * removes any run-ordering dependence on a hard-coded fixture path. */
+  def oracleSqlAt(sfDir: String): Map[String, String] =
+    RelationalQueries.oracles ++
+      TimesearchQueries.oraclesAt(new java.io.File(sfDir).getName) ++
+      PipelineQueries.oracles
 }
