@@ -30,10 +30,13 @@ import graft.streaming.Livestream
   */
 object Timesearch {
 
-  /** One archive target = two versioned upsert tables sharing a root. */
+  /** One archive target = two versioned upsert tables sharing a root.
+    * `keyBuckets` records the layout the archive was opened with so
+    * per-key access paths ([[openSubmissionArchive]]) can prune. */
   final case class Archive(
       submissions: Livestream.UpsertTable,
-      comments: Livestream.UpsertTable)
+      comments: Livestream.UpsertTable,
+      keyBuckets: Option[Int] = None)
 
   /** @param keyBuckets Some(n) = key-bucket-partitioned tables (the scale
     *        layout: a merge rewrites only the buckets a batch touches —
@@ -50,7 +53,38 @@ object Timesearch {
       new Livestream.UpsertTable(spark, s"$root/submissions", Merge.submissions,
         empty(model.Schemas.submissions), outputPartitions, pt),
       new Livestream.UpsertTable(spark, s"$root/comments", Merge.comments,
-        empty(model.Schemas.comments), outputPartitions, pt))
+        empty(model.Schemas.comments), outputPartitions, pt),
+      keyBuckets)
+  }
+
+  /** One submission thread's slice of an archive: the submission row and
+    * its comments. */
+  final case class SubmissionArchive(submission: DataFrame, comments: DataFrame)
+
+  /** `TSDB.for_submission` (tsdb.py:268-274): the per-thread archive.
+    * The reference creates a separate SQLite FILE per submission; over
+    * the shared versioned store the analog is a pruned VIEW. On a
+    * keyBucket layout the submission lookup computes the key's bucket
+    * driver-side (same expression family as [[Livestream.keyBucket]])
+    * and reads ONLY that partition's files — the open-one-small-file
+    * access path. The comment side filters on `submission`; comments are
+    * bucketed by their own key, so that side is a scan-filter by design
+    * (the reference pays a full table copy to build the file instead). */
+  def openSubmissionArchive(spark: SparkSession, archive: Archive,
+      submissionIdstr: String): SubmissionArchive = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val sub = archive.keyBuckets match {
+      case Some(n) =>
+        val pt = spark.range(1)
+          .select(pmod(xxhash64(lit(submissionIdstr)), lit(n.toLong))
+            .cast("string").as("pt"))
+          .head().getString(0)
+        archive.submissions.partition(pt).filter(col("idstr") === submissionIdstr)
+      case None =>
+        archive.submissions.current.filter(col("idstr") === submissionIdstr)
+    }
+    SubmissionArchive(sub,
+      archive.comments.current.filter(col("submission") === submissionIdstr))
   }
 
   /** ingest_jsonfile: NDJSON dump → discriminate → normalize → upsert. */

@@ -512,8 +512,25 @@ object Livestream {
     pmod(xxhash64(col(keyColName)), lit(nBuckets))
 
   /** Wire a streaming DataFrame into the upsert table. Each micro-batch
-    * gets a monotone `_seq` from (batchId, input order) so within-batch
-    * precedence survives (dummy-then-live, pushshift.py:224-243).
+    * gets a `_seq` from (batchId, `monotonically_increasing_id`) so
+    * within-batch precedence survives (dummy-then-live,
+    * pushshift.py:224-243).
+    *
+    * ==`_seq` semantics for a key appearing twice in ONE micro-batch==
+    *
+    * `_seq` is only ever COMPARED within a single merge (the existing
+    * table enters at −1; the batchId term is constant across the batch),
+    * so its contract is purely within-batch: the duplicate with the
+    * larger `monotonically_increasing_id` wins, i.e. (partition index,
+    * row-offset-in-partition) scan order. For a single-split micro-batch
+    * (MemoryStream, trigger-capped file sources) that IS input order —
+    * last occurrence wins, the reference's sequential-apply semantics
+    * (pinned in StreamingSpec). Across partitions it is Spark's split
+    * ordering, which tracks file listing order but is not a contractual
+    * file order — a source that can repeat a key within one multi-split
+    * batch and cares which copy wins should carry its OWN sequence
+    * column and call `table.merge(batch, thatCol)` directly. Every
+    * current caller emits unique keys per batch and is unaffected.
     *
     * Trigger choices mirror the reference CLI: `ProcessingTime("30 seconds")`
     * ↔ `--wait 30`, `AvailableNow` ↔ `--once` (timesearch.py:257-264).

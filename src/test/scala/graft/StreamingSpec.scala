@@ -52,6 +52,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("_seq within-batch precedence: a key duplicated in ONE micro-batch resolves to the last occurrence") {
+    // pins the documented contract (upsertSink scaladoc): for a
+    // single-split micro-batch, monotonically_increasing_id follows input
+    // order, so the LAST copy of a duplicated key wins — the reference's
+    // sequential-apply order (dummy-then-live, pushshift.py:224-243)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[C]
+    val table = new Livestream.UpsertTable(spark, tmp("tbldup"),
+      Merge.comments, Seq.empty[C].toDF())
+    val q = Livestream.upsertSink(mem.toDF(), table, tmp("ckpdup"),
+      Trigger.ProcessingTime(0)).start()
+    try {
+      // dummy-then-live: same key three times in one batch
+      mem.addData(c(7, "dummy", 0), c(7, "better", 1), c(7, "live", 2))
+      q.processAllAvailable()
+      val row = table.current.collect()
+      assert(row.length === 1)
+      assert(row.head.getAs[String]("body") === "live")
+      assert(row.head.getAs[Long]("score") === 2L)
+      // both superseded versions were archived as CDC in order
+      val ed = table.edits.orderBy("replaced_at").collect()
+        .map(_.getAs[String]("previous_body")).toSeq
+      assert(ed === Seq("dummy", "better"))
+    } finally q.stop()
+  }
+
   test("T3 idempotence: replaying the same batch changes nothing") {
     val table = new Livestream.UpsertTable(spark, tmp("tbl2"),
       Merge.comments, Seq.empty[C].toDF())

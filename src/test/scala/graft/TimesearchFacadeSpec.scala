@@ -52,6 +52,31 @@ class TimesearchFacadeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](flat.submissions.current)
   }
 
+  test("openSubmissionArchive: per-thread slice, bucket-pruned on the keyBucket layout") {
+    val a = Timesearch.openArchive(spark, tmp("arch_sub"), keyBuckets = Some(4))
+    Timesearch.ingestJsonFile(spark, a, TestSpark.fixture("pushshift_fixture.ndjson"))
+    val someSub = a.submissions.current.select("idstr")
+      .orderBy("idstr").head().getString(0)
+    val sa = Timesearch.openSubmissionArchive(spark, a, someSub)
+    // exactly the one submission row, and only ITS comments
+    val subRows = sa.submission.collect()
+    assert(subRows.length === 1 && subRows.head.getAs[String]("idstr") === someSub)
+    val expected = a.comments.current
+      .filter(org.apache.spark.sql.functions.col("submission") === someSub).count()
+    assert(sa.comments.count() === expected)
+    // the submission read is bucket-pruned: its scan lists ONE partition's
+    // files, not the table (partition() path — a missing key in another
+    // bucket is invisible to it)
+    val scanned = sa.submission.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scanned.contains("pt=") || scanned.split("pt=").length <= 2)
+    // flat layout: same slice through the filter path
+    val f = Timesearch.openArchive(spark, tmp("arch_sub_flat"))
+    Timesearch.ingestJsonFile(spark, f, TestSpark.fixture("pushshift_fixture.ndjson"))
+    val sf = Timesearch.openSubmissionArchive(spark, f, someSub)
+    assert(sf.submission.count() === 1)
+  }
+
   test("verb surface: livestream and wiki/styles page sinks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
