@@ -151,6 +151,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(noise(bands, probes) <= noise(16, 0) + 1e-12)
   }
 
+  test("adversarial skew: srpPairs bucketCap sheds an identical-embedding family; cold pair survives") {
+    // the embedding analog of DedupSpec's adversarial-skew cases: 5,000
+    // identical vectors share every band bucket (f² pair blowup uncapped);
+    // with bucketCap=500 all 16 band buckets shed, while a planted
+    // 2-member clone pair in a different direction still surfaces.
+    // Multi-probe doubles each doc's emissions — the (1+probeBits) cap
+    // scaling must keep the planted pair alive there too.
+    import spark.implicits._
+    val d = 8
+    val family = (100000L until 105000L)
+      .map(i => (i, Array.tabulate(d)(j => if (j == 0) 1.0f else 0.0f)))
+    val planted = Seq(
+      (200001L, Array.tabulate(d)(j => if (j == d - 1) 1.0f else 0.1f)),
+      (200002L, Array.tabulate(d)(j => if (j == d - 1) 1.0f else 0.1f)))
+    val corpus = (family ++ planted).toDF("vec_id", "embedding")
+    def run(probeBits: Int) =
+      Similarity.srpPairs(corpus, "vec_id", "embedding", 9999L,
+          bucketCap = 500L, probeBits = probeBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(0)
+    assert(base === Set((200001L, 200002L)),
+      s"family must shed, planted pair must survive; got ${base.size} pairs")
+    assert(run(2) === Set((200001L, 200002L)))
+  }
+
   test("nearestCentroids: ties break to the lower index, keep caps at codebook size") {
     val df = Seq((1L, Seq(1.0, 0.0))).toDF("vid", "nv")
     val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))  // c0 == c1
