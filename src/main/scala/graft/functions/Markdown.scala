@@ -13,12 +13,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * The reference escapes angle brackets then delegates to the python
   * `markdown` package. A full CommonMark engine is out of scope (and no
   * JVM markdown dependency is available offline), so this renders the
-  * subset that dominates reddit bodies — paragraphs, `# headers`,
+  * subset that dominates reddit bodies — paragraphs, `# headers` and
+  * setext (`===`/`---` underline) headers, horizontal rules,
   * `&gt;`-quoted blockquotes (one nesting level), `-`/`*` and `1.` lists
-  * (one nesting level via 2+-space indent), ``` fenced code blocks
-  * (verbatim, inline spans suppressed, blank lines kept), **bold**,
-  * *italic*, `code`, [text](url) links — with the same escape-first
-  * contract. Because escaping runs FIRST (the reference's order too), the
+  * (one nesting level via 2+-space indent), ``` fenced code blocks AND
+  * 4-space-indented code blocks (reddit's classic code format; verbatim,
+  * inline spans suppressed, blank lines kept), **bold**, *italic*,
+  * `code`, [text](url) links — with the same escape-first
+  * contract. Tables are deliberately NOT rendered: the reference calls
+  * `markdown.markdown(...)` with no extensions (offline_reading.py:290)
+  * and python-markdown's `tables` support is an extension, so the
+  * reference renders pipe-tables as paragraphs too.
+  * Because escaping runs FIRST (the reference's order too), the
   * blockquote marker is matched in its ESCAPED form `&gt;` — which means
   * a body whose text LITERALLY contains `&gt;` at line start is
   * indistinguishable from a quote marker after the escape pass and
@@ -58,6 +64,12 @@ object MarkdownLite {
   private val TopUl = "^[-*]\\s+.*"
   private val TopOl = "^[0-9]+\\.\\s+.*"
   private val NestedItem = "^\\s{2,}(?:[-*]|[0-9]+\\.)\\s+.*"
+  // hr: a line of 3+ identical -/*/_ markers, optionally spaced (`- - -`).
+  // Checked BEFORE list matching — `- - -` also matches the ul marker.
+  private val HrLine = "^\\s*(?:(?:\\*\\s*){3,}|(?:-\\s*){3,}|(?:_\\s*){3,})$"
+  private val SetextH1 = "^=+$"
+  private val SetextH2 = "^-+$"
+  private val IndentedCode = "^(?: {4}|\\t).*"
 
   private def stripMarker(l: String): String =
     l.trim.replaceFirst("^(?:[-*]|[0-9]+\\.)\\s+", "")
@@ -115,6 +127,16 @@ object MarkdownLite {
       case Header(hashes, rest) if !b.contains("\n") =>
         val h = hashes.length
         s"<h$h>${inline(rest.trim)}</h$h>"
+      // setext header: a 2-line block whose second line is all `=` (h1) or
+      // all `-` (h2) and whose first line isn't itself a block marker
+      case _ if lines.length == 2 && lines(0).nonEmpty &&
+          (lines(1).matches(SetextH1) || lines(1).matches(SetextH2)) &&
+          !lines(0).startsWith("&gt;") && !lines(0).startsWith("#") &&
+          !lines(0).matches(TopUl) && !lines(0).matches(TopOl) =>
+        val h = if (lines(1).startsWith("=")) 1 else 2
+        s"<h$h>${inline(lines(0))}</h$h>"
+      case _ if lines.forall(_.matches(HrLine)) =>
+        lines.map(_ => "<hr>").mkString
       case _ if lines.forall(_.startsWith("&gt;")) =>
         renderQuoteBlock(lines)
       case _ if rawLines.head.matches(TopUl) &&
@@ -142,6 +164,10 @@ object MarkdownLite {
       buf.clear()
     }
     var i = 0
+    // an indented line opens a code block only at a block boundary — right
+    // after a blank line (or at the start). An indented line inside a
+    // paragraph/list block is a lazy continuation, not code.
+    var atBoundary = true
     while (i < lines.length) {
       if (lines(i).trim.startsWith("```")) {
         flushBuf()
@@ -153,7 +179,23 @@ object MarkdownLite {
         }
         if (i < lines.length) i += 1   // consume the closing fence
         out += s"<pre><code>$fence</code></pre>"
+        atBoundary = true
+      } else if (atBoundary && lines(i).matches(IndentedCode) &&
+          lines(i).trim.nonEmpty) {
+        flushBuf()
+        // collect indented-or-blank lines; a blank inside stays in the
+        // block (python-markdown's rule), trailing blanks are dropped
+        val code = scala.collection.mutable.ListBuffer.empty[String]
+        while (i < lines.length &&
+            (lines(i).trim.isEmpty || lines(i).matches(IndentedCode))) {
+          code += lines(i).replaceFirst("^(?: {4}|\t)", "")
+          i += 1
+        }
+        while (code.nonEmpty && code.last.trim.isEmpty) code.remove(code.length - 1)
+        out += s"<pre><code>${code.mkString("\n")}\n</code></pre>"
+        // the consumed trailing blanks already separated us from what follows
       } else {
+        atBoundary = lines(i).trim.isEmpty
         buf.append(lines(i)).append('\n')
         i += 1
       }

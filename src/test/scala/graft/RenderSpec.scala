@@ -102,6 +102,40 @@ class RenderSpec extends AnyFunSuite {
     assert(render("> a\n> b") === "<blockquote><p>a\nb</p></blockquote>")
   }
 
+  test("F10 markdown indented code, setext headers, horizontal rules") {
+    import graft.functions.MarkdownLite.render
+    // 4-space-indented code (reddit's classic code format): verbatim,
+    // dedented, spans suppressed
+    assert(render("    val x = 1") === "<pre><code>val x = 1\n</code></pre>")
+    assert(render("    if (a < b) *no em*\n    line2") ===
+      "<pre><code>if (a &lt; b) *no em*\nline2\n</code></pre>")
+    // a blank line inside an indented run stays in ONE code block
+    assert(render("    one\n\n    two") ===
+      "<pre><code>one\n\ntwo\n</code></pre>")
+    // tab indent works; prose around the block renders normally
+    assert(render("para\n\n\tcode\n\nafter") ===
+      "<p>para</p>\n<pre><code>code\n</code></pre>\n<p>after</p>")
+    // an indented line directly under a paragraph line is a lazy
+    // continuation, NOT code
+    assert(render("para\n    still para") === "<p>para\n    still para</p>")
+    // deep list indents still flatten into the sublist, not code
+    assert(render("- a\n  - a1\n    - a1i") ===
+      "<ul><li>a<ul><li>a1</li><li>a1i</li></ul></li></ul>")
+    // setext headers: = underline → h1, - underline → h2, spans apply
+    assert(render("Title\n=====") === "<h1>Title</h1>")
+    assert(render("Sub **t**\n---") === "<h2>Sub <strong>t</strong></h2>")
+    // horizontal rules, all three markers, spaced form, before-list rule
+    assert(render("***") === "<hr>")
+    assert(render("___") === "<hr>")
+    assert(render("- - -") === "<hr>")
+    assert(render("a\n\n---\n\nb") === "<p>a</p>\n<hr>\n<p>b</p>")
+    // `---` directly under text is setext h2, not an hr
+    assert(render("head\n---") === "<h2>head</h2>")
+    // tables are out of subset (reference uses no python-markdown
+    // extensions): pipes render as a paragraph
+    assert(render("|a|b|\n|-|-|\n|1|2|") === "<p>|a|b|\n|-|-|\n|1|2|</p>")
+  }
+
   test("markdownRender expression works column-level") {
     import spark.implicits._
     val out = Seq("**hi**").toDF("t")
