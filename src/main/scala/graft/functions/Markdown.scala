@@ -19,8 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (one nesting level via 2+-space indent), ``` fenced code blocks AND
   * 4-space-indented code blocks (reddit's classic code format; verbatim,
   * inline spans suppressed, blank lines kept), **bold**, *italic*,
-  * `code`, [text](url) links — with the same escape-first
-  * contract. Tables are deliberately NOT rendered: the reference calls
+  * `code`, [text](url) links, ![alt](url) images — with the same
+  * escape-first contract. Tables are deliberately NOT rendered: the reference calls
   * `markdown.markdown(...)` with no extensions (offline_reading.py:290)
   * and python-markdown's `tables` support is an extension, so the
   * reference renders pipe-tables as paragraphs too.
@@ -41,6 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MarkdownLite {
   private val Code = "`([^`]+)`".r
+  private val Image = "!\\[([^\\]]*)\\]\\(([^)\\s]+)\\)".r
   private val Link = "\\[([^\\]]+)\\]\\(([^)\\s]+)\\)".r
   private val Bold = "(?s)\\*\\*(.+?)\\*\\*".r
   private val Ital = "(?s)(?<!\\*)\\*([^*]+)\\*(?!\\*)".r
@@ -52,6 +53,10 @@ object MarkdownLite {
     var s = p
     s = Code.replaceAllIn(s, m =>
       Matcher.quoteReplacement(s"<code>${m.group(1)}</code>"))
+    // images before links: an image's bracket segment would otherwise
+    // match the link pattern (leaving a stray `!`)
+    s = Image.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"""<img alt="${m.group(1)}" src="${m.group(2)}">"""))
     s = Link.replaceAllIn(s, m =>
       Matcher.quoteReplacement(s"""<a href="${m.group(2)}">${m.group(1)}</a>"""))
     s = Bold.replaceAllIn(s, m =>

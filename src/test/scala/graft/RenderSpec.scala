@@ -20,6 +20,11 @@ class RenderSpec extends AnyFunSuite {
     assert(render("`x < y`") === "<p><code>x &lt; y</code></p>")
     assert(render("[click](https://x.com/a)") ===
       """<p><a href="https://x.com/a">click</a></p>""")
+    // image beats link (the `!` must not survive as a stray character)
+    assert(render("![a cat](https://x.com/c.png)") ===
+      """<p><img alt="a cat" src="https://x.com/c.png"></p>""")
+    assert(render("see ![](u.png) and [l](v)") ===
+      """<p>see <img alt="" src="u.png"> and <a href="v">l</a></p>""")
     // escape-first contract; correct &gt; (divergence from reference &rt;)
     assert(render("<b>raw</b>") === "<p>&lt;b&gt;raw&lt;/b&gt;</p>")
   }
