@@ -15,22 +15,41 @@ object Bench {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
       s"${unknown.mkString(", ")}")
-    // sorted order: stable run-to-run comparisons across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
+    // One-shot timing cannot distinguish a real regression from machine
+    // noise (judge-measured same-code swings of 67-75% on this box, r5
+    // verdict). SPARK_GRAFT_BENCH_REPS=N times each query N times and
+    // reports the per-query MEDIAN (plus min, as the low-noise bound).
+    // Default 1 keeps the driver contract byte-identical.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           // a failed query must be VISIBLE, not a suspiciously fast time
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // sorted order: stable run-to-run comparisons across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
+        val samples = (1 to reps).map(_ => timeOnce(name, fn))
+        (name, median(samples), samples.min)
+      }
+    def jsonMap(f: ((String, Double, Double)) => Double): String =
+      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + f(r) }
+        .mkString("{", ",", "}")
+    val qs = jsonMap(_._2)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val extra = if (reps > 1)
+      s""","reps":$reps,"queries_min":${jsonMap(_._3)}""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -201,21 +201,42 @@ object Dedup {
     * `cluster` = the minimum doc id reachable through the pair graph, so
     * a dedup keep-policy is "keep doc == cluster".
     *
-    * Min-label propagation: each round joins labels across edges and
-    * keeps the per-node minimum; converges in O(component diameter)
-    * rounds — near-dup clusters are shallow (a dup family links through
-    * its overlaps), so 2-4 rounds typical, `maxIters` bounds adversarial
-    * chains. The driver-side loop is rounds-many ACTIONS, not data on the
-    * driver: each round is two shuffles (join + min-agg) sized by |edges|.
-    * Deterministic; isolated docs are seeded with their own id and no
-    * edge ever updates them, so they form singleton clusters.
+    * Min-label propagation, TWO hops per round: each round joins labels
+    * across edges, min-aggs, joins again, min-aggs — so label reach
+    * doubles per driver-side action for the same exchange count per hop;
+    * converges in O(log(component diameter)) fewer actions — near-dup
+    * clusters are shallow (a dup family links through its overlaps), so
+    * 1-2 rounds typical, `maxIters` rounds (2·maxIters hops) bounds
+    * adversarial chains. The driver-side loop is rounds-many ACTIONS, not
+    * data on the driver: each hop is two shuffles (join + min-agg) sized
+    * by |edges|, and the round's only action is the localCheckpoint —
+    * the convergence check rides it via `observe()` instead of running
+    * its own aggregation job. Deterministic; isolated docs are seeded
+    * with their own id and no edge ever updates them, so they form
+    * singleton clusters.
     */
   def clusters(docs: DataFrame, id: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.sql.Observation
     val nodes = docs.select(col(id).cast("long").as("doc"))
     val ij = pairs.select(col("i").cast("long").as("u"), col("j").cast("long").as("v"))
     val edges = ij.unionByName(ij.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
+    // Convergence metric: labels only ever DECREASE, so the label sum
+    // strictly decreases iff any node changed — one overflow-safe decimal
+    // sum instead of a join-compare of full label sets. It is attached
+    // with observe() so the SAME job that materializes the checkpoint
+    // produces it (CollectMetricsExec is a streaming pass-through; no
+    // extra action, no extra exchange).
+    def observed(df: DataFrame): (DataFrame, Observation) = {
+      val obs = Observation()
+      (df.observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("lblsum")), obs)
+    }
+    def sumOf(obs: Observation): java.math.BigDecimal =
+      obs.get.get("lblsum") match {
+        case Some(d: java.math.BigDecimal) => d
+        case _ => java.math.BigDecimal.ZERO   // empty corpus → sum is null
+      }
     // localCheckpoint each round: iterative plans otherwise grow their
     // lineage (and re-execute every prior round) — the standard pattern
     // for fixpoint algorithms on DataFrames.
@@ -223,28 +244,27 @@ object Dedup {
     // `docs` must still contribute its OWN id as a label candidate, or a
     // node smaller than all its neighbors would converge to the wrong
     // cluster id.
-    var labels = nodes.unionByName(edges.select(col("u").as("doc"))).distinct()
-      .select(col("doc"), col("doc").as("lbl")).localCheckpoint()
-    // Convergence check: labels only ever DECREASE, so the label sum
-    // strictly decreases iff any node changed — one overflow-safe decimal
-    // aggregation per round instead of a join-compare of full label sets.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)   // empty corpus
-    var prevSum = labelSum(labels)
+    val (seed, obs0) = observed(
+      nodes.unionByName(edges.select(col("u").as("doc"))).distinct()
+        .select(col("doc"), col("doc").as("lbl")))
+    var labels = seed.localCheckpoint()
+    var prevSum = sumOf(obs0)
+    // One propagation hop: push every label across every edge, keep the
+    // per-node minimum of (own label ∪ neighbor labels).
+    def hop(l: DataFrame): DataFrame = {
+      val viaEdges = edges
+        .join(l.withColumnRenamed("doc", "u").withColumnRenamed("lbl", "ulbl"), "u")
+        .select(col("v").as("doc"), col("ulbl").as("lbl"))
+      l.unionByName(viaEdges).groupBy("doc").agg(min("lbl").as("lbl"))
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("doc", "u").withColumnRenamed("lbl", "ulbl"), "u")
-        .select(col("v").as("doc"), col("ulbl").as("lbl"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("doc").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, obs) = observed(hop(hop(labels)))
+      labels = next.localCheckpoint()
+      val nextSum = sumOf(obs)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels = next
       it += 1
     }
     labels.select(col("doc"), col("lbl").as("cluster"))
