@@ -40,30 +40,70 @@ import org.apache.spark.unsafe.types.UTF8String
   * and inside distributed render tasks.
   */
 object MarkdownLite {
-  private val Code = "`([^`]+)`".r
+  // `(?<!\\)` on the opening backtick: an escaped backtick never opens a
+  // code span (python-markdown's BACKTICK pattern has the same lookbehind)
+  private val Code = "(?s)(?<!\\\\)`([^`]+)`".r
   private val Image = "!\\[([^\\]]*)\\]\\(([^)\\s]+)\\)".r
   private val Link = "\\[([^\\]]+)\\]\\(([^)\\s]+)\\)".r
   private val Bold = "(?s)\\*\\*(.+?)\\*\\*".r
   private val Ital = "(?s)(?<!\\*)\\*([^*]+)\\*(?!\\*)".r
+  // Underscore emphasis is python-markdown's SMART form: only at word
+  // boundaries, so snake_case_identifiers never emphasize.
+  private val UBold = "(?s)(?<!\\w)__(?!_)(.+?)(?<!_)__(?!\\w)".r
+  private val UItal = "(?s)(?<!\\w)_(?!_)(.+?)(?<!_)_(?!\\w)".r
+  // python-markdown ESCAPED_CHARS, minus <> (unreachable here: the
+  // escape-first pass has already entity-encoded every angle bracket)
+  private val Esc = "\\\\([\\\\`*_{}\\[\\]()#+.!-])".r
+  // Autolink matches the ESCAPED form of <scheme://…> for the same reason.
+  private val Auto = "(?i)&lt;((?:https?|ftp)://[^<>]*?)&gt;".r
   private val Header = "^(#{1,6})\\s+(.*)$".r
 
-  /** Inline spans — order matters: code wins over links wins over
-    * emphasis, mirroring python-markdown's span precedence. */
+  /** Inline spans — order mirrors python-markdown's span precedence
+    * (backticks > escapes > links > autolinks > emphasis). Spans whose
+    * content must never be re-scanned by a LATER pass (code bodies,
+    * escaped chars, URLs — all of which may contain `_`/`*`) are stashed
+    * behind \u0001<idx>\u0002 placeholders and restored in one final
+    * pass, python-markdown's own STX/ETX placeholder technique. */
   private def inline(p: String): String = {
+    val stash = scala.collection.mutable.ArrayBuffer.empty[String]
+    def put(html: String): String = {
+      stash += html; "\u0001" + (stash.size - 1) + "\u0002"
+    }
     var s = p
     s = Code.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(s"<code>${m.group(1)}</code>"))
+      Matcher.quoteReplacement(put(s"<code>${m.group(1)}</code>")))
+    // hard line break: two+ trailing spaces before a newline (applied
+    // after code spans so a break inside inline code stays verbatim)
+    s = s.replaceAll(" {2,}\n", "<br>\n")
+    // a backslash-escaped marker becomes the literal char, protected
+    // from every later span pattern
+    s = Esc.replaceAllIn(s, m => Matcher.quoteReplacement(put(m.group(1))))
     // images before links: an image's bracket segment would otherwise
     // match the link pattern (leaving a stray `!`)
     s = Image.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(s"""<img alt="${m.group(1)}" src="${m.group(2)}">"""))
+      Matcher.quoteReplacement(put(
+        s"""<img alt="${m.group(1)}" src="${m.group(2)}">""")))
+    // only the href is stashed: link TEXT still participates in the
+    // emphasis passes below ([**b**](u) emphasizes; a `_`-ridden URL
+    // never does)
     s = Link.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(s"""<a href="${m.group(2)}">${m.group(1)}</a>"""))
+      Matcher.quoteReplacement(
+        s"""<a href="${put(m.group(2))}">${m.group(1)}</a>"""))
+    s = Auto.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(put(
+        s"""<a href="${m.group(1)}">${m.group(1)}</a>""")))
     s = Bold.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+    s = UBold.replaceAllIn(s, m =>
       Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
     s = Ital.replaceAllIn(s, m =>
       Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
-    s
+    s = UItal.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    // restore: stashed strings come straight from the input (which had
+    // placeholder chars stripped), so one pass suffices
+    "\u0001(\\d+)\u0002".r.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(stash(m.group(1).toInt)))
   }
 
   private val TopUl = "^[-*]\\s+.*"
@@ -156,7 +196,10 @@ object MarkdownLite {
 
   def render(text: String): String = {
     if (text == null) return null
-    val escaped = text.replace("<", "&lt;").replace(">", "&gt;")
+    // the stash/restore placeholder chars must not occur in body text —
+    // strip them up front (python-markdown does the same for STX/ETX)
+    val escaped = text.replace("\u0001", "").replace("\u0002", "")
+      .replace("<", "&lt;").replace(">", "&gt;")
     // Fenced code regions are carved out BEFORE blank-line block splitting
     // (a fence may contain blank lines) and rendered verbatim — the
     // escape pass already ran, inline spans never apply.

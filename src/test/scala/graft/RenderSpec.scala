@@ -141,6 +141,35 @@ class RenderSpec extends AnyFunSuite {
     assert(render("|a|b|\n|-|-|\n|1|2|") === "<p>|a|b|\n|-|-|\n|1|2|</p>")
   }
 
+  test("F10 markdown inline tail: underscore emphasis, hard breaks, autolinks, escapes") {
+    import graft.functions.MarkdownLite.render
+    // smart underscore emphasis: word-boundary only
+    assert(render("hello _world_ again") === "<p>hello <em>world</em> again</p>")
+    assert(render("a __big deal__ here") === "<p>a <strong>big deal</strong> here</p>")
+    assert(render("snake_case_name stays") === "<p>snake_case_name stays</p>")
+    assert(render("a__b__c stays") === "<p>a__b__c stays</p>")
+    // two trailing spaces → hard break; one space does not
+    assert(render("line one  \nline two") === "<p>line one<br>\nline two</p>")
+    assert(render("one \ntwo") === "<p>one \ntwo</p>")
+    // autolinks (matched in their escaped form), URL chars left intact
+    assert(render("see <http://example.com/a_b?x=1&y=2> now") ===
+      """<p>see <a href="http://example.com/a_b?x=1&y=2">http://example.com/a_b?x=1&y=2</a> now</p>""")
+    assert(render("<ftp://host/file>") ===
+      """<p><a href="ftp://host/file">ftp://host/file</a></p>""")
+    // backslash escapes make markers literal
+    assert(render("literal \\*not em\\* and \\_plain\\_") ===
+      "<p>literal *not em* and _plain_</p>")
+    assert(render("escaped backtick \\`not code\\`") ===
+      "<p>escaped backtick `not code`</p>")
+    // code-span bodies are protected from EVERY later span pass
+    assert(render("`code_with_under` and *em*") ===
+      "<p><code>code_with_under</code> and <em>em</em></p>")
+    assert(render("x `a **b** c` y") === "<p>x <code>a **b** c</code> y</p>")
+    // link text emphasizes; a `_`-ridden href does not
+    assert(render("[**bold link**](http://x.com/a_b)") ===
+      """<p><a href="http://x.com/a_b"><strong>bold link</strong></a></p>""")
+  }
+
   test("markdownRender expression works column-level") {
     import spark.implicits._
     val out = Seq("**hi**").toDF("t")
