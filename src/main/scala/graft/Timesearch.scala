@@ -87,23 +87,40 @@ object Timesearch {
       archive.comments.current.filter(col("submission") === submissionIdstr))
   }
 
-  /** ingest_jsonfile: NDJSON dump → discriminate → normalize → upsert. */
+  /** ingest_jsonfile: NDJSON dump → discriminate → normalize → upsert.
+    * A dump that contains the same id twice (a re-crawl appended to an
+    * archive dump) resolves exactly as the reference's sequential replay
+    * does — last occurrence in file order wins, and the edit-CDC sees
+    * every intermediate version (tsdb.py:389-461): `_seq` is derived from
+    * scan-time file order ([[Ndjson.fileOrderSeq]]), so the outcome is
+    * identical under ANY physical split plan. */
   def ingestJsonFile(spark: SparkSession, archive: Archive, path: String): Unit = {
-    val raw = Ndjson.read(spark, path)
+    val raw = Ndjson.readOrdered(spark, path)
     ingestFrames(archive,
-      Normalize.submissions(Ndjson.submissionsRaw(raw)),
-      Normalize.comments(Ndjson.commentsRaw(raw)))
+      Normalize.submissions(Ndjson.fileOrderSeq(Ndjson.submissionsRaw(raw))),
+      Normalize.comments(Ndjson.fileOrderSeq(Ndjson.commentsRaw(raw))))
   }
 
   /** Merge normalized frames into the archive (the shared tail of
-    * ingest_jsonfile / get_submissions / get_comments). Precedence within
-    * the batch follows input order via a monotone sequence. */
+    * ingest_jsonfile / get_submissions / get_comments).
+    *
+    * ==Within-batch precedence==
+    * A frame carrying a `_seq` column keeps it as the within-batch
+    * precedence (the deterministic path — [[ingestJsonFile]] provides
+    * file order). A frame WITHOUT `_seq` falls back to
+    * `monotonically_increasing_id()`, which follows input order per
+    * partition but ranks rows of DIFFERENT partitions by partition index:
+    * if the same key appears in two partitions, which occurrence wins
+    * depends on the physical split plan (same caveat as
+    * [[Livestream.upsertSink]]'s `_seq` contract). Callers replaying
+    * ordered history with duplicate keys should supply `_seq`. */
   def ingestFrames(archive: Archive, submissions: DataFrame, comments: DataFrame): Unit = {
     import org.apache.spark.sql.functions.monotonically_increasing_id
-    archive.submissions.merge(
-      submissions.withColumn("_seq", monotonically_increasing_id()), "_seq")
-    archive.comments.merge(
-      comments.withColumn("_seq", monotonically_increasing_id()), "_seq")
+    def seqd(df: DataFrame): DataFrame =
+      if (df.columns.contains("_seq")) df
+      else df.withColumn("_seq", monotonically_increasing_id())
+    archive.submissions.merge(seqd(submissions), "_seq")
+    archive.comments.merge(seqd(comments), "_seq")
   }
 
   /** get_submissions/get_comments `lower='update'` bound (A3). */

@@ -28,7 +28,7 @@ object Normalize {
     val absUrl =
       when(baseUrl.startsWith("/r/"), concat(lit("https://reddit.com"), baseUrl))
         .otherwise(baseUrl)
-    raw.select(
+    raw.select(Seq(
       b36decode(col("id")).as("idint"),
       t3Prefix(coalesce(col("name"), col("id"))).as("idstr"),
       col("created_utc").cast("long").as("created"),
@@ -47,7 +47,8 @@ object Normalize {
       col("link_flair_css_class").as("flair_css_class"),
       lit(null).cast("long").as("augmented_at"),
       lit(null).cast("long").as("augmented_count"),
-      editedEpoch.as("_edited"))                      // carried for edit-CDC
+      editedEpoch.as("_edited")                       // carried for edit-CDC
+    ) ++ passSeq(raw): _*)
   }
 
   /** Raw comment rows → canonical 11-col comments (tsdb.py:473-486). */
@@ -60,7 +61,7 @@ object Normalize {
         .when(col("parent_id").rlike("^[0-9]+$"),
           concat(lit("t1_"), b36encode(col("parent_id").cast("long"))))
         .otherwise(col("parent_id"))
-    raw.select(
+    raw.select(Seq(
       b36decode(col("id")).as("idint"),
       t1Prefix(coalesce(col("name"), col("id"))).as("idstr"),
       col("created_utc").cast("long").as("created"),
@@ -72,8 +73,15 @@ object Normalize {
       col("subreddit").as("subreddit"),
       col("distinguished").as("distinguish"),
       textlen(body).as("textlen"),
-      editedEpoch.as("_edited"))
+      editedEpoch.as("_edited")
+    ) ++ passSeq(raw): _*)
   }
+
+  /** Within-batch precedence passthrough: a `_seq` computed at the source
+    * (e.g. [[graft.sources.Ndjson.fileOrderSeq]]) survives normalization
+    * so [[graft.Timesearch.ingestFrames]] can honor it. */
+  private def passSeq(raw: DataFrame) =
+    if (raw.columns.contains("_seq")) Seq(col("_seq")) else Seq.empty
 
   /** `edited` is JSON-dual-typed: false | epoch-seconds (tsdb.py:374-377).
     * Under the pinned string schema: "false" → null, numeric → long. */

@@ -25,6 +25,39 @@ object Ndjson {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** [[read]] plus three scan-time order columns (`_f`, `_b`, `_m`: file
+    * name, file-block start, per-partition row counter) whose
+    * lexicographic order is EXACTLY byte order within each file — a block
+    * is a contiguous file range, blocks of one file never share a task,
+    * and the counter increments in read order inside a task. The order is
+    * therefore invariant under any split plan (`maxPartitionBytes`,
+    * executor count), which is what makes a split-independent `_seq`
+    * derivable from it ([[fileOrderSeq]]). Across files the order is the
+    * file-name sort. Columns must be attached at scan time — evaluated
+    * after a shuffle they'd read empty. */
+  def readOrdered(spark: SparkSession, path: String): DataFrame =
+    read(spark, path)
+      .withColumn("_f", input_file_name())
+      .withColumn("_b", expr("input_file_block_start()"))
+      .withColumn("_m", monotonically_increasing_id())
+
+  /** Collapse the [[readOrdered]] order columns into a per-key `_seq`:
+    * `row_number()` over (file, block, row) within each raw `id` — the
+    * within-batch precedence [[graft.operators.Merge.upsert]] consumes.
+    * Per-KEY, not global, on purpose: a global file-order rank would be a
+    * total sort of the batch; the merge only ever compares `_seq` within
+    * one `idstr`, so ranking inside the key partition gives the same
+    * winner (and the same edit-CDC order) for one hash exchange sized by
+    * the batch — the same key the merge immediately shuffles on anyway.
+    * Matches the reference's sequential last-wins replay (tsdb.py:389-461)
+    * for any physical read plan. */
+  def fileOrderSeq(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("_f", "_b", "_m")
+    df.withColumn("_seq", row_number().over(w).cast("long"))
+      .drop("_f", "_b", "_m")
+  }
+
   /** S2 type discrimination (ingest_jsonfile.py:12-23). Predicates are
     * null-safe (absent fields give NULL, and SQL three-valued logic would
     * otherwise silently drop rows from `unclassified`). */

@@ -77,6 +77,56 @@ class TimesearchFacadeSpec extends AnyFunSuite {
     assert(sf.submission.count() === 1)
   }
 
+  test("duplicated id in one dump: last-in-file-order wins under ANY split plan") {
+    import org.apache.spark.sql.functions.col
+    // v1 at the top of the file, filler in the middle (so a tiny
+    // maxPartitionBytes actually splits the file), v2 at the very end —
+    // the reference's sequential replay stores v2 and archives v1 as an
+    // edit (tsdb.py:389-461)
+    def subLine(id: String, text: String) =
+      s"""{"id":"$id","name":"t3_$id","created_utc":1000,"author":"u","title":"T","is_self":true,"selftext":"$text","subreddit":"s","score":1}"""
+    def comLine(i: Int) =
+      s"""{"id":"c$i","name":"t1_c$i","created_utc":${1000 + i},"author":"u","parent_id":"t3_aaa","link_id":"t3_aaa","body":"filler $i","subreddit":"s","score":1}"""
+    val lines = (subLine("aaa", "version one") +:
+      (1 to 400).map(comLine)) :+ subLine("aaa", "version two")
+    val dump = java.nio.file.Paths.get(tmp("dupdump"), "dump.ndjson")
+    Files.write(dump, String.join("\n", lines: _*).getBytes("UTF-8"))
+
+    def ingestWith(maxPartitionBytes: Option[String]): (String, Long) = {
+      val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val savedCost = spark.conf.get("spark.sql.files.openCostInBytes")
+      maxPartitionBytes.foreach { b =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", b)
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      }
+      try {
+        // the tiny-split config must actually split the read, or the test
+        // proves nothing
+        val nParts = graft.sources.Ndjson.read(spark, dump.toString)
+          .rdd.getNumPartitions
+        if (maxPartitionBytes.isDefined) assert(nParts > 4)
+        else assert(nParts >= 1)
+        val a = Timesearch.openArchive(spark, tmp("arch_dup"))
+        Timesearch.ingestJsonFile(spark, a, dump.toString)
+        val text = a.submissions.current.filter(col("idstr") === "t3_aaa")
+          .head().getAs[String]("selftext")
+        val editCount = a.submissions.edits
+          .filter(col("idstr") === "t3_aaa").count()
+        (text, editCount)
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+        spark.conf.set("spark.sql.files.openCostInBytes", savedCost)
+      }
+    }
+    val (textOnePart, editsOnePart) = ingestWith(None)
+    val (textSplit, editsSplit) = ingestWith(Some("2048"))
+    // same winner and same CDC regardless of the physical split plan
+    assert(textOnePart === "version two")
+    assert(textSplit === "version two")
+    // the superseded v1 text is archived as an edit in both plans
+    assert(editsOnePart === 1L && editsSplit === 1L)
+  }
+
   test("verb surface: livestream and wiki/styles page sinks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
