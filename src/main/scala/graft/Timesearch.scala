@@ -32,7 +32,22 @@ object Timesearch {
 
   /** One archive target = two versioned upsert tables sharing a root.
     * `keyBuckets` records the layout the archive was opened with so
-    * per-key access paths ([[openSubmissionArchive]]) can prune. */
+    * per-key access paths ([[openSubmissionArchive]]) can prune.
+    *
+    * Verb ↔ reference-module map (timesearch.py:22-60 dispatch table):
+    *  - `timesearch` / `get_submissions`+`get_comments` (timesearch.py:37-44,
+    *    HTTP fetch excluded per SURVEY §2.1 S4) → [[ingestFrames]] +
+    *    [[incrementalLowerBound]]
+    *  - `ingest_jsonfile` (ingest_jsonfile.py) → [[ingestJsonFile]]
+    *  - `breakdown` (breakdown.py) → [[breakdown]]
+    *  - `index` (index.py) → [[index]]
+    *  - `offline_reading` (offline_reading.py) → [[offlineReading]]
+    *  - `merge_db` (merge_db.py) → [[mergeDb]]
+    *  - `livestream` (livestream.py) → [[livestream]]
+    *  - `get_styles` / `get_wiki` (get_styles.py, get_wiki.py; fetch
+    *    excluded) → [[writePages]]
+    *  - per-submission working copy (tsdb.py:268-274 `for_submission`) →
+    *    [[openSubmissionArchive]] */
   final case class Archive(
       submissions: Livestream.UpsertTable,
       comments: Livestream.UpsertTable,
@@ -72,13 +87,12 @@ object Timesearch {
     * (the reference pays a full table copy to build the file instead). */
   def openSubmissionArchive(spark: SparkSession, archive: Archive,
       submissionIdstr: String): SubmissionArchive = {
-    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.col
     val sub = archive.keyBuckets match {
       case Some(n) =>
-        val pt = spark.range(1)
-          .select(pmod(xxhash64(lit(submissionIdstr)), lit(n.toLong))
-            .cast("string").as("pt"))
-          .head().getString(0)
+        // driver-side Catalyst eval of the key's bucket — no Spark job on
+        // the path whose whole purpose is to be cheap
+        val pt = Livestream.keyBucketValue(submissionIdstr, n).toString
         archive.submissions.partition(pt).filter(col("idstr") === submissionIdstr)
       case None =>
         archive.submissions.current.filter(col("idstr") === submissionIdstr)

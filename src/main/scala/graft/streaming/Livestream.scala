@@ -473,13 +473,29 @@ object Livestream {
             parquetCount(leaf(v, pt)) > maxFiles
           }
           if (oversized.isEmpty) return
-          // rewrite each oversized partition coalesced, addressed by its
-          // manifest key — no re-derivation of the partition expression
-          oversized.foreach { case (pt, v) =>
-            spark.read.parquet(leaf(v, pt).toString).coalesce(maxFiles)
-              .write.mode("overwrite").parquet(leaf(next, pt).toString)
-          }
-          writeManifest(next, prev ++ oversized.keys.map(_ -> next))
+          // ALL oversized leaves rewritten in ONE partitioned write (one
+          // job), addressed by their manifest keys via basePath partition
+          // recovery — no re-derivation of the partition expression, and
+          // no per-leaf job serialization (thousands of fragmented
+          // buckets compact in a single pass). The repartition exchange
+          // is sized by the oversized data only and buys leaf-aligned
+          // output tasks: ≤ maxFiles files per leaf.
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          val src = spark.read.option("basePath", path)
+            .schema(StructType(emptyLike.schema.fields :+
+              StructField(PartCol, StringType)))
+            .parquet(oversized.toSeq.map { case (pt, v) => leaf(v, pt).toString }: _*)
+            .drop("v")
+          val aligned =
+            if (maxFiles == 1) src.repartition(col(PartCol))
+            else src.repartition(col(PartCol),
+              pmod(xxhash64(col("idstr")), lit(maxFiles.toLong)))
+          aligned.write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$path/v=$next")
+          // a pathological all-empty-files leaf writes no directory: keep
+          // its manifest entry on the old (uncompacted but readable) leaf
+          val written = oversized.keys.filter(pt => Files.exists(leaf(next, pt)))
+          writeManifest(next, prev ++ written.map(_ -> next))
           publish(next)
       }
     }
@@ -510,6 +526,19 @@ object Livestream {
     * which is the merge's whole write cost. */
   def keyBucket(keyColName: String = "idstr", nBuckets: Int = 64): Column =
     pmod(xxhash64(col(keyColName)), lit(nBuckets))
+
+  /** [[keyBucket]] for ONE key, evaluated on the driver: interpreted
+    * Catalyst eval of the same `XxHash64` expression plus pmod in Scala —
+    * point-lookup paths (e.g. `Timesearch.openSubmissionArchive`) get the
+    * key's partition value without launching a 1-row Spark job. Kept
+    * adjacent to [[keyBucket]] because the two MUST stay in lockstep
+    * (asserted in StreamingSpec). */
+  def keyBucketValue(key: String, nBuckets: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(key)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
 
   /** Wire a streaming DataFrame into the upsert table. Each micro-batch
     * gets a `_seq` from (batchId, `monotonically_increasing_id`) so

@@ -300,6 +300,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(parted.currentVersion === v)
   }
 
+  test("partitioned optimize batches 3+ oversized buckets into ONE job") {
+    // four fragmented buckets (outputPartitions=4 writes several files per
+    // leaf), then one optimize pass must compact ALL of them in a single
+    // Spark job — the per-leaf serialization would be 4 jobs here and
+    // thousands at scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val parted = new Livestream.UpsertTable(spark, tmp("optb"), Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(4),
+      partitioning = Some(col("subreddit")))
+    try {
+      parted.merge((1L to 80L).map(i => cSub(i, s"s${i % 4}", s"v$i", i)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val data = parted.current.orderBy("idstr").collect().toSeq
+    val perLeafBefore = parted.current.inputFiles
+      .groupBy(f => f.split("/").find(_.startsWith("pt=")).get).view.mapValues(_.length)
+    assert(perLeafBefore.size === 4 && perLeafBefore.values.forall(_ > 1))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      parted.optimize(maxFiles = 1)
+      Thread.sleep(1000)   // listener events post asynchronously
+      // AQE materializes the repartition exchange as its own job, so one
+      // write action = 2 jobs — the point is the count is INDEPENDENT of
+      // the bucket count (per-leaf serialization would be ≥ 4 here)
+      assert(jobs.get() <= 2, s"optimize ran ${jobs.get()} jobs for 4 buckets")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // every leaf compacted to one file; data byte-identical
+    val perLeafAfter = parted.current.inputFiles
+      .groupBy(f => f.split("/").find(_.startsWith("pt=")).get).view.mapValues(_.length)
+    assert(perLeafAfter.size === 4 && perLeafAfter.values.forall(_ === 1))
+    assert(parted.current.orderBy("idstr").collect().toSeq === data)
+  }
+
   test("config KV persists across reopen; store_edits toggles CDC") {
     val dir = tmp("cfg")
     val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
@@ -415,6 +453,18 @@ class StreamingSpec extends AnyFunSuite {
     Files.writeString(m, Files.readString(m) + "\n0")   // truncated trailing line
     assert(table.manifest(0) === Map("aa" -> 0L))       // parses, skips the torn line
     assert(table.current.count() === 1)
+  }
+
+  test("keyBucketValue (driver-side eval) is in lockstep with keyBucket (plan-side)") {
+    val n = 16
+    val keys = Seq("t3_a", "t3_zz9", "t1_abc123", "", "t3_ünïcødé", "x" * 200)
+    val planSide = keys.toDF("idstr")
+      .select(col("idstr"), Livestream.keyBucket(nBuckets = n).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(Livestream.keyBucketValue(k, n) === planSide(k),
+        s"driver/plan bucket mismatch for key '$k'")
+    }
   }
 
   test("T2 batch cap keeps the newest rows") {

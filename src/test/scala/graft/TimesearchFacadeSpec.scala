@@ -57,7 +57,21 @@ class TimesearchFacadeSpec extends AnyFunSuite {
     Timesearch.ingestJsonFile(spark, a, TestSpark.fixture("pushshift_fixture.ndjson"))
     val someSub = a.submissions.current.select("idstr")
       .orderBy("idstr").head().getString(0)
-    val sa = Timesearch.openSubmissionArchive(spark, a, someSub)
+    // the bucket hash is evaluated driver-side: opening the slice must not
+    // launch any Spark job (the point-lookup path exists to be cheap)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val sa =
+      try {
+        val opened = Timesearch.openSubmissionArchive(spark, a, someSub)
+        Thread.sleep(1000)   // listener events post asynchronously
+        assert(jobs.get() === 0, "openSubmissionArchive launched a Spark job")
+        opened
+      } finally spark.sparkContext.removeSparkListener(listener)
     // exactly the one submission row, and only ITS comments
     val subRows = sa.submission.collect()
     assert(subRows.length === 1 && subRows.head.getAs[String]("idstr") === someSub)
