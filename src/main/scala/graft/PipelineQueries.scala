@@ -155,8 +155,13 @@ object PipelineQueries {
     // codebook refinement (kmeansIters > 0) is exercised in
     // SimilaritySpec; the bench entry serves from the seed codebook.
     "q_ann_ivf" -> ((s, dir) => {
-      Similarity.ivfTopK(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", queryIds = (0L to 7L), k = 10)
+      val emb = Tables.load(s, dir, "embeddings")
+      // the SERVED path is the tuned + refined one: nlist/nprobe from
+      // corpus size (ivfTune) and one k-means sweep over the bootstrap
+      // codebook — what a real deployment would run, not the raw seed
+      val (nlist, nprobe) = Similarity.ivfTune(emb.count())
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queryIds = (0L to 7L),
+          k = 10, nlist = nlist, nprobe = nprobe, kmeansIters = 1)
         .orderBy("query_id", "rank")
     }),
 

@@ -195,6 +195,20 @@ object Similarity {
     candidates.minBy(_._2)._1
   }
 
+  /** Auto-tune [[ivfTopK]]'s (nlist, nprobe) from corpus size — the IVF
+    * analog of [[srpTune]]. nlist ≈ √n: per-query work is nlist (quantizer
+    * scan) + n·nprobe/nlist (probed cells), and with nprobe a fixed
+    * fraction of nlist the sum is minimized at nlist = Θ(√n) — the
+    * standard IVF sizing. nprobe = ⌈nlist/4⌉ keeps the serving default's
+    * probe ratio (16 → 4); it is the recall/cost knob — the recall floor
+    * of the tuned config is asserted in SimilaritySpec. */
+  def ivfTune(corpusSize: Long): (Int, Int) = {
+    require(corpusSize > 0, "ivfTune requires a non-empty corpus")
+    val nlist = math.max(1, math.round(math.sqrt(corpusSize.toDouble)).toInt)
+    val nprobe = math.max(1, (nlist + 3) / 4)
+    (nlist, nprobe)
+  }
+
   /** IVF (inverted-file) approximate top-k — the scale path.
     *
     * Coarse quantizer: `nlist` centroids (a deterministic pseudo-random

@@ -82,6 +82,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert((brute & r1).size.toDouble / brute.size >= 0.5)
   }
 
+  test("ivfTune + 1 refinement sweep (the SERVED q_ann_ivf config) keeps the recall floor") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val n = emb.count()
+    val (nlist, nprobe) = Similarity.ivfTune(n)
+    // sizing shape: √n cells, quarter-probe ratio
+    assert(nlist === math.round(math.sqrt(n.toDouble)).toInt)
+    assert(nprobe === math.max(1, (nlist + 3) / 4))
+    val brute = rs(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    val tuned = rs(Similarity.ivfTopK(emb, "vec_id", "embedding", qids, 10,
+      nlist = nlist, nprobe = nprobe, kmeansIters = 1))
+    assert((brute & tuned).size.toDouble / brute.size >= 0.5,
+      "tuned+refined IVF recall below floor")
+  }
+
   test("SRP LSH pairs: clones always found (deterministic), recall vs exact usable") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // identical clones → cos=1.0 → identical signature → guaranteed candidates
