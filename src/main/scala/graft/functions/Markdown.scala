@@ -47,13 +47,23 @@ object MarkdownLite {
   private val Link = "\\[([^\\]]+)\\]\\(([^)\\s]+)\\)".r
   private val Bold = "(?s)\\*\\*(.+?)\\*\\*".r
   private val Ital = "(?s)(?<!\\*)\\*([^*]+)\\*(?!\\*)".r
+  // Combined bold+italic needs explicit rules — Bold's reluctant group
+  // would otherwise swallow the third marker asymmetrically
+  // (`***x***` → `<strong>*x</strong>*`), and the UBold/UItal
+  // word-boundary guards reject `___x___` outright.
+  private val SBoth = "(?s)\\*\\*\\*(?!\\*)(.+?)\\*\\*\\*".r
   // Underscore emphasis is python-markdown's SMART form: only at word
   // boundaries, so snake_case_identifiers never emphasize.
+  private val UBoth = "(?s)(?<!\\w)___(?!_)(.+?)(?<!_)___(?!\\w)".r
   private val UBold = "(?s)(?<!\\w)__(?!_)(.+?)(?<!_)__(?!\\w)".r
   private val UItal = "(?s)(?<!\\w)_(?!_)(.+?)(?<!_)_(?!\\w)".r
   // python-markdown ESCAPED_CHARS, minus <> (unreachable here: the
   // escape-first pass has already entity-encoded every angle bracket)
   private val Esc = "\\\\([\\\\`*_{}\\[\\]()#+.!-])".r
+  // Longest block (in chars) the lazy-quantifier span passes run on —
+  // see the guard in [[inline]]. ~2k frames ≈ 300 KB of regex recursion:
+  // safe under any sane -Xss, far past any real emphasis span.
+  private val InlineSpanBound = 2000
   // Autolink matches the ESCAPED form of <scheme://…> for the same reason.
   private val Auto = "(?i)&lt;((?:https?|ftp)://[^<>]*?)&gt;".r
   private val Header = "^(#{1,6})\\s+(.*)$".r
@@ -89,17 +99,32 @@ object MarkdownLite {
     s = Link.replaceAllIn(s, m =>
       Matcher.quoteReplacement(
         s"""<a href="${put(m.group(2))}">${m.group(1)}</a>"""))
-    s = Auto.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(put(
-        s"""<a href="${m.group(1)}">${m.group(1)}</a>""")))
-    s = Bold.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
-    s = UBold.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
-    s = Ital.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
-    s = UItal.replaceAllIn(s, m =>
-      Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    // The lazy-quantifier patterns below (`.+?` content groups) recurse
+    // ONE JVM STACK FRAME PER CONTENT CHAR in java.util.regex — on a
+    // block with thousands of chars between paired markers that is a
+    // StackOverflowError, which in a Spark task kills the executor
+    // thread. Emphasis/autolink spans longer than InlineSpanBound are
+    // decorative nonsense, not prose, so past the bound those passes are
+    // skipped and the markers render literally (the iterative-engine
+    // passes above — code, escapes, images, links — always run).
+    // RenderSpec floods 5k-char marker runs to pin the no-crash contract.
+    if (s.length <= InlineSpanBound) {
+      s = Auto.replaceAllIn(s, m =>
+        Matcher.quoteReplacement(put(
+          s"""<a href="${m.group(1)}">${m.group(1)}</a>""")))
+      s = SBoth.replaceAllIn(s, m =>
+        Matcher.quoteReplacement(s"<strong><em>${m.group(1)}</em></strong>"))
+      s = Bold.replaceAllIn(s, m =>
+        Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+      s = UBoth.replaceAllIn(s, m =>
+        Matcher.quoteReplacement(s"<strong><em>${m.group(1)}</em></strong>"))
+      s = UBold.replaceAllIn(s, m =>
+        Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+      s = Ital.replaceAllIn(s, m =>
+        Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+      s = UItal.replaceAllIn(s, m =>
+        Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    }
     // restore: stashed strings come straight from the input (which had
     // placeholder chars stripped), so one pass suffices
     "\u0001(\\d+)\u0002".r.replaceAllIn(s, m =>
@@ -111,7 +136,14 @@ object MarkdownLite {
   private val NestedItem = "^\\s{2,}(?:[-*]|[0-9]+\\.)\\s+.*"
   // hr: a line of 3+ identical -/*/_ markers, optionally spaced (`- - -`).
   // Checked BEFORE list matching — `- - -` also matches the ul marker.
-  private val HrLine = "^\\s*(?:(?:\\*\\s*){3,}|(?:-\\s*){3,}|(?:_\\s*){3,})$"
+  // A linear scan, NOT a regex: the natural `(?:-\s*){3,}` group loop
+  // recurses one stack frame per repetition in java.util.regex and
+  // StackOverflows on a multi-thousand-char marker run (RenderSpec's
+  // adversarial floods pin this).
+  private def isHrLine(l: String): Boolean = {
+    val t = l.filterNot(_.isWhitespace)
+    t.length >= 3 && "-*_".contains(t.head) && t.forall(_ == t.head)
+  }
   private val SetextH1 = "^=+$"
   private val SetextH2 = "^-+$"
   private val IndentedCode = "^(?: {4}|\\t).*"
@@ -180,7 +212,7 @@ object MarkdownLite {
           !lines(0).matches(TopUl) && !lines(0).matches(TopOl) =>
         val h = if (lines(1).startsWith("=")) 1 else 2
         s"<h$h>${inline(lines(0))}</h$h>"
-      case _ if lines.forall(_.matches(HrLine)) =>
+      case _ if lines.forall(isHrLine) =>
         lines.map(_ => "<hr>").mkString
       case _ if lines.forall(_.startsWith("&gt;")) =>
         renderQuoteBlock(lines)

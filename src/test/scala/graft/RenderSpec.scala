@@ -168,6 +168,29 @@ class RenderSpec extends AnyFunSuite {
     // link text emphasizes; a `_`-ridden href does not
     assert(render("[**bold link**](http://x.com/a_b)") ===
       """<p><a href="http://x.com/a_b"><strong>bold link</strong></a></p>""")
+    // combined emphasis, both marker families
+    assert(render("***both***") === "<p><strong><em>both</em></strong></p>")
+    assert(render("___both___") === "<p><strong><em>both</em></strong></p>")
+  }
+
+  test("markdown renderer is total: adversarial marker floods terminate, never throw") {
+    import graft.functions.MarkdownLite.render
+    // regex-heavy renderers die on pathological inputs via catastrophic
+    // backtracking — these must complete (bounded seconds) and not throw
+    val floods = Seq(
+      "_" * 5000, "*" * 5000, "`" * 5001, "\\" * 5000,
+      ("__a" * 1500) + "b",              // many openers, no closer
+      ("[x](y" * 1000),                  // unclosed links
+      ("> " * 2000) + "q",
+      ("  \n" * 2000),                   // hard-break flood
+      ("<http://a" * 1000),              // unclosed autolinks
+      (1 to 500).map(i => s"$i. x").mkString("\n"))
+    floods.foreach { f =>
+      val t0 = System.nanoTime()
+      val out = render(f)
+      assert(out != null)
+      assert((System.nanoTime() - t0) / 1e9 < 10.0, "pathological input too slow")
+    }
   }
 
   test("markdownRender expression works column-level") {
