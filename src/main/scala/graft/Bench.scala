@@ -39,6 +39,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
+        // reps>1 measures steady state: one untimed warmup absorbs the
+        // query's one-time codegen/JIT so the median is a code signal,
+        // not a which-rep-paid-compilation lottery
+        if (reps > 1) timeOnce(name, fn)
         val samples = (1 to reps).map(_ => timeOnce(name, fn))
         (name, median(samples), samples.min)
       }
