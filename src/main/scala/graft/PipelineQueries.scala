@@ -202,6 +202,31 @@ object PipelineQueries {
           aggregate(col("frame_bytes"), lit(0L), (a, v) => a + v).as("byte_sum"))
         .withColumn("mean_byte_c", expr("byte_sum * 100 div byte_len"))
         .orderBy("doc_id")
+    }),
+
+    // REAL media decode at corpus scale: every document is minted into a
+    // valid 8-bit PCM WAV (44-byte header + the text's first 100 bytes as
+    // samples) and run through the sniff→decode path — the same
+    // partition-local batch shape a codec-backed decoder uses. Spec-side
+    // ground truth: MultimodalSpec decodes hand-built WAV/BMP/PPM
+    // fixtures to exact sample counts and means.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val hdr = Multimodal.wavHeaderPcm8Mono(dataLen = 100)
+      val media = Tables.load(s, dir, "documents").select(
+        col("doc_id"), lit("audio").as("modality"), lit(144L).as("byte_len"),
+        concat(lit(hdr),
+          // rpad to 100 CHARS then utf-8 encode: ≥100 bytes of samples;
+          // the decoder reads the declared 100 (trailing bytes ignored,
+          // as with real padded media files)
+          encode(rpad(substring(col("text"), 1, 100), 100, "x"), "UTF-8"))
+          .as("payload"))
+      Multimodal.decode(media).toDF()
+        // n_samples = 100, so mean·100 is an exact integer (the sample
+        // byte sum); round() recovers it from the double division
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"),
+          round(col("mean_value") * 100).cast("long").as("mean_c"))
+        .orderBy("doc_id")
     })
   )
 
@@ -427,6 +452,17 @@ object PipelineQueries {
                 CAST(list_sum(list_transform(range(1, length(text)+1),
                      i -> ascii(substr(text, CAST(i AS INT), 1)))) * 100
                      // octet_length(encode(text)) AS BIGINT) AS mean_byte_c
+         FROM documents ORDER BY doc_id""",
+
+    // the minted payload is a real 8-bit PCM WAV whose 100 samples are the
+    // text's first 100 chars (x-padded, corpus is ASCII); mean_c =
+    // round(mean·100) = the exact sample byte sum
+    "q_multimodal_decode" ->
+      """SELECT doc_id, 'wav' AS format, 1 AS channels, 8000 AS sample_rate,
+                CAST(100 AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(range(1, 101),
+                     i -> ascii(substr(rpad(substr(text, 1, 100), 100, 'x'),
+                                       CAST(i AS INT), 1)))) AS BIGINT) AS mean_c
          FROM documents ORDER BY doc_id"""
   )
 }

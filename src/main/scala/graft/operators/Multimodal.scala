@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * moves/filters/joins bytes without interpreting them, and decode happens
   * at the edge inside partition-local batch functions.
   *
-  * The decode/feature kernels here are DETERMINISTIC STUBS (this
-  * environment ships no image/audio codecs — see the builder contract);
-  * every stub is marked `STUB:` and has the exact signature, batching
-  * shape, and partitioning a real codec (JNI/FFI or subprocess) would use,
-  * so swapping one in changes no plan.
+  * Two decode tiers:
+  *  - [[decode]] REALLY decodes the container-free public formats whose
+  *    specs are pure byte math — WAV/PCM audio (RIFF), uncompressed
+  *    24-bit BMP, and binary PPM (P6) — in plain Scala, no codec library.
+  *  - Formats that need an entropy codec (JPEG/PNG/MP3/H.264…) fall back
+  *    to the DETERMINISTIC STUB kernels (this environment ships no
+  *    codecs — see the builder contract); every stub is marked `STUB:`
+  *    and has the exact signature, batching shape, and partitioning a
+  *    real codec (JNI/FFI or subprocess) would use, so swapping one in
+  *    changes no plan.
   */
 object Multimodal {
 
@@ -102,5 +107,162 @@ object Multimodal {
             mean, frames, sampleFramesStub(r.payload, stride))
         }
       }
+  }
+
+  // ===== real decode: container-free formats, pure byte math =====
+
+  /** One decoded media row. Audio fields are null for images and vice
+    * versa; `format = "unknown"` rows carry the stub fallback (mean over
+    * raw bytes, n_samples = byte length). */
+  final case class MediaDecoded(
+      doc_id: Long, format: String,
+      channels: Option[Int], sample_rate: Option[Int],
+      width: Option[Int], height: Option[Int],
+      n_samples: Long, mean_value: Double)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def ascii(b: Array[Byte], o: Int, n: Int): String =
+    new String(b, o, n, "US-ASCII")
+
+  /** RIFF/WAVE PCM decode (the format spec is public byte layout; 8-bit
+    * unsigned and 16-bit signed LE PCM supported). Chunk-walks to `fmt `
+    * and `data`; mean over samples (frames × channels). Returns None on
+    * anything malformed, truncated, or compressed. */
+  private[operators] def wavDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] = {
+    if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
+      return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int)] = None   // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None       // (offset, len)
+    while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii(b, o, 4); val sz = le32(b, o + 4)
+      if (sz < 0 || o + 8 + sz > b.length) return None   // torn chunk
+      if (id == "fmt " && sz >= 16) {
+        if (le16(b, o + 8) != 1) return None             // PCM only
+        fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
+      } else if (id == "data") data = Some((o + 8, sz))
+      o += 8 + sz + (sz & 1)                             // chunks are word-aligned
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (off, len) <- data
+      if ch > 0 && (bits == 8 || bits == 16) && len % (bits / 8) == 0
+    } yield {
+      val n = len / (bits / 8)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += (if (bits == 8) (b(off + i) & 0xff).toDouble
+              else le16(b, off + 2 * i).toShort.toDouble)
+        i += 1
+      }
+      MediaDecoded(doc, "wav", Some(ch), Some(rate), None, None,
+        n / ch, if (n == 0) 0.0 else s / n)
+    }
+  }
+
+  /** Uncompressed 24-bit BMP decode: pixel rows padded to 4 bytes,
+    * bottom-up (negative height = top-down; mean is order-invariant).
+    * Mean over all RGB channel bytes. */
+  private[operators] def bmpDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] = {
+    if (b.length < 54 || ascii(b, 0, 2) != "BM") return None
+    val off = le32(b, 10); val w = le32(b, 18); val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    if (le16(b, 28) != 24 || le32(b, 30) != 0) return None   // 24-bit, BI_RGB only
+    if (w <= 0 || h == 0) return None
+    val rowSize = ((24 * w + 31) / 32) * 4
+    if (off < 54 || off.toLong + rowSize.toLong * h > b.length) return None
+    var s = 0.0
+    var r = 0
+    while (r < h) {
+      var i = 0
+      while (i < w * 3) { s += (b(off + r * rowSize + i) & 0xff); i += 1 }
+      r += 1
+    }
+    Some(MediaDecoded(doc, "bmp", None, None, Some(w), Some(h),
+      w.toLong * h, s / (w.toLong * h * 3)))
+  }
+
+  /** Binary PPM (P6) decode: ASCII header (`#` comments allowed) with
+    * width, height, maxval ≤ 255, then a raw w·h·3 raster. */
+  private[operators] def ppmDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] = {
+    if (b.length < 2 || ascii(b, 0, 2) != "P6") return None
+    var o = 2
+    def skipWs(): Boolean = {
+      var progressed = false
+      var going = true
+      while (going && o < b.length) {
+        val c = b(o) & 0xff
+        if (c == '#') { while (o < b.length && b(o) != '\n') o += 1; progressed = true }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') { o += 1; progressed = true }
+        else going = false
+      }
+      progressed
+    }
+    def int(): Option[Int] = {
+      if (!skipWs()) return None
+      val start = o
+      var v = 0L
+      while (o < b.length && (b(o) & 0xff) >= '0' && (b(o) & 0xff) <= '9') {
+        v = v * 10 + (b(o) - '0'); o += 1
+      }
+      if (o == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    for {
+      w <- int(); h <- int(); maxv <- int()
+      if w > 0 && h > 0 && maxv > 0 && maxv <= 255
+      // exactly ONE whitespace byte separates maxval from the raster
+      if o < b.length && { o += 1; o + w.toLong * h * 3 <= b.length }
+    } yield {
+      var s = 0.0
+      var i = 0
+      val n = w * h * 3
+      while (i < n) { s += (b(o + i) & 0xff); i += 1 }
+      MediaDecoded(doc, "ppm", None, None, Some(w), Some(h), w.toLong * h, s / n)
+    }
+  }
+
+  /** Real decode pass: sniffs the payload's magic bytes and decodes
+    * WAV/BMP/PPM with the pure byte-math decoders above; any other (or
+    * malformed) payload degrades to the `"unknown"` stub row instead of
+    * throwing — a poison payload must never kill a 100 TB scan. Same
+    * partition-local, iterator-to-iterator batch shape as
+    * [[extractFeatures]]. */
+  def decode(media: DataFrame): Dataset[MediaDecoded] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "modality", "byte_len", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val b = if (r.payload == null) Array.emptyByteArray else r.payload
+          wavDecode(r.doc_id, b)
+            .orElse(bmpDecode(r.doc_id, b))
+            .orElse(ppmDecode(r.doc_id, b))
+            .getOrElse {
+              val (mean, _) = decodeStub(b)
+              MediaDecoded(r.doc_id, "unknown", None, None, None, None,
+                b.length.toLong, mean)
+            }
+        }
+      }
+  }
+
+  /** A valid 44-byte RIFF/WAVE PCM header for `dataLen` bytes of 8-bit
+    * mono audio — lets callers mint real WAV payloads from arbitrary
+    * byte columns (and doubles as executable format documentation). */
+  def wavHeaderPcm8Mono(dataLen: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate)  // byteRate = rate·1·1
+      .putShort(1).putShort(8)            // blockAlign, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
   }
 }

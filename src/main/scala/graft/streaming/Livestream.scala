@@ -382,7 +382,7 @@ object Livestream {
           // into a single reduce task instead of a full shuffle — the set
           // is bounded by |partitions| either way.
           val touched = batch.select(ptCol(pexpr).as(PartCol))
-            .agg(collect_set(col(PartCol))).head.getSeq[String](0)
+            .agg(collect_set(col(PartCol))).head().getSeq[String](0)
             .map(ExternalCatalogUtils.escapePathName).toSet
           if (touched.isEmpty) return   // empty batch: nothing to publish
           val prev = manifest(currentVersion)

@@ -58,4 +58,85 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.head.mean_byte === 0.0)
     assert(f.head.n_frames === 1)
   }
+
+  // ===== real decoders: hand-built fixtures, exact ground truth =====
+
+  private def mediaDF(rows: (Long, Array[Byte])*) =
+    rows.toSeq.toDF("doc_id", "payload")
+      .select(col("doc_id"), lit("x").as("modality"),
+        octet_length(col("payload")).cast("long").as("byte_len"), col("payload"))
+
+  test("WAV PCM decode: 8-bit and 16-bit, exact sample count and mean") {
+    // 8-bit mono: samples 0..9, mean 4.5
+    val wav8 = Multimodal.wavHeaderPcm8Mono(10) ++ (0 until 10).map(_.toByte)
+    // 16-bit stereo: build header by hand (blockAlign 4, bits 16), samples
+    // [-2, -1, 0, 1] → 2 frames, mean -0.5
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(8)
+      .putShort(-2).putShort(-1).putShort(0).putShort(1)
+    val out = Multimodal.decode(mediaDF(0L -> wav8, 1L -> bb.array()))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(0L).format === "wav" && out(0L).channels === Some(1) &&
+      out(0L).sample_rate === Some(8000) && out(0L).n_samples === 10L &&
+      out(0L).mean_value === 4.5)
+    assert(out(1L).format === "wav" && out(1L).channels === Some(2) &&
+      out(1L).sample_rate === Some(44100) && out(1L).n_samples === 2L &&
+      out(1L).mean_value === -0.5)
+  }
+
+  test("BMP decode: 24-bit with row padding, bottom-up and top-down") {
+    // 2×2, 24-bit: rowSize = 8 (6 data + 2 pad). All channel bytes known.
+    def bmp(height: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54 + 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + 16).putInt(0).putInt(54)
+        .putInt(40).putInt(2).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+      // row 0: pixels (10,20,30)(40,50,60) + 2 pad; row 1: (1,2,3)(4,5,6)
+      bb.put(Array[Byte](10, 20, 30, 40, 50, 60, 0, 0))
+        .put(Array[Byte](1, 2, 3, 4, 5, 6, 0, 0))
+      bb.array()
+    }
+    val expected = (10 + 20 + 30 + 40 + 50 + 60 + 1 + 2 + 3 + 4 + 5 + 6) / 12.0
+    val out = Multimodal.decode(mediaDF(0L -> bmp(2), 1L -> bmp(-2)))
+      .collect().map(d => d.doc_id -> d).toMap
+    for (id <- Seq(0L, 1L)) {
+      assert(out(id).format === "bmp" && out(id).width === Some(2) &&
+        out(id).height === Some(2) && out(id).n_samples === 4L &&
+        out(id).mean_value === expected, s"doc $id")
+    }
+  }
+
+  test("PPM P6 decode: comments in header, exact raster mean") {
+    val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val raster = Array[Byte](100, 110, 120, (200 - 256).toByte, 10, 0)
+    val out = Multimodal.decode(mediaDF(0L -> (header ++ raster))).collect().head
+    assert(out.format === "ppm" && out.width === Some(2) && out.height === Some(1))
+    assert(out.n_samples === 2L)
+    assert(out.mean_value === (100 + 110 + 120 + 200 + 10 + 0) / 6.0)
+  }
+
+  test("malformed media degrade to the unknown fallback, never throw") {
+    val truncatedWav = Multimodal.wavHeaderPcm8Mono(100).take(30)  // torn header
+    val lyingWav = Multimodal.wavHeaderPcm8Mono(1000) ++ Array[Byte](1, 2)  // declares 1000, has 2
+    val nonPcm = {
+      val b = Multimodal.wavHeaderPcm8Mono(4) ++ Array[Byte](1, 2, 3, 4)
+      b(20) = 85.toByte   // audioFormat := 0x55 (MP3), not PCM
+      b
+    }
+    val badPpm = "P6\n0 5\n255\n".getBytes("US-ASCII")   // zero width
+    val plainText = "just some text".getBytes("UTF-8")
+    val rows = Multimodal.decode(mediaDF(
+        0L -> truncatedWav, 1L -> lyingWav, 2L -> nonPcm,
+        3L -> badPpm, 4L -> plainText))
+      .collect().map(d => d.doc_id -> d).toMap
+    rows.values.foreach { d =>
+      assert(d.format === "unknown", s"doc ${d.doc_id} decoded as ${d.format}")
+    }
+    assert(rows(4L).n_samples === plainText.length.toLong)
+  }
 }
