@@ -83,14 +83,26 @@ object Multimodal {
 
   /** Resize pass: partition-local like [[extractFeatures]] — the batch
     * shape a JNI/subprocess codec needs (context per partition, row
-    * streaming, no shuffle). */
+    * streaming, no shuffle). WAV payloads take the REAL path
+    * ([[resampleWav]]: decimate frames by ⌈len/target⌉, emit a VALID
+    * lower-rate WAV — which keeps its 44-byte header, so a WAV thumb may
+    * exceed `targetLen` by up to the header size); everything else falls
+    * back to the byte-domain [[resizeStub]] thumbnail (strictly ≤
+    * targetLen). */
   def resize(media: DataFrame, targetLen: Int = 64): Dataset[MediaThumb] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "modality", "byte_len", "payload").as[MediaRow]
       .mapPartitions { it =>
         // a real decoder would open its codec context once, here
-        it.map(r => MediaThumb(r.doc_id, r.modality, r.byte_len,
-          resizeStub(r.payload, targetLen)))
+        it.map { r =>
+          val p = if (r.payload == null) Array.emptyByteArray else r.payload
+          val thumb =
+            if (p.length <= targetLen) p
+            else resampleWav(p, factor = math.max(2,
+                (p.length + targetLen - 1) / math.max(1, targetLen)))
+              .getOrElse(resizeStub(p, targetLen))
+          MediaThumb(r.doc_id, r.modality, r.byte_len, thumb)
+        }
       }
   }
 
@@ -128,11 +140,9 @@ object Multimodal {
   private def ascii(b: Array[Byte], o: Int, n: Int): String =
     new String(b, o, n, "US-ASCII")
 
-  /** RIFF/WAVE PCM decode (the format spec is public byte layout; 8-bit
-    * unsigned and 16-bit signed LE PCM supported). Chunk-walks to `fmt `
-    * and `data`; mean over samples (frames × channels). Returns None on
-    * anything malformed, truncated, or compressed. */
-  private[operators] def wavDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] = {
+  /** Parsed PCM WAV layout: (channels, rate, bits, dataOffset, dataLen).
+    * None on anything malformed, truncated, or compressed. */
+  private def wavParse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
       return None
     var o = 12
@@ -150,8 +160,15 @@ object Multimodal {
     for {
       (ch, rate, bits) <- fmt
       (off, len) <- data
-      if ch > 0 && (bits == 8 || bits == 16) && len % (bits / 8) == 0
-    } yield {
+      if ch > 0 && (bits == 8 || bits == 16) && len % (ch * bits / 8) == 0
+    } yield (ch, rate, bits, off, len)
+  }
+
+  /** RIFF/WAVE PCM decode (the format spec is public byte layout; 8-bit
+    * unsigned and 16-bit signed LE PCM supported). Chunk-walks to `fmt `
+    * and `data`; mean over samples (frames × channels). */
+  private[operators] def wavDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    wavParse(b).map { case (ch, rate, bits, off, len) =>
       val n = len / (bits / 8)
       var s = 0.0
       var i = 0
@@ -163,7 +180,6 @@ object Multimodal {
       MediaDecoded(doc, "wav", Some(ch), Some(rate), None, None,
         n / ch, if (n == 0) 0.0 else s / n)
     }
-  }
 
   /** Uncompressed 24-bit BMP decode: pixel rows padded to 4 bytes,
     * bottom-up (negative height = top-down; mean is order-invariant).
@@ -250,19 +266,46 @@ object Multimodal {
       }
   }
 
-  /** A valid 44-byte RIFF/WAVE PCM header for `dataLen` bytes of 8-bit
-    * mono audio — lets callers mint real WAV payloads from arbitrary
-    * byte columns (and doubles as executable format documentation). */
-  def wavHeaderPcm8Mono(dataLen: Int, sampleRate: Int = 8000): Array[Byte] = {
+  /** A valid 44-byte RIFF/WAVE PCM header (executable format
+    * documentation; also used to re-encode after [[resampleWav]]). */
+  def wavHeaderPcm(channels: Int, sampleRate: Int, bits: Int,
+      dataLen: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
     val bb = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1)            // PCM, mono
-      .putInt(sampleRate).putInt(sampleRate)  // byteRate = rate·1·1
-      .putShort(1).putShort(8)            // blockAlign, bits
+      .putShort(1).putShort(channels.toShort)       // PCM
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     bb.array()
   }
+
+  /** 8-bit mono convenience — mints real WAV payloads from arbitrary
+    * byte columns (the served `q_multimodal_decode` uses it). */
+  def wavHeaderPcm8Mono(dataLen: Int, sampleRate: Int = 8000): Array[Byte] =
+    wavHeaderPcm(1, sampleRate, 8, dataLen)
+
+  /** REAL audio resize: PCM decimation by integer `factor` (keep every
+    * factor-th FRAME, all channels), re-encoded as a valid WAV at
+    * rate/factor — decode → transform → re-encode, the full roundtrip a
+    * production resampler performs (minus the anti-alias filter, which
+    * needs no codec but is DSP out of scope; nearest-frame decimation is
+    * the deterministic baseline). None for non-WAV payloads. */
+  private[operators] def resampleWav(b: Array[Byte], factor: Int): Option[Array[Byte]] =
+    wavParse(b).map { case (ch, rate, bits, off, len) =>
+      val blockAlign = ch * bits / 8
+      val frames = len / blockAlign
+      val outFrames = (frames + factor - 1) / factor
+      val out = new Array[Byte](outFrames * blockAlign)
+      var f = 0
+      while (f < outFrames) {
+        System.arraycopy(b, off + f * factor * blockAlign,
+          out, f * blockAlign, blockAlign)
+        f += 1
+      }
+      wavHeaderPcm(ch, math.max(1, rate / factor), bits, out.length) ++ out
+    }
 }

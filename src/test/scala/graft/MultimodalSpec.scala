@@ -120,6 +120,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.mean_value === (100 + 110 + 120 + 200 + 10 + 0) / 6.0)
   }
 
+  test("resize on WAV payloads is a REAL resample: valid WAV out, decimated frames") {
+    // 8-bit mono, samples 0..99 — resize to ~72 bytes → factor 2
+    val wav = Multimodal.wavHeaderPcm8Mono(100) ++ (0 until 100).map(_.toByte)
+    val media = mediaDF(0L -> wav)
+    val thumb = Multimodal.resize(media, targetLen = 72).collect().head.thumb
+    // the thumb is itself a decodable WAV: 50 frames at half the rate,
+    // samples 0,2,4,…,98 → mean 49
+    val d = Multimodal.decode(mediaDF(0L -> thumb)).collect().head
+    assert(d.format === "wav" && d.n_samples === 50L &&
+      d.sample_rate === Some(4000) && d.mean_value === 49.0)
+    // non-WAV payloads keep the stub contract (strictly ≤ targetLen)
+    val txt = ("z" * 300).getBytes("UTF-8")
+    val t2 = Multimodal.resize(mediaDF(1L -> txt), targetLen = 64).collect().head.thumb
+    assert(t2.length <= 64)
+  }
+
   test("malformed media degrade to the unknown fallback, never throw") {
     val truncatedWav = Multimodal.wavHeaderPcm8Mono(100).take(30)  // torn header
     val lyingWav = Multimodal.wavHeaderPcm8Mono(1000) ++ Array[Byte](1, 2)  // declares 1000, has 2
