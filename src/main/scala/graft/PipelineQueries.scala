@@ -191,6 +191,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style rule VERDICTS (keep/drop + per-rule booleans for
+    // filter-ablation audits) — the published web-corpus filter family as
+    // a map-only projection.
+    "q_quality_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: binary payload + metadata; stubbed decode via
     // partition-local mapPartitions; byte math exact-checked vs oracle.
     "q_multimodal" -> ((s, dir) => {
@@ -453,6 +461,57 @@ object PipelineQueries {
                      i -> ascii(substr(text, CAST(i AS INT), 1)))) * 100
                      // octet_length(encode(text)) AS BIGINT) AS mean_byte_c
          FROM documents ORDER BY doc_id""",
+
+    "q_quality_rules" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  string_split(text, chr(10)) AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(toks) END AS n_words,
+                  CASE WHEN len(toks) = 0 THEN 0
+                       ELSE (list_sum(list_transform(toks, s -> length(s))) * 10000)
+                            // len(toks) END AS mwl_bp,
+                  CASE WHEN len(toks) = 0 THEN 0
+                       ELSE (list_sum(list_transform(toks,
+                              s -> CASE WHEN regexp_matches(s, '[A-Za-z]')
+                                        THEN 1 ELSE 0 END)) * 10000)
+                            // len(toks) END AS alpha_bp,
+                  CASE WHEN len(toks) = 0 THEN 0
+                       ELSE ((len(regexp_extract_all(text, '#'))
+                              + len(regexp_extract_all(text, '\.\.\.'))) * 10000)
+                            // len(toks) END AS sym_bp,
+                  CASE WHEN len(lines) = 0 THEN 0
+                       ELSE (list_sum(list_transform(lines,
+                              l -> CASE WHEN regexp_matches(ltrim(l), '^[-*] ')
+                                        THEN 1 ELSE 0 END)) * 10000)
+                            // len(lines) END AS bullet_bp,
+                  CASE WHEN len(lines) = 0 THEN 0
+                       ELSE (list_sum(list_transform(lines,
+                              l -> CASE WHEN ends_with(rtrim(l), '...')
+                                        THEN 1 ELSE 0 END)) * 10000)
+                            // len(lines) END AS ellip_bp,
+                  len(list_distinct(list_filter(list_transform(toks, s -> lower(s)),
+                      s -> list_contains(['the','a','an','and','or','of','to','in',
+                                          'is','it','on','for','with','as','at',
+                                          'by','from','that','this'], s))))
+                    AS n_stop
+           FROM t)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                n_words BETWEEN 10 AND 100000 AS r_word_count,
+                mwl_bp BETWEEN 30000 AND 100000 AS r_mean_word_len,
+                alpha_bp >= 8000 AS r_alpha_words,
+                sym_bp <= 1000 AS r_symbol_ratio,
+                bullet_bp <= 9000 AS r_bullet_lines,
+                ellip_bp <= 3000 AS r_ellipsis_lines,
+                n_stop >= 2 AS r_stopwords,
+                (n_words BETWEEN 10 AND 100000) AND (mwl_bp BETWEEN 30000 AND 100000)
+                  AND alpha_bp >= 8000 AND sym_bp <= 1000 AND bullet_bp <= 9000
+                  AND ellip_bp <= 3000 AND n_stop >= 2 AS keep
+         FROM m ORDER BY doc_id""",
 
     // the minted payload is a real 8-bit PCM WAV whose 100 samples are the
     // text's first 100 chars (x-padded, corpus is ASCII); mean_c =

@@ -309,4 +309,52 @@ object TextAnalysis {
     Dedup.shingles(docs, id, text, n)
       .join(broadcast(Dedup.shingles(bench, id, text, n).select("s").distinct()), "s")
       .groupBy("doc").agg(count(lit(1)).as("n_hits"))
+
+  /** Rule-based document quality VERDICTS (Gopher-style, Rae et al. 2021
+    * §A1.1 — the published web-corpus filter family): per-rule booleans
+    * plus the conjunctive `keep`, so a pipeline can both filter and audit
+    * WHY documents were dropped (rule ablation), which a single composite
+    * score ([[profile]]'s `quality_bp`) cannot. Map-only projection, all
+    * thresholds in integer basis points for oracle-exact compare.
+    *
+    * Rules (thresholds are the published defaults, scaled to this corpus
+    * family where the paper's are web-specific):
+    *  - `r_word_count`: 10 ≤ words ≤ 100 000 (paper: 50; synthetic docs
+    *    are short, the BOUND SHAPE is what matters)
+    *  - `r_mean_word_len`: mean word length in [3, 10] chars
+    *  - `r_alpha_words`: ≥ 80% of words contain an alphabetic char
+    *  - `r_symbol_ratio`: (# + …/"...") ≤ 10% of words
+    *  - `r_bullet_lines`: ≤ 90% of lines start with a bullet (- or *)
+    *  - `r_ellipsis_lines`: ≤ 30% of lines end with "..."
+    *  - `r_stopwords`: ≥ 2 DISTINCT common stopwords present
+    */
+  def gopherRules(df: DataFrame, id: String, text: String): DataFrame = {
+    val x = col("_x"); val toks = col("_toks"); val lines = col("_lines")
+    def bp(num: Column, den: Column): Column =
+      when(den === 0, 0L).otherwise(floor(num * 10000.0 / den).cast("long"))
+    val nWords = when(length(trim(x)) === 0, 0L).otherwise(size(toks).cast("long"))
+    val meanWl = bp(aggregate(toks, lit(0L), (a, t) => a + length(t)), size(toks))
+    val alphaW = bp(size(filter(toks, t => t.rlike("[A-Za-z]"))), size(toks))
+    val symbols = regexp_count(x, lit("#")) + regexp_count(x, lit("\\.\\.\\."))
+    val symR = bp(symbols, size(toks))
+    val bulletL = bp(size(filter(lines, l => ltrim(l).rlike("^[-*] "))), size(lines))
+    val ellipL = bp(size(filter(lines, l => rtrim(l).endsWith("..."))), size(lines))
+    val stopDistinct = size(array_intersect(
+      transform(toks, t => lower(t)), typedLit(stopwords))).cast("long")
+    df.select(col(id), col(text).as("_x"))
+      .select(col(id), x, ws(x).as("_toks"), split(x, "\n").as("_lines"))
+      .select(col(id),
+        nWords.as("n_words"),
+        nWords.between(10L, 100000L).as("r_word_count"),
+        meanWl.between(30000L, 100000L).as("r_mean_word_len"),
+        (alphaW >= 8000L).as("r_alpha_words"),
+        (symR <= 1000L).as("r_symbol_ratio"),
+        (bulletL <= 9000L).as("r_bullet_lines"),
+        (ellipL <= 3000L).as("r_ellipsis_lines"),
+        (stopDistinct >= 2L).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_alpha_words") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_stopwords"))
+  }
 }

@@ -194,4 +194,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq === Seq((1, "cat", 3L), (2, "dog", 2L), (3, "the", 2L)))
   }
+
+  test("gopherRules: each rule fails on exactly its crafted violator") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog and then it runs to the hill"
+    val docs = Seq(
+      0L -> good,                                                 // passes all
+      1L -> "the and of to",                                      // < 10 words
+      2L -> ("the of " + Seq.fill(20)("pneumonoultramicroscopics").mkString(" ")), // mean word len > 10
+      3L -> ("the of " + Seq.fill(20)("12345").mkString(" ")),    // < 80% alpha words
+      4L -> ("the of " + Seq.fill(10)("# tag #").mkString(" ")),  // symbol-heavy
+      5L -> ((1 to 10).map(i => s"- item $i the of").mkString("\n")), // all bullet lines
+      6L -> ((1 to 10).map(i => s"line $i the of...").mkString("\n")), // all ellipsis lines
+      7L -> "purple monkey dishwasher banana keyboard elephant curtain window door floor" // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"), "good doc must pass every rule")
+    val expect = Map(
+      1L -> "r_word_count", 2L -> "r_mean_word_len", 3L -> "r_alpha_words",
+      4L -> "r_symbol_ratio", 5L -> "r_bullet_lines", 6L -> "r_ellipsis_lines",
+      7L -> "r_stopwords")
+    expect.foreach { case (id, rule) =>
+      assert(!out(id).getAs[Boolean](rule), s"doc $id must fail $rule")
+      assert(!out(id).getAs[Boolean]("keep"), s"doc $id must be dropped")
+    }
+    // map-only at any scale: the verdict projection plans ZERO exchanges
+    val plan = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
+  }
 }
