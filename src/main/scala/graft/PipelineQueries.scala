@@ -191,6 +191,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: token-counted docs streamed into 512-token
+    // context-window bins, 32 independent shards (one exchange + per-shard
+    // window cumsum).
+    "q_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.packSequences(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")), capacity = 512L)
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style rule VERDICTS (keep/drop + per-rule booleans for
     // filter-ablation audits) — the published web-corpus filter family as
     // a map-only projection.
@@ -461,6 +471,20 @@ object PipelineQueries {
                      i -> ascii(substr(text, CAST(i AS INT), 1)))) * 100
                      // octet_length(encode(text)) AS BIGINT) AS mean_byte_c
          FROM documents ORDER BY doc_id""",
+
+    "q_pack" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS shard,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, shard,
+                CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 512
+                     AS BIGINT) AS bin,
+                n_tokens
+         FROM toks ORDER BY doc_id""",
 
     "q_quality_rules" ->
       """WITH t AS (

@@ -310,6 +310,37 @@ object TextAnalysis {
       .join(broadcast(Dedup.shingles(bench, id, text, n).select("s").distinct()), "s")
       .groupBy("doc").agg(count(lit(1)).as("n_hits"))
 
+  /** Sequence PACKING: assign token-counted items to fixed-capacity
+    * context-window bins — the standard pretraining data-prep step after
+    * chunking (concatenate documents into full training sequences).
+    *
+    * Semantics: STREAMING FILL in deterministic (shard, id) order — item
+    * bin = ⌊tokens-before-it ÷ capacity⌋, so bins are contiguous runs and
+    * an item can straddle a boundary (its bin holds the overhang; real
+    * packers either split there or pad — both downstream choices this
+    * assignment feeds). NOT reordering bin-packing: reordering destroys
+    * the doc-order locality curricula rely on, and optimal packing is
+    * NP-hard for no training benefit.
+    *
+    * Scale shape: packing is inherently sequential, so it runs per SHARD
+    * (`idCol % nShards`) — one hash exchange + per-shard window cumsum,
+    * each shard an independent stream; cross-shard packing has no
+    * training meaning. Modulo sharding (not hash) keeps the assignment
+    * reproducible in ANY engine, including the SQL oracle. Output:
+    * (id, shard, bin, n_tokens). */
+  def packSequences(df: DataFrame, id: String, tokens: Column,
+      capacity: Long, nShards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(id), pmod(col(id), lit(nShards.toLong)).as("shard"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("bin",
+        ((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity)
+          .cast("long"))
+      .select(col(id), col("shard"), col("bin"), col("n_tokens"))
+  }
+
   /** Rule-based document quality VERDICTS (Gopher-style, Rae et al. 2021
     * §A1.1 — the published web-corpus filter family): per-rule booleans
     * plus the conjunctive `keep`, so a pipeline can both filter and audit

@@ -195,6 +195,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1, "cat", 3L), (2, "dog", 2L), (3, "the", 2L)))
   }
 
+  test("packSequences: streaming fill — contiguous bins, capacity respected, shard-independent") {
+    import spark.implicits._
+    // one shard (ids ≡ 1 mod 32): tokens 200,200,200,200 at cap 512 →
+    // cumsum-before 0,200,400,600 → bins 0,0,0,1
+    val docs = Seq(1L, 33L, 65L, 97L).map(i => i -> ("w " * 200).trim).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 512L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("shard")).distinct.toSeq === Seq(1L))
+    assert(out.map(_.getAs[Long]("bin")).toSeq === Seq(0L, 0L, 0L, 1L))
+    // invariants on a larger mixed corpus: bins form contiguous runs per
+    // shard, and no bin's PRE-ITEM fill reaches capacity (the straddling
+    // item is the overhang, by the streaming-fill contract)
+    val big = (0L until 300L).map(i => i -> ("tok " * (1 + (i % 37)).toInt).trim)
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(big, "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 64L)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bin"), r.getAs[Long]("n_tokens")))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._2)
+      assert(inOrder.map(_._3).toSeq === inOrder.map(_._3).sorted.toSeq) // contiguous
+      var cum = 0L
+      inOrder.foreach { case (_, _, bin, n) =>
+        assert(bin === cum / 64L)   // exactly the streaming-fill assignment
+        cum += n
+      }
+    }
+  }
+
   test("gopherRules: each rule fails on exactly its crafted violator") {
     import spark.implicits._
     val good = "the quick brown fox jumps over a lazy dog and then it runs to the hill"
