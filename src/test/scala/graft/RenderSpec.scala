@@ -173,6 +173,20 @@ class RenderSpec extends AnyFunSuite {
     assert(render("___both___") === "<p><strong><em>both</em></strong></p>")
   }
 
+  test("markdown renderer fuzz: 500 seeded random marker-dense bodies render without throwing") {
+    import graft.functions.MarkdownLite.render
+    val rnd = new scala.util.Random(20260813L)   // deterministic corpus
+    val alphabet = "ab c\nd*_`[]()#>!\\-=.|~é中 "   // markers + text + unicode
+    (1 to 500).foreach { i =>
+      val len = 1 + rnd.nextInt(800)
+      val s = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val out = render(s)
+      assert(out != null, s"fuzz case $i (seed-derived) broke render")
+      // a body with any visible char always renders at least one block
+      if (s.exists(!_.isWhitespace)) assert(out.nonEmpty, s"fuzz case $i rendered empty")
+    }
+  }
+
   test("markdown renderer is total: adversarial marker floods terminate, never throw") {
     import graft.functions.MarkdownLite.render
     // regex-heavy renderers die on pathological inputs via catastrophic
