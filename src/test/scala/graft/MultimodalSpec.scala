@@ -136,6 +136,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t2.length <= 64)
   }
 
+  test("decode plans zero exchanges: partition-local at any scale") {
+    val wav = Multimodal.wavHeaderPcm8Mono(10) ++ (0 until 10).map(_.toByte)
+    val plan = Multimodal.decode(mediaDF(0L -> wav))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+  }
+
   test("malformed media degrade to the unknown fallback, never throw") {
     val truncatedWav = Multimodal.wavHeaderPcm8Mono(100).take(30)  // torn header
     val lyingWav = Multimodal.wavHeaderPcm8Mono(1000) ++ Array[Byte](1, 2)  // declares 1000, has 2

@@ -223,6 +223,12 @@ class TextAnalysisSpec extends AnyFunSuite {
         cum += n
       }
     }
+    // scale shape: exactly ONE exchange (the shard hash for the window)
+    val plan = TextAnalysis.packSequences(big, "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"packSequences must plan exactly one exchange:\n$plan")
   }
 
   test("gopherRules: each rule fails on exactly its crafted violator") {
