@@ -336,6 +336,24 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy(f => f.split("/").find(_.startsWith("pt=")).get).view.mapValues(_.length)
     assert(perLeafAfter.size === 4 && perLeafAfter.values.forall(_ === 1))
     assert(parted.current.orderBy("idstr").collect().toSeq === data)
+
+    // mixed-version manifest: a second merge touches only SOME buckets, so
+    // oversized leaves now live at different versions — the single
+    // partitioned write must still read them all (basePath spans versions)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      parted.merge((81L to 120L).map(i => cSub(i, s"s${i % 2}", s"w$i", i)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val mixedData = parted.current.orderBy("idstr").collect().toSeq
+    val vs = parted.current.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("v="))).distinct
+    assert(vs.length > 1, s"expected leaves spanning versions, got ${vs.toSeq}")
+    parted.optimize(maxFiles = 1)
+    val perLeafMixed = parted.current.inputFiles
+      .groupBy(f => f.split("/").find(_.startsWith("pt=")).get).view.mapValues(_.length)
+    assert(perLeafMixed.values.forall(_ === 1))
+    assert(parted.current.orderBy("idstr").collect().toSeq === mixedData)
   }
 
   test("config KV persists across reopen; store_edits toggles CDC") {
