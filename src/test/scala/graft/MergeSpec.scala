@@ -212,4 +212,21 @@ class MergeSpec extends AnyFunSuite {
     assert(d.count() === 2)
     assert(d.filter($"idstr" === "t1_a").head().getAs[String]("body") === "v2")
   }
+
+  test("upsert plans exactly ONE data exchange: stacked windows share the idstr sort") {
+    // the engine's headline merge shape (SCALE.md row 1): union → one
+    // Exchange hashpartitioning(idstr) → one Sort → three Window nodes on
+    // top of it. A full-outer-join formulation would shuffle both sides;
+    // a regression that re-partitions between the windows would show up
+    // as a second exchange here.
+    val ex = comments(("t1_a", 1L, "alice", "v1", 1L, null))
+    val in = withSeq(comments(("t1_a", 2L, "alice", "v2", 2L, null),
+      ("t1_b", 3L, "bob", "x", 1L, null)))
+    val plan = Merge.upsert(ex, in, Merge.comments, "_seq", now)
+      .table.queryExecution.executedPlan.toString
+    val exchanges = plan.split("Exchange hashpartitioning").length - 1
+    assert(exchanges === 1, s"expected exactly one hash exchange:\n$plan")
+    assert(plan.split("\\bSort\\b").length - 1 >= 1)
+    assert(plan.split("Window").length - 1 >= 3, "the three stacked windows")
+  }
 }
