@@ -141,6 +141,31 @@ class TimesearchFacadeSpec extends AnyFunSuite {
     assert(editsOnePart === 1L && editsSplit === 1L)
   }
 
+  test("cross-file precedence: one glob ingest == sequential per-file ingests") {
+    import org.apache.spark.sql.functions.col
+    // v1 lives in the lexicographically-FIRST file, v2 in the second —
+    // the reference replays files one by one (last ingest wins); a glob
+    // read must resolve identically via the file-name order in _seq
+    def subLine(id: String, text: String) =
+      s"""{"id":"$id","name":"t3_$id","created_utc":1000,"author":"u","title":"T","is_self":true,"selftext":"$text","subreddit":"s","score":1}"""
+    val dir = java.nio.file.Paths.get(tmp("xfile"))
+    val f1 = dir.resolve("0_first.ndjson"); val f2 = dir.resolve("1_second.ndjson")
+    Files.write(f1, subLine("xx", "from file one").getBytes("UTF-8"))
+    Files.write(f2, subLine("xx", "from file two").getBytes("UTF-8"))
+
+    val glob = Timesearch.openArchive(spark, tmp("arch_glob"))
+    Timesearch.ingestJsonFile(spark, glob, dir.toString)   // both files, one batch
+    val seq = Timesearch.openArchive(spark, tmp("arch_seq"))
+    Timesearch.ingestJsonFile(spark, seq, f1.toString)     // reference shape:
+    Timesearch.ingestJsonFile(spark, seq, f2.toString)     // one file at a time
+    def state(a: Timesearch.Archive) = (
+      a.submissions.current.filter(col("idstr") === "t3_xx")
+        .head().getAs[String]("selftext"),
+      a.submissions.edits.filter(col("idstr") === "t3_xx").count())
+    assert(state(glob) === (("from file two", 1L)))
+    assert(state(seq) === (("from file two", 1L)))
+  }
+
   test("verb surface: livestream and wiki/styles page sinks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
