@@ -20,7 +20,11 @@ object Bench {
     // verdict). SPARK_GRAFT_BENCH_REPS=N times each query N times and
     // reports the per-query MEDIAN (plus min, as the low-noise bound).
     // Default 1 keeps the driver contract byte-identical.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'") }
+    }.getOrElse(1)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

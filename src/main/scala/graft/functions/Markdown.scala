@@ -40,33 +40,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * and inside distributed render tasks.
   */
 object MarkdownLite {
+  // Longest SPAN CONTENT the lazy-quantifier patterns will match. The JVM
+  // regex engine recurses one stack frame per char of lazy-group content,
+  // so an UNbounded `(.+?)` is a StackOverflowError (= a dead executor
+  // thread) on a multi-KB span; `{1,2000}?` caps the recursion at ~2k
+  // frames ≈ 300 KB of stack — safe under any sane -Xss. A span longer
+  // than the bound renders literally; the surrounding PARAGRAPH can be
+  // any length, and its other (short) spans still render — bounding the
+  // span, not the block, avoids a long-prose rendering cliff.
+  private val SpanMax = 2000
   // `(?<!\\)` on the opening backtick: an escaped backtick never opens a
   // code span (python-markdown's BACKTICK pattern has the same lookbehind)
   private val Code = "(?s)(?<!\\\\)`([^`]+)`".r
   private val Image = "!\\[([^\\]]*)\\]\\(([^)\\s]+)\\)".r
   private val Link = "\\[([^\\]]+)\\]\\(([^)\\s]+)\\)".r
-  private val Bold = "(?s)\\*\\*(.+?)\\*\\*".r
+  private val Bold = s"(?s)\\*\\*(.{1,$SpanMax}?)\\*\\*".r
   private val Ital = "(?s)(?<!\\*)\\*([^*]+)\\*(?!\\*)".r
   // Combined bold+italic needs explicit rules — Bold's reluctant group
   // would otherwise swallow the third marker asymmetrically
   // (`***x***` → `<strong>*x</strong>*`), and the UBold/UItal
   // word-boundary guards reject `___x___` outright.
-  private val SBoth = "(?s)\\*\\*\\*(?!\\*)(.+?)\\*\\*\\*".r
+  private val SBoth = s"(?s)\\*\\*\\*(?!\\*)(.{1,$SpanMax}?)\\*\\*\\*".r
   // Underscore emphasis is python-markdown's SMART form: only at word
   // boundaries, so snake_case_identifiers never emphasize.
-  private val UBoth = "(?s)(?<!\\w)___(?!_)(.+?)(?<!_)___(?!\\w)".r
-  private val UBold = "(?s)(?<!\\w)__(?!_)(.+?)(?<!_)__(?!\\w)".r
-  private val UItal = "(?s)(?<!\\w)_(?!_)(.+?)(?<!_)_(?!\\w)".r
+  private val UBoth = s"(?s)(?<!\\w)___(?!_)(.{1,$SpanMax}?)(?<!_)___(?!\\w)".r
+  private val UBold = s"(?s)(?<!\\w)__(?!_)(.{1,$SpanMax}?)(?<!_)__(?!\\w)".r
+  private val UItal = s"(?s)(?<!\\w)_(?!_)(.{1,$SpanMax}?)(?<!_)_(?!\\w)".r
   // python-markdown ESCAPED_CHARS, minus <> (unreachable here: the
   // escape-first pass has already entity-encoded every angle bracket)
   private val Esc = "\\\\([\\\\`*_{}\\[\\]()#+.!-])".r
-  // Longest block (in chars) the lazy-quantifier span passes run on —
-  // see the guard in [[inline]]. ~2k frames ≈ 300 KB of regex recursion:
-  // safe under any sane -Xss, far past any real emphasis span.
-  private val InlineSpanBound = 2000
   // Autolink matches the ESCAPED form of <scheme://…> for the same reason.
-  private val Auto = "(?i)&lt;((?:https?|ftp)://[^<>]*?)&gt;".r
+  private val Auto = s"(?i)&lt;((?:https?|ftp)://[^<>]{0,$SpanMax}?)&gt;".r
   private val Header = "^(#{1,6})\\s+(.*)$".r
+  private val HardBreak = java.util.regex.Pattern.compile(" {2,}\n")
+  private val Restore = "\u0001(\\d+)\u0002".r
 
   /** Inline spans — order mirrors python-markdown's span precedence
     * (backticks > escapes > links > autolinks > emphasis). Spans whose
@@ -83,8 +90,10 @@ object MarkdownLite {
     s = Code.replaceAllIn(s, m =>
       Matcher.quoteReplacement(put(s"<code>${m.group(1)}</code>")))
     // hard line break: two+ trailing spaces before a newline (applied
-    // after code spans so a break inside inline code stays verbatim)
-    s = s.replaceAll(" {2,}\n", "<br>\n")
+    // after code spans so a break inside inline code stays verbatim);
+    // cached Pattern — String.replaceAll recompiles per call, and this
+    // runs per block per document inside distributed render tasks
+    s = HardBreak.matcher(s).replaceAll("<br>\n")
     // a backslash-escaped marker becomes the literal char, protected
     // from every later span pattern
     s = Esc.replaceAllIn(s, m => Matcher.quoteReplacement(put(m.group(1))))
@@ -99,35 +108,27 @@ object MarkdownLite {
     s = Link.replaceAllIn(s, m =>
       Matcher.quoteReplacement(
         s"""<a href="${put(m.group(2))}">${m.group(1)}</a>"""))
-    // The lazy-quantifier patterns below (`.+?` content groups) recurse
-    // ONE JVM STACK FRAME PER CONTENT CHAR in java.util.regex — on a
-    // block with thousands of chars between paired markers that is a
-    // StackOverflowError, which in a Spark task kills the executor
-    // thread. Emphasis/autolink spans longer than InlineSpanBound are
-    // decorative nonsense, not prose, so past the bound those passes are
-    // skipped and the markers render literally (the iterative-engine
-    // passes above — code, escapes, images, links — always run).
-    // RenderSpec floods 5k-char marker runs to pin the no-crash contract.
-    if (s.length <= InlineSpanBound) {
-      s = Auto.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(put(
-          s"""<a href="${m.group(1)}">${m.group(1)}</a>""")))
-      s = SBoth.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<strong><em>${m.group(1)}</em></strong>"))
-      s = Bold.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
-      s = UBoth.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<strong><em>${m.group(1)}</em></strong>"))
-      s = UBold.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
-      s = Ital.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
-      s = UItal.replaceAllIn(s, m =>
-        Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
-    }
+    // emphasis/autolink passes: SOE-safe at ANY block length because the
+    // patterns themselves cap span content at SpanMax (see its docs) —
+    // a short `*em*` inside a 10k-char paragraph still renders
+    s = Auto.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(put(
+        s"""<a href="${m.group(1)}">${m.group(1)}</a>""")))
+    s = SBoth.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<strong><em>${m.group(1)}</em></strong>"))
+    s = Bold.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+    s = UBoth.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<strong><em>${m.group(1)}</em></strong>"))
+    s = UBold.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+    s = Ital.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    s = UItal.replaceAllIn(s, m =>
+      Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
     // restore: stashed strings come straight from the input (which had
     // placeholder chars stripped), so one pass suffices
-    "\u0001(\\d+)\u0002".r.replaceAllIn(s, m =>
+    Restore.replaceAllIn(s, m =>
       Matcher.quoteReplacement(stash(m.group(1).toInt)))
   }
 

@@ -202,12 +202,15 @@ object Dedup {
     * a dedup keep-policy is "keep doc == cluster".
     *
     * Min-label propagation, TWO hops per round: each round joins labels
-    * across edges, min-aggs, joins again, min-aggs — so label reach
-    * doubles per driver-side action for the same exchange count per hop;
-    * converges in O(log(component diameter)) fewer actions — near-dup
-    * clusters are shallow (a dup family links through its overlaps), so
-    * 1-2 rounds typical, `maxIters` rounds (2·maxIters hops) bounds
-    * adversarial chains. The driver-side loop is rounds-many ACTIONS, not
+    * across edges, min-aggs, joins again, min-aggs — label reach grows by
+    * 2 edges per driver-side action instead of 1 (a CONSTANT 2× action
+    * reduction: rounds = ⌈diameter/2⌉, NOT logarithmic — pointer-doubling
+    * would need label-to-label joins this deliberately avoids, since its
+    * intermediate sets blow past |edges|). Near-dup clusters are shallow
+    * (a dup family links through its overlaps), so 1-2 rounds typical;
+    * `maxIters` rounds (2·maxIters hops) bounds adversarial chains — a
+    * chain longer than 2·maxIters edges converges incompletely, so size
+    * maxIters to the corpus's plausible chain depth, not below it. The driver-side loop is rounds-many ACTIONS, not
     * data on the driver: each hop is two shuffles (join + min-agg) sized
     * by |edges|, and the round's only action is the localCheckpoint —
     * the convergence check rides it via `observe()` instead of running

@@ -150,7 +150,9 @@ object Multimodal {
     var data: Option[(Int, Int)] = None       // (offset, len)
     while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = ascii(b, o, 4); val sz = le32(b, o + 4)
-      if (sz < 0 || o + 8 + sz > b.length) return None   // torn chunk
+      // bounds math in LONG: a crafted 2 GB-ish declared size overflows
+      // Int and would walk o past the array (a crash, not a fallback)
+      if (sz < 0 || o.toLong + 8 + sz > b.length) return None   // torn chunk
       if (id == "fmt " && sz >= 16) {
         if (le16(b, o + 8) != 1) return None             // PCM only
         fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
@@ -190,8 +192,11 @@ object Multimodal {
     val h = math.abs(hRaw)
     if (le16(b, 28) != 24 || le32(b, 30) != 0) return None   // 24-bit, BI_RGB only
     if (w <= 0 || h == 0) return None
-    val rowSize = ((24 * w + 31) / 32) * 4
-    if (off < 54 || off.toLong + rowSize.toLong * h > b.length) return None
+    // row math in LONG: a crafted width near 2^29 overflows 24*w in Int,
+    // yielding rowSize 0/negative that defeats the bounds check below
+    val rowSizeL = ((24L * w + 31) / 32) * 4
+    if (off < 54 || off.toLong + rowSizeL * h > b.length) return None
+    val rowSize = rowSizeL.toInt   // fits: rowSize·h ≤ b.length ≤ Int.MaxValue
     var s = 0.0
     var r = 0
     while (r < h) {

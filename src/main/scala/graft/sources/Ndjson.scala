@@ -42,18 +42,27 @@ object Ndjson {
       .withColumn("_m", monotonically_increasing_id())
 
   /** Collapse the [[readOrdered]] order columns into a per-key `_seq`:
-    * `row_number()` over (file, block, row) within each raw `id` — the
+    * `row_number()` over (file, block, row) within each key — the
     * within-batch precedence [[graft.operators.Merge.upsert]] consumes.
     * Per-KEY, not global, on purpose: a global file-order rank would be a
     * total sort of the batch; the merge only ever compares `_seq` within
     * one `idstr`, so ranking inside the key partition gives the same
     * winner (and the same edit-CDC order) for one hash exchange sized by
     * the batch — the same key the merge immediately shuffles on anyway.
-    * Matches the reference's sequential last-wins replay (tsdb.py:389-461)
-    * for any physical read plan. */
+    *
+    * The window key must equal the MERGE key: the merge keys on `idstr` =
+    * entity prefix + strip-prefix(coalesce(name, id)) (Normalize), so the
+    * window partitions by that same stripped coalesce — two raw rows with
+    * different `id`/`name` spellings that normalize to ONE idstr (e.g.
+    * name "t3_aaa" vs bare id "aaa") land in ONE window partition and get
+    * ORDERED `_seq` values, not a split-plan-dependent tie. Matches the
+    * reference's sequential last-wins replay (tsdb.py:389-461) for any
+    * physical read plan. */
   def fileOrderSeq(df: DataFrame): DataFrame = {
+    val mergeKey = regexp_replace(coalesce(col("name"), col("id")),
+      "^t[0-9]+_", "")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy("_f", "_b", "_m")
+      .partitionBy(mergeKey).orderBy("_f", "_b", "_m")
     df.withColumn("_seq", row_number().over(w).cast("long"))
       .drop("_f", "_b", "_m")
   }

@@ -153,9 +153,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val badPpm = "P6\n0 5\n255\n".getBytes("US-ASCII")   // zero width
     val plainText = "just some text".getBytes("UTF-8")
+    // Int-overflow attacks: a RIFF chunk declaring a ~2^31 size used to
+    // wrap `o + 8 + sz` negative and walk past the array; a BMP width
+    // near 2^29 used to wrap `24*w` so rowSize=0 defeated the bounds
+    // check. Both must degrade, not throw.
+    val hugeChunkWav = {
+      val bb = java.nio.ByteBuffer.allocate(60)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+        .put("data".getBytes).putInt(0x7FFFFFF4)
+      bb.array()
+    }
+    val hugeWidthBmp = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(64).putInt(0).putInt(54)
+        .putInt(40).putInt(0x20000000).putInt(1).putShort(1).putShort(24)
+        .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
     val rows = Multimodal.decode(mediaDF(
         0L -> truncatedWav, 1L -> lyingWav, 2L -> nonPcm,
-        3L -> badPpm, 4L -> plainText))
+        3L -> badPpm, 4L -> plainText, 5L -> hugeChunkWav, 6L -> hugeWidthBmp))
       .collect().map(d => d.doc_id -> d).toMap
     rows.values.foreach { d =>
       assert(d.format === "unknown", s"doc ${d.doc_id} decoded as ${d.format}")

@@ -173,6 +173,21 @@ class RenderSpec extends AnyFunSuite {
     assert(render("___both___") === "<p><strong><em>both</em></strong></p>")
   }
 
+  test("short spans inside LONG paragraphs still emphasize (span bound, not block bound)") {
+    import graft.functions.MarkdownLite.render
+    // a 10k-char paragraph of ordinary prose with small spans — bounding
+    // the whole block would silently drop these (the regression this pins)
+    val prose = ("lorem ipsum dolor sit amet " * 400).trim
+    val body = s"$prose *em* and __st__ and <http://x.io/a> tail"
+    val out = render(body)
+    assert(out.contains("<em>em</em>"), "emphasis lost in long paragraph")
+    assert(out.contains("<strong>st</strong>"))
+    assert(out.contains("""<a href="http://x.io/a">"""))
+    // while a span LONGER than the bound renders literally (and safely)
+    val huge = "**" + ("y" * 3000) + "**"
+    assert(render(huge) === s"<p>$huge</p>")
+  }
+
   test("markdown renderer fuzz: 500 seeded random marker-dense bodies render without throwing") {
     import graft.functions.MarkdownLite.render
     val rnd = new scala.util.Random(20260813L)   // deterministic corpus

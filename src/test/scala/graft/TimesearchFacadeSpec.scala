@@ -141,6 +141,24 @@ class TimesearchFacadeSpec extends AnyFunSuite {
     assert(editsOnePart === 1L && editsSplit === 1L)
   }
 
+  test("mixed id spellings that normalize to ONE idstr still order deterministically") {
+    import org.apache.spark.sql.functions.col
+    // line 1 carries name "t3_mix"; line 2 carries only bare id "mix" —
+    // both normalize to idstr t3_mix. The _seq window must key on the
+    // merge key (stripped coalesce(name, id)), or these would tie at
+    // _seq=1 and the winner would depend on the physical plan.
+    val l1 = """{"id":"mix","name":"t3_mix","created_utc":1000,"author":"u","title":"T","is_self":true,"selftext":"spelled with name","subreddit":"s","score":1}"""
+    val l2 = """{"id":"mix","created_utc":1001,"author":"u","title":"T","is_self":true,"over_18":false,"selftext":"spelled bare","subreddit":"s","score":1}"""
+    val dump = java.nio.file.Paths.get(tmp("mixdump"), "d.ndjson")
+    Files.write(dump, (l1 + "\n" + l2).getBytes("UTF-8"))
+    val a = Timesearch.openArchive(spark, tmp("arch_mix"))
+    Timesearch.ingestJsonFile(spark, a, dump.toString)
+    val rows = a.submissions.current.filter(col("idstr") === "t3_mix").collect()
+    assert(rows.length === 1)
+    // last in file order wins, deterministically
+    assert(rows.head.getAs[String]("selftext") === "spelled bare")
+  }
+
   test("cross-file precedence: one glob ingest == sequential per-file ingests") {
     import org.apache.spark.sql.functions.col
     // v1 lives in the lexicographically-FIRST file, v2 in the second —
