@@ -26,18 +26,18 @@ object Bench {
         sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'") }
     }.getOrElse(1)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (elapsed seconds, succeeded). A thrown query still reports its
+    // elapsed time on stderr, but the JSON must never show its (fast)
+    // failure time as a measurement — see render().
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           // a failed query must be VISIBLE, not a suspiciously fast time
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
       }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // sorted order: stable run-to-run comparisons across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -48,16 +48,37 @@ object Bench {
         // not a which-rep-paid-compilation lottery
         if (reps > 1) timeOnce(name, fn)
         val samples = (1 to reps).map(_ => timeOnce(name, fn))
-        (name, median(samples), samples.min)
+        QueryResult(name, samples.map(_._1), failed = samples.exists(!_._2))
       }
-    def jsonMap(f: ((String, Double, Double)) => Double): String =
-      results.map { case r @ (k, _, _) => s"\"" + k + "\":" + f(r) }
-        .mkString("{", ",", "}")
-    val qs = jsonMap(_._2)
-    val total = results.map(_._2).sum
-    val extra = if (reps > 1)
-      s""","reps":$reps,"queries_min":${jsonMap(_._3)}""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}""")
+    println(render(results, reps, sfDir))
     spark.stop()
+  }
+
+  final case class QueryResult(name: String, times: Seq[Double], failed: Boolean)
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** The one-line JSON contract. A failed query reports the sentinel -1
+    * for median and min and is listed under "failed", and is EXCLUDED
+    * from "value" — otherwise a regression that makes a query throw
+    * would read as a round-over-round speedup in the machine-readable
+    * output (the stderr marker is invisible to automated comparison).
+    * Healthy runs emit byte-identical JSON to the pre-sentinel format
+    * ("failed" only appears when non-empty). */
+  def render(results: Seq[QueryResult], reps: Int, sfDir: String): String = {
+    def medOf(r: QueryResult): Double = if (r.failed) -1.0 else median(r.times)
+    def minOf(r: QueryResult): Double = if (r.failed) -1.0 else r.times.min
+    def jsonMap(f: QueryResult => Double): String =
+      results.map(r => s"\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = jsonMap(medOf)
+    val total = results.filterNot(_.failed).map(r => median(r.times)).sum
+    val failed = results.filter(_.failed).map(r => s"\"" + r.name + "\"")
+    val failedJson = if (failed.nonEmpty) s""","failed":[${failed.mkString(",")}]""" else ""
+    val extra = if (reps > 1)
+      s""","reps":$reps,"queries_min":${jsonMap(minOf)}""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson$extra,"sf":"$sfDir"}"""
   }
 }

@@ -238,7 +238,14 @@ object Dedup {
     def sumOf(obs: Observation): java.math.BigDecimal =
       obs.get.get("lblsum") match {
         case Some(d: java.math.BigDecimal) => d
-        case _ => java.math.BigDecimal.ZERO   // empty corpus → sum is null
+        case Some(null) | None => java.math.BigDecimal.ZERO // empty corpus → sum is null
+        case Some(other) =>
+          // A catch-all here would read any metric-type drift (e.g. a
+          // Spark upgrade changing the external decimal type) as sum 0 ==
+          // prevSum 0 and silently declare convergence after one round.
+          throw new IllegalStateException(
+            s"clusters(): observation metric 'lblsum' returned ${other.getClass.getName}; " +
+              "expected java.math.BigDecimal — convergence check cannot proceed")
       }
     // localCheckpoint each round: iterative plans otherwise grow their
     // lineage (and re-execute every prior round) — the standard pattern

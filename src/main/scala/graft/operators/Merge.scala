@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** The merge key column. Every entity table carries it: the upsert
+    * window (below), [[graft.streaming.Livestream.keyBucket]], and the
+    * versioned store's compaction salt all key on this one name — it is
+    * a structural invariant of the layer, not per-entity config. */
+  val KeyCol = "idstr"
+
   /** Column roles for one entity table. */
   final case class Entity(
       textCol: String,              // selftext | body

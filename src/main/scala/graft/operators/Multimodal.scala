@@ -84,11 +84,12 @@ object Multimodal {
   /** Resize pass: partition-local like [[extractFeatures]] — the batch
     * shape a JNI/subprocess codec needs (context per partition, row
     * streaming, no shuffle). WAV payloads take the REAL path
-    * ([[resampleWav]]: decimate frames by ⌈len/target⌉, emit a VALID
-    * lower-rate WAV — which keeps its 44-byte header, so a WAV thumb may
-    * exceed `targetLen` by up to the header size); everything else falls
-    * back to the byte-domain [[resizeStub]] thumbnail (strictly ≤
-    * targetLen). */
+    * ([[resampleWavToTarget]]: decimate frames by ⌈dataLen/target⌉, emit
+    * a VALID lower-rate WAV — which keeps its 44-byte header and rounds
+    * frames up, so a WAV thumb may exceed `targetLen` by up to the
+    * header size plus one frame, i.e. 44 + blockAlign − 1 bytes);
+    * everything else falls back to the byte-domain [[resizeStub]]
+    * thumbnail (strictly ≤ targetLen). */
   def resize(media: DataFrame, targetLen: Int = 64): Dataset[MediaThumb] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "modality", "byte_len", "payload").as[MediaRow]
@@ -98,8 +99,7 @@ object Multimodal {
           val p = if (r.payload == null) Array.emptyByteArray else r.payload
           val thumb =
             if (p.length <= targetLen) p
-            else resampleWav(p, factor = math.max(2,
-                (p.length + targetLen - 1) / math.max(1, targetLen)))
+            else resampleWavToTarget(p, targetLen)
               .getOrElse(resizeStub(p, targetLen))
           MediaThumb(r.doc_id, r.modality, r.byte_len, thumb)
         }
@@ -229,15 +229,22 @@ object Multimodal {
       val start = o
       var v = 0L
       while (o < b.length && (b(o) & 0xff) >= '0' && (b(o) & 0xff) <= '9') {
-        v = v * 10 + (b(o) - '0'); o += 1
+        // clamp instead of accumulate: a 20+-digit run would wrap the
+        // Long past the > Int.MaxValue check below and read as small+valid
+        if (v <= Int.MaxValue) v = v * 10 + (b(o) - '0')
+        o += 1
       }
       if (o == start || v > Int.MaxValue) None else Some(v.toInt)
     }
     for {
       w <- int(); h <- int(); maxv <- int()
       if w > 0 && h > 0 && maxv > 0 && maxv <= 255
-      // exactly ONE whitespace byte separates maxval from the raster
-      if o < b.length && { o += 1; o + w.toLong * h * 3 <= b.length }
+      // exactly ONE whitespace byte separates maxval from the raster —
+      // and it must BE whitespace; a spec-invalid separator is malformed
+      if o < b.length && {
+        val c = b(o) & 0xff
+        c == ' ' || c == '\t' || c == '\r' || c == '\n'
+      } && { o += 1; o + w.toLong * h * 3 <= b.length }
     } yield {
       var s = 0.0
       var i = 0
@@ -300,17 +307,31 @@ object Multimodal {
     * needs no codec but is DSP out of scope; nearest-frame decimation is
     * the deterministic baseline). None for non-WAV payloads. */
   private[operators] def resampleWav(b: Array[Byte], factor: Int): Option[Array[Byte]] =
-    wavParse(b).map { case (ch, rate, bits, off, len) =>
-      val blockAlign = ch * bits / 8
-      val frames = len / blockAlign
-      val outFrames = (frames + factor - 1) / factor
-      val out = new Array[Byte](outFrames * blockAlign)
-      var f = 0
-      while (f < outFrames) {
-        System.arraycopy(b, off + f * factor * blockAlign,
-          out, f * blockAlign, blockAlign)
-        f += 1
-      }
-      wavHeaderPcm(ch, math.max(1, rate / factor), bits, out.length) ++ out
+    wavParse(b).map(decimate(b, _, factor))
+
+  /** [[resampleWav]] with the decimation factor computed from the DATA
+    * CHUNK length (not the whole payload — sizing on payload length
+    * counts the 44-byte header and over-decimates small WAVs). */
+  private[operators] def resampleWavToTarget(b: Array[Byte], targetLen: Int): Option[Array[Byte]] =
+    wavParse(b).map { parsed =>
+      val dataLen = parsed._5
+      val tgt = math.max(1, targetLen)
+      decimate(b, parsed, math.max(2, (dataLen + tgt - 1) / tgt))
     }
+
+  private def decimate(b: Array[Byte],
+      parsed: (Int, Int, Int, Int, Int), factor: Int): Array[Byte] = {
+    val (ch, rate, bits, off, len) = parsed
+    val blockAlign = ch * bits / 8
+    val frames = len / blockAlign
+    val outFrames = (frames + factor - 1) / factor
+    val out = new Array[Byte](outFrames * blockAlign)
+    var f = 0
+    while (f < outFrames) {
+      System.arraycopy(b, off + f * factor * blockAlign,
+        out, f * blockAlign, blockAlign)
+      f += 1
+    }
+    wavHeaderPcm(ch, math.max(1, rate / factor), bits, out.length) ++ out
+  }
 }

@@ -70,6 +70,13 @@ object Livestream {
   final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
       emptyLike: DataFrame, outputPartitions: Option[Int] = None,
       partitioning: Option[Column] = None) {
+    // The merge layer keys on Merge.KeyCol end-to-end (upsert window,
+    // keyBucket default, the maxFiles>1 compaction salt below): require
+    // it at construction so a key-less schema fails HERE with a named
+    // reason, not mid-optimize() with an AnalysisException.
+    require(emptyLike.schema.fieldNames.contains(Merge.KeyCol),
+      s"UpsertTable schema must carry the merge key '${Merge.KeyCol}'; " +
+        s"got [${emptyLike.schema.fieldNames.mkString(", ")}]")
     private val ptr = Paths.get(path, "_VERSION")
     private val PartCol = "pt"
     private val PartKey = "partitioning"
@@ -489,7 +496,7 @@ object Livestream {
           val aligned =
             if (maxFiles == 1) src.repartition(col(PartCol))
             else src.repartition(col(PartCol),
-              pmod(xxhash64(col("idstr")), lit(maxFiles.toLong)))
+              pmod(xxhash64(col(Merge.KeyCol)), lit(maxFiles.toLong)))
           aligned.write.mode("overwrite").partitionBy(PartCol)
             .parquet(s"$path/v=$next")
           // a pathological all-empty-files leaf writes no directory: keep

@@ -181,4 +181,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(rows(4L).n_samples === plainText.length.toLong)
   }
+
+  test("PPM header attacks: 20-digit dimension and non-whitespace separator are malformed") {
+    // 2^64 + 1 wraps a naive Long accumulator to 1 — without the clamp
+    // this header reads as a valid 1x1 image
+    val wrapPpm = "P6\n18446744073709551617 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    // the single byte after maxval must BE whitespace; 'X' is a
+    // spec-invalid separator that blind skipping would accept
+    val badSep = "P6\n1 1\n255X".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    // control: the same raster with a legal separator still decodes
+    val good = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val rows = Multimodal.decode(mediaDF(0L -> wrapPpm, 1L -> badSep, 2L -> good))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(rows(0L).format === "unknown", "wrapped dimension must not decode")
+    assert(rows(1L).format === "unknown", "non-whitespace separator must not decode")
+    assert(rows(2L).format === "ppm" && rows(2L).mean_value === 2.0)
+  }
+
+  test("WAV resize factor sizes on the DATA chunk, not payload incl. header") {
+    // 100 data bytes + 44-byte header. targetLen=50: factor must be
+    // ceil(100/50)=2 (50 frames kept) — sizing on the 144-byte payload
+    // would over-decimate to factor 3 (34 frames).
+    val wav = Multimodal.wavHeaderPcm8Mono(100) ++ (0 until 100).map(_.toByte)
+    val thumb = Multimodal.resize(mediaDF(0L -> wav), targetLen = 50)
+      .collect().head.thumb
+    val d = Multimodal.decode(mediaDF(0L -> thumb)).collect().head
+    assert(d.format === "wav" && d.n_samples === 50L, "factor must come from data-chunk length")
+    // documented bound: targetLen + 44-byte header + (blockAlign - 1)
+    assert(thumb.length <= 50 + 44, s"thumb ${thumb.length} exceeds documented bound")
+  }
 }

@@ -52,6 +52,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("UpsertTable requires the merge key at construction, not mid-optimize") {
+    // a schema without Merge.KeyCol used to surface only as an
+    // AnalysisException inside optimize(maxFiles > 1)'s salt expression;
+    // it must fail at construction with the key named
+    val keyless = Seq((1L, "x")).toDF("idint", "body")
+    val e = intercept[IllegalArgumentException] {
+      new Livestream.UpsertTable(spark, tmp("nokey"), Merge.comments, keyless)
+    }
+    assert(e.getMessage.contains(Merge.KeyCol))
+  }
+
   test("_seq within-batch precedence: a key duplicated in ONE micro-batch resolves to the last occurrence") {
     // pins the documented contract (upsertSink scaladoc): for a
     // single-split micro-batch, monotonically_increasing_id follows input
