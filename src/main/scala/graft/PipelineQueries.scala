@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over documents/embeddings.
@@ -22,6 +22,15 @@ object PipelineQueries {
     d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000))
   }
+
+  /** Fixed BM25 query set for q_bm25, mirrored literally in the oracle's
+    * VALUES — corpus-vocabulary terms plus one absent term ('zebra') to
+    * pin the dropped-term contract (a query term no document contains
+    * contributes nothing, in both engines). */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark join merge",
+    1L -> "hash table scan",
+    2L -> "stream window batch zebra")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -43,6 +52,14 @@ object PipelineQueries {
       TextAnalysis.hashSplit(
           Tables.load(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Lexical BM25 top-k search — the keyword-recall complement of the
+    // embedding ANN queries, on the shared tokenization contract.
+    "q_bm25" -> ((s, dir) => {
+      Search.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          queries = bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
     }),
 
     // Vocabulary building: top-100 tokens by corpus frequency.
@@ -308,6 +325,44 @@ object PipelineQueries {
                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
                      ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+
+    // Expression shapes (literals, association order, separate basis-point
+    // floors multiplied as integers) mirror Search.bm25TopK exactly — the
+    // per-doc score is an integer sum, so aggregation order can't flip a
+    // rank in either engine.
+    "q_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc, tok, count(*) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+         q(query_id, tok) AS (VALUES
+           (CAST(0 AS BIGINT), 'spark'), (0, 'join'), (0, 'merge'),
+           (1, 'hash'), (1, 'table'), (1, 'scan'),
+           (2, 'stream'), (2, 'window'), (2, 'batch'), (2, 'zebra')),
+         dfq AS (SELECT tok, count(*) AS df FROM tf
+                 WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+         scored AS (
+           SELECT q.query_id, tf.doc,
+                  CAST(sum(
+                    CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 10000) AS BIGINT)
+                    * CAST(floor((CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000) AS BIGINT)
+                  ) AS BIGINT) AS score_bp
+           FROM q
+           JOIN tf  ON tf.tok = q.tok
+           JOIN dfq ON dfq.tok = q.tok
+           JOIN dl  ON dl.doc = tf.doc
+           CROSS JOIN stats
+           GROUP BY 1, 2)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc AS doc_id, score_bp
+         FROM (SELECT query_id, doc, score_bp,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_bp DESC, doc ASC) AS rank
+               FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank""",
 
     "q_vocab" ->
       """WITH toks AS (

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical top-k search: BM25 ranking over a document corpus.
+  *
+  * The embedding ANN path ([[Similarity.bruteTopK]]/ivf) answers "what is
+  * semantically near"; this is its lexical complement — the keyword-recall
+  * side of a retrieval stack (and the classic pre-filter in front of a
+  * reranker in training-data curation). The reference has no search
+  * operator (its closest surface is the rendered index listings,
+  * timesearch index.py family); BM25 is the standard public formulation
+  * (Robertson et al., TREC-3; the +1-smoothed idf variant popularized by
+  * Lucene) over the same tokenization contract the vocabulary/repetition
+  * operators already pin (lowercased `[a-z0-9]+` runs).
+  *
+  * Score(q, d) = Σ_{t ∈ q} idf(t) · tf_c(t, d)
+  *   idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))
+  *   tf_c(t, d) = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),  k1=1.2, b=0.75
+  *
+  * Determinism contract (the oracle device used across this engine):
+  * idf and tf_c are floored to basis points SEPARATELY and multiplied as
+  * integers, so the per-document score is an INTEGER sum — associative,
+  * which means Spark's partial-aggregation order cannot perturb a rank,
+  * and two engines computing the same rational sub-expressions on the
+  * same inputs floor identically. The only transcendental is ln, applied
+  * to one distinct input per query term (≤ |query terms| distinct df
+  * values corpus-wide), floored at 1e4 — a cross-engine ULP flip would
+  * need ln's result within ~1e-12 of a basis-point boundary.
+  *
+  * 100 TB shape: the query-term list is tiny and BROADCAST — corpus rows
+  * containing no query term are dropped by a broadcast hash join before
+  * any wide exchange, so the scored candidate set (and every shuffle
+  * after it) is sized by the inverted-index posting lists of the query
+  * terms, not the corpus. df/N/avgdl are corpus-wide aggregates with
+  * map-side combine (|vocab|- and 1-row-sized exchanges). The final
+  * per-query top-k is `row_number ≤ k` over a per-query window, which
+  * AQE executes as partial take-ordered per partition (same shape as
+  * [[Similarity.bruteTopK]]). Identical documents tie exactly (integer
+  * scores) and break deterministically on doc id.
+  */
+object Search {
+
+  /** @param queries (query_id, query text) — tokenized with the corpus
+    *        tokenizer; duplicate terms within one query count once (term-
+    *        SET semantics, documented over weighted-tf semantics for
+    *        determinism of the contract, not convenience)
+    * @return (query_id, rank, doc_id, score_bp), rank 1-based by
+    *         (score_bp desc, doc_id asc), at most k rows per query */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+      queries: Seq[(Long, String)], k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qterms = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .distinct.map(qid -> _)
+    }.toDF("query_id", "tok")
+
+    val toks = docs
+      .select(col(id).cast("long").as("doc"),
+        explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    // document length = token count; derived from tf so the (doc, tok)
+    // exchange is planned once and reused for both branches
+    val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+
+    // corpus-side inverted-index filter FIRST: only postings of query
+    // terms survive past this broadcast join
+    val tfq = tf.join(broadcast(qterms.select("tok").distinct()), "tok")
+    val dfq = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // expression shapes are written IDENTICALLY in the DuckDB oracle —
+    // same literals, same association order → same doubles
+    val avgdl: Column = col("sumdl").cast("double") / col("n").cast("double")
+    val idf: Column = log(lit(1.0) +
+      (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfc: Column = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val contrib = floor(idf * lit(10000)) * floor(tfc * lit(10000))
+
+    val scored = tfq
+      .join(broadcast(qterms), "tok")
+      .join(broadcast(dfq), "tok")
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc")
+      .agg(sum(contrib).as("score_bp"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_bp").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+        col("score_bp"))
+  }
+}
