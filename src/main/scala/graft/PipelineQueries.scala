@@ -62,6 +62,13 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Unigram-LM surprisal quality scores (self-trained KenLM baseline).
+    "q_lm_surprisal" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc")
+    }),
+
     // Vocabulary building: top-100 tokens by corpus frequency.
     "q_vocab" -> ((s, dir) => {
       TextAnalysis.topTokens(Tables.load(s, dir, "documents"), "text", 100)
@@ -363,6 +370,28 @@ object PipelineQueries {
                                          ORDER BY score_bp DESC, doc ASC) AS rank
                FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Mirrors TextAnalysis.unigramSurprisal expression-for-expression:
+    // ln once per distinct token, floored to bp, integer-weighted sums.
+    "q_lm_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc, tok, count(*) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
+         per AS (
+           SELECT tf.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(ln(CAST(t AS DOUBLE) / cnt) * 10000) AS BIGINT)) AS BIGINT)
+                    AS total_surprisal_bp
+           FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+           GROUP BY 1)
+         SELECT doc, n_tokens, total_surprisal_bp,
+                CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
+                  AS mean_surprisal_bp
+         FROM per ORDER BY doc""",
 
     "q_vocab" ->
       """WITH toks AS (

@@ -341,6 +341,44 @@ object TextAnalysis {
       .select(col(id), col("shard"), col("bin"), col("n_tokens"))
   }
 
+  /** Unigram language-model surprisal per document — the self-trained
+    * baseline of the KenLM-style perplexity quality filter standard in
+    * pretraining pipelines (CCNet/Gopher both filter on LM score): score
+    * docs by how ordinary their token distribution is; extreme surprisal
+    * in either direction flags boilerplate and keyboard-mash. The model
+    * IS the corpus: P(t) = cnt(t)/T over its own unigram counts, so the
+    * operator needs no external artifact.
+    *
+    * Determinism: per-occurrence surprisal ln(T/cnt(t)) is floored to
+    * basis points once per DISTINCT token, weighted by tf, and summed as
+    * integers — associative, so aggregation order can't perturb a score
+    * (same device as [[Search.bm25TopK]]); the only transcendental is ln
+    * on vocab-many distinct inputs.
+    *
+    * Scale shape: (doc, tok) tf aggregation, vocab-sized count
+    * aggregation, then tf ⋈ counts on tok — every exchange is bounded by
+    * distinct (doc, tok) pairs or |vocab|, never corpus bytes; the 1-row
+    * total broadcasts. Token-less docs are absent (nothing to score).
+    * Output: (doc, n_tokens, total_surprisal_bp, mean_surprisal_bp). */
+  def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df.select(col(id).as("doc"),
+        explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("tok").agg(sum("tf").as("cnt"))
+    val tot = cnt.agg(sum("cnt").as("t"))
+    // expression shape mirrored literally in the DuckDB oracle
+    val surpBp = floor(log(col("t").cast("double") / col("cnt")) * 10000)
+    tf.join(cnt, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * surpBp).as("total_surprisal_bp"))
+      .select(col("doc"), col("n_tokens"), col("total_surprisal_bp"),
+        floor(col("total_surprisal_bp").cast("double") / col("n_tokens"))
+          .cast("long").as("mean_surprisal_bp"))
+  }
+
   /** Rule-based document quality VERDICTS (Gopher-style, Rae et al. 2021
     * §A1.1 — the published web-corpus filter family): per-rule booleans
     * plus the conjunctive `keep`, so a pipeline can both filter and audit

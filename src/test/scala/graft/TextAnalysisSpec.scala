@@ -260,4 +260,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"gopherRules must not shuffle:\n$plan")
   }
+
+  test("unigram surprisal: hand-computed integer scores; rare tokens raise the mean") {
+    // counts: a=3, b=1, c=1, T=5
+    // surp_bp(a) = floor(ln(5/3)·1e4) = 5108; surp_bp(b) = surp_bp(c)
+    //            = floor(ln(5)·1e4) = 16094
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("total_surprisal_bp"),
+         r.getAs[Long]("mean_surprisal_bp"))).toMap
+    assert(out(1L) === ((3L, 2 * 5108L + 16094L, (2 * 5108L + 16094L) / 3)))
+    assert(out(2L) === ((2L, 5108L + 16094L, (5108L + 16094L) / 2)))
+    assert(!out.contains(3L), "token-less docs are absent, not zero/null rows")
+    // the doc leaning on rare tokens is more surprising per token
+    assert(out(2L)._3 > out(1L)._3)
+  }
 }
