@@ -64,7 +64,16 @@ object Search {
       .select(col(id).cast("long").as("doc"),
         explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
       .filter(col("tok") =!= "")
+    // The postings table feeds THREE consumers (dl/stats, dfq, scoring).
+    // Catalyst's ReuseExchange misses two of them (each branch pushes
+    // different null filters into the scan, breaking subtree equality),
+    // which re-reads the corpus once per consumer — measured 3 full
+    // scans. A lazy local checkpoint materializes the tokenize+count
+    // pass exactly once (the build-the-index-once trade every search
+    // engine makes); postings are O(distinct (doc, term)), smaller than
+    // the corpus they index.
     val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // document length = token count; derived from tf so the (doc, tok)
     // exchange is planned once and reused for both branches
     val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))

@@ -364,7 +364,12 @@ object TextAnalysis {
     val toks = df.select(col(id).as("doc"),
         explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
       .filter(col("tok") =!= "")
+    // three consumers (cnt→tot, the scoring join's both sides) — lazy
+    // local checkpoint materializes the tokenize+count pass once instead
+    // of once per consumer (ReuseExchange misses the branches whose
+    // pushed-down null filters differ; same trade as Search.bm25TopK)
     val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val cnt = tf.groupBy("tok").agg(sum("tf").as("cnt"))
     val tot = cnt.agg(sum("cnt").as("t"))
     // expression shape mirrored literally in the DuckDB oracle
