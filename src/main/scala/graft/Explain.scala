@@ -19,7 +19,10 @@ object Explain {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect()
     println(df.queryExecution.explainString(ExplainMode.fromString(mode)))
+    // AdaptiveSparkPlan's tree string appends the pre-AQE "Initial Plan"
+    // section — counting it would double every node: keep the final only
     val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     def n(p: String) = p.r.findAllIn(plan).length
     println(s"[explain] exchanges=${n("Exchange hashpartitioning")} " +
       s"reused=${n("ReusedExchange")} broadcasts=${n("BroadcastExchange")} " +

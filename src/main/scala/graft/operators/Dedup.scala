@@ -178,12 +178,20 @@ object Dedup {
   }
 
   /** Keep-one-canonical policy in one call: retain each normalized-text
-    * group's minimum-id row (the reference row [[exact]] reports). One
-    * aggregation + a semi join on the id — at scale the join side is
-    * |distinct texts| canonical ids. */
-  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame =
-    df.join(exact(df, id, text).select(col("canonical_id").as(id)),
-      Seq(id), "left_semi")
+    * group's minimum-id row (the reference row [[exact]] reports).
+    * Window-min over the 128-bit text-hash group, same shape as
+    * [[exactPairs]]: ONE corpus scan and ONE exchange. The former
+    * aggregate + left-semi formulation read the corpus twice and, at
+    * scale, exchanged it twice — the canonical-id set is |distinct
+    * texts|-sized, far past broadcast at 100 TB, so the semi join's
+    * "small" side was a second full shuffle. */
+  def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_k")
+    df.withColumn("_k", md5(normText(col(text))))
+      .withColumn("_min", min(col(id)).over(w))
+      .filter(col(id) === col("_min"))
+      .drop("_k", "_min")
+  }
 
   /** (i, j) pairs of exact (normalized-text) duplicates, emitted as a
     * STAR per hash group (every member paired with the group minimum):
