@@ -24,9 +24,12 @@ object Explain {
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     def n(p: String) = p.r.findAllIn(plan).length
+    // codegen spans appear as "*(id)" operator prefixes in tree strings
+    val codegenSpans = """\*\((\d+)\)""".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSet.size
     println(s"[explain] exchanges=${n("Exchange hashpartitioning")} " +
       s"reused=${n("ReusedExchange")} broadcasts=${n("BroadcastExchange")} " +
-      s"scans=${n("Scan parquet")} wholestage=${n("WholeStageCodegen")}")
+      s"scans=${n("Scan parquet")} wholestage=$codegenSpans")
     spark.stop()
   }
 }

@@ -16,6 +16,9 @@ case class C(idint: Long, idstr: String, created: Long, author: String,
     parent: String, submission: String, body: String, score: Long,
     subreddit: String, distinguish: String, textlen: Long)
 
+// doc-shaped rows for the StreamDedup tests
+case class D(ts: java.sql.Timestamp, body: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -61,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
       new Livestream.UpsertTable(spark, tmp("nokey"), Merge.comments, keyless)
     }
     assert(e.getMessage.contains(Merge.KeyCol))
+  }
+
+  test("streaming exact dedup: normalized re-arrivals within the horizon are dropped, first arrival wins") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val mem = MemoryStream[D]
+    val q = StreamDedup.distinctContent(mem.toDF(), "body", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sdd_out")
+      .start()
+    try {
+      // 'a  b' and ' A b ' normalize identically — the second is a dup
+      mem.addData(D(t(100), "a  b"), D(t(101), " A b "), D(t(102), "unique"))
+      q.processAllAvailable()
+      val b1 = spark.table("sdd_out").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("ts").getTime / 1000, r.getAs[String]("body")))
+      assert(b1.toSet === Set((100L, "a  b"), (102L, "unique")),
+        s"first arrival must win: ${b1.toSeq}")
+      // a later micro-batch replaying seen content inside the horizon
+      mem.addData(D(t(200), "A B"), D(t(201), "fresh"))
+      q.processAllAvailable()
+      val all = spark.table("sdd_out").collect().map(_.getAs[String]("body"))
+      assert(all.length === 3 && all.contains("fresh"),
+        s"replayed content must be dropped: ${all.toSeq}")
+    } finally q.stop()
   }
 
   test("_seq within-batch precedence: a key duplicated in ONE micro-batch resolves to the last occurrence") {
