@@ -62,6 +62,13 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // TF-IDF keyword extraction: top-3 tokens per document.
+    "q_keywords" -> ((s, dir) => {
+      TextAnalysis.keywords(Tables.load(s, dir, "documents"),
+          "doc_id", "text", k = 3)
+        .orderBy("doc", "rank")
+    }),
+
     // Unigram-LM surprisal quality scores (self-trained KenLM baseline).
     "q_lm_surprisal" -> ((s, dir) => {
       TextAnalysis.unigramSurprisal(
@@ -370,6 +377,28 @@ object PipelineQueries {
                                          ORDER BY score_bp DESC, doc ASC) AS rank
                FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Mirrors TextAnalysis.keywords: idf floored to bp per distinct
+    // token, integer tf weighting, rank = (score desc, token asc).
+    "q_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc, tok, count(*) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(DISTINCT doc) AS n FROM tf),
+         scored AS (
+           SELECT tf.doc, tf.tok AS token,
+                  tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT) AS score_bp
+           FROM tf JOIN dfc USING (tok) CROSS JOIN nd)
+         SELECT doc, CAST(rank AS INT) AS rank, token, score_bp
+         FROM (SELECT doc, token, score_bp,
+                      row_number() OVER (PARTITION BY doc
+                                         ORDER BY score_bp DESC, token ASC) AS rank
+               FROM scored)
+         WHERE rank <= 3 ORDER BY doc, rank""",
 
     // Mirrors TextAnalysis.unigramSurprisal expression-for-expression:
     // ln once per distinct token, floored to bp, integer-weighted sums.

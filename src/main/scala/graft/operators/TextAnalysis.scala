@@ -384,6 +384,42 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Per-document keyword extraction: the top-k tokens by tf·idf
+    * (idf = ln(N/df), N = docs with ≥1 token) — the classic summarize/
+    * tag/route primitive (and the feature extractor behind lexical
+    * clustering). Same determinism device as [[unigramSurprisal]]: idf
+    * floors to basis points once per distinct token, weights by tf, so
+    * scores are integers and the per-doc rank (score desc, token asc) is
+    * total and engine-independent.
+    *
+    * Scale shape: exchanges bounded by distinct (doc, token) pairs and
+    * |vocab| (the postings pass is checkpoint-materialized once, feeding
+    * df counts, the N scalar, and the scoring join); the top-k window
+    * partitions by doc — millions of small partitions, never a global
+    * sort. Output: (doc, rank, token, score_bp). */
+  def keywords(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(col(id).as("doc"),
+        explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ndocs = tf.agg(count_distinct(col("doc")).as("n"))
+    // mirrored literally in the DuckDB oracle
+    val idfBp = floor(log(col("n").cast("double") / col("df")) * 10000)
+    tf.join(dfc, "tok")
+      .crossJoin(broadcast(ndocs))
+      .select(col("doc"), col("tok").as("token"),
+        (col("tf") * idfBp).as("score_bp"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc")
+          .orderBy(col("score_bp").desc, col("token").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("rank"), col("token"), col("score_bp"))
+  }
+
   /** Rule-based document quality VERDICTS (Gopher-style, Rae et al. 2021
     * §A1.1 — the published web-corpus filter family): per-rule booleans
     * plus the conjunctive `keep`, so a pipeline can both filter and audit

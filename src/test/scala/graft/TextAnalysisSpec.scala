@@ -276,4 +276,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the doc leaning on rare tokens is more surprising per token
     assert(out(2L)._3 > out(1L)._3)
   }
+
+  test("keywords: tf-idf top-k with hand-computed integer scores and deterministic ties") {
+    // N=3; df: apple=1 banana=1 cherry=1 shared=3
+    // idf_bp(rare) = floor(ln(3)·1e4) = 10986; idf_bp(shared) = 0
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared"),
+      (3L, "shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Int]("rank"),
+        r.getAs[String]("token"), r.getAs[Long]("score_bp")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    assert(out(1L) === Seq(("apple", 2 * 10986L), ("banana", 10986L), ("shared", 0L)))
+    assert(out(2L) === Seq(("cherry", 10986L), ("shared", 0L)))
+    assert(out(3L) === Seq(("shared", 0L)), "an everywhere-token still ranks, at score 0")
+    // k caps rows per doc
+    val k1 = TextAnalysis.keywords(docs, "doc_id", "text", k = 1).collect()
+    assert(k1.length === 3 && k1.forall(_.getAs[Int]("rank") === 1))
+  }
 }
