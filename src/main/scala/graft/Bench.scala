@@ -62,19 +62,27 @@ object Bench {
   }
 
   /** The one-line JSON contract. A failed query reports the sentinel -1
-    * for median and min and is listed under "failed", and is EXCLUDED
-    * from "value" — otherwise a regression that makes a query throw
+    * for median and min, is listed under "failed", and poisons "value"
+    * to -1 as well — otherwise a regression that makes a query throw
     * would read as a round-over-round speedup in the machine-readable
-    * output (the stderr marker is invisible to automated comparison).
-    * Healthy runs emit byte-identical JSON to the pre-sentinel format
-    * ("failed" only appears when non-empty). */
+    * output (both through the failure's fast time AND through the
+    * query's healthy contribution vanishing from the total; the stderr
+    * marker is invisible to automated comparison). Healthy runs emit
+    * byte-identical JSON to the pre-sentinel format ("failed" only
+    * appears when non-empty). */
   def render(results: Seq[QueryResult], reps: Int, sfDir: String): String = {
     def medOf(r: QueryResult): Double = if (r.failed) -1.0 else median(r.times)
     def minOf(r: QueryResult): Double = if (r.failed) -1.0 else r.times.min
     def jsonMap(f: QueryResult => Double): String =
       results.map(r => s"\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
     val qs = jsonMap(medOf)
-    val total = results.filterNot(_.failed).map(r => median(r.times)).sum
+    // "value" is the headline round-over-round metric: with any failure
+    // it must be the sentinel too, not a sum-of-survivors — dropping the
+    // failed query's healthy contribution would read as a SPEEDUP to a
+    // comparator that only looks at value
+    val total =
+      if (results.exists(_.failed)) -1.0
+      else results.map(r => median(r.times)).sum
     val failed = results.filter(_.failed).map(r => s"\"" + r.name + "\"")
     val failedJson = if (failed.nonEmpty) s""","failed":[${failed.mkString(",")}]""" else ""
     val extra = if (reps > 1)

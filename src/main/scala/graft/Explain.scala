@@ -23,12 +23,18 @@ object Explain {
     // section — counting it would double every node: keep the final only
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    def n(p: String) = p.r.findAllIn(plan).length
+    // ReusedExchange is a leaf that PRINTS its wrapped exchange in its
+    // own line ("ReusedExchange [...], Exchange hashpartitioning(...)"),
+    // so exchange patterns must not count lines that are reuses
+    val ownLines = plan.linesIterator
+      .filterNot(_.contains("ReusedExchange")).mkString("\n")
+    def n(p: String) = p.r.findAllIn(ownLines).length
+    def nAll(p: String) = p.r.findAllIn(plan).length
     // codegen spans appear as "*(id)" operator prefixes in tree strings
     val codegenSpans = """\*\((\d+)\)""".r.findAllMatchIn(plan)
       .map(_.group(1)).toSet.size
     println(s"[explain] exchanges=${n("Exchange hashpartitioning")} " +
-      s"reused=${n("ReusedExchange")} broadcasts=${n("BroadcastExchange")} " +
+      s"reused=${nAll("ReusedExchange")} broadcasts=${n("BroadcastExchange")} " +
       s"scans=${n("Scan parquet")} wholestage=$codegenSpans")
     spark.stop()
   }

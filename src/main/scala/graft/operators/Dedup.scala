@@ -186,11 +186,17 @@ object Dedup {
     * texts|-sized, far past broadcast at 100 TB, so the semi join's
     * "small" side was a second full shuffle. */
   def dropExactDuplicates(df: DataFrame, id: String, text: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("_k")
-    df.withColumn("_k", md5(normText(col(text))))
-      .withColumn("_min", min(col(id)).over(w))
-      .filter(col(id) === col("_min"))
-      .drop("_k", "_min")
+    // window keyed on the hash EXPRESSION (no key helper column); the
+    // one helper the filter needs gets a name proven absent from the
+    // input, so a caller's own columns can never be clobbered and the
+    // output schema is the input schema, exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(normText(col(text))))
+    val m = Iterator.iterate("_min")(_ + "_")
+      .dropWhile(n => df.columns.exists(_.equalsIgnoreCase(n))).next()
+    df.withColumn(m, min(col(id)).over(w))
+      .filter(col(id) === col(m))
+      .drop(m)
   }
 
   /** (i, j) pairs of exact (normalized-text) duplicates, emitted as a

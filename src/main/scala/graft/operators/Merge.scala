@@ -102,7 +102,7 @@ object Merge {
     val all = ex.select((cols.map(col) :+ col("_edited") :+ col("_seq")): _*)
       .unionByName(in.select((cols.map(col) :+ col("_edited") :+ col("_seq")): _*))
 
-    val w = Window.partitionBy("idstr").orderBy("_seq")
+    val w = Window.partitionBy(KeyCol).orderBy("_seq")
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wEnd = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 
@@ -131,7 +131,7 @@ object Merge {
     val finalText = last(col("_stored_text"), ignoreNulls = true).over(wEnd).as(text)
 
     val merged = staged
-      .select((col("idstr") +: col("_rn_desc") +: firstVals) ++ lastVals :+ finalText: _*)
+      .select((col(KeyCol) +: col("_rn_desc") +: firstVals) ++ lastVals :+ finalText: _*)
       .filter(col("_rn_desc") === 1)
       .select(cols.map(col): _*)   // restore canonical column order
 
@@ -146,7 +146,7 @@ object Merge {
       else staged
         .filter(!col("_is_first") && !col("_tomb") && !(col(text) <=> col("_prev_stored")))
         .select(
-          col("idstr"),
+          col(KeyCol),
           col("_prev_stored").as(entity.editTextCol),
           coalesce(col("_edited"), nowEpoch).cast("long").as("replaced_at"))
 

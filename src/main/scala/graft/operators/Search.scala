@@ -55,25 +55,18 @@ object Search {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // term-SET semantics must hold across REPEATED query_id entries too
+    // (Seq(0 -> "alpha", 0 -> "alpha beta") is one query with 2 terms),
+    // so the distinct runs on the flattened (qid, term) pairs
     val qterms = queries.flatMap { case (qid, qtext) =>
-      qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-        .distinct.map(qid -> _)
-    }.toDF("query_id", "tok")
+      qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(qid -> _)
+    }.distinct.toDF("query_id", "tok")
 
-    val toks = docs
-      .select(col(id).cast("long").as("doc"),
-        explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
-      .filter(col("tok") =!= "")
-    // The postings table feeds THREE consumers (dl/stats, dfq, scoring).
-    // Catalyst's ReuseExchange misses two of them (each branch pushes
-    // different null filters into the scan, breaking subtree equality),
-    // which re-reads the corpus once per consumer — measured 3 full
-    // scans. A lazy local checkpoint materializes the tokenize+count
-    // pass exactly once (the build-the-index-once trade every search
-    // engine makes); postings are O(distinct (doc, term)), smaller than
-    // the corpus they index.
-    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    // shared checkpoint-materialized postings pass — see
+    // TextAnalysis.postings for the tokenization contract and the
+    // build-the-index-once rationale (three consumers here: dl/stats,
+    // dfq, scoring; ReuseExchange misses two of them)
+    val tf = TextAnalysis.postings(docs, col(id).cast("long"), col(text))
     // document length = token count; derived from tf so the (doc, tok)
     // exchange is planned once and reused for both branches
     val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))

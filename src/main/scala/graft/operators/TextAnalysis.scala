@@ -246,7 +246,7 @@ object TextAnalysis {
   def topTokens(df: DataFrame, text: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val top = df
-      .select(explode(split(lower(col(text)), "[^a-z0-9]+")).as("token"))
+      .select(explode(tokenize(col(text))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
@@ -264,7 +264,7 @@ object TextAnalysis {
     * distinct (doc, token) pairs, not corpus bytes. */
   def repetition(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id).as("doc"),
-        explode(split(lower(col(text)), "[^a-z0-9]+")).as("token"))
+        explode(tokenize(col(text))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("doc", "token").agg(count(lit(1)).as("c"))
       .groupBy("doc").agg(
@@ -341,6 +341,26 @@ object TextAnalysis {
       .select(col(id), col("shard"), col("bin"), col("n_tokens"))
   }
 
+  /** THE tokenization contract: lowercased maximal `[a-z0-9]+` runs.
+    * Load-bearing for oracle parity — every lexical operator and every
+    * DuckDB oracle (`string_split_regex(lower(text), '[^a-z0-9]+')`)
+    * assumes exactly this split; keep the regex in this ONE place. */
+  private[operators] def tokenize(c: Column): Column =
+    split(lower(c), "[^a-z0-9]+")
+
+  /** Shared postings pass: (doc, tok, tf) over [[tokenize]], lazily
+    * checkpoint-materialized — the postings subtree feeds several
+    * consumers in every caller and Catalyst's ReuseExchange misses the
+    * branches whose pushed-down null filters differ, which re-reads the
+    * corpus once per consumer (measured on q_bm25: 3 full scans). One
+    * materialization is the build-the-index-once trade; postings are
+    * O(distinct (doc, term)), smaller than the corpus they index. */
+  private[operators] def postings(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(idCol.as("doc"), explode(tokenize(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+
   /** Unigram language-model surprisal per document — the self-trained
     * baseline of the KenLM-style perplexity quality filter standard in
     * pretraining pipelines (CCNet/Gopher both filter on LM score): score
@@ -361,15 +381,7 @@ object TextAnalysis {
     * total broadcasts. Token-less docs are absent (nothing to score).
     * Output: (doc, n_tokens, total_surprisal_bp, mean_surprisal_bp). */
   def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = df.select(col(id).as("doc"),
-        explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
-      .filter(col("tok") =!= "")
-    // three consumers (cnt→tot, the scoring join's both sides) — lazy
-    // local checkpoint materializes the tokenize+count pass once instead
-    // of once per consumer (ReuseExchange misses the branches whose
-    // pushed-down null filters differ; same trade as Search.bm25TopK)
-    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = postings(df, col(id), col(text))
     val cnt = tf.groupBy("tok").agg(sum("tf").as("cnt"))
     val tot = cnt.agg(sum("cnt").as("t"))
     // expression shape mirrored literally in the DuckDB oracle
@@ -400,11 +412,7 @@ object TextAnalysis {
   def keywords(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = df.select(col(id).as("doc"),
-        explode(split(lower(col(text)), "[^a-z0-9]+")).as("tok"))
-      .filter(col("tok") =!= "")
-    val tf = toks.groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = postings(df, col(id), col(text))
     val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ndocs = tf.agg(count_distinct(col("doc")).as("n"))
     // mirrored literally in the DuckDB oracle

@@ -73,8 +73,9 @@ object Livestream {
     // The merge layer keys on Merge.KeyCol end-to-end (upsert window,
     // keyBucket default, the maxFiles>1 compaction salt below): require
     // it at construction so a key-less schema fails HERE with a named
-    // reason, not mid-optimize() with an AnalysisException.
-    require(emptyLike.schema.fieldNames.contains(Merge.KeyCol),
+    // reason, not mid-optimize() with an AnalysisException. Matched
+    // case-insensitively — Spark's default column resolution is.
+    require(emptyLike.schema.fieldNames.exists(_.equalsIgnoreCase(Merge.KeyCol)),
       s"UpsertTable schema must carry the merge key '${Merge.KeyCol}'; " +
         s"got [${emptyLike.schema.fieldNames.mkString(", ")}]")
     private val ptr = Paths.get(path, "_VERSION")
@@ -145,7 +146,7 @@ object Livestream {
     private def alignToBuckets(df: DataFrame): DataFrame =
       outputPartitions.filter(_ > 1) match {
         case Some(n) => df.repartition(col(PartCol),
-          pmod(xxhash64(col("idstr")), lit(n.toLong)))
+          pmod(xxhash64(col(Merge.KeyCol)), lit(n.toLong)))
         case None => df.repartition(col(PartCol))
       }
 
@@ -531,7 +532,7 @@ object Livestream {
     * construction, so the pruned merge read can never miss a key's old
     * row; a micro-batch of B rows touches ≤ B buckets out of `nBuckets`,
     * which is the merge's whole write cost. */
-  def keyBucket(keyColName: String = "idstr", nBuckets: Int = 64): Column =
+  def keyBucket(keyColName: String = Merge.KeyCol, nBuckets: Int = 64): Column =
     pmod(xxhash64(col(keyColName)), lit(nBuckets))
 
   /** [[keyBucket]] for ONE key, evaluated on the driver: interpreted
@@ -579,7 +580,7 @@ object Livestream {
       // surfaces in StreamingQueryProgress.observedMetrics("graft_batch").
       .observe("graft_batch",
         count(lit(1)).as("rows"),
-        approx_count_distinct(col("idstr")).as("distinct_ids"))
+        approx_count_distinct(col(Merge.KeyCol)).as("distinct_ids"))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -33,10 +33,15 @@ object StreamDedup {
     * @param eventTime event-time column name (TimestampType)
     * @param horizon watermark delay, e.g. "10 minutes" */
   def distinctContent(stream: DataFrame, text: String, eventTime: String,
-      horizon: String): DataFrame =
+      horizon: String): DataFrame = {
+    // the state key needs a real column; give it a name proven absent
+    // from the input so a caller's own columns are never clobbered
+    val k = Iterator.iterate("_k")(_ + "_")
+      .dropWhile(n => stream.columns.exists(_.equalsIgnoreCase(n))).next()
     stream
-      .withColumn("_k", md5(Dedup.normText(col(text))))
+      .withColumn(k, md5(Dedup.normText(col(text))))
       .withWatermark(eventTime, horizon)
-      .dropDuplicatesWithinWatermark("_k")
-      .drop("_k")
+      .dropDuplicatesWithinWatermark(k)
+      .drop(k)
+  }
 }

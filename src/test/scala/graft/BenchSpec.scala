@@ -18,12 +18,13 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"value\":6.0"))
   }
 
-  test("failed query: sentinel -1, listed under failed, excluded from total") {
+  test("failed query: sentinels for the query AND the total, listed under failed") {
     val json = Bench.render(Seq(ok1, bad), reps = 3, sfDir = "/d")
     assert(json.contains("\"q_c\":-1.0"), json)
     assert(json.contains("\"failed\":[\"q_c\"]"), json)
-    // total must NOT absorb the failure's fast time (2.0, not 2.01)
-    assert(json.contains("\"value\":2.0"), json)
+    // the headline total is poisoned too: a sum-of-survivors would read
+    // as a speedup (the failed query's healthy seconds just vanish)
+    assert(json.contains("\"value\":-1.0"), json)
     // the min map carries the sentinel too
     assert(json.contains("\"queries_min\":{\"q_a\":1.0,\"q_c\":-1.0}"), json)
   }

@@ -128,6 +128,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === Set(1L, 4L, 5L, 6L))   // 2,3 are norm-dups of 1
   }
 
+  test("dropExactDuplicates never clobbers caller columns, even ones named like its helpers") {
+    // a caller column named _min (or _MIN — resolution is case-insensitive)
+    // must survive with its values; output schema == input schema
+    val df = docs.withColumn("_min", col("doc_id") * 100)
+      .withColumn("_k", lit("caller-owned"))
+    val out = Dedup.dropExactDuplicates(df, "doc_id", "text")
+    assert(out.columns.toSeq === df.columns.toSeq)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("_min"), r.getAs[String]("_k"))).toMap
+    assert(rows(4L) === ((400L, "caller-owned")))
+  }
+
   test("exactPairs emits each duplicate group as a star on the min id") {
     val p = Dedup.exactPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

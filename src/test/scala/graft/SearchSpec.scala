@@ -57,6 +57,19 @@ class SearchSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("BM25 term-SET semantics hold across repeated query_id entries") {
+    val docs = corpus(1L -> "alpha beta", 2L -> "alpha alpha beta")
+    // one query split over two entries, sharing 'alpha' — must score
+    // identically to the single-entry spelling (no double-counting)
+    val split = Search.bm25TopK(docs, "doc_id", "text",
+      queries = Seq(0L -> "alpha", 0L -> "alpha beta"), k = 5).collect()
+    val whole = Search.bm25TopK(docs, "doc_id", "text",
+      queries = Seq(0L -> "alpha beta"), k = 5).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_bp"))).toSeq
+    assert(key(split) === key(whole))
+  }
+
   test("BM25 plan: query-term postings filter is a broadcast join (corpus never shuffles for it)") {
     val docs = corpus((1L to 50L).map(i => i -> s"tok$i alpha common"): _*)
     val plan = Search.bm25TopK(docs, "doc_id", "text",
