@@ -62,6 +62,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Fuzzy decontamination: corpus↔benchmark shingle-Jaccard pairs.
+    "q_contamination_fuzzy" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextAnalysis.fuzzyContamination(
+          d.filter(col("doc_id") % 17 =!= 0),
+          d.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", 3, thresholdBp = 200L)
+        .orderBy("doc", "bench_doc")
+    }),
+
     // TF-IDF keyword extraction: top-3 tokens per document.
     "q_keywords" -> ((s, dir) => {
       TextAnalysis.keywords(Tables.load(s, dir, "documents"),
@@ -377,6 +387,29 @@ object PipelineQueries {
                                          ORDER BY score_bp DESC, doc ASC) AS rank
                FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Same relational algebra as TextAnalysis.fuzzyContamination; the
+    // jaccard floor expression is the engine's proven jaccardOracle form.
+    "q_contamination_fuzzy" ->
+      """WITH words AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id AS doc,
+                  unnest(list_transform(range(1, len(w)-1),
+                                        i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM words),
+         sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc AS doc, b.doc AS bench_doc, count(*) AS c
+           FROM sh a JOIN sh b ON a.s = b.s
+           WHERE a.doc % 17 <> 0 AND b.doc % 17 = 0
+           GROUP BY 1, 2)
+         SELECT inter.doc AS doc, bench_doc,
+                CAST(floor(c * 10000.0 / (x.n + y.n - c)) AS BIGINT) AS jac_bp
+         FROM inter JOIN sizes x ON x.doc = inter.doc
+                    JOIN sizes y ON y.doc = bench_doc
+         WHERE floor(c * 10000.0 / (x.n + y.n - c)) >= 200
+         ORDER BY inter.doc, bench_doc""",
 
     // Mirrors TextAnalysis.keywords: idf floored to bp per distinct
     // token, integer tf weighting, rank = (score desc, token asc).

@@ -57,7 +57,7 @@ object Dedup {
     * rides inside the exploded struct: the lambda reads `size(_arr)` on an
     * attribute (O(1) per element), and the complex generator input keeps
     * InferFiltersFromGenerate away (rule 3). */
-  private def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+  private[operators] def shingleRows(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     shingleSet(df, id, text, n)
       .select(col("doc"), explode(transform(col("_arr"),
         s => struct(s.as("s"), size(col("_arr")).as("nsh")))).as("_e"))

@@ -310,6 +310,31 @@ object TextAnalysis {
       .join(broadcast(Dedup.shingles(bench, id, text, n).select("s").distinct()), "s")
       .groupBy("doc").agg(count(lit(1)).as("n_hits"))
 
+  /** FUZZY decontamination: corpus docs whose shingle-set Jaccard against
+    * ANY benchmark doc clears `thresholdBp`, with the pair and its
+    * similarity for audit — catches paraphrase-level contamination that
+    * the exact shared-shingle filter ([[contamination]]) only tallies.
+    * EXACTLY computed (no LSH): eval sets are small, so the benchmark's
+    * shingle rows BROADCAST; candidate (doc, bench_doc) pairs come from
+    * the broadcast shingle join and the single exchange is their count
+    * aggregation — bounded by shared-shingle pairs, never
+    * |corpus| × |bench|. Jaccard in basis points with the same integer
+    * floor contract as [[Dedup.jaccardPairs]].
+    * Output: (doc, bench_doc, jac_bp), threshold-filtered. */
+  def fuzzyContamination(docs: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int, thresholdBp: Long): DataFrame = {
+    val d = Dedup.shingleRows(docs, id, text, n)
+    val b = Dedup.shingleRows(bench, id, text, n)
+      .select(col("doc").as("bench_doc"), col("nsh").as("_bnsh"), col("s"))
+    d.join(broadcast(b), "s")
+      .groupBy("doc", "bench_doc")
+      .agg(count(lit(1)).as("_c"), max("nsh").as("_n"), max("_bnsh").as("_bn"))
+      .withColumn("jac_bp",
+        floor(col("_c") * 10000.0 / (col("_n") + col("_bn") - col("_c"))).cast("long"))
+      .filter(col("jac_bp") >= thresholdBp)
+      .select("doc", "bench_doc", "jac_bp")
+  }
+
   /** Sequence PACKING: assign token-counted items to fixed-capacity
     * context-window bins — the standard pretraining data-prep step after
     * chunking (concatenate documents into full training sequences).

@@ -277,6 +277,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L)._3 > out(1L)._3)
   }
 
+  test("fuzzy contamination: identical doc scores 10000 bp, disjoint doc is absent, threshold filters") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over dogs"),   // identical to bench 100
+      (2L, "completely different words here now ok"), // disjoint
+      (3L, "the quick brown fox sleeps all day long") // partial overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val all = TextAnalysis.fuzzyContamination(corpus, bench,
+        "doc_id", "text", n = 3, thresholdBp = 1L)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("jac_bp")).toMap
+    assert(all(1L) === 10000L, "identical text must score exactly 10000 bp")
+    assert(!all.contains(2L), "no shared shingle → no pair")
+    // doc 3 shares 'the quick brown'+'quick brown fox' of its 6 vs bench 5:
+    // jaccard = 2/(6+5-2) = 2222 bp
+    assert(all(3L) === 2222L)
+    val strict = TextAnalysis.fuzzyContamination(corpus, bench,
+      "doc_id", "text", n = 3, thresholdBp = 5000L).collect()
+    assert(strict.map(_.getAs[Long]("doc")).toSeq === Seq(1L))
+  }
+
   test("keywords: tf-idf top-k with hand-computed integer scores and deterministic ties") {
     // N=3; df: apple=1 banana=1 cherry=1 shared=3
     // idf_bp(rare) = floor(ln(3)·1e4) = 10986; idf_bp(shared) = 0
