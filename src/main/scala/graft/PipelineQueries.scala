@@ -62,6 +62,23 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // End-to-end pipeline COMPOSITION: exact dedup → LM-surprisal
+    // quality filter (the unigram LM trains on the DEDUPED corpus) →
+    // train split → sequence packing, one declarative plan — the path a
+    // real curation run takes, proving the operators compose.
+    "q_pipeline" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val deduped = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      val scored = TextAnalysis.unigramSurprisal(deduped, "doc_id", "text")
+      val kept = scored.filter(col("mean_surprisal_bp") <= 34050L)
+        .select(col("doc").as("doc_id"), col("n_tokens"))
+      val train = TextAnalysis.hashSplit(kept, "doc_id")
+        .filter(col("split") === "train")
+      TextAnalysis.packSequences(train, "doc_id", col("n_tokens"),
+          capacity = 256L)
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy decontamination: corpus↔benchmark shingle-Jaccard pairs.
     "q_contamination_fuzzy" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -387,6 +404,44 @@ object PipelineQueries {
                                          ORDER BY score_bp DESC, doc ASC) AS rank
                FROM scored)
          WHERE rank <= 10 ORDER BY query_id, rank""",
+
+    // Chains the dedup-keep, surprisal, split, and pack oracle fragments
+    // over the same staged semantics (LM counts post-dedup).
+    "q_pipeline" ->
+      """WITH dd AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    min(doc_id) OVER (
+                      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                    ) AS keep
+             FROM documents) WHERE doc_id = keep),
+         toks AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           FROM dd),
+         tf AS (SELECT doc, tok, count(*) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
+         per AS (
+           SELECT tf.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(ln(CAST(t AS DOUBLE) / cnt) * 10000) AS BIGINT)) AS BIGINT)
+                    AS total_bp
+           FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+           GROUP BY 1),
+         kept AS (
+           SELECT doc, n_tokens FROM per
+           WHERE CAST(floor(CAST(total_bp AS DOUBLE) / n_tokens) AS BIGINT) <= 34050),
+         train AS (
+           SELECT doc AS doc_id, CAST(doc % 32 AS BIGINT) AS shard, n_tokens
+           FROM kept
+           WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) < 'cccc')
+         SELECT doc_id, shard,
+                CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+                     AS BIGINT) AS bin,
+                n_tokens
+         FROM train ORDER BY doc_id""",
 
     // Same relational algebra as TextAnalysis.fuzzyContamination; the
     // jaccard floor expression is the engine's proven jaccardOracle form.
