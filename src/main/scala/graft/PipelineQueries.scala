@@ -306,14 +306,21 @@ object PipelineQueries {
     })
   )
 
-  private val jaccardOracle =
+  /** The SQL shingle contract, ONE copy (the Scala twin is
+    * Dedup.words/shingleExpr): whitespace words → DISTINCT trigrams.
+    * Shared by every shingle-based oracle so an n or regex change can't
+    * silently desynchronize one of them. */
+  private val shingleCte =
     """WITH words AS (
          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
        sh AS (
          SELECT DISTINCT doc_id AS doc,
                 unnest(list_transform(range(1, len(w)-1),
                                       i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
-         FROM words),
+         FROM words)"""
+
+  private val jaccardOracle = shingleCte +
+    """,
        sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
        inter AS (
          SELECT a.doc AS i, b.doc AS j, count(*) AS c
@@ -445,14 +452,8 @@ object PipelineQueries {
 
     // Same relational algebra as TextAnalysis.fuzzyContamination; the
     // jaccard floor expression is the engine's proven jaccardOracle form.
-    "q_contamination_fuzzy" ->
-      """WITH words AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id AS doc,
-                  unnest(list_transform(range(1, len(w)-1),
-                                        i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
-           FROM words),
+    "q_contamination_fuzzy" -> (shingleCte +
+      """,
          sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
          inter AS (
            SELECT a.doc AS doc, b.doc AS bench_doc, count(*) AS c
@@ -464,7 +465,7 @@ object PipelineQueries {
          FROM inter JOIN sizes x ON x.doc = inter.doc
                     JOIN sizes y ON y.doc = bench_doc
          WHERE floor(c * 10000.0 / (x.n + y.n - c)) >= 200
-         ORDER BY inter.doc, bench_doc""",
+         ORDER BY inter.doc, bench_doc"""),
 
     // Mirrors TextAnalysis.keywords: idf floored to bp per distinct
     // token, integer tf weighting, rank = (score desc, token asc).
@@ -544,19 +545,13 @@ object PipelineQueries {
                            ELSE '0000' END
          ORDER BY doc_id""",
 
-    "q_contamination" ->
-      """WITH words AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id AS doc,
-                  unnest(list_transform(range(1, len(w)-1),
-                                        i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
-           FROM words),
+    "q_contamination" -> (shingleCte +
+      """,
          bs AS (SELECT DISTINCT s FROM sh WHERE doc % 17 = 0)
          SELECT doc, count(*) AS n_hits
          FROM sh JOIN bs USING (s)
          WHERE doc % 17 <> 0
-         GROUP BY doc ORDER BY doc""",
+         GROUP BY doc ORDER BY doc"""),
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,

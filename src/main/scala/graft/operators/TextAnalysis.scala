@@ -320,10 +320,26 @@ object TextAnalysis {
     * aggregation — bounded by shared-shingle pairs, never
     * |corpus| × |bench|. Jaccard in basis points with the same integer
     * floor contract as [[Dedup.jaccardPairs]].
+    *
+    * `freqCap` is the same skew shed as the Jaccard dedup family: a
+    * boilerplate shingle present in ~every corpus doc AND in one bench
+    * doc would otherwise push ~|corpus| rows through the pair exchange
+    * on that shingle alone. Shingles whose CORPUS frequency exceeds the
+    * cap are dropped from candidate generation (set sizes in the
+    * denominator stay full); a contaminated pair whose shared shingles
+    * are ALL hot is missed — for decontamination prefer a generous cap
+    * and audit the shed set, since hot shingles are by definition
+    * boilerplate, not benchmark-specific content.
     * Output: (doc, bench_doc, jac_bp), threshold-filtered. */
   def fuzzyContamination(docs: DataFrame, bench: DataFrame, id: String,
-      text: String, n: Int, thresholdBp: Long): DataFrame = {
-    val d = Dedup.shingleRows(docs, id, text, n)
+      text: String, n: Int, thresholdBp: Long,
+      freqCap: Long = 1000000L): DataFrame = {
+    val d0 = Dedup.shingleRows(docs, id, text, n)
+    // hot set = pathological keys only → tiny → broadcast anti-join;
+    // the count exchange is |distinct shingle|-sized with map-side combine
+    val hot = d0.groupBy("s").agg(count(lit(1)).as("_f"))
+      .filter(col("_f") > freqCap).select("s")
+    val d = d0.join(broadcast(hot), Seq("s"), "left_anti")
     val b = Dedup.shingleRows(bench, id, text, n)
       .select(col("doc").as("bench_doc"), col("nsh").as("_bnsh"), col("s"))
     d.join(broadcast(b), "s")

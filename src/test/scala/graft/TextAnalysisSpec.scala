@@ -298,6 +298,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(strict.map(_.getAs[Long]("doc")).toSeq === Seq(1L))
   }
 
+  test("fuzzy contamination freqCap sheds corpus-hot shingles; cold-shingle link survives") {
+    // docs 2-5 share one boilerplate shingle also present in the bench
+    // doc; doc 1 links to the bench only through a COLD shingle
+    val corpus = Seq(
+      (1L, "z z2 z3 cold a b"),
+      (2L, "hot hot2 hot3"), (3L, "hot hot2 hot3"),
+      (4L, "hot hot2 hot3"), (5L, "hot hot2 hot3")).toDF("doc_id", "text")
+    val bench = Seq((100L, "cold a b hot hot2 hot3")).toDF("doc_id", "text")
+    val uncapped = TextAnalysis.fuzzyContamination(corpus, bench,
+        "doc_id", "text", n = 3, thresholdBp = 1L)
+      .collect().map(_.getAs[Long]("doc")).toSet
+    assert(uncapped === Set(1L, 2L, 3L, 4L, 5L))
+    // cap 2 < the hot shingle's corpus frequency 4 → boilerplate pairs
+    // shed, the cold link survives with its FULL-set-size jaccard
+    val capped = TextAnalysis.fuzzyContamination(corpus, bench,
+        "doc_id", "text", n = 3, thresholdBp = 1L, freqCap = 2L)
+      .collect()
+    assert(capped.map(_.getAs[Long]("doc")).toSeq === Seq(1L))
+    // |shared|=1 ('cold a b'), sizes 4 and 4: 1/(4+4-1) = 1428 bp
+    assert(capped.head.getAs[Long]("jac_bp") === 1428L)
+  }
+
   test("keywords: tf-idf top-k with hand-computed integer scores and deterministic ties") {
     // N=3; df: apple=1 banana=1 cherry=1 shared=3
     // idf_bp(rare) = floor(ln(3)·1e4) = 10986; idf_bp(shared) = 0
