@@ -45,10 +45,14 @@ object Bench {
       .map { case (name, fn) =>
         // reps>1 measures steady state: one untimed warmup absorbs the
         // query's one-time codegen/JIT so the median is a code signal,
-        // not a which-rep-paid-compilation lottery
-        if (reps > 1) timeOnce(name, fn)
+        // not a which-rep-paid-compilation lottery. The warm-up rep's
+        // failure bit still counts: a query that throws only on its
+        // FIRST execution must land in the JSON "failed" list, not pass
+        // with healthy-looking timed reps.
+        val warmupOk = if (reps > 1) timeOnce(name, fn)._2 else true
         val samples = (1 to reps).map(_ => timeOnce(name, fn))
-        QueryResult(name, samples.map(_._1), failed = samples.exists(!_._2))
+        QueryResult(name, samples.map(_._1),
+          failed = !warmupOk || samples.exists(!_._2))
       }
     println(render(results, reps, sfDir))
     spark.stop()

@@ -80,12 +80,16 @@ object PipelineQueries {
     }),
 
     // Fuzzy decontamination: corpus↔benchmark shingle-Jaccard pairs.
+    // CONTRACT: the oracle does NOT model freqCap — this registration must
+    // keep the cap above every shingle's corpus frequency at oracle scale
+    // (the 1e6 default sheds nothing there), or the two sides silently
+    // diverge. The shed path has its own ground truth in TextAnalysisSpec.
     "q_contamination_fuzzy" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       TextAnalysis.fuzzyContamination(
           d.filter(col("doc_id") % 17 =!= 0),
           d.filter(col("doc_id") % 17 === 0),
-          "doc_id", "text", 3, thresholdBp = 200L)
+          "doc_id", "text", 3, thresholdBp = 200L, freqCap = 1000000L)
         .orderBy("doc", "bench_doc")
     }),
 
@@ -452,6 +456,8 @@ object PipelineQueries {
 
     // Same relational algebra as TextAnalysis.fuzzyContamination; the
     // jaccard floor expression is the engine's proven jaccardOracle form.
+    // NO freqCap term here (see the registration's CONTRACT note): the
+    // registered query's cap must shed nothing at this scale factor.
     "q_contamination_fuzzy" -> (shingleCte +
       """,
          sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),

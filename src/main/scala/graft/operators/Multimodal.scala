@@ -316,7 +316,10 @@ object Multimodal {
     wavParse(b).map { parsed =>
       val dataLen = parsed._5
       val tgt = math.max(1, targetLen)
-      decimate(b, parsed, math.max(2, (dataLen + tgt - 1) / tgt))
+      // factor 1 when the DATA already fits the target (only the 44-byte
+      // header pushes the payload over): re-emit the frames unchanged
+      // instead of halving the audio with a forced minimum factor.
+      decimate(b, parsed, math.max(1, (dataLen + tgt - 1) / tgt))
     }
 
   private def decimate(b: Array[Byte],

@@ -366,15 +366,23 @@ object TextAnalysis {
     * Scale shape: packing is inherently sequential, so it runs per SHARD
     * (`idCol % nShards`) — one hash exchange + per-shard window cumsum,
     * each shard an independent stream; cross-shard packing has no
-    * training meaning. Modulo sharding (not hash) keeps the assignment
-    * reproducible in ANY engine, including the SQL oracle. Output:
-    * (id, shard, bin, n_tokens). */
+    * training meaning. NUMERIC ids shard by modulo — reproducible in ANY
+    * engine, including the SQL oracle. Non-numeric ids shard by
+    * `pmod(xxhash64(id), n)` (deterministic, but engine-specific —
+    * `pmod(string, n)` would cast every id to null and silently collapse
+    * the "independent parallel shards" contract into ONE sequential
+    * stream on shard NULL). Output: (id, shard, bin, n_tokens). */
   def packSequences(df: DataFrame, id: String, tokens: Column,
       capacity: Long, nShards: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val shard = df.schema(id).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pmod(col(id), lit(nShards.toLong))
+      case _ => pmod(xxhash64(col(id)), lit(nShards.toLong))
+    }
     val w = Window.partitionBy("shard").orderBy(id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(id), pmod(col(id), lit(nShards.toLong)).as("shard"),
+    df.select(col(id), shard.as("shard"),
         tokens.cast("long").as("n_tokens"))
       .withColumn("bin",
         ((sum(col("n_tokens")).over(w) - col("n_tokens")) / capacity)
@@ -390,17 +398,41 @@ object TextAnalysis {
     split(lower(c), "[^a-z0-9]+")
 
   /** Shared postings pass: (doc, tok, tf) over [[tokenize]], lazily
-    * checkpoint-materialized — the postings subtree feeds several
-    * consumers in every caller and Catalyst's ReuseExchange misses the
-    * branches whose pushed-down null filters differ, which re-reads the
-    * corpus once per consumer (measured on q_bm25: 3 full scans). One
-    * materialization is the build-the-index-once trade; postings are
-    * O(distinct (doc, term)), smaller than the corpus they index. */
-  private[operators] def postings(df: DataFrame, idCol: Column, text: Column): DataFrame =
-    df.select(idCol.as("doc"), explode(tokenize(text)).as("tok"))
+    * materialized — the postings subtree feeds several consumers in every
+    * caller and Catalyst's ReuseExchange misses the branches whose
+    * pushed-down null filters differ, which re-reads the corpus once per
+    * consumer (measured on q_bm25: 3 full scans). One materialization is
+    * the build-the-index-once trade; postings are O(distinct (doc,
+    * term)), smaller than the corpus they index.
+    *
+    * ==Materialization mode (`spark.graft.postings.materialization`)==
+    *  - `"local"` (default): lazy `localCheckpoint` — fastest on a
+    *    healthy cluster (no lineage re-derivation, executor-local
+    *    blocks), but the blocks are NON-REPLICATED AND LINEAGE-FREE: an
+    *    executor loss fails the query instead of recomputing. Right for
+    *    interactive/local work.
+    *  - `"persist"`: lineage-backed `persist(DISK_ONLY)` — an executor
+    *    loss recomputes the lost partitions from lineage; the mode for
+    *    long jobs on large clusters (set it next to the 100 TB configs,
+    *    see SCALE.md).
+    * EITHER mode pins storage for the session (nothing here unpersists —
+    * each operator call materializes its own postings): persisted blocks
+    * are LRU-evictable and clearable (`spark.catalog.clearCache()`);
+    * localCheckpoint blocks live until the session ends. A long-lived
+    * driver looping lexical queries should prefer `"persist"` and clear
+    * the cache between batches. */
+  private[operators] def postings(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val tf = df.select(idCol.as("doc"), explode(tokenize(text)).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    df.sparkSession.conf.get("spark.graft.postings.materialization", "local") match {
+      case "local"   => tf.localCheckpoint(false)
+      case "persist" => tf.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case other => throw new IllegalArgumentException(
+        "spark.graft.postings.materialization must be 'local' or 'persist', " +
+          s"got '$other'")
+    }
+  }
 
   /** Unigram language-model surprisal per document — the self-trained
     * baseline of the KenLM-style perplexity quality filter standard in

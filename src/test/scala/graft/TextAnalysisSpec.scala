@@ -231,6 +231,47 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"packSequences must plan exactly one exchange:\n$plan")
   }
 
+  test("postings materialization modes agree (local default vs lineage-backed persist)") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      i -> s"alpha beta gamma tok$i shared words alpha beta").toDF("doc_id", "text")
+    def run(): Seq[(Long, Long, Long, Long)] =
+      TextAnalysis.unigramSurprisal(docs, "doc_id", "text").orderBy("doc")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val viaLocal = run()                       // default mode: localCheckpoint
+    spark.conf.set("spark.graft.postings.materialization", "persist")
+    try {
+      assert(run() === viaLocal, "persist mode diverged from localCheckpoint mode")
+      spark.conf.set("spark.graft.postings.materialization", "bogus")
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("spark.graft.postings.materialization"))
+    } finally {
+      spark.conf.unset("spark.graft.postings.materialization")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("packSequences: string ids shard by key hash, never into shard NULL") {
+    import spark.implicits._
+    // pmod(string_id, n) casts to null — before the type guard, EVERY row
+    // landed in shard NULL and the parallel-shards contract collapsed to
+    // one sequential stream. String keys must spread across real shards.
+    val docs = (0 until 64).map(i => s"doc-$i" -> ("w " * 10).trim)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 32L, nShards = 8)
+      .collect()
+    assert(out.length === 64)
+    val shards = out.map(_.getAs[Long]("shard"))
+    assert(shards.forall(s => s >= 0 && s < 8), "shard out of range / null")
+    assert(shards.distinct.length > 1, "string ids all fell into one shard")
+    // deterministic: same keys → same shards on a re-run
+    val again = TextAnalysis.packSequences(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), capacity = 32L, nShards = 8)
+      .collect().map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("shard")).toMap
+    assert(out.map(r => r.getAs[String]("doc_id") -> r.getAs[Long]("shard")).toMap === again)
+  }
+
   test("gopherRules: each rule fails on exactly its crafted violator") {
     import spark.implicits._
     val good = "the quick brown fox jumps over a lazy dog and then it runs to the hill"
