@@ -165,8 +165,11 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
-    // SimHash near-dup (pigeonhole banding, exact hamming verify). Hash
-    // function is engine-private → no SQL oracle; rows-only + scalatest.
+    // SimHash near-dup (pigeonhole banding, exact hamming verify). The
+    // r8 md5-prefix hash basis makes the signature engine-portable, so
+    // the oracle recomputes signatures + brute-force hamming pairs in
+    // SQL — a full hash-checked row (formerly rows-only under the
+    // engine-private FNV basis).
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", maxHamming = 3)
@@ -175,8 +178,10 @@ object PipelineQueries {
 
     // Winnowing fingerprint near-dup candidates (Schleimer et al. local
     // fingerprinting — guarantees detection of shared runs ≥ w+k-1
-    // tokens). Engine-private hash → rows-only; guarantee asserted in
-    // TextAnalysisSpec.
+    // tokens; that guarantee stays asserted in TextAnalysisSpec). The r8
+    // md5-prefix gram hash makes the fingerprint set SQL-expressible —
+    // the oracle replays k-gram hashing + full-window minima + the
+    // short-doc global-min fallback relationally.
     "q_dedup_winnow" -> ((s, dir) => {
       TextAnalysis.winnowPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", k = 3, w = 4, minShared = 3)
@@ -561,6 +566,67 @@ object PipelineQueries {
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,
+
+    // Recomputes the 60-bit md5-prefix simhash signatures (per-bit
+    // majority vote, ties → 0, over ALL word occurrences of the
+    // normalized text) and takes the BRUTE-FORCE hamming ≤ 3 pairs —
+    // the exact ground truth the banded+verified engine output must
+    // equal (pigeonhole: no false negatives; exact verify: no false
+    // positives). Mirrors TextOps.simhash64 bit-for-bit.
+    "q_dedup_simhash" ->
+      """WITH nw AS (
+           SELECT doc_id AS doc,
+                  string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+           FROM documents),
+         h AS (
+           SELECT doc, CAST(('0x'||substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+           FROM (SELECT doc, unnest(wd) AS tok FROM nw) t),
+         v AS (
+           SELECT doc, b.bit,
+                  sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+           GROUP BY 1, 2),
+         sig AS (
+           SELECT doc,
+                  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                                ELSE 0 END) AS BIGINT) AS sg
+           FROM v GROUP BY 1)
+         SELECT a.doc AS i, b2.doc AS j,
+                CAST(bit_count(xor(a.sg, b2.sg)) AS INT) AS hamming
+         FROM sig a JOIN sig b2 ON a.doc < b2.doc
+         WHERE bit_count(xor(a.sg, b2.sg)) <= 3
+         ORDER BY i, j""",
+
+    // Replays TextOps.winnow relationally: 60-bit md5-prefix hash of
+    // each k-gram (words joined by single spaces), min per FULL window
+    // of w=4 consecutive grams (short docs with ng < w fall back to the
+    // global min gram), distinct fingerprint VALUES per doc, then pairs
+    // sharing >= 3 fingerprints.
+    "q_dedup_winnow" ->
+      """WITH nw AS (
+           SELECT doc_id AS doc,
+                  string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+           FROM documents),
+         g AS (SELECT doc, wd, len(wd) - 2 AS ng FROM nw WHERE len(wd) >= 3),
+         grams AS (
+           SELECT doc, ng, i,
+                  CAST(('0x'||substring(
+                    md5(wd[i]||' '||wd[i+1]||' '||wd[i+2]), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT doc, wd, ng, unnest(range(1, ng + 1)) AS i FROM g) t),
+         wins AS (
+           SELECT doc, ng, i,
+                  min(h) OVER (PARTITION BY doc ORDER BY i
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           FROM grams),
+         fps AS (
+           SELECT DISTINCT doc, m AS fp FROM wins WHERE ng >= 4 AND i <= ng - 3
+           UNION
+           SELECT doc, min(h) AS fp FROM grams WHERE ng < 4 GROUP BY doc)
+         SELECT a.doc AS i, b.doc AS j, count(*) AS shared_fp
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc < b.doc
+         GROUP BY 1, 2
+         HAVING count(*) >= 3
+         ORDER BY i, j""",
 
     "q_dedup_embed" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

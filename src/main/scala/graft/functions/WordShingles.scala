@@ -39,13 +39,20 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** 64-bit SimHash over a word array as ONE native expression: per-bit
-  * majority vote of the word hashes, folded row-locally. Replaces an
-  * explode + 64-column hash aggregate — i.e. removes the token exchange
-  * from the simhash plan entirely; the operator becomes a map-only
-  * projection. The hash family is engine-private (FNV-1a 64), so only
-  * internal consistency matters, and both the signature and banding
-  * paths share this one implementation. */
+/** SimHash over a word array as ONE native expression: per-bit majority
+  * vote of the word hashes, folded row-locally. Replaces an explode +
+  * per-bit hash aggregate — i.e. removes the token exchange from the
+  * simhash plan entirely; the operator becomes a map-only projection.
+  *
+  * Hash basis (r8): the per-word hash is the FIRST 60 BITS OF md5 —
+  * i.e. the value of the digest's first 15 hex chars — so the signature
+  * is reproducible in ANY engine with an md5 builtin (DuckDB:
+  * `CAST('0x'||substring(md5(w),1,15) AS BIGINT)`), which is what turns
+  * the q_dedup_simhash driver row from rows-only into a full
+  * hash-checked oracle. The signature is still a LongType; bits 60-63
+  * are always zero (the 4-chunk pigeonhole banding still covers all
+  * set bits). The former FNV-1a basis was engine-private and therefore
+  * unverifiable outside scalatest. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -203,45 +210,43 @@ object TextOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
-  /** FNV-1a 64 over UTF8String bytes (JVM wrap-around multiply — this is
-    * engine code, not SQL arithmetic, so ANSI overflow rules don't apply). */
-  private def fnv1a64(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0xcbf29ce484222325L
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of an md5 digest as a non-negative long — numerically
+    * equal to parsing the digest's first 15 hex chars, so any engine with
+    * an md5 builtin reproduces the value exactly (DuckDB:
+    * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`). 15 chars, not 16:
+    * the full 64 bits would overflow a SIGNED long parse on both sides. */
+  private def md5First60(d: Array[Byte]): Long = {
+    var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
   }
 
   /** k-gram hashes → sliding-window minima → first-occurrence dedup.
-    * Gram hash = FNV-1a over the k words' bytes with a separator byte
-    * (no intermediate string concatenation). */
+    * Gram hash = first 60 bits of md5 over the k words joined by single
+    * spaces — byte-identical to the SQL oracle's
+    * `md5(w[i]||' '||...||' '||w[i+k-1])`, no intermediate string. */
   def winnow(words: ArrayData, k: Int, w: Int): ArrayData = {
     val L = words.numElements()
     if (L < k) return new GenericArrayData(Array.empty[Any])
+    val md = Md5.get()
     val g = L - k + 1
     val grams = new Array[Long](g)
     var i = 0
     while (i < g) {
-      var h = 0xcbf29ce484222325L
       var j = 0
       while (j < k) {
         val word = words.getUTF8String(i + j)
-        if (word != null) {
-          val bytes = word.getBytes
-          var b = 0
-          while (b < bytes.length) {
-            h ^= (bytes(b) & 0xffL); h *= 0x100000001b3L; b += 1
-          }
-        }
-        h ^= 0x20L; h *= 0x100000001b3L   // separator
+        if (word != null) md.update(word.getBytes)
+        if (j < k - 1) md.update(0x20.toByte)   // single-space separator
         j += 1
       }
-      grams(i) = h
+      grams(i) = md5First60(md.digest())        // digest() resets the md
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -261,17 +266,21 @@ object TextOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
-  /** Per-bit majority vote of word hashes; empty input → 0. */
+  /** Per-bit majority vote (ties → 0) over the words' 60-bit md5-prefix
+    * hashes; empty input → 0. Bits 60-63 of the result are always zero —
+    * see [[SimHash64]]'s hash-basis note. */
   def simhash64(words: ArrayData): Long = {
     val L = words.numElements()
-    val votes = new Array[Int](64)
+    val md = Md5.get()
+    val votes = new Array[Int](60)
     var i = 0
     while (i < L) {
       val w = words.getUTF8String(i)
       if (w != null) {
-        val h = fnv1a64(w)
+        md.update(w.getBytes)
+        val h = md5First60(md.digest())
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -280,7 +289,7 @@ object TextOps {
     }
     var sig = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
