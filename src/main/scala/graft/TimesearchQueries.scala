@@ -403,8 +403,10 @@ object TimesearchQueries {
 
     // E3/J5/O9/F3/F8-F10/S8 — distributed thread render: cogroup per
     // submission, in-task tree assembly, markdown + escapes, score-desc
-    // siblings. HTML is not SQL-expressible → rows-only driver check; the
-    // structure is asserted in RenderSpec.
+    // siblings. HTML is not SQL-expressible, so the oracle hash-compares
+    // against the COMMITTED golden parquet (frozen by graft.RenderGolden,
+    // regenerated only as an explicit reviewed act); construct-level
+    // semantics are asserted in RenderSpec.
     "q_render_html" -> ((s, dir) => {
       import s.implicits._
       val subs = Tables.load(s, dir, "orders")
@@ -551,6 +553,16 @@ object TimesearchQueries {
 
   private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
+
+    // Golden-file oracle: rendered HTML has no relational recomputation,
+    // so the ground truth is the committed (idstr, html_len, html_md5)
+    // parquet written by graft.RenderGolden — the driver's hash gate then
+    // catches ANY rendering drift. RenderSpec carries the semantic
+    // (construct-level) ground truth that justifies the golden.
+    "q_render_html" ->
+      """SELECT idstr, html_len, html_md5
+         FROM read_parquet('/root/repo/src/test/resources/golden/render___INGEST_SF__.parquet')
+         ORDER BY idstr""",
 
     // the bucketed layout holds the same rows — the oracle joins the same
     // derivations straight from the events table
