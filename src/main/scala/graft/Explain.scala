@@ -19,23 +19,10 @@ object Explain {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect()
     println(df.queryExecution.explainString(ExplainMode.fromString(mode)))
-    // AdaptiveSparkPlan's tree string appends the pre-AQE "Initial Plan"
-    // section — counting it would double every node: keep the final only
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    // ReusedExchange is a leaf that PRINTS its wrapped exchange in its
-    // own line ("ReusedExchange [...], Exchange hashpartitioning(...)"),
-    // so exchange patterns must not count lines that are reuses
-    val ownLines = plan.linesIterator
-      .filterNot(_.contains("ReusedExchange")).mkString("\n")
-    def n(p: String) = p.r.findAllIn(ownLines).length
-    def nAll(p: String) = p.r.findAllIn(plan).length
-    // codegen spans appear as "*(id)" operator prefixes in tree strings
-    val codegenSpans = """\*\((\d+)\)""".r.findAllMatchIn(plan)
-      .map(_.group(1)).toSet.size
-    println(s"[explain] exchanges=${n("Exchange hashpartitioning")} " +
-      s"reused=${nAll("ReusedExchange")} broadcasts=${n("BroadcastExchange")} " +
-      s"scans=${n("Scan parquet")} wholestage=$codegenSpans")
+    // counter logic lives in PlanAudit (shared with the plan-shape specs)
+    val c = PlanAudit.counters(df)
+    println(s"[explain] exchanges=${c.exchanges} reused=${c.reused} " +
+      s"broadcasts=${c.broadcasts} scans=${c.scans} wholestage=${c.wholestage}")
     spark.stop()
   }
 }
