@@ -211,6 +211,25 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // End-to-end EMBEDDING pipeline composition — the q_pipeline analog
+    // for the vector modality: tuned+verified SRP-LSH near-dup pairs →
+    // connected-components clustering → keep-one-canonical → hash split,
+    // one flow. The oracle replays the same composition over the EXACT
+    // cosine pairs (quadratic baseline) with WITH RECURSIVE min-label
+    // components: identical survivors prove the dedup operators compose
+    // across modalities (srpPairsVerified guarantees the pair stage
+    // equals the baseline, so the whole composition must too).
+    "q_pipeline_embed" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (bands, probeBits) = Similarity.srpTune(4500L, targetRecall = 0.9999)
+      val pairs = Similarity.srpPairsVerified(emb, "vec_id", "embedding",
+        thresholdBp = 4500L, bands = bands, probeBits = probeBits)
+      val clusters = Dedup.clusters(emb, "vec_id", pairs)
+      val kept = clusters.filter(col("doc") === col("cluster"))
+        .select(col("doc").as("vec_id"))
+      TextAnalysis.hashSplit(kept, "vec_id").orderBy("vec_id")
+    }),
+
     // Brute-force exact top-k cosine neighbors for 8 query vectors.
     "q_ann_topk" -> ((s, dir) => {
       Similarity.bruteTopK(Tables.load(s, dir, "embeddings"),
@@ -669,6 +688,30 @@ object PipelineQueries {
     "q_dedup_embed_lsh" -> cosinePairsOracle,
 
     "q_ann_topk" -> bruteTopKOracle,
+
+    // The embedding composition's ground truth: exact cosine pairs →
+    // recursive min-label connected components → keep the component
+    // minimum → the q_split hash-split rule. Every vec_id is a node
+    // (singletons survive as their own canonical).
+    "q_pipeline_embed" ->
+      """WITH RECURSIVE n AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS u, b.vec_id AS w
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 4500),
+         sym AS (SELECT u, w FROM p UNION ALL SELECT w, u FROM p),
+         r AS (
+           SELECT vec_id AS d, vec_id AS lbl FROM n
+           UNION
+           SELECT sym.w, r.lbl FROM sym JOIN r ON r.d = sym.u),
+         c AS (SELECT d, min(lbl) AS cluster FROM r GROUP BY d)
+         SELECT d AS vec_id,
+                CASE WHEN substr(md5(CAST(d AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(d AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM c WHERE d = cluster
+         ORDER BY vec_id""",
 
     // ivfTopKVerified certifies IVF == brute in-run → same exact oracle
     "q_ann_ivf" -> bruteTopKOracle,
