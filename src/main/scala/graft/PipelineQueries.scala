@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
+import graft.streaming.StreamIndex
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over documents/embeddings.
@@ -58,6 +59,31 @@ object PipelineQueries {
     // embedding ANN queries, on the shared tokenization contract.
     "q_bm25" -> ((s, dir) => {
       Search.bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          queries = bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // BM25 served from the INCREMENTALLY-MAINTAINED postings index: the
+    // corpus streams in as 4 micro-batches (file source, one file per
+    // trigger) through StreamIndex's foreachBatch merge into the
+    // key-bucketed versioned table, and the query scores from that
+    // table's postings view. Must equal batch q_bm25 exactly — same
+    // oracle — proving incremental index maintenance converges to the
+    // batch-built index regardless of arrival batching.
+    "q_bm25_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_index")
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = StreamIndex.table(s, tmp.resolve("tbl").toString, nBuckets = 16)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamIndex.indexSink(stream, "doc_id", "text", table,
+        tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      Search.bm25TopKFromPostings(
+          StreamIndex.postings(table)
+            .select(col("doc").cast("long").as("doc"), col("tok"), col("tf")),
           queries = bm25Queries, k = 10)
         .orderBy("query_id", "rank")
     }),
@@ -368,6 +394,43 @@ object PipelineQueries {
        WHERE floor(c * 10000.0 / (x.n + y.n - c)) >= 8000
        ORDER BY i, j"""
 
+  /** BM25 ground truth over the full documents corpus — shared by the
+    * batch path (q_bm25) and the incrementally-indexed path
+    * (q_bm25_incremental), which must serve identical rows. */
+  private val bm25Oracle =
+    """WITH toks AS (
+         SELECT doc_id AS doc,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+         FROM documents),
+       tf AS (SELECT doc, tok, count(*) AS tf
+              FROM toks WHERE tok <> '' GROUP BY 1, 2),
+       dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+       q(query_id, tok) AS (VALUES
+         (CAST(0 AS BIGINT), 'spark'), (0, 'join'), (0, 'merge'),
+         (1, 'hash'), (1, 'table'), (1, 'scan'),
+         (2, 'stream'), (2, 'window'), (2, 'batch'), (2, 'zebra')),
+       dfq AS (SELECT tok, count(*) AS df FROM tf
+               WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
+       scored AS (
+         SELECT q.query_id, tf.doc,
+                CAST(sum(
+                  CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 10000) AS BIGINT)
+                  * CAST(floor((CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000) AS BIGINT)
+                ) AS BIGINT) AS score_bp
+         FROM q
+         JOIN tf  ON tf.tok = q.tok
+         JOIN dfq ON dfq.tok = q.tok
+         JOIN dl  ON dl.doc = tf.doc
+         CROSS JOIN stats
+         GROUP BY 1, 2)
+       SELECT query_id, CAST(rank AS INT) AS rank, doc AS doc_id, score_bp
+       FROM (SELECT query_id, doc, score_bp,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_bp DESC, doc ASC) AS rank
+             FROM scored)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** Exact cosine-pair ground truth at threshold 4500 bp — shared by the
     * quadratic baseline (q_dedup_embed) and the verified LSH scale path
     * (q_dedup_embed_lsh), which must produce the identical pair set. */
@@ -440,39 +503,11 @@ object PipelineQueries {
     // floors multiplied as integers) mirror Search.bm25TopK exactly — the
     // per-doc score is an integer sum, so aggregation order can't flip a
     // rank in either engine.
-    "q_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id AS doc,
-                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-           FROM documents),
-         tf AS (SELECT doc, tok, count(*) AS tf
-                FROM toks WHERE tok <> '' GROUP BY 1, 2),
-         dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
-         q(query_id, tok) AS (VALUES
-           (CAST(0 AS BIGINT), 'spark'), (0, 'join'), (0, 'merge'),
-           (1, 'hash'), (1, 'table'), (1, 'scan'),
-           (2, 'stream'), (2, 'window'), (2, 'batch'), (2, 'zebra')),
-         dfq AS (SELECT tok, count(*) AS df FROM tf
-                 WHERE tok IN (SELECT tok FROM q) GROUP BY tok),
-         scored AS (
-           SELECT q.query_id, tf.doc,
-                  CAST(sum(
-                    CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 10000) AS BIGINT)
-                    * CAST(floor((CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000) AS BIGINT)
-                  ) AS BIGINT) AS score_bp
-           FROM q
-           JOIN tf  ON tf.tok = q.tok
-           JOIN dfq ON dfq.tok = q.tok
-           JOIN dl  ON dl.doc = tf.doc
-           CROSS JOIN stats
-           GROUP BY 1, 2)
-         SELECT query_id, CAST(rank AS INT) AS rank, doc AS doc_id, score_bp
-         FROM (SELECT query_id, doc, score_bp,
-                      row_number() OVER (PARTITION BY query_id
-                                         ORDER BY score_bp DESC, doc ASC) AS rank
-               FROM scored)
-         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_bm25" -> bm25Oracle,
+
+    // the incrementally-built index must converge to the batch-built one,
+    // so the streamed serving path shares the batch oracle verbatim
+    "q_bm25_incremental" -> bm25Oracle,
 
     // Chains the dedup-keep, surprisal, split, and pack oracle fragments
     // over the same staged semantics (LM counts post-dedup).

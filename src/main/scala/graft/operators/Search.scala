@@ -50,9 +50,24 @@ object Search {
     * @return (query_id, rank, doc_id, score_bp), rank 1-based by
     *         (score_bp desc, doc_id asc), at most k rows per query */
   def bm25TopK(docs: DataFrame, id: String, text: String,
+      queries: Seq[(Long, String)], k: Int = 10): DataFrame =
+    // shared checkpoint-materialized postings pass — see
+    // TextAnalysis.postings for the tokenization contract and the
+    // build-the-index-once rationale (three consumers here: dl/stats,
+    // dfq, scoring; ReuseExchange misses two of them)
+    bm25TopKFromPostings(
+      TextAnalysis.postings(docs, col(id).cast("long"), col(text)), queries, k)
+
+  /** [[bm25TopK]]'s scoring core over a PREBUILT (doc, tok, tf) postings
+    * frame — the serving entry point for indexes maintained elsewhere
+    * (e.g. the streaming-upserted [[graft.streaming.StreamIndex]] table,
+    * already materialized storage that needs no checkpoint pass). The
+    * scoring plan and the determinism contract are exactly [[bm25TopK]]'s;
+    * `doc` must be long (the corpus form casts its id column). */
+  def bm25TopKFromPostings(tf: DataFrame,
       queries: Seq[(Long, String)], k: Int = 10): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = docs.sparkSession
+    val spark = tf.sparkSession
     import spark.implicits._
 
     // term-SET semantics must hold across REPEATED query_id entries too
@@ -62,11 +77,6 @@ object Search {
       qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(qid -> _)
     }.distinct.toDF("query_id", "tok")
 
-    // shared checkpoint-materialized postings pass — see
-    // TextAnalysis.postings for the tokenization contract and the
-    // build-the-index-once rationale (three consumers here: dl/stats,
-    // dfq, scoring; ReuseExchange misses two of them)
-    val tf = TextAnalysis.postings(docs, col(id).cast("long"), col(text))
     // document length = token count; derived from tf so the (doc, tok)
     // exchange is planned once and reused for both branches
     val dl = tf.groupBy("doc").agg(sum("tf").as("dl"))

@@ -422,9 +422,7 @@ object TextAnalysis {
     * driver looping lexical queries should prefer `"persist"` and clear
     * the cache between batches. */
   private[operators] def postings(df: DataFrame, idCol: Column, text: Column): DataFrame = {
-    val tf = df.select(idCol.as("doc"), explode(tokenize(text)).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, idCol, text)
     df.sparkSession.conf.get("spark.graft.postings.materialization", "local") match {
       case "local"   => tf.localCheckpoint(false)
       case "persist" => tf.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -433,6 +431,15 @@ object TextAnalysis {
           s"got '$other'")
     }
   }
+
+  /** The raw (doc, tok, tf) term-frequency rows over [[tokenize]], with
+    * NO materialization — the single-consumer form of [[postings]], and
+    * the per-micro-batch unit of the incrementally-maintained index
+    * ([[graft.streaming.StreamIndex]] merges these per batch). */
+  def termFrequencies(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(idCol.as("doc"), explode(tokenize(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc", "tok").agg(count(lit(1)).as("tf"))
 
   /** Unigram language-model surprisal per document — the self-trained
     * baseline of the KenLM-style perplexity quality filter standard in

@@ -19,6 +19,9 @@ case class C(idint: Long, idstr: String, created: Long, author: String,
 // doc-shaped rows for the StreamDedup tests
 case class D(ts: java.sql.Timestamp, body: String)
 
+// (id, text) rows for the StreamIndex tests
+case class IxDoc(doc_id: Long, text: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -64,6 +67,41 @@ class StreamingSpec extends AnyFunSuite {
       new Livestream.UpsertTable(spark, tmp("nokey"), Merge.comments, keyless)
     }
     assert(e.getMessage.contains(Merge.KeyCol))
+  }
+
+  test("StreamIndex: incremental postings equal batch-built, replace-by-doc across micro-batches") {
+    import graft.streaming.StreamIndex
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IxDoc]
+    val table = StreamIndex.table(spark, tmp("idx"), nBuckets = 8)
+    val q = StreamIndex.indexSink(mem.toDF(), "doc_id", "text", table,
+      tmp("idxckp"), Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(IxDoc(1, "alpha beta alpha"), IxDoc(2, "gamma"))
+      q.processAllAvailable()
+      mem.addData(IxDoc(3, "beta beta delta"))
+      q.processAllAvailable()
+      // doc 1 UPDATED (drops 'beta' — its old posting must VANISH, the
+      // case an append-only index gets wrong); doc 2 updated to
+      // token-less (empty map must still overwrite its old postings)
+      mem.addData(IxDoc(1, "alpha zeta"), IxDoc(2, "!!!"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamIndex.postings(table)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // ground truth: batch term frequencies over each doc's LATEST version
+    val latest = Seq(1L -> "alpha zeta", 2L -> "!!!", 3L -> "beta beta delta")
+      .toDF("doc_id", "text")
+    val want = TextAnalysis.termFrequencies(latest,
+        col("doc_id").cast("string"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(!got.exists(p => p._1 == "1" && p._2 == "beta"),
+      "stale posting of a replaced doc survived")
+    assert(!got.exists(_._1 == "2"), "token-less update left stale postings")
+    // three non-empty micro-batches → three published versions (0, 1, 2)
+    assert(table.currentVersion === 2L)
   }
 
   test("streaming exact dedup: normalized re-arrivals within the horizon are dropped, first arrival wins") {
