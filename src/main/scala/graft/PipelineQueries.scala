@@ -24,6 +24,23 @@ object PipelineQueries {
       .withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** embeddings ∪ deterministic near-duplicate PLANTS (every 20th vector
+    * re-inserted under a shifted id with a mild per-index perturbation;
+    * landed cosines 0.948-0.98 against their originals, no cross pair
+    * reaches 0.9) — the near-dup corpus for the LSH scale-path queries.
+    * All double math, expression shapes mirrored EXACTLY in the oracle's
+    * `list_transform` (same association order → identical IEEE doubles;
+    * DuckDB's lambda index is 1-based, hence its `(i-1)`). */
+  private def embWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + (lit(0.4) * ((i % 5).cast("double") - lit(2.0))) / lit(2.0)))
+          .as("embedding")))
+  }
+
   /** Fixed BM25 query set for q_bm25, mirrored literally in the oracle's
     * VALUES — corpus-vocabulary terms plus one absent term ('zebra') to
     * pin the dropped-term contract (a query term no document contains
@@ -221,35 +238,39 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
-    // SRP-LSH embedding near-dup — the scale path for q_dedup_embed's
-    // semantics: banded random-hyperplane candidates + exact cosine
-    // verify. Banding is AUTO-TUNED to the threshold with an analytic
-    // recall target high enough (0.9999 at the threshold itself; higher
-    // above it) that the banding finds EVERY exact pair on this corpus;
-    // the srpPairsVerified audit recomputes the exact baseline in-run
-    // and throws on any miss, so the row either hash-matches the exact
-    // relational oracle or fails loudly — never silently drifts.
+    // SRP-LSH embedding near-dup in its PROPER regime: the 0.9 near-dup
+    // threshold over the planted-duplicate corpus, where tuned banding is
+    // SELECTIVE (wide 8-bit bands + Hamming-1 probes: ~20% noise pass vs
+    // the ~100% a full-recall config needs at moderate thresholds — LSH
+    // at cosine 0.45 is mathematically unselective, the r6-documented
+    // trade, and the exact operator q_dedup_embed owns that regime). The
+    // srpPairsVerified audit recomputes the exact baseline in-run and
+    // throws on any banding miss, so the row either hash-matches the
+    // exact relational oracle over the same constructed corpus or fails
+    // loudly — never silently drifts.
     "q_dedup_embed_lsh" -> ((s, dir) => {
-      val (bands, probeBits) = Similarity.srpTune(4500L, targetRecall = 0.9999)
-      Similarity.srpPairsVerified(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", thresholdBp = 4500L,
+      val (bands, probeBits) = Similarity.srpTune(9000L, targetRecall = 0.999)
+      Similarity.srpPairsVerified(embWithDups(s, dir),
+          "vec_id", "embedding", thresholdBp = 9000L,
           bands = bands, probeBits = probeBits)
         .orderBy("i", "j")
     }),
 
     // End-to-end EMBEDDING pipeline composition — the q_pipeline analog
-    // for the vector modality: tuned+verified SRP-LSH near-dup pairs →
-    // connected-components clustering → keep-one-canonical → hash split,
-    // one flow. The oracle replays the same composition over the EXACT
-    // cosine pairs (quadratic baseline) with WITH RECURSIVE min-label
+    // for the vector modality: tuned+verified SRP-LSH near-dup pairs over
+    // the planted-duplicate corpus → connected-components clustering →
+    // keep-one-canonical → hash split, one flow (the plants collapse back
+    // onto their originals; 0.9-regime banding, same config as
+    // q_dedup_embed_lsh). The oracle replays the identical composition
+    // over the EXACT cosine pairs with WITH RECURSIVE min-label
     // components: identical survivors prove the dedup operators compose
     // across modalities (srpPairsVerified guarantees the pair stage
     // equals the baseline, so the whole composition must too).
     "q_pipeline_embed" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val (bands, probeBits) = Similarity.srpTune(4500L, targetRecall = 0.9999)
+      val emb = embWithDups(s, dir)
+      val (bands, probeBits) = Similarity.srpTune(9000L, targetRecall = 0.999)
       val pairs = Similarity.srpPairsVerified(emb, "vec_id", "embedding",
-        thresholdBp = 4500L, bands = bands, probeBits = probeBits)
+        thresholdBp = 9000L, bands = bands, probeBits = probeBits)
       val clusters = Dedup.clusters(emb, "vec_id", pairs)
       val kept = clusters.filter(col("doc") === col("cluster"))
         .select(col("doc").as("vec_id"))
@@ -431,15 +452,37 @@ object PipelineQueries {
              FROM scored)
        WHERE rank <= 10 ORDER BY query_id, rank"""
 
-  /** Exact cosine-pair ground truth at threshold 4500 bp — shared by the
-    * quadratic baseline (q_dedup_embed) and the verified LSH scale path
-    * (q_dedup_embed_lsh), which must produce the identical pair set. */
+  /** Exact cosine-pair ground truth at threshold 4500 bp over the raw
+    * embeddings — the quadratic baseline (q_dedup_embed). */
   private val cosinePairsOracle =
     """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
        SELECT a.vec_id AS i, b.vec_id AS j,
               CAST(floor(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_bp
        FROM n a JOIN n b ON a.vec_id < b.vec_id
        WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 4500
+       ORDER BY i, j"""
+
+  /** The planted-duplicate corpus (embWithDups) as SQL CTEs — the
+    * perturbation expression mirrors the Spark `transform` shape
+    * association-order-exactly (DuckDB lambda index is 1-based). */
+  private val embWithDupsCte =
+    """WITH RECURSIVE base AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       pert AS (
+         SELECT vec_id + 1000000 AS vec_id,
+                list_transform(v, (x, i) ->
+                  x * (1.0 + (0.4 * (CAST(((i-1)%5) AS DOUBLE) - 2.0)) / 2.0)) AS v
+         FROM base WHERE vec_id % 20 = 0),
+       n AS (SELECT * FROM base UNION ALL SELECT * FROM pert)"""
+
+  /** Exact near-dup pairs at 9000 bp over the planted corpus — the
+    * verified LSH scale path (q_dedup_embed_lsh) must equal this set. */
+  private val nearDupPairsOracle = embWithDupsCte +
+    """
+       SELECT a.vec_id AS i, b.vec_id AS j,
+              CAST(floor(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_bp
+       FROM n a JOIN n b ON a.vec_id < b.vec_id
+       WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 9000
        ORDER BY i, j"""
 
   /** Exact brute-force top-k ground truth — shared by q_ann_topk and the
@@ -718,23 +761,23 @@ object PipelineQueries {
 
     "q_dedup_embed" -> cosinePairsOracle,
 
-    // the VERIFIED LSH path must equal the exact baseline (srpPairsVerified
-    // throws on any banding miss), so it shares the quadratic oracle
-    "q_dedup_embed_lsh" -> cosinePairsOracle,
+    // the VERIFIED LSH path must equal the exact baseline over the same
+    // planted corpus (srpPairsVerified throws on any banding miss)
+    "q_dedup_embed_lsh" -> nearDupPairsOracle,
 
     "q_ann_topk" -> bruteTopKOracle,
 
-    // The embedding composition's ground truth: exact cosine pairs →
-    // recursive min-label connected components → keep the component
-    // minimum → the q_split hash-split rule. Every vec_id is a node
-    // (singletons survive as their own canonical).
-    "q_pipeline_embed" ->
-      """WITH RECURSIVE n AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    // The embedding composition's ground truth: exact near-dup pairs over
+    // the planted corpus → recursive min-label connected components →
+    // keep the component minimum → the q_split hash-split rule. Every
+    // vec_id is a node (singletons survive as their own canonical; the
+    // plants collapse onto their originals).
+    "q_pipeline_embed" -> (embWithDupsCte +
+      """,
          p AS (
            SELECT a.vec_id AS u, b.vec_id AS w
            FROM n a JOIN n b ON a.vec_id < b.vec_id
-           WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 4500),
+           WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 9000),
          sym AS (SELECT u, w FROM p UNION ALL SELECT w, u FROM p),
          r AS (
            SELECT vec_id AS d, vec_id AS lbl FROM n
@@ -746,7 +789,7 @@ object PipelineQueries {
                      WHEN substr(md5(CAST(d AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
                      ELSE 'test' END AS split
          FROM c WHERE d = cluster
-         ORDER BY vec_id""",
+         ORDER BY vec_id"""),
 
     // ivfTopKVerified certifies IVF == brute in-run → same exact oracle
     "q_ann_ivf" -> bruteTopKOracle,

@@ -175,7 +175,12 @@ object Similarity {
   def srpPairsVerified(emb: DataFrame, id: String, vec: String,
       thresholdBp: Long, bits: Int = 64, bands: Int = 16,
       bucketCap: Long = 1000000L, probeBits: Int = 0): DataFrame = {
+    // the banding pass is consumed at least twice (the audit + the
+    // caller's own action; a downstream clusters() adds more) — pin it
+    // so candidate generation runs ONCE. Same session-lifetime storage
+    // note as TextAnalysis.postings; audit mode, not the serving path.
     val lsh = srpPairs(emb, id, vec, thresholdBp, bits, bands, bucketCap, probeBits)
+      .localCheckpoint(false)
     val exact = cosinePairs(emb, id, vec, thresholdBp)
     val missed = exact.select("i", "j").exceptAll(lsh.select("i", "j")).count()
     if (missed > 0) throw new IllegalStateException(
@@ -246,9 +251,12 @@ object Similarity {
   def ivfTopKVerified(emb: DataFrame, id: String, vec: String,
       queryIds: Seq[Long], k: Int, nlist: Int = 16, nprobe: Int = 4,
       kmeansIters: Int = 0, persistCorpus: Boolean = true): DataFrame = {
+    // both sides feed two exceptAll directions plus the caller's action —
+    // pin them so the IVF plan (incl. its codebook collect) and the brute
+    // scan each run once (audit-mode pinning, as in srpPairsVerified)
     val ivf = ivfTopK(emb, id, vec, queryIds, k, nlist, nprobe, kmeansIters,
-      persistCorpus)
-    val brute = bruteTopK(emb, id, vec, queryIds, k)
+      persistCorpus).localCheckpoint(false)
+    val brute = bruteTopK(emb, id, vec, queryIds, k).localCheckpoint(false)
     val diverged = ivf.exceptAll(brute).count() + brute.exceptAll(ivf).count()
     if (diverged > 0) throw new IllegalStateException(
       s"ivfTopKVerified: IVF (nlist=$nlist, nprobe=$nprobe) diverged from " +
