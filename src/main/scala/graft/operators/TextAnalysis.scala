@@ -460,8 +460,14 @@ object TextAnalysis {
     * distinct (doc, tok) pairs or |vocab|, never corpus bytes; the 1-row
     * total broadcasts. Token-less docs are absent (nothing to score).
     * Output: (doc, n_tokens, total_surprisal_bp, mean_surprisal_bp). */
-  def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
-    val tf = postings(df, col(id), col(text))
+  def unigramSurprisal(df: DataFrame, id: String, text: String): DataFrame =
+    unigramSurprisalFromPostings(postings(df, col(id), col(text)))
+
+  /** [[unigramSurprisal]]'s scoring core over a PREBUILT (doc, tok, tf)
+    * postings frame — the serving entry point for maintained indexes
+    * ([[graft.streaming.StreamIndex.postings]]), mirroring
+    * [[Search.bm25TopKFromPostings]]. */
+  def unigramSurprisalFromPostings(tf: DataFrame): DataFrame = {
     val cnt = tf.groupBy("tok").agg(sum("tf").as("cnt"))
     val tot = cnt.agg(sum("cnt").as("t"))
     // expression shape mirrored literally in the DuckDB oracle
@@ -489,10 +495,15 @@ object TextAnalysis {
     * df counts, the N scalar, and the scoring join); the top-k window
     * partitions by doc — millions of small partitions, never a global
     * sort. Output: (doc, rank, token, score_bp). */
-  def keywords(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+  def keywords(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame =
+    keywordsFromPostings(postings(df, col(id), col(text)), k)
+
+  /** [[keywords]]' scoring core over a PREBUILT (doc, tok, tf) postings
+    * frame — serves tf·idf keywords straight from a maintained index
+    * (same contract as [[unigramSurprisalFromPostings]]). */
+  def keywordsFromPostings(tf: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1, got $k")
-    val tf = postings(df, col(id), col(text))
     val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val ndocs = tf.agg(count_distinct(col("doc")).as("n"))
     // mirrored literally in the DuckDB oracle

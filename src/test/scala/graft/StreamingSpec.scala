@@ -102,6 +102,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == "2"), "token-less update left stale postings")
     // three non-empty micro-batches → three published versions (0, 1, 2)
     assert(table.currentVersion === 2L)
+    // the whole lexical family serves from the maintained index: keywords
+    // and LM surprisal from the index postings must equal their batch
+    // forms over the docs' latest versions (same contract as
+    // q_bm25_incremental's oracle, asserted here for the other two)
+    val served = StreamIndex.postings(table)
+      .select(col("doc").cast("long").as("doc"), col("tok"), col("tf"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextAnalysis.keywordsFromPostings(served, k = 2)) ===
+      rows(TextAnalysis.keywords(latest, "doc_id", "text", k = 2)))
+    assert(rows(TextAnalysis.unigramSurprisalFromPostings(served)) ===
+      rows(TextAnalysis.unigramSurprisal(latest, "doc_id", "text")))
+    // inherited table machinery works on the index: time travel reads the
+    // post-batch-0 state (doc 1's ORIGINAL postings, doc 3 not yet seen)
+    val v0 = table.at(0)
+      .select(col(graft.operators.Merge.KeyCol).as("doc"),
+        explode(col("toks")).as(Seq("tok", "tf")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(v0.contains(("1", "beta")) && !v0.exists(_._1 == "3"))
   }
 
   test("streaming exact dedup: normalized re-arrivals within the horizon are dropped, first arrival wins") {
