@@ -193,6 +193,16 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Exact duplicated-SPAN detection (Lee et al. 2022 substring dedup)
+    // over the planted-duplicate corpus: planted full-doc copies yield
+    // whole-document spans, natural verbatim repetition yields partial
+    // spans — both recomputed exactly by the oracle.
+    "q_dedup_spans" -> ((s, dir) => {
+      TextAnalysis.duplicatedSpans(corpusWithDups(s, dir), "doc_id", "text",
+          L = 8)
+        .orderBy("doc", "span_start")
+    }),
+
     // n-gram Jaccard near-dup: inverted-index block join, exact.
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
@@ -697,6 +707,36 @@ object PipelineQueries {
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,
+
+    // Replays duplicatedSpans relationally: positional 60-bit md5-prefix
+    // 8-gram hashes, corpus-wide count >= 2, maximal runs merged with the
+    // pos - row_number device (DuckDB's unnest index is 1-based → pos =
+    // i - 1, matching Spark's 0-based posexplode).
+    "q_dedup_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         nw AS (
+           SELECT doc_id AS doc,
+                  string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+           FROM corpus),
+         g AS (
+           SELECT doc, i - 1 AS pos,
+                  CAST(('0x'||substring(
+                    md5(array_to_string(wd[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT doc, wd, unnest(range(1, len(wd) - 8 + 2)) AS i
+                 FROM nw WHERE len(wd) >= 8) t),
+         dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         m AS (SELECT doc, pos FROM g JOIN dup USING (h)),
+         runs AS (
+           SELECT doc, pos,
+                  pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
+           FROM m)
+         SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+         FROM runs GROUP BY doc, grp
+         ORDER BY doc, span_start""",
 
     // Recomputes the 60-bit md5-prefix simhash signatures (per-bit
     // majority vote, ties → 0, over ALL word occurrences of the

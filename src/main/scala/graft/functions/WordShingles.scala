@@ -99,6 +99,35 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** POSITIONAL k-gram hashes as ONE native expression: the 60-bit
+  * md5-prefix hash of every k consecutive words (joined by single
+  * spaces), in position order, NO dedup — the per-position unit of
+  * duplicated-span detection ([[graft.operators.TextAnalysis
+  * .duplicatedSpans]]). Same hash contract as [[WinnowFingerprints]]
+  * (winnowing is these hashes + window-min selection), so both are
+  * reproducible by the SQL oracle's `md5(w[i]||' '||...)` prefix parse.
+  * Docs with fewer than k words yield the empty array. */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"GramHashes requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.gramHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.gramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 /** MinHash LSH band buckets as ONE native expression: per document, the
   * `numHashes` signature minima AND the `bands` band-bucket hashes in a
   * single pass over the shingle array — `array<long>` of length `bands`
@@ -227,13 +256,13 @@ object TextOps {
     h >>> 4
   }
 
-  /** k-gram hashes → sliding-window minima → first-occurrence dedup.
-    * Gram hash = first 60 bits of md5 over the k words joined by single
-    * spaces — byte-identical to the SQL oracle's
-    * `md5(w[i]||' '||...||' '||w[i+k-1])`, no intermediate string. */
-  def winnow(words: ArrayData, k: Int, w: Int): ArrayData = {
+  /** Position-ordered 60-bit md5-prefix k-gram hashes (words joined by
+    * single spaces) — byte-identical to the SQL oracle's
+    * `md5(w[i]||' '||...||' '||w[i+k-1])` prefix parse, no intermediate
+    * string. Empty array for docs under k words. */
+  private def gramHashArray(words: ArrayData, k: Int): Array[Long] = {
     val L = words.numElements()
-    if (L < k) return new GenericArrayData(Array.empty[Any])
+    if (L < k) return Array.emptyLongArray
     val md = Md5.get()
     val g = L - k + 1
     val grams = new Array[Long](g)
@@ -249,6 +278,19 @@ object TextOps {
       grams(i) = md5First60(md.digest())        // digest() resets the md
       i += 1
     }
+    grams
+  }
+
+  /** See [[GramHashes]]. */
+  def gramHashes(words: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(gramHashArray(words, k))
+
+  /** k-gram hashes → sliding-window minima → first-occurrence dedup.
+    * Gram hash contract = [[gramHashes]]. */
+  def winnow(words: ArrayData, k: Int, w: Int): ArrayData = {
+    val grams = gramHashArray(words, k)
+    val g = grams.length
+    if (g == 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (g < w) {
       var m = grams(0); var x = 1

@@ -72,6 +72,11 @@ package object functions {
   def simHash64(words: Column): Column =
     column(SimHash64(expression(words)))
 
+  /** Position-ordered k-gram hashes (no dedup), one codegen'd pass — the
+    * per-position unit of duplicated-span detection. */
+  def gramHashes(words: Column, k: Int): Column =
+    column(GramHashes(expression(words), k))
+
   /** MinHash-LSH band buckets (length-`bands` array<long>) over a shingle
     * array, one codegen'd pass — signature and banding fused. */
   def minhashBands(shingles: Column, numHashes: Int, bands: Int): Column =

@@ -167,6 +167,52 @@ object TextAnalysis {
       .groupBy("i", "j").agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
 
+  /** EXACT duplicated-SPAN detection — the Lee et al. 2022 "exact
+    * substring deduplication" operator (Deduplicating Training Data Makes
+    * Language Models Better; their suffix-array tool dedups verbatim
+    * ≥50-token substrings), re-expressed relationally: a position belongs
+    * to a duplicated span iff its length-`L` token gram occurs at least
+    * `minCount` times corpus-wide; maximal runs of such positions merge
+    * into spans of ≥ L tokens. This is the standard blocked
+    * over-approximation of the suffix-array semantics — every truly
+    * duplicated substring of ≥ L tokens is covered (all its L-grams
+    * repeat), and a span may additionally stitch adjacent repeats that
+    * originate from different sources; downstream policy (cut / drop /
+    * audit) consumes the spans either way.
+    *
+    * Scale shape: gram hashes are ONE codegen'd pass per row
+    * ([[graft.functions.GramHashes]], 60-bit md5 prefix — SQL-oracle
+    * portable like the winnowing family); the corpus-wide count is a
+    * map-side-combined aggregation bounded by |distinct grams|; the
+    * mark join keys on the 8-byte hash; span merge is a per-doc window
+    * (the classic pos − row_number run-grouping device). Nothing is
+    * quadratic and no stage carries document text. The gram pass feeds
+    * two consumers (count + mark) and is deliberately RECOMPUTED, not
+    * materialized: it is map-only with column pruning (the count branch
+    * reads only `h`), while materializing would stage |corpus tokens|
+    * rows — the opposite trade from the postings checkpoint, whose
+    * consumers sit behind exchanges.
+    *
+    * Output: (doc, span_start, span_len) — token offsets, 0-based. */
+  def duplicatedSpans(df: DataFrame, id: String, text: String,
+      L: Int = 8, minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(L >= 1 && minCount >= 2)
+    val g = df
+      .select(col(id).as("doc"),
+        graft.functions.gramHashes(ws(Dedup.normText(col(text))), L).as("_g"))
+      .select(col("doc"), posexplode(col("_g")).as(Seq("pos", "h")))
+    val dup = g.groupBy("h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("h")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    g.join(dup, "h")
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy("doc", "_grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + L).cast("long").as("span_len"))
+      .select("doc", "span_start", "span_len")
+  }
+
   /** One-pass document profile.
     *
     * The token arrays are materialized ONCE into their own projection and

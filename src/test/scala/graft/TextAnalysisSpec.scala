@@ -231,6 +231,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"packSequences must plan exactly one exchange:\n$plan")
   }
 
+  test("duplicatedSpans: exact boundaries for planted shared runs, self-repeats, no-dup docs") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $shared b1 b2 b3",          // shared run at tokens 3..12
+      2L -> s"c1 c2 $shared d1",                    // same run at tokens 2..11
+      3L -> "unique tokens only here nothing repeats at all ever",
+      4L -> "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8" // self-repeat
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", L = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cross-doc: exactly the 10-token shared run, positions per doc;
+    // self-repeat: the two occurrences of x1..x8 (grams crossing the
+    // repeat boundary occur once and are NOT marked)
+    assert(spans === Set(
+      (1L, 3L, 10L), (2L, 2L, 10L),
+      (4L, 0L, 8L), (4L, 8L, 8L)))
+  }
+
   test("postings materialization modes agree (local default vs lineage-backed persist)") {
     import spark.implicits._
     val docs = (0L until 40L).map(i =>
