@@ -203,6 +203,14 @@ object PipelineQueries {
         .orderBy("doc", "span_start")
     }),
 
+    // The enforcement half of substring dedup: duplicated spans REMOVED
+    // from the text (drop-all-occurrences policy), with removal counts.
+    "q_dedup_scrub" -> ((s, dir) => {
+      TextAnalysis.removeDuplicatedSpans(corpusWithDups(s, dir),
+          "doc_id", "text", L = 8)
+        .orderBy("doc")
+    }),
+
     // n-gram Jaccard near-dup: inverted-index block join, exact.
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
@@ -424,6 +432,36 @@ object PipelineQueries {
        FROM inter JOIN sizes x ON x.doc = i JOIN sizes y ON y.doc = j
        WHERE floor(c * 10000.0 / (x.n + y.n - c)) >= 8000
        ORDER BY i, j"""
+
+  /** Duplicated-span ground truth over the planted-duplicate corpus:
+    * positional 60-bit md5-prefix 8-gram hashes → corpus-wide count ≥ 2
+    * → maximal runs via pos − row_number — shared by the detection
+    * (q_dedup_spans) and enforcement (q_dedup_scrub) oracles. */
+  private val dupSpansCte =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+       nw AS (
+         SELECT doc_id AS doc,
+                string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+         FROM corpus),
+       g AS (
+         SELECT doc, i - 1 AS pos,
+                CAST(('0x'||substring(
+                  md5(array_to_string(wd[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+         FROM (SELECT doc, wd, unnest(range(1, len(wd) - 8 + 2)) AS i
+               FROM nw WHERE len(wd) >= 8) t),
+       dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       m AS (SELECT doc, pos FROM g JOIN dup USING (h)),
+       runs AS (
+         SELECT doc, pos,
+                pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
+         FROM m),
+       spans AS (
+         SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
+         FROM runs GROUP BY doc, grp)"""
 
   /** BM25 ground truth over the full documents corpus — shared by the
     * batch path (q_bm25) and the incrementally-indexed path
@@ -708,35 +746,30 @@ object PipelineQueries {
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,
 
-    // Replays duplicatedSpans relationally: positional 60-bit md5-prefix
-    // 8-gram hashes, corpus-wide count >= 2, maximal runs merged with the
-    // pos - row_number device (DuckDB's unnest index is 1-based → pos =
-    // i - 1, matching Spark's 0-based posexplode).
-    "q_dedup_spans" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
-         nw AS (
-           SELECT doc_id AS doc,
-                  string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
-           FROM corpus),
-         g AS (
-           SELECT doc, i - 1 AS pos,
-                  CAST(('0x'||substring(
-                    md5(array_to_string(wd[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
-           FROM (SELECT doc, wd, unnest(range(1, len(wd) - 8 + 2)) AS i
-                 FROM nw WHERE len(wd) >= 8) t),
-         dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-         m AS (SELECT doc, pos FROM g JOIN dup USING (h)),
-         runs AS (
-           SELECT doc, pos,
-                  pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
-           FROM m)
-         SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
-                CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
-         FROM runs GROUP BY doc, grp
-         ORDER BY doc, span_start""",
+    // Replays duplicatedSpans relationally (shared CTE chain below;
+    // DuckDB's unnest index is 1-based → pos = i - 1, matching Spark's
+    // 0-based posexplode).
+    "q_dedup_spans" -> (dupSpansCte + """
+         SELECT doc, span_start, span_len FROM spans
+         ORDER BY doc, span_start"""),
+
+    // The scrub oracle re-tokenizes, marks tokens inside spans (spans are
+    // maximal → disjoint → the LEFT JOIN cannot duplicate a token), and
+    // re-concatenates survivors in position order.
+    "q_dedup_scrub" -> (dupSpansCte + """,
+         tok AS (
+           SELECT doc, i - 1 AS pos, wd[i] AS tok
+           FROM (SELECT doc, wd, unnest(range(1, len(wd) + 1)) AS i FROM nw) t),
+         flt AS (
+           SELECT t.doc, t.pos, t.tok, s.doc IS NOT NULL AS rm
+           FROM tok t LEFT JOIN spans s
+             ON s.doc = t.doc AND t.pos >= s.span_start
+                AND t.pos < s.span_start + s.span_len)
+         SELECT doc,
+                coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos), '')
+                  AS clean_text,
+                CAST(count(*) FILTER (rm) AS BIGINT) AS n_removed
+         FROM flt GROUP BY doc ORDER BY doc"""),
 
     // Recomputes the 60-bit md5-prefix simhash signatures (per-bit
     // majority vote, ties → 0, over ALL word occurrences of the

@@ -213,6 +213,34 @@ object TextAnalysis {
       .select("doc", "span_start", "span_len")
   }
 
+  /** APPLY [[duplicatedSpans]]: reconstruct each document's (normalized)
+    * text with every duplicated span's tokens removed — the enforcement
+    * half of substring dedup (drop-all-occurrences policy; Lee et al.
+    * report the keep-one choice barely matters). Spans are maximal and
+    * therefore disjoint per doc, so removal is a row-local indexed
+    * `filter` over the token array against the doc's (few) collected
+    * spans — the only additions to [[duplicatedSpans]]'s plan are the
+    * span collect_list agg and one join back to the corpus. Docs with no
+    * spans pass through unchanged (left join). Output:
+    * (doc, clean_text, n_removed). */
+  def removeDuplicatedSpans(df: DataFrame, id: String, text: String,
+      L: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = duplicatedSpans(df, id, text, L, minCount)
+      .groupBy("doc")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("_spans"))
+    val inSpan = (i: Column) => exists(col("_spans"), s =>
+      i >= s.getField("span_start") &&
+        i < s.getField("span_start") + s.getField("span_len"))
+    df.select(col(id).as("doc"), ws(Dedup.normText(col(text))).as("_t"))
+      .join(spans, Seq("doc"), "left")
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_t"))
+          .otherwise(filter(col("_t"), (tok, i) => !inSpan(i.cast("long")))))
+      .select(col("doc"),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        (size(col("_t")) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** One-pass document profile.
     *
     * The token arrays are materialized ONCE into their own projection and

@@ -248,6 +248,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(spans === Set(
       (1L, 3L, 10L), (2L, 2L, 10L),
       (4L, 0L, 8L), (4L, 8L, 8L)))
+    // enforcement: spans cut out of the reconstructed text, counts exact;
+    // a fully-duplicated doc scrubs to the empty string, not a dropped row
+    val clean = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text", L = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean(1L) === (("a1 a2 a3 b1 b2 b3", 10L)))
+    assert(clean(2L) === (("c1 c2 d1", 10L)))
+    assert(clean(3L)._2 === 0L)
+    assert(clean(4L) === (("", 16L)))
   }
 
   test("postings materialization modes agree (local default vs lineage-backed persist)") {
