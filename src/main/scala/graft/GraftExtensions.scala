@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{HtmlUnescape, MarkdownRender, MinHashBands, SimHash64,
-  VectorDot, VectorNormalize, WinnowFingerprints, WordShingles}
+import graft.functions.{GramHashes, HtmlUnescape, MarkdownRender, MinHashBands,
+  SimHash64, VectorDot, VectorNormalize, WinnowFingerprints, WordShingles}
 
 /** Engine extension point: registers the custom Catalyst expressions as
   * SQL functions so `spark.sql` and the DataFrame API can call them by
@@ -67,6 +67,10 @@ object GraftExtensions {
       "winnow_fingerprints(words, k, w) - winnowing fingerprint selection"),
       es => { require(es.length == 3, "expected 3 arguments")
         WinnowFingerprints(es(0), litInt(es(1), "k"), litInt(es(2), "w")) }),
+    ("gram_hashes", info("gram_hashes",
+      "gram_hashes(words, k) - position-ordered k-gram hashes (no dedup)"),
+      es => { require(es.length == 2, "expected 2 arguments")
+        GramHashes(es(0), litInt(es(1), "k")) }),
     ("minhash_bands", info("minhash_bands",
       "minhash_bands(shingles, numHashes, bands) - MinHash-LSH band buckets"),
       es => { require(es.length == 3, "expected 3 arguments")

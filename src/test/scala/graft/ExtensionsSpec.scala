@@ -19,7 +19,8 @@ class ExtensionsSpec extends AnyFunSuite {
     new GraftExtensions()(ext) // injection path must not throw
     assert(GraftExtensions.functions.map(_._1).toSet ===
       Set("html_unescape", "markdown_render", "vec_dot", "vec_normalize",
-        "simhash64", "word_shingles", "winnow_fingerprints", "minhash_bands"))
+        "simhash64", "word_shingles", "winnow_fingerprints", "minhash_bands",
+        "gram_hashes"))
   }
 
   test("array expressions callable from SQL") {
@@ -34,6 +35,9 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getInt(0) >= 1)
     assert(spark.sql("SELECT size(minhash_bands(array('a b', 'b c'), 16, 4))")
       .head().getInt(0) === 4)
+    // positional (no dedup): repeated gram keeps both positions
+    assert(spark.sql("SELECT size(gram_hashes(array('a','b','a','b'), 2))")
+      .head().getInt(0) === 3)
   }
 
   test("vec_dot arity is validated") {
