@@ -136,6 +136,20 @@ object PipelineQueries {
         .orderBy("doc", "bench_doc")
     }),
 
+    // SPAN-LEVEL decontamination: maximal corpus-doc runs whose every
+    // 4-gram also appears in the benchmark subset — the surgical cut
+    // complement of q_contamination (doc flags) / q_contamination_fuzzy
+    // (pair scores). L=4 because eval leaks are short; at this corpus it
+    // yields a dense span set (38 spans at sf0.01) vs 2 at L=8.
+    "q_contamination_spans" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      TextAnalysis.contaminatedSpans(
+          d.filter(col("doc_id") % 17 =!= 0),
+          d.filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", L = 4)
+        .orderBy("doc", "span_start")
+    }),
+
     // TF-IDF keyword extraction: top-3 tokens per document.
     "q_keywords" -> ((s, dir) => {
       TextAnalysis.keywords(Tables.load(s, dir, "documents"),
@@ -745,6 +759,30 @@ object PipelineQueries {
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,
+
+    // Same gram/run-merge algebra as the dupSpans oracles, with the mark
+    // set = the benchmark subset's distinct gram hashes.
+    "q_contamination_spans" ->
+      """WITH nw AS (
+           SELECT doc_id AS doc,
+                  string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+           FROM documents),
+         g AS (
+           SELECT doc, i - 1 AS pos,
+                  CAST(('0x'||substring(
+                    md5(array_to_string(wd[i:i+3], ' ')), 1, 15)) AS BIGINT) AS h
+           FROM (SELECT doc, wd, unnest(range(1, len(wd) - 4 + 2)) AS i
+                 FROM nw WHERE len(wd) >= 4) t),
+         bg AS (SELECT DISTINCT h FROM g WHERE doc % 17 = 0),
+         m AS (SELECT doc, pos FROM g JOIN bg USING (h) WHERE doc % 17 <> 0),
+         runs AS (
+           SELECT doc, pos,
+                  pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
+           FROM m)
+         SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_len
+         FROM runs GROUP BY doc, grp
+         ORDER BY doc, span_start""",
 
     // Replays duplicatedSpans relationally (shared CTE chain below;
     // DuckDB's unnest index is 1-based → pos = i - 1, matching Spark's

@@ -213,6 +213,34 @@ object TextAnalysis {
       .select("doc", "span_start", "span_len")
   }
 
+  /** SPAN-LEVEL decontamination: maximal corpus-doc token runs whose
+    * every L-gram also occurs in the BENCHMARK — the surgical complement
+    * of [[contamination]] (which flags docs) and [[fuzzyContamination]]
+    * (which scores pairs): instead of dropping a lightly-contaminated
+    * document, downstream cuts just the overlapping span. Same blocked
+    * semantics and run-merge device as [[duplicatedSpans]]; the gram
+    * "dup set" here is the benchmark's distinct gram-hash set, which is
+    * eval-set-sized and BROADCAST — the corpus never shuffles for
+    * marking, and the only exchange is the per-doc span window.
+    * Output: (doc, span_start, span_len), token offsets 0-based. */
+  def contaminatedSpans(docs: DataFrame, bench: DataFrame, id: String,
+      text: String, L: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(L >= 1)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(id).as("doc"),
+        graft.functions.gramHashes(ws(Dedup.normText(col(text))), L).as("_g"))
+      .select(col("doc"), posexplode(col("_g")).as(Seq("pos", "h")))
+    val benchGrams = grams(bench).select("h").distinct()
+    val w = Window.partitionBy("doc").orderBy("pos")
+    grams(docs).join(broadcast(benchGrams), "h")
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy("doc", "_grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + L).cast("long").as("span_len"))
+      .select("doc", "span_start", "span_len")
+  }
+
   /** APPLY [[duplicatedSpans]]: reconstruct each document's (normalized)
     * text with every duplicated span's tokens removed — the enforcement
     * half of substring dedup (drop-all-occurrences policy; Lee et al.

@@ -258,6 +258,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(clean(4L) === (("", 16L)))
   }
 
+  test("contaminatedSpans: exact benchmark-overlap boundaries; clean docs absent") {
+    import spark.implicits._
+    val leak = (1 to 9).map(i => s"q$i").mkString(" ")       // 9-token eval leak
+    val corpus = Seq(
+      1L -> s"w1 w2 $leak w3 w4",                             // leak at tokens 2..10
+      2L -> "all original tokens here nothing from the benchmark at all"
+    ).toDF("doc_id", "text")
+    val bench = Seq(10L -> s"intro words $leak outro").toDF("doc_id", "text")
+    val spans = TextAnalysis.contaminatedSpans(corpus, bench, "doc_id", "text", L = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 8-grams of the 9-token leak occur in bench → positions 2..3 → span (2, 9)
+    assert(spans === Set((1L, 2L, 9L)))
+  }
+
   test("postings materialization modes agree (local default vs lineage-backed persist)") {
     import spark.implicits._
     val docs = (0L until 40L).map(i =>
