@@ -309,6 +309,57 @@ object PipelineQueries {
       TextAnalysis.hashSplit(kept, "vec_id").orderBy("vec_id")
     }),
 
+    // Coarse semantic clustering — map-only centroid assignment with the
+    // oracle-portable md5-seeded codebook (the bucketing primitive under
+    // topic balancing and SemDeDup). nlist = round(√n), the IVF sizing;
+    // iters=0 (a k-means fixpoint is not relationally replayable — the
+    // refined path is spec-covered via kmeansRefine/SimilaritySpec).
+    "q_embed_cluster" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, _) = Similarity.ivfTune(emb.count())
+      Similarity.clusterAssign(emb, "vec_id", "embedding", nlist)
+        .select(col("doc").as("vec_id"), col("cid").cast("long").as("cid"),
+          col("sim_bp"))
+        .orderBy("vec_id")
+    }),
+
+    // Cluster-balanced sampling: cap each semantic cluster's contribution
+    // (topic re-balancing for a pre-training mix) — deterministic
+    // md5-rank selection INSIDE each cluster, the hashSplit device
+    // applied within clusterAssign's buckets. The row_number window
+    // partitions by cid (≈√n rows per cluster at the IVF sizing — never
+    // a global sort; the corpus shuffles once, on cid).
+    "q_cluster_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, _) = Similarity.ivfTune(emb.count())
+      val w = Window.partitionBy("cid")
+        .orderBy(substring(md5(col("doc").cast("string")), 1, 8).asc,
+          col("doc").asc)
+      Similarity.clusterAssign(emb, "vec_id", "embedding", nlist)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 16)
+        .select(col("doc").as("vec_id"), col("cid").cast("long").as("cid"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup over the planted near-dup corpus: within-cluster exact
+    // pairs at 0.9 → components → keep-canonical. The oracle replays the
+    // identical composition relationally (same codebook rule, same
+    // within-cluster pair scope, WITH RECURSIVE min-label) — survivors
+    // must match exactly, co-clustered plants collapsing onto their
+    // originals and cluster-boundary plants surviving BY DESIGN (the
+    // SemDeDup recall trade; the spec pins removed == co-clustered
+    // plants precisely). CONTRACT: default clusterCap (1e6) sheds
+    // nothing at oracle scale — the oracle does not model the cap.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = embWithDups(s, dir)
+      val (nlist, _) = Similarity.ivfTune(emb.count())
+      Similarity.semDedup(emb, "vec_id", "embedding", nlist, thresholdBp = 9000L)
+        .select(col("doc").as("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // Brute-force exact top-k cosine neighbors for 8 query vectors.
     "q_ann_topk" -> ((s, dir) => {
       Similarity.bruteTopK(Tables.load(s, dir, "embeddings"),
@@ -371,6 +422,19 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       TextAnalysis.packSequences(docs, "doc_id",
           TextAnalysis.tokenCount(col("text")), capacity = 512L)
+        .orderBy("doc_id")
+    }),
+
+    // Quality-percentile selection: keep the top 25% of docs by the
+    // profile quality score — EXACT, via the bounded-domain histogram
+    // threshold (selectTopPctByScore: no global sort; the only window
+    // runs over the ≤10001-row score histogram). Ties at the threshold
+    // all survive, so the cut is minimal and reproducible.
+    "q_quality_select" -> ((s, dir) => {
+      val prof = TextAnalysis.profile(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality_bp"))
+      TextAnalysis.selectTopPctByScore(prof, "quality_bp", keepPct = 25)
         .orderBy("doc_id")
     }),
 
@@ -546,6 +610,32 @@ object PipelineQueries {
        FROM n a JOIN n b ON a.vec_id < b.vec_id
        WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 9000
        ORDER BY i, j"""
+
+  /** Shared md5-seeded coarse-clustering fragment over the plain
+    * embeddings table: nlist = round(√n), seed = the nlist vectors
+    * smallest by (md5 prefix, id), centroid index = ascending seed id,
+    * assignment = argmax cosine with ties to the smallest cid — mirrors
+    * Similarity.md5Codebook + VectorOps.nearestCentroids exactly. */
+  private val clusterAssignCte =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       p AS (SELECT CAST(round(sqrt(count(*))) AS BIGINT) AS nlist FROM n),
+       seed AS (
+         SELECT vec_id, v FROM (
+           SELECT vec_id, v,
+                  row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                                     vec_id) AS rn
+           FROM n)
+         WHERE rn <= (SELECT nlist FROM p)),
+       cents AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
+         FROM seed),
+       best AS (
+         SELECT vec_id, cid, sim FROM (
+           SELECT nn.vec_id, c.cid, list_cosine_similarity(nn.v, c.cv) AS sim,
+                  row_number() OVER (PARTITION BY nn.vec_id
+                    ORDER BY list_cosine_similarity(nn.v, c.cv) DESC, c.cid ASC) AS rn
+           FROM n nn CROSS JOIN cents c)
+         WHERE rn = 1)"""
 
   /** Exact brute-force top-k ground truth — shared by q_ann_topk and the
     * verified IVF path (q_ann_ivf), which must serve identical rows. */
@@ -905,6 +995,62 @@ object PipelineQueries {
     // ivfTopKVerified certifies IVF == brute in-run → same exact oracle
     "q_ann_ivf" -> bruteTopKOracle,
 
+    // round (not floor) on sim_bp: seed vectors sit analytically at 1.0,
+    // one double ulp either side of the floor boundary — see
+    // Similarity.clusterAssign's scaladoc.
+    "q_embed_cluster" -> (clusterAssignCte +
+      """
+         SELECT vec_id, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_bp
+         FROM best ORDER BY vec_id"""),
+
+    "q_cluster_balance" -> (clusterAssignCte +
+      """
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id) AS rk
+           FROM best)
+         WHERE rk <= 16 ORDER BY vec_id"""),
+
+    // SemDeDup ground truth: the same md5-seeded clustering over the
+    // PLANTED corpus, exact pairs restricted to co-clustered vectors,
+    // recursive min-label components, keep the minimum. Cluster-boundary
+    // plants (assigned a different cell than their original) survive in
+    // BOTH engines — the SemDeDup recall trade is part of the contract.
+    "q_semdedup" -> (embWithDupsCte +
+      """,
+         p AS (SELECT CAST(round(sqrt(count(*))) AS BIGINT) AS nlist FROM n),
+         seed AS (
+           SELECT vec_id, v FROM (
+             SELECT vec_id, v,
+                    row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                                       vec_id) AS rn
+             FROM n)
+           WHERE rn <= (SELECT nlist FROM p)),
+         cents AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cv
+           FROM seed),
+         best AS (
+           SELECT vec_id, cid FROM (
+             SELECT nn.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY nn.vec_id
+                      ORDER BY list_cosine_similarity(nn.v, c.cv) DESC, c.cid ASC) AS rn
+             FROM n nn CROSS JOIN cents c)
+           WHERE rn = 1),
+         pr AS (
+           SELECT a.vec_id AS u, b.vec_id AS w
+           FROM n a JOIN n b ON a.vec_id < b.vec_id
+           JOIN best ba ON ba.vec_id = a.vec_id
+           JOIN best bb ON bb.vec_id = b.vec_id AND ba.cid = bb.cid
+           WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 9000),
+         sym AS (SELECT u, w FROM pr UNION ALL SELECT w, u FROM pr),
+         r AS (
+           SELECT vec_id AS d, vec_id AS lbl FROM n
+           UNION
+           SELECT sym.w, r.lbl FROM sym JOIN r ON r.d = sym.u),
+         c2 AS (SELECT d, min(lbl) AS cluster FROM r GROUP BY d)
+         SELECT d AS vec_id FROM c2 WHERE d = cluster ORDER BY vec_id"""),
+
     "q_redact" ->
       """WITH planted AS (
            SELECT doc_id,
@@ -983,6 +1129,39 @@ object PipelineQueries {
                 md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
                 CAST(('0x' || substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4)) AS BIGINT) AS fp_bucket
          FROM m ORDER BY doc_id""",
+
+    // Same quality_bp computation as q_text_profile; threshold = the
+    // target-th largest score (target = ceil(n·25/100), integer //),
+    // keep score ≥ threshold — ties at the cut all survive, matching
+    // selectTopPctByScore's keep-ties policy exactly.
+    "q_quality_select" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+                  string_split_regex(trim(text), '\s+') AS toks,
+                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(floor(list_sum(list_transform(toks, x -> length(x))) * 10000.0 / len(toks)) AS BIGINT) AS mean_word_len_bp,
+                  CAST(floor(len(regexp_extract_all(text, '[.,;:!?]')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
+                  CAST(floor(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this'], x))) * 10000.0 / len(ltoks)) AS BIGINT) AS stopword_ratio_bp
+           FROM t),
+         q AS (
+           SELECT doc_id,
+                  greatest(0, least(10000,
+                    5000 + CAST(floor(stopword_ratio_bp / 2.0) AS BIGINT)
+                         - CAST(floor(abs(mean_word_len_bp - 50000) / 20.0) AS BIGINT)
+                         - punct_ratio_bp)) AS quality_bp
+           FROM m),
+         r AS (
+           SELECT doc_id, quality_bp,
+                  row_number() OVER (ORDER BY quality_bp DESC, doc_id) AS rn,
+                  count(*) OVER () AS n
+           FROM q),
+         thr AS (SELECT quality_bp AS thr FROM r WHERE rn = (n * 25 + 99) // 100)
+         SELECT doc_id, quality_bp FROM q
+         WHERE quality_bp >= (SELECT thr FROM thr)
+         ORDER BY doc_id""",
 
     "q_multimodal" ->
       """SELECT doc_id,

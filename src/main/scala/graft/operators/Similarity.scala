@@ -317,6 +317,117 @@ object Similarity {
     c
   }
 
+  /** Oracle-portable coarse codebook: the `nlist` corpus vectors smallest
+    * by (md5-prefix(id), id) — the same engine-neutral pseudo-random
+    * device as the hash-split family — normalized, indexed by ascending
+    * id. [[ivfTopK]] seeds by xxhash64, which is fine for a serving path
+    * but engine-PRIVATE; clustering feeds hash-checked curation queries,
+    * so the seed rule must be replayable relationally in any engine.
+    * Selection is TakeOrdered (never a global window); the collect is
+    * nlist·d doubles — codebook-sized plan metadata, same contract as
+    * ivfTopK's (nlist ≈ √n stays driver-trivial even at 10⁹ vectors). */
+  private[graft] def md5Codebook(n: DataFrame, nlist: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val seed = n
+      .orderBy(substring(md5(col("vid").cast("string")), 1, 8).asc, col("vid").asc)
+      .limit(nlist)
+      .select(col("vid"), col("nv"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(seed.nonEmpty, "clustering requires a non-empty corpus")
+    seed
+  }
+
+  /** Map-only coarse semantic clustering — the bucketing primitive under
+    * topic balancing, per-topic corpus stats, and [[semDedupPairs]].
+    * Output (doc, cid, sim_bp): assigned centroid index (argmax cosine,
+    * ties to the smallest cid — [[graft.functions.VectorOps.nearestCentroids]]'
+    * strict-`>` scan) and the ROUNDED basis-point cosine to it.
+    *
+    * sim_bp uses round, not the repo's usual floor: a seed vector's
+    * similarity to its own centroid is analytically 1.0, which floor
+    * turns into an engine-dependent 9999/10000 coin flip (the double
+    * lands one ulp either side of the boundary depending on fold shape);
+    * round is stable for anything farther than 5·10⁻⁵ from a half-integer,
+    * which real similarities are.
+    *
+    * Scale shape: the codebook rides the corpus scan as a codegen
+    * reference object (zero exchange, zero row blowup) and the sim
+    * projection joins the nlist-row centroid table BROADCAST — the corpus
+    * never shuffles. `kmeansIters` > 0 refines the codebook
+    * (driver-resident Lloyd, [[kmeansRefine]]) for serving; the
+    * hash-checked queries run iters=0 because a k-means fixpoint is not
+    * relationally replayable in a SQL oracle. */
+  def clusterAssign(emb: DataFrame, id: String, vec: String, nlist: Int,
+      kmeansIters: Int = 0): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val seed = md5Codebook(n, nlist)
+    val codebook = if (kmeansIters <= 0) seed else kmeansRefine(n, seed, kmeansIters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = broadcast(
+      codebook.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cv"))
+    n.select(col("vid").as("doc"), col("nv"),
+        graft.functions.nearestCentroids(col("nv"), codebook, 1).getItem(0).as("cid"))
+      .join(cents, "cid")
+      .select(col("doc"), col("cid"),
+        round(dot(col("nv"), col("cv")) * 10000).cast("long").as("sim_bp"))
+  }
+
+  /** Cluster-scoped exact near-dup pairs — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse clusters block the candidate space and
+    * only WITHIN-cluster pairs are scored. Pair work drops from O(n²) to
+    * Σ|cluster|² ≈ n²/nlist for balanced clusters — at nlist ≈ √n that
+    * is n^1.5, the published device that makes embedding-level semantic
+    * dedup feasible at corpus scale. Cross-cluster near-dups are
+    * invisible BY DESIGN (SemDeDup's documented recall trade); the
+    * global LSH path ([[srpPairs]]) owns that regime.
+    *
+    * Scale shape: assignment is map-only; both join sides shuffle ONCE
+    * on cid (sort-merge — pairs stream out of the merge, no per-cluster
+    * array materialization, unlike the shingle-bucket collect_list
+    * shape whose groups are small by construction); `clusterCap` sheds
+    * clusters larger than the cap from pair generation via a broadcast
+    * of the ≤nlist-row size table — the hot-cluster skew guard, same
+    * device as jaccardPairs' freqCap (shed pairs are MISSED pairs; the
+    * cap exists for pathological mass points, cap ≫ expected |cluster|).
+    *
+    * Output: (i, j, cid, cos_bp), i < j, both assigned to cluster cid. */
+  def semDedupPairs(emb: DataFrame, id: String, vec: String, nlist: Int,
+      thresholdBp: Long, kmeansIters: Int = 0,
+      clusterCap: Long = 1000000L): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val seed = md5Codebook(n, nlist)
+    val codebook = if (kmeansIters <= 0) seed else kmeansRefine(n, seed, kmeansIters)
+    val withCid = n.select(col("vid"), col("nv"),
+      graft.functions.nearestCentroids(col("nv"), codebook, 1).getItem(0).as("cid"))
+    val keep = broadcast(withCid.groupBy("cid").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= clusterCap).select("cid"))
+    val scoped = withCid.join(keep, "cid")
+    val a = scoped.select(col("cid"), col("vid").as("i"), col("nv").as("ni"))
+    val b = scoped.select(col("cid"), col("vid").as("j"), col("nv").as("nj"))
+    a.join(b, Seq("cid"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("cid"),
+        floor(dot(col("ni"), col("nj")) * 10000).cast("long").as("cos_bp"))
+      .filter(col("cos_bp") >= thresholdBp)
+  }
+
+  /** SemDeDup keep-one-canonical: [[semDedupPairs]] → connected
+    * components ([[Dedup.clusters]], two-hop label propagation) → keep
+    * each component's minimum id. Singletons survive as their own
+    * canonical; a removed id is always a non-minimal member of some
+    * within-cluster near-dup component. The embedding-modality analog of
+    * [[Dedup.dropExactDuplicates]]. Output: (doc) — surviving ids. */
+  def semDedup(emb: DataFrame, id: String, vec: String, nlist: Int,
+      thresholdBp: Long, kmeansIters: Int = 0,
+      clusterCap: Long = 1000000L): DataFrame = {
+    val pairs = semDedupPairs(emb, id, vec, nlist, thresholdBp, kmeansIters, clusterCap)
+    Dedup.clusters(emb, id, pairs)
+      .filter(col("doc") === col("cluster"))
+      .select(col("doc"))
+  }
+
   /** @param persistCorpus memory contract: true (default) persists the
     *        normalized corpus MEMORY_AND_DISK — it is read 2 + kmeansIters
     *        times (corpus assign, query assign, refinement rounds) and

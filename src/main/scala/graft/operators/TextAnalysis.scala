@@ -396,6 +396,39 @@ object TextAnalysis {
     df.filter(h < cutCol)
   }
 
+  /** Exact global top-`keepPct`% selection by a BOUNDED-DOMAIN integer
+    * score (basis points, 0..10000 — quality_bp, any *_bp column)
+    * WITHOUT a global sort: a map-side-combined histogram (≤ |domain|
+    * rows) → cumulative-from-top over the tiny histogram → threshold T =
+    * the target-th largest score → broadcast 1-row join → `score ≥ T`
+    * filter. The corpus is scanned twice (histogram + filter) and never
+    * shuffled or globally ordered — a `percent_rank` window over the
+    * corpus would serialize 100 TB through one task; this shape
+    * exchanges ≤ |domain| partial counts and the single-partition window
+    * runs over the HISTOGRAM, bounded by the score domain, not the
+    * corpus. Ties AT the threshold all survive (keep-ties policy: output
+    * ≥ target rows, minimal score cut, reproducible under re-runs).
+    *
+    * target = ceil(n·keepPct/100) = (n·keepPct + 99) div 100, computed
+    * via a double floor — exact while n·keepPct + 99 < 2⁵³ (n < 9·10¹³
+    * at keepPct=100, comfortably past any corpus row count). */
+  def selectTopPctByScore(df: DataFrame, score: String, keepPct: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepPct >= 1 && keepPct <= 100, s"keepPct must be 1..100, got $keepPct")
+    val hist = df.groupBy(col(score).as("_s")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = hist.agg(sum("_c").as("_n"))
+    val thr = hist.withColumn("_cum", sum(col("_c")).over(w))
+      .crossJoin(broadcast(total))
+      .filter(col("_cum") >=
+        floor((col("_n") * keepPct + lit(99)) / 100.0).cast("long"))
+      .agg(max(col("_s")).as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(col(score) >= col("_thr"))
+      .drop("_thr")
+  }
+
   /** Benchmark decontamination: training docs sharing at least one word
     * n-gram with a benchmark/eval set, with the count of DISTINCT
     * contaminated shingles per doc — the standard pre-training hygiene

@@ -310,4 +310,99 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Long]("neighbor_id"))).toSet
     assert(full === brute)
   }
+
+  // ---- coarse clustering / SemDeDup ------------------------------------
+
+  /** The q_semdedup planted corpus shape: every 20th vector re-inserted
+    * under a shifted id with the mild per-index perturbation (planted
+    * cosines ≈ 0.95-0.98 against their originals; cross pairs < 0.9). */
+  private def plantedEmb = {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    e.unionByName(e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"embedding", (x, i) =>
+          x * (lit(1.0) + (lit(0.4) * ((i % 5).cast("double") - lit(2.0))) / lit(2.0)))
+          .as("embedding")))
+  }
+
+  test("clusterAssign: every vector gets one cell; seeds map to themselves at 10000 bp") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    val (nlist, _) = Similarity.ivfTune(n)
+    val a = Similarity.clusterAssign(emb, "vec_id", "embedding", nlist)
+    assert(a.count() === n)
+    assert(a.select("doc").distinct().count() === n)
+    val cids = a.select("cid").distinct().collect().map(_.getInt(0))
+    assert(cids.forall(c => c >= 0 && c < nlist))
+    // the md5-seeded codebook vectors ARE centroids: own-cell sim_bp = 10000
+    // (this is the case that forces round over floor — 1.0 sits on the
+    // floor boundary one double ulp either way)
+    val seedIds = emb.select($"vec_id")
+      .orderBy(substring(md5($"vec_id".cast("string")), 1, 8).asc, $"vec_id".asc)
+      .limit(nlist).collect().map(_.getLong(0)).toSet
+    val seedSims = a.filter($"doc".isin(seedIds.toSeq: _*))
+      .select("sim_bp").collect().map(_.getLong(0))
+    assert(seedSims.length === nlist && seedSims.forall(_ === 10000L))
+  }
+
+  test("semDedupPairs: subset of exact pairs, members co-clustered") {
+    val emb = plantedEmb
+    val (nlist, _) = Similarity.ivfTune(emb.count())
+    val pairs = Similarity.semDedupPairs(emb, "vec_id", "embedding", nlist, 9000L)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.subsetOf(exact))
+    assert(got.nonEmpty, "some plants must co-cluster with their originals")
+    val a = Similarity.clusterAssign(emb, "vec_id", "embedding", nlist)
+      .select($"doc", $"cid")
+    val bad = pairs
+      .join(a.withColumnRenamed("doc", "i").withColumnRenamed("cid", "ci"), "i")
+      .join(a.withColumnRenamed("doc", "j").withColumnRenamed("cid", "cj"), "j")
+      .filter($"ci" =!= $"cid" || $"cj" =!= $"cid").count()
+    assert(bad === 0, "every pair's members must share the pair's cluster")
+  }
+
+  test("semDedup with nlist=1 equals the global near-dup keep composition") {
+    val emb = plantedEmb
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", 9000L)
+    val global = graft.operators.Dedup.clusters(emb, "vec_id", pairs)
+      .filter($"doc" === $"cluster").select($"doc")
+      .collect().map(_.getLong(0)).toSet
+    val one = Similarity.semDedup(emb, "vec_id", "embedding", 1, 9000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(one === global)
+  }
+
+  test("semDedup removes EXACTLY the co-clustered plants; originals always survive") {
+    val emb = plantedEmb
+    val (nlist, _) = Similarity.ivfTune(emb.count())
+    val survivors = Similarity.semDedup(emb, "vec_id", "embedding", nlist, 9000L)
+      .collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val removed = all -- survivors
+    val cid = Similarity.clusterAssign(emb, "vec_id", "embedding", nlist)
+      .select("doc", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // near-dup pairs at 0.9 only link a plant to its original on this
+    // corpus, so the removed set must be precisely the plants sharing
+    // their original's cell; a cluster-boundary plant survives — the
+    // documented SemDeDup recall trade, part of the operator contract
+    val expected = all.filter(p => p >= 1000000L && cid(p) == cid(p - 1000000L))
+    assert(removed === expected)
+    assert(removed.nonEmpty)
+  }
+
+  test("semDedup clusterCap sheds an oversized cluster (missed pairs, no crash)") {
+    val mass = (0L until 30L).map(i => (i, Array(1.0f, 0.2f, 0.1f)))
+    val df = mass.toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, "vec_id", "embedding", 1, 9000L,
+        clusterCap = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === (0L until 30L).toSet)  // shed cluster → no pairs → all survive
+    val collapsed = Similarity.semDedup(df, "vec_id", "embedding", 1, 9000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(collapsed === Set(0L))          // cap off: identical family collapses
+  }
 }

@@ -420,4 +420,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     val k1 = TextAnalysis.keywords(docs, "doc_id", "text", k = 1).collect()
     assert(k1.length === 3 && k1.forall(_.getAs[Int]("rank") === 1))
   }
+
+  test("selectTopPctByScore: exact ceil target, keep-ties at the cut, monotone in pct") {
+    val df = Seq((1L, 10L), (2L, 9L), (3L, 9L), (4L, 8L), (5L, 5L), (6L, 1L))
+      .toDF("id", "score_bp")
+    val top50 = TextAnalysis.selectTopPctByScore(df, "score_bp", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(top50 === Set(1L, 2L, 3L))   // target = 3 → threshold = 9
+    // ties AT the threshold all survive: target 1 but three rows at 9
+    val ties = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 1L)).toDF("id", "score_bp")
+    val top25 = TextAnalysis.selectTopPctByScore(ties, "score_bp", 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(top25 === Set(1L, 2L, 3L))
+    // pct=100 keeps everything; larger pct keeps a superset
+    assert(TextAnalysis.selectTopPctByScore(df, "score_bp", 100).count() === 6)
+    val top80 = TextAnalysis.selectTopPctByScore(df, "score_bp", 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(top50.subsetOf(top80))
+    // ceil rounding: 1 of 6 at 10% is ceil(0.6) = 1 row, not zero
+    val top10 = TextAnalysis.selectTopPctByScore(df, "score_bp", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(top10 === Set(1L))
+  }
 }
