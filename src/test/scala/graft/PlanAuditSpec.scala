@@ -55,4 +55,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.broadcasts >= 1, s"the 1-row N must broadcast: $c")
     assert(c.exchanges <= 4, s"keywords exchange count drifted: $c")
   }
+
+  test("q_embed_cluster: assignment is map-only — the corpus never hash-shuffles") {
+    val c = audited("q_embed_cluster")
+    // the codebook rides the scan as a codegen reference object and the
+    // centroid table broadcasts for the sim projection: ZERO hash
+    // exchanges in the final plan (the orderBy range exchange is the
+    // output contract, not the operator)
+    assert(c.exchanges == 0, s"cluster assignment must not shuffle the corpus: $c")
+    assert(c.broadcasts >= 1, s"the nlist-row centroid table must broadcast: $c")
+    assert(c.scans <= 1, s"corpus re-read regressed: $c")
+  }
+
+  test("q_cluster_balance: the per-cid window is the ONLY hash exchange") {
+    val c = audited("q_cluster_balance")
+    assert(c.exchanges == 1, s"cluster-balance exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"centroid table must broadcast: $c")
+  }
+
+  test("q_quality_select: histogram threshold, never a corpus-wide sort/window") {
+    val c = audited("q_quality_select")
+    // the ONLY hash exchange is the score-histogram aggregation (the
+    // cumulative window runs over the histogram on a single partition —
+    // bounded by the score domain, not the corpus)
+    assert(c.exchanges <= 1, s"quality-select exchange count drifted: $c")
+    // the 1-row total and 1-row threshold both broadcast back
+    assert(c.broadcasts >= 2, s"total/threshold must broadcast: $c")
+    // histogram pass + filter pass: two scans by design, never more
+    assert(c.scans <= 2, s"corpus re-read regressed: $c")
+  }
 }
