@@ -111,4 +111,50 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
         col("score_bp"))
   }
+
+  /** Hybrid retrieval: BM25 lexical candidates fused with embedding
+    * cosine candidates by Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): score(d) = Σ_lists (10000 div (rrfK + rank_list(d))),
+    * INTEGER-quantized (this engine's oracle device) so fused scores are
+    * associative and ranks engine-independent. A document absent from a
+    * list contributes nothing for it — the standard RRF treatment; ties
+    * break on doc id.
+    *
+    * Pairing contract: query (qid, terms) uses the embedding with vector
+    * id == qid as its semantic side (the caller aligns the key spaces).
+    * The vector side never returns the query vector itself
+    * ([[Similarity.bruteTopK]] excludes self); the lexical side has no
+    * such notion (queries are term strings, not corpus rows).
+    *
+    * 100 TB shape: each candidate generator keeps its own audited plan
+    * (bm25TopK broadcast-prunes the corpus to query-term postings;
+    * bruteTopK broadcasts queries and never shuffles the corpus — swap
+    * in [[Similarity.ivfTopK]] for the probed serving path); fusion then
+    * touches ≤ 2·kCand·|queries| rows, so every exchange after candidate
+    * generation is candidate-sized, never corpus-sized. */
+  def hybridTopK(docs: DataFrame, id: String, text: String,
+      emb: DataFrame, vecId: String, vec: String,
+      queries: Seq[(Long, String)], k: Int = 10, kCand: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1, got k=$k kCand=$kCand")
+    // 10000/(rrfK+rank) via double floor is exact integer division: an
+    // IEEE quotient of small ints errs < 1 ulp, which cannot cross an
+    // integer boundary unless the true quotient IS that integer (and
+    // then the division is exact) — same argument as selectTopPctByScore
+    def rrf(rank: Column): Column =
+      floor(lit(10000.0) / (lit(rrfK) + rank)).cast("long")
+    val lex = bm25TopK(docs, id, text, queries, kCand)
+      .select(col("query_id"), col("doc_id"), rrf(col("rank")).as("rrf"))
+    val sem = Similarity.bruteTopK(emb, vecId, vec, queries.map(_._1), kCand)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        rrf(col("rank")).as("rrf"))
+    val fused = lex.unionByName(sem)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("rrf").as("rrf_bp"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_bp").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_bp"))
+  }
 }
