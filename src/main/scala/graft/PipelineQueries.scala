@@ -513,8 +513,11 @@ object PipelineQueries {
 
   /** Duplicated-span ground truth over the planted-duplicate corpus:
     * positional 60-bit md5-prefix 8-gram hashes → corpus-wide count ≥ 2
-    * → maximal runs via pos − row_number — shared by the detection
-    * (q_dedup_spans) and enforcement (q_dedup_scrub) oracles. */
+    * → maximal covered runs (marked positions whose gap ≤ L merge: the
+    * TextAnalysis.coveredSpans lag + cumulative-sum interval merge, so
+    * spans are disjoint and no token has two covering spans) — shared by
+    * the detection (q_dedup_spans) and enforcement (q_dedup_scrub)
+    * oracles. */
   private val dupSpansCte =
     """WITH corpus AS (
          SELECT doc_id, text FROM documents
@@ -534,12 +537,18 @@ object PipelineQueries {
        m AS (SELECT doc, pos FROM g JOIN dup USING (h)),
        runs AS (
          SELECT doc, pos,
-                pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
+                CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) <= 8
+                     THEN 0 ELSE 1 END AS nw_flag
          FROM m),
+       grps AS (
+         SELECT doc, pos,
+                sum(nw_flag) OVER (PARTITION BY doc ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+         FROM runs),
        spans AS (
          SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
                 CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
-         FROM runs GROUP BY doc, grp)"""
+         FROM grps GROUP BY doc, grp)"""
 
   /** BM25 ground truth over the full documents corpus — shared by the
     * batch path (q_bm25) and the incrementally-indexed path
@@ -850,8 +859,9 @@ object PipelineQueries {
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,
 
-    // Same gram/run-merge algebra as the dupSpans oracles, with the mark
-    // set = the benchmark subset's distinct gram hashes.
+    // Same gram/covered-run-merge algebra as the dupSpans oracles (gap ≤
+    // L marked positions merge → disjoint spans), with the mark set = the
+    // benchmark subset's distinct gram hashes.
     "q_contamination_spans" ->
       """WITH nw AS (
            SELECT doc_id AS doc,
@@ -867,11 +877,17 @@ object PipelineQueries {
          m AS (SELECT doc, pos FROM g JOIN bg USING (h) WHERE doc % 17 <> 0),
          runs AS (
            SELECT doc, pos,
-                  pos - row_number() OVER (PARTITION BY doc ORDER BY pos) AS grp
-           FROM m)
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) <= 4
+                       THEN 0 ELSE 1 END AS nw_flag
+           FROM m),
+         grps AS (
+           SELECT doc, pos,
+                  sum(nw_flag) OVER (PARTITION BY doc ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+           FROM runs)
          SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
                 CAST(max(pos) - min(pos) + 4 AS BIGINT) AS span_len
-         FROM runs GROUP BY doc, grp
+         FROM grps GROUP BY doc, grp
          ORDER BY doc, span_start""",
 
     // Replays duplicatedSpans relationally (shared CTE chain below;
@@ -881,8 +897,9 @@ object PipelineQueries {
          SELECT doc, span_start, span_len FROM spans
          ORDER BY doc, span_start"""),
 
-    // The scrub oracle re-tokenizes, marks tokens inside spans (spans are
-    // maximal → disjoint → the LEFT JOIN cannot duplicate a token), and
+    // The scrub oracle re-tokenizes, marks tokens inside spans (the
+    // covered-run merge makes spans disjoint BY CONSTRUCTION — no token
+    // has two covering spans, so the LEFT JOIN cannot duplicate one), and
     // re-concatenates survivors in position order.
     "q_dedup_scrub" -> (dupSpansCte + """,
          tok AS (

@@ -185,8 +185,8 @@ object TextAnalysis {
     * portable like the winnowing family); the corpus-wide count is a
     * map-side-combined aggregation bounded by |distinct grams|; the
     * mark join keys on the 8-byte hash; span merge is a per-doc window
-    * (the classic pos − row_number run-grouping device). Nothing is
-    * quadratic and no stage carries document text. The gram pass feeds
+    * ([[coveredSpans]]: lag + cumulative sum — ONE window pass). Nothing
+    * is quadratic and no stage carries document text. The gram pass feeds
     * two consumers (count + mark) and is deliberately RECOMPUTED, not
     * materialized: it is map-only with column pruning (the count branch
     * reads only `h`), while materializing would stage |corpus tokens|
@@ -196,7 +196,6 @@ object TextAnalysis {
     * Output: (doc, span_start, span_len) — token offsets, 0-based. */
   def duplicatedSpans(df: DataFrame, id: String, text: String,
       L: Int = 8, minCount: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(L >= 1 && minCount >= 2)
     val g = df
       .select(col(id).as("doc"),
@@ -204,9 +203,32 @@ object TextAnalysis {
       .select(col("doc"), posexplode(col("_g")).as(Seq("pos", "h")))
     val dup = g.groupBy("h").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount).select("h")
+    coveredSpans(g.join(dup, "h"), L)
+  }
+
+  /** Shared span-merge core: marked gram positions (doc, pos) → MAXIMAL
+    * DISJOINT spans of covered token positions (a token is covered iff
+    * some marked gram starting in [pos−L+1, pos] reaches it). Two marked
+    * positions belong to one span iff their gap ≤ L — gap < L means the
+    * L-extended intervals OVERLAP, gap = L means they touch and the
+    * covered tokens are contiguous; either way the union is one run, so
+    * the merged spans are disjoint AND non-adjacent by construction (the
+    * guarantee [[removeDuplicatedSpans]] and the scrub oracle's one-row-
+    * per-covering-span LEFT JOIN rely on: no token has two covering
+    * spans). The naive pos − row_number run-grouping only merged gap = 1
+    * and emitted OVERLAPPING spans for 1 < gap < L.
+    *
+    * ONE window pass per doc: lag + cumulative sum share the same window
+    * frame (a single Window physical operator, one hash exchange on doc —
+    * span rows, bounded by marked positions, never corpus bytes). */
+  private def coveredSpans(marked: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc").orderBy("pos")
-    g.join(dup, "h")
-      .withColumn("_grp", col("pos") - row_number().over(w))
+    marked
+      .withColumn("_new",
+        when(col("pos") - lag("pos", 1).over(w) <= L, 0).otherwise(1))
+      .withColumn("_grp", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc", "_grp")
       .agg(min("pos").cast("long").as("span_start"),
         (max("pos") - min("pos") + L).cast("long").as("span_len"))
@@ -218,34 +240,28 @@ object TextAnalysis {
     * of [[contamination]] (which flags docs) and [[fuzzyContamination]]
     * (which scores pairs): instead of dropping a lightly-contaminated
     * document, downstream cuts just the overlapping span. Same blocked
-    * semantics and run-merge device as [[duplicatedSpans]]; the gram
-    * "dup set" here is the benchmark's distinct gram-hash set, which is
-    * eval-set-sized and BROADCAST — the corpus never shuffles for
-    * marking, and the only exchange is the per-doc span window.
+    * semantics and [[coveredSpans]] merge device as [[duplicatedSpans]];
+    * the gram "dup set" here is the benchmark's distinct gram-hash set,
+    * which is eval-set-sized and BROADCAST — the corpus never shuffles
+    * for marking, and the only exchange is the per-doc span window.
     * Output: (doc, span_start, span_len), token offsets 0-based. */
   def contaminatedSpans(docs: DataFrame, bench: DataFrame, id: String,
       text: String, L: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(L >= 1)
     def grams(df: DataFrame): DataFrame = df
       .select(col(id).as("doc"),
         graft.functions.gramHashes(ws(Dedup.normText(col(text))), L).as("_g"))
       .select(col("doc"), posexplode(col("_g")).as(Seq("pos", "h")))
     val benchGrams = grams(bench).select("h").distinct()
-    val w = Window.partitionBy("doc").orderBy("pos")
-    grams(docs).join(broadcast(benchGrams), "h")
-      .withColumn("_grp", col("pos") - row_number().over(w))
-      .groupBy("doc", "_grp")
-      .agg(min("pos").cast("long").as("span_start"),
-        (max("pos") - min("pos") + L).cast("long").as("span_len"))
-      .select("doc", "span_start", "span_len")
+    coveredSpans(grams(docs).join(broadcast(benchGrams), "h"), L)
   }
 
   /** APPLY [[duplicatedSpans]]: reconstruct each document's (normalized)
     * text with every duplicated span's tokens removed — the enforcement
     * half of substring dedup (drop-all-occurrences policy; Lee et al.
-    * report the keep-one choice barely matters). Spans are maximal and
-    * therefore disjoint per doc, so removal is a row-local indexed
+    * report the keep-one choice barely matters). Spans are disjoint and
+    * non-adjacent BY CONSTRUCTION ([[coveredSpans]]' interval merge — no
+    * token has two covering spans), so removal is a row-local indexed
     * `filter` over the token array against the doc's (few) collected
     * spans — the only additions to [[duplicatedSpans]]'s plan are the
     * span collect_list agg and one join back to the corpus. Docs with no

@@ -243,11 +243,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     val spans = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", L = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // cross-doc: exactly the 10-token shared run, positions per doc;
-    // self-repeat: the two occurrences of x1..x8 (grams crossing the
-    // repeat boundary occur once and are NOT marked)
+    // self-repeat: the two occurrences of x1..x8 mark positions 0 and 8
+    // (grams crossing the repeat boundary occur once and are NOT marked)
+    // — gap == L, covered tokens contiguous, ONE maximal span
     assert(spans === Set(
       (1L, 3L, 10L), (2L, 2L, 10L),
-      (4L, 0L, 8L), (4L, 8L, 8L)))
+      (4L, 0L, 16L)))
     // enforcement: spans cut out of the reconstructed text, counts exact;
     // a fully-duplicated doc scrubs to the empty string, not a dropped row
     val clean = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text", L = 8)
@@ -256,6 +257,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(clean(2L) === (("c1 c2 d1", 10L)))
     assert(clean(3L)._2 === 0L)
     assert(clean(4L) === (("", 16L)))
+  }
+
+  test("span merge: marked positions with gap < L merge into ONE span (never overlap)") {
+    import spark.implicits._
+    // doc 1 grams (L=3): "a b c"(0), "b c q"(1), "c q r"(2); doc 2
+    // contains "a b c" and "c q r" but NOT "b c q" — so doc 1's marked
+    // positions are 0 and 2 with 1 unmarked, the exact shape that made
+    // the old pos − row_number run-grouping emit OVERLAPPING spans
+    // (0,3) + (2,5) and the scrub oracle's one-row-per-covering-span
+    // LEFT JOIN double-count tokens 2..4
+    val docs = Seq(
+      1L -> "a b c q r",
+      2L -> "a b c z c q r"
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicatedSpans(docs, "doc_id", "text",
+        L = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: gap 2 < L → ONE merged span covering the whole doc;
+    // doc 2: marked 0 and 4, gap 4 > L → two disjoint spans, token 3 free
+    assert(spans === Set((1L, 0L, 5L), (2L, 0L, 3L), (2L, 4L, 3L)))
+    // enforcement counts each covered token ONCE (5 tokens, not 6)
+    val clean = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text",
+        L = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean(1L) === (("", 5L)))
+    assert(clean(2L) === (("z", 6L)))
+  }
+
+  test("span merge: spans touching at gap == L merge into one maximal covered run") {
+    import spark.implicits._
+    // L=2: doc 3 marked at 0 and 2 ("m n", "o p" both repeat; "n o" does
+    // not) — the covered token runs [0,2) and [2,4) are CONTIGUOUS, so
+    // the maximal-covered-run contract merges them into one span
+    val docs = Seq(
+      3L -> "m n o p",
+      4L -> "m n x o p"
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicatedSpans(docs, "doc_id", "text",
+        L = 2, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((3L, 0L, 4L), (4L, 0L, 2L), (4L, 3L, 2L)))
   }
 
   test("contaminatedSpans: exact benchmark-overlap boundaries; clean docs absent") {
