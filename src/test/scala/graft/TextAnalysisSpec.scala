@@ -314,6 +314,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(spans === Set((1L, 2L, 9L)))
   }
 
+  test("standalone column helpers equal profile's inlined formulas (drift guard)") {
+    import spark.implicits._
+    // profile() re-implements these formulas inline over ONCE-materialized
+    // token arrays (the measured materialize-once plan shape — using the
+    // standalone helpers there would re-split the text per metric, ~8
+    // splits/row). The standalone single-column forms stay public API for
+    // ad-hoc projections; this guard pins them column-equal to profile on
+    // a shared frame so neither copy can drift silently.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        9000001L -> "",                            // empty
+        9000002L -> "   ",                         // whitespace-only
+        9000003L -> "...!!!,,,;;;:::???",          // punctuation soup
+        9000004L -> "the the the the el el la de", // stopword/lang collision
+        9000005L -> "der und ist die das le la et est une" // multi-lang tie
+      ).toDF("doc_id", "text"))
+    val viaHelpers = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextAnalysis.meanWordLenBp(col("text")).as("mean_word_len_bp"),
+      TextAnalysis.punctRatioBp(col("text")).as("punct_ratio_bp"),
+      TextAnalysis.stopwordRatioBp(col("text")).as("stopword_ratio_bp"),
+      TextAnalysis.qualityScoreBp(col("text")).as("quality_bp"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.fingerprintBucket(col("text")).as("fp_bucket"))
+    val viaProfile = TextAnalysis.profile(docs, "doc_id", "text")
+    assert(viaProfile.columns.toSeq ===
+      viaHelpers.columns.toSeq, "column sets must stay aligned")
+    val diff = viaHelpers.exceptAll(viaProfile).count() +
+      viaProfile.exceptAll(viaHelpers).count()
+    assert(diff === 0L, "standalone helpers drifted from profile's inlined formulas")
+  }
+
   test("postings materialization modes agree (local default vs lineage-backed persist)") {
     import spark.implicits._
     val docs = (0L until 40L).map(i =>
