@@ -105,6 +105,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid retrieval: BM25 lexical candidates + brute-cosine semantic
+    // candidates (vec_id == query_id pairing) fused by integer-quantized
+    // Reciprocal Rank Fusion at candidate depth 20 — each half keeps its
+    // audited plan, fusion touches only candidate-sized rows. The spec
+    // pins absent-from-one-list, both-lists summation, and the doc-id
+    // tiebreak on a hand-computed fixture.
+    "q_hybrid" -> ((s, dir) => {
+      Search.hybridTopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queries = bm25Queries, k = 10, kCand = 20)
+        .orderBy("query_id", "rank")
+    }),
+
     // End-to-end pipeline COMPOSITION: exact dedup → LM-surprisal
     // quality filter (the unigram LM trains on the DEDUPED corpus) →
     // train split → sequence packing, one declarative plan — the path a
@@ -550,10 +563,10 @@ object PipelineQueries {
                 CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
          FROM grps GROUP BY doc, grp)"""
 
-  /** BM25 ground truth over the full documents corpus — shared by the
-    * batch path (q_bm25) and the incrementally-indexed path
-    * (q_bm25_incremental), which must serve identical rows. */
-  private val bm25Oracle =
+  /** The BM25 scoring CTE chain (through `scored`) — shared by the
+    * standalone BM25 oracles and the hybrid-fusion oracle, which keeps
+    * ranking from it at candidate depth. */
+  private val bm25ScoredCte =
     """WITH toks AS (
          SELECT doc_id AS doc,
                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
@@ -579,12 +592,58 @@ object PipelineQueries {
          JOIN dfq ON dfq.tok = q.tok
          JOIN dl  ON dl.doc = tf.doc
          CROSS JOIN stats
-         GROUP BY 1, 2)
+         GROUP BY 1, 2)"""
+
+  /** BM25 ground truth over the full documents corpus — shared by the
+    * batch path (q_bm25) and the incrementally-indexed path
+    * (q_bm25_incremental), which must serve identical rows. */
+  private val bm25Oracle = bm25ScoredCte +
+    """
        SELECT query_id, CAST(rank AS INT) AS rank, doc AS doc_id, score_bp
        FROM (SELECT query_id, doc, score_bp,
                     row_number() OVER (PARTITION BY query_id
                                        ORDER BY score_bp DESC, doc ASC) AS rank
              FROM scored)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** Hybrid-retrieval ground truth: the BM25 chain and the brute-cosine
+    * chain each ranked to candidate depth 20, fused by integer RRF —
+    * 10000 // (60 + rank), DuckDB integer division, which equals the
+    * engine's floor(10000.0/(60+rank)) on positive ints — summed per
+    * (query, doc), re-ranked (rrf desc, doc asc). Both halves reuse the
+    * proven oracle algebra (bm25ScoredCte / the bruteTopK shape) and the
+    * qid ↔ vec_id pairing mirrors Search.hybridTopK's contract. */
+  private val hybridOracle = bm25ScoredCte +
+    """,
+       lexr AS (
+         SELECT query_id, doc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_bp DESC, doc ASC) AS rk
+         FROM scored),
+       lex AS (SELECT query_id, doc AS doc_id, 10000 // (60 + rk) AS rrf
+               FROM lexr WHERE rk <= 20),
+       nemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       qv AS (SELECT vec_id AS qid, v AS qvec FROM nemb WHERE vec_id <= 2),
+       sems AS (
+         SELECT qid, vec_id AS nid,
+                CAST(floor(list_cosine_similarity(v, qvec) * 10000) AS BIGINT) AS cos_bp
+         FROM nemb, qv WHERE vec_id != qid),
+       semr AS (
+         SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_bp DESC, nid ASC) AS rk
+         FROM sems),
+       sem AS (SELECT qid AS query_id, nid AS doc_id, 10000 // (60 + rk) AS rrf
+               FROM semr WHERE rk <= 20),
+       fused AS (
+         SELECT query_id, doc_id, CAST(sum(rrf) AS BIGINT) AS rrf_bp
+         FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+         GROUP BY 1, 2)
+       SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_bp
+       FROM (SELECT query_id, doc_id, rrf_bp,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_bp DESC, doc_id ASC) AS rank
+             FROM fused)
        WHERE rank <= 10 ORDER BY query_id, rank"""
 
   /** Exact cosine-pair ground truth at threshold 4500 bp over the raw
@@ -712,6 +771,8 @@ object PipelineQueries {
     // the incrementally-built index must converge to the batch-built one,
     // so the streamed serving path shares the batch oracle verbatim
     "q_bm25_incremental" -> bm25Oracle,
+
+    "q_hybrid" -> hybridOracle,
 
     // Chains the dedup-keep, surprisal, split, and pack oracle fragments
     // over the same staged semantics (LM counts post-dedup).

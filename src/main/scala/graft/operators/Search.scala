@@ -136,7 +136,9 @@ object Search {
       emb: DataFrame, vecId: String, vec: String,
       queries: Seq[(Long, String)], k: Int = 10, kCand: Int = 20,
       rrfK: Int = 60): DataFrame = {
-    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1, got k=$k kCand=$kCand")
+    // the fused pool holds up to 2·kCand docs per query, so any k up to
+    // that depth is meaningful (k > pool size just returns the pool)
+    require(k >= 1 && kCand >= 1, s"need k >= 1 and kCand >= 1, got k=$k kCand=$kCand")
     // 10000/(rrfK+rank) via double floor is exact integer division: an
     // IEEE quotient of small ints errs < 1 ulp, which cannot cross an
     // integer boundary unless the true quotient IS that integer (and

@@ -78,4 +78,71 @@ class SearchSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"query terms must broadcast against the postings:\n$plan")
   }
+
+  /** Hand-computed RRF fixture: 4 docs whose LEXICAL relevance and
+    * SEMANTIC proximity are engineered independently, so each query pins
+    * one fusion contract. rrf(rank) = floor(10000/(60+rank)):
+    * rank 1 → 163, rank 2 → 161. */
+  private def hybridFixture = {
+    val docs = corpus(
+      1L -> "alpha beta gamma",     // q0 lexical hits
+      2L -> "alpha delta",
+      3L -> "epsilon zeta",         // q1 lexical hit
+      4L -> "eta theta")            // q2 lexical hit
+    // vec_id == query_id pairing: vec 0/1/2 are the query vectors
+    val emb = Seq(
+      0L -> Seq(1.0f, 0.0f, 0.0f),
+      1L -> Seq(-1.0f, 0.0f, 0.0f),
+      2L -> Seq(0.0f, 1.0f, 0.0f),
+      3L -> Seq(1.0f, 0.1f, 0.0f),  // near q0 (cos .995), near-orthogonal q2
+      4L -> Seq(1.0f, 0.2f, 0.0f)   // near q0 (cos .981)
+    ).toDF("vec_id", "embedding")
+    (docs, emb)
+  }
+
+  test("hybridTopK: disjoint lists — each doc contributes from ONE list; equal rrf ties break on doc_id") {
+    val (docs, emb) = hybridFixture
+    // q0 'alpha beta': lex = [1, 2]; sem (vs vec 0) = [3, 4] — disjoint.
+    // doc1 and doc3 both score 163 (rank-1 in their own list): the tie
+    // breaks on doc_id; same at 161 for doc2/doc4.
+    val out = Search.hybridTopK(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", queries = Seq(0L -> "alpha beta"), k = 4, kCand = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_bp")))
+    assert(out.toSeq === Seq((1, 1L, 163L), (2, 3L, 163L),
+      (3, 2L, 161L), (4, 4L, 161L)))
+  }
+
+  test("hybridTopK: a doc in BOTH lists sums contributions; short lists are fine") {
+    val (docs, emb) = hybridFixture
+    // q2 'eta theta': lex = [4] (one candidate — shorter than kCand);
+    // sem (vs vec 2 = [0,1,0]) = [4 (cos .196), 3 (cos .0995)].
+    // doc4 fuses 163 + 163 = 326 and must rank first.
+    val out = Search.hybridTopK(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", queries = Seq(2L -> "eta theta"), k = 4, kCand = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_bp")))
+    assert(out.toSeq === Seq((1, 4L, 326L), (2, 3L, 161L)))
+  }
+
+  test("hybridTopK: multi-query isolation and the absent-from-lex side") {
+    val (docs, emb) = hybridFixture
+    // q1 'epsilon zeta': lex = [3]; sem (vs vec 1 = [-1,0,0]) ranks by
+    // cosine DESC over negatives too = [2 (cos 0), 4 (cos -.98)].
+    // doc2 (sem-only, 163) ties doc3 (lex-only, 163) → doc2 first.
+    val out = Search.hybridTopK(docs, "doc_id", "text", emb, "vec_id",
+        "embedding",
+        queries = Seq(0L -> "alpha beta", 1L -> "epsilon zeta"),
+        k = 4, kCand = 2)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    val q1 = out(1L).sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_bp")))
+    assert(q1.toSeq === Seq((1, 2L, 163L), (2, 3L, 163L), (3, 4L, 161L)))
+    // q0 must be unchanged by q1 riding along
+    val q0 = out(0L).sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
+    assert(q0.toSeq === Seq(1L, 3L, 2L, 4L))
+  }
 }
