@@ -551,6 +551,12 @@ object TimesearchQueries {
     * on Verify-running-before-Bench ordering. */
   private val IngestSfToken = "__INGEST_SF__"
 
+  /** `__REPO__` stands for the repo root at RUNTIME (`user.dir` — sbt
+    * runs from the project root), so the committed golden parquet
+    * resolves in any checkout location; the former hard-coded
+    * `/root/repo/...` silently broke the oracle anywhere else. */
+  private val RepoToken = "__REPO__"
+
   private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
 
@@ -561,7 +567,7 @@ object TimesearchQueries {
     // (construct-level) ground truth that justifies the golden.
     "q_render_html" ->
       """SELECT idstr, html_len, html_md5
-         FROM read_parquet('/root/repo/src/test/resources/golden/render___INGEST_SF__.parquet')
+         FROM read_parquet('__REPO__/src/test/resources/golden/render___INGEST_SF__.parquet')
          ORDER BY idstr""",
 
     // the bucketed layout holds the same rows — the oracle joins the same
@@ -886,9 +892,12 @@ object TimesearchQueries {
          ORDER BY idstr"""
   )
 
-  /** Oracle SQL with fixture paths bound to `sfName` (e.g. "sf0.01"). */
+  /** Oracle SQL with fixture paths bound to `sfName` (e.g. "sf0.01") and
+    * the repo root bound to the runtime working directory. */
   def oraclesAt(sfName: String): Map[String, String] =
-    oraclesRaw.map { case (k, v) => k -> v.replace(IngestSfToken, sfName) }
+    oraclesRaw.map { case (k, v) => k -> v
+      .replace(IngestSfToken, sfName)
+      .replace(RepoToken, new java.io.File(sys.props("user.dir")).getCanonicalPath) }
 
   /** Default binding, kept for direct readers of the static contract. */
   val oracles: Map[String, String] = oraclesAt("sf0.01")
