@@ -73,6 +73,57 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.broadcasts >= 1, s"centroid table must broadcast: $c")
   }
 
+  test("q_dedup_spans: two-consumer gram recompute, dup set broadcast, one span window") {
+    val c = audited("q_dedup_spans")
+    // exactly TWO hash exchanges: the |distinct grams|-bounded count agg
+    // and the per-doc span window — nothing else shuffles
+    assert(c.exchanges == 2, s"span-detection exchange count drifted: $c")
+    // the dup gram-hash set joins the marking pass BROADCAST
+    assert(c.broadcasts >= 1, s"dup gram set must broadcast: $c")
+    // the planted corpus is a 2-leg union and the map-only gram pass is
+    // DELIBERATELY recomputed for its two consumers (count + mark — see
+    // duplicatedSpans' scaladoc): 2 legs × 2 consumers, never more
+    assert(c.scans <= 4, s"corpus re-read regressed: $c")
+  }
+
+  test("q_contamination_spans: benchmark grams broadcast — the corpus never shuffles for marking") {
+    val c = audited("q_contamination_spans")
+    // bench distinct-gram agg + per-doc span window, nothing else
+    assert(c.exchanges == 2, s"span-decontamination exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"benchmark gram set must broadcast: $c")
+    // corpus pass + benchmark pass
+    assert(c.scans <= 2, s"documents re-read regressed: $c")
+  }
+
+  test("semDedupPairs: the corpus shuffles ONCE on cid; assignment is map-only") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // q_semdedup's final plan sits behind the clusters fixpoint's
+    // localCheckpoint (lineage cut), so the pin probes the pair operator
+    // directly — the piece whose shape carries the Σ|cluster|² promise
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val df = graft.operators.Similarity.semDedupPairs(
+      e, "vec_id", "embedding", nlist = 14, thresholdBp = 9000L)
+    df.collect()
+    val c = PlanAudit.counters(df)
+    info(s"semDedupPairs: $c")
+    // ONE cid hash exchange; the join's other side REUSES it (the corpus
+    // is both sides) — a second independent exchange means the reuse broke
+    assert(c.exchanges == 1 && c.reused >= 1,
+      s"within-cluster pair join must shuffle the corpus once on cid: $c")
+    val plan = df.queryExecution.executedPlan
+    // map-only assignment: the codebook rides as a codegen reference
+    // object — no window, and never a corpus×codebook join
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"assignment must not window:\n$plan")
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }.isEmpty, s"corpus×codebook join found:\n$plan")
+  }
+
   test("q_quality_select: histogram threshold, never a corpus-wide sort/window") {
     val c = audited("q_quality_select")
     // the ONLY hash exchange is the score-histogram aggregation (the
