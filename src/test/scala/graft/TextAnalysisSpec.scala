@@ -300,6 +300,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(spans === Set((3L, 0L, 4L), (4L, 0L, 2L), (4L, 3L, 2L)))
   }
 
+  test("removeDuplicatedSpans: thousands of disjoint spans per doc (hostile span-list point)") {
+    import spark.implicits._
+    // The scrub's _spans array is PER-ROW memory and the indexed token
+    // filter is O(|tokens| × |spans|) row-local work — this pins behavior
+    // at a hostile span count (2000 disjoint spans/doc, the worst shape:
+    // maximally fragmented dup structure). See SCALE.md for the bound and
+    // the chunked fallback past it.
+    val n = 2000
+    def doc(tag: String) =
+      (1 to n).map(i => s"s${i}a s${i}b u$tag$i").mkString(" ")
+    val docs = Seq(1L -> doc("a"), 2L -> doc("b")).toDF("doc_id", "text")
+    // each shared 2-token run is its own span (separators break the runs:
+    // gap 3 > L) → exactly n disjoint spans per doc
+    val spans = TextAnalysis.duplicatedSpans(docs, "doc_id", "text",
+      L = 2, minCount = 2)
+    assert(spans.count() === 2L * n)
+    val clean = TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text",
+        L = 2, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(clean(1L) === (((1 to n).map(i => s"ua$i").mkString(" "), 2L * n)))
+    assert(clean(2L) === (((1 to n).map(i => s"ub$i").mkString(" "), 2L * n)))
+  }
+
   test("contaminatedSpans: exact benchmark-overlap boundaries; clean docs absent") {
     import spark.implicits._
     val leak = (1 to 9).map(i => s"q$i").mkString(" ")       // 9-token eval leak
