@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
-import graft.streaming.{Livestream, StreamIndex}
+import graft.streaming.{Livestream, StreamClusters, StreamIndex}
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over documents/embeddings.
@@ -98,6 +98,35 @@ object PipelineQueries {
         .option("maxFilesPerTrigger", 1).parquet(src)
       val q = StreamIndex.indexSink(stream, "doc_id", "text", table,
         tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
+  /** The streaming-maintained cluster-assignment table for `dir`, built
+    * ONCE per session — the [[incrementalIndex]] analog for the vector
+    * modality: codebook fixed up front from the corpus (the md5 seed
+    * rule — a trained artifact in production), vectors stream through
+    * [[StreamClusters.assignSink]] one file per trigger (4 real
+    * micro-batch merge/publish cycles), assignments served from the
+    * versioned table. */
+  private val builtClusterTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  private def incrementalClusters(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtClusterTables.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_clusters")
+      deleteOnExit(tmp)
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, _) = Similarity.ivfTune(embCount(s, dir))
+      val codebook = Similarity.md5Codebook(
+        Similarity.normalized(emb, "vec_id", "embedding"), nlist)
+      val src = tmp.resolve("in").toString
+      emb.repartition(4).write.parquet(src)
+      val table = StreamClusters.table(s, tmp.resolve("tbl").toString, nBuckets = 16)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamClusters.assignSink(stream, "vec_id", "embedding", codebook,
+        table, tmp.resolve("ckp").toString).start()
       q.awaitTermination()
       table
     })
@@ -379,6 +408,22 @@ object PipelineQueries {
       Similarity.clusterAssign(emb, "vec_id", "embedding", nlist)
         .select(col("doc").as("vec_id"), col("cid").cast("long").as("cid"),
           col("sim_bp"))
+        .orderBy("vec_id")
+    }),
+
+    // Cluster assignment served from the INCREMENTALLY-MAINTAINED table:
+    // the codebook is fixed up front (md5 seed rule over the corpus — a
+    // trained artifact in production), vectors arrive as 4 micro-batches
+    // through StreamClusters' foreachBatch merge into the key-bucketed
+    // versioned table, and the query reads the maintained assignments.
+    // Must equal batch q_embed_cluster exactly — same oracle — proving
+    // incremental assignment maintenance converges to the batch
+    // assignment regardless of arrival batching (the StreamIndex/
+    // q_bm25_incremental device, applied to the embedding modality).
+    "q_cluster_incremental" -> ((s, dir) => {
+      StreamClusters.assignments(incrementalClusters(s, dir))
+        .select(col("doc").cast("long").as("vec_id"),
+          col("cid").cast("long").as("cid"), col("sim_bp"))
         .orderBy("vec_id")
     }),
 
@@ -1138,6 +1183,13 @@ object PipelineQueries {
     // one double ulp either side of the floor boundary — see
     // Similarity.clusterAssign's scaladoc.
     "q_embed_cluster" -> (clusterAssignCte +
+      """
+         SELECT vec_id, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_bp
+         FROM best ORDER BY vec_id"""),
+
+    // the incrementally-maintained assignment table must converge to the
+    // batch assignment, so the streamed path shares the oracle verbatim
+    "q_cluster_incremental" -> (clusterAssignCte +
       """
          SELECT vec_id, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_bp
          FROM best ORDER BY vec_id"""),

@@ -363,6 +363,21 @@ object Similarity {
     val n = normalized(emb, id, vec)
     val seed = md5Codebook(n, nlist)
     val codebook = if (kmeansIters <= 0) seed else kmeansRefine(n, seed, kmeansIters)
+    assignToCodebook(emb, id, vec, codebook)
+  }
+
+  /** [[clusterAssign]]'s serving core against a GIVEN codebook — the
+    * per-micro-batch unit of the incrementally-maintained assignment
+    * table ([[graft.streaming.StreamClusters]] upserts these rows per
+    * batch, the embedding analog of StreamIndex's postings unit): in
+    * production the codebook is a trained artifact fixed up front, and
+    * arriving vectors are assigned against it map-only. Same plan shape
+    * as clusterAssign (codebook as codegen reference object, nlist-row
+    * centroid table broadcast for the sim projection — the batch never
+    * shuffles). Output: (doc, cid, sim_bp). */
+  def assignToCodebook(emb: DataFrame, id: String, vec: String,
+      codebook: Seq[Seq[Double]]): DataFrame = {
+    val n = normalized(emb, id, vec)
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = broadcast(

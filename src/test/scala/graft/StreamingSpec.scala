@@ -22,6 +22,9 @@ case class D(ts: java.sql.Timestamp, body: String)
 // (id, text) rows for the StreamIndex tests
 case class IxDoc(doc_id: Long, text: String)
 
+// (id, vector) rows for the StreamClusters tests
+case class VecRow(vec_id: Long, embedding: Array[Double])
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -121,6 +124,47 @@ class StreamingSpec extends AnyFunSuite {
         explode(col("toks")).as(Seq("tok", "tf")))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(v0.contains(("1", "beta")) && !v0.exists(_._1 == "3"))
+  }
+
+  test("StreamClusters: incremental assignment equals batch, re-arrived vector moves cluster") {
+    import graft.streaming.StreamClusters
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // FIXED codebook (the streaming invariant: a vector's cluster never
+    // changes because other vectors arrived): two unit axes
+    val codebook: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val mem = MemoryStream[VecRow]
+    val table = StreamClusters.table(spark, tmp("clu"), nBuckets = 8)
+    val q = StreamClusters.assignSink(mem.toDF(), "vec_id", "embedding",
+      codebook, table, tmp("cluckp"), Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(VecRow(1, Array(2.0, 0.0)), VecRow(2, Array(0.0, 3.0)))
+      q.processAllAvailable()
+      // argmax tie (cos .7071 to both axes) → strict-> scan keeps cid 0
+      mem.addData(VecRow(3, Array(1.0, 1.0)))
+      q.processAllAvailable()
+      // vector 1 RE-ARRIVES pointing the other way: its assignment must
+      // move to cid 1 (replace-by-doc — the case an append-only
+      // assignment log gets wrong)
+      mem.addData(VecRow(1, Array(0.0, 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamClusters.assignments(table)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // ground truth: batch assignment of each vector's LATEST version
+    // against the same codebook
+    val latest = Seq(1L -> Seq(0.0, 1.0), 2L -> Seq(0.0, 3.0),
+        3L -> Seq(1.0, 1.0)).toDF("vec_id", "embedding")
+    val want = Similarity.assignToCodebook(latest, "vec_id", "embedding", codebook)
+      .collect().map(r => (r.getLong(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got === Set(("1", 1, 10000L), ("2", 1, 10000L), ("3", 0, 7071L)))
+    // three non-empty micro-batches → three published versions, and time
+    // travel reads vector 1's ORIGINAL assignment at version 0
+    assert(table.currentVersion === 2L)
+    val v0 = table.at(0).select(col(graft.operators.Merge.KeyCol), col("cid"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(v0 === Set(("1", 0), ("2", 1)))
   }
 
   test("streaming exact dedup: normalized re-arrivals within the horizon are dropped, first arrival wins") {
