@@ -124,6 +124,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }.isEmpty, s"corpus×codebook join found:\n$plan")
   }
 
+  test("q_hybrid: each candidate half keeps its audited plan; fusion is candidate-sized") {
+    val c = audited("q_hybrid")
+    // corpus once (behind the postings checkpoint) + embeddings once —
+    // the fusion stage adds NO extra source reads
+    assert(c.scans <= 2, s"source re-read regressed: $c")
+    // the BM25 half's query-term/df/stats broadcasts plus the semantic
+    // half's query-vector broadcast all survive composition
+    assert(c.broadcasts >= 5, s"candidate-generator broadcasts lost: $c")
+    // BM25's aggs/top-k + brute top-k + the fused (query, doc) agg and
+    // final rank — all candidate- or vocab-bounded; more means a
+    // corpus-sized exchange crept into fusion
+    assert(c.exchanges <= 7, s"hybrid exchange count drifted: $c")
+  }
+
   test("q_quality_select: histogram threshold, never a corpus-wide sort/window") {
     val c = audited("q_quality_select")
     // the ONLY hash exchange is the score-histogram aggregation (the
