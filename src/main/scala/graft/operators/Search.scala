@@ -128,14 +128,22 @@ object Search {
     *
     * 100 TB shape: each candidate generator keeps its own audited plan
     * (bm25TopK broadcast-prunes the corpus to query-term postings;
-    * bruteTopK broadcasts queries and never shuffles the corpus — swap
-    * in [[Similarity.ivfTopK]] for the probed serving path); fusion then
-    * touches ≤ 2·kCand·|queries| rows, so every exchange after candidate
-    * generation is candidate-sized, never corpus-sized. */
+    * bruteTopK broadcasts queries and never shuffles the corpus); fusion
+    * then touches ≤ 2·kCand·|queries| rows, so every exchange after
+    * candidate generation is candidate-sized, never corpus-sized.
+    *
+    * @param semTopK the semantic candidate generator,
+    *        (emb, vecId, vec, queryIds, kCand) → (query_id, rank,
+    *        neighbor_id, …) — default the exact [[Similarity.bruteTopK]];
+    *        pass [[Similarity.ivfTopK]] (partially applied with its
+    *        nlist/nprobe) for the probed serving path at scale. Fusion
+    *        reads only (query_id, rank, neighbor_id). */
   def hybridTopK(docs: DataFrame, id: String, text: String,
       emb: DataFrame, vecId: String, vec: String,
       queries: Seq[(Long, String)], k: Int = 10, kCand: Int = 20,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60,
+      semTopK: (DataFrame, String, String, Seq[Long], Int) => DataFrame =
+        Similarity.bruteTopK): DataFrame = {
     // the fused pool holds up to 2·kCand docs per query, so any k up to
     // that depth is meaningful (k > pool size just returns the pool)
     require(k >= 1 && kCand >= 1, s"need k >= 1 and kCand >= 1, got k=$k kCand=$kCand")
@@ -147,7 +155,7 @@ object Search {
       floor(lit(10000.0) / (lit(rrfK) + rank)).cast("long")
     val lex = bm25TopK(docs, id, text, queries, kCand)
       .select(col("query_id"), col("doc_id"), rrf(col("rank")).as("rrf"))
-    val sem = Similarity.bruteTopK(emb, vecId, vec, queries.map(_._1), kCand)
+    val sem = semTopK(emb, vecId, vec, queries.map(_._1), kCand)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         rrf(col("rank")).as("rrf"))
     val fused = lex.unionByName(sem)

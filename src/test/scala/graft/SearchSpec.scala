@@ -145,4 +145,21 @@ class SearchSpec extends AnyFunSuite {
     val q0 = out(0L).sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id"))
     assert(q0.toSeq === Seq(1L, 3L, 2L, 4L))
   }
+
+  test("hybridTopK: the semantic half is pluggable — IVF full-probe composes identically") {
+    import graft.operators.Similarity
+    val (docs, emb) = hybridFixture
+    val queries = Seq(0L -> "alpha beta", 2L -> "eta theta")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val viaBrute = rows(Search.hybridTopK(docs, "doc_id", "text", emb,
+      "vec_id", "embedding", queries, k = 4, kCand = 2))
+    // the probed serving path, full-probe here (nprobe = nlist degenerates
+    // to exact — SimilaritySpec) so the fused output must be identical
+    val viaIvf = rows(Search.hybridTopK(docs, "doc_id", "text", emb,
+      "vec_id", "embedding", queries, k = 4, kCand = 2,
+      semTopK = (e, i, v, q, kc) =>
+        Similarity.ivfTopK(e, i, v, q, kc, nlist = 3, nprobe = 3,
+          persistCorpus = false)))
+    assert(viaIvf === viaBrute)
+  }
 }
