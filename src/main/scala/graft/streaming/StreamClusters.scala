@@ -71,7 +71,7 @@ object StreamClusters {
 
   /** One micro-batch → assignment rows: map-only
     * [[Similarity.assignToCodebook]] against the fixed codebook. */
-  private[streaming] def assignRows(batch: DataFrame, id: String, vec: String,
+  private[graft] def assignRows(batch: DataFrame, id: String, vec: String,
       codebook: Seq[Seq[Double]]): DataFrame =
     Similarity.assignToCodebook(batch, id, vec, codebook)
       .select(col("doc").cast("string").as(Merge.KeyCol),

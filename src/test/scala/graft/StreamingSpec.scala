@@ -167,6 +167,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(v0 === Set(("1", 0), ("2", 1)))
   }
 
+  test("StreamClusters T3/T5: a redelivered batch (same _seq) leaves assignments unchanged") {
+    import graft.streaming.StreamClusters
+    // crash-redelivery contract: foreachBatch re-runs a batch with the
+    // SAME batchId after a mid-merge failure → same batchId-derived _seq
+    // → the merge must converge to the same table state, not duplicate
+    // or flip assignments (the invariant the checkpointed sink rests on)
+    val codebook: Seq[Seq[Double]] = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val table = StreamClusters.table(spark, tmp("clurep"), nBuckets = 4)
+    val batch = Seq(1L -> Seq(2.0, 0.0), 2L -> Seq(0.0, 3.0))
+      .toDF("vec_id", "embedding")
+    def mkRows() = StreamClusters.assignRows(batch, "vec_id", "embedding", codebook)
+      .withColumn("_seq", lit(0L))
+    table.merge(mkRows(), "_seq", storeEdits = Some(false))
+    val first = StreamClusters.assignments(table).collect().map(_.toSeq).toSet
+    table.merge(mkRows(), "_seq", storeEdits = Some(false))   // redelivery
+    val replayed = StreamClusters.assignments(table).collect().map(_.toSeq).toSet
+    assert(replayed === first)
+    assert(first.map(_(1)) === Set(0, 1))   // sanity: both axes assigned
+  }
+
   test("streaming exact dedup: normalized re-arrivals within the horizon are dropped, first arrival wins") {
     import graft.streaming.StreamDedup
     implicit val sqlCtx = spark.sqlContext
