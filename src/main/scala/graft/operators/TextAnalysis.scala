@@ -285,6 +285,41 @@ object TextAnalysis {
         (size(col("_t")) - size(col("_kept"))).cast("long").as("n_removed"))
   }
 
+  /** [[removeDuplicatedSpans]]' POSITIONAL form — the fallback SCALE.md
+    * names for pathological span counts, where the row-local form's
+    * collected `_spans` array (per-row memory) and O(|tokens| × |spans|)
+    * indexed filter stop being safe.
+    *
+    * Device: each span EXPLODES into its covered positions — spans are
+    * disjoint by [[coveredSpans]]' construction, so the removal set is
+    * bounded by |covered tokens| ≤ |doc tokens|, never |tokens|·|spans| —
+    * and tokens drop by a (doc, pos) anti-join; survivors reassemble via
+    * sort_array(collect_list). Every exchange is |tokens|-bounded, no
+    * per-row arrays beyond one doc's SURVIVING tokens (the same row the
+    * output carries). Output and semantics identical to
+    * [[removeDuplicatedSpans]] (spec-asserted, including the hostile
+    * 2000-span corpus); costs one more exchange than the row-local form —
+    * the trade that buys unbounded span counts. */
+  def removeDuplicatedSpansPositional(df: DataFrame, id: String, text: String,
+      L: Int = 8, minCount: Long = 2): DataFrame = {
+    val rm = duplicatedSpans(df, id, text, L, minCount)
+      .select(col("doc"), explode(sequence(col("span_start"),
+        col("span_start") + col("span_len") - 1)).as("pos"))
+    df.select(col(id).as("doc"), posexplode(ws(Dedup.normText(col(text))))
+        .as(Seq("pos", "tok")))
+      .join(rm, Seq("doc", "pos"), "left_anti")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("_kept"),
+        count(lit(1)).as("_nkept"))
+      .join(df.select(col(id).as("doc"),
+        size(ws(Dedup.normText(col(text)))).cast("long").as("_ntok")), Seq("doc"), "right")
+      .select(col("doc"),
+        concat_ws(" ", transform(coalesce(col("_kept"),
+          array().cast("array<struct<pos:int,tok:string>>")),
+          s => s.getField("tok"))).as("clean_text"),
+        (col("_ntok") - coalesce(col("_nkept"), lit(0L))).as("n_removed"))
+  }
+
   /** One-pass document profile.
     *
     * The token arrays are materialized ONCE into their own projection and

@@ -321,6 +321,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(clean(1L) === (((1 to n).map(i => s"ua$i").mkString(" "), 2L * n)))
     assert(clean(2L) === (((1 to n).map(i => s"ub$i").mkString(" "), 2L * n)))
+    // the positional fallback (SCALE.md's chunked path for pathological
+    // span counts — no per-row span array) must be output-identical here
+    val positional = TextAnalysis.removeDuplicatedSpansPositional(docs,
+        "doc_id", "text", L = 2, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(positional === clean)
+  }
+
+  test("removeDuplicatedSpansPositional: output-identical to the row-local form (incl. scrub-to-empty)") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $shared b1 b2 b3",
+      2L -> s"c1 c2 $shared d1",
+      3L -> "unique tokens only here nothing repeats at all ever",
+      4L -> "x1 x2 x3 x4 x5 x6 x7 x8 x1 x2 x3 x4 x5 x6 x7 x8" // scrubs to ""
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val rowLocal = rows(
+      TextAnalysis.removeDuplicatedSpans(docs, "doc_id", "text", L = 8))
+    val positional = rows(
+      TextAnalysis.removeDuplicatedSpansPositional(docs, "doc_id", "text", L = 8))
+    assert(positional === rowLocal)
+    // no-span docs pass through and the fully-duplicated doc scrubs to
+    // the empty string in BOTH forms (the right-join resurrection case)
+    assert(positional.exists(r => r._1 === 4L && r._2 === "" && r._3 === 16L))
+    assert(positional.exists(r => r._1 === 3L && r._3 === 0L))
   }
 
   test("contaminatedSpans: exact benchmark-overlap boundaries; clean docs absent") {
