@@ -86,6 +86,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 4, s"corpus re-read regressed: $c")
   }
 
+  test("q_dedup_scrub: enforcement adds one broadcast join and NO exchange beyond detection") {
+    val c = audited("q_dedup_scrub")
+    // same two hash exchanges as detection (gram count + span window):
+    // the per-doc collect_list agg reuses the window's doc partitioning
+    // and the join back to the corpus broadcasts the span side
+    assert(c.exchanges == 2, s"scrub exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"span side must broadcast back to the corpus: $c")
+    // detection's 2 legs × 2 consumers + the token-side corpus re-read
+    assert(c.scans <= 6, s"corpus re-read regressed: $c")
+  }
+
   test("q_contamination_spans: benchmark grams broadcast — the corpus never shuffles for marking") {
     val c = audited("q_contamination_spans")
     // bench distinct-gram agg + per-doc span window, nothing else
