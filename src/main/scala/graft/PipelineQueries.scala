@@ -284,6 +284,38 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Split-leakage audit — the hashSplit ∘ contamination composition: a
+    // train doc sharing any 3-gram with the TEST split is a leak (the
+    // standard pre-release QA pass over a produced corpus; the split
+    // and the contamination operator compose declaratively, one plan).
+    "q_split_leakage" -> ((s, dir) => {
+      val d = TextAnalysis.hashSplit(Tables.load(s, dir, "documents"), "doc_id")
+      TextAnalysis.contamination(
+          d.filter(col("split") === "train"),
+          d.filter(col("split") === "test"),
+          "doc_id", "text", 3)
+        .orderBy("doc")
+    }),
+
+    // Per-source datasheet rollup: the numbers a mixture decision reads
+    // (doc/token/char totals, quality spread), aggregated from the SAME
+    // profile pass q_text_profile serves — all-integer outputs, the mean
+    // via integer division (div ↔ // mirror).
+    "q_source_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val prof = TextAnalysis.profile(docs, "doc_id", "text")
+      docs.select(col("doc_id"), col("source"))
+        .join(prof, "doc_id")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          expr("sum(quality_bp) div count(1)").as("mean_quality_bp"),
+          min("quality_bp").as("min_quality_bp"),
+          max("quality_bp").as("max_quality_bp"))
+        .orderBy("source")
+    }),
+
     // Connected-components dup clustering: min-label propagation over the
     // exact-dup pair graph; cluster = min reachable doc id (the keep-one
     // canonical policy). Oracle: groups of equal normalized text ARE the
@@ -811,6 +843,50 @@ object PipelineQueries {
            FROM nn0 nn CROSS JOIN cents c)
          WHERE rn = 1)"""
 
+  /** The full per-document profile algebra as a CTE chain ending in
+    * `prof` — ONE copy shared by q_text_profile and the per-source
+    * rollup (q_source_stats), so a formula change cannot silently
+    * desynchronize them (the shingleCte rule). Mirrors
+    * TextAnalysis.profile expression-for-expression. */
+  private val profileCte =
+    """WITH t AS (
+         SELECT doc_id, text,
+                string_split_regex(trim(text), '\s+') AS toks,
+                string_split_regex(trim(lower(text)), '\s+') AS ltoks
+         FROM documents),
+       m AS (
+         SELECT doc_id, text,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subwords,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                CAST(floor(list_sum(list_transform(toks, x -> length(x))) * 10000.0 / len(toks)) AS BIGINT) AS mean_word_len_bp,
+                CAST(floor(len(regexp_extract_all(text, '[.,;:!?]')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
+                CAST(floor(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this'], x))) * 10000.0 / len(ltoks)) AS BIGINT) AS stopword_ratio_bp,
+                CAST(len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
+                CAST(len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is'], x))) AS BIGINT) AS s_en,
+                CAST(len(list_filter(ltoks, x -> list_contains(['el','la','de','que','es'], x))) AS BIGINT) AS s_es,
+                CAST(len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est'], x))) AS BIGINT) AS s_fr
+         FROM t),
+       prof AS (
+         SELECT doc_id, n_tokens, n_subwords, n_chars, mean_word_len_bp,
+                punct_ratio_bp, stopword_ratio_bp,
+                greatest(0, least(10000,
+                  5000 + CAST(floor(stopword_ratio_bp / 2.0) AS BIGINT)
+                       - CAST(floor(abs(mean_word_len_bp - 50000) / 20.0) AS BIGINT)
+                       - punct_ratio_bp)) AS quality_bp,
+                CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                     WHEN (CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
+                           CASE WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
+                           CASE WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
+                           CASE WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END) > 1 THEN 'und'
+                     WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
+                     WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+                     WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+                     ELSE 'fr' END AS lang_pred,
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+                CAST(('0x' || substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4)) AS BIGINT) AS fp_bucket
+         FROM m)"""
+
   /** Exact brute-force top-k ground truth — shared by q_ann_topk and the
     * verified IVF path (q_ann_ivf), which must serve identical rows. */
   private val bruteTopKOracle =
@@ -1290,43 +1366,41 @@ object PipelineQueries {
                   AS n_tokens
          FROM e ORDER BY doc, chunk_idx""",
 
-    "q_text_profile" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-                  string_split_regex(trim(text), '\s+') AS toks,
-                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
-           FROM documents),
-         m AS (
-           SELECT doc_id, text,
-                  CAST(len(toks) AS BIGINT) AS n_tokens,
-                  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_subwords,
-                  CAST(length(text) AS BIGINT) AS n_chars,
-                  CAST(floor(list_sum(list_transform(toks, x -> length(x))) * 10000.0 / len(toks)) AS BIGINT) AS mean_word_len_bp,
-                  CAST(floor(len(regexp_extract_all(text, '[.,;:!?]')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
-                  CAST(floor(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this'], x))) * 10000.0 / len(ltoks)) AS BIGINT) AS stopword_ratio_bp,
-                  CAST(len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS s_de,
-                  CAST(len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is'], x))) AS BIGINT) AS s_en,
-                  CAST(len(list_filter(ltoks, x -> list_contains(['el','la','de','que','es'], x))) AS BIGINT) AS s_es,
-                  CAST(len(list_filter(ltoks, x -> list_contains(['le','la','de','et','est'], x))) AS BIGINT) AS s_fr
-           FROM t)
+    "q_text_profile" -> (profileCte +
+      """
          SELECT doc_id, n_tokens, n_subwords, n_chars, mean_word_len_bp,
-                punct_ratio_bp, stopword_ratio_bp,
-                greatest(0, least(10000,
-                  5000 + CAST(floor(stopword_ratio_bp / 2.0) AS BIGINT)
-                       - CAST(floor(abs(mean_word_len_bp - 50000) / 20.0) AS BIGINT)
-                       - punct_ratio_bp)) AS quality_bp,
-                CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                     WHEN (CASE WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
-                           CASE WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
-                           CASE WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END +
-                           CASE WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) THEN 1 ELSE 0 END) > 1 THEN 'und'
-                     WHEN s_de = greatest(s_de,s_en,s_es,s_fr) THEN 'de'
-                     WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
-                     WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
-                     ELSE 'fr' END AS lang_pred,
-                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
-                CAST(('0x' || substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4)) AS BIGINT) AS fp_bucket
-         FROM m ORDER BY doc_id""",
+                punct_ratio_bp, stopword_ratio_bp, quality_bp, lang_pred,
+                fingerprint, fp_bucket
+         FROM prof ORDER BY doc_id"""),
+
+    // Per-source corpus rollup over the SAME profile algebra (shared
+    // CTE): the datasheet numbers a mixture decision reads. All-integer
+    // aggregates; the mean uses integer division (div // mirror).
+    "q_source_stats" -> (profileCte +
+      """,
+         j AS (
+           SELECT d.source, p.n_tokens, p.n_chars, p.quality_bp
+           FROM prof p JOIN documents d USING (doc_id))
+         SELECT source,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(sum(quality_bp) // count(*) AS BIGINT) AS mean_quality_bp,
+                CAST(min(quality_bp) AS BIGINT) AS min_quality_bp,
+                CAST(max(quality_bp) AS BIGINT) AS max_quality_bp
+         FROM j GROUP BY source ORDER BY source"""),
+
+    // Split-leakage audit: train docs sharing any 3-gram with the TEST
+    // split — the hashSplit ∘ contamination composition; same algebra as
+    // q_contamination with the split rule as the partition.
+    "q_split_leakage" -> (shingleCte +
+      """,
+         ts AS (SELECT DISTINCT s FROM sh
+                WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) >= 'e666')
+         SELECT doc, count(*) AS n_hits
+         FROM sh JOIN ts USING (s)
+         WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) < 'cccc'
+         GROUP BY doc ORDER BY doc"""),
 
     // Same quality_bp computation as q_text_profile; threshold = the
     // target-th largest score (target = ceil(n·25/100), integer //),
