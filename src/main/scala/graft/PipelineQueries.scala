@@ -345,6 +345,15 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // The SHIPPED positional fallback (unbounded span counts — see
+    // SCALE.md): same semantics through a (doc, pos) anti-join instead
+    // of the row-local span array; must hash-match the same oracle.
+    "q_dedup_scrub_positional" -> ((s, dir) => {
+      TextAnalysis.removeDuplicatedSpansPositional(corpusWithDups(s, dir),
+          "doc_id", "text", L = 8)
+        .orderBy("doc")
+    }),
+
     // n-gram Jaccard near-dup: inverted-index block join, exact.
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"),
@@ -685,6 +694,24 @@ object PipelineQueries {
          SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
                 CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
          FROM grps GROUP BY doc, grp)"""
+
+  /** Scrub ground truth (detection CTEs + token-level mark/re-concat) —
+    * shared verbatim by the row-local (q_dedup_scrub) and positional
+    * (q_dedup_scrub_positional) forms, which must emit identical rows. */
+  private val scrubOracle = dupSpansCte + """,
+         tok AS (
+           SELECT doc, i - 1 AS pos, wd[i] AS tok
+           FROM (SELECT doc, wd, unnest(range(1, len(wd) + 1)) AS i FROM nw) t),
+         flt AS (
+           SELECT t.doc, t.pos, t.tok, s.doc IS NOT NULL AS rm
+           FROM tok t LEFT JOIN spans s
+             ON s.doc = t.doc AND t.pos >= s.span_start
+                AND t.pos < s.span_start + s.span_len)
+         SELECT doc,
+                coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos), '')
+                  AS clean_text,
+                CAST(count(*) FILTER (rm) AS BIGINT) AS n_removed
+         FROM flt GROUP BY doc ORDER BY doc"""
 
   /** The BM25 scoring CTE chain (through `scored`) — shared by the
     * standalone BM25 oracles and the hybrid-fusion oracle, which keeps
@@ -1144,20 +1171,11 @@ object PipelineQueries {
     // covered-run merge makes spans disjoint BY CONSTRUCTION — no token
     // has two covering spans, so the LEFT JOIN cannot duplicate one), and
     // re-concatenates survivors in position order.
-    "q_dedup_scrub" -> (dupSpansCte + """,
-         tok AS (
-           SELECT doc, i - 1 AS pos, wd[i] AS tok
-           FROM (SELECT doc, wd, unnest(range(1, len(wd) + 1)) AS i FROM nw) t),
-         flt AS (
-           SELECT t.doc, t.pos, t.tok, s.doc IS NOT NULL AS rm
-           FROM tok t LEFT JOIN spans s
-             ON s.doc = t.doc AND t.pos >= s.span_start
-                AND t.pos < s.span_start + s.span_len)
-         SELECT doc,
-                coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos), '')
-                  AS clean_text,
-                CAST(count(*) FILTER (rm) AS BIGINT) AS n_removed
-         FROM flt GROUP BY doc ORDER BY doc"""),
+    "q_dedup_scrub" -> scrubOracle,
+
+    // the positional fallback must produce IDENTICAL output — same
+    // oracle verbatim (like the incremental-vs-batch pairs)
+    "q_dedup_scrub_positional" -> scrubOracle,
 
     // Recomputes the 60-bit md5-prefix simhash signatures (per-bit
     // majority vote, ties → 0, over ALL word occurrences of the
