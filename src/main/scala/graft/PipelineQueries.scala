@@ -299,13 +299,14 @@ object PipelineQueries {
 
     // Per-source datasheet rollup: the numbers a mixture decision reads
     // (doc/token/char totals, quality spread), aggregated from the SAME
-    // profile pass q_text_profile serves — all-integer outputs, the mean
-    // via integer division (div ↔ // mirror).
+    // profile algebra q_text_profile serves — all-integer outputs, the
+    // mean via integer division (div ↔ // mirror). profile() is a pure
+    // projection, so keying it by SOURCE (instead of joining metrics
+    // back to the corpus on doc_id — a corpus-sized shuffle join for
+    // nothing) makes the whole rollup one map-only pass + one
+    // map-side-combined agg of ~|sources| groups.
     "q_source_stats" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val prof = TextAnalysis.profile(docs, "doc_id", "text")
-      docs.select(col("doc_id"), col("source"))
-        .join(prof, "doc_id")
+      TextAnalysis.profile(Tables.load(s, dir, "documents"), "source", "text")
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum("n_tokens").as("total_tokens"),

@@ -149,6 +149,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.exchanges <= 7, s"hybrid exchange count drifted: $c")
   }
 
+  test("q_source_stats: one map-only profile pass + one agg — no corpus self-join") {
+    val c = audited("q_source_stats")
+    // profile keyed by source directly: the ONLY hash exchange is the
+    // |sources|-group aggregation (map-side combined); a doc_id join of
+    // the corpus against its own metrics would add exchanges and a scan
+    assert(c.exchanges == 1, s"source-stats exchange count drifted: $c")
+    assert(c.scans <= 1, s"corpus re-read regressed: $c")
+  }
+
   test("q_quality_select: histogram threshold, never a corpus-wide sort/window") {
     val c = audited("q_quality_select")
     // the ONLY hash exchange is the score-histogram aggregation (the
