@@ -1421,38 +1421,22 @@ object PipelineQueries {
          WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) < 'cccc'
          GROUP BY doc ORDER BY doc"""),
 
-    // Same quality_bp computation as q_text_profile; threshold = the
-    // target-th largest score (target = ceil(n·25/100), integer //),
-    // keep score ≥ threshold — ties at the cut all survive, matching
+    // Quality from the SHARED profile algebra (profileCte — the third
+    // inline copy of the formula is gone); threshold = the target-th
+    // largest score (target = ceil(n·25/100), integer //), keep score ≥
+    // threshold — ties at the cut all survive, matching
     // selectTopPctByScore's keep-ties policy exactly.
-    "q_quality_select" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-                  string_split_regex(trim(text), '\s+') AS toks,
-                  string_split_regex(trim(lower(text)), '\s+') AS ltoks
-           FROM documents),
-         m AS (
-           SELECT doc_id,
-                  CAST(floor(list_sum(list_transform(toks, x -> length(x))) * 10000.0 / len(toks)) AS BIGINT) AS mean_word_len_bp,
-                  CAST(floor(len(regexp_extract_all(text, '[.,;:!?]')) * 10000.0 / length(text)) AS BIGINT) AS punct_ratio_bp,
-                  CAST(floor(len(list_filter(ltoks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by','from','that','this'], x))) * 10000.0 / len(ltoks)) AS BIGINT) AS stopword_ratio_bp
-           FROM t),
-         q AS (
-           SELECT doc_id,
-                  greatest(0, least(10000,
-                    5000 + CAST(floor(stopword_ratio_bp / 2.0) AS BIGINT)
-                         - CAST(floor(abs(mean_word_len_bp - 50000) / 20.0) AS BIGINT)
-                         - punct_ratio_bp)) AS quality_bp
-           FROM m),
+    "q_quality_select" -> (profileCte +
+      """,
          r AS (
            SELECT doc_id, quality_bp,
                   row_number() OVER (ORDER BY quality_bp DESC, doc_id) AS rn,
                   count(*) OVER () AS n
-           FROM q),
+           FROM prof),
          thr AS (SELECT quality_bp AS thr FROM r WHERE rn = (n * 25 + 99) // 100)
-         SELECT doc_id, quality_bp FROM q
+         SELECT doc_id, quality_bp FROM prof
          WHERE quality_bp >= (SELECT thr FROM thr)
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""),
 
     "q_multimodal" ->
       """SELECT doc_id,

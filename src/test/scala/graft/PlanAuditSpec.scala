@@ -149,6 +149,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.exchanges <= 7, s"hybrid exchange count drifted: $c")
   }
 
+  test("q_split_leakage: test-split shingles broadcast — the composition keeps contamination's shape") {
+    val c = audited("q_split_leakage")
+    // the test split's distinct-shingle agg + the (doc, count) agg; the
+    // split filter rides both scans map-only
+    assert(c.exchanges <= 2, s"split-leakage exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"test-split shingle set must broadcast: $c")
+    assert(c.scans <= 2, s"documents re-read regressed: $c")
+  }
+
   test("q_source_stats: one map-only profile pass + one agg — no corpus self-join") {
     val c = audited("q_source_stats")
     // profile keyed by source directly: the ONLY hash exchange is the
