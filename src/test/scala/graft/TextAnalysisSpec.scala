@@ -351,6 +351,59 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(positional.exists(r => r._1 === 3L && r._3 === 0L))
   }
 
+  test("duplicatedSpans model check: 5 seeded random corpora equal a reference interval-union") {
+    import spark.implicits._
+    // Reference model in plain Scala: count L-gram strings corpus-wide,
+    // mark positions whose gram repeats, union the [p, p+L) intervals
+    // (adjacency merges) into maximal covered runs. The operator must
+    // equal it EXACTLY on random corpora over a tiny vocab (dense
+    // collisions — the regime where the old run-grouping overlapped).
+    def refSpans(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      val grams = toks.flatMap { case (id, ts) =>
+        ts.sliding(L).filter(_.size == L).zipWithIndex
+          .map { case (g, i) => (id, i, g.mkString(" ")) } }
+      val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+      val marked = grams.filter(g => counts(g._3) >= 2).map(g => (g._1, g._2))
+      marked.groupBy(_._1).flatMap { case (id, ps) =>
+        val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+        for (p <- ps.map(_._2).sorted) {
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, e0) = spans.last
+            spans(spans.size - 1) = (s0, math.max(e0, p + L))
+          } else spans += ((p, p + L))
+        }
+        spans.map { case (s0, e0) => (id, s0.toLong, (e0 - s0).toLong) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 5) {
+      val docs = (1L to 30L).map(i =>
+        i -> Seq.fill(rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = TextAnalysis.duplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", L = 3, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === refSpans(docs, 3), s"trial $trial diverged from the model")
+      // structural guarantee: per doc, sorted spans are disjoint AND
+      // non-adjacent (next start strictly past the previous end)
+      got.groupBy(_._1).values.foreach { ss =>
+        val sorted = ss.toSeq.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Seq((_, s1, l1), (_, s2, _)) =>
+            assert(s2 > s1 + l1, s"overlapping/adjacent spans in trial $trial: $sorted")
+          case _ => ()
+        }
+      }
+      // enforcement count = total covered tokens = Σ span_len
+      val removed = TextAnalysis.removeDuplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", L = 3, minCount = 2)
+        .agg(sum("n_removed")).head().getLong(0)
+      assert(removed === got.toSeq.map(_._3).sum, s"trial $trial n_removed mismatch")
+    }
+  }
+
   test("contaminatedSpans: exact benchmark-overlap boundaries; clean docs absent") {
     import spark.implicits._
     val leak = (1 to 9).map(i => s"q$i").mkString(" ")       // 9-token eval leak
