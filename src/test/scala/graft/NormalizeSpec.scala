@@ -94,5 +94,31 @@ class NormalizeSpec extends AnyFunSuite {
     assert(!up.columns.contains("obsolete_col"))          // legacy pruned
     // idempotent
     assert(SchemaEvolution.upgradeComments(up).collect() === up.collect())
+    // the submissions twin follows the same contract (drift guard — it
+    // migrates a different target schema, so test it in its own right)
+    val v1subs = spark.createDataFrame(Seq(
+      (2L, "t3_2", 200, "bob", "a title", "legacy")))
+      .toDF("idint", "idstr", "created", "author", "title", "obsolete_col")
+    val upS = SchemaEvolution.upgradeSubmissions(v1subs)
+    assert(upS.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      Schemas.submissions.fields.map(f => (f.name, f.dataType)).toSeq)
+    val rowS = upS.head()
+    assert(rowS.getAs[Long]("created") === 200L)
+    assert(rowS.isNullAt(upS.columns.indexOf("selftext")))
+    assert(!upS.columns.contains("obsolete_col"))
+    assert(SchemaEvolution.upgradeSubmissions(upS).collect() === upS.collect())
+  }
+
+  test("Tables.registerAll: spark.sql sees every oracle-named table") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // the SQL surface mirrors the DuckDB oracle naming exactly — a SQL
+    // consumer can run oracle-shaped queries verbatim
+    val n = spark.sql("SELECT count(*) AS n FROM lineitem").head().getLong(0)
+    assert(n > 0)
+    val joined = spark.sql(
+      """SELECT count(*) AS n FROM orders o JOIN customer c
+         ON o.o_custkey = c.c_custkey""").head().getLong(0)
+    assert(joined > 0)
+    assert(spark.sql("SELECT doc_id FROM documents LIMIT 1").count() === 1)
   }
 }
