@@ -66,13 +66,25 @@ object PipelineQueries {
 
   /** Delete a temp tree when the JVM exits — registered once per tree at
     * creation, so repeated bench invocations stop accumulating stream
-    * corpus/table/checkpoint copies under /tmp. */
+    * corpus/table/checkpoint copies under /tmp. Shutdown hooks run
+    * CONCURRENTLY (Spark's own temp-dir hooks may be racing over the
+    * same files), so the walk stream is closed properly and any
+    * mid-deletion surprise is swallowed — a best-effort cleanup must
+    * never crash the hook and strand the rest of the tree. */
   private def deleteOnExit(root: java.nio.file.Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
-      if (Files.exists(root))
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+      try {
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach { p =>
+              try Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () }
+            }
+          finally walk.close()
+        }
+      } catch { case _: Exception => () }
     }))
 
   /** The streaming-maintained postings index for `dir`, built ONCE per
@@ -288,12 +300,16 @@ object PipelineQueries {
     // train doc sharing any 3-gram with the TEST split is a leak (the
     // standard pre-release QA pass over a produced corpus; the split
     // and the contamination operator compose declaratively, one plan).
+    // broadcastBench = false: the test split is a CORPUS FRACTION (~10%),
+    // not an eval set — forcing its distinct-shingle set through a
+    // broadcast would hit the broadcast/driver limits at scale; the
+    // shuffled shingle join is the 100 TB-correct shape here.
     "q_split_leakage" -> ((s, dir) => {
       val d = TextAnalysis.hashSplit(Tables.load(s, dir, "documents"), "doc_id")
       TextAnalysis.contamination(
           d.filter(col("split") === "train"),
           d.filter(col("split") === "test"),
-          "doc_id", "text", 3)
+          "doc_id", "text", 3, broadcastBench = false)
         .orderBy("doc")
     }),
 
@@ -774,11 +790,14 @@ object PipelineQueries {
        lex AS (SELECT query_id, doc AS doc_id, 10000 // (60 + rk) AS rrf
                FROM lexr WHERE rk <= 20),
        nemb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       qv AS (SELECT vec_id AS qid, v AS qvec FROM nemb WHERE vec_id <= 2),
+       nrm AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM nemb),
+       qv AS (SELECT vec_id AS qid, nv AS qvec FROM nrm WHERE vec_id <= 2),
        sems AS (
          SELECT qid, vec_id AS nid,
-                CAST(floor(list_cosine_similarity(v, qvec) * 10000) AS BIGINT) AS cos_bp
-         FROM nemb, qv WHERE vec_id != qid),
+                CAST(floor(list_dot_product(nv, qvec) * 10000) AS BIGINT) AS cos_bp
+         FROM nrm, qv WHERE vec_id != qid),
        semr AS (
          SELECT qid, nid,
                 row_number() OVER (PARTITION BY qid
@@ -800,11 +819,14 @@ object PipelineQueries {
   /** Exact cosine-pair ground truth at threshold 4500 bp over the raw
     * embeddings — the quadratic baseline (q_dedup_embed). */
   private val cosinePairsOracle =
-    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       nn0 AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM n)
        SELECT a.vec_id AS i, b.vec_id AS j,
-              CAST(floor(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_bp
-       FROM n a JOIN n b ON a.vec_id < b.vec_id
-       WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 4500
+              CAST(floor(list_dot_product(a.nv, b.nv) * 10000) AS BIGINT) AS cos_bp
+       FROM nn0 a JOIN nn0 b ON a.vec_id < b.vec_id
+       WHERE floor(list_dot_product(a.nv, b.nv) * 10000) >= 4500
        ORDER BY i, j"""
 
   /** The planted-duplicate corpus (embWithDups) as SQL CTEs — the
@@ -823,11 +845,14 @@ object PipelineQueries {
   /** Exact near-dup pairs at 9000 bp over the planted corpus — the
     * verified LSH scale path (q_dedup_embed_lsh) must equal this set. */
   private val nearDupPairsOracle = embWithDupsCte +
-    """
+    """,
+       nn0 AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM n)
        SELECT a.vec_id AS i, b.vec_id AS j,
-              CAST(floor(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cos_bp
-       FROM n a JOIN n b ON a.vec_id < b.vec_id
-       WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 9000
+              CAST(floor(list_dot_product(a.nv, b.nv) * 10000) AS BIGINT) AS cos_bp
+       FROM nn0 a JOIN nn0 b ON a.vec_id < b.vec_id
+       WHERE floor(list_dot_product(a.nv, b.nv) * 10000) >= 9000
        ORDER BY i, j"""
 
   /** Shared md5-seeded coarse-clustering fragment over the plain
@@ -919,11 +944,14 @@ object PipelineQueries {
     * verified IVF path (q_ann_ivf), which must serve identical rows. */
   private val bruteTopKOracle =
     """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       q AS (SELECT vec_id AS qid, v AS qv FROM n WHERE vec_id <= 7),
+       nn0 AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM n),
+       q AS (SELECT vec_id AS qid, nv AS qv FROM nn0 WHERE vec_id <= 7),
        s AS (
          SELECT qid, vec_id AS nid,
-                CAST(floor(list_cosine_similarity(v, qv) * 10000) AS BIGINT) AS cos_bp
-         FROM n, q WHERE vec_id != qid)
+                CAST(floor(list_dot_product(nv, qv) * 10000) AS BIGINT) AS cos_bp
+         FROM nn0, q WHERE vec_id != qid)
        SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, cos_bp
        FROM (SELECT *, ROW_NUMBER() OVER
                (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rn FROM s)
@@ -1254,10 +1282,13 @@ object PipelineQueries {
     // plants collapse onto their originals).
     "q_pipeline_embed" -> (embWithDupsCte +
       """,
+         nn0 AS (SELECT vec_id,
+                        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                 FROM n),
          p AS (
            SELECT a.vec_id AS u, b.vec_id AS w
-           FROM n a JOIN n b ON a.vec_id < b.vec_id
-           WHERE floor(list_cosine_similarity(a.v, b.v) * 10000) >= 9000),
+           FROM nn0 a JOIN nn0 b ON a.vec_id < b.vec_id
+           WHERE floor(list_dot_product(a.nv, b.nv) * 10000) >= 9000),
          sym AS (SELECT u, w FROM p UNION ALL SELECT w, u FROM p),
          r AS (
            SELECT vec_id AS d, vec_id AS lbl FROM n

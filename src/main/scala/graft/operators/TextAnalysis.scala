@@ -218,9 +218,10 @@ object TextAnalysis {
     * spans). The naive pos − row_number run-grouping only merged gap = 1
     * and emitted OVERLAPPING spans for 1 < gap < L.
     *
-    * ONE window pass per doc: lag + cumulative sum share the same window
-    * frame (a single Window physical operator, one hash exchange on doc —
-    * span rows, bounded by marked positions, never corpus bytes). */
+    * ONE hash exchange per doc: the cumsum reads the lag's output, so
+    * Spark plans two stacked WindowExec operators, but both sit on the
+    * same (doc, pos) sort over the same exchange — the shuffled volume
+    * is span rows, bounded by marked positions, never corpus bytes. */
   private def coveredSpans(marked: DataFrame, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc").orderBy("pos")
@@ -485,16 +486,26 @@ object TextAnalysis {
     * contaminated shingles per doc — the standard pre-training hygiene
     * filter (drop or audit the flagged docs).
     *
-    * Scale shape: the BENCHMARK's shingle set is broadcast — benchmarks
-    * are small by nature (eval sets, not corpora) — so the 100 TB corpus
-    * side streams through a broadcast semi-ish join in its own scan
-    * stage; the only exchange is the (doc, count) partial aggregation.
-    * Shingling is the same one-pass native kernel as the dedup family. */
+    * Scale shape: with `broadcastBench = true` (default) the BENCHMARK's
+    * shingle set is broadcast — benchmarks are small by nature (eval
+    * sets, not corpora) — so the 100 TB corpus side streams through a
+    * broadcast semi-ish join in its own scan stage and the only exchange
+    * is the (doc, count) partial aggregation. Pass `false` when the
+    * "benchmark" side is itself corpus-sized (e.g. a split-leakage audit
+    * marking train against the TEST SPLIT — a corpus fraction, not an
+    * eval set): the join then shuffles both sides on the shingle hash —
+    * exchanges bounded by shingle rows — instead of forcing a
+    * corpus-fraction distinct-shingle set through the broadcast/driver
+    * limits. Shingling is the same one-pass native kernel as the dedup
+    * family. */
   def contamination(docs: DataFrame, bench: DataFrame,
-      id: String, text: String, n: Int): DataFrame =
+      id: String, text: String, n: Int,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bs = Dedup.shingles(bench, id, text, n).select("s").distinct()
     Dedup.shingles(docs, id, text, n)
-      .join(broadcast(Dedup.shingles(bench, id, text, n).select("s").distinct()), "s")
+      .join(if (broadcastBench) broadcast(bs) else bs, "s")
       .groupBy("doc").agg(count(lit(1)).as("n_hits"))
+  }
 
   /** FUZZY decontamination: corpus docs whose shingle-set Jaccard against
     * ANY benchmark doc clears `thresholdBp`, with the pair and its

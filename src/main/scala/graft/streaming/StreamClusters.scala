@@ -37,7 +37,12 @@ import graft.operators.{Merge, Similarity}
   * ==Per-batch uniqueness contract==
   * Like [[StreamIndex]]/[[Livestream.upsertSink]], a vector id must
   * appear at most once per micro-batch (dedupe upstream); across batches
-  * the LAST arrival wins via the batchId-derived `_seq`.
+  * the last MERGE wins — `_seq` orders rows only WITHIN one merge (the
+  * existing table always enters at −1; see the merge layer's docs), so
+  * batches must arrive through one sink in batchId order, which the
+  * checkpointed streaming query guarantees. `_seq` totality is NOT a
+  * cross-merge guarantee: replaying an old batch out of band would
+  * overwrite newer assignments regardless of its lower `_seq`.
   *
   * Zero-norm vectors carry no direction: [[Similarity.normalized]] drops
   * them, so they neither gain nor overwrite an assignment (callers that

@@ -149,12 +149,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.exchanges <= 7, s"hybrid exchange count drifted: $c")
   }
 
-  test("q_split_leakage: test-split shingles broadcast — the composition keeps contamination's shape") {
+  test("q_split_leakage: shingle join SHUFFLES (the test split is a corpus fraction, never forced broadcast)") {
     val c = audited("q_split_leakage")
-    // the test split's distinct-shingle agg + the (doc, count) agg; the
-    // split filter rides both scans map-only
-    assert(c.exchanges <= 2, s"split-leakage exchange count drifted: $c")
-    assert(c.broadcasts >= 1, s"test-split shingle set must broadcast: $c")
+    // broadcastBench = false: distinct-shingle agg + both join sides on
+    // the shingle hash + the (doc, count) agg — every exchange bounded
+    // by shingle rows; the split filters ride the scans map-only. A
+    // forced broadcast of a ~10%-of-corpus shingle set would die at the
+    // broadcast/driver limits at scale (AQE may still CHOOSE to
+    // broadcast at toy sf — only the exchange bound is pinned).
+    assert(c.exchanges <= 4, s"split-leakage exchange count drifted: $c")
     assert(c.scans <= 2, s"documents re-read regressed: $c")
   }
 
