@@ -404,6 +404,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminatedSpans model check: seeded random corpora equal the reference with a bench mark set") {
+    import spark.implicits._
+    // Same reference device as the duplicatedSpans model check, with the
+    // mark set = the benchmark's distinct grams instead of corpus-wide
+    // repeats — pins the shared coveredSpans merge through the second
+    // entry point.
+    def refSpans(corpus: Seq[(Long, String)], bench: Seq[(Long, String)],
+        L: Int): Set[(Long, Long, Long)] = {
+      def grams(docs: Seq[(Long, String)]) = docs.flatMap { case (id, t) =>
+        t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          .sliding(L).filter(_.size == L).zipWithIndex
+          .map { case (g, i) => (id, i, g.mkString(" ")) } }
+      val benchSet = grams(bench).map(_._3).toSet
+      grams(corpus).filter(g => benchSet(g._3)).map(g => (g._1, g._2))
+        .groupBy(_._1).flatMap { case (id, ps) =>
+          val spans = scala.collection.mutable.ListBuffer[(Int, Int)]()
+          for (p <- ps.map(_._2).sorted) {
+            if (spans.nonEmpty && p <= spans.last._2) {
+              val (s0, e0) = spans.last
+              spans(spans.size - 1) = (s0, math.max(e0, p + L))
+            } else spans += ((p, p + L))
+          }
+          spans.map { case (s0, e0) => (id, s0.toLong, (e0 - s0).toLong) }
+        }.toSet
+    }
+    val rnd = new scala.util.Random(424242L)
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 25L).map(i =>
+        i -> Seq.fill(rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val bench = (100L to 104L).map(i =>
+        i -> Seq.fill(5 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = TextAnalysis.contaminatedSpans(corpus.toDF("doc_id", "text"),
+          bench.toDF("doc_id", "text"), "doc_id", "text", L = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === refSpans(corpus, bench, 3), s"trial $trial diverged from the model")
+    }
+  }
+
   test("contaminatedSpans: exact benchmark-overlap boundaries; clean docs absent") {
     import spark.implicits._
     val leak = (1 to 9).map(i => s"q$i").mkString(" ")       // 9-token eval leak
