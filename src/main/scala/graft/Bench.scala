@@ -3,10 +3,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local()
+    // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset (driver
+    // leaves it unset → full suite). A typo'd name must fail loudly, not
+    // print a plausible-looking empty/partial total. Parsed before the
+    // setup block so excluded queries don't pay (or trigger) pre-builds.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
+      s"${unknown.mkString(", ")}")
+    def selected(name: String): Boolean = only.isEmpty || only(name)
+    // A setup/warmup failure must be VISIBLE: a silently-swallowed
+    // pre-build shifts the one-time table construction into the timed
+    // region, so that rep's number quietly measures build+serve.
+    def untimed(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] untimed setup '$name' FAILED " +
+            s"(its cost will land in the timed region): " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     // Untimed warmup: initialize codegen, parquet reader, and shuffle
     // machinery so the first timed query doesn't absorb one-time JVM cost.
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    untimed("q1_agg warmup")(SparkEntry.queries("q1_agg")(spark, sfDir).count())
     // Untimed SETUP for the incrementally-maintained-index queries: build
     // their session tables (memoized per sf dir) outside the timed
     // closure, so the timed number measures SERVING from the maintained
@@ -14,19 +33,12 @@ object Bench {
     // query arrives, and timing the one-time build as if it were query
     // cost misreads the operator (the r8-advice fix; reps > 1 got this
     // for free from the warm-up rep, this extends it to the 1-rep
-    // driver contract).
-    Seq("q_bm25_incremental", "q_cluster_incremental").foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset (driver
-    // leaves it unset → full suite). A typo'd name must fail loudly, not
-    // print a plausible-looking empty/partial total.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
-    val unknown = only -- SparkEntry.queries.keySet
-    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
-      s"${unknown.mkString(", ")}")
+    // driver contract). Skipped when SPARK_GRAFT_ONLY filters the query
+    // out of the run — a filtered dev-loop invocation shouldn't pay two
+    // streaming index builds it will never serve from.
+    Seq("q_bm25_incremental", "q_cluster_incremental")
+      .filter(selected)
+      .foreach { n => untimed(n)(SparkEntry.queries(n)(spark, sfDir).count()) }
     // One-shot timing cannot distinguish a real regression from machine
     // noise (judge-measured same-code swings of 67-75% on this box, r5
     // verdict). SPARK_GRAFT_BENCH_REPS=N times each query N times and
@@ -53,7 +65,7 @@ object Bench {
     }
     // sorted order: stable run-to-run comparisons across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.isEmpty || only(n) }
+      .filter { case (n, _) => selected(n) }
       .map { case (name, fn) =>
         // reps>1 measures steady state: one untimed warmup absorbs the
         // query's one-time codegen/JIT so the median is a code signal,

@@ -58,11 +58,18 @@ object PipelineQueries {
     * driver's 1-rep bench tail). */
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Memo key scoped to the SESSION as well as the sf dir: a stopped
+    * session followed by a new one in the same JVM gets a fresh
+    * applicationId, so the memos never serve tables/counts bound to a
+    * dead session (they rebuild under the new one). */
+  private def memoKey(s: SparkSession, dir: String): String =
+    s"${s.sparkContext.applicationId}:$dir"
   private def embCount(s: SparkSession, dir: String): Long =
-    countMemo.computeIfAbsent(s"emb:$dir",
+    countMemo.computeIfAbsent(s"emb:${memoKey(s, dir)}",
       _ => Tables.load(s, dir, "embeddings").count())
   private def embWithDupsCount(s: SparkSession, dir: String): Long =
-    countMemo.computeIfAbsent(s"embdup:$dir", _ => embWithDups(s, dir).count())
+    countMemo.computeIfAbsent(s"embdup:${memoKey(s, dir)}",
+      _ => embWithDups(s, dir).count())
 
   /** Delete a temp tree when the JVM exits — registered once per tree at
     * creation, so repeated bench invocations stop accumulating stream
@@ -94,12 +101,13 @@ object PipelineQueries {
     * key-bucketed table), and hands back the table. Memoizing mirrors
     * production — the index is MAINTAINED by the stream, not rebuilt per
     * query — and makes repeated invocations time index SERVING. Keyed by
-    * sf dir; the single driver/bench/test session owns the table. */
+    * (session, sf dir) via [[memoKey]] so a restarted session rebuilds
+    * instead of serving a table bound to a dead session. */
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
   private def incrementalIndex(s: SparkSession, dir: String): Livestream.UpsertTable =
-    builtIndexes.computeIfAbsent(dir, _ => {
+    builtIndexes.computeIfAbsent(memoKey(s, dir), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_index")
       deleteOnExit(tmp)
       val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
@@ -125,7 +133,7 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
   private def incrementalClusters(s: SparkSession, dir: String): Livestream.UpsertTable =
-    builtClusterTables.computeIfAbsent(dir, _ => {
+    builtClusterTables.computeIfAbsent(memoKey(s, dir), _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_clusters")
       deleteOnExit(tmp)
       val emb = Tables.load(s, dir, "embeddings")

@@ -551,10 +551,11 @@ object TimesearchQueries {
     * on Verify-running-before-Bench ordering. */
   private val IngestSfToken = "__INGEST_SF__"
 
-  /** `__REPO__` stands for the repo root at RUNTIME (`user.dir` — sbt
-    * runs from the project root), so the committed golden parquet
-    * resolves in any checkout location; the former hard-coded
-    * `/root/repo/...` silently broke the oracle anywhere else. */
+  /** `__REPO__` stands for the repo root at RUNTIME (see [[repoRoot]]:
+    * `GRAFT_REPO_ROOT` override, else `user.dir`), so the committed
+    * golden parquet resolves in any checkout location and from any
+    * launch directory; the former hard-coded `/root/repo/...` silently
+    * broke the oracle anywhere else. */
   private val RepoToken = "__REPO__"
 
   private val oraclesRaw: Map[String, String] = Map(
@@ -892,12 +893,23 @@ object TimesearchQueries {
          ORDER BY idstr"""
   )
 
+  /** Repo root for `__REPO__`: explicit override (`GRAFT_REPO_ROOT` as
+    * system property or env var — needed when the JVM is launched from
+    * outside the checkout, e.g. spark-submit from another directory),
+    * else `user.dir` (sbt runs from the project root). */
+  private def repoRoot: String = {
+    val dir = sys.props.get("GRAFT_REPO_ROOT")
+      .orElse(sys.env.get("GRAFT_REPO_ROOT"))
+      .getOrElse(sys.props("user.dir"))
+    new java.io.File(dir).getCanonicalPath
+  }
+
   /** Oracle SQL with fixture paths bound to `sfName` (e.g. "sf0.01") and
-    * the repo root bound to the runtime working directory. */
+    * the repo root bound per [[repoRoot]]. */
   def oraclesAt(sfName: String): Map[String, String] =
     oraclesRaw.map { case (k, v) => k -> v
       .replace(IngestSfToken, sfName)
-      .replace(RepoToken, new java.io.File(sys.props("user.dir")).getCanonicalPath) }
+      .replace(RepoToken, repoRoot) }
 
   /** Default binding, kept for direct readers of the static contract. */
   val oracles: Map[String, String] = oraclesAt("sf0.01")
