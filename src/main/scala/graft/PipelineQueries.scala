@@ -559,6 +559,34 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Product-quantization ADC top-k — the memory-side ANN scale path
+    // (codes table ≪ raw vectors; per-pair scoring is m LUT lookups).
+    // Deterministic end-to-end (md5-seeded codebooks, sequential folds,
+    // left-associated cross-subspace sum), so the oracle replays the
+    // SAME approximation exactly and the driver hash-checks it — the
+    // quantization error vs the true cosine is the measured recall
+    // trade in SimilaritySpec, not a correctness gap here.
+    "q_ann_pq" -> ((s, dir) => {
+      Similarity.pqTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF coarse pruning composed with PQ ADC scoring — the production
+    // ANN architecture (Faiss IVFPQ): probe nprobe of √n cells, score
+    // only those candidates from the compressed codes. BOTH quantizers
+    // use the md5 seed rule, so the full pipeline (assignment, probe
+    // selection, codes, ADC, rank) replays relationally — hash-checked
+    // WITH pruning live (unlike q_ann_ivf's full-probe exactness device:
+    // here the oracle models the approximation itself).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      Similarity.ivfpqTopK(emb, "vec_id", "embedding", queryIds = (0L to 7L),
+          k = 10, nlist = nlist, nprobe = nprobe)
+        .orderBy("query_id", "rank")
+    }),
+
     // PII-style redaction (pre-training hygiene): plant emails/URLs/digit
     // runs, scrub to typed placeholders, count replacements.
     "q_redact" -> ((s, dir) => {
@@ -966,6 +994,129 @@ object PipelineQueries {
        WHERE rn <= 10
        ORDER BY query_id, rank"""
 
+  /** The served PQ geometry, shared by the engine registrations above
+    * (via Similarity's defaults) and the SQL replay below: m subspaces ×
+    * ksub codewords × 64/m dims over the 64-dim embeddings. */
+  private val pqM = 16
+  private val pqKsub = 32
+  private val pqDsub = 64 / pqM
+
+  /** Product-quantization replay, shared by q_ann_pq and q_ann_ivfpq.
+    * Codewords = the ksub vectors smallest by (md5 prefix, id) —
+    * Similarity.pqCodebooks' seed rule — sliced per subspace (DuckDB
+    * slices are 1-based inclusive). Encode = argmax of x_j·c − ‖c‖²/2
+    * (≡ argmin L2), ties to the smallest code — the row_number mirror
+    * of PqOps.encode's strict-`>` scan. ADC = the per-subspace LUT dots
+    * summed with EXPLICIT left association (((dp0+dp1)+dp2)+…)+dp15,
+    * the exact IEEE shape of PqOps.adc's subspace-order accumulation;
+    * every fold is DuckDB's sequential L→R list kernel = the engine's
+    * VectorOps loops. */
+  private val pqCte =
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       nn0 AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM n),
+       js AS (SELECT unnest(range(0, $pqM)) AS j),
+       pseed AS (
+         SELECT vec_id, nv FROM (
+           SELECT vec_id, nv,
+                  row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                                     vec_id) AS rn
+           FROM nn0)
+         WHERE rn <= $pqKsub),
+       cb AS (
+         SELECT CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                j, nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS cs
+         FROM pseed CROSS JOIN js),
+       sub AS (
+         SELECT vec_id, j, nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
+         FROM nn0 CROSS JOIN js),
+       enc AS (
+         SELECT vec_id, j, code FROM (
+           SELECT s.vec_id, s.j, c.code,
+                  row_number() OVER (PARTITION BY s.vec_id, s.j
+                    ORDER BY list_dot_product(s.xs, c.cs)
+                               - list_dot_product(c.cs, c.cs)/2 DESC,
+                             c.code ASC) AS rn
+           FROM sub s JOIN cb c ON c.j = s.j)
+         WHERE rn = 1),
+       lut AS (
+         SELECT q.vec_id AS qid, q.j, c.code, list_dot_product(q.xs, c.cs) AS dp
+         FROM sub q JOIN cb c ON c.j = q.j
+         WHERE q.vec_id <= 7)"""
+
+  /** The ADC score + rank tail over a `sc(qid, nid, j, dp)` relation —
+    * shared by both PQ oracles. The cross-subspace sum is an explicit
+    * left-associated chain (generated, one max(CASE) term per subspace):
+    * aggregate SUM() has no ordering guarantee, and the engine
+    * accumulates in subspace order — association must match for
+    * bit-identical doubles. */
+  private val pqAdcSum = (1 until pqM).foldLeft("max(CASE WHEN j=0 THEN dp END)")(
+    (acc, j) => s"($acc + max(CASE WHEN j=$j THEN dp END))")
+  private val pqRankTail =
+    s""",
+       scores AS (
+         SELECT qid, nid,
+                CAST(floor($pqAdcSum * 10000) AS BIGINT) AS adc_bp
+         FROM sc GROUP BY 1, 2)
+       SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, adc_bp
+       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY adc_bp DESC, nid ASC) AS rn
+             FROM scores)
+       WHERE rn <= 10
+       ORDER BY query_id, rank"""
+
+  private val pqTopKOracle = pqCte +
+    """,
+       sc AS (
+         SELECT l.qid, e.vec_id AS nid, l.j, l.dp
+         FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+         WHERE e.vec_id != l.qid)""" + pqRankTail
+
+  /** IVFPQ replay: the coarse quantizer CTEs (ivfTune sizing — nlist =
+    * round(√n), nprobe = (nlist+3)//4 — seed/assign/probe identical to
+    * clusterAssignCte's algebra) restrict the ADC scoring to candidates
+    * in the query's probed cells. */
+  private val ivfpqTopKOracle = pqCte +
+    """,
+       pp AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS nlist,
+                     greatest(1, (greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) + 3) // 4)
+                       AS nprobe
+              FROM nn0),
+       cseed AS (
+         SELECT vec_id, nv FROM (
+           SELECT vec_id, nv,
+                  row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                                     vec_id) AS rn
+           FROM nn0)
+         WHERE rn <= (SELECT nlist FROM pp)),
+       cents AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, nv AS cv
+         FROM cseed),
+       assign AS (
+         SELECT vec_id, cid FROM (
+           SELECT nn.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY nn.vec_id
+                    ORDER BY list_dot_product(nn.nv, c.cv) DESC, c.cid ASC) AS rn
+           FROM nn0 nn CROSS JOIN cents c)
+         WHERE rn = 1),
+       probes AS (
+         SELECT qid, cid FROM (
+           SELECT nn.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY nn.vec_id
+                    ORDER BY list_dot_product(nn.nv, c.cv) DESC, c.cid ASC) AS rn
+           FROM nn0 nn CROSS JOIN cents c
+           WHERE nn.vec_id <= 7)
+         WHERE rn <= (SELECT nprobe FROM pp)),
+       cand AS (
+         SELECT p2.qid, a.vec_id AS nid
+         FROM assign a JOIN probes p2 ON a.cid = p2.cid
+         WHERE a.vec_id != p2.qid),
+       sc AS (
+         SELECT l.qid, e.vec_id AS nid, l.j, l.dp
+         FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+         JOIN cand ON cand.qid = l.qid AND cand.nid = e.vec_id)""" + pqRankTail
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH corpus AS (
@@ -1312,6 +1463,11 @@ object PipelineQueries {
 
     // ivfTopKVerified certifies IVF == brute in-run → same exact oracle
     "q_ann_ivf" -> bruteTopKOracle,
+
+    // PQ/IVFPQ are approximate vs brute BY CONTRACT; the oracles replay
+    // the deterministic quantized pipeline itself, exactly.
+    "q_ann_pq" -> pqTopKOracle,
+    "q_ann_ivfpq" -> ivfpqTopKOracle,
 
     // round (not floor) on sim_bp: seed vectors sit analytically at 1.0,
     // one double ulp either side of the floor boundary — see

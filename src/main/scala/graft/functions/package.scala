@@ -64,6 +64,21 @@ package object functions {
     column(NearestCentroids(expression(v.cast("array<double>")),
       cents.map(_.toIndexedSeq).toIndexedSeq, keep))
 
+  /** PQ codes (length-m array<int>) for a vector — map-only, codebook as
+    * plan metadata. Codebook shape: m subspaces × ksub codewords × d/m. */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqEncode(expression(v.cast("array<double>")),
+      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+
+  /** Per-query ADC lookup table (m × ksub array<array<double>>). */
+  def pqLut(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqLut(expression(v.cast("array<double>")),
+      codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+
+  /** ADC score: Σ_j lut[j][codes[j]] — m lookups per candidate pair. */
+  def pqAdc(codes: Column, lut: Column): Column =
+    column(PqAdc(expression(codes), expression(lut)))
+
   /** Distinct word n-gram shingle set over a word array, one codegen'd pass. */
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))
