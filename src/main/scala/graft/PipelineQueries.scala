@@ -165,6 +165,55 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Dedup AT INGEST, end-to-end: a REAL Structured Streaming run
+    // (file source → AvailableNow, one file per trigger → StreamDedup →
+    // parquet sink). Production shape: the backfill is deduped AT REST
+    // (batch dropExactDuplicates — batch 1), then the stream keeps the
+    // corpus clean — batch 2 replays known content under shifted ids
+    // (all dropped: first-arrival-wins against batch-1 state), batch 3
+    // carries novel content (all admitted). Batch 1 is content-unique BY
+    // CONSTRUCTION (the at-rest dedup), which is what makes the
+    // surviving ids deterministic — within a micro-batch the "first"
+    // arrival of two same-content rows is partition-order luck, so the
+    // composition, not the stream operator, owns intra-batch ties (at
+    // sf0.1 the raw corpus really has 8 same-content collisions).
+    // The novel-content marker is an out-of-vocabulary token so no
+    // planted text can collide with an existing document's content.
+    "q_dedup_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      val src = tmp.resolve("in").toString
+      // three sequential single-file writes: the file source admits them
+      // oldest-first (mtime order), one micro-batch each
+      base.coalesce(1).write.mode("append").parquet(src)
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(src)
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zzgraftnovelzz")).as("text"))
+        .coalesce(1).write.mode("append").parquet(src)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      // one fixed event time for every arrival: the watermark never
+      // advances past anything, so nothing is late and no state evicts
+      // mid-run — horizon/eviction behavior is StreamingSpec's subject
+      val withTs = stream.withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      val out = tmp.resolve("out").toString
+      val q = graft.streaming.StreamDedup.distinctContent(withTs, "text", "ts", "1 hour")
+        .select(col("doc_id"), col("text"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", tmp.resolve("ckp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("doc_id"), graft.functions.textlen(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split by key hash (reproducible,
     // order-independent, stable under corpus growth).
     "q_split" -> ((s, dir) => {
@@ -1468,6 +1517,23 @@ object PipelineQueries {
     // the deterministic quantized pipeline itself, exactly.
     "q_ann_pq" -> pqTopKOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
+
+    // Stream-dedup ground truth: survivors = the at-rest canonical set
+    // (min id per normalized content — batch 1) plus the novel-content
+    // batch-3 arrivals; every batch-2 replay is first-arrival-dropped.
+    "q_dedup_stream" ->
+      """WITH canon AS (
+           SELECT min(doc_id) AS doc_id
+           FROM documents
+           GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))),
+         base AS (SELECT d.doc_id, d.text FROM documents d JOIN canon USING (doc_id)),
+         surv AS (
+           SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 2000000, text || ' zzgraftnovelzz'
+           FROM base WHERE doc_id % 7 = 0)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+         FROM surv ORDER BY doc_id""",
 
     // round (not floor) on sim_bp: seed vectors sit analytically at 1.0,
     // one double ulp either side of the floor boundary — see

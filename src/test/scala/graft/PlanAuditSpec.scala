@@ -170,6 +170,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 1, s"corpus re-read regressed: $c")
   }
 
+  test("q_ann_pq: encode map-only, LUT rides a broadcast, one top-k exchange") {
+    val c = audited("q_ann_pq")
+    // corpus scan (+ the codebook-seed TakeOrdered's scan): encoding is
+    // in the scan's own stage — the ONLY hash exchange is the per-query
+    // top-k window; more means quantization started shuffling the corpus
+    assert(c.exchanges <= 1, s"PQ exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"the query LUT side must broadcast: $c")
+    assert(c.scans <= 2, s"embeddings re-read regressed: $c")
+  }
+
+  test("q_ann_ivfpq: assignment+encode map-only, probed queries broadcast to the corpus") {
+    val c = audited("q_ann_ivfpq")
+    // cell join = broadcast (query side) — the corpus NEVER hash-shuffles
+    // for pruning or scoring; the single exchange is the top-k window
+    assert(c.exchanges <= 1, s"IVFPQ exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"probed-query side must broadcast: $c")
+    assert(c.scans <= 2, s"embeddings re-read regressed: $c")
+  }
+
   test("q_quality_select: histogram threshold, never a corpus-wide sort/window") {
     val c = audited("q_quality_select")
     // the ONLY hash exchange is the score-histogram aggregation (the
