@@ -165,6 +165,19 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // BPE tokenizer TRAINING on-cluster (Sennrich et al. 2016): the
+    // corpus collapses to the word-frequency table in ONE pass; every
+    // merge iteration runs on the 31-word vocabulary table — pair count,
+    // 1-row argmax collect (ties to the lexicographically smallest
+    // pair), map-only greedy rewrite. Output = the learned merge table,
+    // the tokenizer's trained artifact; all-integer/string, so the
+    // oracle replays the full training loop step by step.
+    "q_bpe" -> ((s, dir) => {
+      graft.operators.Bpe.learn(Tables.load(s, dir, "documents"), "text",
+          merges = 12)
+        .orderBy("step")
+    }),
+
     // Dedup AT INGEST, end-to-end: a REAL Structured Streaming run
     // (file source → AvailableNow, one file per trigger → StreamDedup →
     // parquet sink). Production shape: the backfill is deduped AT REST
@@ -1166,7 +1179,49 @@ object PipelineQueries {
          FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
          JOIN cand ON cand.qid = l.qid AND cand.nid = e.vec_id)""" + pqRankTail
 
+  /** BPE training replay: the word-frequency CTE once, then one
+    * GENERATED stage per merge step — pair counts from adjacent symbols,
+    * the (count DESC, l ASC, r ASC) argmax, and the greedy left-to-right
+    * rewrite via `list_reduce` over singleton-wrapped symbols (the
+    * accumulator merges its last element with the incoming symbol when
+    * they match the step's rule; equivalent to the engine's skip-2 scan
+    * — a merged symbol can only re-match as `lhs` if lhs+rhs == lhs,
+    * impossible for non-empty rhs). All integers and byte-exact string
+    * compares — no IEEE mirroring needed in this family. */
+  private val bpeMerges = 12
+  private def bpeStage(i: Int): String =
+    s""",
+       p$i AS (
+         SELECT l, r, sum(freq) AS c FROM (
+           SELECT freq, syms[k] AS l, syms[k+1] AS r
+           FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS k FROM s$i) t0)
+         GROUP BY l, r),
+       win$i AS (SELECT l, r, l || r AS m, c FROM p$i
+                 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+       s${i + 1} AS (
+         SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+           (acc, b) -> CASE WHEN acc[-1] = wl AND b[1] = wr
+                       THEN list_append(acc[:-2], wm)
+                       ELSE list_concat(acc, b) END) AS syms
+         FROM s$i CROSS JOIN (SELECT l AS wl, r AS wr, m AS wm FROM win$i) w$i)"""
+
+  private val bpeOracle =
+    """WITH w0 AS (
+         SELECT w, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents) t
+         WHERE length(w) > 0 GROUP BY w),
+       s0 AS (SELECT freq, list_append(string_split(w, ''), '</w>') AS syms FROM w0)""" +
+      (0 until bpeMerges).map(bpeStage).mkString +
+      "\n       SELECT * FROM (" +
+      (0 until bpeMerges).map(i =>
+        s"SELECT ${i + 1} AS step, l AS lhs, r AS rhs, m AS merged, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM win$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+
   val oracles: Map[String, String] = Map(
+    "q_bpe" -> bpeOracle,
+
     "q_dedup_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -79,6 +79,11 @@ package object functions {
   def pqAdc(codes: Column, lut: Column): Column =
     column(PqAdc(expression(codes), expression(lut)))
 
+  /** Apply one BPE merge rule to a symbol array — greedy left-to-right,
+    * non-overlapping; map-only (rule is a plan-time constant). */
+  def bpeMerge(syms: Column, left: String, right: String): Column =
+    column(BpeMergeApply(expression(syms), left, right))
+
   /** Distinct word n-gram shingle set over a word array, one codegen'd pass. */
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))
