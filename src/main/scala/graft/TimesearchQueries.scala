@@ -23,9 +23,15 @@ object TimesearchQueries {
   private def epochSec(c: Column): Column =
     floor(c.cast("timestamp").cast("double")).cast("long")
 
-  /** events.ts (nanos-as-long) → epoch seconds; integer division, because a
-    * double round-trip at 1e18 magnitude can cross second boundaries. */
-  private val tsSec: Column = expr("ts div 1000000000")
+  /** events.ts → epoch seconds, adaptive to the testdata generation:
+    * nanos-as-long (integer division — a double round-trip at 1e18
+    * magnitude can cross second boundaries) or a µs TIMESTAMP_NTZ
+    * (floor(epoch) — exact below 2^53). Both match DuckDB
+    * `floor(epoch(ts))` on the same file. */
+  private def tsSec(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+    case _ => epochSec(col("ts"))
+  }
 
   /** events → comment-shaped "old" store (the archive before a batch). */
   private[graft] def oldComments(s: SparkSession, dir: String): DataFrame =
@@ -455,8 +461,9 @@ object TimesearchQueries {
     // windows (the batch form of the streaming windowed agg in
     // StreamingSpec). window() start is exposed as epoch for the oracle.
     "q_window_agg" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events").select(
-        to_timestamp(tsSec).as("t"), col("event_type"),
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(
+        to_timestamp(tsSec(raw)).as("t"), col("event_type"),
         cents(col("value")).as("v_c"))
       ev.groupBy(window(col("t"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("v_c").as("sum_v_c"))
@@ -469,15 +476,17 @@ object TimesearchQueries {
     // flatMapGroupsWithState sessionizer — data-dependent windows that
     // clock-aligned window() cannot express).
     "q_sessionize" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
       graft.streaming.Sessionize.batch(
-          Tables.load(s, dir, "events").select(col("user_id"), tsSec.as("ts")),
+          raw.select(col("user_id"), tsSec(raw).as("ts")),
           "user_id", col("ts"), gapSec = 3600)
         .orderBy("user_id", "session_id")
     }),
 
     // A3 — incremental lower bound: max(created) − 1 overlap.
     "q_incremental_bound" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events").select(tsSec.as("created"))
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(tsSec(raw).as("created"))
       Analytics.incrementalBound(ev)
     }),
 
