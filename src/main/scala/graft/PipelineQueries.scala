@@ -178,6 +178,23 @@ object PipelineQueries {
         .orderBy("step")
     }),
 
+    // BPE SERVING: train once (the vocabulary-sized loop above), collect
+    // the ≤12-row merge table — driver-trivial, the tokenizer's artifact
+    // — then tokenize the corpus MAP-ONLY: rules unroll into chained
+    // native BpeMergeApply calls inside the scan's stage; zero shuffles,
+    // zero iteration at serving time. Exactly how a trained tokenizer
+    // deploys at 100 TB: the merge table is a broadcast-sized constant.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val rules = graft.operators.Bpe.learn(docs, "text", merges = 12)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.tokenize(docs.select(col("doc_id"), col("text")), "text", rules)
+        .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("token_text"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup AT INGEST, end-to-end: a REAL Structured Streaming run
     // (file source → AvailableNow, one file per trigger → StreamDedup →
     // parquet sink). Production shape: the backfill is deduped AT REST
@@ -332,6 +349,18 @@ object PipelineQueries {
       TextAnalysis.unigramSurprisal(
           Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): every doc scored by
+    // log p_target − log p_raw under hashed-ngram unigram models;
+    // target = the English-labelled rows of the pool. Model ≤ 65536
+    // rows (broadcast), corpus text never shuffles.
+    "q_dsir" -> ((s, dir) => {
+      graft.operators.Importance.dsirWeights(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
     }),
 
     // Vocabulary building: top-100 tokens by corpus frequency.
@@ -1188,39 +1217,78 @@ object PipelineQueries {
     * — a merged symbol can only re-match as `lhs` if lhs+rhs == lhs,
     * impossible for non-empty rhs). All integers and byte-exact string
     * compares — no IEEE mirroring needed in this family. */
+  // Every stage CTE is AS MATERIALIZED: s_i is referenced twice (pair
+  // count + next rewrite) and each win_i chains through all stages below
+  // it, so inlining re-expands the chain combinatorially — measured
+  // >9.6 min inlined vs 1.0 s materialized at sf0.01.
   private val bpeMerges = 12
-  private def bpeStage(i: Int): String =
+  // carryW threads the word key through the rewrite stages so the
+  // tokenize oracle can join each document's word sequence to its final
+  // symbol sequence; the training oracle drops it (pair counts only
+  // need freq + syms).
+  private def bpeStage(i: Int, carryW: Boolean = false): String = {
+    val w = if (carryW) "w, " else ""
     s""",
-       p$i AS (
+       p$i AS MATERIALIZED (
          SELECT l, r, sum(freq) AS c FROM (
            SELECT freq, syms[k] AS l, syms[k+1] AS r
            FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS k FROM s$i) t0)
          GROUP BY l, r),
-       win$i AS (SELECT l, r, l || r AS m, c FROM p$i
+       win$i AS MATERIALIZED (SELECT l, r, l || r AS m, c FROM p$i
                  ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-       s${i + 1} AS (
-         SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+       s${i + 1} AS MATERIALIZED (
+         SELECT $w freq, list_reduce(list_transform(syms, x -> [x]),
            (acc, b) -> CASE WHEN acc[-1] = wl AND b[1] = wr
                        THEN list_append(acc[:-2], wm)
                        ELSE list_concat(acc, b) END) AS syms
          FROM s$i CROSS JOIN (SELECT l AS wl, r AS wr, m AS wm FROM win$i) w$i)"""
+  }
 
-  private val bpeOracle =
-    """WITH w0 AS (
+  private def bpeTrainingCtes(carryW: Boolean): String = {
+    val w = if (carryW) "w, " else ""
+    s"""WITH w0 AS MATERIALIZED (
          SELECT w, count(*) AS freq FROM (
-           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
            FROM documents) t
          WHERE length(w) > 0 GROUP BY w),
-       s0 AS (SELECT freq, list_append(string_split(w, ''), '</w>') AS syms FROM w0)""" +
-      (0 until bpeMerges).map(bpeStage).mkString +
+       s0 AS MATERIALIZED (SELECT $w freq, list_append(string_split(w, ''), '</w>') AS syms FROM w0)""" +
+      (0 until bpeMerges).map(bpeStage(_, carryW)).mkString
+  }
+
+  private val bpeOracle =
+    bpeTrainingCtes(carryW = false) +
       "\n       SELECT * FROM (" +
       (0 until bpeMerges).map(i =>
         s"SELECT ${i + 1} AS step, l AS lhs, r AS rhs, m AS merged, " +
           s"CAST(c AS BIGINT) AS pair_count FROM win$i").mkString(" UNION ALL ") +
       ") ORDER BY step"
 
+  /** Tokenize-serving replay: the same training chain CARRYING the word
+    * key, then each document's word sequence (in order) joins its final
+    * symbol sequence from s{12} — per-word tokenization is deterministic,
+    * so distinct-word replay ≡ the engine's per-occurrence map. Empty-text
+    * docs survive via the LEFT JOIN (zero tokens, empty text). */
+  private val bpeTokenizeOracle =
+    bpeTrainingCtes(carryW = true) +
+      s""",
+       docw AS MATERIALIZED (
+         SELECT doc_id, k, words[k] AS w FROM (
+           SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS k FROM (
+             SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                        x -> length(x) > 0) AS words
+             FROM documents) t0) t1),
+       toks AS (
+         SELECT doc_id, CAST(sum(len(syms)) AS INT) AS n_tokens,
+                string_agg(array_to_string(syms, ' '), ' ' ORDER BY k) AS token_text
+         FROM docw JOIN s$bpeMerges USING (w) GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens,
+              coalesce(t.token_text, '') AS token_text
+       FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+       ORDER BY d.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q_bpe" -> bpeOracle,
+    "q_bpe_tokenize" -> bpeTokenizeOracle,
 
     "q_dedup_exact" ->
       """WITH corpus AS (
@@ -1375,6 +1443,40 @@ object PipelineQueries {
                 CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
                   AS mean_surprisal_bp
          FROM per ORDER BY doc""",
+
+    // Mirrors Importance.dsirWeights expression-for-expression: md5-prefix
+    // buckets, add-one smoothing as exact long products into one double
+    // divide, ln floored to bp once per distinct bucket, integer sums.
+    "q_dsir" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT doc_id, lang = 'en' AS is_t,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS w
+           FROM documents),
+         feats AS MATERIALIZED (
+           SELECT doc_id, is_t, substr(md5(f), 1, 4) AS b,
+                  CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, is_t, unnest(w) AS f FROM toks
+             UNION ALL
+             SELECT doc_id, is_t, w[k] || ' ' || w[k+1] AS f
+             FROM (SELECT doc_id, is_t, w, unnest(range(1, len(w))) AS k
+                   FROM toks) t0) t1
+           GROUP BY 1, 2, 3),
+         model AS MATERIALIZED (
+           SELECT b, CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tcnt,
+                  CAST(sum(c) AS BIGINT) AS rcnt
+           FROM feats GROUP BY b),
+         tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS t,
+                        CAST(sum(rcnt) AS BIGINT) AS r FROM model),
+         wts AS (
+           SELECT b, CAST(floor(ln(CAST((tcnt + 1) * (r + 65536) AS DOUBLE) /
+                                   CAST((rcnt + 1) * (t + 65536) AS DOUBLE))
+                           * 10000) AS BIGINT) AS w_bp
+           FROM model CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                CAST(sum(c * w_bp) AS BIGINT) AS weight_bp
+         FROM feats JOIN wts USING (b)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q_vocab" ->
       """WITH toks AS (

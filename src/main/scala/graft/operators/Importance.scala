@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling", arXiv:2302.03169): score
+  * every document of a raw pool by how target-domain-like its hashed
+  * n-gram distribution is — `log p_target(doc) − log p_raw(doc)` under
+  * add-one-smoothed bag-of-hashed-ngram unigram models — the standard
+  * cheap device for selecting in-domain pretraining data without
+  * training a classifier. Selection downstream is a threshold/top-k on
+  * the emitted weight (the paper's top-k variant); this operator owns
+  * the scoring table.
+  *
+  * ==Determinism / oracle parity==
+  * Features hash through the portable md5-prefix device (4 hex chars =
+  * 65536 buckets — `hashSplit`'s rule), so bucket ids are byte-identical
+  * in any engine. Per DISTINCT bucket the log-ratio is floored to basis
+  * points ONCE, then weighted by integer counts and summed — associative
+  * integers, aggregation order can't perturb a score (the
+  * [[TextAnalysis.unigramSurprisal]] device). The only transcendental is
+  * `ln` on ≤ B distinct exact-integer ratios, mirrored literally in SQL.
+  *
+  * ==Scale shape==
+  * One corpus pass builds the (doc, bucket, count) feature table
+  * (materialized once — it feeds both the model aggregation and the
+  * scoring join; exchange bounded by distinct (doc, bucket) pairs). The
+  * model is ≤ B = 65536 rows — broadcast by construction — and both
+  * totals are a 1-row broadcast, so scoring is a map-side join plus one
+  * per-doc aggregation. The corpus text never shuffles. Long products
+  * `(cnt+1)·(total+B)` stay exact through ~2^53 into the double divide
+  * (≈9e15 features — beyond it, pre-divide each side by its total
+  * before the ratio at a 1-ulp mirror risk).
+  */
+object Importance {
+
+  /** Hashed feature space: 4 hex chars of md5 → 65536 buckets. */
+  val B = 65536L
+
+  /** (doc, is_t, b, c): hashed-n-gram bucket counts per document, with
+    * the target-membership flag carried through (constant per doc).
+    * Features = word unigrams + adjacent-pair bigrams over THE
+    * tokenization contract; the bigram zip pairs the token array with
+    * its own tail — no explode-then-window, one projection. */
+  def featureCounts(df: DataFrame, id: String, text: String,
+      isTarget: Column): DataFrame = {
+    val toks = filter(TextAnalysis.tokenize(col(text)), t => length(t) > 0)
+    val n1 = greatest(size(col("_w")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("_w"), lit(1), n1), slice(col("_w"), lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col(id).as("doc"), isTarget.as("is_t"), toks.as("_w"))
+      .select(col("doc"), col("is_t"),
+        explode(concat(col("_w"), bigrams)).as("f"))
+      .select(col("doc"), col("is_t"), substring(md5(col("f")), 1, 4).as("b"))
+      .groupBy("doc", "is_t", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Importance weights over the pool: (doc, n_feats, weight_bp).
+    * `isTarget` marks the in-domain seed rows of `df` (the pool IS the
+    * raw model, target included — every scored bucket therefore exists
+    * in the raw counts). Feature-less docs are absent (nothing to
+    * score), the [[TextAnalysis.unigramSurprisal]] contract. */
+  def dsirWeights(df: DataFrame, id: String, text: String,
+      isTarget: Column): DataFrame = {
+    val fc = featureCounts(df, id, text, isTarget).localCheckpoint(false)
+    val model = fc.groupBy("b").agg(
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("tcnt"),
+      sum(col("c")).as("rcnt"))
+    // totals straight off the checkpoint, NOT via a second model pass —
+    // column pruning makes the two model subtrees differ, ReuseExchange
+    // misses, and the bucket agg would run twice (the postings lesson)
+    val tot = fc.agg(
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("t"),
+      sum(col("c")).as("r"))
+    // mirrored literally in the DuckDB oracle
+    val wBp = floor(log(
+      ((col("tcnt") + 1) * (col("r") + B)).cast("double") /
+        ((col("rcnt") + 1) * (col("t") + B)).cast("double")) * 10000)
+      .cast("long")
+    val weights = model.crossJoin(broadcast(tot))
+      .select(col("b"), wBp.as("w_bp"))
+    fc.join(broadcast(weights), "b")
+      .groupBy("doc").agg(
+        sum(col("c")).as("n_feats"),
+        sum(col("c") * col("w_bp")).as("weight_bp"))
+  }
+}

@@ -200,4 +200,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // histogram pass + filter pass: two scans by design, never more
     assert(c.scans <= 2, s"corpus re-read regressed: $c")
   }
+
+  test("q_dsir: features materialized once, model broadcast, corpus text never re-read") {
+    val c = audited("q_dsir")
+    // the feature table is checkpoint-materialized (it feeds both the
+    // model agg and the scoring join), so the FINAL plan reads NO parquet
+    // — everything derives from the checkpoint blocks
+    assert(c.scans == 0, s"corpus leaked past the feature checkpoint: $c")
+    // the ≤65536-row model joins as a broadcast — the feature rows never
+    // shuffle for scoring
+    assert(c.broadcasts >= 1, s"model side must broadcast: $c")
+    // model agg (bucket-bounded) + per-doc score agg: two hash exchanges
+    assert(c.exchanges <= 2, s"dsir exchange count drifted: $c")
+  }
 }
