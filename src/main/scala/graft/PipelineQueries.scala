@@ -363,6 +363,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR's sampling step: Gumbel-top-k draw of 100 docs ∝ exp(weight),
+    // with engine-neutral md5-derived noise — selection itself is a
+    // TakeOrdered, never a global sort.
+    "q_dsir_sample" -> ((s, dir) => {
+      val w = graft.operators.Importance.dsirWeights(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      graft.operators.Importance.dsirSample(w, "doc", k = 100)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy(col("key_bp").desc, col("doc_id"))
+    }),
+
     // Vocabulary building: top-100 tokens by corpus frequency.
     "q_vocab" -> ((s, dir) => {
       TextAnalysis.topTokens(Tables.load(s, dir, "documents"), "text", 100)
@@ -1286,6 +1298,47 @@ object PipelineQueries {
        FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
        ORDER BY d.doc_id"""
 
+  /** DSIR scoring replay shared by q_dsir and q_dsir_sample: the scored
+    * (doc_id, n_feats, weight_bp) table as a terminal CTE. */
+  private val dsirCtes =
+    """WITH toks AS MATERIALIZED (
+           SELECT doc_id, lang = 'en' AS is_t,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS w
+           FROM documents),
+         feats AS MATERIALIZED (
+           SELECT doc_id, is_t, substr(md5(f), 1, 4) AS b,
+                  CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, is_t, unnest(w) AS f FROM toks
+             UNION ALL
+             SELECT doc_id, is_t, w[k] || ' ' || w[k+1] AS f
+             FROM (SELECT doc_id, is_t, w, unnest(range(1, len(w))) AS k
+                   FROM toks) t0) t1
+           GROUP BY 1, 2, 3),
+         model AS MATERIALIZED (
+           SELECT b, CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tcnt,
+                  CAST(sum(c) AS BIGINT) AS rcnt
+           FROM feats GROUP BY b),
+         tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS t,
+                        CAST(sum(rcnt) AS BIGINT) AS r FROM model),
+         wts AS (
+           SELECT b, CAST(floor(ln(CAST((tcnt + 1) * (r + 65536) AS DOUBLE) /
+                                   CAST((rcnt + 1) * (t + 65536) AS DOUBLE))
+                           * 10000) AS BIGINT) AS w_bp
+           FROM model CROSS JOIN tot),
+         dsir_scored AS MATERIALIZED (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                  CAST(sum(c * w_bp) AS BIGINT) AS weight_bp
+           FROM feats JOIN wts USING (b)
+           GROUP BY doc_id)"""
+
+  /** 8-hex-char md5 prefix (`hx`) → its integer value, as a strpos
+    * polynomial — DuckDB has no base-16 string conversion; the sum is
+    * exact integer arithmetic, identical to Spark's conv(_, 16, 10). */
+  private val hexPoly = (1 to 8).map(i =>
+    s"(strpos('0123456789abcdef', hx[$i]) - 1) * ${1L << (4 * (8 - i))}")
+    .mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
     "q_bpe" -> bpeOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
@@ -1447,36 +1500,25 @@ object PipelineQueries {
     // Mirrors Importance.dsirWeights expression-for-expression: md5-prefix
     // buckets, add-one smoothing as exact long products into one double
     // divide, ln floored to bp once per distinct bucket, integer sums.
-    "q_dsir" ->
-      """WITH toks AS MATERIALIZED (
-           SELECT doc_id, lang = 'en' AS is_t,
-                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                              x -> length(x) > 0) AS w
-           FROM documents),
-         feats AS MATERIALIZED (
-           SELECT doc_id, is_t, substr(md5(f), 1, 4) AS b,
-                  CAST(count(*) AS BIGINT) AS c FROM (
-             SELECT doc_id, is_t, unnest(w) AS f FROM toks
-             UNION ALL
-             SELECT doc_id, is_t, w[k] || ' ' || w[k+1] AS f
-             FROM (SELECT doc_id, is_t, w, unnest(range(1, len(w))) AS k
-                   FROM toks) t0) t1
-           GROUP BY 1, 2, 3),
-         model AS MATERIALIZED (
-           SELECT b, CAST(sum(CASE WHEN is_t THEN c ELSE 0 END) AS BIGINT) AS tcnt,
-                  CAST(sum(c) AS BIGINT) AS rcnt
-           FROM feats GROUP BY b),
-         tot AS (SELECT CAST(sum(tcnt) AS BIGINT) AS t,
-                        CAST(sum(rcnt) AS BIGINT) AS r FROM model),
-         wts AS (
-           SELECT b, CAST(floor(ln(CAST((tcnt + 1) * (r + 65536) AS DOUBLE) /
-                                   CAST((rcnt + 1) * (t + 65536) AS DOUBLE))
-                           * 10000) AS BIGINT) AS w_bp
-           FROM model CROSS JOIN tot)
-         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
-                CAST(sum(c * w_bp) AS BIGINT) AS weight_bp
-         FROM feats JOIN wts USING (b)
-         GROUP BY doc_id ORDER BY doc_id""",
+    "q_dsir" -> (dsirCtes +
+      """
+         SELECT doc_id, n_feats, weight_bp FROM dsir_scored ORDER BY doc_id"""),
+
+    // Gumbel-top-k resample over the same scored CTE: u = (h + 0.5)/2^32
+    // with h rebuilt from the md5 hex via a strpos polynomial — the same
+    // exact integer conv() yields in Spark, so the doubles agree
+    // bit-for-bit before the (libm) double ln.
+    "q_dsir_sample" -> (dsirCtes +
+      s""",
+         keyed AS (
+           SELECT doc_id, weight_bp,
+                  weight_bp + CAST(floor(-ln(-ln(($hexPoly + 0.5) / 4294967296.0))
+                                   * 10000) AS BIGINT) AS key_bp
+           FROM (SELECT doc_id, weight_bp,
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+                 FROM dsir_scored) t)
+         SELECT doc_id, weight_bp, key_bp FROM keyed
+         ORDER BY key_bp DESC, doc_id LIMIT 100"""),
 
     "q_vocab" ->
       """WITH toks AS (

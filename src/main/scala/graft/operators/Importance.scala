@@ -86,4 +86,33 @@ object Importance {
         sum(col("c")).as("n_feats"),
         sum(col("c") * col("w_bp")).as("weight_bp"))
   }
+
+  /** Deterministic Gumbel-top-k importance RESAMPLE — the paper's
+    * sampling step: draw k docs without replacement with probability
+    * ∝ exp(weight) by ranking `weight + Gumbel(doc)` and keeping the
+    * top k (the Gumbel-max trick; keys are independent per doc, so the
+    * argtop distributes).
+    *
+    * The noise is pseudo-random but ENGINE-NEUTRAL: u = (h + 0.5)/2^32
+    * over the first 8 md5 hex chars of the doc id — h is an exact
+    * integer in both engines and the divisor is a power of two, so u is
+    * the SAME double everywhere; −ln(−ln u) then floors to basis points
+    * (the standard quantization) and adds to the integer weight. Ties
+    * are impossible at distinct doc ids (the id breaks them).
+    *
+    * Scale shape: one map-only projection over the weights table, then
+    * TakeOrdered(k) — never a global sort. */
+  def dsirSample(weights: DataFrame, docCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(col(docCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // mirrored literally in the DuckDB oracle (h via a strpos polynomial
+    // there — same exact integer, so the doubles agree bit-for-bit)
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val gumbelBp = floor(-log(-log(u)) * 10000).cast("long")
+    weights.select(col(docCol), col("weight_bp"),
+        (col("weight_bp") + gumbelBp).as("key_bp"))
+      .orderBy(col("key_bp").desc, col(docCol).asc)
+      .limit(k)
+  }
 }

@@ -97,6 +97,39 @@ class ImportanceSpec extends AnyFunSuite {
     assert(w(1L) === w(5L))
   }
 
+  test("dsirSample: keys equal the reference formula exactly; top-k and tiebreak deterministic") {
+    val weights = (1L to 50L).map(id => (id, 10L, (id % 7) * 1000L))
+      .toDF("doc", "n_feats", "weight_bp")
+    val got = Importance.dsirSample(weights, "doc", k = 10)
+      .as[(Long, Long, Long)].collect()
+    def refKey(id: Long, wBp: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      wBp + math.floor(-math.log(-math.log(u)) * 10000).toLong
+    }
+    val refAll = (1L to 50L).map(id => (id, (id % 7) * 1000L))
+      .map { case (id, w) => (id, w, refKey(id, w)) }
+    val refTop = refAll.sortBy(t => (-t._3, t._1)).take(10)
+    assert(got.toSeq === refTop)
+    // deterministic across invocations
+    val again = Importance.dsirSample(weights, "doc", k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("dsirSample: k beyond the pool returns the whole pool; overwhelming weight always selected") {
+    val weights = Seq((1L, 5L, 500000L), (2L, 5L, 0L), (3L, 5L, 0L))
+      .toDF("doc", "n_feats", "weight_bp")
+    val all = Importance.dsirSample(weights, "doc", k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(all.length === 3)
+    // Gumbel noise is bounded in ≈(−3.2, 23) nats → ±2.3e5 bp at the
+    // 2^32 u-grid; a 5e5 bp lead cannot be overcome
+    assert(all.head._1 === 1L)
+  }
+
   test("token-less docs are absent from the scoring table") {
     val docs = Seq((1L, "alpha", true), (2L, "", false), (3L, "...", false))
     val got = Importance.dsirWeights(docs.toDF("doc_id", "text", "t"),
