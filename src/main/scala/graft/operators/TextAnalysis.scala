@@ -464,6 +464,35 @@ object TextAnalysis {
     * target = ceil(n·keepPct/100) = (n·keepPct + 99) div 100, computed
     * via a double floor — exact while n·keepPct + 99 < 2⁵³ (n < 9·10¹³
     * at keepPct=100, comfortably past any corpus row count). */
+  /** CCNet-style score tertiles: label each row head/middle/tail by its
+    * integer score's position in the corpus distribution (head = lowest
+    * third — for perplexity-like scores, the most "ordinary" text). Both
+    * cutpoints come from ONE histogram pass — the
+    * [[selectTopPctByScore]] device: cumulative window over ≤ |score
+    * domain| histogram rows, never the corpus; thresholds broadcast
+    * back. Ties at a cutpoint take the LOWER bucket (deterministic and
+    * engine-neutral; a run of equal scores never splits). Cut targets
+    * are ceil(n/3) and ceil(2n/3) in exact integer arithmetic
+    * (`div` ↔ `//`). */
+  def scoreTertiles(df: DataFrame, score: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(score).as("_s")).agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy(col("_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = hist.agg(sum("_c").as("_n"))
+    val thr = hist.withColumn("_cum", sum(col("_c")).over(w))
+      .crossJoin(broadcast(total))
+      .agg(
+        min(when(col("_cum") >= expr("(_n + 2) div 3"), col("_s"))).as("_t1"),
+        min(when(col("_cum") >= expr("(2 * _n + 2) div 3"), col("_s"))).as("_t2"))
+    df.crossJoin(broadcast(thr))
+      .withColumn("bucket",
+        when(col(score) <= col("_t1"), "head")
+          .when(col(score) <= col("_t2"), "middle")
+          .otherwise("tail"))
+      .drop("_t1", "_t2")
+  }
+
   def selectTopPctByScore(df: DataFrame, score: String, keepPct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepPct >= 1 && keepPct <= 100, s"keepPct must be 1..100, got $keepPct")

@@ -663,4 +663,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(top10 === Set(1L))
   }
+
+  test("scoreTertiles: exact thirds on a 9-row ladder; ties never split a bucket; degenerate all-equal") {
+    val ladder = (1L to 9L).map(i => (i, i * 100L)).toDF("id", "s")
+    val got = TextAnalysis.scoreTertiles(ladder, "s")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(got(_) == "head"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((7L to 9L).forall(got(_) == "tail"))
+    // a tie run crossing BOTH cut targets collapses into the lower
+    // bucket: scores [1,1,1,1,9] → t1 = t2 = 1 → middle is empty
+    val ties = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 9L))
+      .toDF("id", "s")
+    val tied = TextAnalysis.scoreTertiles(ties, "s")
+      .select("id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 4L).forall(tied(_) == "head"))
+    assert(tied(5L) === "tail")
+    // all-equal scores: one bucket, nothing arbitrary
+    val flat = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "s")
+    val flatGot = TextAnalysis.scoreTertiles(flat, "s")
+      .select("bucket").as[String].collect().toSet
+    assert(flatGot === Set("head"))
+  }
 }
