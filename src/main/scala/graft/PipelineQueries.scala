@@ -399,6 +399,18 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Exact token-budget sampling: the deterministic md5-order prefix
+    // whose running token total stays within 15k tokens — two bounded
+    // passes (bucket histogram + one crossing-bucket window), never a
+    // corpus-wide prefix sum.
+    "q_token_budget" -> ((s, dir) => {
+      TextAnalysis.tokenBudgetSample(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          budget = 15000L)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary building: top-100 tokens by corpus frequency.
     "q_vocab" -> ((s, dir) => {
       TextAnalysis.topTokens(Tables.load(s, dir, "documents"), "text", 100)
@@ -1580,6 +1592,24 @@ object PipelineQueries {
                  FROM dsir_scored) t)
          SELECT doc_id, weight_bp, key_bp FROM keyed
          ORDER BY key_bp DESC, doc_id LIMIT 100"""),
+
+    // The oracle replays the SEMANTICS (global md5-order prefix sum ≤
+    // budget) rather than the engine's two-pass evaluation strategy —
+    // the equivalence is the prefix property: global cum for a doc in
+    // the crossing bucket = base + in-bucket cum; below it always ≤
+    // budget; above it always > budget.
+    "q_token_budget" ->
+      """WITH keyed AS (
+           SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS k,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> length(x) > 0)) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+                  sum(n_tok) OVER (ORDER BY k, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM keyed)
+         SELECT doc_id, n_tok FROM c WHERE cum <= 15000 ORDER BY doc_id""",
 
     "q_vocab" ->
       """WITH toks AS (

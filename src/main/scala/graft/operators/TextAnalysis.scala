@@ -464,6 +464,57 @@ object TextAnalysis {
     * target = ceil(n·keepPct/100) = (n·keepPct + 99) div 100, computed
     * via a double floor — exact while n·keepPct + 99 < 2⁵³ (n < 9·10¹³
     * at keepPct=100, comfortably past any corpus row count). */
+  /** Exact token-budget sampling: keep documents in the deterministic
+    * md5-rank order (key asc, id asc) while the running token total
+    * stays ≤ `budget` — "give me exactly this many training tokens" as
+    * an operator. The kept set is a PREFIX of the order (counts are
+    * non-negative), so the rule is engine-neutral and replayable.
+    *
+    * ==Scale shape==
+    * A corpus-wide prefix sum would serialize 100 TB through one
+    * window task. Instead, two bounded passes over a checkpointed
+    * (doc, key, n_tok) projection:
+    *  1. 65536-bucket token histogram (one exchange, ≤ 65536 rows),
+    *     cumulative window over the HISTOGRAM → the single crossing
+    *     bucket `kc` and the token total `base` before it, broadcast.
+    *  2. docs in buckets < kc pass with no further work; ONLY the
+    *     crossing bucket's ~corpus/65536 rows flow through a doc-level
+    *     cumulative window (partitioned on the bucket key); buckets
+    *     > kc drop in the scan.
+    * Every exchange is histogram- or single-bucket-sized; the corpus
+    * text never shuffles. Output: (doc, n_tok) of the kept prefix. */
+  def tokenBudgetSample(df: DataFrame, id: String, text: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val keyed = df.select(col(id).as("doc"),
+        substring(md5(col(id).cast("string")), 1, 4).as("k"),
+        size(filter(tokenize(col(text)), t => length(t) > 0))
+          .cast("long").as("n_tok"))
+      .localCheckpoint(false)
+    val hist = keyed.groupBy("k").agg(sum("n_tok").as("s"))
+    val wh = Window.orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cumS", sum(col("s")).over(wh))
+    // crossing bucket = first whose cumulative total exceeds the budget
+    // (null → everything fits); base = the exact total before it (the
+    // largest cumulative ≤ budget — monotonicity makes max() correct)
+    val cross = cum.agg(
+      min(when(col("_cumS") > budget, col("k"))).as("_kc"),
+      coalesce(max(when(col("_cumS") <= budget, col("_cumS"))), lit(0L))
+        .as("_base"))
+    val tagged = keyed.crossJoin(broadcast(cross))
+    val below = tagged.filter(col("_kc").isNull || col("k") < col("_kc"))
+      .select(col("doc"), col("n_tok"))
+    val wb = Window.partitionBy("k").orderBy(col("doc").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inCrossing = tagged.filter(col("k") === col("_kc"))
+      .withColumn("_cumIn", sum(col("n_tok")).over(wb))
+      .filter(col("_base") + col("_cumIn") <= budget)
+      .select(col("doc"), col("n_tok"))
+    below.unionByName(inCrossing)
+  }
+
   /** CCNet-style score tertiles: label each row head/middle/tail by its
     * integer score's position in the corpus distribution (head = lowest
     * third — for perplexity-like scores, the most "ordinary" text). Both

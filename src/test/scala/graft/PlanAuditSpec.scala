@@ -201,6 +201,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"corpus re-read regressed: $c")
   }
 
+  test("q_token_budget: histogram + crossing-bucket window only — never a corpus-wide prefix sum") {
+    val c = audited("q_token_budget")
+    // the (doc, key, n_tok) projection is checkpointed; the final plan
+    // reads no parquet
+    assert(c.scans == 0, s"corpus leaked past the projection checkpoint: $c")
+    // bucket histogram agg + the crossing bucket's doc-level window: the
+    // ONLY hash exchanges, both histogram-/single-bucket-sized
+    assert(c.exchanges <= 2, s"token-budget exchange count drifted: $c")
+    // the 1-row (kc, base) result broadcasts back to both branches
+    assert(c.broadcasts >= 1, s"crossing thresholds must broadcast: $c")
+  }
+
   test("q_dsir: features materialized once, model broadcast, corpus text never re-read") {
     val c = audited("q_dsir")
     // the feature table is checkpoint-materialized (it feeds both the

@@ -664,6 +664,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top10 === Set(1L))
   }
 
+  test("tokenBudgetSample: equals the global-prefix-sum reference on random corpora; boundary and degenerate budgets") {
+    def md5p(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
+    def ref(docs: Seq[(Long, String)], budget: Long): Set[Long] = {
+      def nTok(t: String) = t.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong
+      var cum = 0L
+      docs.map { case (id, t) => (md5p(id.toString), id, nTok(t)) }
+        .sortBy(x => (x._1, x._2))
+        .flatMap { case (_, id, n) => cum += n; if (cum <= budget) Some(id) else None }
+        .toSet
+    }
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (1L to 60L).map { id =>
+      (id, (0 until rng.nextInt(8)).map(_ => vocab(rng.nextInt(4))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (budget <- Seq(0L, 7L, 40L, 100L, 100000L)) {
+      val got = TextAnalysis.tokenBudgetSample(df, "doc_id", "text", budget)
+        .select("doc").as[Long].collect().toSet
+      assert(got === ref(docs, budget), s"budget $budget diverged")
+    }
+    // the whole corpus fits → everything kept, n_tok faithful
+    val all = TextAnalysis.tokenBudgetSample(df, "doc_id", "text", 100000L)
+      .as[(Long, Long)].collect().toMap
+    assert(all.keySet === docs.map(_._1).toSet)
+    assert(all.values.sum ===
+      docs.map(_._2.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong).sum)
+  }
+
   test("scoreTertiles: exact thirds on a 9-row ladder; ties never split a bucket; degenerate all-equal") {
     val ladder = (1L to 9L).map(i => (i, i * 100L)).toDF("id", "s")
     val got = TextAnalysis.scoreTertiles(ladder, "s")
