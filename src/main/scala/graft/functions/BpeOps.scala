@@ -40,6 +40,19 @@ object BpeOps {
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, o): Array[AnyRef])
   }
+
+  /** Apply an entire learned merge table in order — the fused serving
+    * kernel. Each rule is [left, right, merged]. Early-exits once the
+    * word is a single symbol (no rule can apply). */
+  def applyAll(syms: ArrayData, rules: Array[Array[UTF8String]]): ArrayData = {
+    var cur = syms
+    var i = 0
+    while (i < rules.length && cur.numElements() >= 2) {
+      cur = applyMerge(cur, rules(i)(0), rules(i)(1), rules(i)(2))
+      i += 1
+    }
+    cur
+  }
 }
 
 /** [[BpeOps.applyMerge]] as a native map-only expression — the merge rule
@@ -75,5 +88,42 @@ case class BpeMergeApply(child: Expression, left: String, right: String)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeMergeApply =
+    copy(child = newChild)
+}
+
+/** An ENTIRE learned merge table applied to one word's symbol array —
+  * the serving form at real merge budgets: one expression call instead
+  * of |rules| chained transforms (a 30k-rule unroll would blow the
+  * expression tree and codegen method limits); the rule table rides as
+  * a codegen reference object, exactly the codebook device of
+  * [[NearestCentroids]]. Spec-asserted equal to the chained
+  * [[BpeMergeApply]] form on random corpora. */
+case class BpeApplyRules(child: Expression, rules: Seq[(String, String)])
+    extends UnaryExpression {
+  require(rules.forall(r => r._1.nonEmpty && r._2.nonEmpty),
+    "BPE merge symbols must be non-empty")
+
+  @transient private lazy val table: Array[Array[UTF8String]] =
+    rules.map(r => Array(UTF8String.fromString(r._1),
+      UTF8String.fromString(r._2), UTF8String.fromString(r._1 + r._2))).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"BpeApplyRules requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    BpeOps.applyAll(v.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("bpeRuleTable", table,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeOps.applyAll($c, $t)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyRules =
     copy(child = newChild)
 }

@@ -84,6 +84,12 @@ package object functions {
   def bpeMerge(syms: Column, left: String, right: String): Column =
     column(BpeMergeApply(expression(syms), left, right))
 
+  /** Apply an entire learned BPE merge table in order — one call, rule
+    * table as a codegen reference object (the serving form at real
+    * merge budgets). */
+  def bpeApplyRules(syms: Column, rules: Seq[(String, String)]): Column =
+    column(BpeApplyRules(expression(syms), rules))
+
   /** Distinct word n-gram shingle set over a word array, one codegen'd pass. */
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))

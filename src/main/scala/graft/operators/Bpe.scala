@@ -85,8 +85,26 @@ object Bpe {
   /** Tokenize with an ALREADY-LEARNED merge table: apply the rules in
     * learning order to each word's symbols — the serving path (training
     * artifact fixed, tokenization map-only, zero shuffles, zero
-    * iteration). Output: input columns + `tokens` (array<string>). */
+    * iteration). One fused [[graft.functions.BpeApplyRules]] call per
+    * word carries the whole rule table as a codegen reference object —
+    * the form that survives real merge budgets (a 30k-rule chained
+    * unroll would blow the expression tree); [[tokenizeUnrolled]] keeps
+    * the chained shape for the equality spec. Output: input columns +
+    * `tokens` (array<string>). */
   def tokenize(docs: DataFrame, text: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(trim(lower(col(text))), "\\s+"), w => length(w) > 0)
+    val base = transform(words, w => concat(split(w, ""), array(lit("</w>"))))
+    val mergedCol =
+      if (rules.isEmpty) base
+      else transform(base, w => graft.functions.bpeApplyRules(w, rules))
+    docs.withColumn("tokens", flatten(mergedCol))
+  }
+
+  /** The |rules|-chained form of [[tokenize]] — one [[graft.functions
+    * .BpeMergeApply]] per rule. Semantically identical (spec-asserted);
+    * kept as the reference shape for small budgets. */
+  def tokenizeUnrolled(docs: DataFrame, text: String,
       rules: Seq[(String, String)]): DataFrame = {
     val words = filter(split(trim(lower(col(text))), "\\s+"), w => length(w) > 0)
     val base = transform(words, w => concat(split(w, ""), array(lit("</w>"))))
