@@ -386,6 +386,14 @@ object PipelineQueries {
         .orderBy(col("key_bp").desc, col("doc_id"))
     }),
 
+    // Bigram-LM surprisal quality scores (one Markov order above
+    // q_lm_surprisal; <s>-conditioned first tokens, add-one smoothing).
+    "q_lm_bigram" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc")
+    }),
+
     // CCNet-style perplexity-binned mixture: tertile-bucket docs by LM
     // surprisal (histogram thresholds, never a corpus sort), then sample
     // head 100% / middle 50% / tail 10% via the md5-rate rule.
@@ -1541,6 +1549,40 @@ object PipelineQueries {
       """
          SELECT doc, n_tokens, total_surprisal_bp, mean_surprisal_bp
          FROM lm_scored ORDER BY doc"""),
+
+    // Mirrors TextAnalysis.bigramSurprisal: positional events with a
+    // <s> first-token context, add-one bigram model, ln floored to bp
+    // once per distinct (p, t), integer-weighted sums.
+    "q_lm_bigram" ->
+      """WITH dtoks AS (
+           SELECT doc_id AS doc,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS w
+           FROM documents),
+         ev AS (
+           SELECT doc, CASE WHEN k = 1 THEN '<s>' ELSE w[k-1] END AS p,
+                  w[k] AS t
+           FROM (SELECT doc, w, unnest(range(1, len(w) + 1)) AS k
+                 FROM dtoks) t0),
+         tf2 AS MATERIALIZED (
+           SELECT doc, p, t, CAST(count(*) AS BIGINT) AS tf
+           FROM ev GROUP BY 1, 2, 3),
+         c2 AS MATERIALIZED (
+           SELECT p, t, CAST(sum(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
+         c1 AS MATERIALIZED (
+           SELECT p, CAST(sum(tf) AS BIGINT) AS c1 FROM tf2 GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM tf2),
+         per AS (
+           SELECT tf2.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(ln(CAST(c1 + v AS DOUBLE) /
+                                              CAST(c2 + 1 AS DOUBLE)) * 10000)
+                                     AS BIGINT)) AS BIGINT) AS total_surprisal_bp
+           FROM tf2 JOIN c2 USING (p, t) JOIN c1 USING (p) CROSS JOIN vv
+           GROUP BY 1)
+         SELECT doc, n_tokens, total_surprisal_bp,
+                CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
+                  AS mean_surprisal_bp
+         FROM per ORDER BY doc""",
 
     // Perplexity-binned mixture: tertile thresholds from a cumulative
     // window over the score HISTOGRAM (never the corpus), ties to the

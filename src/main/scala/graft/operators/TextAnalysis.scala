@@ -759,6 +759,54 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Bigram-LM surprisal per document — one Markov order above
+    * [[unigramSurprisal]], the next rung toward the KenLM-style
+    * perplexity filters of CCNet/Gopher: every token is an event
+    * conditioned on its predecessor (the first on a `<s>` sentinel —
+    * which cannot collide with real tokens, the tokenizer only emits
+    * `[a-z0-9]+`), scored by the add-one-smoothed corpus bigram model
+    * P(t|p) = (c2(p,t)+1)/(c1(p)+V). The model IS the corpus, as in the
+    * unigram form.
+    *
+    * Determinism: per-event surprisal ln((c1+V)/(c2+1)) floors to basis
+    * points once per DISTINCT (p, t) pair, weighted by the doc's event
+    * count, summed as integers — associative, engine-neutral.
+    *
+    * Scale shape: the (doc, p, t) event counts are checkpoint-
+    * materialized ONCE (they feed c2, c1, V and the scoring join — four
+    * consumers); every exchange is bounded by distinct doc-bigrams or
+    * the model tables (distinct corpus bigrams / |vocab|+1 contexts —
+    * model-sized, never corpus bytes); the 1-row V broadcasts. Output:
+    * (doc, n_tokens, total_surprisal_bp, mean_surprisal_bp); token-less
+    * docs are absent (the family contract). */
+  def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = filter(tokenize(col(text)), t => length(t) > 0)
+    val withT = df.select(col(id).as("doc"), toks.as("_t"))
+      .filter(size(col("_t")) > 0)
+    val prevArr = concat(array(lit("<s>")),
+      slice(col("_t"), lit(1), size(col("_t")) - 1))
+    val tf2 = withT
+      .select(col("doc"), explode(zip_with(prevArr, col("_t"),
+        (a, b) => struct(a.as("p"), b.as("t")))).as("e"))
+      .select(col("doc"), col("e.p").as("p"), col("e.t").as("t"))
+      .groupBy("doc", "p", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val c2 = tf2.groupBy("p", "t").agg(sum("tf").as("c2"))
+    val c1 = tf2.groupBy("p").agg(sum("tf").as("c1"))
+    val v = tf2.agg(count_distinct(col("t")).as("v"))
+    // mirrored literally in the DuckDB oracle
+    val surpBp = floor(log((col("c1") + col("v")).cast("double") /
+      (col("c2") + 1).cast("double")) * 10000)
+    tf2.join(c2, Seq("p", "t")).join(c1, Seq("p"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * surpBp).as("total_surprisal_bp"))
+      .select(col("doc"), col("n_tokens"), col("total_surprisal_bp"),
+        floor(col("total_surprisal_bp").cast("double") / col("n_tokens"))
+          .cast("long").as("mean_surprisal_bp"))
+  }
+
   /** Per-document keyword extraction: the top-k tokens by tf·idf
     * (idf = ln(N/df), N = docs with ≥1 token) — the classic summarize/
     * tag/route primitive (and the feature extractor behind lexical

@@ -664,6 +664,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top10 === Set(1L))
   }
 
+  test("bigramSurprisal: hand-computed scores, BOS conditioning, token-less docs absent") {
+    // corpus: "a b a b" + "a a" →
+    //   c2: (<s>,a)=2 (a,b)=2 (b,a)=1 (a,a)=1; c1: <s>=2 a=3 b=1; V=2
+    //   w(<s>,a)=floor(ln(4/3)·1e4)=2876  w(a,b)=floor(ln(5/3)·1e4)=5108
+    //   w(b,a)=floor(ln(3/2)·1e4)=4054    w(a,a)=floor(ln(5/2)·1e4)=9162
+    //   doc1 = 2876+2·5108+4054 = 17146, n=4, mean=4286
+    //   doc2 = 2876+9162       = 12038, n=2, mean=6019
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, ""), (4L, "?!"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 4L, 17146L, 4286L), (2L, 2L, 12038L, 6019L)))
+    // a single-token doc scores exactly its one BOS-conditioned event
+    val solo = Seq((1L, "x"), (2L, "x y")).toDF("doc_id", "text")
+    val soloGot = TextAnalysis.bigramSurprisal(solo, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // c2: (<s>,x)=2 (x,y)=1; c1: <s>=2 x=1; V=2
+    // w(<s>,x)=floor(ln(4/3)·1e4)=2876; w(x,y)=floor(ln(3/2)·1e4)=4054
+    assert(soloGot === Seq((1L, 1L, 2876L, 2876L), (2L, 2L, 6930L, 3465L)))
+  }
+
   test("tokenBudgetSample: equals the global-prefix-sum reference on random corpora; boundary and degenerate budgets") {
     def md5p(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
