@@ -201,6 +201,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"corpus re-read regressed: $c")
   }
 
+  test("q_lm_bigram: events checkpointed once — corpus text never re-read; V broadcasts") {
+    val c = audited("q_lm_bigram")
+    // the (doc, p, t) event table is the checkpoint boundary: the FINAL
+    // plan derives everything (c2, c1, V, scoring) from its blocks
+    assert(c.scans == 0, s"corpus leaked past the event checkpoint: $c")
+    assert(c.broadcasts >= 1, s"the 1-row V must broadcast: $c")
+    // model aggs + scoring joins — bounded by doc-bigrams/model tables;
+    // generous cap to leave AQE join-side freedom
+    assert(c.exchanges <= 7, s"bigram exchange count drifted: $c")
+  }
+
   test("q_token_budget: histogram + crossing-bucket window only — never a corpus-wide prefix sum") {
     val c = audited("q_token_budget")
     // the (doc, key, n_tok) projection is checkpointed; the final plan
