@@ -39,7 +39,8 @@ object Bench {
     // (q_bpe_tokenize joins the list in r10: its merge table is a trained
     // artifact memoized per session — the timed number measures map-only
     // serving, training stays q_bpe's own timed story.)
-    Seq("q_bm25_incremental", "q_cluster_incremental", "q_bpe_tokenize")
+    Seq("q_bm25_incremental", "q_cluster_incremental", "q_dsir_incremental",
+        "q_bpe_tokenize")
       .filter(selected)
       .foreach { n => untimed(n)(SparkEntry.queries(n)(spark, sfDir).count()) }
     // One-shot timing cannot distinguish a real regression from machine

@@ -164,6 +164,29 @@ object PipelineQueries {
       table
     })
 
+  private val builtModelTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained DSIR model over the documents table: 4 real
+    * micro-batches through [[graft.streaming.StreamModel.modelSink]]
+    * (each doc arrives exactly once — the sink's admission contract). */
+  private def incrementalModel(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtModelTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_model")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = graft.streaming.StreamModel.table(s, tmp.resolve("tbl").toString)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamModel.modelSink(stream, "doc_id", "text",
+        col("lang") === "en", table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on md5 of normalized text.
@@ -370,6 +393,20 @@ object PipelineQueries {
       graft.operators.Importance.dsirWeights(
           Tables.load(s, dir, "documents"), "doc_id", "text",
           col("lang") === "en")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR scoring served from the STREAM-MAINTAINED model (4 real
+    // micro-batches of additive bucket-count upserts): must hash-equal
+    // batch q_dsir — shares its oracle verbatim (the incremental-vs-
+    // batch pairing device of q_bm25_incremental/q_cluster_incremental).
+    "q_dsir_incremental" -> ((s, dir) => {
+      val model = graft.streaming.StreamModel.model(incrementalModel(s, dir))
+      val fc = graft.operators.Importance.featureCounts(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      graft.operators.Importance.dsirWeightsFromModel(fc, model)
         .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id")
     }),
@@ -1616,6 +1653,11 @@ object PipelineQueries {
     // buckets, add-one smoothing as exact long products into one double
     // divide, ln floored to bp once per distinct bucket, integer sums.
     "q_dsir" -> (dsirCtes +
+      """
+         SELECT doc_id, n_feats, weight_bp FROM dsir_scored ORDER BY doc_id"""),
+
+    // The incremental path must equal the batch path: same oracle.
+    "q_dsir_incremental" -> (dsirCtes +
       """
          SELECT doc_id, n_feats, weight_bp FROM dsir_scored ORDER BY doc_id"""),
 

@@ -87,6 +87,26 @@ object Importance {
         sum(col("c") * col("w_bp")).as("weight_bp"))
   }
 
+  /** [[dsirWeights]]' scoring core against an EXPLICIT (b, tcnt, rcnt)
+    * model table — the serving entry point for the stream-maintained
+    * model ([[graft.streaming.StreamModel]]). Totals derive from the
+    * model instead of the feature table (its sums ARE the feature sums
+    * — exact integers, so the two paths hash-agree); the same smoothing
+    * and bp-quantization algebra. */
+  def dsirWeightsFromModel(fc: DataFrame, model: DataFrame): DataFrame = {
+    val tot = model.agg(sum("tcnt").as("t"), sum("rcnt").as("r"))
+    val wBp = floor(log(
+      ((col("tcnt") + 1) * (col("r") + B)).cast("double") /
+        ((col("rcnt") + 1) * (col("t") + B)).cast("double")) * 10000)
+      .cast("long")
+    val weights = model.crossJoin(broadcast(tot))
+      .select(col("b"), wBp.as("w_bp"))
+    fc.join(broadcast(weights), "b")
+      .groupBy("doc").agg(
+        sum(col("c")).as("n_feats"),
+        sum(col("c") * col("w_bp")).as("weight_bp"))
+  }
+
   /** Deterministic Gumbel-top-k importance RESAMPLE — the paper's
     * sampling step: draw k docs without replacement with probability
     * ∝ exp(weight) by ranking `weight + Gumbel(doc)` and keeping the

@@ -25,6 +25,9 @@ case class IxDoc(doc_id: Long, text: String)
 // (id, vector) rows for the StreamClusters tests
 case class VecRow(vec_id: Long, embedding: Array[Double])
 
+// (id, text, target-flag) rows for the StreamModel tests
+case class MDoc(doc_id: Long, text: String, is_t: Boolean)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -165,6 +168,53 @@ class StreamingSpec extends AnyFunSuite {
     val v0 = table.at(0).select(col(graft.operators.Merge.KeyCol), col("cid"))
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(v0 === Set(("1", 0), ("2", 1)))
+  }
+
+  test("StreamModel: incrementally-maintained DSIR model equals the batch model; buckets sum across batches") {
+    import graft.streaming.StreamModel
+    import graft.operators.Importance
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MDoc]
+    val table = StreamModel.table(spark, tmp("mdl"), nBuckets = 4)
+    val q = StreamModel.modelSink(mem.toDF(), "doc_id", "text", col("is_t"),
+      table, tmp("mdlckp"), Trigger.ProcessingTime(0)).start()
+    val allDocs = Seq(
+      MDoc(1, "alpha beta alpha", true),
+      MDoc(2, "gamma beta", false),
+      MDoc(3, "alpha beta", true),    // shares buckets with batch 1 →
+      MDoc(4, "delta delta", false))  // counts must ADD, not replace
+    try {
+      mem.addData(allDocs(0), allDocs(1))
+      q.processAllAvailable()
+      mem.addData(allDocs(2), allDocs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamModel.model(table)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: the batch model over the same corpus
+    val want = Importance.featureCounts(
+        allDocs.toDF("doc_id", "text", "is_t"), "doc_id", "text", col("is_t"))
+      .groupBy("b").agg(
+        sum(when(col("is_t"), col("c")).otherwise(0L)).as("tcnt"),
+        sum(col("c")).as("rcnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // scoring from the maintained model equals scoring from the batch
+    // model — end to end, the q_dsir_incremental contract
+    val docsDf = allDocs.toDF("doc_id", "text", "is_t")
+    val fc = Importance.featureCounts(docsDf, "doc_id", "text", col("is_t"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(Importance.dsirWeightsFromModel(fc, StreamModel.model(table))) ===
+      rows(Importance.dsirWeights(docsDf, "doc_id", "text", col("is_t"))))
+    // two non-empty micro-batches → two published versions; time travel
+    // reads the PARTIAL counts after batch 0 (beta seen twice, not 3×)
+    assert(table.currentVersion === 1L)
+    // beta spans both batches: tcnt = 2 (docs 1, 3), rcnt = 3 (docs 1-3)
+    assert(got.exists(t => t._2 == 2L && t._3 == 3L), s"beta bucket wrong: $got")
+    val v0 = table.at(0).select(col(Merge.KeyCol), col("rcnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // after batch 0 only docs 1-2 counted: 5 unigram + 3 bigram events
+    assert(v0.values.sum === 8L)
   }
 
   test("StreamClusters T3/T5: a redelivered batch (same _seq) leaves assignments unchanged") {
