@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{Analytics, Merge, Normalize, Trees}
+import graft.operators.{Analytics, Merge, Normalize, TemporalJoin, Trees}
 import graft.sources.Ndjson
 import graft.streaming.Livestream
 
@@ -483,6 +483,51 @@ object TimesearchQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Engine extension: distributed AS-OF join — each click is matched
+    // to the same user's most recent purchase at-or-before it, within
+    // 24 h. Union-merge form: ONE hash exchange on user_id, a per-key
+    // time sort, carry-forward window — no inequality join in the plan
+    // (the oracle replays the semantics AS an inequality join, which is
+    // exactly the shape this operator exists to avoid at 100 TB).
+    "q_asof_join" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"),
+        tsSec(raw).as("t"), col("event_type"), cents(col("value")).as("v_c"))
+      TemporalJoin.asof(
+          left = ev.filter(col("event_type") === "click"),
+          right = ev.filter(col("event_type") === "purchase"),
+          key = "user_id", leftTs = "t", leftId = "event_id",
+          rightTs = "t", rightId = "event_id",
+          rightPayload = Seq("v_c"), toleranceSec = 86400L)
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("t").as("click_t"), col("matched_id").as("purchase_id"),
+          col("v_c").as("purchase_c"),
+          (col("t") - col("matched_ts")).as("lag_sec"))
+        .orderBy("click_id")
+    }),
+
+    // Engine extension: bounded range/interval join — every click inside
+    // a purchase's 1 h attribution window, per user, via time-bucket
+    // decomposition (equi-join on (user, bucket) + BETWEEN residual;
+    // each pair emitted exactly once, no dedup pass).
+    "q_range_join" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"),
+        tsSec(raw).as("t"), col("event_type"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("t") - 3600L).as("w_start"), col("t").as("w_end"))
+      TemporalJoin.rangeJoin(
+          events = ev.filter(col("event_type") === "click"),
+          intervals = windows, key = "user_id",
+          eventId = "event_id", ts = "t",
+          intervalId = "purchase_id", start = "w_start", end = "w_end",
+          bucketSec = 3600L)
+        .select(col("purchase_id"), col("event_id").as("click_id"),
+          col("user_id"), (col("w_end") - col("t")).as("gap_sec"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // A3 — incremental lower bound: max(created) − 1 overlap.
     "q_incremental_bound" -> ((s, dir) => {
       val raw = Tables.load(s, dir, "events")
@@ -816,6 +861,41 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    // Independent formulation on purpose: the oracle materializes the
+    // inequality join + rank that the union-merge operator avoids.
+    "q_asof_join" ->
+      """WITH c AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  CAST(round(value*100) AS BIGINT) AS v_c
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.event_id AS click_id, c.user_id, c.t AS click_t,
+                  p.event_id AS purchase_id, p.v_c AS purchase_c,
+                  c.t - p.t AS lag_sec,
+                  row_number() OVER (PARTITION BY c.event_id
+                    ORDER BY p.t DESC, p.event_id DESC) AS rn
+           FROM c LEFT JOIN p
+             ON c.user_id = p.user_id AND p.t <= c.t AND c.t - p.t <= 86400)
+         SELECT click_id, user_id, click_t, purchase_id, purchase_c, lag_sec
+         FROM j WHERE rn = 1 ORDER BY click_id""",
+
+    "q_range_join" ->
+      """WITH c AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT event_id AS purchase_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.purchase_id, c.event_id AS click_id, c.user_id,
+                p.t - c.t AS gap_sec
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND c.t >= p.t - 3600 AND c.t <= p.t
+         ORDER BY purchase_id, click_id""",
 
     "q_window_agg" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS w_start,
