@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Search, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Search, Similarity, Sketches, TextAnalysis}
 import graft.streaming.{Livestream, StreamClusters, StreamIndex}
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
@@ -460,6 +460,24 @@ object PipelineQueries {
     "q_vocab" -> ((s, dir) => {
       TextAnalysis.topTokens(Tables.load(s, dir, "documents"), "text", 100)
         .orderBy("pos")
+    }),
+
+    // Count-Min heavy hitters: the frequency sketch ITSELF is hash-gated
+    // (md5-salted counters, min-over-rows estimates); exact counts ride
+    // along so the one-sided error is auditable (err >= 0 always).
+    "q_heavy_hitters" -> ((s, dir) => {
+      Sketches.cmsHeavyHitters(Tables.load(s, dir, "documents"), "text",
+          depth = 4, widthHex = 1, minEst = 100L)
+        .orderBy(desc("est"), col("tok"))
+    }),
+
+    // HyperLogLog distinct-bigram estimate per source — ln-free raw
+    // estimator (exact dyadic register sum, one audited division), so
+    // the cardinality APPROXIMATION hash-gates against a full replay.
+    "q_distinct_sketch" -> ((s, dir) => {
+      Sketches.hllDistinctBigrams(
+          Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy("source")
     }),
 
     // Gopher-style repetition quality signals per document.
@@ -1705,6 +1723,77 @@ object PipelineQueries {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS pos,
                 token, n
          FROM top ORDER BY pos""",
+
+    // The CMS replay: exact token counts -> salted-md5 counter coords ->
+    // per-row counter sums -> min-over-rows estimates. Counter additivity
+    // makes build-from-counts identical to build-row-at-a-time.
+    "q_heavy_hitters" ->
+      """WITH toks AS MATERIALIZED (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS tok
+           FROM documents),
+         tc AS MATERIALIZED (
+           SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY tok),
+         coords AS MATERIALIZED (
+           SELECT tok, exact, j,
+                  substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 1) AS b
+           FROM tc CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         sk AS (SELECT j, b, CAST(sum(exact) AS BIGINT) AS total
+                FROM coords GROUP BY j, b),
+         est AS (SELECT tok, min(total) AS est
+                 FROM coords JOIN sk USING (j, b) GROUP BY tok)
+         SELECT t.tok, CAST(e.est AS BIGINT) AS est, t.exact,
+                CAST(e.est - t.exact AS BIGINT) AS err
+         FROM tc t JOIN est e USING (tok)
+         WHERE e.est >= 100
+         ORDER BY est DESC, t.tok""",
+
+    // The HLL replay: md5 -> (register, leading-zero rank) -> max per
+    // register -> exact dyadic 2^-M sum (1::BIGINT << mr — no pow, no
+    // ln) -> the one audited double division.
+    "q_distinct_sketch" ->
+      """WITH docs AS MATERIALIZED (
+           SELECT source AS g,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS w
+           FROM documents),
+         bg AS MATERIALIZED (
+           SELECT g, w[k] || ' ' || w[k+1] AS bg
+           FROM (SELECT g, w, unnest(range(1, len(w))) AS k FROM docs) t),
+         hashed AS (
+           SELECT g, bg, md5(bg) AS h, substr(md5(bg), 3, 8) AS hx FROM bg),
+         ranked AS (
+           SELECT g,
+                  CAST(((strpos('0123456789abcdef', h[1]) - 1) * 16 +
+                        (strpos('0123456789abcdef', h[2]) - 1)) % 64 AS INT) AS r,
+                  ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
+                   (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
+                   (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
+                   (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
+                   (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
+                   (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
+                   (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
+                   (strpos('0123456789abcdef', hx[8]) - 1)) AS v
+           FROM hashed),
+         regs AS (
+           SELECT g, r, max(CASE WHEN v = 0 THEN 33
+                                 ELSE 33 - length(bin(v)) END) AS mr
+           FROM ranked GROUP BY g, r),
+         ests AS (
+           SELECT g, sum(1.0 / CAST(CAST(1 AS BIGINT) << mr AS DOUBLE))
+                       + (64 - count(*)) AS s
+           FROM regs GROUP BY g),
+         exacts AS (
+           SELECT g, CAST(count(DISTINCT bg) AS BIGINT) AS exact
+           FROM bg GROUP BY g)
+         SELECT e.g AS source,
+                CAST(floor(0.709 * 4096.0 / s * 100) AS BIGINT) AS est_x100,
+                x.exact,
+                CAST(floor(abs(CAST(floor(0.709 * 4096.0 / s * 100) AS BIGINT)
+                               / 100.0 - x.exact) * 10000 / x.exact) AS BIGINT)
+                  AS err_bp
+         FROM ests e JOIN exacts x USING (g)
+         ORDER BY source""",
 
     "q_repetition" ->
       """WITH toks AS (

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Zipf-ish corpus: token i appears with frequency ~ n/i, words drawn
+  // from a 40-token vocabulary so a 16-bucket CMS row must collide.
+  private lazy val corpus = {
+    val words = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"w$i"))
+    (0 until 300).map { d =>
+      val text = (0 until 30).map(j => words((d * 31 + j * 7) % words.size))
+        .mkString(" ")
+      (d.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("CMS estimates never underestimate (one-sided error)") {
+    val hh = Sketches.cmsHeavyHitters(corpus, "text",
+      depth = 4, widthHex = 1, minEst = 0L).collect()
+    assert(hh.nonEmpty)
+    hh.foreach(r => assert(r.getAs[Long]("err") >= 0L,
+      s"CMS underestimated ${r.getAs[String]("tok")}"))
+  }
+
+  test("CMS with a collision-free width is exact; deeper sketches only tighten") {
+    // widthHex=8 → 2^32 buckets ≫ vocab: every counter holds one token
+    val exact = Sketches.cmsHeavyHitters(corpus, "text",
+      depth = 2, widthHex = 8, minEst = 0L).collect()
+    exact.foreach(r => assert(r.getAs[Long]("err") === 0L))
+    // min over more rows is monotonically non-increasing
+    val d1 = Sketches.cmsHeavyHitters(corpus, "text", 1, 1, 0L)
+      .select("tok", "est").as[(String, Long)].collect().toMap
+    val d4 = Sketches.cmsHeavyHitters(corpus, "text", 4, 1, 0L)
+      .select("tok", "est").as[(String, Long)].collect().toMap
+    d4.foreach { case (t, e4) => assert(e4 <= d1(t), s"depth-4 est grew for $t") }
+  }
+
+  test("CMS threshold keeps exactly the tokens whose ESTIMATE clears it") {
+    val all = Sketches.cmsHeavyHitters(corpus, "text", 4, 1, 0L)
+      .select("tok", "est").as[(String, Long)].collect().toMap
+    val kept = Sketches.cmsHeavyHitters(corpus, "text", 4, 1, 300L)
+      .select("tok").as[String].collect().toSet
+    assert(kept === all.filter(_._2 >= 300L).keySet)
+  }
+
+  test("HLL estimate is within 3 standard errors on sets of varying cardinality") {
+    // per-group true bigram cardinality spans ~200..2000
+    val df = (0 until 4).flatMap { g =>
+      (0 until (g + 1) * 120).map { i =>
+        (s"g$g", s"a$i b${i % 97} c${(i * 7) % 53} d$i")
+      }
+    }.toDF("grp", "text")
+    val rows = Sketches.hllDistinctBigrams(df, "grp", "text").collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_x100") / 100.0
+      val exact = r.getAs[Long]("exact").toDouble
+      val rse = 1.04 / math.sqrt(64) // ≈ 13%
+      assert(math.abs(est - exact) <= 3 * rse * exact,
+        s"${r.getAs[String]("grp")}: est $est vs exact $exact")
+    }
+  }
+
+  test("HLL is insertion-invariant: duplicated content does not move the estimate") {
+    val base = (0 until 200).map(i => ("g", s"x$i y${i % 31} z$i")).toDF("grp", "text")
+    val dup = base.unionByName(base).unionByName(base)
+    val a = Sketches.hllDistinctBigrams(base, "grp", "text")
+      .select("est_x100").as[Long].head()
+    val b = Sketches.hllDistinctBigrams(dup, "grp", "text")
+      .select("est_x100").as[Long].head()
+    assert(a === b)
+  }
+
+  test("HLL is partitioning-invariant (register max is order-free)") {
+    val df = (0 until 500).map(i => (s"g${i % 3}", s"p$i q${i % 13} r$i"))
+      .toDF("grp", "text")
+    val a = Sketches.hllDistinctBigrams(df, "grp", "text")
+      .orderBy("grp").collect().toSeq
+    val b = Sketches.hllDistinctBigrams(df.repartition(13), "grp", "text")
+      .orderBy("grp").collect().toSeq
+    assert(a === b)
+  }
+}
