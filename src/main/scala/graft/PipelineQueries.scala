@@ -774,6 +774,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Scalar-quantization (SQ8) ANN: 256-level per-dimension affine
+    // codes — the 4×-shrink/near-exact-recall point of the compression
+    // family (PQ is the 32× point). Train/encode/score are all fixed-
+    // association double affine math, so the approximation itself
+    // hash-gates against a full relational replay.
+    "q_ann_sq8" -> ((s, dir) => {
+      Similarity.sq8TopK(Tables.load(s, dir, "embeddings"), "vec_id",
+          "embedding", queryIds = (0L to 7L), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF coarse pruning composed with PQ ADC scoring — the production
     // ANN architecture (Faiss IVFPQ): probe nprobe of √n cells, score
     // only those candidates from the compressed codes. BOTH quantizers
@@ -1980,6 +1991,38 @@ object PipelineQueries {
     // the deterministic quantized pipeline itself, exactly.
     "q_ann_pq" -> pqTopKOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
+
+    // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
+    // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is
+    // 1-based in DuckDB, matching Spark's element_at(_, i+1).
+    "q_ann_sq8" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         nn0 AS (SELECT vec_id,
+                        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                 FROM n),
+         mm AS (SELECT i, min(nv[i]) AS mn, max(nv[i]) AS mx
+                FROM nn0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+                GROUP BY i),
+         mml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+                 FROM mm),
+         recon AS (
+           SELECT vec_id,
+                  list_transform(
+                    list_transform(nv, (x, i) ->
+                      CASE WHEN mxs[i] = mns[i] THEN 0.0
+                           ELSE least(greatest(floor((x - mns[i]) /
+                                  (mxs[i] - mns[i]) * 255), 0.0), 255.0) END),
+                    (c, i) -> mns[i] + (c + 0.5) * (mxs[i] - mns[i]) / 255.0) AS rv
+           FROM nn0 CROSS JOIN mml),
+         q AS (SELECT vec_id AS qid, nv AS qv FROM nn0 WHERE vec_id <= 7),
+         s AS (SELECT qid, vec_id AS nid,
+                      CAST(floor(list_dot_product(qv, rv) * 10000) AS BIGINT) AS sq_bp
+               FROM recon, q WHERE vec_id != qid)
+         SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, sq_bp
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY sq_bp DESC, nid ASC) AS rn FROM s)
+         WHERE rn <= 10
+         ORDER BY query_id, rank""",
 
     // Stream-dedup ground truth: survivors = the at-rest canonical set
     // (min id per normalized content — batch 1) plus the novel-content

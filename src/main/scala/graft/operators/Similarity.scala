@@ -508,6 +508,52 @@ object Similarity {
         col("vid").as("neighbor_id"), col("adc_bp"))
   }
 
+  /** Scalar (int8) quantization ANN — the other standard Faiss
+    * compression point (SQ8): 4× memory shrink at near-exact recall,
+    * vs PQ's 32× at coarser fidelity. Train = per-dimension [min, max]
+    * over the normalized corpus (ONE map-side-combinable aggregate;
+    * the d-row result is a codebook-sized collect, same contract as
+    * [[pqCodebooks]]); encode = 256-level affine code per dimension,
+    * map-only in the scan's stage; score = asymmetric query-float ·
+    * reconstructed-corpus dot (the ADC analog), reconstruction
+    * projected ONCE per corpus row before the broadcast join.
+    *
+    * Every step is plain double affine arithmetic with a fixed
+    * association order, so the APPROXIMATION itself replays
+    * relationally and hash-gates (the PQ device). At rest only the
+    * codes (1 byte/dim) and the 2·d training bounds persist; decode is
+    * on-the-fly.
+    *
+    * Output: (query_id, rank, neighbor_id, sq_bp). */
+  def sq8TopK(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val stats = n.select(posexplode(col("nv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos").collect()
+    val mnA = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    def mn(i: Column) = element_at(mnA, (i + 1).cast("int"))
+    def mx(i: Column) = element_at(mxA, (i + 1).cast("int"))
+    val codes = transform(col("nv"), (x, i) =>
+      when(mx(i) === mn(i), lit(0.0)).otherwise(
+        least(greatest(floor((x - mn(i)) / (mx(i) - mn(i)) * 255), lit(0.0)),
+          lit(255.0))))
+    val recon = n.select(col("vid"),
+      transform(codes, (c, i) =>
+        mn(i) + (c + lit(0.5)) * (mx(i) - mn(i)) / 255.0).as("rv"))
+    val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv").as("qv")))
+    val scored = recon.join(q, col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        floor(dot(col("qv"), col("rv")) * 10000).cast("long").as("sq_bp"))
+    val w = Window.partitionBy("qid").orderBy(col("sq_bp").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("neighbor_id"), col("sq_bp"))
+  }
+
   /** IVF + PQ composed — the production ANN architecture at corpus scale
     * (Faiss's IVFPQ layout, Jégou et al. 2011 §V): the coarse quantizer
     * ([[md5Codebook]], nlist cells) prunes the candidate set to the

@@ -180,6 +180,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"embeddings re-read regressed: $c")
   }
 
+  test("q_ann_sq8: train is one bounded agg; encode/decode map-only; one top-k exchange") {
+    val c = audited("q_ann_sq8")
+    // post-train plan: corpus scan with encode+dequant fused in, query
+    // side broadcast, ONE hash exchange for the per-query top-k window.
+    // (The d-row min/max training aggregate runs before registration —
+    // its collect is the codebook-sized contract, not part of this plan.)
+    assert(c.exchanges <= 1, s"SQ8 exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"query side must broadcast: $c")
+    assert(c.scans <= 2, s"embeddings re-read regressed: $c")
+  }
+
   test("q_ann_ivfpq: assignment+encode map-only, probed queries broadcast to the corpus") {
     val c = audited("q_ann_ivfpq")
     // cell join = broadcast (query side) — the corpus NEVER hash-shuffles

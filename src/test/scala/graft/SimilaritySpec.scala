@@ -435,6 +435,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq === rs(Similarity.pqTopK(emb, "vec_id", "embedding", qids, 10)))
   }
 
+  test("SQ8 recall@10 ≫ PQ on the same corpus; near-exact floor; deterministic") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = rs(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    val sq = rs(Similarity.sq8TopK(emb, "vec_id", "embedding", qids, 10))
+    val recall = (brute & sq).size.toDouble / brute.size
+    info(f"SQ8 recall@10 = $recall%.3f")
+    // 256 affine levels per dim lose almost nothing even on the
+    // near-uniform corpus that floors PQ at ~0.46 — the 4×-memory /
+    // near-exact point of the compression family
+    assert(recall >= 0.9, s"SQ8 recall $recall below floor")
+    val pq = rs(Similarity.pqTopK(emb, "vec_id", "embedding", qids, 10))
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    assert(recall > pqRecall, s"SQ8 ($recall) should beat PQ ($pqRecall)")
+    assert(sq === rs(Similarity.sq8TopK(emb, "vec_id", "embedding", qids, 10)))
+  }
+
+  test("SQ8 scores are within the per-dim half-step error bound of exact cosine") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val sq = Similarity.sq8TopK(emb, "vec_id", "embedding", Seq(0L), 10)
+      .select("neighbor_id", "sq_bp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", Seq(0L), 1000)
+      .select("neighbor_id", "cos_bp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // |q·(r̂−r)| ≤ Σ|q_i|·(Δ_i/2·(1/255)) — on unit vectors ≤ ~Δ/2·√d/255;
+    // generous integer-bp bound: 200 bp
+    sq.foreach { case (nid, s) =>
+      assert(math.abs(s - brute(nid)) <= 200L,
+        s"SQ8 score drifted ${math.abs(s - brute(nid))} bp for $nid")
+    }
+  }
+
   test("IVFPQ with nprobe = nlist degenerates to plain PQ (full probe)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qids = Seq(0L, 1L, 2L)
