@@ -431,6 +431,15 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Interpolated Kneser–Ney bigram surprisal — the smoothing KenLM
+    // ships (continuation-count backoff), D = 0.75; self-scoring keeps
+    // every probability positive without unseen-event smoothing.
+    "q_lm_kn" -> ((s, dir) => {
+      TextAnalysis.knBigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc")
+    }),
+
     // CCNet-style perplexity-binned mixture: tertile-bucket docs by LM
     // surprisal (histogram thresholds, never a corpus sort), then sample
     // head 100% / middle 50% / tail 10% via the md5-rate rule.
@@ -1644,6 +1653,47 @@ object PipelineQueries {
                                               CAST(c2 + 1 AS DOUBLE)) * 10000)
                                      AS BIGINT)) AS BIGINT) AS total_surprisal_bp
            FROM tf2 JOIN c2 USING (p, t) JOIN c1 USING (p) CROSS JOIN vv
+           GROUP BY 1)
+         SELECT doc, n_tokens, total_surprisal_bp,
+                CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
+                  AS mean_surprisal_bp
+         FROM per ORDER BY doc""",
+
+    // KN replay: same positional-event CTEs as q_lm_bigram; continuation
+    // counts from the bigram-type table; the probability composition's
+    // association order mirrors the Spark expression token-for-token.
+    "q_lm_kn" ->
+      """WITH dtoks AS (
+           SELECT doc_id AS doc,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS w
+           FROM documents),
+         ev AS (
+           SELECT doc, CASE WHEN k = 1 THEN '<s>' ELSE w[k-1] END AS p,
+                  w[k] AS t
+           FROM (SELECT doc, w, unnest(range(1, len(w) + 1)) AS k
+                 FROM dtoks) t0),
+         tf2 AS MATERIALIZED (
+           SELECT doc, p, t, CAST(count(*) AS BIGINT) AS tf
+           FROM ev GROUP BY 1, 2, 3),
+         c2 AS MATERIALIZED (
+           SELECT p, t, CAST(sum(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY 1, 2),
+         ctx AS MATERIALIZED (
+           SELECT p, CAST(sum(c2) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1f
+           FROM c2 GROUP BY 1),
+         cont AS MATERIALIZED (
+           SELECT t, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY 1),
+         btv AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c2),
+         per AS (
+           SELECT tf2.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(-ln(
+                        (c2 - CAST(0.75 AS DOUBLE)) / c1 +
+                        CAST(0.75 AS DOUBLE) * n1f / c1 *
+                        (CAST(n1b AS DOUBLE) / bt)) * 10000)
+                                     AS BIGINT)) AS BIGINT) AS total_surprisal_bp
+           FROM tf2 JOIN c2 USING (p, t) JOIN ctx USING (p)
+                JOIN cont USING (t) CROSS JOIN btv
            GROUP BY 1)
          SELECT doc, n_tokens, total_surprisal_bp,
                 CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)

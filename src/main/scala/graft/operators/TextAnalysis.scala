@@ -807,6 +807,64 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Interpolated Kneser–Ney bigram surprisal — the smoothing KenLM
+    * actually ships (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated form), one rung above [[bigramSurprisal]]'s add-one:
+    *
+    *   P(t|p) = max(c(p,t) − D, 0)/c(p) + D·N1+(p·)/c(p) · N1+(·t)/B
+    *
+    * with fixed discount D = 0.75, continuation counts N1+(·t) =
+    * |{p : c(p,t) > 0}|, fan-out N1+(p·) = |{t : c(p,t) > 0}|, and
+    * B = total bigram types. The continuation distribution — "how many
+    * contexts does t complete" rather than "how often does t occur" —
+    * is THE Kneser-Ney idea. First tokens condition on `<s>`, as in
+    * [[bigramSurprisal]].
+    *
+    * Self-scoring regime (model trained on the corpus being scored)
+    * guarantees every scored bigram has c(p,t) ≥ 1, so every factor is
+    * positive and no unseen-event smoothing is needed — which keeps
+    * the probability a fixed-association composition of integer-count
+    * ratios, ln-floored to bp once per distinct (p, t): the engine's
+    * oracle-portable LM device.
+    *
+    * Scale shape, identical to [[bigramSurprisal]]: the (doc, p, t, tf)
+    * event table is checkpoint-materialized once; every downstream
+    * exchange is bounded by bigram types or doc-bigram events, never
+    * corpus text; the two scalar/vocab-bounded model tables broadcast.
+    * Output: (doc, n_tokens, total_surprisal_bp, mean_surprisal_bp).
+    */
+  def knBigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = filter(tokenize(col(text)), t => length(t) > 0)
+    val withT = df.select(col(id).as("doc"), toks.as("_t"))
+      .filter(size(col("_t")) > 0)
+    val prevArr = concat(array(lit("<s>")),
+      slice(col("_t"), lit(1), size(col("_t")) - 1))
+    val tf2 = withT
+      .select(col("doc"), explode(zip_with(prevArr, col("_t"),
+        (a, b) => struct(a.as("p"), b.as("t")))).as("e"))
+      .select(col("doc"), col("e.p").as("p"), col("e.t").as("t"))
+      .groupBy("doc", "p", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val c2 = tf2.groupBy("p", "t").agg(sum("tf").as("c2"))
+    val ctx = c2.groupBy("p").agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+    val cont = c2.groupBy("t").agg(count(lit(1)).as("n1b"))
+    val bt = c2.agg(count(lit(1)).as("bt"))
+    // mirrored literally in the DuckDB oracle (fixed association order)
+    val pKn = (col("c2") - lit(0.75)) / col("c1") +
+      lit(0.75) * col("n1f") / col("c1") *
+        (col("n1b").cast("double") / col("bt"))
+    val surpBp = floor(-log(pKn) * 10000)
+    tf2.join(c2, Seq("p", "t")).join(broadcast(ctx), Seq("p"))
+      .join(broadcast(cont), Seq("t"))
+      .crossJoin(broadcast(bt))
+      .groupBy("doc").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * surpBp).as("total_surprisal_bp"))
+      .select(col("doc"), col("n_tokens"), col("total_surprisal_bp"),
+        floor(col("total_surprisal_bp").cast("double") / col("n_tokens"))
+          .cast("long").as("mean_surprisal_bp"))
+  }
+
   /** Per-document keyword extraction: the top-k tokens by tf·idf
     * (idf = ln(N/df), N = docs with ≥1 token) — the classic summarize/
     * tag/route primitive (and the feature extractor behind lexical

@@ -685,6 +685,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(soloGot === Seq((1L, 1L, 2876L, 2876L), (2L, 2L, 6930L, 3465L)))
   }
 
+  test("knBigramSurprisal: equals a naive KN reference; per-context probabilities normalize") {
+    // independent naive interpolated-KN implementation
+    def ref(corpus: Seq[(Long, String)]): (Map[Long, (Long, Long, Long)],
+        Map[String, Map[String, Double]]) = {
+      def tok(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val events = corpus.flatMap { case (id, t) =>
+        val w = tok(t)
+        if (w.isEmpty) Nil
+        else ("<s>" +: w.init).zip(w).map { case (p, tk) => (id, p, tk) }
+      }
+      val c2 = events.groupBy(e => (e._2, e._3)).view.mapValues(_.size.toLong).toMap
+      val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val n1f = c2.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+      val n1b = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+      val bt = c2.size.toLong
+      def p(pr: String, t: String): Double =
+        (c2((pr, t)) - 0.75) / c1(pr) +
+          0.75 * n1f(pr) / c1(pr) * (n1b(t).toDouble / bt)
+      val perDoc = events.groupBy(_._1).map { case (id, es) =>
+        val total = es.map { case (_, pr, t) =>
+          math.floor(-math.log(p(pr, t)) * 10000).toLong
+        }.sum
+        id -> (es.size.toLong, total,
+          math.floor(total.toDouble / es.size).toLong)
+      }
+      val vocab = events.map(_._3).distinct
+      val dists = (c1.keySet).map { pr =>
+        pr -> vocab.map { t =>
+          t -> (if (c2.contains((pr, t))) p(pr, t)
+                else 0.75 * n1f(pr) / c1(pr) * (n1b(t).toDouble / bt))
+        }.toMap
+      }.toMap
+      (perDoc, dists)
+    }
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(3 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")))
+    val (want, dists) = ref(corpus)
+    val got = TextAnalysis.knBigramSurprisal(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === want)
+    // interpolated KN is a proper distribution: Σ_t P(t|p) = 1 per context
+    dists.foreach { case (pr, d) =>
+      val s = d.values.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"context $pr sums to $s")
+    }
+    // BOS conditioning + empty/token-less docs absent (same contract as bigramSurprisal)
+    val edge = Seq((1L, "x"), (2L, ""), (3L, "?!")).toDF("doc_id", "text")
+    val ids = TextAnalysis.knBigramSurprisal(edge, "doc_id", "text")
+      .select("doc").as[Long].collect().toSet
+    assert(ids === Set(1L))
+  }
+
   test("tokenBudgetSample: equals the global-prefix-sum reference on random corpora; boundary and degenerate budgets") {
     def md5p(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
