@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Search, Similarity, Sketches, TextAnalysis}
-import graft.streaming.{Livestream, StreamClusters, StreamIndex}
+import graft.streaming.{Livestream, StreamClusters, StreamIndex, StreamLsh}
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over documents/embeddings.
@@ -160,6 +160,29 @@ object PipelineQueries {
         .option("maxFilesPerTrigger", 1).parquet(src)
       val q = StreamClusters.assignSink(stream, "vec_id", "embedding", codebook,
         table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
+  private val builtLshTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained MinHash-LSH state over the documents table: 4 real
+    * micro-batches through [[StreamLsh.lshSink]] at the q_dedup_minhash
+    * geometry (n=3, 128 hashes, 32 bands), built once per session — the
+    * near-dup analog of [[incrementalIndex]]. */
+  private def incrementalLsh(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtLshTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_lsh")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = StreamLsh.table(s, tmp.resolve("tbl").toString, nBuckets = 16)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamLsh.lshSink(stream, "doc_id", "text", table,
+        tmp.resolve("ckp").toString, n = 3).start()
       q.awaitTermination()
       table
     })
@@ -602,6 +625,18 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(Tables.load(s, dir, "documents"),
           "doc_id", "text", n = 3, thresholdBp = 8000)
+        .orderBy("i", "j")
+    }),
+
+    // Near-dup pairs served from the STREAM-MAINTAINED LSH state table
+    // (4 real micro-batches upserting per-doc shingle sets + band
+    // buckets) — must hash-equal batch q_dedup_minhash (shared oracle
+    // verbatim): the fourth maintained serving artifact.
+    "q_dedup_stream_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairsFromState(
+          StreamLsh.state(incrementalLsh(s, dir))
+            .withColumn("doc", col("doc").cast("long")),
+          thresholdBp = 8000)
         .orderBy("i", "j")
     }),
 
@@ -1889,6 +1924,8 @@ object PipelineQueries {
 
     "q_dedup_ngram" -> jaccardOracle,
     "q_dedup_minhash" -> jaccardOracle,
+    // serves from the maintained LSH state; ground truth identical
+    "q_dedup_stream_lsh" -> jaccardOracle,
 
     // Same gram/covered-run-merge algebra as the dupSpans oracles (gap ≤
     // L marked positions merge → disjoint spans), with the mark set = the

@@ -150,13 +150,25 @@ object Dedup {
     // shingle array the verify stage uses: no exploded shingle rows, no
     // 128-buffer aggregate (and its multi-second one-time codegen), no
     // signature exchange — the only generated column is the bands array.
-    // The posexplode input is a complex expression on purpose: it keeps
-    // InferFiltersFromGenerate from re-substituting the pipeline into a
-    // scan filter (see shingleExpr's notes).
-    val buckets = base
-      .select(col("doc"), posexplode(
-        graft.functions.minhashBands(col("_arr"), numHashes, bands))
-        .as(Seq("band", "bucket")))
+    minhashLshPairsFromState(
+      base.select(col("doc"), col("_arr"),
+        graft.functions.minhashBands(col("_arr"), numHashes, bands)
+          .as("_bands")),
+      thresholdBp, bucketCap)
+  }
+
+  /** [[minhashLshPairs]]' candidate+verify core over PREBUILT LSH state
+    * (doc, _arr shingle set, _bands band buckets) — so pair detection can
+    * serve from a MAINTAINED state table
+    * ([[graft.streaming.StreamLsh]]) exactly as BM25 serves from the
+    * maintained postings. Same contract: candidates from band-bucket
+    * cogroups (bucketCap sheds pathological identical families), then
+    * exact Jaccard verification against the stored shingle sets —
+    * precision exact, recall the banding's. */
+  def minhashLshPairsFromState(state: DataFrame, thresholdBp: Int,
+      bucketCap: Long = 1000000L): DataFrame = {
+    val buckets = state
+      .select(col("doc"), posexplode(col("_bands")).as(Seq("band", "bucket")))
     // bucketCap: an all-identical-doc family lands in ONE bucket per band
     // and would emit its f² pairs in one task — same shed-on-pathology
     // contract as jaccardPairs' freqCap (collapse exact dups FIRST when a
@@ -166,8 +178,8 @@ object Dedup {
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .distinct()
     candidates
-      .join(base.select(col("doc").as("i"), col("_arr").as("_ai")), "i")
-      .join(base.select(col("doc").as("j"), col("_arr").as("_aj")), "j")
+      .join(state.select(col("doc").as("i"), col("_arr").as("_ai")), "i")
+      .join(state.select(col("doc").as("j"), col("_arr").as("_aj")), "j")
       .select(col("i"), col("j"),
         size(array_intersect(col("_ai"), col("_aj"))).as("c"),
         size(col("_ai")).as("ni"), size(col("_aj")).as("nj"))

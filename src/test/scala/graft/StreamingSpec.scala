@@ -129,6 +129,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(v0.contains(("1", "beta")) && !v0.exists(_._1 == "3"))
   }
 
+  test("StreamLsh: incremental LSH state equals batch pairs; re-arrival replaces; shrunken docs drop out") {
+    import graft.streaming.StreamLsh
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IxDoc]
+    val table = StreamLsh.table(spark, tmp("lsh"), nBuckets = 8)
+    val q = StreamLsh.lshSink(mem.toDF(), "doc_id", "text", table,
+      tmp("lshckp"), n = 2, trigger = Trigger.ProcessingTime(0)).start()
+    try {
+      // docs 1/2 near-identical; doc 3 unrelated
+      mem.addData(
+        IxDoc(1, "the quick brown fox jumps over the lazy dog"),
+        IxDoc(2, "the quick brown fox jumps over the lazy cat"),
+        IxDoc(3, "completely different words entirely here now"))
+      q.processAllAvailable()
+      // doc 4 arrives near-identical to 3 in a LATER batch — the
+      // cross-batch pair the maintained state exists to find
+      mem.addData(IxDoc(4, "completely different words entirely here today"))
+      q.processAllAvailable()
+      // doc 2 REWRITTEN away from doc 1 (its old state must vanish);
+      // doc 3 shrinks below the shingle gate (must drop from serving)
+      mem.addData(IxDoc(2, "unrelated replacement text with nothing shared"),
+        IxDoc(3, "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = pairs(Dedup.minhashLshPairsFromState(
+      StreamLsh.state(table).withColumn("doc", col("doc").cast("long")),
+      thresholdBp = 3000).select("i", "j"))
+    // ground truth: batch LSH over each doc's LATEST version (doc 3's
+    // latest is sub-shingle, so it cannot pair)
+    val latest = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "unrelated replacement text with nothing shared",
+      3L -> "x",
+      4L -> "completely different words entirely here today").toDF("doc_id", "text")
+    val batch = pairs(Dedup.minhashLshPairs(latest, "doc_id", "text",
+      n = 2, thresholdBp = 3000).select("i", "j"))
+    assert(served === batch)
+    // the stale 1-2 pair is gone; 3 no longer serves at all
+    assert(!served.contains((1L, 2L)), "stale pair from replaced doc survived")
+    assert(!served.exists(p => p._1 == 3L || p._2 == 3L),
+      "sub-shingle doc still serving state")
+    // but BEFORE the rewrite (time travel to v1) both 1-2 and 3-4 paired
+    val v1 = table.at(1)
+      .select(col(graft.operators.Merge.KeyCol).cast("long").as("doc"),
+        col("arr").as("_arr"), col("bands").as("_bands"))
+      .filter(size(col("_arr")) > 0)
+    val historic = pairs(Dedup.minhashLshPairsFromState(v1, thresholdBp = 3000)
+      .select("i", "j"))
+    assert(historic.contains((1L, 2L)) && historic.contains((3L, 4L)))
+  }
+
   test("StreamClusters: incremental assignment equals batch, re-arrived vector moves cluster") {
     import graft.streaming.StreamClusters
     import graft.operators.Similarity
