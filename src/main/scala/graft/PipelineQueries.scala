@@ -164,6 +164,15 @@ object PipelineQueries {
       table
     })
 
+  /** q_mixture_plan's target weights — heavies every 4th source — kept
+    * as ONE definition feeding both the Spark call and the oracle's
+    * VALUES so they can never drift. */
+  private val mixturePlanWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 4 == 0) 400L else 100L)).toMap
+  private def mixturePlanWeightValues: String =
+    mixturePlanWeights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+
   private val builtLshTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -492,6 +501,22 @@ object PipelineQueries {
     "q_vocab" -> ((s, dir) => {
       TextAnalysis.topTokens(Tables.load(s, dir, "documents"), "text", 100)
         .orderBy("pos")
+    }),
+
+    // Token-budget mixture PLANNING (waterfilling/epoching): proportional
+    // allocation until a source's inventory caps, freed budget re-flowing
+    // — the decision step before q_mixture's sampling. All windows over
+    // the |sources|-row inventory; corpus contributes ONE count agg.
+    "q_mixture_plan" -> ((s, dir) => {
+      val toks = size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)).cast("long")
+      val inv = Tables.load(s, dir, "documents")
+        .select(col("source"), toks.as("tk"))
+        .groupBy("source").agg(sum("tk").as("avail"))
+      TextAnalysis.mixturePlan(inv, "source", "avail",
+          mixturePlanWeights, budget = 12000L)
+        .withColumnRenamed("src", "source")
+        .orderBy("source")
     }),
 
     // Count-Min heavy hitters: the frequency sketch ITSELF is hash-gated
@@ -1819,6 +1844,44 @@ object PipelineQueries {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS pos,
                 token, n
          FROM top ORDER BY pos""",
+
+    // Waterfilling replay: inventory + VALUES weights -> exclusive-prefix
+    // windows in ratio order -> first row with r >= lambda marks the cap
+    // boundary -> capped keep inventory, uncapped get floor(lambda*wt).
+    "q_mixture_plan" -> (
+      s"""WITH inv AS (
+           SELECT source AS src,
+                  CAST(sum(len(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> length(x) > 0))) AS BIGINT) AS avail
+           FROM documents GROUP BY source),
+         wts(src, wt) AS (VALUES $mixturePlanWeightValues),
+         base AS (
+           SELECT i.src, avail, CAST(wt AS BIGINT) AS wt,
+                  CAST(avail AS DOUBLE) / wt AS r
+           FROM inv i JOIN wts USING (src) WHERE avail > 0),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY r, src) AS m,
+                  COALESCE(sum(avail) OVER (ORDER BY r, src
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pT,
+                  COALESCE(sum(wt) OVER (ORDER BY r, src
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cW,
+                  sum(wt) OVER () AS totW
+           FROM base),
+         lamd AS (
+           SELECT *, CAST(12000 - pT AS DOUBLE) / (totW - cW) AS lam
+           FROM ranked),
+         bdy AS (SELECT m - 1 AS kStar, lam AS lamStar
+                 FROM lamd WHERE r >= lam ORDER BY m LIMIT 1),
+         plan AS (
+           SELECT src, avail, wt,
+                  CASE WHEN kStar IS NULL OR m <= kStar THEN avail
+                       ELSE CAST(floor(lamStar * wt) AS BIGINT) END AS alloc,
+                  (kStar IS NULL OR m <= kStar) AS capped
+           FROM lamd LEFT JOIN bdy ON TRUE)
+         SELECT src AS source, avail, wt, alloc, capped,
+                CAST(floor(alloc * 10000.0 / avail) AS BIGINT) AS epochs_bp
+         FROM plan ORDER BY source"""),
 
     // The CMS replay: exact token counts -> salted-md5 counter coords ->
     // per-row counter sums -> min-over-rows estimates. Counter additivity

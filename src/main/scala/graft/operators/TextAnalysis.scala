@@ -807,6 +807,67 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Token-budget MIXTURE PLANNING (waterfilling): given per-source token
+    * inventories, target mixture weights, and a total token budget,
+    * compute the achievable allocation — proportional to the weights
+    * until a source runs out of tokens ("caps"), with the freed budget
+    * re-flowing to the uncapped sources. The planning step every
+    * pre-training mix runs before sampling (Pile/Dolma-style epoching
+    * decisions: which sources repeat, which are undersampled).
+    *
+    * Waterfilling: sort sources by r_i = avail_i / w_i ascending; a
+    * source is capped iff r_i < λ*, where λ* solves
+    * Σ min(λ·w_i, avail_i) = budget. Relationally: for each row m (in
+    * ratio order) compute λ_{m−1} = (budget − prefixAvail) /
+    * suffixWeight over the EXCLUSIVE prefix; the first row with
+    * r_m ≥ λ_{m−1} marks the cap boundary (everything before it caps).
+    * No row satisfying it = the budget exceeds the whole inventory —
+    * every source caps at its inventory.
+    *
+    * All windows run over the |sources|-row inventory table, never a
+    * corpus: at 100 TB the corpus contributes exactly ONE
+    * map-side-combinable token-count aggregate. λ is the only double
+    * (fixed association, exact-long operands), so the plan replays
+    * relationally and hash-gates.
+    *
+    * Sources with no weight entry (or non-positive inventory) are
+    * excluded from the plan. Output per source: (src, avail, wt, alloc,
+    * capped, epochs_bp = floor(alloc·10⁴/avail)) — epochs_bp > 10000
+    * never occurs (alloc ≤ avail by construction; REPEATING a source
+    * is a caller policy on top of the capped rows, not the planner's).
+    */
+  def mixturePlan(inventory: DataFrame, src: String, avail: String,
+      weights: Map[String, Long], budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val base = inventory
+      .select(col(src).as("src"), col(avail).cast("long").as("avail"))
+      .withColumn("wt", element_at(typedLit(weights), col("src")))
+      .filter(col("wt").isNotNull && col("avail") > 0)
+      .withColumn("r", col("avail").cast("double") / col("wt"))
+    val ord = Window.orderBy(col("r"), col("src"))
+    val excl = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base
+      .withColumn("m", row_number().over(ord))
+      .withColumn("pT", coalesce(sum("avail").over(excl), lit(0L)))
+      .withColumn("cW", coalesce(sum("wt").over(excl), lit(0L)))
+      .withColumn("totW", sum("wt").over(all))
+      .withColumn("lam",
+        (lit(budget) - col("pT")).cast("double") / (col("totW") - col("cW")))
+    val boundary = ranked.filter(col("r") >= col("lam"))
+      .agg(min_by(struct(col("m"), col("lam")), col("m")).as("b"))
+      .select((col("b.m") - 1).as("kStar"), col("b.lam").as("lamStar"))
+    ranked.crossJoin(broadcast(boundary))
+      .select(col("src"), col("avail"), col("wt"),
+        when(col("kStar").isNull || col("m") <= col("kStar"), col("avail"))
+          .otherwise(floor(col("lamStar") * col("wt")).cast("long")).as("alloc"),
+        (col("kStar").isNull || col("m") <= col("kStar")).as("capped"))
+      .withColumn("epochs_bp",
+        floor(col("alloc") * 10000.0 / col("avail")).cast("long"))
+  }
+
   /** Interpolated Kneser–Ney bigram surprisal — the smoothing KenLM
     * actually ships (Kneser & Ney 1995; Chen & Goodman 1999's
     * interpolated form), one rung above [[bigramSurprisal]]'s add-one:

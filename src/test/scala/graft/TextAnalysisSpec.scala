@@ -685,6 +685,62 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(soloGot === Seq((1L, 1L, 2876L, 2876L), (2L, 2L, 6930L, 3465L)))
   }
 
+  test("mixturePlan: waterfilling fixpoint reference equality, conservation, degenerate budgets") {
+    // naive iterative waterfilling: re-solve lambda until the capped set
+    // stabilizes (the textbook fixpoint the windowed scan must equal)
+    def ref(inv: Seq[(String, Long)], wts: Map[String, Long], budget: Long)
+        : Map[String, Long] = {
+      val rows = inv.filter { case (s, a) => a > 0 && wts.contains(s) }
+      var capped = Set.empty[String]
+      var lam = 0.0
+      var done = false
+      while (!done) {
+        val freeW = rows.filterNot(r => capped(r._1)).map(r => wts(r._1)).sum
+        val usedT = rows.filter(r => capped(r._1)).map(_._2).sum
+        lam = if (freeW == 0) Double.PositiveInfinity
+              else (budget - usedT).toDouble / freeW
+        val newly = rows.filterNot(r => capped(r._1))
+          .filter { case (s, a) => a.toDouble / wts(s) < lam }.map(_._1)
+        if (newly.isEmpty) done = true else capped ++= newly
+      }
+      rows.map { case (s, a) =>
+        s -> (if (capped(s) || lam.isPosInfinity) a
+              else math.floor(lam * wts(s)).toLong)
+      }.toMap
+    }
+    def plan(inv: Seq[(String, Long)], wts: Map[String, Long], budget: Long) =
+      TextAnalysis.mixturePlan(inv.toDF("src", "avail"), "src", "avail", wts, budget)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // hand fixture: heavy source caps, freed budget re-flows
+    val inv = Seq("a" -> 100L, "b" -> 1000L, "c" -> 1000L)
+    val wts = Map("a" -> 500L, "b" -> 100L, "c" -> 100L)
+    val got = plan(inv, wts, 2000L)
+    assert(got("a") === 100L) // wants 2000·5/7 ≈ 1428, capped at 100
+    // remaining 1900 split evenly: floor(9.5 · 100)
+    assert(got("b") === 950L && got("c") === 950L)
+    assert(got === ref(inv, wts, 2000L))
+    // random instances equal the fixpoint reference; conservation holds
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 8) {
+      val n = 2 + rng.nextInt(8)
+      val rInv = (0 until n).map(i => s"s$i" -> (1L + rng.nextInt(5000)))
+      val rWts = (0 until n).map(i => s"s$i" -> (1L + rng.nextInt(400))).toMap
+      val budget = 1L + rng.nextInt(12000)
+      val p = plan(rInv, rWts, budget)
+      assert(p === ref(rInv, rWts, budget))
+      assert(p.values.sum <= budget || p.values.sum === rInv.map(_._2).sum)
+      rInv.foreach { case (s, a) => assert(p(s) <= a) }
+    }
+    // budget beyond the whole inventory: everything caps at avail
+    val over = plan(inv, wts, 10000000L)
+    assert(over === inv.toMap)
+    // zero budget: zero allocations (nothing caps, lambda = 0)
+    assert(plan(inv, wts, 0L).values.forall(_ === 0L))
+    // unweighted/empty sources are excluded from the plan
+    val part = plan(Seq("a" -> 10L, "zz" -> 50L, "e" -> 0L), wts, 100L)
+    assert(part.keySet === Set("a"))
+  }
+
   test("knBigramSurprisal: equals a naive KN reference; per-context probabilities normalize") {
     // independent naive interpolated-KN implementation
     def ref(corpus: Seq[(Long, String)]): (Map[Long, (Long, Long, Long)],
