@@ -503,6 +503,18 @@ object PipelineQueries {
         .orderBy("pos")
     }),
 
+    // Exact per-source quantiles of doc token counts — the histogram
+    // device generalized to a quantile vector; exact and engine-portable
+    // where approxQuantile is neither.
+    "q_quantiles" -> ((s, dir) => {
+      val toks = size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)).cast("long")
+      TextAnalysis.histogramQuantiles(
+          Tables.load(s, dir, "documents").select(col("source"), toks.as("ntok")),
+          "source", "ntok", qsBp = Seq(2500L, 5000L, 7500L, 9500L))
+        .orderBy("source", "q_bp")
+    }),
+
     // Token-budget mixture PLANNING (waterfilling/epoching): proportional
     // allocation until a source's inventory caps, freed budget re-flowing
     // — the decision step before q_mixture's sampling. All windows over
@@ -840,6 +852,16 @@ object PipelineQueries {
     "q_ann_pq" -> ((s, dir) => {
       Similarity.pqTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           queryIds = (0L to 7L), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // FILTERED vector search (pre-filter semantics): top-k among vectors
+    // whose label differs from the query's — hard-negative mining / the
+    // production attribute-constrained ANN shape; predicate fused into
+    // the broadcast join, always k qualifying rows.
+    "q_ann_filtered" -> ((s, dir) => {
+      Similarity.labelFilteredTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", queryIds = (0L to 7L), k = 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -1844,6 +1866,51 @@ object PipelineQueries {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS pos,
                 token, n
          FROM top ORDER BY pos""",
+
+    // Filtered-ANN replay: the brute chain with the label predicate in
+    // the join — pre-filter semantics, exactly k constrained rows.
+    "q_ann_filtered" ->
+      """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         nn0 AS (SELECT vec_id, label,
+                        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                 FROM n),
+         q AS (SELECT vec_id AS qid, nv AS qv, label AS qlbl
+               FROM nn0 WHERE vec_id <= 7),
+         s AS (
+           SELECT qid, vec_id AS nid,
+                  CAST(floor(list_dot_product(nv, qv) * 10000) AS BIGINT) AS cos_bp
+           FROM nn0, q WHERE vec_id != qid AND label != qlbl)
+         SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, cos_bp
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rn FROM s)
+         WHERE rn <= 10
+         ORDER BY query_id, rank""",
+
+    // Quantile replay: (group, value) histogram -> per-group cumulative
+    // window -> min value whose cumulative count reaches the integer
+    // ceil((q*n)/1e4) rank target.
+    "q_quantiles" ->
+      """WITH vals AS (
+           SELECT source AS g,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0)) AS BIGINT) AS v
+           FROM documents),
+         hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                  FROM vals GROUP BY g, v),
+         cum AS (
+           SELECT g, v, c,
+                  sum(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY g) AS n
+           FROM hist),
+         qs(q_bp) AS (VALUES (2500), (5000), (7500), (9500))
+         SELECT g AS source, CAST(q_bp AS BIGINT) AS q_bp,
+                CAST(min(v) AS BIGINT) AS value
+         FROM cum CROSS JOIN qs
+         WHERE cum >= (q_bp * n + 9999) // 10000
+         GROUP BY g, q_bp
+         ORDER BY source, q_bp""",
 
     // Waterfilling replay: inventory + VALUES weights -> exclusive-prefix
     // windows in ratio order -> first row with r >= lambda marks the cap

@@ -508,6 +508,44 @@ object Similarity {
         col("vid").as("neighbor_id"), col("adc_bp"))
   }
 
+  /** FILTERED vector search — attribute-constrained top-k (the
+    * production "filtered ANN" feature every vector store grew:
+    * hard-negative mining, per-tenant search, dedup-against-other-
+    * shard). PRE-filter semantics: the metadata predicate applies
+    * before ranking, so the result always holds k qualifying rows —
+    * post-filtering an unconstrained top-k can return < k or even 0
+    * (the classic filtered-ANN bug this operator exists to avoid).
+    *
+    * The predicate here is label-exclusion (corpus label ≠ the query's
+    * label — the hard-negative shape); the mechanism generalizes to any
+    * per-pair condition expressible on the joined row. Plan shape is
+    * [[bruteTopK]]'s: queries (with labels) broadcast, the corpus
+    * streams once with the predicate fused into the join condition —
+    * at IVF scale the same predicate rides the probed-cell join
+    * unchanged, so pre-filtering costs nothing extra in exchanges.
+    *
+    * Output: (query_id, rank, neighbor_id, cos_bp) — every neighbor
+    * satisfies the constraint. */
+  def labelFilteredTopK(emb: DataFrame, id: String, vec: String,
+      label: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    // one projection carries vector AND metadata — no self-join re-scan
+    val n = emb.select(col(id).as("vid"),
+        vecNormalize(col(vec)).as("nv"),
+        col(label).as("_lbl"))
+      .filter(col("nv").isNotNull)
+    val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv").as("qv"), col("_lbl").as("_qlbl")))
+    val scored = n.join(q,
+        col("vid") =!= col("qid") && col("_lbl") =!= col("_qlbl"))
+      .select(col("qid"), col("vid"),
+        floor(dot(col("nv"), col("qv")) * 10000).cast("long").as("cos_bp"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_bp").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("neighbor_id"), col("cos_bp"))
+  }
+
   /** Scalar (int8) quantization ANN — the other standard Faiss
     * compression point (SQ8): 4× memory shrink at near-exact recall,
     * vs PQ's 32× at coarser fidelity. Train = per-dimension [min, max]

@@ -807,6 +807,41 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** EXACT distributed quantiles over a bounded-domain integer column,
+    * per group — the histogram-threshold device ([[selectTopPctByScore]],
+    * [[scoreTertiles]]) generalized to an arbitrary quantile vector:
+    * group the corpus ONCE into (group, value) counts, cumulative-sum
+    * over the ≤ |group|·|domain| histogram (never the corpus), and each
+    * requested quantile q reads off the smallest value whose cumulative
+    * count reaches ceil(q·n/10⁴) (the lower-rank / type-1 definition —
+    * always an actual data value, integer-exact in any engine).
+    *
+    * This is what approxQuantile refuses to be: exact, deterministic,
+    * and oracle-replayable — affordable whenever the value domain is
+    * bounded (lengths, counts, scores in bp), which is every quality
+    * column this engine emits. Output: (group, q_bp, value).
+    */
+  def histogramQuantiles(df: DataFrame, group: String, value: String,
+      qsBp: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
+      s"quantiles must be in (0, 10000] bp: $qsBp")
+    val hist = df.select(col(group).as("g"), col(value).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    val qdf = df.sparkSession.range(1)
+      .select(explode(typedLit(qsBp)).as("q_bp"))
+    // integer ceil((q·n)/10⁴) — no floating point anywhere
+    cum.crossJoin(broadcast(qdf))
+      .filter(col("cum") >= expr("(q_bp * n + 9999) div 10000"))
+      .groupBy("g", "q_bp").agg(min("v").as("value"))
+      .select(col("g").as(group), col("q_bp"), col("value"))
+  }
+
   /** Token-budget MIXTURE PLANNING (waterfilling): given per-source token
     * inventories, target mixture weights, and a total token budget,
     * compute the achievable allocation — proportional to the weights

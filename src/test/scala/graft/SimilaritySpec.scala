@@ -435,6 +435,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq === rs(Similarity.pqTopK(emb, "vec_id", "embedding", qids, 10)))
   }
 
+  test("labelFilteredTopK: pre-filter semantics — constraint always holds, k rows served") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qids = (0L to 7L)
+    val got = Similarity.labelFilteredTopK(emb, "vec_id", "embedding", "label",
+      qids, 10).collect()
+    // constraint holds on every served row
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(labels(n) !== labels(q), s"neighbor $n shares label with query $q")
+    }
+    // full k per query (pre-filter guarantees it; post-filtering brute
+    // top-k could come up short when same-label rows crowd the top)
+    val perQ = got.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    qids.foreach(q => assert(perQ(q) === 10))
+    // equals brute top-k over the per-query label-filtered corpus
+    import org.apache.spark.sql.functions.col
+    qids.take(3).foreach { q =>
+      val sub = emb.filter(col("label") =!= labels(q) || col("vec_id") === q)
+      val want = Similarity.bruteTopK(sub, "vec_id", "embedding", Seq(q), 10)
+        .select("neighbor_id", "cos_bp").collect().map(_.toSeq).toSeq
+      val mine = got.filter(_.getAs[Long]("query_id") == q)
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => Seq(r.getAs[Long]("neighbor_id"), r.getAs[Long]("cos_bp"))).toSeq
+      assert(mine === want, s"query $q filtered result diverged")
+    }
+  }
+
   test("SQ8 recall@10 ≫ PQ on the same corpus; near-exact floor; deterministic") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val qids = (0L to 7L)

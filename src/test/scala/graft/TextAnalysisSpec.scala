@@ -685,6 +685,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(soloGot === Seq((1L, 1L, 2876L, 2876L), (2L, 2L, 6930L, 3465L)))
   }
 
+  test("histogramQuantiles: type-1 sorted-rank reference equality incl. ties and edges") {
+    def ref(vals: Seq[Long], qBp: Long): Long = {
+      val s = vals.sorted
+      s((((qBp * s.size + 9999) / 10000) - 1).toInt)
+    }
+    val rng = new scala.util.Random(5)
+    val data = (0 until 3).flatMap { g =>
+      (0 until 50 + g * 37).map(_ => (s"g$g", rng.nextInt(40).toLong))
+    }
+    val qs = Seq(100L, 2500L, 5000L, 9000L, 10000L)
+    val got = TextAnalysis.histogramQuantiles(
+        data.toDF("grp", "v"), "grp", "v", qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    for ((g, vals) <- byG; q <- qs)
+      assert(got((g, q)) === ref(vals, q), s"($g, $q)")
+    // q=10000 is the max; a constant column answers itself at every q
+    assert(got(("g0", 10000L)) === byG("g0").max)
+    val const = TextAnalysis.histogramQuantiles(
+        Seq(("c", 7L), ("c", 7L), ("c", 7L)).toDF("grp", "v"), "grp", "v",
+        Seq(1L, 5000L, 10000L))
+      .collect().map(_.getLong(2))
+    assert(const.forall(_ === 7L))
+  }
+
   test("mixturePlan: waterfilling fixpoint reference equality, conservation, degenerate budgets") {
     // naive iterative waterfilling: re-solve lambda until the capped set
     // stabilizes (the textbook fixpoint the windowed scan must equal)
