@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Search, Similarity, Sketches, TextAnalysis}
-import graft.streaming.{Livestream, StreamClusters, StreamIndex, StreamLsh}
+import graft.streaming.{Livestream, StreamClusters, StreamIndex, StreamLsh, StreamSketch}
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over documents/embeddings.
@@ -172,6 +172,28 @@ object PipelineQueries {
   private def mixturePlanWeightValues: String =
     mixturePlanWeights.toSeq.sortBy(_._1)
       .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+
+  private val builtSketchTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained CMS sketch over the documents table: 4 real
+    * micro-batches of additive counter upserts at the q_heavy_hitters
+    * geometry (depth 4, width 16), built once per session. */
+  private def incrementalSketch(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtSketchTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sketch")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = StreamSketch.table(s, tmp.resolve("tbl").toString, nBuckets = 8)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamSketch.sketchSink(stream, "text", table,
+        tmp.resolve("ckp").toString, depth = 4, widthHex = 1).start()
+      q.awaitTermination()
+      table
+    })
 
   private val builtLshTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
@@ -536,6 +558,17 @@ object PipelineQueries {
     // along so the one-sided error is auditable (err >= 0 always).
     "q_heavy_hitters" -> ((s, dir) => {
       Sketches.cmsHeavyHitters(Tables.load(s, dir, "documents"), "text",
+          depth = 4, widthHex = 1, minEst = 100L)
+        .orderBy(desc("est"), col("tok"))
+    }),
+
+    // Heavy hitters served from the STREAM-MAINTAINED sketch (additive
+    // counter upserts across 4 real micro-batches — counters add, so the
+    // maintained sketch is bit-identical to a batch rebuild): must
+    // hash-equal batch q_heavy_hitters (shared oracle verbatim).
+    "q_heavy_hitters_incremental" -> ((s, dir) => {
+      val t = incrementalSketch(s, dir)
+      Sketches.cmsServe(StreamSketch.counts(t), StreamSketch.sketch(t),
           depth = 4, widthHex = 1, minEst = 100L)
         .orderBy(desc("est"), col("tok"))
     }),
@@ -1564,6 +1597,27 @@ object PipelineQueries {
     s"(strpos('0123456789abcdef', hx[$i]) - 1) * ${1L << (4 * (8 - i))}")
     .mkString("(", " + ", ")")
 
+  private val cmsOracle: String =
+    """WITH toks AS MATERIALIZED (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS tok
+           FROM documents),
+         tc AS MATERIALIZED (
+           SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY tok),
+         coords AS MATERIALIZED (
+           SELECT tok, exact, j,
+                  substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 1) AS b
+           FROM tc CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+         sk AS (SELECT j, b, CAST(sum(exact) AS BIGINT) AS total
+                FROM coords GROUP BY j, b),
+         est AS (SELECT tok, min(total) AS est
+                 FROM coords JOIN sk USING (j, b) GROUP BY tok)
+         SELECT t.tok, CAST(e.est AS BIGINT) AS est, t.exact,
+                CAST(e.est - t.exact AS BIGINT) AS err
+         FROM tc t JOIN est e USING (tok)
+         WHERE e.est >= 100
+         ORDER BY est DESC, t.tok"""
+
   val oracles: Map[String, String] = Map(
     "q_bpe" -> bpeOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
@@ -1952,27 +2006,11 @@ object PipelineQueries {
 
     // The CMS replay: exact token counts -> salted-md5 counter coords ->
     // per-row counter sums -> min-over-rows estimates. Counter additivity
-    // makes build-from-counts identical to build-row-at-a-time.
-    "q_heavy_hitters" ->
-      """WITH toks AS MATERIALIZED (
-           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                         x -> length(x) > 0)) AS tok
-           FROM documents),
-         tc AS MATERIALIZED (
-           SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY tok),
-         coords AS MATERIALIZED (
-           SELECT tok, exact, j,
-                  substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 1) AS b
-           FROM tc CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
-         sk AS (SELECT j, b, CAST(sum(exact) AS BIGINT) AS total
-                FROM coords GROUP BY j, b),
-         est AS (SELECT tok, min(total) AS est
-                 FROM coords JOIN sk USING (j, b) GROUP BY tok)
-         SELECT t.tok, CAST(e.est AS BIGINT) AS est, t.exact,
-                CAST(e.est - t.exact AS BIGINT) AS err
-         FROM tc t JOIN est e USING (tok)
-         WHERE e.est >= 100
-         ORDER BY est DESC, t.tok""",
+    // makes build-from-counts identical to build-row-at-a-time — which is
+    // also why the STREAM-maintained sketch shares this oracle verbatim.
+    "q_heavy_hitters" -> cmsOracle,
+    "q_heavy_hitters_incremental" -> cmsOracle,
+
 
     // The HLL replay: md5 -> (register, leading-zero rank) -> max per
     // register -> exact dyadic 2^-M sum (1::BIGINT << mr — no pow, no

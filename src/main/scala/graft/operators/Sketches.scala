@@ -50,16 +50,34 @@ object Sketches {
   def cmsHeavyHitters(df: DataFrame, textCol: String, depth: Int,
                       widthHex: Int, minEst: Long): DataFrame = {
     require(depth > 0 && widthHex > 0 && widthHex <= 8)
-    val counts = df
-      .select(explode(toks(col(textCol))).as("tok"))
+    val counts = tokenCounts(df, textCol)
+    val coords = cmsCoords(counts, depth, widthHex)
+    val sketch = coords.groupBy("j", "b").agg(sum("exact").as("total"))
+    cmsServe(counts, sketch, depth, widthHex, minEst)
+  }
+
+  /** Corpus token counts (tok, exact) — the map-side-combined pass both
+    * sketch families build from. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(toks(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("exact"))
-    // vocab × depth rows: each token's counter coordinates per sketch row
-    val coords = counts.select(col("tok"), col("exact"),
+
+  /** vocab × depth counter coordinates: row j's bucket for token t is
+    * the first widthHex hex chars of md5(j:t). */
+  private def cmsCoords(counts: DataFrame, depth: Int, widthHex: Int): DataFrame =
+    counts.select(col("tok"), col("exact"),
       explode(sequence(lit(0), lit(depth - 1))).as("j"))
       .withColumn("b",
         substring(md5(concat(col("j").cast("string"), lit(":"), col("tok"))),
           1, widthHex))
-    val sketch = coords.groupBy("j", "b").agg(sum("exact").as("total"))
+
+  /** [[cmsHeavyHitters]]' estimate+audit core over PREBUILT state —
+    * (tok, exact) counts and (j, b, total) counters — so heavy hitters
+    * can serve from a MAINTAINED sketch ([[graft.streaming.StreamSketch]])
+    * exactly as the other serving cores do from their tables. */
+  def cmsServe(counts: DataFrame, sketch: DataFrame, depth: Int,
+               widthHex: Int, minEst: Long): DataFrame = {
+    val coords = cmsCoords(counts, depth, widthHex)
     val est = coords.join(broadcast(sketch), Seq("j", "b"))
       .groupBy("tok").agg(min("total").as("est"))
     counts.join(est, Seq("tok"))

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Merge
+
+/** Incrementally-maintained FREQUENCY SKETCH: a `foreachBatch` additive
+  * upsert of the Count-Min counters (and the exact token counts that
+  * audit them) so heavy-hitter queries serve from a sketch that follows
+  * the livestream — the fifth maintained serving artifact, and the one
+  * sketches were INVENTED for: CMS counters are additive, so the
+  * maintained table is bit-identical to a batch rebuild at every
+  * version (no approximation drift from incremental maintenance).
+  *
+  * ==One table, two row kinds==
+  * Keys `s:<j>:<bucket>` hold the d·w sketch counters; keys `t:<tok>`
+  * hold the exact per-token counts (vocabulary-bounded) that the
+  * serving output's audit columns (exact, err) and candidate set read.
+  * A pure-estimate consumer needs only the `s:` rows — at 100 TB the
+  * `t:` rows are the optional audit sidecar, the `s:` rows are the
+  * fixed-size sketch. Both kinds are ADDITIVE, so each micro-batch
+  * reads current values for its touched keys, adds its delta, and
+  * writes replacement totals — the [[StreamModel]] read-modify-write,
+  * sound here for the same reason (state bounded by d·w + vocabulary,
+  * never the corpus).
+  *
+  * Same admission contract as the model sink: each document at most
+  * once over the stream's lifetime (compose with [[StreamDedup]]) — a
+  * replay would double-count. */
+object StreamSketch {
+
+  val sketchEntity: Merge.Entity = Merge.Entity(
+    textCol = "body", editTextCol = "previous_body",
+    updatable = Seq("cnt"), frozen = Seq("author"))
+
+  /** The counter-row schema: (idstr = kind-prefixed key, author, body, cnt). */
+  val sketchSchema: StructType = StructType(Seq(
+    StructField(Merge.KeyCol, StringType),
+    StructField("author", StringType),
+    StructField("body", StringType),
+    StructField("cnt", LongType)))
+
+  private def emptyRows(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sketchSchema)
+
+  def table(spark: SparkSession, path: String, nBuckets: Int = 16): Livestream.UpsertTable =
+    new Livestream.UpsertTable(spark, path, sketchEntity, emptyRows(spark),
+      outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = nBuckets)))
+
+  /** One micro-batch → (key, cnt_d) deltas for both row kinds. */
+  private[graft] def batchDelta(batch: DataFrame, textCol: String,
+      depth: Int, widthHex: Int): DataFrame = {
+    val tc = graft.operators.Sketches.tokenCounts(batch, textCol)
+    val vocabRows = tc.select(
+      concat(lit("t:"), col("tok")).as("k"), col("exact").as("cnt_d"))
+    val sketchRows = tc
+      .select(col("tok"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("b",
+        substring(md5(concat(col("j").cast("string"), lit(":"), col("tok"))),
+          1, widthHex))
+      .groupBy("j", "b").agg(sum("exact").as("cnt_d"))
+      .select(concat(lit("s:"), col("j").cast("string"), lit(":"), col("b")).as("k"),
+        col("cnt_d"))
+    vocabRows.unionByName(sketchRows)
+  }
+
+  /** Wire a document stream into the sketch table: per batch, delta +
+    * current → replacement totals. Same `_seq` / empty-batch contract as
+    * the sibling sinks; CDC off. */
+  def sketchSink(stream: DataFrame, textCol: String,
+      table: Livestream.UpsertTable, checkpoint: String,
+      depth: Int, widthHex: Int,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(depth > 0 && depth <= 9 && widthHex > 0 && widthHex <= 8,
+      s"depth 1-9 and widthHex 1-8 required: d=$depth w=$widthHex")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = batchDelta(batch, textCol, depth, widthHex)
+        val cur = table.current.select(col(Merge.KeyCol).as("k"),
+          col("cnt").as("cnt_0"))
+        val rows = delta.join(cur, Seq("k"), "left")
+          .select(col("k").as(Merge.KeyCol),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("body"),
+            (coalesce(col("cnt_0"), lit(0L)) + col("cnt_d")).as("cnt"))
+          .withColumn("_seq",
+            lit(batchId) * 1000000000L + monotonically_increasing_id())
+          .persist()
+        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+        finally rows.unpersist()
+      }
+  }
+
+  /** The exact-count VIEW: (tok, exact). */
+  def counts(table: Livestream.UpsertTable): DataFrame =
+    table.current.filter(col(Merge.KeyCol).startsWith("t:"))
+      .select(expr(s"substring(${Merge.KeyCol}, 3)").as("tok"),
+        col("cnt").as("exact"))
+
+  /** The sketch-counter VIEW: (j, b, total). Keys are `s:<j>:<b>` with a
+    * single-digit depth by construction (depth ≤ 9 enforced at sink
+    * wiring — the published CMS depths are 3-5). */
+  def sketch(table: Livestream.UpsertTable): DataFrame =
+    table.current.filter(col(Merge.KeyCol).startsWith("s:"))
+      .select(expr(s"cast(substring(${Merge.KeyCol}, 3, 1) as int)").as("j"),
+        expr(s"substring(${Merge.KeyCol}, 5)").as("b"),
+        col("cnt").as("total"))
+}

@@ -129,6 +129,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(v0.contains(("1", "beta")) && !v0.exists(_._1 == "3"))
   }
 
+  test("StreamSketch: maintained CMS equals batch sketch bit-for-bit; counters add across batches") {
+    import graft.streaming.StreamSketch
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IxDoc]
+    val table = StreamSketch.table(spark, tmp("cms"), nBuckets = 4)
+    val q = StreamSketch.sketchSink(mem.toDF(), "text", table,
+      tmp("cmsckp"), depth = 3, widthHex = 1,
+      trigger = Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(IxDoc(1, "alpha beta alpha gamma"), IxDoc(2, "beta beta"))
+      q.processAllAvailable()
+      // 'alpha' recurs in a LATER batch — its counter rows must ADD
+      mem.addData(IxDoc(3, "alpha delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = Seq(1L -> "alpha beta alpha gamma", 2L -> "beta beta",
+      3L -> "alpha delta").toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // serving from the maintained state equals the batch operator
+    assert(rows(Sketches.cmsServe(StreamSketch.counts(table),
+        StreamSketch.sketch(table), depth = 3, widthHex = 1, minEst = 0L)) ===
+      rows(Sketches.cmsHeavyHitters(all, "text", depth = 3, widthHex = 1,
+        minEst = 0L)))
+    // cross-batch addition: alpha's exact count is 2 (batch 0) + 1 (batch 1)
+    val alpha = StreamSketch.counts(table).filter(col("tok") === "alpha")
+      .select("exact").collect().head.getLong(0)
+    assert(alpha === 3L)
+    // the sketch rows are a FIXED-size table regardless of corpus size
+    assert(StreamSketch.sketch(table).count() <= 3 * 16)
+    // time travel reads the partial (batch-0-only) counters
+    val v0 = table.at(0).filter(col(graft.operators.Merge.KeyCol) === "t:alpha")
+      .select("cnt").collect().head.getLong(0)
+    assert(v0 === 2L)
+  }
+
   test("StreamLsh: incremental LSH state equals batch pairs; re-arrival replaces; shrunken docs drop out") {
     import graft.streaming.StreamLsh
     import graft.operators.Dedup
