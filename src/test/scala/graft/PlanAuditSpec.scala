@@ -180,6 +180,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"embeddings re-read regressed: $c")
   }
 
+  test("q_heavy_hitters: corpus counted once; every later exchange vocab-bounded") {
+    val c = audited("q_heavy_hitters")
+    // one token-count pass (its exchange reused downstream); the sketch
+    // and estimate aggregations move vocab-sized rows only
+    assert(c.scans <= 2, s"corpus re-read regressed: $c")
+    assert(c.exchanges <= 3, s"CMS exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"the d·w sketch must broadcast: $c")
+  }
+
+  test("q_mixture_plan: one corpus aggregate; the plan itself is inventory-bounded") {
+    val c = audited("q_mixture_plan")
+    assert(c.scans <= 1, s"corpus re-read regressed: $c")
+    assert(c.exchanges <= 1, s"waterfilling started shuffling the corpus: $c")
+  }
+
+  test("q_quantiles: one corpus grouping; cumulative window over the histogram only") {
+    val c = audited("q_quantiles")
+    assert(c.scans <= 1, s"corpus re-read regressed: $c")
+    assert(c.exchanges <= 2, s"quantile exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"the quantile vector must broadcast: $c")
+  }
+
+  test("q_lm_kn: zero post-checkpoint corpus scans; model tables broadcast") {
+    val c = audited("q_lm_kn")
+    // the (doc,p,t,tf) event table is checkpointed once — everything
+    // after is bigram-type-bounded (the q_dsir device)
+    assert(c.scans === 0, s"KN re-read the corpus past its checkpoint: $c")
+    assert(c.broadcasts >= 3, s"ctx/cont/B model tables must broadcast: $c")
+  }
+
   test("q_ann_sq8: train is one bounded agg; encode/decode map-only; one top-k exchange") {
     val c = audited("q_ann_sq8")
     // post-train plan: corpus scan with encode+dequant fused in, query
