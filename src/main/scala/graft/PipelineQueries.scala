@@ -888,6 +888,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR-diversified retrieval: greedy relevance-vs-redundancy re-rank
+    // over the brute candidate list — integer-bp scores make the greedy
+    // trajectory engine-independent; the unrolled recursion hash-gates.
+    "q_mmr" -> ((s, dir) => {
+      Search.mmrTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          queryIds = (0L to 7L), kCand = 20, k = 5, lambdaBp = 7000L)
+        .orderBy("query_id", "step")
+    }),
+
     // FILTERED vector search (pre-filter semantics): top-k among vectors
     // whose label differs from the query's — hard-negative mining / the
     // production attribute-constrained ANN shape; predicate fused into
@@ -1597,6 +1606,67 @@ object PipelineQueries {
     s"(strpos('0123456789abcdef', hx[$i]) - 1) * ${1L << (4 * (8 - i))}")
     .mkString("(", " + ", ")")
 
+  /** MMR replay: the greedy recursion unrolled into k staged CTEs (the
+    * BPE-oracle device) — stage t's max-sim reads the union of all prior
+    * selections; AS MATERIALIZED throughout (inlined re-expansion of a
+    * stage chain is the measured >9-min BPE lesson). */
+  private def mmrOracle(kCand: Int, k: Int, lambdaBp: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       nn0 AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM n),
+       q AS (SELECT vec_id AS qid, nv AS qv FROM nn0 WHERE vec_id <= 7),
+       s0 AS (SELECT qid, vec_id AS nid,
+                     CAST(floor(list_dot_product(nv, qv) * 10000) AS BIGINT) AS rel_bp
+              FROM nn0, q WHERE vec_id != qid),
+       cand AS MATERIALIZED (
+         SELECT qid, nid, rel_bp FROM (
+           SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY qid ORDER BY rel_bp DESC, nid ASC) AS rn FROM s0)
+         WHERE rn <= $kCand),
+       pair AS MATERIALIZED (
+         SELECT a.qid, a.nid AS i, b.nid AS j,
+                CAST(floor(list_dot_product(na.nv, nb.nv) * 10000) AS BIGINT) AS sim_bp
+         FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid != b.nid
+           JOIN nn0 na ON na.vec_id = a.nid
+           JOIN nn0 nb ON nb.vec_id = b.nid),
+       sel0 AS MATERIALIZED (
+         SELECT qid, 0 AS step, nid, rel_bp,
+                CAST($lambdaBp * rel_bp AS BIGINT) AS mmr_x
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY rel_bp DESC, nid ASC) AS rn FROM cand)
+         WHERE rn = 1)""")
+    for (t <- 1 until k) {
+      val prevUnion = (0 until t).map(i => s"SELECT qid, nid FROM sel$i")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+       all$t AS MATERIALIZED ($prevUnion),
+       ms$t AS (
+         SELECT p.qid, p.i AS nid, max(p.sim_bp) AS ms_bp
+         FROM pair p JOIN all$t s ON p.qid = s.qid AND p.j = s.nid
+         WHERE NOT EXISTS (SELECT 1 FROM all$t x
+                           WHERE x.qid = p.qid AND x.nid = p.i)
+         GROUP BY p.qid, p.i),
+       sel$t AS MATERIALIZED (
+         SELECT qid, $t AS step, nid, rel_bp, mmr_x FROM (
+           SELECT c.qid, c.nid, c.rel_bp,
+                  CAST($lambdaBp * c.rel_bp - ${10000 - lambdaBp} * m.ms_bp AS BIGINT) AS mmr_x,
+                  ROW_NUMBER() OVER (PARTITION BY c.qid
+                    ORDER BY ($lambdaBp * c.rel_bp - ${10000 - lambdaBp} * m.ms_bp) DESC,
+                             c.nid ASC) AS rn
+           FROM cand c JOIN ms$t m ON c.qid = m.qid AND c.nid = m.nid)
+         WHERE rn = 1)""")
+    }
+    val unionAll = (0 until k).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    sb.append(s"""
+       SELECT qid AS query_id, CAST(step AS INT) AS step, nid AS neighbor_id,
+              rel_bp, mmr_x
+       FROM ($unionAll) ORDER BY query_id, step""")
+    sb.toString
+  }
+
   private val cmsOracle: String =
     """WITH toks AS MATERIALIZED (
            SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -1920,6 +1990,8 @@ object PipelineQueries {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS pos,
                 token, n
          FROM top ORDER BY pos""",
+
+    "q_mmr" -> mmrOracle(kCand = 20, k = 5, lambdaBp = 7000L),
 
     // Filtered-ANN replay: the brute chain with the label predicate in
     // the join — pre-filter semantics, exactly k constrained rows.

@@ -167,4 +167,73 @@ object Search {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_bp"))
   }
+
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedy re-rank
+    * of each query's candidate list trading relevance against redundancy
+    * — step 0 takes the most relevant candidate; step t takes
+    * argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s). The standard
+    * diversity device over any dense retriever (and the dedup-at-serve
+    * complement of the corpus-side near-dup operators).
+    *
+    * Determinism: scores are INTEGER basis-point combinations
+    * (mmr_x = λ_bp·rel_bp − (10⁴−λ_bp)·maxsim_bp — no division), ties to
+    * the smaller id, so the greedy trajectory is engine-independent and
+    * the whole unrolled recursion replays relationally (the BPE-oracle
+    * staging device, k stages instead of merge steps).
+    *
+    * Scale shape: candidate generation is [[Similarity.bruteTopK]]'s
+    * audited plan (swap in IVF for corpus scale — the re-rank is
+    * agnostic); everything after moves ≤ |queries|·kCand² rows — the
+    * k-step greedy is a LAZY chain of candidate-sized joins partitioned
+    * by query, one action total, no driver loop.
+    *
+    * Output: (query_id, step, neighbor_id, rel_bp, mmr_x), step 0..k−1
+    * in selection order (step 0's mmr_x = λ_bp·rel_bp by convention). */
+  def mmrTopK(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
+      kCand: Int, k: Int, lambdaBp: Long = 7000L): DataFrame = {
+    require(k >= 1 && kCand >= k, s"need kCand >= k >= 1: kCand=$kCand k=$k")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, s"lambdaBp in [0,10000]: $lambdaBp")
+    val cand = Similarity.bruteTopK(emb, id, vec, queryIds, kCand)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
+        col("cos_bp").as("rel_bp"))
+    val n = Similarity.normalized(emb, id, vec)
+    val cv = cand.join(n, col("nid") === col("vid"))
+      .select(col("qid"), col("nid"), col("rel_bp"), col("nv"))
+      .localCheckpoint(false)
+    // directed candidate-pair sims per query: ≤ |queries|·kCand² rows
+    val pair = cv.as("a").join(cv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("i"), col("b.nid").as("j"),
+        floor(Similarity.dot(col("a.nv"), col("b.nv")) * 10000)
+          .cast("long").as("sim_bp"))
+      .localCheckpoint(false)
+    val w0 = Window.partitionBy("qid").orderBy(col("rel_bp").desc, col("nid").asc)
+    var selected = cand.withColumn("_rn", row_number().over(w0))
+      .filter(col("_rn") === 1)
+      .select(col("qid"), lit(0).as("step"), col("nid"), col("rel_bp"),
+        (lit(lambdaBp) * col("rel_bp")).as("mmr_x"))
+    for (t <- 1 until k) {
+      val remaining = cand.join(selected.select("qid", "nid"),
+        Seq("qid", "nid"), "left_anti")
+      val maxsim = remaining.select(col("qid"), col("nid").as("i"))
+        .join(pair, Seq("qid", "i"))
+        .join(selected.select(col("qid"), col("nid").as("j")), Seq("qid", "j"))
+        .groupBy("qid", "i").agg(max("sim_bp").as("ms_bp"))
+        .select(col("qid").as("mqid"), col("i"), col("ms_bp"))
+      val wt = Window.partitionBy("qid")
+        .orderBy(col("mmr_x").desc, col("nid").asc)
+      val pick = remaining
+        .join(maxsim, col("nid") === col("i") && col("qid") === col("mqid"))
+        .select(col("qid"), col("nid"), col("rel_bp"),
+          (lit(lambdaBp) * col("rel_bp") -
+            (lit(10000L) - lit(lambdaBp)) * col("ms_bp")).as("mmr_x"))
+        .withColumn("_rn", row_number().over(wt))
+        .filter(col("_rn") === 1)
+        .select(col("qid"), lit(t).as("step"), col("nid"), col("rel_bp"),
+          col("mmr_x"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("qid").as("query_id"), col("step"),
+      col("nid").as("neighbor_id"), col("rel_bp"), col("mmr_x"))
+  }
 }

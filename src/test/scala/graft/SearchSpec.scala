@@ -162,4 +162,73 @@ class SearchSpec extends AnyFunSuite {
           persistCorpus = false)))
     assert(viaIvf === viaBrute)
   }
+
+  test("mmrTopK: naive greedy reference equality; lambda=10000 degenerates to relevance") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = Seq(0L, 1L, 2L)
+    def run(lam: Long) = Search.mmrTopK(emb, "vec_id", "embedding", qids,
+        kCand = 12, k = 4, lambdaBp = lam)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("step"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("mmr_x")))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // naive reference: collect candidates + pair sims, replay the greedy
+    val cand = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 12)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cos_bp")))
+    val ids = cand.map(_._2).distinct.toSeq
+    val n = Similarity.normalized(emb, "vec_id", "embedding")
+      .filter(org.apache.spark.sql.functions.col("vid").isin(ids: _*))
+    val sims = n.as("a").join(n.as("b"),
+        org.apache.spark.sql.functions.col("a.vid") =!=
+          org.apache.spark.sql.functions.col("b.vid"))
+      .select(org.apache.spark.sql.functions.col("a.vid"),
+        org.apache.spark.sql.functions.col("b.vid"),
+        org.apache.spark.sql.functions.floor(
+          Similarity.dot(org.apache.spark.sql.functions.col("a.nv"),
+            org.apache.spark.sql.functions.col("b.nv")) * 10000).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def refGreedy(lam: Long): Seq[(Long, Int, Long, Long)] = qids.flatMap { q =>
+      val cs = cand.filter(_._1 == q).map(c => (c._2, c._3)).sortBy(x => (-x._2, x._1))
+      var sel = List.empty[Long]
+      var out = List.empty[(Long, Int, Long, Long)]
+      for (t <- 0 until 4) {
+        val rem = cs.filterNot(c => sel.contains(c._1))
+        val scored = rem.map { case (nid, rel) =>
+          val mmr = if (t == 0) lam * rel
+            else lam * rel - (10000L - lam) * sel.map(s => sims((nid, s))).max
+          (nid, mmr)
+        }
+        val (pick, mx) = scored.minBy { case (nid, mmr) => (-mmr, nid) }
+        sel ::= pick
+        out ::= ((q, t, pick, mx))
+      }
+      out.reverse
+    }
+    assert(run(7000L) === refGreedy(7000L))
+    assert(run(5000L) === refGreedy(5000L))
+    // pure-relevance degeneracy: selection order is the brute ranking
+    val pure = run(10000L).map(x => (x._1, x._3))
+    val brute = cand.sortBy(c => (c._1, -c._3, c._2))
+      .groupBy(_._1).view.mapValues(_.take(4).map(_._2)).toMap
+    qids.foreach { q =>
+      assert(pure.filter(_._1 == q).map(_._2).toSeq === brute(q).toSeq,
+        s"lambda=1 must reduce to relevance order for query $q")
+    }
+  }
+
+  test("mmrTopK: redundancy penalty skips the near-duplicate of a selected item") {
+    // q=0 at the pole; a,b nearly identical and closest to q; c distinct
+    val rows = Seq(
+      (0L, Array(1.0, 0.0, 0.0)),
+      (1L, Array(0.98, 0.2, 0.0)),   // a
+      (2L, Array(0.975, 0.21, 0.01)),// b ~ a
+      (3L, Array(0.6, -0.8, 0.0)))   // c diverse, less relevant
+      .toDF("vec_id", "embedding")
+    val got = Search.mmrTopK(rows, "vec_id", "embedding", Seq(0L),
+        kCand = 3, k = 2, lambdaBp = 5000L)
+      .orderBy("step").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got.head === 1L,  "step 0 must take the most relevant")
+    assert(got(1) === 3L, s"step 1 must skip the near-dup (got $got)")
+  }
 }
