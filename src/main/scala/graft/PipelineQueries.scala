@@ -195,6 +195,27 @@ object PipelineQueries {
       table
     })
 
+  private val builtHllTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained HLL registers over the documents table (per-source
+    * distinct-bigram sketch), 4 real micro-batches of max-merge upserts. */
+  private def incrementalHll(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtHllTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hll")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents").select("source", "text")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = StreamSketch.table(s, tmp.resolve("tbl").toString, nBuckets = 8)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamSketch.hllSink(stream, "source", "text", table,
+        tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   private val builtLshTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -579,6 +600,18 @@ object PipelineQueries {
     "q_distinct_sketch" -> ((s, dir) => {
       Sketches.hllDistinctBigrams(
           Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
+    // Distinct estimates served from STREAM-MAINTAINED HLL registers
+    // (max-merge upserts — idempotent under replay, the other mergeable
+    // class next to the additive CMS): registers-only state, the
+    // production shape (no exact sidecar — that audit is the batch
+    // query's job).
+    "q_distinct_incremental" -> ((s, dir) => {
+      Sketches.hllEstimate(
+          StreamSketch.hllRegistersView(incrementalHll(s, dir)))
+        .select(col("g").as("source"), col("est_x100"))
         .orderBy("source")
     }),
 
@@ -1667,6 +1700,39 @@ object PipelineQueries {
     sb.toString
   }
 
+  private val hllCtes: String =
+    """WITH docs AS MATERIALIZED (
+           SELECT source AS g,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS w
+           FROM documents),
+         bg AS MATERIALIZED (
+           SELECT g, w[k] || ' ' || w[k+1] AS bg
+           FROM (SELECT g, w, unnest(range(1, len(w))) AS k FROM docs) t),
+         hashed AS (
+           SELECT g, bg, md5(bg) AS h, substr(md5(bg), 3, 8) AS hx FROM bg),
+         ranked AS (
+           SELECT g,
+                  CAST(((strpos('0123456789abcdef', h[1]) - 1) * 16 +
+                        (strpos('0123456789abcdef', h[2]) - 1)) % 64 AS INT) AS r,
+                  ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
+                   (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
+                   (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
+                   (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
+                   (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
+                   (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
+                   (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
+                   (strpos('0123456789abcdef', hx[8]) - 1)) AS v
+           FROM hashed),
+         regs AS (
+           SELECT g, r, max(CASE WHEN v = 0 THEN 33
+                                 ELSE 33 - length(bin(v)) END) AS mr
+           FROM ranked GROUP BY g, r),
+         ests AS (
+           SELECT g, sum(1.0 / CAST(CAST(1 AS BIGINT) << mr AS DOUBLE))
+                       + (64 - count(*)) AS s
+           FROM regs GROUP BY g)"""
+
   private val cmsOracle: String =
     """WITH toks AS MATERIALIZED (
            SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2087,38 +2153,8 @@ object PipelineQueries {
     // The HLL replay: md5 -> (register, leading-zero rank) -> max per
     // register -> exact dyadic 2^-M sum (1::BIGINT << mr — no pow, no
     // ln) -> the one audited double division.
-    "q_distinct_sketch" ->
-      """WITH docs AS MATERIALIZED (
-           SELECT source AS g,
-                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                              x -> length(x) > 0) AS w
-           FROM documents),
-         bg AS MATERIALIZED (
-           SELECT g, w[k] || ' ' || w[k+1] AS bg
-           FROM (SELECT g, w, unnest(range(1, len(w))) AS k FROM docs) t),
-         hashed AS (
-           SELECT g, bg, md5(bg) AS h, substr(md5(bg), 3, 8) AS hx FROM bg),
-         ranked AS (
-           SELECT g,
-                  CAST(((strpos('0123456789abcdef', h[1]) - 1) * 16 +
-                        (strpos('0123456789abcdef', h[2]) - 1)) % 64 AS INT) AS r,
-                  ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
-                   (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
-                   (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
-                   (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
-                   (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
-                   (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
-                   (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
-                   (strpos('0123456789abcdef', hx[8]) - 1)) AS v
-           FROM hashed),
-         regs AS (
-           SELECT g, r, max(CASE WHEN v = 0 THEN 33
-                                 ELSE 33 - length(bin(v)) END) AS mr
-           FROM ranked GROUP BY g, r),
-         ests AS (
-           SELECT g, sum(1.0 / CAST(CAST(1 AS BIGINT) << mr AS DOUBLE))
-                       + (64 - count(*)) AS s
-           FROM regs GROUP BY g),
+    "q_distinct_sketch" -> (hllCtes +
+      """,
          exacts AS (
            SELECT g, CAST(count(DISTINCT bg) AS BIGINT) AS exact
            FROM bg GROUP BY g)
@@ -2129,7 +2165,13 @@ object PipelineQueries {
                                / 100.0 - x.exact) * 10000 / x.exact) AS BIGINT)
                   AS err_bp
          FROM ests e JOIN exacts x USING (g)
-         ORDER BY source""",
+         ORDER BY source"""),
+
+    // registers-only serving from the maintained sketch (max-merge)
+    "q_distinct_incremental" -> (hllCtes + """
+         SELECT g AS source,
+                CAST(floor(0.709 * 4096.0 / s * 100) AS BIGINT) AS est_x100
+         FROM ests ORDER BY source"""),
 
     "q_repetition" ->
       """WITH toks AS (

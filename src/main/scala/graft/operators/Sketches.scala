@@ -105,38 +105,56 @@ object Sketches {
     */
   def hllDistinctBigrams(df: DataFrame, groupCol: String,
                          textCol: String): DataFrame = {
-    val m = 64
-    val alpha = 0.709 // the published α for m = 64 (Flajolet et al.)
-    val w = toks(col(textCol))
-    val bigrams = df.select(col(groupCol).as("g"), w.as("w"))
-      .select(col("g"),
-        explode(zip_with(
-          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
-    val hashed = bigrams
-      .withColumn("h", md5(col("bg")))
-      .withColumn("r",
-        (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % m).cast("int"))
-      .withColumn("v", conv(substring(col("h"), 3, 8), 16, 10).cast("long"))
-      .withColumn("rank",
-        when(col("v") === 0, lit(33))
-          .otherwise(lit(33) - length(bin(col("v")))).cast("int"))
-    val regs = hashed.groupBy("g", "r").agg(max("rank").as("mr"))
-    // 2^(−M) via an integer shift, not pow(): every term is an exact
-    // dyadic double, so the register sum is the same in any order and
-    // in any engine (the oracle replays 1.0/(1::BIGINT << mr)).
-    val estimates = regs.groupBy("g").agg(
-      (sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), mr) as double)"))
-        + (lit(m) - count(lit(1)))).as("s"))
-      .select(col("g"),
-        floor(lit(alpha) * lit(m.toDouble * m) / col("s") * 100).cast("long")
-          .as("est_x100"))
+    val bigrams = bigramsOf(df, groupCol, textCol)
+    val estimates = hllEstimate(hllRegisters(bigrams))
     val exact = bigrams.groupBy("g")
       .agg(countDistinct("bg").as("exact"))
     estimates.join(exact, Seq("g"))
       .select(col("g").as(groupCol), col("est_x100"), col("exact"),
         floor(abs(col("est_x100") / 100.0 - col("exact")) * 10000 / col("exact"))
           .cast("long").as("err_bp"))
+  }
+
+  /** (g, bg) token-bigram rows per group — the HLL input projection. */
+  def bigramsOf(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val w = toks(col(textCol))
+    df.select(col(groupCol).as("g"), w.as("w"))
+      .select(col("g"),
+        explode(zip_with(
+          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+  }
+
+  /** (g, r, mr) HLL registers over (g, bg) rows: register = first 2 md5
+    * hex chars mod 64, rank = leading-zeros+1 of the next 32 bits (33 if
+    * zero), max per register. Registers MAX-MERGE — partial register
+    * vectors from any split of the data combine exactly, which is what
+    * makes the maintained-sketch path ([[graft.streaming.StreamSketch]])
+    * drift-free. */
+  def hllRegisters(bigrams: DataFrame): DataFrame =
+    bigrams
+      .withColumn("h", md5(col("bg")))
+      .withColumn("r",
+        (conv(substring(col("h"), 1, 2), 16, 10).cast("long") % 64).cast("int"))
+      .withColumn("v", conv(substring(col("h"), 3, 8), 16, 10).cast("long"))
+      .withColumn("rank",
+        when(col("v") === 0, lit(33))
+          .otherwise(lit(33) - length(bin(col("v")))).cast("int"))
+      .groupBy("g", "r").agg(max("rank").as("mr"))
+
+  /** (g, est_x100) raw-HLL estimates over (g, r, mr) registers.
+    * 2^(−M) via an integer shift, not pow(): every term is an exact
+    * dyadic double, so the register sum is the same in any order and
+    * in any engine (the oracle replays 1.0/(1::BIGINT << mr)). */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 64
+    val alpha = 0.709 // the published α for m = 64 (Flajolet et al.)
+    regs.groupBy("g").agg(
+      (sum(expr("1.0 / cast(shiftleft(cast(1 as bigint), mr) as double)"))
+        + (lit(m) - count(lit(1)))).as("s"))
+      .select(col("g"),
+        floor(lit(alpha) * lit(m.toDouble * m) / col("s") * 100).cast("long")
+          .as("est_x100"))
   }
 }

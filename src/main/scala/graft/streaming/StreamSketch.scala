@@ -98,6 +98,58 @@ object StreamSketch {
       }
   }
 
+  /** One micro-batch → HLL register deltas: keys `h:<group>:<register>`,
+    * value = the batch's max rank for that register. Groups must not
+    * contain ':' (key codec constraint; enforced). */
+  private[graft] def hllDelta(batch: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val regs = graft.operators.Sketches.hllRegisters(
+      graft.operators.Sketches.bigramsOf(batch, groupCol, textCol))
+    regs.select(
+      concat(lit("h:"), col("g"), lit(":"), col("r").cast("string")).as("k"),
+      col("mr").cast("long").as("cnt_d"))
+  }
+
+  /** Wire a document stream into HLL registers on the same table kind:
+    * per batch, GREATEST(current, delta) — registers max-merge, so the
+    * maintained sketch equals a batch rebuild at every version (the
+    * other mergeable-sketch class next to [[sketchSink]]'s additive
+    * counters). Same `_seq` / empty-batch / CDC-off contracts. Unlike
+    * the additive sinks, REPLAYING a document is harmless here (max is
+    * idempotent) — HLL needs no upstream dedup. */
+  def hllSink(stream: DataFrame, groupCol: String, textCol: String,
+      table: Livestream.UpsertTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bad = batch.filter(col(groupCol).contains(":")).limit(1).count()
+        require(bad == 0, s"group values must not contain ':' (key codec)")
+        val delta = hllDelta(batch, groupCol, textCol)
+        val cur = table.current.select(col(Merge.KeyCol).as("k"),
+          col("cnt").as("cnt_0"))
+        val rows = delta.join(cur, Seq("k"), "left")
+          .select(col("k").as(Merge.KeyCol),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("body"),
+            greatest(coalesce(col("cnt_0"), lit(0L)), col("cnt_d")).as("cnt"))
+          .withColumn("_seq",
+            lit(batchId) * 1000000000L + monotonically_increasing_id())
+          .persist()
+        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+        finally rows.unpersist()
+      }
+
+  /** The HLL-register VIEW: (g, r, mr) — what
+    * [[graft.operators.Sketches.hllEstimate]] serves from. */
+  def hllRegistersView(table: Livestream.UpsertTable): DataFrame =
+    table.current.filter(col(Merge.KeyCol).startsWith("h:"))
+      .select(split(col(Merge.KeyCol), ":").as("_p"), col("cnt"))
+      .select(element_at(col("_p"), 2).as("g"),
+        element_at(col("_p"), 3).cast("int").as("r"),
+        col("cnt").cast("int").as("mr"))
+
   /** The exact-count VIEW: (tok, exact). */
   def counts(table: Livestream.UpsertTable): DataFrame =
     table.current.filter(col(Merge.KeyCol).startsWith("t:"))

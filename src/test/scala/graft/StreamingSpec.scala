@@ -166,6 +166,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(v0 === 2L)
   }
 
+  test("StreamSketch HLL: maintained registers equal batch; replay is idempotent (max-merge)") {
+    import graft.streaming.StreamSketch
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[MDoc]
+    val table = StreamSketch.table(spark, tmp("hll"), nBuckets = 4)
+    val q = StreamSketch.hllSink(mem.toDF().withColumnRenamed("is_t", "unused")
+        .withColumn("source", concat(lit("g"), (col("doc_id") % 2).cast("string"))),
+      "source", "text", table, tmp("hllckp"),
+      trigger = Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(MDoc(1, "aa bb cc dd ee ff", true), MDoc(2, "gg hh ii jj", true))
+      q.processAllAvailable()
+      mem.addData(MDoc(3, "aa bb kk ll mm nn", true))
+      q.processAllAvailable()
+      // REPLAY batch-1 content under a new doc id: max is idempotent,
+      // registers must not move (unlike the additive CMS rows)
+      mem.addData(MDoc(5, "aa bb kk ll mm nn", true))
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = StreamSketch.hllRegistersView(table)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val all = Seq((1L, "aa bb cc dd ee ff"), (2L, "gg hh ii jj"),
+      (3L, "aa bb kk ll mm nn"), (5L, "aa bb kk ll mm nn"))
+      .map { case (id, t) => (s"g${id % 2}", t) }.toDF("source", "text")
+    val batch = Sketches.hllRegisters(Sketches.bigramsOf(all, "source", "text"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(maintained === batch)
+    // estimates served from the maintained registers match the batch op
+    val servedEst = Sketches.hllEstimate(StreamSketch.hllRegistersView(table))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchEst = Sketches.hllEstimate(
+        Sketches.hllRegisters(Sketches.bigramsOf(all, "source", "text")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(servedEst === batchEst)
+  }
+
   test("StreamLsh: incremental LSH state equals batch pairs; re-arrival replaces; shrunken docs drop out") {
     import graft.streaming.StreamLsh
     import graft.operators.Dedup
