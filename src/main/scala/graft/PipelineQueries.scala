@@ -603,6 +603,29 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // Unicode canonicalization (multilingual ingest): NFC composition +
+    // accent folding over SYNTHESIZED unicode-rich rows (decomposed
+    // sequences, precomposed forms, ß, combining ring) — the corpus
+    // tables are ASCII, so the gate runs on literals that actually
+    // exercise the Normalizer (the q_ingest_normalize device). Native
+    // codegen expressions with an ASCII fast path.
+    "q_normalize_unicode" -> ((s, dir) => {
+      import s.implicits._
+      val raw = Seq(
+        (1L, "caf\u00e9 au lait"),   // precomposed \u00e9
+        (2L, "cafe\u0301 au lait"),  // decomposed e+combining acute
+        (3L, "na\u00efve r\u00e9sum\u00e9"),
+        (4L, "\u00dcber stra\u00dfe"), // \u00df is NOT a mark - survives folding
+        (5L, "plain ascii"),
+        (6L, "A\u030a ring")         // A+combining ring
+      ).toDF("id", "raw")
+      val nfc = graft.functions.unicodeNfc(col("raw"))
+      raw.select(col("id"), nfc.as("nfc"),
+          graft.functions.stripAccents(nfc).as("folded"),
+          (nfc =!= col("raw")).as("recomposed"))
+        .orderBy("id")
+    }),
+
     // Distinct estimates served from STREAM-MAINTAINED HLL registers
     // (max-merge upserts — idempotent under replay, the other mergeable
     // class next to the additive CMS): registers-only state, the
@@ -2166,6 +2189,22 @@ object PipelineQueries {
                   AS err_bp
          FROM ests e JOIN exacts x USING (g)
          ORDER BY source"""),
+
+    // Unicode replay: identical byte sequences (Scala \uXXXX escapes
+    // compile to the same UTF-8 the VALUES receive); nfc_normalize +
+    // strip_accents are DuckDB's canonicalization pair.
+    "q_normalize_unicode" ->
+      ("""WITH raw(id, raw) AS (VALUES
+           (1, 'caf\u00e9 au lait'),
+           (2, 'cafe\u0301 au lait'),
+           (3, 'na\u00efve r\u00e9sum\u00e9'),
+           (4, '\u00dcber stra\u00dfe'),
+           (5, 'plain ascii'),
+           (6, 'A\u030a ring'))
+         SELECT CAST(id AS BIGINT) AS id, nfc_normalize(raw) AS nfc,
+                strip_accents(nfc_normalize(raw)) AS folded,
+                nfc_normalize(raw) != raw AS recomposed
+         FROM raw ORDER BY id"""),
 
     // registers-only serving from the maintained sketch (max-merge)
     "q_distinct_incremental" -> (hllCtes + """

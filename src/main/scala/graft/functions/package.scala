@@ -43,6 +43,17 @@ package object functions {
   // ---- F7: HTML unescape (pushshift.py:72-73) — native Expression --------
   def htmlUnescape(c: Column): Column = column(HtmlUnescape(expression(c)))
 
+  // ---- Unicode canonicalization (multilingual ingest) — native Expression
+  /** NFC canonical composition (mirrors DuckDB nfc_normalize); ASCII fast
+    * path. */
+  def unicodeNfc(c: Column): Column = column(UnicodeNfc(expression(c)))
+  /** NFKC compatibility folding (full-width forms, ligatures) — engine
+    * API only; the hash-gated surface pins NFC. */
+  def unicodeNfkc(c: Column): Column = column(UnicodeNfkc(expression(c)))
+  /** NFD → drop combining marks → NFC (mirrors DuckDB strip_accents on
+    * the Latin ranges). */
+  def stripAccents(c: Column): Column = column(StripAccents(expression(c)))
+
   // ---- vector math (similarity/dedup scale path) — native Expression -----
   /** dot(a, b) over numeric arrays (cast to double), codegen'd tight loop. */
   def vecDot(a: Column, b: Column): Column =

@@ -78,4 +78,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(eval(permalink(lit("test"), lit("t3_abc"))) ===
       "https://reddit.com/r/test/comments/abc")
   }
+
+  test("unicode canonicalization: NFC recompose, NFKC fold, accent strip, ASCII fast path") {
+    import org.apache.spark.sql.functions.lit
+    // decomposed e+combining acute recomposes to precomposed \u00e9
+    assert(eval(unicodeNfc(lit("cafe\u0301"))) === "caf\u00e9")
+    // already-NFC input is untouched; pure ASCII identity
+    assert(eval(unicodeNfc(lit("caf\u00e9"))) === "caf\u00e9")
+    assert(eval(unicodeNfc(lit("plain"))) === "plain")
+    // NFKC folds compatibility forms NFC leaves alone
+    assert(eval(unicodeNfkc(lit("\uff11\uff12"))) === "12")   // full-width digits
+    assert(eval(unicodeNfkc(lit("\ufb01le"))) === "file")      // fi ligature
+    assert(eval(unicodeNfc(lit("\uff11"))) === "\uff11")      // NFC does NOT
+    // accent strip: marks vanish, base letters stay, from EITHER form
+    assert(eval(stripAccents(lit("caf\u00e9"))) === "cafe")
+    assert(eval(stripAccents(lit("cafe\u0301"))) === "cafe")
+    assert(eval(stripAccents(lit("na\u00efve"))) === "naive")
+    // \u00df is a letter, not a mark — folding must not eat it
+    assert(eval(stripAccents(lit("stra\u00dfe"))) === "stra\u00dfe")
+    // idempotence
+    assert(eval(stripAccents(stripAccents(lit("r\u00e9sum\u00e9")))) === "resume")
+    // nulls flow through (nullIntolerant)
+    assert(eval(unicodeNfc(lit(null).cast("string"))) === null)
+    assert(eval(stripAccents(lit(null).cast("string"))) === null)
+  }
 }
