@@ -528,6 +528,22 @@ object TimesearchQueries {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // Engine extension: Z-order curve position over (user_id, ts) — the
+    // multi-column at-rest clustering key (Delta/Iceberg OPTIMIZE ZORDER
+    // analog). Pure integer bucket-rank + bit-interleave, so the curve
+    // position itself hash-gates; the layout writer (ZOrder.writeZOrdered)
+    // range-partitions on exactly this value.
+    "q_zorder" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"), tsSec(raw).as("t"))
+      val r = ev.agg(min("user_id"), max("user_id"), min("t"), max("t")).head()
+      ev.select(col("event_id"), col("user_id"), col("t"),
+          graft.sources.ZOrder.zValue(
+            col("user_id"), r.getLong(0), r.getLong(1),
+            col("t"), r.getLong(2), r.getLong(3), bits = 8).as("zval"))
+        .orderBy("event_id")
+    }),
+
     // A3 — incremental lower bound: max(created) − 1 overlap.
     "q_incremental_bound" -> ((s, dir) => {
       val raw = Tables.load(s, dir, "events")
@@ -896,6 +912,24 @@ object TimesearchQueries {
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.t >= p.t - 3600 AND c.t <= p.t
          ORDER BY purchase_id, click_id""",
+
+    // Z-order replay: min/max CTE -> DuckDB native integer div bucket
+    // ranks -> the SAME generated interleave term list (shared
+    // ZOrder.interleaveSql generator — the two forms cannot drift).
+    "q_zorder" -> (
+      s"""WITH ev AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+         mm AS (SELECT min(user_id) AS amn, max(user_id) AS amx,
+                       min(t) AS bmn, max(t) AS bmx FROM ev),
+         bk AS (
+           SELECT event_id, user_id, t,
+                  ((user_id - amn) * 256) // (amx - amn + 1) AS ba,
+                  ((t - bmn) * 256) // (bmx - bmn + 1) AS bb
+           FROM ev CROSS JOIN mm)
+         SELECT event_id, user_id, t,
+                CAST(${graft.sources.ZOrder.interleaveSql("ba", "bb", 8)} AS BIGINT) AS zval
+         FROM bk ORDER BY event_id"""),
 
     "q_window_agg" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS w_start,

@@ -65,4 +65,48 @@ class StoreSpec extends AnyFunSuite {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
       s"expected shuffle-free bucketed join in:\n$plan")
   }
+
+  test("ZOrder: interleave matches reference bit-twiddling; writeZOrdered tightens per-file bounding boxes") {
+    import graft.sources.ZOrder
+    import org.apache.spark.sql.functions._
+    // reference interleave on random bucket pairs
+    def refInterleave(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map { k =>
+        (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
+      }.sum
+    val rng = new scala.util.Random(3)
+    val pairs = Seq.fill(64)((rng.nextInt(256).toLong, rng.nextInt(256).toLong))
+    val got = pairs.toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === pairs.map { case (a, b) => refInterleave(a, b, 8) })
+    // bucket edges: min -> 0; max lands in the top bucket for wide ranges
+    val edges = Seq(0L, 999L).toDF("v")
+      .select(ZOrder.bucketOf(col("v"), 0L, 999L, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(edges === Seq(0L, 255L))
+    // layout: two independent uniform dims; z-order vs second-dim-blind sort
+    val n = 4000
+    val data = (0 until n).map { i =>
+      (i.toLong, (i * 48271 % 1009).toLong, (i * 16807 % 1013).toLong)
+    }.toDF("id", "x", "y")
+    def meanSpread(path: String, c: String, range: Double): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .collect().map(_.getLong(1).toDouble / range)
+      perFile.sum / perFile.length
+    }
+    val zPath = java.nio.file.Files.createTempDirectory("graft_z").toString
+    ZOrder.writeZOrdered(data, "x", "y", zPath, numFiles = 16)
+    val linPath = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    data.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linPath)
+    val (zx, zy) = (meanSpread(zPath, "x", 1009), meanSpread(zPath, "y", 1013))
+    val liny = meanSpread(linPath, "y", 1013)
+    // x-sorted layout is blind on y: every file spans ~the full y range;
+    // z-order gives BOTH dims materially tighter boxes
+    assert(liny > 0.8, s"x-sorted layout unexpectedly tight on y: $liny")
+    assert(zy < 0.62 && zx < 0.62,
+      s"z-order boxes not tight: x=$zx y=$zy (linear y=$liny)")
+  }
 }
