@@ -944,6 +944,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Trigram-accelerated substring search (pg_trgm architecture):
+    // gram-postings prefilter + exact contains verify on candidates
+    // only; patterns span common, rare, and absent.
+    "q_substring_search" -> ((s, dir) => {
+      Search.substringSearch(Tables.load(s, dir, "documents"),
+          "doc_id", "text", substringPatterns)
+        .orderBy("pid", "doc_id")
+    }),
+
     // MMR-diversified retrieval: greedy relevance-vs-redundancy re-rank
     // over the brute candidate list — integer-bp scores make the greedy
     // trajectory engine-independent; the unrolled recursion hash-gates.
@@ -1662,6 +1671,15 @@ object PipelineQueries {
     s"(strpos('0123456789abcdef', hx[$i]) - 1) * ${1L << (4 * (8 - i))}")
     .mkString("(", " + ", ")")
 
+  /** q_substring_search's pattern set — ONE definition feeding the Spark
+    * call and the oracle VALUES. Spans frequent, phrase-length, rare,
+    * and absent patterns. */
+  private val substringPatterns: Seq[(Long, String)] = Seq(
+    0L -> "spark join", 1L -> "table key", 2L -> "merge batch",
+    3L -> "row scan slow", 4L -> "zebra stripe")
+  private def substringPatternValues: String =
+    substringPatterns.map { case (i, p) => s"($i, '$p')" }.mkString(", ")
+
   /** MMR replay: the greedy recursion unrolled into k staged CTEs (the
     * BPE-oracle device) — stage t's max-sim reads the union of all prior
     * selections; AS MATERIALIZED throughout (inlined re-expansion of a
@@ -2081,6 +2099,18 @@ object PipelineQueries {
          FROM top ORDER BY pos""",
 
     "q_mmr" -> mmrOracle(kCand = 20, k = 5, lambdaBp = 7000L),
+
+    // Substring-search ground truth: the UNACCELERATED form — a plain
+    // contains() scan per pattern (the oracle is deliberately the naive
+    // algorithm the trigram prefilter must exactly reproduce).
+    "q_substring_search" -> (
+      s"""WITH pats(pid, pat) AS (VALUES $substringPatternValues)
+         SELECT CAST(p.pid AS BIGINT) AS pid, d.doc_id,
+                CAST((len(lower(d.text)) - len(replace(lower(d.text), p.pat, '')))
+                     // len(p.pat) AS BIGINT) AS n_hits
+         FROM documents d CROSS JOIN pats p
+         WHERE contains(lower(d.text), p.pat)
+         ORDER BY pid, doc_id"""),
 
     // Filtered-ANN replay: the brute chain with the label predicate in
     // the join — pre-filter semantics, exactly k constrained rows.

@@ -168,6 +168,63 @@ object Search {
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_bp"))
   }
 
+  /** Trigram-index-accelerated SUBSTRING search (the pg_trgm
+    * architecture): literal-pattern containment over the corpus without
+    * a full contains() scan per pattern. Candidate generation: a doc
+    * can contain pattern P only if it contains EVERY character trigram
+    * of P — the per-doc distinct-trigram postings are built in one
+    * corpus pass (in production, persisted/maintained like the lexical
+    * index), pattern trigrams broadcast, and a doc qualifies when its
+    * matched-gram count equals |grams(P)|. Exact `contains` verification
+    * (plus non-overlapping occurrence count via the replace-length
+    * device) runs only on candidates — precision exact, recall exact
+    * (the trigram condition is necessary), cost concentrated on the
+    * selective prefilter.
+    *
+    * Patterns shorter than 3 chars get no prefilter (scan-verify);
+    * matching is case-insensitive (both sides lowered).
+    *
+    * Output: (pid, doc_id, n_hits ≥ 1), one row per matching doc.
+    */
+  def substringSearch(docs: DataFrame, id: String, text: String,
+      patterns: Seq[(Long, String)]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_._2.nonEmpty))
+    require(patterns.forall(_._2.length >= 3),
+      "patterns under 3 chars need the unfiltered scan path; keep them out " +
+        "of the indexed operator")
+    val lowered = docs.select(col(id).as("doc_id"), lower(col(text)).as("t"))
+    val grams = lowered.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")))
+        .as("g"))
+    val spark = docs.sparkSession
+    import scala.jdk.CollectionConverters._
+    val pRows = patterns.flatMap { case (pid, p) =>
+      val lp = p.toLowerCase
+      (0 to lp.length - 3).map(i => lp.substring(i, i + 3)).distinct
+        .map(g => org.apache.spark.sql.Row(pid, lp, g))
+    }
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pat", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType)))
+    val pGrams = spark.createDataFrame(pRows.asJava, pSchema)
+    val pMeta = pGrams.groupBy("pid", "pat").agg(count(lit(1)).as("need"))
+    val candidates = grams.join(broadcast(pGrams), Seq("g"))
+      .groupBy("doc_id", "pid").agg(count(lit(1)).as("have"))
+      .join(broadcast(pMeta), Seq("pid"))
+      .filter(col("have") === col("need"))
+      .select("doc_id", "pid", "pat")
+    // exact verify + occurrence count on candidates only; the length
+    // difference is an exact multiple of len(pat), so the double
+    // division is exact and the long cast lossless
+    candidates.join(lowered, Seq("doc_id"))
+      .filter(col("t").contains(col("pat")))
+      .select(col("pid"), col("doc_id"),
+        ((length(col("t")) - length(replace(col("t"), col("pat"), lit(""))))
+          / length(col("pat"))).cast("long").as("n_hits"))
+  }
+
   /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedy re-rank
     * of each query's candidate list trading relevance against redundancy
     * — step 0 takes the most relevant candidate; step t takes

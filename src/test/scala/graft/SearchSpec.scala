@@ -231,4 +231,37 @@ class SearchSpec extends AnyFunSuite {
     assert(got.head === 1L,  "step 0 must take the most relevant")
     assert(got(1) === 3L, s"step 1 must skip the near-dup (got $got)")
   }
+
+  test("substringSearch: equals the naive contains scan; prefilter never loses; verify never lies") {
+    val docs = Seq(
+      (1L, "the quick brown fox abcdef runs"),
+      (2L, "abcd and cdef share grams but not the pattern"), // all trigrams, no match
+      (3L, "AaAaA overlap aaaaa test"),
+      (4L, "plain filler row"),
+      (5L, "ABCDEF upper case hit")
+    ).toDF("doc_id", "text")
+    val pats = Seq(0L -> "abcdef", 1L -> "aaa", 2L -> "missingpattern")
+    val got = Search.substringSearch(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive reference
+    val want = (for {
+      (pid, p) <- pats
+      (id, t) <- Seq(1L -> "the quick brown fox abcdef runs",
+        2L -> "abcd and cdef share grams but not the pattern",
+        3L -> "AaAaA overlap aaaaa test",
+        4L -> "plain filler row",
+        5L -> "ABCDEF upper case hit")
+      lt = t.toLowerCase; lp = p.toLowerCase
+      if lt.contains(lp)
+    } yield (pid, id, ((lt.length - lt.replace(lp, "").length) / lp.length).toLong)).toSet
+    assert(got === want)
+    // the gram-decoy doc is prefiltered IN but verified OUT
+    assert(!got.exists(r => r._1 == 0L && r._2 == 2L))
+    // case-insensitive hit; overlap counted non-overlapping:
+    // "aaaaa"+"aaaaa"(from AaAaA) -> 1 + 1 = replace semantics
+    assert(got.contains((0L, 5L, 1L)))
+    assert(got.exists(r => r._1 == 1L && r._2 == 3L))
+    // absent pattern contributes nothing
+    assert(!got.exists(_._1 == 2L))
+  }
 }
