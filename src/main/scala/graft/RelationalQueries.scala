@@ -29,8 +29,62 @@ object RelationalQueries {
           sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_c"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
-    })
+    }),
+
+    // TPC-H Q3-shape: 3-table join, dim broadcast, ONE fact shuffle.
+    "q3_shipping" -> ((s, dir) => q3(s, dir)),
+
+    // TPC-H Q5-shape: 5-table snowflake, dims broadcast down the chain.
+    "q5_nation_revenue" -> ((s, dir) => q5(s, dir))
   )
+
+  /** TPC-H Q3-shape: shipping-priority revenue — customer (filtered
+    * segment, broadcast-sized) ⋈ orders (date-filtered) ⋈ lineitem; at
+    * 100 TB the segment-filtered customer side broadcasts and the
+    * orders⋈lineitem equi-join shuffles on orderkey ONCE; map-side
+    * partial agg collapses before the group exchange. */
+  private val q3 = (s: SparkSession, dir: String) => {
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum("rev_c").as("revenue_c"))
+      .orderBy(desc("revenue_c"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shape: revenue per nation — region→nation (tiny, both
+    * broadcast) ⋈ customer ⋈ orders ⋈ lineitem; the only corpus-sized
+    * shuffle is orders⋈lineitem on orderkey. */
+  private val q5 = (s: SparkSession, dir: String) => {
+    val nat = Tables.load(s, dir, "nation")
+      .join(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.load(s, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val ord = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_c"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("n_name")
+      .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue_c"), col("n_name"))
+  }
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -40,6 +94,34 @@ object RelationalQueries {
          CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
          COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus"""
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping" ->
+      """SELECT l.l_orderkey,
+                CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+           AND l.l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l.l_orderkey
+         ORDER BY revenue_c DESC, l.l_orderkey
+         LIMIT 10""",
+
+    "q5_nation_revenue" ->
+      """SELECT n.n_name,
+                CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                COUNT(*) AS n_items
+         FROM region r
+         JOIN nation n ON n.n_regionkey = r.r_regionkey
+         JOIN customer c ON c.c_nationkey = n.n_nationkey
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY n.n_name
+         ORDER BY revenue_c DESC, n.n_name"""
   )
 }

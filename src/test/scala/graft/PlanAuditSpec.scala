@@ -180,6 +180,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"embeddings re-read regressed: $c")
   }
 
+  test("q3/q5 OLAP shapes: dims broadcast; at most the fact shuffle + group exchange") {
+    val c3 = audited("q3_shipping")
+    assert(c3.broadcasts >= 2, s"q3 dims must broadcast: $c3")
+    assert(c3.exchanges <= 2, s"q3 exchange count drifted: $c3")
+    val c5 = audited("q5_nation_revenue")
+    assert(c5.broadcasts >= 3, s"q5 snowflake dims must broadcast: $c5")
+    assert(c5.exchanges <= 2, s"q5 exchange count drifted: $c5")
+  }
+
   test("q_heavy_hitters: corpus counted once; every later exchange vocab-bounded") {
     val c = audited("q_heavy_hitters")
     // one token-count pass (its exchange reused downstream); the sketch
