@@ -250,9 +250,15 @@ object Search {
       kCand: Int, k: Int, lambdaBp: Long = 7000L): DataFrame = {
     require(k >= 1 && kCand >= k, s"need kCand >= k >= 1: kCand=$kCand k=$k")
     require(lambdaBp >= 0 && lambdaBp <= 10000, s"lambdaBp in [0,10000]: $lambdaBp")
+    // checkpoint the candidate list: every greedy level references it
+    // (directly and through the selected-set lineage), and an
+    // un-truncated brute-top-k subtree would otherwise re-execute
+    // O(2^k) times through the doubling union chain — measured 90 s at
+    // sf0.1 vs ~1 s checkpointed
     val cand = Similarity.bruteTopK(emb, id, vec, queryIds, kCand)
       .select(col("query_id").as("qid"), col("neighbor_id").as("nid"),
         col("cos_bp").as("rel_bp"))
+      .localCheckpoint(false)
     val n = Similarity.normalized(emb, id, vec)
     val cv = cand.join(n, col("nid") === col("vid"))
       .select(col("qid"), col("nid"), col("rel_bp"), col("nv"))
@@ -288,7 +294,10 @@ object Search {
         .filter(col("_rn") === 1)
         .select(col("qid"), lit(t).as("step"), col("nid"), col("rel_bp"),
           col("mmr_x"))
-      selected = selected.unionByName(pick)
+      // truncate per level: selected appears twice in level t+1's plan
+      // (remaining's anti-join AND maxsim's selected side), so without
+      // truncation the chain doubles per step
+      selected = selected.unionByName(pick).localCheckpoint(false)
     }
     selected.select(col("qid").as("query_id"), col("step"),
       col("nid").as("neighbor_id"), col("rel_bp"), col("mmr_x"))
