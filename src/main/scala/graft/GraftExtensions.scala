@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{GramHashes, HtmlUnescape, MarkdownRender, MinHashBands,
-  SimHash64, VectorDot, VectorNormalize, WinnowFingerprints, WordShingles}
+  SimHash64, StripAccents, UnicodeNfc, UnicodeNfkc, VectorDot, VectorNormalize,
+  WinnowFingerprints, WordShingles}
 
 /** Engine extension point: registers the custom Catalyst expressions as
   * SQL functions so `spark.sql` and the DataFrame API can call them by
@@ -74,7 +75,16 @@ object GraftExtensions {
     ("minhash_bands", info("minhash_bands",
       "minhash_bands(shingles, numHashes, bands) - MinHash-LSH band buckets"),
       es => { require(es.length == 3, "expected 3 arguments")
-        MinHashBands(es(0), litInt(es(1), "numHashes"), litInt(es(2), "bands")) }))
+        MinHashBands(es(0), litInt(es(1), "numHashes"), litInt(es(2), "bands")) }),
+    ("unicode_nfc", info("unicode_nfc",
+      "unicode_nfc(str) - NFC canonical composition (ASCII fast path)"),
+      unary(UnicodeNfc)),
+    ("unicode_nfkc", info("unicode_nfkc",
+      "unicode_nfkc(str) - NFKC compatibility folding"),
+      unary(UnicodeNfkc)),
+    ("strip_accents", info("strip_accents",
+      "strip_accents(str) - NFD, drop combining marks, NFC recompose"),
+      unary(StripAccents)))
   // SrpSignature / NearestCentroids are intentionally NOT SQL-registered:
   // their hyperplane/codebook matrices are plan-time Scala values with no
   // SQL literal form — the Scala column API is their surface.

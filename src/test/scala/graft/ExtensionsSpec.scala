@@ -12,6 +12,9 @@ class ExtensionsSpec extends AnyFunSuite {
       "<p><strong>x</strong></p>")
     assert(spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0) === 11.0)
+    assert(spark.sql("SELECT unicode_nfc('cafe\u0301')").head().getString(0) === "caf\u00e9")
+    assert(spark.sql("SELECT strip_accents('na\u00efve')").head().getString(0) === "naive")
+    assert(spark.sql("SELECT unicode_nfkc('\uff11')").head().getString(0) === "1")
   }
 
   test("SparkSessionExtensions wiring exposes the same function set") {
@@ -20,7 +23,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(GraftExtensions.functions.map(_._1).toSet ===
       Set("html_unescape", "markdown_render", "vec_dot", "vec_normalize",
         "simhash64", "word_shingles", "winnow_fingerprints", "minhash_bands",
-        "gram_hashes"))
+        "gram_hashes", "unicode_nfc", "unicode_nfkc", "strip_accents"))
   }
 
   test("array expressions callable from SQL") {
