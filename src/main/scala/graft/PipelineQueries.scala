@@ -962,6 +962,15 @@ object PipelineQueries {
         .orderBy("query_id", "step")
     }),
 
+    // Two-stage retrieve+rerank: SQ8 compressed first stage over-fetches
+    // 30 candidates, exact cosine reranks only those — the production
+    // hot-codes/cold-raw serving split, hash-gated end-to-end.
+    "q_ann_rerank" -> ((s, dir) => {
+      Similarity.sq8RerankTopK(Tables.load(s, dir, "embeddings"), "vec_id",
+          "embedding", queryIds = (0L to 7L), kCand = 30, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // FILTERED vector search (pre-filter semantics): top-k among vectors
     // whose label differs from the query's — hard-negative mining / the
     // production attribute-constrained ANN shape; predicate fused into
@@ -1774,6 +1783,32 @@ object PipelineQueries {
                        + (64 - count(*)) AS s
            FROM regs GROUP BY g)"""
 
+  /** SQ8 chain shared by q_ann_sq8 and the rerank composition. */
+  private val sq8Ctes: String =
+    """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         nn0 AS (SELECT vec_id,
+                        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                 FROM n),
+         mm AS (SELECT i, min(nv[i]) AS mn, max(nv[i]) AS mx
+                FROM nn0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+                GROUP BY i),
+         mml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+                 FROM mm),
+         recon AS (
+           SELECT vec_id,
+                  list_transform(
+                    list_transform(nv, (x, i) ->
+                      CASE WHEN mxs[i] = mns[i] THEN 0.0
+                           ELSE least(greatest(floor((x - mns[i]) /
+                                  (mxs[i] - mns[i]) * 255), 0.0), 255.0) END),
+                    (c, i) -> mns[i] + (c + 0.5) * (mxs[i] - mns[i]) / 255.0) AS rv
+           FROM nn0 CROSS JOIN mml),
+         q AS (SELECT vec_id AS qid, nv AS qv FROM nn0 WHERE vec_id <= 7),
+         s AS (SELECT qid, vec_id AS nid,
+                      CAST(floor(list_dot_product(qv, rv) * 10000) AS BIGINT) AS sq_bp
+               FROM recon, q WHERE vec_id != qid)
+"""
+
   private val cmsOracle: String =
     """WITH toks AS MATERIALIZED (
            SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2433,34 +2468,30 @@ object PipelineQueries {
     // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
     // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is
     // 1-based in DuckDB, matching Spark's element_at(_, i+1).
-    "q_ann_sq8" ->
-      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         nn0 AS (SELECT vec_id,
-                        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-                 FROM n),
-         mm AS (SELECT i, min(nv[i]) AS mn, max(nv[i]) AS mx
-                FROM nn0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
-                GROUP BY i),
-         mml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-                 FROM mm),
-         recon AS (
-           SELECT vec_id,
-                  list_transform(
-                    list_transform(nv, (x, i) ->
-                      CASE WHEN mxs[i] = mns[i] THEN 0.0
-                           ELSE least(greatest(floor((x - mns[i]) /
-                                  (mxs[i] - mns[i]) * 255), 0.0), 255.0) END),
-                    (c, i) -> mns[i] + (c + 0.5) * (mxs[i] - mns[i]) / 255.0) AS rv
-           FROM nn0 CROSS JOIN mml),
-         q AS (SELECT vec_id AS qid, nv AS qv FROM nn0 WHERE vec_id <= 7),
-         s AS (SELECT qid, vec_id AS nid,
-                      CAST(floor(list_dot_product(qv, rv) * 10000) AS BIGINT) AS sq_bp
-               FROM recon, q WHERE vec_id != qid)
+    "q_ann_sq8" -> (sq8Ctes + """
          SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, sq_bp
          FROM (SELECT *, ROW_NUMBER() OVER
                  (PARTITION BY qid ORDER BY sq_bp DESC, nid ASC) AS rn FROM s)
          WHERE rn <= 10
-         ORDER BY query_id, rank""",
+         ORDER BY query_id, rank"""),
+
+    // two-stage replay: SQ8 scores pick kCand=30, exact cosine reranks
+    "q_ann_rerank" -> (sq8Ctes + """,
+         cand AS (
+           SELECT qid, nid FROM (
+             SELECT qid, nid, ROW_NUMBER() OVER
+               (PARTITION BY qid ORDER BY sq_bp DESC, nid ASC) AS rn FROM s)
+           WHERE rn <= 30),
+         ex AS (
+           SELECT c.qid, c.nid,
+                  CAST(floor(list_dot_product(q.qv, v.nv) * 10000) AS BIGINT) AS cos_bp
+           FROM cand c JOIN nn0 v ON v.vec_id = c.nid
+                       JOIN q ON q.qid = c.qid)
+         SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, cos_bp
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rn FROM ex)
+         WHERE rn <= 10
+         ORDER BY query_id, rank"""),
 
     // Stream-dedup ground truth: survivors = the at-rest canonical set
     // (min id per normalized content — batch 1) plus the novel-content

@@ -592,6 +592,37 @@ object Similarity {
         col("vid").as("neighbor_id"), col("sq_bp"))
   }
 
+  /** Two-stage RETRIEVE + RERANK — the standard production serving
+    * composition: a cheap compressed first stage (SQ8 ADC over int8
+    * codes) over-fetches `kCand` candidates, and only those kCand rows
+    * are re-scored exactly from the raw vectors. At 100 TB the raw
+    * vectors never stream through scoring — the exact stage joins
+    * kCand·|queries| ids back to the corpus (a broadcast-able id set),
+    * which is the entire point of storing codes hot and raw cold.
+    *
+    * Both stages are deterministic integer-bp replays, so the COMPOSED
+    * pipeline hash-gates end-to-end. Output: (query_id, rank,
+    * neighbor_id, cos_bp) — exact scores, compressed-stage recall. */
+  def sq8RerankTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k && k >= 1)
+    val cand = sq8TopK(emb, id, vec, queryIds, kCand)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    val n = normalized(emb, id, vec)
+    val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv").as("qv")))
+    val exact = cand
+      .join(n, col("nid") === col("vid"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("nid"),
+        floor(dot(col("nv"), col("qv")) * 10000).cast("long").as("cos_bp"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_bp").desc, col("nid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("cos_bp"))
+  }
+
   /** IVF + PQ composed — the production ANN architecture at corpus scale
     * (Faiss's IVFPQ layout, Jégou et al. 2011 §V): the coarse quantizer
     * ([[md5Codebook]], nlist cells) prunes the candidate set to the

@@ -483,6 +483,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sq === rs(Similarity.sq8TopK(emb, "vec_id", "embedding", qids, 10)))
   }
 
+  test("sq8RerankTopK: exact scores on SQ8 candidates; equals brute when recall holds") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = (0L to 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val rr = Similarity.sq8RerankTopK(emb, "vec_id", "embedding", qids,
+      kCand = 30, k = 10)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10)
+    // SQ8 recall on this corpus is 1.0 (pinned above), so the reranked
+    // result — exact scores over a superset of the true top-10 — must
+    // EQUAL brute exactly, ranks and scores included
+    assert(rows(rr) === rows(brute))
+    // degenerate kCand = k: rerank reorders the SQ8 list by exact score
+    val tight = Similarity.sq8RerankTopK(emb, "vec_id", "embedding", qids,
+      kCand = 10, k = 10).collect()
+    val perQ = tight.groupBy(_.getAs[Long]("query_id"))
+    qids.foreach(q => assert(perQ(q).length === 10))
+  }
+
   test("SQ8 scores are within the per-dim half-step error bound of exact cosine") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val sq = Similarity.sq8TopK(emb, "vec_id", "embedding", Seq(0L), 10)
