@@ -109,4 +109,24 @@ class StoreSpec extends AnyFunSuite {
     assert(zy < 0.62 && zx < 0.62,
       s"z-order boxes not tight: x=$zx y=$zy (linear y=$liny)")
   }
+
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact THROUGH the join") {
+    val dir = tmp("dpp")
+    // fact partitioned by target (20 partitions), dim filtered to one
+    val fact = (0 until 2000).map(i => (s"sub_${i % 20}", i.toLong, (i * 7).toLong))
+      .toDF("target", "idint", "score")
+    Store.writePartitioned(fact, dir)
+    val dim = (0 until 20).map(i => (s"sub_$i", i % 4)).toDF("target", "grp")
+    val joined = spark.read.parquet(dir)
+      .join(dim.filter(col("grp") === 0), Seq("target"))
+    val n = joined.count()
+    assert(n === 500L) // 5 of 20 targets
+    val plan = joined.queryExecution.executedPlan.toString
+    // evidence that partition pruning flowed through the join: either
+    // static partition filters (broadcast pushdown) or a DPP subquery
+    assert(plan.contains("dynamicpruning") ||
+           plan.contains("dynamicpruningexpression") ||
+           plan.contains("PartitionFilters: ["),
+      s"expected join-driven partition pruning in:\n$plan")
+  }
 }
