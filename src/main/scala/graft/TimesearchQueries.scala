@@ -544,6 +544,22 @@ object TimesearchQueries {
         .orderBy("event_id")
     }),
 
+    // Engine extension: integer-exact PageRank over the comment-reply
+    // graph (the q_tree edge rule) — thread-influence scoring; exact
+    // long arithmetic at every step so 10 iterations replay to the bit.
+    "q_pagerank" -> ((s, dir) => {
+      val nodes = Tables.load(s, dir, "events").select(
+        col("event_id").as("id"),
+        when(col("event_id") % 16 === 0, lit(null).cast("long"))
+          .otherwise(col("event_id") - (col("event_id") % 16) +
+            floor((col("event_id") % 16 - 1) / 2)).as("parent"))
+      graft.operators.Graphs.pageRank(nodes,
+          nodes.filter(col("parent").isNotNull)
+            .select(col("id").as("src"), col("parent").as("dst")),
+          iters = 10)
+        .orderBy("id")
+    }),
+
     // A3 — incremental lower bound: max(created) − 1 overlap.
     "q_incremental_bound" -> ((s, dir) => {
       val raw = Tables.load(s, dir, "events")
@@ -627,6 +643,43 @@ object TimesearchQueries {
     * launch directory; the former hard-coded `/root/repo/...` silently
     * broke the oracle anywhere else. */
   private val RepoToken = "__REPO__"
+
+
+  /** PageRank replay generator: base/init constants via integer division
+    * against the counted N, then `iters` unrolled stages — each stage's
+    * in-mass from the previous stage only, AS MATERIALIZED throughout. */
+  private def pagerankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH nodes AS (
+           SELECT event_id AS id,
+                  CASE WHEN event_id % 16 = 0 THEN NULL
+                       ELSE event_id - (event_id % 16) + ((event_id % 16 - 1) // 2)
+                  END AS parent
+           FROM events),
+         edges AS (SELECT id AS src, parent AS dst FROM nodes WHERE parent IS NOT NULL),
+         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         r0 AS MATERIALIZED (
+           SELECT id, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM nodes CROSS JOIN nn)""")
+    for (t <- 1 to iters) {
+      sb.append(s""",
+         r$t AS MATERIALIZED (
+           SELECT a.id,
+                  CAST((150000000000 // n) + COALESCE(s.cin, 0) AS BIGINT) AS r
+           FROM nodes a CROSS JOIN nn
+           LEFT JOIN (
+             SELECT e.dst AS id,
+                    CAST(sum(((p.r * 85) // 100) // d.deg) AS BIGINT) AS cin
+             FROM r${t - 1} p
+             JOIN edges e ON e.src = p.id
+             JOIN outdeg d ON d.src = e.src
+             GROUP BY e.dst) s ON s.id = a.id)""")
+    }
+    sb.append(s"""
+         SELECT id, r AS pr FROM r$iters ORDER BY id""")
+    sb.toString
+  }
 
   private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
@@ -912,6 +965,10 @@ object TimesearchQueries {
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.t >= p.t - 3600 AND c.t <= p.t
          ORDER BY purchase_id, click_id""",
+
+    // PageRank replay: 10 unrolled AS MATERIALIZED stages (the staged-
+    // CTE device); all-integer per-step algebra mirrors the operator.
+    "q_pagerank" -> pagerankOracle(iters = 10),
 
     // Z-order replay: min/max CTE -> DuckDB native integer div bucket
     // ranks -> the SAME generated interleave term list (shared

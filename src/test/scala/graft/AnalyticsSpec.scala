@@ -105,4 +105,41 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("valid:"))
   }
+
+  test("pageRank: integer-exact reference equality, sink-loss bound, root accumulation") {
+    import graft.operators.Graphs
+    // small random DAG: nodes 0..n-1, each non-zero node points to a
+    // smaller one (guaranteed acyclic, single out-edge like reply trees)
+    val rng = new scala.util.Random(17)
+    val n = 60
+    val parents = (1 until n).map(i => (i.toLong, rng.nextInt(i).toLong))
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val edges = parents.toDF("src", "dst")
+    val scale = 1000000000000L
+    def ref(iters: Int): Map[Long, Long] = {
+      val base = (scale * 15L / 100L) / n
+      val outdeg = parents.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = (0 until n).map(i => i.toLong -> scale / n).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((s, d) <- parents)
+          in(d) += (r(s) * 85L / 100L) / outdeg(s)
+        r = (0 until n).map(i => i.toLong -> (base + in(i.toLong))).toMap
+      }
+      r
+    }
+    val got = Graphs.pageRank(nodes, edges, iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got === ref(10))
+    // sink loss: total mass never exceeds the scale, floor never below base*n
+    val total = got.values.sum
+    assert(total <= scale && total >= (scale * 15L / 100L) / n * n)
+    // node 0 is every chain's sink ancestor — it must outrank any leaf
+    val leaves = (0 until n).map(_.toLong).filterNot(parents.map(_._2).contains)
+    assert(leaves.forall(l => got(0L) > got(l)))
+    // partitioning-invariant (integer sums are associative)
+    val got2 = Graphs.pageRank(nodes.repartition(7), edges.repartition(5), 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got2 === got)
+  }
 }
