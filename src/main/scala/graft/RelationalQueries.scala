@@ -35,7 +35,22 @@ object RelationalQueries {
     "q3_shipping" -> ((s, dir) => q3(s, dir)),
 
     // TPC-H Q5-shape: 5-table snowflake, dims broadcast down the chain.
-    "q5_nation_revenue" -> ((s, dir) => q5(s, dir))
+    "q5_nation_revenue" -> ((s, dir) => q5(s, dir)),
+
+    // Triangle counting over the part co-occurrence graph (parts sharing
+    // an order) — market-basket cohesion; degree-ordered exactly-once
+    // enumeration, per-part participation top-20.
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      graft.operators.Graphs.trianglesPerNode(edges, k = 20)
+        .withColumnRenamed("p", "part")
+    })
   )
 
   /** TPC-H Q3-shape: shipping-priority revenue — customer (filtered
@@ -122,6 +137,26 @@ object RelationalQueries {
            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
            AND o.o_orderdate < TIMESTAMP '1999-01-01'
          GROUP BY n.n_name
-         ORDER BY revenue_c DESC, n.n_name"""
+         ORDER BY revenue_c DESC, n.n_name""",
+
+    // Triangle ground truth: the simple id-ordered triple join (the
+    // count is orientation-independent, so the oracle can use the naive
+    // formulation the degree-ordered operator avoids at scale).
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1
+                 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                 JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         corners AS (
+           SELECT a AS p FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         SELECT p AS part, CAST(count(*) AS BIGINT) AS n_tri
+         FROM corners GROUP BY p
+         ORDER BY n_tri DESC, part LIMIT 20"""
   )
 }

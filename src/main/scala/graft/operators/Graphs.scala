@@ -34,6 +34,51 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Exactly-once TRIANGLE enumeration over an undirected graph (edges
+    * as distinct u < v pairs) — the co-occurrence/community primitive
+    * (market-basket affinity, cohesion scoring). Degree-ordered
+    * orientation: every edge points from its lower (deg, id) endpoint
+    * to the higher, so each triangle is generated exactly once from its
+    * lowest-ordered corner and wedge fan-out is bounded by the
+    * degeneracy-ordered out-degree (the standard distributed triangle
+    * device — a hub's O(deg²) wedge explosion lands on the LOW-degree
+    * neighbors instead). The order key rides as a comparable struct
+    * (deg, id) — no global rank window, no |V| sort.
+    *
+    * Returns (a, b, c) triangle rows; [[trianglesPerNode]] folds them
+    * into per-node participation counts.
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(false)
+    val deg = e.select(col("u").as("p")).unionByName(e.select(col("v").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("deg"))
+    val withK = e
+      .join(deg.select(col("p").as("u"), struct(col("deg"), col("p")).as("ku")), "u")
+      .join(deg.select(col("p").as("v"), struct(col("deg"), col("p")).as("kv")), "v")
+    val oriented = withK.select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
+      .localCheckpoint(false)
+    val w1 = oriented.select(col("src"), col("dst").as("b"), col("kdst").as("kb"))
+    val w2 = oriented.select(col("src"), col("dst").as("c"), col("kdst").as("kc"))
+    val wedges = w1.join(w2, Seq("src")).filter(col("kb") < col("kc"))
+    wedges.join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+  }
+
+  /** Per-node triangle participation counts, top-k by (count desc, id). */
+  def trianglesPerNode(edges: DataFrame, k: Int): DataFrame = {
+    val tri = triangles(edges)
+    tri.select(col("a").as("p"))
+      .unionByName(tri.select(col("b").as("p")))
+      .unionByName(tri.select(col("c").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("p").asc)
+      .limit(k)
+  }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && scale > 0)

@@ -142,4 +142,32 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(got2 === got)
   }
+
+  test("triangles: exact enumeration vs naive reference; K4 and C5 fixtures") {
+    import graft.operators.Graphs
+    // K4: 4 triangles, every node participates in 3
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
+      .toDF("u", "v")
+    val k4n = Graphs.trianglesPerNode(k4, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k4n === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(Graphs.triangles(k4).count() === 4L)
+    // C5: cycles of length 5 have no triangles
+    val c5 = (0 until 5).map(i => (math.min(i, (i + 1) % 5).toLong,
+      math.max(i, (i + 1) % 5).toLong)).toDF("u", "v")
+    assert(Graphs.triangles(c5).count() === 0L)
+    // random graph vs naive O(n^3) reference
+    val rng = new scala.util.Random(23)
+    val n = 40
+    val es = (for { a <- 0 until n; b <- 0 until n
+                    if a < b && rng.nextDouble() < 0.15 }
+      yield (a.toLong, b.toLong))
+    val adj = es.toSet
+    var want = 0L
+    for (a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n)
+      if (adj((a.toLong, b.toLong)) && adj((a.toLong, c.toLong)) &&
+          adj((b.toLong, c.toLong))) want += 1
+    val got = Graphs.triangles(es.toDF("u", "v")).count()
+    assert(got === want, s"triangle count $got != naive $want")
+  }
 }
