@@ -544,6 +544,29 @@ object TimesearchQueries {
         .orderBy("event_id")
     }),
 
+    // Engine extension: ordered-funnel analysis (view -> click ->
+    // purchase) — stage k counts only events strictly after stage k-1;
+    // events shuffle ONCE on user, each stage reuses the clustering.
+    "q_funnel" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("user_id"), tsSec(raw).as("t"), col("event_type"))
+      graft.operators.Events.funnel(ev, "user_id", "t", "event_type",
+          stages = Seq("view", "click", "purchase"))
+        .select(col("u").as("user_id"), col("t1"), col("t2"), col("t3"),
+          col("stage"))
+        .orderBy("user_id")
+    }),
+
+    // Engine extension: weekly cohort retention triangle — users bucketed
+    // by first-activity week, counted in every later active week.
+    "q_retention" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.retention(
+          raw.select(col("user_id"), tsSec(raw).as("t")),
+          "user_id", col("t"), periodSec = 604800L)
+        .orderBy("cohort", "offset")
+    }),
+
     // Engine extension: integer-exact PageRank over the comment-reply
     // graph (the q_tree edge rule) — thread-influence scoring; exact
     // long arithmetic at every step so 10 iterations replay to the bit.
@@ -965,6 +988,35 @@ object TimesearchQueries {
          FROM p JOIN c ON p.user_id = c.user_id
            AND c.t >= p.t - 3600 AND c.t <= p.t
          ORDER BY purchase_id, click_id""",
+
+    "q_funnel" ->
+      """WITH ev AS (
+           SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  event_type AS ty
+           FROM events),
+         s1 AS (SELECT u, min(t) AS t1 FROM ev WHERE ty = 'view' GROUP BY u),
+         s2 AS (SELECT e.u, min(t) AS t2 FROM ev e JOIN s1 USING (u)
+                WHERE ty = 'click' AND t > t1 GROUP BY e.u),
+         s3 AS (SELECT e.u, min(t) AS t3 FROM ev e JOIN s2 USING (u)
+                WHERE ty = 'purchase' AND t > t2 GROUP BY e.u)
+         SELECT s1.u AS user_id, t1, t2, t3,
+                CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+         FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)
+         ORDER BY user_id""",
+
+    "q_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                    - (CAST(floor(epoch(ts)) AS BIGINT) % 604800) AS per
+           FROM events),
+         f AS (SELECT u, min(per) AS cohort FROM ev GROUP BY u)
+         SELECT cohort, (per - cohort) // 604800 AS "offset",
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM ev JOIN f USING (u)
+         GROUP BY cohort, "offset"
+         ORDER BY cohort, "offset" """,
 
     // PageRank replay: 10 unrolled AS MATERIALIZED stages (the staged-
     // CTE device); all-integer per-step algebra mirrors the operator.

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event stream — the funnel and
+  * cohort-retention queries every event warehouse serves, expressed as
+  * grouped conditional aggregates (no self-join chains, no per-user
+  * UDFs).
+  *
+  * Both are single-pass per stage over (user, ts, type) projections:
+  * at 100 TB the shuffles are keyed on user_id (or cohort week) and
+  * map-side partial aggregation collapses each user's events before
+  * the exchange.
+  */
+object Events {
+
+  /** Ordered-funnel analysis: for each user, the earliest time each
+    * stage could be reached IN ORDER — stage k counts only events
+    * strictly after the user reached stage k−1 (the standard ordered
+    * funnel, not the set-intersection shortcut that overcounts
+    * out-of-order journeys).
+    *
+    * One grouped pass per stage: pass k needs stage k−1's time, which
+    * is a user-keyed join of the (|users|-bounded) previous stage
+    * table — never a re-shuffle of the raw events (events shuffle once
+    * on user_id, then every stage reuses that clustering).
+    *
+    * Returns (user, t1..tk nullable, stage = furthest stage reached).
+    */
+  def funnel(events: DataFrame, user: String, ts: String, typ: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val ev = events.select(col(user).as("u"), col(ts).as("t"),
+      col(typ).as("ty"))
+    var acc = ev.filter(col("ty") === stages.head)
+      .groupBy("u").agg(min("t").as("t1"))
+    for (k <- 2 to stages.length) {
+      val prev = s"t${k - 1}"
+      val next = ev.filter(col("ty") === stages(k - 1))
+        .join(acc.select(col("u"), col(prev).as("_p")), "u")
+        .filter(col("t") > col("_p"))
+        .groupBy("u").agg(min("t").as(s"t$k"))
+      acc = acc.join(next, Seq("u"), "left")
+    }
+    // ascending fold so the HIGHEST stage's test ends up outermost
+    // (each wrap takes precedence over everything wrapped before it)
+    val stageExpr = (1 to stages.length).foldLeft(lit(0)) {
+      case (e, k) => when(col(s"t$k").isNotNull, lit(k)).otherwise(e)
+    }
+    acc.withColumn("stage", stageExpr)
+  }
+
+  /** Funnel conversion rollup: users reaching each stage (in order). */
+  def funnelCounts(events: DataFrame, user: String, ts: String,
+                   typ: String, stages: Seq[String]): DataFrame = {
+    val f = funnel(events, user, ts, typ, stages)
+    val aggs = (1 to stages.length).map(k =>
+      sum(when(col("stage") >= k, 1L).otherwise(0L)).as(s"reached_$k"))
+    f.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Cohort retention: users grouped by their FIRST-activity period
+    * (epoch-day ÷ periodSec), counted as retained in every later period
+    * they act in. Output (cohort, offset, n_users) — the retention
+    * triangle. Two grouped passes: first-activity per user
+    * (|users|-bounded), then distinct (user, period) activity joined
+    * back on user. */
+  def retention(events: DataFrame, user: String, tsSec: Column,
+                periodSec: Long): DataFrame = {
+    require(periodSec > 0)
+    val ev = events.select(col(user).as("u"),
+      (tsSec - (tsSec % periodSec)).as("per"))
+    val first = ev.groupBy("u").agg(min("per").as("cohort"))
+    val active = ev.distinct()
+    active.join(first, "u")
+      .select(col("cohort"),
+        ((col("per") - col("cohort")) / lit(periodSec)).cast("long").as("offset"))
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
+  }
+}

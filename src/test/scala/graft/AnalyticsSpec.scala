@@ -170,4 +170,49 @@ class AnalyticsSpec extends AnyFunSuite {
     val got = Graphs.triangles(es.toDF("u", "v")).count()
     assert(got === want, s"triangle count $got != naive $want")
   }
+
+  test("funnel: ordered stages only count post-predecessor events; rollup consistent") {
+    import graft.operators.Events
+    val ev = Seq(
+      // u1 full ordered journey
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2 purchase BEFORE click: ordered funnel stops at click
+      (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // u3 click with no prior view: not even in the funnel base?
+      // no view at all -> absent from output
+      (3L, 10L, "click"), (3L, 20L, "purchase"),
+      // u4 equal timestamps: strict > means same-instant click does NOT count
+      (4L, 10L, "view"), (4L, 10L, "click"),
+      // u5 view only
+      (5L, 99L, "view")
+    ).toDF("u", "t", "ty")
+    val got = Events.funnel(ev, "u", "t", "ty", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Any]("t1"), r.getAs[Any]("t2"), r.getAs[Any]("t3"),
+         r.getAs[Int]("stage"))).toMap
+    assert(got.keySet === Set(1L, 2L, 4L, 5L))
+    assert(got(1L) === ((10L, 20L, 30L, 3)))
+    assert(got(2L) === ((10L, 30L, null, 2)))  // purchase@20 < click@30 ignored
+    assert(got(4L) === ((10L, null, null, 1))) // same-instant click excluded
+    assert(got(5L) === ((99L, null, null, 1)))
+    val counts = Events.funnelCounts(ev, "u", "t", "ty",
+      Seq("view", "click", "purchase")).collect().head
+    assert((counts.getLong(0), counts.getLong(1), counts.getLong(2)) === ((4L, 2L, 1L)))
+  }
+
+  test("retention: cohort = first-activity period; offsets count active periods") {
+    import graft.operators.Events
+    val p = 100L
+    val ev = Seq(
+      (1L, 10L), (1L, 110L), (1L, 310L),   // cohort 0, offsets 0,1,3
+      (2L, 120L), (2L, 130L), (2L, 250L),  // cohort 100, offsets 0,1 (dedup in-period)
+      (3L, 205L)                           // cohort 200, offset 0
+    ).toDF("u", "t")
+    val got = Events.retention(ev, "u", col("t"), p)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (100L, 0L) -> 1L, (100L, 1L) -> 1L,
+      (200L, 0L) -> 1L))
+  }
 }
