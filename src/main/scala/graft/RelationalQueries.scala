@@ -37,6 +37,31 @@ object RelationalQueries {
     // TPC-H Q5-shape: 5-table snowflake, dims broadcast down the chain.
     "q5_nation_revenue" -> ((s, dir) => q5(s, dir)),
 
+    // Market-basket association rules: top-20 part pairs by LIFT (with
+    // support floor) — support/confidence/lift all exact integer/bp
+    // ratios, so the rule ranking is engine-independent. One basket
+    // self-join keyed on the order; item counts broadcast.
+    "q_affinity" -> ((s, dir) => {
+      val baskets = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val itemN = baskets.groupBy("p").agg(count(lit(1)).as("n_item"))
+      val nOrders = baskets.select(countDistinct("o").as("n_orders"))
+      val pairs = baskets.as("a").join(baskets.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      pairs
+        .join(broadcast(itemN.select(col("p").as("u"), col("n_item").as("n_u"))), "u")
+        .join(broadcast(itemN.select(col("p").as("v"), col("n_item").as("n_v"))), "v")
+        .crossJoin(broadcast(nOrders))
+        .select(col("u"), col("v"), col("n_pair"), col("n_u"), col("n_v"),
+          expr("(n_pair * n_orders * 10000) div (n_u * n_v)").as("lift_bp"),
+          expr("(n_pair * 10000) div n_u").as("conf_bp"))
+        .orderBy(desc("lift_bp"), col("u"), col("v"))
+        .limit(20)
+    }),
+
     // Triangle counting over the part co-occurrence graph (parts sharing
     // an order) — market-basket cohesion; degree-ordered exactly-once
     // enumeration, per-part participation top-20.
@@ -138,6 +163,23 @@ object RelationalQueries {
            AND o.o_orderdate < TIMESTAMP '1999-01-01'
          GROUP BY n.n_name
          ORDER BY revenue_c DESC, n.n_name""",
+
+    "q_affinity" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         itemn AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY p),
+         no AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM baskets),
+         pairs AS (
+           SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS n_pair
+           FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+           GROUP BY a.p, b.p HAVING count(*) >= 2)
+         SELECT u, v, n_pair, iu.n_item AS n_u, iv.n_item AS n_v,
+                CAST((n_pair * n_orders * 10000) // (iu.n_item * iv.n_item) AS BIGINT) AS lift_bp,
+                CAST((n_pair * 10000) // iu.n_item AS BIGINT) AS conf_bp
+         FROM pairs
+         JOIN itemn iu ON iu.p = u
+         JOIN itemn iv ON iv.p = v
+         CROSS JOIN no
+         ORDER BY lift_bp DESC, u, v LIMIT 20""",
 
     // Triangle ground truth: the simple id-ordered triple join (the
     // count is orientation-independent, so the oracle can use the naive
