@@ -193,9 +193,15 @@ object Search {
       "patterns under 3 chars need the unfiltered scan path; keep them out " +
         "of the indexed operator")
     val lowered = docs.select(col(id).as("doc_id"), lower(col(text)).as("t"))
+    // explicit sub-trigram guard: sequence(1, 0) would generate a
+    // DESCENDING [1, 0] in Spark (not empty) — harmless here (2-char
+    // "grams" can never equal a 3-char pattern gram) but subtle enough
+    // to not rely on
     val grams = lowered.select(col("doc_id"),
       explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")))
+        "case when length(t) >= 3 then " +
+          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) " +
+          "else array() end")))
         .as("g"))
     val spark = docs.sparkSession
     import scala.jdk.CollectionConverters._
