@@ -215,4 +215,34 @@ class AnalyticsSpec extends AnyFunSuite {
       (100L, 0L) -> 1L, (100L, 1L) -> 1L,
       (200L, 0L) -> 1L))
   }
+
+  test("q_affinity algebra: hand-computed support/confidence/lift on a fixture") {
+    // baskets: {1,2} x3, {1,3} x1, {2,3} x1, {1} x1  -> N=6 orders
+    // n_1=5, n_2=4, n_3=2; pair(1,2)=3, pair(1,3)=1, pair(2,3)=1
+    // lift(1,2) = 3*6*10000 div (5*4) = 9000; conf = 3*10000 div 5 = 6000
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L), (5L, 2L), (5L, 3L), (6L, 1L)
+    ).toDF("o", "p")
+    import org.apache.spark.sql.functions._
+    val baskets = rows.distinct()
+    val itemN = baskets.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val nOrders = baskets.select(countDistinct("o").as("n_orders"))
+    val pairs = baskets.as("a").join(baskets.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_pair"))
+    val out = pairs
+      .join(itemN.select(col("p").as("u"), col("n_item").as("n_u")), "u")
+      .join(itemN.select(col("p").as("v"), col("n_item").as("n_v")), "v")
+      .crossJoin(nOrders)
+      .select(col("u"), col("v"), col("n_pair"),
+        expr("(n_pair * n_orders * 10000) div (n_u * n_v)").as("lift_bp"),
+        expr("(n_pair * 10000) div n_u").as("conf_bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 2L)) === ((3L, 9000L, 6000L)))
+    assert(out((1L, 3L)) === ((1L, 6000L, 2000L)))
+    assert(out((2L, 3L)) === ((1L, 7500L, 2500L)))
+  }
 }
