@@ -361,6 +361,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe split: split membership decided by each doc's exact-
+    // dup CANONICAL id (window-min over the normalized-text hash), so
+    // duplicates can never straddle train/val/test — the correct split
+    // AFTER dedup policy, or BEFORE it if dedup is lossy-by-policy.
+    "q_split_leakfree" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = corpusWithDups(s, dir)
+      val w = Window.partitionBy(md5(Dedup.normText(col("text"))))
+      TextAnalysis.hashSplit(
+          corpus.withColumn("canon", min(col("doc_id")).over(w)),
+          key = "canon")
+        .select(col("doc_id"), col("canon"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Curriculum export: deterministic global training order — easy
+    // (low-surprisal) tertile first, md5-shuffled within phase. The
+    // global position is the point of the operator (an EXPORT job, like
+    // the Z-order writer: one range sort buys the downstream reader its
+    // order).
+    "q_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = TextAnalysis.unigramSurprisal(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.scoreTertiles(scored, "mean_surprisal_bp")
+        .select(col("doc"),
+          when(col("bucket") === "head", 0)
+            .when(col("bucket") === "middle", 1).otherwise(2).as("phase"),
+          md5(col("doc").cast("string")).as("_h"))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("phase"), col("_h"), col("doc"))).cast("long"))
+        .select(col("pos"), col("doc").as("doc_id"), col("phase"))
+        .orderBy("pos")
+    }),
+
     // Lexical BM25 top-k search — the keyword-recall complement of the
     // embedding ANN queries, on the shared tokenization contract.
     "q_bm25" -> ((s, dir) => {
@@ -1867,6 +1902,47 @@ object PipelineQueries {
                   ) AS keep
            FROM corpus)
          SELECT doc_id FROM k WHERE doc_id = keep ORDER BY doc_id""",
+
+    // Leakage-safe split: canonical = min doc_id per normalized-text
+    // group over the planted-dup corpus; the split rule reads the CANON.
+    "q_split_leakfree" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         canon AS (
+           SELECT doc_id, min(doc_id) OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           ) AS canon
+           FROM corpus)
+         SELECT doc_id, canon,
+                CASE WHEN substr(md5(CAST(canon AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                     WHEN substr(md5(CAST(canon AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                     ELSE 'test' END AS split
+         FROM canon ORDER BY doc_id""",
+
+    // Curriculum replay: the perplexity tertiles (shared algebra with
+    // q_perplexity_mix) mapped to phases, md5-shuffled global order.
+    "q_curriculum" -> (lmCtes +
+      """,
+         hist AS (SELECT mean_surprisal_bp AS s, count(*) AS c
+                  FROM lm_scored GROUP BY 1),
+         mtot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+         cum AS (SELECT s, sum(c) OVER (ORDER BY s ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         thr AS (SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS t1,
+                        min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS t2
+                 FROM cum CROSS JOIN mtot),
+         phased AS (
+           SELECT doc,
+                  CASE WHEN mean_surprisal_bp <= t1 THEN 0
+                       WHEN mean_surprisal_bp <= t2 THEN 1
+                       ELSE 2 END AS phase,
+                  md5(CAST(doc AS VARCHAR)) AS h
+           FROM lm_scored CROSS JOIN thr)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY phase, h, doc) AS BIGINT) AS pos,
+                doc AS doc_id, phase
+         FROM phased ORDER BY pos"""),
 
     "q_split" ->
       """SELECT doc_id,

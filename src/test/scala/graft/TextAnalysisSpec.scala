@@ -874,4 +874,51 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("bucket").as[String].collect().toSet
     assert(flatGot === Set("head"))
   }
+
+  test("leak-free split: no duplicate group straddles splits; unique docs match plain hashSplit") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "ALPHA   beta gamma"),  // dups (normalized)
+      (3L, "delta epsilon"), (4L, "zeta eta theta"),
+      (5L, "delta epsilon")                                   // dup of 3
+    ).toDF("doc_id", "text")
+    val w = Window.partitionBy(md5(Dedup.normText(col("text"))))
+    val out = TextAnalysis.hashSplit(
+        corpus.withColumn("canon", min(col("doc_id")).over(w)), "canon")
+      .select("doc_id", "canon", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every member of a dup group carries the group's split
+    val byCanon = out.groupBy(_._2)
+    byCanon.foreach { case (c, rows) =>
+      assert(rows.map(_._3).toSet.size === 1, s"group $c straddles splits")
+    }
+    assert(out.find(_._1 == 1L).get._3 === out.find(_._1 == 2L).get._3)
+    assert(out.find(_._1 == 3L).get._3 === out.find(_._1 == 5L).get._3)
+    // a unique doc's canon is itself -> identical to the plain split
+    val plain = TextAnalysis.hashSplit(corpus.filter(col("doc_id") === 4L)
+      .select("doc_id"), "doc_id").collect().head.getString(1)
+    assert(out.find(_._1 == 4L).get._3 === plain)
+  }
+
+  test("curriculum: positions are a permutation, phases monotone, within-phase md5 order") {
+    val q = PipelineQueries.all("q_curriculum")(spark, "/root/testdata/sf0.001")
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = rows.length
+    assert(rows.map(_._1).toSet === (1L to n.toLong).toSet, "pos not a permutation")
+    // phases never decrease along the curriculum
+    rows.sortBy(_._1).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ => ()
+    }
+    // each phase is a contiguous block of ~a third
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length)
+    assert(sizes.keySet === Set(0, 1, 2))
+    sizes.values.foreach(s => assert(s >= n / 5, s"degenerate phase size $s"))
+    // within a phase the order is md5(doc), not doc id (shuffled)
+    def md5p(x: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.toString.getBytes).map("%02x".format(_)).mkString
+    val p0 = rows.filter(_._3 == 0).sortBy(_._1).map(_._2)
+    assert(p0 === p0.sortBy(x => (md5p(x), x)), "within-phase order is not md5")
+    assert(p0 !== p0.sorted, "suspiciously id-ordered phase")
+  }
 }
