@@ -86,6 +86,57 @@ object Sketches {
         (col("est") - col("exact")).as("err"))
   }
 
+  /** Deterministic BLOOM FILTER — the membership sketch completing the
+    * family (CMS frequency, HLL cardinality, Bloom membership), and the
+    * classic semi-join reduction device: build a bitmap from the small
+    * side's keys, pre-filter the big side BEFORE its shuffle — only
+    * false positives (a tunable few %) survive to the exact join.
+    *
+    * md5-salted positions (pos_j = int(md5(j:key)[0:8]) mod mBits) make
+    * the bitmap — and therefore every membership verdict INCLUDING the
+    * false positives — a deterministic function of the build keyset, so
+    * the sketch behavior itself hash-gates (the CMS argument applied to
+    * membership). No false negatives ever, by construction.
+    *
+    * [[bloomBits]] collects the build side's distinct positions — a
+    * driver action bounded by min(k·n, mBits) ints, i.e. by the FILTER
+    * CAPACITY, never the probe side (the codebook-collect contract).
+    * [[bloomMightContain]] tests all k bits against the bitmap riding
+    * the plan as ONE array literal (codegen reference object). */
+  def bloomBits(build: DataFrame, key: String, mBits: Int, k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0 && k >= 1)
+    val pos = build.select(col(key).cast("string").as("s"))
+      .distinct()
+      .select(explode(sequence(lit(0), lit(k - 1))).as("j"), col("s"))
+      .select((conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+        col("s"))), 1, 8), 16, 10).cast("long") % mBits).cast("int").as("p"))
+      .distinct().collect().map(_.getInt(0))
+    val bits = new Array[Long](mBits / 64)
+    pos.foreach(p => bits(p >> 6) |= (1L << (p & 63)))
+    bits
+  }
+
+  /** Membership predicate over [[bloomBits]]' bitmap: true iff every
+    * salted position's bit is set. The caller must add the bitmap as a
+    * column named `bitsCol` (typedLit — one literal) and may then drop
+    * it; the per-j position columns are internal. */
+  def bloomMightContain(df: DataFrame, key: String, bitsCol: String,
+      mBits: Int, k: Int): DataFrame = {
+    var out = df
+    (0 until k).foreach { j =>
+      out = out.withColumn(s"_bp$j",
+        (conv(substring(md5(concat(lit(j.toString), lit(":"),
+          col(key).cast("string"))), 1, 8), 16, 10).cast("long") % mBits)
+          .cast("int"))
+    }
+    val pass = (0 until k).map(j =>
+      expr(s"(shiftright(element_at($bitsCol, cast(_bp$j div 64 as int) + 1), " +
+        s"cast(_bp$j % 64 as int)) & cast(1 as bigint)) = cast(1 as bigint)"))
+      .reduce(_ && _)
+    out.withColumn("bloom_pass", pass)
+      .drop((0 until k).map(j => s"_bp$j"): _*)
+  }
+
   /** HyperLogLog distinct-count estimate of token BIGRAMS per group.
     *
     * m = 64 registers. For each bigram: register = int(first 2 md5 hex

@@ -86,4 +86,36 @@ class SketchesSpec extends AnyFunSuite {
       .orderBy("grp").collect().toSeq
     assert(a === b)
   }
+
+  test("Bloom filter: zero false negatives; FP rate near theory; saturated filter passes all") {
+    import org.apache.spark.sql.functions._
+    val build = (0 until 500).map(i => Tuple1(i.toLong * 7)).toDF("k")
+    val m = 8192; val k = 3
+    val bits = Sketches.bloomBits(build, "k", m, k)
+    val probe = (0 until 4000).map(i => Tuple1(i.toLong)).toDF("k")
+      .withColumn("_bits", typedLit(bits.toSeq))
+    val out = Sketches.bloomMightContain(probe, "k", "_bits", m, k)
+      .select("k", "bloom_pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val truth = (0 until 500).map(_.toLong * 7).filter(_ < 4000).toSet
+    // the Bloom guarantee: every member passes
+    truth.foreach(t => assert(out(t), s"false negative for $t"))
+    // false-positive rate near the analytic (1 - e^{-kn/m})^k ≈ 2.7%
+    val negatives = out.keySet -- truth
+    val fp = negatives.count(out(_)).toDouble / negatives.size
+    val theory = math.pow(1 - math.exp(-k * 500.0 / m), k)
+    assert(fp <= theory * 3 + 0.01, s"fp $fp vs theory $theory")
+    // a saturated filter (tiny m) degrades to pass-everything — never drops
+    val satBits = Sketches.bloomBits(build, "k", 64, k)
+    val sat = Sketches.bloomMightContain(
+        probe.withColumn("_bits", typedLit(satBits.toSeq)), "k", "_bits", 64, k)
+      .select("bloom_pass").collect().map(_.getBoolean(0))
+    assert(sat.forall(identity))
+    // deterministic across partitioning
+    val out2 = Sketches.bloomMightContain(
+        probe.repartition(13), "k", "_bits", m, k)
+      .select("k", "bloom_pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out2 === out)
+  }
 }
