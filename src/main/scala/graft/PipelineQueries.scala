@@ -195,6 +195,29 @@ object PipelineQueries {
       table
     })
 
+  private val builtBloomTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained Bloom words over the P-order keys (the
+    * q_bloom_join build side), 4 real micro-batches of OR-merge
+    * upserts. */
+  private def incrementalBloom(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtBloomTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bloom")
+      deleteOnExit(tmp)
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P").select("o_orderkey")
+      val src = tmp.resolve("in").toString
+      keys.repartition(4).write.parquet(src)
+      val table = StreamSketch.table(s, tmp.resolve("tbl").toString, nBuckets = 8)
+      val stream = s.readStream.schema(keys.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamSketch.bloomSink(stream, "o_orderkey", mBits = 262144,
+        k = 3, table = table, checkpoint = tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   private val builtHllTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -622,6 +645,31 @@ object PipelineQueries {
         .withColumn("_bits", typedLit(bits.toSeq))
       val truth = build.distinct()
         .select(col("o_orderkey").as("l_orderkey"), lit(true).as("_true"))
+      Sketches.bloomMightContain(probe, "l_orderkey", "_bits", m, k)
+        .drop("_bits")
+        .join(broadcast(truth), Seq("l_orderkey"), "left")
+        .agg(count(lit(1)).as("n_probe"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("_true").isNotNull, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("bloom_pass") && col("_true").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .select(col("n_probe"), col("n_pass"), col("n_true"),
+          col("n_false_pos"),
+          expr("(n_false_pos * 10000) div (n_probe - n_true)").as("fp_bp"))
+    }),
+
+    // The same semi-join reduction served from the STREAM-MAINTAINED
+    // Bloom words (OR-merge — idempotent like the HLL registers): must
+    // hash-equal batch q_bloom_join (shared oracle verbatim).
+    "q_bloom_incremental" -> ((s, dir) => {
+      val m = 262144; val k = 3
+      val bits = StreamSketch.bloomBitsView(incrementalBloom(s, dir), m)
+      val probe = Tables.load(s, dir, "lineitem").select("l_orderkey")
+        .withColumn("_bits", typedLit(bits.toSeq))
+      val truth = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey").as("l_orderkey")).distinct()
+        .withColumn("_true", lit(true))
       Sketches.bloomMightContain(probe, "l_orderkey", "_bits", m, k)
         .drop("_bits")
         .join(broadcast(truth), Seq("l_orderkey"), "left")
@@ -1870,6 +1918,54 @@ object PipelineQueries {
                FROM recon, q WHERE vec_id != qid)
 """
 
+  private val bloomOracle: String =
+    """WITH js AS (SELECT unnest(range(0, 3)) AS j),
+         bkeys AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS s
+                   FROM orders WHERE o_orderstatus = 'P'),
+         bpos0 AS (SELECT substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8) AS hx
+                   FROM bkeys CROSS JOIN js),
+         setb AS (SELECT DISTINCT CAST(
+                    ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
+                     (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
+                     (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
+                     (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
+                     (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
+                     (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
+                     (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
+                     (strpos('0123456789abcdef', hx[8]) - 1)) % 262144 AS INT) AS pos
+                  FROM bpos0),
+         keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+         kp0 AS (SELECT key,
+                   substr(md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 8) AS hx
+                 FROM keys CROSS JOIN js),
+         kp AS (SELECT key, CAST(
+                  ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
+                   (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
+                   (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
+                   (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
+                   (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
+                   (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
+                   (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
+                   (strpos('0123456789abcdef', hx[8]) - 1)) % 262144 AS INT) AS pos
+                FROM kp0),
+         hits AS (SELECT key, count(*) AS hit
+                  FROM kp JOIN setb USING (pos) GROUP BY key),
+         passk AS (SELECT key FROM hits WHERE hit = 3),
+         truth AS (SELECT DISTINCT o_orderkey AS key
+                   FROM orders WHERE o_orderstatus = 'P'),
+         flags AS (
+           SELECT (p.key IS NOT NULL) AS pass, (t.key IS NOT NULL) AS tru
+           FROM lineitem l
+           LEFT JOIN passk p ON p.key = l.l_orderkey
+           LEFT JOIN truth t ON t.key = l.l_orderkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_probe,
+                CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                CAST((sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) * 10000) //
+                     (count(*) - sum(CASE WHEN tru THEN 1 ELSE 0 END)) AS BIGINT) AS fp_bp
+         FROM flags"""
+
   private val cmsOracle: String =
     """WITH toks AS MATERIALIZED (
            SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -2336,53 +2432,9 @@ object PipelineQueries {
     // by each key's 3 salted positions — hit = 3 means every bit set
     // (duplicate self-colliding positions each match the DISTINCT set
     // once, exactly the AND-of-3 bit-test semantics).
-    "q_bloom_join" ->
-      """WITH js AS (SELECT unnest(range(0, 3)) AS j),
-         bkeys AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS s
-                   FROM orders WHERE o_orderstatus = 'P'),
-         bpos0 AS (SELECT substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 8) AS hx
-                   FROM bkeys CROSS JOIN js),
-         setb AS (SELECT DISTINCT CAST(
-                    ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
-                     (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
-                     (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
-                     (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
-                     (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
-                     (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
-                     (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
-                     (strpos('0123456789abcdef', hx[8]) - 1)) % 262144 AS INT) AS pos
-                  FROM bpos0),
-         keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
-         kp0 AS (SELECT key,
-                   substr(md5(CAST(j AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 8) AS hx
-                 FROM keys CROSS JOIN js),
-         kp AS (SELECT key, CAST(
-                  ((strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
-                   (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
-                   (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
-                   (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
-                   (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
-                   (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
-                   (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
-                   (strpos('0123456789abcdef', hx[8]) - 1)) % 262144 AS INT) AS pos
-                FROM kp0),
-         hits AS (SELECT key, count(*) AS hit
-                  FROM kp JOIN setb USING (pos) GROUP BY key),
-         passk AS (SELECT key FROM hits WHERE hit = 3),
-         truth AS (SELECT DISTINCT o_orderkey AS key
-                   FROM orders WHERE o_orderstatus = 'P'),
-         flags AS (
-           SELECT (p.key IS NOT NULL) AS pass, (t.key IS NOT NULL) AS tru
-           FROM lineitem l
-           LEFT JOIN passk p ON p.key = l.l_orderkey
-           LEFT JOIN truth t ON t.key = l.l_orderkey)
-         SELECT CAST(count(*) AS BIGINT) AS n_probe,
-                CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-                CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-                CAST(sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-                CAST((sum(CASE WHEN pass AND NOT tru THEN 1 ELSE 0 END) * 10000) //
-                     (count(*) - sum(CASE WHEN tru THEN 1 ELSE 0 END)) AS BIGINT) AS fp_bp
-         FROM flags""",
+    "q_bloom_join" -> bloomOracle,
+    // maintained OR-merge words serve identical bits: same oracle
+    "q_bloom_incremental" -> bloomOracle,
 
     // The CMS replay: exact token counts -> salted-md5 counter coords ->
     // per-row counter sums -> min-over-rows estimates. Counter additivity

@@ -150,6 +150,59 @@ object StreamSketch {
         element_at(col("_p"), 3).cast("int").as("r"),
         col("cnt").cast("int").as("mr"))
 
+  /** One micro-batch → Bloom word deltas: keys `w:<wordIdx>`, value =
+    * the 64-bit word OR-folded over the batch keys' salted positions. */
+  private[graft] def bloomDelta(batch: DataFrame, key: String,
+      mBits: Int, k: Int): DataFrame = {
+    val pos = batch.select(col(key).cast("string").as("s")).distinct()
+      .select(explode(sequence(lit(0), lit(k - 1))).as("j"), col("s"))
+      .select((conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+        col("s"))), 1, 8), 16, 10).cast("long") % mBits).as("p"))
+    pos.select(expr("p div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("cnt_d"))
+      .select(concat(lit("w:"), col("w").cast("string")).as("k"), col("cnt_d"))
+  }
+
+  /** Wire a key stream into Bloom words: per batch, current | delta —
+    * bitwise OR merges are IDEMPOTENT (replay-safe, like the HLL sink)
+    * and the state caps at mBits/64 rows. */
+  def bloomSink(stream: DataFrame, key: String, mBits: Int, k: Int,
+      table: Livestream.UpsertTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(mBits > 0 && mBits % 64 == 0 && k >= 1)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = bloomDelta(batch, key, mBits, k)
+        val cur = table.current.select(col(Merge.KeyCol).as("k"),
+          col("cnt").as("cnt_0"))
+        val rows = delta.join(cur, Seq("k"), "left")
+          .select(col("k").as(Merge.KeyCol),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("body"),
+            expr("coalesce(cnt_0, cast(0 as bigint)) | cnt_d").as("cnt"))
+          .withColumn("_seq",
+            lit(batchId) * 1000000000L + monotonically_increasing_id())
+          .persist()
+        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+        finally rows.unpersist()
+      }
+  }
+
+  /** The Bloom bitmap VIEW, materialized to the driver array form
+    * [[graft.operators.Sketches.bloomMightContain]] consumes — a
+    * collect bounded by mBits/64 rows (the filter capacity). */
+  def bloomBitsView(table: Livestream.UpsertTable, mBits: Int): Array[Long] = {
+    val bits = new Array[Long](mBits / 64)
+    table.current.filter(col(Merge.KeyCol).startsWith("w:"))
+      .select(expr(s"cast(substring(${Merge.KeyCol}, 3) as int)").as("w"),
+        col("cnt"))
+      .collect().foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    bits
+  }
+
   /** The exact-count VIEW: (tok, exact). */
   def counts(table: Livestream.UpsertTable): DataFrame =
     table.current.filter(col(Merge.KeyCol).startsWith("t:"))

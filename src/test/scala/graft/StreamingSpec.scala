@@ -166,6 +166,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(v0 === 2L)
   }
 
+test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; replay idempotent") {
+    import graft.streaming.StreamSketch
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IxDoc]
+    val table = StreamSketch.table(spark, tmp("bloom"), nBuckets = 4)
+    val m = 4096; val k = 3
+    val q = StreamSketch.bloomSink(mem.toDF().select(col("doc_id")),
+      "doc_id", m, k, table, tmp("bloomckp"),
+      trigger = Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData((1L to 40L).map(i => IxDoc(i * 3, "")): _*)
+      q.processAllAvailable()
+      mem.addData((41L to 80L).map(i => IxDoc(i * 3, "")): _*)
+      q.processAllAvailable()
+      // replay batch-1 keys: OR is idempotent, words must not move
+      mem.addData((1L to 40L).map(i => IxDoc(i * 3, "")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = StreamSketch.bloomBitsView(table, m)
+    val batch = Sketches.bloomBits(
+      (1L to 80L).map(i => Tuple1(i * 3)).toDF("doc_id"), "doc_id", m, k)
+    assert(maintained.toSeq === batch.toSeq)
+  }
+
   test("StreamSketch HLL: maintained registers equal batch; replay is idempotent (max-merge)") {
     import graft.streaming.StreamSketch
     import graft.operators.Sketches
