@@ -62,6 +62,98 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // ROLLUP hierarchy aggregate (region → nation → ALL), as an
+    // aggregation CASCADE: the corpus is shuffled ONCE to the finest
+    // (region, nation) grain, then the coarser levels re-aggregate the
+    // |nations|-row result — Expand-based ROLLUP would instead push
+    // 3× the fact rows through the exchange, so the cascade is the
+    // 100 TB-correct plan, not a workaround. Level ids follow the SQL
+    // convention: grouping(region)*2 + grouping(nation) ∈ {0, 1, 3}.
+    "q_rollup" -> ((s, dir) => {
+      val geo = Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(geo), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "r_name", "n_name")
+      val finest = Tables.load(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("r_name"), col("n_name"),
+          cents(col("o_totalprice")).as("price_c"))
+        .groupBy("r_name", "n_name")
+        .agg(sum("price_c").as("revenue_c"), count(lit(1)).as("n_orders"))
+        // dim-bounded (|nations| rows): pin it so the coarser levels
+        // re-aggregate the result instead of re-running the fact join.
+        .localCheckpoint()
+      val lvl0 = finest.select(lit(0L).as("lvl"),
+        col("r_name").as("region"), col("n_name").as("nation"),
+        col("revenue_c"), col("n_orders"))
+      val lvl1 = finest.groupBy("r_name")
+        .agg(sum("revenue_c").as("revenue_c"), sum("n_orders").as("n_orders"))
+        .select(lit(1L).as("lvl"), col("r_name").as("region"),
+          lit("ALL").as("nation"), col("revenue_c"), col("n_orders"))
+      val lvl3 = finest
+        .agg(sum("revenue_c").as("revenue_c"), sum("n_orders").as("n_orders"))
+        .select(lit(3L).as("lvl"), lit("ALL").as("region"),
+          lit("ALL").as("nation"), col("revenue_c"), col("n_orders"))
+      lvl0.unionByName(lvl1).unionByName(lvl3)
+        .orderBy("lvl", "region", "nation")
+    }),
+
+    // PIVOT: monthly order counts spread across the 5 priority classes —
+    // one shuffle on the month key; the pivot is a single-pass conditional
+    // aggregation (never one scan per class).
+    "q_pivot" -> ((s, dir) => {
+      val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val named = Seq("n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+      val base = Tables.load(s, dir, "orders").select(
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        col("o_orderpriority").as("pri"),
+        cents(col("o_totalprice")).as("price_c"))
+      val piv = base.groupBy("ym").pivot("pri", pri).agg(count(lit(1)))
+      val renamed = pri.zip(named).foldLeft(piv) { case (d, (v, n)) =>
+        d.withColumnRenamed(v, n)
+      }.na.fill(0L, named)
+      val totals = base.groupBy("ym")
+        .agg(count(lit(1)).as("n_total"), sum("price_c").as("revenue_c"))
+      renamed.join(totals, "ym").orderBy("ym")
+    }),
+
+    // Data-quality / referential-integrity audit: orphan facts, childless
+    // parents, dangling FKs, domain violations, duplicate PKs — each check
+    // is an independent anti-join or aggregate (shuffle-bounded by the
+    // smaller key set; at 100 TB each runs as one sort-merge/anti pass,
+    // and the union of 1-row results is driver-trivial).
+    "q_integrity" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      def metric(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n"))
+          .select(lit(name).as("metric"), col("n"))
+      val checks = Seq(
+        metric("orphan_lineitem",
+          li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")),
+        metric("childless_order",
+          ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_anti")),
+        metric("dangling_custkey",
+          ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")),
+        metric("bad_nationkey",
+          cust.join(broadcast(nat),
+            cust("c_nationkey") === nat("n_nationkey"), "left_anti")),
+        metric("negative_price", li.filter(col("l_extendedprice") < 0)),
+        metric("null_orderdate", ord.filter(col("o_orderdate").isNull)),
+        metric("dup_pk_orders",
+          ord.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1)),
+        metric("discount_out_of_range",
+          li.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+      checks.reduce(_ unionByName _).orderBy("metric")
+    }),
+
     // Triangle counting over the part co-occurrence graph (parts sharing
     // an order) — market-basket cohesion; degree-ordered exactly-once
     // enumeration, per-part participation top-20.
@@ -180,6 +272,62 @@ object RelationalQueries {
          JOIN itemn iv ON iv.p = v
          CROSS JOIN no
          ORDER BY lift_bp DESC, u, v LIMIT 20""",
+
+    "q_rollup" ->
+      """SELECT CAST(GROUPING(r_name)*2 + GROUPING(n_name) AS BIGINT) AS lvl,
+                COALESCE(r_name, 'ALL') AS region,
+                COALESCE(n_name, 'ALL') AS nation,
+                CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                COUNT(*) AS n_orders
+         FROM orders o
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY lvl, region, nation""",
+
+    // Independent formulation: explicit conditional aggregation instead of
+    // a PIVOT construct — the forms cannot share a bug.
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+                CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+                CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+                CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+                CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_notspec,
+                CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low,
+                COUNT(*) AS n_total,
+                CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM orders GROUP BY 1 ORDER BY ym""",
+
+    "q_integrity" ->
+      """SELECT 'bad_nationkey' AS metric, CAST(count(*) AS BIGINT) AS n
+           FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+         UNION ALL
+         SELECT 'childless_order', CAST(count(*) AS BIGINT)
+           FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+         UNION ALL
+         SELECT 'dangling_custkey', CAST(count(*) AS BIGINT)
+           FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+         UNION ALL
+         SELECT 'discount_out_of_range', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+         UNION ALL
+         SELECT 'dup_pk_orders', CAST(count(*) AS BIGINT) FROM
+           (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'negative_price', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_extendedprice < 0
+         UNION ALL
+         SELECT 'null_orderdate', CAST(count(*) AS BIGINT)
+           FROM orders WHERE o_orderdate IS NULL
+         UNION ALL
+         SELECT 'orphan_lineitem', CAST(count(*) AS BIGINT)
+           FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+         ORDER BY metric""",
 
     // Triangle ground truth: the simple id-ordered triple join (the
     // count is orientation-independent, so the oracle can use the naive
