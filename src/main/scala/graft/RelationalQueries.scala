@@ -154,6 +154,40 @@ object RelationalQueries {
       checks.reduce(_ unionByName _).orderBy("metric")
     }),
 
+    // SCD Type-2 dimension build from the event change log: collapse each
+    // user's event_type stream into validity intervals [valid_from,
+    // valid_to) with a version counter — ONE shuffle on user_id, all three
+    // window passes share the same (key, ts) sort.
+    "q_scd2" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.Scd.buildType2(ev, "user_id",
+          TimesearchQueries.tsSec(ev), col("event_type"), col("event_id"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Snapshot diff (Delta CDF-style change classification): one
+    // full-outer sort-merge join keyed on the order key. The "older"
+    // snapshot is derived deterministically from orders in BOTH engines
+    // (drop keys ≡0 mod 97 → added; restate price for ≡1 mod 97 →
+    // changed; synthesize keys ≡0 mod 101 shifted out of range →
+    // removed), so the classification itself is what's hash-gated.
+    "q_table_diff" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"), cents(col("o_totalprice")).as("price_c"),
+        col("o_orderstatus").as("status"))
+      val older = base.filter(col("k") % 97 =!= 0)
+        .withColumn("price_c",
+          when(col("k") % 97 === 1, col("price_c") + 1000)
+            .otherwise(col("price_c")))
+        .unionByName(base.filter(col("k") % 101 === 0)
+          .select((col("k") + 2000000000L).as("k"), col("price_c"),
+            col("status")))
+      graft.operators.Scd.diff(older, base, "k", Seq("price_c", "status"))
+        .select("change", "k", "before_price_c", "before_status",
+          "after_price_c", "after_status")
+        .orderBy("change", "k")
+    }),
+
     // Triangle counting over the part co-occurrence graph (parts sharing
     // an order) — market-basket cohesion; degree-ordered exactly-once
     // enumeration, per-part participation top-20.
@@ -328,6 +362,52 @@ object RelationalQueries {
            FROM lineitem l WHERE NOT EXISTS
              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
          ORDER BY metric""",
+
+    "q_scd2" ->
+      """WITH log AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                  event_type AS attr, event_id AS tb
+           FROM events),
+         runs AS (
+           SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY ts_sec, tb) AS prev
+           FROM log),
+         heads AS (
+           SELECT user_id, ts_sec, attr, tb FROM runs
+           WHERE prev IS NULL OR prev <> attr)
+         SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version, attr,
+                ts_sec AS valid_from,
+                COALESCE(lead(ts_sec) OVER w, -1) AS valid_to
+         FROM heads
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, tb)
+         ORDER BY user_id, version""",
+
+    "q_table_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey AS k,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+                  o_orderstatus AS status
+           FROM orders),
+         older AS (
+           SELECT k,
+                  CASE WHEN k % 97 = 1 THEN price_c + 1000 ELSE price_c END AS price_c,
+                  status
+           FROM base WHERE k % 97 <> 0
+           UNION ALL
+           SELECT k + 2000000000, price_c, status FROM base WHERE k % 101 = 0),
+         d AS (
+           SELECT COALESCE(o.k, n.k) AS k,
+                  o.price_c AS before_price_c, o.status AS before_status,
+                  n.price_c AS after_price_c, n.status AS after_status,
+                  CASE WHEN o.k IS NULL THEN 'added'
+                       WHEN n.k IS NULL THEN 'removed'
+                       WHEN o.price_c IS DISTINCT FROM n.price_c
+                            OR o.status IS DISTINCT FROM n.status THEN 'changed'
+                  END AS change
+           FROM older o FULL OUTER JOIN base n ON o.k = n.k)
+         SELECT change, k, before_price_c, before_status,
+                after_price_c, after_status
+         FROM d WHERE change IS NOT NULL
+         ORDER BY change, k""",
 
     // Triangle ground truth: the simple id-ordered triple join (the
     // count is orientation-independent, so the oracle can use the naive

@@ -28,7 +28,7 @@ object TimesearchQueries {
     * magnitude can cross second boundaries) or a µs TIMESTAMP_NTZ
     * (floor(epoch) — exact below 2^53). Both match DuckDB
     * `floor(epoch(ts))` on the same file. */
-  private def tsSec(ev: DataFrame): Column = ev.schema("ts").dataType match {
+  private[graft] def tsSec(ev: DataFrame): Column = ev.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
     case _ => epochSec(col("ts"))
   }

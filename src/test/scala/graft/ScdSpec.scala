@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scd
+
+class ScdSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("buildType2: runs collapse, versions count, intervals chain") {
+    // user 1: a a b a  -> 3 runs; user 2: single event -> 1 open run
+    val log = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "a", 2L), (1L, 30L, "b", 3L),
+      (1L, 40L, "a", 4L),
+      (2L, 5L, "x", 5L)
+    ).toDF("user_id", "sec", "typ", "eid")
+    val got = Scd.buildType2(log, "user_id", col("sec"), col("typ"), col("eid"))
+      .orderBy("user_id", "version")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "a", 10L, 30L),
+      (1L, 2L, "b", 30L, 40L),
+      (1L, 3L, "a", 40L, -1L),
+      (2L, 1L, "x", 5L, -1L)))
+  }
+
+  test("buildType2: equal timestamps order by the tiebreak column") {
+    val log = Seq(
+      (1L, 10L, "b", 2L), (1L, 10L, "a", 1L) // at ts=10: a (eid 1) then b (eid 2)
+    ).toDF("user_id", "sec", "typ", "eid")
+    val got = Scd.buildType2(log, "user_id", col("sec"), col("typ"), col("eid"))
+      .orderBy("version").as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, "a", 10L, 10L), (1L, 2L, "b", 10L, -1L)))
+  }
+
+  test("buildType2: one exchange, windows share the sort") {
+    val log = (1 to 300).map(i => (i.toLong % 7, i.toLong, s"t${i % 3}", i.toLong))
+      .toDF("user_id", "sec", "typ", "eid")
+    val df = Scd.buildType2(log, "user_id", col("sec"), col("typ"), col("eid"))
+    df.collect()
+    val c = PlanAudit.counters(df)
+    assert(c.exchanges <= 1, s"expected at most 1 hash exchange, got $c")
+  }
+
+  test("diff: added/removed/changed classified, unchanged dropped, null-safe") {
+    val older = Seq(
+      (1L, Some(100L), "O"), (2L, Some(200L), "F"), (3L, None: Option[Long], "F"),
+      (4L, Some(400L), "O")
+    ).toDF("k", "price_c", "status")
+    val newer = Seq(
+      (1L, Some(100L), "O"),              // unchanged -> dropped
+      (2L, Some(250L), "F"),              // changed (price)
+      (3L, None: Option[Long], "P"),      // changed (status; null price equal via <=>)
+      (5L, Some(500L), "O")               // added
+    ).toDF("k", "price_c", "status")      // k=4 removed
+    val got = Scd.diff(older, newer, "k", Seq("price_c", "status"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "changed", 4L -> "removed",
+      5L -> "added"))
+  }
+}
