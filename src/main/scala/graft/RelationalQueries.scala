@@ -154,6 +154,20 @@ object RelationalQueries {
       checks.reduce(_ unionByName _).orderBy("metric")
     }),
 
+    // 2D skyline (Pareto frontier) of parts: cheapest-for-their-size —
+    // the sort+running-max device (O(n log n)), bucketed local pre-filter
+    // so the exact global window sees survivors only; the oracle is the
+    // NOT EXISTS dominance definition the device avoids.
+    "q_skyline" -> ((s, dir) => {
+      graft.operators.Analytics.skyline2d(
+          Tables.load(s, dir, "part")
+            .select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+              col("p_size")),
+          "p_partkey", col("price_c"), col("p_size"))
+        .select(col("p_partkey"), col("x").as("price_c"), col("y").as("size"))
+        .orderBy("price_c", "p_partkey")
+    }),
+
     // SCD Type-2 dimension build from the event change log: collapse each
     // user's event_type stream into validity intervals [valid_from,
     // valid_to) with a version counter — ONE shuffle on user_id, all three
@@ -362,6 +376,20 @@ object RelationalQueries {
            FROM lineitem l WHERE NOT EXISTS
              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
          ORDER BY metric""",
+
+    // Dominance ground truth: the quadratic NOT EXISTS definition —
+    // deliberately the formulation the windowed device replaces.
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+                CAST(round(p_retailprice*100) AS BIGINT) AS price_c,
+                CAST(p_size AS BIGINT) AS size
+           FROM part)
+         SELECT p_partkey, price_c, size FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b
+           WHERE b.price_c <= a.price_c AND b.size >= a.size
+             AND (b.price_c < a.price_c OR b.size > a.size))
+         ORDER BY price_c, p_partkey""",
 
     "q_scd2" ->
       """WITH log AS (

@@ -483,6 +483,43 @@ object TimesearchQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Sweep-line concurrency profile over the gap-session intervals of
+    // q_sessionize: seconds spent at each simultaneous-session count.
+    // +1/−1 boundary deltas collapse to net-delta-per-distinct-second
+    // (ONE corpus exchange, map-side combine); the cumulative window
+    // runs over the time-DOMAIN-bounded delta frame, never the corpus.
+    "q_concurrency" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val sessions = graft.streaming.Sessionize.batch(
+        raw.select(col("user_id"), tsSec(raw).as("ts")),
+        "user_id", col("ts"), gapSec = 3600)
+      graft.operators.Events.concurrency(sessions, "start", "end")
+        .orderBy("level")
+    }),
+
+    // Robust outlier detection: median ± 3·MAD per event class, entirely
+    // in exact integer cents via the histogram-quantile device (the
+    // mean/σ z-score needs squared sums that overflow BIGINT at corpus
+    // scale; median/MAD needs only the domain-bounded histogram — and is
+    // the statistically robust choice for heavy-tailed values anyway).
+    "q_outliers_mad" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val vals = raw.select(col("event_type"), col("event_id"),
+        cents(col("value")).as("v_c"))
+      val med = graft.operators.TextAnalysis.histogramQuantiles(
+          vals, "event_type", "v_c", qsBp = Seq(5000L))
+        .select(col("event_type"), col("value").as("med_c"))
+      val dev = vals.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("v_c") - col("med_c")))
+      val mad = graft.operators.TextAnalysis.histogramQuantiles(
+          dev, "event_type", "absdev", qsBp = Seq(5000L))
+        .select(col("event_type"), col("value").as("mad_c"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("absdev") > col("mad_c") * 3)
+        .select("event_type", "event_id", "v_c", "med_c", "mad_c")
+        .orderBy("event_type", "event_id")
+    }),
+
     // Engine extension: distributed AS-OF join — each click is matched
     // to the same user's most recent purchase at-or-before it, within
     // 24 h. Union-merge form: ONE hash exchange on user_id, a per-key
@@ -953,6 +990,66 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+         m AS (
+           SELECT user_id, t,
+                  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 3600
+                         OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         s AS (
+           SELECT user_id, t,
+                  SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+         iv AS (SELECT min(t) AS s0, max(t) AS e0
+                FROM s GROUP BY user_id, sid),
+         deltas AS (
+           SELECT t, SUM(d) AS d FROM (
+             SELECT s0 AS t, 1 AS d FROM iv
+             UNION ALL SELECT e0 + 1, -1 FROM iv)
+           GROUP BY t HAVING SUM(d) <> 0),
+         lv AS (
+           SELECT t,
+                  SUM(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS level,
+                  lead(t) OVER (ORDER BY t) - t AS dur
+           FROM deltas)
+         SELECT CAST(level AS BIGINT) AS level,
+                CAST(SUM(dur) AS BIGINT) AS seconds
+         FROM lv WHERE dur IS NOT NULL AND level > 0
+         GROUP BY level ORDER BY level""",
+
+    "q_outliers_mad" ->
+      """WITH vals AS (
+           SELECT event_type AS g, event_id AS k,
+                  CAST(round(value*100) AS BIGINT) AS v
+           FROM events),
+         h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY g, v),
+         cum AS (
+           SELECT g, v,
+                  sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY g) AS n
+           FROM h),
+         med AS (SELECT g, min(v) AS med_c FROM cum
+                 WHERE cum >= (5000 * n + 9999) // 10000 GROUP BY g),
+         dev AS (SELECT vals.g, k, v, med_c, abs(v - med_c) AS ad
+                 FROM vals JOIN med ON vals.g = med.g),
+         h2 AS (SELECT g, ad, CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY g, ad),
+         cum2 AS (
+           SELECT g, ad,
+                  sum(c) OVER (PARTITION BY g ORDER BY ad ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(c) OVER (PARTITION BY g) AS n
+           FROM h2),
+         mad AS (SELECT g, min(ad) AS mad_c FROM cum2
+                 WHERE cum >= (5000 * n + 9999) // 10000 GROUP BY g)
+         SELECT dev.g AS event_type, k AS event_id, v AS v_c,
+                dev.med_c, mad.mad_c
+         FROM dev JOIN mad ON dev.g = mad.g
+         WHERE ad > 3 * mad_c
+         ORDER BY event_type, event_id""",
 
     // Independent formulation on purpose: the oracle materializes the
     // inequality join + rank that the union-merge operator avoids.

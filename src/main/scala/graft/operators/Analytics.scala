@@ -119,6 +119,43 @@ object Analytics {
   def incrementalBound(table: DataFrame): DataFrame =
     table.agg((max("created") - 1).as("lower_bound"))
 
+  /** 2D skyline (Pareto frontier): rows not dominated under (minimize
+    * `xMin`, maximize `yMax`). b dominates a iff xb ≤ xa ∧ yb ≥ ya with
+    * at least one strict; ties (identical points) are all kept.
+    *
+    * Device: sort by x and compare each row's y against the running max
+    * of y over the strictly-cheaper prefix (dominated iff maxPrefix ≥ y,
+    * or > y including equal-x rows) — O(n log n), never the all-pairs
+    * join the naive definition implies. Scale shape: a bucketed local
+    * pass first (x-range buckets; within-bucket domination is a sound
+    * pre-filter because domination is x-monotone), so the exact global
+    * window runs over the frontier-sized survivor set, not the corpus.
+    */
+  def skyline2d(df: DataFrame, key: String, xMin: Column, yMax: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0)
+    val pts = df.select(col(key), xMin.cast("long").as("x"),
+      yMax.cast("long").as("y"))
+    val bounds = pts.agg(min("x").as("x0"), max("x").as("x1"))
+    val bucketed = pts.crossJoin(broadcast(bounds))
+      .withColumn("_b",
+        ((col("x") - col("x0")) * buckets / (col("x1") - col("x0") + 1))
+          .cast("long"))
+      .drop("x0", "x1")
+    def undominated(d: DataFrame, part: Seq[String]): DataFrame = {
+      val base = if (part.isEmpty) Window.orderBy("x")
+        else Window.partitionBy(part.map(col): _*).orderBy("x")
+      val mLt = max("y").over(base.rangeBetween(Window.unboundedPreceding, -1))
+      val mLe = max("y").over(
+        base.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+      d.withColumn("_mlt", coalesce(mLt, lit(Long.MinValue)))
+        .withColumn("_mle", mLe)
+        .filter(!(col("_mlt") >= col("y") || col("_mle") > col("y")))
+        .drop("_mlt", "_mle")
+    }
+    undominated(undominated(bucketed, Seq("_b")).drop("_b"), Seq.empty)
+  }
+
   /** J3 — get_comments.py:47-55: newest comment whose submission has NOT
     * been augmented (NOT EXISTS anti-join). */
   def latestUnaugmented(comments: DataFrame, submissions: DataFrame): DataFrame =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over the event stream — the funnel and
@@ -77,5 +78,36 @@ object Events {
       .select(col("cohort"),
         ((col("per") - col("cohort")) / lit(periodSec)).cast("long").as("offset"))
       .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Sweep-line concurrency profile over inclusive [start, end] second
+    * intervals: seconds spent at each simultaneous-interval count.
+    *
+    * Classic device: +1 at start, −1 at end+1, cumulative sum over time;
+    * the level holds on [t, next-t). The cumulative window runs over the
+    * NET-DELTA-PER-DISTINCT-SECOND frame — bounded by the time DOMAIN
+    * (≈31M rows for a year of seconds), never by the corpus: the
+    * corpus-sized interval set contributes exactly one groupBy(t)
+    * exchange with map-side combine. The trailing level (always 0 after
+    * the last end) is dropped with the open segment.
+    */
+  def concurrency(intervals: DataFrame, start: String, end: String): DataFrame = {
+    val deltas = intervals.select(col(start).cast("long").as("t"), lit(1L).as("d"))
+      .unionByName(intervals.select((col(end).cast("long") + 1).as("t"),
+        lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("d"))
+      // net-zero seconds don't change the level; dropping them BEFORE the
+      // windows merges their neighboring segments (dropping after would
+      // orphan the duration between them)
+      .filter(col("d") =!= 0)
+    val w = Window.orderBy("t")
+    deltas
+      .withColumn("level", sum("d").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dur", lead("t", 1).over(w) - col("t"))
+      .filter(col("dur").isNotNull)
+      .groupBy("level").agg(sum("dur").as("seconds"))
+      // level-0 gaps between intervals are observation-window artifacts
+      .filter(col("level") > 0)
   }
 }
