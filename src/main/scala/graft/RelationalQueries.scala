@@ -202,6 +202,40 @@ object RelationalQueries {
         .orderBy("change", "k")
     }),
 
+    // Multi-source BFS hop distances over the support-≥2 co-occurrence
+    // graph: frontier expansion, one |frontier⋈edges| join + visited
+    // anti-join per hop, frontiers pinned so no hop re-expands. The
+    // WITH RECURSIVE oracle replays min-distance independently.
+    "q_bfs" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.operators.Graphs.bfs(coEdges(s, dir), seeds, maxHops = 4)
+        .orderBy("node")
+    }),
+
+    // Synchronous label-propagation communities (4 deterministic rounds,
+    // most-frequent neighbor label, ties to the smallest): the argmax is
+    // a lexicographic struct max — never a corpus window; the oracle
+    // unrolls all 4 rounds as materialized stages.
+    "q_lpa" -> ((s, dir) => {
+      val e = coEdges(s, dir)
+      val nodes = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct()
+      graft.operators.Graphs.labelPropagation(nodes, e, iters = 4)
+        .orderBy("node")
+    }),
+
+    // Link prediction: top-20 non-adjacent pairs by common-neighbor
+    // count + exact Jaccard bp — wedge enumeration per center node,
+    // one pair aggregation, anti-join against the edge set.
+    "q_link_pred" -> ((s, dir) => {
+      graft.operators.Graphs.commonNeighbors(coEdges(s, dir))
+        .orderBy(desc("cn"), desc("jaccard_bp"), col("u"), col("v"))
+        .limit(20)
+    }),
+
     // Triangle counting over the part co-occurrence graph (parts sharing
     // an order) — market-basket cohesion; degree-ordered exactly-once
     // enumeration, per-part participation top-20.
@@ -217,6 +251,22 @@ object RelationalQueries {
         .withColumnRenamed("p", "part")
     })
   )
+
+  /** Part co-occurrence graph, support ≥ 2 (parts sharing ≥2 orders):
+    * the sparsified community graph q_bfs / q_lpa / q_link_pred run on —
+    * support thresholding keeps |edges| stable across SFs (the dense
+    * support-1 graph grows ~linearly with the corpus; the repeated-pair
+    * signal saturates). One self-join on the order key + one pair agg. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("u", "v")
+  }
 
   /** TPC-H Q3-shape: shipping-priority revenue — customer (filtered
     * segment, broadcast-sized) ⋈ orders (date-filtered) ⋈ lineitem; at
@@ -376,6 +426,102 @@ object RelationalQueries {
            FROM lineitem l WHERE NOT EXISTS
              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
          ORDER BY metric""",
+
+    "q_bfs" ->
+      """WITH RECURSIVE li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e2 AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS MATERIALIZED (
+           SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+         seeds AS MATERIALIZED (
+           SELECT DISTINCT l_partkey AS node FROM li WHERE l_partkey % 97 = 0),
+         bfs(node, dist) AS (
+           SELECT node, 0 FROM seeds
+           UNION
+           SELECT sym.v, b.dist + 1 FROM bfs b
+           JOIN sym ON sym.u = b.node WHERE b.dist < 4)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         FROM bfs GROUP BY node ORDER BY node""",
+
+    // 4 unrolled synchronous rounds; deterministic argmax replayed as a
+    // row_number window (count desc, label asc) — the BPE-oracle
+    // materialization device keeps the stage chain linear.
+    "q_lpa" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e2 AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS MATERIALIZED (
+           SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT u AS node, u AS label FROM sym),
+         c1 AS MATERIALIZED (
+           SELECT sym.u, l.label, count(*) AS c FROM sym
+           JOIN l0 l ON l.node = sym.v GROUP BY 1, 2),
+         l1 AS MATERIALIZED (
+           SELECT u AS node, label FROM (
+             SELECT u, label, row_number() OVER
+               (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+             FROM c1) WHERE rn = 1),
+         c2 AS MATERIALIZED (
+           SELECT sym.u, l.label, count(*) AS c FROM sym
+           JOIN l1 l ON l.node = sym.v GROUP BY 1, 2),
+         l2 AS MATERIALIZED (
+           SELECT u AS node, label FROM (
+             SELECT u, label, row_number() OVER
+               (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+             FROM c2) WHERE rn = 1),
+         c3 AS MATERIALIZED (
+           SELECT sym.u, l.label, count(*) AS c FROM sym
+           JOIN l2 l ON l.node = sym.v GROUP BY 1, 2),
+         l3 AS MATERIALIZED (
+           SELECT u AS node, label FROM (
+             SELECT u, label, row_number() OVER
+               (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+             FROM c3) WHERE rn = 1),
+         c4 AS MATERIALIZED (
+           SELECT sym.u, l.label, count(*) AS c FROM sym
+           JOIN l3 l ON l.node = sym.v GROUP BY 1, 2),
+         l4 AS MATERIALIZED (
+           SELECT u AS node, label FROM (
+             SELECT u, label, row_number() OVER
+               (PARTITION BY u ORDER BY c DESC, label ASC) AS rn
+             FROM c4) WHERE rn = 1)
+         SELECT node, label FROM l4 ORDER BY node""",
+
+    "q_link_pred" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e2 AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS MATERIALIZED (
+           SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+         deg AS MATERIALIZED (
+           SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM sym GROUP BY 1),
+         w AS MATERIALIZED (
+           SELECT a.v AS x, b.v AS y, CAST(count(*) AS BIGINT) AS cn
+           FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+           GROUP BY 1, 2),
+         nonadj AS (
+           SELECT x, y, cn FROM w
+           WHERE NOT EXISTS (SELECT 1 FROM e2 WHERE u = x AND v = y))
+         SELECT x AS u, y AS v, cn,
+                CAST((cn * 10000) // (dx.deg + dy.deg - cn) AS BIGINT) AS jaccard_bp
+         FROM nonadj
+         JOIN deg dx ON dx.node = x
+         JOIN deg dy ON dy.node = y
+         ORDER BY cn DESC, jaccard_bp DESC, u, v LIMIT 20""",
 
     // Dominance ground truth: the quadratic NOT EXISTS definition —
     // deliberately the formulation the windowed device replaces.

@@ -119,4 +119,89 @@ object Graphs {
     }
     rank.select(col("id"), col("r").as("pr"))
   }
+
+  /** Multi-source BFS hop distances over an undirected graph (`edges` as
+    * u < v pairs): min #hops from any seed, up to `maxHops`; unreachable
+    * nodes are absent. Frontier expansion — per hop ONE |frontier⋈edges|
+    * join + an anti-join against the visited set, each bounded by
+    * |edges|; the frontier is localCheckpoint'd so the plan never
+    * re-expands earlier hops (the MMR lineage lesson). Seeds outside the
+    * graph still emit their dist-0 row.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
+    var frontier = visited
+    var hop = 1L
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(sym, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(false)
+      visited = visited.unionByName(next).localCheckpoint(false)
+      frontier = next
+      hop += 1
+    }
+    visited
+  }
+
+  /** Synchronous label propagation (community detection), `iters` fixed
+    * rounds: every node simultaneously adopts its neighbors' most
+    * frequent label, ties to the SMALLEST label — fully deterministic,
+    * so the trajectory replays relationally step for step. Isolated
+    * nodes keep their own id. Per round: one |edges| join + two
+    * aggregations; the deterministic argmax is a lexicographic struct
+    * max (count, -label), never a window over the corpus.
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0)
+    val ids = nodes.select(col("node")).distinct().localCheckpoint(false)
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false)
+    var labels = ids.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val adopted = labels.join(sym, col("node") === col("v"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("newlab"))
+      labels = ids
+        .join(labels, "node").join(adopted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** Link prediction by common neighbors: for every NON-adjacent pair
+    * with ≥1 shared neighbor, the shared-neighbor count and Jaccard
+    * overlap of neighborhoods in basis points (exact integers). Wedge
+    * enumeration through each center node (fan-out bounded by that
+    * node's degree), one (u,v) aggregation, an anti-join against the
+    * edge set, and two degree lookups (plain equi-joins: the degree
+    * table is |V|-sized, so broadcast is AQE's call, not a hint).
+    */
+  def commonNeighbors(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(false)
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.as("a").join(sym.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.v").as("x"), col("b.v").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    wedges
+      .join(e, col("x") === col("u") && col("y") === col("v"), "left_anti")
+      .join(deg.withColumnRenamed("node", "x")
+        .withColumnRenamed("deg", "dx"), "x")
+      .join(deg.withColumnRenamed("node", "y")
+        .withColumnRenamed("deg", "dy"), "y")
+      .select(col("x").as("u"), col("y").as("v"), col("cn"),
+        expr("(cn * 10000) div (dx + dy - cn)").as("jaccard_bp"))
+  }
 }

@@ -171,6 +171,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === want, s"triangle count $got != naive $want")
   }
 
+  test("bfs: min-hop distances vs naive relaxation on random graphs") {
+    import graft.operators.Graphs
+    val rng = new scala.util.Random(7)
+    val n = 30
+    val es = (for { a <- 0 until n; b <- 0 until n
+                    if a < b && rng.nextDouble() < 0.08 }
+      yield (a.toLong, b.toLong))
+    val seeds = Seq(0L, 7L)
+    // naive reference: Bellman-Ford-style relaxation to fixpoint, capped
+    val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    val maxHops = 4
+    for (h <- 1 to maxHops) {
+      val front = dist.filter(_._2 == h - 1).keys
+      for (u <- front; v <- adj.getOrElse(u, Nil) if !dist.contains(v))
+        dist += (v -> h.toLong)
+    }
+    val got = Graphs.bfs(es.toDF("u", "v"), seeds.toDF("node"), maxHops)
+      .as[(Long, Long)].collect().toMap
+    assert(got === dist)
+  }
+
+  test("bfs: isolated seed keeps its dist-0 row; maxHops truncates") {
+    import graft.operators.Graphs
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graphs.bfs(es, Seq(1L, 99L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 99L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("labelPropagation: two cliques with one bridge converge to two communities") {
+    import graft.operators.Graphs
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10
+    val clique = (xs: Seq[Long]) =>
+      for { a <- xs; b <- xs if a < b } yield (a, b)
+    val es = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      Seq((3L, 10L))).toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("node")
+    val got = Graphs.labelPropagation(nodes, es, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // min-label tie-break pulls each clique to its smallest member
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L) && got(11L) === got(12L))
+    assert(got(1L) !== got(10L))
+  }
+
+  test("labelPropagation: isolated node keeps its own id") {
+    import graft.operators.Graphs
+    val es = Seq((1L, 2L)).toDF("u", "v")
+    val got = Graphs.labelPropagation(Seq(1L, 2L, 5L).toDF("node"), es, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(5L) === 5L)
+  }
+
+  test("commonNeighbors: adjacency excluded, counts and jaccard exact") {
+    import graft.operators.Graphs
+    // path 1-2-3 plus 3-4: (1,3) share {2}; (2,4) share {3}; (1,4) none
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graphs.commonNeighbors(es)
+      .select("u", "v", "cn", "jaccard_bp")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // deg: 1->1, 2->2, 3->2, 4->1
+    assert(got === Map(
+      (1L, 3L) -> (1L, 10000L / (1 + 2 - 1)),   // 5000 bp
+      (2L, 4L) -> (1L, 10000L / (2 + 1 - 1))))  // 5000 bp
+  }
+
   test("funnel: ordered stages only count post-predecessor events; rollup consistent") {
     import graft.operators.Events
     val ev = Seq(
