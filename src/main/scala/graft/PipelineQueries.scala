@@ -1062,6 +1062,15 @@ object PipelineQueries {
         .orderBy("pid", "doc_id")
     }),
 
+    // Positional-postings phrase search: exact consecutive token
+    // sequence, map-only all-terms prune BEFORE the positional explode,
+    // adjacency joins over candidate-sized posting lists only.
+    "q_phrase_search" -> ((s, dir) => {
+      Search.phraseSearch(Tables.load(s, dir, "documents"),
+          "doc_id", "text", phrase = "table hash")
+        .orderBy("doc_id")
+    }),
+
     // MMR-diversified retrieval: greedy relevance-vs-redundancy re-rank
     // over the brute candidate list — integer-bp scores make the greedy
     // trajectory engine-independent; the unrolled recursion hash-gates.
@@ -2344,6 +2353,26 @@ object PipelineQueries {
          FROM documents d CROSS JOIN pats p
          WHERE contains(lower(d.text), p.pat)
          ORDER BY pid, doc_id"""),
+
+    // Phrase ground truth: positional adjacency over the shared
+    // tokenizer contract — parallel unnest carries 1-based positions.
+    "q_phrase_search" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         p AS (
+           SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(1, len(toks) + 1)) AS pos
+           FROM t),
+         m AS (
+           SELECT a.doc_id, a.pos
+           FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           WHERE a.tok = 'table' AND b.tok = 'hash')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                CAST(min(pos) AS BIGINT) AS first_pos
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
 
     // Filtered-ANN replay: the brute chain with the label predicate in
     // the join — pre-filter semantics, exactly k constrained rows.

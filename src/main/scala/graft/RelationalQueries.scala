@@ -202,6 +202,22 @@ object RelationalQueries {
         .orderBy("change", "k")
     }),
 
+    // Fuzzy (edit-distance) lookup: mangled part names resolved back to
+    // their closest catalog entry — probes broadcast, corpus map-only
+    // (length-band prune + banded thresholded levenshtein), ONE
+    // probe-bounded top-1 aggregate. The probe set is derived
+    // deterministically in both engines (first char dropped), so the
+    // matcher itself is what's hash-gated.
+    "q_fuzzy_lookup" -> ((s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val probes = part.filter(col("p_partkey") % 211 === 5)
+        .select(col("p_partkey").as("pk"),
+          expr("substring(p_name, 2)").as("pn"))
+      graft.operators.Fuzzy.fuzzyLookup(part, "p_partkey", "p_name",
+          probes, "pk", "pn", maxDist = 3)
+        .orderBy("probe_key")
+    }),
+
     // Multi-source BFS hop distances over the support-≥2 co-occurrence
     // graph: frontier expansion, one |frontier⋈edges| join + visited
     // anti-join per hop, frontiers pinned so no hop re-expands. The
@@ -426,6 +442,24 @@ object RelationalQueries {
            FROM lineitem l WHERE NOT EXISTS
              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
          ORDER BY metric""",
+
+    "q_fuzzy_lookup" ->
+      """WITH probes AS (
+           SELECT p_partkey AS pk, substr(p_name, 2) AS pn
+           FROM part WHERE p_partkey % 211 = 5),
+         cand AS (
+           SELECT pk, pn, p_partkey AS mk, p_name AS mn,
+                  levenshtein(pn, p_name) AS dist
+           FROM probes CROSS JOIN part
+           WHERE levenshtein(pn, p_name) <= 3),
+         best AS (
+           SELECT pk, pn, mk, mn, dist,
+                  row_number() OVER (PARTITION BY pk
+                    ORDER BY dist, mk) AS rn
+           FROM cand)
+         SELECT pk AS probe_key, pn AS probe_name, mk AS match_key,
+                mn AS match_name, CAST(dist AS BIGINT) AS dist
+         FROM best WHERE rn = 1 ORDER BY probe_key""",
 
     "q_bfs" ->
       """WITH RECURSIVE li AS MATERIALIZED (

@@ -231,6 +231,44 @@ object Search {
           / length(col("pat"))).cast("long").as("n_hits"))
   }
 
+  /** Positional-postings PHRASE search: documents containing the exact
+    * consecutive token sequence `phrase` (corpus tokenizer contract:
+    * lowercased `[a-z0-9]+` runs), with occurrence count and first
+    * position (1-based, in token units).
+    *
+    * Scale shape: a map-only all-terms containment prune runs BEFORE the
+    * positional explode — only documents holding every phrase term are
+    * exploded, and only their phrase-term postings survive, so the
+    * adjacency self-joins move candidate-sized posting lists, not the
+    * corpus. The adjacency chain is (k−1) equi-joins on (doc, pos+i) —
+    * the standard positional-index device (Lucene PhraseQuery's exact
+    * mode) expressed relationally.
+    */
+  def phraseSearch(docs: DataFrame, id: String, text: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "empty phrase")
+    val toks = docs.select(col(id).as("doc_id"),
+      filter(split(lower(col(text)), "[^a-z0-9]+"), t => length(t) > 0)
+        .as("toks"))
+    val pruned = terms.foldLeft(toks)((d, t) =>
+      d.filter(array_contains(col("toks"), t)))
+    val posts = pruned
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .filter(col("tok").isin(terms: _*))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val first = posts.filter(col("tok") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (m, (t, i)) =>
+        m.join(posts.filter(col("tok") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min("pos").cast("long").as("first_pos"))
+  }
+
   /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedy re-rank
     * of each query's candidate list trading relevance against redundancy
     * — step 0 takes the most relevant candidate; step t takes
