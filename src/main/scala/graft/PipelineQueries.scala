@@ -573,6 +573,15 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Interpolated Kneser-Ney TRIGRAM surprisal — order 3 of the KN
+    // recursion, lower order on continuation counts; same integer-bp
+    // oracle device one level deeper.
+    "q_lm_kn3" -> ((s, dir) => {
+      TextAnalysis.knTrigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc")
+    }),
+
     // CCNet-style perplexity-binned mixture: tertile-bucket docs by LM
     // surprisal (histogram thresholds, never a corpus sort), then sample
     // head 100% / middle 50% / tail 10% via the md5-rate rule.
@@ -2249,6 +2258,56 @@ object PipelineQueries {
                                      AS BIGINT)) AS BIGINT) AS total_surprisal_bp
            FROM tf2 JOIN c2 USING (p, t) JOIN ctx USING (p)
                 JOIN cont USING (t) CROSS JOIN btv
+           GROUP BY 1)
+         SELECT doc, n_tokens, total_surprisal_bp,
+                CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
+                  AS mean_surprisal_bp
+         FROM per ORDER BY doc""",
+
+    "q_lm_kn3" ->
+      """WITH dtoks AS (
+           SELECT doc_id AS doc,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS w
+           FROM documents),
+         ev AS (
+           SELECT doc,
+                  CASE WHEN k >= 3 THEN w[k-2] ELSE '<s>' END AS p2,
+                  CASE WHEN k >= 2 THEN w[k-1] ELSE '<s>' END AS p1,
+                  w[k] AS t
+           FROM (SELECT doc, w, unnest(range(1, len(w) + 1)) AS k
+                 FROM dtoks) t0),
+         tf3 AS MATERIALIZED (
+           SELECT doc, p2, p1, t, CAST(count(*) AS BIGINT) AS tf
+           FROM ev GROUP BY 1, 2, 3, 4),
+         c3 AS MATERIALIZED (
+           SELECT p2, p1, t, CAST(sum(tf) AS BIGINT) AS c3
+           FROM tf3 GROUP BY 1, 2, 3),
+         ctx3 AS MATERIALIZED (
+           SELECT p2, p1, CAST(sum(c3) AS BIGINT) AS c12,
+                  CAST(count(*) AS BIGINT) AS n3f
+           FROM c3 GROUP BY 1, 2),
+         cont2 AS MATERIALIZED (
+           SELECT p1, t, CAST(count(*) AS BIGINT) AS n2c FROM c3 GROUP BY 1, 2),
+         ctx2 AS MATERIALIZED (
+           SELECT p1, CAST(sum(n2c) AS BIGINT) AS cp1,
+                  CAST(count(*) AS BIGINT) AS n2f
+           FROM cont2 GROUP BY 1),
+         cont1 AS MATERIALIZED (
+           SELECT t, CAST(count(*) AS BIGINT) AS n1b FROM cont2 GROUP BY 1),
+         t2v AS (SELECT CAST(count(*) AS BIGINT) AS t2 FROM cont2),
+         per AS (
+           SELECT tf3.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(-ln(
+                        (c3 - CAST(0.75 AS DOUBLE)) / c12 +
+                        CAST(0.75 AS DOUBLE) * n3f / c12 *
+                        ((n2c - CAST(0.75 AS DOUBLE)) / cp1 +
+                         CAST(0.75 AS DOUBLE) * n2f / cp1 *
+                         (CAST(n1b AS DOUBLE) / t2))) * 10000)
+                                     AS BIGINT)) AS BIGINT) AS total_surprisal_bp
+           FROM tf3 JOIN c3 USING (p2, p1, t) JOIN ctx3 USING (p2, p1)
+                JOIN cont2 USING (p1, t) JOIN ctx2 USING (p1)
+                JOIN cont1 USING (t) CROSS JOIN t2v
            GROUP BY 1)
          SELECT doc, n_tokens, total_surprisal_bp,
                 CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)

@@ -961,6 +961,77 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM surprisal — the KenLM rung above
+    * [[knBigramSurprisal]] (order 3 of the same Chen & Goodman 1999
+    * interpolated recursion):
+    *
+    *   P(t|p₂p₁) = (c₃−D)/c(p₂p₁) + D·N1+(p₂p₁·)/c(p₂p₁) · P₂(t|p₁)
+    *   P₂(t|p₁)  = (c'₂−D)/c'(p₁)  + D·N1+(p₁·)/c'(p₁)   · N1+(·t)/T₂
+    *
+    * where the LOWER order runs on CONTINUATION counts — c'₂(p₁,t) =
+    * |{p₂ : c₃(p₂,p₁,t)>0}|, c'(p₁) = ΣN, T₂ = total (p₁,t) types —
+    * the Kneser-Ney idea applied recursively. D = 0.75 fixed. Contexts
+    * pad with `<s> <s>`. Self-scoring keeps every factor positive (all
+    * scored trigrams have c₃ ≥ 1), so the probability is a fixed-
+    * association composition of integer-count ratios, ln-floored to bp
+    * once per distinct (p₂,p₁,t) — the engine's oracle-portable LM
+    * device, one order deeper.
+    *
+    * Scale shape: the (doc,p₂,p₁,t,tf) event table materializes once;
+    * trigram-keyed model joins shuffle on their own keys (trigram/
+    * bigram-type-bounded, never corpus text); only the |vocab|-bounded
+    * tables (ctx2, cont1) and the two scalars broadcast.
+    */
+  def knTrigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = filter(tokenize(col(text)), t => length(t) > 0)
+    val withT = df.select(col(id).as("doc"), toks.as("_t"))
+      .filter(size(col("_t")) > 0)
+    // shift-by-k as slice(pad ++ toks, 1, n): correct for ALL doc
+    // lengths (a "pad ++ slice(toks, 1, n-2)" form under-fills for
+    // 1-token docs and zip_with would null-pad the gap)
+    val n = size(col("_t"))
+    val p1Arr = slice(concat(array(lit("<s>")), col("_t")), lit(1), n)
+    val p2Arr = slice(concat(array(lit("<s>"), lit("<s>")), col("_t")), lit(1), n)
+    val tf3 = withT
+      .select(col("doc"), explode(zip_with(
+        zip_with(p2Arr, p1Arr, (a, b) => struct(a.as("p2"), b.as("p1"))),
+        col("_t"),
+        (pp, t) => struct(pp.getField("p2").as("p2"),
+          pp.getField("p1").as("p1"), t.as("t")))).as("e"))
+      .select(col("doc"), col("e.p2").as("p2"), col("e.p1").as("p1"),
+        col("e.t").as("t"))
+      .groupBy("doc", "p2", "p1", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val c3 = tf3.groupBy("p2", "p1", "t").agg(sum("tf").as("c3"))
+      .localCheckpoint(false)
+    val ctx3 = c3.groupBy("p2", "p1")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("n3f"))
+    val cont2 = c3.groupBy("p1", "t").agg(count(lit(1)).as("n2c"))
+      .localCheckpoint(false)
+    val ctx2 = cont2.groupBy("p1")
+      .agg(sum("n2c").as("cp1"), count(lit(1)).as("n2f"))
+    val cont1 = cont2.groupBy("t").agg(count(lit(1)).as("n1b"))
+    val t2 = cont2.agg(count(lit(1)).as("t2"))
+    // mirrored literally in the DuckDB oracle (fixed association order)
+    val pKn2 = (col("n2c") - lit(0.75)) / col("cp1") +
+      lit(0.75) * col("n2f") / col("cp1") *
+        (col("n1b").cast("double") / col("t2"))
+    val pKn = (col("c3") - lit(0.75)) / col("c12") +
+      lit(0.75) * col("n3f") / col("c12") * pKn2
+    val surpBp = floor(-log(pKn) * 10000)
+    tf3.join(c3, Seq("p2", "p1", "t")).join(ctx3, Seq("p2", "p1"))
+      .join(cont2, Seq("p1", "t"))
+      .join(broadcast(ctx2), Seq("p1"))
+      .join(broadcast(cont1), Seq("t"))
+      .crossJoin(broadcast(t2))
+      .groupBy("doc").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * surpBp).as("total_surprisal_bp"))
+      .select(col("doc"), col("n_tokens"), col("total_surprisal_bp"),
+        floor(col("total_surprisal_bp").cast("double") / col("n_tokens"))
+          .cast("long").as("mean_surprisal_bp"))
+  }
+
   /** Per-document keyword extraction: the top-k tokens by tf·idf
     * (idf = ln(N/df), N = docs with ≥1 token) — the classic summarize/
     * tag/route primitive (and the feature extractor behind lexical

@@ -823,6 +823,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ids === Set(1L))
   }
 
+  test("knTrigramSurprisal: equals a naive order-3 interpolated-KN reference") {
+    def ref(corpus: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      def tok(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val events = corpus.flatMap { case (id, t) =>
+        val w = tok(t)
+        w.indices.map { i =>
+          val p1 = if (i >= 1) w(i - 1) else "<s>"
+          val p2 = if (i >= 2) w(i - 2) else "<s>"
+          (id, p2, p1, w(i))
+        }
+      }
+      val c3 = events.groupBy(e => (e._2, e._3, e._4))
+        .view.mapValues(_.size.toLong).toMap
+      val ctx3 = c3.groupBy(k => (k._1._1, k._1._2))
+        .view.mapValues(m => (m.values.sum, m.size.toLong)).toMap
+      val cont2 = c3.keySet.groupBy(k => (k._2, k._3))
+        .view.mapValues(_.size.toLong).toMap
+      val ctx2 = cont2.groupBy(_._1._1)
+        .view.mapValues(m => (m.values.sum, m.size.toLong)).toMap
+      val cont1 = cont2.keySet.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val t2 = cont2.size.toLong
+      def p(p2: String, p1: String, t: String): Double = {
+        val (c12, n3f) = ctx3((p2, p1))
+        val (cp1, n2f) = ctx2(p1)
+        val inner = (cont2((p1, t)) - 0.75) / cp1 +
+          0.75 * n2f / cp1 * (cont1(t).toDouble / t2)
+        (c3((p2, p1, t)) - 0.75) / c12 + 0.75 * n3f / c12 * inner
+      }
+      events.groupBy(_._1).map { case (id, es) =>
+        val total = es.map { case (_, a, b, c) =>
+          math.floor(-math.log(p(a, b, c)) * 10000).toLong
+        }.sum
+        id -> ((es.size.toLong, total,
+          math.floor(total.toDouble / es.size).toLong))
+      }
+    }
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val corpus = (0L until 30L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")))  // length-1 docs exercise the <s> <s> padding
+    val want = ref(corpus)
+    val got = TextAnalysis.knTrigramSurprisal(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want)
+  }
+
   test("tokenBudgetSample: equals the global-prefix-sum reference on random corpora; boundary and degenerate budgets") {
     def md5p(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4)
