@@ -497,26 +497,19 @@ object TimesearchQueries {
         .orderBy("level")
     }),
 
-    // Robust outlier detection: median ± 3·MAD per event class, entirely
-    // in exact integer cents via the histogram-quantile device (the
-    // mean/σ z-score needs squared sums that overflow BIGINT at corpus
-    // scale; median/MAD needs only the domain-bounded histogram — and is
-    // the statistically robust choice for heavy-tailed values anyway).
+    // Robust outlier detection: median ± 3·MAD per event class, exact
+    // integer cents via histogram-rank devices (mean/σ z-scores need
+    // squared sums that overflow BIGINT at corpus scale; median/MAD is
+    // also the statistically robust choice on heavy-tailed values).
+    // Corpus touched exactly twice; the MAD histogram derives from the
+    // value histogram, never a second corpus aggregation.
     "q_outliers_mad" -> ((s, dir) => {
       val raw = Tables.load(s, dir, "events")
-      val vals = raw.select(col("event_type"), col("event_id"),
-        cents(col("value")).as("v_c"))
-      val med = graft.operators.TextAnalysis.histogramQuantiles(
-          vals, "event_type", "v_c", qsBp = Seq(5000L))
-        .select(col("event_type"), col("value").as("med_c"))
-      val dev = vals.join(broadcast(med), "event_type")
-        .withColumn("absdev", abs(col("v_c") - col("med_c")))
-      val mad = graft.operators.TextAnalysis.histogramQuantiles(
-          dev, "event_type", "absdev", qsBp = Seq(5000L))
-        .select(col("event_type"), col("value").as("mad_c"))
-      dev.join(broadcast(mad), "event_type")
-        .filter(col("absdev") > col("mad_c") * 3)
-        .select("event_type", "event_id", "v_c", "med_c", "mad_c")
+      Analytics.madOutliers(
+          raw.select(col("event_type"), col("event_id"),
+            cents(col("value")).as("v_c")),
+          "event_type", "event_id", "v_c", k = 3)
+        .withColumnRenamed("med", "med_c").withColumnRenamed("mad", "mad_c")
         .orderBy("event_type", "event_id")
     }),
 

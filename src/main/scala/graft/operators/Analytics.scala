@@ -156,6 +156,48 @@ object Analytics {
     undominated(undominated(bucketed, Seq("_b")).drop("_b"), Seq.empty)
   }
 
+  /** Robust outlier detection: rows with |value − median(group)| >
+    * k·MAD(group), exact integer arithmetic throughout (median and MAD
+    * from histogram-cumulative rank devices — no squared sums, no
+    * floats, robust on heavy-tailed values where mean/σ saturates).
+    *
+    * Scale shape: the corpus is touched exactly TWICE — once to build
+    * the (group, value) histogram, once to emit the flagged rows. The
+    * absolute-deviation histogram is DERIVED from the value histogram
+    * (re-keyed by |v − med| and re-summed), so the MAD pass runs over
+    * the domain-bounded histogram, never the corpus; the per-group
+    * (median, MAD) thresholds broadcast into the final filter.
+    * Median/MAD rank semantics: min value with cum ≥ ceil(n/2) — the
+    * [[TextAnalysis.histogramQuantiles]] contract at 5000 bp.
+    */
+  def madOutliers(df: DataFrame, group: String, id: String, value: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1)
+    val vals = df.select(col(group).as("g"), col(id).as("k"),
+      col(value).cast("long").as("v"))
+    val hist = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    def rankMin(h: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("g")))
+        // integer ceil(n/2) — Spark's `/` on longs is DOUBLE division
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("g").agg(min("v").as(out))
+    }
+    val med = rankMin(hist, "med")
+    val absHist = hist.join(broadcast(med), "g")
+      .select(col("g"), abs(col("v") - col("med")).as("v"), col("c"))
+      .groupBy("g", "v").agg(sum("c").as("c"))
+    val mad = rankMin(absHist, "mad")
+    vals
+      .join(broadcast(med.join(mad, "g")), "g")
+      .filter(abs(col("v") - col("med")) > col("mad") * k)
+      .select(col("g").as(group), col("k").as(id), col("v").as(value),
+        col("med"), col("mad"))
+  }
+
   /** J3 — get_comments.py:47-55: newest comment whose submission has NOT
     * been augmented (NOT EXISTS anti-join). */
   def latestUnaugmented(comments: DataFrame, submissions: DataFrame): DataFrame =

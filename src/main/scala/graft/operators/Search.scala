@@ -257,6 +257,10 @@ object Search {
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
       .filter(col("tok").isin(terms: _*))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      // candidate-bounded (phrase-term postings of all-terms docs only);
+      // pin it — the adjacency chain references it k times, and without
+      // the checkpoint each reference re-scans and re-explodes the corpus
+      .localCheckpoint(false)
     val first = posts.filter(col("tok") === terms.head)
       .select(col("doc_id"), col("pos"))
     val matches = terms.zipWithIndex.drop(1).foldLeft(first) {

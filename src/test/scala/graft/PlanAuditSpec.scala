@@ -274,6 +274,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.broadcasts >= 1, s"crossing thresholds must broadcast: $c")
   }
 
+  test("q_rollup: cascade — one finest-grain exchange, coarser levels off the checkpoint") {
+    val c = audited("q_rollup")
+    // the finest (region, nation) aggregate is the ONLY corpus-fed hash
+    // exchange; lvl1/lvl3 re-aggregate the |nations|-row checkpoint (an
+    // Expand-based rollup would instead push 3× the fact rows through)
+    assert(c.exchanges <= 1, s"rollup cascade exchange count drifted: $c")
+    assert(c.scans == 0, s"fact join leaked past the finest-grain checkpoint: $c")
+  }
+
+  test("q_fuzzy_lookup: probes broadcast, corpus map-only, one probe-bounded agg") {
+    val c = audited("q_fuzzy_lookup")
+    assert(c.exchanges <= 1, s"fuzzy lookup exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"probe side must broadcast: $c")
+  }
+
+  test("q_phrase_search: postings pinned once; adjacency joins never re-explode the corpus") {
+    val c = audited("q_phrase_search")
+    // the phrase-term postings are checkpointed: k chain references read
+    // the checkpoint, so the FINAL plan reads no parquet and the only
+    // hash exchange is the per-doc match aggregate
+    assert(c.scans == 0, s"corpus leaked past the postings checkpoint: $c")
+    assert(c.exchanges <= 1, s"phrase-search exchange count drifted: $c")
+  }
+
+  test("q_outliers_mad: corpus touched at most twice; thresholds broadcast") {
+    val c = audited("q_outliers_mad")
+    // histogram build is checkpointed; the final plan's single scan is
+    // the flag pass — the MAD histogram derives from the value histogram
+    assert(c.scans <= 1, s"MAD pass re-read the corpus: $c")
+    assert(c.broadcasts >= 1, s"(median, MAD) thresholds must broadcast: $c")
+    assert(c.exchanges <= 3, s"outlier exchange count drifted: $c")
+  }
+
+  test("q_skyline: one bucketed-window exchange; the global pass sees survivors only") {
+    val c = audited("q_skyline")
+    // bucketed local pre-filter = the only hash exchange (the exact
+    // global window runs single-partition over the frontier-sized
+    // survivor set — by construction not a hash exchange)
+    assert(c.exchanges <= 1, s"skyline exchange count drifted: $c")
+    assert(c.broadcasts >= 1, s"the 1-row (x0, x1) bounds must broadcast: $c")
+  }
+
+  test("q_lm_kn3: trigram events materialized once; vocab-bounded model sides broadcast") {
+    val c = audited("q_lm_kn3")
+    assert(c.scans == 0, s"corpus leaked past the event checkpoint: $c")
+    assert(c.broadcasts >= 3, s"ctx2/cont1/T2 must broadcast: $c")
+  }
+
   test("q_dsir: features materialized once, model broadcast, corpus text never re-read") {
     val c = audited("q_dsir")
     // the feature table is checkpoint-materialized (it feeds both the
