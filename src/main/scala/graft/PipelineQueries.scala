@@ -573,6 +573,19 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Per-doc percentile rank of token count within its source — the
+    // histogram-cumulative device SERVING the rank itself (corpus: one
+    // aggregate + one broadcast join, never a cume_dist window).
+    "q_percentile_rank" -> ((s, dir) => {
+      val toks = size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)).cast("long")
+      graft.operators.Analytics.percentileRank(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source"), toks.as("ntok")),
+          "source", "doc_id", "ntok")
+        .orderBy("doc_id")
+    }),
+
     // Interpolated Kneser-Ney TRIGRAM surprisal — order 3 of the KN
     // recursion, lower order on continuation counts; same integer-bp
     // oracle device one level deeper.
@@ -2263,6 +2276,20 @@ object PipelineQueries {
                 CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
                   AS mean_surprisal_bp
          FROM per ORDER BY doc""",
+
+    // Independent formulation: a per-row RANGE-frame window (count of
+    // rows at-or-below) instead of the histogram device.
+    "q_percentile_rank" ->
+      """WITH vals AS (
+           SELECT doc_id, source,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0)) AS BIGINT) AS ntok
+           FROM documents)
+         SELECT doc_id, source, ntok,
+                CAST((count(*) OVER (PARTITION BY source ORDER BY ntok
+                        RANGE UNBOUNDED PRECEDING) * 10000)
+                     // (count(*) OVER (PARTITION BY source)) AS BIGINT) AS pct_bp
+         FROM vals ORDER BY doc_id""",
 
     "q_lm_kn3" ->
       """WITH dtoks AS (

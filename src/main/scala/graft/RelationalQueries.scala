@@ -202,6 +202,25 @@ object RelationalQueries {
         .orderBy("change", "k")
     }),
 
+    // TPC-H Q18 shape (large-volume customers): HAVING-filtered fact
+    // aggregate drives the enrichment joins — after the quantity
+    // threshold the large-order set is tiny and BROADCASTS into orders/
+    // customer, so the only corpus-sized exchange is the lineitem agg.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+        .filter(col("qty_c") > 25000L)
+      Tables.load(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_c"), col("qty_c"))
+        .orderBy(desc("qty_c"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Fuzzy (edit-distance) lookup: mangled part names resolved back to
     // their closest catalog entry — probes broadcast, corpus map-only
     // (length-band prune + banded thresholded levenshtein), ONE
@@ -442,6 +461,19 @@ object RelationalQueries {
            FROM lineitem l WHERE NOT EXISTS
              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
          ORDER BY metric""",
+
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 25000)
+         SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                CAST(round(o_totalprice*100) AS BIGINT) AS price_c, qty_c
+         FROM big
+         JOIN orders o ON o.o_orderkey = big.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY qty_c DESC, o.o_orderkey LIMIT 100""",
 
     "q_fuzzy_lookup" ->
       """WITH probes AS (

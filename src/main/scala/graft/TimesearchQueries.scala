@@ -483,6 +483,21 @@ object TimesearchQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Cluster (group-level) sampling: sample USERS, keep every event of
+    // a sampled user — the correlation-safe subsample (row-level
+    // sampling splits a user's history; downstream per-user features
+    // would silently train on truncated trajectories). The md5-rate rule
+    // keyed on user_id is map-only and group-atomic by construction.
+    "q_user_sample" -> ((s, dir) => {
+      graft.operators.TextAnalysis.stratifiedSample(
+          Tables.load(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"))
+            .withColumn("_all", lit("all")),
+          key = "user_id", strata = "_all", ratesPct = Map("all" -> 20))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    }),
+
     // Sweep-line concurrency profile over the gap-session intervals of
     // q_sessionize: seconds spent at each simultaneous-session count.
     // +1/−1 boundary deltas collapse to net-delta-per-distinct-second
@@ -983,6 +998,11 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_user_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 4) < '3333'
+         ORDER BY event_id""",
 
     "q_concurrency" ->
       """WITH e AS (

@@ -156,6 +156,30 @@ object Analytics {
     undominated(undominated(bucketed, Seq("_b")).drop("_b"), Seq.empty)
   }
 
+  /** Per-row percentile rank (basis points) of an integer value within
+    * its group — floor(10⁴ · |{rows with v' ≤ v}| / n) — WITHOUT a
+    * corpus sort: the cumulative count comes from the domain-bounded
+    * (group, value) histogram, broadcast back onto the corpus, so the
+    * corpus contributes one map-side-combined aggregate and one map-only
+    * join (same family as selectTopPctByScore, serving the rank itself
+    * instead of a threshold). A `cume_dist` window would serialize each
+    * group through one task.
+    */
+  def percentileRank(df: DataFrame, group: String, id: String,
+      value: String): DataFrame = {
+    val vals = df.select(col(group).as("g"), col(id).as("k"),
+      col(value).cast("long").as("v"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+      .select(col("g"), col("v"), expr("(cum * 10000) div n").as("pct_bp"))
+    vals.join(broadcast(hist), Seq("g", "v"))
+      .select(col("g").as(group), col("k").as(id), col("v").as(value),
+        col("pct_bp"))
+  }
+
   /** Robust outlier detection: rows with |value − median(group)| >
     * k·MAD(group), exact integer arithmetic throughout (median and MAD
     * from histogram-cumulative rank devices — no squared sums, no

@@ -171,6 +171,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === want, s"triangle count $got != naive $want")
   }
 
+  test("percentileRank: equals the per-row at-or-below definition, ties share ranks") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 200L).map(i => (s"g${i % 3}", i, rnd.nextInt(20).toLong))
+    val want = rows.map { case (g, k, v) =>
+      val grp = rows.filter(_._1 == g)
+      k -> grp.count(_._3 <= v).toLong * 10000 / grp.size
+    }.toMap
+    val got = Analytics.percentileRank(rows.toDF("g", "k", "v"), "g", "k", "v")
+      .select("k", "pct_bp").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("madOutliers: flags exactly the rows outside median ± k·MAD") {
+    // group A: values 0..8 plus an outlier 100 -> med 5?; compute naively
+    val vs = (0L to 8L) :+ 100L
+    val rows = vs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+    def rankMin(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted(((xs.size + 1) / 2) - 1)
+    }
+    val med = rankMin(vs)
+    val mad = rankMin(vs.map(v => math.abs(v - med)))
+    val want = rows.filter { case (_, _, v) => math.abs(v - med) > 3 * mad }
+      .map(_._2).toSet
+    val got = Analytics.madOutliers(rows.toDF("g", "k", "v"), "g", "k", "v", 3)
+      .select("k").as[Long].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("bfs: min-hop distances vs naive relaxation on random graphs") {
     import graft.operators.Graphs
     val rng = new scala.util.Random(7)
