@@ -285,7 +285,45 @@ object PipelineQueries {
       table
     })
 
+  private val builtScdTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained SCD2 dimension over the events change log: 4 real
+    * micro-batches through [[graft.streaming.StreamScd.scdSink]]. The
+    * repartition(4) source split scatters each user's events ACROSS
+    * batches in arbitrary order — exactly the out-of-order arrival the
+    * per-key re-collapse exists to absorb. */
+  private def incrementalScd(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtScdTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_scd")
+      deleteOnExit(tmp)
+      val raw = Tables.load(s, dir, "events")
+      val log = raw.select(col("user_id"),
+        TimesearchQueries.tsSec(raw).as("ts_sec"),
+        col("event_id"), col("event_type"))
+      val src = tmp.resolve("in").toString
+      log.repartition(4).write.parquet(src)
+      val table = graft.streaming.StreamScd.table(s, tmp.resolve("tbl").toString)
+      val stream = s.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamScd.scdSink(stream, "user_id", "ts_sec",
+        "event_id", "event_type", table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD2 served from the INCREMENTALLY-MAINTAINED dimension: per
+    // micro-batch, touched users re-collapse their (raw log ∪ batch)
+    // union row-locally; serving explodes the pre-collapsed intervals —
+    // zero serve-time windows. Hash-equals batch q_scd2 (shared oracle):
+    // the maintained dimension converges to the batch build under
+    // arbitrary arrival order.
+    "q_scd2_incremental" -> ((s, dir) => {
+      graft.streaming.StreamScd.scd2(incrementalScd(s, dir), "user_id")
+        .orderBy("user_id", "version")
+    }),
 
     // Exact dedup: hash-groupBy on md5 of normalized text.
     "q_dedup_exact" -> ((s, dir) => {
@@ -2019,6 +2057,10 @@ object PipelineQueries {
          ORDER BY est DESC, t.tok"""
 
   val oracles: Map[String, String] = Map(
+
+    // the incrementally-maintained dimension must converge to the batch
+    // build, so the streamed serving path shares q_scd2's oracle verbatim
+    "q_scd2_incremental" -> RelationalQueries.oracles("q_scd2"),
     "q_bpe" -> bpeOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
 

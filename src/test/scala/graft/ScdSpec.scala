@@ -44,6 +44,37 @@ class ScdSpec extends AnyFunSuite {
     assert(c.exchanges <= 1, s"expected at most 1 hash exchange, got $c")
   }
 
+  test("StreamScd collapse expression == batch buildType2 on random logs") {
+    import graft.streaming.StreamScd
+    val rnd = new scala.util.Random(31)
+    val log = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, s"t${rnd.nextInt(4)}",
+        i.toLong)
+    }.toDF("user_id", "sec", "typ", "eid")
+    val want = graft.operators.Scd.buildType2(log, "user_id", col("sec"),
+        col("typ"), col("eid"))
+      .orderBy("user_id", "version")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    // the merge-time row-local path: per-user sorted array -> collapse
+    val evs = log.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("sec").as("ts"),
+        col("eid").as("tb"), col("typ").as("attr")))).as("evs"))
+      .withColumn("_ivs0", StreamScd.collapseExpr)
+      .withColumn("ivs", expr(
+        """transform(_ivs0, (v, j) ->
+             named_struct('version', v.version, 'attr', v.attr,
+               'valid_from', v.valid_from,
+               'valid_to', CASE WHEN j + 2 <= size(_ivs0)
+                 THEN element_at(_ivs0, j + 2).valid_from
+                 ELSE CAST(-1 AS BIGINT) END))"""))
+    val got = evs.select(col("user_id"), explode(col("ivs")).as("iv"))
+      .select(col("user_id"), col("iv.version"), col("iv.attr"),
+        col("iv.valid_from"), col("iv.valid_to"))
+      .orderBy("user_id", "version")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
   test("diff: added/removed/changed classified, unchanged dropped, null-safe") {
     val older = Seq(
       (1L, Some(100L), "O"), (2L, Some(200L), "F"), (3L, None: Option[Long], "F"),
