@@ -611,6 +611,13 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Collocations: top-30 adjacent-token pairs by support-floored PMI —
+    // one corpus explode; marginals derive from the pair-count table.
+    "q_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minCount = 5L, k = 30)
+    }),
+
     // Per-doc percentile rank of token count within its source — the
     // histogram-cumulative device SERVING the rank itself (corpus: one
     // aggregate + one broadcast join, never a cume_dist window).
@@ -2318,6 +2325,27 @@ object PipelineQueries {
                 CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
                   AS mean_surprisal_bp
          FROM per ORDER BY doc""",
+
+    "q_collocations" ->
+      """WITH dtoks AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                  x -> length(x) > 0) AS w
+           FROM documents),
+         ev AS (
+           SELECT w[k] AS a, w[k+1] AS b
+           FROM (SELECT w, unnest(range(1, len(w))) AS k
+                 FROM dtoks WHERE len(w) > 1) t0),
+         pc AS MATERIALIZED (
+           SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM ev GROUP BY 1, 2),
+         ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM pc GROUP BY 1),
+         cb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM pc GROUP BY 1),
+         nv AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n FROM pc)
+         SELECT pc.a, pc.b, c_ab,
+                CAST(floor(ln(CAST(c_ab * n AS DOUBLE) /
+                              CAST(c_a * c_b AS DOUBLE)) * 10000) AS BIGINT) AS pmi_bp
+         FROM pc JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN nv
+         WHERE c_ab >= 5
+         ORDER BY pmi_bp DESC, a, b LIMIT 30""",
 
     // Independent formulation: a per-row RANGE-frame window (count of
     // rows at-or-below) instead of the histogram device.

@@ -483,6 +483,21 @@ object TimesearchQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Salted two-stage aggregation over a 5-value (maximally skewed) key:
+    // stage 1 spreads each hot key over 8 salt tasks, stage 2 combines
+    // the partials — row-identical to the plain GROUP BY the oracle runs.
+    // The skew-mitigation device itself is what's hash-gated.
+    "q_salted_agg" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Skew.saltedAgg(
+          raw.select(col("event_type"), col("event_id"),
+            cents(col("value")).as("v_c")),
+          key = "event_type", salts = 8, saltSrc = col("event_id"),
+          partial = Seq(count(lit(1)).as("_n"), sum("v_c").as("_s")),
+          combine = Seq(sum("_n").as("n_events"), sum("_s").as("sum_c")))
+        .orderBy("event_type")
+    }),
+
     // Cluster (group-level) sampling: sample USERS, keep every event of
     // a sampled user — the correlation-safe subsample (row-level
     // sampling splits a user's history; downstream per-user features
@@ -998,6 +1013,11 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_user_sample" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -807,6 +807,44 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Collocation extraction: top-k adjacent-token pairs by pointwise
+    * mutual information (Church & Hanks 1990), support-floored —
+    * PMI = ln(c(a,b)·n / (c(a·)·c(·b))) over slot marginals, floored to
+    * basis points once per distinct pair (the engine's ln-bp device), so
+    * the ranking is engine-independent. The support floor is what makes
+    * PMI usable (bare PMI promotes hapax pairs).
+    *
+    * Scale shape: ONE corpus explode into pair counts (map-side
+    * combine); both marginals DERIVE from the pair-count table (grouped
+    * re-aggregations, |vocab|-bounded outputs), never a second corpus
+    * pass; n is a 1-row broadcast and the top-k is a TakeOrdered.
+    */
+  def collocations(df: DataFrame, id: String, text: String,
+      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    val toks = filter(tokenize(col(text)), t => length(t) > 0)
+    val pairs = df.select(col(id).as("doc"), toks.as("_t"))
+      .filter(size(col("_t")) > 1)
+      .select(explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(false)
+    val ca = pairs.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val cb = pairs.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val n = pairs.agg(sum("c_ab").as("n"))
+    // mirrored literally in the DuckDB oracle (fixed association order)
+    val pmiBp = floor(log((col("c_ab") * col("n")).cast("double") /
+      (col("c_a") * col("c_b")).cast("double")) * 10000).cast("long")
+    pairs.filter(col("c_ab") >= minCount)
+      .join(ca, Seq("a")).join(cb, Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"), pmiBp.as("pmi_bp"))
+      .orderBy(desc("pmi_bp"), col("a"), col("b"))
+      .limit(k)
+  }
+
   /** EXACT distributed quantiles over a bounded-domain integer column,
     * per group — the histogram-threshold device ([[selectTopPctByScore]],
     * [[scoreTertiles]]) generalized to an arbitrary quantile vector:

@@ -823,6 +823,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ids === Set(1L))
   }
 
+  test("collocations: exclusive pairs rank top; support floor drops hapax pairs") {
+    // "xq yq" always and only together (6x); "aa bb" frequent but both
+    // tokens promiscuous; "zz ww" appears once (below the floor)
+    val docs = (
+      (1L to 6L).map(i => (i, "xq yq")) ++
+      (7L to 12L).map(i => (i, "aa bb aa cc bb aa")) ++
+      Seq((13L, "zz ww"))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "doc_id", "text",
+        minCount = 2L, k = 10)
+      .select("a", "b").as[(String, String)].collect()
+    assert(got.head === (("xq", "yq")))
+    assert(!got.contains(("zz", "ww")))
+  }
+
   test("knTrigramSurprisal: equals a naive order-3 interpolated-KN reference") {
     def ref(corpus: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
       def tok(t: String) = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
