@@ -611,6 +611,16 @@ object PipelineQueries {
         .orderBy("doc")
     }),
 
+    // Log-odds-with-prior corpus comparison (Fightin' Words): terms
+    // distinguishing sources src0-2 from the rest; exact-integer ln
+    // arguments make the bp-floored delta engine-independent.
+    "q_log_odds" -> ((s, dir) => {
+      TextAnalysis.logOddsTerms(Tables.load(s, dir, "documents"),
+          "doc_id", "text",
+          partA = col("source").isin("src0", "src1", "src2"))
+        .orderBy(col("side"), desc("delta_bp"), col("tok"))
+    }),
+
     // Collocations: top-30 adjacent-token pairs by support-floored PMI —
     // one corpus explode; marginals derive from the pair-count table.
     "q_collocations" -> ((s, dir) => {
@@ -2325,6 +2335,37 @@ object PipelineQueries {
                 CAST(floor(CAST(total_surprisal_bp AS DOUBLE) / n_tokens) AS BIGINT)
                   AS mean_surprisal_bp
          FROM per ORDER BY doc""",
+
+    "q_log_odds" ->
+      """WITH dt AS (
+           SELECT source IN ('src0','src1','src2') AS in_a,
+                  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS tok
+           FROM documents),
+         counts AS MATERIALIZED (
+           SELECT tok,
+                  CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+                  CAST(count(*) AS BIGINT) AS tw
+           FROM dt GROUP BY tok),
+         c2 AS (SELECT tok, ya, tw, tw - ya AS yb FROM counts),
+         tot AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+                        CAST(sum(tw) AS BIGINT) AS t
+                 FROM c2),
+         scored AS MATERIALIZED (
+           SELECT tok, ya, yb,
+                  CAST(floor((
+                    ln(CAST(ya * t + 1000 * tw AS DOUBLE) /
+                       CAST((na + 1000 - ya) * t - 1000 * tw AS DOUBLE)) -
+                    ln(CAST(yb * t + 1000 * tw AS DOUBLE) /
+                       CAST(((t - na) + 1000 - yb) * t - 1000 * tw AS DOUBLE))
+                  ) * 10000) AS BIGINT) AS delta_bp
+           FROM c2 CROSS JOIN tot WHERE tw >= 5),
+         sa AS (SELECT tok, ya, yb, delta_bp, 'a' AS side FROM scored
+                ORDER BY delta_bp DESC, tok LIMIT 15),
+         sb AS (SELECT tok, ya, yb, delta_bp, 'b' AS side FROM scored
+                ORDER BY delta_bp ASC, tok LIMIT 15)
+         SELECT * FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+         ORDER BY side, delta_bp DESC, tok""",
 
     "q_collocations" ->
       """WITH dtoks AS (

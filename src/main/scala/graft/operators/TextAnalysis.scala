@@ -807,6 +807,52 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Corpus comparison by log-odds ratio with an informative Dirichlet
+    * prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words"): which
+    * terms distinguish partition A from partition B, with the prior
+    * (α_w = α₀·t_w/T, t_w = whole-corpus count) shrinking rare-term
+    * noise — the method raw PMI/tf-idf deltas get wrong.
+    *
+    *   δ_w = ln((y_Aw+α_w)/(n_A+α₀−y_Aw−α_w))
+    *       − ln((y_Bw+α_w)/(n_B+α₀−y_Bw−α_w))
+    *
+    * Determinism: α_w is rational; clearing its T denominator makes
+    * every ln argument a ratio of EXACT integers (y·T + α₀·t_w etc.),
+    * so both engines evaluate ln on identical doubles and the bp-floored
+    * δ ranks identically. Output: top-k A-side and top-k B-side terms.
+    *
+    * Scale shape: one corpus token-count pass; per-partition counts and
+    * totals derive from it (|vocab|-bounded); scalars broadcast.
+    */
+  def logOddsTerms(df: DataFrame, id: String, text: String, partA: Column,
+      alpha0: Long = 1000L, minCount: Long = 5L, k: Int = 15): DataFrame = {
+    val toks = filter(tokenize(col(text)), t => length(t) > 0)
+    val counts = df.select(partA.as("in_a"), explode(toks).as("tok"))
+      .groupBy("tok").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ya"),
+        count(lit(1)).as("tw"))
+      .withColumn("yb", col("tw") - col("ya"))
+      .localCheckpoint(false)
+    val totals = counts.agg(sum("ya").as("na"), sum("tw").as("t"))
+      .withColumn("nb", col("t") - col("na"))
+    // exact-integer ln arguments: x + α₀·t_w/T scaled by T
+    def lnRatio(y: Column, n: Column): Column =
+      log((y * col("t") + lit(alpha0) * col("tw")).cast("double") /
+        ((n + lit(alpha0) - y) * col("t") - lit(alpha0) * col("tw"))
+          .cast("double"))
+    val deltaBp = floor((lnRatio(col("ya"), col("na")) -
+      lnRatio(col("yb"), col("nb"))) * 10000).cast("long")
+    val scored = counts.filter(col("tw") >= minCount)
+      .crossJoin(broadcast(totals))
+      .select(col("tok"), col("ya"), col("yb"), deltaBp.as("delta_bp"))
+      .localCheckpoint(false)
+    scored.orderBy(desc("delta_bp"), col("tok")).limit(k)
+      .withColumn("side", lit("a"))
+      .unionByName(
+        scored.orderBy(col("delta_bp").asc, col("tok")).limit(k)
+          .withColumn("side", lit("b")))
+  }
+
   /** Collocation extraction: top-k adjacent-token pairs by pointwise
     * mutual information (Church & Hanks 1990), support-floored —
     * PMI = ln(c(a,b)·n / (c(a·)·c(·b))) over slot marginals, floored to
