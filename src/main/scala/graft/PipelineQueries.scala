@@ -1139,6 +1139,15 @@ object PipelineQueries {
         .orderBy("pid", "doc_id")
     }),
 
+    // Autocomplete prefix index: top-3 terms per prefix (≤6 chars) by
+    // frequency — prefix explosion multiplies the vocabulary, never the
+    // corpus; per-prefix rank window over tiny groups.
+    "q_autocomplete" -> ((s, dir) => {
+      Search.prefixIndex(Tables.load(s, dir, "documents"),
+          "doc_id", "text", maxPrefix = 6, k = 3)
+        .orderBy("prefix", "rank")
+    }),
+
     // Positional-postings phrase search: exact consecutive token
     // sequence, map-only all-terms prune BEFORE the positional explode,
     // adjacency joins over candidate-sized posting lists only.
@@ -2550,6 +2559,26 @@ object PipelineQueries {
          FROM documents d CROSS JOIN pats p
          WHERE contains(lower(d.text), p.pat)
          ORDER BY pid, doc_id"""),
+
+    "q_autocomplete" ->
+      """WITH vocab AS (
+           SELECT tok AS term, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> length(x) > 0)) AS tok
+             FROM documents)
+           GROUP BY 1),
+         pfx AS (
+           SELECT term, n, substr(term, 1, i) AS prefix
+           FROM (SELECT term, n, unnest(range(1, least(length(term), 6) + 1)) AS i
+                 FROM vocab) t0),
+         ranked AS (
+           SELECT prefix, term, n,
+                  row_number() OVER (PARTITION BY prefix
+                    ORDER BY n DESC, term ASC) AS rank
+           FROM pfx)
+         SELECT prefix, CAST(rank AS BIGINT) AS rank, term, n
+         FROM ranked WHERE rank <= 3
+         ORDER BY prefix, rank""",
 
     // Phrase ground truth: positional adjacency over the shared
     // tokenizer contract — parallel unnest carries 1-based positions.

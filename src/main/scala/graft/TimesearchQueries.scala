@@ -483,6 +483,15 @@ object TimesearchQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Offline CUSUM changepoint scan over the daily event-count series:
+    // the mean-centered prefix walk n·prefix − k·total stays an exact
+    // integer; |S| peaks at level-shift boundaries. One corpus exchange;
+    // windows over the day-bounded series.
+    "q_changepoint" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.changepoints(raw, tsSec(raw), k = 5)
+    }),
+
     // Salted two-stage aggregation over a 5-value (maximally skewed) key:
     // stage 1 spreads each hot key over 8 salt tasks, stage 2 combines
     // the partials — row-identical to the plain GROUP BY the oracle runs.
@@ -1013,6 +1022,22 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_changepoint" ->
+      """WITH daily AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT)
+                  - (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS day,
+                  CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY 1),
+         walk AS (
+           SELECT day, x,
+                  sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pref,
+                  sum(x) OVER () AS total,
+                  count(*) OVER () AS n,
+                  row_number() OVER (ORDER BY day) AS kk
+           FROM daily)
+         SELECT day, x, CAST(n * pref - kk * total AS BIGINT) AS s
+         FROM walk ORDER BY abs(n * pref - kk * total) DESC, day LIMIT 5""",
 
     "q_salted_agg" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -80,6 +80,34 @@ object Events {
       .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Offline changepoint scan (CUSUM-style): for a day-bucketed count
+    * series x₁..x_n, the centered cumulative walk
+    * S_k = n·Σ_{i≤k} x_i − k·Σx — the mean-centered prefix sum scaled
+    * by n so it stays an EXACT integer (Σ(x_i − μ)·n). |S| peaks at a
+    * level-shift boundary (the classic offline CUSUM argmax); output is
+    * the top-`k` days by |S| with the walk value.
+    *
+    * Scale: ONE corpus exchange (the day groupBy with map-side
+    * combine); every window runs over the day-bounded series (≤ time
+    * domain in days), and the top-k is a TakeOrdered.
+    */
+  def changepoints(events: DataFrame, tsSec: Column, k: Int = 5): DataFrame = {
+    val daily = events.select((tsSec - (tsSec % 86400L)).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("pref", sum("x").over(cum))
+      .withColumn("total", sum("x").over(all))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("kk", row_number().over(w).cast("long"))
+      .withColumn("s", col("n") * col("pref") - col("kk") * col("total"))
+      .select(col("day"), col("x"), col("s"))
+      .orderBy(abs(col("s")).desc, col("day"))
+      .limit(k)
+  }
+
   /** Sweep-line concurrency profile over inclusive [start, end] second
     * intervals: seconds spent at each simultaneous-interval count.
     *

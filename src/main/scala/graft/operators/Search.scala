@@ -273,6 +273,34 @@ object Search {
       .agg(count(lit(1)).as("n_matches"), min("pos").cast("long").as("first_pos"))
   }
 
+  /** Autocomplete / prefix index: for every term prefix up to
+    * `maxPrefix` chars, the top-`k` corpus terms by frequency
+    * (count desc, term asc). The type-ahead serving table — built like
+    * an index, consumed by point lookups.
+    *
+    * Scale: one corpus token count (map-side combine, |vocab|-bounded
+    * output); prefix explosion multiplies the VOCABULARY (≤ maxPrefix
+    * rows per term), never the corpus; the per-prefix top-k window
+    * partitions on the prefix — millions of tiny groups, no global
+    * sort.
+    */
+  def prefixIndex(docs: DataFrame, id: String, text: String,
+      maxPrefix: Int = 6, k: Int = 3): DataFrame = {
+    require(maxPrefix >= 1 && k >= 1)
+    val toks = filter(split(lower(col(text)), "[^a-z0-9]+"), t => length(t) > 0)
+    val vocab = docs.select(explode(toks).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val prefixes = vocab.select(col("term"), col("n"),
+      explode(expr(s"transform(sequence(1, least(length(term), $maxPrefix))," +
+        " i -> substring(term, 1, i))")).as("prefix"))
+    prefixes
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("prefix")
+          .orderBy(col("n").desc, col("term").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("prefix", "rank", "term", "n")
+  }
+
   /** MMR-diversified top-k (Carbonell & Goldstein 1998): greedy re-rank
     * of each query's candidate list trading relevance against redundancy
     * — step 0 takes the most relevant candidate; step t takes

@@ -50,6 +50,18 @@ class FrontierSpec extends AnyFunSuite {
     assert(got === Map(1L -> 20L, 2L -> 5L))
   }
 
+  test("changepoints: the |S| argmax lands on a planted level shift") {
+    // 20 days at ~5 events/day then 20 days at ~15: the walk's extremum
+    // must land on the boundary day (k=20, day index 19·86400)
+    val evs = (0 until 40).flatMap { d =>
+      val n = if (d < 20) 5 else 15
+      (0 until n).map(i => (d.toLong * 86400 + i * 60, 1L))
+    }.toDF("sec", "one")
+    val top = Events.changepoints(evs, col("sec"), k = 1)
+      .select("day").as[Long].head()
+    assert(top === 19L * 86400)
+  }
+
   test("concurrency: disjoint intervals never report level 0 gaps") {
     val iv = Seq((0L, 1L), (100L, 101L)).toDF("start", "end")
     val got = Events.concurrency(iv, "start", "end")
