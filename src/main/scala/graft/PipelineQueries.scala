@@ -932,6 +932,15 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // Sorted-neighborhood dedup: the THIRD blocking paradigm (global
+    // sort order) next to hash blocking and LSH banding — O(n·w)
+    // comparisons; rank via the two-phase range device, verify row-local.
+    "q_dedup_snm" -> ((s, dir) => {
+      Dedup.sortedNeighborhood(corpusWithDups(s, dir), "doc_id", "text",
+          window = 8, thresholdBp = 8000L)
+        .orderBy("i", "j")
+    }),
+
     // MinHash+LSH with exact candidate verification — must reproduce the
     // exact-Jaccard ground truth (banding makes misses ~1e-15 at J≥0.9).
     "q_dedup_minhash" -> ((s, dir) => {
@@ -2099,6 +2108,38 @@ object PipelineQueries {
          FROM corpus
          GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
          ORDER BY canonical_id""",
+
+    "q_dedup_snm" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         w AS (
+           SELECT doc_id AS id,
+                  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt,
+                  list_filter(
+                    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+                    x -> length(x) > 0) AS wd
+           FROM corpus),
+         b AS (
+           SELECT id,
+                  list_distinct(CASE WHEN len(wd) >= 3 THEN
+                    list_transform(range(1, len(wd) - 1),
+                      i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+                  ELSE [array_to_string(wd, ' ')] END) AS toks,
+                  row_number() OVER (ORDER BY nt, id) AS rnk
+           FROM w),
+         pairs AS (
+           SELECT a.id AS aid, b2.id AS bid,
+                  CAST(len(list_intersect(a.toks, b2.toks)) AS BIGINT) AS inter,
+                  CAST(len(a.toks) + len(b2.toks)
+                       - len(list_intersect(a.toks, b2.toks)) AS BIGINT) AS uni
+           FROM b a JOIN b b2
+             ON b2.rnk > a.rnk AND b2.rnk <= a.rnk + 7)
+         SELECT least(aid, bid) AS i, greatest(aid, bid) AS j,
+                CAST((inter * 10000) // uni AS BIGINT) AS jaccard_bp
+         FROM pairs WHERE (inter * 10000) // uni >= 8000
+         ORDER BY i, j""",
 
     "q_dedup_clusters" ->
       """WITH corpus AS (

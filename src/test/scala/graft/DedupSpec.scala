@@ -219,4 +219,48 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((300001L, 300002L)))
     assert(!pairs.exists(p => p._1 >= 100000L && p._1 < 110000L))
   }
+
+  test("sortedNeighborhood: exact duplicates always pair (adjacent in sort); " +
+      "dissimilar neighbors filtered") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha  beta gamma delta epsilon zeta "), // normalizes identical to 1
+      (3L, "alpha beta gamma delta epsilon eta"),     // near dup of 1 (5/7 shingle jac? below 8000)
+      (4L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+        window = 4, thresholdBp = 8000L)
+      .select("i", "j", "jaccard_bp")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 10000L))
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("sortedNeighborhood: equals the within-window brute reference on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs = (1L to 80L).map(i =>
+      (i, Seq.fill(4 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def norm(t: String) = t.trim.replaceAll("\\s+", " ").toLowerCase
+    def shingles(t: String): Set[String] = {
+      val w = norm(t).split(" ").filter(_.nonEmpty)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val ranked = docs.sortBy { case (id, t) => (norm(t), id) }.zipWithIndex
+    val w = 5
+    val want = (for {
+      ((ai, at), ar) <- ranked; ((bi, bt), br) <- ranked
+      if br > ar && br <= ar + w - 1
+      sa = shingles(at); sb = shingles(bt)
+      inter = (sa & sb).size; uni = sa.size + sb.size - inter
+      jac = inter.toLong * 10000 / uni if jac >= 7000
+    } yield (math.min(ai, bi), math.max(ai, bi), jac)).toSet
+    val got = Dedup.sortedNeighborhood(docs.toDF("doc_id", "text"), "doc_id",
+        "text", window = w, thresholdBp = 7000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
 }
