@@ -1148,6 +1148,15 @@ object PipelineQueries {
         .orderBy("pid", "doc_id")
     }),
 
+    // More-like-this: top-10 docs per seed by integer tf·idf dot over
+    // shared terms — seed postings broadcast, corpus postings stream
+    // through the broadcast join.
+    "q_more_like_this" -> ((s, dir) => {
+      Search.moreLikeThis(Tables.load(s, dir, "documents"),
+          "doc_id", "text", seedIds = Seq(0L, 1L, 2L), k = 10)
+        .orderBy("seed", "rank")
+    }),
+
     // Autocomplete prefix index: top-3 terms per prefix (≤6 chars) by
     // frequency — prefix explosion multiplies the vocabulary, never the
     // corpus; per-prefix rank window over tiny groups.
@@ -2600,6 +2609,34 @@ object PipelineQueries {
          FROM documents d CROSS JOIN pats p
          WHERE contains(lower(d.text), p.pat)
          ORDER BY pid, doc_id"""),
+
+    "q_more_like_this" ->
+      """WITH toks AS (
+           SELECT doc_id AS doc,
+                  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS tok
+           FROM documents),
+         tf AS MATERIALIZED (
+           SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         nv AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n FROM tf),
+         wts AS MATERIALIZED (
+           SELECT doc, tf.tok,
+                  tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 10000) AS BIGINT) AS w
+           FROM tf JOIN dfc ON dfc.tok = tf.tok CROSS JOIN nv),
+         seedw AS (SELECT doc AS seed, tok, w AS sw FROM wts WHERE doc IN (0, 1, 2)),
+         scored AS (
+           SELECT seed, wts.doc,
+                  CAST(sum(sw * w) AS BIGINT) AS score
+           FROM seedw JOIN wts ON wts.tok = seedw.tok AND wts.doc <> seedw.seed
+           GROUP BY 1, 2)
+         SELECT seed, CAST(rank AS BIGINT) AS rank, doc AS doc_id, score
+         FROM (SELECT seed, doc, score,
+                      row_number() OVER (PARTITION BY seed
+                        ORDER BY score DESC, doc ASC) AS rank
+               FROM scored)
+         WHERE rank <= 10 ORDER BY seed, rank""",
 
     "q_autocomplete" ->
       """WITH vocab AS (

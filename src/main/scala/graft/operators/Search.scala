@@ -273,6 +273,44 @@ object Search {
       .agg(count(lit(1)).as("n_matches"), min("pos").cast("long").as("first_pos"))
   }
 
+  /** "More like this": top-k documents most similar to each seed doc by
+    * the tf·idf dot product over shared terms — Lucene MoreLikeThis
+    * re-expressed relationally. Weights are integer (tf · bp-floored
+    * idf) so scores are exact associative sums; ranking is documented
+    * as the UN-normalized dot (cosine's norm division would reintroduce
+    * floats; seeds compare candidates against the same query vector, so
+    * per-seed ranking only shifts for length-extreme candidates — the
+    * standard MLT trade).
+    *
+    * Scale: postings built once (checkpoint); the seed postings are
+    * query-sized and BROADCAST, so candidate generation streams the
+    * corpus postings through a broadcast join keyed on the seeds'
+    * terms; the (seed, cand) score agg and per-seed top-k window are
+    * bounded by docs sharing ≥1 seed term.
+    */
+  def moreLikeThis(docs: DataFrame, id: String, text: String,
+      seedIds: Seq[Long], k: Int = 10): DataFrame = {
+    require(seedIds.nonEmpty && k >= 1)
+    val tf = TextAnalysis.postings(docs, col(id).cast("long"), col(text))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ndocs = tf.agg(count_distinct(col("doc")).as("n"))
+    // mirrored literally in the DuckDB oracle
+    val idfBp = floor(log(col("n").cast("double") / col("df")) * 10000)
+    val weights = tf.join(dfc, "tok").crossJoin(broadcast(ndocs))
+      .select(col("doc"), col("tok"), (col("tf") * idfBp).as("w"))
+    val seedW = weights.filter(col("doc").isin(seedIds: _*))
+      .select(col("doc").as("seed"), col("tok"), col("w").as("sw"))
+    weights.join(broadcast(seedW), Seq("tok"))
+      .filter(col("doc") =!= col("seed"))
+      .groupBy("seed", "doc")
+      .agg(sum(col("sw") * col("w")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("seed")
+          .orderBy(col("score").desc, col("doc").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("seed"), col("rank"), col("doc").as("doc_id"), col("score"))
+  }
+
   /** Autocomplete / prefix index: for every term prefix up to
     * `maxPrefix` chars, the top-`k` corpus terms by frequency
     * (count desc, term asc). The type-ahead serving table — built like
