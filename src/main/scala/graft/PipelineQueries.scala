@@ -285,6 +285,31 @@ object PipelineQueries {
       table
     })
 
+  private val builtHistTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained (source, ntok) histogram over documents: 4 real
+    * micro-batches through [[graft.streaming.StreamSketch.histSink]] —
+    * the additive class serving the whole histogram-device family. */
+  private def incrementalHist(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtHistTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_hist")
+      deleteOnExit(tmp)
+      val toks = size(filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)).cast("long")
+      val gv = Tables.load(s, dir, "documents")
+        .select(col("source"), toks.as("ntok"))
+      val src = tmp.resolve("in").toString
+      gv.repartition(4).write.parquet(src)
+      val table = graft.streaming.StreamSketch.table(s, tmp.resolve("tbl").toString)
+      val stream = s.readStream.schema(gv.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamSketch.histSink(stream, "source", "ntok",
+        table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   private val builtScdTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -313,6 +338,20 @@ object PipelineQueries {
     })
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact quantiles served from the INCREMENTALLY-MAINTAINED
+    // histogram: the additive (group, value) count table follows the
+    // stream; the rank device runs over it with ZERO corpus passes at
+    // query time. Hash-equals batch q_quantiles (shared oracle) — and
+    // by extension every histogram-device statistic (tertiles,
+    // percentile thresholds, MAD) is stream-servable from this table.
+    "q_quantiles_incremental" -> ((s, dir) => {
+      TextAnalysis.histogramQuantilesFromHist(
+          graft.streaming.StreamSketch.histView(incrementalHist(s, dir)),
+          qsBp = Seq(2500L, 5000L, 7500L, 9500L))
+        .withColumnRenamed("g", "source")
+        .orderBy("source", "q_bp")
+    }),
 
     // SCD2 served from the INCREMENTALLY-MAINTAINED dimension: per
     // micro-batch, touched users re-collapse their (raw log ∪ batch)
@@ -2100,11 +2139,40 @@ object PipelineQueries {
          WHERE e.est >= 100
          ORDER BY est DESC, t.tok"""
 
+  /** Shared by q_quantiles and q_quantiles_incremental: the maintained
+    * histogram must converge to the batch histogram, so the streamed
+    * serving path replays the identical rank device. */
+  private val quantilesOracle: String =
+    """WITH vals AS (
+         SELECT source AS g,
+                CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> length(x) > 0)) AS BIGINT) AS v
+         FROM documents),
+       hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                FROM vals GROUP BY g, v),
+       cum AS (
+         SELECT g, v, c,
+                sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS cum,
+                sum(c) OVER (PARTITION BY g) AS n
+         FROM hist),
+       qs(q_bp) AS (VALUES (2500), (5000), (7500), (9500))
+       SELECT g AS source, CAST(q_bp AS BIGINT) AS q_bp,
+              CAST(min(v) AS BIGINT) AS value
+       FROM cum CROSS JOIN qs
+       WHERE cum >= (q_bp * n + 9999) // 10000
+       GROUP BY g, q_bp
+       ORDER BY source, q_bp"""
+
   val oracles: Map[String, String] = Map(
 
     // the incrementally-maintained dimension must converge to the batch
     // build, so the streamed serving path shares q_scd2's oracle verbatim
     "q_scd2_incremental" -> RelationalQueries.oracles("q_scd2"),
+
+    // maintained histogram must converge to the batch histogram — the
+    // quantile serving path shares q_quantiles' oracle verbatim
+    "q_quantiles_incremental" -> quantilesOracle,
     "q_bpe" -> bpeOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
 
@@ -2701,27 +2769,7 @@ object PipelineQueries {
     // Quantile replay: (group, value) histogram -> per-group cumulative
     // window -> min value whose cumulative count reaches the integer
     // ceil((q*n)/1e4) rank target.
-    "q_quantiles" ->
-      """WITH vals AS (
-           SELECT source AS g,
-                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> length(x) > 0)) AS BIGINT) AS v
-           FROM documents),
-         hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
-                  FROM vals GROUP BY g, v),
-         cum AS (
-           SELECT g, v, c,
-                  sum(c) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS cum,
-                  sum(c) OVER (PARTITION BY g) AS n
-           FROM hist),
-         qs(q_bp) AS (VALUES (2500), (5000), (7500), (9500))
-         SELECT g AS source, CAST(q_bp AS BIGINT) AS q_bp,
-                CAST(min(v) AS BIGINT) AS value
-         FROM cum CROSS JOIN qs
-         WHERE cum >= (q_bp * n + 9999) // 10000
-         GROUP BY g, q_bp
-         ORDER BY source, q_bp""",
+    "q_quantiles" -> quantilesOracle,
 
     // Waterfilling replay: inventory + VALUES weights -> exclusive-prefix
     // windows in ratio order -> first row with r >= lambda marks the cap

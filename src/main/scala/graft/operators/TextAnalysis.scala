@@ -906,24 +906,33 @@ object TextAnalysis {
     * column this engine emits. Output: (group, q_bp, value).
     */
   def histogramQuantiles(df: DataFrame, group: String, value: String,
-      qsBp: Seq[Long]): DataFrame = {
+      qsBp: Seq[Long]): DataFrame =
+    histogramQuantilesFromHist(
+      df.select(col(group).as("g"), col(value).cast("long").as("v"))
+        .groupBy("g", "v").agg(count(lit(1)).as("c")),
+      qsBp)
+      .withColumnRenamed("g", group)
+
+  /** [[histogramQuantiles]]' rank core over a PREBUILT (g, v, c)
+    * histogram — serves exact quantiles straight from a maintained
+    * histogram table ([[graft.streaming.StreamSketch.histView]]) with
+    * zero corpus passes at query time. */
+  def histogramQuantilesFromHist(hist: DataFrame, qsBp: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
       s"quantiles must be in (0, 10000] bp: $qsBp")
-    val hist = df.select(col(group).as("g"), col(value).cast("long").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
       .withColumn("cum", sum("c").over(w))
       .withColumn("n", sum("c").over(Window.partitionBy("g")))
-    val qdf = df.sparkSession.range(1)
+    val qdf = hist.sparkSession.range(1)
       .select(explode(typedLit(qsBp)).as("q_bp"))
     // integer ceil((q·n)/10⁴) — no floating point anywhere
     cum.crossJoin(broadcast(qdf))
       .filter(col("cum") >= expr("(q_bp * n + 9999) div 10000"))
       .groupBy("g", "q_bp").agg(min("v").as("value"))
-      .select(col("g").as(group), col("q_bp"), col("value"))
+      .select(col("g"), col("q_bp"), col("value"))
   }
 
   /** Token-budget MIXTURE PLANNING (waterfilling): given per-source token

@@ -217,4 +217,56 @@ object StreamSketch {
       .select(expr(s"cast(substring(${Merge.KeyCol}, 3, 1) as int)").as("j"),
         expr(s"substring(${Merge.KeyCol}, 5)").as("b"),
         col("cnt").as("total"))
+
+  /** One micro-batch → (group, value) HISTOGRAM deltas: keys
+    * `v:<group>:<value>`, additive counts. The maintained form of the
+    * engine's histogram-device family — any statistic the devices
+    * derive from a (group, value) histogram (exact quantiles, tertiles,
+    * percentile thresholds, MAD) can be served from this table with
+    * ZERO corpus passes at query time. Groups must not contain ':'
+    * (key codec constraint; enforced at the sink). State bounded by
+    * |group|·|value domain|, never the corpus. */
+  private[graft] def histDelta(batch: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    batch.groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt_d"))
+      .select(concat(lit("v:"), col("g"), lit(":"), col("v").cast("string"))
+        .as("k"), col("cnt_d"))
+
+  /** Wire a (group, value) stream into the histogram table — the
+    * additive RMW of [[sketchSink]], same `_seq`/admission contract. */
+  def histSink(stream: DataFrame, groupCol: String, valueCol: String,
+      table: Livestream.UpsertTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bad = batch.filter(col(groupCol).contains(":")).limit(1).count()
+        require(bad == 0, s"group values must not contain ':' (key codec)")
+        val delta = histDelta(batch, groupCol, valueCol)
+        val cur = table.current.select(col(Merge.KeyCol).as("k"),
+          col("cnt").as("cnt_0"))
+        val rows = delta.join(cur, Seq("k"), "left")
+          .select(col("k").as(Merge.KeyCol),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("body"),
+            (coalesce(col("cnt_0"), lit(0L)) + col("cnt_d")).as("cnt"))
+          .withColumn("_seq",
+            lit(batchId) * 1000000000L + monotonically_increasing_id())
+          .persist()
+        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+        finally rows.unpersist()
+      }
+
+  /** The histogram VIEW: (g, v, c) — what the histogram devices consume
+    * in place of their own corpus aggregation. */
+  def histView(table: Livestream.UpsertTable): DataFrame =
+    table.current.filter(col(Merge.KeyCol).startsWith("v:"))
+      .select(
+        expr(s"split(substring(${Merge.KeyCol}, 3), ':')[0]").as("g"),
+        expr(s"cast(split(substring(${Merge.KeyCol}, 3), ':')[1] as bigint)")
+          .as("v"),
+        col("cnt").as("c"))
 }

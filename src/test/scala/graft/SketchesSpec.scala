@@ -118,4 +118,19 @@ class SketchesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out2 === out)
   }
+
+  test("histDelta keys round-trip through histView parsing (incl. negative values)") {
+    import graft.streaming.StreamSketch
+    val batch = Seq(("src0", 5L), ("src0", 5L), ("src0", -3L), ("alpha", 0L))
+      .toDF("g", "v")
+    val keys = StreamSketch.histDelta(batch, "g", "v")
+      .as[(String, Long)].collect().toMap
+    assert(keys === Map("v:src0:5" -> 2L, "v:src0:-3" -> 1L, "v:alpha:0" -> 1L))
+    // the view's split-based parse must invert the key codec
+    val parsed = keys.keys.map { k =>
+      val parts = k.drop(2).split(":")
+      (parts(0), parts(1).toLong)
+    }.toSet
+    assert(parsed === Set(("src0", 5L), ("src0", -3L), ("alpha", 0L)))
+  }
 }
