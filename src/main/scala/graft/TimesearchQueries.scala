@@ -483,6 +483,29 @@ object TimesearchQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Frequent event paths: top-15 3-step event-type sequences across
+    // user timelines — funnel DISCOVERY; one key shuffle, row-local
+    // shingling, shingle-bounded count agg.
+    "q_event_paths" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.eventPaths(raw, "user_id", tsSec(raw),
+        col("event_id"), col("event_type"), n = 3, k = 15)
+    }),
+
+    // Spearman rank correlation (exact integer device): does quantity
+    // track price within each return-flag class? first-rank semantics
+    // with id tiebreak; rho in basis points via integer division.
+    "q_spearman" -> ((s, dir) => {
+      graft.operators.Analytics.spearman(
+          Tables.load(s, dir, "lineitem").select(
+            col("l_returnflag"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"),
+            cents(col("l_quantity")).as("q_c"),
+            cents(col("l_extendedprice")).as("p_c")),
+          "l_returnflag", "lid", "q_c", "p_c")
+        .orderBy("l_returnflag")
+    }),
+
     // Offline CUSUM changepoint scan over the daily event-count series:
     // the mean-centered prefix walk n·prefix − k·total stays an exact
     // integer; |S| peaks at level-shift boundaries. One corpus exchange;
@@ -1022,6 +1045,43 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_event_paths" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  event_id AS tb, event_type AS y
+           FROM events),
+         seqs AS (
+           SELECT user_id,
+                  list_transform(
+                    list_sort(list(struct_pack(t := t, tb := tb, y := y))),
+                    e -> e.y) AS ys
+           FROM ev GROUP BY user_id),
+         paths AS (
+           SELECT array_to_string(ys[i:i+2], ' -> ') AS path
+           FROM (SELECT ys, unnest(range(1, len(ys) - 1)) AS i
+                 FROM seqs WHERE len(ys) >= 3) t0)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM paths GROUP BY path
+         ORDER BY n_occurrences DESC, path LIMIT 15""",
+
+    "q_spearman" ->
+      """WITH base AS (
+           SELECT l_returnflag AS g,
+                  l_orderkey * 10 + l_linenumber AS k,
+                  CAST(round(l_quantity*100) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS y
+           FROM lineitem),
+         ranked AS (
+           SELECT g,
+                  CAST(row_number() OVER (PARTITION BY g ORDER BY x, k) AS BIGINT) AS rx,
+                  CAST(row_number() OVER (PARTITION BY g ORDER BY y, k) AS BIGINT) AS ry
+           FROM base)
+         SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(10000 - (60000 * sum((rx-ry)*(rx-ry)))
+                     // (count(*) * (count(*)*count(*) - 1)) AS BIGINT) AS rho_bp
+         FROM ranked GROUP BY g
+         ORDER BY l_returnflag""",
 
     "q_changepoint" ->
       """WITH daily AS (

@@ -156,6 +156,36 @@ object Analytics {
     undominated(undominated(bucketed, Seq("_b")).drop("_b"), Seq.empty)
   }
 
+  /** Spearman rank correlation per group, EXACT integer arithmetic:
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) over first-rank (row_number with a
+    * deterministic id tiebreak — documented tie semantics; the
+    * tie-averaged variant needs fractional ranks). Emitted in basis
+    * points via integer division: ρ_bp = 10000 − (60000·Σd²) div
+    * (n(n²−1)) — no floats anywhere, so the statistic replays exactly.
+    *
+    * Scale: one shuffle on the group key; both rank windows share the
+    * group partitioning; Σd² is a group-bounded aggregate. The n³ term
+    * bounds group size at ~2·10⁶ rows for BIGINT (Σd² < n³); larger
+    * groups need DECIMAL(38) accumulation — documented, not silently
+    * wrong (the integer product would overflow loudly under ANSI mode).
+    */
+  def spearman(df: DataFrame, group: String, id: String, x: String,
+      y: String): DataFrame = {
+    val base = df.select(col(group).as("g"), col(id).as("k"),
+      col(x).cast("long").as("x"), col(y).cast("long").as("y"))
+    val wx = Window.partitionBy("g").orderBy(col("x"), col("k"))
+    val wy = Window.partitionBy("g").orderBy(col("y"), col("k"))
+    base
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
+      .filter(col("n") >= 2)
+      .select(col("g").as(group), col("n"),
+        expr("10000 - (60000 * d2) div (n * (n * n - 1))").as("rho_bp"))
+  }
+
   /** Per-row percentile rank (basis points) of an integer value within
     * its group — floor(10⁴ · |{rows with v' ≤ v}| / n) — WITHOUT a
     * corpus sort: the cumulative count comes from the domain-bounded

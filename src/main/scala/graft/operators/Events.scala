@@ -80,6 +80,33 @@ object Events {
       .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Frequent event paths: the top-k length-`n` consecutive event-type
+    * sequences across user timelines (funnel DISCOVERY — the
+    * exploratory complement of [[funnel]]'s fixed-stage counting).
+    * Each user's events order by (ts, tiebreak); length-n windows
+    * shingle per user row-locally after ONE key shuffle; path counts
+    * are a shingle-bounded aggregate and the top-k is a TakeOrdered.
+    */
+  def eventPaths(events: DataFrame, user: String, tsSec: Column,
+      tieBreak: Column, typ: Column, n: Int, k: Int): DataFrame = {
+    require(n >= 2 && k >= 1)
+    val seqs = events
+      .select(col(user).as("u"), tsSec.as("t"), tieBreak.as("tb"),
+        typ.as("y"))
+      .groupBy("u")
+      .agg(array_sort(collect_list(struct(col("t"), col("tb"), col("y"))))
+        .as("evs"))
+      .select(expr("transform(evs, e -> e.y)").as("ys"))
+      .filter(size(col("ys")) >= n)
+    seqs
+      .select(explode(expr(
+        s"transform(sequence(1, size(ys) - ${n - 1})," +
+          s" i -> array_join(slice(ys, i, $n), ' -> '))")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("path"))
+      .limit(k)
+  }
+
   /** Offline changepoint scan (CUSUM-style): for a day-bucketed count
     * series x₁..x_n, the centered cumulative walk
     * S_k = n·Σ_{i≤k} x_i − k·Σx — the mean-centered prefix sum scaled

@@ -171,6 +171,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === want, s"triangle count $got != naive $want")
   }
 
+  test("spearman: +10000 on monotone, -10000 on reversed, ~0 on a derangement") {
+    import graft.operators.Analytics
+    val mono = (1L to 50L).map(i => ("g", i, i * 3, i * 7 + 1))
+    val rev = (1L to 50L).map(i => ("r", i, i, 100 - i))
+    val got = Analytics.spearman((mono ++ rev).toDF("g", "k", "x", "y"),
+        "g", "k", "x", "y")
+      .select("g", "rho_bp").as[(String, Long)].collect().toMap
+    assert(got("g") === 10000L)
+    assert(got("r") === -10000L)
+    // uncorrelated: rho stays near zero (|rho| < 0.35 on a seeded shuffle)
+    val rnd = new scala.util.Random(5)
+    val perm = rnd.shuffle((1L to 200L).toVector)
+    val mixed = (1L to 200L).map(i => ("m", i, i, perm((i - 1).toInt)))
+    val rho = Analytics.spearman(mixed.toDF("g", "k", "x", "y"), "g", "k", "x", "y")
+      .select("rho_bp").as[Long].head()
+    assert(math.abs(rho) < 3500L, s"rho=$rho")
+  }
+
+  test("eventPaths: counts sliding windows per user, respects tiebreak order") {
+    import graft.operators.Events
+    val evs = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 40L, 4L, "b"), (1L, 50L, 5L, "c"),
+      (2L, 10L, 6L, "a"), (2L, 10L, 7L, "b"), (2L, 20L, 8L, "c") // tie at t=10
+    ).toDF("user_id", "sec", "eid", "typ")
+    val got = Events.eventPaths(evs, "user_id", col("sec"), col("eid"),
+        col("typ"), n = 3, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a -> b -> c" -> 2L, "b -> c -> b" -> 1L,
+      "c -> b -> c" -> 1L))
+  }
+
   test("percentileRank: equals the per-row at-or-below definition, ties share ranks") {
     val rnd = new scala.util.Random(3)
     val rows = (1L to 200L).map(i => (s"g${i % 3}", i, rnd.nextInt(20).toLong))
