@@ -483,6 +483,16 @@ object TimesearchQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // M4 time-series downsampling: per-day min/max/first/last of the
+    // event value — the pixel-exact line-chart reduction; one map-side-
+    // combined aggregate, deterministic first/last via struct min/max.
+    "q_m4_downsample" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.m4Downsample(raw, tsSec(raw), col("event_id"),
+          cents(col("value")), bucketSec = 86400L)
+        .orderBy("bucket")
+    }),
+
     // Frequent event paths: top-15 3-step event-type sequences across
     // user timelines — funnel DISCOVERY; one key shuffle, row-local
     // shingling, shingle-bounded count agg.
@@ -1045,6 +1055,20 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_m4_downsample" ->
+      """WITH ev AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT)
+                  - (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS bucket,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  event_id AS tb,
+                  CAST(round(value*100) AS BIGINT) AS v
+           FROM events)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                min(v) AS v_min, max(v) AS v_max,
+                min(struct_pack(t := t, tb := tb, v := v)).v AS v_first,
+                max(struct_pack(t := t, tb := tb, v := v)).v AS v_last
+         FROM ev GROUP BY bucket ORDER BY bucket""",
 
     "q_event_paths" ->
       """WITH ev AS (

@@ -80,6 +80,28 @@ object Events {
       .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
   }
 
+  /** M4 time-series downsampling (Jugel et al., VLDB 2014): per time
+    * bucket, the min/max/first/last of the value — the four points that
+    * make a line-chart rendering of the bucket pixel-exact, and the
+    * standard dashboard/storage downsampler. First/last are
+    * deterministic via lexicographic struct min/max over
+    * (ts, tiebreak, value); the whole operator is ONE map-side-combined
+    * aggregate (bucket count ≤ time domain / bucketSec).
+    */
+  def m4Downsample(events: DataFrame, tsSec: Column, tieBreak: Column,
+      value: Column, bucketSec: Long): DataFrame = {
+    require(bucketSec > 0)
+    events
+      .select((tsSec - (tsSec % bucketSec)).as("bucket"),
+        struct(tsSec.as("t"), tieBreak.as("tb"), value.as("v")).as("e"),
+        value.as("v"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("v").as("v_min"), max("v").as("v_max"),
+        min("e").getField("v").as("v_first"),
+        max("e").getField("v").as("v_last"))
+  }
+
   /** Frequent event paths: the top-k length-`n` consecutive event-type
     * sequences across user timelines (funnel DISCOVERY — the
     * exploratory complement of [[funnel]]'s fixed-stage counting).
