@@ -310,6 +310,30 @@ object PipelineQueries {
       table
     })
 
+  private val builtGraphTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained co-occurrence graph over (order, part) baskets:
+    * 4 real micro-batches through [[graft.streaming.StreamGraph
+    * .graphSink]]. The source is hash-partitioned BY ORDER KEY before
+    * writing, so every basket lands entirely inside one file = one
+    * micro-batch — the basket-atomic admission contract. */
+  private def incrementalGraph(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtGraphTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_graph")
+      deleteOnExit(tmp)
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val src = tmp.resolve("in").toString
+      li.repartition(4, col("l_orderkey")).write.parquet(src)
+      val table = graft.streaming.StreamGraph.table(s, tmp.resolve("tbl").toString)
+      val stream = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamGraph.graphSink(stream, "l_orderkey",
+        "l_partkey", table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   private val builtScdTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -338,6 +362,21 @@ object PipelineQueries {
     })
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BFS served from the INCREMENTALLY-MAINTAINED co-occurrence graph:
+    // additive pair/node counts follow the basket stream (basket-atomic
+    // batches); the support-2 edge view + frontier BFS at query time —
+    // no corpus self-join per query. Hash-equals batch q_bfs (shared
+    // oracle).
+    "q_bfs_incremental" -> ((s, dir) => {
+      val t = incrementalGraph(s, dir)
+      val seeds = graft.streaming.StreamGraph.nodes(t)
+        .filter(col("node") % 97 === 0).select("node")
+      graft.operators.Graphs.bfs(
+          graft.streaming.StreamGraph.edges(t, minSupport = 2L),
+          seeds, maxHops = 4)
+        .orderBy("node")
+    }),
 
     // Exact quantiles served from the INCREMENTALLY-MAINTAINED
     // histogram: the additive (group, value) count table follows the
@@ -2173,6 +2212,10 @@ object PipelineQueries {
     // maintained histogram must converge to the batch histogram — the
     // quantile serving path shares q_quantiles' oracle verbatim
     "q_quantiles_incremental" -> quantilesOracle,
+
+    // maintained co-occurrence graph must converge to the batch-built
+    // graph — the BFS serving path shares q_bfs's oracle verbatim
+    "q_bfs_incremental" -> RelationalQueries.oracles("q_bfs"),
     "q_bpe" -> bpeOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
 

@@ -119,6 +119,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(out2 === out)
   }
 
+  test("graphDelta: basket-atomic batches add to the whole; a split basket loses pairs") {
+    import graft.streaming.StreamGraph
+    val whole = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+      .toDF("bk", "it")
+    def deltas(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      StreamGraph.graphDelta(df, "bk", "it").as[(String, Long)].collect().toMap
+    val all = deltas(whole)
+    assert(all("e:10:20") === 2L && all("e:10:30") === 1L && all("n:10") === 2L)
+    // basket-atomic split (by basket): deltas ADD to the whole
+    val b1 = whole.filter(col("bk") === 1L); val b2 = whole.filter(col("bk") === 2L)
+    val summed = (deltas(b1).toSeq ++ deltas(b2).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(summed === all)
+    // basket SPLIT ACROSS batches: cross-batch pairs are lost — this is
+    // exactly the admission contract the sink documents
+    val s1 = whole.filter(col("it") <= 15L); val s2 = whole.filter(col("it") > 15L)
+    val bad = (deltas(s1).toSeq ++ deltas(s2).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(!bad.contains("e:10:20"))
+  }
+
   test("histDelta keys round-trip through histView parsing (incl. negative values)") {
     import graft.streaming.StreamSketch
     val batch = Seq(("src0", 5L), ("src0", 5L), ("src0", -3L), ("alpha", 0L))
