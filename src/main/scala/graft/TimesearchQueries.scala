@@ -472,6 +472,49 @@ object TimesearchQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // HOPPING (sliding) window aggregate: 6-hour windows advancing
+    // hourly via Spark's native window(slide) — each event lands in 6
+    // overlapping windows (Expand ×6 of the EVENT STREAM's projected
+    // columns, then one shuffle on the window start; the fan-out factor
+    // is duration/slide, a constant). The oracle replays membership as
+    // an explicit k ∈ [0, 6) unnest.
+    "q_hopping_agg" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(
+        to_timestamp(tsSec(raw)).as("t"), cents(col("value")).as("v_c"))
+      ev.groupBy(window(col("t"), "6 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), sum("v_c").as("sum_v_c"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n"), col("sum_v_c"))
+        .orderBy("w_start")
+    }),
+
+    // Table profiling (warehouse ANALYZE/summarize): one row per column
+    // with count / nulls / exact distinct / min / max, values stringified
+    // from canonical integer forms so the report is engine-portable.
+    // Each column's stats are one map-side-combined aggregate pass.
+    "q_profile_table" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      def stats(name: String, c: Column): DataFrame =
+        ord.agg(
+          count(lit(1)).as("n"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+          count_distinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_s"),
+          max(c).cast("string").as("max_s"))
+          .select(lit(name).as("column"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      Seq(
+        stats("o_orderkey", col("o_orderkey")),
+        stats("o_custkey", col("o_custkey")),
+        stats("o_orderstatus", col("o_orderstatus")),
+        stats("o_totalprice_c", cents(col("o_totalprice"))),
+        stats("o_orderdate_sec", epochSec(col("o_orderdate"))),
+        stats("o_orderpriority", col("o_orderpriority")))
+        .reduce(_ unionByName _)
+        .orderBy("column")
+    }),
+
     // Gap-based session windows over the event stream (batch form of the
     // flatMapGroupsWithState sessionizer — data-dependent windows that
     // clock-aligned window() cannot express).
@@ -1055,6 +1098,60 @@ object TimesearchQueries {
                 min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
          FROM s GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "q_hopping_agg" ->
+      """WITH ev AS (
+           SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  CAST(round(value*100) AS BIGINT) AS v
+           FROM events),
+         member AS (
+           SELECT (t - (t % 3600)) - k * 3600 AS w_start, v
+           FROM (SELECT t, v, unnest(range(0, 6)) AS k FROM ev) t0)
+         SELECT w_start, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS BIGINT) AS sum_v_c
+         FROM member GROUP BY w_start ORDER BY w_start""",
+
+    "q_profile_table" ->
+      """SELECT * FROM (
+           SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                  CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+                  CAST(max(o_orderkey) AS VARCHAR) AS max_s
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*),
+                  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_custkey),
+                  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+                  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderstatus),
+                  min(o_orderstatus), max(o_orderstatus)
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice_c', count(*),
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT CAST(round(o_totalprice*100) AS BIGINT)),
+                  CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS VARCHAR),
+                  CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderdate_sec', count(*),
+                  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT CAST(floor(epoch(o_orderdate)) AS BIGINT)),
+                  CAST(min(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS VARCHAR),
+                  CAST(max(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*),
+                  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  count(DISTINCT o_orderpriority),
+                  min(o_orderpriority), max(o_orderpriority)
+           FROM orders)
+         ORDER BY "column"""",
 
     "q_m4_downsample" ->
       """WITH ev AS (
