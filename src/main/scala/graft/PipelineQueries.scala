@@ -1383,6 +1383,27 @@ object PipelineQueries {
     // partition-local batch shape a codec-backed decoder uses. Spec-side
     // ground truth: MultimodalSpec decodes hand-built WAV/BMP/PPM
     // fixtures to exact sample counts and means.
+    // Perceptual image near-dup (dHash): REAL P6 PPM payloads are minted
+    // from corpus text bytes, run through the actual raster parser +
+    // integer gray resample + gradient-bit hash; identical images land
+    // in the same hash group (n_same counts them — the planted dups).
+    // The full byte→gray→bit pipeline replays in the oracle.
+    "q_image_phash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hdr = "P6 9 8 255\n".getBytes("US-ASCII")
+      val media = corpusWithDups(s, dir).select(
+        col("doc_id"), lit("image").as("modality"),
+        lit((hdr.length + 216).toLong).as("byte_len"),
+        concat(lit(hdr),
+          encode(rpad(substring(col("text"), 1, 216), 216, "x"), "UTF-8"))
+          .as("payload"))
+      Multimodal.imageDHash(media).toDF()
+        .withColumn("n_same", count(lit(1)).over(
+          Window.partitionBy("dhash_hi", "dhash_lo")))
+        .select("doc_id", "width", "height", "dhash_hi", "dhash_lo", "n_same")
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal_decode" -> ((s, dir) => {
       val hdr = Multimodal.wavHeaderPcm8Mono(dataLen = 100)
       val media = Tables.load(s, dir, "documents").select(
@@ -3384,6 +3405,39 @@ object PipelineQueries {
     // the minted payload is a real 8-bit PCM WAV whose 100 samples are the
     // text's first 100 chars (x-padded, corpus is ASCII); mean_c =
     // round(mean·100) = the exact sample byte sum
+    // Byte → gray → gradient-bit replay: the raster is minted from the
+    // same text bytes, the 9×8 grid is the identity resample, and the
+    // two 32-bit halves keep both engines inside signed BIGINT.
+    "q_image_phash" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         px AS (
+           SELECT doc_id, rpad(substr(text, 1, 216), 216, 'x') AS p
+           FROM corpus),
+         gg AS (
+           SELECT doc_id,
+                  list_transform(range(0, 72), i ->
+                    (ascii(substr(p, 3*i + 1, 1)) + ascii(substr(p, 3*i + 2, 1))
+                     + ascii(substr(p, 3*i + 3, 1))) // 3) AS g
+           FROM px),
+         rb AS (
+           SELECT doc_id,
+                  list_transform(range(0, 8), r ->
+                    list_sum(list_transform(range(0, 8), c ->
+                      CASE WHEN g[r*9 + c + 1] < g[r*9 + c + 2]
+                           THEN (1 << c) ELSE 0 END))) AS rb
+           FROM gg),
+         hashes AS (
+           SELECT doc_id, CAST(9 AS INT) AS width, CAST(8 AS INT) AS height,
+                  CAST(rb[1] + rb[2]*256 + rb[3]*65536 + rb[4]*16777216 AS BIGINT) AS dhash_hi,
+                  CAST(rb[5] + rb[6]*256 + rb[7]*65536 + rb[8]*16777216 AS BIGINT) AS dhash_lo
+           FROM rb)
+         SELECT doc_id, width, height, dhash_hi, dhash_lo,
+                CAST(count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT) AS n_same
+         FROM hashes ORDER BY doc_id""",
+
     "q_multimodal_decode" ->
       """SELECT doc_id, 'wav' AS format, 1 AS channels, 8000 AS sample_rate,
                 CAST(100 AS BIGINT) AS n_samples,

@@ -1199,8 +1199,8 @@ object TimesearchQueries {
                   CAST(row_number() OVER (PARTITION BY g ORDER BY y, k) AS BIGINT) AS ry
            FROM base)
          SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
-                CAST(10000 - (60000 * sum((rx-ry)*(rx-ry)))
-                     // (count(*) * (count(*)*count(*) - 1)) AS BIGINT) AS rho_bp
+                CAST(10000 - (60000 * CAST(sum((rx-ry)*(rx-ry)) AS HUGEINT))
+                     // (CAST(count(*) AS HUGEINT) * (count(*)*count(*) - 1)) AS BIGINT) AS rho_bp
          FROM ranked GROUP BY g
          ORDER BY l_returnflag""",
 

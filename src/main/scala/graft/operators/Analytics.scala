@@ -182,8 +182,14 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
       .filter(col("n") >= 2)
+      // 60000·Σd² can reach ~5·10²⁰ at 10⁵-row groups — past BIGINT —
+      // so the one big product runs in DECIMAL(38,0) (the oracle
+      // mirrors with HUGEINT); `div` on decimals is exact integral
+      // division in both engines, and both operands are positive so
+      // floor == trunc
       .select(col("g").as(group), col("n"),
-        expr("10000 - (60000 * d2) div (n * (n * n - 1))").as("rho_bp"))
+        expr("cast(10000 - (60000 * cast(d2 as decimal(38,0)))" +
+          " div (n * (n * n - 1)) as bigint)").as("rho_bp"))
   }
 
   /** Per-row percentile rank (basis points) of an integer value within

@@ -56,11 +56,15 @@ object Dedup {
                i -> concat_ws(' ', slice(_w, i, 3)))
            ELSE array(concat_ws(' ', _w)) END""")))
       .drop("_w")
-    val shuffled = base.repartitionByRange(col("_nt"), col("_id"))
+    // ALWAYS pin the ranged frame: offsets and ranks both read it, and a
+    // ReuseExchange miss would re-SAMPLE the range boundaries per branch
+    // — two different partitionings means corrupted global ranks (bit us
+    // at sf0.1: 200 pairs where the oracle found 821; the conditional-
+    // checkpoint form indexListingRanked uses survives only because its
+    // two branches stay structurally identical after pruning)
+    val ranged = base.repartitionByRange(col("_nt"), col("_id"))
       .withColumn("_pid", spark_partition_id())
-    val reuseOn = df.sparkSession.conf
-      .get("spark.sql.exchange.reuse", "true").toBoolean
-    val ranged = if (reuseOn) shuffled else shuffled.localCheckpoint()
+      .localCheckpoint()
     val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(
         sum("_cnt").over(Window.orderBy("_pid")

@@ -210,7 +210,10 @@ object Multimodal {
 
   /** Binary PPM (P6) decode: ASCII header (`#` comments allowed) with
     * width, height, maxval ≤ 255, then a raw w·h·3 raster. */
-  private[operators] def ppmDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] = {
+  /** P6 header parse → (width, height, raster offset); shared by the
+    * stats decoder and the perceptual-hash path so the two cannot drift
+    * on header semantics. */
+  private[graft] def ppmRaster(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 2 || ascii(b, 0, 2) != "P6") return None
     var o = 2
     def skipWs(): Boolean = {
@@ -245,14 +248,17 @@ object Multimodal {
         val c = b(o) & 0xff
         c == ' ' || c == '\t' || c == '\r' || c == '\n'
       } && { o += 1; o + w.toLong * h * 3 <= b.length }
-    } yield {
+    } yield (w, h, o)
+  }
+
+  private[operators] def ppmDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    ppmRaster(b).map { case (w, h, o) =>
       var s = 0.0
       var i = 0
       val n = w * h * 3
       while (i < n) { s += (b(o + i) & 0xff); i += 1 }
       MediaDecoded(doc, "ppm", None, None, Some(w), Some(h), w.toLong * h, s / n)
     }
-  }
 
   /** Real decode pass: sniffs the payload's magic bytes and decodes
     * WAV/BMP/PPM with the pure byte-math decoders above; any other (or
@@ -274,6 +280,75 @@ object Multimodal {
               MediaDecoded(r.doc_id, "unknown", None, None, None, None,
                 b.length.toLong, mean)
             }
+        }
+      }
+  }
+
+  final case class MediaHash(doc_id: Long, width: Int, height: Int,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** Integer area-average resample of a PPM raster to a tw×th grayscale
+    * grid: cell (i, j) averages gray = (r+g+b) div 3 over the source
+    * rect [i·h div th, (i+1)·h div th) × [j·w div tw, (j+1)·w div tw) —
+    * all integer division, so the grid (and everything derived from it)
+    * is bit-deterministic. */
+  private[graft] def grayGrid(b: Array[Byte], w: Int, h: Int, o: Int,
+      tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var i = 0
+    while (i < th) {
+      val r0 = i * h / th; val r1 = math.max((i + 1) * h / th, r0 + 1)
+      var j = 0
+      while (j < tw) {
+        val c0 = j * w / tw; val c1 = math.max((j + 1) * w / tw, c0 + 1)
+        var s = 0L; var n = 0L
+        var r = r0
+        while (r < r1 && r < h) {
+          var c = c0
+          while (c < c1 && c < w) {
+            val p = o + (r * w + c) * 3
+            s += ((b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)) / 3
+            c += 1; n += 1
+          }
+          r += 1
+        }
+        out(i * tw + j) = if (n == 0) 0 else (s / n).toInt
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Perceptual image fingerprint (dHash, 8×8 gradient bits over a 9×8
+    * integer-resampled grayscale grid): bit (r, c) set iff
+    * gray(r, c) < gray(r, c+1). Near-duplicate images — re-encodes,
+    * minor edits — land at small Hamming distance; identical pixels
+    * hash identically. Packed as two 32-bit halves (rows 0-3 / 4-7) so
+    * both engines stay inside signed BIGINT. Non-PPM payloads are
+    * dropped (the poison-payload contract of [[decode]]). Map-only. */
+  def imageDHash(media: DataFrame): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "modality", "byte_len", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { rrow =>
+          val b = if (rrow.payload == null) Array.emptyByteArray else rrow.payload
+          ppmRaster(b).map { case (w, h, o) =>
+            val g = grayGrid(b, w, h, o, tw = 9, th = 8)
+            var hi = 0L; var lo = 0L
+            var r = 0
+            while (r < 8) {
+              var bits = 0L
+              var c = 0
+              while (c < 8) {
+                if (g(r * 9 + c) < g(r * 9 + c + 1)) bits |= (1L << c)
+                c += 1
+              }
+              if (r < 4) hi |= bits << (8 * r) else lo |= bits << (8 * (r - 4))
+              r += 1
+            }
+            MediaHash(rrow.doc_id, w, h, hi, lo)
+          }
         }
       }
   }

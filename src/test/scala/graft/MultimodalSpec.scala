@@ -211,4 +211,45 @@ class MultimodalSpec extends AnyFunSuite {
     // documented bound: targetLen + 44-byte header + (blockAlign - 1)
     assert(thumb.length <= 50 + 44, s"thumb ${thumb.length} exceeds documented bound")
   }
+
+  private def ppm(w: Int, h: Int, px: Int => Int): Array[Byte] = {
+    val hdr = s"P6 $w $h 255\n".getBytes("US-ASCII")
+    hdr ++ Array.tabulate(w * h * 3)(i => px(i).toByte)
+  }
+
+  test("imageDHash: identical rasters equal; small edits Hamming-close; reversed gradient far") {
+    val base = ppm(9, 8, i => (i * 7) % 251)
+    // a one-pixel perturbation on a monotone gradient flips at most the
+    // two adjacent comparisons — and often none: that robustness IS the
+    // perceptual-hash property
+    val edited = base.clone()
+    edited(base.length - 100) = ((base(base.length - 100) & 0xff) ^ 0x7f).toByte
+    val reversed = ppm(9, 8, i => 250 - (i * 7) % 251)
+    val rows = Multimodal.imageDHash(mediaDF(1L -> base, 2L -> base.clone(),
+        3L -> edited, 4L -> reversed))
+      .collect().map(r => r.doc_id -> ((r.dhash_hi, r.dhash_lo))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(rows(1L) === rows(2L))
+    assert(ham(rows(1L), rows(3L)) <= 2, "one-pixel edit must stay Hamming-close")
+    assert(ham(rows(1L), rows(4L)) >= 32, "a reversed gradient must flip most bits")
+  }
+
+  test("grayGrid: non-identity resize equals a naive block-average reference") {
+    val w = 18; val h = 16
+    val img = ppm(w, h, i => (i * 13) % 256)
+    val Some((pw, ph, off)) = Multimodal.ppmRaster(img)
+    assert((pw, ph) === ((w, h)))
+    val got = Multimodal.grayGrid(img, w, h, off, tw = 9, th = 8)
+    // naive reference: each target cell averages its exact source block
+    for (i <- 0 until 8; j <- 0 until 9) {
+      val (r0, r1) = (i * h / 8, (i + 1) * h / 8)
+      val (c0, c1) = (j * w / 9, (j + 1) * w / 9)
+      val vals = for (r <- r0 until r1; c <- c0 until c1) yield {
+        val p = off + (r * w + c) * 3
+        ((img(p) & 0xff) + (img(p + 1) & 0xff) + (img(p + 2) & 0xff)) / 3
+      }
+      assert(got(i * 9 + j) === vals.sum / vals.size, s"cell ($i,$j)")
+    }
+  }
 }
