@@ -1113,6 +1113,19 @@ object PipelineQueries {
     // topic balancing and SemDeDup). nlist = round(√n), the IVF sizing;
     // iters=0 (a k-means fixpoint is not relationally replayable — the
     // refined path is spec-covered via kmeansRefine/SimilaritySpec).
+    // k-means TRAINING with a hash-gated fixpoint: 4 exact integer Lloyd
+    // iterations from the md5 seed — quantize → argmin-L2 assign (map-
+    // only native expression) → associative integer centroid update —
+    // then the final assignment serves. The oracle unrolls all 4
+    // iterations as materialized stages and must match to the bit; this
+    // closes clusterAssign's documented iters=0 limitation ("a k-means
+    // fixpoint is not relationally replayable"): the INTEGER fixpoint is.
+    "q_kmeans" -> ((s, dir) => {
+      graft.operators.KMeans.trainAssign(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 4)
+        .orderBy("vec_id")
+    }),
+
     "q_embed_cluster" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (nlist, _) = Similarity.ivfTune(embCount(s, dir))
@@ -2224,7 +2237,59 @@ object PipelineQueries {
        GROUP BY g, q_bp
        ORDER BY source, q_bp"""
 
+  /** q_kmeans oracle: the exact integer Lloyd loop unrolled — every stage
+    * AS MATERIALIZED (the BPE-oracle lesson: CTE re-inlining re-expands a
+    * stage chain combinatorially). Replays KMeans.{quantized,
+    * seedCentroids, train, trainAssign} to the bit: same quantization,
+    * same md5-order seed, same (dist, cid) argmin, same non-negative
+    * integer floor-division centroid update, same emptied-cluster
+    * carry (left-join coalesce). */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def asg(t: Int, cent: String) =
+      s"""asg$t AS MATERIALIZED (
+           SELECT vec_id, qv, cid, dist FROM (
+             SELECT b.vec_id, b.qv, c.cid,
+                    CAST(list_sum(list_transform(range(1, 1 + len(b.qv)),
+                           i -> (b.qv[i] - c.cv[i]) * (b.qv[i] - c.cv[i])))
+                         AS BIGINT) AS dist
+             FROM base b CROSS JOIN $cent c) s
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) = 1)"""
+    val head =
+      s"""WITH base AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) + 16384) AS qv
+           FROM embeddings),
+         cent0 AS MATERIALIZED (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+           FROM (SELECT vec_id, qv FROM base
+                 ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id
+                 LIMIT $k))"""
+    val steps = (0 until iters).map { t =>
+      s"""${asg(t, s"cent$t")},
+         upd$t AS MATERIALIZED (
+           SELECT cid, i, CAST(sum(x) // count(*) AS BIGINT) AS cvi
+           FROM (SELECT cid, unnest(qv) AS x,
+                        unnest(range(1, 1 + len(qv))) AS i
+                 FROM asg$t)
+           GROUP BY cid, i),
+         cent${t + 1} AS MATERIALIZED (
+           SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+           FROM cent$t c LEFT JOIN
+                (SELECT cid, list(cvi ORDER BY i) AS cv
+                 FROM upd$t GROUP BY cid) n USING (cid))"""
+    }
+    s"""$head,
+       ${steps.mkString(",\n")},
+       ${asg(iters, s"cent$iters")}
+       SELECT vec_id, CAST(cid AS BIGINT) AS cid, dist
+       FROM asg$iters ORDER BY vec_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
 
     // the incrementally-maintained dimension must converge to the batch
     // build, so the streamed serving path shares q_scd2's oracle verbatim

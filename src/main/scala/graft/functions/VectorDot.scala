@@ -162,6 +162,46 @@ case class NearestCentroids(child: Expression,
     copy(child = newChild)
 }
 
+/** Integer-exact nearest-centroid assignment for the TRAINABLE k-means
+  * path ([[graft.operators.KMeans]]): squared-L2 argmin over a codebook of
+  * QUANTIZED (non-negative long) vectors, packed into one long as
+  * `dist² · |codebook| + cid` — minimizing the packed code IS the
+  * lexicographic (dist, cid) argmin, so ties break to the smallest
+  * centroid index exactly like a `row_number OVER (ORDER BY dist, cid)`.
+  * All arithmetic is long (distances ≤ d·(2·scale+offset)² ≈ 2³⁷ at the
+  * engine's 10⁴ scale, packed ≤ 2⁴³): associative, engine-independent,
+  * relationally replayable to the bit — the device that makes a k-means
+  * FIXPOINT hash-gateable where the double-valued refine path is not.
+  * Same map-only shape as [[NearestCentroids]]: the codebook rides as a
+  * codegen reference object, zero exchange, zero row blowup. */
+case class CentroidArgminL2(child: Expression,
+    cents: IndexedSeq[IndexedSeq[Long]]) extends UnaryExpression {
+  require(cents.nonEmpty, "CentroidArgminL2 requires a non-empty codebook")
+
+  @transient private lazy val matrix: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"CentroidArgminL2 requires array<bigint>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.argminL2Packed(v.asInstanceOf[ArrayData], matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("kmeansCodebook", matrix, "long[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.argminL2Packed($c, $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgminL2 =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Sequential fold over the common prefix; elements must be non-null
     * (embedding vectors never carry null elements). */
@@ -206,6 +246,26 @@ object VectorOps {
       o += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[CentroidArgminL2]]: min over c of `distL2²(v, cents(c))·m + c`
+    * — exact long arithmetic end to end (inputs are the quantized
+    * non-negative integer vectors of [[graft.operators.KMeans]]). */
+  def argminL2Packed(v: ArrayData, cents: Array[Array[Long]]): Long = {
+    val m = cents.length
+    var best = Long.MaxValue
+    var c = 0
+    while (c < m) {
+      val ct = cents(c)
+      val n = math.min(v.numElements(), ct.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { val d = v.getLong(i) - ct(i); s += d * d; i += 1 }
+      val code = s * m + c
+      if (code < best) best = code
+      c += 1
+    }
+    best
   }
 
   /** SRP signature: bit per plane, MSB-first (plane 0 → highest emitted

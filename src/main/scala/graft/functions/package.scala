@@ -75,6 +75,12 @@ package object functions {
     column(NearestCentroids(expression(v.cast("array<double>")),
       cents.map(_.toIndexedSeq).toIndexedSeq, keep))
 
+  /** Integer-exact squared-L2 argmin over a quantized codebook, packed as
+    * `dist²·|codebook| + cid` (ties to the smallest cid) — map-only. */
+  def centroidArgminL2(v: Column, cents: Seq[Seq[Long]]): Column =
+    column(CentroidArgminL2(expression(v),
+      cents.map(_.toIndexedSeq).toIndexedSeq))
+
   /** PQ codes (length-m array<int>) for a vector — map-only, codebook as
     * plan metadata. Codebook shape: m subspaces × ksub codewords × d/m. */
   def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =

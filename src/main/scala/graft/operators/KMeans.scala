@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.centroidArgminL2
+
+/** Distributed k-means TRAINING with a hash-gateable fixpoint.
+  *
+  * [[Similarity.clusterAssign]]'s scaladoc records the standing limitation
+  * this operator removes: its `kmeansIters` refine path runs on doubles,
+  * whose centroid means depend on partition-order float summation — so the
+  * hash-checked queries had to serve iters=0 ("a k-means fixpoint is not
+  * relationally replayable in a SQL oracle"). Here the ENTIRE Lloyd
+  * iteration is defined over integers:
+  *
+  *  - vectors quantize once to non-negative longs
+  *    (`floor(x·10⁴) + offset` per element — float→double widening and the
+  *    ×10⁴ product are both IEEE-exact, so the quantization itself is
+  *    engine-portable),
+  *  - assignment is exact squared-L2 argmin over long arithmetic with ties
+  *    to the smallest centroid id ([[graft.functions.CentroidArgminL2]],
+  *    map-only, codebook as a codegen reference object),
+  *  - the centroid update is an ASSOCIATIVE long sum per (cluster, dim)
+  *    followed by one integer floor-division (operands non-negative by the
+  *    offset, so Spark's truncating long division, Scala's `/`, and
+  *    DuckDB's `//` all agree),
+  *  - an emptied cluster keeps its previous centroid (deterministic,
+  *    relationally replayable as a left-join coalesce).
+  *
+  * Every step is exact and order-independent, so a FIXED iteration count
+  * unrolls into a relational oracle that must match to the bit — the same
+  * device family as the integer PageRank (Graphs.scala) and the BPE
+  * training loop (Bpe.scala).
+  *
+  * ==Scale shape==
+  * The quantized corpus is localCheckpointed once; each iteration is ONE
+  * job over the checkpoint — a map-only assignment fused into the scan
+  * stage plus a (k·d)-row partial-agg collect (k·d ≈ 512 longs here:
+  * codebook-sized plan metadata, the same driver-collect contract as
+  * [[Similarity.md5Codebook]]). No per-iteration shuffle of the corpus,
+  * no crossJoin, no window. At 10⁹ vectors the per-iteration cost is one
+  * scan + a k·d-row tree-aggregate; the driver loop holds k·d longs.
+  *
+  * Seeding follows the engine's md5-order device (the k corpus vectors
+  * smallest by `(md5-prefix(id), id)`, indexed by ascending id) so the
+  * initial codebook is engine-neutral pseudo-randomness, not a Spark
+  * partitioning artifact.
+  */
+object KMeans {
+
+  /** Quantization scale: 10⁴ units per 1.0 of embedding mass (the
+    * engine's basis-point convention). */
+  val Scale = 10000L
+
+  /** Additive offset keeping every quantized element non-negative for
+    * |x| ≤ 1.6384 (corpus elements are unit-norm coordinates, |x| < 1):
+    * uniform shifts cancel in L2 distances, and non-negativity is what
+    * makes truncating and floor integer division coincide across
+    * engines. */
+  val Offset = 16384L
+
+  /** (vid, qv): id + quantized non-negative integer vector. */
+  def quantized(emb: DataFrame, id: String, vec: String): DataFrame =
+    emb.select(col(id).cast("long").as("vid"),
+      transform(col(vec).cast("array<double>"),
+        x => floor(x * lit(Scale.toDouble)).cast("long") + lit(Offset)).as("qv"))
+
+  /** md5-order seed codebook over the quantized corpus: the k rows
+    * smallest by (md5-prefix(vid), vid), centroid index = rank by
+    * ascending vid among them (the [[Similarity.md5Codebook]] rule on the
+    * integer domain). TakeOrdered — never a global sort; k·d longs. */
+  def seedCentroids(q: DataFrame, k: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val seed = q
+      .orderBy(substring(md5(col("vid").cast("string")), 1, 8).asc, col("vid").asc)
+      .limit(k)
+      .select(col("vid"), col("qv"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
+    require(seed.nonEmpty, "k-means requires a non-empty corpus")
+    seed
+  }
+
+  /** `iters` exact Lloyd iterations from the md5 seed; returns the final
+    * codebook and the checkpointed quantized corpus (so serving reuses
+    * the materialization the training already paid for). */
+  def train(emb: DataFrame, id: String, vec: String, k: Int,
+      iters: Int): (IndexedSeq[IndexedSeq[Long]], DataFrame) = {
+    val q = quantized(emb, id, vec).localCheckpoint(eager = false)
+    var cents = seedCentroids(q, k)
+    var it = 0
+    while (it < iters) {
+      // one job: map-only assignment + (cid, dim) partial-sum collect —
+      // k·d rows, codebook-sized (the md5Codebook collect contract)
+      val parts = q
+        .select(pmod(centroidArgminL2(col("qv"), cents), lit(k.toLong))
+          .cast("int").as("cid"), col("qv"))
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCid = parts.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCid.get(c) match {
+          case Some(rows) =>
+            // operands non-negative: Scala's truncating / == floor ==
+            // DuckDB's // — the cross-engine division contract
+            rows.sortBy(_.getInt(1)).map(r => r.getLong(2) / r.getLong(3))
+              .toIndexedSeq
+          case None => cents(c) // emptied cluster keeps its centroid
+        }
+      }.toIndexedSeq
+      it += 1
+    }
+    (cents, q)
+  }
+
+  /** Train k·`iters` and serve the final assignment:
+    * (vec_id, cid, dist) — exact squared-L2 distance in quantized units,
+    * ties to the smallest cid. Map-only over the training checkpoint. */
+  def trainAssign(emb: DataFrame, id: String, vec: String, k: Int,
+      iters: Int): DataFrame = {
+    val (cents, q) = train(emb, id, vec, k, iters)
+    q.select(col("vid").as("vec_id"),
+        centroidArgminL2(col("qv"), cents).as("code"))
+      .select(col("vec_id"),
+        pmod(col("code"), lit(k.toLong)).as("cid"),
+        expr(s"code div ${k}L").as("dist"))
+  }
+
+  /** Final assignment against a GIVEN trained codebook — the serving
+    * split (train once, assign map-only), mirroring
+    * [[Similarity.assignToCodebook]] on the integer domain. */
+  def assignExact(emb: DataFrame, id: String, vec: String,
+      cents: Seq[Seq[Long]]): DataFrame = {
+    val k = cents.length.toLong
+    quantized(emb, id, vec)
+      .select(col("vid").as("vec_id"),
+        centroidArgminL2(col("qv"), cents.map(_.toIndexedSeq).toIndexedSeq)
+          .as("code"))
+      .select(col("vec_id"),
+        pmod(col("code"), lit(k)).as("cid"),
+        expr(s"code div ${k}L").as("dist"))
+  }
+}

@@ -322,6 +322,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.broadcasts >= 3, s"ctx2/cont1/T2 must broadcast: $c")
   }
 
+  test("q_kmeans: serving is map-only over the training checkpoint — zero scans, zero shuffles") {
+    val c = audited("q_kmeans")
+    // the quantized corpus is localCheckpointed by training; the served
+    // assignment derives entirely from checkpoint blocks (no parquet)
+    assert(c.scans == 0, s"corpus leaked past the training checkpoint: $c")
+    // assignment is one native expression in the scan stage: the only
+    // movement in the plan is the output range sort — never a hash
+    // exchange, never a crossJoin row blowup, never a window
+    assert(c.exchanges == 0, s"kmeans serving must not hash-shuffle: $c")
+    assert(c.broadcasts == 0, s"codebook must ride as plan metadata, not a join: $c")
+  }
+
   test("q_dsir: features materialized once, model broadcast, corpus text never re-read") {
     val c = audited("q_dsir")
     // the feature table is checkpoint-materialized (it feeds both the
