@@ -154,6 +154,28 @@ object RelationalQueries {
       checks.reduce(_ unionByName _).orderBy("metric")
     }),
 
+    // Privacy-release audit: k-anonymity (k=5) + l-diversity (l=2) over
+    // customer quasi-identifiers (nation, market segment), sensitive
+    // attribute = account-balance sign. One QI-keyed grouped pass.
+    "q_k_anonymity" -> ((s, dir) => {
+      graft.operators.Analytics.kAnonymity(
+          Tables.load(s, dir, "customer"),
+          qis = Seq("c_nationkey", "c_mktsegment"),
+          sensitive = (col("c_acctbal") >= 0), k = 5L, l = 2L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // Benford first-digit audit over order totals (fraud/fabrication
+    // screen): exact-integer digit extraction (unrolled divisions on
+    // cents — no log10 doubles), expected mass as shared bp literals.
+    "q_benford" -> ((s, dir) => {
+      graft.operators.Analytics.benford(
+          Tables.load(s, dir, "orders")
+            .select(cents(col("o_totalprice")).as("c"))
+            .filter(col("c") > 0), col("c"))
+        .orderBy("digit")
+    }),
+
     // 2D skyline (Pareto frontier) of parts: cheapest-for-their-size —
     // the sort+running-max device (O(n log n)), bucketed local pre-filter
     // so the exact global window sees survivors only; the oracle is the
@@ -262,6 +284,17 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // k-core extraction (k=3, 12 simultaneous-peel rounds — the sf0.01
+    // cascade needs 11, extras are no-ops): survivors of the support-≥2
+    // co-occurrence graph with their in-core degree. At sf0.1 the
+    // 3-core is GENUINELY empty (the support-thresholded graph thins as
+    // baskets diversify) — the oracle agrees on emptiness, which is as
+    // hash-gateable as any other answer.
+    "q_kcore" -> ((s, dir) => {
+      graft.operators.Graphs.kCore(coEdges(s, dir), k = 3, rounds = 12)
+        .orderBy("node")
+    }),
+
     // Link prediction: top-20 non-adjacent pairs by common-neighbor
     // count + exact Jaccard bp — wedge enumeration per center node,
     // one pair aggregation, anti-join against the edge set.
@@ -351,7 +384,80 @@ object RelationalQueries {
       .orderBy(desc("revenue_c"), col("n_name"))
   }
 
+  /** q_kcore oracle: the fixed-round simultaneous peel unrolled — per
+    * round a degree stage, a survivor stage, and the edge restriction,
+    * every stage AS MATERIALIZED (the BPE-oracle CTE-inlining lesson). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    val steps = (0 until rounds).map { t =>
+      s"""d$t AS MATERIALIZED (
+           SELECT p, count(*) AS deg
+           FROM (SELECT u AS p FROM e$t UNION ALL SELECT v FROM e$t)
+           GROUP BY p),
+         k$t AS MATERIALIZED (SELECT p FROM d$t WHERE deg >= $k),
+         e${t + 1} AS MATERIALIZED (
+           SELECT u, v FROM e$t
+           JOIN k$t a ON e$t.u = a.p
+           JOIN k$t b ON e$t.v = b.p)"""
+    }
+    s"""$head,
+       ${steps.mkString(",\n")}
+       SELECT p AS node, CAST(count(*) AS BIGINT) AS core_deg
+       FROM (SELECT u AS p FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       GROUP BY p ORDER BY node"""
+  }
+
+  /** q_benford oracle: digit extraction as the SAME unrolled integer
+    * divisions (12 tiny stages), expected mass from the SAME Scala
+    * literal table ([[graft.operators.Analytics.benfordExpectedBp]]) —
+    * the shared-definition device, so the two engines cannot drift. */
+  private def benfordOracle: String = {
+    val branches = graft.operators.Analytics.benfordThresholds(12)
+      .map(t => s"WHEN c >= $t THEN $t").mkString(" ")
+    val expect = graft.operators.Analytics.benfordExpectedBp.zipWithIndex
+      .map { case (bp, i) => s"WHEN digit = ${i + 1} THEN $bp" }
+      .mkString(" ")
+    s"""WITH vals AS (
+         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+         FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+       dig AS (
+         SELECT c // (CASE $branches ELSE 1 END) AS digit FROM vals),
+       counted AS (
+         SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dig
+         WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM counted)
+       SELECT digit, n,
+              CAST((n * 10000) // nt AS BIGINT) AS obs_bp,
+              CAST(CASE $expect END AS BIGINT) AS exp_bp,
+              CAST(abs((n * 10000) // nt - CASE $expect END) AS BIGINT) AS dev_bp
+       FROM counted CROSS JOIN tot ORDER BY digit"""
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q_kcore" -> kcoreOracle(k = 3, rounds = 12),
+
+    "q_k_anonymity" ->
+      """WITH cells AS (
+           SELECT c_nationkey, c_mktsegment, (c_acctbal >= 0) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT c_nationkey, c_mktsegment,
+                CAST(sum(n) AS BIGINT) AS class_n,
+                CAST(count(*) AS BIGINT) AS l_distinct,
+                sum(n) >= 5 AS meets_k,
+                count(*) >= 2 AS meets_l
+         FROM cells GROUP BY 1, 2
+         ORDER BY c_nationkey, c_mktsegment""",
+
+    "q_benford" -> benfordOracle,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

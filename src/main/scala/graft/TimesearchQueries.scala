@@ -712,6 +712,18 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: multi-touch attribution — first/last/linear
+    // credit (exact bp; every attributed conversion distributes exactly
+    // 10000 bp per model) for view/click touches within 7 days of a
+    // purchase. One user-keyed join + one conversion-keyed window.
+    "q_attribution" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.attribution(raw, "user_id", tsSec(raw),
+          "event_type", "event_id", touchTypes = Seq("view", "click"),
+          convType = "purchase", lookbackSec = 604800L)
+        .orderBy("event_type")
+    }),
+
     // Engine extension: integer-exact PageRank over the comment-reply
     // graph (the q_tree edge rule) — thread-influence scoring; exact
     // long arithmetic at every step so 10 iterations replay to the bit.
@@ -1353,6 +1365,32 @@ object TimesearchQueries {
          FROM ev JOIN f USING (u)
          GROUP BY cohort, "offset"
          ORDER BY cohort, "offset" """,
+
+    "q_attribution" ->
+      """WITH ev AS (
+           SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  event_type AS ty, event_id AS id
+           FROM events),
+         tc AS (
+           SELECT t.ty, c.id AS cid, t.t AS tt, t.id AS tid
+           FROM ev t JOIN ev c
+             ON t.u = c.u AND c.ty = 'purchase'
+            AND t.ty IN ('view', 'click')
+            AND t.t < c.t AND c.t - t.t <= 604800),
+         ranked AS (
+           SELECT ty,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY tt ASC, tid ASC) AS ra,
+                  row_number() OVER (PARTITION BY cid
+                    ORDER BY tt DESC, tid DESC) AS rd,
+                  count(*) OVER (PARTITION BY cid) AS n
+           FROM tc)
+         SELECT ty AS event_type,
+                CAST(sum(CASE WHEN ra = 1 THEN 10000 ELSE 0 END) AS BIGINT) AS first_bp,
+                CAST(sum(CASE WHEN rd = 1 THEN 10000 ELSE 0 END) AS BIGINT) AS last_bp,
+                CAST(sum(10000 // n + CASE WHEN rd = 1 THEN 10000 % n ELSE 0 END) AS BIGINT) AS linear_bp,
+                CAST(count(*) AS BIGINT) AS n_touch
+         FROM ranked GROUP BY ty ORDER BY event_type""",
 
     // PageRank replay: 10 unrolled AS MATERIALIZED stages (the staged-
     // CTE device); all-integer per-step algebra mirrors the operator.

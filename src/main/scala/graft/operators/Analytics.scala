@@ -258,6 +258,85 @@ object Analytics {
         col("med"), col("mad"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the privacy gate a curation pipeline runs before
+    * releasing a table: every quasi-identifier equivalence class with
+    * its size, the distinct-count of the sensitive attribute inside it,
+    * and the meets-k / meets-l verdicts. A class failing k is
+    * re-identifiable by QI join; a class failing l leaks the sensitive
+    * value even when k holds (the homogeneity attack).
+    *
+    * ONE grouped pass over (QIs, sensitive) then a class-bounded
+    * rollup — at 100 TB the single corpus exchange is keyed on the QI
+    * tuple and map-side combine collapses duplicates first. */
+  def kAnonymity(df: DataFrame, qis: Seq[String], sensitive: Column,
+      k: Long, l: Long): DataFrame = {
+    require(qis.nonEmpty && k >= 1 && l >= 1)
+    val cells = df
+      .groupBy((qis.map(col) :+ sensitive.as("_s")): _*)
+      .agg(count(lit(1)).as("_n"))
+    cells
+      .groupBy(qis.map(col): _*)
+      .agg(sum("_n").as("class_n"), count(lit(1)).as("l_distinct"))
+      .select((qis.map(col) ++ Seq(col("class_n"), col("l_distinct"),
+        (col("class_n") >= k).as("meets_k"),
+        (col("l_distinct") >= l).as("meets_l"))): _*)
+  }
+
+  /** Benford first-significant-digit audit — the classic fraud /
+    * data-fabrication screen over a positive numeric column. Works on
+    * EXACT integer units (cents): the first digit falls out of ≤
+    * `maxDigits` unrolled integer halvings-by-ten (never a
+    * `log10`-double, whose boundary rounding is engine-dependent), and
+    * expected Benford mass arrives pre-quantized as basis-point
+    * literals (`expectedBp`, the shared-definition device — one Scala
+    * source feeds both engines). Output per digit 1-9: count, observed
+    * bp, expected bp, absolute deviation bp.
+    * ONE map-side-combined 9-group aggregate. */
+  def benford(df: DataFrame, valueCents: Column, maxDigits: Int = 12): DataFrame =
+    benfordFromDigit(df, benfordFirstDigit(valueCents, maxDigits))
+
+  /** Power-of-ten thresholds 10^(maxDigits−1) … 10, descending — ONE
+    * definition feeding both engines' branch chains. */
+  def benfordThresholds(maxDigits: Int): Seq[Long] =
+    (1 until maxDigits).reverse.map(k => math.pow(10, k.toDouble).toLong)
+
+  /** First significant digit of a positive long: find the value's
+    * power-of-ten magnitude with a LINEAR threshold chain (a repeated
+    * divide-by-ten fold duplicates its subtree 4× per step —
+    * exponential expression blowup; the chain references the input once
+    * per branch), then one division. The double quotient is in [1, 10)
+    * with both operands exact below 2⁵³, so truncation is exact integer
+    * division — identical to the oracle's `//`. */
+  def benfordFirstDigit(valueCents: Column, maxDigits: Int): Column = {
+    val c = valueCents.cast("long")
+    val ts = benfordThresholds(maxDigits)
+    val p = ts.tail.foldLeft(when(c >= ts.head, lit(ts.head))) {
+      case (w, t) => w.when(c >= t, lit(t))
+    }.otherwise(lit(1L))
+    (c / p).cast("long")
+  }
+
+  /** Benford's expected first-digit mass, floor-quantized to basis
+    * points: floor(log10(1 + 1/d) · 10⁴) — evaluated ONCE here and
+    * injected as integer literals into both engines' queries. */
+  val benfordExpectedBp: IndexedSeq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 10000).toLong)
+
+  private def benfordFromDigit(df: DataFrame, digit: Column): DataFrame = {
+    val expect = benfordExpectedBp.zipWithIndex
+      .foldLeft(lit(0L)) { case (e, (bp, i)) =>
+        when(col("digit") === (i + 1).toLong, lit(bp)).otherwise(e) }
+    val counted = df.select(digit.as("digit"))
+      .filter(col("digit") >= 1L && col("digit") <= 9L)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counted.agg(sum("n").as("nt"))
+    counted.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("(n * 10000) div nt").as("obs_bp"), expect.as("exp_bp"))
+      .withColumn("dev_bp", abs(col("obs_bp") - col("exp_bp")))
+  }
+
   /** J3 — get_comments.py:47-55: newest comment whose submission has NOT
     * been augmented (NOT EXISTS anti-join). */
   def latestUnaugmented(comments: DataFrame, submissions: DataFrame): DataFrame =

@@ -80,6 +80,59 @@ object Events {
       .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
   }
 
+  /** Multi-touch ATTRIBUTION — the marketing-analytics settlement of
+    * "which touchpoints get credit for a conversion", under the three
+    * standard models at once:
+    *
+    *  - first-touch: the conversion's full 10000 bp to its EARLIEST
+    *    in-window touch,
+    *  - last-touch: all credit to the LATEST touch before conversion,
+    *  - linear: each of the n touches gets `10000 div n` bp and the
+    *    last touch absorbs the remainder `10000 mod n` — so every
+    *    conversion distributes EXACTLY 10000 bp under every model
+    *    (exact integers, no double splits to drift across engines).
+    *
+    * A touch is a `touchTypes` event by the same user strictly before
+    * the conversion and at most `lookbackSec` older; total order within
+    * a conversion is (ts, id) so simultaneous touches settle
+    * deterministically. Touch-free conversions attribute nothing (no
+    * synthetic "direct" row — the caller can count them separately).
+    *
+    * Scale shape: touches⋈conversions is ONE user-keyed equi-join
+    * (the in-window predicate rides as a residual — per-user event
+    * runs are bounded), then the three ranks share one
+    * conversion-keyed window exchange. Output is |touch types| rows.
+    */
+  def attribution(events: DataFrame, user: String, tsSec: Column,
+      typ: String, id: String, touchTypes: Seq[String], convType: String,
+      lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackSec > 0)
+    val touches = events.filter(col(typ).isin(touchTypes: _*))
+      .select(col(user).as("u"), tsSec.as("tt"), col(typ).as("ty"),
+        col(id).as("tid"))
+    val convs = events.filter(col(typ) === convType)
+      .select(col(user).as("u"), tsSec.as("ct"), col(id).as("cid"))
+    val inWindow = touches.join(convs, Seq("u"))
+      .filter(col("tt") < col("ct") &&
+        col("ct") - col("tt") <= lookbackSec)
+    val w = Window.partitionBy("cid")
+    val asc = w.orderBy(col("tt").asc, col("tid").asc)
+    val dsc = w.orderBy(col("tt").desc, col("tid").desc)
+    inWindow
+      .withColumn("ra", row_number().over(asc))
+      .withColumn("rd", row_number().over(dsc))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("ty"),
+        when(col("ra") === 1, lit(10000L)).otherwise(lit(0L)).as("fb"),
+        when(col("rd") === 1, lit(10000L)).otherwise(lit(0L)).as("lb"),
+        (expr("10000L div n") +
+          when(col("rd") === 1, pmod(lit(10000L), col("n")))
+            .otherwise(lit(0L))).as("nb"))
+      .groupBy(col("ty").as("event_type"))
+      .agg(sum("fb").as("first_bp"), sum("lb").as("last_bp"),
+        sum("nb").as("linear_bp"), count(lit(1)).as("n_touch"))
+  }
+
   /** M4 time-series downsampling (Jugel et al., VLDB 2014): per time
     * bucket, the min/max/first/last of the value — the four points that
     * make a line-chart rendering of the bucket pixel-exact, and the

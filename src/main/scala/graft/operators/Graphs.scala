@@ -179,6 +179,41 @@ object Graphs {
     labels
   }
 
+  /** k-core extraction (cohesion filtering — the standard "throw away
+    * the fringe" device before community/embedding work): `rounds` fixed
+    * SIMULTANEOUS peels — every round removes ALL nodes of current
+    * degree < k at once — then the survivors with their in-core degree.
+    * The simultaneous peel is deterministic and order-free (unlike the
+    * sequential min-degree peel), so a FIXED round count replays
+    * relationally stage for stage; once the peel reaches the k-core,
+    * further rounds are no-ops, so an over-provisioned round count is
+    * correctness-neutral (the spec pins convergence on the fixture, and
+    * a caller can always add rounds without changing a converged
+    * answer).
+    *
+    * Scale shape: per round ONE |E|-bounded degree aggregation + two
+    * semi-joins of the edge set against the survivor set (key-partitioned
+    * exchanges bounded by |E|), with per-round localCheckpoint so the
+    * lazy chain never re-peels earlier rounds (the MMR lineage lesson).
+    * Round count is bounded by the peel depth, which in practice is tiny
+    * compared to |V| (it only exceeds O(log n) on path-like fringes).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = edges.select(col("u"), col("v")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("p"))
+        .unionByName(e.select(col("v").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("p")
+      e = e.join(keep.withColumnRenamed("p", "ku"), col("u") === col("ku"))
+        .join(keep.withColumnRenamed("p", "kv"), col("v") === col("kv"))
+        .select("u", "v").localCheckpoint(false)
+    }
+    e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Link prediction by common neighbors: for every NON-adjacent pair
     * with ≥1 shared neighbor, the shared-neighbor count and Jaccard
     * overlap of neighborhoods in basis points (exact integers). Wedge

@@ -375,4 +375,88 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((1L, 3L)) === ((1L, 6000L, 2000L)))
     assert(out((2L, 3L)) === ((1L, 7500L, 2500L)))
   }
+
+  test("kCore: multi-round cascade peels the tail, keeps the clique; extra rounds no-op") {
+    import graft.operators.Graphs
+    // K4 clique on 0-3 (every node deg 3) + a path 3-4-5-6 hanging off:
+    // k=2 peels 6 (deg 1), then 5, then 4 — a genuine 3-round cascade —
+    // and the clique plus nothing else survives with in-core degree 3
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = Graphs.kCore(edges, k = 2, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // converged: more rounds change nothing
+    val more = Graphs.kCore(edges, k = 2, rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === got)
+    // k above the degeneracy: empty core, not an error
+    assert(Graphs.kCore(edges, k = 4, rounds = 5).count() === 0L)
+  }
+
+  test("attribution: each conversion distributes exactly 10000 bp per model") {
+    import graft.operators.Events
+    // u1: view@10, click@20, view@30 -> purchase@40 (3 in-window touches)
+    // u2: click@5 -> purchase@6 (1 touch); purchase@100 attributes
+    //     nothing (its only prior touch is 95 units stale, lookback 30)
+    val ev = Seq(
+      (1L, 10L, "view", 100L), (1L, 20L, "click", 101L),
+      (1L, 30L, "view", 102L), (1L, 40L, "purchase", 103L),
+      (2L, 5L, "click", 200L), (2L, 6L, "purchase", 201L),
+      (2L, 100L, "purchase", 202L)
+    ).toDF("user_id", "t", "event_type", "event_id")
+    val got = Events.attribution(ev, "user_id", col("t"), "event_type",
+        "event_id", Seq("view", "click"), "purchase", lookbackSec = 30L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // conversion 103 (3 touches): first=view@10, last=view@30 — views
+    // take first AND last there; linear splits 3333/3333/3334 with the
+    // remainder landing on the last touch (a view). conversion 201:
+    // single click takes everything.
+    assert(got("view") === ((10000L, 10000L, 3333L + 3334L, 2L)))
+    assert(got("click") === ((10000L, 10000L, 3333L + 10000L, 2L)))
+    // every model conserves total credit: 2 attributed conversions
+    assert(got.values.map(_._1).sum === 20000L)
+    assert(got.values.map(_._2).sum === 20000L)
+    assert(got.values.map(_._3).sum === 20000L)
+  }
+
+  test("kAnonymity: class sizes, l-diversity, and verdicts from a hand fixture") {
+    val df = Seq(
+      // class (1, "A"): 3 rows, sensitive values {true, false} -> l=2
+      (1, "A", 10.0), (1, "A", -5.0), (1, "A", 3.0),
+      // class (1, "B"): 2 rows, all sensitive true -> fails l
+      (1, "B", 1.0), (1, "B", 2.0),
+      // class (2, "A"): 1 row -> fails k
+      (2, "A", -1.0)
+    ).toDF("nat", "seg", "bal")
+    val got = Analytics.kAnonymity(df, Seq("nat", "seg"),
+        col("bal") >= 0, k = 2L, l = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got((1, "A")) === ((3L, 2L, true, true)))
+    assert(got((1, "B")) === ((2L, 1L, true, false)))
+    assert(got((2, "A")) === ((1L, 1L, false, false)))
+  }
+
+  test("benford: exact first-digit extraction and expected-mass table") {
+    // the expected table is the published Benford mass, floor-quantized
+    assert(Analytics.benfordExpectedBp ===
+      IndexedSeq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L))
+    assert(Analytics.benfordExpectedBp.sum <= 10000L)
+    val vals = Seq(1L, 9L, 10L, 19L, 99L, 100L, 101L, 999L, 1000L,
+      50000000L, 987654321L).toDF("c")
+    val digits = vals.select(col("c"),
+        Analytics.benfordFirstDigit(col("c"), 12).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(digits === Map(1L -> 1L, 9L -> 9L, 10L -> 1L, 19L -> 1L,
+      99L -> 9L, 100L -> 1L, 101L -> 1L, 999L -> 9L, 1000L -> 1L,
+      50000000L -> 5L, 987654321L -> 9L))
+    // full audit on a tiny frame: counts and bp algebra
+    val out = Analytics.benford(vals, col("c")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(1L)._1 === 6L)                 // six values lead with 1
+    assert(out(1L)._2 === 6L * 10000L / 11L)  // exact integer bp
+    assert(out(9L)._1 === 4L) // 9, 99, 999, 987654321
+  }
 }
