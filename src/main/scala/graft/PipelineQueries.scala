@@ -1341,6 +1341,34 @@ object PipelineQueries {
     }),
 
     // Text analysis: token counts, quality, language-ID, fingerprint.
+    // Flesch reading-ease in exact-integer milli-points: words /
+    // sentence-runs / floored vowel-group syllables, each ratio
+    // floor-divided once. Map-only — fuses into the document scan.
+    "q_readability" -> ((s, dir) => {
+      TextAnalysis.readability(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc")
+    }),
+
+    // RAKE keyword extraction: stopword-free runs as candidate phrases
+    // (the pos − row_number device), deg/freq word scores in bp, top-20
+    // phrases by summed score. Stoplist shared with the oracle from ONE
+    // Scala definition.
+    "q_rake" -> ((s, dir) => {
+      TextAnalysis.rakeKeywords(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 20)
+    }),
+
+    // Hashing-trick featurization: tokens into 4096 signed slots via the
+    // portable md5 device; (doc, bucket) Σsign sparse triplets (zero-sum
+    // slots dropped). Sampled docs keep the gate output bounded.
+    "q_featurize" -> ((s, dir) => {
+      TextAnalysis.hashFeatures(
+          Tables.load(s, dir, "documents").filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", buckets = 4096)
+        .orderBy("doc", "bucket")
+    }),
+
     "q_text_profile" -> ((s, dir) => {
       TextAnalysis.profile(Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
@@ -2287,9 +2315,97 @@ object PipelineQueries {
        FROM asg$iters ORDER BY vec_id"""
   }
 
+  /** q_rake oracle: phrase segmentation via the same pos − row_number
+    * run device (1-based positions shift the run key by a constant —
+    * grouping is unchanged); the stoplist comes from the SAME Scala
+    * Seq as the operator (shared-definition device). */
+  private def rakeOracle: String = {
+    val stops = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+         SELECT doc_id AS doc,
+                list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> length(x) > 0) AS t
+         FROM documents),
+       pos AS (
+         SELECT doc, k AS pos, t[k] AS w
+         FROM (SELECT doc, t, unnest(range(1, len(t) + 1)) AS k FROM toks) z),
+       ns AS (
+         SELECT doc, pos, w,
+                row_number() OVER (PARTITION BY doc ORDER BY pos) AS rn
+         FROM pos WHERE w NOT IN ($stops)),
+       ph AS MATERIALIZED (
+         SELECT doc, pos - rn AS grp, list(w ORDER BY pos) AS words
+         FROM ns GROUP BY doc, pos - rn),
+       occ AS MATERIALIZED (
+         SELECT doc, grp, array_to_string(words, ' ') AS phrase,
+                CAST(len(words) AS BIGINT) AS plen, unnest(words) AS w
+         FROM ph),
+       wstat AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                CAST(sum(plen) AS BIGINT) AS deg
+         FROM occ GROUP BY w),
+       psc AS (
+         SELECT doc, grp, phrase, plen,
+                CAST(sum((deg * 10000) // freq) AS BIGINT) AS score_bp
+         FROM occ JOIN wstat USING (w)
+         GROUP BY doc, grp, phrase, plen)
+       SELECT phrase, CAST(min(plen) AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_occur, min(score_bp) AS score_bp
+       FROM psc GROUP BY phrase
+       ORDER BY score_bp DESC, phrase LIMIT 20"""
+  }
+
+  /** q_featurize oracle: the md5-prefix strpos polynomial (the exact
+    * integer conv() yields in Spark) mod the bucket count; sign from the
+    * 9th hex digit's parity. */
+  private def featurizeOracle: String = {
+    val poly = (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', hx[$i]) - 1) * ${1L << (4 * (8 - i))}")
+      .mkString(" + ")
+    s"""WITH tok AS (
+         SELECT doc_id AS doc,
+                unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> length(x) > 0)) AS w
+         FROM documents WHERE doc_id % 7 = 0),
+       h AS (SELECT doc, substr(md5(w), 1, 9) AS hx FROM tok),
+       b AS (SELECT doc, ($poly) % 4096 AS bucket,
+                    CASE WHEN (strpos('0123456789abcdef', hx[9]) - 1) % 2 = 0
+                         THEN 1 ELSE -1 END AS s
+             FROM h),
+       agg AS (SELECT doc, CAST(bucket AS BIGINT) AS bucket,
+                      CAST(sum(s) AS BIGINT) AS w
+               FROM b GROUP BY doc, bucket)
+       SELECT doc, bucket, w FROM agg WHERE w != 0 ORDER BY doc, bucket"""
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
+
+    "q_readability" ->
+      """WITH d AS (
+           SELECT doc_id AS doc, text,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS t
+           FROM documents),
+         m AS (
+           SELECT doc, CAST(len(t) AS BIGINT) AS n_words,
+                  greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT)) AS n_sentences,
+                  CAST(len(regexp_extract_all(array_to_string(t, ' '),
+                         '[aeiouy]+'))
+                    + len(list_filter(t, x -> NOT regexp_matches(x, '[aeiouy]')))
+                    AS BIGINT) AS n_syllables
+           FROM d WHERE len(t) >= 1)
+         SELECT doc, n_words, n_sentences, n_syllables,
+                CAST(206835 - (1015 * n_words) // n_sentences
+                            - (84600 * n_syllables) // n_words
+                     AS BIGINT) AS flesch_milli
+         FROM m ORDER BY doc""",
+
+    "q_rake" -> rakeOracle,
+
+    "q_featurize" -> featurizeOracle,
 
     // the incrementally-maintained dimension must converge to the batch
     // build, so the streamed serving path shares q_scd2's oracle verbatim

@@ -1180,6 +1180,107 @@ object TextAnalysis {
     *  - `r_ellipsis_lines`: ≤ 30% of lines end with "..."
     *  - `r_stopwords`: ≥ 2 DISTINCT common stopwords present
     */
+  /** Flesch reading-ease scoring, exact-integer form (the readability
+    * gate of classic quality filtering): per document
+    *
+    *   flesch_milli = 206835 − (1015·words) div sentences
+    *                         − (84600·syllables) div words
+    *
+    * — the published 206.835 − 1.015·(w/s) − 84.6·(syl/w) scaled ×1000
+    * with each ratio floor-divided ONCE (the engine's deterministic
+    * quantization contract). Sentences = `[.!?]+` runs (min 1);
+    * syllables = vowel-group count per token with a 1-per-token floor,
+    * computed as vowel groups over the space-joined token string plus
+    * the vowel-less token count — two regex passes, no per-token lambda.
+    * Map-only: fuses into the document scan. */
+  def readability(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = filter(split(lower(col(text)), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    df.select(col(id).as("doc"), col(text).as("_x"), toks.as("_t"))
+      .select(col("doc"),
+        size(col("_t")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(regexp_extract_all(col("_x"), lit("[.!?]+"), lit(0)))
+            .cast("long")).as("n_sentences"),
+        (size(regexp_extract_all(concat_ws(" ", col("_t")),
+            lit("[aeiouy]+"), lit(0))).cast("long") +
+          size(filter(col("_t"), t => !t.rlike("[aeiouy]"))).cast("long"))
+          .as("n_syllables"))
+      .filter(col("n_words") >= 1L)
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("(1015 * n_words) div n_sentences")
+          - expr("(84600 * n_syllables) div n_words"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs; word score = deg(w)/freq(w) where
+    * freq counts occurrences and deg sums the lengths of phrases the
+    * occurrence sits in; phrase score = Σ word scores (each ratio
+    * floor-quantized to bp ONCE, then summed — exact integers, so the
+    * ranking is engine-portable). Returns the top-k distinct phrases by
+    * (score desc, phrase asc) with occurrence counts.
+    *
+    * Scale shape: phrase segmentation is the pos−row_number run device
+    * (one doc-keyed window + one (doc, run) aggregation); word stats and
+    * the phrase re-aggregation are phrase-bounded; the top-k is a
+    * TakeOrdered. The corpus shuffles on doc once, everything after is
+    * vocabulary/phrase-sized. */
+  def rakeKeywords(df: DataFrame, id: String, text: String,
+      stops: Seq[String] = stopwords, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(text)), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    val pos = df.select(col(id).as("doc"), toks.as("_t"))
+      .select(col("doc"), posexplode(col("_t")).as(Seq("pos", "w")))
+    val runs = pos.filter(!col("w").isin(stops.map(x => x: Any): _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc").orderBy("pos")))
+      .withColumn("grp", col("pos") - col("rn"))
+    val phrases = runs.groupBy("doc", "grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        s => s.getField("w")).as("words"))
+      .select(col("doc"), col("grp"),
+        concat_ws(" ", col("words")).as("phrase"),
+        size(col("words")).cast("long").as("plen"), col("words"))
+    val occur = phrases.select(col("doc"), col("grp"), col("phrase"),
+      col("plen"), explode(col("words")).as("w"))
+    val wordStats = occur.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("score_bp", expr("(deg * 10000) div freq"))
+    occur.join(wordStats.select("w", "score_bp"), "w")
+      .groupBy("doc", "grp", "phrase", "plen")
+      .agg(sum("score_bp").as("score_bp"))
+      .groupBy("phrase")
+      .agg(min("plen").as("n_words"), count(lit(1)).as("n_occur"),
+        min("score_bp").as("score_bp"))
+      .orderBy(col("score_bp").desc, col("phrase").asc)
+      .limit(k)
+  }
+
+  /** Hashing-trick featurization (Weinberger et al. 2009): tokens land
+    * in `buckets` signed slots via the engine's portable md5 device —
+    * bucket = first 8 md5 hex digits mod buckets, sign = parity of the
+    * 9th digit — and each (doc, bucket) accumulates Σ sign (the signed
+    * sum that keeps hashed inner products unbiased). Zero-sum slots are
+    * dropped (a cancelled slot and an untouched slot are the same
+    * feature value). Output (doc, bucket, w) sparse-triplet rows.
+    * One explode + one (doc, bucket) aggregation — at 100 TB the
+    * exchange is keyed on doc and map-side combine collapses repeats. */
+  def hashFeatures(df: DataFrame, id: String, text: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0)
+    val toks = filter(split(lower(col(text)), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    df.select(col(id).as("doc"), explode(toks).as("w"))
+      .select(col("doc"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+          % buckets).as("bucket"),
+        when(conv(substring(md5(col("w")), 9, 1), 16, 10).cast("long")
+          % 2 === 0L, lit(1L)).otherwise(lit(-1L)).as("s"))
+      .groupBy("doc", "bucket").agg(sum("s").as("w"))
+      .filter(col("w") =!= 0L)
+  }
+
   def gopherRules(df: DataFrame, id: String, text: String): DataFrame = {
     val x = col("_x"); val toks = col("_toks"); val lines = col("_lines")
     def bp(num: Column, den: Column): Column =

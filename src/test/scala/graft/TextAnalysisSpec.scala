@@ -985,4 +985,67 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(p0 === p0.sortBy(x => (md5p(x), x)), "within-phase order is not md5")
     assert(p0 !== p0.sorted, "suspiciously id-ordered phase")
   }
+
+  test("readability: hand-computed Flesch components; sentence floor; token-less docs absent") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences
+      (2L, "xyz qqq"),                     // no vowels: 1 syllable each
+      (3L, "beautiful onomatopoeia"),      // rich vowel groups
+      (4L, "...!!!")                       // no tokens: dropped
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(!r.contains(4L))
+    // doc1: the/cat/sat/the/dog/ran -> 6 words, 2 sentences, 6 vowel
+    // groups (one per word); flesch = 206835 - 1015*6/2 - 84600*6/6
+    assert(r(1L) === ((6L, 2L, 6L, 206835L - 3045L - 84600L)))
+    // doc2: zero vowel groups, floor 1 per token -> 2 syllables
+    assert(r(2L)._1 === 2L); assert(r(2L)._2 === 1L); assert(r(2L)._3 === 2L)
+    // doc3: beau-ti-ful (3 groups: eau, i, u) + o-o-a-o-oeia (5 groups)
+    assert(r(3L)._3 === 8L)
+  }
+
+  test("rake: phrase runs split at stopwords; deg/freq scores hand-checked") {
+    // stoplist contains "the"/"of": "red apple" and "red tree" are the
+    // candidate runs; "red" occurs twice (deg 2+2), "apple"/"tree" once
+    val docs = Seq(
+      (1L, "the red apple of the red tree"),
+      (2L, "the apple")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.rakeKeywords(docs, "doc_id", "text", k = 10)
+      .collect().map(x =>
+        x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // word scores: red deg=4 freq=2 -> 20000; apple deg=3 freq=2 -> 15000;
+    // tree deg=2 freq=1 -> 20000
+    assert(r("red apple") === ((2L, 1L, 35000L)))
+    assert(r("red tree") === ((2L, 1L, 40000L)))
+    assert(r("apple") === ((1L, 1L, 15000L)))
+    // ranking: scores descend, ties on phrase text ascend
+    val ordered = TextAnalysis.rakeKeywords(docs, "doc_id", "text", k = 10)
+      .collect().map(x => (x.getLong(3), x.getString(0)))
+    assert(ordered === ordered.sortBy { case (s, p) => (-s, p) })
+  }
+
+  test("hashFeatures: signed sums cancel collisions deterministically; zero slots dropped") {
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashFeatures(docs, "doc_id", "text", buckets = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // reference hash: same md5 device computed independently
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    def bucket(w: String) = java.lang.Long.parseLong(md5hex(w).take(8), 16) % 64
+    def sign(w: String) =
+      if (Integer.parseInt(md5hex(w).charAt(8).toString, 16) % 2 == 0) 1L else -1L
+    val ba = bucket("alpha"); val bb = bucket("beta")
+    if (ba != bb) {
+      assert(r((1L, ba)) === 2L * sign("alpha"))
+      assert(r((1L, bb)) === sign("beta"))
+    }
+    assert(r((2L, ba)) === sign("alpha"))
+    // doc-level totals conserve the signed token mass
+    val total = TextAnalysis.hashFeatures(docs, "doc_id", "text", 64)
+      .groupBy().agg(sum("w")).head().getLong(0)
+    assert(total === 3L * sign("alpha") + sign("beta"))
+  }
 }
