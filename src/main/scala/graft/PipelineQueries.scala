@@ -1445,6 +1445,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Perceptual image NEAR-dup retrieval: the dHash corpus plus
+    // PERTURBED plants (every 10th doc re-minted with one text byte
+    // changed — one gray cell moves, ≤2 gradient bits flip), paired by
+    // the pigeonhole Hamming banding (Dedup.hammingPairs on the packed
+    // 64-bit hash — EXACT recall at ≤3 by construction). The oracle is
+    // the brute-force Hamming join the banding replaces.
+    "q_image_neardup" -> ((s, dir) => {
+      val hdr = "P6 9 8 255\n".getBytes("US-ASCII")
+      val perturbed = Tables.load(s, dir, "documents")
+        .select("doc_id", "text").filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("z"),
+            substring(col("text"), 6, 1000000)).as("text"))
+      val corpus = corpusWithDups(s, dir).unionByName(perturbed)
+      val media = corpus.select(
+        col("doc_id"), lit("image").as("modality"),
+        lit((hdr.length + 216).toLong).as("byte_len"),
+        concat(lit(hdr),
+          encode(rpad(substring(col("text"), 1, 216), 216, "x"), "UTF-8"))
+          .as("payload"))
+      // pack (hi, lo) into ONE signed 64-bit value by reinterpreting
+      // hi's top bit as the sign (hi·2³² overflows ANSI long for bit-31
+      // hashes; the CASE keeps the product in-range with the identical
+      // bit pattern — mirrored verbatim in the oracle)
+      val hashed = Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id").as("doc"),
+          (when(col("dhash_hi") >= 2147483648L,
+            col("dhash_hi") - 4294967296L).otherwise(col("dhash_hi"))
+            * 4294967296L + col("dhash_lo")).as("simhash"))
+      Dedup.hammingPairs(hashed, maxHamming = 3)
+        .orderBy("i", "j")
+    }),
+
     "q_multimodal_decode" -> ((s, dir) => {
       val hdr = Multimodal.wavHeaderPcm8Mono(dataLen = 100)
       val media = Tables.load(s, dir, "documents").select(
@@ -3618,6 +3651,51 @@ object PipelineQueries {
          SELECT doc_id, width, height, dhash_hi, dhash_lo,
                 CAST(count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS BIGINT) AS n_same
          FROM hashes ORDER BY doc_id""",
+
+    // brute-force Hamming join over the SAME minted rasters (orig +
+    // exact plants + one-byte-perturbed plants) — the quadratic oracle
+    // the pigeonhole banding replaces; must match EXACTLY (the banding
+    // has no false negatives at dist ≤ 3 by construction)
+    "q_image_neardup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  substr(text, 1, 4) || 'z' || substr(text, 6) AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         px AS (
+           SELECT doc_id, rpad(substr(text, 1, 216), 216, 'x') AS p
+           FROM corpus),
+         gg AS (
+           SELECT doc_id,
+                  list_transform(range(0, 72), i ->
+                    (ascii(substr(p, 3*i + 1, 1)) + ascii(substr(p, 3*i + 2, 1))
+                     + ascii(substr(p, 3*i + 3, 1))) // 3) AS g
+           FROM px),
+         rb AS (
+           SELECT doc_id,
+                  list_transform(range(0, 8), r ->
+                    list_sum(list_transform(range(0, 8), c ->
+                      CASE WHEN g[r*9 + c + 1] < g[r*9 + c + 2]
+                           THEN (1 << c) ELSE 0 END))) AS rb
+           FROM gg),
+         h2 AS (
+           SELECT doc_id,
+                  CAST(rb[1] + rb[2]*256 + rb[3]*65536 + rb[4]*16777216 AS BIGINT) AS hi,
+                  CAST(rb[5] + rb[6]*256 + rb[7]*65536 + rb[8]*16777216 AS BIGINT) AS lo
+           FROM rb),
+         hashes AS MATERIALIZED (
+           SELECT doc_id,
+                  (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+                    * 4294967296 + lo AS h
+           FROM h2)
+         SELECT a.doc_id AS i, b.doc_id AS j,
+                CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3
+         ORDER BY i, j""",
 
     "q_multimodal_decode" ->
       """SELECT doc_id, 'wav' AS format, 1 AS channels, 8000 AS sample_rate,

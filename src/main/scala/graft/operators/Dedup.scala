@@ -391,10 +391,19 @@ object Dedup {
     * negatives, unlike probabilistic LSH), then `bit_count(xor)` verifies.
     */
   def simhashPairs(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 3, bucketCap: Long = 1000000L): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Long = 1000000L): DataFrame =
+    hammingPairs(simhash(df, id, text), maxHamming, bucketCap)
+
+  /** Pigeonhole-banded Hamming join over ANY 64-bit signature column —
+    * the [[simhashPairs]] core, reusable for other 64-bit perceptual
+    * hashes (e.g. the image dHash): input (doc, simhash) rows, output
+    * all pairs at Hamming ≤ maxHamming — EXACT recall by pigeonhole,
+    * candidates from (maxHamming+1) chunk equi-joins, bucketCap skew
+    * shed as everywhere else in the dedup family. */
+  def hammingPairs(s: DataFrame, maxHamming: Int,
+      bucketCap: Long = 1000000L): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val s = simhash(df, id, text)
     val chunkCols = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * width)

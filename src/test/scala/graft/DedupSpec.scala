@@ -263,4 +263,24 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got === want)
   }
+
+  test("hammingPairs: equals brute force on arbitrary 64-bit signatures incl. sign-bit hashes") {
+    // distances: (1,2)=0, (1,3)=1, (1,4)=3, (1,5)=4 (over threshold),
+    // plus a negative (top-bit) hash pair to pin the signed packing
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL), (2L, 0x0123456789abcdefL),
+      (3L, 0x0123456789abcdeeL), (4L, 0x0123456789abcde8L),
+      (5L, 0x0123456789abcde0L), // f -> 0: 4 bits, over threshold
+      (6L, 0xfedcba9876543210L), (7L, 0xfedcba9876543211L)
+    ).toDF("doc", "simhash")
+    val got = Dedup.hammingPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val raw = sigs.as[(Long, Long)].collect()
+    val want = (for {
+      (a, ha) <- raw; (b, hb) <- raw if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(want.contains((1L, 4L, 3L.toInt)) && !want.exists(p => p._1 == 1L && p._2 == 5L))
+    assert(got === want)
+  }
 }
