@@ -712,6 +712,36 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: per-type revenue TREND — exact-integer OLS slope
+    // of daily summed cents on the day index (normal equation as one
+    // grouped aggregate; day re-based per group to keep products small).
+    "q_trend" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.linearTrend(raw, "event_type", tsSec(raw),
+          cents(col("value")))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    }),
+
+    // Engine extension: A/B test as an exact-integer 2×2 χ² — variant by
+    // user-id parity, conversion = any purchase; lift in bp, statistic
+    // in milli against the 3841 critical value. No p-value doubles.
+    "q_ab_test" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.abTest(raw, "user_id",
+          variantA = col("user_id") % 2 === 0,
+          converted = col("event_type") === "purchase" && col("value") >= 75)
+    }),
+
+    // Engine extension: DP histogram release (Laplace b=2, ε=0.5) over
+    // event-type counts — deterministic md5-uniform noise through the
+    // inverse CDF so the released values hash-gate.
+    "q_dp_histogram" -> ((s, dir) => {
+      graft.operators.Analytics.dpNoisyCounts(
+          Tables.load(s, dir, "events"), "event_type", bMilli = 2000L)
+        .orderBy("event_type")
+    }),
+
     // Engine extension: multi-touch attribution — first/last/linear
     // credit (exact bp; every attributed conversion distributes exactly
     // 10000 bp per model) for view/click touches within 7 days of a
@@ -1365,6 +1395,83 @@ object TimesearchQueries {
          FROM ev JOIN f USING (u)
          GROUP BY cohort, "offset"
          ORDER BY cohort, "offset" """,
+
+    "q_trend" ->
+      """WITH daily AS (
+           SELECT event_type AS g,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                    - (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS day,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         based AS (
+           SELECT g, (day - min(day) OVER (PARTITION BY g)) // 86400 AS x, y
+           FROM daily),
+         agg AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx,
+                  CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM based GROUP BY g)
+         SELECT g AS event_type, n AS n_days, sy AS sum_y_c,
+                CAST(((n * sxy - sx * sy) * 10000)
+                     // (n * sxx - sx * sx) AS BIGINT) AS slope_bp
+         FROM agg WHERE n >= 2 ORDER BY event_type""",
+
+    "q_ab_test" ->
+      """WITH users AS (
+           SELECT user_id AS u,
+                  bool_or(user_id % 2 = 0) AS va,
+                  bool_or(event_type = 'purchase' AND value >= 75) AS conv
+           FROM events GROUP BY user_id),
+         cells AS (
+           SELECT CAST(sum(CASE WHEN va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN NOT va AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN NOT va AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM users)
+         SELECT a, b, c, d,
+                CAST(CASE WHEN (a + b) = 0 OR (c + d) = 0 THEN 0
+                     ELSE (a * 10000) // (a + b) - (c * 10000) // (c + d)
+                     END AS BIGINT) AS lift_bp,
+                CAST(CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0
+                            OR (b + d) = 0 THEN 0
+                     ELSE (((a + b + c + d) * (a * d - b * c) * 1000)
+                             // ((a + b) * (c + d)) * (a * d - b * c))
+                          // ((a + c) * (b + d))
+                     END AS BIGINT) AS chi2_milli
+         FROM cells""",
+
+    "q_dp_histogram" ->
+      """WITH counted AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+         hx8 AS (
+           SELECT event_type, n,
+                  substr(md5('dp:' || event_type), 1, 8) AS hx
+           FROM counted),
+         hv AS (
+           SELECT event_type, n,
+                  (strpos('0123456789abcdef', hx[1]) - 1) * 268435456 +
+                  (strpos('0123456789abcdef', hx[2]) - 1) * 16777216 +
+                  (strpos('0123456789abcdef', hx[3]) - 1) * 1048576 +
+                  (strpos('0123456789abcdef', hx[4]) - 1) * 65536 +
+                  (strpos('0123456789abcdef', hx[5]) - 1) * 4096 +
+                  (strpos('0123456789abcdef', hx[6]) - 1) * 256 +
+                  (strpos('0123456789abcdef', hx[7]) - 1) * 16 +
+                  (strpos('0123456789abcdef', hx[8]) - 1) AS h
+           FROM hx8),
+         noise AS (
+           SELECT event_type, n,
+                  CAST(floor(-2000 *
+                    (CASE WHEN h >= 2147483648 THEN 1 ELSE -1 END) *
+                    ln(CASE WHEN h >= 2147483648
+                            THEN 2 - (h * 2 + 1) / 4294967296.0
+                            ELSE (h * 2 + 1) / 4294967296.0 END))
+                       AS BIGINT) AS noise_milli
+           FROM hv)
+         SELECT event_type, n, noise_milli,
+                n * 1000 + noise_milli AS released_milli
+         FROM noise ORDER BY event_type""",
 
     "q_attribution" ->
       """WITH ev AS (

@@ -317,6 +317,35 @@ object Analytics {
     (c / p).cast("long")
   }
 
+  /** Differentially-private histogram release (the Laplace mechanism,
+    * Dwork et al. 2006): per-key counts plus Laplace(b) noise with
+    * b·1000 = `bMilli` (ε = 1000/bMilli for sensitivity-1 counts),
+    * released at milli resolution.
+    *
+    * The noise is DETERMINISTIC here — u = (h + 0.5)/2³² over the
+    * md5-prefix of (salt:key), the engine's exact-dyadic uniform (the
+    * DSIR Gumbel device), pushed through the Laplace inverse CDF
+    *   noise_milli = floor(−sign(p) · bMilli · ln(1 − 2|p|)),
+    * one ln, one floor — so the released values hash-gate. That is the
+    * TEST contract: a production release must draw real entropy through
+    * the same shape (the salt parameter is the injection point), and
+    * must emit ONLY released_milli (the raw n rides along here for the
+    * gate's benefit). Map-only over the |keys|-bounded count table. */
+  def dpNoisyCounts(df: DataFrame, key: String, bMilli: Long,
+      salt: String = "dp"): DataFrame = {
+    require(bMilli > 0)
+    val counted = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val h = conv(substring(md5(concat(lit(salt + ":"), col(key))), 1, 8),
+      16, 10).cast("long")
+    val u2 = (h.cast("double") * 2.0 + 1.0) / 4294967296.0 // exact dyadic 2u
+    val arg = when(h >= 2147483648L, lit(2.0) - u2).otherwise(u2)
+    val sgn = when(h >= 2147483648L, lit(1L)).otherwise(lit(-1L))
+    counted.select(col(key), col("n"),
+        floor(lit(-bMilli.toDouble) * sgn * log(arg)).cast("long")
+          .as("noise_milli"))
+      .withColumn("released_milli", col("n") * 1000L + col("noise_milli"))
+  }
+
   /** Benford's expected first-digit mass, floor-quantized to basis
     * points: floor(log10(1 + 1/d) · 10⁴) — evaluated ONCE here and
     * injected as integer literals into both engines' queries. */

@@ -155,6 +155,77 @@ object Events {
         max("e").getField("v").as("v_last"))
   }
 
+  /** Per-group OLS linear trend over daily aggregates, exact-integer
+    * form: regress the day's summed value (cents) on the day index and
+    * emit the slope in basis points —
+    *
+    *   slope_bp = (n·Σxy − Σx·Σy) · 10⁴ div (n·Σx² − (Σx)²)
+    *
+    * with x the day offset from the GROUP's first active day (re-basing
+    * keeps every product far inside long range; the slope is shift-
+    * invariant) and one floor division at the end — the closed-form
+    * normal equation as an associative integer aggregate, so the whole
+    * regression is ONE grouped pass over the daily table (itself one
+    * map-side-combined aggregate of the events). Groups with a single
+    * active day have no slope and are dropped. */
+  def linearTrend(events: DataFrame, group: String, tsSec: Column,
+      valueCents: Column): DataFrame = {
+    val daily = events
+      .select(col(group).as("g"), (tsSec - pmod(tsSec, lit(86400L)))
+        .as("day"), valueCents.as("y"))
+      .groupBy("g", "day").agg(sum("y").as("y"))
+    val based = daily
+      .join(daily.groupBy("g").agg(min("day").as("d0")), "g")
+      .select(col("g"), expr("(day - d0) div 86400").as("x"), col("y"))
+    based.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      .filter(col("n") >= 2L)
+      .select(col("g"), col("n").as("n_days"), col("sy").as("sum_y_c"),
+        expr("((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx)")
+          .as("slope_bp"))
+  }
+
+  /** 2×2 contingency test for an A/B split, exact-integer form: counts
+    * (a, b, c, d) = (A converted, A not, B converted, B not), the
+    * conversion-rate lift in bp, and the χ² statistic in milli-units —
+    *
+    *   t1         = n·(ad − bc)·1000 div ((a+b)(c+d))
+    *   chi2_milli = t1·(ad − bc)     div ((a+c)(b+d))
+    *
+    * the standard 2×2 χ² identity evaluated in a FIXED two-step
+    * association (the single-division form n(ad−bc)²·1000 exceeds long
+    * range already at ~1.5k users per cell; this association holds to
+    * ~10⁵ — beyond that a production caller drops to doubles and the
+    * statistic stops being hash-gateable, which is fine: at that n the
+    * quantization error is far below any critical-value gap). No erf,
+    * no p-value doubles — compare chi2_milli against the critical
+    * value, e.g. 3841 for α=0.05. One pass to flag users, one
+    * |users|-bounded aggregate. */
+  def abTest(events: DataFrame, user: String, variantA: Column,
+      converted: Column): DataFrame = {
+    val users = events
+      .groupBy(col(user).as("u"))
+      .agg(bool_or(variantA).as("va"), bool_or(converted).as("conv"))
+    users.agg(
+        sum(when(col("va") && col("conv"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("va") && !col("conv"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("va") && col("conv"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("va") && !col("conv"), 1L).otherwise(0L)).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        // degenerate margins (an empty variant or a constant outcome)
+        // have no measurable association: lift/chi2 define to 0 rather
+        // than dividing by zero
+        expr("CASE WHEN (a + b) = 0 OR (c + d) = 0 THEN 0 " +
+          "ELSE (a * 10000) div (a + b) - (c * 10000) div (c + d) END")
+          .as("lift_bp"),
+        expr("CASE WHEN (a + b) = 0 OR (c + d) = 0 OR (a + c) = 0 " +
+          "OR (b + d) = 0 THEN 0 " +
+          "ELSE (((a + b + c + d) * (a * d - b * c) * 1000) " +
+          "div ((a + b) * (c + d)) * (a * d - b * c)) " +
+          "div ((a + c) * (b + d)) END").as("chi2_milli"))
+  }
+
   /** Frequent event paths: the top-k length-`n` consecutive event-type
     * sequences across user timelines (funnel DISCOVERY — the
     * exploratory complement of [[funnel]]'s fixed-stage counting).

@@ -439,6 +439,67 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got((2, "A")) === ((1L, 1L, false, false)))
   }
 
+  test("linearTrend: exact slope on a hand line; re-basing invariance; single-day dropped") {
+    import graft.operators.Events
+    def day(d: Long) = d * 86400L
+    // g1: daily sums 100,300,500 on days 0,1,2 -> slope 200 c/day
+    // g2: one day only -> dropped
+    val ev = Seq(
+      ("g1", day(0) + 10, 40L), ("g1", day(0) + 20, 60L),
+      ("g1", day(1), 300L), ("g1", day(2), 500L),
+      ("g2", day(5), 100L)
+    ).toDF("g", "t", "yc")
+    val r = Events.linearTrend(ev, "g", col("t"), col("yc"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("g1") === ((3L, 900L, 200L * 10000L)))
+    assert(!r.contains("g2"))
+    // shifting all timestamps by 1000 days changes nothing (re-basing)
+    val shifted = Events.linearTrend(
+        ev.withColumn("t", col("t") + day(1000)), "g", col("t"), col("yc"))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(shifted("g1") === 200L * 10000L)
+  }
+
+  test("abTest: hand 2x2 chi-square and lift; degenerate margin defines to zero") {
+    import graft.operators.Events
+    // 10 users: variant A = u<5. A: 4 conv / 1 not; B: 1 conv / 4 not
+    val ev = (0L until 10L).flatMap { u =>
+      val conv = (u < 5L && u != 4L) || u == 9L
+      Seq((u, "visit")) ++ (if (conv) Seq((u, "buy")) else Nil)
+    }.toDF("u", "ty")
+    val r = Events.abTest(ev, "u", col("u") < 5, col("ty") === "buy").head()
+    val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert((a, b, c, d) === ((4L, 1L, 1L, 4L)))
+    assert(r.getLong(4) === 8000L - 2000L) // lift 80% - 20%
+    // chi2 via the documented two-step association, computed by hand:
+    // t1 = 10*(16-1)*1000 div 25 = 6000; chi2 = 6000*15 div 25 = 3600
+    assert(r.getLong(5) === 3600L)
+    // constant outcome -> all margins on one side, chi2/lift 0
+    val r2 = Events.abTest(ev, "u", col("u") < 5, lit(true)).head()
+    assert(r2.getLong(4) === 0L && r2.getLong(5) === 0L)
+  }
+
+  test("dpNoisyCounts: equals an independent inverse-CDF replay; release algebra holds") {
+    val df = Seq("x", "y", "z", "x", "x").toDF("k")
+    val got = Analytics.dpNoisyCounts(df, "k", bMilli = 2000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    def noiseRef(key: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex("dp:" + key).take(8), 16)
+      val u2 = (h.toDouble * 2.0 + 1.0) / 4294967296.0
+      val (arg, sgn) = if (h >= 2147483648L) (2.0 - u2, 1L) else (u2, -1L)
+      math.floor(-2000.0 * sgn * math.log(arg)).toLong
+    }
+    for ((k, n) <- Seq(("x", 3L), ("y", 1L), ("z", 1L))) {
+      assert(got(k)._1 === n)
+      assert(got(k)._2 === noiseRef(k), s"noise mismatch for $k")
+      assert(got(k)._3 === n * 1000L + noiseRef(k))
+    }
+  }
+
   test("benford: exact first-digit extraction and expected-mass table") {
     // the expected table is the published Benford mass, floor-quantized
     assert(Analytics.benfordExpectedBp ===
