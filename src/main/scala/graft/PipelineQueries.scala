@@ -568,6 +568,16 @@ object PipelineQueries {
     // audited plan, fusion touches only candidate-sized rows. The spec
     // pins absent-from-one-list, both-lists summation, and the doc-id
     // tiebreak on a hand-computed fixture.
+    // Pseudo-relevance feedback: BM25 → mine top-3 expansion terms from
+    // the top-5 docs (floor(idf·10⁴)·Σtf, original terms excluded) →
+    // re-run BM25 on the expanded term set. The oracle replays both
+    // passes and the mining in one chain — the full PRF loop hash-gates.
+    "q_prf" -> ((s, dir) => {
+      Search.prfTopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          bm25Queries, k = 10, fbDocs = 5, expandTerms = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_hybrid" -> ((s, dir) => {
       Search.hybridTopK(Tables.load(s, dir, "documents"), "doc_id", "text",
           Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1624,6 +1634,57 @@ object PipelineQueries {
              FROM scored)
        WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** PRF ground truth: the bm25 chain, the term mining (same idf
+    * expression floored once, original terms excluded via NOT EXISTS,
+    * top-3 by (score, tok)), and the re-scored expanded term set —
+    * the full two-pass loop in one replay. */
+  private val prfOracle = bm25ScoredCte +
+    """,
+       fb AS (
+         SELECT query_id, doc FROM (
+           SELECT query_id, doc,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_bp DESC, doc ASC) AS rk
+           FROM scored) WHERE rk <= 5),
+       cand AS (
+         SELECT f.query_id, tf.tok, CAST(sum(tf.tf) AS BIGINT) AS stf
+         FROM fb f JOIN tf ON tf.doc = f.doc
+         WHERE NOT EXISTS (SELECT 1 FROM q
+                           WHERE q.query_id = f.query_id AND q.tok = tf.tok)
+         GROUP BY 1, 2),
+       dfall AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       mined AS (
+         SELECT query_id, tok FROM (
+           SELECT query_id, tok, ms,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY ms DESC, tok ASC) AS rk
+           FROM (SELECT c.query_id, c.tok,
+                        CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 10000) AS BIGINT) * stf AS ms
+                 FROM cand c JOIN dfall USING (tok) CROSS JOIN stats) z)
+         WHERE rk <= 3),
+       q2 AS (SELECT query_id, tok FROM q UNION
+              SELECT query_id, tok FROM mined),
+       dfq2 AS (SELECT tok, count(*) AS df FROM tf
+                WHERE tok IN (SELECT tok FROM q2) GROUP BY tok),
+       scored2 AS (
+         SELECT q2.query_id, tf.doc,
+                CAST(sum(
+                  CAST(floor(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 10000) AS BIGINT)
+                  * CAST(floor((CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) * 10000) AS BIGINT)
+                ) AS BIGINT) AS score_bp
+         FROM q2
+         JOIN tf   ON tf.tok = q2.tok
+         JOIN dfq2 ON dfq2.tok = q2.tok
+         JOIN dl   ON dl.doc = tf.doc
+         CROSS JOIN stats
+         GROUP BY 1, 2)
+       SELECT query_id, CAST(rank AS INT) AS rank, doc AS doc_id, score_bp
+       FROM (SELECT query_id, doc, score_bp,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_bp DESC, doc ASC) AS rank
+             FROM scored2)
+       WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** Hybrid-retrieval ground truth: the BM25 chain and the brute-cosine
     * chain each ranked to candidate depth 20, fused by integer RRF —
     * 10000 // (60 + rank), DuckDB integer division, which equals the
@@ -2573,6 +2634,8 @@ object PipelineQueries {
     // per-doc score is an integer sum, so aggregation order can't flip a
     // rank in either engine.
     "q_bm25" -> bm25Oracle,
+
+    "q_prf" -> prfOracle,
 
     // the incrementally-built index must converge to the batch-built one,
     // so the streamed serving path shares the batch oracle verbatim

@@ -112,6 +112,66 @@ object Search {
         col("score_bp"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3 family):
+    * run BM25, mine expansion terms from the top `fbDocs` documents per
+    * query, re-run BM25 with the expanded term set — the classic
+    * two-pass PRF loop, in the engine's deterministic integer algebra:
+    *
+    *  - mining score = floor(idf·10⁴) · Σtf over the feedback docs
+    *    (same idf expression as scoring, floored ONCE), original query
+    *    terms excluded, top `expandTerms` by (score desc, tok asc);
+    *  - the expanded query is the term-SET union, re-scored by the
+    *    SAME bm25 core — so the final ranking hash-gates end to end.
+    *
+    * The mined terms pass through the driver (|queries|·expandTerms
+    * rows — query metadata, the per-query loop every PRF serving stack
+    * runs; same bounded-collect contract as the ANN codebooks). The
+    * postings pass is checkpoint-materialized once and feeds both
+    * passes — the corpus is never re-read for the second pass.
+    */
+  def prfTopK(docs: DataFrame, id: String, text: String,
+      queries: Seq[(Long, String)], k: Int = 10, fbDocs: Int = 5,
+      expandTerms: Int = 3): DataFrame =
+    prfTopKFromPostings(
+      TextAnalysis.postings(docs, col(id).cast("long"), col(text)),
+      queries, k, fbDocs, expandTerms)
+
+  /** [[prfTopK]] over a prebuilt postings frame (serving form). */
+  def prfTopKFromPostings(tf: DataFrame, queries: Seq[(Long, String)],
+      k: Int, fbDocs: Int, expandTerms: Int): DataFrame = {
+    require(fbDocs >= 1 && expandTerms >= 0)
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qtermSet = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(qid -> _)
+    }.distinct
+    val qterms = qtermSet.toDF("query_id", "tok")
+    val first = bm25TopKFromPostings(tf, queries, fbDocs)
+    val n1 = tf.select(col("doc")).distinct().agg(count(lit(1)).as("n"))
+    val dfAll = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idfFloor = floor(log(lit(1.0) +
+      (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      * 10000)
+    val mined = first.select(col("query_id"), col("doc_id").as("doc"))
+      .join(tf, "doc")
+      .groupBy("query_id", "tok").agg(sum("tf").as("stf"))
+      .join(qterms, Seq("query_id", "tok"), "left_anti")
+      .join(dfAll, "tok")
+      .crossJoin(broadcast(n1))
+      .select(col("query_id"), col("tok"),
+        (idfFloor * col("stf")).cast("long").as("ms"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("ms").desc, col("tok").asc)))
+      .filter(col("rk") <= expandTerms)
+    val extra = mined.select("query_id", "tok").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expanded = (qtermSet ++ extra).distinct
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, ts) => qid -> ts.map(_._2).sorted.mkString(" ") }
+    bm25TopKFromPostings(tf, expanded, k)
+  }
+
   /** Hybrid retrieval: BM25 lexical candidates fused with embedding
     * cosine candidates by Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR'09): score(d) = Σ_lists (10000 div (rrfK + rank_list(d))),

@@ -100,6 +100,36 @@ class SearchSpec extends AnyFunSuite {
     (docs, emb)
   }
 
+  test("prfTopK: expansion pulls in co-occurring-term docs; expandTerms=0 degenerates to bm25") {
+    // 'engine' co-occurs with the query term 'spark' in the feedback
+    // docs; doc 5 never says 'spark' but is all about 'engine' — plain
+    // BM25 cannot see it, PRF must after expansion
+    val docs = corpus(
+      1L -> "spark engine engine fast",
+      2L -> "spark engine quick",
+      3L -> "spark alone here",
+      4L -> "unrelated words entirely",
+      5L -> "engine engine engine engine")
+    val plain = Search.bm25TopK(docs, "doc_id", "text",
+        Seq(0L -> "spark"), k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!plain.contains(5L))
+    val prf = Search.prfTopK(docs, "doc_id", "text",
+        Seq(0L -> "spark"), k = 5, fbDocs = 3, expandTerms = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(prf.contains(5L), s"expanded query must retrieve doc 5: $prf")
+    // zero expansion terms = exactly the plain bm25 ranking
+    val zero = Search.prfTopK(docs, "doc_id", "text",
+        Seq(0L -> "spark"), k = 5, fbDocs = 3, expandTerms = 0)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_bp"))).toSeq
+    val ref = Search.bm25TopK(docs, "doc_id", "text",
+        Seq(0L -> "spark"), k = 5)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_bp"))).toSeq
+    assert(zero === ref)
+  }
+
   test("hybridTopK: disjoint lists — each doc contributes from ONE list; equal rrf ties break on doc_id") {
     val (docs, emb) = hybridFixture
     // q0 'alpha beta': lex = [1, 2]; sem (vs vec 0) = [3, 4] — disjoint.
