@@ -1351,6 +1351,31 @@ object PipelineQueries {
     }),
 
     // Text analysis: token counts, quality, language-ID, fingerprint.
+    // Norvig-style spell correction: typos minted from the top-10 vocab
+    // words (2nd char dropped), corrected against the frequency-weighted
+    // vocabulary by (edit distance, -freq, word) — distance then the
+    // language-model prior. Typos broadcast; vocab never shuffles.
+    "q_spell_correct" -> ((s, dir) => {
+      val vocab = Sketches.tokenCounts(
+        Tables.load(s, dir, "documents"), "text")
+      val typos = vocab.filter(length(col("tok")) >= 4)
+        .orderBy(col("exact").desc, col("tok").asc).limit(10)
+        .select(concat(substring(col("tok"), 1, 1),
+          expr("substring(tok, 3)")).as("typo"))
+      graft.operators.Fuzzy.spellCorrect(vocab, "tok", "exact",
+          typos, "typo", maxDist = 2)
+        .orderBy("typo")
+    }),
+
+    // Per-source Shannon token entropy (diversity profiling) in bp of
+    // nats — the quantized-ln device, one ln per vocab row.
+    "q_entropy" -> ((s, dir) => {
+      TextAnalysis.tokenEntropy(Tables.load(s, dir, "documents"),
+          "source", "text")
+        .withColumnRenamed("g", "source")
+        .orderBy("source")
+    }),
+
     // Flesch reading-ease in exact-integer milli-points: words /
     // sentence-runs / floored vowel-group syllables, each ratio
     // floor-divided once. Map-only — fuses into the document scan.
@@ -2475,6 +2500,51 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
 
     "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
+
+    "q_spell_correct" ->
+      """WITH vocab AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS exact
+           FROM (SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS tok
+                 FROM documents)
+           GROUP BY tok),
+         typos AS (
+           SELECT substr(tok, 1, 1) || substr(tok, 3) AS typo
+           FROM (SELECT tok FROM vocab WHERE length(tok) >= 4
+                 ORDER BY exact DESC, tok LIMIT 10)),
+         cand AS (
+           SELECT t.typo, v.tok, v.exact,
+                  levenshtein(t.typo, v.tok) AS dist
+           FROM typos t CROSS JOIN vocab v
+           WHERE abs(length(v.tok) - length(t.typo)) <= 2
+             AND levenshtein(t.typo, v.tok) <= 2)
+         SELECT typo, tok AS corrected, CAST(dist AS BIGINT) AS dist,
+                exact AS freq
+         FROM (SELECT typo, tok, exact, dist,
+                      row_number() OVER (PARTITION BY typo
+                        ORDER BY dist, exact DESC, tok) AS rn
+               FROM cand)
+         WHERE rn = 1 ORDER BY typo""",
+
+    "q_entropy" ->
+      """WITH counts AS (
+           SELECT source AS g, tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source, unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  CAST(count(*) AS BIGINT) AS n_vocab,
+                  CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 10000)
+                    AS BIGINT)) AS BIGINT) AS sclnc
+           FROM counts GROUP BY g)
+         SELECT g AS source, n_tokens, n_vocab,
+                CAST((n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 10000)
+                        AS BIGINT) - sclnc) // n_tokens AS BIGINT) AS entropy_bp
+         FROM agg ORDER BY source""",
 
     "q_readability" ->
       """WITH d AS (

@@ -712,6 +712,16 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: seasonal-naive forecast BACKTEST — the baseline
+    // any forecaster must beat: forecast(day) = actual(day − 7d), scored
+    // days aggregated to exact-integer MAE per event type.
+    "q_forecast" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.snaiveBacktest(raw, "event_type", tsSec(raw))
+        .withColumnRenamed("g", "event_type")
+        .orderBy("event_type")
+    }),
+
     // Engine extension: per-type revenue TREND — exact-integer OLS slope
     // of daily summed cents on the day index (normal equation as one
     // grouped aggregate; day re-based per group to keep products small).
@@ -1395,6 +1405,22 @@ object TimesearchQueries {
          FROM ev JOIN f USING (u)
          GROUP BY cohort, "offset"
          ORDER BY cohort, "offset" """,
+
+    "q_forecast" ->
+      """WITH daily AS (
+           SELECT event_type AS g,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                    - (CAST(floor(epoch(ts)) AS BIGINT) % 86400) AS day,
+                  CAST(count(*) AS BIGINT) AS actual
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT a.g, abs(a.actual - f.actual) AS ae
+           FROM daily a JOIN daily f
+             ON a.g = f.g AND a.day = f.day + 604800)
+         SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_scored,
+                CAST((sum(ae) * 1000) // count(*) AS BIGINT) AS mae_milli,
+                CAST(max(ae) AS BIGINT) AS max_abs_err
+         FROM scored GROUP BY g ORDER BY event_type""",
 
     "q_trend" ->
       """WITH daily AS (

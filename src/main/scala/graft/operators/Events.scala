@@ -186,6 +186,35 @@ object Events {
           .as("slope_bp"))
   }
 
+  /** Seasonal-naive forecast BACKTEST — the standard forecasting
+    * baseline and its standard evaluation in one operator: forecast for
+    * a day is the actual of `periodSec` earlier (same weekday for the
+    * 7-day period); days with both an actual and a forecast score, and
+    * the per-group error profile comes back as exact integers
+    * (mae_milli = Σ|err|·1000 div n — one floor division). Any real
+    * forecaster must beat this number; a pipeline that cannot compute
+    * it cannot claim a baseline. Two |days|-bounded aggregates and one
+    * (group, day)-keyed self-join — the events themselves aggregate
+    * once, map-side-combined. */
+  def snaiveBacktest(events: DataFrame, group: String, tsSec: Column,
+      periodSec: Long = 7L * 86400L): DataFrame = {
+    require(periodSec > 0)
+    val daily = events
+      .select(col(group).as("g"),
+        (tsSec - pmod(tsSec, lit(86400L))).as("day"))
+      .groupBy("g", "day").agg(count(lit(1)).as("actual"))
+    val scored = daily
+      .join(daily.select(col("g"), (col("day") + periodSec).as("day"),
+        col("actual").as("forecast")), Seq("g", "day"))
+      .select(col("g"), abs(col("actual") - col("forecast")).as("ae"))
+    scored.groupBy("g")
+      .agg(count(lit(1)).as("n_scored"), sum("ae").as("sum_abs_err"),
+        max("ae").as("max_abs_err"))
+      .select(col("g"), col("n_scored"),
+        expr("(sum_abs_err * 1000) div n_scored").as("mae_milli"),
+        col("max_abs_err"))
+  }
+
   /** 2×2 contingency test for an A/B split, exact-integer form: counts
     * (a, b, c, d) = (A converted, A not, B converted, B not), the
     * conversion-rate lift in bp, and the χ² statistic in milli-units —

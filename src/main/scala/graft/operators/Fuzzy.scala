@@ -41,4 +41,31 @@ object Fuzzy {
         col("m._mk").as("match_key"), col("m._mn").as("match_name"),
         col("m.dist").cast("long").as("dist"))
   }
+
+  /** Norvig-style spell correction against a frequency-weighted
+    * vocabulary: each misspelling takes the vocab word minimizing
+    * (edit distance, −frequency, word) within `maxDist` — distance
+    * first, then the LANGUAGE-MODEL prior (corpus frequency), then a
+    * lexicographic tiebreak; no candidate in range ⇒ absent. Same plan
+    * shape as [[fuzzyLookup]]: misspellings broadcast, the vocabulary
+    * never shuffles, candidate generation is length-banded +
+    * threshold-banded levenshtein fused into the scan, and the only
+    * exchange is the probe-bounded argmin. Output (typo, corrected,
+    * dist, freq). */
+  def spellCorrect(vocab: DataFrame, word: String, freq: String,
+      typos: DataFrame, typoCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val cand = vocab.select(col(word).as("_w"), col(freq).as("_f"))
+      .join(broadcast(typos.select(col(typoCol).as("typo")).distinct()),
+        abs(length(col("_w")) - length(col("typo"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("typo"), col("_w"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    cand
+      .groupBy("typo")
+      .agg(min(struct(col("dist"), (-col("_f")).as("nf"), col("_w")))
+        .as("m"))
+      .select(col("typo"), col("m._w").as("corrected"),
+        col("m.dist").cast("long").as("dist"),
+        (-col("m.nf")).cast("long").as("freq"))
+  }
 }

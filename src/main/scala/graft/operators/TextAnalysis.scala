@@ -1180,6 +1180,32 @@ object TextAnalysis {
     *  - `r_ellipsis_lines`: ≤ 30% of lines end with "..."
     *  - `r_stopwords`: ≥ 2 DISTINCT common stopwords present
     */
+  /** Per-group Shannon token entropy (corpus-diversity profiling — the
+    * collapse/diversity dial of mixture planning) in basis points of
+    * nats, via the engine's quantized-ln device:
+    *
+    *   entropy_bp = (N·ln_bp(N) − Σ_t c_t·ln_bp(c_t)) div N
+    *
+    * with ln_bp(x) = floor(ln(x)·10⁴) floored ONCE per distinct count —
+    * the algebraic rearrangement of Σ (c/N)·ln(N/c) that needs only ONE
+    * ln per vocabulary row plus one per group. Exact integers after the
+    * two floors, engine-portable. One corpus explode + a vocab-bounded
+    * aggregate. */
+  def tokenEntropy(df: DataFrame, group: String, text: String): DataFrame = {
+    val toks = filter(split(lower(col(text)), "[^a-z0-9]+"),
+      t => length(t) > 0)
+    def lnBp(c: Column): Column =
+      floor(log(c.cast("double")) * 10000).cast("long")
+    val counts = df.select(col(group).as("g"), explode(toks).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("g")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(col("c") * lnBp(col("c"))).as("sclnc"))
+      .withColumn("lnn", lnBp(col("n_tokens")))
+      .select(col("g"), col("n_tokens"), col("n_vocab"),
+        expr("(n_tokens * lnn - sclnc) div n_tokens").as("entropy_bp"))
+  }
+
   /** Flesch reading-ease scoring, exact-integer form (the readability
     * gate of classic quality filtering): per document
     *

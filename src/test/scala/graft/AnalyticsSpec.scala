@@ -480,6 +480,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r2.getLong(4) === 0L && r2.getLong(5) === 0L)
   }
 
+  test("snaiveBacktest: hand-computed MAE; unmatched days don't score") {
+    import graft.operators.Events
+    def day(d: Long) = d * 86400L
+    // g1 counts: d0=2, d7=5, d14=5 -> errors |5-2|=3, |5-5|=0 -> mae 1500
+    // d3=4 has no d-7 partner and scores nothing
+    val ev = Seq(
+      ("g1", day(0)), ("g1", day(0) + 5),
+      ("g1", day(3)), ("g1", day(3)), ("g1", day(3)), ("g1", day(3)),
+      ("g1", day(7)), ("g1", day(7)), ("g1", day(7)), ("g1", day(7)), ("g1", day(7)),
+      ("g1", day(14)), ("g1", day(14)), ("g1", day(14)), ("g1", day(14)), ("g1", day(14))
+    ).toDF("g", "t")
+    val r = Events.snaiveBacktest(ev, "g", col("t")).head()
+    assert(r.getLong(1) === 2L)            // two scored days
+    assert(r.getLong(2) === 3L * 1000L / 2L) // mae_milli = 1500
+    assert(r.getLong(3) === 3L)            // max abs err
+  }
+
+  test("tokenEntropy: uniform -> ln(vocab); constant -> 0; matches a direct replay") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      ("u", "a b c d a b c d"),  // uniform over 4 tokens
+      ("k", "x x x x x")         // single token: zero entropy
+    ).toDF("src", "text")
+    val r = TextAnalysis.tokenEntropy(docs, "src", "text")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("k") === ((5L, 1L, 0L)))
+    val (n, v, h) = r("u")
+    assert((n, v) === ((8L, 4L)))
+    // replay the documented formula: (N*lnbp(N) - sum c*lnbp(c)) div N
+    def lnbp(x: Long) = math.floor(math.log(x.toDouble) * 10000).toLong
+    assert(h === (8L * lnbp(8L) - 4L * 2L * lnbp(2L)) / 8L)
+    // and it approximates ln(4) = 13862 bp within quantization slack
+    assert(math.abs(h - 13862L) <= 3L)
+  }
+
   test("dpNoisyCounts: equals an independent inverse-CDF replay; release algebra holds") {
     val df = Seq("x", "y", "z", "x", "x").toDF("k")
     val got = Analytics.dpNoisyCounts(df, "k", bMilli = 2000L)

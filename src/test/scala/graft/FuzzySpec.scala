@@ -80,4 +80,24 @@ class FuzzySpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got === Map(1L -> ((1L, 1L)), 3L -> ((2L, 2L))))
   }
+
+  test("spellCorrect: distance first, then frequency prior, then lexicographic; out-of-range absent") {
+    import graft.operators.Fuzzy
+    val vocab = Seq(
+      ("spark", 100L), ("spars", 500L),   // both dist-1 from 'sparc'
+      ("table", 80L), ("cable", 80L),     // dist-1 tie broken by word
+      ("engine", 10L)
+    ).toDF("w", "f")
+    val typos = Seq("sparc", "tible", "zzzzzzzzz").toDF("typo")
+    val got = Fuzzy.spellCorrect(vocab, "w", "f", typos, "typo", maxDist = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // 'sparc': spark & spars both at dist 1 — the PRIOR (freq 500) wins
+    assert(got("sparc") === (("spars", 1L, 500L)))
+    // 'tible': table/cable dist 1/2? table=1 (i->a)... cable needs 2 —
+    // distance dominates regardless of equal freq
+    assert(got("tible")._1 === "table")
+    // nothing within distance 2 of the long garbage probe
+    assert(!got.contains("zzzzzzzzz"))
+  }
 }
