@@ -284,6 +284,36 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // Weighted shortest paths (6 Bellman-Ford rounds) over the support-
+    // weighted co-occurrence graph — w = 10000 div support, so stronger
+    // ties are shorter; exact long min/+ algebra, unrolled oracle.
+    "q_sssp" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val we = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("u"), col("v"), expr("10000 div c").as("w"))
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select(col("l_partkey").as("node")).distinct()
+      graft.operators.Graphs.weightedSssp(we, seeds, rounds = 6)
+        .orderBy("node")
+    }),
+
+    // Item-item collaborative filtering: top-5 neighbors per part by
+    // squared-cosine over binary order-basket vectors (no sqrt — the
+    // monotone square is an exact integer ratio).
+    "q_item_recs" -> ((s, dir) => {
+      graft.operators.Recommend.itemNeighbors(
+          Tables.load(s, dir, "lineitem")
+            .select("l_orderkey", "l_partkey").distinct(),
+          "l_orderkey", "l_partkey", k = 5)
+        .orderBy("item", "rank")
+    }),
+
     // k-core extraction (k=3, 12 simultaneous-peel rounds — the sf0.01
     // cascade needs 11, extras are no-ops): survivors of the support-≥2
     // co-occurrence graph with their in-core degree. At sf0.1 the
@@ -440,9 +470,66 @@ object RelationalQueries {
        FROM counted CROSS JOIN tot ORDER BY digit"""
   }
 
+  /** q_sssp oracle: fixed Bellman-Ford rounds unrolled — per round one
+    * relax + min stage over the weighted symmetric edge list. */
+  private def ssspOracle(rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         we AS MATERIALIZED (
+           SELECT u, v, 10000 // c AS w FROM (
+             SELECT a.l_partkey AS u, b.l_partkey AS v,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2 HAVING count(*) >= 2)),
+         sym AS MATERIALIZED (
+           SELECT u, v, w FROM we UNION ALL SELECT v, u, w FROM we),
+         d0 AS MATERIALIZED (
+           SELECT DISTINCT l_partkey AS node, CAST(0 AS BIGINT) AS d
+           FROM li WHERE l_partkey % 97 = 0)"""
+    val steps = (1 to rounds).map { t =>
+      s"""d$t AS MATERIALIZED (
+           SELECT node, min(d) AS d FROM (
+             SELECT node, d FROM d${t - 1}
+             UNION ALL
+             SELECT sym.v AS node, p.d + sym.w AS d
+             FROM d${t - 1} p JOIN sym ON sym.u = p.node)
+           GROUP BY node)"""
+    }
+    s"""$head,
+       ${steps.mkString(",\n")}
+       SELECT node, CAST(d AS BIGINT) AS d FROM d$rounds ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q_kcore" -> kcoreOracle(k = 3, rounds = 12),
+
+    "q_sssp" -> ssspOracle(rounds = 6),
+
+    "q_item_recs" ->
+      """WITH bi AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         ci AS (SELECT i, CAST(count(*) AS BIGINT) AS n_b FROM bi GROUP BY i),
+         pairs AS MATERIALIZED (
+           SELECT a.i AS i, x.i AS j, CAST(count(*) AS BIGINT) AS c_pair
+           FROM bi a JOIN bi x ON a.b = x.b AND a.i < x.i
+           GROUP BY 1, 2),
+         sym AS (SELECT i, j, c_pair FROM pairs
+                 UNION ALL SELECT j, i, c_pair FROM pairs),
+         scored AS (
+           SELECT sym.i AS item, sym.j AS rec, c_pair,
+                  CAST((c_pair * c_pair * 10000) // (ca.n_b * cb.n_b)
+                       AS BIGINT) AS cos2_bp
+           FROM sym JOIN ci ca ON ca.i = sym.i
+                    JOIN ci cb ON cb.i = sym.j)
+         SELECT item, CAST(rank AS INT) AS rank, rec, c_pair, cos2_bp
+         FROM (SELECT item, rec, c_pair, cos2_bp,
+                      row_number() OVER (PARTITION BY item
+                        ORDER BY cos2_bp DESC, c_pair DESC, rec ASC) AS rank
+               FROM scored)
+         WHERE rank <= 5 ORDER BY item, rank""",
 
     "q_k_anonymity" ->
       """WITH cells AS (

@@ -712,6 +712,23 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: Kaplan-Meier time-to-first-high-value-purchase
+    // with RIGHT CENSORING (users who never hit censor at last
+    // activity) — product-limit in quantized-log space (associative
+    // integer sums), exact per-day hazard factors.
+    "q_survival" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val per = raw.select(col("user_id").as("u"), tsSec(raw).as("t"),
+        (col("event_type") === "purchase" && col("value") >= 90).as("hit"))
+      val subj = per.groupBy("u").agg(
+          min("t").as("t0"), max("t").as("tl"),
+          min(when(col("hit"), col("t"))).as("te"))
+        .select(col("u"), col("te").isNotNull.as("died"),
+          expr("(coalesce(te, tl) - t0) div 86400").as("dur"))
+      graft.operators.Events.kaplanMeier(subj, "dur", "died")
+        .orderBy("duration")
+    }),
+
     // Engine extension: seasonal-naive forecast BACKTEST — the baseline
     // any forecaster must beat: forecast(day) = actual(day − 7d), scored
     // days aggregated to exact-integer MAE per event type.
@@ -1405,6 +1422,42 @@ object TimesearchQueries {
          FROM ev JOIN f USING (u)
          GROUP BY cohort, "offset"
          ORDER BY cohort, "offset" """,
+
+    "q_survival" ->
+      """WITH ev AS (
+           SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  (event_type = 'purchase' AND value >= 90) AS hit
+           FROM events),
+         subj AS (
+           SELECT u, min(t) AS t0, max(t) AS tl,
+                  min(CASE WHEN hit THEN t END) AS te
+           FROM ev GROUP BY u),
+         life AS (
+           SELECT (coalesce(te, tl) - t0) // 86400 AS k,
+                  CAST(sum(CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event,
+                  CAST(sum(CASE WHEN te IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+           FROM subj GROUP BY 1),
+         risk AS (
+           SELECT k, n_event, n_censored,
+                  sum(n_event + n_censored) OVER (ORDER BY k
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+           FROM life),
+         terms AS (
+           SELECT k, CAST(n_risk AS BIGINT) AS n_risk, n_event, n_censored,
+                  CASE WHEN n_risk > n_event THEN
+                    CAST(floor(ln(CAST(n_risk - n_event AS DOUBLE)) * 10000) AS BIGINT)
+                    - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 10000) AS BIGINT)
+                  END AS term,
+                  max(CASE WHEN n_risk = n_event THEN 1 ELSE 0 END)
+                    OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS ext
+           FROM risk)
+         SELECT k AS duration, n_risk, n_event, n_censored,
+                CAST(((n_risk - n_event) * 10000) // n_risk AS BIGINT) AS factor_bp,
+                CASE WHEN ext = 1 THEN NULL
+                     ELSE CAST(sum(term) OVER (ORDER BY k
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                END AS log_surv_bp
+         FROM terms ORDER BY duration""",
 
     "q_forecast" ->
       """WITH daily AS (

@@ -186,6 +186,54 @@ object Events {
           .as("slope_bp"))
   }
 
+  /** Kaplan-Meier survival with RIGHT CENSORING (the product-limit
+    * estimator, Kaplan & Meier 1958) in the engine's quantized-LOG
+    * form, over a prepared subject table (duration, event-observed):
+    * per duration bin k,
+    *
+    *   n_risk(k)   = Σ_{j ≥ k} (events(j) + censored(j))
+    *   factor_bp   = (n_risk − d)·10⁴ div n_risk          (exact; the
+    *                 censored leave the risk set WITHOUT reducing S)
+    *   log_surv_bp = Σ_{i ≤ k, d_i > 0 ∨ always} ln_bp(n_risk − d)
+    *                                             − ln_bp(n_risk)
+    *
+    * — the product limit moved to log space so the cumulative is an
+    * ASSOCIATIVE integer sum (ln_bp = floor(ln·10⁴), the quantized-ln
+    * device). If a bin kills the entire remaining risk set the survival
+    * is exactly zero and log_surv_bp is NULL from there on.
+    *
+    * Subjects aggregate to the |bins|-bounded life table in one pass;
+    * the single-partition windows after that are DOMAIN-bounded (the
+    * histogram-device contract — never a corpus sort). */
+  def kaplanMeier(subjects: DataFrame, duration: String,
+      died: String): DataFrame = {
+    def lnBp(c: Column): Column =
+      floor(log(c.cast("double")) * 10000).cast("long")
+    val tab = subjects
+      .select(col(duration).as("k"), col(died).as("e"))
+      .groupBy("k").agg(
+        sum(when(col("e"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(col("e"), 0L).otherwise(1L)).as("n_censored"))
+    val wRev = Window.orderBy(col("k"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tab
+      .withColumn("n_risk",
+        sum(col("n_event") + col("n_censored")).over(wRev))
+      .withColumn("term",
+        when(col("n_risk") > col("n_event"),
+          lnBp(col("n_risk") - col("n_event")) - lnBp(col("n_risk"))))
+      .withColumn("extinct",
+        max(when(col("n_risk") === col("n_event"), 1L).otherwise(0L))
+          .over(wCum))
+      .select(col("k").as("duration"), col("n_risk"), col("n_event"),
+        col("n_censored"),
+        expr("((n_risk - n_event) * 10000) div n_risk").as("factor_bp"),
+        when(col("extinct") === 1L, lit(null).cast("long"))
+          .otherwise(sum("term").over(wCum)).as("log_surv_bp"))
+  }
+
   /** Seasonal-naive forecast BACKTEST — the standard forecasting
     * baseline and its standard evaluation in one operator: forecast for
     * a day is the actual of `periodSec` earlier (same weekday for the

@@ -214,6 +214,39 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Weighted single-source(-set) shortest paths — `rounds` fixed
+    * Bellman-Ford relaxations over non-negative INTEGER edge weights:
+    * every round relaxes every edge simultaneously and keeps the
+    * per-node minimum, so the trajectory is deterministic and
+    * order-free and a fixed round count replays relationally (the
+    * kCore/LPA device). Distances are exact longs — min/+ is
+    * associative, no float drift. After r rounds the distances are
+    * exact for every node whose shortest path uses ≤ r edges; an
+    * over-provisioned r is correctness-neutral once converged.
+    *
+    * Per round: ONE dist⋈edges join + one node-keyed min aggregate,
+    * both bounded by |E|, with per-round localCheckpoint (the MMR
+    * lineage lesson). Unreachable nodes are absent.
+    */
+  def weightedSssp(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val sym = edges.select(col("u"), col("v"), col("w"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+      .localCheckpoint(false)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(sym, col("node") === col("u"))
+        .select(col("v").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
   /** Link prediction by common neighbors: for every NON-adjacent pair
     * with ≥1 shared neighbor, the shared-neighbor count and Jaccard
     * overlap of neighborhoods in basis points (exact integers). Wedge

@@ -376,6 +376,66 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((2L, 3L)) === ((1L, 7500L, 2500L)))
   }
 
+  test("weightedSssp: converged distances equal Dijkstra by hand; weight beats hop count") {
+    import graft.operators.Graphs
+    // 1 -2- 2 -2- 3, plus a direct heavy edge 1-3 (w=5): the two-hop
+    // path (4) must beat the one-hop (5); node 5 unreachable
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 5L),
+      (3L, 4L, 1L), (5L, 6L, 1L)).toDF("u", "v", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graphs.weightedSssp(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 5L))
+    // extra rounds change nothing once converged
+    val more = Graphs.weightedSssp(edges, seeds, rounds = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === got)
+  }
+
+  test("itemNeighbors: hand-computed squared cosines; ranking and symmetry") {
+    import graft.operators.Recommend
+    // baskets: {1,2} x3, {1,3} x1, {2,3} x1  => c1=4, c2=4, c3=2
+    val bi = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 2L), (14L, 3L)
+    ).toDF("b", "i")
+    val r = Recommend.itemNeighbors(bi, "b", "i", k = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // cos²(1,2) = 9·10⁴/16 = 5625; cos²(1,3) = 1·10⁴/8 = 1250
+    assert(r((1L, 1)) === ((2L, 3L, 5625L)))
+    assert(r((1L, 2)) === ((3L, 1L, 1250L)))
+    assert(r((2L, 1)) === ((1L, 3L, 5625L))) // symmetric pair
+    assert(r((3L, 1))._3 === 1250L)          // ties on cos² break by c_pair/rec
+  }
+
+  test("kaplanMeier: hand life table with censoring; factors, log-survival, extinction NULL") {
+    import graft.operators.Events
+    // subjects: day 0 -> 2 deaths; day 1 -> 1 censored (leaves risk set
+    // WITHOUT reducing survival); day 2 -> 1 death, killing the rest
+    val subj = Seq(
+      (1L, 0L, true), (2L, 0L, true),
+      (3L, 1L, false),
+      (4L, 2L, true)
+    ).toDF("u", "dur", "died").select(col("dur"), col("died"))
+    val rows = Events.kaplanMeier(subj, "dur", "died")
+      .orderBy("duration").collect()
+    def lnbp(x: Long) = math.floor(math.log(x.toDouble) * 10000).toLong
+    // d0: risk 4, events 2, factor 5000, logS = lnbp(2) - lnbp(4)
+    assert(rows(0).getLong(1) === 4L && rows(0).getLong(2) === 2L)
+    assert(rows(0).getLong(3) === 0L) // no censoring that day
+    assert(rows(0).getLong(4) === 5000L)
+    assert(rows(0).getLong(5) === lnbp(2) - lnbp(4))
+    // d1: pure censoring — risk 2, factor 10000, logS UNCHANGED
+    assert(rows(1).getLong(1) === 2L && rows(1).getLong(2) === 0L)
+    assert(rows(1).getLong(3) === 1L)
+    assert(rows(1).getLong(4) === 10000L)
+    assert(rows(1).getLong(5) === lnbp(2) - lnbp(4))
+    // d2: risk 1 = events 1 -> survival exactly 0 -> NULL log
+    assert(rows(2).getLong(1) === 1L && rows(2).getLong(4) === 0L)
+    assert(rows(2).isNullAt(5))
+  }
+
   test("kCore: multi-round cascade peels the tail, keeps the clique; extra rounds no-op") {
     import graft.operators.Graphs
     // K4 clique on 0-3 (every node deg 3) + a path 3-4-5-6 hanging off:
