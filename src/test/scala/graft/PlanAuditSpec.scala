@@ -322,6 +322,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.broadcasts >= 3, s"ctx2/cont1/T2 must broadcast: $c")
   }
 
+  test("q_prf: both passes serve from the postings checkpoint — corpus never re-read") {
+    val c = audited("q_prf")
+    // the postings pass materializes once; mining AND the second bm25
+    // pass derive from checkpoint blocks — any parquet scan here means
+    // the expansion loop re-read the corpus
+    assert(c.scans == 0, s"corpus leaked past the postings checkpoint: $c")
+    // query terms, df counts, corpus stats all broadcast (the bm25
+    // contract, held by the expanded second pass too)
+    assert(c.broadcasts >= 4, s"expected the small sides broadcast: $c")
+  }
+
+  test("q_kcore: per-round work is checkpoint-truncated; final plan is one degree aggregate") {
+    val c = audited("q_kcore")
+    assert(c.scans == 0, s"peel rounds leaked a parquet re-read: $c")
+    // the served plan is the survivors' degree count — exactly one hash
+    // exchange; if rounds start re-expanding into the final plan this
+    // jumps (the MMR lineage regression shape)
+    assert(c.exchanges <= 1, s"kcore final plan re-expanded rounds: $c")
+  }
+
+  test("q_item_recs: basket checkpoint feeds marginals and pairs; exchanges stay pair-bounded") {
+    val c = audited("q_item_recs")
+    assert(c.scans == 0, s"baskets leaked past the checkpoint: $c")
+    // pair agg + item-marginal joins + the per-item window: the plan
+    // must not grow corpus-sized exchanges beyond these
+    assert(c.exchanges <= 4, s"item-recs exchange count drifted: $c")
+  }
+
+  test("q_sssp: relaxation rounds are checkpoint-truncated out of the served plan") {
+    val c = audited("q_sssp")
+    assert(c.scans == 0 && c.exchanges == 0,
+      s"sssp rounds re-expanded into the final plan: $c")
+  }
+
   test("q_kmeans: serving is map-only over the training checkpoint — zero scans, zero shuffles") {
     val c = audited("q_kmeans")
     // the quantized corpus is localCheckpointed by training; the served
