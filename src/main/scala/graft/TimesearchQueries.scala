@@ -712,6 +712,32 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: semi-structured JSON field extraction + rollup —
+    // props' k pulled per row (codegen'd path extraction, no UDF) and
+    // profiled per event type in one map-side-combined aggregate.
+    "q_json_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          countDistinct("k").as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
+    // Engine extension: Mann-Whitney U over purchase values (even- vs
+    // odd-user carts) — doubled average ranks via the value histogram
+    // (the corpus is never sorted), exact u2 and rank-biserial effect.
+    "q_mwu" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      graft.operators.Events.mannWhitney(
+        raw.filter(col("event_type") === "purchase"),
+        inGroup1 = col("user_id") % 2 === 0,
+        valueCol = cents(col("value")))
+    }),
+
     // Engine extension: Kaplan-Meier time-to-first-high-value-purchase
     // with RIGHT CENSORING (users who never hit censor at last
     // activity) — product-limit in quantized-log space (associative
@@ -1422,6 +1448,41 @@ object TimesearchQueries {
          FROM ev JOIN f USING (u)
          GROUP BY cohort, "offset"
          ORDER BY cohort, "offset" """,
+
+    "q_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                CAST(min(k) AS BIGINT) AS min_k,
+                CAST(max(k) AS BIGINT) AS max_k,
+                CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+         FROM (SELECT event_type,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         WHERE k IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+
+    "q_mwu" ->
+      """WITH hist AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+                  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n2v
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY 1),
+         scored AS (
+           SELECT v, n1v, n2v,
+                  coalesce(sum(n1v + n2v) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+           FROM hist),
+         agg AS (
+           SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+                  CAST(sum(n2v) AS BIGINT) AS n2,
+                  CAST(sum(n1v * (2 * cprev + n1v + n2v + 1)) AS BIGINT) AS r2
+           FROM scored)
+         SELECT n1, n2, r2 - n1 * (n1 + 1) AS u2,
+                CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 0
+                     ELSE ((r2 - n1 * (n1 + 1) - n1 * n2) * 10000) // (n1 * n2)
+                     END AS BIGINT) AS rb_bp
+         FROM agg""",
 
     "q_survival" ->
       """WITH ev AS (

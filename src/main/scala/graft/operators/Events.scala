@@ -186,6 +186,42 @@ object Events {
           .as("slope_bp"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test over INTEGER
+    * values, via the histogram device: average ranks with ties are
+    * half-integers, so the engine works in DOUBLED ranks —
+    *
+    *   avg2(v) = 2·C(v) + cnt(v) + 1      (C = count of smaller values)
+    *   u2      = Σ_v n1(v)·avg2(v) − n1·(n1+1)   (= 2·U₁, exact)
+    *   rb_bp   = (u2 − n1·n2)·10⁴ div (n1·n2)    (rank-biserial effect)
+    *
+    * — every quantity an exact integer, no normal approximation (the
+    * caller compares u2/effect against tables; the χ² operator covers
+    * the categorical case). The corpus aggregates ONCE into the value
+    * histogram with per-group counts; the cumulative window runs over
+    * the |distinct values|-bounded histogram, never the corpus — the
+    * same never-sort-the-corpus contract as the quantile family. */
+  def mannWhitney(df: DataFrame, inGroup1: Column,
+      valueCol: Column): DataFrame = {
+    val hist = df.select(inGroup1.as("g1"), valueCol.as("v"))
+      .groupBy("v").agg(
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n1v"),
+        sum(when(col("g1"), 0L).otherwise(1L)).as("n2v"))
+    val wPrev = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = hist
+      .withColumn("cprev",
+        coalesce(sum(col("n1v") + col("n2v")).over(wPrev), lit(0L)))
+      .withColumn("avg2",
+        lit(2L) * col("cprev") + col("n1v") + col("n2v") + 1L)
+    scored.agg(sum("n1v").as("n1"), sum("n2v").as("n2"),
+        sum(col("n1v") * col("avg2")).as("r2"))
+      .select(col("n1"), col("n2"),
+        (col("r2") - col("n1") * (col("n1") + 1L)).as("u2"))
+      .select(col("n1"), col("n2"), col("u2"),
+        expr("CASE WHEN n1 = 0 OR n2 = 0 THEN 0 " +
+          "ELSE ((u2 - n1 * n2) * 10000) div (n1 * n2) END").as("rb_bp"))
+  }
+
   /** Kaplan-Meier survival with RIGHT CENSORING (the product-limit
     * estimator, Kaplan & Meier 1958) in the engine's quantized-LOG
     * form, over a prepared subject table (duration, event-observed):

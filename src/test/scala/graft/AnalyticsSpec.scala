@@ -409,6 +409,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r((3L, 1))._3 === 1250L)          // ties on cos² break by c_pair/rec
   }
 
+  test("mannWhitney: hand-computed doubled U with ties; U1+U2 = n1*n2") {
+    import graft.operators.Events
+    // g1 = {1, 2, 2}, g2 = {2, 3}: avg ranks 1, 3, 3, 3, 5 ->
+    // 2R1 = 2+6+6 = 14, u2 = 14 - 3*4 = 2 (U1 = 1: the single tie pair)
+    val df = Seq((true, 1L), (true, 2L), (true, 2L),
+      (false, 2L), (false, 3L)).toDF("g", "v")
+    val r = Events.mannWhitney(df, col("g"), col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 2L)))
+    assert(r.getLong(3) === (2L - 6L) * 10000L / 6L)
+    // complementarity: computing from the other side gives u2' with
+    // U1 + U2 = n1*n2  =>  u2 + u2' = 2*n1*n2
+    val r2 = Events.mannWhitney(df, !col("g"), col("v")).head()
+    assert(r.getLong(2) + r2.getLong(2) === 2L * 3L * 2L)
+    // degenerate one-sided input: rb defined to 0
+    val r3 = Events.mannWhitney(df.filter(col("g")), col("g"), col("v")).head()
+    assert(r3.getLong(3) === 0L)
+  }
+
   test("kaplanMeier: hand life table with censoring; factors, log-survival, extinction NULL") {
     import graft.operators.Events
     // subjects: day 0 -> 2 deaths; day 1 -> 1 censored (leaves risk set
