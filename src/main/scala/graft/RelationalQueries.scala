@@ -201,6 +201,25 @@ object RelationalQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Point-in-time (PIT) dimension lookup — the SCD2 CONSUMING pattern:
+    // each purchase fact joins the dimension version valid AT ITS
+    // TIMESTAMP. Composes buildType2 with the as-of union-merge device
+    // (one key exchange, carry-forward window — no inequality join in
+    // the plan; the oracle deliberately IS the inequality join).
+    "q_pit_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val t = TimesearchQueries.tsSec(ev)
+      val dim = graft.operators.Scd.buildType2(ev, "user_id", t,
+        col("event_type"), col("event_id"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), t.as("t"), col("event_id"))
+      graft.operators.TemporalJoin.asof(facts, dim, "user_id",
+          leftTs = "t", leftId = "event_id",
+          rightTs = "valid_from", rightId = "version",
+          rightPayload = Seq("attr"), toleranceSec = Long.MaxValue / 4)
+        .orderBy("event_id")
+    }),
+
     // Snapshot diff (Delta CDF-style change classification): one
     // full-outer sort-merge join keyed on the order key. The "older"
     // snapshot is derived deterministically from orders in BOTH engines
@@ -813,6 +832,38 @@ object RelationalQueries {
          FROM heads
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, tb)
          ORDER BY user_id, version""",
+
+    // the inequality join the union-merge plan avoids — per fact, the
+    // greatest valid_from at-or-before its timestamp (version breaks
+    // exact ties, matching the carry-forward's last-right-row rule)
+    "q_pit_join" ->
+      """WITH log AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                  event_type AS attr, event_id AS tb
+           FROM events),
+         runs AS (
+           SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY ts_sec, tb) AS prev
+           FROM log),
+         heads AS (
+           SELECT user_id, ts_sec, attr, tb FROM runs
+           WHERE prev IS NULL OR prev <> attr),
+         dim AS (
+           SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+                  attr, ts_sec AS valid_from
+           FROM heads
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, tb)),
+         facts AS (
+           SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+           FROM events WHERE event_type = 'purchase')
+         SELECT event_id, user_id, t, version AS matched_id,
+                valid_from AS matched_ts, attr
+         FROM (SELECT f.event_id, f.user_id, f.t, d.version, d.valid_from,
+                      d.attr,
+                      row_number() OVER (PARTITION BY f.event_id
+                        ORDER BY d.valid_from DESC, d.version DESC) AS rn
+               FROM facts f JOIN dim d
+                 ON d.user_id = f.user_id AND d.valid_from <= f.t)
+         WHERE rn = 1 ORDER BY event_id""",
 
     "q_table_diff" ->
       """WITH base AS (

@@ -91,4 +91,20 @@ class ScdSpec extends AnyFunSuite {
     assert(got === Map(2L -> "changed", 3L -> "changed", 4L -> "removed",
       5L -> "added"))
   }
+
+  test("PIT composition: each fact matches the dim version valid at its timestamp") {
+    import graft.operators.TemporalJoin
+    // user 1: attr a@10 -> b@30 -> c@50; facts at 10, 29, 30, 49, 99
+    val log = Seq((1L, 10L, "a", 100L), (1L, 30L, "b", 101L),
+      (1L, 50L, "c", 102L)).toDF("u", "t", "attr", "id")
+    val dim = Scd.buildType2(log, "u", col("t"), col("attr"), col("id"))
+    val facts = Seq((1L, 10L, 900L), (1L, 29L, 901L), (1L, 30L, 902L),
+      (1L, 49L, 903L), (1L, 99L, 904L)).toDF("u", "t", "fid")
+    val got = TemporalJoin.asof(facts, dim, "u", "t", "fid",
+        "valid_from", "version", Seq("attr"), Long.MaxValue / 4)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    // inclusive at the boundary: the fact AT a version's start sees it
+    assert(got === Map(900L -> "a", 901L -> "a", 902L -> "b",
+      903L -> "b", 904L -> "c"))
+  }
 }
