@@ -378,6 +378,23 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    // Item-item CF served from the INCREMENTALLY-MAINTAINED
+    // co-occurrence graph: the maintained pair counts ARE c_ij and the
+    // maintained node counts ARE the marginals, so recommendations
+    // follow the basket stream with no per-query corpus self-join.
+    // Hash-equals batch q_item_recs (shared oracle verbatim).
+    "q_item_recs_incremental" -> ((s, dir) => {
+      val t = incrementalGraph(s, dir)
+      graft.operators.Recommend.itemNeighborsFrom(
+          graft.streaming.StreamGraph.edgeCounts(t)
+            .select(col("u").as("i"), col("v").as("j"),
+              col("cnt").as("c_pair")),
+          graft.streaming.StreamGraph.nodes(t)
+            .select(col("node").as("i"), col("n_baskets").as("n_b")),
+          k = 5)
+        .orderBy("item", "rank")
+    }),
+
     // Exact quantiles served from the INCREMENTALLY-MAINTAINED
     // histogram: the additive (group, value) count table follows the
     // stream; the rank device runs over it with ZERO corpus passes at
@@ -2582,6 +2599,10 @@ object PipelineQueries {
     // maintained co-occurrence graph must converge to the batch-built
     // graph — the BFS serving path shares q_bfs's oracle verbatim
     "q_bfs_incremental" -> RelationalQueries.oracles("q_bfs"),
+
+    // maintained pair/node counts must serve the SAME recommendations
+    // as the batch basket self-join — shared oracle verbatim
+    "q_item_recs_incremental" -> RelationalQueries.oracles("q_item_recs"),
     "q_bpe" -> bpeOracle,
     "q_bpe_tokenize" -> bpeTokenizeOracle,
 

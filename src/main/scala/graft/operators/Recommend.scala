@@ -37,11 +37,24 @@ object Recommend {
         col("a.b") === col("x.b") && col("a.i") < col("x.i"))
       .groupBy(col("a.i").as("i"), col("x.i").as("j"))
       .agg(count(lit(1)).as("c_pair"))
-    val sym = pairs.unionByName(
-      pairs.select(col("j").as("i"), col("i").as("j"), col("c_pair")))
+    itemNeighborsFrom(pairs, ci, k)
+  }
+
+  /** [[itemNeighbors]]' scoring core over PREBUILT (i < j, c_pair) pair
+    * counts and (i, n_b) item marginals — the serving entry point for
+    * the incrementally-maintained co-occurrence graph
+    * ([[graft.streaming.StreamGraph]] keeps exactly these two row
+    * classes as additive counters), so recommendations follow the
+    * basket stream without a per-query corpus self-join. */
+  def itemNeighborsFrom(pairs: DataFrame, marginals: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val sym = pairs.select(col("i"), col("j"), col("c_pair"))
+      .unionByName(
+        pairs.select(col("j").as("i"), col("i").as("j"), col("c_pair")))
     val scored = sym
-      .join(ci.select(col("i"), col("n_b").as("ci")), "i")
-      .join(ci.select(col("i").as("j"), col("n_b").as("cj")), "j")
+      .join(marginals.select(col("i"), col("n_b").as("ci")), "i")
+      .join(marginals.select(col("i").as("j"), col("n_b").as("cj")), "j")
       .select(col("i").as("item"), col("j").as("rec"), col("c_pair"),
         expr("(c_pair * c_pair * 10000) div (ci * cj)").as("cos2_bp"))
     val w = Window.partitionBy("item")

@@ -92,6 +92,18 @@ object StreamGraph {
         expr(s"cast(split(substring(${Merge.KeyCol}, 3), ':')[1] as bigint)")
           .as("v"))
 
+  /** The WEIGHTED edge view: (u, v, cnt) maintained pair counts — the
+    * c_ij side of the CF serving path ([[graft.operators.Recommend
+    * .itemNeighborsFrom]]); [[nodes]] provides the marginals. */
+  def edgeCounts(table: Livestream.UpsertTable): DataFrame =
+    table.current.filter(col(Merge.KeyCol).startsWith("e:"))
+      .select(
+        expr(s"cast(split(substring(${Merge.KeyCol}, 3), ':')[0] as bigint)")
+          .as("u"),
+        expr(s"cast(split(substring(${Merge.KeyCol}, 3), ':')[1] as bigint)")
+          .as("v"),
+        col("cnt"))
+
   /** The NODE view: (node, n_baskets). */
   def nodes(table: Livestream.UpsertTable): DataFrame =
     table.current.filter(col(Merge.KeyCol).startsWith("n:"))
