@@ -1037,6 +1037,33 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // Prefix-filtered set-similarity join (All-Pairs/PPJoin): the FOURTH
+    // blocking paradigm — only the rarity-ordered PREFIX of each
+    // shingle set is indexed, exact recall by the prefix-filter theorem.
+    // Same inputs and output contract as q_dedup_ngram, so the exact
+    // inverted-index join's oracle gates this one verbatim.
+    "q_dedup_prefix" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, thresholdBp = 8000)
+        .orderBy("i", "j")
+    }),
+
+    // Directional CONTAINMENT join over a corpus with planted truncated
+    // copies (first half of every 10th doc): the asymmetric near-dup
+    // Jaccard cannot see — a truncation contains ~fully in its source
+    // while the symmetric overlap stays near 50%.
+    "q_dedup_containment" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val w = split(trim(col("text")), "\\s+")
+      val half = greatest(lit(3), (size(w) / 2).cast("int"))
+      val trunc = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(slice(w, lit(1), half), " ").as("text"))
+      Dedup.containmentPairs(corpusWithDups(s, dir).unionByName(trunc),
+          "doc_id", "text", n = 3, thresholdBp = 9000)
+        .orderBy("src", "dst")
+    }),
+
     // Sorted-neighborhood dedup: the THIRD blocking paradigm (global
     // sort order) next to hash blocking and LSH banding — O(n·w)
     // comparisons; rank via the two-phase range device, verify row-local.
@@ -3328,6 +3355,42 @@ object PipelineQueries {
          GROUP BY doc ORDER BY doc"""),
 
     "q_dedup_ngram" -> jaccardOracle,
+
+    // the prefix-filtered join must find EXACTLY the exact join's pairs
+    "q_dedup_prefix" -> jaccardOracle,
+
+    "q_dedup_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 3000000,
+                  array_to_string(
+                    (string_split_regex(trim(text), '\s+'))
+                      [1:greatest(3, len(string_split_regex(trim(text), '\s+')) // 2)],
+                    ' ') AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         words AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+         sh AS (
+           SELECT DISTINCT doc_id AS doc,
+                  unnest(list_transform(range(1, len(w)-1),
+                                        i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM words),
+         sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc AS i, b.doc AS j, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+           GROUP BY 1, 2),
+         dirs AS (
+           SELECT i AS src, j AS dst, (c * 10000) // x.n AS cont_bp
+           FROM inter JOIN sizes x ON x.doc = i
+           UNION ALL
+           SELECT j AS src, i AS dst, (c * 10000) // y.n AS cont_bp
+           FROM inter JOIN sizes y ON y.doc = j)
+         SELECT src, dst, CAST(cont_bp AS BIGINT) AS cont_bp
+         FROM dirs WHERE cont_bp >= 9000 ORDER BY src, dst""",
     "q_dedup_minhash" -> jaccardOracle,
     // serves from the maintained LSH state; ground truth identical
     "q_dedup_stream_lsh" -> jaccardOracle,

@@ -193,6 +193,84 @@ object Dedup {
       .select("i", "j", "jac_bp")
   }
 
+  /** Prefix-filtered set-similarity join — the All-Pairs/PPJoin prefix
+    * principle (Chaudhuri et al. 2006; Bayardo et al. 2007; Xiao et al.
+    * 2008) as the FOURTH blocking paradigm next to the full inverted
+    * index, LSH banding, and the sorted neighborhood: order every
+    * document's shingles by a GLOBAL rarity order (df asc, shingle asc)
+    * and index only the first |x| − ⌈t·|x|⌉ + 1 of them. By the prefix-
+    * filter theorem any pair with Jaccard ≥ t shares a PREFIX shingle
+    * under that common order (J ≥ t ⇒ overlap ≥ ⌈t·|x|⌉ for each side,
+    * and the ⌈t·|x|⌉-suffix alone cannot hold the whole overlap) — so
+    * candidate generation touches only prefix postings, which the
+    * rare-first order keeps short where the full index is hottest.
+    * EXACT recall; candidates verify row-locally against the full
+    * shingle arrays (the minhash verify device, no shingle-row shuffle).
+    *
+    * Same output contract as [[jaccardPairs]] — (i, j, jac_bp), i < j —
+    * and the exact join IS its oracle. freqCap sheds pathological hot
+    * prefix groups exactly as the family documents.
+    */
+  def prefixJaccardPairs(df: DataFrame, id: String, text: String, n: Int,
+      thresholdBp: Int, freqCap: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSet(df, id, text, n).localCheckpoint(false)
+    val sh = sets.select(col("doc"), size(col("_arr")).cast("long").as("nsh"),
+      explode(col("_arr")).as("s"))
+    val dfs = sh.groupBy("s").agg(count(lit(1)).as("dfs"))
+    val ranked = sh.join(dfs, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc").orderBy(col("dfs"), col("s"))))
+    val prefix = ranked.filter(col("rn") <=
+      col("nsh") - expr(s"(($thresholdBp * nsh + 9999) div 10000)") + 1)
+    val cand = groupPairs(
+        prefix.select(col("s"), struct(col("doc")).as("d")),
+        Seq("s"), col("d"),
+        (x, y) => when(x.getField("doc") < y.getField("doc"),
+          struct(x.getField("doc").as("i"), y.getField("doc").as("j"))),
+        freqCap)
+      .select(col("_p.i").as("i"), col("_p.j").as("j")).distinct()
+    val inter = size(array_intersect(col("_ai"), col("_aj"))).cast("long")
+    cand
+      .join(sets.select(col("doc").as("i"), col("_arr").as("_ai")), "i")
+      .join(sets.select(col("doc").as("j"), col("_arr").as("_aj")), "j")
+      .withColumn("_c", inter)
+      // identical floor(double) form as jaccardPairs — shares its oracle
+      .withColumn("jac_bp",
+        floor(col("_c") * 10000.0 /
+          (size(col("_ai")) + size(col("_aj")) - col("_c"))).cast("long"))
+      .filter(col("jac_bp") >= thresholdBp)
+      .select("i", "j", "jac_bp")
+  }
+
+  /** Directional CONTAINMENT join — the asymmetric near-dup the
+    * symmetric Jaccard family cannot see (a quote, excerpt, or
+    * truncated copy sits INSIDE a longer document: tiny Jaccard, full
+    * containment): for ordered pairs, cont_bp = |A∩B|·10⁴ div |A| ≥
+    * threshold, i.e. "this share of src's shingles appears in dst".
+    * Both directions of each co-occurring pair are scored from ONE
+    * unordered intersection count (same grouped inverted index + caps
+    * as [[jaccardPairs]]); output (src, dst, cont_bp). */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+      thresholdBp: Int, freqCap: Long = 1000000L): DataFrame = {
+    val sh = shingleRows(df, id, text, n)
+      .select(col("s"), struct(col("doc"), col("nsh")).as("dn"))
+    val counted = groupPairs(sh, Seq("s"), col("dn"), (x, y) =>
+        when(x.getField("doc") < y.getField("doc"),
+          struct(x.getField("doc").as("i"), y.getField("doc").as("j"),
+            x.getField("nsh").as("ni"), y.getField("nsh").as("nj"))),
+        freqCap)
+      .select(col("_p.i").as("i"), col("_p.j").as("j"),
+        col("_p.ni").as("ni"), col("_p.nj").as("nj"))
+      .groupBy("i", "j", "ni", "nj")
+      .agg(count(lit(1)).as("c"))
+    counted.select(col("i").as("src"), col("j").as("dst"),
+        expr("(c * 10000) div ni").as("cont_bp"))
+      .unionByName(counted.select(col("j").as("src"), col("i").as("dst"),
+        expr("(c * 10000) div nj").as("cont_bp")))
+      .filter(col("cont_bp") >= thresholdBp)
+  }
+
   /** MinHash + LSH banding + exact verification.
     *
     * Pipeline: shingle → k-wide signature → b bands of r rows hashed to a

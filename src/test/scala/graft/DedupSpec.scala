@@ -264,6 +264,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("prefixJaccardPairs: exact-recall equality with the full inverted index on random corpora") {
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (0L until 60L).map { i =>
+      i -> Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+    }.toMap
+    val docs = base.toSeq.map { case (i, ws) => (i, ws.mkString(" ")) } ++
+      // exact duplicates of every 5th doc under new ids, plus one-word
+      // edits of every 7th (true near-dup pairs at mid thresholds)
+      (0L until 60L by 5L).map(i => (i + 1000L, base(i).mkString(" "))) ++
+      (0L until 60L by 7L).map(i =>
+        (i + 2000L, (base(i) :+ "omega").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(5000, 8000)) {
+      val exact = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, t)
+        .as[(Long, Long, Long)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(df, "doc_id", "text", n = 3, t)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pref === exact, s"prefix filter lost/invented pairs at t=$t")
+      assert(exact.nonEmpty, "fixture must actually produce pairs")
+    }
+  }
+
+  test("containmentPairs: a strict subset contains fully one way, partially the other") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f"),            // subset of 1: all its shingles in 1
+      (3L, "x y z q r s")             // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+        thresholdBp = 0)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // doc2 has 4 shingles, all inside doc1 (8 shingles)
+    assert(got((2L, 1L)) === 10000L)
+    assert(got((1L, 2L)) === 4L * 10000L / 8L)
+    assert(!got.contains((3L, 1L)))
+    // thresholding keeps only the full-containment direction
+    val hi = Dedup.containmentPairs(df, "doc_id", "text", 3, 9000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hi === Set((2L, 1L, 10000L)))
+  }
+
   test("hammingPairs: equals brute force on arbitrary 64-bit signatures incl. sign-bit hashes") {
     // distances: (1,2)=0, (1,3)=1, (1,4)=3, (1,5)=4 (over threshold),
     // plus a negative (top-bit) hash pair to pin the signed packing
