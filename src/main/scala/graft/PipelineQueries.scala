@@ -1395,6 +1395,16 @@ object PipelineQueries {
     }),
 
     // Text analysis: token counts, quality, language-ID, fingerprint.
+    // Multinomial Naive Bayes trained AND served in-engine: language
+    // classification of the corpus, add-one smoothing, every ln floored
+    // once (quantized-ln device) so the argmax replays relationally.
+    // Output = the confusion matrix.
+    "q_naive_bayes" -> ((s, dir) => {
+      graft.operators.NaiveBayes.confusion(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("label", "predicted")
+    }),
+
     // Norvig-style spell correction: typos minted from the top-10 vocab
     // words (2nd char dropped), corrected against the frequency-weighted
     // vocabulary by (edit distance, -freq, word) — distance then the
@@ -2544,6 +2554,55 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
 
     "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
+
+    "q_naive_bayes" ->
+      """WITH base AS (
+           SELECT doc_id AS doc, lang AS lbl,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> length(x) > 0) AS t
+           FROM documents),
+         postings AS MATERIALIZED (
+           SELECT doc, lbl, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc, lbl, unnest(t) AS tok FROM base)
+           GROUP BY 1, 2, 3),
+         doclevel AS (
+           SELECT doc, lbl, CAST(sum(tf) AS BIGINT) AS nd
+           FROM postings GROUP BY 1, 2),
+         cnt AS MATERIALIZED (
+           SELECT tok, lbl AS c, CAST(sum(tf) AS BIGINT) AS cnt
+           FROM postings GROUP BY 1, 2),
+         totc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt GROUP BY c),
+         vocabn AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+         classn AS (SELECT lbl AS c, CAST(count(*) AS BIGINT) AS nc
+                    FROM doclevel GROUP BY 1),
+         nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM doclevel),
+         consts AS (
+           SELECT c,
+                  CAST(floor(ln(CAST(nc AS DOUBLE)) * 10000) AS BIGINT)
+                  - CAST(floor(ln(CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS prior,
+                  CAST(floor(ln(CAST(tot + v AS DOUBLE)) * 10000) AS BIGINT) AS denom
+           FROM classn CROSS JOIN nall JOIN totc USING (c) CROSS JOIN vocabn),
+         model AS MATERIALIZED (
+           SELECT tok, c,
+                  CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)) * 10000) AS BIGINT) AS lsc
+           FROM cnt),
+         matched AS MATERIALIZED (
+           SELECT p.doc, m.c, CAST(sum(p.tf * m.lsc) AS BIGINT) AS m
+           FROM postings p JOIN model m USING (tok)
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT d.doc, d.lbl, k.c,
+                  k.prior + coalesce(m.m, 0) - d.nd * k.denom AS score
+           FROM doclevel d CROSS JOIN consts k
+           LEFT JOIN matched m ON m.doc = d.doc AND m.c = k.c),
+         pred AS (
+           SELECT doc, lbl, c FROM (
+             SELECT doc, lbl, c,
+                    row_number() OVER (PARTITION BY doc
+                      ORDER BY score DESC, c ASC) AS rn
+             FROM scored) WHERE rn = 1)
+         SELECT lbl AS label, c AS predicted, CAST(count(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2 ORDER BY label, predicted""",
 
     "q_spell_correct" ->
       """WITH vocab AS (
