@@ -1189,6 +1189,38 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Semantic-cluster LABELING — the cluster→text bridge a curation
+    // pipeline needs to make its clusters legible: per embedding
+    // cluster, the top-3 tokens of its members' documents by
+    // cluster-tf·idf (idf over clusters, quantized-ln device; ties to
+    // the token). doc_id ≡ vec_id by the testdata contract.
+    "q_cluster_label" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, _) = Similarity.ivfTune(embCount(s, dir))
+      val assign = Similarity.clusterAssign(emb, "vec_id", "embedding", nlist)
+        .select(col("doc").as("doc_id"), col("cid").cast("long").as("cid"))
+      val toksC = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        t => length(t) > 0)
+      val ct = Tables.load(s, dir, "documents").select("doc_id", "text")
+        .join(assign, "doc_id")
+        .select(col("cid"), explode(toksC).as("tok"))
+        .groupBy("cid", "tok").agg(count(lit(1)).as("ctc"))
+      val dfc = ct.groupBy("tok").agg(count(lit(1)).as("dfc"))
+      val cc = ct.select("cid").distinct().agg(count(lit(1)).as("cc"))
+      def lnBp(c: org.apache.spark.sql.Column) =
+        floor(log(c.cast("double")) * 10000).cast("long")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cid")
+        .orderBy(col("score").desc, col("tok").asc)
+      ct.join(dfc, "tok").crossJoin(broadcast(cc))
+        .select(col("cid"), col("tok"),
+          (col("ctc") * (lnBp(col("cc")) - lnBp(col("dfc")))).as("score"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select(col("cid"), col("rank"), col("tok"), col("score"))
+        .orderBy("cid", "rank")
+    }),
+
     // Cluster assignment served from the INCREMENTALLY-MAINTAINED table:
     // the codebook is fixed up front (md5 seed rule over the corpus — a
     // trained artifact in production), vectors arrive as 4 micro-batches
@@ -3658,6 +3690,31 @@ object PipelineQueries {
       """
          SELECT vec_id, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_bp
          FROM best ORDER BY vec_id"""),
+
+    "q_cluster_label" -> (clusterAssignCte +
+      """,
+         ct AS MATERIALIZED (
+           SELECT b.cid, tok, CAST(count(*) AS BIGINT) AS ctc
+           FROM best b JOIN (
+             SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> length(x) > 0)) AS tok
+             FROM documents) d ON d.doc_id = b.vec_id
+           GROUP BY 1, 2),
+         dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc FROM ct GROUP BY tok),
+         ccv AS (SELECT CAST(count(DISTINCT cid) AS BIGINT) AS cc FROM ct),
+         scored AS (
+           SELECT cid, tok,
+                  ctc * (CAST(floor(ln(CAST(cc AS DOUBLE)) * 10000) AS BIGINT)
+                         - CAST(floor(ln(CAST(dfc AS DOUBLE)) * 10000) AS BIGINT))
+                    AS score
+           FROM ct JOIN dfc USING (tok) CROSS JOIN ccv)
+         SELECT cid, CAST(rank AS INT) AS rank, tok, score
+         FROM (SELECT cid, tok, score,
+                      row_number() OVER (PARTITION BY cid
+                        ORDER BY score DESC, tok ASC) AS rank
+               FROM scored)
+         WHERE rank <= 3 ORDER BY cid, rank"""),
 
     // the incrementally-maintained assignment table must converge to the
     // batch assignment, so the streamed path shares the oracle verbatim

@@ -712,6 +712,26 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: the user-journey MARKOV CHAIN — stationary
+    // distribution of the event-type transition matrix by integer-exact
+    // power iteration (the PageRank regime: fixed scale units, floor
+    // division, bit-exact 10-iteration relational replay).
+    "q_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("user_id").as("u"), tsSec(raw).as("t"),
+        col("event_id").as("id"), col("event_type").as("ty"))
+      val w = Window.partitionBy("u").orderBy(col("t"), col("id"))
+      val pairs = ev.withColumn("nxt", lead("ty", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("ty").as("f"), col("nxt").as("t"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.Graphs.markovStationary(pairs, iters = 10)
+        .withColumnRenamed("s", "event_type")
+        .withColumnRenamed("v", "pi_scaled")
+        .orderBy("event_type")
+    }),
+
     // Engine extension: semi-structured JSON field extraction + rollup —
     // props' k pulled per row (codegen'd path extraction, no UDF) and
     // profiled per event type in one map-side-combined aggregate.
@@ -911,6 +931,43 @@ object TimesearchQueries {
   /** PageRank replay generator: base/init constants via integer division
     * against the counted N, then `iters` unrolled stages — each stage's
     * in-mass from the previous stage only, AS MATERIALIZED throughout. */
+  /** q_markov oracle: the integer power iteration unrolled — per stage
+    * one transition join + destination aggregate over the 5-row state
+    * vector, every stage materialized (the staged-CTE device). */
+  private def markovOracle(iters: Int, scale: Long): String = {
+    val head =
+      s"""WITH ev AS (
+           SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  event_id AS id, event_type AS ty
+           FROM events),
+         seqp AS (
+           SELECT ty AS f,
+                  lead(ty) OVER (PARTITION BY u ORDER BY t, id) AS t2
+           FROM ev),
+         pairs AS MATERIALIZED (
+           SELECT f, t2 AS t, CAST(count(*) AS BIGINT) AS c
+           FROM seqp WHERE t2 IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT f, CAST(sum(c) AS BIGINT) AS tot FROM pairs GROUP BY f),
+         states AS MATERIALIZED (
+           SELECT DISTINCT s FROM
+             (SELECT f AS s FROM pairs UNION ALL SELECT t FROM pairs)),
+         kv AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+         x0 AS (SELECT s, $scale // k AS v FROM states CROSS JOIN kv)"""
+    val steps = (1 to iters).map { i =>
+      s"""x$i AS MATERIALIZED (
+           SELECT st.s, coalesce(nx.vn, 0) AS v
+           FROM states st LEFT JOIN (
+             SELECT p.t AS s, CAST(sum((x.v * p.c) // r.tot) AS BIGINT) AS vn
+             FROM x${i - 1} x JOIN pairs p ON p.f = x.s
+             JOIN rt r ON r.f = p.f
+             GROUP BY p.t) nx USING (s))"""
+    }
+    s"""$head,
+       ${steps.mkString(",\n")}
+       SELECT s AS event_type, CAST(v AS BIGINT) AS pi_scaled
+       FROM x$iters ORDER BY event_type"""
+  }
+
   private def pagerankOracle(iters: Int): String = {
     val sb = new StringBuilder
     sb.append("""WITH nodes AS (
@@ -1448,6 +1505,8 @@ object TimesearchQueries {
          FROM ev JOIN f USING (u)
          GROUP BY cohort, "offset"
          ORDER BY cohort, "offset" """,
+
+    "q_markov" -> markovOracle(iters = 10, scale = 1000000000L),
 
     "q_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

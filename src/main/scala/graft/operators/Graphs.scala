@@ -120,6 +120,45 @@ object Graphs {
     rank.select(col("id"), col("r").as("pr"))
   }
 
+  /** Stationary distribution of an empirical MARKOV CHAIN (power
+    * iteration over the row-normalized transition counts) in the
+    * integer-exact PageRank regime: mass in `scale` units,
+    *
+    *   x₀(s)     = scale div K
+    *   x_{t+1}(s) = Σ_f (x_t(f)·c(f,s)) div rowtot(f)
+    *
+    * — every step exact long arithmetic (associative sums, engine-
+    * independent division), so a fixed iteration count replays
+    * relationally to the bit. Floor division leaks sub-unit mass per
+    * step and states without outgoing transitions leak theirs entirely
+    * (the PageRank sink-loss convention — deterministic, documented).
+    * Per iteration: one transition join + one destination aggregate,
+    * both |transitions|-bounded, per-iteration checkpoint. The state
+    * vector is |states| rows end to end. */
+  def markovStationary(pairs: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0 && scale > 0)
+    val p = pairs.select(col("f"), col("t"), col("c"))
+      .localCheckpoint(false)
+    val states = p.select(col("f").as("s"))
+      .unionByName(p.select(col("t").as("s"))).distinct()
+      .localCheckpoint(false)
+    val rowtot = p.groupBy("f").agg(sum("c").as("tot"))
+    val k = states.count()
+    require(k > 0, "empty chain")
+    var x = states.withColumn("v", lit(scale / k))
+    for (_ <- 1 to iters) {
+      val next = x.join(p, col("s") === col("f"))
+        .join(rowtot, "f")
+        .select(col("t").as("s"), expr("(v * c) div tot").as("vc"))
+        .groupBy("s").agg(sum("vc").as("vn"))
+      x = states.join(next, Seq("s"), "left")
+        .select(col("s"), coalesce(col("vn"), lit(0L)).as("v"))
+        .localCheckpoint(false)
+    }
+    x
+  }
+
   /** Multi-source BFS hop distances over an undirected graph (`edges` as
     * u < v pairs): min #hops from any seed, up to `maxHops`; unreachable
     * nodes are absent. Frontier expansion — per hop ONE |frontier⋈edges|

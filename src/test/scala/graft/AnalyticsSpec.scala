@@ -376,6 +376,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out((2L, 3L)) === ((1L, 7500L, 2500L)))
   }
 
+  test("markovStationary: hand 2-state chain converges; absorbing-ish mass flows deterministically") {
+    import graft.operators.Graphs
+    // a <-> b alternating: stationary = uniform; start is uniform so
+    // every iterate stays (500000000, 500000000) exactly
+    val flip = Seq(("a", "b", 10L), ("b", "a", 10L)).toDF("f", "t", "c")
+    val r = Graphs.markovStationary(flip, iters = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 500000000L, "b" -> 500000000L))
+    // biased chain: a->a 3, a->b 1; b->a 1, b->b 1: stationary = (2/3, 1/3)
+    val biased = Seq(("a", "a", 3L), ("a", "b", 1L),
+      ("b", "a", 1L), ("b", "b", 1L)).toDF("f", "t", "c")
+    val s = Graphs.markovStationary(biased, iters = 30)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(math.abs(s("a") - 666666666L) < 1000L, s"got $s")
+    assert(math.abs(s("b") - 333333333L) < 1000L)
+    // floor-leak only ever loses mass, never creates it
+    assert(s.values.sum <= 1000000000L)
+  }
+
   test("weightedSssp: converged distances equal Dijkstra by hand; weight beats hop count") {
     import graft.operators.Graphs
     // 1 -2- 2 -2- 3, plus a direct heavy edge 1-3 (w=5): the two-hop
