@@ -712,6 +712,20 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: EWMA control chart over each user's purchase
+    // values — dyadic alpha=1/2 keeps the sequential recurrence in
+    // exact integers; the identical left fold replays via list_reduce,
+    // so the whole per-user trajectory hash-gates.
+    "q_ewma" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+      graft.operators.Events.ewmaAlerts(raw, "user_id",
+          TimesearchQueries.tsSec(raw), col("event_id"),
+          cents(col("value")), thresholdC = 3000L)
+        .withColumnRenamed("u", "user_id")
+        .orderBy("user_id")
+    }),
+
     // Engine extension: the user-journey MARKOV CHAIN — stationary
     // distribution of the event-type transition matrix by integer-exact
     // power iteration (the PageRank regime: fixed scale units, floor
@@ -1507,6 +1521,34 @@ object TimesearchQueries {
          ORDER BY cohort, "offset" """,
 
     "q_markov" -> markovOracle(iters = 10, scale = 1000000000L),
+
+    // CAUTION (measured, DuckDB 1.0): list_reduce evaluates the result
+    // struct's fields SEQUENTIALLY against an in-place accumulator, so
+    // a field written before another is already visible to it. The
+    // alert field must therefore come FIRST to read the pre-update 'e'
+    // (the functional-fold semantics Spark's aggregate() has natively);
+    // with 'e' first the alert test silently used the new average.
+    "q_ewma" ->
+      """WITH pv AS (
+           SELECT user_id AS u,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  event_id AS tb,
+                  CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+         per AS (
+           SELECT u, list(v ORDER BY t, tb) AS vals
+           FROM pv GROUP BY u),
+         folded AS (
+           SELECT u, CAST(len(vals) AS BIGINT) AS n,
+                  list_reduce(
+                    list_transform(vals, v -> {'a': CAST(0 AS BIGINT), 'e': v}),
+                    (acc, x) -> {
+                      'a': acc.a + CASE WHEN abs(x.e - acc.e) > 3000
+                                        THEN 1 ELSE 0 END,
+                      'e': (acc.e + x.e) // 2}) AS f
+           FROM per WHERE len(vals) > 0)
+         SELECT u AS user_id, n, f.e AS ewma_c, f.a AS n_alerts
+         FROM folded ORDER BY user_id""",
 
     "q_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -186,6 +186,39 @@ object Events {
           .as("slope_bp"))
   }
 
+  /** EWMA control chart (the classic sequential anomaly monitor) with a
+    * DYADIC smoothing constant so the recurrence is exact integers:
+    *
+    *   e₁ = v₁,   e_k = (e_{k−1} + v_k) div 2        (α = 1/2)
+    *   alert at k ⇔ |v_k − e_{k−1}| > threshold
+    *
+    * A sequential recurrence has no associative form, so it runs as a
+    * row-LOCAL fold over each key's ordered value array (one key
+    * shuffle, then per-element integer ops — the eventPaths per-user
+    * array contract; per-key cardinality bounds the row size). The
+    * identical left fold replays in the oracle via list_reduce, so the
+    * whole trajectory hash-gates. Output per key: (n, ewma_c,
+    * n_alerts). */
+  def ewmaAlerts(events: DataFrame, user: String, tsSec: Column,
+      tieBreak: Column, valueCents: Column, thresholdC: Long): DataFrame = {
+    require(thresholdC >= 0)
+    events
+      .select(col(user).as("u"),
+        struct(tsSec.as("t"), tieBreak.as("tb"), valueCents.as("v")).as("e"))
+      .groupBy("u")
+      .agg(array_sort(collect_list(col("e"))).as("arr"))
+      .select(col("u"), expr("transform(arr, x -> x.v)").as("vals"))
+      .filter(size(col("vals")) > 0)
+      .withColumn("f", expr(
+        s"""aggregate(slice(vals, 2, size(vals) - 1),
+              named_struct('e', vals[0], 'a', 0L),
+              (acc, x) -> named_struct(
+                'e', (acc.e + x) div 2,
+                'a', acc.a + IF(abs(x - acc.e) > ${thresholdC}L, 1L, 0L)))"""))
+      .select(col("u"), size(col("vals")).cast("long").as("n"),
+        col("f.e").as("ewma_c"), col("f.a").as("n_alerts"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test over INTEGER
     * values, via the histogram device: average ranks with ties are
     * half-integers, so the engine works in DOUBLED ranks —

@@ -428,6 +428,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r((3L, 1))._3 === 1250L)          // ties on cos² break by c_pair/rec
   }
 
+  test("ewmaAlerts: hand trajectory; first value never alerts; singleton passthrough") {
+    import graft.operators.Events
+    // vals 100, 100, 5100: e = 100, 100, then 5100 vs e=100 -> alert;
+    // final e = (100+5100) div 2 = 2600
+    val ev = Seq((1L, 10L, 1L, 100L), (1L, 20L, 2L, 100L),
+      (1L, 30L, 3L, 5100L), (2L, 5L, 4L, 9999L)).toDF("u", "t", "id", "v")
+    val r = Events.ewmaAlerts(ev, "u", col("t"), col("id"), col("v"),
+        thresholdC = 3000L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((3L, 2600L, 1L)))
+    // a single observation: ewma = the value, no alerts possible
+    assert(r(2L) === ((1L, 9999L, 0L)))
+  }
+
   test("mannWhitney: hand-computed doubled U with ties; U1+U2 = n1*n2") {
     import graft.operators.Events
     // g1 = {1, 2, 2}, g2 = {2, 3}: avg ranks 1, 3, 3, 3, 5 ->
