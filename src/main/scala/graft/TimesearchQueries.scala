@@ -712,6 +712,17 @@ object TimesearchQueries {
         .orderBy("cohort", "offset")
     }),
 
+    // Engine extension: subsampling-bootstrap CI for the mean purchase
+    // value — 32 deterministic half-rate replicates via the md5
+    // membership device, interval from order statistics of the
+    // replicate means. Exact integers end to end.
+    "q_bootstrap" -> ((s, dir) => {
+      graft.operators.Events.bootstrapMeanCI(
+        Tables.load(s, dir, "events")
+          .filter(col("event_type") === "purchase"),
+        "event_id", cents(col("value")))
+    }),
+
     // Engine extension: EWMA control chart over each user's purchase
     // values — dyadic alpha=1/2 keeps the sequential recurrence in
     // exact integers; the identical left fold replays via list_reduce,
@@ -1521,6 +1532,31 @@ object TimesearchQueries {
          ORDER BY cohort, "offset" """,
 
     "q_markov" -> markovOracle(iters = 10, scale = 1000000000L),
+
+    "q_bootstrap" ->
+      """WITH base AS (
+           SELECT event_id AS id, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase'),
+         reps AS (
+           SELECT rep, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+           FROM (SELECT id, v, unnest(range(0, 32)) AS rep FROM base) r
+           WHERE (strpos('0123456789abcdef',
+                    substr(md5('bs:' || CAST(rep AS VARCHAR) || ':'
+                               || CAST(id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+           GROUP BY rep),
+         ranked AS (
+           SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM reps),
+         ci AS (
+           SELECT max(CASE WHEN rk = 2 THEN m END) AS ci_lo_c,
+                  max(CASE WHEN rk = 31 THEN m END) AS ci_hi_c,
+                  CAST(count(*) AS BIGINT) AS n_reps
+           FROM ranked),
+         pop AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_c
+           FROM base)
+         SELECT n, mean_c, ci_lo_c, ci_hi_c, n_reps
+         FROM pop CROSS JOIN ci""",
 
     // CAUTION (measured, DuckDB 1.0): list_reduce evaluates the result
     // struct's fields SEQUENTIALLY against an in-place accumulator, so

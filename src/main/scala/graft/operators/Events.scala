@@ -186,6 +186,41 @@ object Events {
           .as("slope_bp"))
   }
 
+  /** Subsampling BOOTSTRAP confidence interval for a mean (Politis &
+    * Romano 1994 subsampling inference, deterministic-replicate form):
+    * B half-rate replicates drawn by the md5-membership device
+    * (replicate b keeps rows with even md5-digit of "bs:b:id" — exact,
+    * engine-portable pseudo-randomness), each replicate's mean computed
+    * in exact cents (sum div n), and the interval read off order
+    * statistics of the B replicate means (ranks loRank/hiRank of the
+    * sorted means, ties on replicate id). Everything integer after the
+    * md5; the full-population mean rides along as the point estimate.
+    *
+    * One corpus pass with a B-way Expand (B is a small constant);
+    * every aggregate after is B-bounded. Production swaps the salt for
+    * real entropy exactly like [[Analytics.dpNoisyCounts]]. */
+  def bootstrapMeanCI(df: DataFrame, id: String, valueCents: Column,
+      b: Int = 32, loRank: Int = 2, hiRank: Int = 31): DataFrame = {
+    require(b >= 2 && loRank >= 1 && hiRank <= b && loRank <= hiRank)
+    val base = df.select(col(id).as("_id"), valueCents.as("v"))
+    val reps = base
+      .select(col("_id"), col("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .filter(conv(substring(md5(concat(lit("bs:"), col("rep").cast("string"),
+        lit(":"), col("_id").cast("string"))), 1, 1), 16, 10)
+        .cast("long") % 2 === 0L)
+      .groupBy("rep").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .select(col("rep"), expr("s div c").as("m"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      Window.orderBy(col("m"), col("rep"))))
+    val full = base.agg(count(lit(1)).as("n"),
+      expr("sum(v) div count(1)").as("mean_c"))
+    full.crossJoin(broadcast(ranked
+      .agg(max(when(col("rk") === loRank, col("m"))).as("ci_lo_c"),
+        max(when(col("rk") === hiRank, col("m"))).as("ci_hi_c"),
+        count(lit(1)).as("n_reps"))))
+  }
+
   /** EWMA control chart (the classic sequential anomaly monitor) with a
     * DYADIC smoothing constant so the recurrence is exact integers:
     *

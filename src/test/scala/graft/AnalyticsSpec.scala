@@ -428,6 +428,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r((3L, 1))._3 === 1250L)          // ties on cos² break by c_pair/rec
   }
 
+  test("bootstrapMeanCI: interval brackets the point estimate; constant data collapses it") {
+    import graft.operators.Events
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 400L).map(i => (i, 1000L + rnd.nextInt(500)))
+      .toDF("id", "v")
+    val r = Events.bootstrapMeanCI(df, "id", col("v")).head()
+    val (n, mean, lo, hi, reps) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n === 400L && reps === 32L)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket $mean")
+    assert(hi - lo < 500L, "CI wider than the data range is nonsense")
+    // constant population: every replicate mean equals the value
+    val const = (0L until 100L).map(i => (i, 777L)).toDF("id", "v")
+    val c = Events.bootstrapMeanCI(const, "id", col("v")).head()
+    assert(c.getLong(1) === 777L && c.getLong(2) === 777L && c.getLong(3) === 777L)
+  }
+
   test("ewmaAlerts: hand trajectory; first value never alerts; singleton passthrough") {
     import graft.operators.Events
     // vals 100, 100, 5100: e = 100, 100, then 5100 vs e=100 -> alert;
