@@ -1073,6 +1073,19 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
+    // Dedup-method EVALUATION: precision/recall/F1 of the
+    // sorted-neighborhood pass against the exact all-pairs ground truth
+    // over the SAME shingle definition — the window's recall/cost trade
+    // measured as a hash-gated number instead of a scaladoc promise.
+    "q_dedup_eval" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val found = Dedup.sortedNeighborhood(corpus, "doc_id", "text",
+        window = 8, thresholdBp = 8000L)
+      val truth = Dedup.snmTruthPairs(corpus, "doc_id", "text",
+        thresholdBp = 8000L)
+      Dedup.pairSetEval(found, truth)
+    }),
+
     // MinHash+LSH with exact candidate verification — must reproduce the
     // exact-Jaccard ground truth (banding makes misses ~1e-15 at J≥0.9).
     "q_dedup_minhash" -> ((s, dir) => {
@@ -2765,6 +2778,60 @@ object PipelineQueries {
                 CAST((inter * 10000) // uni AS BIGINT) AS jaccard_bp
          FROM pairs WHERE (inter * 10000) // uni >= 8000
          ORDER BY i, j""",
+
+    // SNM replay (windowed) + the quadratic gold standard over the SAME
+    // shingles + confusion/metric algebra — the oracle's all-pairs form
+    // is the definitional baseline the engine-side inverted index avoids
+    "q_dedup_eval" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         w AS (
+           SELECT doc_id AS id,
+                  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt,
+                  list_filter(
+                    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' '),
+                    x -> length(x) > 0) AS wd
+           FROM corpus),
+         b AS MATERIALIZED (
+           SELECT id,
+                  list_distinct(CASE WHEN len(wd) >= 3 THEN
+                    list_transform(range(1, len(wd) - 1),
+                      i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+                  ELSE [array_to_string(wd, ' ')] END) AS toks,
+                  row_number() OVER (ORDER BY nt, id) AS rnk
+           FROM w),
+         found AS MATERIALIZED (
+           SELECT DISTINCT least(a.id, b2.id) AS i, greatest(a.id, b2.id) AS j
+           FROM b a JOIN b b2 ON b2.rnk > a.rnk AND b2.rnk <= a.rnk + 7
+           WHERE (CAST(len(list_intersect(a.toks, b2.toks)) AS BIGINT) * 10000)
+                 // CAST(len(a.toks) + len(b2.toks)
+                      - len(list_intersect(a.toks, b2.toks)) AS BIGINT) >= 8000),
+         shp AS MATERIALIZED (SELECT id, unnest(toks) AS s FROM b),
+         sizes AS (SELECT id, CAST(len(toks) AS BIGINT) AS n FROM b),
+         it AS MATERIALIZED (
+           SELECT a.id AS i, c.id AS j, CAST(count(*) AS BIGINT) AS c
+           FROM shp a JOIN shp c ON a.s = c.s AND a.id < c.id
+           GROUP BY 1, 2),
+         truth AS MATERIALIZED (
+           SELECT i, j FROM it
+           JOIN sizes x ON x.id = i JOIN sizes y ON y.id = j
+           WHERE (c * 10000) // (x.n + y.n - c) >= 8000),
+         cnts AS (
+           SELECT
+             CAST((SELECT count(*) FROM found JOIN truth USING (i, j)) AS BIGINT) AS tp,
+             CAST((SELECT count(*) FROM found) AS BIGINT) AS nf,
+             CAST((SELECT count(*) FROM truth) AS BIGINT) AS nt),
+         cf AS (SELECT tp, nf - tp AS fp, nt - tp AS fn FROM cnts)
+         SELECT tp, fp, fn,
+                CAST(CASE WHEN tp + fp = 0 THEN 0
+                     ELSE (tp * 10000) // (tp + fp) END AS BIGINT) AS precision_bp,
+                CAST(CASE WHEN tp + fn = 0 THEN 0
+                     ELSE (tp * 10000) // (tp + fn) END AS BIGINT) AS recall_bp,
+                CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                     ELSE (2 * tp * 10000) // (2 * tp + fp + fn) END AS BIGINT) AS f1_bp
+         FROM cf""",
 
     "q_dedup_clusters" ->
       """WITH corpus AS (

@@ -43,11 +43,12 @@ object Dedup {
     * with rotated keys is the standard recall fix and composes here as
     * a union of passes).
     */
-  def sortedNeighborhood(df: DataFrame, id: String, text: String,
-      window: Int, thresholdBp: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(window >= 2 && thresholdBp >= 0 && thresholdBp <= 10000)
-    val base = df.select(col(id).as("_id"), normText(col(text)).as("_nt"))
+  /** SNM's per-doc sort key + distinct 3-token shingle set —
+    * (_id, _nt, _toks); shared by [[sortedNeighborhood]] and the
+    * evaluation ground truth so the two sides cannot drift. */
+  private[operators] def snmBase(df: DataFrame, id: String,
+      text: String): DataFrame =
+    df.select(col(id).as("_id"), normText(col(text)).as("_nt"))
       .withColumn("_w", filter(split(col("_nt"), " "), t => length(t) > 0))
       // distinct 3-token shingles; short docs fall back to the whole text
       .withColumn("_toks", array_distinct(expr(
@@ -56,6 +57,12 @@ object Dedup {
                i -> concat_ws(' ', slice(_w, i, 3)))
            ELSE array(concat_ws(' ', _w)) END""")))
       .drop("_w")
+
+  def sortedNeighborhood(df: DataFrame, id: String, text: String,
+      window: Int, thresholdBp: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && thresholdBp >= 0 && thresholdBp <= 10000)
+    val base = snmBase(df, id, text)
     // ALWAYS pin the ranged frame: offsets and ranks both read it, and a
     // ReuseExchange miss would re-SAMPLE the range boundaries per branch
     // — two different partitionings means corrupted global ranks (bit us
@@ -191,6 +198,61 @@ object Dedup {
         floor(col("c") * 10000.0 / (col("ni") + col("nj") - col("c"))).cast("long"))
       .filter(col("jac_bp") >= thresholdBp)
       .select("i", "j", "jac_bp")
+  }
+
+  /** ALL pairs at Jaccard ≥ threshold over the SNM shingle definition —
+    * the gold standard [[sortedNeighborhood]] approximates: grouped
+    * inverted-index blocking over the same `snmBase` sets (never
+    * all-pairs in the plan; any pair at a positive threshold shares a
+    * shingle), exact row-local verification. Exists to feed
+    * [[pairSetEval]]; the relational oracle replays it quadratically. */
+  def snmTruthPairs(df: DataFrame, id: String, text: String,
+      thresholdBp: Long, freqCap: Long = 1000000L): DataFrame = {
+    val sets = snmBase(df, id, text)
+      .select(col("_id").as("doc"), col("_toks")).localCheckpoint(false)
+    val sh = sets.select(col("doc"), explode(col("_toks")).as("s"))
+    val cand = groupPairs(sh.select(col("s"), struct(col("doc")).as("d")),
+        Seq("s"), col("d"),
+        (x, y) => when(x.getField("doc") < y.getField("doc"),
+          struct(x.getField("doc").as("i"), y.getField("doc").as("j"))),
+        freqCap)
+      .select(col("_p.i").as("i"), col("_p.j").as("j")).distinct()
+    val inter = size(array_intersect(col("_ai"), col("_aj"))).cast("long")
+    cand
+      .join(sets.select(col("doc").as("i"), col("_toks").as("_ai")), "i")
+      .join(sets.select(col("doc").as("j"), col("_toks").as("_aj")), "j")
+      .withColumn("_c", inter)
+      .withColumn("jaccard_bp", expr(
+        "(_c * 10000) div (size(_ai) + size(_aj) - _c)"))
+      .filter(col("jaccard_bp") >= thresholdBp)
+      .select("i", "j", "jaccard_bp")
+  }
+
+  /** Pair-set EVALUATION — the measurement harness for approximate
+    * dedup: given the pairs a method FOUND and the ground-TRUTH pairs,
+    * the confusion counts and exact-integer precision / recall / F1 in
+    * bp (F1's rational form 2tp/(2tp+fp+fn) needs one floor division).
+    * Any blocking method's recall/cost trade becomes a NUMBER the
+    * gates can watch instead of a scaladoc promise. Anti-joins keyed on
+    * the pair — truth-sized exchanges, one 1-row result. */
+  def pairSetEval(found: DataFrame, truth: DataFrame): DataFrame = {
+    val f = found.select(col("i"), col("j")).distinct()
+      .localCheckpoint(false)
+    val t = truth.select(col("i"), col("j")).distinct()
+      .localCheckpoint(false)
+    val tp = f.join(t, Seq("i", "j")).agg(count(lit(1)).as("tp"))
+    val fp = f.join(t, Seq("i", "j"), "left_anti")
+      .agg(count(lit(1)).as("fp"))
+    val fn = t.join(f, Seq("i", "j"), "left_anti")
+      .agg(count(lit(1)).as("fn"))
+    tp.crossJoin(fp).crossJoin(fn)
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0 " +
+          "ELSE (tp * 10000) div (tp + fp) END").as("precision_bp"),
+        expr("CASE WHEN tp + fn = 0 THEN 0 " +
+          "ELSE (tp * 10000) div (tp + fn) END").as("recall_bp"),
+        expr("CASE WHEN 2 * tp + fp + fn = 0 THEN 0 " +
+          "ELSE (2 * tp * 10000) div (2 * tp + fp + fn) END").as("f1_bp"))
   }
 
   /** Prefix-filtered set-similarity join — the All-Pairs/PPJoin prefix

@@ -307,6 +307,31 @@ class DedupSpec extends AnyFunSuite {
     assert(hi === Set((2L, 1L, 10000L)))
   }
 
+  test("pairSetEval: SNM's window miss becomes a measured recall deficit") {
+    // two near-identical docs whose SORT KEYS diverge at the first word,
+    // with filler docs packing the window between them: SNM must miss
+    // the pair, the truth join must find it, and the eval must report
+    // exactly that recall deficit
+    val sharedTail = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq(
+      1L -> s"aaaa $sharedTail",
+      2L -> s"zzzz $sharedTail") ++
+      (10L until 30L).map(i => i -> s"m$i filler words here nothing alike ${i}x")
+    ).toDF("doc_id", "text")
+    val found = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+      window = 4, thresholdBp = 7000L)
+    val truth = Dedup.snmTruthPairs(docs, "doc_id", "text", 7000L)
+    assert(truth.count() === 1L) // the (1,2) near-dup pair
+    val r = Dedup.pairSetEval(found, truth).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 0L, 1L)))
+    assert(r.getLong(4) === 0L)      // recall 0: the window missed it
+    // widening the window to cover the whole corpus recovers it
+    val wide = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+      window = 30, thresholdBp = 7000L)
+    val r2 = Dedup.pairSetEval(wide, truth).head()
+    assert((r2.getLong(0), r2.getLong(4), r2.getLong(5)) === ((1L, 10000L, 10000L)))
+  }
+
   test("hammingPairs: equals brute force on arbitrary 64-bit signatures incl. sign-bit hashes") {
     // distances: (1,2)=0, (1,3)=1, (1,4)=3, (1,5)=4 (over threshold),
     // plus a negative (top-bit) hash pair to pin the signed packing
