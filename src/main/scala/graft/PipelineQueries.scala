@@ -1466,6 +1466,46 @@ object PipelineQueries {
         .orderBy("typo")
     }),
 
+    // Source-overlap audit: pairwise vocabulary Jaccard between sources
+    // — the dataset-mixing planner's "how much do my sources repeat each
+    // other" number. All work |vocab|-bounded after one distinct pass.
+    "q_source_overlap" -> ((s, dir) => {
+      val vt = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
+            t => length(t) > 0)).as("tok"))
+        .distinct().localCheckpoint(false)
+      val sizes = vt.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = vt.as("a").join(vt.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+        .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+        .select(col("sa"), col("sb"), col("c"),
+          expr("(c * 10000) div (na + nb - c)").as("jac_bp"))
+        .orderBy("sa", "sb")
+    }),
+
+    // Novelty scoring: the share of each doc's distinct shingles whose
+    // corpus-wide FIRST occurrence (min doc_id) is this doc — the
+    // freshness signal curriculum/dedup planners read. One shingle
+    // aggregation + one join back, both shingle-bounded.
+    "q_novelty" -> ((s, dir) => {
+      val sh = Dedup.shingles(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3).localCheckpoint(false)
+      val first = sh.groupBy("s").agg(min("doc").as("first_doc"))
+      sh.join(first, "s")
+        .groupBy("doc")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc"), col("n_shingles"), col("n_novel"),
+          expr("(n_novel * 10000) div n_shingles").as("novelty_bp"))
+        .orderBy("doc")
+    }),
+
     // Per-source Shannon token entropy (diversity profiling) in bp of
     // nats — the quantized-ln device, one ln per vocab row.
     "q_entropy" -> ((s, dir) => {
@@ -2674,6 +2714,46 @@ object PipelineQueries {
                         ORDER BY dist, exact DESC, tok) AS rn
                FROM cand)
          WHERE rn = 1 ORDER BY typo""",
+
+    "q_source_overlap" ->
+      """WITH vt AS (
+           SELECT DISTINCT source, tok FROM (
+             SELECT source,
+                    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> length(x) > 0)) AS tok
+             FROM documents)),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                   FROM vt GROUP BY source),
+         it AS (
+           SELECT a.source AS sa, b.source AS sb,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM vt a JOIN vt b
+             ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa, sb, c,
+                CAST((c * 10000) // (x.n + y.n - c) AS BIGINT) AS jac_bp
+         FROM it JOIN sizes x ON x.source = sa
+                 JOIN sizes y ON y.source = sb
+         ORDER BY sa, sb""",
+
+    "q_novelty" ->
+      """WITH words AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id AS doc,
+                  unnest(list_transform(range(1, len(w)-1),
+                                        i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS s
+           FROM words),
+         first AS (SELECT s, min(doc) AS first_doc FROM sh GROUP BY s),
+         agg AS (
+           SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles,
+                  CAST(sum(CASE WHEN first_doc = doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+           FROM sh JOIN first USING (s) GROUP BY doc)
+         SELECT doc, n_shingles, n_novel,
+                CAST((n_novel * 10000) // n_shingles AS BIGINT) AS novelty_bp
+         FROM agg ORDER BY doc""",
 
     "q_entropy" ->
       """WITH counts AS (
