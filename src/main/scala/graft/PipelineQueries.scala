@@ -285,6 +285,29 @@ object PipelineQueries {
       table
     })
 
+  private val builtNbTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained Naive Bayes model over the labeled documents: 4
+    * real micro-batches through [[graft.streaming.StreamNb.nbSink]]
+    * (each doc exactly once — the additive-sink admission contract). */
+  private def incrementalNb(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtNbTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_nb")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = graft.streaming.StreamNb.table(s, tmp.resolve("tbl").toString)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamNb.nbSink(stream, "doc_id", "text",
+        "lang", table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   private val builtHistTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -1447,6 +1470,20 @@ object PipelineQueries {
     "q_naive_bayes" -> ((s, dir) => {
       graft.operators.NaiveBayes.confusion(
           Tables.load(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("label", "predicted")
+    }),
+
+    // Naive Bayes served from the INCREMENTALLY-MAINTAINED model table:
+    // labeled docs arrive as 4 micro-batches of additive (class, token)
+    // and class-doc counters; classification against the maintained
+    // model must equal the batch train-and-score exactly (shared oracle
+    // verbatim) — the classifier follows the stream, no batch retrain.
+    "q_nb_incremental" -> ((s, dir) => {
+      val t = incrementalNb(s, dir)
+      graft.operators.NaiveBayes.confusionFromModel(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+          graft.streaming.StreamNb.tokenCounts(t),
+          graft.streaming.StreamNb.classDocs(t))
         .orderBy("label", "predicted")
     }),
 
@@ -2636,12 +2673,11 @@ object PipelineQueries {
        SELECT doc, bucket, w FROM agg WHERE w != 0 ORDER BY doc, bucket"""
   }
 
-  val oracles: Map[String, String] = Map(
-
-    "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
-
-    "q_naive_bayes" ->
-      """WITH base AS (
+  /** q_naive_bayes ground truth — shared verbatim by the maintained-
+    * model serving path (q_nb_incremental), which must converge to the
+    * batch counts. */
+  private val nbOracle =
+    """WITH base AS (
            SELECT doc_id AS doc, lang AS lbl,
                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> length(x) > 0) AS t
@@ -2687,7 +2723,18 @@ object PipelineQueries {
                       ORDER BY score DESC, c ASC) AS rn
              FROM scored) WHERE rn = 1)
          SELECT lbl AS label, c AS predicted, CAST(count(*) AS BIGINT) AS n
-         FROM pred GROUP BY 1, 2 ORDER BY label, predicted""",
+         FROM pred GROUP BY 1, 2 ORDER BY label, predicted"""
+
+  val oracles: Map[String, String] = Map(
+
+    "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
+
+    // the maintained model must converge to the batch counts, so the
+    // streamed serving path shares q_naive_bayes' oracle verbatim
+    "q_nb_incremental" -> nbOracle,
+
+    "q_naive_bayes" -> nbOracle,
+
 
     "q_spell_correct" ->
       """WITH vocab AS (

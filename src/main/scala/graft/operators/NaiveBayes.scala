@@ -34,27 +34,18 @@ object NaiveBayes {
   private def toks(text: String) =
     filter(split(lower(col(text)), "[^a-z0-9]+"), t => length(t) > 0)
 
-  /** Per-document predictions: (doc, label, predicted, score). Trains
-    * on the full frame and scores the same frame (resubstitution — the
-    * gate's framing; production holds out, same plan). */
-  def classify(df: DataFrame, id: String, text: String,
-      label: String): DataFrame = {
-    val base = df.select(col(id).as("doc"), col(label).as("lbl"),
-      toks(text).as("_t"))
-    val postings = base
-      .select(col("doc"), col("lbl"), explode(col("_t")).as("tok"))
-      .groupBy("doc", "lbl", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
-    val docLevel = postings.groupBy("doc", "lbl").agg(sum("tf").as("nd"))
-    val cnt = postings.groupBy(col("tok"), col("lbl").as("c"))
-      .agg(sum("tf").as("cnt"))
+  /** The scoring core over a GIVEN model — (tok, c, cnt) token counts
+    * and (c, nc) class doc counts — applied to the postings/doc-level
+    * frames of the frame being scored. The serving entry point for the
+    * incrementally-maintained model table ([[graft.streaming.StreamNb]]
+    * keeps exactly these two row classes as additive counters). */
+  private def score(postings: DataFrame, docLevel: DataFrame,
+      cnt: DataFrame, classDocs: DataFrame): DataFrame = {
     val totc = cnt.groupBy("c").agg(sum("cnt").as("tot"))
     val vocabN = cnt.select("tok").distinct()
       .agg(count(lit(1)).as("v"))
-    val classN = docLevel.groupBy(col("lbl").as("c"))
-      .agg(count(lit(1)).as("nc"))
-    val nAll = docLevel.agg(count(lit(1)).as("n"))
-    val consts = classN.crossJoin(broadcast(nAll))
+    val nAll = classDocs.agg(sum("nc").as("n"))
+    val consts = classDocs.crossJoin(broadcast(nAll))
       .join(totc, "c").crossJoin(broadcast(vocabN))
       .select(col("c"), (lnBp(col("nc")) - lnBp(col("n"))).as("prior"),
         lnBp(col("tot") + col("v")).as("denom"))
@@ -76,10 +67,48 @@ object NaiveBayes {
         col("c").as("predicted"), col("score"))
   }
 
+  private def postingsOf(df: DataFrame, id: String, text: String,
+      label: String): DataFrame =
+    df.select(col(id).as("doc"), col(label).as("lbl"), toks(text).as("_t"))
+      .select(col("doc"), col("lbl"), explode(col("_t")).as("tok"))
+      .groupBy("doc", "lbl", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+
+  /** Per-document predictions: (doc, label, predicted, score). Trains
+    * on the full frame and scores the same frame (resubstitution — the
+    * gate's framing; production holds out, same plan). */
+  def classify(df: DataFrame, id: String, text: String,
+      label: String): DataFrame = {
+    val postings = postingsOf(df, id, text, label)
+    val docLevel = postings.groupBy("doc", "lbl").agg(sum("tf").as("nd"))
+    val cnt = postings.groupBy(col("tok"), col("lbl").as("c"))
+      .agg(sum("tf").as("cnt"))
+    val classDocs = docLevel.groupBy(col("lbl").as("c"))
+      .agg(count(lit(1)).as("nc"))
+    score(postings, docLevel, cnt, classDocs)
+  }
+
+  /** [[classify]] against a PREBUILT model (the trained-artifact /
+    * maintained-table serving split): token counts (tok, c, cnt) and
+    * class doc counts (c, nc) come from the model; only the scored
+    * frame's postings are computed here. */
+  def classifyFromModel(df: DataFrame, id: String, text: String,
+      label: String, cnt: DataFrame, classDocs: DataFrame): DataFrame = {
+    val postings = postingsOf(df, id, text, label)
+    val docLevel = postings.groupBy("doc", "lbl").agg(sum("tf").as("nd"))
+    score(postings, docLevel, cnt, classDocs)
+  }
+
   /** Confusion matrix of the resubstitution classification:
     * (label, predicted, n). */
   def confusion(df: DataFrame, id: String, text: String,
       label: String): DataFrame =
     classify(df, id, text, label)
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+
+  /** Confusion matrix served from a maintained/prebuilt model. */
+  def confusionFromModel(df: DataFrame, id: String, text: String,
+      label: String, cnt: DataFrame, classDocs: DataFrame): DataFrame =
+    classifyFromModel(df, id, text, label, cnt, classDocs)
       .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
 }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.Merge
+
+/** Incrementally-maintained NAIVE BAYES model: additive upserts of
+  * per-(class, token) counts and per-class document counts, so the
+  * classifier serves from a model table that FOLLOWS the stream — the
+  * supervised-learning member of the maintained-artifact family
+  * (postings, assignments, DSIR model, LSH state, sketches, histogram,
+  * graph, SCD2 dimension). Labeled data arrives; the classifier is
+  * always current; no batch retrain.
+  *
+  * Row classes over the additive sketch-table kind
+  * ([[StreamSketch.table]]'s (idstr, cnt) shape):
+  *  - `t:<class>:<tok>` — token count within the class,
+  *  - `d:<class>`      — documents observed for the class.
+  * Both are ADDITIVE across micro-batches under the each-doc-exactly-
+  * once admission contract (the [[StreamModel]] contract: compose with
+  * upstream streaming dedup for at-least-once sources). State is
+  * vocab·|classes| + |classes| rows — the postings regime, inheriting
+  * the versioned table's key-bucketed pruned merges wholesale.
+  *
+  * Class names must not contain ':' (the key separator); tokens are
+  * `[a-z0-9]+` by the tokenizer so the LAST ':' splits unambiguously
+  * anyway.
+  */
+object StreamNb {
+
+  def table(spark: SparkSession, path: String, nBuckets: Int = 16): Livestream.UpsertTable =
+    StreamSketch.table(spark, path, nBuckets)
+
+  private def toks(text: String) =
+    filter(split(lower(col(text)), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** One labeled micro-batch → additive count deltas for both row
+    * classes. */
+  private[graft] def nbDelta(batch: DataFrame, id: String, text: String,
+      label: String): DataFrame = {
+    val base = batch.select(col(id).as("doc"), col(label).as("lbl"),
+      toks(text).as("_t"))
+    val tokRows = base
+      .select(col("lbl"), explode(col("_t")).as("tok"))
+      .groupBy("lbl", "tok").agg(count(lit(1)).as("cnt_d"))
+      .select(concat(lit("t:"), col("lbl"), lit(":"), col("tok")).as("k"),
+        col("cnt_d"))
+    val docRows = base.groupBy("lbl").agg(count(lit(1)).as("cnt_d"))
+      .select(concat(lit("d:"), col("lbl")).as("k"), col("cnt_d"))
+    tokRows.unionByName(docRows)
+  }
+
+  /** Wire a labeled document stream into the model table — the additive
+    * read-modify-write of the sketch/model sinks; same `_seq` and
+    * empty-batch contract. */
+  def nbSink(stream: DataFrame, id: String, text: String, label: String,
+      table: Livestream.UpsertTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = nbDelta(batch, id, text, label)
+        val cur = table.current.select(col(Merge.KeyCol).as("k"),
+          col("cnt").as("cnt_0"))
+        val rows = delta.join(cur, Seq("k"), "left")
+          .select(col("k").as(Merge.KeyCol),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("body"),
+            (coalesce(col("cnt_0"), lit(0L)) + col("cnt_d")).as("cnt"))
+          .withColumn("_seq",
+            lit(batchId) * 1000000000L + monotonically_increasing_id())
+          .persist()
+        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+        finally rows.unpersist()
+      }
+
+  /** The maintained (tok, c, cnt) token-count view —
+    * [[graft.operators.NaiveBayes.classifyFromModel]]'s first input. */
+  def tokenCounts(table: Livestream.UpsertTable): DataFrame =
+    table.current.filter(col(Merge.KeyCol).startsWith("t:"))
+      .select(
+        expr(s"split(substring(${Merge.KeyCol}, 3), ':')[0]").as("c"),
+        expr(s"split(substring(${Merge.KeyCol}, 3), ':')[1]").as("tok"),
+        col("cnt"))
+      .select(col("tok"), col("c"), col("cnt"))
+
+  /** The maintained (c, nc) class-document view. */
+  def classDocs(table: Livestream.UpsertTable): DataFrame =
+    table.current.filter(col(Merge.KeyCol).startsWith("d:"))
+      .select(expr(s"substring(${Merge.KeyCol}, 3)").as("c"),
+        col("cnt").as("nc"))
+}

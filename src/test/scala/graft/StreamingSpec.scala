@@ -28,6 +28,9 @@ case class VecRow(vec_id: Long, embedding: Array[Double])
 // (id, text, target-flag) rows for the StreamModel tests
 case class MDoc(doc_id: Long, text: String, is_t: Boolean)
 
+// (id, text, label) rows for the StreamNb tests
+case class LDoc(doc_id: Long, text: String, lang: String)
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -368,6 +371,49 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     // after batch 0 only docs 1-2 counted: 5 unigram + 3 bigram events
     assert(v0.values.sum === 8L)
+  }
+
+  test("StreamNb: maintained counts equal the batch counts; classification serves batch-identical") {
+    import graft.streaming.StreamNb
+    import graft.operators.NaiveBayes
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LDoc]
+    val table = StreamNb.table(spark, tmp("nbm"), nBuckets = 4)
+    val q = StreamNb.nbSink(mem.toDF(), "doc_id", "text", "lang",
+      table, tmp("nbmckp"), Trigger.ProcessingTime(0)).start()
+    val allDocs = Seq(
+      LDoc(1, "ham ham eggs", "a"), LDoc(2, "spam link", "b"),
+      LDoc(3, "ham toast", "a"),     // 'ham' spans batches: counts ADD
+      LDoc(4, "spam spam win", "b"))
+    try {
+      mem.addData(allDocs(0), allDocs(1))
+      q.processAllAvailable()
+      mem.addData(allDocs(2), allDocs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val docsDf = allDocs.toDF("doc_id", "text", "lang")
+    // maintained token counts == batch counts (cross-batch addition)
+    val got = StreamNb.tokenCounts(table)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("ham", "a")) === 3L) // 2 in batch 1 + 1 in batch 2
+    assert(got(("spam", "b")) === 3L)
+    val cd = StreamNb.classDocs(table)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cd === Map("a" -> 2L, "b" -> 2L))
+    // end to end: classification from the maintained model equals the
+    // batch train-and-score — the q_nb_incremental contract
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(NaiveBayes.classifyFromModel(docsDf, "doc_id", "text",
+        "lang", StreamNb.tokenCounts(table), StreamNb.classDocs(table))) ===
+      rows(NaiveBayes.classify(docsDf, "doc_id", "text", "lang")))
+    // time travel reads the partial model after batch 0
+    assert(table.currentVersion === 1L)
+    val v0 = table.at(0).select(col(Merge.KeyCol), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(v0("t:a:ham") === 2L && v0("d:a") === 1L)
+    assert(!v0.contains("t:a:toast"))
   }
 
   test("StreamClusters T3/T5: a redelivered batch (same _seq) leaves assignments unchanged") {
