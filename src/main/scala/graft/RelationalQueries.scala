@@ -303,6 +303,65 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // TPC-H Q10-shape: top-20 customers by revenue from RETURNED items —
+    // the returned-line fact filter pushes to the scan, orders⋈lineitem
+    // shuffles once on orderkey, the customer enrichment broadcasts.
+    "q10_returns" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_c"))
+      val ord = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").agg(sum("rev_c").as("revenue_c"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue_c"))
+        .orderBy(desc("revenue_c"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Rolling 7-day revenue per order priority via a RANGE window frame
+    // over the daily aggregate — the dashboard classic; the window runs
+    // on the |days|·|priorities|-bounded daily table, never raw facts.
+    "q_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Tables.load(s, dir, "orders")
+      val daily = ord.select(col("o_orderpriority").as("pri"),
+          (unix_timestamp(col("o_orderdate")) -
+            pmod(unix_timestamp(col("o_orderdate")), lit(86400L))).as("day"),
+          cents(col("o_totalprice")).as("rev_c"))
+        .groupBy("pri", "day").agg(sum("rev_c").as("rev_c"))
+      val w = Window.partitionBy("pri").orderBy(col("day"))
+        .rangeBetween(-6L * 86400L, 0L)
+      daily
+        .withColumn("rolling_7d_c", sum("rev_c").over(w))
+        .withColumn("n_days_in_window", count(lit(1)).over(w))
+        .orderBy("pri", "day")
+    }),
+
+    // Gaps-and-islands: each customer's LONGEST consecutive-day order
+    // streak — the run device (day_index − dense row number is constant
+    // within a streak) over the |customer-day|-bounded distinct table.
+    "q_streaks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          expr("unix_timestamp(o_orderdate) div 86400").as("d"))
+        .distinct()
+      val runs = days
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cust").orderBy("d")))
+        .withColumn("grp", col("d") - col("rn"))
+        .groupBy("cust", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("cust").agg(max("len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .filter(col("longest_streak") >= 2)
+        .orderBy(desc("longest_streak"), col("cust"))
+        .limit(50)
+    }),
+
     // Weighted shortest paths (6 Bellman-Ford rounds) over the support-
     // weighted co-occurrence graph — w = 10000 div support, so stronger
     // ties are shorter; exact long min/+ algebra, unrolled oracle.
@@ -526,6 +585,51 @@ object RelationalQueries {
     "q_kcore" -> kcoreOracle(k = 3, rounds = 12),
 
     "q_sssp" -> ssspOracle(rounds = 6),
+
+    "q10_returns" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+                  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+           FROM lineitem WHERE l_returnflag = 'R'),
+         agg AS (
+           SELECT o_custkey, CAST(sum(rev_c) AS BIGINT) AS revenue_c
+           FROM orders JOIN li ON o_orderkey = l_orderkey
+           GROUP BY 1)
+         SELECT c_custkey, c_name, revenue_c
+         FROM agg JOIN customer ON o_custkey = c_custkey
+         ORDER BY revenue_c DESC, c_custkey LIMIT 20""",
+
+    "q_rolling" ->
+      """WITH daily AS (
+           SELECT o_orderpriority AS pri,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                    - (CAST(floor(epoch(o_orderdate)) AS BIGINT) % 86400) AS day,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1, 2)
+         SELECT pri, day, rev_c,
+                CAST(sum(rev_c) OVER (PARTITION BY pri ORDER BY day
+                  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS rolling_7d_c,
+                CAST(count(*) OVER (PARTITION BY pri ORDER BY day
+                  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS n_days_in_window
+         FROM daily ORDER BY pri, day""",
+
+    "q_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT o_custkey AS cust,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+           FROM orders),
+         runs AS (
+           SELECT cust,
+                  d - row_number() OVER (PARTITION BY cust ORDER BY d) AS grp
+           FROM days),
+         rl AS (SELECT cust, grp, CAST(count(*) AS BIGINT) AS len
+                FROM runs GROUP BY 1, 2)
+         SELECT cust, CAST(max(len) AS BIGINT) AS longest_streak,
+                CAST(count(*) AS BIGINT) AS n_streaks
+         FROM rl GROUP BY cust HAVING max(len) >= 2
+         ORDER BY longest_streak DESC, cust LIMIT 50""",
 
     "q_item_recs" ->
       """WITH bi AS MATERIALIZED (
