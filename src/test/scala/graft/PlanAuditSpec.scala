@@ -356,6 +356,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sssp rounds re-expanded into the final plan: $c")
   }
 
+  test("q_naive_bayes: postings checkpoint feeds train AND score; model/consts broadcast") {
+    val c = audited("q_naive_bayes")
+    // one postings pass materializes; training counts, doc levels, the
+    // score join and the confusion all derive from the checkpoint
+    assert(c.scans == 0, s"corpus leaked past the postings checkpoint: $c")
+    // consts/stats/model sides ride broadcasts into the scoring join
+    assert(c.broadcasts >= 4, s"model sides must broadcast: $c")
+  }
+
+  test("q_dedup_prefix: prefix postings only — exchanges bounded by rank + candidate stages") {
+    val c = audited("q_dedup_prefix")
+    assert(c.scans == 0, s"corpus leaked past the shingle-set checkpoint: $c")
+    // df agg + per-doc rank window + candidate grouping + dedup: the
+    // prefix path pays ONE more exchange than the full inverted index
+    // (the rank window) — the trade that buys prefix-bounded candidates
+    assert(c.exchanges <= 4, s"prefix-join exchange count drifted: $c")
+  }
+
+  test("q_image_neardup: three corpus branches, banding is the only exchange pair") {
+    val c = audited("q_image_neardup")
+    // originals + exact plants + perturbed plants = 3 scans, inherent
+    assert(c.scans <= 3, s"corpus re-read regressed: $c")
+    // chunk-group candidate generation + pair distinct — banding never
+    // explodes into an all-pairs join shape
+    assert(c.exchanges <= 2, s"banding exchange count drifted: $c")
+  }
+
+  test("q_markov: power-iteration rounds are checkpoint-truncated out of the served plan") {
+    val c = audited("q_markov")
+    assert(c.scans == 0 && c.exchanges == 0,
+      s"markov rounds re-expanded into the final plan: $c")
+  }
+
   test("q_kmeans: serving is map-only over the training checkpoint — zero scans, zero shuffles") {
     val c = audited("q_kmeans")
     // the quantized corpus is localCheckpointed by training; the served
