@@ -307,6 +307,24 @@ class DedupSpec extends AnyFunSuite {
     assert(hi === Set((2L, 1L, 10000L)))
   }
 
+  test("adversarial skew: prefix-join freqCap sheds hot PREFIX groups; cold pair survives") {
+    // same skew corpus, same contract as the full inverted index: when a
+    // prefix token's posting list exceeds the cap its candidate group is
+    // shed, and the planted cold pair must still pair through its own
+    // (cold) prefix tokens
+    val pairs = Dedup.prefixJaccardPairs(skewCorpus, "doc_id", "text",
+        n = 3, thresholdBp = 0, freqCap = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((300001L, 300002L)))
+    // and WITHOUT the cap pressure (high cap) the hot family pairs come
+    // back — shedding, not the prefix filter, was the reduction
+    val uncapped = Dedup.prefixJaccardPairs(skewCorpus.filter(
+        col("doc_id") >= 300000L || col("doc_id") < 100020L),
+        "doc_id", "text", n = 3, thresholdBp = 0, freqCap = 1000000L)
+      .count()
+    assert(uncapped > 1L)
+  }
+
   test("pairSetEval: SNM's window miss becomes a measured recall deficit") {
     // two near-identical docs whose SORT KEYS diverge at the first word,
     // with filler docs packing the window between them: SNM must miss
