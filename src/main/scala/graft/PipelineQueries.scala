@@ -1109,6 +1109,21 @@ object PipelineQueries {
       Dedup.pairSetEval(found, truth)
     }),
 
+    // SAMPLED dedup-method evaluation — q_dedup_eval's 100 TB route:
+    // the exact gold standard stops being computable past ~10⁸ docs, so
+    // the audit restricts its UNIVERSE to a deterministic md5 doc-sample
+    // (denom 3 ⇒ the truth pass costs ~1/9 of the exact harness), builds
+    // the exact ground truth only there, and scores the FULL-scale
+    // method run on the same restricted universe. The estimates bracket
+    // the exact metrics across the residue classes (DedupSpec pins it).
+    "q_dedup_eval_sampled" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val found = Dedup.sortedNeighborhood(corpus, "doc_id", "text",
+        window = 8, thresholdBp = 8000L)
+      Dedup.sampledPairEval(found, corpus, "doc_id", "text",
+        thresholdBp = 8000L, denom = 3, residue = 0L)
+    }),
+
     // MinHash+LSH with exact candidate verification — must reproduce the
     // exact-Jaccard ground truth (banding makes misses ~1e-15 at J≥0.9).
     "q_dedup_minhash" -> ((s, dir) => {
@@ -2937,6 +2952,70 @@ object PipelineQueries {
                       - len(list_intersect(a.toks, b2.toks)) AS BIGINT) >= 8000),
          shp AS MATERIALIZED (SELECT id, unnest(toks) AS s FROM b),
          sizes AS (SELECT id, CAST(len(toks) AS BIGINT) AS n FROM b),
+         it AS MATERIALIZED (
+           SELECT a.id AS i, c.id AS j, CAST(count(*) AS BIGINT) AS c
+           FROM shp a JOIN shp c ON a.s = c.s AND a.id < c.id
+           GROUP BY 1, 2),
+         truth AS MATERIALIZED (
+           SELECT i, j FROM it
+           JOIN sizes x ON x.id = i JOIN sizes y ON y.id = j
+           WHERE (c * 10000) // (x.n + y.n - c) >= 8000),
+         cnts AS (
+           SELECT
+             CAST((SELECT count(*) FROM found JOIN truth USING (i, j)) AS BIGINT) AS tp,
+             CAST((SELECT count(*) FROM found) AS BIGINT) AS nf,
+             CAST((SELECT count(*) FROM truth) AS BIGINT) AS nt),
+         cf AS (SELECT tp, nf - tp AS fp, nt - tp AS fn FROM cnts)
+         SELECT tp, fp, fn,
+                CAST(CASE WHEN tp + fp = 0 THEN 0
+                     ELSE (tp * 10000) // (tp + fp) END AS BIGINT) AS precision_bp,
+                CAST(CASE WHEN tp + fn = 0 THEN 0
+                     ELSE (tp * 10000) // (tp + fn) END AS BIGINT) AS recall_bp,
+                CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                     ELSE (2 * tp * 10000) // (2 * tp + fp + fn) END AS BIGINT) AS f1_bp
+         FROM cf""",
+
+    // The sampled sibling: found replays over the FULL corpus (the
+    // method's blocking must see every doc), then both endpoints filter
+    // to the md5 residue-0 third; the quadratic gold standard runs only
+    // over the sampled sub-corpus — the exact cost shape the engine
+    // claims at scale.
+    "q_dedup_eval_sampled" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         w AS (
+           SELECT doc_id AS id,
+                  lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS nt,
+                  list_filter(
+                    string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '),
+                    x -> length(x) > 0) AS wd
+           FROM corpus),
+         samp AS MATERIALIZED (
+           SELECT id FROM (
+             SELECT id, substr(md5(CAST(id AS VARCHAR)), 1, 8) AS hx FROM w) t
+           WHERE ($hexPoly) % 3 = 0),
+         b AS MATERIALIZED (
+           SELECT id,
+                  list_distinct(CASE WHEN len(wd) >= 3 THEN
+                    list_transform(range(1, len(wd) - 1),
+                      i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+                  ELSE [array_to_string(wd, ' ')] END) AS toks,
+                  row_number() OVER (ORDER BY nt, id) AS rnk
+           FROM w),
+         found AS MATERIALIZED (
+           SELECT DISTINCT least(a.id, b2.id) AS i, greatest(a.id, b2.id) AS j
+           FROM b a JOIN b b2 ON b2.rnk > a.rnk AND b2.rnk <= a.rnk + 7
+           WHERE (CAST(len(list_intersect(a.toks, b2.toks)) AS BIGINT) * 10000)
+                 // CAST(len(a.toks) + len(b2.toks)
+                      - len(list_intersect(a.toks, b2.toks)) AS BIGINT) >= 8000
+             AND a.id IN (SELECT id FROM samp)
+             AND b2.id IN (SELECT id FROM samp)),
+         bs AS MATERIALIZED (
+           SELECT * FROM b WHERE id IN (SELECT id FROM samp)),
+         shp AS MATERIALIZED (SELECT id, unnest(toks) AS s FROM bs),
+         sizes AS (SELECT id, CAST(len(toks) AS BIGINT) AS n FROM bs),
          it AS MATERIALIZED (
            SELECT a.id AS i, c.id AS j, CAST(count(*) AS BIGINT) AS c
            FROM shp a JOIN shp c ON a.s = c.s AND a.id < c.id

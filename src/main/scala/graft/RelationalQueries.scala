@@ -416,17 +416,33 @@ object RelationalQueries {
     // an order) — market-basket cohesion; degree-ordered exactly-once
     // enumeration, per-part participation top-20.
     "q_triangles" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      graft.operators.Graphs.trianglesPerNode(edges, k = 20)
+      graft.operators.Graphs.trianglesPerNode(denseEdges(s, dir), k = 20)
+        .withColumnRenamed("p", "part")
+    }),
+
+    // The SAME triangle count through the non-broadcast wedge close:
+    // broadcastMaxEdges=0 forces the (b, c)-partitioned shuffle_hash
+    // path — the 100 TB route when |E| exceeds broadcast reach — and the
+    // oracle is q_triangles' verbatim, so both closes hash-gate against
+    // the one ground truth every round.
+    "q_triangles_shuffle" -> ((s, dir) => {
+      graft.operators.Graphs.trianglesPerNode(denseEdges(s, dir), k = 20,
+          broadcastMaxEdges = 0L)
         .withColumnRenamed("p", "part")
     })
   )
+
+  /** Dense part co-occurrence graph (support ≥ 1) for the triangle
+    * queries — distinct u < v part pairs sharing an order. */
+  private def denseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
 
   /** Part co-occurrence graph, support ≥ 2 (parts sharing ≥2 orders):
     * the sparsified community graph q_bfs / q_lpa / q_link_pred run on —
@@ -1000,8 +1016,14 @@ object RelationalQueries {
     // Triangle ground truth: the simple id-ordered triple join (the
     // count is orientation-independent, so the oracle can use the naive
     // formulation the degree-ordered operator avoids at scale).
-    "q_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    "q_triangles" -> trianglesOracle,
+    // the shuffle-close variant must hit the SAME ground truth — one
+    // oracle, two physical close strategies
+    "q_triangles_shuffle" -> trianglesOracle
+  )
+
+  private def trianglesOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                  AND a.l_partkey < b.l_partkey),
@@ -1016,5 +1038,4 @@ object RelationalQueries {
          SELECT p AS part, CAST(count(*) AS BIGINT) AS n_tri
          FROM corners GROUP BY p
          ORDER BY n_tri DESC, part LIMIT 20"""
-  )
 }

@@ -255,6 +255,42 @@ object Dedup {
           "ELSE (2 * tp * 10000) div (2 * tp + fp + fn) END").as("f1_bp"))
   }
 
+  /** Deterministic engine-portable doc-sample predicate: the first 8 md5
+    * hex chars of the id as an exact integer, membership h % denom ==
+    * residue — the [[Importance.dsirSample]] hash basis, so DuckDB
+    * replays the SAME sample verbatim. The denom residue classes are
+    * disjoint and cover the corpus, which is what lets a spec bracket
+    * the exact metric with every class's estimate. */
+  def md5DocSample(id: Column, denom: Long, residue: Long): Column = {
+    require(denom >= 1 && residue >= 0 && residue < denom,
+      s"need 0 <= residue < denom, got $residue / $denom")
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % denom === residue
+  }
+
+  /** SAMPLED pair-set evaluation — [[pairSetEval]]'s 100 TB route. The
+    * exact gold standard compares every co-shingled pair; past ~10⁸ docs
+    * that is no longer computable, and the standard move is a sampled
+    * evaluation corpus: restrict the evaluation UNIVERSE to the
+    * deterministic md5 doc-sample (both endpoints sampled — a 1/denom
+    * doc sample is a 1/denom² pair sample), build the exact SNM ground
+    * truth only there, and score the production method's found pairs on
+    * the same restricted universe. Precision/recall/F1 are ratio
+    * estimators of the full-corpus metrics; tp/fp/fn scale by ~denom².
+    * The truth pass costs (1/denom)² of the exact harness — pick denom
+    * so the sampled sub-corpus fits the exact-truth budget.
+    *
+    * The method still runs at FULL scale (its blocking sees every doc —
+    * sampling must not change what the method found, only where it is
+    * audited), so `found` is the unrestricted pair output. */
+  def sampledPairEval(found: DataFrame, corpus: DataFrame, id: String,
+      text: String, thresholdBp: Long, denom: Long,
+      residue: Long = 0L): DataFrame = {
+    val in = md5DocSample(_: Column, denom, residue)
+    val truth = snmTruthPairs(corpus.filter(in(col(id))), id, text,
+      thresholdBp)
+    pairSetEval(found.filter(in(col("i")) && in(col("j"))), truth)
+  }
+
   /** Prefix-filtered set-similarity join — the All-Pairs/PPJoin prefix
     * principle (Chaudhuri et al. 2006; Bayardo et al. 2007; Xiao et al.
     * 2008) as the FOURTH blocking paradigm next to the full inverted

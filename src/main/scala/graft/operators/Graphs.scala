@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Edge-row ceiling for the broadcast wedge close in [[triangles]]:
+    * the oriented edge set hashes to roughly 50 B/row as a broadcast
+    * relation (two longs + HashedRelation overhead), so 10M edges ≈
+    * 0.5 GB resident per executor — the practical broadcast reach.
+    * Past it the close partitions BOTH sides on (b, c) instead. */
+  val BroadcastCloseMaxEdges = 10000000L
+
   /** Exactly-once TRIANGLE enumeration over an undirected graph (edges
     * as distinct u < v pairs) — the co-occurrence/community primitive
     * (market-basket affinity, cohesion scoring). Degree-ordered
@@ -45,10 +52,21 @@ object Graphs {
     * neighbors instead). The order key rides as a comparable struct
     * (deg, id) — no global rank window, no |V| sort.
     *
+    * The wedge CLOSE is size-gated on |E| (one count over the already-
+    * checkpointed edge set): within `broadcastMaxEdges` the oriented
+    * edges broadcast and the Σ outdeg² wedge stream never leaves its
+    * generating stage; beyond it — where the broadcast would OOM every
+    * executor — both wedges and edges hash-partition on (b, c), with a
+    * shuffle_hash hint so the |E|-sized side builds the hash table and
+    * the wedge stream only shuffle-writes, never sorts. The wedge rows
+    * are projected to (src, b, c) before the close so the fallback
+    * exchange moves three longs per wedge, nothing more.
+    *
     * Returns (a, b, c) triangle rows; [[trianglesPerNode]] folds them
     * into per-node participation counts.
     */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame,
+      broadcastMaxEdges: Long = BroadcastCloseMaxEdges): DataFrame = {
     val e = edges.select(col("u"), col("v")).localCheckpoint(false)
     val deg = e.select(col("u").as("p")).unionByName(e.select(col("v").as("p")))
       .groupBy("p").agg(count(lit(1)).as("deg"))
@@ -69,24 +87,30 @@ object Graphs {
     val w1 = oriented.select(col("src"), col("dst").as("b"), col("kdst").as("kb"))
     val w2 = oriented.select(col("src"), col("dst").as("c"), col("kdst").as("kc"))
     val wedges = w1.join(w2, Seq("src")).filter(col("kb") < col("kc"))
-    // close wedges against a BROADCAST of the edge set: the wedge stream
-    // (Σ outdeg² rows — orders of magnitude bigger than |E|) is generated
-    // and filtered inside one stage and never shuffles; only |E| bytes
-    // move. Without this the wedges exchange dominated the whole query
-    // (measured 49.6 s → 5 s at sf0.1's 1.2M-edge graph). |E| beyond
-    // broadcast reach ⇒ partition both sides on (b, c) instead — the
-    // documented fallback, not the default.
-    wedges.join(broadcast(oriented.select(col("src").as("b"), col("dst").as("c"))),
-        Seq("b", "c"))
-      .select(col("src").as("a"), col("b"), col("c"))
+      .select(col("src"), col("b"), col("c"))
+    val close = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // close wedges against a BROADCAST of the edge set when it fits: the
+    // wedge stream (Σ outdeg² rows — orders of magnitude bigger than
+    // |E|) is generated and filtered inside one stage and never
+    // shuffles; only |E| bytes move. Without this the wedges exchange
+    // dominated the whole query (measured 49.6 s → 5 s at sf0.1's
+    // 1.2M-edge graph). Beyond broadcast reach, hash-partition both
+    // sides on (b, c); shuffle_hash keeps the wedge side sort-free.
+    val closed =
+      if (e.count() <= broadcastMaxEdges)
+        wedges.join(broadcast(close), Seq("b", "c"))
+      else
+        wedges.join(close.hint("shuffle_hash"), Seq("b", "c"))
+    closed.select(col("src").as("a"), col("b"), col("c"))
   }
 
   /** Per-node triangle participation counts, top-k by (count desc, id). */
-  def trianglesPerNode(edges: DataFrame, k: Int): DataFrame = {
+  def trianglesPerNode(edges: DataFrame, k: Int,
+      broadcastMaxEdges: Long = BroadcastCloseMaxEdges): DataFrame = {
     // materialize the enumeration once: the 3-way corner union would
     // otherwise re-run the whole wedge pipeline per branch (the plan
     // showed it thrice — the dominant cost, not the wedges themselves)
-    val tri = triangles(edges).localCheckpoint(false)
+    val tri = triangles(edges, broadcastMaxEdges).localCheckpoint(false)
     tri.select(col("a").as("p"))
       .unionByName(tri.select(col("b").as("p")))
       .unionByName(tri.select(col("c").as("p")))

@@ -89,12 +89,17 @@ object KMeans {
       iters: Int): (IndexedSeq[IndexedSeq[Long]], DataFrame) = {
     val q = quantized(emb, id, vec).localCheckpoint(eager = false)
     var cents = seedCentroids(q, k)
+    // the pack modulus is the CODEBOOK size (CentroidArgminL2 packs
+    // dist²·m + cid with m = cents.length) — a corpus smaller than k
+    // seeds fewer centroids, and unpacking with k there would garble
+    // cid/dist
+    val m = cents.length.toLong
     var it = 0
     while (it < iters) {
       // one job: map-only assignment + (cid, dim) partial-sum collect —
       // k·d rows, codebook-sized (the md5Codebook collect contract)
       val parts = q
-        .select(pmod(centroidArgminL2(col("qv"), cents), lit(k.toLong))
+        .select(pmod(centroidArgminL2(col("qv"), cents), lit(m))
           .cast("int").as("cid"), col("qv"))
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
@@ -121,11 +126,12 @@ object KMeans {
   def trainAssign(emb: DataFrame, id: String, vec: String, k: Int,
       iters: Int): DataFrame = {
     val (cents, q) = train(emb, id, vec, k, iters)
+    val m = cents.length // pack modulus = codebook size, not requested k
     q.select(col("vid").as("vec_id"),
         centroidArgminL2(col("qv"), cents).as("code"))
       .select(col("vec_id"),
-        pmod(col("code"), lit(k.toLong)).as("cid"),
-        expr(s"code div ${k}L").as("dist"))
+        pmod(col("code"), lit(m.toLong)).as("cid"),
+        expr(s"code div ${m}L").as("dist"))
   }
 
   /** Final assignment against a GIVEN trained codebook — the serving

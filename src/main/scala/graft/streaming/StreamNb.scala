@@ -37,11 +37,16 @@ object StreamNb {
     filter(split(lower(col(text)), "[^a-z0-9]+"), t => length(t) > 0)
 
   /** One labeled micro-batch → additive count deltas for both row
-    * classes. */
+    * classes. Token-less docs (empty text, no [a-z0-9] runs) are dropped
+    * BEFORE counting: batch [[graft.operators.NaiveBayes]] derives class
+    * doc counts from the postings — only docs contributing ≥1 token — so
+    * the maintained priors must use the same doc definition or the
+    * incremental model drifts from its batch twin. */
   private[graft] def nbDelta(batch: DataFrame, id: String, text: String,
       label: String): DataFrame = {
     val base = batch.select(col(id).as("doc"), col(label).as("lbl"),
       toks(text).as("_t"))
+      .filter(size(col("_t")) > 0)
     val tokRows = base
       .select(col("lbl"), explode(col("_t")).as("tok"))
       .groupBy("lbl", "tok").agg(count(lit(1)).as("cnt_d"))
@@ -62,6 +67,11 @@ object StreamNb {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the `t:<class>:<tok>` key splits on ':' — enforce the codec
+        // constraint loudly per batch (the histSink device), not just in
+        // the scaladoc
+        val bad = batch.filter(col(label).contains(":")).limit(1).count()
+        require(bad == 0, s"label values must not contain ':' (key codec)")
         val delta = nbDelta(batch, id, text, label)
         val cur = table.current.select(col(Merge.KeyCol).as("k"),
           col("cnt").as("cnt_0"))

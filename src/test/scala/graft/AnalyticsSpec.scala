@@ -171,6 +171,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === want, s"triangle count $got != naive $want")
   }
 
+  test("triangles: the shuffle close enumerates the SAME triangle set as the broadcast close") {
+    import graft.operators.Graphs
+    // broadcastMaxEdges=0 forces the (b, c)-partitioned fallback — the
+    // 100 TB path when |E| exceeds broadcast reach; both closes must
+    // produce the identical (a, b, c) set, row for row
+    val rng = new scala.util.Random(41)
+    val n = 50
+    val es = (for { a <- 0 until n; b <- 0 until n
+                    if a < b && rng.nextDouble() < 0.2 }
+      yield (a.toLong, b.toLong)).toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val bcast = rows(Graphs.triangles(es))
+    val shuf = rows(Graphs.triangles(es, broadcastMaxEdges = 0L))
+    assert(bcast === shuf)
+    assert(bcast.nonEmpty)
+    // and the per-node fold agrees through both closes
+    assert(rows(Graphs.trianglesPerNode(es, 10)) ===
+      rows(Graphs.trianglesPerNode(es, 10, broadcastMaxEdges = 0L)))
+  }
+
   test("spearman: +10000 on monotone, -10000 on reversed, ~0 on a derangement") {
     import graft.operators.Analytics
     val mono = (1L to 50L).map(i => ("g", i, i * 3, i * 7 + 1))

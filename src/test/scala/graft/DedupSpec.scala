@@ -54,6 +54,62 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // the corpus plants near-dups; test must bite
   }
 
+  test("sampledPairEval: residue-class estimates bracket the exact metrics") {
+    // q_dedup_eval's corpus at sf0.001; denom 3 gives three DISJOINT
+    // residue classes covering the universe — the exact metric must lie
+    // within the classes' min..max (the sampled-audit contract the
+    // 100 TB route rests on), and the pair counts must shrink ~9×
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val corpus = d.unionByName(d.filter($"doc_id" % 10 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000000))
+    val found = Dedup.sortedNeighborhood(corpus, "doc_id", "text",
+      window = 8, thresholdBp = 8000L).localCheckpoint(false)
+    val exact = Dedup.pairSetEval(found,
+      Dedup.snmTruthPairs(corpus, "doc_id", "text", 8000L)).head()
+    val ests = (0L until 3L).map { r =>
+      Dedup.sampledPairEval(found, corpus, "doc_id", "text", 8000L,
+        denom = 3, residue = r).head()
+    }
+    def bp(row: org.apache.spark.sql.Row, c: String) = row.getAs[Long](c)
+    for (m <- Seq("precision_bp", "recall_bp", "f1_bp")) {
+      val vals = ests.map(bp(_, m))
+      info(s"$m exact=${bp(exact, m)} sampled=$vals")
+      assert(vals.min <= bp(exact, m) && bp(exact, m) <= vals.max,
+        s"$m=${bp(exact, m)} outside sampled bracket $vals")
+    }
+    // universe restriction is real: each class audits a ~1/9 pair slice
+    val exactPairs = bp(exact, "tp") + bp(exact, "fn")
+    ests.foreach { e =>
+      val sampledPairs = bp(e, "tp") + bp(e, "fn")
+      assert(sampledPairs > 0 && sampledPairs < exactPairs / 3,
+        s"sampled truth not a strict subset: $sampledPairs vs $exactPairs")
+    }
+    // an ADVERSARIAL corpus where SNM genuinely misses: near-dup plants
+    // whose first word changes ("zzz " prefix) sort far from their
+    // originals, so the window never sees the pair — recall < 10000 and
+    // the bracket must hold off the perfection boundary too
+    val plants = d.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        concat(lit("zzz "), $"text").as("text"))
+    val hard = corpus.unionByName(plants)
+    val hFound = Dedup.sortedNeighborhood(hard, "doc_id", "text",
+      window = 8, thresholdBp = 8000L).localCheckpoint(false)
+    val hExact = Dedup.pairSetEval(hFound,
+      Dedup.snmTruthPairs(hard, "doc_id", "text", 8000L)).head()
+    info(s"hard exact: recall=${bp(hExact, "recall_bp")} fn=${bp(hExact, "fn")}")
+    assert(bp(hExact, "recall_bp") < 10000L && bp(hExact, "fn") > 0L,
+      "sort-displaced plants unexpectedly found — degraded probe lost its bite")
+    val hVals = (0L until 3L).map { r =>
+      bp(Dedup.sampledPairEval(hFound, hard, "doc_id", "text", 8000L,
+        denom = 3, residue = r).head(), "recall_bp")
+    }
+    info(s"hard sampled recalls: $hVals")
+    assert(hVals.min <= bp(hExact, "recall_bp") &&
+      bp(hExact, "recall_bp") <= hVals.max,
+      s"degraded recall ${bp(hExact, "recall_bp")} outside bracket $hVals")
+  }
+
   test("simhash: identical normalized text → identical hash") {
     val s = Dedup.simhash(docs, "doc_id", "text")
       .filter($"doc".isin(1L, 2L, 3L)).select("simhash").distinct()

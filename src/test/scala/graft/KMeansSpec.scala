@@ -106,6 +106,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("corpus smaller than k: codebook shrinks and assignments stay exact") {
+    // seedCentroids can only return as many centroids as the corpus has
+    // vectors; the argmin pack modulus is the CODEBOOK size, so the
+    // unpack must use it too or cid/dist come out garbled
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val (cents, _) = KMeans.train(df, "vec_id", "embedding", k = 5, iters = 2)
+    assert(cents.length === 2)
+    val got = KMeans.trainAssign(df, "vec_id", "embedding", k = 5, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // each vector sits exactly on its own centroid: dist 0, distinct cids
+    assert(got.values.forall(_._2 === 0L), s"dists garbled: $got")
+    assert(got.values.map(_._1).toSet === Set(0L, 1L))
+    val want = reference(
+      df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq,
+      k = 2, iters = 2) // reference takes k after the same shrink
+    assert(got === want)
+  }
+
   test("training is deterministic across runs and partitioning") {
     val df = corpus(40, 6)
     val a = KMeans.train(df, "vec_id", "embedding", k = 3, iters = 2)._1

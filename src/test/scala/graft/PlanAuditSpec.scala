@@ -401,6 +401,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.broadcasts == 0, s"codebook must ride as plan metadata, not a join: $c")
   }
 
+  test("triangles close: broadcast inside the edge gate, ShuffledHashJoin on (b, c) beyond it") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Graphs
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    def closeJoin(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      // the close join is the one keyed [b, c] — identify it by key
+      // names so the wedge join's (AQE-chosen) strategy can't alias it
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[b#""".r
+        .findFirstMatchIn(plan).map(_.group(1)).getOrElse(s"none in:\n$plan")
+    }
+    // default gate (|E| ≈ 9k at sf0.001, far under 10M): broadcast close
+    assert(closeJoin(Graphs.triangles(edges)) === "BroadcastHashJoin")
+    // forced past the gate: both sides partition on (b, c), hash build
+    // on the |E| side — the user hint must survive AQE's replan (a
+    // runtime demotion back to broadcast would defeat the OOM gate)
+    assert(closeJoin(Graphs.triangles(edges, broadcastMaxEdges = 0L)) ===
+      "ShuffledHashJoin")
+  }
+
   test("q_dsir: features materialized once, model broadcast, corpus text never re-read") {
     val c = audited("q_dsir")
     // the feature table is checkpoint-materialized (it feeds both the

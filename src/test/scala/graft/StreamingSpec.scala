@@ -416,6 +416,54 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(!v0.contains("t:a:toast"))
   }
 
+  test("StreamNb: token-less docs don't count toward class docs; ':' labels rejected") {
+    import graft.streaming.StreamNb
+    import graft.operators.NaiveBayes
+    // a labeled doc with no [a-z0-9] tokens must NOT bump d:<class> —
+    // batch NaiveBayes derives class doc counts from the postings, so
+    // counting it would drift the maintained priors from the batch twin
+    val batch = Seq(
+      LDoc(1, "ham eggs", "a"), LDoc(2, "!!! ...", "a"), LDoc(3, "", "b"))
+      .toDF("doc_id", "text", "lang")
+    val delta = StreamNb.nbDelta(batch, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delta("d:a") === 1L)       // doc 2 (emoji-only) excluded
+    assert(!delta.contains("d:b"))    // doc 3 (empty) excluded entirely
+    // end to end: a stream containing token-less docs still serves
+    // batch-identical classification
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[LDoc]
+    val table = StreamNb.table(spark, tmp("nbtl"), nBuckets = 4)
+    val q = StreamNb.nbSink(mem.toDF(), "doc_id", "text", "lang",
+      table, tmp("nbtlckp"), Trigger.ProcessingTime(0)).start()
+    val allDocs = Seq(LDoc(1, "ham eggs", "a"), LDoc(2, "!!! ...", "a"),
+      LDoc(3, "spam win", "b"), LDoc(4, "", "b"))
+    try { mem.addData(allDocs: _*); q.processAllAvailable() }
+    finally q.stop()
+    val cd = StreamNb.classDocs(table)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cd === Map("a" -> 1L, "b" -> 1L))
+    val docsDf = allDocs.toDF("doc_id", "text", "lang")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(NaiveBayes.classifyFromModel(docsDf, "doc_id", "text",
+        "lang", StreamNb.tokenCounts(table), StreamNb.classDocs(table))) ===
+      rows(NaiveBayes.classify(docsDf, "doc_id", "text", "lang")))
+    // the t:<class>:<tok> codec splits on ':' — a ':' label must fail
+    // LOUDLY per batch (the histSink device), not corrupt the model
+    val mem2 = MemoryStream[LDoc]
+    val table2 = StreamNb.table(spark, tmp("nbbad"), nBuckets = 4)
+    val q2 = StreamNb.nbSink(mem2.toDF(), "doc_id", "text", "lang",
+      table2, tmp("nbbadckp"), Trigger.ProcessingTime(0)).start()
+    mem2.addData(LDoc(1, "ham", "a:b"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    try assert(ex.getMessage.contains("key codec") ||
+      Option(ex.getCause).exists(_.getMessage.contains("key codec")))
+    finally q2.stop()
+  }
+
   test("StreamClusters T3/T5: a redelivered batch (same _seq) leaves assignments unchanged") {
     import graft.streaming.StreamClusters
     // crash-redelivery contract: foreachBatch re-runs a batch with the
