@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Search, Similarity, Sketches, TextAnalysis}
-import graft.streaming.{Livestream, StreamClusters, StreamIndex, StreamLsh, StreamSketch}
+import graft.streaming.{Livestream, StreamClusters, StreamIndex, StreamLsh, StreamSketch, StreamTrgm}
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over documents/embeddings.
@@ -130,6 +130,30 @@ object PipelineQueries {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
       val q = StreamIndex.indexSink(stream, "doc_id", "text", table,
+        tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
+  /** The streaming-maintained TRIGRAM index for `dir`, built ONCE per
+    * session — [[incrementalIndex]]'s character-level sibling
+    * ([[StreamTrgm]]): the corpus streams through 4 real micro-batch
+    * merge/publish cycles and substring search serves from the
+    * maintained gram postings. */
+  private val builtTrgmTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  private def incrementalTrgm(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtTrgmTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_trgm")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = StreamTrgm.table(s, tmp.resolve("tbl").toString, nBuckets = 16)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamTrgm.trgmSink(stream, "doc_id", "text", table,
         tmp.resolve("ckp").toString).start()
       q.awaitTermination()
       table
@@ -1376,6 +1400,21 @@ object PipelineQueries {
         .orderBy("pid", "doc_id")
     }),
 
+    // Substring search served from the STREAM-MAINTAINED trigram index
+    // (4 real micro-batch merge/publish cycles; the twelfth maintained
+    // artifact) — must hash-equal batch q_substring_search (shared
+    // oracle verbatim): candidate generation reads only the maintained
+    // gram postings; the exact verify reads corpus text for candidates
+    // alone.
+    "q_substring_incremental" -> ((s, dir) => {
+      Search.substringSearchFromGrams(
+          StreamTrgm.grams(incrementalTrgm(s, dir))
+            .select(col("doc_id").cast("long").as("doc_id"), col("g")),
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          substringPatterns)
+        .orderBy("pid", "doc_id")
+    }),
+
     // More-like-this: top-10 docs per seed by integer tf·idf dot over
     // shared terms — seed postings broadcast, corpus postings stream
     // through the broadcast join.
@@ -1720,6 +1759,38 @@ object PipelineQueries {
         .select(col("doc_id"), col("format"), col("channels"),
           col("sample_rate"), col("n_samples"),
           round(col("mean_value") * 100).cast("long").as("mean_c"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL baseline-JPEG decode at corpus scale: each doc's first 16
+    // text bytes mint a 128×8 grayscale JPEG of sixteen CONSTANT 8×8
+    // blocks at quality 100 (all-ones quant → DC-only blocks roundtrip
+    // EXACTLY — Jpeg.scala's oracle device), and the full entropy
+    // pipeline runs for real: JFIF marker walk, canonical Huffman DC
+    // decode, dequant, IDCT, clamp. mean·16 = the exact byte sum, which
+    // the oracle replays from the text — the WAV device for images.
+    // Encoding is partition-local minting (test-harness data gen, the
+    // multimodal mapPartitions tier); decode is the served operator.
+    "q_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(col("text"), 1, 16), 16, "x").as("t16"))
+      val media = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val bytes = t.getBytes("UTF-8").take(16).map(b => b & 0xff)
+          val px = Array.tabulate(8 * 128)(i => bytes((i % 128) / 8))
+          (id, "image", graft.operators.Jpeg.encodeGray(px, 128, 8,
+            quality = 100))
+        }
+      }.toDF("doc_id", "modality", "payload")
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      Multimodal.decode(media).toDF()
+        // 1024 pixels; mean = byteSum/16 with power-of-two division —
+        // exact in binary, so round(mean·16) is the exact byte sum
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_samples"),
+          round(col("mean_value") * 16).cast("long").as("mean_c16"))
         .orderBy("doc_id")
     })
   )
@@ -2360,6 +2431,19 @@ object PipelineQueries {
     3L -> "row scan slow", 4L -> "zebra stripe")
   private def substringPatternValues: String =
     substringPatterns.map { case (i, p) => s"($i, '$p')" }.mkString(", ")
+
+  /** Substring-search ground truth: the UNACCELERATED form — a plain
+    * contains() scan per pattern (deliberately the naive algorithm the
+    * trigram prefilter must exactly reproduce); shared verbatim by the
+    * batch and maintained-index paths. */
+  private def substringOracle: String =
+    s"""WITH pats(pid, pat) AS (VALUES $substringPatternValues)
+         SELECT CAST(p.pid AS BIGINT) AS pid, d.doc_id,
+                CAST((len(lower(d.text)) - len(replace(lower(d.text), p.pat, '')))
+                     // len(p.pat) AS BIGINT) AS n_hits
+         FROM documents d CROSS JOIN pats p
+         WHERE contains(lower(d.text), p.pat)
+         ORDER BY pid, doc_id"""
 
   /** MMR replay: the greedy recursion unrolled into k staged CTEs (the
     * BPE-oracle device) — stage t's max-sim reads the union of all prior
@@ -3492,14 +3576,10 @@ object PipelineQueries {
     // Substring-search ground truth: the UNACCELERATED form — a plain
     // contains() scan per pattern (the oracle is deliberately the naive
     // algorithm the trigram prefilter must exactly reproduce).
-    "q_substring_search" -> (
-      s"""WITH pats(pid, pat) AS (VALUES $substringPatternValues)
-         SELECT CAST(p.pid AS BIGINT) AS pid, d.doc_id,
-                CAST((len(lower(d.text)) - len(replace(lower(d.text), p.pat, '')))
-                     // len(p.pat) AS BIGINT) AS n_hits
-         FROM documents d CROSS JOIN pats p
-         WHERE contains(lower(d.text), p.pat)
-         ORDER BY pid, doc_id"""),
+    "q_substring_search" -> substringOracle,
+    // the maintained-index path must converge to the batch-built index:
+    // same naive-scan ground truth verbatim
+    "q_substring_incremental" -> substringOracle,
 
     "q_more_like_this" ->
       """WITH toks AS (
@@ -4309,6 +4389,17 @@ object PipelineQueries {
                 CAST(list_sum(list_transform(range(1, 101),
                      i -> ascii(substr(rpad(substr(text, 1, 100), 100, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c
+         FROM documents ORDER BY doc_id""",
+
+    // JPEG ground truth: quality-100 constant blocks decode back to the
+    // exact source bytes, so the decoded mean·16 IS the byte sum of the
+    // first 16 (padded) text chars — no SQL DCT needed
+    "q_jpeg_decode" ->
+      """SELECT doc_id, 'jpeg' AS format, 128 AS width, 8 AS height,
+                CAST(1024 AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(range(1, 17),
+                     i -> ascii(substr(rpad(substr(text, 1, 16), 16, 'x'),
+                                       CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
          FROM documents ORDER BY doc_id"""
   )
 }

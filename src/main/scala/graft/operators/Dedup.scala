@@ -161,8 +161,19 @@ object Dedup {
     * but concentrated; that is exactly what the cap is for.
     */
   private[operators] def groupPairs(keyed: DataFrame, keys: Seq[String], member: Column,
-      pairOf: (Column, Column) => Column, freqCap: Long): DataFrame =
+      pairOf: (Column, Column) => Column, freqCap: Long,
+      device: String = "groupPairs"): DataFrame =
     keyed.groupBy(keys.map(col): _*).agg(collect_list(member).as("_ds"))
+      // the shed is spec-proven; observe() makes it VISIBLE at runtime
+      // too (no silent caps): shed group/member counts ride the same
+      // stage as the filter — CollectMetrics is a pass-through, no extra
+      // job — retrievable from queryExecution.observedMetrics under the
+      // graft_shed_ prefix
+      .observe(Guard.shedMetricName(device),
+        sum(when(size(col("_ds")) > freqCap, 1L).otherwise(0L))
+          .as("shed_groups"),
+        sum(when(size(col("_ds")) > freqCap, size(col("_ds")).cast("long"))
+          .otherwise(0L)).as("shed_members"))
       .filter(size(col("_ds")).between(2, freqCap))
       .select(explode(flatten(transform(col("_ds"), x =>
         filter(transform(col("_ds"), y => pairOf(x, y)), p => p.isNotNull)))).as("_p"))
@@ -189,7 +200,7 @@ object Dedup {
         when(x.getField("doc") < y.getField("doc"),
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"),
             x.getField("nsh").as("ni"), y.getField("nsh").as("nj"))),
-        freqCap)
+        freqCap, device = "jaccardPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j"),
         col("_p.ni").as("ni"), col("_p.nj").as("nj"))
       .groupBy("i", "j", "ni", "nj")
@@ -215,7 +226,7 @@ object Dedup {
         Seq("s"), col("d"),
         (x, y) => when(x.getField("doc") < y.getField("doc"),
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"))),
-        freqCap)
+        freqCap, device = "snmTruthPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j")).distinct()
     val inter = size(array_intersect(col("_ai"), col("_aj"))).cast("long")
     cand
@@ -326,7 +337,7 @@ object Dedup {
         Seq("s"), col("d"),
         (x, y) => when(x.getField("doc") < y.getField("doc"),
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"))),
-        freqCap)
+        freqCap, device = "snmTruthPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j")).distinct()
     val inter = size(array_intersect(col("_ai"), col("_aj"))).cast("long")
     cand
@@ -418,7 +429,8 @@ object Dedup {
     // contract as jaccardPairs' freqCap (collapse exact dups FIRST when a
     // corpus has giant identical families).
     val candidates = groupPairs(buckets, Seq("band", "bucket"), col("doc"),
-        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), bucketCap)
+        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), bucketCap,
+        device = "minhashLsh")
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .distinct()
     candidates
@@ -593,7 +605,7 @@ object Dedup {
         (x, y) => when(x.getField("doc") < y.getField("doc"),
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"),
             x.getField("simhash").as("hi"), y.getField("simhash").as("hj"))),
-        bucketCap)
+        bucketCap, device = "simhashPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j"),
         bit_count(col("_p.hi").bitwiseXOR(col("_p.hj"))).as("hamming"))
       .distinct()

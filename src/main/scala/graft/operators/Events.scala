@@ -270,10 +270,12 @@ object Events {
     * same never-sort-the-corpus contract as the quantile family. */
   def mannWhitney(df: DataFrame, inGroup1: Column,
       valueCol: Column): DataFrame = {
-    val hist = df.select(inGroup1.as("g1"), valueCol.as("v"))
-      .groupBy("v").agg(
-        sum(when(col("g1"), 1L).otherwise(0L)).as("n1v"),
-        sum(when(col("g1"), 0L).otherwise(1L)).as("n2v"))
+    val hist = Guard.domainBounded(
+      df.select(inGroup1.as("g1"), valueCol.as("v"))
+        .groupBy("v").agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1v"),
+          sum(when(col("g1"), 0L).otherwise(1L)).as("n2v")),
+      "mannWhitney")
     val wPrev = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val scored = hist
@@ -313,11 +315,13 @@ object Events {
       died: String): DataFrame = {
     def lnBp(c: Column): Column =
       floor(log(c.cast("double")) * 10000).cast("long")
-    val tab = subjects
-      .select(col(duration).as("k"), col(died).as("e"))
-      .groupBy("k").agg(
-        sum(when(col("e"), 1L).otherwise(0L)).as("n_event"),
-        sum(when(col("e"), 0L).otherwise(1L)).as("n_censored"))
+    val tab = Guard.domainBounded(
+      subjects
+        .select(col(duration).as("k"), col(died).as("e"))
+        .groupBy("k").agg(
+          sum(when(col("e"), 1L).otherwise(0L)).as("n_event"),
+          sum(when(col("e"), 0L).otherwise(1L)).as("n_censored")),
+      "kaplanMeier")
     val wRev = Window.orderBy(col("k"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val wCum = Window.orderBy(col("k"))
@@ -446,8 +450,10 @@ object Events {
     * domain in days), and the top-k is a TakeOrdered.
     */
   def changepoints(events: DataFrame, tsSec: Column, k: Int = 5): DataFrame = {
-    val daily = events.select((tsSec - (tsSec % 86400L)).as("day"))
-      .groupBy("day").agg(count(lit(1)).as("x"))
+    val daily = Guard.domainBounded(
+      events.select((tsSec - (tsSec % 86400L)).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x")),
+      "changepoints")
     val w = Window.orderBy("day")
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -482,8 +488,13 @@ object Events {
       // windows merges their neighboring segments (dropping after would
       // orphan the duration between them)
       .filter(col("d") =!= 0)
+    // the documented contract is time-DOMAIN boundedness (≈31M rows for
+    // a year of seconds) — the ceiling sits above that, not at the
+    // histogram default
+    val guarded = Guard.domainBounded(deltas, "concurrency",
+      maxRows = 64000000L)
     val w = Window.orderBy("t")
-    deltas
+    guarded
       .withColumn("level", sum("d").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("dur", lead("t", 1).over(w) - col("t"))

@@ -11,15 +11,18 @@ import org.apache.spark.sql.functions._
   * at the edge inside partition-local batch functions.
   *
   * Two decode tiers:
-  *  - [[decode]] REALLY decodes the container-free public formats whose
-  *    specs are pure byte math — WAV/PCM audio (RIFF), uncompressed
-  *    24-bit BMP, and binary PPM (P6) — in plain Scala, no codec library.
-  *  - Formats that need an entropy codec (JPEG/PNG/MP3/H.264…) fall back
-  *    to the DETERMINISTIC STUB kernels (this environment ships no
-  *    codecs — see the builder contract); every stub is marked `STUB:`
-  *    and has the exact signature, batching shape, and partitioning a
-  *    real codec (JNI/FFI or subprocess) would use, so swapping one in
-  *    changes no plan.
+  *  - [[decode]] REALLY decodes the public formats implementable in
+  *    plain JVM byte math with no codec library — WAV/PCM audio (RIFF),
+  *    uncompressed 24-bit BMP, binary PPM (P6), and baseline JPEG
+  *    ([[Jpeg]]: full Huffman entropy decode + dequant + IDCT,
+  *    grayscale/4:4:4/4:2:2/4:2:0, restart markers — the dominant
+  *    real-world image format).
+  *  - Formats still needing an external codec (PNG/MP3/H.264…,
+  *    progressive JPEG) fall back to the DETERMINISTIC STUB kernels
+  *    (this environment ships no codecs — see the builder contract);
+  *    every stub is marked `STUB:` and has the exact signature,
+  *    batching shape, and partitioning a real codec (JNI/FFI or
+  *    subprocess) would use, so swapping one in changes no plan.
   */
 object Multimodal {
 
@@ -260,12 +263,32 @@ object Multimodal {
       MediaDecoded(doc, "ppm", None, None, Some(w), Some(h), w.toLong * h, s / n)
     }
 
+  /** Baseline JPEG decode ([[Jpeg.decode]] — pure-JVM Huffman + IDCT,
+    * bit-deterministic via the StrictMath cosine table): mean over gray
+    * pixels for 1-component images, over all RGB channel bytes for
+    * color (the BMP convention). n_samples = pixel count. */
+  private[operators] def jpegDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    Jpeg.decode(b).map { d =>
+      val (s, cnt) =
+        if (d.nComp == 1) {
+          var acc = 0.0; var i = 0
+          while (i < d.gray.length) { acc += d.gray(i); i += 1 }
+          (acc, d.gray.length)
+        } else {
+          var acc = 0.0; var i = 0
+          while (i < d.rgb.length) { acc += d.rgb(i); i += 1 }
+          (acc, d.rgb.length)
+        }
+      MediaDecoded(doc, "jpeg", None, None, Some(d.width), Some(d.height),
+        d.width.toLong * d.height, if (cnt == 0) 0.0 else s / cnt)
+    }
+
   /** Real decode pass: sniffs the payload's magic bytes and decodes
-    * WAV/BMP/PPM with the pure byte-math decoders above; any other (or
-    * malformed) payload degrades to the `"unknown"` stub row instead of
-    * throwing — a poison payload must never kill a 100 TB scan. Same
-    * partition-local, iterator-to-iterator batch shape as
-    * [[extractFeatures]]. */
+    * WAV/BMP/PPM/baseline-JPEG with the pure byte-math decoders above;
+    * any other (or malformed) payload degrades to the `"unknown"` stub
+    * row instead of throwing — a poison payload must never kill a
+    * 100 TB scan. Same partition-local, iterator-to-iterator batch
+    * shape as [[extractFeatures]]. */
   def decode(media: DataFrame): Dataset[MediaDecoded] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "modality", "byte_len", "payload").as[MediaRow]
@@ -275,6 +298,7 @@ object Multimodal {
           wavDecode(r.doc_id, b)
             .orElse(bmpDecode(r.doc_id, b))
             .orElse(ppmDecode(r.doc_id, b))
+            .orElse(jpegDecode(r.doc_id, b))
             .getOrElse {
               val (mean, _) = decodeStub(b)
               MediaDecoded(r.doc_id, "unknown", None, None, None, None,

@@ -233,8 +233,9 @@ object Search {
     * a full contains() scan per pattern. Candidate generation: a doc
     * can contain pattern P only if it contains EVERY character trigram
     * of P — the per-doc distinct-trigram postings are built in one
-    * corpus pass (in production, persisted/maintained like the lexical
-    * index), pattern trigrams broadcast, and a doc qualifies when its
+    * corpus pass (or served MAINTAINED by
+    * [[graft.streaming.StreamTrgm]], the lexical index's trigram
+    * sibling), pattern trigrams broadcast, and a doc qualifies when its
     * matched-gram count equals |grams(P)|. Exact `contains` verification
     * (plus non-overlapping occurrence count via the replace-length
     * device) runs only on candidates — precision exact, recall exact
@@ -247,22 +248,38 @@ object Search {
     * Output: (pid, doc_id, n_hits ≥ 1), one row per matching doc.
     */
   def substringSearch(docs: DataFrame, id: String, text: String,
-      patterns: Seq[(Long, String)]): DataFrame = {
+      patterns: Seq[(Long, String)]): DataFrame =
+    substringSearchFromGrams(gramRows(docs, id, text), docs, id, text,
+      patterns)
+
+  /** Per-doc DISTINCT character trigrams, (doc_id, g) — the postings
+    * [[substringSearchFromGrams]] prefilters on; built in one corpus
+    * pass here, or served maintained by
+    * [[graft.streaming.StreamTrgm]]. */
+  def gramRows(docs: DataFrame, id: String, text: String): DataFrame =
+    // explicit sub-trigram guard: sequence(1, 0) would generate a
+    // DESCENDING [1, 0] in Spark (not empty) — harmless here (2-char
+    // "grams" can never equal a 3-char pattern gram) but subtle enough
+    // to not rely on
+    docs.select(col(id).as("doc_id"), lower(col(text)).as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "case when length(t) >= 3 then " +
+            "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) " +
+            "else array() end")))
+          .as("g"))
+
+  /** [[substringSearch]]'s core over a PREBUILT (doc_id, g) trigram
+    * postings view — candidate generation touches only the gram index
+    * (maintained or batch-built); the exact contains verify reads the
+    * corpus text for candidates alone. */
+  def substringSearchFromGrams(grams: DataFrame, docs: DataFrame,
+      id: String, text: String, patterns: Seq[(Long, String)]): DataFrame = {
     require(patterns.nonEmpty && patterns.forall(_._2.nonEmpty))
     require(patterns.forall(_._2.length >= 3),
       "patterns under 3 chars need the unfiltered scan path; keep them out " +
         "of the indexed operator")
     val lowered = docs.select(col(id).as("doc_id"), lower(col(text)).as("t"))
-    // explicit sub-trigram guard: sequence(1, 0) would generate a
-    // DESCENDING [1, 0] in Spark (not empty) — harmless here (2-char
-    // "grams" can never equal a 3-char pattern gram) but subtle enough
-    // to not rely on
-    val grams = lowered.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "case when length(t) >= 3 then " +
-          "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) " +
-          "else array() end")))
-        .as("g"))
     val spark = docs.sparkSession
     import scala.jdk.CollectionConverters._
     val pRows = patterns.flatMap { case (pid, p) =>

@@ -147,7 +147,8 @@ object Similarity {
     val candidates = Dedup.groupPairs(blocked, Seq("band", "key"), col("vb"),
         (x, y) => when(x.getField("vid") < y.getField("vid") &&
             (x.getField("base") || y.getField("base")),
-          struct(x.getField("vid").as("i"), y.getField("vid").as("j"))), effCap)
+          struct(x.getField("vid").as("i"), y.getField("vid").as("j"))),
+        effCap, device = "embLshPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .distinct()
     candidates
@@ -417,6 +418,12 @@ object Similarity {
     val withCid = n.select(col("vid"), col("nv"),
       graft.functions.nearestCentroids(col("nv"), codebook, 1).getItem(0).as("cid"))
     val keep = broadcast(withCid.groupBy("cid").agg(count(lit(1)).as("_n"))
+      // runtime shed visibility (no silent caps): oversize-cluster and
+      // shed-vector counts ride the cluster-count pass via observe()
+      .observe(Guard.shedMetricName("semDedupPairs"),
+        sum(when(col("_n") > clusterCap, 1L).otherwise(0L)).as("shed_groups"),
+        sum(when(col("_n") > clusterCap, col("_n")).otherwise(0L))
+          .as("shed_members"))
       .filter(col("_n") <= clusterCap).select("cid"))
     val scoped = withCid.join(keep, "cid")
     val a = scoped.select(col("cid"), col("vid").as("i"), col("nv").as("ni"))

@@ -162,7 +162,8 @@ object TextAnalysis {
     Dedup.groupPairs(
         winnowFingerprints(df, id, text, k, w).select(col("fp"), col("doc")),
         Seq("fp"), col("doc"),
-        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), freqCap)
+        (x, y) => when(x < y, struct(x.as("i"), y.as("j"))), freqCap,
+        device = "winnowPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= minShared)
@@ -527,7 +528,9 @@ object TextAnalysis {
     * (`div` ↔ `//`). */
   def scoreTertiles(df: DataFrame, score: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(score).as("_s")).agg(count(lit(1)).as("_c"))
+    val hist = Guard.domainBounded(
+      df.groupBy(col(score).as("_s")).agg(count(lit(1)).as("_c")),
+      "scoreTertiles")
     val w = Window.orderBy(col("_s").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = hist.agg(sum("_c").as("_n"))
@@ -547,7 +550,9 @@ object TextAnalysis {
   def selectTopPctByScore(df: DataFrame, score: String, keepPct: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepPct >= 1 && keepPct <= 100, s"keepPct must be 1..100, got $keepPct")
-    val hist = df.groupBy(col(score).as("_s")).agg(count(lit(1)).as("_c"))
+    val hist = Guard.domainBounded(
+      df.groupBy(col(score).as("_s")).agg(count(lit(1)).as("_c")),
+      "selectTopPctByScore")
     val w = Window.orderBy(col("_s").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = hist.agg(sum("_c").as("_n"))
@@ -615,6 +620,12 @@ object TextAnalysis {
     // hot set = pathological keys only → tiny → broadcast anti-join;
     // the count exchange is |distinct shingle|-sized with map-side combine
     val hot = d0.groupBy("s").agg(count(lit(1)).as("_f"))
+      // runtime shed visibility (no silent caps): hot-key and shed-row
+      // counts ride the count pass via observe()
+      .observe(Guard.shedMetricName("fuzzyContamination"),
+        sum(when(col("_f") > freqCap, 1L).otherwise(0L)).as("shed_groups"),
+        sum(when(col("_f") > freqCap, col("_f")).otherwise(0L))
+          .as("shed_members"))
       .filter(col("_f") > freqCap).select("s")
     val d = d0.join(broadcast(hot), Seq("s"), "left_anti")
     val b = Dedup.shingleRows(bench, id, text, n)
@@ -923,7 +934,9 @@ object TextAnalysis {
       s"quantiles must be in (0, 10000] bp: $qsBp")
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
+    // per-group windows, but one hot group degrades to the single-task
+    // frame the guard exists for — bound the whole histogram
+    val cum = Guard.domainBounded(hist, "histogramQuantiles")
       .withColumn("cum", sum("c").over(w))
       .withColumn("n", sum("c").over(Window.partitionBy("g")))
     val qdf = hist.sparkSession.range(1)
@@ -974,10 +987,11 @@ object TextAnalysis {
       .withColumn("wt", element_at(typedLit(weights), col("src")))
       .filter(col("wt").isNotNull && col("avail") > 0)
       .withColumn("r", col("avail").cast("double") / col("wt"))
+    val guarded = Guard.domainBounded(base, "mixturePlan", maxRows = 100000L)
     val ord = Window.orderBy(col("r"), col("src"))
     val excl = ord.rowsBetween(Window.unboundedPreceding, -1)
     val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = base
+    val ranked = guarded
       .withColumn("m", row_number().over(ord))
       .withColumn("pT", coalesce(sum("avail").over(excl), lit(0L)))
       .withColumn("cW", coalesce(sum("wt").over(excl), lit(0L)))

@@ -254,6 +254,58 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((300001L, 300002L)))
   }
 
+  test("shed observability: cap sheds surface as runtime observe() metrics") {
+    import graft.operators.{Guard, Similarity, TextAnalysis}
+    def shedOf(df: org.apache.spark.sql.DataFrame, device: String)
+        : org.apache.spark.sql.Row = {
+      df.collect()
+      val ms = df.queryExecution.observedMetrics.collect {
+        case (k, row) if k.startsWith(Guard.ShedMetricPrefix + device) => row
+      }
+      assert(ms.size === 1, s"expected one $device shed metric, got $ms")
+      ms.head
+    }
+    // groupPairs freqCap family: the 7 hot shingle groups (10k deep
+    // each) must be VISIBLE at runtime, not just provable by recount
+    val jp = Dedup.jaccardPairs(skewCorpus, "doc_id", "text", 3, 0,
+      freqCap = 1000L)
+    val m1 = shedOf(jp, "jaccardPairs")
+    assert(m1.getAs[Long]("shed_groups") === 7L)
+    assert(m1.getAs[Long]("shed_members") === 70000L)
+    // clusterCap family: pick a cap BETWEEN the real cluster sizes so
+    // the shed is partial — a total shed lets AQE's empty-relation
+    // propagation elide the whole plan (observer included; the result
+    // is loudly empty, nothing silent), so partial is the observable
+    // regime worth pinning
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val sizes = Similarity.clusterAssign(e, "vec_id", "embedding", nlist = 4)
+      .groupBy("cid").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.length > 1 && sizes.head < sizes.last, s"degenerate sizes: ${sizes.toSeq}")
+    val cap = sizes.head // sheds every cluster strictly above the smallest
+    val wantShed = sizes.filter(_ > cap)
+    val sd = Similarity.semDedupPairs(e, "vec_id", "embedding",
+      nlist = 4, thresholdBp = 0L, clusterCap = cap)
+    val m2 = shedOf(sd, "semDedupPairs")
+    assert(m2.getAs[Long]("shed_groups") === wantShed.length.toLong)
+    assert(m2.getAs[Long]("shed_members") === wantShed.sum)
+    // hot-shingle anti-join family (fuzzy contamination): same 7 keys
+    val bench = Seq((1L, "planted cold pair text one two three four five"))
+      .toDF("doc_id", "text")
+    val fc = TextAnalysis.fuzzyContamination(skewCorpus, bench,
+      "doc_id", "text", n = 3, thresholdBp = 0L, freqCap = 1000L)
+    val m3 = shedOf(fc, "fuzzyContamination")
+    assert(m3.getAs[Long]("shed_groups") === 7L)
+    assert(m3.getAs[Long]("shed_members") === 70000L)
+    // an UNCAPPED run reports zero shed — the metric is a shed count,
+    // not a group census (small fixture: uncapped over skewCorpus IS
+    // the 10⁸-pair pathology the cap exists for)
+    val m0 = shedOf(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0),
+      "jaccardPairs")
+    assert(m0.getAs[Long]("shed_groups") === 0L)
+    assert(m0.getAs[Long]("shed_members") === 0L)
+  }
+
   test("adversarial skew: minhash bucketCap sheds the identical family's 32 band buckets") {
     val cap = 1000L
     val pairs = Dedup.minhashLshPairs(skewCorpus, "doc_id", "text", 3, 8000,

@@ -252,4 +252,124 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(i * 9 + j) === vals.sum / vals.size, s"cell ($i,$j)")
     }
   }
+
+  // ===== baseline JPEG (pure-JVM Huffman + IDCT) =====
+
+  import graft.operators.Jpeg
+
+  test("jpeg: constant 8x8 blocks at quality 100 roundtrip EXACTLY") {
+    // DC-only blocks, all-ones quant table: the device the served
+    // oracle leans on — decoded pixels must equal the source bytes
+    val blocks = Array(0, 1, 17, 128, 200, 254, 255, 73)
+    val w = 8 * blocks.length; val h = 8
+    val px = Array.tabulate(w * h)(i => blocks((i % w) / 8))
+    val enc = Jpeg.encodeGray(px, w, h, quality = 100)
+    val dec = Jpeg.decode(enc).get
+    assert(dec.width === w && dec.height === h && dec.nComp === 1)
+    assert(dec.gray.toSeq === px.toSeq)
+  }
+
+  test("jpeg: gray gradient decode agrees with the JDK's independent ImageIO reader (±1)") {
+    // ImageIO's JPEG reader is an INDEPENDENT implementation (libjpeg
+    // lineage, integer IDCT) — per-pixel agreement within ±1 is the
+    // cross-codec contract for a float-IDCT baseline decoder
+    val w = 40; val h = 24
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.min(255, 3 * x + 5 * y + ((x * y) % 7))
+    }
+    val enc = Jpeg.encodeGray(px, w, h, quality = 85)
+    val dec = Jpeg.decode(enc).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(img != null, "ImageIO could not parse our encoder's output")
+    assert(img.getWidth === w && img.getHeight === h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val ref = img.getRaster.getSample(x, y, 0)
+      maxDiff = math.max(maxDiff, math.abs(dec.gray(y * w + x) - ref))
+    }
+    assert(maxDiff <= 1, s"max per-pixel diff vs ImageIO: $maxDiff")
+  }
+
+  test("jpeg: 4:4:4 color decode agrees with ImageIO (±2 per channel)") {
+    val w = 24; val h = 16
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val c = i % 3
+      ((p * (c + 3) * 11) % 200) + 20
+    }
+    val enc = Jpeg.encodeRgb444(rgb, w, h, quality = 90)
+    val dec = Jpeg.decode(enc).get
+    assert(dec.nComp === 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val refs = Array((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+      for (c <- 0 until 3)
+        maxDiff = math.max(maxDiff,
+          math.abs(dec.rgb((y * w + x) * 3 + c) - refs(c)))
+    }
+    assert(maxDiff <= 2, s"max per-channel diff vs ImageIO: $maxDiff")
+  }
+
+  test("jpeg: decodes ImageIO-ENCODED subsampled color (the wild-file direction)") {
+    // the JDK writer emits 4:2:0 chroma subsampling by default — the
+    // dominant wild format; our nearest upsample vs its smooth upsample
+    // differ most at chroma edges, so a smooth image + a loose bound
+    val w = 32; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + 4 * x; val g = 30 + 4 * y; val b = 60 + 2 * (x + y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val enc = bos.toByteArray
+    val dec = Jpeg.decode(enc).getOrElse(
+      fail("our decoder rejected a JDK-written baseline JPEG"))
+    assert(dec.width === w && dec.height === h && dec.nComp === 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val argb = ref.getRGB(x, y)
+      val rv = c match { case 0 => (argb >> 16) & 0xff
+                         case 1 => (argb >> 8) & 0xff
+                         case _ => argb & 0xff }
+      val d = math.abs(dec.rgb((y * w + x) * 3 + c) - rv)
+      sumDiff += d; maxDiff = math.max(maxDiff, d)
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(meanDiff <= 2.0, s"mean per-channel diff vs ImageIO: $meanDiff")
+    assert(maxDiff <= 16, s"max per-channel diff vs ImageIO: $maxDiff")
+  }
+
+  test("jpeg: poison payloads return None, never throw") {
+    assert(Jpeg.decode(Array.emptyByteArray).isEmpty)
+    assert(Jpeg.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(Jpeg.decode("not a jpeg at all".getBytes).isEmpty)
+    // truncate a valid stream at every 16th byte — all must degrade
+    val enc = Jpeg.encodeGray(Array.tabulate(64)(i => i * 4), 8, 8, 90)
+    for (cut <- 2 until enc.length by 16)
+      assert(Jpeg.decode(enc.take(cut)).isEmpty, s"cut=$cut should be None")
+    // progressive-marker stream (SOF2) must be rejected, not garbled
+    val prog = enc.clone()
+    val sof = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(Jpeg.decode(prog).isEmpty)
+  }
+
+  test("jpeg: Multimodal.decode sniffs and decodes jpeg payloads in-line") {
+    val px = Array.tabulate(64)(i => (i * 3) % 256)
+    val enc = Jpeg.encodeGray(px, 8, 8, quality = 100)
+    val media = Seq((7L, "image", enc.length.toLong, enc))
+      .toDF("doc_id", "modality", "byte_len", "payload")
+    val r = Multimodal.decode(media).collect().head
+    assert(r.format === "jpeg")
+    assert(r.width === Some(8) && r.height === Some(8))
+    assert(r.n_samples === 64L)
+    assert(math.abs(r.mean_value - px.sum.toDouble / 64) < 1e-9)
+  }
 }

@@ -78,6 +78,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains(Merge.KeyCol))
   }
 
+  test("StreamTrgm: maintained grams equal batch-built, replace-by-doc, substring serves identical") {
+    import graft.streaming.StreamTrgm
+    import graft.operators.Search
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[IxDoc]
+    val table = StreamTrgm.table(spark, tmp("trgm"), nBuckets = 8)
+    val q = StreamTrgm.trgmSink(mem.toDF(), "doc_id", "text", table,
+      tmp("trgmckp"), Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(IxDoc(1, "sparkling join"), IxDoc(2, "table"))
+      q.processAllAvailable()
+      mem.addData(IxDoc(3, "spark join table"))
+      q.processAllAvailable()
+      // doc 1 UPDATED (drops 'spark' grams — they must VANISH); doc 2
+      // shrinks under 3 chars (empty array must still overwrite)
+      mem.addData(IxDoc(1, "merge batch"), IxDoc(2, "ab"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = Seq(1L -> "merge batch", 2L -> "ab", 3L -> "spark join table")
+      .toDF("doc_id", "text")
+    val got = StreamTrgm.grams(table)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Search.gramRows(latest, "doc_id", "text")
+      .collect().map(r => (r.getLong(0).toString, r.getString(1))).toSet
+    assert(got === want)
+    assert(!got.exists(p => p._1 == "1" && p._2 == "spa"),
+      "stale gram of a replaced doc survived")
+    assert(!got.exists(_._1 == "2"), "short-doc update left stale grams")
+    assert(table.currentVersion === 2L)
+    // end to end: substring search from the maintained grams equals the
+    // batch-built path — the q_substring_incremental contract
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val pats = Seq(0L -> "spark join", 1L -> "merge", 2L -> "zebra")
+    assert(rows(Search.substringSearchFromGrams(
+        StreamTrgm.grams(table)
+          .select(col("doc_id").cast("long").as("doc_id"), col("g")),
+        latest, "doc_id", "text", pats)) ===
+      rows(Search.substringSearch(latest, "doc_id", "text", pats)))
+  }
+
   test("StreamIndex: incremental postings equal batch-built, replace-by-doc across micro-batches") {
     import graft.streaming.StreamIndex
     import graft.operators.TextAnalysis

@@ -1048,4 +1048,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       .groupBy().agg(sum("w")).head().getLong(0)
     assert(total === 3L * sign("alpha") + sign("beta"))
   }
+
+  test("Guard.domainBounded: over-bound frames fail the JOB loudly; in-bound pass through") {
+    import graft.operators.Guard
+    // in-bound: rows pass through unchanged
+    val small = spark.range(0, 100).toDF("v")
+    assert(Guard.domainBounded(small, "t", maxRows = 100L).count() === 100L)
+    // over-bound: the job fails with the device name and the fix, not a
+    // silent single-task corpus serialization
+    val ex = intercept[Exception] {
+      Guard.domainBounded(small, "testdev", maxRows = 99L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("testdev") &&
+      m.contains("bucket the domain first")), s"unexpected error: $ex")
+    // and through a REAL device: a continuous-domain misuse of the
+    // histogram-quantile family must fail loudly at the default bound
+    val continuous = spark.range(0, Guard.MaxFrameRows + 1)
+      .select(lit("g").as("g"), col("id").as("v"))
+    val ex2 = intercept[Exception] {
+      TextAnalysis.histogramQuantiles(continuous, "g", "v", Seq(5000L))
+        .collect()
+    }
+    assert(msgs(ex2).exists(m => m != null && m.contains("histogramQuantiles")),
+      s"unexpected error: $ex2")
+  }
 }
