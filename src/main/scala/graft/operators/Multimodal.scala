@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * Two decode tiers:
   *  - [[decode]] REALLY decodes the public formats implementable in
   *    plain JVM byte math with no codec library — WAV/PCM audio (RIFF),
-  *    uncompressed 24-bit BMP, binary PPM (P6), and baseline JPEG
+  *    uncompressed 24-bit BMP, binary PPM (P6), baseline JPEG
   *    ([[Jpeg]]: full Huffman entropy decode + dequant + IDCT,
-  *    grayscale/4:4:4/4:2:2/4:2:0, restart markers — the dominant
-  *    real-world image format).
-  *  - Formats still needing an external codec (PNG/MP3/H.264…,
-  *    progressive JPEG) fall back to the DETERMINISTIC STUB kernels
+  *    grayscale/4:4:4/4:2:2/4:2:0, restart markers), and PNG ([[Png]]:
+  *    JDK-Inflater zlib + all five scanline filters + palette — the
+  *    two dominant real-world image formats).
+  *  - Formats still needing an external codec (MP3/H.264…,
+  *    progressive JPEG, interlaced PNG) fall back to the DETERMINISTIC
+  *    STUB kernels
   *    (this environment ships no codecs — see the builder contract);
   *    every stub is marked `STUB:` and has the exact signature,
   *    batching shape, and partitioning a real codec (JNI/FFI or
@@ -283,6 +285,19 @@ object Multimodal {
         d.width.toLong * d.height, if (cnt == 0) 0.0 else s / cnt)
     }
 
+  /** PNG decode ([[Png.decode]] — JDK Inflater + defilter, lossless):
+    * mean over gray pixels for color type 0, over RGB channel bytes
+    * otherwise (palette resolved, alpha dropped). */
+  private[operators] def pngDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    Png.decode(b).map { d =>
+      val arr = if (d.nComp == 1) d.gray else d.rgb
+      var s = 0.0; var i = 0
+      while (i < arr.length) { s += arr(i); i += 1 }
+      MediaDecoded(doc, "png", None, None, Some(d.width), Some(d.height),
+        d.width.toLong * d.height,
+        if (arr.length == 0) 0.0 else s / arr.length)
+    }
+
   /** Real decode pass: sniffs the payload's magic bytes and decodes
     * WAV/BMP/PPM/baseline-JPEG with the pure byte-math decoders above;
     * any other (or malformed) payload degrades to the `"unknown"` stub
@@ -299,6 +314,7 @@ object Multimodal {
             .orElse(bmpDecode(r.doc_id, b))
             .orElse(ppmDecode(r.doc_id, b))
             .orElse(jpegDecode(r.doc_id, b))
+            .orElse(pngDecode(r.doc_id, b))
             .getOrElse {
               val (mean, _) = decodeStub(b)
               MediaDecoded(r.doc_id, "unknown", None, None, None, None,
