@@ -43,7 +43,8 @@ object Bench {
         "q_bpe_tokenize", "q_dedup_stream_lsh", "q_heavy_hitters_incremental",
         "q_distinct_incremental", "q_bloom_incremental", "q_scd2_incremental",
         "q_quantiles_incremental", "q_bfs_incremental",
-        "q_substring_incremental")
+        "q_substring_incremental", "q_nb_incremental",
+        "q_item_recs_incremental")
       .filter(selected)
       .foreach { n => untimed(n)(SparkEntry.queries(n)(spark, sfDir).count()) }
     // One-shot timing cannot distinguish a real regression from machine

@@ -1744,16 +1744,37 @@ object PipelineQueries {
     }),
 
     "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
       val hdr = Multimodal.wavHeaderPcm8Mono(dataLen = 100)
-      val media = Tables.load(s, dir, "documents").select(
+      // printable-ASCII projection BEFORE padding: the decoders count
+      // BYTES where the oracle counts CHARS, and only ASCII makes those
+      // the same thing (identity on this corpus; robustness contract)
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
+        rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 100),
+          100, "x").as("t100"))
+      // even doc_ids carry WAV, odd carry PNG — the sniff chain must
+      // route a MIXED corpus, not a single format per run
+      val wav = docs.filter(col("doc_id") % 2 === 0).select(
         col("doc_id"), lit("audio").as("modality"), lit(144L).as("byte_len"),
         concat(lit(hdr),
           // rpad to 100 CHARS then utf-8 encode: ≥100 bytes of samples;
           // the decoder reads the declared 100 (trailing bytes ignored,
           // as with real padded media files)
-          encode(rpad(substring(col("text"), 1, 100), 100, "x"), "UTF-8"))
-          .as("payload"))
-      Multimodal.decode(media).toDF()
+          encode(col("t100"), "UTF-8")).as("payload"))
+      // PNG minting is partition-local (test-harness data gen, the
+      // multimodal mapPartitions tier); decode is the served operator
+      val png = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("t100")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val px = t.getBytes("US-ASCII").take(100).map(b => b & 0xff)
+            (id, "image", graft.operators.Png.encodeGray(px, 100, 1))
+          }
+        }.toDF("doc_id", "modality", "payload")
+        .select(col("doc_id"), col("modality"),
+          octet_length(col("payload")).cast("long").as("byte_len"),
+          col("payload"))
+      Multimodal.decode(wav.unionByName(png)).toDF()
         // n_samples = 100, so mean·100 is an exact integer (the sample
         // byte sum); round() recovers it from the double division
         .select(col("doc_id"), col("format"), col("channels"),
@@ -1773,12 +1794,16 @@ object PipelineQueries {
     // multimodal mapPartitions tier); decode is the served operator.
     "q_jpeg_decode" -> ((s, dir) => {
       import s.implicits._
+      // printable-ASCII projection BEFORE padding: the mint consumes
+      // BYTES while the oracle sums per-CHAR ascii() — only ASCII makes
+      // those equal (identity on this corpus; robustness contract)
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          rpad(substring(col("text"), 1, 16), 16, "x").as("t16"))
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 16),
+            16, "x").as("t16"))
       val media = docs.as[(Long, String)].mapPartitions { it =>
         it.map { case (id, t) =>
-          val bytes = t.getBytes("UTF-8").take(16).map(b => b & 0xff)
+          val bytes = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
           val px = Array.tabulate(8 * 128)(i => bytes((i % 128) / 8))
           (id, "image", graft.operators.Jpeg.encodeGray(px, 128, 8,
             quality = 100))
@@ -1788,6 +1813,35 @@ object PipelineQueries {
       Multimodal.decode(media).toDF()
         // 1024 pixels; mean = byteSum/16 with power-of-two division —
         // exact in binary, so round(mean·16) is the exact byte sum
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_samples"),
+          round(col("mean_value") * 16).cast("long").as("mean_c16"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL PNG decode at corpus scale — the q_jpeg_decode device on the
+    // LOSSLESS codec: each doc's first 16 (ASCII-projected, padded) text
+    // bytes mint a 16×1 grayscale PNG (Png.encodeGray: deflate + filter-0
+    // scanline), and the full decode pipeline runs for real: signature +
+    // chunk walk, CRC verification, Inflater, defilter. Lossless means
+    // decoded pixels ARE the source bytes with no quality device needed;
+    // mean·16 is the exact byte sum, which the oracle replays from text.
+    "q_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 16),
+            16, "x").as("t16"))
+      val media = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val px = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
+          (id, "image", graft.operators.Png.encodeGray(px, 16, 1))
+        }
+      }.toDF("doc_id", "modality", "payload")
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      Multimodal.decode(media).toDF()
+        // 16 pixels; mean = byteSum/16, a power-of-two division — exact
+        // in binary, so round(mean·16) is the exact byte sum
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_samples"),
           round(col("mean_value") * 16).cast("long").as("mean_c16"))
@@ -4383,22 +4437,42 @@ object PipelineQueries {
          WHERE bit_count(xor(a.h, b.h)) <= 3
          ORDER BY i, j""",
 
+    // mixed-corpus ground truth: even doc_ids are WAV, odd are PNG (the
+    // sniff-chain routing contract); both decode back to the exact
+    // (ASCII-projected, padded) text bytes, so mean·100 is the byte sum
     "q_multimodal_decode" ->
-      """SELECT doc_id, 'wav' AS format, 1 AS channels, 8000 AS sample_rate,
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS format,
+                CASE WHEN doc_id % 2 = 0 THEN 1 END AS channels,
+                CASE WHEN doc_id % 2 = 0 THEN 8000 END AS sample_rate,
                 CAST(100 AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(range(1, 101),
-                     i -> ascii(substr(rpad(substr(text, 1, 100), 100, 'x'),
+                     i -> ascii(substr(rpad(substr(regexp_replace(text,
+                                '[^ -~]', '', 'g'), 1, 100), 100, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c
          FROM documents ORDER BY doc_id""",
 
     // JPEG ground truth: quality-100 constant blocks decode back to the
     // exact source bytes, so the decoded mean·16 IS the byte sum of the
-    // first 16 (padded) text chars — no SQL DCT needed
+    // first 16 (ASCII-projected, padded) text chars — no SQL DCT needed
     "q_jpeg_decode" ->
       """SELECT doc_id, 'jpeg' AS format, 128 AS width, 8 AS height,
                 CAST(1024 AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(range(1, 17),
-                     i -> ascii(substr(rpad(substr(text, 1, 16), 16, 'x'),
+                     i -> ascii(substr(rpad(substr(regexp_replace(text,
+                                '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
+                                       CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
+         FROM documents ORDER BY doc_id""",
+
+    // PNG ground truth: lossless decode returns the exact source bytes,
+    // so the decoded mean·16 IS the byte sum of the first 16
+    // (ASCII-projected, padded) text chars
+    "q_png_decode" ->
+      """SELECT doc_id, 'png' AS format, 16 AS width, 1 AS height,
+                CAST(16 AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(range(1, 17),
+                     i -> ascii(substr(rpad(substr(regexp_replace(text,
+                                '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
          FROM documents ORDER BY doc_id"""
   )

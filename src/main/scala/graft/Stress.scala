@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * 100 TB claim being EXERCISED rather than argued: multiply the sf
   * corpus past execution memory (the corpusWithDups union-with-offset
   * device, ×`SPARK_GRAFT_STRESS_MULT`), pin execution memory to a
-  * sliver (`spark.memory.fraction`), and drive the two operator shapes
-  * whose scale story depends on spilling gracefully — a wide hash
-  * aggregation (falls back to sort-based agg under pressure) and a
-  * global range sort (ExternalSorter) — then ASSERT three things:
+  * sliver (`spark.memory.fraction`), and drive the three operator
+  * shapes whose scale story depends on spilling gracefully — a wide
+  * hash aggregation (falls back to sort-based agg under pressure), a
+  * global range sort (ExternalSorter), and a two-key shuffle equi-join
+  * (SortMergeJoin: both sides stream through the ExternalSorter spill
+  * path, which is exactly why it — and not the memory-resident-build
+  * ShuffledHashJoin — is the engine's unbounded-side join shape; every
+  * engine SHJ use is size-gated) — then ASSERT three things:
   *
   *  1. the jobs COMPLETE (no OOM) with disk spill actually observed
   *     (task-metrics `diskBytesSpilled` > 0 — a rehearsal that fit in
@@ -107,15 +111,39 @@ object Stress {
       sortN == mult * n1 &&
       sortPlan.contains("Exchange rangepartitioning")
 
+    // 3. shuffle JOIN of the multiplied corpus against itself on a
+    // two-part key: both join inputs exceed execution memory, so each
+    // side's sort before the merge MUST spill. The per-stage delta (not
+    // the global counter) is asserted, so agg/sort spill can't mask a
+    // join that quietly fit. Expected cardinality is exact integer
+    // arithmetic: keys are disjoint across replicas, so the self-join
+    // yields mult × Σ c² rows for single-copy per-key counts c.
+    val preJoinSpill = spilledDisk.get()
+    val sumSq = li.groupBy("l_orderkey", "l_partkey")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getLong(0)
+    val joined = big.select("l_orderkey", "l_partkey", "qty_c")
+      .join(big.select("l_orderkey", "l_partkey", "price_c"),
+        Seq("l_orderkey", "l_partkey"))
+    val (joinN, tJoin) = timed { joined.count() }
+    val joinPlan = joined.queryExecution.executedPlan.toString
+    val joinSpill = spilledDisk.get() - preJoinSpill
+    val joinOk = joinN == mult * sumSq &&
+      joinPlan.contains("SortMergeJoin") &&
+      joinPlan.contains("Exchange hashpartitioning") &&
+      joinSpill > 0
+
     val spillOk = spilledDisk.get() > 0
-    val ok = aggOk && sortOk && spillOk
+    val ok = aggOk && sortOk && joinOk && spillOk
     println(
       s"""{"metric":"stress","sf":"$sfDir","mult":$mult,""" +
       s""""mem_fraction":$memFrac,"rows":${mult * n1},""" +
-      s""""agg_sec":$tAgg,"sort_sec":$tSort,""" +
+      s""""agg_sec":$tAgg,"sort_sec":$tSort,"join_sec":$tJoin,""" +
+      s""""join_rows":$joinN,"join_spill_bytes":$joinSpill,""" +
       s""""disk_spill_bytes":${spilledDisk.get()},""" +
       s""""memory_spill_bytes":${spilledMem.get()},""" +
-      s""""agg_ok":$aggOk,"sort_ok":$sortOk,"spill_ok":$spillOk,""" +
+      s""""agg_ok":$aggOk,"sort_ok":$sortOk,"join_ok":$joinOk,""" +
+      s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()
     if (!ok) sys.exit(1)

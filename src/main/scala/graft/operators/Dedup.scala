@@ -302,6 +302,29 @@ object Dedup {
     pairSetEval(found.filter(in(col("i")) && in(col("j"))), truth)
   }
 
+  /** Residue for audit epoch k: the SCALE.md production pattern "rotate
+    * residues across audits for disjoint coverage" as code — `k % denom`,
+    * so `denom` CONSECUTIVE epochs visit every residue class exactly
+    * once (the classes partition the corpus), then the cycle repeats.
+    * An operator that re-audits weekly with denom 10 has touched every
+    * doc's class within 10 weeks, with no class audited twice before
+    * all were audited once. */
+  def auditResidue(epoch: Long, denom: Long): Long = {
+    require(denom >= 1 && epoch >= 0, s"need denom >= 1, epoch >= 0: $epoch / $denom")
+    epoch % denom
+  }
+
+  /** [[sampledPairEval]] driven by an audit EPOCH instead of an explicit
+    * residue — the rotation-aware production entry: successive epochs
+    * audit disjoint doc-sample classes ([[auditResidue]]), so repeated
+    * audits accumulate coverage instead of re-measuring one fixed
+    * 1/denom² pair universe. */
+  def sampledPairEvalAtEpoch(found: DataFrame, corpus: DataFrame,
+      id: String, text: String, thresholdBp: Long, denom: Long,
+      epoch: Long): DataFrame =
+    sampledPairEval(found, corpus, id, text, thresholdBp, denom,
+      residue = auditResidue(epoch, denom))
+
   /** Prefix-filtered set-similarity join — the All-Pairs/PPJoin prefix
     * principle (Chaudhuri et al. 2006; Bayardo et al. 2007; Xiao et al.
     * 2008) as the FOURTH blocking paradigm next to the full inverted
@@ -337,7 +360,7 @@ object Dedup {
         Seq("s"), col("d"),
         (x, y) => when(x.getField("doc") < y.getField("doc"),
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"))),
-        freqCap, device = "snmTruthPairs")
+        freqCap, device = "prefixJaccardPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j")).distinct()
     val inter = size(array_intersect(col("_ai"), col("_aj"))).cast("long")
     cand

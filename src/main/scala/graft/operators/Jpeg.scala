@@ -335,7 +335,13 @@ object Jpeg {
     * unsupported sampling or any malformed/truncated stream. */
   def decode(b: Array[Byte]): Option[Decoded] = {
     try decodeImpl(b)
-    catch { case _: Exception => None } // poison-payload contract
+    catch {
+      case _: Exception => None // poison-payload contract
+      // an allocation failure from a hostile header is an Error, not an
+      // Exception; the Png.PoisonSampleCap guards make this unreachable
+      // in practice, but the never-kill-a-scan contract covers it anyway
+      case _: OutOfMemoryError => None
+    }
   }
 
   private def decodeImpl(b: Array[Byte]): Option[Decoded] = {
@@ -395,6 +401,10 @@ object Jpeg {
           h = u16(pos + 3); w = u16(pos + 5)
           val nc = b(pos + 7) & 0xff
           if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+          // poison cap (shared with Png): a tiny payload whose SOF0
+          // claims 65535×65535 would command multi-GB plane/output
+          // allocations before any entropy data is read — reject HERE
+          if (w.toLong * h * 3 > Png.PoisonSampleCap) return None
           comps = Array.tabulate(nc) { i =>
             val o = pos + 8 + 3 * i
             val hv = b(o + 1) & 0xff
@@ -441,6 +451,10 @@ object Jpeg {
       if (!qtSeen(c.tq)) return None
       c.planeW = mcuCols * 8 * c.h
       c.planeH = mcuRows * 8 * c.v
+      // MCU rounding + subsampling factors can only grow a plane past
+      // the SOF0 cap, never create one from nothing — but re-check the
+      // padded size anyway so no allocation ever exceeds the cap
+      if (c.planeW.toLong * c.planeH > Png.PoisonSampleCap) return None
       c.plane = new Array[Int](c.planeW * c.planeH)
     }
     val r = new BitReader(b, start)
@@ -604,8 +618,10 @@ object Jpeg {
     s
   }
 
-  /** Encode one level-shifted block: FDCT → quantize (round half away
-    * from zero, the T.81 recommendation) → DC diff + run/size ACs. */
+  /** Encode one level-shifted block: FDCT → quantize (StrictMath.round,
+    * i.e. round half toward +∞ — deterministic; decode inverts whatever
+    * the quantizer chose, so the tie direction is a free choice) → DC
+    * diff + run/size ACs. */
   private def encodeBlock(bw: BitWriter, block: Array[Double], q: Array[Int],
       pred: Int, dcCodes: (Array[Int], Array[Int]),
       acCodes: (Array[Int], Array[Int])): Int = {

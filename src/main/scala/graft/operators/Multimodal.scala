@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   *    uncompressed 24-bit BMP, binary PPM (P6), baseline JPEG
   *    ([[Jpeg]]: full Huffman entropy decode + dequant + IDCT,
   *    grayscale/4:4:4/4:2:2/4:2:0, restart markers), and PNG ([[Png]]:
-  *    JDK-Inflater zlib + all five scanline filters + palette — the
-  *    two dominant real-world image formats).
+  *    JDK-Inflater zlib + all five scanline filters + palette, both
+  *    non-interlaced and Adam7-interlaced, depths 8 and 16 — the two
+  *    dominant real-world image formats).
   *  - Formats still needing an external codec (MP3/H.264…,
-  *    progressive JPEG, interlaced PNG) fall back to the DETERMINISTIC
-  *    STUB kernels
+  *    progressive JPEG) fall back to the DETERMINISTIC STUB kernels
   *    (this environment ships no codecs — see the builder contract);
   *    every stub is marked `STUB:` and has the exact signature,
   *    batching shape, and partitioning a real codec (JNI/FFI or

@@ -33,4 +33,45 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
   }
+
+  // ===== BenchDiff: the round-over-round per-query regression gate =====
+
+  test("benchdiff: an intentional 2.5x regression is flagged; noise and floor are not") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 0.10, "q_d" -> 3.0)
+    val cur = Map("q_a" -> 2.5,  // real regression: > 2x AND >= 0.5 s
+      "q_b" -> 1.9,              // inside the 2x factor: not flagged
+      "q_c" -> 0.30,             // 3x but under the 0.5 s floor: box noise
+      "q_d" -> 2.9)              // faster: never flagged
+    val r = BenchDiff.compare(prev, cur)
+    assert(r.regressions.map(_.name) === Seq("q_a"))
+    assert(r.gateFailed)
+    assert(BenchDiff.compare(prev, prev).gateFailed === false)
+  }
+
+  test("benchdiff: failure sentinel, removal, and addition semantics") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_gone" -> 1.0)
+    val cur = Map("q_a" -> 1.1, "q_b" -> -1.0, "q_new" -> 9.0)
+    val r = BenchDiff.compare(prev, cur)
+    assert(r.failures.map(_.name) === Seq("q_b")) // sentinel beats any floor
+    assert(r.removed.map(_.name) === Seq("q_gone")) // silent coverage loss is loud
+    assert(r.added.map(_.name) === Seq("q_new")) // reported, never gates
+    assert(r.regressions.isEmpty) // q_new has no baseline to regress from
+    assert(r.gateFailed)
+    // a query failing in BOTH rounds is not re-flagged (nothing new), and
+    // its recovery is not a regression even though -1 -> healthy "grew"
+    val both = BenchDiff.compare(Map("q_x" -> -1.0), Map("q_x" -> -1.0))
+    assert(!both.gateFailed)
+    val rec = BenchDiff.compare(Map("q_x" -> -1.0), Map("q_x" -> 5.0))
+    assert(!rec.gateFailed)
+  }
+
+  test("benchdiff: parses the render() artifact, prefers queries_min, survives log noise") {
+    val art = Bench.render(Seq(ok1, ok2), reps = 3, sfDir = "/d")
+    val parsed = BenchDiff.parseArtifact(
+      "WARN some spark log line\n" + art + "\ntrailing noise")
+    assert(parsed.median === Map("q_a" -> 2.0, "q_b" -> 4.0))
+    assert(parsed.min === Some(Map("q_a" -> 1.0, "q_b" -> 4.0)))
+    val oneRep = BenchDiff.parseArtifact(Bench.render(Seq(ok1), reps = 1, "/d"))
+    assert(oneRep.min.isEmpty) // 1-rep artifacts fall back to medians
+  }
 }

@@ -477,4 +477,73 @@ class DedupSpec extends AnyFunSuite {
     assert(want.contains((1L, 4L, 3L.toInt)) && !want.exists(p => p._1 == 1L && p._2 == 5L))
     assert(got === want)
   }
+
+  test("shed metric device labels: every method reports under its OWN name") {
+    import graft.operators.{Guard, Similarity, TextAnalysis}
+    // monitoring separates production methods from audit harnesses by
+    // the device segment of the graft_shed_* key; a copy-pasted label
+    // (the r11 prefixJaccardPairs mislabel) silently files one method's
+    // sheds under another's name — this pins the segment per method
+    def shedDevices(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      df.collect()
+      df.queryExecution.observedMetrics.keys
+        .filter(_.startsWith(Guard.ShedMetricPrefix)).map { k =>
+          // strip prefix and the trailing _<seq> uniquifier
+          val core = k.stripPrefix(Guard.ShedMetricPrefix)
+          core.substring(0, core.lastIndexOf('_'))
+        }.toSet
+    }
+    assert(shedDevices(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0))
+      === Set("jaccardPairs"))
+    assert(shedDevices(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0))
+      === Set("prefixJaccardPairs"))
+    assert(shedDevices(Dedup.snmTruthPairs(docs, "doc_id", "text", 0L))
+      === Set("snmTruthPairs"))
+    assert(shedDevices(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 8000))
+      === Set("minhashLsh"))
+    assert(shedDevices(Dedup.simhashPairs(docs, "doc_id", "text"))
+      === Set("simhashPairs"))
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    assert(shedDevices(Similarity.semDedupPairs(e, "vec_id", "embedding",
+      nlist = 4, thresholdBp = 0L)) === Set("semDedupPairs"))
+    // fuzzyContamination's observer rides the hot-shed subtree, which
+    // AQE elides when nothing sheds (the documented caveat) — so label
+    // it under the same genuinely-shedding skew fixture as the shed
+    // test, where the metric is guaranteed to materialize
+    val bench = Seq((1L, "planted cold pair text one two three four five"))
+      .toDF("doc_id", "text")
+    assert(shedDevices(TextAnalysis.fuzzyContamination(skewCorpus, bench,
+      "doc_id", "text", n = 3, thresholdBp = 0L, freqCap = 1000L))
+      === Set("fuzzyContamination"))
+  }
+
+  test("audit residue rotation: denom consecutive epochs cover every class exactly once") {
+    // the pure rotation: epochs 0..denom-1 are a permutation of the
+    // residue classes; epoch denom+k revisits class k (the cycle)
+    assert((0L until 7L).map(Dedup.auditResidue(_, 7)).toSet
+      === (0L until 7L).toSet)
+    assert((0L until 7L).map(Dedup.auditResidue(_, 7)).distinct.size === 7)
+    assert(Dedup.auditResidue(9L, 7) === Dedup.auditResidue(2L, 7))
+    // and through the sample predicate: one rotation period selects each
+    // doc EXACTLY once (disjoint classes, complete cover)
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val n = d.count()
+    val perEpoch = (0L until 3L).map { e =>
+      d.filter(Dedup.md5DocSample(col("doc_id"), 3,
+        Dedup.auditResidue(e, 3))).count()
+    }
+    assert(perEpoch.sum === n, s"rotation cover leaked/lost docs: $perEpoch vs $n")
+    assert(perEpoch.forall(_ > 0), s"degenerate class split: $perEpoch")
+    // the epoch-driven entry is the residue entry, wired: epoch 4 at
+    // denom 3 IS residue 1
+    val found = Dedup.sortedNeighborhood(d, "doc_id", "text",
+      window = 8, thresholdBp = 8000L).localCheckpoint(false)
+    val byEpoch = Dedup.sampledPairEvalAtEpoch(found, d, "doc_id", "text",
+      8000L, denom = 3, epoch = 4L).head()
+    val byResidue = Dedup.sampledPairEval(found, d, "doc_id", "text",
+      8000L, denom = 3, residue = 1L).head()
+    assert(byEpoch === byResidue)
+  }
 }

@@ -372,4 +372,424 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.n_samples === 64L)
     assert(math.abs(r.mean_value - px.sum.toDouble / 64) < 1e-9)
   }
+
+  // ===== PNG (pure-JVM Inflater + defilter — LOSSLESS, so every
+  // cross-check below is EXACT equality, no tolerance) =====
+
+  import graft.operators.Png
+
+  /** Test-local PNG builder: hand-assemble a file from an already-
+    * FILTERED raw scanline stream, so tests control every byte the
+    * decoder sees (filters, depth, interlace flag, chunk split). */
+  private def pngChunk(out: java.io.ByteArrayOutputStream, ctype: String,
+      data: Array[Byte]): Unit = {
+    def w32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    w32(data.length)
+    val tb = ctype.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb, 0, 4); crc.update(data, 0, data.length)
+    w32(crc.getValue.toInt)
+  }
+
+  private def mkPng(w: Int, h: Int, colorType: Int, raw: Array[Byte],
+      plte: Array[Byte] = null, depth: Int = 8, interlace: Int = 0,
+      idatSplit: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    val ih = java.nio.ByteBuffer.allocate(13)
+    ih.putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
+    pngChunk(out, "IHDR", ih.array())
+    if (plte != null) pngChunk(out, "PLTE", plte)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val z = bos.toByteArray
+    if (idatSplit > 0 && idatSplit < z.length) {
+      pngChunk(out, "IDAT", z.take(idatSplit))
+      pngChunk(out, "IDAT", z.drop(idatSplit))
+    } else pngChunk(out, "IDAT", z)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Forward scanline filter (RFC 2083 §6) — the encoder side of the
+    * decoder's defilter, so filter tests assert a true roundtrip. */
+  private def filterRow(ft: Int, cur: Array[Int], prev: Array[Int],
+      bpp: Int): Array[Byte] = {
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val outRow = new Array[Byte](cur.length + 1)
+    outRow(0) = ft.toByte
+    for (x <- cur.indices) {
+      val left = if (x >= bpp) cur(x - bpp) else 0
+      val up = if (prev != null) prev(x) else 0
+      val corner = if (prev != null && x >= bpp) prev(x - bpp) else 0
+      val pred = ft match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) / 2
+        case 4 => paeth(left, up, corner)
+      }
+      outRow(x + 1) = ((cur(x) - pred) & 0xff).toByte
+    }
+    outRow
+  }
+
+  test("png: encoder→decoder roundtrip is EXACT (gray and RGB)") {
+    val w = 23; val h = 9 // non-multiple-of-anything dims
+    val gray = Array.tabulate(w * h)(i => (i * 7 + 13) % 256)
+    val dg = Png.decode(Png.encodeGray(gray, w, h)).get
+    assert(dg.width === w && dg.height === h && dg.nComp === 1)
+    assert(dg.gray.toSeq === gray.toSeq)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 31 + 5) % 256)
+    val dc = Png.decode(Png.encodeRgb(rgb, w, h)).get
+    assert(dc.nComp === 3)
+    assert(dc.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("png: our encoder's output reads back EXACTLY in the JDK's independent ImageIO reader") {
+    val w = 17; val h = 11
+    val gray = Array.tabulate(w * h)(i => (i * 41) % 256)
+    val gi = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.encodeGray(gray, w, h)))
+    assert(gi != null && gi.getWidth === w && gi.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(gi.getRaster.getSample(x, y, 0) === gray(y * w + x), s"($x,$y)")
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 29 + 3) % 256)
+    val ci = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.encodeRgb(rgb, w, h)))
+    assert(ci != null && ci.getWidth === w && ci.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(ci.getRaster.getSample(x, y, c) === rgb((y * w + x) * 3 + c),
+        s"($x,$y,$c)")
+  }
+
+  test("png: decodes ImageIO-ENCODED gray / RGB / palette / RGBA EXACTLY (the wild-file direction)") {
+    import java.awt.image.BufferedImage
+    val w = 19; val h = 13
+    // color type 0: TYPE_BYTE_GRAY writes an 8-bit grayscale PNG
+    val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g.getRaster.setSample(x, y, 0, (x * 13 + y * 7) % 256)
+    // color type 2: TYPE_3BYTE_BGR writes truecolor
+    val c2 = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      c2.setRGB(x, y, (((x * 11) % 256) << 16) | (((y * 17) % 256) << 8) |
+        ((x + y * 3) % 256))
+    // color type 3: an explicit IndexColorModel controls the PLTE.
+    // >16 entries matters: the JDK writer picks 4-bit depth for tiny
+    // palettes, and the decoder's scope is depth 8 only
+    val pal = Array.tabulate(200)(i => (i * 37 % 256, i * 91 % 256, i * 53 % 256))
+    val icm = new java.awt.image.IndexColorModel(8, 200,
+      pal.map(_._1.toByte), pal.map(_._2.toByte), pal.map(_._3.toByte))
+    val c3 = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      c3.getRaster.setSample(x, y, 0, (x * 29 + y * 7) % 200)
+    // color type 6: TYPE_INT_ARGB (varied alpha — decode drops it)
+    val c6 = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val a = 128 + (x + y) % 128 // nonzero: zero-alpha RGB is writer's choice
+      c6.setRGB(x, y, (a << 24) | (((y * 23) % 256) << 16) |
+        (((x * 19) % 256) << 8) | ((x * y + 7) % 256))
+    }
+    for ((img, label) <- Seq((g, "gray"), (c2, "rgb"), (c3, "palette"),
+        (c6, "rgba"))) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), label)
+      val enc = bos.toByteArray
+      val dec = Png.decode(enc).getOrElse(
+        fail(s"our decoder rejected a JDK-written $label PNG"))
+      assert(dec.width === w && dec.height === h, label)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      for (y <- 0 until h; x <- 0 until w) {
+        if (dec.nComp == 1) {
+          assert(dec.gray(y * w + x) === ref.getRaster.getSample(x, y, 0),
+            s"$label ($x,$y)")
+        } else {
+          val argb = ref.getRGB(x, y)
+          val want = Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+          val got = Seq(dec.rgb((y * w + x) * 3), dec.rgb((y * w + x) * 3 + 1),
+            dec.rgb((y * w + x) * 3 + 2))
+          assert(got === want, s"$label ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("png: all five scanline filters defilter EXACTLY, cross-checked vs ImageIO") {
+    // gray image tall enough that every filter type gets rows with and
+    // without an above-neighbor influence; row y uses filter y % 5
+    val w = 16; val h = 10; val bpp = 1
+    val px = Array.tabulate(w * h)(i => (i * i * 3 + i * 5 + 1) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val cur = Array.tabulate(w)(x => px(y * w + x))
+      val prev = if (y > 0) Array.tabulate(w)(x => px((y - 1) * w + x)) else null
+      raw.write(filterRow(y % 5, cur, prev, bpp))
+    }
+    val enc = mkPng(w, h, colorType = 0, raw.toByteArray)
+    val dec = Png.decode(enc).get
+    assert(dec.gray.toSeq === px.toSeq)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(ref != null, "ImageIO could not parse the hand-built stream")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) === px(y * w + x), s"($x,$y)")
+    // and an RGB run (bpp=3: the left/corner neighbor is 3 bytes back)
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 7 + 11) % 256)
+    val rraw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val cur = Array.tabulate(w * 3)(x => rgb(y * w * 3 + x))
+      val prev = if (y > 0) Array.tabulate(w * 3)(x => rgb((y - 1) * w * 3 + x)) else null
+      rraw.write(filterRow(y % 5, cur, prev, 3))
+    }
+    val renc = mkPng(w, h, colorType = 2, rraw.toByteArray)
+    assert(Png.decode(renc).get.rgb.toSeq === rgb.toSeq)
+    val rref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(renc))
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(rref.getRaster.getSample(x, y, c) === rgb((y * w + x) * 3 + c),
+        s"($x,$y,$c)")
+  }
+
+  test("png: gray+alpha (color type 4) resolves to replicated gray, alpha dropped") {
+    val w = 8; val h = 6
+    val gray = Array.tabulate(w * h)(i => (i * 43 + 9) % 256)
+    val alpha = Array.tabulate(w * h)(i => (i * 67 + 1) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(0) // filter None
+      for (x <- 0 until w) { raw.write(gray(y * w + x)); raw.write(alpha(y * w + x)) }
+    }
+    val enc = mkPng(w, h, colorType = 4, raw.toByteArray)
+    val dec = Png.decode(enc).get
+    assert(dec.nComp === 3)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(dec.rgb(3 * i + c) === gray(i), s"px $i ch $c")
+    // ImageIO reads the same stream: its gray band must match ours
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(ref != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(ref.getRaster.getSample(x, y, 0) === gray(y * w + x), s"($x,$y) gray")
+      assert(ref.getRaster.getSample(x, y, 1) === alpha(y * w + x), s"($x,$y) alpha")
+    }
+  }
+
+  test("png: multiple IDAT chunks concatenate per spec") {
+    val w = 12; val h = 12
+    val px = Array.tabulate(w * h)(i => (i * 101 + 17) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(0)
+      for (x <- 0 until w) raw.write(px(y * w + x))
+    }
+    // split the deflate stream mid-way across two IDATs — byte-identical
+    // result to the single-chunk file
+    val single = mkPng(w, h, 0, raw.toByteArray)
+    val split = mkPng(w, h, 0, raw.toByteArray, idatSplit = 10)
+    assert(split.length > single.length) // actually two chunks
+    val d1 = Png.decode(single).get; val d2 = Png.decode(split).get
+    assert(d1.gray.toSeq === px.toSeq)
+    assert(d2.gray.toSeq === px.toSeq)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(split))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) === px(y * w + x))
+  }
+
+  test("png: poison payloads return None, never throw — and never hang") {
+    assert(Png.decode(Array.emptyByteArray).isEmpty)
+    assert(Png.decode("not a png".getBytes).isEmpty)
+    val good = Png.encodeGray(Array.tabulate(64)(i => i * 3), 8, 8)
+    assert(Png.decode(good).nonEmpty) // the base is valid
+    // truncation at every 7th byte degrades to None
+    for (cut <- 8 until good.length by 7)
+      assert(Png.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    // corrupted IDAT byte → CRC mismatch → None (not garbled pixels)
+    val bad = good.clone()
+    bad(good.length - 16) = (bad(good.length - 16) ^ 0x5a).toByte
+    assert(Png.decode(bad).isEmpty)
+    // hostile header: a ~60-byte file claiming 40000×40000 must be
+    // rejected by the sample cap BEFORE any allocation
+    val huge = mkPng(40000, 40000, 0, Array[Byte](0))
+    assert(Png.decode(huge).isEmpty)
+    // FDICT zlib header: Inflater stalls needing a preset dictionary no
+    // PNG may use — must be malformed-None, not an infinite loop
+    // (0x78 0x20: CMF/FLG checksum valid, FDICT bit set)
+    val fdict = mkPngRawIdat(8, 8, Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0))
+    assert(Png.decode(fdict).isEmpty)
+    // unsupported on purpose: 16-bit depth, interlace, filter byte 5,
+    // palette image with no PLTE
+    val raw = Array.tabulate(8 * 8 + 8)(_ => 0.toByte)
+    assert(Png.decode(mkPng(8, 8, 0, raw, depth = 16)).isEmpty)
+    assert(Png.decode(mkPng(8, 8, 0, raw, interlace = 1)).isEmpty)
+    val badFilter = raw.clone(); badFilter(0) = 5
+    assert(Png.decode(mkPng(8, 8, 0, badFilter)).isEmpty)
+    assert(Png.decode(mkPng(8, 8, 3, raw)).isEmpty) // type 3, no PLTE
+  }
+
+  /** A PNG whose IDAT holds the given bytes VERBATIM (no deflate) —
+    * for zlib-header attack payloads. */
+  private def mkPngRawIdat(w: Int, h: Int, idat: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    val ih = java.nio.ByteBuffer.allocate(13)
+    ih.putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    pngChunk(out, "IHDR", ih.array())
+    pngChunk(out, "IDAT", idat)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private val adam7Grid = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Build the Adam7 filtered raw stream for an 8-bit raster; row
+    * filter = (pass + row) % 5 so every pass exercises several filter
+    * types against its OWN pass-local neighbors. */
+  private def adam7Raw(px: Array[Int], w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (((x0, y0, dx, dy), pi) <- adam7Grid.zipWithIndex) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        var prev: Array[Int] = null
+        for (py <- 0 until ph) {
+          val cur = new Array[Int](pw * bpp)
+          for (pxi <- 0 until pw; s <- 0 until bpp)
+            cur(pxi * bpp + s) = px(((y0 + py * dy) * w + (x0 + pxi * dx)) * bpp + s)
+          out.write(filterRow((pi + py) % 5, cur, prev, bpp))
+          prev = cur
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  test("png: hand-built Adam7 interlace decodes EXACTLY (all filters per pass), incl. odd sizes") {
+    // sizes straddling the 8x8 grid: sub-tile, non-multiples, degenerate
+    for ((w, h) <- Seq((1, 1), (3, 3), (5, 5), (8, 8), (13, 11), (17, 6))) {
+      val gray = Array.tabulate(w * h)(i => (i * 53 + w * 7 + h) % 256)
+      val enc = mkPng(w, h, 0, adam7Raw(gray, w, h, 1), interlace = 1)
+      val dec = Png.decode(enc).getOrElse(fail(s"rejected Adam7 ${w}x$h"))
+      assert(dec.gray.toSeq === gray.toSeq, s"${w}x$h")
+      // ImageIO reads the same interlaced stream — independent agreement
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      assert(ref != null, s"ImageIO rejected the hand-built Adam7 ${w}x$h")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ref.getRaster.getSample(x, y, 0) === gray(y * w + x),
+          s"${w}x$h ($x,$y)")
+    }
+    // and an RGB Adam7 run (bppBytes=3 neighbors inside each pass)
+    val w = 12; val h = 9
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 19 + 7) % 256)
+    val enc = mkPng(w, h, 2, adam7Raw(rgb, w, h, 3), interlace = 1)
+    assert(Png.decode(enc).get.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("png: decodes the JDK writer's OWN Adam7 output (progressive mode) EXACTLY") {
+    import java.awt.image.BufferedImage
+    val w = 21; val h = 14
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (((x * 31) % 256) << 16) | (((y * 41) % 256) << 8) |
+        ((x * y + 13) % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val enc = bos.toByteArray
+    // the device must bite: IHDR's interlace byte (file offset 28) is 1
+    assert((enc(28) & 0xff) === 1, "JDK writer did not emit Adam7 — test void")
+    val dec = Png.decode(enc).getOrElse(fail("rejected a JDK Adam7 PNG"))
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      assert(dec.rgb((y * w + x) * 3) === ((argb >> 16) & 0xff), s"($x,$y) r")
+      assert(dec.rgb((y * w + x) * 3 + 1) === ((argb >> 8) & 0xff), s"($x,$y) g")
+      assert(dec.rgb((y * w + x) * 3 + 2) === (argb & 0xff), s"($x,$y) b")
+    }
+  }
+
+  test("png: 16-bit depth reduces to the high byte — exactly ImageIO's raster >> 8") {
+    import java.awt.image.BufferedImage
+    // the JDK's 16-bit gray writer: our 8-bit reduction must equal its
+    // 16-bit raster's high byte on every pixel
+    val w = 15; val h = 9
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 4099 + y * 257 + 11) % 65536)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val enc = bos.toByteArray
+    assert((enc(24) & 0xff) === 16, "JDK writer did not emit depth 16 — test void")
+    val dec = Png.decode(enc).getOrElse(fail("rejected a JDK 16-bit PNG"))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    for (y <- 0 until h; x <- 0 until w) {
+      assert(dec.gray(y * w + x) === (ref.getRaster.getSample(x, y, 0) >> 8),
+        s"($x,$y)")
+      assert(dec.gray(y * w + x) === (img.getRaster.getSample(x, y, 0) >> 8),
+        s"($x,$y) vs source")
+    }
+    // hand-built 16-bit RGB with non-trivial filters: the filter
+    // distance is bppBytes = 6, and low bytes must not leak into output
+    val w2 = 7; val h2 = 5
+    val hi = Array.tabulate(w2 * h2 * 3)(i => (i * 37 + 5) % 256)
+    val lo = Array.tabulate(w2 * h2 * 3)(i => (i * 101 + 77) % 256)
+    val raw = new java.io.ByteArrayOutputStream()
+    var prev: Array[Int] = null
+    for (y <- 0 until h2) {
+      val cur = new Array[Int](w2 * 6)
+      for (x <- 0 until w2; s <- 0 until 3) {
+        cur(x * 6 + 2 * s) = hi((y * w2 + x) * 3 + s)
+        cur(x * 6 + 2 * s + 1) = lo((y * w2 + x) * 3 + s)
+      }
+      raw.write(filterRow(y % 5, cur, prev, 6))
+      prev = cur
+    }
+    val enc2 = mkPng(w2, h2, 2, raw.toByteArray, depth = 16)
+    val dec2 = Png.decode(enc2).getOrElse(fail("rejected hand-built 16-bit RGB"))
+    assert(dec2.rgb.toSeq === hi.toSeq)
+    // ImageIO agrees on the same bytes (its 16-bit raster >> 8)
+    val ref2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc2))
+    for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3)
+      assert((ref2.getRaster.getSample(x, y, c) >> 8)
+        === hi((y * w2 + x) * 3 + c), s"($x,$y,$c)")
+    // 16-bit palette is spec-invalid: must be None, not garbled
+    val palRaw = Array.tabulate(8 * 8 + 8)(_ => 0.toByte)
+    val plte = Array.tabulate(12)(i => (i * 3).toByte)
+    assert(Png.decode(mkPng(8, 8, 3, palRaw, plte = plte, depth = 16)).isEmpty)
+    // truncated Adam7: cut the interlaced stream at several points
+    val g3 = Array.tabulate(13 * 11)(i => i % 256)
+    val full = mkPng(13, 11, 0, adam7Raw(g3, 13, 11, 1), interlace = 1)
+    for (cut <- 8 until full.length by 23)
+      assert(Png.decode(full.take(cut)).isEmpty, s"cut=$cut")
+  }
+
+  test("png: Multimodal.decode sniffs and decodes png payloads in-line") {
+    val px = Array.tabulate(60)(i => (i * 9 + 2) % 256)
+    val enc = Png.encodeGray(px, 12, 5)
+    val media = Seq((9L, "image", enc.length.toLong, enc))
+      .toDF("doc_id", "modality", "byte_len", "payload")
+    val r = Multimodal.decode(media).collect().head
+    assert(r.format === "png")
+    assert(r.width === Some(12) && r.height === Some(5))
+    assert(r.n_samples === 60L)
+    assert(math.abs(r.mean_value - px.sum.toDouble / 60) < 1e-9)
+  }
 }

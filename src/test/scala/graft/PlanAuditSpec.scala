@@ -445,4 +445,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // model agg (bucket-bounded) + per-doc score agg: two hash exchanges
     assert(c.exchanges <= 2, s"dsir exchange count drifted: $c")
   }
+
+  test("q_mmr: greedy levels are checkpoint-truncated — served plan is EXACTLY the final checkpoint") {
+    // every loop level ends in localCheckpoint (selected ∪ pick), so the
+    // SERVED plan must be a bare checkpoint scan: zero parquet scans,
+    // zero exchanges, zero broadcasts. This is the exact-shape pin the
+    // r11 verdict asked for against the O(2^k) lineage-regrowth shape
+    // (r9's 90 s regression): ANY re-expansion of a greedy level into
+    // the final plan shows up as a nonzero counter here, making
+    // cross-session bench spread on q_mmr attributable to the box, not
+    // to lineage growth
+    val c = audited("q_mmr")
+    assert(c.scans == 0, s"mmr level leaked a parquet re-read: $c")
+    assert(c.exchanges == 0, s"mmr final plan re-expanded a level: $c")
+    assert(c.broadcasts == 0, s"mmr final plan re-expanded a join: $c")
+  }
 }
