@@ -6,13 +6,16 @@ package graft.operators
   * directly, poison payloads degrade to None, never a throw.
   *
   * ==Decoder scope==
-  * Baseline sequential (SOF0), 8-bit precision, 1 or 3 components,
-  * per-component sampling factors 1 or 2 (covers 4:4:4, 4:2:2 and the
-  * dominant 4:2:0), restart markers (DRI/RSTn), byte stuffing. The IDCT
-  * is the separable double-precision definition over a
-  * StrictMath-cosine table, so decode is BIT-deterministic across JVMs
-  * and platforms. Progressive (SOF2), arithmetic coding, and 12-bit
-  * precision are out of scope and return None.
+  * Baseline sequential (SOF0) AND progressive (SOF2 — spectral
+  * selection, successive approximation, interleaved DC scans,
+  * single-component AC scans with EOB runs and refinement bits,
+  * per T.81 G.2), 8-bit precision, 1 or 3 components, per-component
+  * sampling factors 1 or 2 (covers 4:4:4, 4:2:2 and the dominant
+  * 4:2:0), restart markers (DRI/RSTn), byte stuffing. The IDCT is the
+  * separable double-precision definition over a StrictMath-cosine
+  * table, so decode is BIT-deterministic across JVMs and platforms.
+  * Arithmetic coding, 12-bit precision, and hierarchical mode are out
+  * of scope and return None.
   *
   * ==Encoder scope==
   * Grayscale or 4:4:4 color, standard Annex K quantization/Huffman
@@ -329,7 +332,22 @@ object Jpeg {
     var plane: Array[Int] = null
     var planeW: Int = 0
     var planeH: Int = 0
+    // progressive state: DCT coefficients accumulated across scans
+    // (natural order within each 64-entry block), MCU-padded block grid
+    // dims, and the UNPADDED block dims non-interleaved scans cover
+    var coefs: Array[Int] = null
+    var blocksW: Int = 0
+    var blocksH: Int = 0
+    var wb: Int = 0
+    var hb: Int = 0
   }
+
+  // debug capture (spec tooling only): when enabled, the decoder dumps
+  // each component's raw quantized coefficients (natural order, padded
+  // block grid) so a spec can diff the baseline and progressive entropy
+  // paths against each other coefficient-by-coefficient
+  private[graft] var debugCapture = false
+  private[graft] var debugCoefs: Array[Array[Int]] = null
 
   /** Decode a baseline JPEG. None for progressive/arithmetic/12-bit/
     * unsupported sampling or any malformed/truncated stream. */
@@ -355,17 +373,29 @@ object Jpeg {
     var comps: Array[Comp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    var sawScan = false
+    var maxH = 1; var maxV = 1; var mcuCols = 0; var mcuRows = 0
 
     def u16(o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
 
-    while (pos + 4 <= b.length) {
+    while (pos + 2 <= b.length) {
       if ((b(pos) & 0xff) != 0xff) return None
       val marker = b(pos + 1) & 0xff
       pos += 2
-      if (marker == 0xd9) return None // EOI before SOS
+      if (marker == 0xd9) {
+        // EOI: progressive streams END here — dequant + IDCT the
+        // accumulated coefficients; for baseline an EOI before SOS is
+        // malformed (baseline returns from entropyDecode directly)
+        return if (progressive && sawScan)
+          finishProgressive(comps, qt, qtSeen, w, h, maxH, maxV)
+        else None
+      }
+      if (pos + 2 > b.length) return None
       val segLen = u16(pos)
       if (segLen < 2 || pos + segLen > b.length) return None
       val segEnd = pos + segLen
+      var nextPos = segEnd
       marker match {
         case 0xdb => // DQT
           var o = pos + 2
@@ -396,12 +426,13 @@ object Jpeg {
             if (tc == 0) dcH(th) = tab else acH(th) = tab
             o += 17 + total
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = marker == 0xc2
           if ((b(pos + 2) & 0xff) != 8) return None
           h = u16(pos + 3); w = u16(pos + 5)
           val nc = b(pos + 7) & 0xff
           if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
-          // poison cap (shared with Png): a tiny payload whose SOF0
+          // poison cap (shared with Png): a tiny payload whose SOF
           // claims 65535×65535 would command multi-GB plane/output
           // allocations before any entropy data is read — reject HERE
           if (w.toLong * h * 3 > Png.PoisonSampleCap) return None
@@ -412,15 +443,19 @@ object Jpeg {
           }
           if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 ||
               c.tq > 3)) return None
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          maxH = comps.map(_.h).max; maxV = comps.map(_.v).max
+          mcuCols = (w + 8 * maxH - 1) / (8 * maxH)
+          mcuRows = (h + 8 * maxV - 1) / (8 * maxV)
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // non-baseline SOF
+          return None // non-baseline, non-progressive SOF
         case 0xdd => // DRI
           restartInterval = u16(pos + 2)
         case 0xda => // SOS → entropy decode
           if (comps == null) return None
           val ns = b(pos + 2) & 0xff
-          if (ns != comps.length) return None
+          if (ns < 1 || ns > comps.length) return None
+          val scanComps = new Array[Comp](ns)
           var i = 0
           while (i < ns) {
             val cid = b(pos + 3 + 2 * i) & 0xff
@@ -428,13 +463,40 @@ object Jpeg {
             val c = comps.find(_.id == cid).getOrElse(return None)
             c.dcTab = tt >> 4
             c.acTab = tt & 0x0f
+            scanComps(i) = c
             i += 1
           }
-          return entropyDecode(b, segEnd, comps, qt, qtSeen, dcH, acH, w, h,
-            restartInterval)
+          if (!progressive) {
+            if (ns != comps.length) return None
+            return entropyDecode(b, segEnd, comps, qt, qtSeen, dcH, acH,
+              w, h, restartInterval)
+          }
+          // progressive: spectral band + successive-approximation bits
+          // ride the scan header; coefficients accumulate across scans
+          val ss = b(pos + 3 + 2 * ns) & 0xff
+          val se = b(pos + 4 + 2 * ns) & 0xff
+          val ahal = b(pos + 5 + 2 * ns) & 0xff
+          if (!sawScan) {
+            comps.foreach { c =>
+              c.blocksW = mcuCols * c.h; c.blocksH = mcuRows * c.v
+              c.planeW = c.blocksW * 8; c.planeH = c.blocksH * 8
+              if (c.planeW.toLong * c.planeH > Png.PoisonSampleCap)
+                return None
+              c.coefs = new Array[Int](c.blocksW * c.blocksH * 64)
+              val compW = (w * c.h + maxH - 1) / maxH
+              val compH = (h * c.v + maxV - 1) / maxV
+              c.wb = (compW + 7) / 8; c.hb = (compH + 7) / 8
+            }
+            sawScan = true
+          }
+          val after = progressiveScan(b, segEnd, scanComps, dcH, acH,
+            ss, se, ahal >> 4, ahal & 0x0f, restartInterval,
+            mcuCols, mcuRows)
+          if (after < 0) return None
+          nextPos = after
         case _ => () // APPn/COM/etc: skip
       }
-      pos = segEnd
+      pos = nextPos
     }
     None
   }
@@ -457,6 +519,11 @@ object Jpeg {
       if (c.planeW.toLong * c.planeH > Png.PoisonSampleCap) return None
       c.plane = new Array[Int](c.planeW * c.planeH)
     }
+    val dbg: Array[Array[Int]] =
+      if (debugCapture)
+        comps.map(c => new Array[Int](mcuCols * c.h * mcuRows * c.v * 64))
+      else null
+    if (debugCapture) debugCoefs = dbg
     val r = new BitReader(b, start)
     val coef = new Array[Double](64)
     val px = new Array[Double](64)
@@ -483,6 +550,8 @@ object Jpeg {
             var bx = 0
             while (bx < c.h) {
               // one 8×8 block
+              val dbgOff = if (dbg == null) 0 else
+                ((mr * c.v + by) * mcuCols * c.h + mc * c.h + bx) * 64
               java.util.Arrays.fill(coef, 0.0)
               val t = r.decode(dct)
               if (t < 0 || t > 11) return None
@@ -490,6 +559,7 @@ object Jpeg {
               if (t > 0 && diffBits < 0) return None
               c.pred += extend(diffBits, t)
               coef(0) = c.pred.toDouble * qt(c.tq)(0)
+              if (dbg != null) dbg(ci)(dbgOff) = c.pred
               var k = 1
               var going = true
               while (going && k < 64) {
@@ -507,6 +577,7 @@ object Jpeg {
                   if (v < 0) return None
                   val z = Zigzag(k)
                   coef(z) = extend(v, size).toDouble * qt(c.tq)(z)
+                  if (dbg != null) dbg(ci)(dbgOff + z) = extend(v, size)
                   k += 1
                 }
               }
@@ -535,7 +606,287 @@ object Jpeg {
       }
       mr += 1
     }
-    // assemble full-resolution output
+    assemble(comps, w, h, maxH, maxV)
+  }
+
+  /** One progressive scan (T.81 G.2): DC or AC band, first pass or
+    * successive-approximation refinement. Coefficients accumulate into
+    * each component's `coefs` (natural order per block, scaled by 2^Al
+    * through the shifts the scans themselves encode). Returns the
+    * position of the next real marker after the scan's entropy data, or
+    * -1 on malformed input. EOB-run and refinement-bit semantics follow
+    * the spec's decode procedure (the same control flow libjpeg's
+    * decoder documents for G.1.2.3). */
+  private def progressiveScan(b: Array[Byte], start: Int,
+      scanComps: Array[Comp], dcH: Array[Huff], acH: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+      mcuCols: Int, mcuRows: Int): Int = {
+    if (ss > 63 || se > 63 || ss > se || al > 13) return -1
+    val r = new BitReader(b, start)
+    var eobrun = 0
+    var rstNext = 0
+    scanComps.foreach(_.pred = 0)
+
+    // ---- per-block decoders (close over the reader and eobrun) ----
+    def dcBlock(c: Comp, tab: Huff, off: Int): Boolean = {
+      if (ah == 0) {
+        val t = r.decode(tab)
+        if (t < 0 || t > 11) return false
+        val diff = if (t > 0) {
+          val v = r.bitsN(t); if (v < 0) return false; extend(v, t)
+        } else 0
+        c.pred += diff
+        c.coefs(off) = c.pred << al
+      } else {
+        // refinement: one bit appends to the already-placed DC value
+        val bit = r.bit(); if (bit < 0) return false
+        if (bit == 1) c.coefs(off) |= (1 << al)
+      }
+      true
+    }
+
+    def acFirstBlock(coefs: Array[Int], off: Int, act: Huff): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = r.decode(act); if (rs < 0) return false
+        val run = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            // EOBn: this block's band ends; (1<<run)+bits more blocks
+            // share the end — minus this one
+            eobrun = (1 << run) - 1
+            if (run > 0) {
+              val eb = r.bitsN(run); if (eb < 0) return false
+              eobrun += eb
+            }
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          val v = r.bitsN(s); if (v < 0) return false
+          coefs(off + Zigzag(k)) = extend(v, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def acRefineBlock(coefs: Array[Int], off: Int, act: Huff): Boolean = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      var break1 = false
+      if (eobrun == 0) {
+        while (k <= se && !break1) {
+          val rs = r.decode(act); if (rs < 0) return false
+          var run = rs >> 4; val s = rs & 15
+          var insert = 0
+          if (s == 0) {
+            if (run != 15) {
+              // EOBn in a REFINEMENT scan: unlike the first pass there
+              // is NO pre-decrement — the correction phase below still
+              // consumes correction bits for the CURRENT block's
+              // remaining nonzero-history coefficients, and ITS
+              // decrement counts this block against the run
+              eobrun = (1 << run)
+              if (run > 0) {
+                val eb = r.bitsN(run); if (eb < 0) return false
+                eobrun += eb
+              }
+              break1 = true
+            }
+            // run == 15 (ZRL): advance over 16 zero-HISTORY positions
+            // below, correcting nonzero-history ones along the way
+          } else {
+            if (s != 1) return false // refinement magnitudes are 1 bit
+            val sb = r.bit(); if (sb < 0) return false
+            insert = if (sb == 1) p1 else m1
+          }
+          if (!break1) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + Zigzag(k)
+              if (coefs(z) != 0) {
+                // nonzero history: consume a correction bit
+                val cb = r.bit(); if (cb < 0) return false
+                if (cb == 1 && (coefs(z) & p1) == 0)
+                  coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+              } else if (run == 0) {
+                if (insert != 0) coefs(z) = insert
+                placed = true
+              } else run -= 1
+              k += 1
+            }
+            // a new coefficient coded past the band end is corrupt
+            if (!placed && insert != 0) return false
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // EOB region: correction bits for every remaining nonzero-
+        // history coefficient of the band
+        while (k <= se) {
+          val z = off + Zigzag(k)
+          if (coefs(z) != 0) {
+            val cb = r.bit(); if (cb < 0) return false
+            if (cb == 1 && (coefs(z) & p1) == 0)
+              coefs(z) += (if (coefs(z) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    def atRestart(): Boolean = {
+      if (!r.restart(rstNext)) return false
+      rstNext = (rstNext + 1) & 7
+      eobrun = 0
+      scanComps.foreach(_.pred = 0)
+      true
+    }
+
+    // ---- block iteration: interleaved MCU order for multi-component
+    // DC scans, component raster order (UNPADDED block grid) otherwise
+    if (ss == 0) {
+      if (se != 0) return -1 // DC scans carry only coefficient 0
+      if (ah == 0 && scanComps.exists(c => dcH(c.dcTab) == null)) return -1
+      if (scanComps.length > 1) {
+        var rstCount = 0
+        var mr = 0
+        while (mr < mcuRows) {
+          var mc = 0
+          while (mc < mcuCols) {
+            if (restartInterval > 0 && rstCount == restartInterval) {
+              if (!atRestart()) return -1
+              rstCount = 0
+            }
+            var ci = 0
+            while (ci < scanComps.length) {
+              val c = scanComps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  val off = ((mr * c.v + by) * c.blocksW + mc * c.h + bx) * 64
+                  if (!dcBlock(c, dcH(c.dcTab), off)) return -1
+                  bx += 1
+                }
+                by += 1
+              }
+              ci += 1
+            }
+            rstCount += 1
+            mc += 1
+          }
+          mr += 1
+        }
+      } else {
+        val c = scanComps(0)
+        var rstCount = 0
+        var by = 0
+        while (by < c.hb) {
+          var bx = 0
+          while (bx < c.wb) {
+            if (restartInterval > 0 && rstCount == restartInterval) {
+              if (!atRestart()) return -1
+              rstCount = 0
+            }
+            if (!dcBlock(c, dcH(c.dcTab), (by * c.blocksW + bx) * 64))
+              return -1
+            rstCount += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      // AC scans are single-component by spec
+      if (scanComps.length != 1) return -1
+      val c = scanComps(0)
+      val act = acH(c.acTab)
+      if (act == null) return -1
+      var rstCount = 0
+      var by = 0
+      while (by < c.hb) {
+        var bx = 0
+        while (bx < c.wb) {
+          if (restartInterval > 0 && rstCount == restartInterval) {
+            if (!atRestart()) return -1
+            rstCount = 0
+          }
+          val off = (by * c.blocksW + bx) * 64
+          val ok = if (ah == 0) acFirstBlock(c.coefs, off, act)
+                   else acRefineBlock(c.coefs, off, act)
+          if (!ok) return -1
+          rstCount += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // advance to the next REAL marker: skip pad bits, FF fill bytes,
+    // stuffed FF00, and any stray restart markers
+    var p = r.pos
+    while (p + 1 < b.length) {
+      if ((b(p) & 0xff) == 0xff) {
+        val m = b(p + 1) & 0xff
+        if (m != 0x00 && m != 0xff && (m < 0xd0 || m > 0xd7)) return p
+      }
+      p += 1
+    }
+    -1 // ran off the stream without a closing marker
+  }
+
+  /** Progressive epilogue at EOI: dequantize the accumulated
+    * coefficients, IDCT every (padded) block into the component planes,
+    * then assemble exactly like baseline. */
+  private def finishProgressive(comps: Array[Comp], qt: Array[Array[Int]],
+      qtSeen: Array[Boolean], w: Int, h: Int, maxH: Int, maxV: Int)
+      : Option[Decoded] = {
+    if (debugCapture) debugCoefs = comps.map(_.coefs.clone())
+    val coef = new Array[Double](64)
+    val px = new Array[Double](64)
+    comps.foreach { c =>
+      if (!qtSeen(c.tq)) return None
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      val q = qt(c.tq)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val off = (by * c.blocksW + bx) * 64
+          var i = 0
+          while (i < 64) { coef(i) = c.coefs(off + i).toDouble * q(i); i += 1 }
+          idct(coef, px)
+          val ox = bx * 8; val oy = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val v = StrictMath.round(px(yy * 8 + xx) + 128.0).toInt
+              c.plane((oy + yy) * c.planeW + ox + xx) =
+                if (v < 0) 0 else if (v > 255) 255 else v
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemble(comps, w, h, maxH, maxV)
+  }
+
+  /** Upsample the component planes to full resolution and color-convert
+    * (BT.601 YCbCr) — shared by the baseline and progressive paths. */
+  private def assemble(comps: Array[Comp], w: Int, h: Int, maxH: Int,
+      maxV: Int): Option[Decoded] = {
     if (comps.length == 1) {
       val c = comps(0)
       val g = new Array[Int](w * h)

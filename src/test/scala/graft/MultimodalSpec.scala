@@ -361,6 +361,116 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Jpeg.decode(prog).isEmpty)
   }
 
+  private def hasMarker(b: Array[Byte], m: Int): Boolean =
+    b.indices.dropRight(1).exists(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)
+
+  private def writeProgressiveJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("jpeg: progressive (SOF2) gray — decodes the JDK's own multi-scan output within ±1") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0,
+        math.min(255, 3 * x + 5 * y + ((x * y) % 7)))
+    val enc = writeProgressiveJpeg(img)
+    // the device must bite: an SOF2 marker, and MULTIPLE scans (the
+    // whole point of progressive — DC first, AC bands, refinements)
+    assert(hasMarker(enc, 0xc2), "JDK writer did not emit SOF2 — test void")
+    val nScans = enc.indices.dropRight(1).count(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda)
+    assert(nScans >= 3, s"expected a multi-scan progressive stream, got $nScans")
+    val dec = Jpeg.decode(enc).getOrElse(fail("rejected a JDK progressive JPEG"))
+    assert(dec.width === w && dec.height === h && dec.nComp === 1)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w)
+      maxDiff = math.max(maxDiff,
+        math.abs(dec.gray(y * w + x) - ref.getRaster.getSample(x, y, 0)))
+    assert(maxDiff <= 1, s"max per-pixel diff vs ImageIO on progressive: $maxDiff")
+  }
+
+  test("jpeg: progressive color (SOF2, subsampled) agrees with ImageIO like the baseline bound") {
+    val w = 32; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + 4 * x; val g = 30 + 4 * y; val b = 60 + 2 * (x + y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val enc = writeProgressiveJpeg(img)
+    assert(hasMarker(enc, 0xc2), "JDK writer did not emit SOF2 — test void")
+    val dec = Jpeg.decode(enc).getOrElse(
+      fail("rejected a JDK progressive color JPEG"))
+    assert(dec.width === w && dec.height === h && dec.nComp === 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    var sumDiff = 0L; var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val argb = ref.getRGB(x, y)
+      val rv = c match { case 0 => (argb >> 16) & 0xff
+                         case 1 => (argb >> 8) & 0xff
+                         case _ => argb & 0xff }
+      val d = math.abs(dec.rgb((y * w + x) * 3 + c) - rv)
+      sumDiff += d; maxDiff = math.max(maxDiff, d)
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(meanDiff <= 2.0, s"mean per-channel diff vs ImageIO: $meanDiff")
+    assert(maxDiff <= 16, s"max per-channel diff vs ImageIO: $maxDiff")
+  }
+
+  test("jpeg: progressive decode is BIT-IDENTICAL to baseline of the same image") {
+    // progressive is a different entropy SERIALIZATION of the same
+    // quantized coefficients — the JDK writer emits identical DCT data
+    // both ways, so our two entropy paths must converge to the same
+    // coefficients and (through the shared StrictMath IDCT) the same
+    // pixels EXACTLY. No tolerance: any refinement-bit or EOB-run slip
+    // shows up as a nonzero diff here.
+    for (gray <- Seq(true, false)) {
+      val w = 40; val h = 24
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (gray) img.getRaster.setSample(x, y, 0,
+          math.min(255, 3 * x + 5 * y + ((x * y) % 7)))
+        else img.setRGB(x, y, (((x * 13) % 256) << 16) |
+          (((y * 29) % 256) << 8) | ((x * y + 3) % 256))
+      }
+      val prog = writeProgressiveJpeg(img)
+      assert(hasMarker(prog, 0xc2))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      val base = bos.toByteArray
+      assert(hasMarker(base, 0xc0) && !hasMarker(base, 0xc2))
+      val db = Jpeg.decode(base).get
+      val dp = Jpeg.decode(prog).get
+      if (gray) assert(db.gray.toSeq === dp.gray.toSeq, "gray")
+      else assert(db.rgb.toSeq === dp.rgb.toSeq, "color")
+    }
+  }
+
+  test("jpeg: truncated progressive streams return None, never throw or hang") {
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.getRaster.setSample(x, y, 0, (x * 11 + y * 7) % 256)
+    val enc = writeProgressiveJpeg(img)
+    assert(Jpeg.decode(enc).nonEmpty) // the base is valid
+    for (cut <- 2 until enc.length by 13)
+      assert(Jpeg.decode(enc.take(cut)).isEmpty, s"cut=$cut should be None")
+  }
+
   test("jpeg: Multimodal.decode sniffs and decodes jpeg payloads in-line") {
     val px = Array.tabulate(64)(i => (i * 3) % 256)
     val enc = Jpeg.encodeGray(px, 8, 8, quality = 100)
