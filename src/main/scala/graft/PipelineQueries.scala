@@ -1846,6 +1846,33 @@ object PipelineQueries {
           col("n_samples"),
           round(col("mean_value") * 16).cast("long").as("mean_c16"))
         .orderBy("doc_id")
+    }),
+
+    // REAL GIF decode at corpus scale — the lossless device on the third
+    // dominant image format: each doc's first 16 (ASCII-projected,
+    // padded) text bytes mint a 16×1 grayscale GIF (Gif.encodeGray:
+    // 256-gray palette + uncompressed-trick LZW), and the full decode
+    // runs for real: header walk, LZW dictionary decode, palette
+    // resolution. Gray palette ⇒ every RGB channel equals the source
+    // byte, so mean·16 is the exact byte sum the oracle replays.
+    "q_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 16),
+            16, "x").as("t16"))
+      val media = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val px = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
+          (id, "image", graft.operators.Gif.encodeGray(px, 16, 1))
+        }
+      }.toDF("doc_id", "modality", "payload")
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      Multimodal.decode(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_samples"),
+          round(col("mean_value") * 16).cast("long").as("mean_c16"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4469,6 +4496,17 @@ object PipelineQueries {
     // (ASCII-projected, padded) text chars
     "q_png_decode" ->
       """SELECT doc_id, 'png' AS format, 16 AS width, 1 AS height,
+                CAST(16 AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(range(1, 17),
+                     i -> ascii(substr(rpad(substr(regexp_replace(text,
+                                '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
+                                       CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
+         FROM documents ORDER BY doc_id""",
+
+    // GIF ground truth: gray palette makes the lossless decode return
+    // the exact source bytes on every channel — same byte-sum replay
+    "q_gif_decode" ->
+      """SELECT doc_id, 'gif' AS format, 16 AS width, 1 AS height,
                 CAST(16 AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(range(1, 17),
                      i -> ascii(substr(rpad(substr(regexp_replace(text,

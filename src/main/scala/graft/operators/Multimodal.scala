@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *    plain JVM byte math with no codec library — WAV/PCM audio (RIFF),
   *    uncompressed 24-bit BMP, binary PPM (P6), baseline JPEG
   *    ([[Jpeg]]: full Huffman entropy decode + dequant + IDCT,
-  *    grayscale/4:4:4/4:2:2/4:2:0, restart markers), and PNG ([[Png]]:
-  *    JDK-Inflater zlib + all five scanline filters + palette, both
-  *    non-interlaced and Adam7-interlaced, depths 8 and 16 — the two
-  *    dominant real-world image formats).
+  *    baseline AND progressive, grayscale/4:4:4/4:2:2/4:2:0, restart
+  *    markers), PNG ([[Png]]: JDK-Inflater zlib + all five scanline
+  *    filters + palette, both non-interlaced and Adam7-interlaced,
+  *    depths 8 and 16), and GIF ([[Gif]]: LZW + palette, interlace,
+  *    first frame) — the three dominant real-world image formats.
   *  - Formats still needing an external codec (MP3/H.264…,
   *    progressive JPEG) fall back to the DETERMINISTIC STUB kernels
   *    (this environment ships no codecs — see the builder contract);
@@ -145,43 +146,68 @@ object Multimodal {
   private def ascii(b: Array[Byte], o: Int, n: Int): String =
     new String(b, o, n, "US-ASCII")
 
-  /** Parsed PCM WAV layout: (channels, rate, bits, dataOffset, dataLen).
-    * None on anything malformed, truncated, or compressed. */
-  private def wavParse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+  /** Parsed WAV layout: (format, channels, rate, bits, dataOffset,
+    * dataLen) where format is 1 (integer PCM) or 3 (IEEE float); the
+    * WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE) resolves to its SubFormat
+    * code. None on anything malformed, truncated, or compressed. */
+  private def wavParse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
     if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
       return None
     var o = 12
-    var fmt: Option[(Int, Int, Int)] = None   // (channels, rate, bits)
-    var data: Option[(Int, Int)] = None       // (offset, len)
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, len)
     while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = ascii(b, o, 4); val sz = le32(b, o + 4)
       // bounds math in LONG: a crafted 2 GB-ish declared size overflows
       // Int and would walk o past the array (a crash, not a fallback)
       if (sz < 0 || o.toLong + 8 + sz > b.length) return None   // torn chunk
       if (id == "fmt " && sz >= 16) {
-        if (le16(b, o + 8) != 1) return None             // PCM only
-        fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
+        var code = le16(b, o + 8)
+        if (code == 0xfffe) {
+          // EXTENSIBLE: the real code is the SubFormat GUID's first word
+          // (fmt is 40 bytes: 16 base + cbSize(2) + validBits(2) +
+          // channelMask(4) + GUID at +24 from the fmt body)
+          if (sz < 40) return None
+          code = le16(b, o + 8 + 24)
+        }
+        if (code != 1 && code != 3) return None  // integer PCM or float
+        fmt = Some((code, le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
       } else if (id == "data") data = Some((o + 8, sz))
       o += 8 + sz + (sz & 1)                             // chunks are word-aligned
     }
     for {
-      (ch, rate, bits) <- fmt
+      (code, ch, rate, bits) <- fmt
       (off, len) <- data
-      if ch > 0 && (bits == 8 || bits == 16) && len % (ch * bits / 8) == 0
-    } yield (ch, rate, bits, off, len)
+      if ch > 0 && len % (ch * bits / 8).max(1) == 0
+      if (code == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+         (code == 3 && (bits == 32 || bits == 64))
+    } yield (code, ch, rate, bits, off, len)
   }
 
-  /** RIFF/WAVE PCM decode (the format spec is public byte layout; 8-bit
-    * unsigned and 16-bit signed LE PCM supported). Chunk-walks to `fmt `
-    * and `data`; mean over samples (frames × channels). */
+  /** RIFF/WAVE decode (the format spec is public byte layout): integer
+    * PCM at 8 (unsigned) / 16 / 24 / 32 bits (signed LE) and IEEE float
+    * at 32 / 64 bits, any channel count, incl. the EXTENSIBLE wrapper.
+    * Chunk-walks to `fmt ` and `data`; mean over samples (frames ×
+    * channels) in each format's native value domain. */
   private[operators] def wavDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
-    wavParse(b).map { case (ch, rate, bits, off, len) =>
-      val n = len / (bits / 8)
+    wavParse(b).map { case (code, ch, rate, bits, off, len) =>
+      val bytes = bits / 8
+      val n = len / bytes
       var s = 0.0
       var i = 0
       while (i < n) {
-        s += (if (bits == 8) (b(off + i) & 0xff).toDouble
-              else le16(b, off + 2 * i).toShort.toDouble)
+        val o = off + bytes * i
+        s += ((code, bits) match {
+          case (1, 8) => (b(o) & 0xff).toDouble
+          case (1, 16) => le16(b, o).toShort.toDouble
+          case (1, 24) => // sign-extend the 3-byte LE sample
+            (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+              ((b(o + 2) & 0xff) << 16)) << 8 >> 8).toDouble
+          case (1, _) => le32(b, o).toDouble
+          case (3, 32) => java.lang.Float.intBitsToFloat(le32(b, o)).toDouble
+          case _ => java.lang.Double.longBitsToDouble(
+            (le32(b, o).toLong & 0xffffffffL) | (le32(b, o + 4).toLong << 32))
+        })
         i += 1
       }
       MediaDecoded(doc, "wav", Some(ch), Some(rate), None, None,
@@ -298,8 +324,20 @@ object Multimodal {
         if (arr.length == 0) 0.0 else s / arr.length)
     }
 
+  /** GIF decode ([[Gif.decode]] — pure-JVM LZW + palette resolution,
+    * lossless, first frame): mean over palette-resolved RGB channel
+    * bytes; n_samples = pixel count. */
+  private[operators] def gifDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    Gif.decode(b).map { d =>
+      var s = 0.0; var i = 0
+      while (i < d.rgb.length) { s += d.rgb(i); i += 1 }
+      MediaDecoded(doc, "gif", None, None, Some(d.width), Some(d.height),
+        d.width.toLong * d.height,
+        if (d.rgb.length == 0) 0.0 else s / d.rgb.length)
+    }
+
   /** Real decode pass: sniffs the payload's magic bytes and decodes
-    * WAV/BMP/PPM/baseline-JPEG with the pure byte-math decoders above;
+    * WAV/BMP/PPM/JPEG/PNG/GIF with the pure byte-math decoders above;
     * any other (or malformed) payload degrades to the `"unknown"` stub
     * row instead of throwing — a poison payload must never kill a
     * 100 TB scan. Same partition-local, iterator-to-iterator batch
@@ -315,6 +353,7 @@ object Multimodal {
             .orElse(ppmDecode(r.doc_id, b))
             .orElse(jpegDecode(r.doc_id, b))
             .orElse(pngDecode(r.doc_id, b))
+            .orElse(gifDecode(r.doc_id, b))
             .getOrElse {
               val (mean, _) = decodeStub(b)
               MediaDecoded(r.doc_id, "unknown", None, None, None, None,
@@ -420,16 +459,19 @@ object Multimodal {
     * rate/factor — decode → transform → re-encode, the full roundtrip a
     * production resampler performs (minus the anti-alias filter, which
     * needs no codec but is DSP out of scope; nearest-frame decimation is
-    * the deterministic baseline). None for non-WAV payloads. */
+    * the deterministic baseline). None for non-WAV payloads; float WAVs
+    * also None — the re-encode header mints integer PCM, so re-labeling
+    * float frames would corrupt, and the caller's stub fallback is the
+    * honest degrade. */
   private[operators] def resampleWav(b: Array[Byte], factor: Int): Option[Array[Byte]] =
-    wavParse(b).map(decimate(b, _, factor))
+    wavParse(b).collect { case p if p._1 == 1 => decimate(b, p, factor) }
 
   /** [[resampleWav]] with the decimation factor computed from the DATA
     * CHUNK length (not the whole payload — sizing on payload length
     * counts the 44-byte header and over-decimates small WAVs). */
   private[operators] def resampleWavToTarget(b: Array[Byte], targetLen: Int): Option[Array[Byte]] =
-    wavParse(b).map { parsed =>
-      val dataLen = parsed._5
+    wavParse(b).collect { case parsed if parsed._1 == 1 =>
+      val dataLen = parsed._6
       val tgt = math.max(1, targetLen)
       // factor 1 when the DATA already fits the target (only the 44-byte
       // header pushes the payload over): re-emit the frames unchanged
@@ -438,8 +480,8 @@ object Multimodal {
     }
 
   private def decimate(b: Array[Byte],
-      parsed: (Int, Int, Int, Int, Int), factor: Int): Array[Byte] = {
-    val (ch, rate, bits, off, len) = parsed
+      parsed: (Int, Int, Int, Int, Int, Int), factor: Int): Array[Byte] = {
+    val (_, ch, rate, bits, off, len) = parsed
     val blockAlign = ch * bits / 8
     val frames = len / blockAlign
     val outFrames = (frames + factor - 1) / factor

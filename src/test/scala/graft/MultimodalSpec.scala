@@ -88,6 +88,91 @@ class MultimodalSpec extends AnyFunSuite {
       out(1L).mean_value === -0.5)
   }
 
+  test("WAV decode: 24/32-bit PCM, float32/64, EXTENSIBLE wrapper — javax.sound agrees on the layout") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 24-bit stereo PCM: samples ±2^20-ish with sign extension in play
+    val s24 = Seq(-1048576, 1048575, -3, 2) // 2 frames
+    val b24 = {
+      val bb = ByteBuffer.allocate(44 + 6 * 2).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(Multimodal.wavHeaderPcm(2, 48000, 24, 12))
+      s24.foreach { v => bb.put((v & 0xff).toByte)
+        bb.put(((v >> 8) & 0xff).toByte); bb.put(((v >> 16) & 0xff).toByte) }
+      bb.array()
+    }
+    // 32-bit mono PCM
+    val s32 = Seq(Int.MinValue / 2, 7, -7, Int.MaxValue / 2)
+    val b32 = {
+      val bb = ByteBuffer.allocate(44 + 16).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(Multimodal.wavHeaderPcm(1, 16000, 32, 16))
+      s32.foreach(bb.putInt)
+      bb.array()
+    }
+    // float32 mono (format code 3)
+    val sf = Seq(-1.5f, 0.25f, 2.75f, 0.5f)
+    val bf = {
+      val bb = ByteBuffer.allocate(44 + 16).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 16).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(3).putShort(1)
+        .putInt(8000).putInt(8000 * 4).putShort(4).putShort(32)
+        .put("data".getBytes).putInt(16)
+      sf.foreach(bb.putFloat)
+      bb.array()
+    }
+    // float64 mono
+    val sd = Seq(-0.125, 3.5)
+    val bd = {
+      val bb = ByteBuffer.allocate(44 + 16).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 16).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(3).putShort(1)
+        .putInt(8000).putInt(8000 * 8).putShort(8).putShort(64)
+        .put("data".getBytes).putInt(16)
+      sd.foreach(bb.putDouble)
+      bb.array()
+    }
+    // EXTENSIBLE wrapper resolving to integer PCM 16-bit stereo
+    val se = Seq[Short](-100, 300, 5, -5)
+    val be = {
+      val bb = ByteBuffer.allocate(12 + 8 + 40 + 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(4 + 48 + 16).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(40)
+        .putShort(0xfffe.toShort).putShort(2).putInt(44100)
+        .putInt(44100 * 4).putShort(4).putShort(16)
+        .putShort(22).putShort(16).putInt(0x3) // cbSize, validBits, mask
+        .putShort(1) // SubFormat GUID word: PCM
+        .put(Array[Byte](0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+          0x80.toByte, 0x00, 0x00, 0xaa.toByte, 0x00, 0x38, 0x9b.toByte, 0x71))
+        .put("data".getBytes).putInt(8)
+      se.foreach(bb.putShort)
+      bb.array()
+    }
+    val out = Multimodal.decode(mediaDF(
+      0L -> b24, 1L -> b32, 2L -> bf, 3L -> bd, 4L -> be))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(0L).channels === Some(2) && out(0L).n_samples === 2L)
+    assert(out(0L).mean_value === s24.map(_.toDouble).sum / 4)
+    assert(out(1L).n_samples === 4L)
+    assert(out(1L).mean_value === s32.map(_.toDouble).sum / 4)
+    assert(out(2L).mean_value === sf.map(_.toDouble).sum / 4)
+    assert(out(3L).mean_value === sd.sum / 2)
+    assert(out(4L).channels === Some(2) && out(4L).n_samples === 2L &&
+      out(4L).mean_value === se.map(_.toDouble).sum / 4)
+    // the JDK's INDEPENDENT RIFF parser agrees on every layout field
+    for ((bytes, wantCh, wantRate, wantBits) <- Seq(
+        (b24, 2, 48000f, 24), (b32, 1, 16000f, 32), (bf, 1, 8000f, 32),
+        (bd, 1, 8000f, 64), (be, 2, 44100f, 16))) {
+      val af = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes)).getFormat
+      assert(af.getChannels === wantCh)
+      assert(af.getSampleRate === wantRate)
+      assert(af.getSampleSizeInBits === wantBits)
+    }
+    // float WAVs keep the REAL resample path OFF (the re-encode header
+    // mints integer PCM): resize must fall back to the stub, not corrupt
+    val thumb = Multimodal.resize(mediaDF(9L -> bf), targetLen = 8)
+      .collect().head.thumb
+    assert(thumb.length <= 8, "float WAV must take the stub fallback")
+  }
+
   test("BMP decode: 24-bit with row padding, bottom-up and top-down") {
     // 2×2, 24-bit: rowSize = 8 (6 data + 2 pad). All channel bytes known.
     def bmp(height: Int): Array[Byte] = {
@@ -901,5 +986,193 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.width === Some(12) && r.height === Some(5))
     assert(r.n_samples === 60L)
     assert(math.abs(r.mean_value - px.sum.toDouble / 60) < 1e-9)
+  }
+
+  // ===== GIF (pure-JVM LZW + palette — LOSSLESS, exact cross-checks) =====
+
+  import graft.operators.Gif
+
+  test("gif: encoder→decoder roundtrip is EXACT, incl. rasters crossing the CLEAR cadence") {
+    // > 250 pixels forces the encoder's mid-stream CLEAR codes and the
+    // decoder's dictionary reset handling
+    val w = 23; val h = 17 // 391 px
+    val px = Array.tabulate(w * h)(i => (i * 7 + 13) % 256)
+    val dec = Gif.decode(Gif.encodeGray(px, w, h)).get
+    assert(dec.width === w && dec.height === h)
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(dec.rgb(3 * i + c) === px(i), s"px $i ch $c")
+  }
+
+  test("gif: our encoder's output reads back EXACTLY in the JDK's independent ImageIO reader") {
+    val w = 19; val h = 11
+    val px = Array.tabulate(w * h)(i => (i * 41 + 5) % 256)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Gif.encodeGray(px, w, h)))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val v = px(y * w + x)
+      assert(((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+        === ((v, v, v)), s"($x,$y)")
+    }
+  }
+
+  test("gif: decodes ImageIO-ENCODED palette images EXACTLY — sequential AND interlaced") {
+    import java.awt.image.BufferedImage
+    val w = 21; val h = 13
+    // explicit palette so the writer preserves indices verbatim
+    val pal = Array.tabulate(64)(i => (i * 37 % 256, i * 91 % 256, i * 53 % 256))
+    val icm = new java.awt.image.IndexColorModel(8, 64,
+      pal.map(_._1.toByte), pal.map(_._2.toByte), pal.map(_._3.toByte))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 29 + y * 7) % 64)
+    def write(progressive: Boolean): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val param = writer.getDefaultWriteParam
+      // the JDK GIF writer interlaces by default — force each mode
+      param.setProgressiveMode(
+        if (progressive) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    for (progressive <- Seq(false, true)) {
+      val enc = write(progressive)
+      val dec = Gif.decode(enc).getOrElse(
+        fail(s"rejected a JDK GIF (progressive=$progressive)"))
+      assert(dec.width === w && dec.height === h)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = ref.getRGB(x, y)
+        val got = (dec.rgb((y * w + x) * 3), dec.rgb((y * w + x) * 3 + 1),
+          dec.rgb((y * w + x) * 3 + 2))
+        assert(got === (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)),
+          s"progressive=$progressive ($x,$y)")
+      }
+    }
+    // the interlace device must bite: find the image descriptor and
+    // check its interlace flag differs between the two writes
+    def interlaceFlag(enc: Array[Byte]): Boolean = {
+      var p = 13 + (if ((enc(10) & 0x80) != 0) 3 * (2 << (enc(10) & 7)) else 0)
+      while ((enc(p) & 0xff) == 0x21) { // skip extensions
+        p += 2
+        var len = enc(p) & 0xff
+        while (len != 0) { p += 1 + len; len = enc(p) & 0xff }
+        p += 1
+      }
+      assert((enc(p) & 0xff) === 0x2c)
+      (enc(p + 9) & 0x40) != 0
+    }
+    assert(!interlaceFlag(write(false)))
+    assert(interlaceFlag(write(true)), "JDK writer did not interlace — test void")
+  }
+
+  test("gif: animated stream decodes its FIRST frame, matching ImageIO.read") {
+    // hand-build a two-frame stream: our single-frame gray encoder's
+    // body plus a second image block with different pixels
+    val w = 9; val h = 6
+    val f1 = Array.tabulate(w * h)(i => (i * 11 + 3) % 256)
+    val f2 = Array.tabulate(w * h)(i => 255 - (i % 256))
+    val one = Gif.encodeGray(f1, w, h)
+    val two = Gif.encodeGray(f2, w, h)
+    // splice: drop frame-1's trailer (last byte), append frame-2's image
+    // block (everything between its palette end and its trailer)
+    val palEnd = 13 + 3 * 256
+    val spliced = one.dropRight(1) ++ two.slice(palEnd, two.length)
+    val dec = Gif.decode(spliced).get
+    for (i <- 0 until w * h; c <- 0 until 3)
+      assert(dec.rgb(3 * i + c) === f1(i), s"first frame px $i")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(spliced))
+    assert(ref != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((ref.getRGB(x, y) & 0xff) === f1(y * w + x), s"($x,$y)")
+  }
+
+  test("gif: sub-rect frame composites at (left,top) over the background color") {
+    // hand-build: 8×6 canvas, bg index 200, one 3×2 frame at (2,1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(8); w16(6); out.write(0xf7); out.write(200); out.write(0)
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2c); w16(2); w16(1); w16(3); w16(2); out.write(0)
+    out.write(8)
+    val lzw = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nb = 0
+    def put(c: Int): Unit = {
+      acc |= c << nb; nb += 9
+      while (nb >= 8) { lzw.write(acc & 0xff); acc >>>= 8; nb -= 8 }
+    }
+    put(256); Seq(10, 20, 30, 40, 50, 60).foreach(put); put(257)
+    if (nb > 0) lzw.write(acc & 0xff)
+    val z = lzw.toByteArray
+    out.write(z.length); out.write(z, 0, z.length); out.write(0); out.write(0x3b)
+    val enc = out.toByteArray
+    val dec = Gif.decode(enc).get
+    assert(dec.width === 8 && dec.height === 6)
+    def px(x: Int, y: Int) = dec.rgb((y * 8 + x) * 3)
+    assert(px(0, 0) === 200) // background
+    assert(px(2, 1) === 10 && px(3, 1) === 20 && px(4, 1) === 30)
+    assert(px(2, 2) === 40 && px(4, 2) === 60)
+    assert(px(5, 1) === 200 && px(2, 3) === 200) // outside the frame
+    // ImageIO returns the bare FRAME (it does not composite onto the
+    // logical screen) — its 3×2 image must equal our composite at the
+    // (left, top) offset
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(ref.getWidth === 3 && ref.getHeight === 2)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert((ref.getRGB(x, y) & 0xff) === px(2 + x, 1 + y), s"($x,$y)")
+  }
+
+  test("gif: poison payloads return None, never throw — and never hang") {
+    assert(Gif.decode(Array.emptyByteArray).isEmpty)
+    assert(Gif.decode("GIF89a".getBytes).isEmpty)
+    assert(Gif.decode("not a gif at all".getBytes).isEmpty)
+    val good = Gif.encodeGray(Array.tabulate(64)(i => i * 3), 8, 8)
+    assert(Gif.decode(good).nonEmpty)
+    for (cut <- 6 until good.length by 11)
+      assert(Gif.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    // hostile header: huge canvas must be rejected before allocation
+    val huge = good.clone()
+    huge(6) = 0x40.toByte; huge(7) = 0x9c.toByte // w = 40000
+    huge(8) = 0x40.toByte; huge(9) = 0x9c.toByte // h = 40000
+    assert(Gif.decode(huge).isEmpty)
+    // LZW violation: a code beyond the dictionary is malformed, and a
+    // palette index past the table is malformed (64-entry table, idx 99)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(2); w16(1); out.write(0x85) // global table, 64 entries
+    out.write(0); out.write(0)
+    for (i <- 0 until 64) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2c); w16(0); w16(0); w16(2); w16(1); out.write(0); out.write(8)
+    val lzw = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nb = 0
+    def put(c: Int): Unit = {
+      acc |= c << nb; nb += 9
+      while (nb >= 8) { lzw.write(acc & 0xff); acc >>>= 8; nb -= 8 }
+    }
+    put(256); put(99); put(99); put(257) // idx 99 ≥ table size 64
+    if (nb > 0) lzw.write(acc & 0xff)
+    val z = lzw.toByteArray
+    out.write(z.length); out.write(z, 0, z.length); out.write(0); out.write(0x3b)
+    assert(Gif.decode(out.toByteArray).isEmpty)
+  }
+
+  test("gif: Multimodal.decode sniffs and decodes gif payloads in-line") {
+    val px = Array.tabulate(45)(i => (i * 17 + 4) % 256)
+    val enc = Gif.encodeGray(px, 9, 5)
+    val media = Seq((11L, "image", enc.length.toLong, enc))
+      .toDF("doc_id", "modality", "byte_len", "payload")
+    val r = Multimodal.decode(media).collect().head
+    assert(r.format === "gif")
+    assert(r.width === Some(9) && r.height === Some(5))
+    assert(r.n_samples === 45L)
+    assert(math.abs(r.mean_value - px.sum.toDouble / 45) < 1e-9)
   }
 }
