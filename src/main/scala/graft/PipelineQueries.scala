@@ -1752,29 +1752,34 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
         rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 100),
           100, "x").as("t100"))
-      // even doc_ids carry WAV, odd carry PNG — the sniff chain must
-      // route a MIXED corpus, not a single format per run
-      val wav = docs.filter(col("doc_id") % 2 === 0).select(
+      // doc_id % 4 picks the format — WAV, PNG, GIF, TIFF — so the sniff
+      // chain must route a genuinely MIXED corpus, not one format per run
+      val wav = docs.filter(col("doc_id") % 4 === 0).select(
         col("doc_id"), lit("audio").as("modality"), lit(144L).as("byte_len"),
         concat(lit(hdr),
           // rpad to 100 CHARS then utf-8 encode: ≥100 bytes of samples;
           // the decoder reads the declared 100 (trailing bytes ignored,
           // as with real padded media files)
           encode(col("t100"), "UTF-8")).as("payload"))
-      // PNG minting is partition-local (test-harness data gen, the
+      // image minting is partition-local (test-harness data gen, the
       // multimodal mapPartitions tier); decode is the served operator
-      val png = docs.filter(col("doc_id") % 2 === 1)
+      val images = docs.filter(col("doc_id") % 4 =!= 0)
         .select(col("doc_id"), col("t100")).as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, t) =>
             val px = t.getBytes("US-ASCII").take(100).map(b => b & 0xff)
-            (id, "image", graft.operators.Png.encodeGray(px, 100, 1))
+            val payload = (id % 4) match {
+              case 1 => graft.operators.Png.encodeGray(px, 100, 1)
+              case 2 => graft.operators.Gif.encodeGray(px, 100, 1)
+              case _ => graft.operators.Tif.encodeGray(px, 100, 1)
+            }
+            (id, "image", payload)
           }
         }.toDF("doc_id", "modality", "payload")
         .select(col("doc_id"), col("modality"),
           octet_length(col("payload")).cast("long").as("byte_len"),
           col("payload"))
-      Multimodal.decode(wav.unionByName(png)).toDF()
+      Multimodal.decode(wav.unionByName(images)).toDF()
         // n_samples = 100, so mean·100 is an exact integer (the sample
         // byte sum); round() recovers it from the double division
         .select(col("doc_id"), col("format"), col("channels"),
@@ -1865,6 +1870,30 @@ object PipelineQueries {
         it.map { case (id, t) =>
           val px = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
           (id, "image", graft.operators.Gif.encodeGray(px, 16, 1))
+        }
+      }.toDF("doc_id", "modality", "payload")
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      Multimodal.decode(media).toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_samples"),
+          round(col("mean_value") * 16).cast("long").as("mean_c16"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL baseline-TIFF decode at corpus scale — the lossless device on
+    // the fourth raster format: 16×1 gray TIFF per doc (Tif.encodeGray:
+    // IFD + one uncompressed strip), full decode runs for real (byte
+    // order, IFD tag walk, strip assembly). mean·16 = the byte sum.
+    "q_tiff_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 16),
+            16, "x").as("t16"))
+      val media = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val px = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
+          (id, "image", graft.operators.Tif.encodeGray(px, 16, 1))
         }
       }.toDF("doc_id", "modality", "payload")
         .withColumn("byte_len", octet_length(col("payload")).cast("long"))
@@ -4464,14 +4493,15 @@ object PipelineQueries {
          WHERE bit_count(xor(a.h, b.h)) <= 3
          ORDER BY i, j""",
 
-    // mixed-corpus ground truth: even doc_ids are WAV, odd are PNG (the
-    // sniff-chain routing contract); both decode back to the exact
+    // mixed-corpus ground truth: doc_id % 4 routes WAV/PNG/GIF/TIFF
+    // through the sniff chain; every format decodes back to the exact
     // (ASCII-projected, padded) text bytes, so mean·100 is the byte sum
     "q_multimodal_decode" ->
       """SELECT doc_id,
-                CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS format,
-                CASE WHEN doc_id % 2 = 0 THEN 1 END AS channels,
-                CASE WHEN doc_id % 2 = 0 THEN 8000 END AS sample_rate,
+                CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'png'
+                     WHEN 2 THEN 'gif' ELSE 'tiff' END AS format,
+                CASE WHEN doc_id % 4 = 0 THEN 1 END AS channels,
+                CASE WHEN doc_id % 4 = 0 THEN 8000 END AS sample_rate,
                 CAST(100 AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(range(1, 101),
                      i -> ascii(substr(rpad(substr(regexp_replace(text,
@@ -4507,6 +4537,16 @@ object PipelineQueries {
     // the exact source bytes on every channel — same byte-sum replay
     "q_gif_decode" ->
       """SELECT doc_id, 'gif' AS format, 16 AS width, 1 AS height,
+                CAST(16 AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(range(1, 17),
+                     i -> ascii(substr(rpad(substr(regexp_replace(text,
+                                '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
+                                       CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
+         FROM documents ORDER BY doc_id""",
+
+    // TIFF ground truth: lossless uncompressed strip — same byte sums
+    "q_tiff_decode" ->
+      """SELECT doc_id, 'tiff' AS format, 16 AS width, 1 AS height,
                 CAST(16 AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(range(1, 17),
                      i -> ascii(substr(rpad(substr(regexp_replace(text,

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *    baseline AND progressive, grayscale/4:4:4/4:2:2/4:2:0, restart
   *    markers), PNG ([[Png]]: JDK-Inflater zlib + all five scanline
   *    filters + palette, both non-interlaced and Adam7-interlaced,
-  *    depths 8 and 16), and GIF ([[Gif]]: LZW + palette, interlace,
-  *    first frame) — the three dominant real-world image formats.
+  *    depths 8 and 16), GIF ([[Gif]]: LZW + palette, interlace, first
+  *    frame), and baseline TIFF ([[Tif]]: IFD walk, strips,
+  *    none/LZW/deflate/PackBits, predictor, gray/RGB/palette, both
+  *    byte orders) — the four most common raster formats.
   *  - Formats still needing an external codec (MP3/H.264…,
   *    progressive JPEG) fall back to the DETERMINISTIC STUB kernels
   *    (this environment ships no codecs — see the builder contract);
@@ -336,8 +338,21 @@ object Multimodal {
         if (d.rgb.length == 0) 0.0 else s / d.rgb.length)
     }
 
+  /** TIFF decode ([[Tif.decode]] — pure-JVM IFD walk + strip
+    * decompression, lossless): mean over gray pixels for 1-component
+    * images, over RGB channel bytes otherwise. */
+  private[operators] def tifDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    Tif.decode(b).map { d =>
+      val arr = if (d.nComp == 1) d.gray else d.rgb
+      var s = 0.0; var i = 0
+      while (i < arr.length) { s += arr(i); i += 1 }
+      MediaDecoded(doc, "tiff", None, None, Some(d.width), Some(d.height),
+        d.width.toLong * d.height,
+        if (arr.length == 0) 0.0 else s / arr.length)
+    }
+
   /** Real decode pass: sniffs the payload's magic bytes and decodes
-    * WAV/BMP/PPM/JPEG/PNG/GIF with the pure byte-math decoders above;
+    * WAV/BMP/PPM/JPEG/PNG/GIF/TIFF with the pure byte-math decoders above;
     * any other (or malformed) payload degrades to the `"unknown"` stub
     * row instead of throwing — a poison payload must never kill a
     * 100 TB scan. Same partition-local, iterator-to-iterator batch
@@ -354,6 +369,7 @@ object Multimodal {
             .orElse(jpegDecode(r.doc_id, b))
             .orElse(pngDecode(r.doc_id, b))
             .orElse(gifDecode(r.doc_id, b))
+            .orElse(tifDecode(r.doc_id, b))
             .getOrElse {
               val (mean, _) = decodeStub(b)
               MediaDecoded(r.doc_id, "unknown", None, None, None, None,

@@ -1175,4 +1175,150 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.n_samples === 45L)
     assert(math.abs(r.mean_value - px.sum.toDouble / 45) < 1e-9)
   }
+
+  // ===== TIFF (pure-JVM IFD walk + strip decompression — lossless) =====
+
+  import graft.operators.Tif
+
+  test("tiff: encoder→decoder roundtrip is EXACT; ImageIO reads our output EXACTLY") {
+    val w = 19; val h = 7 // odd pixel count exercises the IFD pad byte
+    val px = Array.tabulate(w * h)(i => (i * 23 + 9) % 256)
+    val enc = Tif.encodeGray(px, w, h)
+    val dec = Tif.decode(enc).get
+    assert(dec.width === w && dec.height === h && dec.nComp === 1)
+    assert(dec.gray.toSeq === px.toSeq)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(ref != null && ref.getWidth === w && ref.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) === px(y * w + x), s"($x,$y)")
+  }
+
+  test("tiff: decodes ImageIO-ENCODED gray and RGB EXACTLY under None/LZW/Deflate/PackBits") {
+    import java.awt.image.BufferedImage
+    val w = 33; val h = 21 // multiple strips likely; > 1 row per strip
+    val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      g.getRaster.setSample(x, y, 0, (x * 13 + y * 7) % 256)
+    val c = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      c.setRGB(x, y, (((x * 11) % 256) << 16) | (((y * 17) % 256) << 8) |
+        ((x + y * 3) % 256))
+    for (img <- Seq(g, c); comp <- Seq(None, Some("LZW"), Some("Deflate"),
+        Some("PackBits"))) {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val param = writer.getDefaultWriteParam
+      comp match {
+        case Some(n) =>
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          param.setCompressionType(n)
+        case None =>
+          param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val enc = bos.toByteArray
+      val label = s"${if (img eq g) "gray" else "rgb"}/${comp.getOrElse("none")}"
+      val dec = Tif.decode(enc).getOrElse(fail(s"rejected a JDK TIFF: $label"))
+      assert(dec.width === w && dec.height === h, label)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      for (y <- 0 until h; x <- 0 until w) {
+        if (dec.nComp == 1)
+          assert(dec.gray(y * w + x) === ref.getRaster.getSample(x, y, 0),
+            s"$label ($x,$y)")
+        else for (ch <- 0 until 3)
+          assert(dec.rgb((y * w + x) * 3 + ch)
+            === ref.getRaster.getSample(x, y, ch), s"$label ($x,$y,$ch)")
+      }
+    }
+  }
+
+  test("tiff: palette photometric, big-endian layout, and white-is-zero inversion") {
+    import java.awt.image.BufferedImage
+    // palette via the JDK writer (TYPE_BYTE_INDEXED → photometric 3)
+    val w = 14; val h = 9
+    val pal = Array.tabulate(200)(i => (i * 41 % 256, i * 73 % 256, i * 97 % 256))
+    val icm = new java.awt.image.IndexColorModel(8, 200,
+      pal.map(_._1.toByte), pal.map(_._2.toByte), pal.map(_._3.toByte))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 31 + y * 11) % 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos))
+    val enc = bos.toByteArray
+    val dec = Tif.decode(enc).getOrElse(fail("rejected a JDK palette TIFF"))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = ref.getRGB(x, y)
+      val got = (dec.rgb((y * w + x) * 3), dec.rgb((y * w + x) * 3 + 1),
+        dec.rgb((y * w + x) * 3 + 2))
+      assert(got === (((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)),
+        s"($x,$y)")
+    }
+    // big-endian + white-is-zero: hand-build an MM-order gray TIFF with
+    // photometric 0 — decoded gray must be the INVERTED raster
+    val w2 = 5; val h2 = 3
+    val px = Array.tabulate(w2 * h2)(i => (i * 19 + 7) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Int): Unit = { w16((v >>> 16) & 0xffff); w16(v & 0xffff) }
+    out.write('M'); out.write('M'); w16(42)
+    val pad = px.length & 1
+    w32(8 + px.length + pad)
+    px.foreach(v => out.write(v & 0xff))
+    if (pad == 1) out.write(0)
+    val tags = Seq((256, w2), (257, h2), (258, 8), (259, 1), (262, 0),
+      (273, 8), (278, h2), (279, px.length))
+    w16(tags.length)
+    tags.foreach { case (tag, value) =>
+      w16(tag)
+      if (tag == 273 || tag == 279) { w16(4); w32(1); w32(value) }
+      else { w16(3); w32(1); w16(value); w16(0) }
+    }
+    w32(0)
+    val be = out.toByteArray
+    val dbe = Tif.decode(be).getOrElse(fail("rejected hand-built BE TIFF"))
+    assert(dbe.gray.toSeq === px.map(255 - _).toSeq)
+    val rbe = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(be))
+    assert(rbe != null)
+    for (y <- 0 until h2; x <- 0 until w2)
+      assert(rbe.getRaster.getSample(x, y, 0) === 255 - px(y * w2 + x), s"($x,$y)")
+  }
+
+  test("tiff: poison payloads return None, never throw") {
+    assert(Tif.decode(Array.emptyByteArray).isEmpty)
+    assert(Tif.decode("II*".getBytes).isEmpty)
+    assert(Tif.decode("not a tiff".getBytes).isEmpty)
+    val good = Tif.encodeGray(Array.tabulate(64)(i => i * 2), 8, 8)
+    assert(Tif.decode(good).nonEmpty)
+    for (cut <- 4 until good.length by 9)
+      assert(Tif.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    // hostile dims: reject before allocation (tags 256/257 at 40000)
+    val huge = Tif.encodeGray(Array.tabulate(4)(identity), 2, 2)
+    // find the IFD and patch width/height SHORT values
+    val ifd = ((huge(4) & 0xff) | ((huge(5) & 0xff) << 8) |
+      ((huge(6) & 0xff) << 16) | ((huge(7) & 0xff) << 24))
+    for (t <- 0 until 8) {
+      val o = ifd + 2 + 12 * t
+      val tag = (huge(o) & 0xff) | ((huge(o + 1) & 0xff) << 8)
+      if (tag == 256 || tag == 257) {
+        huge(o + 8) = 0x40.toByte; huge(o + 9) = 0x9c.toByte // 40000
+      }
+    }
+    assert(Tif.decode(huge).isEmpty)
+  }
+
+  test("tiff: Multimodal.decode sniffs and decodes tiff payloads in-line") {
+    val px = Array.tabulate(40)(i => (i * 21 + 6) % 256)
+    val enc = Tif.encodeGray(px, 8, 5)
+    val media = Seq((13L, "image", enc.length.toLong, enc))
+      .toDF("doc_id", "modality", "byte_len", "payload")
+    val r = Multimodal.decode(media).collect().head
+    assert(r.format === "tiff")
+    assert(r.width === Some(8) && r.height === Some(5))
+    assert(r.n_samples === 40L)
+    assert(math.abs(r.mean_value - px.sum.toDouble / 40) < 1e-9)
+  }
 }
