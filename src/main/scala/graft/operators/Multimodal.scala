@@ -223,22 +223,102 @@ object Multimodal {
     if (b.length < 54 || ascii(b, 0, 2) != "BM") return None
     val off = le32(b, 10); val w = le32(b, 18); val hRaw = le32(b, 22)
     val h = math.abs(hRaw)
-    if (le16(b, 28) != 24 || le32(b, 30) != 0) return None   // 24-bit, BI_RGB only
     if (w <= 0 || h == 0) return None
-    // row math in LONG: a crafted width near 2^29 overflows 24*w in Int,
-    // yielding rowSize 0/negative that defeats the bounds check below
-    val rowSizeL = ((24L * w + 31) / 32) * 4
-    if (off < 54 || off.toLong + rowSizeL * h > b.length) return None
-    val rowSize = rowSizeL.toInt   // fits: rowSize·h ≤ b.length ≤ Int.MaxValue
-    var s = 0.0
-    var r = 0
-    while (r < h) {
-      var i = 0
-      while (i < w * 3) { s += (b(off + r * rowSize + i) & 0xff); i += 1 }
-      r += 1
-    }
-    Some(MediaDecoded(doc, "bmp", None, None, Some(w), Some(h),
-      w.toLong * h, s / (w.toLong * h * 3)))
+    val bits = le16(b, 28); val comp = le32(b, 30)
+    if (bits == 24 && comp == 0) {
+      // row math in LONG: a crafted width near 2^29 overflows 24*w in Int,
+      // yielding rowSize 0/negative that defeats the bounds check below
+      val rowSizeL = ((24L * w + 31) / 32) * 4
+      if (off < 54 || off.toLong + rowSizeL * h > b.length) return None
+      val rowSize = rowSizeL.toInt // fits: rowSize·h ≤ b.length ≤ Int.MaxValue
+      var s = 0.0
+      var r = 0
+      while (r < h) {
+        var i = 0
+        while (i < w * 3) { s += (b(off + r * rowSize + i) & 0xff); i += 1 }
+        r += 1
+      }
+      Some(MediaDecoded(doc, "bmp", None, None, Some(w), Some(h),
+        w.toLong * h, s / (w.toLong * h * 3)))
+    } else if (bits == 8 && (comp == 0 || comp == 1)) {
+      // 8-bit palette, uncompressed or RLE8. The served statistic is
+      // the MEAN over palette-resolved RGB bytes — order-invariant, so
+      // a palette-index histogram decodes both layouts uniformly
+      val hdrSize = le32(b, 14)
+      if (hdrSize < 40) return None
+      val colorsUsed = le32(b, 46)
+      val palOff = 14L + hdrSize
+      // colorsUsed == 0 nominally means "full 256" but real writers (the
+      // JDK's included) store only the entries they use and point the
+      // data offset right after them — the gap IS the palette size
+      val gapEntries = ((off - palOff) / 4).toInt
+      val nColors =
+        if (colorsUsed > 0 && colorsUsed <= 256) math.min(colorsUsed, gapEntries)
+        else math.min(256, gapEntries)
+      if (nColors <= 0 || palOff + 4L * nColors > b.length) return None
+      val hist = new Array[Long](256)
+      if (comp == 0) {
+        val rowSizeL = ((8L * w + 31) / 32) * 4
+        if (off.toLong + rowSizeL * h > b.length) return None
+        val rowSize = rowSizeL.toInt
+        var r = 0
+        while (r < h) {
+          var x = 0
+          while (x < w) {
+            val v = b(off + r * rowSize + x) & 0xff
+            if (v >= nColors) return None
+            hist(v) += 1
+            x += 1
+          }
+          r += 1
+        }
+      } else {
+        // RLE8: (count, value) runs; escapes 0=EOL, 1=EOD, 2=delta
+        // (rejected — its skipped pixels have writer-defined content),
+        // n≥3 = literal run padded to a word boundary. Unwritten pixels
+        // (early EOL/EOD) default to index 0 per common practice.
+        val total = w.toLong * h
+        var written = 0L
+        var p = off
+        var done = false
+        while (!done) {
+          if (p + 1 >= b.length) return None
+          val c = b(p) & 0xff; val v = b(p + 1) & 0xff
+          p += 2
+          if (c > 0) {
+            if (v >= nColors) return None
+            if (written + c > total) return None
+            hist(v) += c; written += c
+          } else v match {
+            case 0 => () // end of line: remainder of row stays index 0
+            case 1 => done = true
+            case 2 => return None // delta escape: content undefined
+            case lit =>
+              if (p + lit > b.length || written + lit > total) return None
+              var i = 0
+              while (i < lit) {
+                val pv = b(p + i) & 0xff
+                if (pv >= nColors) return None
+                hist(pv) += 1
+                i += 1
+              }
+              written += lit
+              p += lit + (lit & 1) // literal runs pad to 2 bytes
+          }
+        }
+        if (written < total) hist(0) += total - written
+      }
+      var s = 0.0
+      var v = 0
+      while (v < nColors) {
+        // palette entries are BGRA; alpha (the 4th byte) is reserved
+        val po = palOff.toInt + 4 * v
+        s += hist(v) * ((b(po) & 0xff) + (b(po + 1) & 0xff) + (b(po + 2) & 0xff))
+        v += 1
+      }
+      Some(MediaDecoded(doc, "bmp", None, None, Some(w), Some(h),
+        w.toLong * h, s / (w.toLong * h * 3)))
+    } else None
   }
 
   /** Binary PPM (P6) decode: ASCII header (`#` comments allowed) with

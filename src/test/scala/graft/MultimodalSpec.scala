@@ -196,6 +196,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP decode: 8-bit palette, uncompressed AND RLE8 — means match ImageIO exactly") {
+    import java.awt.image.BufferedImage
+    val w = 27; val h = 11
+    val pal = Array.tabulate(64)(i => (i * 37 % 256, i * 91 % 256, i * 53 % 256))
+    val icm = new java.awt.image.IndexColorModel(8, 64,
+      pal.map(_._1.toByte), pal.map(_._2.toByte), pal.map(_._3.toByte))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      // long horizontal runs so RLE8 genuinely compresses
+      img.getRaster.setSample(x, y, 0, ((x / 9) * 3 + y * 5) % 64)
+    for (rle <- Seq(false, true)) {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionType(if (rle) "BI_RLE8" else "BI_RGB")
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.close(); writer.dispose()
+      val enc = bos.toByteArray
+      // the device must bite: 8 bits at offset 28, compression at 30
+      assert((enc(28) & 0xff) === 8, s"rle=$rle not 8-bit")
+      assert((enc(30) & 0xff) === (if (rle) 1 else 0), s"rle=$rle compression")
+      val media = Seq((1L, "image", enc.length.toLong, enc))
+        .toDF("doc_id", "modality", "byte_len", "payload")
+      val r = Multimodal.decode(media).collect().head
+      assert(r.format === "bmp", s"rle=$rle")
+      assert(r.width === Some(w) && r.height === Some(h))
+      // exact ground truth: channel-byte sum from ImageIO's readback
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = ref.getRGB(x, y)
+        sum += ((argb >> 16) & 0xff) + ((argb >> 8) & 0xff) + (argb & 0xff)
+      }
+      assert(math.abs(r.mean_value * (w * h * 3) - sum) < 1e-6,
+        s"rle=$rle mean mismatch")
+    }
+  }
+
   test("PPM P6 decode: comments in header, exact raster mean") {
     val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
     val raster = Array[Byte](100, 110, 120, (200 - 256).toByte, 10, 0)
