@@ -326,10 +326,19 @@ object Similarity {
     * so the seed rule must be replayable relationally in any engine.
     * Selection is TakeOrdered (never a global window); the collect is
     * nlist·d doubles — codebook-sized plan metadata, same contract as
-    * ivfTopK's (nlist ≈ √n stays driver-trivial even at 10⁹ vectors). */
-  private[graft] def md5Codebook(n: DataFrame, nlist: Int): IndexedSeq[IndexedSeq[Double]] = {
+    * ivfTopK's (nlist ≈ √n stays driver-trivial even at 10⁹ vectors).
+    *
+    * `salt` prefixes the id before hashing — a DISTINCT replayable seed
+    * rule for a second codebook drawn over the same corpus (the residual
+    * PQ codebook must not coincide with the coarse one: a vector that IS
+    * a coarse centroid has an all-zero residual, and a codebook of zero
+    * vectors is a degenerate quantizer). */
+  private[graft] def md5Codebook(n: DataFrame, nlist: Int,
+      salt: String = ""): IndexedSeq[IndexedSeq[Double]] = {
+    val key = if (salt.isEmpty) col("vid").cast("string")
+      else concat(lit(salt), col("vid").cast("string"))
     val seed = n
-      .orderBy(substring(md5(col("vid").cast("string")), 1, 8).asc, col("vid").asc)
+      .orderBy(substring(md5(key), 1, 8).asc, col("vid").asc)
       .limit(nlist)
       .select(col("vid"), col("nv"))
       .collect()
@@ -648,7 +657,10 @@ object Similarity {
     * have to replay through an extra element-wise subtract per vector —
     * the direct form is the documented simplification and keeps the
     * whole operator hash-checkable; the accuracy delta is part of the
-    * measured recall floor in SimilaritySpec).
+    * measured recall floor in SimilaritySpec). [[ivfpqResidualTopK]] is
+    * the residual-encoded composition — equally hash-checkable (the
+    * subtract replays relationally), higher recall, the served default
+    * of production Faiss.
     *
     * Both quantizers use the md5 seed rule, so the ENTIRE pipeline —
     * cell assignment, probe selection, codes, ADC scores, final rank —
@@ -675,6 +687,95 @@ object Similarity {
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         floor(graft.functions.pqAdc(col("codes"), col("lut")) * 10000)
+          .cast("long").as("adc_bp"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_bp").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("neighbor_id"), col("adc_bp"))
+  }
+
+  /** IVF + PQ with RESIDUAL encoding — the Faiss-default composition
+    * (Jégou et al. 2011 §V.A: quantize r = x − q₁(x), not x itself):
+    * each corpus vector's PQ codes describe its offset from its coarse
+    * centroid, so the quantizer's ksub codewords cover the residual
+    * distribution (radius ≈ cell radius) instead of the whole sphere —
+    * at production corpus scale this is most of IVFPQ's recall
+    * advantage over [[ivfpqTopK]]'s documented direct simplification.
+    *
+    * Score decomposition keeps ADC's table-lookup economics:
+    * q·x̂ = q·centroid(cell) + q·r̂, so the per-query work is the same
+    * m-lookup LUT sum plus ONE extra dot per probed cell (q·centroid —
+    * already computed for probe selection in spirit; here one nlist-dim
+    * literal lookup per candidate row). The residual codebook trains on
+    * the residuals of a SALTED md5 seed sample ('r'-prefixed rule —
+    * an unsalted sample would coincide with the coarse seeds, whose
+    * residuals are identically zero: a degenerate quantizer).
+    *
+    * Everything stays relationally replayable: both seed rules, the
+    * strict-`>` assignments, the element-wise subtracts (exact, no
+    * association), the sequential sub-dots, and the left-associated
+    * ADC+centroid sum — so the oracle models the approximation itself
+    * and the driver hash-checks it end-to-end, like [[ivfpqTopK]].
+    *
+    * Plan shape is ivfpqTopK's exactly: assignment + residual encode are
+    * map-only in the scan's stage (coarse codebook rides as a codegen
+    * reference object AND as an array literal for the subtract/centroid
+    * terms), queries broadcast with probed cells exploded, the corpus
+    * never shuffles; the only exchange is the final per-query top-k.
+    *
+    * Output: (query_id, rank, neighbor_id, adc_bp). */
+  def ivfpqResidualTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, nlist: Int, nprobe: Int,
+      m: Int = 16, ksub: Int = 32): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val coarse = md5Codebook(n, nlist)
+    val d = coarse.head.length
+    require(d % m == 0, s"vector dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    // Residual codebook: the ksub salted-md5 seed vectors, each minus ITS
+    // OWN nearest coarse centroid (the same strict-> rule the corpus
+    // assignment uses — sequential L→R dots, keep-first ties), sliced
+    // into m subspaces. Driver-side: both codebooks are plan metadata.
+    val pseeds = md5Codebook(n, ksub, salt = "r")
+    def nearestCid(v: IndexedSeq[Double]): Int = {
+      var best = -1; var bestS = 0.0; var c = 0
+      while (c < coarse.length) {
+        val cv = coarse(c); var s = 0.0; var i = 0
+        while (i < d) { s += v(i) * cv(i); i += 1 }
+        if (best < 0 || s > bestS) { best = c; bestS = s }
+        c += 1
+      }
+      best
+    }
+    val cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+      val rseeds = pseeds.map { sv =>
+        val cv = coarse(nearestCid(sv))
+        IndexedSeq.tabulate(d)(i => sv(i) - cv(i))
+      }
+      IndexedSeq.tabulate(m)(j => rseeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    }
+    val coarseLit = array(coarse.map(cv =>
+      array(cv.map(x => lit(x)): _*)): _*)
+    def centOf(cid: Column): Column = element_at(coarseLit, (cid + 1).cast("int"))
+    val corpus = n.select(col("vid"), col("nv"),
+        graft.functions.nearestCentroids(col("nv"), coarse, 1).getItem(0).as("cid"))
+      .select(col("vid"), col("cid"),
+        graft.functions.pqEncode(
+          zip_with(col("nv"), centOf(col("cid")), (x, c) => x - c), cbRes)
+          .as("codes"))
+    // LUT uses the FULL query subvectors against the residual codewords
+    // (q·r̂ term); q·centroid(cell) attaches per probed cell.
+    val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv"),
+        explode(graft.functions.nearestCentroids(col("nv"), coarse, nprobe)).as("cid"),
+        graft.functions.pqLut(col("nv"), cbRes).as("lut"))
+      .select(col("qid"), col("cid"), col("lut"),
+        dot(col("nv"), centOf(col("cid"))).as("qc")))
+    val scored = corpus.join(q, Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        floor((graft.functions.pqAdc(col("codes"), col("lut")) + col("qc")) * 10000)
           .cast("long").as("adc_bp"))
     val w = Window.partitionBy("qid").orderBy(col("adc_bp").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -100,8 +100,13 @@ object Tif {
 
     val w = tag1(256).toInt; val h = tag1(257).toInt
     if (w <= 0 || h <= 0) return None
-    if (w.toLong * h * 3 > Png.PoisonSampleCap) return None
     val spp = tag1(277, 1L).toInt
+    // cap BEFORE any allocation the header commands: the raster is
+    // w·spp·h ints and the output is up to w·h·3 — bound both, and bound
+    // attacker-controlled SamplesPerPixel itself (baseline needs ≤ 4:
+    // gray(+alpha), RGB(+alpha); 8 leaves room for extra samples)
+    if (spp < 1 || spp > 8) return None
+    if (w.toLong * h * math.max(3, spp) > Png.PoisonSampleCap) return None
     val bits = tagValues(258).getOrElse(Array(8L))
     if (bits.exists(_ != 8L) || bits.length != spp) return None
     val compression = tag1(259, 1L).toInt

@@ -547,6 +547,121 @@ class SimilaritySpec extends AnyFunSuite {
     assert(vsPq >= 0.2, s"IVFPQ lost too much to pruning: $vsPq")
   }
 
+  test("residual IVFPQ: recall ≥ direct encoding on a clustered corpus; deterministic") {
+    // Residual encoding's win is conditional on the corpus CLUSTERING —
+    // then ‖x − centroid‖ ≪ ‖x‖ and the quantizer's ksub codewords cover
+    // a tight offset ball instead of the whole sphere. Real embedding
+    // corpora cluster (that is why Faiss defaults to residual); the
+    // sf* synthetic embeddings are near-UNIFORM, the documented
+    // worst case where residual norms EXCEED 1 (top coarse dot ≈ 0.35 in
+    // 64-dim ⇒ ‖r‖² ≈ 1.3) and residual cannot beat direct. So the
+    // recall pin runs on a deterministic clustered corpus, and the
+    // uniform corpus gets a no-catastrophe + determinism check below.
+    // noise 0.15 ⇒ within-cluster cosine ≈ 0.98, the tight-cluster
+    // regime where residual norms (≈0.3) are far below 1 and the win is
+    // decisive (measured 0.238 vs 0.150 recall@10); at looser noise the
+    // 32-seed UNTRAINED codebooks make the comparison noisy in both
+    // directions — k-means-refined codebooks (the production path) are
+    // what recovers the textbook uniform win, and they are not
+    // relationally replayable, so the pin stays in the regime where the
+    // seed-codebook effect is unambiguous.
+    val rnd = new scala.util.Random(20260814L)
+    val d = 64; val nCenters = 24
+    val centers = IndexedSeq.fill(nCenters)(IndexedSeq.fill(d)(rnd.nextGaussian()))
+    val clustered = (0L until 1200L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, Array.tabulate(d)(j => (c(j) + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val (nlist, nprobe) = Similarity.ivfTune(1200L)
+    val brute = rs(Similarity.bruteTopK(clustered, "vec_id", "embedding", qids, 10))
+    val direct = rs(Similarity.ivfpqTopK(clustered, "vec_id", "embedding", qids, 10,
+      nlist = nlist, nprobe = nprobe))
+    val res = rs(Similarity.ivfpqResidualTopK(clustered, "vec_id", "embedding", qids, 10,
+      nlist = nlist, nprobe = nprobe))
+    val rDirect = (brute & direct).size.toDouble / brute.size
+    val rRes = (brute & res).size.toDouble / brute.size
+    info(f"clustered IVFPQ recall@10: direct=$rDirect%.3f residual=$rRes%.3f (nlist=$nlist nprobe=$nprobe)")
+    assert(rRes > rDirect, s"residual recall $rRes !> direct $rDirect on clustered corpus")
+    assert(rRes >= 0.2, s"residual recall $rRes below floor on clustered corpus")
+    // deterministic replay (fixed seeds, fixed association order)
+    assert(res === rs(Similarity.ivfpqResidualTopK(clustered, "vec_id", "embedding",
+      qids, 10, nlist = nlist, nprobe = nprobe)))
+  }
+
+  test("residual IVFPQ: ADC score error strictly below direct encoding (clustered)") {
+    // The mechanism behind the recall win, asserted directly: residual
+    // codes approximate q·x with lower absolute error because they
+    // quantize the within-cell offset (‖r‖ ≪ 1) instead of the unit
+    // sphere. Measured mean |ADC − q·x| over query 0 × full corpus.
+    val rnd = new scala.util.Random(20260814L)
+    val d = 64; val nCenters = 24
+    val centers = IndexedSeq.fill(nCenters)(IndexedSeq.fill(d)(rnd.nextGaussian()))
+    val clustered = (0L until 1200L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, Array.tabulate(d)(j => (c(j) + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (nlist, _) = Similarity.ivfTune(1200L)
+    val n = Similarity.normalized(clustered, "vec_id", "embedding")
+    val coarse = Similarity.md5Codebook(n, nlist)
+    val coarseLit = array(coarse.map(cv => array(cv.map(x => lit(x)): _*)): _*)
+    val cbD = Similarity.pqCodebooks(n, 16, 32)
+    val pseeds = Similarity.md5Codebook(n, 32, salt = "r")
+    def nearestCid(v: IndexedSeq[Double]): Int = {
+      var best = -1; var bestS = 0.0; var c = 0
+      while (c < coarse.length) {
+        val cv = coarse(c); var s = 0.0; var i = 0
+        while (i < d) { s += v(i) * cv(i); i += 1 }
+        if (best < 0 || s > bestS) { best = c; bestS = s }
+        c += 1
+      }
+      best
+    }
+    val cbR = {
+      val rseeds = pseeds.map { sv =>
+        val cv = coarse(nearestCid(sv)); IndexedSeq.tabulate(d)(i => sv(i) - cv(i))
+      }
+      IndexedSeq.tabulate(16)(j => rseeds.map(_.slice(j * 4, (j + 1) * 4)))
+    }
+    val qv = n.filter(col("vid") === 0L).select("nv").head().getSeq[Double](0)
+    val qvCol = array(qv.map(lit(_)): _*)
+    val cent = element_at(coarseLit, (col("cid") + 1).cast("int"))
+    val errs = n.select(col("vid"), col("nv"),
+        graft.functions.nearestCentroids(col("nv"), coarse, 1).getItem(0).as("cid"))
+      .select(
+        abs(graft.functions.pqAdc(
+              graft.functions.pqEncode(col("nv"), cbD),
+              graft.functions.pqLut(qvCol, cbD))
+          - graft.functions.vecDot(col("nv"), qvCol)).as("ed"),
+        abs(graft.functions.pqAdc(
+              graft.functions.pqEncode(zip_with(col("nv"), cent, (x, c) => x - c), cbR),
+              graft.functions.pqLut(qvCol, cbR))
+            + graft.functions.vecDot(qvCol, cent)
+          - graft.functions.vecDot(col("nv"), qvCol)).as("er"))
+      .agg(avg("ed"), avg("er")).head()
+    val (eDirect, eRes) = (errs.getDouble(0), errs.getDouble(1))
+    info(f"mean |ADC − q·x|: direct=$eDirect%.4f residual=$eRes%.4f")
+    assert(eRes < eDirect, s"residual score error $eRes !< direct $eDirect")
+  }
+
+  test("residual IVFPQ on the near-uniform corpus: usable recall, its worst case") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val (nlist, nprobe) = Similarity.ivfTune(emb.count())
+    val brute = rs(Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10))
+    val res = rs(Similarity.ivfpqResidualTopK(emb, "vec_id", "embedding", qids, 10,
+      nlist = nlist, nprobe = nprobe))
+    val rRes = (brute & res).size.toDouble / brute.size
+    info(f"uniform-corpus residual IVFPQ recall@10 = $rRes%.3f (nlist=$nlist nprobe=$nprobe)")
+    // near-uniform 64-dim data is the documented worst case (residual
+    // norms exceed 1) — still must stay a usable retriever, not noise
+    assert(rRes >= 0.2, s"residual recall $rRes collapsed on uniform corpus")
+  }
+
   test("PQ plan shape: encode/score map-only, queries broadcast, one final top-k window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
