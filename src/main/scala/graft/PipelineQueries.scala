@@ -1496,6 +1496,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVFPQ with RESIDUAL encoding — the Faiss-default composition:
+    // codes quantize x − centroid(cell), scores decompose as
+    // q·centroid + ADC(residual LUT). Both seed rules (coarse +
+    // 'r'-salted residual), the subtracts, and the left-associated sums
+    // replay relationally — the oracle models the approximation itself,
+    // hash-checked WITH pruning AND residual encoding live.
+    "q_ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      Similarity.ivfpqResidualTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10, nlist = nlist, nprobe = nprobe)
+        .orderBy("query_id", "rank")
+    }),
+
     // PII-style redaction (pre-training hygiene): plant emails/URLs/digit
     // runs, scrub to typed placeholders, count replacements.
     "q_redact" -> ((s, dir) => {
@@ -1752,34 +1766,37 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"),
         rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 100),
           100, "x").as("t100"))
-      // doc_id % 4 picks the format — WAV, PNG, GIF, TIFF — so the sniff
-      // chain must route a genuinely MIXED corpus, not one format per run
-      val wav = docs.filter(col("doc_id") % 4 === 0).select(
+      // doc_id % 5 picks the format — WAV, PNG, GIF, TIFF, FLAC — so the
+      // sniff chain must route a genuinely MIXED corpus, not one format
+      // per run; branch 4 exercises the COMPRESSED-audio decoder (rice +
+      // fixed predictors + CRC), not just the raster family
+      val wav = docs.filter(col("doc_id") % 5 === 0).select(
         col("doc_id"), lit("audio").as("modality"), lit(144L).as("byte_len"),
         concat(lit(hdr),
           // rpad to 100 CHARS then utf-8 encode: ≥100 bytes of samples;
           // the decoder reads the declared 100 (trailing bytes ignored,
           // as with real padded media files)
           encode(col("t100"), "UTF-8")).as("payload"))
-      // image minting is partition-local (test-harness data gen, the
+      // media minting is partition-local (test-harness data gen, the
       // multimodal mapPartitions tier); decode is the served operator
-      val images = docs.filter(col("doc_id") % 4 =!= 0)
+      val minted = docs.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), col("t100")).as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, t) =>
             val px = t.getBytes("US-ASCII").take(100).map(b => b & 0xff)
-            val payload = (id % 4) match {
-              case 1 => graft.operators.Png.encodeGray(px, 100, 1)
-              case 2 => graft.operators.Gif.encodeGray(px, 100, 1)
-              case _ => graft.operators.Tif.encodeGray(px, 100, 1)
+            val (modality, payload) = (id % 5) match {
+              case 1 => ("image", graft.operators.Png.encodeGray(px, 100, 1))
+              case 2 => ("image", graft.operators.Gif.encodeGray(px, 100, 1))
+              case 3 => ("image", graft.operators.Tif.encodeGray(px, 100, 1))
+              case _ => ("audio", graft.operators.Flac.encodeMono(px, 8000, 16))
             }
-            (id, "image", payload)
+            (id, modality, payload)
           }
         }.toDF("doc_id", "modality", "payload")
         .select(col("doc_id"), col("modality"),
           octet_length(col("payload")).cast("long").as("byte_len"),
           col("payload"))
-      Multimodal.decode(wav.unionByName(images)).toDF()
+      Multimodal.decode(wav.unionByName(minted)).toDF()
         // n_samples = 100, so mean·100 is an exact integer (the sample
         // byte sum); round() recovers it from the double division
         .select(col("doc_id"), col("format"), col("channels"),
@@ -1849,6 +1866,36 @@ object PipelineQueries {
         // in binary, so round(mean·16) is the exact byte sum
         .select(col("doc_id"), col("format"), col("width"), col("height"),
           col("n_samples"),
+          round(col("mean_value") * 16).cast("long").as("mean_c16"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL FLAC decode at corpus scale — the lossless device on
+    // COMPRESSED audio: each doc's first 16 (ASCII-projected, padded)
+    // text bytes mint a 16-sample mono 16-bit FLAC (Flac.encodeMono:
+    // fixed-predictor/rice or verbatim subframes, CRC-8/16), and the
+    // full decode runs for real: metadata walk, frame-header parse,
+    // CRC verification, rice decode, predictor reconstruction.
+    // Lossless ⇒ decoded samples ARE the source bytes; mean·16 is the
+    // exact byte sum, which the oracle replays from text.
+    "q_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 16),
+            16, "x").as("t16"))
+      val media = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val px = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
+          (id, "audio", graft.operators.Flac.encodeMono(px, 8000, 16))
+        }
+      }.toDF("doc_id", "modality", "payload")
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      Multimodal.decode(media).toDF()
+        // 16 samples; mean = byteSum/16, a power-of-two division — exact
+        // in binary, so round(mean·16) is the exact byte sum
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"),
           round(col("mean_value") * 16).cast("long").as("mean_c16"))
         .orderBy("doc_id")
     }),
@@ -2389,6 +2436,113 @@ object PipelineQueries {
          SELECT l.qid, e.vec_id AS nid, l.j, l.dp
          FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
          JOIN cand ON cand.qid = l.qid AND cand.nid = e.vec_id)""" + pqRankTail
+
+  /** Residual IVFPQ replay (Similarity.ivfpqResidualTopK): the same
+    * coarse CTEs, then (a) the 'r'-SALTED md5 seed rule draws the PQ
+    * sample, (b) each seed's and each corpus vector's residual is the
+    * indexed-lambda element-wise subtract of its own nearest centroid
+    * (exact, no association), (c) encode/LUT run against the RESIDUAL
+    * codewords (the LUT from the FULL query subvectors — q·r̂ term),
+    * and (d) the score adds q·centroid(cell) AFTER the left-associated
+    * ADC chain, mirroring the engine's `pqAdc + qc` order. */
+  private val ivfpqResidualOracle =
+    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       nn0 AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+               FROM n),
+       js AS (SELECT unnest(range(0, $pqM)) AS j),
+       pp AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS nlist,
+                     greatest(1, (greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) + 3) // 4)
+                       AS nprobe
+              FROM nn0),
+       cseed AS (
+         SELECT vec_id, nv FROM (
+           SELECT vec_id, nv,
+                  row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                                     vec_id) AS rn
+           FROM nn0)
+         WHERE rn <= (SELECT nlist FROM pp)),
+       cents AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, nv AS cv
+         FROM cseed),
+       assign AS (
+         SELECT vec_id, cid FROM (
+           SELECT nn.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY nn.vec_id
+                    ORDER BY list_dot_product(nn.nv, c.cv) DESC, c.cid ASC) AS rn
+           FROM nn0 nn CROSS JOIN cents c)
+         WHERE rn = 1),
+       probes AS (
+         SELECT qid, cid FROM (
+           SELECT nn.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY nn.vec_id
+                    ORDER BY list_dot_product(nn.nv, c.cv) DESC, c.cid ASC) AS rn
+           FROM nn0 nn CROSS JOIN cents c
+           WHERE nn.vec_id <= 7)
+         WHERE rn <= (SELECT nprobe FROM pp)),
+       rseed AS (
+         SELECT vec_id, nv FROM (
+           SELECT vec_id, nv,
+                  row_number() OVER (ORDER BY substr(md5('r' || CAST(vec_id AS VARCHAR)), 1, 8),
+                                     vec_id) AS rn
+           FROM nn0)
+         WHERE rn <= $pqKsub),
+       rres AS (
+         SELECT r.vec_id, list_transform(r.nv, (x, i) -> x - c.cv[i]) AS rv
+         FROM rseed r
+         JOIN (SELECT vec_id, cid FROM (
+                 SELECT r2.vec_id, c2.cid,
+                        row_number() OVER (PARTITION BY r2.vec_id
+                          ORDER BY list_dot_product(r2.nv, c2.cv) DESC, c2.cid ASC) AS rn
+                 FROM rseed r2 CROSS JOIN cents c2) t WHERE rn = 1) a
+           ON a.vec_id = r.vec_id
+         JOIN cents c ON c.cid = a.cid),
+       rcb AS (
+         SELECT CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
+                j, rv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS cs
+         FROM rres CROSS JOIN js),
+       cres AS (
+         SELECT nn.vec_id, list_transform(nn.nv, (x, i) -> x - c.cv[i]) AS rv
+         FROM nn0 nn JOIN assign a ON a.vec_id = nn.vec_id
+         JOIN cents c ON c.cid = a.cid),
+       csub AS (
+         SELECT vec_id, j, rv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
+         FROM cres CROSS JOIN js),
+       renc AS (
+         SELECT vec_id, j, code FROM (
+           SELECT s.vec_id, s.j, c.code,
+                  row_number() OVER (PARTITION BY s.vec_id, s.j
+                    ORDER BY list_dot_product(s.xs, c.cs)
+                               - list_dot_product(c.cs, c.cs)/2 DESC,
+                             c.code ASC) AS rn
+           FROM csub s JOIN rcb c ON c.j = s.j) t
+         WHERE rn = 1),
+       qsub AS (
+         SELECT vec_id, j, nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
+         FROM nn0 CROSS JOIN js WHERE vec_id <= 7),
+       rlut AS (
+         SELECT q.vec_id AS qid, q.j, c.code, list_dot_product(q.xs, c.cs) AS dp
+         FROM qsub q JOIN rcb c ON c.j = q.j),
+       cand AS (
+         SELECT p2.qid, a.vec_id AS nid, list_dot_product(qn.nv, c.cv) AS qc
+         FROM assign a JOIN probes p2 ON a.cid = p2.cid
+         JOIN nn0 qn ON qn.vec_id = p2.qid
+         JOIN cents c ON c.cid = a.cid
+         WHERE a.vec_id != p2.qid),
+       sc AS (
+         SELECT l.qid, e.vec_id AS nid, l.j, l.dp, cand.qc
+         FROM renc e JOIN rlut l ON l.j = e.j AND l.code = e.code
+         JOIN cand ON cand.qid = l.qid AND cand.nid = e.vec_id),
+       scores AS (
+         SELECT qid, nid,
+                CAST(floor(($pqAdcSum + max(qc)) * 10000) AS BIGINT) AS adc_bp
+         FROM sc GROUP BY 1, 2)
+       SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, adc_bp
+       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY adc_bp DESC, nid ASC) AS rn
+             FROM scores)
+       WHERE rn <= 10
+       ORDER BY query_id, rank"""
 
   /** BPE training replay: the word-frequency CTE once, then one
     * GENERATED stage per merge step — pair counts from adjacent symbols,
@@ -4100,6 +4254,7 @@ object PipelineQueries {
     // the deterministic quantized pipeline itself, exactly.
     "q_ann_pq" -> pqTopKOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
+    "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
 
     // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
     // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is
@@ -4493,15 +4648,16 @@ object PipelineQueries {
          WHERE bit_count(xor(a.h, b.h)) <= 3
          ORDER BY i, j""",
 
-    // mixed-corpus ground truth: doc_id % 4 routes WAV/PNG/GIF/TIFF
+    // mixed-corpus ground truth: doc_id % 5 routes WAV/PNG/GIF/TIFF/FLAC
     // through the sniff chain; every format decodes back to the exact
     // (ASCII-projected, padded) text bytes, so mean·100 is the byte sum
     "q_multimodal_decode" ->
       """SELECT doc_id,
-                CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'png'
-                     WHEN 2 THEN 'gif' ELSE 'tiff' END AS format,
-                CASE WHEN doc_id % 4 = 0 THEN 1 END AS channels,
-                CASE WHEN doc_id % 4 = 0 THEN 8000 END AS sample_rate,
+                CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'png'
+                     WHEN 2 THEN 'gif' WHEN 3 THEN 'tiff' ELSE 'flac'
+                     END AS format,
+                CASE WHEN doc_id % 5 IN (0, 4) THEN 1 END AS channels,
+                CASE WHEN doc_id % 5 IN (0, 4) THEN 8000 END AS sample_rate,
                 CAST(100 AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(range(1, 101),
                      i -> ascii(substr(rpad(substr(regexp_replace(text,
@@ -4527,6 +4683,17 @@ object PipelineQueries {
     "q_png_decode" ->
       """SELECT doc_id, 'png' AS format, 16 AS width, 1 AS height,
                 CAST(16 AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(range(1, 17),
+                     i -> ascii(substr(rpad(substr(regexp_replace(text,
+                                '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
+                                       CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
+         FROM documents ORDER BY doc_id""",
+
+    // FLAC ground truth: lossless decode returns the exact source
+    // samples (= the text bytes) — same byte-sum replay, audio columns
+    "q_flac_decode" ->
+      """SELECT doc_id, 'flac' AS format, 1 AS channels,
+                8000 AS sample_rate, CAST(16 AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(range(1, 17),
                      i -> ascii(substr(rpad(substr(regexp_replace(text,
                                 '[^ -~]', '', 'g'), 1, 16), 16, 'x'),

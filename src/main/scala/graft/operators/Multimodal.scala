@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *    markers), PNG ([[Png]]: JDK-Inflater zlib + all five scanline
   *    filters + palette, both non-interlaced and Adam7-interlaced,
   *    depths 8 and 16), GIF ([[Gif]]: LZW + palette, interlace, first
-  *    frame), and baseline TIFF ([[Tif]]: IFD walk, strips,
+  *    frame), baseline TIFF ([[Tif]]: IFD walk, strips,
   *    none/LZW/deflate/PackBits, predictor, gray/RGB/palette, both
-  *    byte orders) — the four most common raster formats.
-  *  - Formats still needing an external codec (MP3/H.264…,
-  *    progressive JPEG) fall back to the DETERMINISTIC STUB kernels
+  *    byte orders) — the four most common raster formats — and FLAC
+  *    ([[Flac]]: rice residuals, fixed/LPC predictors, stereo
+  *    decorrelation, CRC-verified frames), lossless compressed audio.
+  *  - Formats still needing an external codec (MP3/H.264…)
+  *    fall back to the DETERMINISTIC STUB kernels
   *    (this environment ships no codecs — see the builder contract);
   *    every stub is marked `STUB:` and has the exact signature,
   *    batching shape, and partitioning a real codec (JNI/FFI or
@@ -418,6 +420,19 @@ object Multimodal {
         if (d.rgb.length == 0) 0.0 else s / d.rgb.length)
     }
 
+  /** FLAC decode ([[Flac.decode]] — pure-JVM bit-math: frame walk,
+    * rice residuals, fixed/LPC predictors, stereo decorrelation, CRC
+    * verification; lossless): same statistic shape as [[wavDecode]] —
+    * mean over ALL decoded samples, n_samples = per-channel frames. */
+  private[operators] def flacDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    Flac.decode(b).map { d =>
+      var s = 0.0; var i = 0
+      while (i < d.samples.length) { s += d.samples(i); i += 1 }
+      MediaDecoded(doc, "flac", Some(d.channels), Some(d.sampleRate), None, None,
+        d.samples.length.toLong / d.channels,
+        if (d.samples.length == 0) 0.0 else s / d.samples.length)
+    }
+
   /** TIFF decode ([[Tif.decode]] — pure-JVM IFD walk + strip
     * decompression, lossless): mean over gray pixels for 1-component
     * images, over RGB channel bytes otherwise. */
@@ -432,7 +447,7 @@ object Multimodal {
     }
 
   /** Real decode pass: sniffs the payload's magic bytes and decodes
-    * WAV/BMP/PPM/JPEG/PNG/GIF/TIFF with the pure byte-math decoders above;
+    * WAV/FLAC/BMP/PPM/JPEG/PNG/GIF/TIFF with the pure byte-math decoders above;
     * any other (or malformed) payload degrades to the `"unknown"` stub
     * row instead of throwing — a poison payload must never kill a
     * 100 TB scan. Same partition-local, iterator-to-iterator batch
@@ -444,6 +459,7 @@ object Multimodal {
         it.map { r =>
           val b = if (r.payload == null) Array.emptyByteArray else r.payload
           wavDecode(r.doc_id, b)
+            .orElse(flacDecode(r.doc_id, b))
             .orElse(bmpDecode(r.doc_id, b))
             .orElse(ppmDecode(r.doc_id, b))
             .orElse(jpegDecode(r.doc_id, b))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Gif, Jpeg, Multimodal, Png, Tif}
+import graft.operators.{Flac, Gif, Jpeg, Multimodal, Png, Tif}
 
 /** Adversarial hardening for the pure-JVM codec family beyond the
   * per-format fixtures in MultimodalSpec: seeded random roundtrip
@@ -33,6 +33,11 @@ class CodecSpec extends AnyFunSuite {
       val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
       assert(Png.decode(Png.encodeRgb(rgb, w, h)).get.rgb.toSeq === rgb.toSeq,
         s"png rgb ${w}x$h")
+      // FLAC (audio lossless): random 16-bit samples, random block split
+      val au = Array.fill(w * h)(rnd.nextInt(65536) - 32768)
+      val blk = 1 + rnd.nextInt(au.length)
+      val dFlac = Flac.decode(Flac.encodeMono(au, 8000, 16, blockSize = blk)).get
+      assert(dFlac.samples.toSeq === au.toSeq, s"flac n=${au.length} blk=$blk")
     }
     // JPEG's exact contract is the quality-100 constant-block device:
     // random CONSTANT 8×8 blocks roundtrip exactly at random grid sizes
@@ -62,7 +67,8 @@ class CodecSpec extends AnyFunSuite {
       Tif.encodeGray(text, 100, 1),
       Jpeg.encodeGray(Array.tabulate(8 * 128)(i => text(((i % 128) / 8) % 100)),
         128, 8, quality = 90),
-      Multimodal.wavHeaderPcm8Mono(100) ++ text.map(_.toByte))
+      Multimodal.wavHeaderPcm8Mono(100) ++ text.map(_.toByte),
+      Flac.encodeMono(text, 8000, 16, blockSize = 32))
     val mutated = for {
       (base, bi) <- bases.zipWithIndex
       trial <- 0 until 300

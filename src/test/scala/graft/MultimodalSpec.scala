@@ -1362,4 +1362,191 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.n_samples === 40L)
     assert(math.abs(r.mean_value - px.sum.toDouble / 40) < 1e-9)
   }
+
+  // ------------------------------------------------------------- FLAC
+  import graft.operators.Flac
+
+  test("flac: encoder→decoder roundtrip is EXACT across waveforms, sizes, bps") {
+    val rnd = new scala.util.Random(0xf1ac)
+    val shapes: Seq[(String, Int => Array[Int])] = Seq(
+      ("const", n => Array.fill(n)(123)),
+      ("ramp", n => Array.tabulate(n)(i => i * 3 - 50)),          // fixed-1/2 wins
+      ("rand", n => Array.fill(n)(rnd.nextInt(256) - 128)),       // verbatim-ish
+      ("sine", n => Array.tabulate(n)(i => (1000 * math.sin(i * 0.1)).toInt)),
+      ("steps", n => Array.tabulate(n)(i => (i / 7) * 100)),
+      ("text", n => Array.tabulate(n)(i => (i * 37 + 11) % 95 + 32)))
+    for ((nm, f) <- shapes; n <- Seq(1, 2, 15, 16, 17, 100, 5000);
+         bps <- Seq(8, 16)) {
+      val lim = 1 << (bps - 1)
+      val src = f(n).map(v => math.max(-lim, math.min(lim - 1, v)))
+      val enc = Flac.encodeMono(src, 8000, bps, blockSize = 64)
+      val d = Flac.decode(enc).getOrElse(fail(s"$nm n=$n bps=$bps: decode failed"))
+      assert(d.samples.toSeq === src.toSeq, s"$nm n=$n bps=$bps")
+      assert(d.channels === 1 && d.bps === bps && d.sampleRate === 8000)
+    }
+  }
+
+  test("flac: all four stereo layouts (independent + 3 decorrelations) roundtrip EXACTLY") {
+    val rnd = new scala.util.Random(0x57e5e0)
+    for (mode <- Seq(0, 8, 9, 10); n <- Seq(1, 33, 500)) {
+      val src = Array.fill(n * 2)(rnd.nextInt(65536) - 32768)
+      val enc = Flac.encodeStereo(src, 44100, 16, blockSize = 128, stereoMode = mode)
+      val d = Flac.decode(enc).getOrElse(fail(s"mode=$mode n=$n: decode failed"))
+      assert(d.samples.toSeq === src.toSeq, s"mode=$mode n=$n")
+      assert(d.channels === 2)
+    }
+  }
+
+  test("flac: fixed predictors + rice actually engage — smooth signal compresses") {
+    // not just a verbatim container: a smooth 16-bit signal must come
+    // out far below raw size, and still decode EXACTLY
+    val smooth = Array.tabulate(8000)(i => (3000 * math.sin(i * 0.01)).toInt)
+    val enc = Flac.encodeMono(smooth, 8000, 16)
+    assert(enc.length < smooth.length * 2 * 0.4,
+      s"no compression: ${enc.length} vs raw ${smooth.length * 2}")
+    assert(Flac.decode(enc).get.samples.toSeq === smooth.toSeq)
+  }
+
+  /** Test-local MSB-first bit writer for hand-building decoder-only
+    * feature streams (LPC, escape partitions, wasted bits). */
+  private final class Bw {
+    val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var n = 0
+    def put(bits: Int, v: Long): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt; n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (n > 0) put(8 - n, 0L)
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** Hand-build a complete one-frame mono FLAC stream around the given
+    * subframe-writer (which sees the block size). */
+  private def mkFlac(blockSize: Int, bps: Int, subframe: Bw => Unit): Array[Byte] = {
+    val head = new java.io.ByteArrayOutputStream()
+    head.write('f'); head.write('L'); head.write('a'); head.write('C')
+    val si = new Bw
+    si.put(16, blockSize); si.put(16, blockSize)
+    si.put(24, 0); si.put(24, 0)
+    si.put(20, 8000); si.put(3, 0); si.put(5, bps - 1)
+    si.put(36, blockSize)
+    for (_ <- 0 until 16) si.put(8, 0)
+    val siB = si.bytes
+    head.write(0x80); head.write(0); head.write(0); head.write(siB.length)
+    head.write(siB, 0, siB.length)
+    val fh = new Bw
+    fh.put(14, 0x3ffe); fh.put(1, 0); fh.put(1, 0)
+    fh.put(4, 7); fh.put(4, 0)          // 16-bit bs follows; rate from SI
+    fh.put(4, 0)                          // mono
+    fh.put(3, bps match { case 8 => 1; case 16 => 4; case _ => 0 })
+    fh.put(1, 0)
+    fh.put(8, 0)                          // frame number 0
+    fh.put(16, blockSize - 1)
+    val fhB = fh.bytes
+    val body = new Bw
+    fhB.foreach(x => body.put(8, x & 0xff))
+    body.put(8, Flac.crc8(fhB, 0, fhB.length))
+    subframe(body)
+    body.align()
+    val bodyB = body.bytes
+    val full = new Bw
+    bodyB.foreach(x => full.put(8, x & 0xff))
+    full.put(16, Flac.crc16(bodyB, 0, bodyB.length))
+    head.write(full.bytes, 0, full.bytes.length)
+    head.toByteArray
+  }
+
+  test("flac: hand-built LPC subframe decodes to the spec recurrence exactly") {
+    // order-2 LPC, precision 6, shift 4, coefs (30, -14): the decoder
+    // must reproduce x[i] = res[i] + ((30·x[i-1] − 14·x[i-2]) >> 4)
+    val bs = 32; val coefs = Array(30, -14); val shift = 4
+    val warm = Array(100, 103)
+    val res = Array.tabulate(bs - 2)(i => (i % 7) - 3)
+    val enc = mkFlac(bs, 16, { w =>
+      w.put(1, 0); w.put(6, 32 + 1)      // LPC, order 2 (code 100001)
+      w.put(1, 0)                          // no wasted bits
+      warm.foreach(v => w.put(16, v.toLong & 0xffff))
+      w.put(4, 6 - 1)                      // precision 6
+      w.put(5, shift.toLong & 0x1f)
+      coefs.foreach(c => w.put(6, c.toLong & 0x3f))
+      w.put(2, 0); w.put(4, 0)            // rice method 0, partition order 0
+      w.put(4, 3)                          // rice param 3
+      res.foreach { v =>
+        val u = ((v.toLong << 1) ^ (v.toLong >> 63))
+        w.put(((u >>> 3) + 1).toInt, 1L)  // q zeros + stop bit
+        w.put(3, u & 7)
+      }
+    })
+    val want = new Array[Int](bs)
+    want(0) = 100; want(1) = 103
+    for (i <- 2 until bs)
+      want(i) = res(i - 2) + ((30L * want(i - 1) - 14L * want(i - 2)) >> 4).toInt
+    val d = Flac.decode(enc).getOrElse(fail("LPC stream rejected"))
+    assert(d.samples.toSeq === want.toSeq)
+  }
+
+  test("flac: escape (raw) partitions and wasted bits decode per spec") {
+    // verbatim-coded residual partition (escape param) under fixed-0,
+    // plus a wasted-bits subframe: both decoder-only paths
+    val bs = 16
+    val vals = Array.tabulate(bs)(i => i * 5 - 40)
+    val escEnc = mkFlac(bs, 16, { w =>
+      w.put(1, 0); w.put(6, 8)            // FIXED order 0
+      w.put(1, 0)
+      w.put(2, 0); w.put(4, 0)            // method 0, po 0
+      w.put(4, 15)                          // ESCAPE
+      w.put(5, 9)                           // raw 9-bit residuals
+      vals.foreach(v => w.put(9, v.toLong & 0x1ff))
+    })
+    assert(Flac.decode(escEnc).get.samples.toSeq === vals.toSeq)
+    // wasted bits: constant subframe, 1 wasted bit → value << 1
+    val wastedEnc = mkFlac(bs, 16, { w =>
+      w.put(1, 0); w.put(6, 0)            // CONSTANT
+      w.put(1, 1); w.put(1, 1)            // wasted flag; unary 0 → wasted=1
+      w.put(15, 21L)                        // eff bps = 15
+    })
+    assert(Flac.decode(wastedEnc).get.samples.toSeq === Array.fill(bs)(42).toSeq)
+  }
+
+  test("flac: poison payloads return None, never throw — and never hang") {
+    assert(Flac.decode(Array.emptyByteArray).isEmpty)
+    assert(Flac.decode("not a flac".getBytes).isEmpty)
+    val src = Array.tabulate(100)(i => (i * 37 + 11) % 95 + 32)
+    val good = Flac.encodeMono(src, 8000, 16, blockSize = 32)
+    assert(Flac.decode(good).nonEmpty)
+    // truncation at every 7th byte degrades to None
+    for (cut <- 4 until good.length by 7)
+      assert(Flac.decode(good.take(cut)).isEmpty, s"cut=$cut")
+    // corrupted frame byte → CRC mismatch → None (not wrong samples)
+    val bad = good.clone()
+    bad(good.length - 9) = (bad(good.length - 9) ^ 0x5a).toByte
+    assert(Flac.decode(bad).isEmpty)
+    // hostile stream: a small file whose repeated cheap frames claim
+    // ~400M samples must trip the cap, not allocate per its headers
+    val one = Flac.encodeMono(Array.fill(65535)(7), 8000, 16, blockSize = 65535)
+    val siLen = 4 + 4 + 34
+    val frame = one.drop(siLen)
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write(one, 0, siLen)
+    for (_ <- 0 until 3000) bomb.write(frame, 0, frame.length)
+    val t0 = System.nanoTime()
+    assert(Flac.decode(bomb.toByteArray).isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "cap must trip fast")
+  }
+
+  test("flac: Multimodal.decode sniffs and decodes flac payloads in-line") {
+    val px = Array.tabulate(48)(i => (i * 21 + 6) % 256)
+    val enc = Flac.encodeMono(px, 8000, 16)
+    val media = Seq((14L, "audio", enc.length.toLong, enc))
+      .toDF("doc_id", "modality", "byte_len", "payload")
+    val r = Multimodal.decode(media).collect().head
+    assert(r.format === "flac")
+    assert(r.channels === Some(1) && r.sample_rate === Some(8000))
+    assert(r.n_samples === 48L)
+    assert(math.abs(r.mean_value - px.sum.toDouble / 48) < 1e-9)
+  }
 }
