@@ -340,6 +340,25 @@ object TimesearchQueries {
       table.current.orderBy("idstr")
     }),
 
+    // Version-range CDC over the versioned store — UpsertTable.changes,
+    // the table_changes()/Delta-CDF analog: seed publishes v0, one
+    // upsert batch publishes v1, and changes(0, 1) classifies every key
+    // whose row differs between the two snapshots (insert = key new at
+    // v1, update = any non-key column changed; upserts never drop keys,
+    // so delete is structurally absent here). The read is
+    // manifest-pruned to the re-pointed buckets. Oracle: derive both
+    // snapshots relationally (v0 = the old store, v1 = the q_merge_upsert
+    // replay) and re-classify — the q_table_diff device over time travel.
+    "q_table_changes" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_changes")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                            // v0
+      table.merge(newComments(s, dir), "_seq", storeEdits = Some(false)) // v1
+      table.changes(0L, 1L).orderBy("kind", "idstr")
+    }),
+
     // J2+A5+P5 — the batch upsert merge: final table state.
     "q_merge_upsert" -> ((s, dir) => {
       Merge.upsert(oldComments(s, dir), newComments(s, dir),
@@ -891,7 +910,10 @@ object TimesearchQueries {
   /** Final-table state of the old+new comment merge — shared by the batch
     * (q_merge_upsert) and streaming (q_stream_upsert) paths, which must
     * produce identical tables. */
-  private val upsertOracle: String =
+  /** The old/new comment-store CTEs (oldComments/newComments mirrored)
+    * and the merge SELECT, shared by the upsert oracle and the
+    * version-range CDC oracle (which time-travels between them). */
+  private val oldNewCtes: String =
     """WITH old AS (
          SELECT CAST(event_id AS BIGINT) AS idint, 'e'||event_id AS idstr,
                 user_id AS created, 'u'||user_id AS author,
@@ -909,8 +931,10 @@ object TimesearchQueries {
                 CAST(round(value*100) AS BIGINT) + 1 AS score, 'sub' AS subreddit,
                 CAST(NULL AS VARCHAR) AS distinguish,
                 CAST(length(CASE WHEN event_id % 5 = 0 THEN '[removed]' ELSE props||'-v2' END) AS BIGINT) AS textlen
-         FROM events WHERE event_id % 2 = 0)
-       SELECT COALESCE(o.idint, n.idint) AS idint,
+         FROM events WHERE event_id % 2 = 0)"""
+
+  private val mergedSelect: String =
+    """SELECT COALESCE(o.idint, n.idint) AS idint,
               COALESCE(o.idstr, n.idstr) AS idstr,
               COALESCE(o.created, n.created) AS created,
               COALESCE(o.author, n.author) AS author,
@@ -927,8 +951,38 @@ object TimesearchQueries {
               COALESCE(o.subreddit, n.subreddit) AS subreddit,
               COALESCE(o.distinguish, n.distinguish) AS distinguish,
               COALESCE(o.textlen, n.textlen) AS textlen
-       FROM old o FULL OUTER JOIN new n ON o.idstr = n.idstr
+       FROM old o FULL OUTER JOIN new n ON o.idstr = n.idstr"""
+
+  private val upsertOracle: String =
+    s"""$oldNewCtes
+       $mergedSelect
        ORDER BY idstr"""
+
+  /** changes(0, 1) replay: v0 = old, v1 = the merge result; full-outer
+    * re-join classifies insert/update (delete is structurally absent for
+    * an upsert-only table), with before_/after_ flattening. */
+  private val tableChangesOracle: String = {
+    val cols = Seq("idint", "created", "author", "parent", "submission",
+      "body", "score", "subreddit", "distinguish", "textlen")
+    val beforeAfter = (cols.map(c => s"o.$c AS before_$c") ++
+      cols.map(c => s"m.$c AS after_$c")).mkString(",\n                ")
+    val differs = cols.map(c => s"o.$c IS DISTINCT FROM m.$c")
+      .mkString("\n                   OR ")
+    val outCols = (cols.map(c => s"before_$c") ++ cols.map(c => s"after_$c"))
+      .mkString(", ")
+    s"""$oldNewCtes,
+       merged AS (
+         $mergedSelect),
+       d AS (
+         SELECT COALESCE(o.idstr, m.idstr) AS idstr,
+                $beforeAfter,
+                CASE WHEN o.idstr IS NULL THEN 'insert'
+                     WHEN m.idstr IS NULL THEN 'delete'
+                     WHEN $differs THEN 'update' END AS kind
+         FROM old o FULL OUTER JOIN merged m ON o.idstr = m.idstr)
+       SELECT kind, idstr, $outCols FROM d WHERE kind IS NOT NULL
+       ORDER BY kind, idstr"""
+  }
 
   /** subs CTE shared by the q_index_* oracles. */
   private val indexSubsCte: String =
@@ -1028,6 +1082,7 @@ object TimesearchQueries {
 
   private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
+    "q_table_changes" -> tableChangesOracle,
 
     // Golden-file oracle: rendered HTML has no relational recomputation,
     // so the ground truth is the committed (idstr, html_len, html_md5)

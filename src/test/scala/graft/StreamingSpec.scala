@@ -627,6 +627,90 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(table.at(99).count() === 0 && table.at(-1).count() === 0)
   }
 
+  test("changes(v1, v2): version-range CDC — kinds, net-of-range, endpoints, flat + partitioned") {
+    for (part <- Seq(None, Some(Livestream.keyBucket(nBuckets = 4)))) {
+      val table = new Livestream.UpsertTable(spark, tmp("cdc1"),
+        Merge.comments, Seq.empty[C].toDF(), partitioning = part)
+      def m(rows: C*): Unit = table.merge(rows.toDF()
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+      m(c(1, "a", 1), c(2, "b", 2))                     // v0
+      m(c(2, "b2", 3), c(3, "x", 1))                    // v1
+      m(c(2, "b3", 4))                                   // v2
+      def kinds(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("idstr"), r.getAs[String]("kind"))).toMap
+      // one step: key 2 updated, key 3 inserted, key 1 untouched
+      val k01 = kinds(table.changes(0, 1))
+      assert(k01 === Map("t1_2" -> "update", "t1_3" -> "insert"))
+      // before/after carry the snapshots
+      val u = table.changes(0, 1).filter(col("idstr") === "t1_2").head()
+      assert(u.getAs[String]("before_body") === "b" &&
+        u.getAs[String]("after_body") === "b2")
+      assert(u.getAs[Long]("before_score") === 2L &&
+        u.getAs[Long]("after_score") === 3L)
+      // multi-batch range nets to the ENDPOINTS: key 2 is ONE update
+      // a→b3 (not a replay of b→b2→b3), key 3 one insert at final state
+      val k02 = kinds(table.changes(0, 2))
+      assert(k02 === Map("t1_2" -> "update", "t1_3" -> "insert"))
+      assert(table.changes(0, 2).filter(col("idstr") === "t1_2").head()
+        .getAs[String]("after_body") === "b3")
+      // full-snapshot baseline and empty range
+      assert(kinds(table.changes(-1, 0)).values.toSet === Set("insert"))
+      assert(table.changes(-1, 0).count() === 2)
+      assert(table.changes(1, 1).count() === 0)
+      // upsert tables never drop keys: delete is structurally absent
+      assert(kinds(table.changes(-1, 2)).values.toSet.subsetOf(Set("insert", "update")))
+      // descending range refused
+      intercept[IllegalArgumentException](table.changes(2, 0))
+    }
+  }
+
+  test("changes is manifest-pruned: only re-pointed buckets are read") {
+    val table = new Livestream.UpsertTable(spark, tmp("cdc2"),
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    // seed spreads 64 keys over all 8 buckets
+    table.seed((1L to 64L).map(i => c(i, s"b$i", i)).toDF())     // v0
+    // one-key batch touches exactly ONE bucket
+    table.merge(Seq(c(7, "edited", 99)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false)) // v1
+    val touched = Livestream.keyBucketValue("t1_7", 8)
+    val ch = table.changes(0, 1)
+    // physical read set: both endpoint leaves of the touched bucket ONLY
+    // — not 2 × 8 buckets (the manifest-pruned scale contract)
+    val files = ch.inputFiles.toSeq
+    assert(files.nonEmpty &&
+      files.forall(_.contains(s"pt=$touched")),
+      s"expected only bucket pt=$touched, read:\n${files.mkString("\n")}")
+    assert(files.exists(_.contains("v=0")) && files.exists(_.contains("v=1")))
+    // and the result is still exactly the one update
+    val rows = ch.collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("kind") === "update" &&
+      rows.head.getAs[String]("after_body") === "edited")
+  }
+
+  test("changes across a compaction version is empty; vacuumed base throws, never misreports") {
+    val table = new Livestream.UpsertTable(spark, tmp("cdc3"),
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    def m(rows: C*): Unit = table.merge(rows.toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+    m(c(1, "a", 1)); m(c(2, "b", 2)); m(c(1, "a2", 3))   // v0, v1, v2
+    // compaction republishes identical DATA under a new version: the
+    // manifest re-points (so buckets are re-read) but the row diff is
+    // empty — CDC over an optimize step reports no changes
+    table.optimize(maxFiles = 1)
+    val vAfter = table.currentVersion
+    if (vAfter > 2) assert(table.changes(2, vAfter).count() === 0)
+    // vacuum the early versions: a CDC read from a vacuumed base must
+    // throw (a silent empty base would misclassify the table as inserts)
+    table.vacuum(keep = 1)
+    assert(!table.versionAvailable(0))
+    val e = intercept[IllegalArgumentException](table.changes(0, vAfter))
+    assert(e.getMessage.contains("vacuumed"))
+    // re-baselining from scratch still works
+    assert(table.changes(-1, vAfter).count() === 2)
+  }
+
   test("vacuum drops old table versions, keeps current + CDC history") {
     val dir = tmp("tbl5")
     val table = new Livestream.UpsertTable(spark, dir,
