@@ -708,6 +708,24 @@ object TimesearchQueries {
         .orderBy("event_id")
     }),
 
+    // File-level zone maps over the z-ordered layout: writeZOrdered
+    // gives every file a tight bounding box in BOTH interleaved
+    // dimensions, the ZoneMap sidecar records per-file min/max, and
+    // scanRange hands Spark ONLY the intersecting files (driver-side
+    // file skipping — the Delta/Iceberg stats device; the file-count
+    // drop is asserted in StoreSpec, the RESULT is what hash-gates
+    // here: pruning must lose nothing).
+    "q_zonemap_scan" -> ((s, dir) => {
+      val base = s"/tmp/graft_zonemap/${new java.io.File(dir).getName}"
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"), tsSec(raw).as("t"),
+        cents(col("value")).as("value_c"))
+      graft.sources.ZOrder.writeZOrdered(ev, "user_id", "t", base, numFiles = 16)
+      graft.sources.ZoneMap.build(s, base, Seq("user_id", "t"))
+      graft.sources.ZoneMap.scanRange(s, base, "user_id", 20L, 39L)
+        .orderBy("event_id")
+    }),
+
     // Engine extension: ordered-funnel analysis (view -> click ->
     // purchase) — stage k counts only events strictly after stage k-1;
     // events shuffle ONCE on user, each stage reuses the clustering.
@@ -1852,6 +1870,12 @@ object TimesearchQueries {
          SELECT event_id, user_id, t,
                 CAST(${graft.sources.ZOrder.interleaveSql("ba", "bb", 8)} AS BIGINT) AS zval
          FROM bk ORDER BY event_id"""),
+
+    // zone-map pruned scan loses nothing: plain range filter over events
+    "q_zonemap_scan" ->
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                CAST(round(value*100) AS BIGINT) AS value_c
+         FROM events WHERE user_id BETWEEN 20 AND 39 ORDER BY event_id""",
 
     "q_window_agg" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS w_start,

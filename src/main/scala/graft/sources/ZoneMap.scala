@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps (per-file min/max sidecar) + a scan path that
+  * prunes FILES before Spark sees them — the Delta/Iceberg
+  * file-statistics device. Parquet row-group stats already skip row
+  * groups, but only AFTER the scan has listed every file and opened
+  * every footer; at 10⁵ files per table that listing/footer pass is the
+  * read cost. A driver-side sidecar (one line per file × column) lets a
+  * selective range scan hand Spark ONLY the intersecting files.
+  *
+  * Zone maps pay off exactly when the layout CLUSTERS the stat column —
+  * [[ZOrder.writeZOrdered]]'s range-partitioned files have tight
+  * bounding boxes in both interleaved dimensions, which is where the
+  * sidecar turns into real file skipping (StoreSpec asserts the drop).
+  * On an unclustered layout the stats are wide and pruning degrades to
+  * a no-op — CORRECTNESS never depends on the map: files missing from
+  * the sidecar, or with null/unparseable stats, are always kept.
+  *
+  * Stats travel as strings; `long` columns compare numerically, `string`
+  * columns compare in UTF-8 BYTE order — the order Spark's min/max
+  * (UTF8String) and parquet binary stats use. Java's String.compareTo
+  * (UTF-16 code units) disagrees above U+FFFF, so the comparison here is
+  * explicitly over UTF-8 bytes.
+  */
+object ZoneMap {
+
+  /** Sidecar directory name, next to the data files. */
+  val Dir = "_zonemap"
+
+  /** One file × column stat. `typ` ∈ long | string; `mn`/`mx` are the
+    * encoded bounds, null-state flagged separately (an all-null column
+    * still names the file so it is recognized as covered). */
+  final case class Stat(file: String, col: String, typ: String,
+      hasBounds: Boolean, mn: String, mx: String)
+
+  /** Per-file min/max of `cols` over the frame — ONE pass, one
+    * files-sized aggregate (the codebook-sized collect contract: stats,
+    * not data, reach the driver). The frame must be a parquet scan so
+    * `input_file_name()` is populated. */
+  def fileStats(df: DataFrame, cols: Seq[String]): Seq[Stat] = {
+    val types = cols.map { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => "long"
+        case org.apache.spark.sql.types.StringType => "string"
+        case other => throw new IllegalArgumentException(
+          s"zone map column $c: unsupported type $other (long/string only)")
+      }
+    }
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val rows = df.select(input_file_name().as("_zf") +: cols.map(col): _*)
+      .groupBy("_zf").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.toSeq.flatMap { r =>
+      val file = r.getString(0)
+      cols.zip(types).zipWithIndex.map { case ((c, t), i) =>
+        val mnAny = r.get(1 + 2 * i); val mxAny = r.get(2 + 2 * i)
+        if (mnAny == null || mxAny == null) Stat(file, c, t, hasBounds = false, "", "")
+        else Stat(file, c, t, hasBounds = true, mnAny.toString, mxAny.toString)
+      }
+    }
+  }
+
+  private def enc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '%' => sb.append("%25")
+      case '\t' => sb.append("%09")
+      case '\n' => sb.append("%0a")
+      case '\r' => sb.append("%0d")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def dec(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Atomic sidecar write (tmp + rename), replacing any previous map. */
+  def write(dataDir: String, stats: Seq[Stat]): Unit = {
+    val dir = Paths.get(dataDir, Dir)
+    Files.createDirectories(dir)
+    val body = stats.map(s => Seq(enc(s.file), enc(s.col), s.typ,
+      if (s.hasBounds) "1" else "0", enc(s.mn), enc(s.mx)).mkString("\t"))
+      .mkString("\n")
+    val tmp = dir.resolve("stats.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve("stats"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(dataDir: String): Seq[Stat] = readFile(Paths.get(dataDir, Dir, "stats"))
+
+  private[graft] def readFile(f: Path): Seq[Stat] = {
+    if (!Files.exists(f)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(f).asScala.toSeq.filter(_.count(_ == '\t') == 5).flatMap { l =>
+      val p = l.split('\t')
+      // defensive: a torn line never poisons the map (file just unpruned)
+      try Some(Stat(dec(p(0)), dec(p(1)), p(2), p(3) == "1", dec(p(4)), dec(p(5))))
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** UTF-8 byte-order comparison (Spark/parquet binary string order). */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  /** Does a stat's [mn, mx] intersect the inclusive query range? Files
+    * without bounds (all-null or missing) always intersect. */
+  private def intersects(s: Stat, lo: String, hi: String): Boolean = {
+    if (!s.hasBounds) return true
+    s.typ match {
+      case "long" =>
+        try !(s.mx.toLong < lo.toLong || s.mn.toLong > hi.toLong)
+        catch { case _: NumberFormatException => true }
+      case _ => !(utf8Compare(s.mx, lo) < 0 || utf8Compare(s.mn, hi) > 0)
+    }
+  }
+
+  /** Prune a file list by the sidecar: files whose stat for `c` excludes
+    * [lo, hi] drop; files the map does not cover are KEPT (conservative —
+    * the map accelerates, never decides). Returns (kept, prunedCount). */
+  def pruneFiles(stats: Seq[Stat], allFiles: Seq[String], c: String,
+      lo: String, hi: String): (Seq[String], Int) = {
+    val byFile = stats.filter(_.col == c).map(s => s.file -> s).toMap
+    val kept = allFiles.filter(f => byFile.get(f).forall(intersects(_, lo, hi)))
+    (kept, allFiles.length - kept.length)
+  }
+
+  /** Build (or rebuild) the sidecar for a parquet directory. */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+    write(path, fileStats(spark.read.parquet(path), cols))
+
+  /** Range scan through the zone map: list once, prune files on the
+    * DRIVER, hand Spark only the survivors, and keep the residual filter
+    * (zone maps bound, they don't prove membership). Long overload. */
+  def scanRange(spark: SparkSession, path: String, c: String,
+      lo: Long, hi: Long): DataFrame =
+    scanImpl(spark, path, c, lo.toString, hi.toString,
+      col(c) >= lo && col(c) <= hi)
+
+  /** String-range overload (UTF-8 byte order, matching Spark min/max). */
+  def scanRangeString(spark: SparkSession, path: String, c: String,
+      lo: String, hi: String): DataFrame =
+    scanImpl(spark, path, c, lo, hi, col(c) >= lo && col(c) <= hi)
+
+  private def scanImpl(spark: SparkSession, path: String, c: String,
+      lo: String, hi: String,
+      residual: org.apache.spark.sql.Column): DataFrame = {
+    val full = spark.read.parquet(path)
+    val (kept, _) = pruneFiles(read(path), full.inputFiles.toSeq, c, lo, hi)
+    if (kept.isEmpty) full.filter(residual).limit(0)
+    else spark.read.schema(full.schema).parquet(kept: _*).filter(residual)
+  }
+}

@@ -272,6 +272,66 @@ object Livestream {
         .drop("change")
     }
 
+    /** Refresh the table's file-level zone map ([[graft.sources.ZoneMap]]
+      * sidecar) for the CURRENT version — a maintenance call like
+      * [[optimize]]/[[vacuum]], the Delta checkpoint-stats analog.
+      * INCREMENTAL: leaf files are immutable once published (a touched
+      * bucket gets NEW files under the new version), so only files not
+      * yet covered are aggregated — calling this after each merge costs
+      * one stats pass over the batch's touched buckets, never the table.
+      * Stats for files no longer referenced (vacuumed / compacted away /
+      * superseded) are dropped to keep the sidecar bounded by the live
+      * file count.
+      *
+      * Zone maps prune where the layout clusters the column: on a
+      * range-partitioned table a key-range scan skips whole buckets; on
+      * the default hash-bucket layout key ranges scatter and the map
+      * degrades to a no-op — correctness never depends on it (uncovered
+      * files are always read). */
+    def refreshZoneMap(cols: Seq[String]): Unit = {
+      validatePartitioning()
+      if (currentVersion < 0) return
+      val live = current.inputFiles.toSeq
+      val liveSet = live.toSet
+      val existing = graft.sources.ZoneMap.read(path)
+        .filter(s => liveSet.contains(s.file))
+      val covered = existing.map(_.file).toSet
+      val missing = live.filterNot(covered)
+      val fresh =
+        if (missing.isEmpty) Seq.empty
+        else graft.sources.ZoneMap.fileStats(
+          spark.read.option("basePath", path).schema(emptyLike.schema)
+            .parquet(missing: _*), cols)
+      graft.sources.ZoneMap.write(path, existing ++ fresh)
+    }
+
+    /** Range scan of the current version through the zone map: files
+      * whose recorded [min, max] for `c` excludes [lo, hi] are never
+      * handed to Spark; uncovered files are read (conservative). The
+      * residual predicate always applies — the map bounds, it does not
+      * prove membership. */
+    def scanRange(c: String, lo: Long, hi: Long): DataFrame =
+      scanPruned(c, lo.toString, hi.toString, col(c) >= lo && col(c) <= hi)
+
+    /** String-range overload (UTF-8 byte order — Spark's min/max order);
+      * the natural form for the merge key. */
+    def scanRangeKey(lo: String, hi: String): DataFrame = {
+      val key = emptyLike.schema.fieldNames
+        .find(_.equalsIgnoreCase(Merge.KeyCol)).get
+      scanPruned(key, lo, hi, col(key) >= lo && col(key) <= hi)
+    }
+
+    private def scanPruned(c: String, lo: String, hi: String,
+        residual: Column): DataFrame = {
+      validatePartitioning()
+      val cur = current
+      val (kept, _) = graft.sources.ZoneMap.pruneFiles(
+        graft.sources.ZoneMap.read(path), cur.inputFiles.toSeq, c, lo, hi)
+      if (kept.isEmpty) cur.filter(residual).limit(0)
+      else spark.read.option("basePath", path).schema(emptyLike.schema)
+        .parquet(kept: _*).drop("v", PartCol).filter(residual)
+    }
+
     /** Pruned read of ONE partition value (e.g. one archive target): only
       * that partition's files are listed — the partition analog of the
       * reference's open-one-SQLite-file access path. */

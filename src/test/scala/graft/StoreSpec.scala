@@ -110,6 +110,60 @@ class StoreSpec extends AnyFunSuite {
       s"z-order boxes not tight: x=$zx y=$zy (linear y=$liny)")
   }
 
+  test("zone maps: z-ordered layout prunes FILES on both dimensions; results unchanged") {
+    import graft.sources.{ZOrder, ZoneMap}
+    val n = 4000
+    val data = (0 until n).map { i =>
+      (i.toLong, (i * 48271 % 1009).toLong, (i * 16807 % 1013).toLong)
+    }.toDF("id", "x", "y")
+    val path = tmp("graft_zm")
+    ZOrder.writeZOrdered(data, "x", "y", path, numFiles = 16)
+    ZoneMap.build(spark, path, Seq("x", "y"))
+    val total = spark.read.parquet(path).inputFiles.length
+    assert(total === 16)
+    // a selective range on EITHER interleaved dimension must skip files
+    // — the z-order bounding boxes finally paying off at read time
+    for (c <- Seq("x", "y")) {
+      val pruned = ZoneMap.scanRange(spark, path, c, 100L, 250L)
+      val read = pruned.inputFiles.length
+      assert(read < total, s"$c: no files skipped ($read of $total)")
+      val want = spark.read.parquet(path)
+        .filter(col(c) >= 100L && col(c) <= 250L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === want,
+        s"$c: pruning changed the result")
+    }
+    // empty-range fast path keeps the schema
+    val none = ZoneMap.scanRange(spark, path, "x", 5000L, 6000L)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "x", "y"))
+  }
+
+  test("zone maps are advisory: missing/partial sidecar keeps every file, never wrong rows") {
+    import graft.sources.{ZOrder, ZoneMap}
+    val data = (0 until 1000).map(i => (i.toLong, (i % 97).toLong))
+      .toDF("id", "v")
+    val path = tmp("graft_zm2")
+    ZOrder.writeZOrdered(data, "v", "id", path, numFiles = 8)
+    // no sidecar at all: scanRange = plain filtered scan of every file
+    val noMap = ZoneMap.scanRange(spark, path, "v", 10L, 20L)
+    assert(noMap.inputFiles.length === 8)
+    assert(noMap.count() ===
+      spark.read.parquet(path).filter(col("v").between(10L, 20L)).count())
+    // a sidecar covering a DIFFERENT column prunes nothing for this one
+    ZoneMap.build(spark, path, Seq("id"))
+    assert(ZoneMap.scanRange(spark, path, "v", 10L, 20L).inputFiles.length === 8)
+    // string stats: UTF-8 byte-order comparison drives the pruning
+    val sPath = tmp("graft_zm3")
+    (0 until 260).map(i => (i.toLong, f"k$i%03d"))
+      .toDF("id", "k")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(sPath)
+    ZoneMap.build(spark, sPath, Seq("k"))
+    val sPruned = ZoneMap.scanRangeString(spark, sPath, "k", "k010", "k049")
+    assert(sPruned.inputFiles.length < 8, "string range skipped nothing")
+    assert(sPruned.count() === 40)
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact THROUGH the join") {
     val dir = tmp("dpp")
     // fact partitioned by target (20 partitions), dim filtered to one

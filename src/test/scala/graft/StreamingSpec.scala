@@ -711,6 +711,44 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(table.changes(-1, vAfter).count() === 2)
   }
 
+  test("UpsertTable zone maps: range-partitioned layout skips buckets; incremental refresh") {
+    // range partitioning (key-derived, key-stable) is the layout where
+    // file stats align with the data — a key-range scan skips whole
+    // buckets' files; the hash-bucket default scatters ranges and the
+    // map degrades to a documented no-op (correctness unaffected)
+    val dir = tmp("zmt")
+    val table = new Livestream.UpsertTable(spark, dir,
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some((col("idint") / lit(16L)).cast("long")))
+    table.seed((1L to 64L).map(i => c(i, s"b$i", i)).toDF())
+    table.refreshZoneMap(Seq("idint"))
+    val total = table.current.inputFiles.length
+    val pruned = table.scanRange("idint", 20L, 30L)
+    assert(pruned.inputFiles.length < total,
+      s"no pruning: ${pruned.inputFiles.length} of $total")
+    assert(pruned.collect().map(_.getAs[Long]("idint")).sorted.toSeq ===
+      (20L to 30L).toSeq)
+    // incremental refresh: one-bucket merge adds stats only for the new
+    // leaf; superseded file's entry is dropped (sidecar stays live-sized)
+    table.merge(Seq(c(21, "edited", 99)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+    table.refreshZoneMap(Seq("idint"))
+    val live = table.current.inputFiles.toSet
+    val statFiles = graft.sources.ZoneMap.read(dir)
+    assert(statFiles.map(_.file).toSet === live)
+    // scan over the refreshed map still exact
+    assert(table.scanRange("idint", 21L, 21L).head().getAs[String]("body")
+      === "edited")
+    // without stats (fresh same-layout table, no refresh): conservative
+    val bare = new Livestream.UpsertTable(spark, tmp("zmt2"),
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some((col("idint") / lit(16L)).cast("long")))
+    bare.seed((1L to 32L).map(i => c(i, s"b$i", i)).toDF())
+    val unpruned = bare.scanRange("idint", 1L, 4L)
+    assert(unpruned.inputFiles.length === bare.current.inputFiles.length)
+    assert(unpruned.count() === 4)
+  }
+
   test("vacuum drops old table versions, keeps current + CDC history") {
     val dir = tmp("tbl5")
     val table = new Livestream.UpsertTable(spark, dir,
