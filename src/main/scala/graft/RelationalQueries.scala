@@ -429,6 +429,26 @@ object RelationalQueries {
       graft.operators.Graphs.trianglesPerNode(denseEdges(s, dir), k = 20,
           broadcastMaxEdges = 0L)
         .withColumnRenamed("p", "part")
+    }),
+
+    // The capped (skew-shed) triangle close: sources whose degeneracy-
+    // ordered out-degree exceeds 64 are dropped before wedge generation
+    // (the hot-hub protection at 100 TB — a dense community's lowest
+    // corner owns its whole wedge explosion), with observe() receipts.
+    // Cap 64 is a REAL partial shed on this corpus (~half the sources at
+    // sf0.01 and sf0.1), and the oracle replays the full degree-ordered
+    // orientation + cap + close relationally, so the shed SEMANTICS —
+    // not just the surviving count — hash-gate every round.
+    "q_triangles_capped" -> ((s, dir) => {
+      val tri = graft.operators.Graphs.trianglesCapped(
+        denseEdges(s, dir), wedgeFanoutCap = 64L).localCheckpoint(false)
+      tri.select(col("a").as("p"))
+        .unionByName(tri.select(col("b").as("p")))
+        .unionByName(tri.select(col("c").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("p").asc)
+        .limit(20)
+        .withColumnRenamed("p", "part")
     })
   )
 
@@ -1019,7 +1039,8 @@ object RelationalQueries {
     "q_triangles" -> trianglesOracle,
     // the shuffle-close variant must hit the SAME ground truth — one
     // oracle, two physical close strategies
-    "q_triangles_shuffle" -> trianglesOracle
+    "q_triangles_shuffle" -> trianglesOracle,
+    "q_triangles_capped" -> trianglesCappedOracle
   )
 
   private def trianglesOracle =
@@ -1035,6 +1056,39 @@ object RelationalQueries {
            SELECT a AS p FROM tri
            UNION ALL SELECT b FROM tri
            UNION ALL SELECT c FROM tri)
+         SELECT p AS part, CAST(count(*) AS BIGINT) AS n_tri
+         FROM corners GROUP BY p
+         ORDER BY n_tri DESC, part LIMIT 20"""
+
+  /** Relational replay of [[graft.operators.Graphs.trianglesCapped]] at
+    * cap 64: unlike [[trianglesOracle]] (orientation-agnostic — any
+    * orientation enumerates the same triangle set), the CAPPED result
+    * depends on the engine's exact degeneracy order, so the oracle
+    * replays it verbatim — degrees, the packed (deg·2³² + id) key, the
+    * per-edge orientation, the outdeg ≤ 64 source filter, the kb < kc
+    * wedge pairing, and the full-edge-set close. */
+  private def trianglesCappedOracle =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT p, count(*) AS d
+                 FROM (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e)
+                 GROUP BY p),
+         kk AS (SELECT p, d * 4294967296 + p AS k FROM deg),
+         o AS (SELECT CASE WHEN du.k < dv.k THEN e.u ELSE e.v END AS src,
+                      CASE WHEN du.k < dv.k THEN e.v ELSE e.u END AS dst,
+                      CASE WHEN du.k < dv.k THEN dv.k ELSE du.k END AS kdst
+               FROM e JOIN kk du ON du.p = e.u JOIN kk dv ON dv.p = e.v),
+         kept AS (SELECT src FROM o GROUP BY src HAVING count(*) <= 64),
+         ok AS (SELECT o.src, o.dst, o.kdst FROM o JOIN kept USING (src)),
+         tri AS (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+                 FROM ok w1
+                 JOIN ok w2 ON w2.src = w1.src AND w1.kdst < w2.kdst
+                 JOIN o e3 ON e3.src = w1.dst AND e3.dst = w2.dst),
+         corners AS (SELECT a AS p FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
          SELECT p AS part, CAST(count(*) AS BIGINT) AS n_tri
          FROM corners GROUP BY p
          ORDER BY n_tri DESC, part LIMIT 20"""

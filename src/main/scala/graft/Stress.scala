@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * 100 TB claim being EXERCISED rather than argued: multiply the sf
   * corpus past execution memory (the corpusWithDups union-with-offset
   * device, ×`SPARK_GRAFT_STRESS_MULT`), pin execution memory to a
-  * sliver (`spark.memory.fraction`), and drive the three operator
+  * sliver (`spark.memory.fraction`), and drive the four operator
   * shapes whose scale story depends on spilling gracefully — a wide
   * hash aggregation (falls back to sort-based agg under pressure), a
-  * global range sort (ExternalSorter), and a two-key shuffle equi-join
+  * global range sort (ExternalSorter), a two-key shuffle equi-join
   * (SortMergeJoin: both sides stream through the ExternalSorter spill
   * path, which is exactly why it — and not the memory-resident-build
   * ShuffledHashJoin — is the engine's unbounded-side join shape; every
-  * engine SHJ use is size-gated) — then ASSERT three things:
+  * engine SHJ use is size-gated), and a SKEWED-GRAPH capped wedge
+  * close past broadcast reach (section 4 below: replicated real
+  * co-occurrence graph + embedded clique, shuffle_hash close, shed
+  * receipts closed-form-checked) — then ASSERT three things:
   *
   *  1. the jobs COMPLETE (no OOM) with disk spill actually observed
   *     (task-metrics `diskBytesSpilled` > 0 — a rehearsal that fit in
@@ -31,8 +34,11 @@ import org.apache.spark.sql.functions._
   * 0.02 ⇒ ~150 MB execution+storage on the 8g gate JVM). The defaults
   * are the MEASURED spill point on the gate box (mult 24 / frac 0.05
   * still fit: 0 bytes spilled, rehearsal void). Measured at defaults:
-  * 38.4M rows, 670 MB disk / 4.3 GB memory spill, agg 9.4 s + sort
-  * 2.7 s, every check green. Prints ONE JSON line (the Bench contract)
+  * 38.4M rows, 1.44 GB disk / 5.3 GB memory spill, agg 12.0 s + sort
+  * 4.3 s + join 26.7 s (897 MB join-stage spill) + graph close 29.3 s
+  * SHJ / 15.9 s SMJ (344 MB close-stage spill, 1.39M triangles exact
+  * through both strategies, 169.1M wedges shed with exact receipts),
+  * every check green. Prints ONE JSON line (the Bench contract)
   * with timings, spill bytes, and check results; exits non-zero when
   * any check — INCLUDING spill-actually-happened — fails.
   */
@@ -47,6 +53,11 @@ object Stress {
       // the starvation IS the test: execution memory a sliver of the
       // heap so the multiplied corpus cannot possibly fit
       .config("spark.memory.fraction", memFrac)
+      // low eviction floor: cached checkpoint blocks yield to operator
+      // memory instead of pinning half the sliver — under starvation a
+      // 256 KB hash-map INIT failing because storage holds its floor is
+      // a config artifact, not the spill behavior this gate rehearses
+      .config("spark.memory.storageFraction", "0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
@@ -133,16 +144,151 @@ object Stress {
       joinPlan.contains("Exchange hashpartitioning") &&
       joinSpill > 0
 
+    // 4. SKEWED-GRAPH wedge close at stress scale — the riskiest 100×
+    // shape: a power-law graph where one dense community's lowest-
+    // ordered corner owns the whole community's C(outdeg, 2) wedge
+    // explosion as ONE giant group. Corpus: the real part co-occurrence
+    // graph replicated ×graphMult with disjoint node-id offsets
+    // (orientation is replica-invariant: degrees replicate and the
+    // packed (deg·2³² + id) key preserves within-replica id order), plus
+    // an embedded K_m clique — the synthetic hot community whose rank-i
+    // node has oriented out-degree m−1−i, giving CLOSED-FORM shed
+    // accounting. The close is forced past broadcast reach
+    // (broadcastMaxEdges = 0) and driven TWICE, because the two
+    // beyond-broadcast closes have different memory contracts (a fact
+    // this rehearsal MEASURED: shuffle_hash at 4 partitions under the
+    // sliver dies with "not enough memory to build hash map" — Spark's
+    // SHJ build has no spill path):
+    //  - the shuffle_hash FAST path at production partition sizing
+    //    (32): per-partition |E| build fits, the Σ outdeg² wedge stream
+    //    never sorts — asserted to ENGAGE (plan) and produce the exact
+    //    count, because partition sizing IS its safety dial at scale;
+    //  - the sort-merge GRACEFUL path at 4 partitions: the wedge
+    //    stream's sort cannot fit the starved pool and must SPILL
+    //    (stage-delta basis — the delta around this job, not the global
+    //    counter) yet complete with the identical exact count.
+    // The shed receipts are integer-EXACT in both runs (graphMult ×
+    // single-copy receipts + the clique closed forms: shed_sources
+    // gains m−1−cap, shed_wedges gains C(m,3) − C(cap+1,3)), and the
+    // surviving count matches graphMult × the single-copy capped count
+    // (measured through the BROADCAST close — so broadcast, SHJ, and
+    // SMJ closes all agree on one ground truth) + C(cap+1,3) (every
+    // kept clique wedge closes).
+    val graphMult = sys.env.getOrElse("SPARK_GRAFT_STRESS_GRAPH_MULT", "4").toInt
+    val cliqueM = sys.env.getOrElse("SPARK_GRAFT_STRESS_CLIQUE_M", "600").toInt
+    val wedgeCap = sys.env.getOrElse("SPARK_GRAFT_STRESS_WEDGE_CAP", "64").toLong
+    require(graphMult >= 2 && cliqueM >= 3 && wedgeCap >= 1 &&
+      wedgeCap < cliqueM - 1,
+      s"bad graph knobs: mult=$graphMult m=$cliqueM cap=$wedgeCap")
+    def binom2(n: Long): Long = n * (n - 1) / 2
+    def binom3(n: Long): Long = n * (n - 1) * (n - 2) / 6
+    def shedOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = df.queryExecution.observedMetrics.collect {
+        case (k, row) if k.startsWith(
+          graft.operators.Guard.ShedMetricPrefix + "triangleWedges") => row
+      }
+      require(rows.size == 1, s"expected one triangleWedges shed metric, got $rows")
+      (rows.head.getAs[Long]("shed_sources"), rows.head.getAs[Long]("shed_wedges"))
+    }
+    // real co-occurrence edges, materialized ONCE (the self-join must
+    // not replay per replica)
+    val lig = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges1 = lig.as("a").join(lig.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct().localCheckpoint(false)
+    // single-copy capped ground truth through the BROADCAST close. The
+    // count aggregate attaches BELOW the observe node so one execution
+    // yields the count, the shed receipts, and the plan string. collect(),
+    // NOT head()/count(): those wrap the dataset in a new limit/agg
+    // execution whose metrics live elsewhere — only collect() runs THIS
+    // dataset's own queryExecution, where shedOf reads the receipts.
+    val single = operators.Graphs.trianglesCapped(edges1, wedgeCap)
+      .agg(count(lit(1)).as("n"))
+    val singleN = single.collect()(0).getLong(0)
+    val (sShedSrc, sShedWedge) = shedOf(single)
+    val singlePlan = single.queryExecution.executedPlan.toString
+    require(singlePlan.contains("BroadcastHashJoin"),
+      "single-copy close should be the broadcast path")
+    // stress corpus: ×graphMult with disjoint id offsets + the clique
+    val bigEdges = (0 until graphMult).map { i =>
+      edges1.select((col("u") + lit(i.toLong * 10000000L)).as("u"),
+        (col("v") + lit(i.toLong * 10000000L)).as("v"))
+    }.reduce(_ unionByName _)
+    val cliqueIds = spark.range(0, cliqueM)
+      .select((col("id") + lit(1000000000L)).as("n"))
+    val clique = cliqueIds.as("x").join(cliqueIds.as("y"),
+        col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"))
+    val expCount = graphMult * singleN + binom3(wedgeCap + 1)
+    val expShedSrc = graphMult * sShedSrc + (cliqueM - 1 - wedgeCap)
+    val expShedWedge = graphMult * sShedWedge +
+      (binom3(cliqueM.toLong) - binom3(wedgeCap + 1))
+    val stressEdges = bigEdges.unionByName(clique)
+    // 4a. shuffle_hash fast path at production partition sizing. The
+    // sizing dial is REAL here, not decorative: AQE's coalescing
+    // (parallelismFirst targets the 4 local cores) merges the |E| build
+    // exchange to ~30 MB partitions, which exceed the starved pool —
+    // and Spark's spill-less SHJ build dies ("not enough memory to
+    // build hash map", measured on this box). Keeping the exchange at
+    // its full 32 partitions holds each hashed relation near 10 MB,
+    // which is exactly how a memory-tight executor sizes this close at
+    // scale: partitions high, build-side coalescing off.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    val shj = operators.Graphs.trianglesCapped(
+      stressEdges, wedgeCap, broadcastMaxEdges = 0L)
+      .agg(count(lit(1)).as("n"))
+    System.err.println("[stress] 4a plan:\n" +
+      shj.queryExecution.executedPlan.toString.take(8000))
+    val (shjN, tShj) = timed { shj.collect()(0).getLong(0) }
+    val (shjShedSrc, shjShedWedge) = shedOf(shj)
+    val shjPlanOk = shj.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin")
+    // 4b. sort-merge graceful path at 8 partitions: the Σ outdeg² wedge
+    // stream sorts on (b, c) — ~95 MB per task against a ~20-40 MB
+    // share — so the close MUST spill, yet completes and agrees on the
+    // count. Coalescing stays off so the sort partitions keep that size.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val preGraphSpill = spilledDisk.get()
+    val smj = operators.Graphs.trianglesCapped(
+      stressEdges, wedgeCap, broadcastMaxEdges = 0L, closeHint = "merge")
+      .agg(count(lit(1)).as("n"))
+    val (smjN, tSmj) = timed { smj.collect()(0).getLong(0) }
+    val graphSpill = spilledDisk.get() - preGraphSpill
+    val (smjShedSrc, smjShedWedge) = shedOf(smj)
+    val smjPlanOk = smj.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val graphCountOk = shjN == expCount && smjN == expCount
+    val graphShedOk = shjShedSrc == expShedSrc &&
+      shjShedWedge == expShedWedge &&
+      smjShedSrc == expShedSrc && smjShedWedge == expShedWedge
+    val graphPlanOk = shjPlanOk && smjPlanOk
+    val graphSpillOk = graphSpill > 0
+    val graphOk = graphCountOk && graphShedOk && graphPlanOk && graphSpillOk
+
     val spillOk = spilledDisk.get() > 0
-    val ok = aggOk && sortOk && joinOk && spillOk
+    val ok = aggOk && sortOk && joinOk && spillOk && graphOk
     println(
       s"""{"metric":"stress","sf":"$sfDir","mult":$mult,""" +
       s""""mem_fraction":$memFrac,"rows":${mult * n1},""" +
       s""""agg_sec":$tAgg,"sort_sec":$tSort,"join_sec":$tJoin,""" +
       s""""join_rows":$joinN,"join_spill_bytes":$joinSpill,""" +
+      s""""graph_mult":$graphMult,"clique_m":$cliqueM,""" +
+      s""""wedge_cap":$wedgeCap,"graph_shj_sec":$tShj,""" +
+      s""""graph_smj_sec":$tSmj,""" +
+      s""""graph_triangles":$shjN,"graph_expected":$expCount,""" +
+      s""""graph_shed_sources":$shjShedSrc,"graph_shed_wedges":$shjShedWedge,""" +
+      s""""graph_spill_bytes":$graphSpill,""" +
       s""""disk_spill_bytes":${spilledDisk.get()},""" +
       s""""memory_spill_bytes":${spilledMem.get()},""" +
       s""""agg_ok":$aggOk,"sort_ok":$sortOk,"join_ok":$joinOk,""" +
+      s""""graph_count_ok":$graphCountOk,"graph_shed_ok":$graphShedOk,""" +
+      s""""graph_plan_ok":$graphPlanOk,"graph_spill_ok":$graphSpillOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()

@@ -66,7 +66,45 @@ object Graphs {
     * into per-node participation counts.
     */
   def triangles(edges: DataFrame,
-      broadcastMaxEdges: Long = BroadcastCloseMaxEdges): DataFrame = {
+      broadcastMaxEdges: Long = BroadcastCloseMaxEdges): DataFrame =
+    triangleCore(edges, broadcastMaxEdges, wedgeFanoutCap = None)
+
+  /** [[triangles]] with a SKEW SHED on the wedge-generating corner: a
+    * source whose degeneracy-ordered out-degree exceeds `wedgeFanoutCap`
+    * is dropped BEFORE wedge generation — its C(outdeg, 2) wedge fan-out
+    * (the "one hot hub = one giant wedge group" failure shape: a dense
+    * community's lowest-ordered member owns the whole community's wedge
+    * explosion in a single (src) group) never materializes. The shed is
+    * visible at runtime via observe() under the `graft_shed_` prefix
+    * (shed_sources, shed_wedges = Σ C(outdeg, 2) over shed sources —
+    * exact integer accounting of what was NOT enumerated, the no-silent-
+    * caps contract). Capped semantics are exact and replayable: the
+    * output is precisely the triangles whose generating corner (lowest
+    * (deg, id) endpoint) keeps outdeg ≤ cap — the close side still uses
+    * the FULL edge set, so only hub-cornered triangles are shed. */
+  /** Join hint for the beyond-broadcast wedge close.
+    *  - `"shuffle_hash"` (default): the wedge stream only shuffle-writes
+    *    and probes — never sorts. The fast path. Its contract: the
+    *    per-partition |E| build must fit in execution memory (Spark's
+    *    ShuffledHashJoin build has NO spill path — it throws
+    *    SparkOutOfMemoryError past the wall), so its safety dial at
+    *    scale is `spark.sql.shuffle.partitions`, not graceful
+    *    degradation.
+    *  - `"merge"`: the spill-graceful close — both sides stream through
+    *    the ExternalSorter, surviving arbitrary memory starvation at
+    *    the cost of sorting the Σ outdeg² wedge stream. The fallback
+    *    when the build-fit contract cannot be guaranteed
+    *    (graft.Stress section 4 rehearses exactly this pairing). */
+  def trianglesCapped(edges: DataFrame, wedgeFanoutCap: Long,
+      broadcastMaxEdges: Long = BroadcastCloseMaxEdges,
+      closeHint: String = "shuffle_hash"): DataFrame = {
+    require(wedgeFanoutCap >= 1, s"wedgeFanoutCap must be >= 1: $wedgeFanoutCap")
+    triangleCore(edges, broadcastMaxEdges, Some(wedgeFanoutCap), closeHint)
+  }
+
+  private def triangleCore(edges: DataFrame, broadcastMaxEdges: Long,
+      wedgeFanoutCap: Option[Long],
+      closeHint: String = "shuffle_hash"): DataFrame = {
     val e = edges.select(col("u"), col("v")).localCheckpoint(false)
     val deg = e.select(col("u").as("p")).unionByName(e.select(col("v").as("p")))
       .groupBy("p").agg(count(lit(1)).as("deg"))
@@ -84,8 +122,25 @@ object Graphs {
         when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
         when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
       .localCheckpoint(false)
-    val w1 = oriented.select(col("src"), col("dst").as("b"), col("kdst").as("kb"))
-    val w2 = oriented.select(col("src"), col("dst").as("c"), col("kdst").as("kc"))
+    // skew shed (trianglesCapped only): out-degrees aggregate on the
+    // same src hash-partitioning the wedge join needs anyway, the shed
+    // counters ride that stage as a pass-through CollectMetrics, and the
+    // kept-source semi filter joins back on src — no extra exchange
+    // shape beyond the outdeg aggregate itself
+    val wedgeSrc = wedgeFanoutCap match {
+      case None => oriented
+      case Some(cap) =>
+        val kept = oriented.groupBy("src").agg(count(lit(1)).as("_od"))
+          .observe(graft.operators.Guard.shedMetricName("triangleWedges"),
+            sum(when(col("_od") > cap, 1L).otherwise(0L)).as("shed_sources"),
+            sum(when(col("_od") > cap, expr("(_od * (_od - 1)) div 2"))
+              .otherwise(0L)).as("shed_wedges"))
+          .filter(col("_od") <= cap)
+          .select("src")
+        oriented.join(kept, Seq("src"))
+    }
+    val w1 = wedgeSrc.select(col("src"), col("dst").as("b"), col("kdst").as("kb"))
+    val w2 = wedgeSrc.select(col("src"), col("dst").as("c"), col("kdst").as("kc"))
     val wedges = w1.join(w2, Seq("src")).filter(col("kb") < col("kc"))
       .select(col("src"), col("b"), col("c"))
     val close = oriented.select(col("src").as("b"), col("dst").as("c"))
@@ -100,7 +155,7 @@ object Graphs {
       if (e.count() <= broadcastMaxEdges)
         wedges.join(broadcast(close), Seq("b", "c"))
       else
-        wedges.join(close.hint("shuffle_hash"), Seq("b", "c"))
+        wedges.join(close.hint(closeHint), Seq("b", "c"))
     closed.select(col("src").as("a"), col("b"), col("c"))
   }
 

@@ -192,6 +192,56 @@ class AnalyticsSpec extends AnyFunSuite {
       rows(Graphs.trianglesPerNode(es, 10, broadcastMaxEdges = 0L)))
   }
 
+  test("trianglesCapped: no-op above max outdeg; clique shed matches closed form; receipts exact") {
+    import graft.operators.{Graphs, Guard}
+    def shedOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val ms = df.queryExecution.observedMetrics.collect {
+        case (k, row) if k.startsWith(
+          Guard.ShedMetricPrefix + "triangleWedges") => row
+      }
+      assert(ms.size === 1, s"expected one triangleWedges metric, got $ms")
+      (ms.head.getAs[Long]("shed_sources"), ms.head.getAs[Long]("shed_wedges"))
+    }
+    // cap >= max outdeg: capped == uncapped set, zero receipts
+    val rng = new scala.util.Random(47)
+    val n = 50
+    val es = (for { a <- 0 until n; b <- 0 until n
+                    if a < b && rng.nextDouble() < 0.2 }
+      yield (a.toLong, b.toLong)).toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val uncapped = rows(Graphs.triangles(es))
+    val wide = Graphs.trianglesCapped(es, wedgeFanoutCap = 1000L)
+    assert(rows(wide) === uncapped)
+    assert(shedOf(wide) === ((0L, 0L)))
+    // K_m clique, cap C < m−1: within the clique all degrees tie at m−1
+    // so orientation is by id; the rank-i node has outdeg m−1−i. Shed
+    // sources = m−1−C, shed wedges = C(m,3) − C(C+1,3), and every kept
+    // wedge closes, so |triangles| = C(C+1,3) — all closed form.
+    val m = 20
+    val cap = 7L
+    def b3(x: Long) = x * (x - 1) * (x - 2) / 6
+    val km = (for { a <- 0 until m; b <- 0 until m if a < b }
+      yield (a.toLong, b.toLong)).toDF("u", "v")
+    val capped = Graphs.trianglesCapped(km, cap)
+    // collect ONCE: the receipts live on this dataset's own execution
+    // (a .count() would spawn a separate one and read zeros)
+    val kept = rows(capped)
+    assert(kept.size === b3(cap + 1))
+    assert(shedOf(capped) === ((m - 1 - cap,
+      b3(m.toLong) - b3(cap + 1))))
+    // capped output is exactly the uncapped triangles whose lowest-
+    // ordered corner (min id in a clique) survives the cap
+    val surviving = rows(Graphs.triangles(km)).filter { t =>
+      // corner a = generating src; in a clique the oriented source is
+      // the min id, whose outdeg is m−1−id
+      m - 1 - t.head.asInstanceOf[Long] <= cap
+    }
+    assert(kept === surviving)
+    // and the shed semantics are close-path-invariant (broadcast vs SHJ)
+    assert(rows(Graphs.trianglesCapped(km, cap, broadcastMaxEdges = 0L)) === kept)
+  }
+
   test("spearman: +10000 on monotone, -10000 on reversed, ~0 on a derangement") {
     import graft.operators.Analytics
     val mono = (1L to 50L).map(i => ("g", i, i * 3, i * 7 + 1))
