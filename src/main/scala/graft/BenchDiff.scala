@@ -40,32 +40,62 @@ object BenchDiff {
   }
 
   final case class Report(regressions: Seq[Finding], failures: Seq[Finding],
-      removed: Seq[Finding], added: Seq[Finding]) {
+      removed: Seq[Finding], added: Seq[Finding], drift: Double = 1.0) {
     def gateFailed: Boolean =
       regressions.nonEmpty || failures.nonEmpty || removed.nonEmpty
     def all: Seq[Finding] = failures ++ regressions ++ removed ++ added
+  }
+
+  /** Drift normalization engages only with a population big enough for
+    * the median ratio to be a LOAD signal rather than an echo of the
+    * regressions themselves (a 4-query artifact with one real 2.5×
+    * regression must not have that regression normalize itself away). */
+  val MinDriftQueries = 8
+
+  /** Widest session-drift band the gate will normalize away. The r12
+    * artifacts carried a measured ~1.2× uniform band (same code, judged
+    * reverted minutes later); past 1.5× a "drift" is no longer plausibly
+    * box condition and the raw ratios should face the gate. */
+  val MaxDrift = 1.5
+
+  /** Median cur/prev ratio over the shared healthy queries — the
+    * session's uniform load band. A busy box slows EVERY query by
+    * roughly the same factor; a real regression moves one or a few. The
+    * median over many queries reads the former and ignores the latter
+    * (robust to <50% of queries regressing), so dividing it out lets
+    * the per-query gate flag plan changes, not box condition. */
+  def driftOf(prev: Map[String, Double], cur: Map[String, Double]): Double = {
+    val ratios = prev.keySet.intersect(cur.keySet).toSeq
+      .filter(n => prev(n) > 0.0 && cur(n) > 0.0)
+      .map(n => cur(n) / prev(n))
+    if (ratios.size < MinDriftQueries) 1.0
+    else math.min(MaxDrift, math.max(1.0 / MaxDrift, Bench.median(ratios)))
   }
 
   def compare(prev: Map[String, Double], cur: Map[String, Double],
       factor: Double = 2.0, minSec: Double = 0.5): Report = {
     require(factor > 1.0, s"factor must exceed 1: $factor")
     val shared = prev.keySet.intersect(cur.keySet).toSeq.sorted
+    val drift = driftOf(prev, cur)
     val failures = shared.collect {
       case n if cur(n) < 0.0 && prev(n) >= 0.0 =>
         Finding(n, "failure", prev(n), cur(n))
     }
     val regressions = shared.collect {
       // a query that was ALREADY failing (prev -1) can't regress further;
-      // its recovery shows up as a healthy number, never a flag
+      // its recovery shows up as a healthy number, never a flag. The
+      // factor gate tests the DRIFT-NORMALIZED ratio (uniform session
+      // slowdown is box condition, not a plan change); the minSec floor
+      // stays on the raw time — cost is cost.
       case n if prev(n) > 0.0 && cur(n) >= 0.0 &&
-          cur(n) > factor * prev(n) && cur(n) >= minSec =>
+          cur(n) / drift > factor * prev(n) && cur(n) >= minSec =>
         Finding(n, "regression", prev(n), cur(n))
     }
     val removed = (prev.keySet -- cur.keySet).toSeq.sorted
       .map(n => Finding(n, "removed", prev(n), Double.NaN))
     val added = (cur.keySet -- prev.keySet).toSeq.sorted
       .map(n => Finding(n, "new", Double.NaN, cur(n)))
-    Report(regressions, failures, removed, added)
+    Report(regressions, failures, removed, added, drift)
   }
 
   /** One parsed artifact: the per-query medians plus, for reps > 1
@@ -110,10 +140,11 @@ object BenchDiff {
       case _ => (a.median, b.median, "queries")
     }
     val r = compare(prev, cur, factor)
-    println(s"[benchdiff] basis=$basis factor=${factor}x " +
-      s"shared=${prev.keySet.intersect(cur.keySet).size} " +
-      s"regressions=${r.regressions.size} failures=${r.failures.size} " +
-      s"removed=${r.removed.size} new=${r.added.size}")
+    println(f"[benchdiff] basis=$basis factor=${factor}x " +
+      f"shared=${prev.keySet.intersect(cur.keySet).size} " +
+      f"drift=${r.drift}%.3fx " +
+      f"regressions=${r.regressions.size} failures=${r.failures.size} " +
+      f"removed=${r.removed.size} new=${r.added.size}")
     r.all.foreach(f => println("[benchdiff] " + f.render))
     if (r.gateFailed) sys.exit(1)
   }

@@ -65,6 +65,57 @@ class BenchSpec extends AnyFunSuite {
     assert(!rec.gateFailed)
   }
 
+  test("benchdiff: uniform 1.3x drift is box condition (no flag); a single-query 2.5x flags") {
+    // 12 shared queries — enough for the median ratio to engage as a
+    // load signal (MinDriftQueries)
+    val prev = (1 to 12).map(i => s"q_$i" -> 1.0).toMap
+    // the whole suite 1.3x slower on untouched code: the r12 drift band.
+    // Without normalization q_1..q_12 would each sit at 1.3 < 2x (fine),
+    // but ANY real query near the factor would tip — so pin the stronger
+    // property: a 2.5x-raw query in a 1.3x-drift band normalizes to
+    // ~1.9x and does NOT flag, while the same 2.5x in a flat band does.
+    val drifted = prev.map { case (k, v) => k -> v * 1.3 }
+    val rd = BenchDiff.compare(prev, drifted)
+    assert(math.abs(rd.drift - 1.3) < 1e-9)
+    assert(!rd.gateFailed && rd.regressions.isEmpty)
+    // uniform drift band + one genuinely regressed query: the median is
+    // still the band (11 of 12 at 1.3), the outlier faces the gate at
+    // 2.5/1.3 ≈ 1.9x… which is the honest verdict — within 2x of the
+    // band-adjusted baseline. Crank it to 3.5x raw: flags.
+    val oneBad = drifted + ("q_1" -> 3.5)
+    val rb = BenchDiff.compare(prev, oneBad)
+    assert(rb.regressions.map(_.name) === Seq("q_1"))
+    // flat band, single-query 2.5x: flags exactly that query
+    val flatBad = prev + ("q_1" -> 2.5)
+    val rf = BenchDiff.compare(prev, flatBad)
+    assert(rf.drift === 1.0)
+    assert(rf.regressions.map(_.name) === Seq("q_1"))
+    // a tiny artifact cannot normalize its own regression away: 4
+    // queries is under MinDriftQueries, drift stays 1
+    val small = BenchDiff.compare(Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0,
+      "d" -> 1.0), Map("a" -> 2.5, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0))
+    assert(small.drift === 1.0 && small.regressions.map(_.name) === Seq("a"))
+    // drift is clamped: a 3.5x "band" is not plausibly box condition, so
+    // at most MaxDrift (1.5) is divided out and the residual 2.33x still
+    // faces — and fails — the 2x gate
+    val wild = BenchDiff.compare(prev, prev.map { case (k, v) => k -> v * 3.5 })
+    assert(wild.drift === BenchDiff.MaxDrift)
+    assert(wild.regressions.size === 12)
+  }
+
+  test("sentinel: recorded when present, byte-identical format when absent") {
+    val plain = Bench.render(Seq(ok1, ok2), reps = 1, sfDir = "/d")
+    assert(!plain.contains("sentinel"))
+    val withS = Bench.render(Seq(ok1, ok2), reps = 1, sfDir = "/d",
+      sentinel = Some((1.25, 1.5)))
+    assert(withS.contains("\"sentinel_first\":1.25"), withS)
+    assert(withS.contains("\"sentinel_last\":1.5"), withS)
+    // sentinel fields ride between the query maps and "sf" — the driver
+    // greps "metric"/"value"/"queries", all untouched
+    assert(withS.replace(""","sentinel_first":1.25,"sentinel_last":1.5""", "")
+      === plain)
+  }
+
   test("benchdiff: parses the render() artifact, prefers queries_min, survives log noise") {
     val art = Bench.render(Seq(ok1, ok2), reps = 3, sfDir = "/d")
     val parsed = BenchDiff.parseArtifact(
