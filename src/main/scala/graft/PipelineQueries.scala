@@ -1900,6 +1900,66 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL G.711 decode at corpus scale — the compressed-telephony
+    // branch of the WAV family: each doc's first 16 (ASCII-projected,
+    // padded) text bytes ARE the data bytes of a minted µ-law (even
+    // doc_id) or A-law (odd) mono WAV, and the decode expands each code
+    // byte through the public companding formulas (Pcm.scala). The
+    // decoded sample sum is then pure BIT ARITHMETIC over the text
+    // bytes, which the oracle replays verbatim in SQL — the exactness
+    // device for a compressed codec with a closed-form per-byte decode.
+    "q_g711_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 16),
+            16, "x").as("t16"))
+      val media = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val codes = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
+          (id, "audio", graft.operators.Pcm.wavG711(codes, ulaw = id % 2 == 0))
+        }
+      }.toDF("doc_id", "modality", "payload")
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      Multimodal.decode(media).toDF()
+        // 16 samples: mean·16 is the exact linear-sample sum (the mean's
+        // /16 is a power-of-two division, exact in binary)
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"),
+          round(col("mean_value") * 16).cast("long").as("sum_c16"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL IMA ADPCM decode at corpus scale — the 4-bit adaptive-delta
+    // state machine (WAVE tag 0x11). Exactness device: one block per
+    // text byte with predictor = the byte, step index 0, and the FIXED
+    // nibble pattern Pcm.OracleNibbles (all 16 quantizer codes, both
+    // signs, index-table walk incl. the clamp at 0) — the per-block
+    // decoded sum is then 17·byte − 1119 in closed form (deltas are
+    // text-independent; no sample clamp for printable ASCII), so the
+    // oracle is a linear function of the byte sum with no state machine.
+    "q_adpcm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 16),
+            16, "x").as("t16"))
+      val media = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val bytes = t.getBytes("US-ASCII").take(16).map(b => b & 0xff)
+          (id, "audio", graft.operators.Pcm.wavAdpcmOracleBlocks(bytes))
+        }
+      }.toDF("doc_id", "modality", "payload")
+        .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      Multimodal.decode(media).toDF()
+        // 16 blocks × 17 samples = 272; round(mean·272) recovers the
+        // exact integer sum (values ≪ 2^53, fp round-trip safe)
+        .select(col("doc_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"),
+          round(col("mean_value") * 272).cast("long").as("sum_c"))
+        .orderBy("doc_id")
+    }),
+
     // REAL GIF decode at corpus scale — the lossless device on the third
     // dominant image format: each doc's first 16 (ASCII-projected,
     // padded) text bytes mint a 16×1 grayscale GIF (Gif.encodeGray:
@@ -4698,6 +4758,52 @@ object PipelineQueries {
                      i -> ascii(substr(rpad(substr(regexp_replace(text,
                                 '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
+         FROM documents ORDER BY doc_id""",
+
+    // G.711 ground truth: the companding expansion is closed-form bit
+    // arithmetic per code byte (ITU-T G.711 segment/mantissa layout),
+    // replayed here verbatim — µ-law for even doc_id, A-law for odd.
+    // Single-element list_transform binds intermediates (u/a/seg/t).
+    "q_g711_decode" ->
+      """WITH codes AS (
+           SELECT doc_id, list_transform(range(1, 17),
+             i -> ascii(substr(rpad(substr(regexp_replace(text,
+                        '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
+                               CAST(i AS INT), 1))) AS cs
+           FROM documents)
+         SELECT doc_id, 'g711' AS format, 1 AS channels,
+                8000 AS sample_rate, CAST(16 AS BIGINT) AS n_samples,
+                CAST(CASE WHEN doc_id % 2 = 0
+                  THEN list_sum(list_transform(cs, x ->
+                    list_transform([xor(x, 255)], u ->
+                      CASE WHEN (u & 128) != 0
+                        THEN 132 - ((((u & 15) * 8) + 132) << ((u & 112) >> 4))
+                        ELSE ((((u & 15) * 8) + 132) << ((u & 112) >> 4)) - 132
+                      END)[1]))
+                  ELSE list_sum(list_transform(cs, x ->
+                    list_transform([xor(x, 85)], a ->
+                      list_transform([(a & 112) >> 4], seg ->
+                        list_transform([CASE
+                            WHEN seg = 0 THEN ((a & 15) * 16) + 8
+                            WHEN seg = 1 THEN ((a & 15) * 16) + 264
+                            ELSE (((a & 15) * 16) + 264) << (seg - 1) END],
+                          t -> CASE WHEN (a & 128) != 0 THEN t ELSE -t END
+                        )[1])[1])[1]))
+                  END AS BIGINT) AS sum_c16
+         FROM codes ORDER BY doc_id""",
+
+    // IMA ADPCM ground truth: with the fixed oracle nibble pattern and
+    // step index 0, each block decodes to predictor-plus-constant-deltas
+    // (Σ deltas = −1119, recomputed in PcmSpec), so the 16-block sum is
+    // linear in the byte sum: 17·Σbytes − 16·1119.
+    "q_adpcm_decode" ->
+      """SELECT doc_id, 'adpcm' AS format, 1 AS channels,
+                8000 AS sample_rate, CAST(272 AS BIGINT) AS n_samples,
+                CAST(17 * list_sum(list_transform(range(1, 17),
+                     i -> ascii(substr(rpad(substr(regexp_replace(text,
+                                '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
+                                       CAST(i AS INT), 1)))) - 17904
+                     AS BIGINT) AS sum_c
          FROM documents ORDER BY doc_id""",
 
     // GIF ground truth: gray palette makes the lossless decode return

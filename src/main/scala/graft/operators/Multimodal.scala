@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   *    depths 8 and 16), GIF ([[Gif]]: LZW + palette, interlace, first
   *    frame), baseline TIFF ([[Tif]]: IFD walk, strips,
   *    none/LZW/deflate/PackBits, predictor, gray/RGB/palette, both
-  *    byte orders) — the four most common raster formats — and FLAC
+  *    byte orders) — the four most common raster formats — FLAC
   *    ([[Flac]]: rice residuals, fixed/LPC predictors, stereo
-  *    decorrelation, CRC-verified frames), lossless compressed audio.
+  *    decorrelation, CRC-verified frames), lossless compressed audio,
+  *    and the compressed TELEPHONY codecs ([[Pcm]]): G.711 µ-law/A-law
+  *    companding and IMA/DVI ADPCM (WAVE tags 7/6/0x11).
   *  - Formats still needing an external codec (MP3/H.264…)
   *    fall back to the DETERMINISTIC STUB kernels
   *    (this environment ships no codecs — see the builder contract);
@@ -150,16 +152,16 @@ object Multimodal {
   private def ascii(b: Array[Byte], o: Int, n: Int): String =
     new String(b, o, n, "US-ASCII")
 
-  /** Parsed WAV layout: (format, channels, rate, bits, dataOffset,
-    * dataLen) where format is 1 (integer PCM) or 3 (IEEE float); the
-    * WAVE_FORMAT_EXTENSIBLE wrapper (0xFFFE) resolves to its SubFormat
-    * code. None on anything malformed, truncated, or compressed. */
-  private def wavParse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+  /** Raw RIFF/WAVE chunk walk: (format, channels, rate, bits,
+    * blockAlign, dataOffset, dataLen) with the WAVE_FORMAT_EXTENSIBLE
+    * wrapper (0xFFFE) resolved to its SubFormat code — no format-code
+    * whitelist (callers filter). None on anything malformed/truncated. */
+  private def wavChunks(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
     if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE")
       return None
     var o = 12
-    var fmt: Option[(Int, Int, Int, Int)] = None // (format, channels, rate, bits)
-    var data: Option[(Int, Int)] = None          // (offset, len)
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None // (format, ch, rate, bits, blockAlign)
+    var data: Option[(Int, Int)] = None               // (offset, len)
     while (o + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = ascii(b, o, 4); val sz = le32(b, o + 4)
       // bounds math in LONG: a crafted 2 GB-ish declared size overflows
@@ -174,19 +176,59 @@ object Multimodal {
           if (sz < 40) return None
           code = le16(b, o + 8 + 24)
         }
-        if (code != 1 && code != 3) return None  // integer PCM or float
-        fmt = Some((code, le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
+        fmt = Some((code, le16(b, o + 10), le32(b, o + 12), le16(b, o + 22),
+          le16(b, o + 20)))
       } else if (id == "data") data = Some((o + 8, sz))
       o += 8 + sz + (sz & 1)                             // chunks are word-aligned
     }
-    for {
-      (code, ch, rate, bits) <- fmt
-      (off, len) <- data
-      if ch > 0 && len % (ch * bits / 8).max(1) == 0
-      if (code == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
-         (code == 3 && (bits == 32 || bits == 64))
-    } yield (code, ch, rate, bits, off, len)
+    for { (code, ch, rate, bits, ba) <- fmt; (off, len) <- data }
+      yield (code, ch, rate, bits, ba, off, len)
   }
+
+  /** Parsed UNCOMPRESSED WAV layout: (format, channels, rate, bits,
+    * dataOffset, dataLen) where format is 1 (integer PCM) or 3 (IEEE
+    * float). None on anything malformed, truncated, or compressed
+    * (compressed codes route through [[wavCompressedDecode]]). */
+  private def wavParse(b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] =
+    wavChunks(b).collect {
+      case (code, ch, rate, bits, _, off, len)
+        if ch > 0 && len % (ch * bits / 8).max(1) == 0 &&
+          ((code == 1 && (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+           (code == 3 && (bits == 32 || bits == 64))) =>
+        (code, ch, rate, bits, off, len)
+    }
+
+  /** COMPRESSED-WAV decode: G.711 µ-law (format tag 7) / A-law (6) at
+    * 8 bits — each data byte expands through the public companding
+    * formulas ([[Pcm]]) — and IMA/DVI ADPCM (0x11) at 4 bits, the
+    * block-structured adaptive-delta state machine. Mean over the
+    * decoded LINEAR samples (the codec's value domain), n_samples =
+    * per-channel frames; format names the codec so corpus queries can
+    * pin which decoder really ran. */
+  private[operators] def wavCompressedDecode(doc: Long, b: Array[Byte]): Option[MediaDecoded] =
+    wavChunks(b).flatMap {
+      case (code, ch, rate, 8, _, off, len)
+        if (code == 6 || code == 7) && ch > 0 && len % ch == 0 =>
+        var s = 0.0
+        var i = 0
+        while (i < len) {
+          val c = b(off + i) & 0xff
+          s += (if (code == 7) Pcm.ulawToLinear(c) else Pcm.alawToLinear(c))
+          i += 1
+        }
+        Some(MediaDecoded(doc, "g711", Some(ch), Some(rate), None, None,
+          len.toLong / ch, if (len == 0) 0.0 else s / len))
+      case (0x11, ch, rate, 4, blockAlign, off, len) =>
+        Pcm.imaDecode(b, off, len, ch, blockAlign).map { samples =>
+          var s = 0.0
+          var i = 0
+          while (i < samples.length) { s += samples(i); i += 1 }
+          MediaDecoded(doc, "adpcm", Some(ch), Some(rate), None, None,
+            samples.length.toLong / ch,
+            if (samples.isEmpty) 0.0 else s / samples.length)
+        }
+      case _ => None
+    }
 
   /** RIFF/WAVE decode (the format spec is public byte layout): integer
     * PCM at 8 (unsigned) / 16 / 24 / 32 bits (signed LE) and IEEE float
@@ -447,7 +489,8 @@ object Multimodal {
     }
 
   /** Real decode pass: sniffs the payload's magic bytes and decodes
-    * WAV/FLAC/BMP/PPM/JPEG/PNG/GIF/TIFF with the pure byte-math decoders above;
+    * WAV (incl. G.711/ADPCM compressed)/FLAC/BMP/PPM/JPEG/PNG/GIF/TIFF
+    * with the pure byte-math decoders above;
     * any other (or malformed) payload degrades to the `"unknown"` stub
     * row instead of throwing — a poison payload must never kill a
     * 100 TB scan. Same partition-local, iterator-to-iterator batch
@@ -459,6 +502,7 @@ object Multimodal {
         it.map { r =>
           val b = if (r.payload == null) Array.emptyByteArray else r.payload
           wavDecode(r.doc_id, b)
+            .orElse(wavCompressedDecode(r.doc_id, b))
             .orElse(flacDecode(r.doc_id, b))
             .orElse(bmpDecode(r.doc_id, b))
             .orElse(ppmDecode(r.doc_id, b))

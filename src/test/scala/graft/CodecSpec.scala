@@ -68,7 +68,10 @@ class CodecSpec extends AnyFunSuite {
       Jpeg.encodeGray(Array.tabulate(8 * 128)(i => text(((i % 128) / 8) % 100)),
         128, 8, quality = 90),
       Multimodal.wavHeaderPcm8Mono(100) ++ text.map(_.toByte),
-      Flac.encodeMono(text, 8000, 16, blockSize = 32))
+      Flac.encodeMono(text, 8000, 16, blockSize = 32),
+      graft.operators.Pcm.wavG711(text, ulaw = true),
+      graft.operators.Pcm.wavG711(text, ulaw = false),
+      graft.operators.Pcm.wavAdpcmOracleBlocks(text.take(16)))
     val mutated = for {
       (base, bi) <- bases.zipWithIndex
       trial <- 0 until 300
