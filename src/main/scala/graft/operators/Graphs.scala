@@ -82,29 +82,46 @@ object Graphs {
     * output is precisely the triangles whose generating corner (lowest
     * (deg, id) endpoint) keeps outdeg ≤ cap — the close side still uses
     * the FULL edge set, so only hub-cornered triangles are shed. */
+  /** Estimated resident bytes per oriented edge in a ShuffledHashJoin
+    * build relation (two longs + UnsafeRow header + BytesToBytesMap
+    * entry overhead) — the sizing basis for the auto-fallback below. */
+  val CloseBuildBytesPerRow = 48L
+
+  /** Per-partition build budget for the shuffle_hash close. Past it the
+    * close auto-falls back to sort-merge, because Spark's SHJ build has
+    * NO spill path (it throws SparkOutOfMemoryError at the wall — a
+    * fact graft.Stress section 4 measured); 64 MB matches AQE's
+    * advisory partition size and sits far inside any sane executor's
+    * per-task execution share. */
+  val CloseBuildMaxPartitionBytes: Long = 64L * 1024 * 1024
+
   /** Join hint for the beyond-broadcast wedge close.
     *  - `"shuffle_hash"` (default): the wedge stream only shuffle-writes
     *    and probes — never sorts. The fast path. Its contract: the
     *    per-partition |E| build must fit in execution memory (Spark's
     *    ShuffledHashJoin build has NO spill path — it throws
-    *    SparkOutOfMemoryError past the wall), so its safety dial at
-    *    scale is `spark.sql.shuffle.partitions`, not graceful
-    *    degradation.
+    *    SparkOutOfMemoryError past the wall). The build size is
+    *    estimated up front (|E| × [[CloseBuildBytesPerRow]] over the
+    *    session's shuffle partitions) and past
+    *    `closeBuildMaxPartitionBytes` the close AUTO-falls back to
+    *    sort-merge rather than gamble on a spill-less build.
     *  - `"merge"`: the spill-graceful close — both sides stream through
     *    the ExternalSorter, surviving arbitrary memory starvation at
-    *    the cost of sorting the Σ outdeg² wedge stream. The fallback
-    *    when the build-fit contract cannot be guaranteed
+    *    the cost of sorting the Σ outdeg² wedge stream
     *    (graft.Stress section 4 rehearses exactly this pairing). */
   def trianglesCapped(edges: DataFrame, wedgeFanoutCap: Long,
       broadcastMaxEdges: Long = BroadcastCloseMaxEdges,
-      closeHint: String = "shuffle_hash"): DataFrame = {
+      closeHint: String = "shuffle_hash",
+      closeBuildMaxPartitionBytes: Long = CloseBuildMaxPartitionBytes): DataFrame = {
     require(wedgeFanoutCap >= 1, s"wedgeFanoutCap must be >= 1: $wedgeFanoutCap")
-    triangleCore(edges, broadcastMaxEdges, Some(wedgeFanoutCap), closeHint)
+    triangleCore(edges, broadcastMaxEdges, Some(wedgeFanoutCap), closeHint,
+      closeBuildMaxPartitionBytes)
   }
 
   private def triangleCore(edges: DataFrame, broadcastMaxEdges: Long,
       wedgeFanoutCap: Option[Long],
-      closeHint: String = "shuffle_hash"): DataFrame = {
+      closeHint: String = "shuffle_hash",
+      closeBuildMaxPartitionBytes: Long = CloseBuildMaxPartitionBytes): DataFrame = {
     val e = edges.select(col("u"), col("v")).localCheckpoint(false)
     val deg = e.select(col("u").as("p")).unionByName(e.select(col("v").as("p")))
       .groupBy("p").agg(count(lit(1)).as("deg"))
@@ -151,11 +168,22 @@ object Graphs {
     // dominated the whole query (measured 49.6 s → 5 s at sf0.1's
     // 1.2M-edge graph). Beyond broadcast reach, hash-partition both
     // sides on (b, c); shuffle_hash keeps the wedge side sort-free.
+    val eCount = e.count()
     val closed =
-      if (e.count() <= broadcastMaxEdges)
+      if (eCount <= broadcastMaxEdges)
         wedges.join(broadcast(close), Seq("b", "c"))
-      else
-        wedges.join(close.hint(closeHint), Seq("b", "c"))
+      else {
+        val parts = math.max(1, edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt)
+        // past the per-partition build budget the spill-less SHJ build
+        // would OOM, not degrade — auto-select the sort-merge close
+        val hint =
+          if (closeHint == "shuffle_hash" &&
+              eCount * CloseBuildBytesPerRow / parts > closeBuildMaxPartitionBytes)
+            "merge"
+          else closeHint
+        wedges.join(close.hint(hint), Seq("b", "c"))
+      }
     closed.select(col("src").as("a"), col("b"), col("c"))
   }
 

@@ -242,6 +242,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows(Graphs.trianglesCapped(km, cap, broadcastMaxEdges = 0L)) === kept)
   }
 
+  test("triangles close: past the per-partition build budget the SHJ close auto-falls back to sort-merge") {
+    import graft.operators.Graphs
+    val rng = new scala.util.Random(59)
+    val n = 50
+    val es = (for { a <- 0 until n; b <- 0 until n
+                    if a < b && rng.nextDouble() < 0.2 }
+      yield (a.toLong, b.toLong)).toDF("u", "v")
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // inside the budget: the hinted shuffle_hash close engages
+    val shj = Graphs.trianglesCapped(es, 1000L, broadcastMaxEdges = 0L)
+    assert(plan(shj).contains("ShuffledHashJoin"))
+    // a 1-byte budget makes ANY build oversized: the close must refuse
+    // the spill-less SHJ build and take the sort-merge path instead —
+    // with identical results
+    val smj = Graphs.trianglesCapped(es, 1000L, broadcastMaxEdges = 0L,
+      closeBuildMaxPartitionBytes = 1L)
+    assert(!plan(smj).contains("ShuffledHashJoin"), plan(smj))
+    assert(rows(smj) === rows(shj))
+    assert(rows(shj).nonEmpty)
+  }
+
   test("spearman: +10000 on monotone, -10000 on reversed, ~0 on a derangement") {
     import graft.operators.Analytics
     val mono = (1L to 50L).map(i => ("g", i, i * 3, i * 7 + 1))
