@@ -1900,6 +1900,58 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Compressed-ARCHIVE explosion at corpus scale: each doc's
+    // ASCII-projected 64-char text mints a real zip with two deflated
+    // members; the served operator walks the container partition-locally
+    // under the bomb caps and explodes to member rows. The md5-digest
+    // projection makes extraction EXACT end to end (both engines hash
+    // the same 32 ASCII bytes), not just length-consistent.
+    "q_archive_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64),
+            64, "x").as("t64"))
+      val zips = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val b = t.getBytes("US-ASCII")
+          (id, graft.sources.Archives.zip(Seq(
+            "a.txt" -> b.slice(0, 32), "b.txt" -> b.slice(32, 64))))
+        }
+      }.toDF("doc_id", "payload")
+      graft.sources.Archives.explodeZip(zips, "doc_id", "payload").toDF()
+        .select(col("doc_id"), col("ok"), col("member"),
+          col("idx").cast("long").as("idx"), col("len"),
+          md5(col("bytes")).as("digest"))
+        .orderBy("doc_id", "idx")
+    }),
+
+    // Gzip payload decompression under the same bomb wall: gunzip is
+    // the per-row decode (capped during inflation), digest pins content.
+    "q_gzip_scan" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64),
+            64, "x").as("t64"))
+      val gz = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          (id, graft.sources.Archives.gzip(t.getBytes("US-ASCII")))
+        }
+      }.toDF("doc_id", "payload")
+      gz.as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, p) =>
+          graft.sources.Archives.gunzip(p) match {
+            case Some(out) => (id, true, out.length.toLong, out)
+            case None => (id, false, 0L, Array.emptyByteArray)
+          }
+        }
+      }.toDF("doc_id", "ok", "len", "bytes")
+        .select(col("doc_id"), col("ok"), col("len"),
+          md5(col("bytes")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // REAL G.711 decode at corpus scale — the compressed-telephony
     // branch of the WAV family: each doc's first 16 (ASCII-projected,
     // padded) text bytes ARE the data bytes of a minted µ-law (even
@@ -4758,6 +4810,26 @@ object PipelineQueries {
                      i -> ascii(substr(rpad(substr(regexp_replace(text,
                                 '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
+         FROM documents ORDER BY doc_id""",
+
+    // Archive ground truth: extraction must return the exact member
+    // bytes — both engines md5 the same 32 ASCII chars per member
+    "q_archive_extract" ->
+      """WITH t AS (SELECT doc_id,
+              rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64),
+                   64, 'x') AS t64 FROM documents)
+         SELECT doc_id, TRUE AS ok, 'a.txt' AS member,
+                CAST(0 AS BIGINT) AS idx, CAST(32 AS BIGINT) AS len,
+                md5(substr(t64, 1, 32)) AS digest FROM t
+         UNION ALL
+         SELECT doc_id, TRUE, 'b.txt', CAST(1 AS BIGINT),
+                CAST(32 AS BIGINT), md5(substr(t64, 33, 32)) FROM t
+         ORDER BY doc_id, idx""",
+
+    "q_gzip_scan" ->
+      """SELECT doc_id, TRUE AS ok, CAST(64 AS BIGINT) AS len,
+                md5(rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                    1, 64), 64, 'x')) AS digest
          FROM documents ORDER BY doc_id""",
 
     // G.711 ground truth: the companding expansion is closed-form bit
