@@ -1900,6 +1900,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PDF text extraction at corpus scale — the dominant document
+    // format of any crawl: each doc's ASCII-projected 64-char text
+    // mints a VALID single-page PDF (correct xref; FlateDecode content
+    // stream on even doc_id, raw on odd — both decode paths live in one
+    // corpus), and the extractor walks dictionaries → streams →
+    // inflate-capped → text operators for real. Extraction is EXACT
+    // here (escapes roundtrip), so md5 pins content end to end.
+    "q_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64),
+            64, "x").as("t64"))
+      val pdfs = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          (id, graft.operators.Pdf.minimal(Seq(t), flate = id % 2 == 0))
+        }
+      }.toDF("doc_id", "payload")
+      pdfs.as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, p) =>
+          graft.operators.Pdf.extractText(p) match {
+            case Some(t) => (id, true, t.length.toLong, t)
+            case None => (id, false, 0L, "")
+          }
+        }
+      }.toDF("doc_id", "ok", "n_chars", "text_out")
+        .select(col("doc_id"), col("ok"), col("n_chars"),
+          md5(encode(col("text_out"), "UTF-8")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // Compressed-ARCHIVE explosion at corpus scale: each doc's
     // ASCII-projected 64-char text mints a real zip with two deflated
     // members; the served operator walks the container partition-locally
@@ -4810,6 +4841,15 @@ object PipelineQueries {
                      i -> ascii(substr(rpad(substr(regexp_replace(text,
                                 '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
+         FROM documents ORDER BY doc_id""",
+
+    // PDF ground truth: the extractor must return the exact minted page
+    // text (escape roundtrip included) through both the raw and the
+    // FlateDecode content-stream paths
+    "q_pdf_extract" ->
+      """SELECT doc_id, TRUE AS ok, CAST(64 AS BIGINT) AS n_chars,
+                md5(rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'),
+                    1, 64), 64, 'x')) AS digest
          FROM documents ORDER BY doc_id""",
 
     // Archive ground truth: extraction must return the exact member
