@@ -1900,6 +1900,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML → text extraction at corpus scale — the crawl-to-corpus step
+    // before quality/dedup/tokenization: each doc's whitespace-free
+    // 64-char projection mints a page (title kept; style/script/comment
+    // dropped; attributes with embedded '>' quoted; entities escaped),
+    // and the linear state machine extracts exactly the four content
+    // slices joined by newlines — md5-pinned, no tag machinery in SQL.
+    "q_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^!-~]", ""), 1, 64),
+            64, "x").as("t64"))
+      docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val txt = graft.operators.Html.extractText(
+            graft.operators.Html.mintFixture(t))
+          (id, txt.length.toLong, txt)
+        }
+      }.toDF("doc_id", "n_chars", "text_out")
+        .select(col("doc_id"), col("n_chars"),
+          md5(encode(col("text_out"), "UTF-8")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
+    // WARC crawl-container ingestion, end to end: each doc mints a
+    // .warc.gz (one gzip member per record — the Common Crawl layout)
+    // holding an HTML response and a text/plain response; the operator
+    // chain is gunzip (capped) → WARC record walk → HTTP split → HTML
+    // text extraction — every step the real pipeline runs, md5-pinned.
+    "q_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^!-~]", ""), 1, 64),
+            64, "x").as("t64"))
+      val warcs = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          val html = graft.operators.Html.mintFixture(t)
+          (id, graft.sources.Warc.mint(Seq(
+            (s"http://ex.com/$id/0", "text/html",
+              html.getBytes("ISO-8859-1")),
+            (s"http://ex.com/$id/1", "text/plain",
+              t.getBytes("ISO-8859-1"))), gzipPerRecord = true))
+        }
+      }.toDF("doc_id", "payload")
+      graft.sources.Warc.explode(warcs, "doc_id", "payload")
+        .mapPartitions { it =>
+          it.map { r =>
+            val content =
+              if (r.http_content_type == "text/html")
+                graft.operators.Html.extractText(
+                  new String(r.body, "ISO-8859-1")).getBytes("UTF-8")
+              else r.body
+            (r.doc_id, r.ok, r.idx.toLong, r.target_uri, r.http_status,
+              r.http_content_type, content)
+          }
+        }.toDF("doc_id", "ok", "idx", "target_uri", "http_status",
+          "http_content_type", "content")
+        .select(col("doc_id"), col("ok"), col("idx"), col("target_uri"),
+          col("http_status"), col("http_content_type"),
+          md5(col("content")).as("digest"))
+        .orderBy("doc_id", "idx")
+    }),
+
     // REAL PDF text extraction at corpus scale — the dominant document
     // format of any crawl: each doc's ASCII-projected 64-char text
     // mints a VALID single-page PDF (correct xref; FlateDecode content
@@ -4842,6 +4906,38 @@ object PipelineQueries {
                                 '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
          FROM documents ORDER BY doc_id""",
+
+    // HTML ground truth: the fixture extracts to exactly the four
+    // whitespace-free slices joined by newlines
+    "q_html_extract" ->
+      """WITH t AS (SELECT doc_id,
+              rpad(substr(regexp_replace(text, '[^!-~]', '', 'g'), 1, 64),
+                   64, 'x') AS p FROM documents)
+         SELECT doc_id, CAST(67 AS BIGINT) AS n_chars,
+                md5(substr(p, 1, 8) || chr(10) || substr(p, 9, 16) ||
+                    chr(10) || substr(p, 25, 20) || chr(10) ||
+                    substr(p, 45, 20)) AS digest
+         FROM t ORDER BY doc_id""",
+
+    // WARC ground truth: record 0 is the HTML fixture (extracts to the
+    // slice join), record 1 the raw text/plain body
+    "q_warc_extract" ->
+      """WITH t AS (SELECT doc_id,
+              rpad(substr(regexp_replace(text, '[^!-~]', '', 'g'), 1, 64),
+                   64, 'x') AS p FROM documents)
+         SELECT doc_id, TRUE AS ok, CAST(0 AS BIGINT) AS idx,
+                'http://ex.com/' || doc_id || '/0' AS target_uri,
+                200 AS http_status, 'text/html' AS http_content_type,
+                md5(substr(p, 1, 8) || chr(10) || substr(p, 9, 16) ||
+                    chr(10) || substr(p, 25, 20) || chr(10) ||
+                    substr(p, 45, 20)) AS digest
+         FROM t
+         UNION ALL
+         SELECT doc_id, TRUE, CAST(1 AS BIGINT),
+                'http://ex.com/' || doc_id || '/1', 200, 'text/plain',
+                md5(p)
+         FROM t
+         ORDER BY doc_id, idx""",
 
     // PDF ground truth: the extractor must return the exact minted page
     // text (escape roundtrip included) through both the raw and the
