@@ -29,10 +29,16 @@ import scala.util.Try
 object BenchDiff {
 
   final case class Finding(name: String, kind: String, prev: Double,
-      cur: Double) {
+      cur: Double, retried: Double = Double.NaN) {
     def render: String = kind match {
+      case "regression" if !retried.isNaN =>
+        f"REGRESSION $name: $prev%.2f s -> $cur%.2f s (${cur / prev}%.1fx), " +
+          f"REPRODUCED in isolation at $retried%.2f s"
       case "regression" =>
         f"REGRESSION $name: $prev%.2f s -> $cur%.2f s (${cur / prev}%.1fx)"
+      case "flake" =>
+        f"FLAKE      $name: flagged at $cur%.2f s but retried in isolation " +
+          f"at $retried%.2f s (inside the gate vs prev $prev%.2f s) — cleared"
       case "failure" => f"FAILURE    $name: prev $prev%.2f s, now the -1 sentinel"
       case "removed" => f"REMOVED    $name: was $prev%.2f s, absent from current"
       case _         => f"NEW        $name: $cur%.2f s (no previous round)"
@@ -40,10 +46,11 @@ object BenchDiff {
   }
 
   final case class Report(regressions: Seq[Finding], failures: Seq[Finding],
-      removed: Seq[Finding], added: Seq[Finding], drift: Double = 1.0) {
+      removed: Seq[Finding], added: Seq[Finding], drift: Double = 1.0,
+      flakes: Seq[Finding] = Nil) {
     def gateFailed: Boolean =
       regressions.nonEmpty || failures.nonEmpty || removed.nonEmpty
-    def all: Seq[Finding] = failures ++ regressions ++ removed ++ added
+    def all: Seq[Finding] = failures ++ regressions ++ flakes ++ removed ++ added
   }
 
   /** Drift normalization engages only with a population big enough for
@@ -98,6 +105,57 @@ object BenchDiff {
     Report(regressions, failures, removed, added, drift)
   }
 
+  /** FLAKE-RETRY adjudication (pure half). The full-run artifact times
+    * every query inside a 190-query session where a one-off GC pause,
+    * page-cache eviction, or competing process can double one small
+    * query (three r13 builder runs of identical code each flagged one
+    * DIFFERENT query). `applyRetry` takes fresh isolated re-timings of
+    * just the flagged queries and re-applies the SAME normalized gate
+    * (`retried / drift > factor × prev && retried ≥ minSec`): a flag
+    * that clears in isolation is downgraded to a reported-but-non-fatal
+    * "flake"; a flag that REPRODUCES stays a gate failure, now with the
+    * isolated time as evidence. A flagged query the retry map does not
+    * cover keeps its flag — absence of evidence never clears a gate. */
+  def applyRetry(report: Report, retriedMin: Map[String, Double],
+      factor: Double = 2.0, minSec: Double = 0.5): Report = {
+    val (stay, cleared) = report.regressions.partition { f =>
+      retriedMin.get(f.name) match {
+        case Some(t) => t / report.drift > factor * f.prev && t >= minSec
+        case None    => true // not retried -> flag stands
+      }
+    }
+    report.copy(
+      regressions = stay.map(f => retriedMin.get(f.name)
+        .map(t => f.copy(retried = t)).getOrElse(f)),
+      flakes = report.flakes ++
+        cleared.map(f => f.copy(kind = "flake", retried = retriedMin(f.name))))
+  }
+
+  /** Impure half: re-time each flagged query in isolation — one untimed
+    * warmup rep (which also absorbs the maintained-artifact builds the
+    * incremental queries memoize per session) then `reps` timed reps,
+    * reporting the MIN (the low-noise bound; a flake needs only ONE
+    * clean rep to prove the plan is fine, while a real regression is
+    * slow every rep). */
+  def retryInIsolation(names: Seq[String], sfDir: String, reps: Int):
+      Map[String, Double] = {
+    if (names.isEmpty) return Map.empty
+    val spark = Sessions.local()
+    try {
+      names.flatMap { n =>
+        SparkEntry.queries.get(n).map { fn =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warmup: codegen/JIT + memoized incremental setup
+          n -> (1 to reps).map(_ => once()).min
+        }
+      }.toMap
+    } finally spark.stop()
+  }
+
   /** One parsed artifact: the per-query medians plus, for reps > 1
     * runs, the per-query minima. */
   final case class Artifact(median: Map[String, Double],
@@ -139,12 +197,27 @@ object BenchDiff {
       case (Some(pm), Some(cm)) => (pm, cm, "queries_min")
       case _ => (a.median, b.median, "queries")
     }
-    val r = compare(prev, cur, factor)
+    val r0 = compare(prev, cur, factor)
+    // SPARK_GRAFT_RETRY=0 disables the flake-retry (e.g. pure-artifact
+    // audits on a box without the test data); default on — a gate that
+    // can mechanically separate box noise from plan change should.
+    val retryOn = sys.env.getOrElse("SPARK_GRAFT_RETRY", "1").trim != "0"
+    val r = if (retryOn && r0.regressions.nonEmpty) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val reps = sys.env.get("SPARK_GRAFT_RETRY_REPS")
+        .flatMap(v => Try(v.trim.toInt).toOption).getOrElse(3)
+      println(s"[benchdiff] retrying ${r0.regressions.size} flagged " +
+        s"quer${if (r0.regressions.size == 1) "y" else "ies"} in isolation " +
+        s"($reps reps, sf=$sfDir)")
+      applyRetry(r0, retryInIsolation(r0.regressions.map(_.name), sfDir, reps),
+        factor)
+    } else r0
     println(f"[benchdiff] basis=$basis factor=${factor}x " +
       f"shared=${prev.keySet.intersect(cur.keySet).size} " +
       f"drift=${r.drift}%.3fx " +
       f"regressions=${r.regressions.size} failures=${r.failures.size} " +
-      f"removed=${r.removed.size} new=${r.added.size}")
+      f"removed=${r.removed.size} new=${r.added.size} " +
+      f"flakes=${r.flakes.size}")
     r.all.foreach(f => println("[benchdiff] " + f.render))
     if (r.gateFailed) sys.exit(1)
   }

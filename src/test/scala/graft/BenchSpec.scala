@@ -103,6 +103,42 @@ class BenchSpec extends AnyFunSuite {
     assert(wild.regressions.size === 12)
   }
 
+  test("benchdiff flake-retry: cleared in isolation downgrades; reproduced stays fatal") {
+    // 12 shared queries so drift engages as in the real gate
+    val prev = (1 to 12).map(i => s"q_$i" -> 1.0).toMap
+    val cur = prev ++ Map("q_1" -> 2.6, "q_2" -> 2.7) // two raw flags, flat band
+    val r0 = BenchDiff.compare(prev, cur)
+    assert(r0.regressions.map(_.name) === Seq("q_1", "q_2"))
+    // q_1 retried clean (1.1 s — inside the gate): cleared to a flake.
+    // q_2 reproduces its slow time in isolation: the flag stands, now
+    // carrying the isolated time as evidence.
+    val r = BenchDiff.applyRetry(r0, Map("q_1" -> 1.1, "q_2" -> 2.8))
+    assert(r.flakes.map(_.name) === Seq("q_1"))
+    assert(r.flakes.head.retried === 1.1)
+    assert(r.regressions.map(_.name) === Seq("q_2"))
+    assert(r.regressions.head.retried === 2.8)
+    assert(r.gateFailed) // q_2 still fails the gate
+    // both clear -> gate passes, both reported as flakes (loud, non-fatal)
+    val rc = BenchDiff.applyRetry(r0, Map("q_1" -> 1.0, "q_2" -> 0.9))
+    assert(!rc.gateFailed && rc.flakes.map(_.name) === Seq("q_1", "q_2"))
+    // retried time under the minSec floor clears even if the ratio is big
+    val prevTiny = prev + ("q_1" -> 0.1)
+    val r1 = BenchDiff.compare(prevTiny, prevTiny + ("q_1" -> 0.9))
+    assert(r1.regressions.map(_.name) === Seq("q_1"))
+    assert(!BenchDiff.applyRetry(r1, Map("q_1" -> 0.3)).gateFailed)
+    // a flagged query the retry map does not cover keeps its flag —
+    // absence of evidence never clears a gate
+    val rm = BenchDiff.applyRetry(r0, Map("q_1" -> 1.0))
+    assert(rm.regressions.map(_.name) === Seq("q_2"))
+    assert(rm.regressions.head.retried.isNaN && rm.gateFailed)
+    // the retry re-applies the NORMALIZED gate: in a 1.3x drift band a
+    // retried 2.5x raw (≈1.9x normalized) clears
+    val drifted = prev.map { case (k, v) => k -> v * 1.3 } + ("q_1" -> 3.5)
+    val rd0 = BenchDiff.compare(prev, drifted)
+    assert(rd0.regressions.map(_.name) === Seq("q_1"))
+    assert(!BenchDiff.applyRetry(rd0, Map("q_1" -> 2.5)).gateFailed)
+  }
+
   test("sentinel: recorded when present, byte-identical format when absent") {
     val plain = Bench.render(Seq(ok1, ok2), reps = 1, sfDir = "/d")
     assert(!plain.contains("sentinel"))
