@@ -156,6 +156,111 @@ object ZoneMap {
   def build(spark: SparkSession, path: String, cols: Seq[String]): Unit =
     write(path, fileStats(spark.read.parquet(path), cols))
 
+  // ===== Catalyst-pushed constraints (automatic file skipping) =========
+  //
+  // scanRange covers the explicit-bounds call site; scanAuto goes the
+  // idiomatic Spark step further: a custom FileIndex (graftshim
+  // ZoneMapFileIndex) receives the optimizer's ALREADY-PUSHED data
+  // filters at planning time and prunes the file list with the sidecar —
+  // any `.filter`/SQL WHERE over the frame skips files, no bounds
+  // plumbing. The extraction below is deliberately conservative: only
+  // shapes whose zone-map semantics are airtight prune; everything else
+  // (casts, functions, disjunctions, null tests) keeps every file and
+  // lets the residual filter decide — the map accelerates, never
+  // decides.
+
+  /** One pushed conjunct the map understands: `col op value(s)`,
+    * op ∈ {=, in, >, >=, <, <=}, typ ∈ {long, string}. */
+  final case class Constraint(col: String, op: String, values: Seq[String],
+      typ: String)
+
+  /** Extract prunable conjuncts from pushed data filters. Spark hands
+    * `listFiles` the split conjuncts, but nested Ands still appear when
+    * a single pushed predicate was conjunctive — recurse through them.
+    * Operand order is normalized (`5 > c` ⇒ `c < 5`). */
+  def constraintsOf(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[Constraint] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def lit(e: Expression): Option[(String, String)] = e match {
+      case Literal(v, LongType | IntegerType | ShortType | ByteType)
+        if v != null => Some((v.toString, "long"))
+      case Literal(v, StringType) if v != null => Some((v.toString, "string"))
+      case _ => None
+    }
+    def mk(a: Expression, op: String, l: Expression): Option[Constraint] =
+      a match {
+        case ar: AttributeReference =>
+          lit(l).map { case (v, t) => Constraint(ar.name, op, Seq(v), t) }
+        case _ => None
+      }
+    def typOf(dt: DataType): Option[String] = dt match {
+      case LongType | IntegerType | ShortType | ByteType => Some("long")
+      case StringType => Some("string")
+      case _ => None
+    }
+    filters.flatMap {
+      case And(l, r) => constraintsOf(Seq(l, r))
+      case EqualTo(a, b) => (mk(a, "=", b) orElse mk(b, "=", a)).toSeq
+      case GreaterThan(a, b) => (mk(a, ">", b) orElse mk(b, "<", a)).toSeq
+      case GreaterThanOrEqual(a, b) => (mk(a, ">=", b) orElse mk(b, "<=", a)).toSeq
+      case LessThan(a, b) => (mk(a, "<", b) orElse mk(b, ">", a)).toSeq
+      case LessThanOrEqual(a, b) => (mk(a, "<=", b) orElse mk(b, ">=", a)).toSeq
+      case In(a: AttributeReference, vs) if vs.nonEmpty =>
+        val lits = vs.map(lit)
+        if (lits.forall(_.isDefined))
+          Seq(Constraint(a.name, "in", lits.flatten.map(_._1),
+            lits.flatten.head._2))
+        else Nil
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        // optimizer form of a large IN list; values are Catalyst
+        // internals (boxed integrals / UTF8String), toString is exact.
+        // A null element never matches rows, so dropping it is sound.
+        typOf(a.dataType).toSeq.map(t =>
+          Constraint(a.name, "in",
+            hset.toSeq.filter(_ != null).map(_.toString), t))
+      case _ => Nil
+    }
+  }
+
+  /** Could ANY row of a file with bounds [mn, mx] satisfy `c`? Errs to
+    * true on missing bounds, type mismatch, or unparseable stats. */
+  private def satisfiable(s: Stat, c: Constraint): Boolean = {
+    if (!s.hasBounds || s.typ != c.typ) return true
+    def cmp(a: String, b: String): Option[Int] =
+      if (s.typ == "long")
+        try Some(java.lang.Long.compare(a.toLong, b.toLong))
+        catch { case _: NumberFormatException => None }
+      else Some(utf8Compare(a, b))
+    def contains(v: String): Boolean =
+      (for { lo <- cmp(s.mn, v); hi <- cmp(s.mx, v) }
+        yield lo <= 0 && hi >= 0).getOrElse(true)
+    c.op match {
+      case "="  => contains(c.values.head)
+      case "in" => c.values.exists(contains)
+      case ">"  => cmp(s.mx, c.values.head).forall(_ > 0)
+      case ">=" => cmp(s.mx, c.values.head).forall(_ >= 0)
+      case "<"  => cmp(s.mn, c.values.head).forall(_ < 0)
+      case "<=" => cmp(s.mn, c.values.head).forall(_ <= 0)
+      case _    => true
+    }
+  }
+
+  /** One file's verdict against every pushed conjunct: drops only when
+    * some constraint is provably unsatisfiable on its recorded bounds;
+    * constraints on columns the map doesn't cover keep the file. */
+  def fileSurvives(byCol: Map[String, Stat], cons: Seq[Constraint]): Boolean =
+    cons.forall(c => byCol.get(c.col).forall(satisfiable(_, c)))
+
+  /** Catalyst-integrated scan: the returned frame reads `path` through a
+    * zone-map-aware [[org.apache.spark.sql.graftshim.ZoneMapFileIndex]],
+    * so ANY pushed predicate prunes files at planning time — the
+    * Delta/Iceberg data-skipping architecture, not a bespoke call shape.
+    * The index rides along for skip-count observability (StoreSpec
+    * asserts `lastKept < lastListed` under a selective predicate). */
+  def scanAuto(spark: SparkSession, path: String):
+      (DataFrame, org.apache.spark.sql.graftshim.ZoneMapFileIndex) =
+    org.apache.spark.sql.graftshim.ZoneMapScan.scan(spark, path)
+
   /** Range scan through the zone map: list once, prune files on the
     * DRIVER, hand Spark only the survivors, and keep the residual filter
     * (zone maps bound, they don't prove membership). Long overload. */

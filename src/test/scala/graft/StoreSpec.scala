@@ -164,6 +164,100 @@ class StoreSpec extends AnyFunSuite {
     assert(sPruned.count() === 40)
   }
 
+  test("zone maps via Catalyst: pushed predicates prune files with no explicit bounds") {
+    import graft.sources.{ZOrder, ZoneMap}
+    val n = 4000
+    val data = (0 until n).map { i =>
+      (i.toLong, (i * 48271 % 1009).toLong, (i * 16807 % 1013).toLong)
+    }.toDF("id", "x", "y")
+    val path = tmp("graft_zma")
+    ZOrder.writeZOrdered(data, "x", "y", path, numFiles = 16)
+    ZoneMap.build(spark, path, Seq("x", "y"))
+    val (df, index) = ZoneMap.scanAuto(spark, path)
+    // a PLAIN .filter — no scanRange, no bounds plumbing — skips files
+    // because the pushed conjuncts reach the FileIndex at planning time
+    val got = df.filter(col("x") >= 100L && col("x") <= 250L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(index.lastListed === 16, s"listed ${index.lastListed}")
+    assert(index.lastKept < index.lastListed,
+      s"no files skipped (${index.lastKept} of ${index.lastListed})")
+    val want = spark.read.parquet(path)
+      .filter(col("x") >= 100L && col("x") <= 250L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want, "Catalyst pruning changed the result")
+    // BOTH z-order dims prune through the same frame; equality + IN too
+    val keptY = { df.filter(col("y") === 7L).count(); index.lastKept }
+    assert(keptY < 16, s"equality on y skipped nothing ($keptY)")
+    val keptIn = { df.filter(col("y").isin(3L, 7L, 11L)).count(); index.lastKept }
+    assert(keptIn < 16, s"IN on y skipped nothing ($keptIn)")
+    assert(df.filter(col("y").isin(3L, 7L, 11L)).count() ===
+      spark.read.parquet(path).filter(col("y").isin(3L, 7L, 11L)).count())
+    // an UNsupported predicate shape (function of the column) prunes
+    // nothing and still answers correctly — conservative by design
+    val keptFn = { df.filter(col("x") % 2L === 0L).count(); index.lastKept }
+    assert(keptFn === 16, s"unsupported shape pruned ($keptFn) — unsound")
+    assert(df.filter(col("x") % 2L === 0L).count() ===
+      spark.read.parquet(path).filter(col("x") % 2L === 0L).count())
+    // empty intersection: zero files planned, zero rows, schema intact
+    val empty = df.filter(col("x") > 5000L)
+    assert(empty.count() === 0 && index.lastKept === 0)
+    assert(empty.columns.toSeq === Seq("id", "x", "y"))
+    // no sidecar: scanAuto behaves exactly like a plain read
+    val bare = tmp("graft_zmb")
+    data.repartition(4).write.mode("overwrite").parquet(bare)
+    val (df2, idx2) = ZoneMap.scanAuto(spark, bare)
+    assert(df2.filter(col("x") <= 10L).count() ===
+      spark.read.parquet(bare).filter(col("x") <= 10L).count())
+    assert(idx2.lastKept === idx2.lastListed)
+  }
+
+  test("zone-map constraint extraction: shapes, operand order, conservatism") {
+    import graft.sources.ZoneMap
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val a = AttributeReference("x", LongType)()
+    val s = AttributeReference("k", StringType)()
+    def c1(e: Expression) = ZoneMap.constraintsOf(Seq(e))
+    assert(c1(EqualTo(a, Literal(5L))) ===
+      Seq(ZoneMap.Constraint("x", "=", Seq("5"), "long")))
+    // reversed operands normalize: 5 > x  ≡  x < 5
+    assert(c1(GreaterThan(Literal(5L), a)) ===
+      Seq(ZoneMap.Constraint("x", "<", Seq("5"), "long")))
+    assert(c1(LessThanOrEqual(Literal(5L), a)) ===
+      Seq(ZoneMap.Constraint("x", ">=", Seq("5"), "long")))
+    // nested And splits; int literal against long attr is still "long"
+    assert(c1(And(GreaterThanOrEqual(a, Literal(1)), LessThan(a, Literal(9))))
+      .map(_.op) === Seq(">=", "<"))
+    // strings ride as string-typed constraints
+    assert(c1(EqualTo(s, Literal("k07"))) ===
+      Seq(ZoneMap.Constraint("k", "=", Seq("k07"), "string")))
+    // conservative: casts, disjunctions, functions, null literals → none
+    assert(c1(EqualTo(Cast(a, IntegerType), Literal(5))).isEmpty)
+    assert(c1(Or(EqualTo(a, Literal(1L)), EqualTo(a, Literal(2L)))).isEmpty)
+    assert(c1(EqualTo(Literal(null, LongType), a)).isEmpty)
+    // satisfiability: bounds semantics on both types
+    val st = ZoneMap.Stat("f", "x", "long", hasBounds = true, "10", "20")
+    def ok(op: String, v: String) =
+      ZoneMap.fileSurvives(Map("x" -> st),
+        Seq(ZoneMap.Constraint("x", op, Seq(v), "long")))
+    assert(ok("=", "15") && !ok("=", "25") && !ok("=", "5"))
+    assert(ok(">", "19") && !ok(">", "20") && ok(">=", "20") && !ok(">=", "21"))
+    assert(ok("<", "11") && !ok("<", "10") && ok("<=", "10") && !ok("<=", "9"))
+    assert(ZoneMap.fileSurvives(Map("x" -> st),
+      Seq(ZoneMap.Constraint("x", "in", Seq("3", "12"), "long"))))
+    assert(!ZoneMap.fileSurvives(Map("x" -> st),
+      Seq(ZoneMap.Constraint("x", "in", Seq("3", "42"), "long"))))
+    // type-mismatched constraint never prunes; uncovered column keeps
+    assert(ZoneMap.fileSurvives(Map("x" -> st),
+      Seq(ZoneMap.Constraint("x", "=", Seq("zzz"), "string"))))
+    assert(ZoneMap.fileSurvives(Map("x" -> st),
+      Seq(ZoneMap.Constraint("other", "=", Seq("99"), "long"))))
+    // boundless stat (all-null file) always survives
+    val nb = ZoneMap.Stat("f", "x", "long", hasBounds = false, "", "")
+    assert(ZoneMap.fileSurvives(Map("x" -> nb),
+      Seq(ZoneMap.Constraint("x", "=", Seq("99"), "long"))))
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact THROUGH the join") {
     val dir = tmp("dpp")
     // fact partitioned by target (20 partitions), dim filtered to one
