@@ -359,6 +359,36 @@ object TimesearchQueries {
       table.changes(0L, 1L).orderBy("kind", "idstr")
     }),
 
+    // CDC CONSUMED: a downstream grouped view (docs + score mass per
+    // author) maintained ONLY from version-range deltas across TWO real
+    // published versions — the incremental-view-maintenance loop
+    // changes() exists to feed. Seed publishes v0; two disjoint-key
+    // merge batches publish v1 and v2; the view starts from the v0
+    // aggregate and applies changes(0,1) then changes(1,2) — never
+    // rescanning the table. The hash gate pins the delta algebra to the
+    // final snapshot's aggregate exactly (integer measures). Scale: each
+    // step costs |changed keys| (manifest-pruned) + one group exchange,
+    // vs a 100 TB rescan per refresh.
+    "q_cdc_consume" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcc")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                   // v0
+      val nc = newComments(s, dir)
+      table.merge(nc.filter(col("idint") % 4 === 0), "_seq",
+        storeEdits = Some(false))                                       // v1
+      table.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
+        storeEdits = Some(false))                                       // v2
+      val base = graft.operators.Scd.cdcBaseAgg(table.at(0L),
+        "author", "score", "n_docs", "sum_score_c")
+      val afterV1 = graft.operators.Scd.cdcApply(base, table.changes(0L, 1L),
+        "author", "score", "n_docs", "sum_score_c")
+      graft.operators.Scd.cdcApply(afterV1, table.changes(1L, 2L),
+          "author", "score", "n_docs", "sum_score_c")
+        .orderBy("author")
+    }),
+
     // J2+A5+P5 — the batch upsert merge: final table state.
     "q_merge_upsert" -> ((s, dir) => {
       Merge.upsert(oldComments(s, dir), newComments(s, dir),
@@ -723,6 +753,27 @@ object TimesearchQueries {
       graft.sources.ZOrder.writeZOrdered(ev, "user_id", "t", base, numFiles = 16)
       graft.sources.ZoneMap.build(s, base, Seq("user_id", "t"))
       graft.sources.ZoneMap.scanRange(s, base, "user_id", 20L, 39L)
+        .orderBy("event_id")
+    }),
+
+    // Catalyst-integrated file skipping: same sidecar, but the pruning
+    // happens INSIDE planning — scanAuto routes the read through a
+    // zone-map-aware FileIndex (graftshim.ZoneMapFileIndex), so the
+    // plain .filter's pushed conjuncts (a BETWEEN and an IN here) prune
+    // files with zero bounds plumbing at the call site. The hash gate
+    // pins that planning-time pruning loses nothing; StoreSpec pins
+    // that files actually drop.
+    "q_zonemap_auto" -> ((s, dir) => {
+      val base = s"/tmp/graft_zonemap_auto/${new java.io.File(dir).getName}"
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"), tsSec(raw).as("t"),
+        cents(col("value")).as("value_c"))
+      graft.sources.ZOrder.writeZOrdered(ev, "user_id", "t", base, numFiles = 16)
+      graft.sources.ZoneMap.build(s, base, Seq("user_id", "t"))
+      val (df, _) = graft.sources.ZoneMap.scanAuto(s, base)
+      df.filter(col("user_id").between(40L, 59L) ||
+          col("user_id").isin(5L, 17L))
+        .filter(col("user_id") =!= 44L)
         .orderBy("event_id")
     }),
 
@@ -1101,6 +1152,18 @@ object TimesearchQueries {
   private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
     "q_table_changes" -> tableChangesOracle,
+
+    // CDC-maintained view == aggregate of the final merged state: the
+    // oracle NEVER sees the deltas — it rescans the replayed merge, so
+    // any leak in the delta algebra (a double-counted update, a
+    // lingering zero group, a missed delete) hash-mismatches.
+    "q_cdc_consume" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect)
+         SELECT author, COUNT(*) AS n_docs,
+                CAST(SUM(score) AS BIGINT) AS sum_score_c
+         FROM merged GROUP BY author ORDER BY author""",
 
     // Golden-file oracle: rendered HTML has no relational recomputation,
     // so the ground truth is the committed (idstr, html_len, html_md5)
@@ -1876,6 +1939,16 @@ object TimesearchQueries {
       """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
                 CAST(round(value*100) AS BIGINT) AS value_c
          FROM events WHERE user_id BETWEEN 20 AND 39 ORDER BY event_id""",
+
+    // Catalyst-integrated skipping loses nothing either: the pushed
+    // BETWEEN/IN/!= conjunct mix over the zone-mapped layout
+    "q_zonemap_auto" ->
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                CAST(round(value*100) AS BIGINT) AS value_c
+         FROM events
+         WHERE (user_id BETWEEN 40 AND 59 OR user_id IN (5, 17))
+           AND user_id <> 44
+         ORDER BY event_id""",
 
     "q_window_agg" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS w_start,

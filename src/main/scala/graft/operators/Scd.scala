@@ -70,4 +70,58 @@ object Scd {
       .filter(col("change").isNotNull)
       .drop("_in_old", "_in_new")
   }
+
+  /** Incremental view maintenance from a CDC frame — the consumer side
+    * of `UpsertTable.changes` (and of [[diff]], whose before_/after_
+    * flattening both share): maintain a grouped COUNT + SUM view by
+    * applying net deltas instead of rescanning the table. After-images
+    * add (+1 row, +measure on `insert`/`update`); before-images subtract
+    * (−1 row, −measure on `delete`/`update`); groups whose row count
+    * nets to zero vanish from the view. With integer measures the
+    * algebra is exact: applying every version step's delta reproduces
+    * the aggregate of the final snapshot to the bit
+    * (`q_cdc_consume` hash-gates that equality through two real
+    * published versions; ScdSpec proves it on random snapshot pairs
+    * including deletes).
+    *
+    * Scale: this is why [[graft.streaming.Livestream.UpsertTable.changes]]
+    * exists — the delta frame is |changed keys|-sized (manifest-pruned
+    * to re-pointed buckets), so maintaining a downstream view of a
+    * 100 TB table costs one |delta| scan plus one exchange on the group
+    * key per version step, never a snapshot scan. Only ADDITIVE
+    * measures (count, sum, and anything derived from them — mean,
+    * ratios) maintain this way; min/max need the full group on a delete
+    * and are recomputed, not maintained.
+    *
+    * `maintained` must carry (`group`, `nCol`, `sCol`) — start from the
+    * base snapshot's aggregate (or an empty frame for `changes(-1, v)`
+    * consumers). Null groups are groups like any other (both Spark and
+    * the oracle aggregate NULL as one group); a null measure adds its
+    * row count but no sum, matching SUM's null-skipping on the rescan
+    * side.
+    */
+  def cdcApply(maintained: DataFrame, changes: DataFrame, group: String,
+      measure: String, nCol: String = "n_rows", sCol: String = "sum_m"):
+      DataFrame = {
+    val plus = changes.filter(col("kind").isin("insert", "update"))
+      .select(col(s"after_$group").as(group), lit(1L).as("_dn"),
+        col(s"after_$measure").cast("long").as("_dm"))
+    val minus = changes.filter(col("kind").isin("delete", "update"))
+      .select(col(s"before_$group").as(group), lit(-1L).as("_dn"),
+        (-col(s"before_$measure")).cast("long").as("_dm"))
+    maintained
+      .select(col(group), col(nCol).as("_dn"), col(sCol).as("_dm"))
+      .unionByName(plus).unionByName(minus)
+      .groupBy(group)
+      .agg(sum("_dn").as(nCol), sum("_dm").as(sCol))
+      .filter(col(nCol) =!= 0L)
+  }
+
+  /** The matching base/rescan aggregate — one definition shared by the
+    * seed of a [[cdcApply]] chain and its verification rescan, so the
+    * two sides cannot drift. */
+  def cdcBaseAgg(snapshot: DataFrame, group: String, measure: String,
+      nCol: String = "n_rows", sCol: String = "sum_m"): DataFrame =
+    snapshot.groupBy(group)
+      .agg(count(lit(1)).as(nCol), sum(col(measure).cast("long")).as(sCol))
 }

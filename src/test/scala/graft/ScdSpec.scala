@@ -107,4 +107,42 @@ class ScdSpec extends AnyFunSuite {
     assert(got === Map(900L -> "a", 901L -> "a", 902L -> "b",
       903L -> "b", 904L -> "c"))
   }
+
+  test("cdcApply: delta-maintained view == rescan aggregate on random snapshot pairs") {
+    // the IVM invariant: for ANY two snapshots, applying diff()'s deltas
+    // to the older aggregate reproduces the newer aggregate exactly —
+    // inserts, deletes, in-place updates, AND group-moving updates
+    val rnd = new scala.util.Random(4242)
+    def snapshot(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"g${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+    for (round <- 1 to 5) {
+      val oldKeys = (0L until 60L).filter(_ => rnd.nextDouble() < 0.8)
+      val newKeys = (0L until 60L).filter(_ => rnd.nextDouble() < 0.8)
+      val before = snapshot(oldKeys).toDF("k", "g", "m")
+      val after = snapshot(newKeys).toDF("k", "g", "m")
+      val changes = Scd.diff(before, after, "k", Seq("g", "m"))
+        .withColumn("kind",
+          when(col("change") === "added", lit("insert"))
+            .when(col("change") === "removed", lit("delete"))
+            .otherwise(lit("update")))
+      val maintained = Scd.cdcApply(
+        Scd.cdcBaseAgg(before, "g", "m"), changes, "g", "m")
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      val rescan = Scd.cdcBaseAgg(after, "g", "m")
+        .orderBy("g").as[(String, Long, Long)].collect().toSeq
+      assert(maintained === rescan, s"round $round: IVM drifted from rescan")
+    }
+    // a group that empties out vanishes (no zero-count residue), and a
+    // brand-new group appears — through a delete and a group-move update
+    val b2 = Seq((1L, "only", 5L), (2L, "mover", 7L)).toDF("k", "g", "m")
+    val a2 = Seq((2L, "dest", 9L)).toDF("k", "g", "m")
+    val ch2 = Scd.diff(b2, a2, "k", Seq("g", "m"))
+      .withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val v2 = Scd.cdcApply(Scd.cdcBaseAgg(b2, "g", "m"), ch2, "g", "m")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v2 === Seq(("dest", 1L, 9L)))
+  }
 }
