@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * 100 TB claim being EXERCISED rather than argued: multiply the sf
   * corpus past execution memory (the corpusWithDups union-with-offset
   * device, ×`SPARK_GRAFT_STRESS_MULT`), pin execution memory to a
-  * sliver (`spark.memory.fraction`), and drive the four operator
+  * sliver (`spark.memory.fraction`), and drive the five operator
   * shapes whose scale story depends on spilling gracefully — a wide
   * hash aggregation (falls back to sort-based agg under pressure), a
   * global range sort (ExternalSorter), a two-key shuffle equi-join
@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * engine SHJ use is size-gated), and a SKEWED-GRAPH capped wedge
   * close past broadcast reach (section 4 below: replicated real
   * co-occurrence graph + embedded clique, shuffle_hash close, shed
-  * receipts closed-form-checked) — then ASSERT three things:
+  * receipts closed-form-checked), and a MinHash-LSH dedup over a
+  * duplicate-saturated corpus with a bucket-cap-exceeding hot family
+  * (section 5 below: every bucket group ×mult, pair count and shed
+  * receipts integer-exact) — then ASSERT three things:
   *
   *  1. the jobs COMPLETE (no OOM) with disk spill actually observed
   *     (task-metrics `diskBytesSpilled` > 0 — a rehearsal that fit in
@@ -34,11 +37,13 @@ import org.apache.spark.sql.functions._
   * 0.02 ⇒ ~150 MB execution+storage on the 8g gate JVM). The defaults
   * are the MEASURED spill point on the gate box (mult 24 / frac 0.05
   * still fit: 0 bytes spilled, rehearsal void). Measured at defaults:
-  * 38.4M rows, 1.44 GB disk / 5.3 GB memory spill, agg 12.0 s + sort
+  * 38.4M rows, 2.2 GB disk / 13.3 GB memory spill, agg 12.0 s + sort
   * 4.3 s + join 26.7 s (897 MB join-stage spill) + graph close 29.3 s
   * SHJ / 15.9 s SMJ (344 MB close-stage spill, 1.39M triangles exact
-  * through both strategies, 169.1M wedges shed with exact receipts),
-  * every check green. Prints ONE JSON line (the Bench contract)
+  * through both strategies, 169.1M wedges shed with exact receipts) +
+  * LSH dedup 97 s (2,742,144 pairs integer-exact through ×32
+  * duplicate saturation, hot family shed receipts exactly 32 groups /
+  * 192,000 members, 790 MB LSH-stage spill), every check green. Prints ONE JSON line (the Bench contract)
   * with timings, spill bytes, and check results; exits non-zero when
   * any check — INCLUDING spill-actually-happened — fails.
   */
@@ -271,8 +276,72 @@ object Stress {
     val graphSpillOk = graphSpill > 0
     val graphOk = graphCountOk && graphShedOk && graphPlanOk && graphSpillOk
 
+    // 5. MinHash-LSH DEDUP at stress scale with a pathological
+    // duplicate-heavy corpus — the riskiest DEDUP shape at 100×: a
+    // giant identical family lands in ONE (band, bucket) group per band
+    // and would emit its f² pairs inside single tasks. Corpus: every
+    // sf document replicated ×lshMult with disjoint ids — which makes
+    // EVERY doc an lshMult-sized exact-dup family and multiplies every
+    // bucket group by lshMult — plus one synthetic hot family
+    // (vocabulary disjoint from the corpus, so its buckets are its own)
+    // of hotN copies, past bucketCap in every band. Determinism gives
+    // closed forms:
+    //  - every single-copy verified pair (a,b) becomes lshMult² replica
+    //    pairs (identical signatures ⇒ identical co-bucketing ⇒ same
+    //    candidates; exact verification is text-determined),
+    //  - every ≥n-word doc adds C(lshMult, 2) same-text pairs at
+    //    jac = 10000 exactly,
+    //  - the hot family sheds WHOLE (its per-band group of hotN exceeds
+    //    the cap) — receipts exactly bands groups / bands·hotN members,
+    //    zero of its C(hotN, 2) pairs emitted, corpus pairs untouched.
+    // Any corpus group leaking past the cap, any hot pair leaking past
+    // the shed, or any lost corpus pair breaks the integer equality.
+    val lshMult = sys.env.getOrElse("SPARK_GRAFT_STRESS_LSH_MULT", "32").toInt
+    val lshHot = sys.env.getOrElse("SPARK_GRAFT_STRESS_LSH_HOT", "6000").toLong
+    val lshCap = sys.env.getOrElse("SPARK_GRAFT_STRESS_LSH_CAP", "4096").toLong
+    val lshBands = 32
+    require(lshMult >= 2 && lshHot > lshCap,
+      s"bad lsh knobs: mult=$lshMult hot=$lshHot cap=$lshCap")
+    def lshShedOf(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val rows = df.queryExecution.observedMetrics.collect {
+        case (k, row) if k.startsWith(
+          graft.operators.Guard.ShedMetricPrefix + "minhashLsh") => row
+      }
+      require(rows.size == 1, s"expected one minhashLsh shed metric, got $rows")
+      (rows.head.getAs[Long]("shed_groups"), rows.head.getAs[Long]("shed_members"))
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint(false)
+    // single-copy ground truth: verified pairs + shingle-eligible docs
+    val p1 = operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, thresholdBp = 8000).count()
+    val dElig = docs
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+    val bigDocs = (0 until lshMult).map { i =>
+      docs.select((col("doc_id") + lit(i.toLong * 1000000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionByName _)
+    val hotText = (0 until 30).map(i => s"zqstress$i").mkString(" ")
+    val hotDocs = spark.range(0, lshHot)
+      .select((col("id") + lit(2000000000000L)).as("doc_id"),
+        lit(hotText).as("text"))
+    val preLshSpill = spilledDisk.get()
+    val lsh = operators.Dedup.minhashLshPairs(
+        bigDocs.unionByName(hotDocs), "doc_id", "text",
+        n = 3, thresholdBp = 8000, bucketCap = lshCap)
+      .agg(count(lit(1)).as("n"))
+    val (lshN, tLsh) = timed { lsh.collect()(0).getLong(0) }
+    val lshSpill = spilledDisk.get() - preLshSpill
+    val (lshShedGroups, lshShedMembers) = lshShedOf(lsh)
+    val expLshPairs = lshMult.toLong * lshMult * p1 + dElig * binom2(lshMult)
+    val lshCountOk = lshN == expLshPairs
+    val lshShedOk = lshShedGroups == lshBands &&
+      lshShedMembers == lshBands * lshHot
+    val lshSpillOk = lshSpill > 0
+    val lshOk = lshCountOk && lshShedOk && lshSpillOk
+
     val spillOk = spilledDisk.get() > 0
-    val ok = aggOk && sortOk && joinOk && spillOk && graphOk
+    val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk
     println(
       s"""{"metric":"stress","sf":"$sfDir","mult":$mult,""" +
       s""""mem_fraction":$memFrac,"rows":${mult * n1},""" +
@@ -284,11 +353,18 @@ object Stress {
       s""""graph_triangles":$shjN,"graph_expected":$expCount,""" +
       s""""graph_shed_sources":$shjShedSrc,"graph_shed_wedges":$shjShedWedge,""" +
       s""""graph_spill_bytes":$graphSpill,""" +
+      s""""lsh_mult":$lshMult,"lsh_hot":$lshHot,"lsh_cap":$lshCap,""" +
+      s""""lsh_sec":$tLsh,"lsh_pairs":$lshN,"lsh_expected":$expLshPairs,""" +
+      s""""lsh_shed_groups":$lshShedGroups,""" +
+      s""""lsh_shed_members":$lshShedMembers,""" +
+      s""""lsh_spill_bytes":$lshSpill,""" +
       s""""disk_spill_bytes":${spilledDisk.get()},""" +
       s""""memory_spill_bytes":${spilledMem.get()},""" +
       s""""agg_ok":$aggOk,"sort_ok":$sortOk,"join_ok":$joinOk,""" +
       s""""graph_count_ok":$graphCountOk,"graph_shed_ok":$graphShedOk,""" +
       s""""graph_plan_ok":$graphPlanOk,"graph_spill_ok":$graphSpillOk,""" +
+      s""""lsh_count_ok":$lshCountOk,"lsh_shed_ok":$lshShedOk,""" +
+      s""""lsh_spill_ok":$lshSpillOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()
