@@ -1995,6 +1995,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL DOCX text extraction at corpus scale — the office-document
+    // format (OOXML WordprocessingML): each doc's ASCII-projected
+    // 64-char text mints a VALID .docx (zip + [Content_Types].xml +
+    // word/document.xml; three paragraphs, the last with a tab-joined
+    // run pair, escape roundtrip included), and the extractor walks
+    // zip → document.xml → linear WordprocessingML scan for real, under
+    // the archive bomb caps. Extraction is EXACT, so md5 pins content.
+    "q_docx_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 64),
+            64, "x").as("t64"))
+      val minted = docs.as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, t) =>
+          (id, graft.operators.Docx.mint(Seq(
+            Seq(t.substring(0, 24)), Seq(t.substring(24, 48)),
+            Seq(t.substring(48, 56), t.substring(56, 64)))))
+        }
+      }.toDF("doc_id", "payload")
+      minted.as[(Long, Array[Byte])].mapPartitions { it =>
+        it.map { case (id, p) =>
+          graft.operators.Docx.extractText(p) match {
+            case Some(t) => (id, true, t.length.toLong, t)
+            case None => (id, false, 0L, "")
+          }
+        }
+      }.toDF("doc_id", "ok", "n_chars", "text_out")
+        .select(col("doc_id"), col("ok"), col("n_chars"),
+          md5(encode(col("text_out"), "UTF-8")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // Compressed-ARCHIVE explosion at corpus scale: each doc's
     // ASCII-projected 64-char text mints a real zip with two deflated
     // members; the served operator walks the container partition-locally
@@ -4947,6 +4980,19 @@ object PipelineQueries {
                 md5(rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'),
                     1, 64), 64, 'x')) AS digest
          FROM documents ORDER BY doc_id""",
+
+    // DOCX ground truth: the WordprocessingML walk must return exactly
+    // the minted paragraphs — '\n' between <w:p>s, '\t' at <w:tab/>,
+    // XML escapes decoded — replayed as closed-form string algebra
+    "q_docx_extract" ->
+      """WITH t AS (SELECT doc_id,
+              rpad(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 64),
+                   64, 'x') AS t64 FROM documents)
+         SELECT doc_id, TRUE AS ok, CAST(67 AS BIGINT) AS n_chars,
+                md5(substr(t64, 1, 24) || chr(10) || substr(t64, 25, 24) ||
+                    chr(10) || substr(t64, 49, 8) || chr(9) ||
+                    substr(t64, 57, 8)) AS digest
+         FROM t ORDER BY doc_id""",
 
     // Archive ground truth: extraction must return the exact member
     // bytes — both engines md5 the same 32 ASCII chars per member
