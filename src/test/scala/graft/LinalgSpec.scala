@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Linalg
+
+class LinalgSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def matMulVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    a.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+
+  test("jacobiEigen: analytic 2x2 and 3x3 cases") {
+    val (v2, e2) = Linalg.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(v2(0) - 3.0) < 1e-12 && math.abs(v2(1) - 1.0) < 1e-12)
+    // eigvec for 3 is (1,1)/√2 — sign convention makes entries positive
+    assert(math.abs(e2(0)(0) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(e2(1)(0) - math.sqrt(0.5)) < 1e-12)
+    // diagonal matrix: eigenvalues sort, vectors are (signed) unit axes
+    val (v3, e3) = Linalg.jacobiEigen(Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0), Array(0.0, 0.0, 3.0)))
+    assert(v3.toSeq === Seq(5.0, 3.0, 1.0))
+    assert(e3(1)(0) === 1.0 && e3(2)(1) === 1.0 && e3(0)(2) === 1.0)
+  }
+
+  test("jacobiEigen: random symmetric matrices — residual, orthonormality, trace") {
+    val rnd = new scala.util.Random(7331)
+    for (trial <- 1 to 5) {
+      val d = 8
+      val m = Array.tabulate(d, d)((_, _) => rnd.nextDouble() * 2 - 1)
+      val a = Array.tabulate(d, d)((i, j) => (m(i)(j) + m(j)(i)) / 2)
+      val (vals, vecs) = Linalg.jacobiEigen(a)
+      // A v_k = λ_k v_k
+      for (k <- 0 until d) {
+        val vk = Array.tabulate(d)(r => vecs(r)(k))
+        val av = matMulVec(a, vk)
+        for (r <- 0 until d)
+          assert(math.abs(av(r) - vals(k) * vk(r)) < 1e-8,
+            s"trial $trial: residual at ($r, $k)")
+      }
+      // VᵀV = I
+      for (k1 <- 0 until d; k2 <- 0 until d) {
+        val dot = (0 until d).map(r => vecs(r)(k1) * vecs(r)(k2)).sum
+        assert(math.abs(dot - (if (k1 == k2) 1.0 else 0.0)) < 1e-10)
+      }
+      // Σλ = trace; eigenvalues descending
+      assert(math.abs(vals.sum - (0 until d).map(i => a(i)(i)).sum) < 1e-9)
+      assert(vals.toSeq === vals.toSeq.sortBy(-_))
+      // determinism: a second run returns the identical decomposition
+      val (vals2, vecs2) = Linalg.jacobiEigen(a)
+      assert(vals.toSeq === vals2.toSeq)
+      assert(vecs.map(_.toSeq).toSeq === vecs2.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("momentStats: integer-exact vs a local brute force, clamp and bad rows") {
+    val rnd = new scala.util.Random(99)
+    val d = 5
+    val rows = (0 until 200).map { _ =>
+      (0 until d).map(_ => (rnd.nextDouble() * 4 - 2).toFloat).toArray
+    }
+    // one oversized value exercises the ±127 clamp; one bad row is shed
+    rows(0)(2) = 100f
+    val df = (rows.map(r => Tuple1(r.toSeq)) :+ Tuple1(Seq(1f, 2f)))
+      .toDF("v")
+    val stats = Linalg.momentStats(df, "v", d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def q(x: Float): Long =
+      math.max(-127L, math.min(127L, math.floor(x.toDouble * 64).toLong))
+    assert(stats((-1, -1)) === 200L)
+    assert(stats((-2, -2)) === 1L) // the length-2 row, loud
+    for (i <- 0 until d) {
+      assert(stats((i, -1)) === rows.map(r => q(r(i))).sum, s"sum $i")
+      for (j <- i until d)
+        assert(stats((i, j)) === rows.map(r => q(r(i)) * q(r(j))).sum,
+          s"gram ($i, $j)")
+    }
+    assert(q(100f) === 127L) // the clamp engaged
+    // covNumerators: relational form agrees with the definition
+    val cov = Linalg.covNumerators(Linalg.momentStats(df, "v", d))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (i <- 0 until d; j <- i until d)
+      assert(cov((i.toLong, j.toLong)) ===
+        200L * stats((i, j)) - stats((i, -1)) * stats((j, -1)))
+  }
+
+  test("pcaProject: planted low-rank structure recovered, map-only plan") {
+    val rnd = new scala.util.Random(2024)
+    val d = 8
+    // two orthogonal planted directions with variances 0.16 and 0.04,
+    // plus tiny isotropic noise — scaled INSIDE the quantizer's ±127/64
+    // domain (unit-normalized embeddings live there; clipping would
+    // distort the spectrum, and that distortion is the clamp's loud
+    // out-of-domain signal, not PCA's)
+    val u1 = Array(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / 2)
+    val u2 = Array(0.0, 0.0, 0.0, 0.0, 1.0, -1.0, 1.0, -1.0).map(_ / 2)
+    val data = (0 until 500).map { _ =>
+      val (a, b) = (rnd.nextGaussian() * 0.4, rnd.nextGaussian() * 0.2)
+      (0 until d).map(i =>
+        (a * u1(i) + b * u2(i) + rnd.nextGaussian() * 0.002).toFloat).toSeq
+    }
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "v")
+    val (vals, vecs, _) = Linalg.pcaBasis(df, "v", d)
+    // top-2 variance dominates: ≥ 99% of the spectrum
+    assert(vals.take(2).sum / vals.sum > 0.99,
+      s"planted rank-2 not recovered: ${vals.toSeq}")
+    // leading eigenvector aligns with u1 (|cos| > 0.99)
+    val cos1 = (0 until d).map(r => vecs(r)(0) * u1(r)).sum
+    assert(math.abs(cos1) > 0.99, s"u1 alignment $cos1")
+    val proj = Linalg.pcaProject(df, "vec_id", "v", d, 2)
+    // projection variances match the eigenvalues (component order kept)
+    val vars = proj.select(explode(col("proj")).as("x"))
+      .groupBy().agg(sum(col("x") * col("x")).as("ss")).head().getDouble(0)
+    assert(math.abs(vars / 500.0 - vals.take(2).sum) / vals.take(2).sum < 0.05)
+    // map-only serving: the projection stage has no exchange of corpus
+    // rows (stats pass aside) — the plan contains no hash/range
+    // partitioning over the projected stream
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+    // deterministic: identical output across two runs
+    val a1 = proj.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val a2 = Linalg.pcaProject(df, "vec_id", "v", d, 2)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(a1.toSeq === a2.toSeq)
+  }
+}
