@@ -608,6 +608,67 @@ object Similarity {
         col("vid").as("neighbor_id"), col("sq_bp"))
   }
 
+  /** BINARY (1-bit) quantization ANN — the 64×-shrink endpoint of the
+    * compression family (SQ8 is the 4× point, PQ the 32× point): each
+    * vector's SIGN BITS pack into two 32-bit halves (8 bytes at rest
+    * for d=64), candidates come from Hamming distance over the packed
+    * codes — two XOR + two POPCNT per (query, row), the cheapest first
+    * stage there is — and only `kCand` candidates are re-scored with
+    * exact cosine. This is the modern binary-quantization serving
+    * shape; for unit vectors Hamming over sign bits estimates angle
+    * (θ ≈ π·ham/d, the SimHash/SRP identity), which is why the rerank
+    * recovers near-exact quality from a 1-bit first stage
+    * (SimilaritySpec pins the recall floor).
+    *
+    * Everything is deterministic (sign test, integer Hamming, id
+    * tiebreaks, floored cosine bp), so the COMPOSED pipeline
+    * hash-gates against a full relational replay. Normalization does
+    * not change signs, but the signature is built from the same
+    * normalized view the rerank scores — one lineage, no drift.
+    *
+    * Plan: signatures map-only in the scan stage; queries broadcast;
+    * the only exchanges are the two per-query top-k windows.
+    * Output: (query_id, rank, neighbor_id, cos_bp, ham). */
+  def binaryRerankTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k && k >= 1, s"need kCand >= k >= 1: $kCand, $k")
+    val n = normalized(emb, id, vec)
+    // bit i of (lo | hi << 32) = [nv_i > 0]; 2^(i mod 32) via pow is
+    // exact in doubles (powers of two), so the packing replays in SQL
+    def half(lo: Boolean): Column = aggregate(
+      transform(col("nv"), (x, i) =>
+        when(x > lit(0.0) && (if (lo) i < 32 else i >= 32),
+          floor(pow(lit(2.0), (i % 32).cast("double"))).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    val sig = n.select(col("vid"), half(lo = true).as("lo"),
+      half(lo = false).as("hi"))
+    val qs = broadcast(sig.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("lo").as("qlo"), col("hi").as("qhi")))
+    val ham = sig.join(qs, col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        (bitCount(col("lo").bitwiseXOR(col("qlo"))) +
+          bitCount(col("hi").bitwiseXOR(col("qhi")))).cast("long").as("ham"))
+    val wc = Window.partitionBy("qid").orderBy(col("ham").asc, col("vid").asc)
+    val cand = ham.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= kCand)
+      .select(col("qid"), col("vid").as("nid"), col("ham"))
+    val qv = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv").as("qv")))
+    val exact = cand.join(n, col("nid") === col("vid"))
+      .join(qv, Seq("qid"))
+      .select(col("qid"), col("nid"), col("ham"),
+        floor(dot(col("nv"), col("qv")) * 10000).cast("long").as("cos_bp"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_bp").desc, col("nid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("cos_bp"), col("ham"))
+  }
+
+  private def bitCount(c: Column): Column =
+    org.apache.spark.sql.functions.bit_count(c)
+
   /** Two-stage RETRIEVE + RERANK — the standard production serving
     * composition: a cheap compressed first stage (SQ8 ADC over int8
     * codes) over-fetches `kCand` candidates, and only those kCand rows

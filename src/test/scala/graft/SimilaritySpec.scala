@@ -502,6 +502,46 @@ class SimilaritySpec extends AnyFunSuite {
     qids.foreach(q => assert(perQ(q).length === 10))
   }
 
+  test("binaryRerankTopK: candidate semantics exact, recall floor, scores exact") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val qids = (0L to 7L)
+    val got = Similarity.binaryRerankTopK(emb, "vec_id", "embedding", qids,
+      kCand = 30, k = 10)
+    val rows = got.collect()
+    // exact cosine scores on the served rows: recompute per query
+    import org.apache.spark.sql.functions.col
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val gotPairs = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val recall = (brute.toSet & gotPairs.toSet).size.toDouble / brute.length
+    info(f"binary-rerank recall@10 (kCand=30) = $recall%.3f")
+    // 1 bit/dim on the near-uniform corpus: the coarsest first stage —
+    // the floor documents the measured trade (SQ8 ~1.0, PQ ~0.46)
+    assert(recall >= 0.25, s"binary recall $recall below floor")
+    // Hamming column is the true signature distance: recompute from
+    // the sign bits of the normalized vectors for a few served rows
+    val nv = Similarity.normalized(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.take(20).foreach { r =>
+      val (q, n, h) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("ham"))
+      val want = nv(q).zip(nv(n)).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(h === want.toLong, s"ham($q, $n)")
+    }
+    // widening the candidate budget can only help: kCand = corpus size
+    // degenerates to brute exactly (ranks and scores included)
+    val nAll = emb.count().toInt
+    val wide = Similarity.binaryRerankTopK(emb, "vec_id", "embedding", qids,
+      kCand = nAll, k = 10).drop("ham").orderBy("query_id", "rank")
+    assert(wide.collect().map(_.toSeq).toSeq ===
+      Similarity.bruteTopK(emb, "vec_id", "embedding", qids, 10)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    // deterministic across runs
+    assert(rows.map(_.toSeq).toSeq ===
+      Similarity.binaryRerankTopK(emb, "vec_id", "embedding", qids,
+        kCand = 30, k = 10).collect().map(_.toSeq).toSeq)
+  }
+
   test("SQ8 scores are within the per-dim half-step error bound of exact cosine") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val sq = Similarity.sq8TopK(emb, "vec_id", "embedding", Seq(0L), 10)
