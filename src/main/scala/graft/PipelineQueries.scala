@@ -1255,6 +1255,39 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Distributed linear algebra: the full 64×64 covariance-numerator
+    // matrix of the embedding corpus in ONE map-side pass — each task
+    // folds its rows into a 2,080-cell long accumulator and the only
+    // exchange is |partitions|·d² stat rows (plus three broadcast joins
+    // over the ≤d²-row stat frame). Integer-exact end to end: floats
+    // quantize as clamp(floor(64·x)) — a power-of-two multiply is exact
+    // in IEEE 754 — so the oracle replays the identical integers with
+    // no float-sum-ordering hazard. This matrix is the input to PCA/
+    // whitening/OPQ (LinalgSpec covers the eigensolver + projection).
+    "q_embed_cov" -> ((s, dir) => {
+      graft.operators.Linalg.covNumerators(
+          graft.operators.Linalg.momentStats(
+            Tables.load(s, dir, "embeddings"), "embedding", 64))
+        .orderBy("i", "j")
+    }),
+
+    // PCA projection to the top-8 components (spec-verified basis: the
+    // covariance above + deterministic Jacobi + sign convention), served
+    // map-only with the 8×64 basis riding the task closures — the
+    // codebook device. No SQL oracle (the eigenbasis is not relationally
+    // expressible): rows-only driver check; exactness of the underlying
+    // statistics is q_embed_cov's hash gate, basis/projection invariants
+    // are LinalgSpec's.
+    "q_pca_project" -> ((s, dir) => {
+      val proj = graft.operators.Linalg.pcaProject(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        d = 64, k = 8)
+      // flat scalar columns (driver-contract outputs are array-free)
+      proj.select(col("vec_id") +:
+          (0 until 8).map(i => element_at(col("proj"), i + 1).as(s"c$i")): _*)
+        .orderBy("vec_id")
+    }),
+
     "q_embed_cluster" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (nlist, _) = Similarity.ivfTune(embCount(s, dir))
@@ -1449,6 +1482,18 @@ object PipelineQueries {
       Search.mmrTopK(Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
           queryIds = (0L to 7L), kCand = 20, k = 5, lambdaBp = 7000L)
         .orderBy("query_id", "step")
+    }),
+
+    // Binary (1-bit) quantization ANN — the 64×-shrink endpoint of the
+    // compression family: sign-bit signatures packed to 8 bytes/vector,
+    // Hamming (2 XOR + 2 POPCNT) candidate stage over-fetches 30, exact
+    // cosine reranks only those. Deterministic end to end, hash-gated
+    // against a full relational replay of signatures, Hamming ranks,
+    // and the rerank.
+    "q_ann_binary" -> ((s, dir) => {
+      Similarity.binaryRerankTopK(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", queryIds = (0L to 7L), kCand = 30, k = 10)
+        .orderBy("query_id", "rank")
     }),
 
     // Two-stage retrieve+rerank: SQ8 compressed first stage over-fetches
@@ -4507,6 +4552,49 @@ object PipelineQueries {
          ORDER BY query_id, rank"""),
 
     // two-stage replay: SQ8 scores pick kCand=30, exact cosine reranks
+    // binary-quantization ground truth: identical sign-bit packing
+    // (1-based lambda index: bits 0..31 -> lo, 32..63 -> hi), integer
+    // Hamming over xor'd halves, candidate top-30 by (ham, id), exact
+    // floored-cosine rerank — the approximation replayed, not idealized
+    "q_ann_binary" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         nn0 AS (SELECT vec_id,
+                        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                 FROM n),
+         sig AS (SELECT vec_id,
+                   CAST(list_sum(list_transform(nv, (x, i) ->
+                     CASE WHEN x > 0 AND i <= 32
+                          THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0 END))
+                     AS BIGINT) AS lo,
+                   CAST(list_sum(list_transform(nv, (x, i) ->
+                     CASE WHEN x > 0 AND i > 32
+                          THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0 END))
+                     AS BIGINT) AS hi
+                 FROM nn0),
+         q AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sig
+               WHERE vec_id <= 7),
+         h AS (SELECT qid, vec_id AS nid,
+                      CAST(bit_count(xor(lo, qlo)) +
+                           bit_count(xor(hi, qhi)) AS BIGINT) AS ham
+               FROM sig, q WHERE vec_id != qid),
+         cand AS (SELECT qid, nid, ham FROM (
+                    SELECT qid, nid, ham, ROW_NUMBER() OVER
+                      (PARTITION BY qid ORDER BY ham ASC, nid ASC) AS rn
+                    FROM h)
+                  WHERE rn <= 30),
+         ex AS (SELECT c.qid, c.nid, c.ham,
+                       CAST(floor(list_dot_product(a.nv, b.nv) * 10000)
+                         AS BIGINT) AS cos_bp
+                FROM cand c JOIN nn0 a ON a.vec_id = c.nid
+                            JOIN nn0 b ON b.vec_id = c.qid)
+         SELECT qid AS query_id, CAST(rk AS INT) AS rank,
+                nid AS neighbor_id, cos_bp, ham
+         FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY cos_bp DESC, nid ASC) AS rk
+               FROM ex)
+         WHERE rk <= 10
+         ORDER BY query_id, rank""",
+
     "q_ann_rerank" -> (sq8Ctes + """,
          cand AS (
            SELECT qid, nid FROM (
@@ -4544,6 +4632,32 @@ object PipelineQueries {
     // round (not floor) on sim_bp: seed vectors sit analytically at 1.0,
     // one double ulp either side of the floor boundary — see
     // Similarity.clusterAssign's scaladoc.
+    // covariance-numerator ground truth: the identical clamp(floor(64x))
+    // quantization (power-of-two float multiply — exact in both
+    // engines), then plain integer sums — n·Sij − Si·Sj replayed
+    // relationally over the unnested upper triangle
+    "q_embed_cov" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> GREATEST(-127,
+                    LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))))
+                    AS qv
+           FROM embeddings),
+         u AS (
+           SELECT vec_id, t.i, qv[t.i + 1] AS x
+           FROM q, range(64) t(i)),
+         s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sk FROM u GROUP BY i),
+         n AS (SELECT COUNT(*) AS n FROM q),
+         p AS (
+           SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sij
+           FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+           GROUP BY 1, 2)
+         SELECT p.i, p.j,
+                CAST(n.n * p.sij - sa.sk * sb.sk AS BIGINT) AS cov_num
+         FROM p, n, s sa, s sb
+         WHERE sa.i = p.i AND sb.i = p.j
+         ORDER BY p.i, p.j""",
+
     "q_embed_cluster" -> (clusterAssignCte +
       """
          SELECT vec_id, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_bp

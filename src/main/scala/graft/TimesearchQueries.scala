@@ -296,6 +296,37 @@ object TimesearchQueries {
         .orderBy("idstr")
     }),
 
+    // CSV ingest under RFC 4180 quoting — the two-independent-parsers
+    // agreement check: the fixture embeds the three classic traps in a
+    // quoted field (delimiter, doubled quote, NEWLINE inside the field)
+    // and both engines must parse identical field bytes. Spark reads
+    // with multiLine=true + escape='"' (RFC quote-doubling; Spark's
+    // default backslash escape is NOT RFC and would diverge from every
+    // standards-compliant producer). multiLine forgoes intra-file split
+    // parallelism by design — newline-in-field makes row boundaries
+    // unknowable without parsing; at scale you shard into many files
+    // (the fixture writer does exactly that: one file per task).
+    "q_csv_ingest" -> ((s, dir) => {
+      val out = s"/tmp/graft_csv/${new java.io.File(dir).getName}"
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          rpad(substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 40),
+            40, "x").as("t40"))
+      val body = concat(lit("pre,fix \"q\"\n"), col("t40"))
+      val quoted = concat(lit("\""),
+        regexp_replace(body, "\"", "\"\""), lit("\""))
+      docs.select(concat(col("doc_id"), lit(","), quoted, lit(","),
+          concat(lit("t"), col("doc_id") % 3)).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read
+        .option("multiLine", true).option("escape", "\"")
+        .schema("doc_id LONG, body STRING, tag STRING")
+        .csv(out)
+        .select(col("doc_id"), md5(encode(col("body"), "UTF-8")).as("digest"),
+          length(col("body")).cast("long").as("n_chars"), col("tag"))
+        .orderBy("doc_id")
+    }),
+
     // J4 — submission↔comments equi-join (left outer: submissions keep a
     // row even when no comment survives the filter).
     "q_thread_join" -> ((s, dir) => {
@@ -1967,6 +1998,16 @@ object TimesearchQueries {
          ORDER BY created DESC, idstr DESC LIMIT 1""",
 
     // Re-reads the file q_ingest_file wrote (Verify runs first, at sf0.01).
+    // CSV ground truth: DuckDB's OWN RFC 4180 parser over the identical
+    // bytes — the agreement of two independent implementations IS the
+    // semantics being gated (field bytes md5'd, newline-in-field kept)
+    "q_csv_ingest" ->
+      """SELECT doc_id, md5(body) AS digest,
+                CAST(length(body) AS BIGINT) AS n_chars, tag
+         FROM read_csv('/tmp/graft_csv/__INGEST_SF__/*.txt', header=false,
+           columns={'doc_id':'BIGINT','body':'VARCHAR','tag':'VARCHAR'})
+         ORDER BY doc_id""",
+
     // ignore_errors=true surfaces corrupt lines as all-NULL ghost rows, so
     // parsed excludes them structurally (every real line has id or title);
     // quarantine is counted independently from the raw text via json_valid.
