@@ -84,8 +84,12 @@ object Linalg {
   /** Upper-triangle covariance NUMERATORS (n·Sᵢⱼ − Sᵢ·Sⱼ — covariance
     * × n², exact integers) from [[momentStats]] output: the hash-gated
     * relational form. The stat frame is ≤ d²-sized, so both joins and
-    * the count cross-join broadcast. */
-  def covNumerators(stats: DataFrame): DataFrame = {
+    * the count cross-join broadcast. The input is referenced THREE
+    * times (count, sums, gram triangle) — checkpoint-materialized once
+    * so the corpus fold behind it runs once, not three times (the
+    * postings-checkpoint device; PlanAuditSpec pins scans ≤ 1). */
+  def covNumerators(statsIn: DataFrame): DataFrame = {
+    val stats = statsIn.localCheckpoint(false)
     val n = stats.filter(col("i") === -1 && col("j") === -1)
       .select(col("s").as("n"))
     val sums = stats.filter(col("i") >= 0 && col("j") === -1)

@@ -460,4 +460,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.exchanges == 0, s"mmr final plan re-expanded a level: $c")
     assert(c.broadcasts == 0, s"mmr final plan re-expanded a join: $c")
   }
+
+  test("q_embed_cov: one corpus scan, stat rows are the only hash exchange, stat joins broadcast") {
+    val c = audited("q_embed_cov")
+    // the mapPartitions fold reads the corpus ONCE; everything after it
+    // is ≤ d²-row statistics
+    assert(c.scans <= 1, s"covariance corpus re-read: $c")
+    // exactly one hash exchange — the |partitions|·d² partial stat rows
+    // into the (i, j) agg; the sum/sum/count joins over the aggregated
+    // stat frame ride broadcasts (plus the output sort's range exchange)
+    assert(c.exchanges <= 2, s"covariance exchange count drifted: $c")
+    assert(c.broadcasts >= 3, s"stat joins must broadcast: $c")
+  }
+
+  test("q_ann_binary: corpus never hash-shuffles — queries broadcast, top-k windows only") {
+    val c = audited("q_ann_binary")
+    // signature building is map-only in the scan stage; the query sides
+    // broadcast into both the Hamming stage and the exact rerank
+    assert(c.broadcasts >= 2, s"query sides must broadcast: $c")
+    // exchanges: the two per-query top-k windows (candidate rank, final
+    // rank) + the output sort — the corpus-sized stream itself never
+    // hash-partitions beyond the window inputs
+    assert(c.exchanges <= 4, s"binary ANN exchange count drifted: $c")
+  }
 }
