@@ -86,6 +86,40 @@ class LinalgSpec extends AnyFunSuite {
         200L * stats((i, j)) - stats((i, -1)) * stats((j, -1)))
   }
 
+  test("pcaProject as ANN preprocessing: clustered corpus keeps its neighborhoods at k=8") {
+    // the regime PCA reduction serves in production: cluster structure
+    // (8 centers in 64-d) with small isotropic noise. Centers span ≤ 7
+    // dims after centering, so the top-8 components carry ~all center
+    // separation while dropping 56/64 of the noise — coarse
+    // neighborhoods must survive the 8× reduction. (On the NEAR-UNIFORM
+    // synthetic sf corpus the spectrum is flat — top-16/64 ≈ 0.38 of
+    // variance, recall@10 ≈ 0.16 measured — PCA's documented worst
+    // case, exactly like PQ's 0.46 on the same corpus.)
+    val rnd = new scala.util.Random(515)
+    val d = 64
+    val centers = Array.fill(8, d)(rnd.nextDouble() * 1.6 - 0.8)
+    val data = (0 until 480).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, (0 until d).map(j =>
+        (c(j) + rnd.nextGaussian() * 0.03).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "v")
+    val (vals, _, _) = Linalg.pcaBasis(df, "v", d)
+    assert(vals.take(8).sum / vals.sum > 0.95,
+      s"cluster variance not in the top-8 components: ${vals.toSeq.take(10)}")
+    val proj = Linalg.pcaProject(df, "vec_id", "v", d, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = proj.keys.toSeq.sorted
+    for (q <- 0L until 16L) {
+      val top = ids.filter(_ != q).sortBy(i => l2(proj(q), proj(i))).take(10)
+      // every projected neighbor is a true cluster-mate of the query
+      assert(top.forall(i => i % 8 == q % 8),
+        s"query $q leaked cross-cluster neighbors after reduction")
+    }
+  }
+
   test("pcaProject: planted low-rank structure recovered, map-only plan") {
     val rnd = new scala.util.Random(2024)
     val d = 8
