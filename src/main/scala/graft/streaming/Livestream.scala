@@ -332,6 +332,25 @@ object Livestream {
         .parquet(kept: _*).drop("v", PartCol).filter(residual)
     }
 
+    /** Catalyst-integrated read of the CURRENT version: the manifest's
+      * live files behind a zone-map-aware FileIndex
+      * ([[org.apache.spark.sql.graftshim.ZoneMapFileIndex]]), so ANY
+      * pushed predicate a consumer writes — not just the explicit
+      * bounds [[scanRange]] takes — prunes files at planning time
+      * against the [[refreshZoneMap]] sidecar. The index rides along
+      * for skip observability. Files the sidecar does not cover are
+      * always read; with no sidecar at all this is exactly `current`.
+      * Partition-directory levels in the file paths are ignored (the
+      * same v/PartCol drop `readParts` performs, done structurally:
+      * the index parses no partition values). */
+    def scanAuto(): (DataFrame,
+        org.apache.spark.sql.graftshim.ZoneMapFileIndex) = {
+      validatePartitioning()
+      org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(spark,
+        current.inputFiles.toSeq, emptyLike.schema,
+        graft.sources.ZoneMap.read(path))
+    }
+
     /** Pruned read of ONE partition value (e.g. one archive target): only
       * that partition's files are listed — the partition analog of the
       * reference's open-one-SQLite-file access path. */

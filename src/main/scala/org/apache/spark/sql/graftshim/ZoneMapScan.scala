@@ -34,10 +34,13 @@ import graft.sources.ZoneMap
   * this file and ColumnBridge are the engine's only internal-API
   * touches, kept to thin delegations.
   */
-class ZoneMapFileIndex(spark: SparkSession, root: Path, schema: StructType,
-    stats: Seq[ZoneMap.Stat])
-  extends InMemoryFileIndex(spark, Seq(root), Map.empty[String, String],
+class ZoneMapFileIndex(spark: SparkSession, roots: Seq[Path],
+    schema: StructType, stats: Seq[ZoneMap.Stat])
+  extends InMemoryFileIndex(spark, roots, Map.empty[String, String],
     Some(schema), FileStatusCache.getOrCreate(spark), None, None) {
+
+  def this(spark: SparkSession, root: Path, schema: StructType,
+      stats: Seq[ZoneMap.Stat]) = this(spark, Seq(root), schema, stats)
 
   // sidecar rows keyed by URI path (input_file_name() and
   // FileStatus.getPath render the scheme differently — "file:///x" vs
@@ -80,10 +83,27 @@ object ZoneMapScan {
     * a missing/empty sidecar yields a frame that behaves exactly like
     * `spark.read.parquet(path)` — every file always survives. */
   def scan(spark: SparkSession, path: String): (DataFrame, ZoneMapFileIndex) = {
-    val cs = spark.asInstanceOf[classic.SparkSession]
     val schema = spark.read.parquet(path).schema
-    val index = new ZoneMapFileIndex(spark, new Path(path), schema,
-      ZoneMap.read(path))
+    fromIndex(spark, new ZoneMapFileIndex(spark, new Path(path), schema,
+      ZoneMap.read(path)), schema)
+  }
+
+  /** Same, over an EXPLICIT leaf-file list — the versioned-store read
+    * path, where the manifest (not a directory listing) names the live
+    * files of a version. Partition-encoding directory levels in the
+    * paths are ignored: the schema is the caller's data schema and the
+    * index parses no partition values. */
+  def scanFiles(spark: SparkSession, files: Seq[String],
+      schema: StructType, stats: Seq[ZoneMap.Stat]):
+      (DataFrame, ZoneMapFileIndex) = {
+    val index = new ZoneMapFileIndex(spark, files.map(new Path(_)), schema,
+      stats)
+    fromIndex(spark, index, schema)
+  }
+
+  private def fromIndex(spark: SparkSession, index: ZoneMapFileIndex,
+      schema: StructType): (DataFrame, ZoneMapFileIndex) = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(index, partitionSchema = new StructType(),
       dataSchema = schema, bucketSpec = None, fileFormat = new ParquetFileFormat,
       options = Map.empty)(cs)

@@ -749,6 +749,48 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(unpruned.count() === 4)
   }
 
+  test("UpsertTable scanAuto: ANY pushed predicate prunes store files via Catalyst") {
+    val dir = tmp("zmta")
+    val table = new Livestream.UpsertTable(spark, dir,
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some((col("idint") / lit(16L)).cast("long")))
+    table.seed((1L to 64L).map(i => c(i, s"b$i", i)).toDF())
+    table.refreshZoneMap(Seq("idint"))
+    val total = table.current.inputFiles.length
+    val (df, index) = table.scanAuto()
+    // a plain consumer .filter — no scanRange, no bounds plumbing —
+    // skips non-intersecting buckets' files at planning time
+    val got = df.filter(col("idint").between(20L, 30L))
+      .collect().map(_.getAs[Long]("idint")).sorted.toSeq
+    assert(got === (20L to 30L).toSeq)
+    assert(index.lastListed === total)
+    assert(index.lastKept < total,
+      s"no files skipped (${index.lastKept} of ${index.lastListed})")
+    // equality and IN prune through the same frame; results stay exact
+    assert(df.filter(col("idint") === 7L).count() === 1L)
+    assert(index.lastKept < total)
+    assert(df.filter(col("idint").isin(3L, 50L)).count() === 2L)
+    // schema matches the entity (no v/partition columns leak through)
+    assert(df.columns.toSeq === table.current.columns.toSeq)
+    // after a merge + refresh, scanAuto serves the NEW version's rows
+    table.merge(Seq(c(21, "edited", 99)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+    table.refreshZoneMap(Seq("idint"))
+    val (df2, idx2) = table.scanAuto()
+    val row = df2.filter(col("idint") === 21L).collect()
+    assert(row.length === 1 && row(0).getAs[String]("body") === "edited")
+    assert(idx2.lastKept < df2.inputFiles.length ||
+      idx2.lastKept === idx2.lastListed) // pruning engaged or map absent
+    // no sidecar: behaves exactly like current (all files, right rows)
+    val bare = new Livestream.UpsertTable(spark, tmp("zmta2"),
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some((col("idint") / lit(16L)).cast("long")))
+    bare.seed((1L to 32L).map(i => c(i, s"b$i", i)).toDF())
+    val (bdf, bidx) = bare.scanAuto()
+    assert(bdf.filter(col("idint") <= 4L).count() === 4L)
+    assert(bidx.lastKept === bidx.lastListed)
+  }
+
   test("vacuum drops old table versions, keeps current + CDC history") {
     val dir = tmp("tbl5")
     val table = new Livestream.UpsertTable(spark, dir,
