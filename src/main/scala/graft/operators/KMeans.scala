@@ -134,6 +134,61 @@ object KMeans {
         expr(s"code div ${m}L").as("dist"))
   }
 
+  /** Per-SUBSPACE k-means on the same integer fixpoint device — the
+    * trained-codebook upgrade for product quantization: m independent
+    * Lloyd problems (one per d/m-wide subspace), all trained in ONE
+    * job per iteration. The full vector quantizes and checkpoints
+    * once; each iteration assigns every row to m codewords (m argmin
+    * expressions over slices, map-only) and collects ONE
+    * (j, cid, pos) partial-sum grid — m·ksub·dsub = k·d longs, the
+    * codebook-sized collect contract. Seeds are the SAME md5-order
+    * rows [[Similarity.pqCodebooks]] slices, so iters=0 is exactly the
+    * sampled-codebook geometry on the quantized grid and every
+    * iteration is pure refinement. Every step is exact long
+    * arithmetic ⇒ a fixed iteration count unrolls relationally
+    * (`q_ann_pq_trained` hash-gates the full composition).
+    *
+    * Returns quantized-unit codebooks: `result(j)(code)(pos)`. */
+  def trainSubspaces(emb: DataFrame, id: String, vec: String, m: Int,
+      ksub: Int, iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val q = quantized(emb, id, vec).localCheckpoint(eager = false)
+    val d = q.select(size(col("qv"))).head().getInt(0)
+    require(d % m == 0, s"vector dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val seeds = seedCentroids(q, ksub)
+    var cbs = IndexedSeq.tabulate(m)(j =>
+      seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    val mod = seeds.length.toLong // corpus may seed fewer than ksub
+    var it = 0
+    while (it < iters) {
+      val exploded = explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          pmod(centroidArgminL2(
+            slice(col("qv"), j * dsub + 1, dsub), cbs(j)), lit(mod))
+            .cast("int").as("cid"),
+          slice(col("qv"), j * dsub + 1, dsub).as("sv"))
+      }: _*))
+      val parts = q.select(exploded.as("e"))
+        .select(col("e.j").as("j"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy("j", "cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .collect()
+      val byKey = parts.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cbs = IndexedSeq.tabulate(m) { j =>
+        cbs(j).indices.map { c =>
+          byKey.get((j, c)) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(2)).map(r => r.getLong(3) / r.getLong(4))
+                .toIndexedSeq
+            case None => cbs(j)(c) // emptied codeword keeps its centroid
+          }
+        }.toIndexedSeq
+      }
+      it += 1
+    }
+    cbs
+  }
+
   /** Final assignment against a GIVEN trained codebook — the serving
     * split (train once, assign map-only), mirroring
     * [[Similarity.assignToCodebook]] on the integer domain. */

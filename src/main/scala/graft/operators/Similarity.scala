@@ -508,7 +508,16 @@ object Similarity {
   def pqTopK(emb: DataFrame, id: String, vec: String, queryIds: Seq[Long],
       k: Int, m: Int = 16, ksub: Int = 32): DataFrame = {
     val n = normalized(emb, id, vec)
-    val cb = pqCodebooks(n, m, ksub)
+    pqServe(n, pqCodebooks(n, m, ksub), queryIds, k)
+  }
+
+  /** The encode → LUT → ADC → rank serving tail over GIVEN codebooks —
+    * shared by the sampled ([[pqTopK]]) and k-means-trained
+    * ([[pqTrainedTopK]]) variants: the codebook's provenance is the
+    * only difference between them. */
+  private def pqServe(n: DataFrame,
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], queryIds: Seq[Long],
+      k: Int): DataFrame = {
     val codes = n.select(col("vid"),
       graft.functions.pqEncode(col("nv"), cb).as("codes"))
     val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
@@ -522,6 +531,31 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
         col("vid").as("neighbor_id"), col("adc_bp"))
+  }
+
+  /** PQ with K-MEANS-TRAINED sub-codebooks — the trained-centroid
+    * upgrade over [[pqTopK]]'s sampled codewords (Jégou et al. train
+    * with Lloyd; sampling is the bootstrap). Training runs on the
+    * integer fixpoint device ([[KMeans.trainSubspaces]]: exact long
+    * argmin + associative sums + floor division from the same md5
+    * seeds pqCodebooks slices), so unlike classic float k-means the
+    * WHOLE pipeline — training iterations included — unrolls
+    * relationally and hash-gates (`q_ann_pq_trained`). Codewords
+    * dequantize to the double grid ((c − offset)/scale, exact integer
+    * operands) and serve through the same encode/LUT/ADC tail.
+    *
+    * The OPQ-rotation experiment (ROUND13.md) showed rotations do NOT
+    * help sampled codebooks; trained codebooks are the prerequisite —
+    * and the measured step that actually moves recall
+    * (SimilaritySpec pins trained ≥ sampled on the PQ-floor corpus). */
+  def pqTrainedTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, m: Int = 16, ksub: Int = 32,
+      iters: Int = 2): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val cb = KMeans.trainSubspaces(n, "vid", "nv", m, ksub, iters)
+      .map(_.map(_.map(c =>
+        (c - KMeans.Offset).toDouble / KMeans.Scale)))
+    pqServe(n, cb, queryIds, k)
   }
 
   /** FILTERED vector search — attribute-constrained top-k (the
