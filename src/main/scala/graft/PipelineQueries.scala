@@ -1568,6 +1568,22 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Residual IVFPQ with K-MEANS-TRAINED residual codebooks — the full
+    // production-Faiss default (coarse quantizer + residual encoding +
+    // Lloyd-trained PQ, trained ON the corpus residuals, the
+    // distribution the codes quantize). Training is the integer
+    // fixpoint device, so coarse assign + residuals + iterations +
+    // codes + ADC ALL replay relationally and the composition
+    // hash-gates end to end.
+    "q_ann_ivfpq_rtrained" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      Similarity.ivfpqResidualTrainedTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10, nlist = nlist, nprobe = nprobe,
+          iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // PII-style redaction (pre-training hygiene): plant emails/URLs/digit
     // runs, scrub to typed placeholders, count replacements.
     "q_redact" -> ((s, dir) => {
@@ -2682,7 +2698,14 @@ object PipelineQueries {
     * argmin tiebreak, floor division, empty-codeword carry, and the
     * final (c − offset)/scale dequantization all replay the engine's
     * exact integer/double steps. */
-  private def pqTrainedCb(iters: Int): String = {
+  /** The per-subspace integer Lloyd unroll over a `$src(vec_id, j, qv)`
+    * relation of quantized subvectors — kmeansOracle's device with
+    * every CTE keyed by the subspace j. Emits the tseed, tcentN,
+    * tasgN, tupdN CTEs; the final codebook is `tcent$iters` (iters
+    * from the caller). Shared by the trained
+    * flat-PQ and trained residual-IVFPQ oracles — the training algebra
+    * cannot drift between them. */
+  private def pqKmeansChain(src: String, iters: Int): String = {
     val steps = (0 until iters).map { t =>
       s"""tasg$t AS MATERIALIZED (
            SELECT vec_id, j, qv, cid FROM (
@@ -2691,7 +2714,7 @@ object PipelineQueries {
                       ORDER BY CAST(list_sum(list_transform(range(1, 1 + len(s.qv)),
                                  i -> (s.qv[i] - c.cv[i]) * (s.qv[i] - c.cv[i])))
                                AS BIGINT) ASC, c.cid ASC) AS rn
-             FROM qsub s JOIN tcent$t c ON c.j = s.j) z
+             FROM $src s JOIN tcent$t c ON c.j = s.j) z
            WHERE rn = 1),
          tupd$t AS MATERIALIZED (
            SELECT j, cid, i, CAST(sum(x) // count(*) AS BIGINT) AS cvi
@@ -2705,14 +2728,7 @@ object PipelineQueries {
                 (SELECT j, cid, list(cvi ORDER BY i) AS cv
                  FROM tupd$t GROUP BY j, cid) w USING (j, cid))"""
     }
-    s""",
-       qsub AS MATERIALIZED (
-         SELECT vec_id, j,
-                list_transform(
-                  nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)],
-                  x -> CAST(floor(x * 10000) AS BIGINT) + 16384) AS qv
-         FROM nn0 CROSS JOIN js),
-       tseed AS (
+    s"""tseed AS (
          SELECT vec_id FROM (
            SELECT vec_id,
                   row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
@@ -2721,13 +2737,23 @@ object PipelineQueries {
        tcent0 AS MATERIALIZED (
          SELECT CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS cid,
                 j, qv AS cv
-         FROM qsub WHERE vec_id IN (SELECT vec_id FROM tseed)),
-       ${steps.mkString(",\n")},
+         FROM $src WHERE vec_id IN (SELECT vec_id FROM tseed)),
+       ${steps.mkString(",\n")}"""
+  }
+
+  private def pqTrainedCb(iters: Int): String =
+    s""",
+       qsub AS MATERIALIZED (
+         SELECT vec_id, j,
+                list_transform(
+                  nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)],
+                  x -> CAST(floor(x * 10000) AS BIGINT) + 16384) AS qv
+         FROM nn0 CROSS JOIN js),
+       ${pqKmeansChain("qsub", iters)},
        cb AS (
          SELECT cid AS code, j,
                 list_transform(cv, c -> (c - 16384) / 10000.0) AS cs
          FROM tcent$iters)"""
-  }
 
   /** The ADC score + rank tail over a `sc(qid, nid, j, dp)` relation —
     * shared by both PQ oracles. The cross-subspace sum is an explicit
@@ -2818,7 +2844,9 @@ object PipelineQueries {
     * codewords (the LUT from the FULL query subvectors — q·r̂ term),
     * and (d) the score adds q·centroid(cell) AFTER the left-associated
     * ADC chain, mirroring the engine's `pqAdc + qc` order. */
-  private val ivfpqResidualOracle =
+  /** Shared head of both residual oracles: normalize, coarse quantizer,
+    * corpus assignment, query probes, and the corpus residual frame. */
+  private val ivfpqResHead =
     s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        nn0 AS (SELECT vec_id,
                       list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
@@ -2853,6 +2881,14 @@ object PipelineQueries {
            FROM nn0 nn CROSS JOIN cents c
            WHERE nn.vec_id <= 7)
          WHERE rn <= (SELECT nprobe FROM pp)),
+       cres AS (
+         SELECT nn.vec_id, list_transform(nn.nv, (x, i) -> x - c.cv[i]) AS rv
+         FROM nn0 nn JOIN assign a ON a.vec_id = nn.vec_id
+         JOIN cents c ON c.cid = a.cid)"""
+
+  /** Salted-seed residual codebook (ivfpqResidualTopK's sampling rule). */
+  private val ivfpqSaltedRcb =
+    s""",
        rseed AS (
          SELECT vec_id, nv FROM (
            SELECT vec_id, nv,
@@ -2873,11 +2909,30 @@ object PipelineQueries {
        rcb AS (
          SELECT CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS code,
                 j, rv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS cs
-         FROM rres CROSS JOIN js),
-       cres AS (
-         SELECT nn.vec_id, list_transform(nn.nv, (x, i) -> x - c.cv[i]) AS rv
-         FROM nn0 nn JOIN assign a ON a.vec_id = nn.vec_id
-         JOIN cents c ON c.cid = a.cid),
+         FROM rres CROSS JOIN js)"""
+
+  /** K-means-trained residual codebook: the shared Lloyd chain over the
+    * quantized CORPUS-residual subvectors (the distribution the codes
+    * quantize), then the dequantized `rcb`. */
+  private def ivfpqTrainedRcb(iters: Int): String =
+    s""",
+       rqsub AS MATERIALIZED (
+         SELECT vec_id, j,
+                list_transform(
+                  rv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)],
+                  x -> CAST(floor(x * 10000) AS BIGINT) + 16384) AS qv
+         FROM cres CROSS JOIN js),
+       ${pqKmeansChain("rqsub", iters)},
+       rcb AS (
+         SELECT cid AS code, j,
+                list_transform(cv, c -> (c - 16384) / 10000.0) AS cs
+         FROM tcent$iters)"""
+
+  /** Serving tail shared by both residual oracles: corpus-residual
+    * encode, query LUT + q·centroid term, probed-cell candidates, ADC
+    * chain + rank. */
+  private val ivfpqResTail =
+    s""",
        csub AS (
          SELECT vec_id, j, rv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
          FROM cres CROSS JOIN js),
@@ -2916,6 +2971,15 @@ object PipelineQueries {
              FROM scores)
        WHERE rn <= 10
        ORDER BY query_id, rank"""
+
+  private val ivfpqResidualOracle =
+    ivfpqResHead + ivfpqSaltedRcb + ivfpqResTail
+
+  /** Trained-residual IVFPQ: coarse + residuals + the SHARED Lloyd
+    * chain over corpus residuals + the VERBATIM-shared serving tail —
+    * the full production-Faiss default, training included, replayed. */
+  private val ivfpqResidualTrainedOracle =
+    ivfpqResHead + ivfpqTrainedRcb(iters = 2) + ivfpqResTail
 
   /** BPE training replay: the word-frequency CTE once, then one
     * GENERATED stage per merge step — pair counts from adjacent symbols,
@@ -4629,6 +4693,7 @@ object PipelineQueries {
     "q_ann_pq_trained" -> pqTrainedOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
+    "q_ann_ivfpq_rtrained" -> ivfpqResidualTrainedOracle,
 
     // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
     // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is

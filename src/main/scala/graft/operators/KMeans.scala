@@ -171,8 +171,15 @@ object KMeans {
       val parts = q.select(exploded.as("e"))
         .select(col("e.j").as("j"), col("e.cid").as("cid"),
           posexplode(col("e.sv")).as(Seq("pos", "x")))
-        .groupBy("j", "cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .groupBy("j", "cid", "pos").agg(sum("x").as("sx"), count(lit(1)).as("cnt"),
+          min("x").as("mn"))
         .collect()
+      // non-negativity IS the cross-engine division contract (truncating
+      // vs floor); the offset covers |x| ≤ 1.6384 — an input outside it
+      // (e.g. pathological residuals) must fail LOUD, not round apart
+      parts.foreach(r => require(r.getLong(4) >= 0L,
+        s"trainSubspaces: quantized value ${r.getLong(4)} < 0 — input " +
+          "outside the offset domain (|x| <= 1.6384)"))
       val byKey = parts.groupBy(r => (r.getInt(0), r.getInt(1)))
       cbs = IndexedSeq.tabulate(m) { j =>
         cbs(j).indices.map { c =>

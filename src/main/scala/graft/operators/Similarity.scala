@@ -850,6 +850,45 @@ object Similarity {
       }
       IndexedSeq.tabulate(m)(j => rseeds.map(_.slice(j * dsub, (j + 1) * dsub)))
     }
+    ivfpqResidualServe(n, coarse, cbRes, queryIds, k, nprobe)
+  }
+
+  /** Residual IVFPQ with K-MEANS-TRAINED residual codebooks — the full
+    * production-Faiss default composition: coarse quantizer + residual
+    * encoding ([[ivfpqResidualTopK]]) + Lloyd-trained PQ codebooks
+    * ([[KMeans.trainSubspaces]], here trained ON THE CORPUS RESIDUALS —
+    * the distribution the codes actually quantize, which is where
+    * trained codebooks pay most). Training is the integer fixpoint
+    * device over the residual frame, so the whole composition —
+    * coarse assign, residuals, training iterations, codes, ADC —
+    * still replays relationally (`q_ann_ivfpq_rtrained`). */
+  def ivfpqResidualTrainedTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, nlist: Int, nprobe: Int,
+      m: Int = 16, ksub: Int = 32, iters: Int = 2): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val coarse = md5Codebook(n, nlist)
+    val d = coarse.head.length
+    require(d % m == 0, s"vector dim $d not divisible by m=$m subspaces")
+    val coarseLit = array(coarse.map(cv =>
+      array(cv.map(x => lit(x)): _*)): _*)
+    def centOf(cid: Column): Column = element_at(coarseLit, (cid + 1).cast("int"))
+    val residuals = n.select(col("vid"),
+        graft.functions.nearestCentroids(col("nv"), coarse, 1).getItem(0).as("cid"),
+        col("nv"))
+      .select(col("vid"),
+        zip_with(col("nv"), centOf(col("cid")), (x, c) => x - c).as("rv"))
+    val cbRes = KMeans.trainSubspaces(residuals, "vid", "rv", m, ksub, iters)
+      .map(_.map(_.map(c => (c - KMeans.Offset).toDouble / KMeans.Scale)))
+    ivfpqResidualServe(n, coarse, cbRes, queryIds, k, nprobe)
+  }
+
+  /** The residual-IVFPQ serving tail over GIVEN coarse + residual
+    * codebooks — shared by the salted-seed and k-means-trained
+    * variants (codebook provenance is the entire diff). */
+  private def ivfpqResidualServe(n: DataFrame,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
     val coarseLit = array(coarse.map(cv =>
       array(cv.map(x => lit(x)): _*)): _*)
     def centOf(cid: Column): Column = element_at(coarseLit, (cid + 1).cast("int"))

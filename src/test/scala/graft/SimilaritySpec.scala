@@ -649,9 +649,10 @@ class SimilaritySpec extends AnyFunSuite {
     // decisive (measured 0.238 vs 0.150 recall@10); at looser noise the
     // 32-seed UNTRAINED codebooks make the comparison noisy in both
     // directions — k-means-refined codebooks (the production path) are
-    // what recovers the textbook uniform win, and they are not
-    // relationally replayable, so the pin stays in the regime where the
-    // seed-codebook effect is unambiguous.
+    // what recovers the textbook uniform win; since trainSubspaces they
+    // ARE relationally replayable (see the trained assertions below and
+    // q_ann_pq_trained / q_ann_ivfpq_rtrained), and the pin stays in
+    // the regime where the seed-codebook effect is unambiguous.
     val rnd = new scala.util.Random(20260814L)
     val d = 64; val nCenters = 24
     val centers = IndexedSeq.fill(nCenters)(IndexedSeq.fill(d)(rnd.nextGaussian()))
@@ -676,6 +677,18 @@ class SimilaritySpec extends AnyFunSuite {
     // deterministic replay (fixed seeds, fixed association order)
     assert(res === rs(Similarity.ivfpqResidualTopK(clustered, "vec_id", "embedding",
       qids, 10, nlist = nlist, nprobe = nprobe)))
+    // trained residual codebooks (the full Faiss default — and, since
+    // trainSubspaces, RELATIONALLY REPLAYABLE after all: the integer
+    // fixpoint removed this test's former "not replayable" caveat):
+    // Lloyd over the corpus residuals must not lose to the salted
+    // sample, and stays deterministic
+    val rt = rs(Similarity.ivfpqResidualTrainedTopK(clustered, "vec_id",
+      "embedding", qids, 10, nlist = nlist, nprobe = nprobe, iters = 2))
+    val rTrained = (brute & rt).size.toDouble / brute.size
+    info(f"clustered IVFPQ recall@10: residual-trained=$rTrained%.3f")
+    assert(rTrained >= rRes, s"trained residual $rTrained lost to sampled $rRes")
+    assert(rt === rs(Similarity.ivfpqResidualTrainedTopK(clustered, "vec_id",
+      "embedding", qids, 10, nlist = nlist, nprobe = nprobe, iters = 2)))
   }
 
   test("residual IVFPQ: ADC score error strictly below direct encoding (clustered)") {
