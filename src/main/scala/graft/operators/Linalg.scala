@@ -217,15 +217,27 @@ object Linalg {
     * corpus mean, multiply by the eigenvector columns. The k×d matrix
     * rides into the task closures as a constant (codebook device); the
     * corpus is touched twice — once for the stats aggregate, once
-    * streaming through the projection — and never exchanged. */
+    * streaming through the projection — and never exchanged.
+    *
+    * `whiten = true` additionally divides each component by √λ (the
+    * classic whitening transform): output components have ~unit
+    * variance and identity covariance, the preprocessing K-means/ANN
+    * distance metrics assume when one direction would otherwise
+    * dominate. Components with λ below `whitenEps` keep scale 1 (a
+    * near-null direction must not explode to noise amplification). */
   def pcaProject(df: DataFrame, id: String, vec: String, d: Int,
-      k: Int): DataFrame = {
+      k: Int, whiten: Boolean = false,
+      whitenEps: Double = 1e-9): DataFrame = {
     require(k >= 1 && k <= d, s"pcaProject: k=$k out of [1, $d]")
     import df.sparkSession.implicits._
-    val (_, vecs, means) = pcaBasis(df, vec, d)
+    val (vals, vecs, means) = pcaBasis(df, vec, d)
     // rows = components, for cache-friendly per-row dot products
     val proj: Array[Array[Double]] =
-      Array.tabulate(k, d)((c, r) => vecs(r)(c))
+      Array.tabulate(k, d) { (c, r) =>
+        val scale =
+          if (whiten && vals(c) > whitenEps) 1.0 / math.sqrt(vals(c)) else 1.0
+        vecs(r)(c) * scale
+      }
     df.select(col(id).cast("long"), col(vec)).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (rid, x) =>

@@ -120,6 +120,44 @@ class LinalgSpec extends AnyFunSuite {
     }
   }
 
+  test("whitening: unit variances, decorrelated components, null directions don't explode") {
+    val rnd = new scala.util.Random(6061)
+    val d = 6
+    // anisotropic correlated corpus: two dominant coupled directions
+    val data = (0 until 800).map { i =>
+      val (a, b) = (rnd.nextGaussian() * 0.5, rnd.nextGaussian() * 0.15)
+      (i.toLong, Seq(
+        (a + 0.1 * b).toFloat, (a - 0.1 * b).toFloat, (0.7 * a + b).toFloat,
+        (b * 0.8).toFloat, (rnd.nextGaussian() * 0.02).toFloat,
+        (rnd.nextGaussian() * 0.02).toFloat))
+    }
+    val df = data.toDF("vec_id", "v")
+    val w = Linalg.pcaProject(df, "vec_id", "v", d, 4, whiten = true)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val n = w.length.toDouble
+    for (c <- 0 until 4) {
+      val mean = w.map(_(c)).sum / n
+      val variance = w.map(x => (x(c) - mean) * (x(c) - mean)).sum / n
+      // unit variance within quantization tolerance (basis from the
+      // 1/64-grid statistics, applied to raw floats)
+      assert(math.abs(variance - 1.0) < 0.15, s"component $c variance $variance")
+      // decorrelated: off-diagonal covariances ~0 relative to unit scale
+      for (c2 <- c + 1 until 4) {
+        val mean2 = w.map(_(c2)).sum / n
+        val cov = w.map(x => (x(c) - mean) * (x(c2) - mean2)).sum / n
+        assert(math.abs(cov) < 0.1, s"components $c,$c2 correlated: $cov")
+      }
+    }
+    // a strictly-zero direction: whitening must not amplify it to noise
+    val degenerate = (0 until 100).map(i =>
+      (i.toLong, Seq((i % 7).toFloat / 10, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "v")
+    val dw = Linalg.pcaProject(degenerate, "vec_id", "v", d, d, whiten = true)
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(dw.forall(r => (1 until d).forall(c => math.abs(r(c)) < 1e-6)),
+      "null directions exploded under whitening")
+  }
+
   test("pcaProject: planted low-rank structure recovered, map-only plan") {
     val rnd = new scala.util.Random(2024)
     val d = 8
