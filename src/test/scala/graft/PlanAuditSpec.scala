@@ -473,6 +473,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.broadcasts >= 3, s"stat joins must broadcast: $c")
   }
 
+  test("q_ann_pq_trained: serving plan matches sampled PQ — training never leaks into serving") {
+    // trainSubspaces runs its iterations as separate driver-loop jobs;
+    // the SERVED plan must be pqServe's shape exactly (encode map-only,
+    // LUT broadcast, one top-k window + output sort) with no training
+    // stage re-expanded into it
+    val c = audited("q_ann_pq_trained")
+    assert(c.broadcasts >= 1, s"query LUT side must broadcast: $c")
+    assert(c.exchanges <= 3, s"trained-PQ serving exchanges drifted: $c")
+    assert(c.scans <= 2, s"corpus re-read regressed: $c")
+  }
+
   test("q_ann_binary: corpus never hash-shuffles — queries broadcast, top-k windows only") {
     val c = audited("q_ann_binary")
     // signature building is map-only in the scan stage; the query sides
