@@ -70,20 +70,38 @@ object BenchDiff {
     * roughly the same factor; a real regression moves one or a few. The
     * median over many queries reads the former and ignores the latter
     * (robust to <50% of queries regressing), so dividing it out lets
-    * the per-query gate flag plan changes, not box condition. */
-  def driftOf(prev: Map[String, Double], cur: Map[String, Double]): Double = {
+    * the per-query gate flag plan changes, not box condition.
+    *
+    * `sentinelRatio` — when both artifacts carry the [[Bench]] load
+    * sentinel (a fixed engine-independent calibration query), its
+    * cur/prev ratio is a MEASURED bound on true box drift. The
+    * query-median alone cannot tell a uniform box slowdown from a
+    * genuine uniform regression (a global config/codegen change slowing
+    * every query ≤ MaxDrift×); the sentinel can, because no engine code
+    * runs in it. So normalization is capped at the sentinel band: the
+    * gate never divides out more slowdown than the box itself attests. */
+  def driftOf(prev: Map[String, Double], cur: Map[String, Double],
+      sentinelRatio: Option[Double] = None): Double = {
     val ratios = prev.keySet.intersect(cur.keySet).toSeq
       .filter(n => prev(n) > 0.0 && cur(n) > 0.0)
       .map(n => cur(n) / prev(n))
     if (ratios.size < MinDriftQueries) 1.0
-    else math.min(MaxDrift, math.max(1.0 / MaxDrift, Bench.median(ratios)))
+    else {
+      val m = math.min(MaxDrift, math.max(1.0 / MaxDrift, Bench.median(ratios)))
+      sentinelRatio.filter(_ > 0.0) match {
+        case Some(sr) => // clamp toward 1: |normalized band| ≤ |sentinel band|
+          math.min(math.max(m, math.min(1.0, sr)), math.max(1.0, sr))
+        case None => m
+      }
+    }
   }
 
   def compare(prev: Map[String, Double], cur: Map[String, Double],
-      factor: Double = 2.0, minSec: Double = 0.5): Report = {
+      factor: Double = 2.0, minSec: Double = 0.5,
+      sentinelRatio: Option[Double] = None): Report = {
     require(factor > 1.0, s"factor must exceed 1: $factor")
     val shared = prev.keySet.intersect(cur.keySet).toSeq.sorted
-    val drift = driftOf(prev, cur)
+    val drift = driftOf(prev, cur, sentinelRatio)
     val failures = shared.collect {
       case n if cur(n) < 0.0 && prev(n) >= 0.0 =>
         Finding(n, "failure", prev(n), cur(n))
@@ -157,9 +175,11 @@ object BenchDiff {
   }
 
   /** One parsed artifact: the per-query medians plus, for reps > 1
-    * runs, the per-query minima. */
+    * runs, the per-query minima, plus the load sentinel (mean of the
+    * first/last calibration timings) when the artifact carries it. */
   final case class Artifact(median: Map[String, Double],
-      min: Option[Map[String, Double]])
+      min: Option[Map[String, Double]],
+      sentinel: Option[Double] = None)
 
   /** Parse one [[Bench.render]] artifact. The file may carry trailing
     * log noise — the LAST line holding a `"metric"` object wins,
@@ -180,9 +200,19 @@ object BenchDiff {
         }.toMap)
         case _ => None
       }
+    def num(field: String): Option[Double] = (json \ field) match {
+      case JDouble(v) => Some(v)
+      case JInt(v) => Some(v.toDouble)
+      case JDecimal(v) => Some(v.toDouble)
+      case _ => None
+    }
+    val sentinel = (num("sentinel_first"), num("sentinel_last")) match {
+      case (Some(f), Some(l)) => Some((f + l) / 2.0)
+      case (f, l) => f.orElse(l)
+    }
     Artifact(
       queryMap("queries").getOrElse(sys.error("artifact has no queries map")),
-      queryMap("queries_min"))
+      queryMap("queries_min"), sentinel)
   }
 
   def main(args: Array[String]): Unit = {
@@ -197,7 +227,10 @@ object BenchDiff {
       case (Some(pm), Some(cm)) => (pm, cm, "queries_min")
       case _ => (a.median, b.median, "queries")
     }
-    val r0 = compare(prev, cur, factor)
+    // sentinel ratio = measured box drift; caps the median normalization
+    // so a genuine UNIFORM regression can't hide inside the drift band
+    val sentinelRatio = for (sp <- a.sentinel; sc <- b.sentinel) yield sc / sp
+    val r0 = compare(prev, cur, factor, sentinelRatio = sentinelRatio)
     // SPARK_GRAFT_RETRY=0 disables the flake-retry (e.g. pure-artifact
     // audits on a box without the test data); default on — a gate that
     // can mechanically separate box noise from plan change should.
@@ -214,7 +247,9 @@ object BenchDiff {
     } else r0
     println(f"[benchdiff] basis=$basis factor=${factor}x " +
       f"shared=${prev.keySet.intersect(cur.keySet).size} " +
-      f"drift=${r.drift}%.3fx " +
+      f"drift=${r.drift}%.3fx" +
+      sentinelRatio.map(sr => f" (sentinel cap ${sr}%.3fx)").getOrElse("") +
+      " " +
       f"regressions=${r.regressions.size} failures=${r.failures.size} " +
       f"removed=${r.removed.size} new=${r.added.size} " +
       f"flakes=${r.flakes.size}")

@@ -188,6 +188,40 @@ object PipelineQueries {
       table
     })
 
+  /** q_pca_project's basis fixture: the driver-computed integer
+    * eigenbasis (Pᶜᵢ = floor(vecs(i)(c)·2¹⁶)) as a csv the oracle reads
+    * back as literals — the fixture-via-token device (the path is
+    * per-sf; the oracle binds `__INGEST_SF__` via [[oraclesAt]]). The
+    * basis is DATA-derived but deterministic (fixed Jacobi sweep order
+    * + sign convention), so Verify's query run writes the identical
+    * fixture every time before the driver's DuckDB pass reads it. */
+  private def writePcaBasisFixture(dir: String,
+      basis: Array[Array[Long]]): Unit = {
+    val out = java.nio.file.Paths.get(
+      s"/tmp/graft_pca/${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(out)
+    val lines = "c,i,p" +: basis.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (p, i) => s"$c,$i,$p" }
+    }.toSeq
+    java.nio.file.Files.write(out.resolve("basis.csv"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** q_ann_opq's rotation fixture: Pᵢⱼ = floor(R·2³⁰) integers, rows
+    * (j, i, p) with rvⱼ = Σᵢ nvᵢ·pᵢⱼ/2³⁰ — same device and caveats as
+    * [[writePcaBasisFixture]]. */
+  private def writeOpqRotFixture(dir: String,
+      rot: Array[Array[Long]]): Unit = {
+    val out = java.nio.file.Paths.get(
+      s"/tmp/graft_opq/${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(out)
+    val d = rot.length
+    val lines = "j,i,p" +: (for (j <- 0 until d; i <- 0 until d)
+      yield s"$j,$i,${rot(i)(j)}")
+    java.nio.file.Files.write(out.resolve("rot.csv"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
   /** q_mixture_plan's target weights — heavies every 4th source — kept
     * as ONE definition feeding both the Spark call and the oracle's
     * VALUES so they can never drift. */
@@ -1271,17 +1305,26 @@ object PipelineQueries {
         .orderBy("i", "j")
     }),
 
-    // PCA projection to the top-8 components (spec-verified basis: the
-    // covariance above + deterministic Jacobi + sign convention), served
-    // map-only with the 8×64 basis riding the task closures — the
-    // codebook device. No SQL oracle (the eigenbasis is not relationally
-    // expressible): rows-only driver check; exactness of the underlying
-    // statistics is q_embed_cov's hash gate, basis/projection invariants
-    // are LinalgSpec's.
+    // PCA projection to the top-8 components, HASH-GATED end to end via
+    // the basis-as-literal device: the driver-side Jacobi basis (fixed
+    // sweep order + sign convention → deterministic) is scaled to
+    // integers (floor(v·2¹⁶)) and written as a csv fixture the oracle
+    // reads back as literals; the projection itself is pcaProjectExact —
+    // centering as n·qᵢ − Sᵢ and the per-component fold all in longs, so
+    // both engines reproduce every output bit (no float-sum ordering
+    // hazard; outᶜ ≈ n·64·2¹⁶ × the double projection at identical
+    // geometry). The oracle recomputes n and the Sᵢ from the data with
+    // the same clamp(floor(64x)) quantizer q_embed_cov gates; ONLY the
+    // eigenbasis rides the fixture. Serving shape: map-only, the 8×64
+    // basis a closure constant, zero exchanges (PlanAuditSpec). The
+    // double-precision pcaProject stays the 100 TB serving path,
+    // spec-verified in LinalgSpec.
     "q_pca_project" -> ((s, dir) => {
-      val proj = graft.operators.Linalg.pcaProject(
-        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
-        d = 64, k = 8)
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.Linalg.pcaFit(emb, "embedding", 64)
+      writePcaBasisFixture(dir, model.intBasis(8, 16))
+      val proj = graft.operators.Linalg.pcaProjectExact(
+        emb, "vec_id", "embedding", model, k = 8)
       // flat scalar columns (driver-contract outputs are array-free)
       proj.select(col("vec_id") +:
           (0 until 8).map(i => element_at(col("proj"), i + 1).as(s"c$i")): _*)
@@ -1434,6 +1477,25 @@ object PipelineQueries {
     "q_ann_pq_trained" -> ((s, dir) => {
       Similarity.pqTrainedTopK(Tables.load(s, dir, "embeddings"), "vec_id",
           "embedding", queryIds = (0L to 7L), k = 10, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // OPQ: PCA-eigenbasis rotation with eigenvalue-BALANCED subspace
+    // assignment (Ge et al., CVPR 2013 — the production-Faiss OPQ
+    // preprocessing), then the identical trained-codebook pipeline in
+    // rotated space. Rotation preserves dot products ((Rᵀq)·(Rᵀx) =
+    // q·x), so ADC still approximates the original cosine — only the
+    // quantization cells move. The rotation rides a per-sf fixture as
+    // 2⁻³⁰ integer literals (basis-as-literal device) and the oracle
+    // composes rotation + the SAME training chain + the SAME serving
+    // tail as q_ann_pq_trained: rotation is the entire diff. Recall
+    // comparison vs unrotated trained PQ is SimilaritySpec's pin.
+    "q_ann_opq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val rot = Similarity.opqRotationFor(emb, "vec_id", "embedding", m = 16)
+      writeOpqRotFixture(dir, rot)
+      Similarity.opqTrainedTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10, iters = 2, rot = Some(rot))
         .orderBy("query_id", "rank")
     }),
 
@@ -2669,13 +2731,15 @@ object PipelineQueries {
          FROM pseed CROSS JOIN js)"""
 
   /** encode → LUT tail over whatever `cb(code, j, cs)` the variant
-    * defined — shared verbatim by the sampled and trained PQ oracles,
-    * so the serving algebra cannot drift between them. */
-  private val pqEncLutTail =
+    * defined — shared verbatim by the sampled, trained, and OPQ
+    * oracles, so the serving algebra cannot drift between them. `rel`
+    * is the (vec_id, nv) corpus the variant serves from — nn0 for flat
+    * PQ, the rotated rr for OPQ. */
+  private def pqEncLutTailFrom(rel: String) =
     s""",
        sub AS (
          SELECT vec_id, j, nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
-         FROM nn0 CROSS JOIN js),
+         FROM $rel CROSS JOIN js),
        enc AS (
          SELECT vec_id, j, code FROM (
            SELECT s.vec_id, s.j, c.code,
@@ -2689,6 +2753,8 @@ object PipelineQueries {
          SELECT q.vec_id AS qid, q.j, c.code, list_dot_product(q.xs, c.cs) AS dp
          FROM sub q JOIN cb c ON c.j = q.j
          WHERE q.vec_id <= 7)"""
+
+  private val pqEncLutTail = pqEncLutTailFrom("nn0")
 
   private val pqCte = pqHead + pqSampledCb + pqEncLutTail
 
@@ -2741,19 +2807,21 @@ object PipelineQueries {
        ${steps.mkString(",\n")}"""
   }
 
-  private def pqTrainedCb(iters: Int): String =
+  private def pqTrainedCbFrom(iters: Int, rel: String): String =
     s""",
        qsub AS MATERIALIZED (
          SELECT vec_id, j,
                 list_transform(
                   nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)],
                   x -> CAST(floor(x * 10000) AS BIGINT) + 16384) AS qv
-         FROM nn0 CROSS JOIN js),
+         FROM $rel CROSS JOIN js),
        ${pqKmeansChain("qsub", iters)},
        cb AS (
          SELECT cid AS code, j,
                 list_transform(cv, c -> (c - 16384) / 10000.0) AS cs
          FROM tcent$iters)"""
+
+  private def pqTrainedCb(iters: Int): String = pqTrainedCbFrom(iters, "nn0")
 
   /** The ADC score + rank tail over a `sc(qid, nid, j, dp)` relation —
     * shared by both PQ oracles. The cross-subspace sum is an explicit
@@ -2791,6 +2859,35 @@ object PipelineQueries {
     * engine. */
   private val pqTrainedOracle =
     pqHead + pqTrainedCb(iters = 2) + pqEncLutTail + pqScTail + pqRankTail
+
+  /** OPQ replay: the rotation matrix rides the per-sf csv fixture as
+    * 2⁻³⁰-scaled INTEGER literals (the basis-as-literal device —
+    * p / 2³⁰ is a power-of-two divide, IEEE-exact in both engines, so
+    * the rotation applies the bit-identical double matrix); rvⱼ =
+    * list_dot_product(nv, rcolⱼ) is DuckDB's sequential L→R kernel =
+    * the engine's left-associated rotation fold. The rotated corpus
+    * `rr` then flows through the SAME trained-codebook chain and
+    * enc/lut/sc/rank tail as q_ann_pq_trained — rotation is the entire
+    * diff, in the oracle exactly as in the engine. */
+  private val opqRotCte =
+    """,
+       rfix AS (
+         SELECT j, i, p
+         FROM read_csv('/tmp/graft_opq/__INGEST_SF__/rot.csv', header=true,
+              columns={'j': 'BIGINT', 'i': 'BIGINT', 'p': 'BIGINT'})),
+       rcols AS (
+         SELECT j, list(p / 1073741824.0 ORDER BY i) AS rc
+         FROM rfix GROUP BY j),
+       rr AS MATERIALIZED (
+         SELECT vec_id, list(rv ORDER BY j) AS nv
+         FROM (SELECT nn0.vec_id, rcols.j,
+                      list_dot_product(nn0.nv, rcols.rc) AS rv
+               FROM nn0 CROSS JOIN rcols) z
+         GROUP BY vec_id)"""
+
+  private val opqTrainedOracle =
+    pqHead + opqRotCte + pqTrainedCbFrom(iters = 2, rel = "rr") +
+      pqEncLutTailFrom("rr") + pqScTail + pqRankTail
 
   /** IVFPQ replay: the coarse quantizer CTEs (ivfTune sizing — nlist =
     * round(√n), nprobe = (nlist+3)//4 — seed/assign/probe identical to
@@ -3525,7 +3622,7 @@ object PipelineQueries {
          SELECT lbl AS label, c AS predicted, CAST(count(*) AS BIGINT) AS n
          FROM pred GROUP BY 1, 2 ORDER BY label, predicted"""
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesRaw: Map[String, String] = Map(
 
     "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
 
@@ -4691,6 +4788,7 @@ object PipelineQueries {
     // the deterministic quantized pipeline itself, exactly.
     "q_ann_pq" -> pqTopKOracle,
     "q_ann_pq_trained" -> pqTrainedOracle,
+    "q_ann_opq" -> opqTrainedOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
     "q_ann_ivfpq_rtrained" -> ivfpqResidualTrainedOracle,
@@ -5347,6 +5445,56 @@ object PipelineQueries {
                      i -> ascii(substr(rpad(substr(regexp_replace(text,
                                 '[^ -~]', '', 'g'), 1, 16), 16, 'x'),
                                        CAST(i AS INT), 1)))) AS BIGINT) AS mean_c16
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // PCA projection, integer-exact replay: the driver-side eigenbasis
+    // rides the per-sf csv fixture as literals (the basis-as-literal
+    // device — the one driver-derived input that is not relationally
+    // expressible); EVERYTHING else recomputes from the data — the
+    // clamp(floor(64x)) quantizer, n, the per-dim sums Sᵢ — exactly as
+    // q_embed_cov gates them, and the projection is the all-integer
+    // fold Σ (n·qᵢ − Sᵢ)·Pᶜᵢ whose long sums are order-free in both
+    // engines.
+    "q_pca_project" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> GREATEST(-127,
+                    LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))))
+                    AS qv
+           FROM embeddings),
+         u AS (
+           SELECT vec_id, t.i, qv[t.i + 1] AS x
+           FROM q, range(64) t(i)),
+         s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sk FROM u GROUP BY i),
+         n AS (SELECT COUNT(*) AS n FROM q),
+         p AS (
+           SELECT c, i, p
+           FROM read_csv('/tmp/graft_pca/__INGEST_SF__/basis.csv',
+                header=true,
+                columns={'c': 'BIGINT', 'i': 'BIGINT', 'p': 'BIGINT'})),
+         o AS (
+           SELECT u.vec_id, p.c,
+                  CAST(SUM((n.n * u.x - s.sk) * p.p) AS BIGINT) AS v
+           FROM u JOIN s ON s.i = u.i JOIN p ON p.i = u.i CROSS JOIN n
+           GROUP BY 1, 2)
+         SELECT vec_id,
+                MAX(CASE WHEN c = 0 THEN v END) AS c0,
+                MAX(CASE WHEN c = 1 THEN v END) AS c1,
+                MAX(CASE WHEN c = 2 THEN v END) AS c2,
+                MAX(CASE WHEN c = 3 THEN v END) AS c3,
+                MAX(CASE WHEN c = 4 THEN v END) AS c4,
+                MAX(CASE WHEN c = 5 THEN v END) AS c5,
+                MAX(CASE WHEN c = 6 THEN v END) AS c6,
+                MAX(CASE WHEN c = 7 THEN v END) AS c7
+         FROM o GROUP BY vec_id ORDER BY vec_id"""
   )
+
+  /** Oracle SQL with fixture paths bound to `sfName` — the same
+    * `__INGEST_SF__` token device as [[TimesearchQueries.oraclesAt]]
+    * (q_pca_project's basis fixture is per-sf). */
+  def oraclesAt(sfName: String): Map[String, String] =
+    oraclesRaw.map { case (k, v) => k -> v.replace("__INGEST_SF__", sfName) }
+
+  /** Default binding, kept for direct readers of the static contract. */
+  val oracles: Map[String, String] = oraclesAt("sf0.01")
 }

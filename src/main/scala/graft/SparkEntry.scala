@@ -31,8 +31,10 @@ object SparkEntry {
   /** [[oracleSql]] with file-fixture paths bound to the sf directory the
     * verification actually runs at (Verify passes its own sfDir) —
     * removes any run-ordering dependence on a hard-coded fixture path. */
-  def oracleSqlAt(sfDir: String): Map[String, String] =
+  def oracleSqlAt(sfDir: String): Map[String, String] = {
+    val sfName = new java.io.File(sfDir).getName
     RelationalQueries.oracles ++
-      TimesearchQueries.oraclesAt(new java.io.File(sfDir).getName) ++
-      PipelineQueries.oracles
+      TimesearchQueries.oraclesAt(sfName) ++
+      PipelineQueries.oraclesAt(sfName)
+  }
 }

@@ -789,11 +789,14 @@ object TimesearchQueries {
 
     // Catalyst-integrated file skipping: same sidecar, but the pruning
     // happens INSIDE planning — scanAuto routes the read through a
-    // zone-map-aware FileIndex (graftshim.ZoneMapFileIndex), so the
-    // plain .filter's pushed conjuncts (a BETWEEN and an IN here) prune
-    // files with zero bounds plumbing at the call site. The hash gate
-    // pins that planning-time pruning loses nothing; StoreSpec pins
-    // that files actually drop.
+    // zone-map-aware FileIndex (graftshim.ZoneMapFileIndex). The filter
+    // mixes conjuncts the conservative extractor DOES prune on (the
+    // top-level user_id <= 59 range) with ones it deliberately passes
+    // through to the residual (the OR disjunction, the Not) — so the
+    // gated query exercises REAL planning-time pruning (the range
+    // conjunct drops every file with min > 59) while the hash gate pins
+    // that pruning + residual together lose nothing. StoreSpec pins the
+    // file-count drop on the extractable shapes.
     "q_zonemap_auto" -> ((s, dir) => {
       val base = s"/tmp/graft_zonemap_auto/${new java.io.File(dir).getName}"
       val raw = Tables.load(s, dir, "events")
@@ -802,9 +805,10 @@ object TimesearchQueries {
       graft.sources.ZOrder.writeZOrdered(ev, "user_id", "t", base, numFiles = 16)
       graft.sources.ZoneMap.build(s, base, Seq("user_id", "t"))
       val (df, _) = graft.sources.ZoneMap.scanAuto(s, base)
-      df.filter(col("user_id").between(40L, 59L) ||
-          col("user_id").isin(5L, 17L))
-        .filter(col("user_id") =!= 44L)
+      df.filter(col("user_id") <= 59L) // extractable: prunes files
+        .filter(col("user_id").between(40L, 59L) ||
+          col("user_id").isin(5L, 17L)) // residual-only (Or)
+        .filter(col("user_id") =!= 44L) // residual-only (Not)
         .orderBy("event_id")
     }),
 
@@ -1971,13 +1975,15 @@ object TimesearchQueries {
                 CAST(round(value*100) AS BIGINT) AS value_c
          FROM events WHERE user_id BETWEEN 20 AND 39 ORDER BY event_id""",
 
-    // Catalyst-integrated skipping loses nothing either: the pushed
-    // BETWEEN/IN/!= conjunct mix over the zone-mapped layout
+    // Catalyst-integrated skipping loses nothing either: the pruning
+    // range conjunct (<= 59) plus the residual-only OR/!= mix over the
+    // zone-mapped layout
     "q_zonemap_auto" ->
       """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
                 CAST(round(value*100) AS BIGINT) AS value_c
          FROM events
-         WHERE (user_id BETWEEN 40 AND 59 OR user_id IN (5, 17))
+         WHERE user_id <= 59
+           AND (user_id BETWEEN 40 AND 59 OR user_id IN (5, 17))
            AND user_id <> 44
          ORDER BY event_id""",
 

@@ -176,9 +176,11 @@ object KMeans {
         .collect()
       // non-negativity IS the cross-engine division contract (truncating
       // vs floor); the offset covers |x| ≤ 1.6384 — an input outside it
-      // (e.g. pathological residuals) must fail LOUD, not round apart
-      parts.foreach(r => require(r.getLong(4) >= 0L,
-        s"trainSubspaces: quantized value ${r.getLong(4)} < 0 — input " +
+      // (e.g. pathological residuals) must fail LOUD, not round apart.
+      // The guarded column is mn = min("x"), the smallest quantized
+      // value any codeword sums — not cnt, which is trivially ≥ 1.
+      parts.foreach(r => require(r.getLong(5) >= 0L,
+        s"trainSubspaces: quantized value ${r.getLong(5)} < 0 — input " +
           "outside the offset domain (|x| <= 1.6384)"))
       val byKey = parts.groupBy(r => (r.getInt(0), r.getInt(1)))
       cbs = IndexedSeq.tabulate(m) { j =>

@@ -191,26 +191,54 @@ object Linalg {
     s
   }
 
-  /** PCA basis from the corpus: covariance via [[momentStats]] (the
-    * d²-sized collect), eigendecomposition on the driver. Returns
-    * (eigenvalues desc, eigenvector columns, per-dim means in original
-    * float units). The basis is computed on the QUANTIZED corpus (the
-    * SQ8 philosophy: the quantization error is far below the noise
-    * floor PCA is modeling) — which is what makes the statistics
-    * hash-gateable. */
-  def pcaBasis(df: DataFrame, vec: String, d: Int):
-      (Array[Double], Array[Array[Double]], Array[Double]) = {
+  /** Fitted PCA model: the EXACT integer statistics (row count n and
+    * per-dimension quantized sums — the same longs `q_embed_cov`
+    * hash-gates) plus the driver-side eigendecomposition (eigenvalues
+    * descending, eigenvector columns). Keeping the integers alongside
+    * the doubles is what lets [[pcaProjectExact]] replay the projection
+    * relationally: centering as `n·qᵢ − Sᵢ` never touches a float. */
+  final case class PcaModel(n: Long, sums: Array[Long],
+      vals: Array[Double], vecs: Array[Array[Double]]) {
+    def d: Int = sums.length
+    /** Per-dimension means in original float units. */
+    def means: Array[Double] = sums.map(_.toDouble / (64.0 * n))
+    /** The top-k basis columns as scaled integers: Pᶜᵢ =
+      * floor(vecs(i)(c) · 2^shift) — the literal form that rides into
+      * an SQL oracle (and any other engine) with zero float hazard. */
+    def intBasis(k: Int, shift: Int): Array[Array[Long]] = {
+      require(k >= 1 && k <= d, s"intBasis: k=$k out of [1, $d]")
+      Array.tabulate(k, d)((c, r) =>
+        math.floor(vecs(r)(c) * (1L << shift).toDouble).toLong)
+    }
+  }
+
+  /** Fit the PCA model: covariance via [[momentStats]] (the d²-sized
+    * collect), eigendecomposition on the driver. The basis is computed
+    * on the QUANTIZED corpus (the SQ8 philosophy: the quantization
+    * error is far below the noise floor PCA is modeling) — which is
+    * what makes the statistics hash-gateable. */
+  def pcaFit(df: DataFrame, vec: String, d: Int): PcaModel = {
     val rows = momentStats(df, vec, d).collect()
     val stat = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val n = stat((-1, -1)).toDouble
-    require(n > 0, "pcaBasis: empty corpus")
-    val sums = Array.tabulate(d)(i => stat((i, -1)).toDouble)
+    val n = stat((-1, -1))
+    require(n > 0, "pcaFit: empty corpus")
+    val sums = Array.tabulate(d)(i => stat((i, -1)))
+    val nD = n.toDouble
     val cov = Array.tabulate(d, d) { (i, j) =>
       val (lo, hi) = (math.min(i, j), math.max(i, j))
-      (n * stat((lo, hi)) - sums(i) * sums(j)) / (n * n * 64.0 * 64.0)
+      (nD * stat((lo, hi)) - sums(i).toDouble * sums(j)) /
+        (nD * nD * 64.0 * 64.0)
     }
     val (vals, vecs) = jacobiEigen(cov)
-    (vals, vecs, sums.map(_ / (64.0 * n)))
+    PcaModel(n, sums, vals, vecs)
+  }
+
+  /** PCA basis from the corpus — (eigenvalues desc, eigenvector
+    * columns, per-dim means in original float units). */
+  def pcaBasis(df: DataFrame, vec: String, d: Int):
+      (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val m = pcaFit(df, vec, d)
+    (m.vals, m.vecs, m.means)
   }
 
   /** Map-only PCA projection to the top-k components: center on the
@@ -224,7 +252,13 @@ object Linalg {
     * variance and identity covariance, the preprocessing K-means/ANN
     * distance metrics assume when one direction would otherwise
     * dominate. Components with λ below `whitenEps` keep scale 1 (a
-    * near-null direction must not explode to noise amplification). */
+    * near-null direction must not explode to noise amplification).
+    *
+    * Null / wrong-length vectors shed LOUDLY, matching [[momentStats]]'
+    * (-2,-2) convention: the row's `proj` is NULL (a null detonates any
+    * downstream arithmetic immediately, where a silent zero vector is a
+    * plausible point that would quietly poison an ANN/cluster consumer)
+    * and a `graft_shed_pcaProject_*` observe receipt counts the sheds. */
   def pcaProject(df: DataFrame, id: String, vec: String, d: Int,
       k: Int, whiten: Boolean = false,
       whitenEps: Double = 1e-9): DataFrame = {
@@ -241,8 +275,9 @@ object Linalg {
     df.select(col(id).cast("long"), col(vec)).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         it.map { case (rid, x) =>
-          val out = new Array[Double](k)
-          if (x != null && x.length == d) {
+          if (x == null || x.length != d) (rid, null: Seq[Double])
+          else {
+            val out = new Array[Double](k)
             var c = 0
             while (c < k) {
               val row = proj(c)
@@ -252,9 +287,74 @@ object Linalg {
               out(c) = s
               c += 1
             }
+            (rid, out.toSeq)
           }
-          (rid, out.toSeq)
         }
       }.toDF(id, "proj")
+      .observe(Guard.shedMetricName("pcaProject"),
+        sum(when(col("proj").isNull, 1L).otherwise(0L)).as("shed_rows"))
+  }
+
+  /** INTEGER-EXACT PCA projection — the hash-gateable twin of
+    * [[pcaProject]], same distributed shape (map-only, basis as a
+    * closure constant, zero exchanges), every arithmetic step a long:
+    *
+    *   outᶜ = Σᵢ (n·qᵢ − Sᵢ) · Pᶜᵢ
+    *
+    * where q = clamp(floor(64·x)) is the house quantizer, (n, S) are
+    * the exact corpus statistics from the model fit, and P is the
+    * eigenbasis scaled to integers (floor(v · 2^shift), see
+    * [[PcaModel.intBasis]]). Centering as n·qᵢ − Sᵢ (the mean times n)
+    * keeps everything integral, so outᶜ ≈ n · 64 · 2^shift ·
+    * pcaProjectᶜ — the identical geometry at a known affine scale, and
+    * an SQL engine holding the SAME P literals reproduces every output
+    * bit (sums of longs are order-free; no float ever enters).
+    *
+    * The driver-side Jacobi stays spec-verified (LinalgSpec); what this
+    * gates is the distributed 99%: quantization, the exact statistics,
+    * and the per-row projection fold over the corpus.
+    *
+    * Overflow: |n·qᵢ − Sᵢ| ≤ 254·n and |Pᶜᵢ| ≤ 2^shift (eigenvector
+    * entries are ≤ 1), so |outᶜ| ≤ d·254·n·2^shift — the require bounds
+    * n loudly instead of wrapping. At shift=16, d=64 that allows
+    * n ≤ 8.6·10⁶ rows; a 100 TB corpus serves through [[pcaProject]]
+    * (doubles) and gates a bounded audit slice through this form.
+    *
+    * Null / wrong-length vectors shed LOUD exactly like [[pcaProject]]:
+    * null row + `graft_shed_pcaProjectExact_*` receipt. */
+  def pcaProjectExact(df: DataFrame, id: String, vec: String,
+      model: PcaModel, k: Int, shift: Int = 16): DataFrame = {
+    val d = model.d
+    require(k >= 1 && k <= d, s"pcaProjectExact: k=$k out of [1, $d]")
+    val bound = Long.MaxValue / (d.toLong * 254L * (1L << shift))
+    require(model.n <= bound, s"pcaProjectExact: n=${model.n} exceeds the " +
+      s"long-exact bound $bound at d=$d shift=$shift — serve pcaProject " +
+      "(doubles) and gate a bounded slice")
+    import df.sparkSession.implicits._
+    val p = model.intBasis(k, shift)
+    val n = model.n
+    val sums = model.sums
+    df.select(col(id).cast("long"), quantize64(col(vec)).as("q"))
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (rid, q) =>
+          if (q == null || q.length != d) (rid, null: Seq[Long])
+          else {
+            val out = new Array[Long](k)
+            var c = 0
+            while (c < k) {
+              val row = p(c)
+              var s = 0L
+              var i = 0
+              while (i < d) { s += (n * q(i) - sums(i)) * row(i); i += 1 }
+              out(c) = s
+              c += 1
+            }
+            (rid, out.toSeq)
+          }
+        }
+      }.toDF(id, "proj")
+      .observe(Guard.shedMetricName("pcaProjectExact"),
+        sum(when(col("proj").isNull, 1L).otherwise(0L)).as("shed_rows"))
   }
 }

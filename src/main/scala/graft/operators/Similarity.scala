@@ -558,6 +558,119 @@ object Similarity {
     pqServe(n, cb, queryIds, k)
   }
 
+  /** OPQ-P eigenvalue-balanced subspace assignment (Ge et al., CVPR
+    * 2013 §4, the parametric variant): eigen-directions sorted by
+    * eigenvalue descending are dealt greedily to the subspace with the
+    * smallest running log-eigenvalue product (ties to the lowest
+    * subspace index) among those with free slots — balancing the
+    * per-subspace variance PRODUCT, which is what equalizes quantizer
+    * workloads. Deterministic. Returns the output-column permutation:
+    * rotated dim j projects onto eigenvector `perm(j)`, and subspace s
+    * owns dims [s·dsub, (s+1)·dsub). */
+  private[graft] def opqAssign(vals: Array[Double], m: Int): Array[Int] = {
+    val d = vals.length
+    require(d % m == 0, s"opqAssign: d=$d not divisible by m=$m")
+    val dsub = d / m
+    val logSum = new Array[Double](m)
+    val buckets = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    // vals arrive descending (jacobiEigen's contract). Note a measured
+    // alternative: a boustrophedon deal equalizes per-bucket
+    // log-PRODUCTS more tightly on near-zero-tail spectra (greedy's
+    // product pins to ~0 after one tail λ and attracts every remaining
+    // signal direction) — but on the SimilaritySpec corpus the greedy's
+    // lopsided outcome actually RECALLS BETTER (0.275 vs snake 0.188):
+    // giving the dominant eigendirection a near-private quantizer
+    // resolves the variance that ranks neighbors. The published greedy
+    // stays.
+    for (t <- 0 until d) {
+      val s = (0 until m).filter(buckets(_).length < dsub)
+        .minBy(b => (logSum(b), b))
+      buckets(s) += t
+      logSum(s) += math.log(math.max(vals(t), 1e-12))
+    }
+    buckets.flatMap(_.toArray)
+  }
+
+  /** The OPQ rotation for a corpus, as scaled INTEGERS: Pᵢⱼ =
+    * floor(vecs(i)(perm(j)) · 2^shift) — the PCA eigenbasis of the
+    * normalized corpus with [[opqAssign]]'s balanced column order. The
+    * integer form is the oracle-portable literal: both engines divide
+    * by the power of two (exact in IEEE 754) and apply the identical
+    * double matrix, so the rotation stage carries no cross-engine float
+    * hazard. (Flooring costs ≤ 2⁻³⁰ per entry — orthogonality holds to
+    * that precision, far below quantization noise.) */
+  def opqRotationFor(emb: DataFrame, id: String, vec: String, m: Int,
+      shift: Int = 30): Array[Array[Long]] = {
+    val n = normalized(emb, id, vec)
+    val d = n.select(size(col("nv"))).head().getInt(0)
+    val model = Linalg.pcaFit(n, "nv", d)
+    val perm = opqAssign(model.vals, m)
+    Array.tabulate(d, d)((i, j) =>
+      math.floor(model.vecs(i)(perm(j)) * (1L << shift).toDouble).toLong)
+  }
+
+  /** Apply the integer-scaled rotation: rvⱼ = Σᵢ nvᵢ · (Pᵢⱼ / 2^shift),
+    * the fold sequential left-to-right over i — the engine's VectorOps
+    * order, which DuckDB's list_dot_product replays bit-exactly. Map-
+    * only; the d×d matrix rides the closures (codebook device). An
+    * orthogonal rotation preserves norms and dot products, so serving
+    * in rotated space scores the SAME cosines — only the quantization
+    * cells move, which is OPQ's entire point. */
+  private def rotatedFrame(n: DataFrame, p: Array[Array[Long]],
+      shift: Int): DataFrame = {
+    import n.sparkSession.implicits._
+    val d = p.length
+    val scale = (1L << shift).toDouble
+    // rows = output dims for cache-friendly per-row dots
+    val cols: Array[Array[Double]] =
+      Array.tabulate(d, d)((j, i) => p(i)(j) / scale)
+    n.select(col("vid").cast("long"), col("nv")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        it.map { case (vid, x) =>
+          val out = new Array[Double](d)
+          var j = 0
+          while (j < d) {
+            val rc = cols(j)
+            var s = 0.0
+            var i = 0
+            while (i < d) { s += x(i) * rc(i); i += 1 }
+            out(j) = s
+            j += 1
+          }
+          (vid, out.toSeq)
+        }
+      }.toDF("vid", "nv")
+  }
+
+  /** OPQ: rotate, THEN train-and-serve PQ in rotated space — the last
+    * production-Faiss preprocessing piece (OPQ+PQ at the same byte
+    * budget). The r12 experiment measured rotation HURTING md5-SAMPLED
+    * codebooks (samples already sit on the data manifold; ROUND13.md);
+    * its stated prerequisite — trained Voronoi codebooks — exists since
+    * r13 ([[pqTrainedTopK]]), so this composes [[opqRotationFor]] with
+    * [[KMeans.trainSubspaces]] over the rotated corpus and the shared
+    * [[pqServe]] tail. Queries rotate with the corpus (same map), so
+    * ADC approximates the ORIGINAL cosine: (Rᵀq)·(Rᵀx) = q·x.
+    *
+    * Pass a precomputed `rot` (from [[opqRotationFor]]) to avoid a
+    * second PCA fit when the caller also needs the matrix — e.g. to
+    * write the oracle's fixture. Every stage replays relationally:
+    * rotation (integer literals + sequential folds), training (the
+    * integer Lloyd fixpoint), serving (the PQ tail) — `q_ann_opq`
+    * hash-gates the full composition. */
+  def opqTrainedTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, m: Int = 16, ksub: Int = 32,
+      iters: Int = 2, rot: Option[Array[Array[Long]]] = None,
+      shift: Int = 30): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val p = rot.getOrElse(opqRotationFor(emb, id, vec, m, shift))
+    val r = rotatedFrame(n, p, shift).localCheckpoint(eager = false)
+    val cb = KMeans.trainSubspaces(r, "vid", "nv", m, ksub, iters)
+      .map(_.map(_.map(c =>
+        (c - KMeans.Offset).toDouble / KMeans.Scale)))
+    pqServe(r, cb, queryIds, k)
+  }
+
   /** FILTERED vector search — attribute-constrained top-k (the
     * production "filtered ANN" feature every vector store grew:
     * hard-negative mining, per-tenant search, dedup-against-other-

@@ -103,6 +103,33 @@ class BenchSpec extends AnyFunSuite {
     assert(wild.regressions.size === 12)
   }
 
+  test("benchdiff: sentinel caps normalization — uniform regression can't hide") {
+    val prev = (1 to 12).map(i => s"q_$i" -> 1.0).toMap
+    // everything uniformly 2.2x slower. Median alone would clamp to
+    // MaxDrift (1.5) and normalize to 1.47x — passing. The sentinel
+    // (engine-independent) says the box only drifted 1.05x: a genuine
+    // uniform regression. Normalization is capped at 1.05, residual
+    // ~2.1x faces and fails the gate on every query.
+    val cur = prev.map { case (k, v) => k -> v * 2.2 }
+    val r = BenchDiff.compare(prev, cur, sentinelRatio = Some(1.05))
+    assert(math.abs(r.drift - 1.05) < 1e-9)
+    assert(r.regressions.size === 12)
+    // same uniform 1.3x band WITH a matching sentinel: true box drift,
+    // normalized away exactly as before
+    val drifted = prev.map { case (k, v) => k -> v * 1.3 }
+    val ok = BenchDiff.compare(prev, drifted, sentinelRatio = Some(1.32))
+    assert(math.abs(ok.drift - 1.3) < 1e-9 && !ok.gateFailed)
+    // sentinel faster (cur box LESS loaded) while queries look flat:
+    // drift clamps to the sentinel side of 1, never amplifies flags
+    val fast = BenchDiff.compare(prev, prev, sentinelRatio = Some(0.8))
+    assert(fast.drift === 1.0 && !fast.gateFailed)
+    // artifact parse: sentinel fields surface as the first/last mean
+    val art = BenchDiff.parseArtifact(
+      """{"metric":"total","value":3.0,"unit":"sec","queries":{"a":3.0},""" +
+        """"sentinel_first":0.70,"sentinel_last":0.74,"sf":"x"}""")
+    assert(art.sentinel.exists(s => math.abs(s - 0.72) < 1e-9))
+  }
+
   test("benchdiff flake-retry: cleared in isolation downgrades; reproduced stays fatal") {
     // 12 shared queries so drift engages as in the real gate
     val prev = (1 to 12).map(i => s"q_$i" -> 1.0).toMap

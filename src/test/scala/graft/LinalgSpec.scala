@@ -198,4 +198,70 @@ class LinalgSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().map(_.getSeq[Double](1))
     assert(a1.toSeq === a2.toSeq)
   }
+
+  test("pcaProjectExact: affine-scaled twin of pcaProject — geometry preserved, long-exact, bounded") {
+    val rnd = new scala.util.Random(4242)
+    val d = 8
+    val data = (0 until 300).map { i =>
+      (i.toLong, (0 until d).map(_ => (rnd.nextGaussian() * 0.3)
+        .max(-1.9).min(1.9).toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "v")
+    val model = Linalg.pcaFit(df, "v", d)
+    val k = 3
+    val exact = Linalg.pcaProjectExact(df, "vec_id", "v", model, k)
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1))
+    val dbl = Linalg.pcaProject(df, "vec_id", "v", d, k)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    // outᶜ / (n·64·2¹⁶) ≈ the double projection: identical geometry at
+    // a known affine scale, off only by the ±1/64 quantization grid
+    val scale = model.n.toDouble * 64.0 * 65536.0
+    val tol = math.sqrt(d.toDouble) / 64.0 + 1e-6
+    exact.zip(dbl).foreach { case (e, g) =>
+      (0 until k).foreach { c =>
+        assert(math.abs(e(c) / scale - g(c)) < tol,
+          s"c=$c exact=${e(c) / scale} dbl=${g(c)}")
+      }
+    }
+    // determinism: bit-identical across runs (the hash-gate property)
+    val again = Linalg.pcaProjectExact(df, "vec_id", "v", model, k)
+      .orderBy("vec_id").collect().map(_.getSeq[Long](1))
+    assert(exact.toSeq === again.toSeq)
+    // the long-overflow bound fails LOUD, not wraps
+    val tiny = model.copy(n = Long.MaxValue / 2)
+    val e = intercept[IllegalArgumentException] {
+      Linalg.pcaProjectExact(df, "vec_id", "v", tiny, k)
+    }
+    assert(e.getMessage.contains("long-exact bound"), e.getMessage)
+    // bad rows shed loud: null + receipt, same convention as pcaProject
+    val withBad = (data :+ ((999L, null: Seq[Float]))).toDF("vec_id", "v")
+    val mb = Linalg.pcaFit(withBad, "v", d)
+    val pb = Linalg.pcaProjectExact(withBad, "vec_id", "v", mb, k)
+    val rows = pb.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(999L) == null)
+    val shed = pb.queryExecution.observedMetrics.collect {
+      case (kk, r) if kk.contains("pcaProjectExact") => r.getLong(0)
+    }.sum
+    assert(shed === 1L)
+  }
+
+  test("pcaProject: null / wrong-length vectors shed LOUD — null row + receipt, never a zero vector") {
+    val d = 4
+    val good = (0 until 20).map(i =>
+      (i.toLong, Seq(0.1f * (i % 3), 0.2f, -0.1f, 0.05f * (i % 5))))
+    val bad: Seq[(Long, Seq[Float])] =
+      Seq((100L, null), (101L, Seq(1.0f, 2.0f))) // null + wrong length
+    val df = (good ++ bad).toDF("vec_id", "v")
+    val proj = Linalg.pcaProject(df, "vec_id", "v", d, 2)
+    val rows = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // bad rows are NULL (detonates downstream), not plausible zeros
+    assert(rows(100L) == null && rows(101L) == null)
+    assert(good.forall { case (id, _) => rows(id) != null })
+    // ... and the shed receipt counts them
+    val shed = proj.queryExecution.observedMetrics.collect {
+      case (k, r) if k.startsWith(graft.operators.Guard.ShedMetricPrefix) &&
+        k.contains("pcaProject") => r.getLong(0)
+    }.sum
+    assert(shed === 2L, s"expected 2 shed rows, receipts said $shed")
+  }
 }

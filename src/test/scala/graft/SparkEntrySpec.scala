@@ -10,11 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite {
 
   /** The ONLY queries allowed to ship without a SQL oracle, each with
-    * its reason on record. Growing this set is a deliberate act. */
-  private val rowsOnlyExempt = Map(
-    "q_pca_project" -> ("an eigenbasis is not relationally expressible; " +
-      "the underlying statistics hash-gate via q_embed_cov, the basis " +
-      "and projection invariants via LinalgSpec"))
+    * its reason on record. Growing this set is a deliberate act.
+    * EMPTY since r14: q_pca_project — the last rows-only entry — gained
+    * a hash gate via the basis-as-literal fixture device (the
+    * driver-side eigenbasis as integer literals, the projection an
+    * all-long fold both engines replay bit-exactly). */
+  private val rowsOnlyExempt = Map.empty[String, String]
 
   test("every query has an oracle or a documented rows-only exemption") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
