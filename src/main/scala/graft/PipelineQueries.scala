@@ -222,6 +222,21 @@ object PipelineQueries {
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
+  /** q_ann_pca's reduction basis fixture — same device and caveats as
+    * [[writePcaBasisFixture]] (here the basis is over the NORMALIZED
+    * corpus, at the 2^10 grid the double-cast scoring bound needs). */
+  private def writeAnnPcaFixture(dir: String,
+      basis: Array[Array[Long]]): Unit = {
+    val out = java.nio.file.Paths.get(
+      s"/tmp/graft_annpca/${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(out)
+    val lines = "c,i,p" +: basis.zipWithIndex.flatMap { case (row, c) =>
+      row.zipWithIndex.map { case (p, i) => s"$c,$i,$p" }
+    }.toSeq
+    java.nio.file.Files.write(out.resolve("basis.csv"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
   /** q_mixture_plan's target weights — heavies every 4th source — kept
     * as ONE definition feeding both the Spark call and the oracle's
     * VALUES so they can never drift. */
@@ -1496,6 +1511,27 @@ object PipelineQueries {
       writeOpqRotFixture(dir, rot)
       Similarity.opqTrainedTopK(emb, "vec_id", "embedding",
           queryIds = (0L to 7L), k = 10, iters = 2, rot = Some(rot))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PCA-REDUCED ANN serving: candidates rank in the top-8 PCA
+    // subspace (integer-exact projection — the q_pca_project device
+    // over the NORMALIZED corpus, basis as 2^10 fixture literals), then
+    // the exact-cosine rerank recovers full-space scores — the
+    // dimensionality-reduction member of the compression family,
+    // composed from three already-gated devices (quantized statistics,
+    // basis-as-literal, bruteTopK's sequential-fold scoring). Whitening
+    // measured WORSE for dot-product recall (SimilaritySpec) — served
+    // unwhitened.
+    "q_ann_pca" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = Similarity.normalized(emb, "vec_id", "embedding")
+      val model = graft.operators.Linalg.pcaFit(n, "nv", 64)
+      val basis = model.intBasis(8, 10)
+      writeAnnPcaFixture(dir, basis)
+      Similarity.pcaReducedTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10,
+          model = Some(model), basis = Some(basis))
         .orderBy("query_id", "rank")
     }),
 
@@ -2888,6 +2924,58 @@ object PipelineQueries {
   private val opqTrainedOracle =
     pqHead + opqRotCte + pqTrainedCbFrom(iters = 2, rel = "rr") +
       pqEncLutTailFrom("rr") + pqScTail + pqRankTail
+
+  /** PCA-reduced ANN replay: the q_pca_project integer-projection
+    * device over the NORMALIZED corpus (quantize → exact n/Sᵢ → fixture
+    * basis → all-long fold), candidates by the double-cast reduced dot
+    * (products of exactly-representable longs; DuckDB's sequential
+    * list kernel = the engine's fold), then bruteTopK's exact-cosine
+    * rerank on the candidate pairs only. */
+  private val annPcaOracle =
+    pqHead +
+    """,
+       qz AS (
+         SELECT vec_id, list_transform(nv, x -> GREATEST(-127,
+           LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))) AS qv
+         FROM nn0),
+       uz AS (SELECT vec_id, t.i, qv[t.i + 1] AS x FROM qz, range(64) t(i)),
+       sz AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sk FROM uz GROUP BY i),
+       nz AS (SELECT COUNT(*) AS n FROM qz),
+       pz AS (
+         SELECT c, i, p
+         FROM read_csv('/tmp/graft_annpca/__INGEST_SF__/basis.csv',
+              header=true,
+              columns={'c': 'BIGINT', 'i': 'BIGINT', 'p': 'BIGINT'})),
+       oz AS MATERIALIZED (
+         SELECT uz.vec_id, pz.c,
+                CAST(SUM((nz.n * uz.x - sz.sk) * pz.p) AS BIGINT) AS v
+         FROM uz JOIN sz ON sz.i = uz.i JOIN pz ON pz.i = uz.i CROSS JOIN nz
+         GROUP BY 1, 2),
+       rv AS MATERIALIZED (
+         SELECT vec_id, list(CAST(v AS DOUBLE) ORDER BY c) AS rv
+         FROM oz GROUP BY vec_id),
+       cand AS (
+         SELECT qid, vid FROM (
+           SELECT q.vec_id AS qid, x.vec_id AS vid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_dot_product(x.rv, q.rv) DESC,
+                             x.vec_id ASC) AS crn
+           FROM rv x JOIN rv q ON q.vec_id <= 7 AND x.vec_id != q.vec_id) z
+         WHERE crn <= 40),
+       csc AS (
+         SELECT c.qid, c.vid,
+                CAST(floor(list_dot_product(xn.nv, qn.nv) * 10000) AS BIGINT)
+                  AS cos_bp
+         FROM cand c
+         JOIN nn0 xn ON xn.vec_id = c.vid
+         JOIN nn0 qn ON qn.vec_id = c.qid)
+       SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+              vid AS neighbor_id, cos_bp
+       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY cos_bp DESC, vid ASC) AS rn
+             FROM csc)
+       WHERE rn <= 10
+       ORDER BY query_id, rank"""
 
   /** IVFPQ replay: the coarse quantizer CTEs (ivfTune sizing — nlist =
     * round(√n), nprobe = (nlist+3)//4 — seed/assign/probe identical to
@@ -4789,6 +4877,7 @@ object PipelineQueries {
     "q_ann_pq" -> pqTopKOracle,
     "q_ann_pq_trained" -> pqTrainedOracle,
     "q_ann_opq" -> opqTrainedOracle,
+    "q_ann_pca" -> annPcaOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
     "q_ann_ivfpq_rtrained" -> ivfpqResidualTrainedOracle,

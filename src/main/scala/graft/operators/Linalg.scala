@@ -203,12 +203,20 @@ object Linalg {
     /** Per-dimension means in original float units. */
     def means: Array[Double] = sums.map(_.toDouble / (64.0 * n))
     /** The top-k basis columns as scaled integers: Pᶜᵢ =
-      * floor(vecs(i)(c) · 2^shift) — the literal form that rides into
-      * an SQL oracle (and any other engine) with zero float hazard. */
-    def intBasis(k: Int, shift: Int): Array[Array[Long]] = {
+      * floor(vecs(i)(c) · s · 2^shift) — the literal form that rides
+      * into an SQL oracle (and any other engine) with zero float
+      * hazard. `whiten` folds the classic 1/√λ scaling INTO the integer
+      * basis (s = 1/√λᶜ when λᶜ > whitenEps, else 1 — a near-null
+      * direction must not explode to noise amplification), so a
+      * whitened projection stays all-integer downstream. */
+    def intBasis(k: Int, shift: Int, whiten: Boolean = false,
+        whitenEps: Double = 1e-9): Array[Array[Long]] = {
       require(k >= 1 && k <= d, s"intBasis: k=$k out of [1, $d]")
-      Array.tabulate(k, d)((c, r) =>
-        math.floor(vecs(r)(c) * (1L << shift).toDouble).toLong)
+      Array.tabulate(k, d) { (c, r) =>
+        val s = if (whiten && vals(c) > whitenEps) 1.0 / math.sqrt(vals(c))
+                else 1.0
+        math.floor(vecs(r)(c) * s * (1L << shift).toDouble).toLong
+      }
     }
   }
 
@@ -323,15 +331,17 @@ object Linalg {
     * Null / wrong-length vectors shed LOUD exactly like [[pcaProject]]:
     * null row + `graft_shed_pcaProjectExact_*` receipt. */
   def pcaProjectExact(df: DataFrame, id: String, vec: String,
-      model: PcaModel, k: Int, shift: Int = 16): DataFrame = {
+      model: PcaModel, k: Int, shift: Int = 16,
+      basis: Option[Array[Array[Long]]] = None): DataFrame = {
     val d = model.d
     require(k >= 1 && k <= d, s"pcaProjectExact: k=$k out of [1, $d]")
-    val bound = Long.MaxValue / (d.toLong * 254L * (1L << shift))
+    val p = basis.getOrElse(model.intBasis(k, shift))
+    val maxAbsP = math.max(1L, p.map(_.map(math.abs).max).max)
+    val bound = Long.MaxValue / (d.toLong * 254L * maxAbsP)
     require(model.n <= bound, s"pcaProjectExact: n=${model.n} exceeds the " +
-      s"long-exact bound $bound at d=$d shift=$shift — serve pcaProject " +
-      "(doubles) and gate a bounded slice")
+      s"long-exact bound $bound at d=$d max|P|=$maxAbsP — serve " +
+      "pcaProject (doubles) and gate a bounded slice")
     import df.sparkSession.implicits._
-    val p = model.intBasis(k, shift)
     val n = model.n
     val sums = model.sums
     df.select(col(id).cast("long"), quantize64(col(vec)).as("q"))

@@ -671,6 +671,76 @@ object Similarity {
     pqServe(r, cb, queryIds, k)
   }
 
+  /** PCA-REDUCED ANN serving — the dimensionality-reduction member of
+    * the compression family (SCALE.md's PCA-as-preprocessing spec,
+    * promoted to a served operator): candidates rank in the top-`kRed`
+    * PCA subspace (8× fewer multiplies per pair at kRed=8, d=64), then
+    * the usual exact-cosine rerank over candidates recovers full-space
+    * scores — the same two-stage shape as [[sq8RerankTopK]]/
+    * [[binaryRerankTopK]].
+    *
+    * The REDUCTION stage is [[Linalg.pcaProjectExact]]: all-long
+    * projection with the eigenbasis as floor(v·2^shift) integers, so it
+    * replays relationally (basis-as-literal fixture). Candidate scoring
+    * casts the long projections to double (exact while |rv| < 2⁵³ —
+    * required loudly) and ranks by their dot product: products and the
+    * sequential fold are IEEE-identical cross-engine, the bruteTopK
+    * device. Rerank is [[bruteTopK]]'s exact cosine on candidate pairs
+    * only.
+    *
+    * `whiten` folds 1/√λ into the integer basis ([[Linalg.PcaModel
+    * .intBasis]]). Measured on the clustered spec corpus: whitening
+    * HURTS dot-product candidate recall (it re-inflates the noise
+    * directions PCA just suppressed — see SimilaritySpec) — the served
+    * default is unwhitened; the flag exists for the k-means/Mahalanobis
+    * consumers whitening is actually for.
+    *
+    * Plan: fit = one stats pass (d²-collect); reduce = map-only with
+    * the k×d basis a closure constant; candidates = ONE broadcast join
+    * (reduced queries) + per-query top-kCand; rerank = candidate list
+    * (|q|·kCand rows) broadcast back against the corpus scan + exact
+    * cosine. The corpus never shuffles.
+    *
+    * Output: (query_id, rank, neighbor_id, cos_bp). */
+  def pcaReducedTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, kRed: Int = 8, kCand: Int = 40,
+      shift: Int = 10, whiten: Boolean = false,
+      model: Option[Linalg.PcaModel] = None,
+      basis: Option[Array[Array[Long]]] = None): DataFrame = {
+    val n = normalized(emb, id, vec).localCheckpoint(eager = false)
+    val d = n.select(size(col("nv"))).head().getInt(0)
+    val m = model.getOrElse(Linalg.pcaFit(n, "nv", d))
+    val p = basis.getOrElse(m.intBasis(kRed, shift, whiten))
+    // double-cast exactness: |rv| ≤ d·254·n·max|P| must stay below 2^53
+    val maxAbsP = math.max(1L, p.map(_.map(math.abs).max).max)
+    require(m.n <= (1L << 53) / (d.toLong * 254L * maxAbsP),
+      s"pcaReducedTopK: n=${m.n} too large for exact double-cast " +
+        s"candidate scoring at d=$d max|P|=$maxAbsP")
+    val red = Linalg.pcaProjectExact(n, "vid", "nv", m, kRed, shift,
+        basis = Some(p))
+      .select(col("vid"), col("proj").cast("array<double>").as("rv"))
+    val q = broadcast(red.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("rv").as("qrv")))
+    val wc = Window.partitionBy("qid").orderBy(col("rscore").desc, col("vid").asc)
+    val cand = red.join(q, col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"), dot(col("rv"), col("qrv")).as("rscore"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= kCand)
+      .select("qid", "vid")
+    // exact rerank on candidates only: fetch full vectors for both sides
+    val qv = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv").as("qv")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_bp").desc, col("vid").asc)
+    n.join(broadcast(cand), Seq("vid"))
+      .join(qv, Seq("qid"))
+      .select(col("qid"), col("vid"),
+        floor(dot(col("nv"), col("qv")) * 10000).cast("long").as("cos_bp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("neighbor_id"), col("cos_bp"))
+  }
+
   /** FILTERED vector search — attribute-constrained top-k (the
     * production "filtered ANN" feature every vector store grew:
     * hard-negative mining, per-tenant search, dedup-against-other-

@@ -494,4 +494,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // hash-partitions beyond the window inputs
     assert(c.exchanges <= 4, s"binary ANN exchange count drifted: $c")
   }
+
+  test("q_ann_opq: serving plan is pqServe's shape — rotation+training never leak into serving") {
+    // rotation is map-only over the checkpointed normalized frame and
+    // the trained codebooks are closure constants: the SERVED plan must
+    // match q_ann_pq_trained's bound exactly
+    val c = audited("q_ann_opq")
+    assert(c.broadcasts >= 1, s"query LUT side must broadcast: $c")
+    assert(c.exchanges <= 3, s"OPQ serving exchanges drifted: $c")
+    assert(c.scans <= 2, s"corpus re-read regressed: $c")
+  }
+
+  test("q_ann_pca: reduce map-only; candidate + rerank windows are the only exchanges") {
+    val c = audited("q_ann_pca")
+    // reduced queries, candidate list, and full query vectors all ride
+    // broadcasts; the corpus streams from its checkpoint — exchanges are
+    // the two per-query top-k windows + the output sort
+    assert(c.broadcasts >= 3, s"query/candidate sides must broadcast: $c")
+    assert(c.exchanges <= 4, s"PCA-reduced ANN exchange count drifted: $c")
+    assert(c.scans <= 1, s"corpus re-read regressed: $c")
+  }
 }

@@ -524,6 +524,46 @@ class SimilaritySpec extends AnyFunSuite {
       "embedding", qids, 10, iters = 2)))
   }
 
+  test("pcaReducedTopK: 8x-reduced candidates + exact rerank; whitening measured worse for dot recall") {
+    // clustered corpus — the regime PCA reduction serves (structure in
+    // few directions; the tail is noise the reduction drops)
+    val rnd = new scala.util.Random(31415L)
+    val d = 64; val nCenters = 12
+    val centers = IndexedSeq.fill(nCenters)(IndexedSeq.fill(d)(rnd.nextGaussian()))
+    val corpus = (0L until 900L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, Array.tabulate(d)(j => (c(j) + 0.2 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = rs(Similarity.bruteTopK(corpus, "vec_id", "embedding", qids, 10))
+    val red = Similarity.pcaReducedTopK(corpus, "vec_id", "embedding", qids, 10)
+    val rRed = (brute & rs(red)).size.toDouble / brute.size
+    val white = rs(Similarity.pcaReducedTopK(corpus, "vec_id", "embedding",
+      qids, 10, whiten = true))
+    val rWhite = (brute & white).size.toDouble / brute.size
+    info(f"PCA-reduced recall@10 (kRed=8, kCand=40): plain = $rRed%.3f, whitened = $rWhite%.3f")
+    // reduction to 8 of 64 dims keeps the clustered structure
+    assert(rRed >= 0.6, s"PCA-reduced recall floor: $rRed")
+    // whitening re-inflates suppressed noise directions — measured
+    // worse-or-equal for dot-product candidates; the served default is
+    // unwhitened (the flag is for k-means/Mahalanobis consumers)
+    assert(rWhite <= rRed, s"whitening unexpectedly helped: $rWhite > $rRed")
+    // served scores are EXACT cosines: rows shared with brute carry
+    // identical cos_bp
+    val bruteScores = Similarity.bruteTopK(corpus, "vec_id", "embedding", qids, 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("cos_bp")).toMap
+    red.collect().foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      bruteScores.get(key).foreach(b => assert(b === r.getAs[Long]("cos_bp")))
+    }
+    // deterministic end to end
+    assert(rs(red) === rs(Similarity.pcaReducedTopK(corpus, "vec_id",
+      "embedding", qids, 10)))
+  }
+
   test("opqAssign: permutation, balanced slot counts, greedy log-product order, deterministic") {
     val vals = Array(8.0, 4.0, 2.0, 1.0, 0.5, 0.25, 0.1, 0.05)
     val perm = Similarity.opqAssign(vals, m = 2)
