@@ -3,8 +3,31 @@ package graft
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** The incrementally-maintained-index queries whose one-time session
+    * table builds run as UNTIMED setup (see main) — in production the
+    * stream maintains the index long before a query arrives. */
+  val IncrementalSetup: Seq[String] =
+    Seq("q_bm25_incremental", "q_cluster_incremental", "q_dsir_incremental",
+      "q_bpe_tokenize", "q_dedup_stream_lsh", "q_heavy_hitters_incremental",
+      "q_distinct_incremental", "q_bloom_incremental", "q_scd2_incremental",
+      "q_quantiles_incremental", "q_bfs_incremental",
+      "q_substring_incremental", "q_nb_incremental",
+      "q_item_recs_incremental")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_BENCH_ISOLATE=1: every query (and each load sentinel)
+    // runs in a FRESH SparkSession — the committed-artifact mode. A
+    // 200-query shared session accumulates page-cache/JIT/GC state that
+    // showed up as a uniform ~1.1-1.2× band between same-code runs
+    // (r12/r13 verdicts); isolation trades wall-clock (one session
+    // bring-up + warmup per query) for an artifact whose per-query
+    // numbers carry no session history. The artifact marks itself
+    // "isolated" so BenchDiff readers know the basis.
+    val isolate = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+      .exists(v => Set("1", "true", "all").contains(v.trim.toLowerCase))
+    if (isolate) { isolatedMain(sfDir); return }
     val spark = Sessions.local()
     // dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset (driver
     // leaves it unset → full suite). A typo'd name must fail loudly, not
@@ -38,17 +61,7 @@ object Bench {
     // real regression, and tells whether load shifted DURING the run
     // (first ≉ last) or between rounds (both shifted together). Untimed
     // warmup first so the sentinel measures the box, not codegen.
-    def sentinel(): Double = {
-      val t0 = System.nanoTime()
-      // hash keeps the CPU honest; pmod bounds the sums far inside Long
-      // (ANSI overflow on sum(id²) at 40M ids is a crash, not a measure)
-      spark.range(0, 40000000L, 1, 32)
-        .select(pmod(xxhash64(col("id")), lit(1000000007L)).as("h"))
-        .groupBy((col("h") % 512).as("k"))
-        .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
-        .agg(sum(col("s")), sum(col("n"))).head()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def sentinel(): Double = sentinelOnce(spark)
     untimed("sentinel warmup")(sentinel())
     val sentinelFirst = sentinel()
     // Untimed SETUP for the incrementally-maintained-index queries: build
@@ -64,12 +77,7 @@ object Bench {
     // (q_bpe_tokenize joins the list in r10: its merge table is a trained
     // artifact memoized per session — the timed number measures map-only
     // serving, training stays q_bpe's own timed story.)
-    Seq("q_bm25_incremental", "q_cluster_incremental", "q_dsir_incremental",
-        "q_bpe_tokenize", "q_dedup_stream_lsh", "q_heavy_hitters_incremental",
-        "q_distinct_incremental", "q_bloom_incremental", "q_scd2_incremental",
-        "q_quantiles_incremental", "q_bfs_incremental",
-        "q_substring_incremental", "q_nb_incremental",
-        "q_item_recs_incremental")
+    IncrementalSetup
       .filter(selected)
       .foreach { n => untimed(n)(SparkEntry.queries(n)(spark, sfDir).count()) }
     // One-shot timing cannot distinguish a real regression from machine
@@ -119,6 +127,75 @@ object Bench {
 
   final case class QueryResult(name: String, times: Seq[Double], failed: Boolean)
 
+  /** One fixed calibration measurement — pure Spark built-ins,
+    * independent of every line of engine code (see the LOAD SENTINEL
+    * note in main). */
+  private def sentinelOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // hash keeps the CPU honest; pmod bounds the sums far inside Long
+    // (ANSI overflow on sum(id²) at 40M ids is a crash, not a measure)
+    spark.range(0, 40000000L, 1, 32)
+      .select(pmod(xxhash64(col("id")), lit(1000000007L)).as("h"))
+      .groupBy((col("h") % 512).as("k"))
+      .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("s")), sum(col("n"))).head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** SPARK_GRAFT_BENCH_ISOLATE path: one fresh SparkSession per query
+    * (and per sentinel pair), so no query's number carries another's
+    * page-cache/JIT/GC history. Per query: session bring-up, the
+    * incremental queries' untimed table build, one untimed warmup rep
+    * (absorbs codegen + session cold start), then the timed reps. */
+  private def isolatedMain(sfDir: String): Unit = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: " +
+      s"${unknown.mkString(", ")}")
+    def selected(name: String): Boolean = only.isEmpty || only(name)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'") }
+    }.getOrElse(1)
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    def fresh[T](body: org.apache.spark.sql.SparkSession => T): T = {
+      val s = Sessions.local()
+      try body(s) finally s.stop()
+    }
+    // sentinel in its own fresh session: warmup rep, then the measure
+    def sentinelIsolated(): Double =
+      fresh { s => sentinelOnce(s); sentinelOnce(s) }
+    val sentinelFirst = sentinelIsolated()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) }
+      .map { case (name, fn) =>
+        fresh { s =>
+          def once(): (Double, Boolean) = {
+            val t0 = System.nanoTime()
+            val ok = try { fn(s, sfDir).count(); true } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: " +
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                false
+            }
+            ((System.nanoTime() - t0) / 1e9, ok)
+          }
+          // the warmup rep doubles as the incremental queries' untimed
+          // table build (memoization is per-session — fresh session,
+          // fresh build); its failure bit still counts
+          val warmupOk = once()._2
+          val samples = (1 to reps).map(_ => once())
+          QueryResult(name, samples.map(_._1),
+            failed = !warmupOk || samples.exists(!_._2))
+        }
+      }
+    val sentinelLast = sentinelIsolated()
+    println(render(results, reps, sfDir,
+      sentinel = Some((sentinelFirst, sentinelLast)), isolated = true))
+  }
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -134,7 +211,8 @@ object Bench {
     * byte-identical JSON to the pre-sentinel format ("failed" only
     * appears when non-empty). */
   def render(results: Seq[QueryResult], reps: Int, sfDir: String,
-      sentinel: Option[(Double, Double)] = None): String = {
+      sentinel: Option[(Double, Double)] = None,
+      isolated: Boolean = false): String = {
     def medOf(r: QueryResult): Double = if (r.failed) -1.0 else median(r.times)
     def minOf(r: QueryResult): Double = if (r.failed) -1.0 else r.times.min
     def jsonMap(f: QueryResult => Double): String =
@@ -156,6 +234,9 @@ object Bench {
     // (or BenchDiff) can separate box-condition drift from code change
     val sent = sentinel.map { case (first, last) =>
       s""","sentinel_first":$first,"sentinel_last":$last""" }.getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson$extra$sent,"sf":"$sfDir"}"""
+    // the basis marker for isolated artifacts; absent (byte-identical
+    // JSON) on the default shared-session run
+    val iso = if (isolated) s""","isolated":true""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson$extra$sent$iso,"sf":"$sfDir"}"""
   }
 }

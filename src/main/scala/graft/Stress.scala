@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * receipts closed-form-checked), and a MinHash-LSH dedup over a
   * duplicate-saturated corpus with a bucket-cap-exceeding hot family
   * (section 5 below: every bucket group ×mult, pair count and shed
-  * receipts integer-exact) — then ASSERT three things:
+  * receipts integer-exact), and trained-ANN Lloyd TRAINING over a
+  * ×mult corpus (section 6 below: codebook closed-form-exact through
+  * replication via seed injection, checkpoint blocks measured ON DISK,
+  * the offset-domain guard firing loud) — then ASSERT three things:
   *
   *  1. the jobs COMPLETE (no OOM) with disk spill actually observed
   *     (task-metrics `diskBytesSpilled` > 0 — a rehearsal that fit in
@@ -340,8 +343,65 @@ object Stress {
     val lshSpillOk = lshSpill > 0
     val lshOk = lshCountOk && lshShedOk && lshSpillOk
 
+    // 6. TRAINED-ANN TRAINING at stress scale — the one r13 shape not
+    // yet rehearsed: Lloyd's per-iteration scan + k·d codebook collect
+    // over a ×annMult corpus under the starved pool. Three claims face
+    // the gate:
+    //  - EXACTNESS under replication, closed form: training the big
+    //    corpus (every vector appearing exactly annMult times, disjoint
+    //    ids) from its own seeds must equal training the SINGLE copy
+    //    from those same injected seeds — per (cid, pos) the big sums
+    //    and counts are both ×annMult, and floor(mult·S / (mult·C)) =
+    //    floor(S/C) exactly on the non-negative domain. Any spill-path
+    //    or combine-path corruption breaks the integer equality.
+    //  - MEMORY PRESSURE REAL: the quantized training checkpoint cannot
+    //    fit the starved storage pool — asserted as checkpoint blocks
+    //    RESIDING ON DISK. (Execution-side spill is structurally absent
+    //    here and that is the CLAIM, not a gap: each training job is a
+    //    map-only argmin + a 2048-group map-side-combined agg — the k·d
+    //    collect contract. The pressure shows up at the storage layer.)
+    //  - the offset-domain guard fires LOUD under this session: one
+    //    out-of-domain vector (|x| > 1.6384, the pathological-residual
+    //    shape) must abort training, not round apart.
+    val annMult = sys.env.getOrElse("SPARK_GRAFT_STRESS_ANN_MULT", "16").toInt
+    require(annMult >= 2, s"bad ann knob: mult=$annMult")
+    val embA = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bigEmb = (0 until annMult).map { i =>
+      embA.select((col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+    val ((cbBig, annDisk), tTrain) = timed {
+      val cb = operators.KMeans.trainSubspaces(bigEmb, "vec_id", "embedding",
+        m = 16, ksub = 32, iters = 2)
+      // checkpoint blocks on disk = the starvation evidence (read before
+      // the session GCs the checkpoint)
+      val disk = spark.sparkContext.getRDDStorageInfo
+        .map(_.diskSize).sum
+      (cb, disk)
+    }
+    val seedsBig = operators.KMeans.seedCentroids(
+      operators.KMeans.quantized(bigEmb, "vec_id", "embedding"), 32)
+    val cbRef = operators.KMeans.trainSubspaces(embA, "vec_id", "embedding",
+      m = 16, ksub = 32, iters = 2, seedRows = Some(seedsBig))
+    val annCbOk = cbBig == cbRef
+    val annPressureOk = annDisk > 0
+    val annGuardOk = {
+      import spark.implicits._
+      val outOfDomain = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(-2.0f, 0.1f)))
+        .toDF("vec_id", "embedding")
+      try {
+        operators.KMeans.trainSubspaces(outOfDomain, "vec_id", "embedding",
+          m = 1, ksub = 2, iters = 1)
+        false // trained through an out-of-domain value: the guard is dead
+      } catch {
+        case e: IllegalArgumentException => e.getMessage.contains("offset domain")
+      }
+    }
+    val annOk = annCbOk && annPressureOk && annGuardOk
+
     val spillOk = spilledDisk.get() > 0
-    val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk
+    val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk && annOk
     println(
       s"""{"metric":"stress","sf":"$sfDir","mult":$mult,""" +
       s""""mem_fraction":$memFrac,"rows":${mult * n1},""" +
@@ -358,6 +418,8 @@ object Stress {
       s""""lsh_shed_groups":$lshShedGroups,""" +
       s""""lsh_shed_members":$lshShedMembers,""" +
       s""""lsh_spill_bytes":$lshSpill,""" +
+      s""""ann_mult":$annMult,"ann_train_sec":$tTrain,""" +
+      s""""ann_checkpoint_disk_bytes":$annDisk,""" +
       s""""disk_spill_bytes":${spilledDisk.get()},""" +
       s""""memory_spill_bytes":${spilledMem.get()},""" +
       s""""agg_ok":$aggOk,"sort_ok":$sortOk,"join_ok":$joinOk,""" +
@@ -365,6 +427,8 @@ object Stress {
       s""""graph_plan_ok":$graphPlanOk,"graph_spill_ok":$graphSpillOk,""" +
       s""""lsh_count_ok":$lshCountOk,"lsh_shed_ok":$lshShedOk,""" +
       s""""lsh_spill_ok":$lshSpillOk,""" +
+      s""""ann_codebook_ok":$annCbOk,"ann_pressure_ok":$annPressureOk,""" +
+      s""""ann_guard_ok":$annGuardOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()

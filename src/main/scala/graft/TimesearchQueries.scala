@@ -420,6 +420,38 @@ object TimesearchQueries {
         .orderBy("author")
     }),
 
+    // MIN/MAX incremental view maintenance — the non-additive half of
+    // q_cdc_consume, via the dirty-group pruned rescan (Scd
+    // .cdcApplyMinMax): after-images fold in monotonically, and ONLY
+    // groups whose removed value WAS an extremum rescan — from the
+    // versioned snapshot, semi-join-pruned to the dirty groups. Same
+    // two-real-published-versions construction as q_cdc_consume; the
+    // oracle rescans the final merged state, so a leak in the dirty
+    // marking (a missed extremum removal serving a stale max) or in the
+    // monotone fold hash-mismatches.
+    "q_cdc_minmax" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcmm")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                   // v0
+      val nc = newComments(s, dir)
+      table.merge(nc.filter(col("idint") % 4 === 0), "_seq",
+        storeEdits = Some(false))                                       // v1
+      table.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
+        storeEdits = Some(false))                                       // v2
+      val cols = ("author", "score", "n_docs", "min_score_c", "max_score_c")
+      val base = graft.operators.Scd.cdcBaseMinMax(table.at(0L),
+        cols._1, cols._2, cols._3, cols._4, cols._5)
+      val afterV1 = graft.operators.Scd.cdcApplyMinMax(base,
+        table.changes(0L, 1L), table.at(1L),
+        cols._1, cols._2, cols._3, cols._4, cols._5)
+      graft.operators.Scd.cdcApplyMinMax(afterV1,
+          table.changes(1L, 2L), table.at(2L),
+          cols._1, cols._2, cols._3, cols._4, cols._5)
+        .orderBy("author")
+    }),
+
     // J2+A5+P5 — the batch upsert merge: final table state.
     "q_merge_upsert" -> ((s, dir) => {
       Merge.upsert(oldComments(s, dir), newComments(s, dir),
@@ -1198,6 +1230,18 @@ object TimesearchQueries {
            $mergedSelect)
          SELECT author, COUNT(*) AS n_docs,
                 CAST(SUM(score) AS BIGINT) AS sum_score_c
+         FROM merged GROUP BY author ORDER BY author""",
+
+    // min/max IVM: identical construction — the oracle rescans the
+    // final merged state, never the deltas, so the dirty-group pruning
+    // and the monotone fold both face the gate
+    "q_cdc_minmax" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect)
+         SELECT author, COUNT(*) AS n_docs,
+                CAST(MIN(score) AS BIGINT) AS min_score_c,
+                CAST(MAX(score) AS BIGINT) AS max_score_c
          FROM merged GROUP BY author ORDER BY author""",
 
     // Golden-file oracle: rendered HTML has no relational recomputation,

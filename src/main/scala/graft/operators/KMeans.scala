@@ -150,12 +150,19 @@ object KMeans {
     *
     * Returns quantized-unit codebooks: `result(j)(code)(pos)`. */
   def trainSubspaces(emb: DataFrame, id: String, vec: String, m: Int,
-      ksub: Int, iters: Int): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+      ksub: Int, iters: Int,
+      seedRows: Option[IndexedSeq[IndexedSeq[Long]]] = None):
+      IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
     val q = quantized(emb, id, vec).localCheckpoint(eager = false)
     val d = q.select(size(col("qv"))).head().getInt(0)
     require(d % m == 0, s"vector dim $d not divisible by m=$m subspaces")
     val dsub = d / m
-    val seeds = seedCentroids(q, ksub)
+    // seedRows injects full-vector seeds in place of the md5 rule — the
+    // Stress closed-form device: training over a ×mult-replicated corpus
+    // from the BIG corpus' seeds must equal training over the single
+    // copy from those same seeds (floor(mult·S / mult·C) = floor(S/C)).
+    // Queries never pass it; the md5 rule stays the oracle contract.
+    val seeds = seedRows.getOrElse(seedCentroids(q, ksub))
     var cbs = IndexedSeq.tabulate(m)(j =>
       seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
     val mod = seeds.length.toLong // corpus may seed fewer than ksub

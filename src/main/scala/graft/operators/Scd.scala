@@ -124,4 +124,100 @@ object Scd {
       nCol: String = "n_rows", sCol: String = "sum_m"): DataFrame =
     snapshot.groupBy(group)
       .agg(count(lit(1)).as(nCol), sum(col(measure).cast("long")).as(sCol))
+
+  /** MIN/MAX incremental view maintenance — the non-additive half
+    * [[cdcApply]]'s scaladoc deferred ("min/max need the full group on
+    * a delete"), via the DIRTY-GROUP PRUNED RESCAN:
+    *
+    *  - after-images maintain monotonically: a group's new min/max is
+    *    `least/greatest(current, delta candidates)` — no rescan ever;
+    *  - a removal (delete / update before-image) can only move min/max
+    *    if the removed value WAS an extremum, so exactly those groups
+    *    are marked dirty (value <=> current min or max; a null measure
+    *    can never be an extremum) and rescanned FROM THE SNAPSHOT —
+    *    every other group is served from the maintained view untouched;
+    *  - row counts maintain additively alongside (the [[cdcApply]]
+    *    algebra), and groups netting to zero rows drop — which also
+    *    retires the all-null-measure group no extremum check can see.
+    *
+    * Scale: the rescan frame is `snapshot ⋉ dirty` — |dirty| is bounded
+    * by |changes|, and on the versioned store the semi-join key is the
+    * group a consumer co-partitions by, so the rescan prunes to the
+    * dirty groups' buckets (the manifest/key-bucket layout), never the
+    * table. A refresh with no extremum removals touches zero snapshot
+    * rows.
+    *
+    * `maintained` must carry (`group`, `nCol`, `minCol`, `maxCol`) —
+    * seed with [[cdcBaseMinMax]]. Null groups are groups like any other
+    * (all joins here are null-safe). Output: same shape, groups with
+    * zero live rows dropped.
+    */
+  def cdcApplyMinMax(maintained: DataFrame, changes: DataFrame,
+      snapshot: DataFrame, group: String, measure: String,
+      nCol: String = "n_rows", minCol: String = "min_m",
+      maxCol: String = "max_m"): DataFrame = {
+    val g = col(group)
+    // after-image candidates: per-group delta count and min/max of the
+    // non-null incoming measures
+    val plus = changes.filter(col("kind").isin("insert", "update"))
+      .select(col(s"after_$group").as(group),
+        col(s"after_$measure").cast("long").as("_m"))
+      .groupBy(group)
+      .agg(count(lit(1)).as("_an"), min("_m").as("_amin"), max("_m").as("_amax"))
+    // removal-side per-group row-count delta
+    val minusN = changes.filter(col("kind").isin("delete", "update"))
+      .select(col(s"before_$group").as(group))
+      .groupBy(group).agg(count(lit(1)).as("_rn"))
+    // dirty groups: a removed value that null-safely equals the group's
+    // current extremum (conservative: duplicates of the extremum rescan
+    // too — correctness over cleverness)
+    val rem = changes.filter(col("kind").isin("delete", "update"))
+      .select(col(s"before_$group").as("_rg"),
+        col(s"before_$measure").cast("long").as("_rm"))
+      .filter(col("_rm").isNotNull)
+    val dirty = rem.join(maintained, col("_rg") <=> g)
+      .filter(col("_rm") === col(minCol) || col("_rm") === col(maxCol))
+      .select(col("_rg").as(group)).distinct()
+    // clean groups: maintained view minus dirty, with after-candidates
+    // folded in monotonically and row counts maintained additively.
+    // The delta sides exclude dirty groups too — a dirty group is served
+    // ENTIRELY by the rescan; letting its after-candidates through here
+    // would resurrect it as a spurious "new" group
+    val clean = maintained.join(dirty.withColumnRenamed(group, "_dg"),
+        g <=> col("_dg"), "left_anti")
+    val plusClean = plus.join(dirty.withColumnRenamed(group, "_dg"),
+      g <=> col("_dg"), "left_anti")
+    val minusClean = minusN.join(dirty.withColumnRenamed(group, "_dg"),
+      g <=> col("_dg"), "left_anti")
+    val withPlus = clean
+      .join(plusClean.withColumnRenamed(group, "_pg"), g <=> col("_pg"),
+        "full_outer")
+      .join(minusClean.withColumnRenamed(group, "_mg"),
+        coalesce(g, col("_pg")) <=> col("_mg"), "left_outer")
+      .select(
+        coalesce(g, col("_pg")).as(group),
+        (coalesce(col(nCol), lit(0L)) + coalesce(col("_an"), lit(0L)) -
+          coalesce(col("_rn"), lit(0L))).as(nCol),
+        least(col(minCol), col("_amin")).as(minCol),
+        greatest(col(maxCol), col("_amax")).as(maxCol))
+      .filter(col(nCol) =!= 0L)
+    // dirty groups: pruned rescan of ONLY those groups from the snapshot
+    val rescan = snapshot
+      .join(dirty.withColumnRenamed(group, "_dg"), g <=> col("_dg"), "left_semi")
+      .groupBy(group)
+      .agg(count(lit(1)).as(nCol),
+        min(col(measure).cast("long")).as(minCol),
+        max(col(measure).cast("long")).as(maxCol))
+    withPlus.unionByName(rescan)
+  }
+
+  /** The matching min/max base/rescan aggregate — shared by the seed of
+    * a [[cdcApplyMinMax]] chain and its verification rescan. */
+  def cdcBaseMinMax(snapshot: DataFrame, group: String, measure: String,
+      nCol: String = "n_rows", minCol: String = "min_m",
+      maxCol: String = "max_m"): DataFrame =
+    snapshot.groupBy(group)
+      .agg(count(lit(1)).as(nCol),
+        min(col(measure).cast("long")).as(minCol),
+        max(col(measure).cast("long")).as(maxCol))
 }

@@ -715,7 +715,8 @@ object Livestream {
     * ↔ `--wait 30`, `AvailableNow` ↔ `--once` (timesearch.py:257-264).
     */
   def upsertSink(stream: DataFrame, table: UpsertTable,
-      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      zoneMapCols: Option[Seq[String]] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream
       // A4 per-batch counters (tsdb.py:335-358 new_submissions/new_comments
       // tallies): observe() rides the existing scan — no extra job — and
@@ -736,7 +737,20 @@ object Livestream {
         // no-data micro-batches (noDataMicroBatches, restart replays of
         // fully-consumed sources) must not publish a new version — for a
         // flat table a merge of zero rows would rewrite the whole table
-        try { if (!seqd.isEmpty) table.merge(seqd, "_seq") }
+        try {
+          if (!seqd.isEmpty) {
+            table.merge(seqd, "_seq")
+            // post-publish sidecar refresh: a streamed store keeps its
+            // file skipping current without operator action. Incremental
+            // by construction (refreshZoneMap stats only files not yet
+            // covered — the batch's re-pointed buckets), so the
+            // per-trigger cost is one stats pass over the batch's own
+            // files, never the table. Refresh AFTER publish: the sidecar
+            // is advisory (uncovered files always read), so a crash
+            // between publish and refresh costs coverage, not answers.
+            zoneMapCols.foreach(table.refreshZoneMap)
+          }
+        }
         finally seqd.unpersist()
       }
 

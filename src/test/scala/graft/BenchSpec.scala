@@ -103,6 +103,17 @@ class BenchSpec extends AnyFunSuite {
     assert(wild.regressions.size === 12)
   }
 
+  test("render: isolated artifacts carry the basis marker; default stays byte-identical") {
+    val rs = Seq(Bench.QueryResult("q_a", Seq(1.5), failed = false))
+    val plain = Bench.render(rs, 1, "sf", sentinel = Some((0.7, 0.8)))
+    val iso = Bench.render(rs, 1, "sf", sentinel = Some((0.7, 0.8)),
+      isolated = true)
+    assert(!plain.contains("isolated"))
+    assert(iso.contains("\"isolated\":true"))
+    // marker sits inside the one-line JSON object, parseable as such
+    assert(iso.startsWith("{") && iso.endsWith("}"))
+  }
+
   test("benchdiff: sentinel caps normalization — uniform regression can't hide") {
     val prev = (1 to 12).map(i => s"q_$i" -> 1.0).toMap
     // everything uniformly 2.2x slower. Median alone would clamp to

@@ -145,4 +145,60 @@ class ScdSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(v2 === Seq(("dest", 1L, 9L)))
   }
+
+  private def asCdc(before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame) =
+    Scd.diff(before, after, "k", Seq("g", "m"))
+      .withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+
+  test("cdcApplyMinMax: dirty-group pruned rescan == full rescan on random snapshot pairs") {
+    // the min/max IVM invariant, including NULL measures (never an
+    // extremum; a group of only-null measures carries null min/max and
+    // retires through the row count, not the extremum check)
+    val rnd = new scala.util.Random(777)
+    def snapshot(keys: Seq[Long]): Seq[(Long, String, Option[Long])] =
+      keys.map(k => (k, s"g${rnd.nextInt(5)}",
+        if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(50).toLong)))
+    for (round <- 1 to 5) {
+      val oldKeys = (0L until 60L).filter(_ => rnd.nextDouble() < 0.8)
+      val newKeys = (0L until 60L).filter(_ => rnd.nextDouble() < 0.8)
+      val before = snapshot(oldKeys).toDF("k", "g", "m")
+      val after = snapshot(newKeys).toDF("k", "g", "m")
+      val got = Scd.cdcApplyMinMax(Scd.cdcBaseMinMax(before, "g", "m"),
+          asCdc(before, after), after, "g", "m")
+        .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSeq
+      val want = Scd.cdcBaseMinMax(after, "g", "m")
+        .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)))).toSeq
+      assert(got === want, s"round $round: min/max IVM drifted from rescan")
+    }
+  }
+
+  test("cdcApplyMinMax edges: extremum delete rescans; non-extremum delete maintains; move + empty-out") {
+    // g1: {1,5,9} — delete the 9 (max: dirty, rescan -> 5), delete the
+    // 5's neighbor scenario is g2: {2,4,6} — delete the 4 (non-extremum:
+    // clean path, min/max unchanged); g3 empties out entirely; a mover
+    // leaves g2 for a NEW group g4
+    val before = Seq(
+      (1L, "g1", Some(1L)), (2L, "g1", Some(5L)), (3L, "g1", Some(9L)),
+      (4L, "g2", Some(2L)), (5L, "g2", Some(4L)), (6L, "g2", Some(6L)),
+      (7L, "g3", Some(7L)), (8L, "g3", None)).toDF("k", "g", "m")
+    val after = Seq(
+      (1L, "g1", Some(1L)), (2L, "g1", Some(5L)),
+      (4L, "g2", Some(2L)), (6L, "g4", Some(6L))).toDF("k", "g", "m")
+    val got = Scd.cdcApplyMinMax(Scd.cdcBaseMinMax(before, "g", "m"),
+        asCdc(before, after), after, "g", "m")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(got === Seq(
+      ("g1", 2L, Some(1L), Some(5L)),   // dirty: max removed, rescanned
+      ("g2", 1L, Some(2L), Some(2L)),   // dirty: 4 left? no — 6 MOVED out (was max) -> rescan
+      ("g4", 1L, Some(6L), Some(6L))))  // mover's destination, new group
+    // g3 vanished: one non-null delete (7 was its extremum -> dirty ->
+    // empty rescan) plus a null-measure delete (never dirty, count path)
+  }
 }

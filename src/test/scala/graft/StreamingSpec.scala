@@ -749,6 +749,35 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(unpruned.count() === 4)
   }
 
+  test("upsertSink zoneMapCols: streamed store keeps its skipping current, no operator action") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[C]
+    val dir = tmp("zmstream")
+    // range partitioning: the layout where stats align with the data
+    val table = new Livestream.UpsertTable(spark, dir,
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some((col("idint") / lit(16L)).cast("long")))
+    val q = Livestream.upsertSink(mem.toDF(), table, tmp("zmckp"),
+      Trigger.ProcessingTime(0), zoneMapCols = Some(Seq("idint"))).start()
+    try {
+      mem.addData((1L to 40L).map(i => c(i, s"b$i", i)): _*)
+      q.processAllAvailable()
+      mem.addData((41L to 64L).map(i => c(i, s"b$i", i)): _*)
+      q.processAllAvailable()
+      // coverage is CURRENT after the stream alone — every live file has
+      // sidecar stats without any manual refreshZoneMap call
+      val live = table.current.inputFiles.toSet
+      assert(live.nonEmpty)
+      assert(graft.sources.ZoneMap.read(dir).map(_.file).toSet === live,
+        "streamed sidecar does not cover the live files")
+      // and a selective pushed predicate on a store read skips files
+      val (df, index) = table.scanAuto()
+      assert(df.filter(col("idint") <= 10L).count() === 10L)
+      assert(index.lastKept < index.lastListed,
+        s"no files skipped (${index.lastKept} of ${index.lastListed})")
+    } finally q.stop()
+  }
+
   test("UpsertTable scanAuto: ANY pushed predicate prunes store files via Catalyst") {
     val dir = tmp("zmta")
     val table = new Livestream.UpsertTable(spark, dir,
