@@ -268,6 +268,29 @@ object PipelineQueries {
       table
     })
 
+  private val builtMomentTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained second-moment statistics over the embeddings
+    * table: 4 real micro-batches of additive counter upserts — the
+    * covariance input (and so the whole PCA/whitening/OPQ stack)
+    * maintained by the stream, built once per session. */
+  private def incrementalMoments(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtMomentTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_moments")
+      deleteOnExit(tmp)
+      val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      val src = tmp.resolve("in").toString
+      emb.repartition(4).write.parquet(src)
+      val table = StreamSketch.table(s, tmp.resolve("tbl").toString, nBuckets = 8)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamSketch.momentSink(stream, "embedding", 64, table,
+        tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   private val builtBloomTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -1346,6 +1369,21 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // The covariance input MAINTAINED BY THE STREAM: 4 real additive
+    // micro-batch upserts into the counter table (moment cells are
+    // exact integer sums — the same mergeable-counter class as the
+    // CMS), read back through covNumerators. Must hash-equal batch
+    // q_embed_cov (shared oracle VERBATIM — the oracle rescans, so any
+    // maintenance leak mismatches). This makes the entire
+    // PCA/whitening/OPQ preprocessing stack incrementally maintainable:
+    // a 100 TB corpus's covariance refreshes at |batch| cost per
+    // trigger, and the d²-sized table serves the eigensolver directly.
+    "q_embed_cov_incremental" -> ((s, dir) => {
+      val t = incrementalMoments(s, dir)
+      graft.operators.Linalg.covNumerators(StreamSketch.moments(t))
+        .orderBy("i", "j")
+    }),
+
     "q_embed_cluster" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val (nlist, _) = Similarity.ivfTune(embCount(s, dir))
@@ -1679,6 +1717,26 @@ object PipelineQueries {
       Similarity.ivfpqResidualTrainedTopK(emb, "vec_id", "embedding",
           queryIds = (0L to 7L), k = 10, nlist = nlist, nprobe = nprobe,
           iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // OPQ + IVF + PQ — the COMPLETE production-Faiss index string
+    // ("OPQ16,IVF·,PQ16"): balanced eigenbasis rotation, then the full
+    // trained-residual pipeline in rotated space (coarse seeds, cell
+    // assignment, probes, residuals, Lloyd training, ADC — all rotated;
+    // rotation preserves dot products so the score still approximates
+    // the original cosine). Shares q_ann_opq's rotation fixture (same
+    // m ⇒ same matrix) and q_ann_ivfpq_rtrained's entire oracle chain
+    // re-rooted at the rotated relation — across the four composed
+    // stages, rotation is the only diff either engine sees.
+    "q_ann_opq_ivfpq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      val rot = Similarity.opqRotationFor(emb, "vec_id", "embedding", m = 16)
+      writeOpqRotFixture(dir, rot)
+      Similarity.opqIvfpqTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10, nlist = nlist, nprobe = nprobe,
+          iters = 2, rot = Some(rot))
         .orderBy("query_id", "rank")
     }),
 
@@ -2889,6 +2947,35 @@ object PipelineQueries {
 
   private val pqTopKOracle = pqCte + pqScTail + pqRankTail
 
+  /** Covariance-numerator ground truth: the identical clamp(floor(64x))
+    * quantization (power-of-two float multiply — exact in both
+    * engines), then plain integer sums — n·Sij − Si·Sj replayed
+    * relationally over the unnested upper triangle. Shared VERBATIM by
+    * the batch (q_embed_cov) and stream-maintained
+    * (q_embed_cov_incremental) forms: the oracle rescans, so any
+    * maintenance leak in the additive counters hash-mismatches. */
+  private val embCovOracle =
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> GREATEST(-127,
+                  LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))))
+                  AS qv
+         FROM embeddings),
+       u AS (
+         SELECT vec_id, t.i, qv[t.i + 1] AS x
+         FROM q, range(64) t(i)),
+       s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sk FROM u GROUP BY i),
+       n AS (SELECT COUNT(*) AS n FROM q),
+       p AS (
+         SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sij
+         FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+         GROUP BY 1, 2)
+       SELECT p.i, p.j,
+              CAST(n.n * p.sij - sa.sk * sb.sk AS BIGINT) AS cov_num
+       FROM p, n, s sa, s sb
+       WHERE sa.i = p.i AND sb.i = p.j
+       ORDER BY p.i, p.j"""
+
   /** Trained-PQ replay: the per-subspace k-means unroll supplies `cb`,
     * then the SAME enc/lut/sc/rank tail as q_ann_pq — codebook
     * provenance is the entire diff, in the oracle exactly as in the
@@ -3031,22 +3118,22 @@ object PipelineQueries {
     * ADC chain, mirroring the engine's `pqAdc + qc` order. */
   /** Shared head of both residual oracles: normalize, coarse quantizer,
     * corpus assignment, query probes, and the corpus residual frame. */
-  private val ivfpqResHead =
-    s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       nn0 AS (SELECT vec_id,
-                      list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-               FROM n),
-       js AS (SELECT unnest(range(0, $pqM)) AS j),
+  /** The coarse-quantizer + residual chain over a `(vec_id, nv)`
+    * relation `rel` — shared by the flat residual oracles (rel = nn0)
+    * and the OPQ composition (rel = the rotated rr): the relation is
+    * the entire diff. */
+  private def ivfpqResChainFrom(rel: String) =
+    s""",
        pp AS (SELECT greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) AS nlist,
                      greatest(1, (greatest(1, CAST(round(sqrt(count(*))) AS BIGINT)) + 3) // 4)
                        AS nprobe
-              FROM nn0),
+              FROM $rel),
        cseed AS (
          SELECT vec_id, nv FROM (
            SELECT vec_id, nv,
                   row_number() OVER (ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8),
                                      vec_id) AS rn
-           FROM nn0)
+           FROM $rel)
          WHERE rn <= (SELECT nlist FROM pp)),
        cents AS (
          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, nv AS cv
@@ -3056,20 +3143,22 @@ object PipelineQueries {
            SELECT nn.vec_id, c.cid,
                   row_number() OVER (PARTITION BY nn.vec_id
                     ORDER BY list_dot_product(nn.nv, c.cv) DESC, c.cid ASC) AS rn
-           FROM nn0 nn CROSS JOIN cents c)
+           FROM $rel nn CROSS JOIN cents c)
          WHERE rn = 1),
        probes AS (
          SELECT qid, cid FROM (
            SELECT nn.vec_id AS qid, c.cid,
                   row_number() OVER (PARTITION BY nn.vec_id
                     ORDER BY list_dot_product(nn.nv, c.cv) DESC, c.cid ASC) AS rn
-           FROM nn0 nn CROSS JOIN cents c
+           FROM $rel nn CROSS JOIN cents c
            WHERE nn.vec_id <= 7)
          WHERE rn <= (SELECT nprobe FROM pp)),
        cres AS (
          SELECT nn.vec_id, list_transform(nn.nv, (x, i) -> x - c.cv[i]) AS rv
-         FROM nn0 nn JOIN assign a ON a.vec_id = nn.vec_id
+         FROM $rel nn JOIN assign a ON a.vec_id = nn.vec_id
          JOIN cents c ON c.cid = a.cid)"""
+
+  private val ivfpqResHead = pqHead + ivfpqResChainFrom("nn0")
 
   /** Salted-seed residual codebook (ivfpqResidualTopK's sampling rule). */
   private val ivfpqSaltedRcb =
@@ -3113,10 +3202,10 @@ object PipelineQueries {
                 list_transform(cv, c -> (c - 16384) / 10000.0) AS cs
          FROM tcent$iters)"""
 
-  /** Serving tail shared by both residual oracles: corpus-residual
-    * encode, query LUT + q·centroid term, probed-cell candidates, ADC
-    * chain + rank. */
-  private val ivfpqResTail =
+  /** Serving tail shared by the residual oracles (and the OPQ
+    * composition via `rel`): corpus-residual encode, query LUT +
+    * q·centroid term, probed-cell candidates, ADC chain + rank. */
+  private def ivfpqResTailFrom(rel: String) =
     s""",
        csub AS (
          SELECT vec_id, j, rv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
@@ -3132,14 +3221,14 @@ object PipelineQueries {
          WHERE rn = 1),
        qsub AS (
          SELECT vec_id, j, nv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
-         FROM nn0 CROSS JOIN js WHERE vec_id <= 7),
+         FROM $rel CROSS JOIN js WHERE vec_id <= 7),
        rlut AS (
          SELECT q.vec_id AS qid, q.j, c.code, list_dot_product(q.xs, c.cs) AS dp
          FROM qsub q JOIN rcb c ON c.j = q.j),
        cand AS (
          SELECT p2.qid, a.vec_id AS nid, list_dot_product(qn.nv, c.cv) AS qc
          FROM assign a JOIN probes p2 ON a.cid = p2.cid
-         JOIN nn0 qn ON qn.vec_id = p2.qid
+         JOIN $rel qn ON qn.vec_id = p2.qid
          JOIN cents c ON c.cid = a.cid
          WHERE a.vec_id != p2.qid),
        sc AS (
@@ -3157,6 +3246,8 @@ object PipelineQueries {
        WHERE rn <= 10
        ORDER BY query_id, rank"""
 
+  private val ivfpqResTail = ivfpqResTailFrom("nn0")
+
   private val ivfpqResidualOracle =
     ivfpqResHead + ivfpqSaltedRcb + ivfpqResTail
 
@@ -3165,6 +3256,15 @@ object PipelineQueries {
     * the full production-Faiss default, training included, replayed. */
   private val ivfpqResidualTrainedOracle =
     ivfpqResHead + ivfpqTrainedRcb(iters = 2) + ivfpqResTail
+
+  /** OPQ+IVF+PQ — the complete Faiss index-string composition: the
+    * rotation fixture + rotated corpus `rr`, then the SAME coarse/
+    * residual chain, the SAME Lloyd training chain, and the SAME
+    * serving tail as q_ann_ivfpq_rtrained, all re-rooted at `rr` —
+    * rotation is the entire diff across four composed stages. */
+  private val opqIvfpqOracle =
+    pqHead + opqRotCte + ivfpqResChainFrom("rr") +
+      ivfpqTrainedRcb(iters = 2) + ivfpqResTailFrom("rr")
 
   /** BPE training replay: the word-frequency CTE once, then one
     * GENERATED stage per merge step — pair counts from adjacent symbols,
@@ -4881,6 +4981,7 @@ object PipelineQueries {
     "q_ann_ivfpq" -> ivfpqTopKOracle,
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
     "q_ann_ivfpq_rtrained" -> ivfpqResidualTrainedOracle,
+    "q_ann_opq_ivfpq" -> opqIvfpqOracle,
 
     // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
     // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is
@@ -4970,35 +5071,15 @@ object PipelineQueries {
          SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
          FROM surv ORDER BY doc_id""",
 
+    "q_embed_cov" -> embCovOracle,
+
+    // stream-maintained moments must equal the batch rescan: the oracle
+    // is q_embed_cov's VERBATIM — it never sees the counter table
+    "q_embed_cov_incremental" -> embCovOracle,
+
     // round (not floor) on sim_bp: seed vectors sit analytically at 1.0,
     // one double ulp either side of the floor boundary — see
     // Similarity.clusterAssign's scaladoc.
-    // covariance-numerator ground truth: the identical clamp(floor(64x))
-    // quantization (power-of-two float multiply — exact in both
-    // engines), then plain integer sums — n·Sij − Si·Sj replayed
-    // relationally over the unnested upper triangle
-    "q_embed_cov" ->
-      """WITH q AS (
-           SELECT vec_id,
-                  list_transform(embedding, x -> GREATEST(-127,
-                    LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))))
-                    AS qv
-           FROM embeddings),
-         u AS (
-           SELECT vec_id, t.i, qv[t.i + 1] AS x
-           FROM q, range(64) t(i)),
-         s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sk FROM u GROUP BY i),
-         n AS (SELECT COUNT(*) AS n FROM q),
-         p AS (
-           SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS sij
-           FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
-           GROUP BY 1, 2)
-         SELECT p.i, p.j,
-                CAST(n.n * p.sij - sa.sk * sb.sk AS BIGINT) AS cov_num
-         FROM p, n, s sa, s sb
-         WHERE sa.i = p.i AND sb.i = p.j
-         ORDER BY p.i, p.j""",
-
     "q_embed_cluster" -> (clusterAssignCte +
       """
          SELECT vec_id, cid, CAST(round(sim * 10000) AS BIGINT) AS sim_bp

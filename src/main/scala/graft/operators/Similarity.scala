@@ -1047,8 +1047,16 @@ object Similarity {
     * still replays relationally (`q_ann_ivfpq_rtrained`). */
   def ivfpqResidualTrainedTopK(emb: DataFrame, id: String, vec: String,
       queryIds: Seq[Long], k: Int, nlist: Int, nprobe: Int,
-      m: Int = 16, ksub: Int = 32, iters: Int = 2): DataFrame = {
-    val n = normalized(emb, id, vec)
+      m: Int = 16, ksub: Int = 32, iters: Int = 2): DataFrame =
+    ivfpqResidualTrainedFrom(normalized(emb, id, vec), queryIds, k,
+      nlist, nprobe, m, ksub, iters)
+
+  /** The trained-residual pipeline over a prepared (vid, nv) frame —
+    * shared by [[ivfpqResidualTrainedTopK]] (normalized corpus) and
+    * [[opqIvfpqTopK]] (rotated corpus): the frame is the entire diff. */
+  private def ivfpqResidualTrainedFrom(n: DataFrame, queryIds: Seq[Long],
+      k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      iters: Int): DataFrame = {
     val coarse = md5Codebook(n, nlist)
     val d = coarse.head.length
     require(d % m == 0, s"vector dim $d not divisible by m=$m subspaces")
@@ -1063,6 +1071,26 @@ object Similarity {
     val cbRes = KMeans.trainSubspaces(residuals, "vid", "rv", m, ksub, iters)
       .map(_.map(_.map(c => (c - KMeans.Offset).toDouble / KMeans.Scale)))
     ivfpqResidualServe(n, coarse, cbRes, queryIds, k, nprobe)
+  }
+
+  /** OPQ + IVF + PQ — the complete production-Faiss index string
+    * ("OPQ16,IVF·,PQ16"): [[opqRotationFor]]'s balanced eigenbasis
+    * rotation, THEN the full trained-residual pipeline
+    * ([[ivfpqResidualTrainedFrom]]) in rotated space — coarse seeds,
+    * cell assignment, probes, residuals, Lloyd training, and ADC all
+    * operate on the rotated corpus, and since rotation preserves dot
+    * products the score still approximates the original cosine. Every
+    * stage replays relationally (rotation literals + the shared
+    * residual/training/serving fragments), so the whole four-stage
+    * composition hash-gates (`q_ann_opq_ivfpq`). */
+  def opqIvfpqTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], k: Int, nlist: Int, nprobe: Int,
+      m: Int = 16, ksub: Int = 32, iters: Int = 2,
+      rot: Option[Array[Array[Long]]] = None, shift: Int = 30): DataFrame = {
+    val n = normalized(emb, id, vec)
+    val p = rot.getOrElse(opqRotationFor(emb, id, vec, m, shift))
+    val r = rotatedFrame(n, p, shift).localCheckpoint(eager = false)
+    ivfpqResidualTrainedFrom(r, queryIds, k, nlist, nprobe, m, ksub, iters)
   }
 
   /** The residual-IVFPQ serving tail over GIVEN coarse + residual

@@ -98,6 +98,60 @@ object StreamSketch {
       }
   }
 
+  /** One micro-batch of embeddings → second-moment deltas: keys
+    * `m:<i>:<j>`, value = the batch's [[graft.operators.Linalg
+    * .momentStats]] cell. The moment statistics are ADDITIVE integers
+    * (n, Σqᵢ, Σqᵢqⱼ — sums of exact quantized values), so the same
+    * counter-merge that maintains the CMS maintains the full covariance
+    * input: the PCA/whitening/OPQ preprocessing stack becomes
+    * stream-maintainable for free. */
+  private[graft] def momentDelta(batch: DataFrame, vec: String,
+      d: Int): DataFrame =
+    graft.operators.Linalg.momentStats(batch, vec, d)
+      .select(concat(lit("m:"), col("i").cast("string"), lit(":"),
+        col("j").cast("string")).as("k"), col("s").as("cnt_d"))
+
+  /** Wire an embedding stream into maintained moment statistics on the
+    * counter table: per batch, additive delta + current → replacement
+    * totals (the [[sketchSink]] algebra — a negative cell sum is a
+    * counter like any other). `q_embed_cov_incremental` gates the
+    * maintained table against q_embed_cov's RESCAN oracle verbatim, so
+    * any maintenance leak hash-mismatches. Same `_seq` / empty-batch /
+    * CDC-off contracts as the sibling sinks. */
+  def momentSink(stream: DataFrame, vec: String, d: Int,
+      table: Livestream.UpsertTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] = {
+    require(d >= 1 && d <= 4096, s"implausible dimension: $d")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = momentDelta(batch, vec, d)
+        val cur = table.current.select(col(Merge.KeyCol).as("k"),
+          col("cnt").as("cnt_0"))
+        val rows = delta.join(cur, Seq("k"), "left")
+          .select(col("k").as(Merge.KeyCol),
+            lit(null).cast("string").as("author"),
+            lit(null).cast("string").as("body"),
+            (coalesce(col("cnt_0"), lit(0L)) + col("cnt_d")).as("cnt"))
+          .withColumn("_seq",
+            lit(batchId) * 1000000000L + monotonically_increasing_id())
+          .persist()
+        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+        finally rows.unpersist()
+      }
+  }
+
+  /** Read maintained moment statistics back into [[graft.operators
+    * .Linalg.covNumerators]]' (i, j, s) input shape. */
+  def moments(table: Livestream.UpsertTable): DataFrame =
+    table.current
+      .filter(col(Merge.KeyCol).startsWith("m:"))
+      .select(
+        element_at(split(col(Merge.KeyCol), ":"), 2).cast("int").as("i"),
+        element_at(split(col(Merge.KeyCol), ":"), 3).cast("int").as("j"),
+        col("cnt").as("s"))
+
   /** One micro-batch → HLL register deltas: keys `h:<group>:<register>`,
     * value = the batch's max rank for that register. Groups must not
     * contain ':' (key codec constraint; enforced). */

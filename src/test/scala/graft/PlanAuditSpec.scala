@@ -505,6 +505,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"corpus re-read regressed: $c")
   }
 
+  test("q_ann_opq_ivfpq: the four-stage composition serves in IVFPQ's shape") {
+    // rotation (map-only over the checkpoint) + trained codebooks
+    // (closure constants) must leave the SERVED plan exactly the
+    // residual-IVFPQ shape: probed queries broadcast, corpus never
+    // hash-shuffled, one top-k window
+    val c = audited("q_ann_opq_ivfpq")
+    assert(c.broadcasts >= 1, s"probed-query side must broadcast: $c")
+    assert(c.exchanges <= 3, s"OPQ+IVFPQ serving exchanges drifted: $c")
+    assert(c.scans <= 2, s"corpus re-read regressed: $c")
+  }
+
   test("q_ann_pca: reduce map-only; candidate + rerank windows are the only exchanges") {
     val c = audited("q_ann_pca")
     // reduced queries, candidate list, and full query vectors all ride

@@ -524,6 +524,42 @@ class SimilaritySpec extends AnyFunSuite {
       "embedding", qids, 10, iters = 2)))
   }
 
+  test("opqIvfpqTopK: the full Faiss composition — no catastrophe vs unrotated, deterministic") {
+    // the clustered-corpus regime (residual encoding's home turf): the
+    // rotation must compose losslessly — coarse assignment, residuals,
+    // training, and ADC all move to rotated space together, and since
+    // rotation preserves dots the composition must land in the same
+    // recall band as the unrotated trained-residual pipeline
+    val rnd = new scala.util.Random(20260815L)
+    val d = 64; val nCenters = 24
+    val centers = IndexedSeq.fill(nCenters)(IndexedSeq.fill(d)(rnd.nextGaussian()))
+    val clustered = (0L until 1200L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, Array.tabulate(d)(j => (c(j) + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val (nlist, nprobe) = Similarity.ivfTune(1200L)
+    val brute = rs(Similarity.bruteTopK(clustered, "vec_id", "embedding", qids, 10))
+    val rt = rs(Similarity.ivfpqResidualTrainedTopK(clustered, "vec_id",
+      "embedding", qids, 10, nlist = nlist, nprobe = nprobe, iters = 2))
+    val oi = Similarity.opqIvfpqTopK(clustered, "vec_id", "embedding",
+      qids, 10, nlist = nlist, nprobe = nprobe, iters = 2)
+    val oiSet = rs(oi)
+    val (rRt, rOi) = ((brute & rt).size.toDouble / brute.size,
+      (brute & oiSet).size.toDouble / brute.size)
+    info(f"clustered recall@10: residual-trained=$rRt%.3f OPQ+IVFPQ=$rOi%.3f")
+    // rotation composes losslessly: same band (within 25% relative),
+    // never a catastrophe
+    assert(rOi >= rRt * 0.75, s"rotation broke the composition: $rRt vs $rOi")
+    assert(rOi >= 0.15, s"OPQ+IVFPQ recall floor: $rOi")
+    // deterministic end to end (rotation literals + md5 seeds + integer
+    // training fixpoint + fixed folds)
+    assert(oiSet === rs(Similarity.opqIvfpqTopK(clustered, "vec_id",
+      "embedding", qids, 10, nlist = nlist, nprobe = nprobe, iters = 2)))
+  }
+
   test("pcaReducedTopK: 8x-reduced candidates + exact rerank; whitening measured worse for dot recall") {
     // clustered corpus — the regime PCA reduction serves (structure in
     // few directions; the tail is noise the reduction drops)

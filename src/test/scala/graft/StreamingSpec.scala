@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Merge
-import graft.streaming.Livestream
+import graft.streaming.{Livestream, StreamSketch}
 
 // comment-shaped rows as a case class for MemoryStream (top-level: Spark
 // cannot build encoders for classes nested inside the suite instance)
@@ -747,6 +747,37 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     val unpruned = bare.scanRange("idint", 1L, 4L)
     assert(unpruned.inputFiles.length === bare.current.inputFiles.length)
     assert(unpruned.count() === 4)
+  }
+
+  test("momentSink: stream-maintained covariance input == batch momentStats, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = 4
+    case class E(vec_id: Long, embedding: Seq[Float])
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val table = StreamSketch.table(spark, tmp("momtbl"), nBuckets = 4)
+    val q = StreamSketch.momentSink(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", d, table,
+      tmp("momckp"), Trigger.ProcessingTime(0)).start()
+    val b1 = (0 until 6).map(i => (i.toLong,
+      Seq(0.1f * i, -0.2f, 0.3f, 0.05f * (i % 3))))
+    val b2 = (6 until 11).map(i => (i.toLong,
+      Seq(-0.4f, 0.25f * (i % 2), 0.1f, 0.9f)))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val maintained = StreamSketch.moments(table)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Linalg.momentStats(
+        (b1 ++ b2).toDF("vec_id", "embedding"), "embedding", d)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(maintained === batch,
+      "additive moment maintenance drifted from the batch rescan")
+    // and the downstream covariance consumer reads it directly
+    val cov = graft.operators.Linalg.covNumerators(StreamSketch.moments(table))
+    assert(cov.count() === d.toLong * (d + 1) / 2)
   }
 
   test("upsertSink zoneMapCols: streamed store keeps its skipping current, no operator action") {
