@@ -152,10 +152,19 @@ object Scd {
     * (all joins here are null-safe). Output: same shape, groups with
     * zero live rows dropped.
     */
-  def cdcApplyMinMax(maintained: DataFrame, changes: DataFrame,
+  def cdcApplyMinMax(maintainedIn: DataFrame, changesIn: DataFrame,
       snapshot: DataFrame, group: String, measure: String,
       nCol: String = "n_rows", minCol: String = "min_m",
       maxCol: String = "max_m"): DataFrame = {
+    // the view is referenced five times below (dirty probe, clean anti,
+    // the two delta-side anti-joins, the combine) and a CHAINED apply
+    // feeds one step's output into the next — without materialization
+    // the maintained DAG re-expands multiplicatively per step (the
+    // covNumerators postings-checkpoint device; measured 9.9 s → the
+    // committed time on q_cdc_minmax's two-step chain). Changes are
+    // read three times — same treatment.
+    val maintained = maintainedIn.localCheckpoint(false)
+    val changes = changesIn.localCheckpoint(false)
     val g = col(group)
     // after-image candidates: per-group delta count and min/max of the
     // non-null incoming measures
@@ -175,9 +184,12 @@ object Scd {
       .select(col(s"before_$group").as("_rg"),
         col(s"before_$measure").cast("long").as("_rm"))
       .filter(col("_rm").isNotNull)
+    // dirty is probed four times below (three anti-joins + the rescan
+    // semi) — |dirty| ≤ |changes|, checkpoint once
     val dirty = rem.join(maintained, col("_rg") <=> g)
       .filter(col("_rm") === col(minCol) || col("_rm") === col(maxCol))
       .select(col("_rg").as(group)).distinct()
+      .localCheckpoint(false)
     // clean groups: maintained view minus dirty, with after-candidates
     // folded in monotonically and row counts maintained additively.
     // The delta sides exclude dirty groups too — a dirty group is served
