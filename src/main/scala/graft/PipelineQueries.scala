@@ -1720,6 +1720,22 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVFPQ + REFINE (Faiss "IVFPQ,RFlat"): the trained-residual first
+    // stage over-fetches 30 ADC candidates, and only those pairs are
+    // re-scored with the exact cosine from the raw vectors — the
+    // retrieve+rerank economics (codes hot, raw cold) on the IVFPQ
+    // stage, completing the compression family's rerank matrix. Exact
+    // scores at compressed-stage recall; the oracle shares the entire
+    // residual chain and adds only the refine fragment.
+    "q_ann_ivfpq_refine" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      Similarity.ivfpqRefineTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), kCand = 30, k = 10,
+          nlist = nlist, nprobe = nprobe, iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // OPQ + IVF + PQ — the COMPLETE production-Faiss index string
     // ("OPQ16,IVF·,PQ16"): balanced eigenbasis rotation, then the full
     // trained-residual pipeline in rotated space (coarse seeds, cell
@@ -3202,10 +3218,11 @@ object PipelineQueries {
                 list_transform(cv, c -> (c - 16384) / 10000.0) AS cs
          FROM tcent$iters)"""
 
-  /** Serving tail shared by the residual oracles (and the OPQ
-    * composition via `rel`): corpus-residual encode, query LUT +
-    * q·centroid term, probed-cell candidates, ADC chain + rank. */
-  private def ivfpqResTailFrom(rel: String) =
+  /** Serving CTEs through the joined (qid, nid, j, dp, qc) relation
+    * `sc` — the shared front of the residual serving tails: corpus-
+    * residual encode, query LUT + q·centroid term, probed-cell
+    * candidates. */
+  private def ivfpqResScFrom(rel: String) =
     s""",
        csub AS (
          SELECT vec_id, j, rv[CAST(j*$pqDsub+1 AS BIGINT):CAST((j+1)*$pqDsub AS BIGINT)] AS xs
@@ -3235,18 +3252,52 @@ object PipelineQueries {
          SELECT l.qid, e.vec_id AS nid, l.j, l.dp, cand.qc
          FROM renc e JOIN rlut l ON l.j = e.j AND l.code = e.code
          JOIN cand ON cand.qid = l.qid AND cand.nid = e.vec_id),
-       scores AS (
+       rscores AS (
          SELECT qid, nid,
                 CAST(floor(($pqAdcSum + max(qc)) * 10000) AS BIGINT) AS adc_bp
-         FROM sc GROUP BY 1, 2)
+         FROM sc GROUP BY 1, 2)"""
+
+  /** Final ADC rank over `rscores` — the plain residual-IVFPQ output. */
+  private val ivfpqResRankTail =
+    """
        SELECT qid AS query_id, CAST(rn AS INT) AS rank, nid AS neighbor_id, adc_bp
        FROM (SELECT *, row_number() OVER (PARTITION BY qid
                          ORDER BY adc_bp DESC, nid ASC) AS rn
-             FROM scores)
+             FROM rscores)
        WHERE rn <= 10
        ORDER BY query_id, rank"""
 
+  private def ivfpqResTailFrom(rel: String) =
+    ivfpqResScFrom(rel) + ivfpqResRankTail
+
   private val ivfpqResTail = ivfpqResTailFrom("nn0")
+
+  /** REFINE tail: top-kCand ADC candidates re-scored with the EXACT
+    * cosine from the raw normalized vectors (Faiss's "IVFPQ,RFlat"
+    * refine stage) — the bruteTopK scoring device over candidate pairs
+    * only. */
+  private def ivfpqRefineTail(rel: String, kCand: Int) =
+    s""",
+       rcand AS (
+         SELECT qid, nid FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+                       ORDER BY adc_bp DESC, nid ASC) AS rn
+           FROM rscores)
+         WHERE rn <= $kCand),
+       rexact AS (
+         SELECT c.qid, c.nid,
+                CAST(floor(list_dot_product(xn.nv, qn.nv) * 10000) AS BIGINT)
+                  AS cos_bp
+         FROM rcand c
+         JOIN $rel xn ON xn.vec_id = c.nid
+         JOIN $rel qn ON qn.vec_id = c.qid)
+       SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+              nid AS neighbor_id, cos_bp
+       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY cos_bp DESC, nid ASC) AS rn
+             FROM rexact)
+       WHERE rn <= 10
+       ORDER BY query_id, rank"""
 
   private val ivfpqResidualOracle =
     ivfpqResHead + ivfpqSaltedRcb + ivfpqResTail
@@ -3256,6 +3307,13 @@ object PipelineQueries {
     * the full production-Faiss default, training included, replayed. */
   private val ivfpqResidualTrainedOracle =
     ivfpqResHead + ivfpqTrainedRcb(iters = 2) + ivfpqResTail
+
+  /** IVFPQ + REFINE: the trained-residual chain through rscores, then
+    * the exact-cosine refine over the top-30 ADC candidates — shared
+    * fragments end to end, the refine stage the only addition. */
+  private val ivfpqRefineOracle =
+    ivfpqResHead + ivfpqTrainedRcb(iters = 2) + ivfpqResScFrom("nn0") +
+      ivfpqRefineTail("nn0", kCand = 30)
 
   /** OPQ+IVF+PQ — the complete Faiss index-string composition: the
     * rotation fixture + rotated corpus `rr`, then the SAME coarse/
@@ -4982,6 +5040,7 @@ object PipelineQueries {
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
     "q_ann_ivfpq_rtrained" -> ivfpqResidualTrainedOracle,
     "q_ann_opq_ivfpq" -> opqIvfpqOracle,
+    "q_ann_ivfpq_refine" -> ivfpqRefineOracle,
 
     // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
     // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is

@@ -1073,6 +1073,38 @@ object Similarity {
     ivfpqResidualServe(n, coarse, cbRes, queryIds, k, nprobe)
   }
 
+  /** IVFPQ + REFINE — Faiss's "IVFPQ,RFlat" serving composition, the
+    * refine stage the compression family was missing (SQ8 and binary
+    * already rerank): the trained-residual pipeline over-fetches
+    * `kCand` ADC candidates, and ONLY those |q|·kCand rows are
+    * re-scored exactly from the raw normalized vectors. At 100 TB the
+    * raw vectors never stream through scoring — codes stay hot, raw
+    * stays cold, and the refine join is a broadcast-able id set (the
+    * [[sq8RerankTopK]] economics on the IVFPQ first stage). Exact
+    * scores at compressed-stage recall; hash-gates end to end
+    * (`q_ann_ivfpq_refine`). */
+  def ivfpqRefineTopK(emb: DataFrame, id: String, vec: String,
+      queryIds: Seq[Long], kCand: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int = 16, ksub: Int = 32, iters: Int = 2): DataFrame = {
+    require(kCand >= k && k >= 1, s"need kCand >= k >= 1: $kCand, $k")
+    val n = normalized(emb, id, vec).localCheckpoint(eager = false)
+    val cand = ivfpqResidualTrainedFrom(n, queryIds, kCand, nlist, nprobe,
+        m, ksub, iters)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("nv").as("qv")))
+    val exact = cand
+      .join(n, col("nid") === col("vid"))
+      .join(q, Seq("qid"))
+      .select(col("qid"), col("nid"),
+        floor(dot(col("nv"), col("qv")) * 10000).cast("long").as("cos_bp"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_bp").desc, col("nid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("cos_bp"))
+  }
+
   /** OPQ + IVF + PQ — the complete production-Faiss index string
     * ("OPQ16,IVF·,PQ16"): [[opqRotationFor]]'s balanced eigenbasis
     * rotation, THEN the full trained-residual pipeline

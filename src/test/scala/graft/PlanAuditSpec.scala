@@ -516,6 +516,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"corpus re-read regressed: $c")
   }
 
+  test("q_ann_ivfpq_refine: first stage in IVFPQ's shape, refine joins candidates only") {
+    // codes hot / raw cold: the refine stage joins the |q|·kCand
+    // candidate ids back against the corpus checkpoint — the raw
+    // vectors never stream through scoring, so the plan is the IVFPQ
+    // shape plus one candidate broadcast and the final rank window
+    val c = audited("q_ann_ivfpq_refine")
+    assert(c.broadcasts >= 2, s"probed queries AND candidates must broadcast: $c")
+    assert(c.exchanges <= 4, s"refine exchange count drifted: $c")
+    assert(c.scans <= 2, s"corpus re-read regressed: $c")
+  }
+
   test("q_ann_pca: reduce map-only; candidate + rerank windows are the only exchanges") {
     val c = audited("q_ann_pca")
     // reduced queries, candidate list, and full query vectors all ride

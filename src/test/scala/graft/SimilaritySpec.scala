@@ -524,6 +524,43 @@ class SimilaritySpec extends AnyFunSuite {
       "embedding", qids, 10, iters = 2)))
   }
 
+  test("ivfpqRefineTopK: exact scores at compressed-stage recall; refine never loses to no-refine") {
+    val rnd = new scala.util.Random(20260816L)
+    val d = 64; val nCenters = 24
+    val centers = IndexedSeq.fill(nCenters)(IndexedSeq.fill(d)(rnd.nextGaussian()))
+    val clustered = (0L until 1200L).map { i =>
+      val c = centers((i % nCenters).toInt)
+      (i, Array.tabulate(d)(j => (c(j) + 0.15 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qids = (0L to 7L)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val (nlist, nprobe) = Similarity.ivfTune(1200L)
+    val brute = rs(Similarity.bruteTopK(clustered, "vec_id", "embedding", qids, 10))
+    val plain = rs(Similarity.ivfpqResidualTrainedTopK(clustered, "vec_id",
+      "embedding", qids, 10, nlist = nlist, nprobe = nprobe, iters = 2))
+    val ref = Similarity.ivfpqRefineTopK(clustered, "vec_id", "embedding",
+      qids, kCand = 30, k = 10, nlist = nlist, nprobe = nprobe, iters = 2)
+    val refSet = rs(ref)
+    val (rP, rR) = ((brute & plain).size.toDouble / brute.size,
+      (brute & refSet).size.toDouble / brute.size)
+    info(f"clustered recall@10: rtrained=$rP%.3f refine(kCand=30)=$rR%.3f")
+    // over-fetch + exact rerank can only help: any true neighbor inside
+    // the ADC top-30 surfaces into the top-10 by its exact score
+    assert(rR >= rP, s"refine lost recall: $rP vs $rR")
+    // served scores are EXACT cosines — rows shared with brute match
+    val bruteScores = Similarity.bruteTopK(clustered, "vec_id", "embedding",
+        qids, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("cos_bp")).toMap
+    ref.collect().foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("neighbor_id"))
+      bruteScores.get(key).foreach(b => assert(b === r.getAs[Long]("cos_bp")))
+    }
+    assert(refSet === rs(Similarity.ivfpqRefineTopK(clustered, "vec_id",
+      "embedding", qids, 30, 10, nlist, nprobe, iters = 2)))
+  }
+
   test("opqIvfpqTopK: the full Faiss composition — no catastrophe vs unrotated, deterministic") {
     // the clustered-corpus regime (residual encoding's home turf): the
     // rotation must compose losslessly — coarse assignment, residuals,
