@@ -196,9 +196,9 @@ object PipelineQueries {
     * + sign convention), so Verify's query run writes the identical
     * fixture every time before the driver's DuckDB pass reads it. */
   private def writePcaBasisFixture(dir: String,
-      basis: Array[Array[Long]]): Unit = {
+      basis: Array[Array[Long]], fixture: String): Unit = {
     val out = java.nio.file.Paths.get(
-      s"/tmp/graft_pca/${new java.io.File(dir).getName}")
+      s"/tmp/$fixture/${new java.io.File(dir).getName}")
     java.nio.file.Files.createDirectories(out)
     val lines = "c,i,p" +: basis.zipWithIndex.flatMap { case (row, c) =>
       row.zipWithIndex.map { case (p, i) => s"$c,$i,$p" }
@@ -1360,10 +1360,30 @@ object PipelineQueries {
     "q_pca_project" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val model = graft.operators.Linalg.pcaFit(emb, "embedding", 64)
-      writePcaBasisFixture(dir, model.intBasis(8, 16))
+      writePcaBasisFixture(dir, model.intBasis(8, 16), "graft_pca")
       val proj = graft.operators.Linalg.pcaProjectExact(
         emb, "vec_id", "embedding", model, k = 8)
       // flat scalar columns (driver-contract outputs are array-free)
+      proj.select(col("vec_id") +:
+          (0 until 8).map(i => element_at(col("proj"), i + 1).as(s"c$i")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // WHITENED projection — the same basis-as-literal gate with the
+    // 1/√λ scaling folded INTO the integer basis (PcaModel.intBasis
+    // whiten=true): outputs have ~equalized component variances, the
+    // form k-means/Mahalanobis consumers take. The eigenvalue scaling
+    // happens driver-side (like the basis itself); the oracle sees only
+    // the whitened literals, so the gate pins the distributed
+    // projection under the whitened basis exactly as q_pca_project
+    // does under the plain one.
+    "q_pca_whiten" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.Linalg.pcaFit(emb, "embedding", 64)
+      val basis = model.intBasis(8, 16, whiten = true)
+      writePcaBasisFixture(dir, basis, "graft_pcaw")
+      val proj = graft.operators.Linalg.pcaProjectExact(
+        emb, "vec_id", "embedding", model, k = 8, basis = Some(basis))
       proj.select(col("vec_id") +:
           (0 until 8).map(i => element_at(col("proj"), i + 1).as(s"c$i")): _*)
         .orderBy("vec_id")
@@ -5684,8 +5704,19 @@ object PipelineQueries {
     // q_embed_cov gates them, and the projection is the all-integer
     // fold Σ (n·qᵢ − Sᵢ)·Pᶜᵢ whose long sums are order-free in both
     // engines.
-    "q_pca_project" ->
-      """WITH q AS (
+    "q_pca_project" -> pcaProjectOracle("graft_pca"),
+
+    // the whitened twin: identical replay, whitened basis literals —
+    // whichever fixture a variant wrote is the whole diff
+    "q_pca_whiten" -> pcaProjectOracle("graft_pcaw")
+  )
+
+  /** The integer-projection replay over whichever basis fixture the
+    * variant wrote (plain or whitened) — the quantizer, n, and the Sᵢ
+    * recompute from the data exactly as q_embed_cov gates them; ONLY
+    * the eigenbasis rides the fixture. */
+  private def pcaProjectOracle(fixture: String): String =
+    s"""WITH q AS (
            SELECT vec_id,
                   list_transform(embedding, x -> GREATEST(-127,
                     LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))))
@@ -5698,7 +5729,7 @@ object PipelineQueries {
          n AS (SELECT COUNT(*) AS n FROM q),
          p AS (
            SELECT c, i, p
-           FROM read_csv('/tmp/graft_pca/__INGEST_SF__/basis.csv',
+           FROM read_csv('/tmp/$fixture/__INGEST_SF__/basis.csv',
                 header=true,
                 columns={'c': 'BIGINT', 'i': 'BIGINT', 'p': 'BIGINT'})),
          o AS (
@@ -5716,7 +5747,6 @@ object PipelineQueries {
                 MAX(CASE WHEN c = 6 THEN v END) AS c6,
                 MAX(CASE WHEN c = 7 THEN v END) AS c7
          FROM o GROUP BY vec_id ORDER BY vec_id"""
-  )
 
   /** Oracle SQL with fixture paths bound to `sfName` — the same
     * `__INGEST_SF__` token device as [[TimesearchQueries.oraclesAt]]
