@@ -199,12 +199,28 @@ object PipelineQueries {
       basis: Array[Array[Long]], fixture: String): Unit = {
     val out = java.nio.file.Paths.get(
       s"/tmp/$fixture/${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(out)
     val lines = "c,i,p" +: basis.zipWithIndex.flatMap { case (row, c) =>
       row.zipWithIndex.map { case (p, i) => s"$c,$i,$p" }
     }.toSeq
-    java.nio.file.Files.write(out.resolve("basis.csv"),
+    writeFixtureAtomic(out.resolve("basis.csv"), lines)
+  }
+
+  /** Publish a fixture csv ATOMICALLY (temp file + ATOMIC_MOVE): the
+    * fixture paths are fixed per-sf under /tmp and shared across
+    * processes — two concurrent verify/bench runs on the same sf must
+    * never observe a half-written csv. Same-basis writers racing is
+    * harmless (both move identical bytes); the move makes the visible
+    * file always complete. */
+  private def writeFixtureAtomic(target: java.nio.file.Path,
+      lines: Seq[String]): Unit = {
+    java.nio.file.Files.createDirectories(target.getParent)
+    val tmp = java.nio.file.Files.createTempFile(
+      target.getParent, s".${target.getFileName}", ".tmp")
+    java.nio.file.Files.write(tmp,
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** q_ann_opq's rotation fixture: Pᵢⱼ = floor(R·2³⁰) integers, rows
@@ -214,12 +230,10 @@ object PipelineQueries {
       rot: Array[Array[Long]]): Unit = {
     val out = java.nio.file.Paths.get(
       s"/tmp/graft_opq/${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(out)
     val d = rot.length
     val lines = "j,i,p" +: (for (j <- 0 until d; i <- 0 until d)
       yield s"$j,$i,${rot(i)(j)}")
-    java.nio.file.Files.write(out.resolve("rot.csv"),
-      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeFixtureAtomic(out.resolve("rot.csv"), lines)
   }
 
   /** q_ann_pca's reduction basis fixture — same device and caveats as
@@ -229,12 +243,10 @@ object PipelineQueries {
       basis: Array[Array[Long]]): Unit = {
     val out = java.nio.file.Paths.get(
       s"/tmp/graft_annpca/${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(out)
     val lines = "c,i,p" +: basis.zipWithIndex.flatMap { case (row, c) =>
       row.zipWithIndex.map { case (p, i) => s"$c,$i,$p" }
     }.toSeq
-    java.nio.file.Files.write(out.resolve("basis.csv"),
-      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeFixtureAtomic(out.resolve("basis.csv"), lines)
   }
 
   /** q_mixture_plan's target weights — heavies every 4th source — kept
@@ -3060,7 +3072,8 @@ object PipelineQueries {
        qz AS (
          SELECT vec_id, list_transform(nv, x -> GREATEST(-127,
            LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))) AS qv
-         FROM nn0),
+         FROM nn0
+         WHERE nv IS NOT NULL AND len(nv) = 64),
        uz AS (SELECT vec_id, t.i, qv[t.i + 1] AS x FROM qz, range(64) t(i)),
        sz AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sk FROM uz GROUP BY i),
        nz AS (SELECT COUNT(*) AS n FROM qz),
@@ -5721,7 +5734,8 @@ object PipelineQueries {
                   list_transform(embedding, x -> GREATEST(-127,
                     LEAST(127, CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT))))
                     AS qv
-           FROM embeddings),
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
          u AS (
            SELECT vec_id, t.i, qv[t.i + 1] AS x
            FROM q, range(64) t(i)),

@@ -336,6 +336,12 @@ object Linalg {
     val d = model.d
     require(k >= 1 && k <= d, s"pcaProjectExact: k=$k out of [1, $d]")
     val p = basis.getOrElse(model.intBasis(k, shift))
+    // a caller-supplied basis must actually be k rows of d coefficients —
+    // short matrices would otherwise surface as task-side
+    // ArrayIndexOutOfBounds (or silently read a truncated row)
+    require(p.length >= k && p.take(k).forall(_.length == d),
+      s"pcaProjectExact: basis must carry >= $k rows of $d coefficients " +
+        s"(got ${p.length} rows, widths ${p.take(k).map(_.length).distinct.mkString(",")})")
     val maxAbsP = math.max(1L, p.map(_.map(math.abs).max).max)
     val bound = Long.MaxValue / (d.toLong * 254L * maxAbsP)
     require(model.n <= bound, s"pcaProjectExact: n=${model.n} exceeds the " +

@@ -151,6 +151,17 @@ object Scd {
     * seed with [[cdcBaseMinMax]]. Null groups are groups like any other
     * (all joins here are null-safe). Output: same shape, groups with
     * zero live rows dropped.
+    *
+    * PRECONDITION — net changes per key: `changes` must carry at most
+    * one row per key (the snapshot-diff contract of
+    * [[graft.streaming.Livestream.UpsertTable.changes]] / [[diff]],
+    * which net a version range to one before/after image per key). A
+    * raw event-level CDC feed violates it: an intra-batch insert+delete
+    * of a value above the current max would fold the insert in
+    * monotonically while the delete's extremum check (against the
+    * PRE-batch view) cannot see it — the maintained max inflates. Net
+    * such feeds per key (last-writer image vs the pre-batch snapshot)
+    * before applying.
     */
   def cdcApplyMinMax(maintainedIn: DataFrame, changesIn: DataFrame,
       snapshot: DataFrame, group: String, measure: String,
