@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Multimodal, Search, Similarity, Sketches, TextAnalysis}
-import graft.streaming.{Livestream, StreamClusters, StreamIndex, StreamLsh, StreamSketch, StreamTrgm}
+import graft.streaming.{Livestream, StreamAnn, StreamClusters, StreamIndex, StreamLsh, StreamSketch, StreamTrgm}
 
 /** Scale-out training-data-pipeline operators (dedup, similarity search,
   * text analysis, multimodal plumbing) over documents/embeddings.
@@ -301,6 +301,41 @@ object PipelineQueries {
         tmp.resolve("ckp").toString).start()
       q.awaitTermination()
       table
+    })
+
+  private val builtAnnTables =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Livestream.UpsertTable, IndexedSeq[IndexedSeq[Double]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Double]]])]()
+
+  /** The streaming-maintained ANN codes table for `dir`, built ONCE per
+    * session — the 14th maintained serving artifact: the trained coarse
+    * + residual-PQ codebooks are frozen up front
+    * ([[Similarity.trainAnnArtifact]], exactly q_ann_ivfpq_rtrained's
+    * training at the same sizing), vectors stream through
+    * [[StreamAnn.encodeSink]] one file per trigger (4 real micro-batch
+    * merge/publish cycles), and ANN serving reads the maintained codes
+    * through the verbatim ADC tail. */
+  private def incrementalAnn(s: SparkSession, dir: String):
+      (Livestream.UpsertTable, IndexedSeq[IndexedSeq[Double]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) =
+    builtAnnTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ann")
+      deleteOnExit(tmp)
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, _) = Similarity.ivfTune(embCount(s, dir))
+      val n = Similarity.normalized(emb, "vec_id", "embedding")
+      val (coarse, cbRes) = Similarity.trainAnnArtifact(n, nlist,
+        m = 16, ksub = 32, iters = 2)
+      val src = tmp.resolve("in").toString
+      emb.repartition(4).write.parquet(src)
+      val table = StreamAnn.table(s, tmp.resolve("tbl").toString, nBuckets = 16)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = StreamAnn.encodeSink(stream, "vec_id", "embedding",
+        coarse, cbRes, table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      (table, coarse, cbRes)
     })
 
   private val builtBloomTables =
@@ -1749,6 +1784,25 @@ object PipelineQueries {
       Similarity.ivfpqResidualTrainedTopK(emb, "vec_id", "embedding",
           queryIds = (0L to 7L), k = 10, nlist = nlist, nprobe = nprobe,
           iters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN served from the INCREMENTALLY-MAINTAINED codes table — the
+    // production serving shape: codebooks frozen up front (trained
+    // exactly as q_ann_ivfpq_rtrained trains them), vectors arrive as 4
+    // micro-batches through StreamAnn's foreachBatch merge into the
+    // key-bucketed versioned table, and serving reads the maintained
+    // (vid, cell, codes) rows through the VERBATIM ADC tail. Must equal
+    // batch q_ann_ivfpq_rtrained exactly — same oracle — proving the
+    // maintained index converges to the batch index regardless of
+    // arrival batching (the q_cluster_incremental device, extended from
+    // coarse assignment to the full compressed index).
+    "q_ann_incremental" -> ((s, dir) => {
+      val (table, coarse, cbRes) = incrementalAnn(s, dir)
+      val (_, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      StreamAnn.serve(table, Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", coarse, cbRes,
+          queryIds = (0L to 7L), k = 10, nprobe = nprobe)
         .orderBy("query_id", "rank")
     }),
 
@@ -5072,6 +5126,12 @@ object PipelineQueries {
     "q_ann_ivfpq" -> ivfpqTopKOracle,
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,
     "q_ann_ivfpq_rtrained" -> ivfpqResidualTrainedOracle,
+
+    // the maintained-index serve must equal the batch pipeline EXACTLY:
+    // shared oracle VERBATIM (the q_cluster_incremental device) — any
+    // maintenance leak (stale codes, a vector that failed to move
+    // cells, a dropped micro-batch) hash-mismatches
+    "q_ann_incremental" -> ivfpqResidualTrainedOracle,
     "q_ann_opq_ivfpq" -> opqIvfpqOracle,
     "q_ann_ivfpq_refine" -> ivfpqRefineOracle,
 

@@ -1057,6 +1057,23 @@ object Similarity {
   private def ivfpqResidualTrainedFrom(n: DataFrame, queryIds: Seq[Long],
       k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
       iters: Int): DataFrame = {
+    val (coarse, cbRes) = trainAnnArtifact(n, nlist, m, ksub, iters)
+    ivfpqResidualServe(n, coarse, cbRes, queryIds, k, nprobe)
+  }
+
+  /** Train the FROZEN ANN index artifact from a prepared (vid, nv)
+    * frame: the coarse quantizer (md5 seed rule) plus residual PQ
+    * codebooks Lloyd-trained ON THE CORPUS RESIDUALS (the integer
+    * fixpoint device, [[KMeans.trainSubspaces]]) — exactly the
+    * codebooks [[ivfpqResidualTrainedTopK]] derives inline. Exposed so
+    * a MAINTAINED index ([[graft.streaming.StreamAnn]]) can freeze the
+    * artifact once and encode micro-batches against it: re-training is
+    * a batch act that rebuilds the codes table, never a streaming one
+    * (the [[graft.streaming.StreamClusters]] contract, applied to the
+    * full IVF+PQ artifact). */
+  def trainAnnArtifact(n: DataFrame, nlist: Int, m: Int, ksub: Int,
+      iters: Int): (IndexedSeq[IndexedSeq[Double]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) = {
     val coarse = md5Codebook(n, nlist)
     val d = coarse.head.length
     require(d % m == 0, s"vector dim $d not divisible by m=$m subspaces")
@@ -1070,7 +1087,7 @@ object Similarity {
         zip_with(col("nv"), centOf(col("cid")), (x, c) => x - c).as("rv"))
     val cbRes = KMeans.trainSubspaces(residuals, "vid", "rv", m, ksub, iters)
       .map(_.map(_.map(c => (c - KMeans.Offset).toDouble / KMeans.Scale)))
-    ivfpqResidualServe(n, coarse, cbRes, queryIds, k, nprobe)
+    (coarse, cbRes)
   }
 
   /** IVFPQ + REFINE — Faiss's "IVFPQ,RFlat" serving composition, the
@@ -1131,25 +1148,55 @@ object Similarity {
   private def ivfpqResidualServe(n: DataFrame,
       coarse: IndexedSeq[IndexedSeq[Double]],
       cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
-      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame =
+    adcServeCodes(encodeResidual(n, coarse, cbRes), n, coarse, cbRes,
+      queryIds, k, nprobe)
+
+  /** Residual-encode a prepared (vid, nv) frame against GIVEN coarse +
+    * residual codebooks → (vid, cid, codes). Map-only in the scan's
+    * stage: both codebooks ride as codegen reference objects / array
+    * literals, zero exchanges. Shared VERBATIM by the inline batch tail
+    * ([[ivfpqResidualServe]]) and the maintained index's micro-batch
+    * encoder ([[graft.streaming.StreamAnn]]) — the stored codes can
+    * never drift from what batch serving would re-derive, which is what
+    * lets `q_ann_incremental` share `q_ann_ivfpq_rtrained`'s oracle. */
+  def encodeResidual(n: DataFrame,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
     val coarseLit = array(coarse.map(cv =>
       array(cv.map(x => lit(x)): _*)): _*)
     def centOf(cid: Column): Column = element_at(coarseLit, (cid + 1).cast("int"))
-    val corpus = n.select(col("vid"), col("nv"),
+    n.select(col("vid"), col("nv"),
         graft.functions.nearestCentroids(col("nv"), coarse, 1).getItem(0).as("cid"))
       .select(col("vid"), col("cid"),
         graft.functions.pqEncode(
           zip_with(col("nv"), centOf(col("cid")), (x, c) => x - c), cbRes)
           .as("codes"))
+  }
+
+  /** The ADC serving tail over an ALREADY-ENCODED (vid, cid, codes)
+    * frame — inline batch serving passes the codes it just derived;
+    * the maintained index passes the codes TABLE (raw vectors never
+    * stream through scoring: codes stay hot, raw stays cold). `queries`
+    * is a (vid, nv) frame the query vectors are drawn from. Plan shape
+    * unchanged: queries broadcast with probed cells exploded, the codes
+    * frame never shuffles, ONE top-k exchange. */
+  def adcServeCodes(codes: DataFrame, queries: DataFrame,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val coarseLit = array(coarse.map(cv =>
+      array(cv.map(x => lit(x)): _*)): _*)
+    def centOf(cid: Column): Column = element_at(coarseLit, (cid + 1).cast("int"))
     // LUT uses the FULL query subvectors against the residual codewords
     // (q·r̂ term); q·centroid(cell) attaches per probed cell.
-    val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
+    val q = broadcast(queries.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("nv"),
         explode(graft.functions.nearestCentroids(col("nv"), coarse, nprobe)).as("cid"),
         graft.functions.pqLut(col("nv"), cbRes).as("lut"))
       .select(col("qid"), col("cid"), col("lut"),
         dot(col("nv"), centOf(col("cid"))).as("qc")))
-    val scored = corpus.join(q, Seq("cid"))
+    val scored = codes.join(q, Seq("cid"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
         floor((graft.functions.pqAdc(col("codes"), col("lut")) + col("qc")) * 10000)

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.{Merge, Similarity}
+
+/** Incrementally-maintained ANN INDEX: the compressed residual-IVFPQ
+  * codes table (vid → cell, PQ codes) maintained as a `foreachBatch`
+  * upsert stream — the production serving shape for the whole ANN
+  * family. At 100 TB the compressed index (~3 TB of codes at 32×) is the
+  * artifact you maintain and serve from, not something a query
+  * re-derives from the raw corpus: this closes that gap, making the ANN
+  * index the engine's 14th stream-maintained serving artifact.
+  *
+  * ==The codebooks are a FROZEN TRAINED artifact==
+  * Encoding streams against coarse centroids + residual PQ codebooks
+  * trained up front ([[Similarity.trainAnnArtifact]] — the Lloyd/integer
+  * fixpoint over the corpus residuals; in production, a model artifact).
+  * The incremental invariant "a vector's (cell, codes) never change
+  * because OTHER vectors arrived" only holds for fixed codebooks —
+  * exactly [[StreamClusters]]' contract, extended from the coarse
+  * assignment to the full IVF+PQ artifact. Re-training is a BATCH act
+  * that rebuilds the codes table (new table path, atomic swap), never a
+  * streaming one.
+  *
+  * ==Design: one row per vector, replace-by-doc==
+  * The stored unit is (idstr = vid, cid, codes) in a
+  * [[Livestream.UpsertTable]]: a re-arrived vector's new encoding must
+  * REPLACE its old one (it may move cells), which is the merge layer's
+  * last-non-null semantics on both columns — so the table inherits the
+  * machinery wholesale: key-bucketed partition-pruned merges (a
+  * micro-batch of B vectors touches ≤ B buckets, never the table),
+  * atomic version publish, time travel (serve the index AS OF any
+  * version), vacuum, compaction. `author`/`body` exist only because the
+  * merge fold's tombstone guard reads them; always null here — the index
+  * is DERIVED data.
+  *
+  * ==Serving==
+  * [[serve]] reads the codes table through the VERBATIM ADC tail
+  * ([[Similarity.adcServeCodes]] — the same expressions inline batch
+  * serving plans), so incremental ≡ batch holds structurally: encode is
+  * a pure per-row function of (vector, frozen codebooks), the table
+  * replays last-write-wins, and the tail is shared code. That is the
+  * equality `q_ann_incremental` hash-gates against
+  * `q_ann_ivfpq_rtrained`'s oracle.
+  *
+  * Per-batch uniqueness and ordering contracts are [[StreamClusters]]':
+  * a vector id at most once per micro-batch, batches through one
+  * checkpointed sink in batchId order. Zero-norm vectors carry no
+  * direction and are dropped by [[Similarity.normalized]] — they neither
+  * gain nor overwrite an entry. */
+object StreamAnn {
+
+  val annEntity: Merge.Entity = Merge.Entity(
+    textCol = "body", editTextCol = "previous_body",
+    updatable = Seq("cid", "codes"), frozen = Seq("author"))
+
+  /** The codes-row schema: (idstr, author, body, cid, codes). */
+  val annSchema: StructType = StructType(Seq(
+    StructField(Merge.KeyCol, StringType),
+    StructField("author", StringType),
+    StructField("body", StringType),
+    StructField("cid", IntegerType),
+    StructField("codes", ArrayType(IntegerType, containsNull = false))))
+
+  private def emptyAnnRows(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], annSchema)
+
+  /** A fresh (or reopened) codes table at `path`, key-bucketed so each
+    * micro-batch merge touches only the buckets its vectors hash into. */
+  def table(spark: SparkSession, path: String, nBuckets: Int = 64): Livestream.UpsertTable =
+    new Livestream.UpsertTable(spark, path, annEntity, emptyAnnRows(spark),
+      outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = nBuckets)))
+
+  /** One micro-batch → codes rows: map-only [[Similarity.encodeResidual]]
+    * against the frozen artifact. */
+  private[graft] def encodeRows(batch: DataFrame, id: String, vec: String,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame =
+    Similarity.encodeResidual(
+        Similarity.normalized(batch, id, vec), coarse, cbRes)
+      .select(col("vid").cast("string").as(Merge.KeyCol),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("body"),
+        col("cid").cast("int").as("cid"),
+        col("codes"))
+
+  /** Wire a vector stream (id, vec) into the codes table — the same
+    * batchId-derived `_seq` and empty-batch guard as
+    * [[Livestream.upsertSink]]/[[StreamClusters.assignSink]]; CDC off
+    * (time travel over versions covers audit). */
+  def encodeSink(stream: DataFrame, id: String, vec: String,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      table: Livestream.UpsertTable, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val rows = encodeRows(batch, id, vec, coarse, cbRes)
+          .withColumn("_seq",
+            lit(batchId) * 1000000000L + monotonically_increasing_id())
+          .persist()
+        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+        finally rows.unpersist()
+      }
+
+  /** The codes VIEW of the maintained table at `version` (default: the
+    * current one): (vid, cid, codes) — the frame the ADC tail scores.
+    * Time travel: pass an older version to serve the historical index. */
+  def codes(table: Livestream.UpsertTable, version: Option[Long] = None): DataFrame =
+    version.fold(table.current)(table.at)
+      .select(col(Merge.KeyCol).cast("long").as("vid"),
+        col("cid").cast("int").as("cid"), col("codes"))
+
+  /** Serve top-k ANN from the MAINTAINED codes table through the
+    * verbatim batch ADC tail. `queries` is the (id, vec) frame the query
+    * vectors are drawn from (normalized here — queries are tiny; the
+    * corpus side never touches raw vectors). */
+  def serve(table: Livestream.UpsertTable, queries: DataFrame,
+      id: String, vec: String,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      queryIds: Seq[Long], k: Int, nprobe: Int,
+      version: Option[Long] = None): DataFrame =
+    Similarity.adcServeCodes(codes(table, version),
+      Similarity.normalized(queries, id, vec),
+      coarse, cbRes, queryIds, k, nprobe)
+}

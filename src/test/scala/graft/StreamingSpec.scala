@@ -367,6 +367,68 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(v0 === Set(("1", 0), ("2", 1)))
   }
 
+  test("StreamAnn: maintained codes equal batch encode; re-arrival moves cells; time travel") {
+    import graft.streaming.StreamAnn
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // FROZEN artifact (the streaming invariant: a vector's cell/codes
+    // never change because other vectors arrived): two coarse cells on
+    // the first two axes, two residual codewords per subspace
+    val coarse: IndexedSeq[IndexedSeq[Double]] =
+      IndexedSeq(IndexedSeq(1.0, 0.0, 0.0, 0.0), IndexedSeq(0.0, 1.0, 0.0, 0.0))
+    val cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+      IndexedSeq(
+        IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(-0.2, 0.1)),
+        IndexedSeq(IndexedSeq(0.0, 0.0), IndexedSeq(0.3, 0.3)))
+    val mem = MemoryStream[VecRow]
+    val table = StreamAnn.table(spark, tmp("ann"), nBuckets = 8)
+    val q = StreamAnn.encodeSink(mem.toDF(), "vec_id", "embedding", coarse,
+      cbRes, table, tmp("annckp"), Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(VecRow(1, Array(2.0, 0.1, 0.0, 0.0)),
+        VecRow(2, Array(0.1, 3.0, 0.3, 0.0)))
+      q.processAllAvailable()
+      mem.addData(VecRow(3, Array(0.5, 0.1, 0.2, 0.1)),
+        VecRow(4, Array(0.0, 1.0, 0.5, 0.0)))
+      q.processAllAvailable()
+      // vector 1 RE-ARRIVES pointing at the other cell: its row must
+      // move cells and re-encode (replace-by-doc — the case an
+      // append-only codes log gets wrong)
+      mem.addData(VecRow(1, Array(0.0, 2.0, 0.4, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val latest = Seq(
+      1L -> Seq(0.0, 2.0, 0.4, 0.0), 2L -> Seq(0.1, 3.0, 0.3, 0.0),
+      3L -> Seq(0.5, 0.1, 0.2, 0.1), 4L -> Seq(0.0, 1.0, 0.5, 0.0))
+      .toDF("vec_id", "embedding")
+    // maintained codes == batch encode of each vector's LATEST version
+    val got = StreamAnn.codes(table).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val want = Similarity.encodeResidual(
+        Similarity.normalized(latest, "vec_id", "embedding"), coarse, cbRes)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(got === want)
+    // vector 1 moved from cell 0 to cell 1
+    assert(got.collectFirst { case (1L, cid, _) => cid } === Some(1))
+    // maintained-index serving == the verbatim batch tail
+    val gotServe = StreamAnn.serve(table, latest, "vec_id", "embedding",
+        coarse, cbRes, queryIds = Seq(1L, 2L), k = 2, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val n = Similarity.normalized(latest, "vec_id", "embedding")
+    val wantServe = Similarity.adcServeCodes(
+        Similarity.encodeResidual(n, coarse, cbRes), n, coarse, cbRes,
+        Seq(1L, 2L), 2, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotServe === wantServe && gotServe.nonEmpty)
+    // time travel: version 0 still serves vector 1's ORIGINAL cell
+    assert(table.currentVersion === 2L)
+    val v0 = StreamAnn.codes(table, version = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(v0(1L) === 0)
+  }
+
   test("StreamModel: incrementally-maintained DSIR model equals the batch model; buckets sum across batches") {
     import graft.streaming.StreamModel
     import graft.operators.Importance
