@@ -78,6 +78,39 @@ object TimesearchQueries {
     def pipe(f: Column => Column): Column = f(c)
   }
 
+  /** events' user ids → the author DIMENSION batches for q_cdc_join:
+    * batch 0 seeds every third user, batches 1 and 2 insert the other
+    * thirds AND update overlapping slices (%5, %7) with batch-dependent
+    * attribute values — so the maintained join view sees dim inserts
+    * (fact rows GAIN a match mid-chain) and dim updates (re-attribution)
+    * live. All attribute values non-null, so the merge's
+    * coalesce(new, old) means the LATEST batch containing a key wins —
+    * the oracle replays exactly that with a row_number over batch
+    * DESC. */
+  private def dimUsers(s: SparkSession, dir: String, batch: Int): DataFrame = {
+    val base = Tables.load(s, dir, "events").select(col("user_id")).distinct()
+    val keep = batch match {
+      case 0 => col("user_id") % 3 === 0
+      case 1 => col("user_id") % 3 === 1 || col("user_id") % 5 === 0
+      case _ => col("user_id") % 3 === 2 || col("user_id") % 7 === 0
+    }
+    base.filter(keep).select(
+      concat(lit("u"), col("user_id")).as("idstr"),
+      lit(null).cast("string").as("author"),
+      lit(null).cast("string").as("body"),
+      concat(lit("t"), (col("user_id") + lit(batch)) % 4).as("tier"),
+      (col("user_id") % 10 + lit(batch * 100)).cast("long").as("region_c"),
+      col("user_id").cast("long").as("_seq"))
+  }
+
+  /** The dimension entity for q_cdc_join's second UpsertTable —
+    * attributes updatable (latest batch wins via coalesce), author/body
+    * present only for the merge fold's tombstone guard (always null
+    * here, the [[graft.streaming.StreamClusters]] convention). */
+  private val dimEntity: Merge.Entity = Merge.Entity(
+    textCol = "body", editTextCol = "previous_body",
+    updatable = Seq("tier", "region_c"), frozen = Seq("author"))
+
   /** orders → submission-shaped rows shared by the q_index_* listings. */
   private def indexSubs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders").select(
@@ -450,6 +483,53 @@ object TimesearchQueries {
           table.changes(1L, 2L), table.at(2L),
           cols._1, cols._2, cols._3, cols._4, cols._5)
         .orderBy("author")
+    }),
+
+    // JOIN-view incremental maintenance — the two-table half of the
+    // cdcApply family (Scd.cdcApplyJoin): a facts ⋈ author-dimension
+    // view maintained from BOTH tables' version-range changes across
+    // two real published versions EACH — never a full rescan of either
+    // table. Fact changes re-derive their rows against the new dim
+    // image; dim changes (inserts that GAIN matches, updates that
+    // re-attribute) re-derive exactly the dirty join keys' fact rows
+    // via the pruned rescan; everything else serves from the view
+    // untouched. Oracle: rescan join of the two replayed merges — any
+    // leak (a stale dim attribute, a fact row that missed its gained
+    // match, a double-counted ΔF⋈ΔD row) hash-mismatches.
+    "q_cdc_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcj")
+      val facts = new Livestream.UpsertTable(s, tmp.resolve("f").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      facts.seed(oldComments(s, dir))                                   // v0
+      val nc = newComments(s, dir)
+      facts.merge(nc.filter(col("idint") % 4 === 0), "_seq",
+        storeEdits = Some(false))                                       // v1
+      facts.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
+        storeEdits = Some(false))                                       // v2
+      val dim = new Livestream.UpsertTable(s, tmp.resolve("d").toString,
+        dimEntity, dimUsers(s, dir, 0).drop("_seq").limit(0),
+        outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      dim.seed(dimUsers(s, dir, 0).drop("_seq"))                        // v0
+      dim.merge(dimUsers(s, dir, 1), "_seq", storeEdits = Some(false))  // v1
+      dim.merge(dimUsers(s, dir, 2), "_seq", storeEdits = Some(false))  // v2
+      def factsAt(v: Long) =
+        facts.at(v).select(col("idstr"), col("author"), col("score"))
+      def dimAt(v: Long) =
+        dim.at(v).select(col("idstr").as("author"), col("tier"), col("region_c"))
+      def dimCh(a: Long, b: Long) =
+        dim.changes(a, b).select(col("idstr").as("author"), col("kind"))
+      val fCols = Seq("score"); val dCols = Seq("tier", "region_c")
+      val base = graft.operators.Scd.cdcBaseJoin(factsAt(0), dimAt(0),
+        "idstr", "author", fCols, dCols)
+      val v1 = graft.operators.Scd.cdcApplyJoin(base,
+        facts.changes(0L, 1L), dimCh(0L, 1L), factsAt(1), dimAt(1),
+        "idstr", "author", fCols, dCols)
+      graft.operators.Scd.cdcApplyJoin(v1,
+          facts.changes(1L, 2L), dimCh(1L, 2L), factsAt(2), dimAt(2),
+          "idstr", "author", fCols, dCols)
+        .orderBy("idstr")
     }),
 
     // J2+A5+P5 — the batch upsert merge: final table state.
@@ -1243,6 +1323,34 @@ object TimesearchQueries {
                 CAST(MIN(score) AS BIGINT) AS min_score_c,
                 CAST(MAX(score) AS BIGINT) AS max_score_c
          FROM merged GROUP BY author ORDER BY author""",
+
+    // join IVM: the oracle rescans BOTH replayed merges and re-joins —
+    // the maintained view never gets to lean on either delta
+    "q_cdc_join" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect),
+         users AS (SELECT DISTINCT user_id FROM events),
+         dimall AS (
+           SELECT 'u'||user_id AS du, 't'||(user_id % 4) AS tier,
+                  CAST(user_id % 10 AS BIGINT) AS region_c, 0 AS b
+           FROM users WHERE user_id % 3 = 0
+           UNION ALL
+           SELECT 'u'||user_id, 't'||((user_id + 1) % 4),
+                  CAST(user_id % 10 + 100 AS BIGINT), 1
+           FROM users WHERE user_id % 3 = 1 OR user_id % 5 = 0
+           UNION ALL
+           SELECT 'u'||user_id, 't'||((user_id + 2) % 4),
+                  CAST(user_id % 10 + 200 AS BIGINT), 2
+           FROM users WHERE user_id % 3 = 2 OR user_id % 7 = 0),
+         dim AS (
+           SELECT du, tier, region_c FROM (
+             SELECT *, row_number() OVER (PARTITION BY du ORDER BY b DESC)
+               AS rn
+             FROM dimall) WHERE rn = 1)
+         SELECT m.idstr, m.author, m.score, d.tier, d.region_c
+         FROM merged m JOIN dim d ON m.author = d.du
+         ORDER BY m.idstr""",
 
     // Golden-file oracle: rendered HTML has no relational recomputation,
     // so the ground truth is the committed (idstr, html_len, html_md5)

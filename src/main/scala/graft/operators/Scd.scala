@@ -243,4 +243,94 @@ object Scd {
       .agg(count(lit(1)).as(nCol),
         min(col(measure).cast("long")).as(minCol),
         max(col(measure).cast("long")).as(maxCol))
+
+  /** JOIN-view incremental maintenance — the two-table half the cdcApply
+    * family was missing (the enriched-dashboard shape: facts ⋈ dimension
+    * on `joinKey`, dimension keyed BY `joinKey`, facts keyed by
+    * `factKey` so the inner view carries ≤ 1 row per fact). The delta
+    * algebra Δ(F⋈D) = ΔF⋈D ∪ F⋈ΔD ∪ ΔF⋈ΔD lands here as a three-way
+    * partition of the NEW view by what touched each row:
+    *
+    *  - untouched: fact key unchanged AND join key not in ΔD — served
+    *    from the maintained view verbatim (never re-derived);
+    *  - fact-changed (covers ΔF⋈D and ΔF⋈ΔD): ΔF's after-images joined
+    *    against the NEW dim image — inserts gain their row, updates
+    *    replace it (including join-key churn: the before-image row died
+    *    with the fact key above), deletes simply never reappear;
+    *  - dim-dirty (F⋈ΔD): for join keys ΔD touched, the UNCHANGED fact
+    *    rows re-derive against the new dim image via a PRUNED fact
+    *    rescan (facts ⋉ dirty-jk, minus ΔF's keys) — a dim INSERT is
+    *    why this reads the fact table and not the view: fact rows that
+    *    previously had no dim match are not IN the view to update. A
+    *    dim delete propagates by absence (inner join, nothing to meet).
+    *
+    * Scale: the fact-changed branch is |ΔF|-sized; the dim-dirty branch
+    * touches fanout(ΔD's keys) fact rows — bucket-pruned when the fact
+    * store co-partitions by the join key (else a scan with a semi-join
+    * filter pushed to it); the dim lookup side is pruned to the touched
+    * keys and broadcast. The fact and dim tables are never fully
+    * rescanned; the view itself flows through (it is the maintained
+    * artifact, the [[cdcApply]] contract).
+    *
+    * `changesF` carries (`factKey`, kind, before_/after_ images of
+    * `joinKey` and every `factCols`); `changesD` carries the dim key AS
+    * `joinKey` (rename [[graft.streaming.Livestream.UpsertTable.changes]]'
+    * `idstr`) — only its key/kind matter here: any dim change dirties
+    * its key. Net-changes-per-key preconditions as [[cdcApplyMinMax]].
+    *
+    * Output: the new view, (factKey, joinKey, factCols..., dimCols...) —
+    * seed with [[cdcBaseJoin]]. */
+  def cdcApplyJoin(viewIn: DataFrame, changesFIn: DataFrame,
+      changesD: DataFrame, factSnap: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String]): DataFrame = {
+    val outCols = (factKey +: joinKey +: (factCols ++ dimCols)).map(col)
+    // the view and ΔF are each probed twice below; a CHAINED apply
+    // feeds one step's output into the next (the cdcApplyMinMax
+    // materialization contract)
+    val view = viewIn.localCheckpoint(false)
+    val changesF = changesFIn.localCheckpoint(false)
+    val jk = col(joinKey)
+    // fact keys with ANY change: their view rows are fully re-derived
+    val fIds = changesF.select(col(factKey).as("_fk")).distinct()
+      .localCheckpoint(false)
+    // dirty join keys: ANY dim change (insert gains matches, update
+    // re-attributes, delete drops) — the dim key is its own before and
+    // after image, so the key column alone marks the dirt
+    val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
+      .localCheckpoint(false)
+    // untouched view rows, served verbatim
+    val keep = view
+      .join(fIds, col(factKey) === col("_fk"), "left_anti")
+      .join(dirtyJk, jk <=> col("_dj"), "left_anti")
+    val dimNew = dimSnap.select(jk +: dimCols.map(col): _*)
+    // fact-changed branch: after-images ⋈ new dim image (dim lookup
+    // pruned to the after join keys — an id-set-sized broadcast)
+    val afterFacts = changesF.filter(col("kind").isin("insert", "update"))
+      .select(col(factKey) +: col(s"after_$joinKey").as(joinKey) +:
+        factCols.map(c => col(s"after_$c").as(c)): _*)
+    val dimForFacts = dimNew.join(
+      afterFacts.select(jk.as("_aj")).distinct(), jk === col("_aj"),
+      "left_semi")
+    val fromFacts = afterFacts.join(broadcast(dimForFacts), Seq(joinKey))
+    // dim-dirty branch: pruned fact rescan ⋈ the dirty keys' new image
+    val dimForDirty = dimNew.join(dirtyJk, jk === col("_dj"), "left_semi")
+    val fromDim = factSnap
+      .select(col(factKey) +: jk +: factCols.map(col): _*)
+      .join(broadcast(dirtyJk), jk === col("_dj"), "left_semi")
+      .join(fIds, col(factKey) === col("_fk"), "left_anti")
+      .join(broadcast(dimForDirty), Seq(joinKey))
+    keep.select(outCols: _*)
+      .unionByName(fromFacts.select(outCols: _*))
+      .unionByName(fromDim.select(outCols: _*))
+  }
+
+  /** The matching base/rescan join — one definition shared by the seed
+    * of a [[cdcApplyJoin]] chain and its verification rescan. */
+  def cdcBaseJoin(factSnap: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String]): DataFrame =
+    factSnap.select(col(factKey) +: col(joinKey) +: factCols.map(col): _*)
+      .join(dimSnap.select(col(joinKey) +: dimCols.map(col): _*), Seq(joinKey))
+      .select((factKey +: joinKey +: (factCols ++ dimCols)).map(col): _*)
 }

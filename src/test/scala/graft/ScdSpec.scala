@@ -178,6 +178,84 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcApplyJoin: delta-maintained join view == rescan join on random snapshot CHAINS") {
+    // the join-IVM invariant: for ANY chain of snapshots on BOTH tables
+    // — inserts, deletes, in-place updates, and join-KEY CHURN on the
+    // fact side; inserts (fact rows gaining a match), attribute updates,
+    // and deletes (match loss) on the dim side — applying both tables'
+    // diffs step by step reproduces the rescan join of the final
+    // snapshots exactly
+    val rnd = new scala.util.Random(90210)
+    def factSnap(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"j${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+    def dimSnap(keys: Seq[Int]): Seq[(String, String, Long)] =
+      keys.map(j => (s"j$j", s"a${rnd.nextInt(4)}", rnd.nextInt(100).toLong))
+    def factDiff(b: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m"))
+        .withColumn("kind",
+          when(col("change") === "added", lit("insert"))
+            .when(col("change") === "removed", lit("delete"))
+            .otherwise(lit("update")))
+    def dimDiff(b: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b"))
+        .withColumn("kind",
+          when(col("change") === "added", lit("insert"))
+            .when(col("change") === "removed", lit("delete"))
+            .otherwise(lit("update")))
+    val fc = Seq("m"); val dc = Seq("a", "b")
+    for (round <- 1 to 3) {
+      // three snapshots per table -> two chained applies
+      val fs = (0 to 2).map(_ =>
+        factSnap((0L until 40L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "j", "m"))
+      val ds = (0 to 2).map(_ =>
+        dimSnap((0 until 8).filter(_ => rnd.nextDouble() < 0.7))
+          .toDF("j", "a", "b"))
+      val base = Scd.cdcBaseJoin(fs(0), ds(0), "k", "j", fc, dc)
+      val v1 = Scd.cdcApplyJoin(base, factDiff(fs(0), fs(1)),
+        dimDiff(ds(0), ds(1)), fs(1), ds(1), "k", "j", fc, dc)
+      val v2 = Scd.cdcApplyJoin(v1, factDiff(fs(1), fs(2)),
+        dimDiff(ds(1), ds(2)), fs(2), ds(2), "k", "j", fc, dc)
+      val got = v2.orderBy("k")
+        .as[(Long, String, Long, String, Long)].collect().toSeq
+      val want = Scd.cdcBaseJoin(fs(2), ds(2), "k", "j", fc, dc)
+        .orderBy("k").as[(Long, String, Long, String, Long)].collect().toSeq
+      assert(got === want, s"round $round: join IVM drifted from rescan")
+    }
+  }
+
+  test("cdcApplyJoin edges: dim insert gains a match; dim delete drops; fact jk churn moves the row") {
+    val f0 = Seq((1L, "jA", 10L), (2L, "jB", 20L), (3L, "jC", 30L))
+      .toDF("k", "j", "m")
+    val d0 = Seq(("jA", "x", 1L), ("jB", "y", 2L)).toDF("j", "a", "b")
+    // fact 2 churns jB -> jA; dim jC INSERTS (fact 3 gains a match);
+    // dim jB DELETES (nothing references it afterwards anyway);
+    // dim jA updates its attribute
+    val f1 = Seq((1L, "jA", 10L), (2L, "jA", 21L), (3L, "jC", 30L))
+      .toDF("k", "j", "m")
+    val d1 = Seq(("jA", "x2", 1L), ("jC", "z", 3L)).toDF("j", "a", "b")
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val got = Scd.cdcApplyJoin(
+        Scd.cdcBaseJoin(f0, d0, "k", "j", Seq("m"), Seq("a", "b")),
+        fd(f0, f1), dd(d0, d1), f1, d1, "k", "j", Seq("m"), Seq("a", "b"))
+      .orderBy("k").as[(Long, String, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, "jA", 10L, "x2", 1L),   // untouched fact, dim-dirty jk: re-attributed
+      (2L, "jA", 21L, "x2", 1L),   // churned fact: re-derived at its new jk
+      (3L, "jC", 30L, "z", 3L)))   // dim insert: fact 3 GAINED its match
+  }
+
   test("cdcApplyMinMax edges: extremum delete rescans; non-extremum delete maintains; move + empty-out") {
     // g1: {1,5,9} — delete the 9 (max: dirty, rescan -> 5), delete the
     // 5's neighbor scenario is g2: {2,4,6} — delete the 4 (non-extremum:
