@@ -924,6 +924,28 @@ object TimesearchQueries {
         .orderBy("event_id")
     }),
 
+    // Bloom-sidecar file skipping: a POINT/IN lookup on a
+    // high-cardinality key over a layout clustered by something else —
+    // every file's [min, max] for event_id straddles the probe values,
+    // so the zone map keeps ALL files and the per-file bloom words (the
+    // q_bloom_join md5-salted rule, per file) are the only pruner.
+    // ZoneMapFileIndex consults them for the pushed IN constraint at
+    // planning time; false-positive keeps are correctness-neutral (the
+    // residual runs), which is exactly what the hash gate pins: pruning
+    // + residual lose nothing. StoreSpec pins the file-count drop.
+    "q_bloom_skip" -> ((s, dir) => {
+      val base = s"/tmp/graft_bloomskip/${new java.io.File(dir).getName}"
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"), tsSec(raw).as("t"),
+        cents(col("value")).as("value_c"))
+      ev.repartition(16, col("user_id")).write.mode("overwrite").parquet(base)
+      graft.sources.ZoneMap.build(s, base, Seq("user_id", "t"))
+      graft.sources.ZoneMap.buildBloom(s, base, Seq("event_id"))
+      val (df, _) = graft.sources.ZoneMap.scanAuto(s, base)
+      df.filter(col("event_id").isin(7L, 123L, 4242L))
+        .orderBy("event_id")
+    }),
+
     // Engine extension: ordered-funnel analysis (view -> click ->
     // purchase) — stage k counts only events strictly after stage k-1;
     // events shuffle ONCE on user, each stage reuses the clustering.
@@ -2138,6 +2160,12 @@ object TimesearchQueries {
            AND (user_id BETWEEN 40 AND 59 OR user_id IN (5, 17))
            AND user_id <> 44
          ORDER BY event_id""",
+
+    // bloom-pruned point/IN lookup loses nothing: plain IN over events
+    "q_bloom_skip" ->
+      """SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                CAST(round(value*100) AS BIGINT) AS value_c
+         FROM events WHERE event_id IN (7, 123, 4242) ORDER BY event_id""",
 
     "q_window_agg" ->
       """SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS w_start,

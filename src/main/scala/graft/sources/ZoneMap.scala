@@ -156,6 +156,124 @@ object ZoneMap {
   def build(spark: SparkSession, path: String, cols: Seq[String]): Unit =
     write(path, fileStats(spark.read.parquet(path), cols))
 
+  // ===== Bloom sidecar (equality/IN file skipping) ======================
+  //
+  // Zone maps prune RANGES; a point lookup on a high-cardinality key
+  // whose layout does not cluster it keeps every file whose [min, max]
+  // straddles the value — which, on a hash-partitioned layout, is every
+  // file. The per-file BLOOM sidecar is the standard complement (the
+  // Delta bloom-index analog): k md5-salted bit positions per key (the
+  // EXACT q_bloom_join rule, Sketches.bloomBits — so the sidecar's
+  // verdicts, false positives included, are a deterministic function of
+  // each file's keyset), consulted by ZoneMapFileIndex for =/IN
+  // constraints. False-positive keeps are correctness-neutral (the
+  // residual predicate always runs); false negatives are impossible by
+  // construction. Files without a bloom row are always kept.
+
+  /** Bloom sidecar file name, inside [[Dir]]. */
+  val BloomFile = "bloom"
+
+  /** One file × column bloom: k salted hash bits over the column's
+    * distinct values, OR-folded into mBits/64 words. */
+  final case class BloomStat(file: String, col: String, mBits: Int, k: Int,
+      words: Array[Long])
+
+  /** Per-file bloom words of `cols` over the frame — one pass per
+    * column; the driver collect is bounded by files × min(k·n_file,
+    * mBits) positions (the filter capacity, never the data — the
+    * codebook-collect contract). Nulls never enter the filter: a NULL
+    * key matches no equality predicate anyway. */
+  def fileBloomStats(df: DataFrame, cols: Seq[String],
+      mBits: Int = 262144, k: Int = 3): Seq[BloomStat] = {
+    require(mBits > 0 && mBits % 64 == 0 && k >= 1,
+      s"bloom geometry: mBits=$mBits (positive multiple of 64), k=$k (>=1)")
+    cols.flatMap { c =>
+      val rows = df
+        .select(input_file_name().as("_zf"), col(c).cast("string").as("_s"))
+        .filter(col("_s").isNotNull)
+        .select(col("_zf"),
+          explode(sequence(lit(0), lit(k - 1))).as("j"), col("_s"))
+        .select(col("_zf"),
+          (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+            col("_s"))), 1, 8), 16, 10).cast("long") % mBits)
+            .cast("int").as("p"))
+        .groupBy("_zf").agg(collect_set(col("p")).as("ps"))
+        .collect()
+      rows.toSeq.map { r =>
+        val words = new Array[Long](mBits / 64)
+        r.getSeq[Int](1).foreach(p => words(p >> 6) |= (1L << (p & 63)))
+        BloomStat(r.getString(0), c, mBits, k, words)
+      }
+    }
+  }
+
+  /** Atomic bloom-sidecar write (tmp + rename), replacing any previous
+    * map. Words travel as hex (16 chars per word). */
+  def writeBloom(dataDir: String, blooms: Seq[BloomStat]): Unit = {
+    val dir = Paths.get(dataDir, Dir)
+    Files.createDirectories(dir)
+    val body = blooms.map(b => Seq(enc(b.file), enc(b.col),
+      b.mBits.toString, b.k.toString,
+      b.words.map(w => f"$w%016x").mkString).mkString("\t"))
+      .mkString("\n")
+    val tmp = dir.resolve("bloom.tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(BloomFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readBloom(dataDir: String): Seq[BloomStat] = {
+    val f = Paths.get(dataDir, Dir, BloomFile)
+    if (!Files.exists(f)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(f).asScala.toSeq
+      .filter(_.count(_ == '\t') == 4).flatMap { l =>
+        val p = l.split('\t')
+        // defensive: a torn line never poisons the map (file just unpruned)
+        try {
+          val mBits = p(2).toInt; val k = p(3).toInt
+          val hex = p(4)
+          if (mBits <= 0 || mBits % 64 != 0 || hex.length != mBits / 64 * 16)
+            None
+          else Some(BloomStat(dec(p(0)), dec(p(1)), mBits, k,
+            hex.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16))
+              .toArray))
+        } catch { case _: Exception => None }
+      }
+  }
+
+  /** Driver-side twin of the distributed position rule (md5 of "j:v",
+    * first 8 hex chars as an int, mod mBits) — byte-identical to what
+    * [[fileBloomStats]] set, so a miss PROVES absence. */
+  private[graft] def bloomMightContain(b: BloomStat, v: String): Boolean = {
+    var j = 0
+    while (j < b.k) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$v".getBytes("UTF-8"))
+      val hex = md.take(4).map(x => f"${x & 0xff}%02x").mkString
+      val p = (java.lang.Long.parseLong(hex, 16) % b.mBits).toInt
+      if ((b.words(p >> 6) & (1L << (p & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+
+  /** One file's bloom verdict against the pushed conjuncts: only =/IN
+    * constraints consult the filter (ranges are the zone map's job); an
+    * IN survives if ANY listed value might be present; columns without
+    * a bloom row keep the file. */
+  def fileSurvivesBloom(byCol: Map[String, BloomStat],
+      cons: Seq[Constraint]): Boolean =
+    cons.forall { c =>
+      if (c.op != "=" && c.op != "in") true
+      else byCol.get(c.col).forall(b => c.values.exists(bloomMightContain(b, _)))
+    }
+
+  /** Build (or rebuild) the bloom sidecar for a parquet directory. */
+  def buildBloom(spark: SparkSession, path: String, cols: Seq[String],
+      mBits: Int = 262144, k: Int = 3): Unit =
+    writeBloom(path, fileBloomStats(spark.read.parquet(path), cols, mBits, k))
+
   // ===== Catalyst-pushed constraints (automatic file skipping) =========
   //
   // scanRange covers the explicit-bounds call site; scanAuto goes the

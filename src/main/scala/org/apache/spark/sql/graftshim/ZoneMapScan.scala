@@ -35,12 +35,17 @@ import graft.sources.ZoneMap
   * touches, kept to thin delegations.
   */
 class ZoneMapFileIndex(spark: SparkSession, roots: Seq[Path],
-    schema: StructType, stats: Seq[ZoneMap.Stat])
+    schema: StructType, stats: Seq[ZoneMap.Stat],
+    blooms: Seq[ZoneMap.BloomStat] = Nil)
   extends InMemoryFileIndex(spark, roots, Map.empty[String, String],
     Some(schema), FileStatusCache.getOrCreate(spark), None, None) {
 
   def this(spark: SparkSession, root: Path, schema: StructType,
-      stats: Seq[ZoneMap.Stat]) = this(spark, Seq(root), schema, stats)
+      stats: Seq[ZoneMap.Stat]) = this(spark, Seq(root), schema, stats, Nil)
+
+  def this(spark: SparkSession, root: Path, schema: StructType,
+      stats: Seq[ZoneMap.Stat], blooms: Seq[ZoneMap.BloomStat]) =
+    this(spark, Seq(root), schema, stats, blooms)
 
   // sidecar rows keyed by URI path (input_file_name() and
   // FileStatus.getPath render the scheme differently — "file:///x" vs
@@ -48,6 +53,11 @@ class ZoneMapFileIndex(spark: SparkSession, roots: Seq[Path],
   private val statsByPath: Map[String, Map[String, ZoneMap.Stat]] =
     stats.groupBy(s => pathKey(s.file))
       .map { case (k, ss) => k -> ss.map(s => s.col -> s).toMap }
+
+  // bloom rows (equality/IN skipping) under the same key discipline
+  private val bloomsByPath: Map[String, Map[String, ZoneMap.BloomStat]] =
+    blooms.groupBy(b => pathKey(b.file))
+      .map { case (k, bs) => k -> bs.map(b => b.col -> b).toMap }
 
   private def pathKey(p: String): String = new Path(p).toUri.getPath
 
@@ -65,8 +75,9 @@ class ZoneMapFileIndex(spark: SparkSession, roots: Seq[Path],
       if (cons.isEmpty) base
       else base.map { pd =>
         PartitionDirectory(pd.values, pd.files.filter { f =>
-          statsByPath.get(pathKey(f.getPath.toString))
-            .forall(ZoneMap.fileSurvives(_, cons))
+          val key = pathKey(f.getPath.toString)
+          statsByPath.get(key).forall(ZoneMap.fileSurvives(_, cons)) &&
+            bloomsByPath.get(key).forall(ZoneMap.fileSurvivesBloom(_, cons))
         })
       }
     lastListed = base.iterator.map(_.files.size).sum
@@ -85,7 +96,7 @@ object ZoneMapScan {
   def scan(spark: SparkSession, path: String): (DataFrame, ZoneMapFileIndex) = {
     val schema = spark.read.parquet(path).schema
     fromIndex(spark, new ZoneMapFileIndex(spark, new Path(path), schema,
-      ZoneMap.read(path)), schema)
+      ZoneMap.read(path), ZoneMap.readBloom(path)), schema)
   }
 
   /** Same, over an EXPLICIT leaf-file list — the versioned-store read

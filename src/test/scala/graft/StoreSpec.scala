@@ -211,6 +211,45 @@ class StoreSpec extends AnyFunSuite {
     assert(idx2.lastKept === idx2.lastListed)
   }
 
+  test("bloom sidecar: point/IN lookups skip files min/max cannot; keeps are conservative") {
+    import graft.sources.ZoneMap
+    // layout clustered by x; id is high-cardinality and UNclustered, so
+    // every file's [min, max] for id straddles any probe value — the
+    // zone map keeps all 16 files and only the bloom words can prune
+    val n = 4000
+    val data = (0 until n).map { i =>
+      (i.toLong, (i % 16).toLong, (i * 48271 % 1009).toLong)
+    }.toDF("id", "x", "v")
+    val path = tmp("graft_bloom")
+    data.repartition(16, col("x")).write.mode("overwrite").parquet(path)
+    ZoneMap.build(spark, path, Seq("id", "x"))
+    ZoneMap.buildBloom(spark, path, Seq("id"), mBits = 8192, k = 3)
+    val (df, index) = ZoneMap.scanAuto(spark, path)
+    // point lookup: id 1234 lives in exactly one file (id ≡ x layout:
+    // file of x = 1234 % 16); min/max keeps everything, bloom must not
+    val gotEq = df.filter(col("id") === 1234L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val listed = index.lastListed
+    assert(listed > 2, s"layout degenerate: $listed files")
+    assert(index.lastKept < listed,
+      s"bloom skipped nothing (${index.lastKept} of $listed)")
+    assert(gotEq === Seq((1234L, 2L, 1234L * 48271 % 1009)))
+    // IN probe: union semantics — a file survives if ANY value might hit
+    val gotIn = df.filter(col("id").isin(7L, 1234L)).count()
+    assert(gotIn === 2L)
+    assert(index.lastKept < listed, "IN probe skipped nothing")
+    // a value NOT in the table: false-positive keeps are allowed — only
+    // the RESULT is contractual
+    assert(df.filter(col("id") === 999999L).count() === 0L)
+    // range predicates never consult the bloom (zone map's job): every
+    // file keeps (id min/max straddles) and the result is exact
+    val gotRange = df.filter(col("id") >= 100L && col("id") <= 104L).count()
+    assert(gotRange === 5L && index.lastKept === listed)
+    // a column without bloom rows keeps every file
+    assert(df.filter(col("v") === 7L).count() ===
+      spark.read.parquet(path).filter(col("v") === 7L).count())
+  }
+
   test("zone-map constraint extraction: shapes, operand order, conservatism") {
     import graft.sources.ZoneMap
     import org.apache.spark.sql.catalyst.expressions._
