@@ -227,9 +227,9 @@ object PipelineQueries {
     * (j, i, p) with rvⱼ = Σᵢ nvᵢ·pᵢⱼ/2³⁰ — same device and caveats as
     * [[writePcaBasisFixture]]. */
   private def writeOpqRotFixture(dir: String,
-      rot: Array[Array[Long]]): Unit = {
+      rot: Array[Array[Long]], fixture: String = "graft_opq"): Unit = {
     val out = java.nio.file.Paths.get(
-      s"/tmp/graft_opq/${new java.io.File(dir).getName}")
+      s"/tmp/$fixture/${new java.io.File(dir).getName}")
     val d = rot.length
     val lines = "j,i,p" +: (for (j <- 0 until d; i <- 0 until d)
       yield s"$j,$i,${rot(i)(j)}")
@@ -1614,6 +1614,27 @@ object PipelineQueries {
       val emb = Tables.load(s, dir, "embeddings")
       val rot = Similarity.opqRotationFor(emb, "vec_id", "embedding", m = 16)
       writeOpqRotFixture(dir, rot)
+      Similarity.opqTrainedTopK(emb, "vec_id", "embedding",
+          queryIds = (0L to 7L), k = 10, iters = 2, rot = Some(rot))
+        .orderBy("query_id", "rank")
+    }),
+
+    // NON-PARAMETRIC OPQ: Ge et al.'s alternation (rotation ↔ Lloyd
+    // codebook re-training, §3) at the trained bar — OPQ-P's one-shot
+    // eigenbasis as init, two alternations of train → reconstruct →
+    // Procrustes re-solve. The learned rotation stays on the 2^-30
+    // integer grid every iteration and only the FINAL matrix leaves the
+    // driver (its own fixture), so the oracle is q_ann_opq's chain
+    // verbatim, re-rooted at the NP fixture. MEASURED NEGATIVE RESULT
+    // pinned in SimilaritySpec: the alternation descends its MSE
+    // objective as published AND loses recall vs OPQ-P on the
+    // variance-concentrated corpus (0.275 → 0.163) — documented, served
+    // for the flat-spectrum corpora where MSE and recall agree.
+    "q_ann_opq_np" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val rot = Similarity.opqRotationNpFor(emb, "vec_id", "embedding",
+        m = 16, npIters = 2)
+      writeOpqRotFixture(dir, rot, fixture = "graft_opqnp")
       Similarity.opqTrainedTopK(emb, "vec_id", "embedding",
           queryIds = (0L to 7L), k = 10, iters = 2, rot = Some(rot))
         .orderBy("query_id", "rank")
@@ -3094,11 +3115,11 @@ object PipelineQueries {
     * `rr` then flows through the SAME trained-codebook chain and
     * enc/lut/sc/rank tail as q_ann_pq_trained — rotation is the entire
     * diff, in the oracle exactly as in the engine. */
-  private val opqRotCte =
-    """,
+  private def opqRotCteAt(fixture: String) =
+    s""",
        rfix AS (
          SELECT j, i, p
-         FROM read_csv('/tmp/graft_opq/__INGEST_SF__/rot.csv', header=true,
+         FROM read_csv('/tmp/$fixture/__INGEST_SF__/rot.csv', header=true,
               columns={'j': 'BIGINT', 'i': 'BIGINT', 'p': 'BIGINT'})),
        rcols AS (
          SELECT j, list(p / 1073741824.0 ORDER BY i) AS rc
@@ -3110,8 +3131,17 @@ object PipelineQueries {
                FROM nn0 CROSS JOIN rcols) z
          GROUP BY vec_id)"""
 
+  private val opqRotCte = opqRotCteAt("graft_opq")
+
   private val opqTrainedOracle =
     pqHead + opqRotCte + pqTrainedCbFrom(iters = 2, rel = "rr") +
+      pqEncLutTailFrom("rr") + pqScTail + pqRankTail
+
+  /** the NP-OPQ replay: the IDENTICAL rotated-training-serving chain,
+    * re-rooted at the non-parametric rotation's own fixture — matrix
+    * provenance is the entire diff the gate sees. */
+  private val opqNpTrainedOracle =
+    pqHead + opqRotCteAt("graft_opqnp") + pqTrainedCbFrom(iters = 2, rel = "rr") +
       pqEncLutTailFrom("rr") + pqScTail + pqRankTail
 
   /** PCA-reduced ANN replay: the q_pca_project integer-projection
@@ -5122,6 +5152,7 @@ object PipelineQueries {
     "q_ann_pq" -> pqTopKOracle,
     "q_ann_pq_trained" -> pqTrainedOracle,
     "q_ann_opq" -> opqTrainedOracle,
+    "q_ann_opq_np" -> opqNpTrainedOracle,
     "q_ann_pca" -> annPcaOracle,
     "q_ann_ivfpq" -> ivfpqTopKOracle,
     "q_ann_ivfpq_residual" -> ivfpqResidualOracle,

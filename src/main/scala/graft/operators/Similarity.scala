@@ -671,6 +671,173 @@ object Similarity {
     pqServe(r, cb, queryIds, k)
   }
 
+  /** NON-PARAMETRIC OPQ rotation (Ge et al. CVPR 2013 §3): the
+    * alternation the parametric eigenbasis ([[opqRotationFor]], §4)
+    * one-shots — initialize with OPQ-P (the paper's recommended init),
+    * then alternate:
+    *
+    *  1. rotate the corpus on the CURRENT integer-grid rotation and
+    *     Lloyd-train subspace codebooks there ([[KMeans.trainSubspaces]]
+    *     — the integer fixpoint device, deterministic);
+    *  2. reconstruct each rotated vector from its PQ codes
+    *     (x̂ = concat of assigned codewords);
+    *  3. re-solve the rotation as the orthogonal Procrustes problem
+    *     min_R Σ‖Rᵀx − x̂‖² → R = UVᵀ from the SVD of the cross-moment
+    *     matrix M = Σ x·x̂ᵀ.
+    *
+    * Every stage is deterministic: the rotation is floored to the
+    * 2^-shift integer grid each iteration (so training sees the exact
+    * matrix the fixture will carry), and M accumulates as EXACT long
+    * sums of grid-quantized terms (order-free across partitions — a
+    * plain double sum would make the learned rotation depend on task
+    * scheduling). Only the FINAL rotation leaves the driver: it rides
+    * the same basis-as-literal fixture as OPQ-P, so `q_ann_opq_np`
+    * hash-gates through the identical rotated-training-serving oracle
+    * chain — provenance of the matrix is the entire diff.
+    *
+    * Scale: per alternation, one trainSubspaces pass (map-side
+    * integer Lloyd), one map-only encode/decode, and one d²-cell
+    * integer aggregate (the momentStats shape) — the corpus never
+    * shuffles; the SVD is a d×d driver problem.
+    *
+    * MEASURED NEGATIVE RESULT (SimilaritySpec, pinned): the alternation
+    * descends its reconstruction-MSE objective exactly as published
+    * (0.10679 → 0.10597 on the variance-concentrated corpus) and recall
+    * still DROPS vs the parametric init (0.275 → 0.163) — MSE-optimal
+    * is recall-suboptimal there, the same mechanism as [[opqAssign]]'s
+    * greedy-beats-snake finding. Serve OPQ-P unless the corpus
+    * spectrum is flat enough that MSE and recall agree. */
+  def opqRotationNpFor(emb: DataFrame, id: String, vec: String, m: Int,
+      shift: Int = 30, npIters: Int = 2, ksub: Int = 32,
+      lloydIters: Int = 2): Array[Array[Long]] = {
+    val n = normalized(emb, id, vec).localCheckpoint(eager = false)
+    val d = n.select(size(col("nv"))).head().getInt(0)
+    var p = opqRotationFor(emb, id, vec, m, shift)
+    var it = 0
+    while (it < npIters) {
+      val r = rotatedFrame(n, p, shift).localCheckpoint(eager = false)
+      val cb = KMeans.trainSubspaces(r, "vid", "nv", m, ksub, lloydIters)
+        .map(_.map(_.map(c => (c - KMeans.Offset).toDouble / KMeans.Scale)))
+      val recon = reconstructedFrom(r, cb)
+      val pairs = n.join(recon, "vid").select(col("nv"), col("xr"))
+      val mm = crossMoments(pairs, d)
+      val rot = procrustesRotation(mm)
+      p = Array.tabulate(d, d)((i, j) =>
+        math.floor(rot(i)(j) * (1L << shift).toDouble).toLong)
+      it += 1
+    }
+    p
+  }
+
+  /** Decode each row's PQ codes back to the reconstruction x̂ (concat of
+    * assigned codewords) — map-only, codebook as array literals. */
+  private def reconstructedFrom(r: DataFrame,
+      cb: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): DataFrame = {
+    val cbLits = cb.map(sub =>
+      array(sub.map(cw => array(cw.map(x => lit(x)): _*)): _*))
+    val codes = r.select(col("vid"),
+      graft.functions.pqEncode(col("nv"), cb).as("codes"))
+    val parts = cb.indices.map(s =>
+      element_at(cbLits(s), element_at(col("codes"), s + 1) + 1))
+    codes.select(col("vid"), flatten(array(parts: _*)).as("xr"))
+  }
+
+  /** Cross-moment matrix M = Σ x·x̂ᵀ over (nv, xr) pairs, accumulated as
+    * EXACT integer sums of grid-quantized terms: per-task d² long cells,
+    * one array per task, longs merge order-free — the momentStats
+    * contract, here for the Procrustes input. Malformed rows are
+    * skipped (they carry no usable geometry). */
+  private def crossMoments(pairs: DataFrame, d: Int,
+      grid: Double = 4096.0): Array[Array[Double]] = {
+    import pairs.sparkSession.implicits._
+    val acc = pairs.as[(Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val mArr = new Array[Long](d * d)
+        it.foreach { case (x, xh) =>
+          if (x != null && xh != null && x.length == d && xh.length == d) {
+            val qx = Array.tabulate(d)(i => math.floor(x(i) * grid).toLong)
+            val qh = Array.tabulate(d)(j => math.floor(xh(j) * grid).toLong)
+            var i = 0
+            while (i < d) {
+              val b = i * d; val qi = qx(i)
+              var j = 0
+              while (j < d) { mArr(b + j) += qi * qh(j); j += 1 }
+              i += 1
+            }
+          }
+        }
+        Iterator.single(mArr)
+      }
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    Array.tabulate(d, d)((i, j) => acc(i * d + j).toDouble)
+  }
+
+  /** Orthogonal Procrustes solution R = UVᵀ maximizing tr(RᵀM): SVD via
+    * [[Linalg.jacobiEigen]] on MᵀM (V, σ²), U = MV/σ; near-null singular
+    * directions complete deterministically by Gram-Schmidt over identity
+    * candidates. Driver-side d×d — the codebook-sized contract. */
+  private[graft] def procrustesRotation(
+      mm: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mm.length
+    val mx = math.max(1e-300, mm.map(_.map(math.abs).max).max)
+    val sm = Array.tabulate(d, d)((i, j) => mm(i)(j) / mx)
+    val ata = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += sm(k)(i) * sm(k)(j); k += 1 }
+      s
+    }
+    val (vals, v) = Linalg.jacobiEigen(ata)
+    val sig = vals.map(x => math.sqrt(math.max(x, 0.0)))
+    val s0 = math.max(sig(0), 1e-300)
+    val u = Array.ofDim[Double](d, d)
+    var c = 0
+    while (c < d) {
+      if (sig(c) > 1e-12 * s0) {
+        var r = 0
+        while (r < d) {
+          var s = 0.0; var k = 0
+          while (k < d) { s += sm(r)(k) * v(k)(c); k += 1 }
+          u(r)(c) = s / sig(c)
+          r += 1
+        }
+      } else {
+        // rank-deficient tail: first identity vector with a non-trivial
+        // residual against the U columns so far, orthonormalized
+        var picked = false
+        var cand = 0
+        while (!picked && cand < d) {
+          val w = Array.tabulate(d)(r => if (r == cand) 1.0 else 0.0)
+          var cc = 0
+          while (cc < c) {
+            var dp = 0.0; var r = 0
+            while (r < d) { dp += w(r) * u(r)(cc); r += 1 }
+            r = 0
+            while (r < d) { w(r) -= dp * u(r)(cc); r += 1 }
+            cc += 1
+          }
+          val nrm = math.sqrt(w.map(x => x * x).sum)
+          if (nrm > 1e-6) {
+            var r = 0
+            while (r < d) { u(r)(c) = w(r) / nrm; r += 1 }
+            picked = true
+          }
+          cand += 1
+        }
+        require(picked, "procrustesRotation: orthonormal completion failed")
+      }
+      c += 1
+    }
+    Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += u(i)(k) * v(j)(k); k += 1 }
+      s
+    }
+  }
+
   /** PCA-REDUCED ANN serving — the dimensionality-reduction member of
     * the compression family (SCALE.md's PCA-as-preprocessing spec,
     * promoted to a served operator): candidates rank in the top-`kRed`

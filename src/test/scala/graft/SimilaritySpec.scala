@@ -704,6 +704,116 @@ class SimilaritySpec extends AnyFunSuite {
       m = 2, ksub = 16, iters = 2)))
   }
 
+  test("non-parametric OPQ: alternation vs parametric on the variance-concentrated corpus; orthogonal; deterministic") {
+    // the same corpus shape as the OPQ-P test (same seed — identical
+    // data): 4 decaying Gaussian factors mixed into dims 0-3, the other
+    // subspace pure tiny noise
+    val rnd = new scala.util.Random(909)
+    val d = 8
+    val sig = Array(1.0, 0.8, 0.6, 0.45)
+    val mix = Array.tabulate(4, 4)((j, kk) =>
+      math.cos(1.7 * j + 2.3 * kk) + (if (j == kk) 1.2 else 0.0))
+    val data = (0 until 600).map { i =>
+      val f = Array.fill(4)(rnd.nextGaussian())
+      val v = Array.tabulate(d) { j =>
+        if (j < 4) (0 until 4).map(kk => mix(j)(kk) * f(kk) * sig(kk)).sum
+        else rnd.nextGaussian() * 0.02
+      }
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "v")
+    val qids = (0L to 7L)
+    def rs(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = rs(Similarity.bruteTopK(df, "vec_id", "v", qids, 10))
+    val rotP = Similarity.opqRotationFor(df, "vec_id", "v", m = 2)
+    val rotNp = Similarity.opqRotationNpFor(df, "vec_id", "v", m = 2,
+      npIters = 2, ksub = 16, lloydIters = 2)
+    // the learned rotation stays orthogonal (to grid precision):
+    // RᵀR ≈ I over the double matrix the integer grid encodes
+    val rd = rotNp.map(_.map(_ / (1L << 30).toDouble))
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => rd(k)(i) * rd(k)(j)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-4, s"RᵀR[$i][$j] = $dot")
+    }
+    // the alternation's PUBLISHED claim is reconstruction-MSE descent —
+    // assert exactly that: each alternation's rotation (with codebooks
+    // retrained there) reconstructs no worse than the OPQ-P init.
+    // Driver-side on the 600-row corpus (test-only measurement).
+    def mseAt(p: Array[Array[Long]]): Double = {
+      val scale = (1L << 30).toDouble
+      val pd = p.map(_.map(_ / scale))
+      val rows = Similarity.normalized(df, "vec_id", "v")
+        .select("vid", "nv").as[(Long, Seq[Double])].collect()
+      val rdf = rows.toSeq.map { case (vid, x) =>
+        (vid, Seq.tabulate(d)(j => (0 until d).map(i => x(i) * pd(i)(j)).sum))
+      }.toDF("vid", "nv")
+      val cb = graft.operators.KMeans.trainSubspaces(rdf, "vid", "nv", 2, 16, 2)
+        .map(_.map(_.map(c =>
+          (c - graft.operators.KMeans.Offset).toDouble /
+            graft.operators.KMeans.Scale)))
+      val enc = rdf.select(col("vid"),
+          graft.functions.pqEncode(col("nv"), cb).as("codes"), col("nv"))
+        .as[(Long, Seq[Int], Seq[Double])].collect()
+      enc.map { case (_, codes, rv) =>
+        val xh = codes.zipWithIndex.flatMap { case (cIdx, s) => cb(s)(cIdx) }
+        rv.zip(xh).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / enc.length
+    }
+    val (mseP, mseNp) = (mseAt(rotP), mseAt(rotNp))
+    info(f"reconstruction MSE: OPQ-P = $mseP%.6f, OPQ-NP = $mseNp%.6f")
+    assert(mseNp <= mseP + 1e-9,
+      s"NP alternation failed its own objective: $mseP -> $mseNp")
+    val pOpq = rs(Similarity.opqTrainedTopK(df, "vec_id", "v", qids, 10,
+      m = 2, ksub = 16, iters = 2, rot = Some(rotP)))
+    val np = rs(Similarity.opqTrainedTopK(df, "vec_id", "v", qids, 10,
+      m = 2, ksub = 16, iters = 2, rot = Some(rotNp)))
+    val (rP, rN) = ((brute & pOpq).size.toDouble / brute.size,
+      (brute & np).size.toDouble / brute.size)
+    info(f"trained-PQ recall@10: OPQ-P = $rP%.3f, OPQ-NP = $rN%.3f")
+    // MEASURED NEGATIVE RESULT, pinned on purpose (the r12/r14 device):
+    // the alternation DOES descend its MSE objective (0.10679 → 0.10597,
+    // asserted above) and recall still DROPS (0.275 → 0.163) — on the
+    // variance-concentrated corpus the recall-optimal rotation is
+    // MSE-suboptimal, the same mechanism as opqAssign's documented
+    // greedy-beats-snake finding: a lopsided quantizer that privileges
+    // the dominant signal directions ranks neighbors better than the
+    // MSE-balanced one. If this ordering ever flips, the pin fails and
+    // the negative result must be re-adjudicated, not silently enjoyed.
+    assert(rN < rP, s"negative-result pin flipped: OPQ-P $rP vs NP $rN — " +
+      "re-measure and re-document")
+    assert(rN >= 0.1, s"NP recall floor: $rN")
+    // deterministic end to end (integer-grid rotations + exact-integer
+    // cross-moments + the Lloyd fixpoint)
+    assert(rotNp.map(_.toSeq).toSeq === Similarity.opqRotationNpFor(df,
+      "vec_id", "v", m = 2, npIters = 2, ksub = 16, lloydIters = 2)
+      .map(_.toSeq).toSeq)
+  }
+
+  test("procrustesRotation: recovers an orthogonal M's factor; output orthogonal on a degenerate M") {
+    // M already orthogonal -> R = M exactly (SVD of Q is Q·I·Iᵀ)
+    val th = 0.6
+    val q3 = Array(
+      Array(math.cos(th), -math.sin(th), 0.0),
+      Array(math.sin(th), math.cos(th), 0.0),
+      Array(0.0, 0.0, 1.0))
+    val r3 = Similarity.procrustesRotation(q3)
+    for (i <- 0 until 3; j <- 0 until 3)
+      assert(math.abs(r3(i)(j) - q3(i)(j)) < 1e-9, s"R[$i][$j]")
+    // rank-1 M: completion must still hand back a fully orthogonal R
+    val m1 = Array(
+      Array(2.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0))
+    val r1 = Similarity.procrustesRotation(m1)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val dot = (0 until 3).map(k => r1(k)(i) * r1(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RᵀR[$i][$j] = $dot")
+    }
+  }
+
   test("trainSubspaces: codewords land on quantized-mean grid; empty codeword carries") {
     import graft.operators.KMeans
     // 2 subspaces of width 2; two tight planted blobs per subspace
