@@ -24,6 +24,25 @@ object PipelineQueries {
       .withColumn("doc_id", col("doc_id") + 1000000))
   }
 
+  /** [[corpusWithDups]] ∪ the STITCH plants that force the blocked
+    * substring-dedup's over-approximation to actually occur: for every
+    * 25th doc (disjoint from the %10 full-copy plants) with ≥ 9
+    * normalized tokens, plant one doc holding its first 8 tokens and one
+    * holding tokens 2-9. In the original, the 8-grams at starts 0 AND 1
+    * then both repeat corpus-wide, so the blocked form merges them into
+    * one 9-token span whose FULL text occurs nowhere else — the span
+    * q_dedup_spans_eval must count as unverified. */
+  private def corpusWithStitch(s: SparkSession, dir: String): DataFrame = {
+    val w = split(Dedup.normText(col("text")), " ")
+    val eligible = Tables.load(s, dir, "documents").select("doc_id", "text")
+      .filter(col("doc_id") % 25 === 3 && size(w) >= 9)
+    val b = eligible.select((col("doc_id") + 2000000L).as("doc_id"),
+      array_join(slice(w, 1, 8), " ").as("text"))
+    val c = eligible.select((col("doc_id") + 2100000L).as("doc_id"),
+      array_join(slice(w, 2, 8), " ").as("text"))
+    corpusWithDups(s, dir).unionByName(b).unionByName(c)
+  }
+
   /** embeddings ∪ deterministic near-duplicate PLANTS (every 20th vector
     * re-inserted under a shifted id with a mild per-index perturbation;
     * landed cosines 0.948-0.98 against their originals, no cross pair
@@ -1185,6 +1204,18 @@ object PipelineQueries {
       TextAnalysis.removeDuplicatedSpans(corpusWithDups(s, dir),
           "doc_id", "text", L = 8)
         .orderBy("doc")
+    }),
+
+    // SPAN-LEVEL eval of the blocked over-approximation: how many
+    // reported spans' FULL text actually occurs twice (Lee et al.'s
+    // suffix-array semantics), measured on a corpus with planted
+    // stitch cases (corpusWithStitch) so the gap is present, not
+    // vacuous. Token COVERAGE has no gap (every covered position lies
+    // under a repeated L-gram); the span list is where the
+    // approximation lives, and this ships it as a hash-gated number.
+    "q_dedup_spans_eval" -> ((s, dir) => {
+      TextAnalysis.duplicatedSpansEval(corpusWithStitch(s, dir),
+        "doc_id", "text", L = 8)
     }),
 
     // The SHIPPED positional fallback (unbounded span counts — see
@@ -2578,14 +2609,12 @@ object PipelineQueries {
     * spans are disjoint and no token has two covering spans) — shared by
     * the detection (q_dedup_spans) and enforcement (q_dedup_scrub)
     * oracles. */
-  private val dupSpansCte =
-    """WITH corpus AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+  private def dupSpansCteFrom(corpusSql: String): String =
+    s"""WITH corpus AS (
+         $corpusSql),
        nw AS (
          SELECT doc_id AS doc,
-                string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+                string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS wd
          FROM corpus),
        g AS (
          SELECT doc, i - 1 AS pos,
@@ -2609,6 +2638,52 @@ object PipelineQueries {
          SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
                 CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len
          FROM grps GROUP BY doc, grp)"""
+
+  private val dupSpansCorpusSql =
+    """SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0"""
+
+  private val dupSpansCte = dupSpansCteFrom(dupSpansCorpusSql)
+
+  /** the stitch-planted corpus (corpusWithStitch's SQL twin) for the
+    * span-level eval. */
+  private val dupSpansStitchCorpusSql = dupSpansCorpusSql +
+    """
+         UNION ALL
+         SELECT doc_id + 2000000, array_to_string(wd[1:8], ' ') FROM (
+           SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+           FROM documents) z0
+         WHERE doc_id % 25 = 3 AND len(wd) >= 9
+         UNION ALL
+         SELECT doc_id + 2100000, array_to_string(wd[2:9], ' ') FROM (
+           SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS wd
+           FROM documents) z1
+         WHERE doc_id % 25 = 3 AND len(wd) >= 9"""
+
+  /** Span-level eval replay: the stitched-corpus span chain, then each
+    * span's full token run re-counted corpus-wide by the double-space
+    * literal-replace device (adjacent matches non-overlapping by
+    * construction — identical in both engines). */
+  private val dupSpansEvalOracle = dupSpansCteFrom(dupSpansStitchCorpusSql) +
+    """,
+       sp AS (
+         SELECT s.doc, s.span_start,
+                ' '||array_to_string(
+                  nw.wd[s.span_start+1 : s.span_start+s.span_len], '  ')||' '
+                  AS needle
+         FROM spans s JOIN nw ON nw.doc = s.doc),
+       hays AS (SELECT ' '||array_to_string(wd, '  ')||' ' AS hay FROM nw),
+       occ AS (
+         SELECT doc, span_start,
+                CAST(SUM((length(hay) - length(replace(hay, needle, '')))
+                         / length(needle)) AS BIGINT) AS occ
+         FROM sp CROSS JOIN hays GROUP BY doc, span_start)
+       SELECT CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(count(*) FILTER (occ >= 2) AS BIGINT) AS n_verified,
+              CAST((count(*) FILTER (occ >= 2)) * 10000 // count(*) AS BIGINT)
+                AS precision_bp
+       FROM occ"""
 
   /** Scrub ground truth (detection CTEs + token-level mark/re-concat) —
     * shared verbatim by the row-local (q_dedup_scrub) and positional
@@ -5037,6 +5112,11 @@ object PipelineQueries {
     "q_dedup_spans" -> (dupSpansCte + """
          SELECT doc, span_start, span_len FROM spans
          ORDER BY doc, span_start"""),
+
+    // span-level eval of the blocked over-approximation: the stitched
+    // corpus's span chain + the double-space literal-replace occurrence
+    // count — the measured precision gap ships as a hash-gated number
+    "q_dedup_spans_eval" -> dupSpansEvalOracle,
 
     // The scrub oracle re-tokenizes, marks tokens inside spans (the
     // covered-run merge makes spans disjoint BY CONSTRUCTION — no token

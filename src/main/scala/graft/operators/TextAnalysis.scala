@@ -322,6 +322,61 @@ object TextAnalysis {
         (col("_ntok") - coalesce(col("_nkept"), lit(0L))).as("n_removed"))
   }
 
+  /** SPAN-LEVEL evaluation of [[duplicatedSpans]]' blocked
+    * over-approximation — the q_dedup_eval confusion device applied to
+    * spans: the blocked form reports maximal runs of corpus-repeated
+    * L-grams, and a run may STITCH adjacent repeats from different
+    * sources into one span whose full text never occurs twice anywhere
+    * (Lee et al.'s suffix-array semantics would report only truly
+    * duplicated substrings). This measures that gap exactly: a reported
+    * span VERIFIES iff its full (normalized) token run occurs ≥ 2 times
+    * corpus-wide; precision = verified / reported. TOKEN-position
+    * coverage has no gap by construction (every covered position lies
+    * under a repeated L-gram, itself a duplicated substring of length L
+    * — so scrubbing is unaffected); the span LIST is what consumers of
+    * provenance/reporting read, and that is where the approximation
+    * lives.
+    *
+    * Occurrence counting: token arrays render with DOUBLE-space
+    * separators and single-space padding, and occurrences count by
+    * literal replace — the double separator makes adjacent matches
+    * non-overlapping by construction, so the replace count is the exact
+    * contiguous-run count (token-position-overlapping self-repeats
+    * still count once per disjoint occurrence — the replace contract,
+    * identical in both engines).
+    *
+    * Scale: like q_dedup_eval this is the AUDIT route, not a per-query
+    * path — the span list (audit-sized) broadcasts, the corpus streams
+    * once through the contains pass; at 100 TB restrict the corpus side
+    * to a deterministic sample universe first (the sampledPairEval
+    * device).
+    *
+    * Output: ONE row (n_spans, n_verified, precision_bp). */
+  def duplicatedSpansEval(df: DataFrame, id: String, text: String,
+      L: Int = 8, minCount: Long = 2): DataFrame = {
+    val nw = df.select(col(id).as("doc"), ws(Dedup.normText(col(text))).as("wd"))
+      .localCheckpoint(false)
+    val spans = duplicatedSpans(df, id, text, L, minCount)
+    val needles = spans.join(nw, "doc")
+      .select(col("doc"), col("span_start"),
+        concat(lit(" "),
+          array_join(slice(col("wd"), col("span_start").cast("int") + 1,
+            col("span_len").cast("int")), "  "),
+          lit(" ")).as("needle"))
+    val hay = nw.select(
+      concat(lit(" "), array_join(col("wd"), "  "), lit(" ")).as("hay"))
+    val occ = hay.join(broadcast(needles))
+      .select(col("doc"), col("span_start"), col("needle"),
+        ((length(col("hay")) - length(replace(col("hay"), col("needle")))) /
+          length(col("needle"))).as("c"))
+      .groupBy("doc", "span_start")
+      .agg(sum("c").cast("long").as("occ"))
+    occ.agg(count(lit(1)).as("n_spans"),
+        sum(when(col("occ") >= 2L, 1L).otherwise(0L)).as("n_verified"))
+      .select(col("n_spans"), col("n_verified"),
+        expr("n_verified * 10000 div n_spans").as("precision_bp"))
+  }
+
   /** One-pass document profile.
     *
     * The token arrays are materialized ONCE into their own projection and
