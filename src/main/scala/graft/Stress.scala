@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   * receipts integer-exact), and trained-ANN Lloyd TRAINING over a
   * ×mult corpus (section 6 below: codebook closed-form-exact through
   * replication via seed injection, checkpoint blocks measured ON DISK,
-  * the offset-domain guard firing loud) — then ASSERT three things:
+  * the offset-domain guard firing loud), and IVM chains over ×mult
+  * replicated change streams (section 7 below: cdcApply +
+  * cdcApplyMinMax through two full-outer snapshot diffs that must
+  * spill, final views EXACTLY equal to the rescan, and the
+  * dirty-rescan width — the operator's own rule — measured ≤ |changes|
+  * and closed-form ×mult) — then ASSERT three things:
   *
   *  1. the jobs COMPLETE (no OOM) with disk spill actually observed
   *     (task-metrics `diskBytesSpilled` > 0 — a rehearsal that fit in
@@ -400,8 +405,116 @@ object Stress {
     }
     val annOk = annCbOk && annPressureOk && annGuardOk
 
+    // 7. IVM at stress scale — cdcApply + cdcApplyMinMax CHAINS over
+    // ×ivmMult replicated change streams under the starved pool. Corpus:
+    // three deterministic snapshots of a keyed (k, g, m) table derived
+    // from lineitem (s0 → s1 drops every 7th key and bumps every 5th's
+    // measure; s1 → s2 drops every 13th, shifts every 3rd, inserts a
+    // fresh key per 17th) — mutations computed on the SINGLE copy FIRST,
+    // then each snapshot replicated with disjoint key AND group offsets,
+    // so every view statistic and the dirty-rescan width multiply
+    // EXACTLY (the disjoint-id closed form). Three claims face the gate:
+    //  - NO VIEW DRIFT through the spill path: both chains' final views
+    //    equal the s2 rescan EXACTLY (set equality, not samples) — the
+    //    two full-outer diffs over the ×mult snapshots are the memory
+    //    hazard (stage-delta spill asserted);
+    //  - the dirty-rescan width (the operator's OWN rule,
+    //    Scd.minMaxDirtyGroups) stays ≤ |changes| — the scale claim
+    //    rehearsed, not argued — and equals mult × the single-copy
+    //    width (closed form);
+    //  - group counts multiply exactly (mult × single-copy groups).
+    val ivmMult = sys.env.getOrElse("SPARK_GRAFT_STRESS_IVM_MULT", "16").toInt
+    require(ivmMult >= 2, s"bad ivm knob: mult=$ivmMult")
+    // keyed BY CONSTRUCTION: (orderkey, linenumber) repeats in the
+    // TPC-H-ish testdata, and a duplicate key breaks the snapshot-diff
+    // device — the min-aggregates make k unique and stay deterministic
+    val ivmBase = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("k"),
+        (col("l_partkey") % 1024).cast("long").as("g0"),
+        (col("l_quantity") * 100).cast("long").as("m0"),
+        (col("l_extendedprice") * 100).cast("long").as("m20"))
+      .groupBy("k")
+      .agg(min("g0").as("g"), min("m0").as("m"), min("m20").as("m2"))
+    val s0a = ivmBase.select("k", "g", "m")
+    val s1a = s0a.filter(col("k") % 7 =!= 0)
+      .select(col("k"), col("g"),
+        (col("m") + when(col("k") % 5 === 0, 17L).otherwise(0L)).as("m"))
+    val s2a = s1a.filter(col("k") % 13 =!= 0)
+      .select(col("k"), col("g"),
+        (col("m") + when(col("k") % 3 === 0, -9L).otherwise(0L)).as("m"))
+      .unionByName(ivmBase.filter(col("k") % 17 === 0)
+        .select((col("k") + 5000000000000L).as("k"), col("g"),
+          (col("m2") % 1000).as("m")))
+    def ivmRep(df: org.apache.spark.sql.DataFrame) =
+      (0 until ivmMult).map { i =>
+        df.select((col("k") + lit(i.toLong * 100000000000000L)).as("k"),
+          (col("g") + lit(i.toLong * 10000000L)).as("g"), col("m"))
+      }.reduce(_ unionByName _)
+        // DISK_ONLY on purpose: MEMORY_AND_DISK checkpoint blocks compete
+        // with the starved execution sliver (measured: 256 KB hash-map
+        // inits failing at "got 32 KB") — the big materializations go
+        // straight to disk and the sliver stays an operator pool
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val (s0, s1, s2) = (ivmRep(s0a), ivmRep(s1a), ivmRep(s2a))
+    def ivmCdc(b: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame) =
+      operators.Scd.diff(b, a, "k", Seq("g", "m"))
+        .withColumn("kind",
+          when(col("change") === "added", lit("insert"))
+            .when(col("change") === "removed", lit("delete"))
+            .otherwise(lit("update")))
+    val preIvmSpill = spilledDisk.get()
+    val (ivmRes, tIvm) = timed {
+      val ch01 = ivmCdc(s0, s1)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val ch12 = ivmCdc(s1, s2)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // the intermediate views are group-sized (16k rows) — checkpoint
+      // between steps so each apply is its own job instead of one fused
+      // pipeline holding both 8M-row change scans' operators at once
+      // (under the sliver that stacking exhausts the per-task pool)
+      val agg1 = operators.Scd.cdcApply(operators.Scd.cdcBaseAgg(s0, "g", "m"),
+        ch01, "g", "m").localCheckpoint(false)
+      val aggV = operators.Scd.cdcApply(agg1, ch12, "g", "m")
+      val mmMid = operators.Scd.cdcApplyMinMax(
+        operators.Scd.cdcBaseMinMax(s0, "g", "m"), ch01, s1, "g", "m")
+      val mmV = operators.Scd.cdcApplyMinMax(mmMid, ch12, s2, "g", "m")
+      // drift checks: EXACT set equality against the s2 rescan
+      val aggRescan = operators.Scd.cdcBaseAgg(s2, "g", "m")
+      val mmRescan = operators.Scd.cdcBaseMinMax(s2, "g", "m")
+      val aggViewN = aggV.count()
+      val aggDriftOk = aggViewN == aggRescan.count() &&
+        aggV.exceptAll(aggRescan).isEmpty
+      val mmDriftOk = mmV.count() == mmRescan.count() &&
+        mmV.exceptAll(mmRescan).isEmpty
+      // the operator's own dirty rule at step 2, big vs single copy
+      val dirtyBig = operators.Scd.minMaxDirtyGroups(mmMid, ch12, "g", "m")
+        .count()
+      val ch12N = ch12.count()
+      val mmMid1 = operators.Scd.cdcApplyMinMax(
+        operators.Scd.cdcBaseMinMax(s0a, "g", "m"), ivmCdc(s0a, s1a), s1a,
+        "g", "m")
+      val dirty1 = operators.Scd.minMaxDirtyGroups(mmMid1,
+        ivmCdc(s1a, s2a), "g", "m").count()
+      val agg1N = operators.Scd.cdcApply(
+        operators.Scd.cdcApply(operators.Scd.cdcBaseAgg(s0a, "g", "m"),
+          ivmCdc(s0a, s1a), "g", "m"),
+        ivmCdc(s1a, s2a), "g", "m").count()
+      (aggDriftOk, mmDriftOk, dirtyBig, ch12N, dirty1, aggViewN, agg1N)
+    }
+    val ivmSpill = spilledDisk.get() - preIvmSpill
+    val (ivmAggDriftOk, ivmMmDriftOk, ivmDirtyBig, ivmCh12N, ivmDirty1,
+      ivmAggViewN, ivmAgg1N) = ivmRes
+    val ivmWidthOk = ivmDirtyBig <= ivmCh12N &&
+      ivmDirtyBig == ivmMult.toLong * ivmDirty1
+    val ivmGroupsOk = ivmAggViewN == ivmMult.toLong * ivmAgg1N
+    val ivmSpillOk = ivmSpill > 0
+    val ivmOk = ivmAggDriftOk && ivmMmDriftOk && ivmWidthOk &&
+      ivmGroupsOk && ivmSpillOk
+
     val spillOk = spilledDisk.get() > 0
-    val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk && annOk
+    val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk &&
+      annOk && ivmOk
     println(
       s"""{"metric":"stress","sf":"$sfDir","mult":$mult,""" +
       s""""mem_fraction":$memFrac,"rows":${mult * n1},""" +
@@ -420,6 +533,9 @@ object Stress {
       s""""lsh_spill_bytes":$lshSpill,""" +
       s""""ann_mult":$annMult,"ann_train_sec":$tTrain,""" +
       s""""ann_checkpoint_disk_bytes":$annDisk,""" +
+      s""""ivm_mult":$ivmMult,"ivm_sec":$tIvm,""" +
+      s""""ivm_dirty_groups":$ivmDirtyBig,"ivm_changes":$ivmCh12N,""" +
+      s""""ivm_groups":$ivmAggViewN,"ivm_spill_bytes":$ivmSpill,""" +
       s""""disk_spill_bytes":${spilledDisk.get()},""" +
       s""""memory_spill_bytes":${spilledMem.get()},""" +
       s""""agg_ok":$aggOk,"sort_ok":$sortOk,"join_ok":$joinOk,""" +
@@ -429,6 +545,9 @@ object Stress {
       s""""lsh_spill_ok":$lshSpillOk,""" +
       s""""ann_codebook_ok":$annCbOk,"ann_pressure_ok":$annPressureOk,""" +
       s""""ann_guard_ok":$annGuardOk,""" +
+      s""""ivm_agg_drift_ok":$ivmAggDriftOk,"ivm_minmax_drift_ok":$ivmMmDriftOk,""" +
+      s""""ivm_width_ok":$ivmWidthOk,"ivm_groups_ok":$ivmGroupsOk,""" +
+      s""""ivm_spill_ok":$ivmSpillOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()

@@ -188,19 +188,10 @@ object Scd {
     val minusN = changes.filter(col("kind").isin("delete", "update"))
       .select(col(s"before_$group").as(group))
       .groupBy(group).agg(count(lit(1)).as("_rn"))
-    // dirty groups: a removed value that null-safely equals the group's
-    // current extremum (conservative: duplicates of the extremum rescan
-    // too — correctness over cleverness)
-    val rem = changes.filter(col("kind").isin("delete", "update"))
-      .select(col(s"before_$group").as("_rg"),
-        col(s"before_$measure").cast("long").as("_rm"))
-      .filter(col("_rm").isNotNull)
     // dirty is probed four times below (three anti-joins + the rescan
     // semi) — |dirty| ≤ |changes|, checkpoint once
-    val dirty = rem.join(maintained, col("_rg") <=> g)
-      .filter(col("_rm") === col(minCol) || col("_rm") === col(maxCol))
-      .select(col("_rg").as(group)).distinct()
-      .localCheckpoint(false)
+    val dirty = minMaxDirtyGroups(maintained, changes, group, measure,
+      minCol, maxCol).localCheckpoint(false)
     // clean groups: maintained view minus dirty, with after-candidates
     // folded in monotonically and row counts maintained additively.
     // The delta sides exclude dirty groups too — a dirty group is served
@@ -232,6 +223,24 @@ object Scd {
         min(col(measure).cast("long")).as(minCol),
         max(col(measure).cast("long")).as(maxCol))
     withPlus.unionByName(rescan)
+  }
+
+  /** The dirty-group rule [[cdcApplyMinMax]] rescans by — a removed
+    * value that equals its group's current extremum (conservative:
+    * duplicates of the extremum rescan too; a null measure is never an
+    * extremum). Exposed so the STRESS rehearsal can measure the
+    * operator's own rescan width (|dirty| ≤ |changes|, the scale claim)
+    * instead of re-deriving the rule and risking drift. */
+  private[graft] def minMaxDirtyGroups(maintained: DataFrame,
+      changes: DataFrame, group: String, measure: String,
+      minCol: String = "min_m", maxCol: String = "max_m"): DataFrame = {
+    val rem = changes.filter(col("kind").isin("delete", "update"))
+      .select(col(s"before_$group").as("_rg"),
+        col(s"before_$measure").cast("long").as("_rm"))
+      .filter(col("_rm").isNotNull)
+    rem.join(maintained, col("_rg") <=> col(group))
+      .filter(col("_rm") === col(minCol) || col("_rm") === col(maxCol))
+      .select(col("_rg").as(group)).distinct()
   }
 
   /** The matching min/max base/rescan aggregate — shared by the seed of
