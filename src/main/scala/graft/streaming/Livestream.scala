@@ -597,13 +597,36 @@ object Livestream {
       * files under a NEW version — data is byte-equal, only layout
       * changes; readers never see a half-compacted table because the
       * pointer moves last. Complements [[vacuum]], which then reclaims the
-      * superseded originals. */
-    def optimize(maxFiles: Int = 1): Unit = {
+      * superseded originals.
+      *
+      * `zorderBy = Some((a, b))` switches compaction into OPTIMIZE
+      * ZORDER mode (the Delta `OPTIMIZE ... ZORDER BY` analog): EVERY
+      * live leaf rewrites with rows re-clustered along the two columns'
+      * Morton curve ([[graft.sources.ZOrder]] — global [min, max] from
+      * one stats aggregate, pure-integer z-values), so each output
+      * file gets a tight bounding box in BOTH dimensions and the
+      * zone-map sidecar — refreshed here, for the z-columns plus the
+      * merge key — starts pruning 2-dim range predicates the scattered
+      * merge-order layout kept every file for. Unlike plain compaction
+      * this is unconditional (re-clustering IS the point, not a
+      * file-count repair); within the key-bucketed layout the bucket
+      * boundaries stay put (merges stay pruned) and only the
+      * WITHIN-leaf order and file split change. Both z-columns must be
+      * integral-typed. */
+    def optimize(maxFiles: Int = 1,
+        zorderBy: Option[(String, String)] = None,
+        zorderBits: Int = 8): Unit = {
       require(maxFiles >= 1)
       validatePartitioning()
       val cur = currentVersion
       if (cur < 0) return
       val next = cur + 1
+      zorderBy match {
+        case Some((ca, cb)) =>
+          optimizeZOrdered(ca, cb, maxFiles, zorderBits, cur, next)
+          return
+        case None => ()
+      }
       def parquetCount(d: java.nio.file.Path): Int = {
         if (!Files.exists(d)) return 0
         import scala.jdk.CollectionConverters._
@@ -648,6 +671,49 @@ object Livestream {
           writeManifest(next, prev ++ written.map(_ -> next))
           publish(next)
       }
+    }
+
+    /** The ZORDER compaction body: global [min, max] of the two columns
+      * (one stats-sized aggregate), z-value per row, range-repartition
+      * along (leaf, z) so output tasks are leaf-aligned AND curve-
+      * contiguous (~`maxFiles` files per leaf), in-task sort by z for
+      * tight row-group stats, one partitioned write, sidecar refresh. */
+    private def optimizeZOrdered(ca: String, cb: String, maxFiles: Int,
+        bits: Int, cur: Long, next: Long): Unit = {
+      val snap = at(cur)
+      val stats = snap.agg(
+        min(col(ca).cast("long")), max(col(ca).cast("long")),
+        min(col(cb).cast("long")), max(col(cb).cast("long"))).head()
+      // empty table or all-null z-columns: nothing to cluster
+      if (stats.isNullAt(0) || stats.isNullAt(2)) return
+      val z = graft.sources.ZOrder.zValue(
+        col(ca).cast("long"), stats.getLong(0), stats.getLong(1),
+        col(cb).cast("long"), stats.getLong(2), stats.getLong(3), bits)
+      partitioning match {
+        case None =>
+          snap.withColumn("_z", z)
+            .repartitionByRange(maxFiles, col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite").parquet(s"$path/v=$next")
+          publish(next)
+        case Some(pexpr) =>
+          val prev = manifest(cur)
+          val nOut = math.max(1, prev.size * maxFiles)
+          snap.withColumn(PartCol, ptCol(pexpr)).withColumn("_z", z)
+            .repartitionByRange(nOut, col(PartCol), col("_z"))
+            .sortWithinPartitions(col(PartCol), col("_z"))
+            .drop("_z")
+            .write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$path/v=$next")
+          // same empty-leaf caveat as plain compaction: a leaf that wrote
+          // no directory keeps its old (readable) manifest entry
+          val written = prev.keys.filter(pt => Files.exists(leaf(next, pt)))
+          writeManifest(next, prev ++ written.map(_ -> next))
+          publish(next)
+      }
+      refreshZoneMap(Seq(ca, cb) :+ emptyLike.schema.fieldNames
+        .find(_.equalsIgnoreCase(Merge.KeyCol)).get)
     }
 
     private def publish(version: Long): Unit = {

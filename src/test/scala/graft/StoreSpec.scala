@@ -297,6 +297,56 @@ class StoreSpec extends AnyFunSuite {
       Seq(ZoneMap.Constraint("x", "=", Seq("99"), "long"))))
   }
 
+  test("OPTIMIZE ZORDER on the versioned store: boxes tighten, 2-dim predicates skip files") {
+    import graft.operators.Merge
+    import graft.streaming.Livestream
+    // created and score scatter independently of the merge-order layout
+    // (decorrelated multiplicative scans of 0..511)
+    val rows = (0 until 512).map { i =>
+      C(i.toLong, s"t1_$i", (i * 193L) % 512, s"u$i", "p", "s", s"b$i",
+        (i * 37L) % 512, "sub", null, 2L)
+    }
+    val dir = tmp("zopt")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    table.seed(rows.toDF())
+    table.refreshZoneMap(Seq("created", "score"))
+    def avgWidth(c: String): Double = {
+      val ss = graft.sources.ZoneMap.read(dir)
+        .filter(s => s.col == c && s.hasBounds)
+      ss.map(s => (s.mx.toLong - s.mn.toLong).toDouble).sum / ss.size
+    }
+    val pred = col("created").between(10L, 80L) &&
+      col("score").between(10L, 80L)
+    val (df0, idx0) = table.scanAuto()
+    val want = df0.filter(pred).collect()
+      .map(_.getAs[Long]("idint")).sorted.toSeq
+    // pre-optimize: the hash-bucket merge-order layout scatters both
+    // dims, every file straddles the box — the sidecar prunes nothing
+    assert(idx0.lastKept === idx0.lastListed,
+      s"pre-optimize already pruned (${idx0.lastKept}/${idx0.lastListed})")
+    val w0 = avgWidth("created")
+    table.optimize(maxFiles = 4, zorderBy = Some(("created", "score")))
+    val (df1, idx1) = table.scanAuto()
+    val got = df1.filter(pred).collect()
+      .map(_.getAs[Long]("idint")).sorted.toSeq
+    assert(got === want, "ZORDER compaction changed the data")
+    assert(idx1.lastKept < idx1.lastListed,
+      s"post-optimize 2-dim predicate skipped nothing " +
+        s"(${idx1.lastKept}/${idx1.lastListed})")
+    // per-file bounding boxes tightened on the z-dims
+    assert(avgWidth("created") < w0,
+      s"boxes did not tighten: $w0 -> ${avgWidth("created")}")
+    // bucket boundaries stayed put: a key-pruned merge still lands in
+    // one leaf and serves the edited row
+    table.merge(Seq(C(21L, "t1_21", (21L * 193) % 512, "u21", "p", "s",
+        "edited", 999L, "sub", null, 6L)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+    assert(table.current.filter(col("idstr") === "t1_21")
+      .head().getAs[String]("body") === "edited")
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact THROUGH the join") {
     val dir = tmp("dpp")
     // fact partitioned by target (20 partitions), dim filtered to one
