@@ -305,6 +305,33 @@ object Livestream {
       graft.sources.ZoneMap.write(path, existing ++ fresh)
     }
 
+    /** Refresh the table's per-file BLOOM sidecar
+      * ([[graft.sources.ZoneMap.BloomStat]]) for the CURRENT version —
+      * the equality/IN complement of [[refreshZoneMap]]: a point lookup
+      * on a high-cardinality column prunes files whose bloom provably
+      * lacks the value even when every file's [min, max] straddles it.
+      * INCREMENTAL like the zone map: leaf files are immutable once
+      * published, so only uncovered files aggregate (one positions pass
+      * over the touched buckets); stats for dead files drop. Consulted
+      * by [[scanAuto]]'s FileIndex for pushed =/IN constraints. */
+    def refreshBloom(cols: Seq[String], mBits: Int = 262144,
+        k: Int = 3): Unit = {
+      validatePartitioning()
+      if (currentVersion < 0) return
+      val live = current.inputFiles.toSeq
+      val liveSet = live.toSet
+      val existing = graft.sources.ZoneMap.readBloom(path)
+        .filter(b => liveSet.contains(b.file) && b.mBits == mBits && b.k == k)
+      val covered = existing.map(_.file).toSet
+      val missing = live.filterNot(covered)
+      val fresh =
+        if (missing.isEmpty) Seq.empty
+        else graft.sources.ZoneMap.fileBloomStats(
+          spark.read.option("basePath", path).schema(emptyLike.schema)
+            .parquet(missing: _*), cols, mBits, k)
+      graft.sources.ZoneMap.writeBloom(path, existing ++ fresh)
+    }
+
     /** Range scan of the current version through the zone map: files
       * whose recorded [min, max] for `c` excludes [lo, hi] are never
       * handed to Spark; uncovered files are read (conservative). The
@@ -348,7 +375,8 @@ object Livestream {
       validatePartitioning()
       org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(spark,
         current.inputFiles.toSeq, emptyLike.schema,
-        graft.sources.ZoneMap.read(path))
+        graft.sources.ZoneMap.read(path),
+        graft.sources.ZoneMap.readBloom(path))
     }
 
     /** Pruned read of ONE partition value (e.g. one archive target): only

@@ -105,10 +105,11 @@ object ZoneMapScan {
     * paths are ignored: the schema is the caller's data schema and the
     * index parses no partition values. */
   def scanFiles(spark: SparkSession, files: Seq[String],
-      schema: StructType, stats: Seq[ZoneMap.Stat]):
+      schema: StructType, stats: Seq[ZoneMap.Stat],
+      blooms: Seq[ZoneMap.BloomStat] = Nil):
       (DataFrame, ZoneMapFileIndex) = {
     val index = new ZoneMapFileIndex(spark, files.map(new Path(_)), schema,
-      stats)
+      stats, blooms)
     fromIndex(spark, index, schema)
   }
 

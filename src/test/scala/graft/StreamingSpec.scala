@@ -811,6 +811,37 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(unpruned.count() === 4)
   }
 
+  test("UpsertTable bloom sidecar: point lookup skips buckets the zone map cannot; incremental refresh") {
+    // hash-bucket layout: idint [min, max] straddles every file, so the
+    // zone map prunes NOTHING for a point lookup — the bloom does
+    val dir = tmp("blt")
+    val table = new Livestream.UpsertTable(spark, dir,
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    table.seed((1L to 256L).map(i => c(i, s"b$i", i)).toDF())
+    table.refreshZoneMap(Seq("idint"))
+    table.refreshBloom(Seq("idint"), mBits = 8192, k = 3)
+    val (df, idx) = table.scanAuto()
+    val hit = df.filter(col("idint") === 137L).collect()
+    val listed = idx.lastListed
+    assert(listed > 2 && idx.lastKept < listed,
+      s"bloom skipped nothing (${idx.lastKept}/$listed)")
+    assert(hit.length === 1 && hit.head.getAs[String]("body") === "b137")
+    // incremental refresh after a one-bucket merge: only the new leaf's
+    // files aggregate; dead files' blooms drop; the edited row is found
+    table.merge(Seq(c(137, "edited", 1)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+    table.refreshBloom(Seq("idint"), mBits = 8192, k = 3)
+    assert(graft.sources.ZoneMap.readBloom(dir).map(_.file).toSet ===
+      table.current.inputFiles.toSet)
+    val (df2, idx2) = table.scanAuto()
+    val hit2 = df2.filter(col("idint") === 137L).collect()
+    assert(hit2.length === 1 && hit2.head.getAs[String]("body") === "edited")
+    assert(idx2.lastKept < idx2.lastListed)
+    // an absent key: zero rows regardless of false-positive keeps
+    assert(df2.filter(col("idint") === 999999L).count() === 0L)
+  }
+
   test("momentSink: stream-maintained covariance input == batch momentStats, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val d = 4
