@@ -1858,6 +1858,21 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // REFINED serving from the maintained index: the ADC stage
+    // over-fetches 30 candidates from the STREAM-MAINTAINED codes
+    // table, only those pairs re-score exactly from the raw vectors
+    // (hot compressed index / cold raw store — the production read
+    // path). Must equal inline-batch q_ann_ivfpq_refine exactly —
+    // shared oracle verbatim.
+    "q_ann_incremental_refine" -> ((s, dir) => {
+      val (table, coarse, cbRes) = incrementalAnn(s, dir)
+      val (_, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      StreamAnn.serveRefine(table, Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", coarse, cbRes,
+          queryIds = (0L to 7L), kCand = 30, k = 10, nprobe = nprobe)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVFPQ + REFINE (Faiss "IVFPQ,RFlat"): the trained-residual first
     // stage over-fetches 30 ADC candidates, and only those pairs are
     // re-scored with the exact cosine from the raw vectors — the
@@ -5245,6 +5260,12 @@ object PipelineQueries {
     "q_ann_incremental" -> ivfpqResidualTrainedOracle,
     "q_ann_opq_ivfpq" -> opqIvfpqOracle,
     "q_ann_ivfpq_refine" -> ivfpqRefineOracle,
+
+    // refined serving from the MAINTAINED index must equal the inline
+    // batch composition exactly — shared oracle VERBATIM (candidate
+    // provenance is the entire diff: maintained codes table vs inline
+    // encode; the refine tail is shared code)
+    "q_ann_incremental_refine" -> ivfpqRefineOracle,
 
     // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
     // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is

@@ -1275,6 +1275,18 @@ object Similarity {
     val cand = ivfpqResidualTrainedFrom(n, queryIds, kCand, nlist, nprobe,
         m, ksub, iters)
       .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    refineTail(cand, n, queryIds, k)
+  }
+
+  /** The exact-rerank REFINE tail over a (qid, nid) candidate frame —
+    * shared VERBATIM by the inline batch composition
+    * ([[ivfpqRefineTopK]]) and the maintained-index serve
+    * ([[graft.streaming.StreamAnn.serveRefine]]): candidate provenance
+    * is the entire diff. Only the |q|·kCand candidate pairs re-score
+    * exactly from the raw normalized vectors (`n`) — codes hot, raw
+    * cold. Output: (query_id, rank, neighbor_id, cos_bp). */
+  def refineTail(cand: DataFrame, n: DataFrame, queryIds: Seq[Long],
+      k: Int): DataFrame = {
     val q = broadcast(n.filter(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("nv").as("qv")))
     val exact = cand

@@ -810,7 +810,8 @@ object Livestream {
     */
   def upsertSink(stream: DataFrame, table: UpsertTable,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
-      zoneMapCols: Option[Seq[String]] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      zoneMapCols: Option[Seq[String]] = None,
+      bloomCols: Option[Seq[String]] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream
       // A4 per-batch counters (tsdb.py:335-358 new_submissions/new_comments
       // tallies): observe() rides the existing scan — no extra job — and
@@ -843,6 +844,11 @@ object Livestream {
             // is advisory (uncovered files always read), so a crash
             // between publish and refresh costs coverage, not answers.
             zoneMapCols.foreach(table.refreshZoneMap)
+            // same contract for the equality/IN sidecar: incremental
+            // (only the batch's new files aggregate), advisory, post-
+            // publish — a streamed store keeps point-lookup skipping
+            // current too
+            bloomCols.foreach(cs => table.refreshBloom(cs))
           }
         }
         finally seqd.unpersist()

@@ -131,4 +131,27 @@ object StreamAnn {
     Similarity.adcServeCodes(codes(table, version),
       Similarity.normalized(queries, id, vec),
       coarse, cbRes, queryIds, k, nprobe)
+
+  /** REFINED serving from the maintained index — Faiss "IVFPQ,RFlat"
+    * over the codes TABLE: the ADC stage over-fetches `kCand`
+    * candidates from the maintained codes, and only those |q|·kCand
+    * pairs re-score exactly from the raw vectors (`raw` — the cold
+    * store the codes were encoded from) through the VERBATIM batch
+    * refine tail ([[Similarity.refineTail]]). The production read
+    * path: the hot compressed index serves candidates at index-refresh
+    * freshness; the cold raw store is touched only for the final
+    * rerank rows. */
+  def serveRefine(table: Livestream.UpsertTable, raw: DataFrame,
+      id: String, vec: String,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      queryIds: Seq[Long], kCand: Int, k: Int, nprobe: Int,
+      version: Option[Long] = None): DataFrame = {
+    require(kCand >= k && k >= 1, s"need kCand >= k >= 1: $kCand, $k")
+    val n = Similarity.normalized(raw, id, vec).localCheckpoint(eager = false)
+    val cand = Similarity.adcServeCodes(codes(table, version), n,
+        coarse, cbRes, queryIds, kCand, nprobe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
+    Similarity.refineTail(cand, n, queryIds, k)
+  }
 }

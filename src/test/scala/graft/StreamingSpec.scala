@@ -422,6 +422,21 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(gotServe === wantServe && gotServe.nonEmpty)
+    // refined serving through the maintained codes == the inline batch
+    // composition over the same frozen artifact (shared refine tail)
+    val gotRef = StreamAnn.serveRefine(table, latest, "vec_id", "embedding",
+        coarse, cbRes, queryIds = Seq(1L, 2L), kCand = 3, k = 2, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val wantRef = Similarity.refineTail(
+        Similarity.adcServeCodes(
+            Similarity.encodeResidual(n, coarse, cbRes), n,
+            coarse, cbRes, Seq(1L, 2L), 3, 2)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("nid")),
+        n, Seq(1L, 2L), 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotRef === wantRef && gotRef.nonEmpty)
     // time travel: version 0 still serves vector 1's ORIGINAL cell
     assert(table.currentVersion === 2L)
     val v0 = StreamAnn.codes(table, version = Some(0L))
@@ -882,7 +897,8 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
       Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
       partitioning = Some((col("idint") / lit(16L)).cast("long")))
     val q = Livestream.upsertSink(mem.toDF(), table, tmp("zmckp"),
-      Trigger.ProcessingTime(0), zoneMapCols = Some(Seq("idint"))).start()
+      Trigger.ProcessingTime(0), zoneMapCols = Some(Seq("idint")),
+      bloomCols = Some(Seq("idstr"))).start()
     try {
       mem.addData((1L to 40L).map(i => c(i, s"b$i", i)): _*)
       q.processAllAvailable()
@@ -894,11 +910,16 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
       assert(live.nonEmpty)
       assert(graft.sources.ZoneMap.read(dir).map(_.file).toSet === live,
         "streamed sidecar does not cover the live files")
+      assert(graft.sources.ZoneMap.readBloom(dir).map(_.file).toSet === live,
+        "streamed bloom sidecar does not cover the live files")
       // and a selective pushed predicate on a store read skips files
       val (df, index) = table.scanAuto()
       assert(df.filter(col("idint") <= 10L).count() === 10L)
       assert(index.lastKept < index.lastListed,
         s"no files skipped (${index.lastKept} of ${index.lastListed})")
+      // a point lookup on the KEY (min/max straddles nothing here, but
+      // the bloom column is the key) stays exact through the bloom
+      assert(df.filter(col("idstr") === "t1_7").count() === 1L)
     } finally q.stop()
   }
 
