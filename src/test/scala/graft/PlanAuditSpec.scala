@@ -527,6 +527,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 2, s"corpus re-read regressed: $c")
   }
 
+  test("q_ann_incremental: maintained-index serve — codes scanned, queries broadcast, one top-k window") {
+    // the production serving shape: the corpus side is the CODES TABLE
+    // scan (raw vectors never stream through scoring); probed queries +
+    // LUT broadcast; exchanges are the top-k window + the output sort
+    val c = audited("q_ann_incremental")
+    assert(c.broadcasts >= 1, s"probed-query side must broadcast: $c")
+    assert(c.exchanges <= 3, s"maintained-serve exchange count drifted: $c")
+  }
+
+  test("q_ann_incremental_refine: candidates from the codes table; refine joins candidates only") {
+    // first stage reads the maintained codes; the refine stage joins
+    // the |q|·kCand candidate ids back against the raw corpus — probed
+    // queries AND candidates broadcast, raw never hash-shuffles
+    val c = audited("q_ann_incremental_refine")
+    assert(c.broadcasts >= 2, s"queries AND candidates must broadcast: $c")
+    assert(c.exchanges <= 4, s"maintained-refine exchange count drifted: $c")
+  }
+
   test("q_ann_pca: reduce map-only; candidate + rerank windows are the only exchanges") {
     val c = audited("q_ann_pca")
     // reduced queries, candidate list, and full query vectors all ride
