@@ -154,4 +154,117 @@ object StreamAnn {
       .select(col("query_id").as("qid"), col("neighbor_id").as("nid"))
     Similarity.refineTail(cand, n, queryIds, k)
   }
+
+  // ===== Index GENERATIONS: the re-training lifecycle ==================
+  //
+  // The streaming invariant only holds for FROZEN codebooks, so
+  // re-training is a batch act: build generation N+1 — codebooks + a
+  // freshly-encoded codes table — at its OWN directory, then move the
+  // generation pointer. Readers resolve the pointer first, so they see
+  // either generation N complete or generation N+1 complete, never a
+  // half-built index; superseded generations stay readable (audit /
+  // rollback) until deleted like a vacuum.
+
+  /** The generation-pointer file name, under the index root. */
+  val ActiveFile = "_ACTIVE"
+
+  /** Serialize the frozen codebooks beside their codes table — one csv,
+    * `kind,s,c,i,v` (kind 0 = coarse row c, kind 1 = subspace s's
+    * codeword c), values as Double.toString (shortest-repr round-trips
+    * exactly). The artifact IS the (codebooks, codes) pair: a consumer
+    * resolving a generation needs no session state. */
+  def writeArtifact(genDir: String,
+      coarse: IndexedSeq[IndexedSeq[Double]],
+      cbRes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]],
+      nBuckets: Int = 64): Unit = {
+    // kind 2 = table metadata (the codes table's bucket count — the
+    // layout is pinned at publish, so a resolver must reopen with it)
+    val lines = Seq("kind,s,c,i,v", s"2,0,0,0,$nBuckets") ++
+      coarse.zipWithIndex.flatMap { case (row, c) =>
+        row.zipWithIndex.map { case (v, i) => s"0,0,$c,$i,$v" } } ++
+      cbRes.zipWithIndex.flatMap { case (sub, s) =>
+        sub.zipWithIndex.flatMap { case (cw, c) =>
+          cw.zipWithIndex.map { case (v, i) => s"1,$s,$c,$i,$v" } } }
+    val dir = java.nio.file.Paths.get(genDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".codebooks", ".tmp")
+    java.nio.file.Files.write(tmp,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("codebooks.csv"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readArtifact(genDir: String): (IndexedSeq[IndexedSeq[Double]],
+      IndexedSeq[IndexedSeq[IndexedSeq[Double]]], Int) = {
+    import scala.jdk.CollectionConverters._
+    val rows = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(genDir, "codebooks.csv")).asScala
+      .drop(1).filter(_.nonEmpty)
+      .map { l =>
+        val p = l.split(',')
+        (p(0).toInt, p(1).toInt, p(2).toInt, p(3).toInt, p(4).toDouble)
+      }
+    val coarse = rows.filter(_._1 == 0).groupBy(_._3).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._4).map(_._5).toIndexedSeq).toIndexedSeq
+    val cbRes = rows.filter(_._1 == 1).groupBy(_._2).toSeq.sortBy(_._1)
+      .map(_._2.groupBy(_._3).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._4).map(_._5).toIndexedSeq).toIndexedSeq)
+      .toIndexedSeq
+    val nBuckets = rows.find(_._1 == 2).map(_._5.toInt).getOrElse(64)
+    (coarse, cbRes, nBuckets)
+  }
+
+  /** Atomically flip the active generation (tmp + ATOMIC_MOVE on the
+    * pointer file): the only mutation a rebuild publishes. */
+  def publishGeneration(root: String, gen: String): Unit = {
+    require(!gen.contains('\n') && gen.nonEmpty, s"bad generation name: $gen")
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".active", ".tmp")
+    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve(ActiveFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def activeGeneration(root: String): Option[String] = {
+    val f = java.nio.file.Paths.get(root, ActiveFile)
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim)
+  }
+
+  /** REBUILD: train fresh codebooks on the current corpus, bulk-encode
+    * into a NEW generation's codes table (a seed, not a merge — the
+    * rebuild is a batch act), persist the artifact, and flip the
+    * pointer. Returns the generation's resolved handles. The old
+    * generation's table and artifact are untouched. */
+  def rebuild(spark: SparkSession, root: String, gen: String,
+      corpus: DataFrame, id: String, vec: String, nlist: Int,
+      m: Int = 16, ksub: Int = 32, iters: Int = 2,
+      nBuckets: Int = 64): (Livestream.UpsertTable,
+        IndexedSeq[IndexedSeq[Double]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) = {
+    val genDir = s"$root/$gen"
+    val n = Similarity.normalized(corpus, id, vec)
+      .localCheckpoint(eager = false)
+    val (coarse, cbRes) = Similarity.trainAnnArtifact(n, nlist, m, ksub, iters)
+    writeArtifact(genDir, coarse, cbRes, nBuckets)
+    val t = table(spark, s"$genDir/codes", nBuckets)
+    t.seed(encodeRows(corpus, id, vec, coarse, cbRes))
+    publishGeneration(root, gen)
+    (t, coarse, cbRes)
+  }
+
+  /** Resolve the ACTIVE generation: (codes table, coarse, residual
+    * codebooks) — what a serving consumer opens. */
+  def openActive(spark: SparkSession, root: String):
+      (Livestream.UpsertTable, IndexedSeq[IndexedSeq[Double]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) = {
+    val gen = activeGeneration(root).getOrElse(
+      throw new IllegalStateException(
+        s"no active index generation under $root"))
+    val (coarse, cbRes, nBuckets) = readArtifact(s"$root/$gen")
+    (table(spark, s"$root/$gen/codes", nBuckets), coarse, cbRes)
+  }
 }

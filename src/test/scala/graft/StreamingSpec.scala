@@ -444,6 +444,45 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(v0(1L) === 0)
   }
 
+  test("StreamAnn generations: rebuild publishes atomically, readers flip, old gen intact") {
+    import graft.streaming.StreamAnn
+    import graft.operators.Similarity
+    val root = tmp("annroot")
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.tabulate(4)(j => math.sin(i * 1.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    // generation 0: trained, bulk-encoded, pointer published
+    val (t0, c0, r0) = StreamAnn.rebuild(spark, root, "gen0", corpus,
+      "vec_id", "embedding", nlist = 2, m = 2, ksub = 4, iters = 1,
+      nBuckets = 4)
+    assert(StreamAnn.activeGeneration(root) === Some("gen0"))
+    // a reader resolves the pointer: the artifact round-trips EXACTLY
+    // (Double.toString shortest-repr) and serving equals the inline
+    // batch pipeline over the same artifact
+    val (ta, ca, ra) = StreamAnn.openActive(spark, root)
+    assert(ca === c0 && ra === r0)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val served0 = rs(StreamAnn.serve(ta, corpus, "vec_id", "embedding",
+      ca, ra, Seq(0L, 1L), k = 3, nprobe = 2))
+    val n = Similarity.normalized(corpus, "vec_id", "embedding")
+    val want0 = rs(Similarity.adcServeCodes(
+      Similarity.encodeResidual(n, c0, r0), n, c0, r0, Seq(0L, 1L), 3, 2))
+    assert(served0 === want0 && served0.nonEmpty)
+    // REBUILD at different sizing: new generation, pointer flips
+    val (_, c1, _) = StreamAnn.rebuild(spark, root, "gen1", corpus,
+      "vec_id", "embedding", nlist = 4, m = 2, ksub = 4, iters = 1,
+      nBuckets = 4)
+    assert(StreamAnn.activeGeneration(root) === Some("gen1"))
+    assert(c0.length === 2 && c1.length === 4)
+    val (_, cb, _) = StreamAnn.openActive(spark, root)
+    assert(cb === c1)
+    // the superseded generation stays fully readable (rollback/audit)
+    val (cOld, rOld, nbOld) = StreamAnn.readArtifact(s"$root/gen0")
+    assert(cOld === c0 && rOld === r0 && nbOld === 4)
+    assert(StreamAnn.codes(t0).count() === 40)
+  }
+
   test("StreamModel: incrementally-maintained DSIR model equals the batch model; buckets sum across batches") {
     import graft.streaming.StreamModel
     import graft.operators.Importance
