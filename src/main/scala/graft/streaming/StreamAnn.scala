@@ -256,6 +256,24 @@ object StreamAnn {
     (t, coarse, cbRes)
   }
 
+  /** Delete a SUPERSEDED generation — codes table, artifact, directory
+    * — the vacuum of the generation lifecycle. Refuses the active
+    * generation (the pointer is the liveness authority: flip first,
+    * then reclaim). Missing directories are a no-op, like table
+    * vacuum's idempotence. */
+  def dropGeneration(root: String, gen: String): Unit = {
+    require(!activeGeneration(root).contains(gen),
+      s"generation '$gen' is ACTIVE under $root — publish another " +
+        "generation first, then reclaim this one")
+    val dir = java.nio.file.Paths.get(root, gen)
+    if (!java.nio.file.Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    val all = java.nio.file.Files.walk(dir)
+    try all.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally all.close()
+  }
+
   /** Resolve the ACTIVE generation: (codes table, coarse, residual
     * codebooks) — what a serving consumer opens. */
   def openActive(spark: SparkSession, root: String):

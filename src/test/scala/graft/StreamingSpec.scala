@@ -481,6 +481,16 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     val (cOld, rOld, nbOld) = StreamAnn.readArtifact(s"$root/gen0")
     assert(cOld === c0 && rOld === r0 && nbOld === 4)
     assert(StreamAnn.codes(t0).count() === 40)
+    // the ACTIVE generation cannot be dropped; a superseded one can,
+    // and the drop is idempotent
+    val e = intercept[IllegalArgumentException](
+      StreamAnn.dropGeneration(root, "gen1"))
+    assert(e.getMessage.contains("ACTIVE"))
+    StreamAnn.dropGeneration(root, "gen0")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "gen0")))
+    StreamAnn.dropGeneration(root, "gen0") // no-op
+    val (_, cStill, _) = StreamAnn.openActive(spark, root)
+    assert(cStill === c1)
   }
 
   test("StreamModel: incrementally-maintained DSIR model equals the batch model; buckets sum across batches") {
