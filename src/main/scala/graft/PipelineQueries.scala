@@ -2696,8 +2696,9 @@ object PipelineQueries {
          FROM sp CROSS JOIN hays GROUP BY doc, span_start)
        SELECT CAST(count(*) AS BIGINT) AS n_spans,
               CAST(count(*) FILTER (occ >= 2) AS BIGINT) AS n_verified,
-              CAST((count(*) FILTER (occ >= 2)) * 10000 // count(*) AS BIGINT)
-                AS precision_bp
+              CAST(CASE WHEN count(*) > 0 THEN
+                     (count(*) FILTER (occ >= 2)) * 10000 // count(*)
+                   END AS BIGINT) AS precision_bp
        FROM occ"""
 
   /** Scrub ground truth (detection CTEs + token-level mark/re-concat) —

@@ -372,9 +372,15 @@ object TextAnalysis {
       .groupBy("doc", "span_start")
       .agg(sum("c").cast("long").as("occ"))
     occ.agg(count(lit(1)).as("n_spans"),
-        sum(when(col("occ") >= 2L, 1L).otherwise(0L)).as("n_verified"))
+        // count, not sum: over ZERO rows sum is NULL while the oracle's
+        // `count(*) FILTER` is 0 — count matches on the empty edge
+        count(when(col("occ") >= 2L, lit(1))).as("n_verified"))
       .select(col("n_spans"), col("n_verified"),
-        expr("n_verified * 10000 div n_spans").as("precision_bp"))
+        // zero guard: a corpus with no reported spans has no defined
+        // precision — NULL on both engines (the unguarded div diverges:
+        // Spark NULL vs DuckDB's `// 0` error path)
+        when(col("n_spans") > 0L,
+          expr("n_verified * 10000 div n_spans")).as("precision_bp"))
   }
 
   /** One-pass document profile.

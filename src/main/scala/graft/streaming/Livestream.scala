@@ -295,14 +295,23 @@ object Livestream {
       val liveSet = live.toSet
       val existing = graft.sources.ZoneMap.read(path)
         .filter(s => liveSet.contains(s.file))
-      val covered = existing.map(_.file).toSet
-      val missing = live.filterNot(covered)
+      // coverage is per (file, col), not per file: a later refresh that
+      // WIDENS the column set must backfill stats for files already
+      // covered under the old set — else those files silently stay
+      // unprunable on the new column forever
+      val covered = existing.map(s => (s.file, s.col)).toSet
+      val missing = live.filter(f => cols.exists(c => !covered((f, c))))
+      val missingSet = missing.toSet
       val fresh =
         if (missing.isEmpty) Seq.empty
         else graft.sources.ZoneMap.fileStats(
           spark.read.option("basePath", path).schema(emptyLike.schema)
             .parquet(missing: _*), cols)
-      graft.sources.ZoneMap.write(path, existing ++ fresh)
+      // fresh recomputes ALL requested cols for the backfilled files —
+      // drop the superseded rows so (file, col) stays unique
+      val kept = existing.filterNot(s =>
+        missingSet(s.file) && cols.contains(s.col))
+      graft.sources.ZoneMap.write(path, kept ++ fresh)
     }
 
     /** Refresh the table's per-file BLOOM sidecar
@@ -322,14 +331,19 @@ object Livestream {
       val liveSet = live.toSet
       val existing = graft.sources.ZoneMap.readBloom(path)
         .filter(b => liveSet.contains(b.file) && b.mBits == mBits && b.k == k)
-      val covered = existing.map(_.file).toSet
-      val missing = live.filterNot(covered)
+      // per-(file, col) coverage, the refreshZoneMap contract: widening
+      // `cols` backfills blooms for already-covered files
+      val covered = existing.map(b => (b.file, b.col)).toSet
+      val missing = live.filter(f => cols.exists(c => !covered((f, c))))
+      val missingSet = missing.toSet
       val fresh =
         if (missing.isEmpty) Seq.empty
         else graft.sources.ZoneMap.fileBloomStats(
           spark.read.option("basePath", path).schema(emptyLike.schema)
             .parquet(missing: _*), cols, mBits, k)
-      graft.sources.ZoneMap.writeBloom(path, existing ++ fresh)
+      val kept = existing.filterNot(b =>
+        missingSet(b.file) && cols.contains(b.col))
+      graft.sources.ZoneMap.writeBloom(path, kept ++ fresh)
     }
 
     /** Range scan of the current version through the zone map: files

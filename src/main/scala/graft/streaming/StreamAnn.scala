@@ -168,6 +168,25 @@ object StreamAnn {
   /** The generation-pointer file name, under the index root. */
   val ActiveFile = "_ACTIVE"
 
+  /** Generation names are path SEGMENTS (the pointer file's content is
+    * joined under the index root), so they must not traverse:
+    * `dropGeneration(root, "../x")` would recursively delete OUTSIDE
+    * the root. Enforced at every entry point that turns a name into a
+    * path (publish, rebuild, drop) — a safe charset, no separators, and
+    * never the dot dirs. */
+  private def requireSafeGen(gen: String): Unit =
+    require(gen.matches("[A-Za-z0-9._-]+") && gen != "." && gen != "..",
+      s"generation name '$gen' must match [A-Za-z0-9._-]+ and not be " +
+        "'.'/'..' (names become path segments under the index root)")
+
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val all = java.nio.file.Files.walk(dir)
+    try all.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    finally all.close()
+  }
+
   /** Serialize the frozen codebooks beside their codes table — one csv,
     * `kind,s,c,i,v` (kind 0 = coarse row c, kind 1 = subspace s's
     * codeword c), values as Double.toString (shortest-repr round-trips
@@ -218,7 +237,7 @@ object StreamAnn {
   /** Atomically flip the active generation (tmp + ATOMIC_MOVE on the
     * pointer file): the only mutation a rebuild publishes. */
   def publishGeneration(root: String, gen: String): Unit = {
-    require(!gen.contains('\n') && gen.nonEmpty, s"bad generation name: $gen")
+    requireSafeGen(gen)
     val dir = java.nio.file.Paths.get(root)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, ".active", ".tmp")
@@ -238,14 +257,27 @@ object StreamAnn {
     * into a NEW generation's codes table (a seed, not a merge — the
     * rebuild is a batch act), persist the artifact, and flip the
     * pointer. Returns the generation's resolved handles. The old
-    * generation's table and artifact are untouched. */
+    * generation's table and artifact are untouched.
+    *
+    * CRASH-RETRYABLE: a prior rebuild of the same name that died before
+    * [[publishGeneration]] left a half-built generation directory — the
+    * pointer never flipped to it, so it is provably not serving anyone
+    * and is cleared here before re-seeding (a plain re-run completes
+    * the rebuild; no manual cleanup). Rebuilding INTO the active
+    * generation is refused: live readers hold its paths. */
   def rebuild(spark: SparkSession, root: String, gen: String,
       corpus: DataFrame, id: String, vec: String, nlist: Int,
       m: Int = 16, ksub: Int = 32, iters: Int = 2,
       nBuckets: Int = 64): (Livestream.UpsertTable,
         IndexedSeq[IndexedSeq[Double]],
         IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) = {
+    requireSafeGen(gen)
+    require(!activeGeneration(root).contains(gen),
+      s"generation '$gen' is ACTIVE under $root — a rebuild must target " +
+        "a fresh (or previously-crashed unpublished) generation name")
     val genDir = s"$root/$gen"
+    val stale = java.nio.file.Paths.get(genDir)
+    if (java.nio.file.Files.exists(stale)) deleteTree(stale)
     val n = Similarity.normalized(corpus, id, vec)
       .localCheckpoint(eager = false)
     val (coarse, cbRes) = Similarity.trainAnnArtifact(n, nlist, m, ksub, iters)
@@ -262,16 +294,13 @@ object StreamAnn {
     * then reclaim). Missing directories are a no-op, like table
     * vacuum's idempotence. */
   def dropGeneration(root: String, gen: String): Unit = {
+    requireSafeGen(gen)
     require(!activeGeneration(root).contains(gen),
       s"generation '$gen' is ACTIVE under $root — publish another " +
         "generation first, then reclaim this one")
     val dir = java.nio.file.Paths.get(root, gen)
     if (!java.nio.file.Files.exists(dir)) return
-    import scala.jdk.CollectionConverters._
-    val all = java.nio.file.Files.walk(dir)
-    try all.sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.delete)
-    finally all.close()
+    deleteTree(dir)
   }
 
   /** Resolve the ACTIVE generation: (codes table, coarse, residual

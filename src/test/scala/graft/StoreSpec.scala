@@ -347,6 +347,43 @@ class StoreSpec extends AnyFunSuite {
       .head().getAs[String]("body") === "edited")
   }
 
+  test("sidecar refresh tracks coverage per (file, col): widening the column set backfills") {
+    import graft.operators.Merge
+    import graft.streaming.Livestream
+    val rows = (0 until 64).map { i =>
+      C(i.toLong, s"t1_$i", i.toLong, s"u${i % 8}", "p", "s", s"b$i",
+        (i * 7L) % 64, "sub", null, 2L)
+    }
+    val dir = tmp("widen")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    table.seed(rows.toDF())
+    // first refresh covers only `created`
+    table.refreshZoneMap(Seq("created"))
+    table.refreshBloom(Seq("created"), mBits = 1024, k = 2)
+    val files = table.current.inputFiles.toSet
+    def zmCols = graft.sources.ZoneMap.read(dir).groupBy(_.col)
+      .view.mapValues(_.map(_.file).toSet).toMap
+    def blCols = graft.sources.ZoneMap.readBloom(dir).groupBy(_.col)
+      .view.mapValues(_.map(_.file).toSet).toMap
+    assert(zmCols.keySet === Set("created") && zmCols("created") === files)
+    // a later refresh WIDENS the column set: the already-covered files
+    // must backfill rows for the new columns (the old per-file coverage
+    // rule left them unprunable on `score`/`author` forever)
+    table.refreshZoneMap(Seq("created", "score"))
+    table.refreshBloom(Seq("created", "author"), mBits = 1024, k = 2)
+    assert(zmCols.keySet === Set("created", "score"))
+    assert(zmCols("score") === files, "widened zone-map column not backfilled")
+    assert(blCols.keySet === Set("created", "author"))
+    assert(blCols("author") === files, "widened bloom column not backfilled")
+    // (file, col) rows stay unique — no duplicate stats after backfill
+    val zm = graft.sources.ZoneMap.read(dir)
+    assert(zm.map(s => (s.file, s.col)).distinct.size === zm.size)
+    val bl = graft.sources.ZoneMap.readBloom(dir)
+    assert(bl.map(b => (b.file, b.col)).distinct.size === bl.size)
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact THROUGH the join") {
     val dir = tmp("dpp")
     // fact partitioned by target (20 partitions), dim filtered to one

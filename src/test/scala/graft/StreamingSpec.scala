@@ -493,6 +493,43 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(cStill === c1)
   }
 
+  test("StreamAnn generations: traversal-unsafe names rejected; crashed rebuild is retryable") {
+    import graft.streaming.StreamAnn
+    val root = tmp("annsafe")
+    val corpus = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(j => math.cos(i * 1.3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    // generation names become path segments: separators and dot dirs
+    // must be refused at EVERY entry point (a "../x" drop would delete
+    // outside the index root)
+    for (bad <- Seq("../x", "a/b", "..", ".", "", "a\nb")) {
+      intercept[IllegalArgumentException](StreamAnn.publishGeneration(root, bad))
+      intercept[IllegalArgumentException](StreamAnn.dropGeneration(root, bad))
+      intercept[IllegalArgumentException](StreamAnn.rebuild(spark, root, bad,
+        corpus, "vec_id", "embedding", nlist = 2, m = 2, ksub = 4,
+        iters = 1, nBuckets = 2))
+    }
+    // crash-retry: simulate a rebuild that died between seed and
+    // publish — a half-built gen dir exists, the pointer never flipped
+    StreamAnn.rebuild(spark, root, "gen0", corpus, "vec_id", "embedding",
+      nlist = 2, m = 2, ksub = 4, iters = 1, nBuckets = 2)
+    val halfDir = java.nio.file.Paths.get(root, "gen1", "codes")
+    java.nio.file.Files.createDirectories(halfDir)
+    java.nio.file.Files.write(halfDir.resolve("_VERSION"), "0".getBytes)
+    // re-running the SAME rebuild completes instead of throwing from
+    // seed ("already has published versions")
+    val (t1, _, _) = StreamAnn.rebuild(spark, root, "gen1", corpus,
+      "vec_id", "embedding", nlist = 2, m = 2, ksub = 4, iters = 1,
+      nBuckets = 2)
+    assert(StreamAnn.activeGeneration(root) === Some("gen1"))
+    assert(StreamAnn.codes(t1).count() === 20)
+    // the ACTIVE generation refuses a rebuild (live readers hold it)
+    val e = intercept[IllegalArgumentException](StreamAnn.rebuild(spark,
+      root, "gen1", corpus, "vec_id", "embedding", nlist = 2, m = 2,
+      ksub = 4, iters = 1, nBuckets = 2))
+    assert(e.getMessage.contains("ACTIVE"))
+  }
+
   test("StreamModel: incrementally-maintained DSIR model equals the batch model; buckets sum across batches") {
     import graft.streaming.StreamModel
     import graft.operators.Importance

@@ -1049,6 +1049,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(total === 3L * sign("alpha") + sign("beta"))
   }
 
+  test("duplicatedSpansEval: no reported spans → NULL precision (zero-division guard)") {
+    // a corpus with no repeated L-grams reports zero spans; precision is
+    // UNDEFINED there, not 0 and not a crash — NULL on both engines
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.duplicatedSpansEval(docs, "doc_id", "text", L = 8).head()
+    assert(r.getAs[Long]("n_spans") === 0L)
+    assert(r.getAs[Long]("n_verified") === 0L)
+    assert(r.isNullAt(r.fieldIndex("precision_bp")))
+  }
+
   test("Guard.domainBounded: over-bound frames fail the JOB loudly; in-bound pass through") {
     import graft.operators.Guard
     // in-bound: rows pass through unchanged
