@@ -425,6 +425,180 @@ object Livestream {
         .drop("ev")
     }
 
+    // ==== takedown / right-to-erasure ===================================
+
+    private def keyName: String = emptyLike.schema.fieldNames
+      .find(_.equalsIgnoreCase(Merge.KeyCol)).get
+
+    /** `keys` as a one-column frame carrying the merge key. */
+    private def keysFrame(keys: Seq[String]): DataFrame = {
+      import spark.implicits._
+      keys.toDF(keyName)
+    }
+
+    /** TAKEDOWN: hard-delete keys from the table — publish version N+1
+      * whose snapshot no longer carries them. The one legally-mandatory
+      * operator of an LLM training-data pipeline (takedown requests,
+      * opt-outs, right-to-erasure): the merge layer's tombstones model
+      * the reference's `[deleted]` TEXT semantics (Merge.keepExistingText)
+      * but deliberately keep the row; this removes it.
+      *
+      * PRUNED like a merge: the partition expression is key-stable, so a
+      * key's rows can only live in the bucket the expression maps it to —
+      * the rewrite reads and rewrites ONLY buckets that actually hold
+      * purged rows (≤ |keys|), never the table; a takedown of K documents
+      * against a 100 TB store costs K bucket rewrites. A bucket whose
+      * every row is purged DROPS from the manifest entirely. After the
+      * publish, `changes(N, N+1)` classifies each purged key as `delete`,
+      * so downstream IVM views (cdcApply / cdcApplyMinMax / cdcApplyJoin)
+      * retire the rows through their existing delete algebra — the purge
+      * propagates to consumers as ordinary CDC.
+      *
+      * This removes keys from the CURRENT snapshot only: superseded
+      * versions still hold the bytes (time travel) and the CDC log may
+      * quote purged text — [[purge]] composes the full erasure act.
+      *
+      * `keysDf` must carry the merge key column plus whatever other
+      * columns the partitioning expression reads (the default
+      * [[Livestream.keyBucket]] reads only the key; an expression over a
+      * missing column fails analysis LOUDLY rather than scanning wrong
+      * buckets). The request is takedown-sized by contract — it rides a
+      * broadcast.
+      *
+      * @return number of rows removed; 0 ⇒ nothing published (idempotent:
+      *         re-purging the same keys is a no-op). */
+    def purgeKeys(keysDf: DataFrame): Long = {
+      validatePartitioning()
+      if (currentVersion < 0) return 0L
+      val key = keyName
+      val keys = keysDf.select(col(key).as("_pk"))
+        .filter(col("_pk").isNotNull).distinct()
+        .localCheckpoint(false)
+      val next = currentVersion + 1
+      partitioning match {
+        case None =>
+          val cur = at(currentVersion)
+          val nPurged = cur
+            .join(broadcast(keys), col(key) === col("_pk"), "left_semi")
+            .count()
+          if (nPurged == 0L) return 0L
+          val remaining = cur
+            .join(broadcast(keys), col(key) === col("_pk"), "left_anti")
+          val out = outputPartitions.map(remaining.coalesce).getOrElse(remaining)
+          out.write.mode("overwrite").parquet(s"$path/v=$next")
+          publishAndPin(next)
+          nPurged
+        case Some(pexpr) =>
+          val prev = manifest(currentVersion)
+          // candidate buckets from the keys frame through the SAME
+          // key-stable partition expression the merges use
+          val cand = keysDf.select(ptCol(pexpr).as(PartCol))
+            .agg(collect_set(col(PartCol))).head().getSeq[String](0)
+            .map(ExternalCatalogUtils.escapePathName).toSet
+            .filter(prev.contains)
+          if (cand.isEmpty) return 0L
+          // buckets that actually HOLD purged rows + the purge count —
+          // one driver-side aggregate bounded by |candidate buckets|
+          val hits = readParts(prev.view.filterKeys(cand).toMap)
+            .join(broadcast(keys), col(key) === col("_pk"), "left_semi")
+            .select(ptCol(pexpr).as(PartCol))
+            .groupBy(PartCol).count().collect()
+          if (hits.isEmpty) return 0L
+          val nPurged = hits.map(_.getLong(1)).sum
+          val touched = hits
+            .map(r => ExternalCatalogUtils.escapePathName(r.getString(0)))
+            .toSet
+          val remaining = readParts(prev.view.filterKeys(touched).toMap)
+            .join(broadcast(keys), col(key) === col("_pk"), "left_anti")
+          alignToBuckets(remaining.withColumn(PartCol, ptCol(pexpr)))
+            .write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$path/v=$next")
+          // a fully-purged bucket writes no leaf — it DROPS from the
+          // manifest (unlike merge, where touched buckets always carry)
+          val written = touched.filter(pt => Files.exists(leaf(next, pt)))
+          writeManifest(next, (prev -- touched) ++ written.map(_ -> next))
+          publishAndPin(next)
+          nPurged
+      }
+    }
+
+    /** Scrub the CDC log of the purged keys: every `edits/ev=K` batch
+      * dir holding a purged key's rows is rewritten without them. The
+      * log is otherwise append-only permanent history (tsdb.py:88-99 —
+      * [[vacuum]] never touches it); erasure is the ONE contract that
+      * overrides permanence, because an edit row quotes the document's
+      * previous text byte-for-byte.
+      *
+      * Each affected dir rewrites through a staging dir + rename; a
+      * crash between delete and rename loses that batch's REMAINING
+      * edit rows — the safe failure direction for an erasure act (never
+      * retains purged bytes). A batch dir whose every row is purged is
+      * deleted outright. Returns rows removed; idempotent. */
+    def purgeEdits(keysDf: DataFrame): Long = {
+      val key = keyName
+      val d = Paths.get(path, "edits")
+      if (!Files.exists(d)) return 0L
+      val hasFiles = {
+        val s = Files.walk(d)
+        try s.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      if (!hasFiles) return 0L
+      val keys = keysDf.select(col(key).as("_pk"))
+        .filter(col("_pk").isNotNull).distinct()
+        .localCheckpoint(false)
+      val hit = spark.read.parquet(s"$path/edits")
+        .join(broadcast(keys), col(key) === col("_pk"), "left_semi")
+        .groupBy("ev").count().collect()
+      var removed = 0L
+      hit.foreach { r =>
+        val ev = r.get(0)
+        removed += r.getLong(1)
+        val src = Paths.get(path, "edits", s"ev=$ev")
+        val kept = spark.read.parquet(src.toString)
+          .join(broadcast(keys), col(key) === col("_pk"), "left_anti")
+        if (kept.isEmpty) {
+          deleteDirTree(src)
+        } else {
+          // stage ≠ src, so the rewrite reads the intact source; the
+          // source dir dies only after the staging write committed
+          val stage = Paths.get(path, s"_edits_stage_ev_$ev")
+          if (Files.exists(stage)) deleteDirTree(stage)
+          val out = outputPartitions.map(kept.coalesce).getOrElse(kept)
+          out.write.mode("overwrite").parquet(stage.toString)
+          deleteDirTree(src)
+          Files.move(stage, src)
+        }
+      }
+      removed
+    }
+
+    private def deleteDirTree(d: java.nio.file.Path): Unit = {
+      val files = Files.walk(d)
+      try files.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally files.close()
+    }
+
+    /** The FULL right-to-erasure act: [[purgeKeys]] removes the keys
+      * from the served snapshot; with `eraseHistory` (the default — for
+      * a takedown, erasure is the point) the superseded versions'
+      * bytes are reclaimed ([[vacuum]] to the purged version alone) and
+      * the CDC log stops quoting the purged text ([[purgeEdits]]).
+      *
+      * After erasure, time travel ends at the purge and
+      * `changes(olderV, …)` throws (the missing base is the erasure
+      * working): IVM consumers must consume `changes(N, N+1)` — where
+      * every purged key reads as `delete` — BETWEEN purgeKeys and the
+      * erasure, or run `purge(keys, eraseHistory = false)` and erase
+      * after the consumers catch up. Idempotent end to end. */
+    def purge(keys: Seq[String], eraseHistory: Boolean = true): Long = {
+      val kf = keysFrame(keys)
+      val n = purgeKeys(kf)
+      if (eraseHistory) { vacuum(keep = 1); purgeEdits(kf) }
+      n
+    }
+
     /** Drop data no kept version references. Unpartitioned: version dirs
       * older than the `keep` most recent. Partitioned: a LEAF dir
       * `v=K/pt=X` survives as long as any kept manifest still points at it
@@ -457,8 +631,12 @@ object Livestream {
             .filter(_.getFileName.toString.drop(2).toLong < cutoff)
             .foreach(deleteTree)
         case Some(_) =>
+          // .toSeq BEFORE the map: mapping the manifest Map directly
+          // would re-key by VERSION and collapse every set of buckets
+          // carried at the same version down to one survivor — vacuum
+          // would then delete live carried leaves
           val live: Set[(Long, String)] = (cutoff to cur).flatMap { v =>
-            manifest(v).map { case (pt, mv) => (mv, pt) }
+            manifest(v).toSeq.map { case (pt, mv) => (mv, pt) }
           }.toSet
           versionDirs().foreach { vd =>
             val v = vd.getFileName.toString.drop(2).toLong

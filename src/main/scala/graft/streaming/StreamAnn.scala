@@ -110,6 +110,31 @@ object StreamAnn {
         finally rows.unpersist()
       }
 
+  /** TAKEDOWN propagation into the maintained index: hard-remove
+    * vectors from the codes table — the purge rewrites only the key
+    * buckets the vids hash into ([[Livestream.UpsertTable.purge]]), so
+    * a takedown of K documents against a multi-TB codes table costs K
+    * bucket rewrites, and [[serve]]/[[serveRefine]] stop returning the
+    * vids at the next read (they serve the current version). With
+    * `eraseHistory` the superseded versions' code bytes are reclaimed
+    * too (right-to-erasure: the codes are derived FROM the purged
+    * content and must go with it).
+    *
+    * The same call shape covers every replace-by-doc maintained
+    * artifact — cluster assignments ([[StreamClusters]]), BM25 postings
+    * rows ([[StreamIndex]]), LSH band state ([[StreamLsh]]): they all
+    * store one row per doc in an [[Livestream.UpsertTable]], so
+    * `table.purge(docIds)` is the uniform takedown entry point across
+    * the maintained-artifact fleet. Counter-type artifacts
+    * ([[StreamNb]], [[StreamSketch]]) are additive aggregates, not
+    * per-doc rows — a purged doc's contribution retires through their
+    * CDC delete folds, not a row purge.
+    *
+    * @return rows removed (0 ⇒ vid absent; idempotent). */
+  def purge(table: Livestream.UpsertTable, vids: Seq[Long],
+      eraseHistory: Boolean = true): Long =
+    table.purge(vids.map(_.toString), eraseHistory)
+
   /** The codes VIEW of the maintained table at `version` (default: the
     * current one): (vid, cid, codes) — the frame the ADC tail scores.
     * Time travel: pass an older version to serve the historical index. */

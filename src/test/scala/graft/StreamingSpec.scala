@@ -530,6 +530,116 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(e.getMessage.contains("ACTIVE"))
   }
 
+  test("purgeKeys takedown: pruned bucket rewrite, CDC deletes, empty-bucket manifest drop, erasure, idempotence") {
+    val dir = tmp("purge")
+    val nB = 8
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = nB)))
+    val rows = (0 until 64).map(i => c(i.toLong, s"b$i", i.toLong))
+    table.seed(rows.toDF())                                          // v0
+    // a CDC-on merge so the edits log quotes text for later-purged keys
+    table.merge(rows.take(16).map(r => r.copy(body = r.body + "-v2"))
+      .toDF().withColumn("_seq", lit(0L)), "_seq")                   // v1
+    val filesBefore = table.current.inputFiles.toSet
+    val purged = Seq("t1_3", "t1_7", "t1_11")
+    val n = table.purgeKeys(purged.toDF("idstr"))                    // v2
+    assert(n === 3L)
+    assert(table.currentVersion === 2L)
+    assert(table.current.filter(col("idstr").isin(purged: _*)).count() === 0L)
+    assert(table.current.count() === 61L)
+    // pruned rewrite: only the purged keys' buckets got new files;
+    // every other bucket is carried BY REFERENCE (same physical files)
+    val touchedBuckets = purged
+      .map(k => Livestream.keyBucketValue(k, nB)).toSet
+    val newFiles = table.current.inputFiles.toSet -- filesBefore
+    assert(newFiles.size <= touchedBuckets.size,
+      s"rewrote ${newFiles.size} files for ${touchedBuckets.size} buckets")
+    assert((filesBefore & table.current.inputFiles.toSet).nonEmpty,
+      "untouched buckets were rewritten instead of carried")
+    // the purge reads as ordinary CDC: every purged key is a `delete`
+    val ch = table.changes(1L, 2L).select("kind", "idstr").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(ch.toSet === purged.map("delete" -> _).toSet)
+    // idempotent: re-purging finds nothing and publishes nothing
+    assert(table.purgeKeys(purged.toDF("idstr")) === 0L)
+    assert(table.currentVersion === 2L)
+    // purging EVERY remaining key of one bucket drops the bucket from
+    // the manifest entirely
+    val b0Keys = (0 until 64).map(i => s"t1_$i")
+      .filter(k => Livestream.keyBucketValue(k, nB) == 0L)
+      .filterNot(purged.contains)
+    assert(b0Keys.nonEmpty)
+    assert(table.purgeKeys(b0Keys.toDF("idstr")) === b0Keys.size.toLong)
+    assert(!table.manifest(table.currentVersion).contains("0"),
+      "fully-purged bucket still in the manifest")
+    assert(table.current.count() === 61L - b0Keys.size)
+    // FULL erasure: history becomes unreadable and the CDC log stops
+    // quoting the purged keys' previous text
+    assert(table.edits.filter(col("idstr") === "t1_1").count() === 1L)
+    val n2 = table.purge(Seq("t1_1", "t1_2"), eraseHistory = true)
+    assert(n2 === 2L)
+    assert(!table.versionAvailable(0L) && !table.versionAvailable(1L))
+    intercept[IllegalArgumentException](table.changes(0L, table.currentVersion))
+    assert(table.edits.filter(col("idstr").isin("t1_1", "t1_2")).count() === 0L)
+    // non-purged edit rows survive the scrub
+    assert(table.edits.count() > 0L)
+    // the purged keys' bytes are gone from every surviving data file
+    val leftover = spark.read.parquet(table.current.inputFiles: _*)
+      .filter(col("idstr").isin("t1_1", "t1_2", "t1_3")).count()
+    assert(leftover === 0L)
+    // end-to-end idempotence of the composed act
+    assert(table.purge(Seq("t1_1", "t1_2"), eraseHistory = true) === 0L)
+  }
+
+  test("takedown propagates uniformly through the maintained artifacts (codes, assignments, postings, LSH state)") {
+    import graft.streaming.{StreamAnn, StreamClusters, StreamIndex, StreamLsh}
+    import graft.operators.Similarity
+    // ANN codes table (array<int> payload through the pruned rewrite)
+    val vecs = (0L until 12L).map(i =>
+      (i, Seq.tabulate(4)(j => math.sin(i * 1.1 + j)))).toDF("vec_id", "embedding")
+    val nrm = Similarity.normalized(vecs, "vec_id", "embedding")
+    val (coarse, cbRes) = Similarity.trainAnnArtifact(nrm, nlist = 2,
+      m = 2, ksub = 4, iters = 1)
+    val annT = StreamAnn.table(spark, tmp("pg_ann"), nBuckets = 4)
+    annT.seed(StreamAnn.encodeRows(vecs, "vec_id", "embedding", coarse, cbRes))
+    assert(StreamAnn.purge(annT, Seq(5L)) === 1L)
+    assert(StreamAnn.codes(annT).filter(col("vid") === 5L).count() === 0L)
+    assert(StreamAnn.codes(annT).count() === 11L)
+    // serving never returns the purged vid again
+    val served = StreamAnn.serve(annT, vecs, "vec_id", "embedding",
+      coarse, cbRes, queryIds = Seq(0L, 1L), k = 11, nprobe = 2)
+    assert(served.filter(col("neighbor_id") === 5L).count() === 0L)
+    // cluster assignments
+    val cb = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val clT = StreamClusters.table(spark, tmp("pg_cl"), nBuckets = 4)
+    clT.seed(StreamClusters.assignRows(vecs, "vec_id", "embedding", cb))
+    assert(clT.purge(Seq("5")) === 1L)
+    assert(StreamClusters.assignments(clT).filter(col("doc") === "5").count() === 0L)
+    assert(StreamClusters.assignments(clT).count() === 11L)
+    // BM25 postings (map<string,long> payload): rows built by hand —
+    // purge is indifferent to how rows arrived
+    val ixT = StreamIndex.table(spark, tmp("pg_ix"), nBuckets = 4)
+    ixT.seed(Seq(("1", "a b a"), ("2", "b c"), ("3", "a c"))
+      .toDF("idstr", "t")
+      .select(col("idstr"), lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("body"),
+        map(lit("tok"), length(col("t")).cast("long")).as("toks")))
+    assert(ixT.purge(Seq("2")) === 1L)
+    assert(StreamIndex.postings(ixT).filter(col("doc") === "2").count() === 0L)
+    assert(StreamIndex.postings(ixT).select("doc").distinct().count() === 2L)
+    // LSH band state (two array payloads)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow now")).toDF("doc_id", "text")
+    val lshT = StreamLsh.table(spark, tmp("pg_lsh"), nBuckets = 4)
+    lshT.seed(graft.streaming.StreamLsh.lshRows(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4))
+    assert(lshT.purge(Seq("3")) === 1L)
+    assert(StreamLsh.state(lshT).filter(col("doc") === "3").count() === 0L)
+    assert(StreamLsh.state(lshT).count() === 2L)
+  }
+
   test("StreamModel: incrementally-maintained DSIR model equals the batch model; buckets sum across batches") {
     import graft.streaming.StreamModel
     import graft.operators.Importance
