@@ -1873,6 +1873,41 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // TAKEDOWN end-to-end on the maintained ANN index — the
+    // right-to-erasure act an LLM training-data pipeline is legally
+    // required to implement, run for real in the timed body: a fresh
+    // codes table is built against q_ann_ivfpq_rtrained's frozen
+    // trained artifact, a deterministic vid set is HARD-PURGED
+    // (pruned bucket rewrite + history vacuum — superseded code bytes
+    // actually reclaimed), and serving reads the post-purge table
+    // through the verbatim ADC tail. Gate: the batch rtrained pipeline
+    // with the purged vids removed from the served candidates ONLY
+    // (codebooks trained on the FULL corpus — a takedown does not
+    // retrain the frozen artifact; per-candidate ADC scores are
+    // independent, so candidate removal is exactly table absence). A
+    // purged vid still serving, or any non-purged rank disturbed,
+    // hash-mismatches.
+    "q_takedown" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (nlist, nprobe) = Similarity.ivfTune(embCount(s, dir))
+      val n = Similarity.normalized(emb, "vec_id", "embedding")
+      val (coarse, cbRes) = Similarity.trainAnnArtifact(n, nlist,
+        m = 16, ksub = 32, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_takedown")
+      deleteOnExit(tmp)
+      val table = StreamAnn.table(s, tmp.resolve("tbl").toString, nBuckets = 16)
+      table.seed(StreamAnn.encodeRows(emb, "vec_id", "embedding", coarse, cbRes))
+      // the takedown request: driver-side vid list (requests are
+      // request-sized by contract); queries 0..7 stay out of it
+      val vids = emb.select("vec_id")
+        .filter(col("vec_id") % 7 === 3 && col("vec_id") >= 8)
+        .collect().map(_.getLong(0)).toSeq
+      StreamAnn.purge(table, vids)
+      StreamAnn.serve(table, emb, "vec_id", "embedding", coarse, cbRes,
+          queryIds = (0L to 7L), k = 10, nprobe = nprobe)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVFPQ + REFINE (Faiss "IVFPQ,RFlat"): the trained-residual first
     // stage over-fetches 30 ADC candidates, and only those pairs are
     // re-scored with the exact cosine from the raw vectors — the
@@ -3522,6 +3557,25 @@ object PipelineQueries {
   private val ivfpqRefineOracle =
     ivfpqResHead + ivfpqTrainedRcb(iters = 2) + ivfpqResScFrom("nn0") +
       ivfpqRefineTail("nn0", kCand = 30)
+
+  /** TAKEDOWN oracle: the VERBATIM rtrained chain (training on the full
+    * corpus — the frozen artifact does not retrain on takedown) with the
+    * purged vids removed from the scored candidates before the rank.
+    * Per-candidate ADC scores are independent of other candidates, so
+    * filtering `rscores` is EXACTLY what absence from the codes table
+    * serves — the only diff the gate tolerates. */
+  private val takedownOracle =
+    ivfpqResHead + ivfpqTrainedRcb(iters = 2) + ivfpqResScFrom("nn0") +
+      """,
+       kept AS (SELECT * FROM rscores
+                WHERE NOT (nid % 7 = 3 AND nid >= 8))
+       SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+              nid AS neighbor_id, adc_bp
+       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY adc_bp DESC, nid ASC) AS rn
+             FROM kept)
+       WHERE rn <= 10
+       ORDER BY query_id, rank"""
 
   /** OPQ+IVF+PQ — the complete Faiss index-string composition: the
     * rotation fixture + rotated corpus `rr`, then the SAME coarse/
@@ -5267,6 +5321,11 @@ object PipelineQueries {
     // provenance is the entire diff: maintained codes table vs inline
     // encode; the refine tail is shared code)
     "q_ann_incremental_refine" -> ivfpqRefineOracle,
+
+    // post-purge serving == the batch pipeline minus the purged vids
+    // (the shared rtrained chain + one candidate filter — takedown's
+    // entire observable effect)
+    "q_takedown" -> takedownOracle,
 
     // SQ8 replay: per-dim [min,max] -> affine 256-level codes ->
     // (code+0.5) dequant -> asymmetric dot -> rank. Lambda index i is
