@@ -299,6 +299,23 @@ object PipelineQueries {
       table
     })
 
+  /** The q_langid planted multilingual corpus: printable-ASCII text
+    * (the t64 scrub) put through a PER-LANGUAGE character permutation
+    * keyed by the real `lang` label — the documents text itself is
+    * language-neutral (one shared vocabulary), so the permutations are
+    * what give each label a distinct char-trigram distribution. Both
+    * engines synthesize it relationally (`translate` has identical
+    * semantics in Spark and DuckDB) — no fixture file. */
+  private def langidPlanted(docs: DataFrame): DataFrame = {
+    val t = regexp_replace(col("text"), "[^ -~]", "")
+    docs.select(col("doc_id"), col("lang"),
+      when(col("lang") === "es", translate(t, "aeiou", "eioua"))
+        .when(col("lang") === "de", translate(t, "aeiou", "uoiea"))
+        .when(col("lang") === "fr", translate(t, "nrst", "rstn"))
+        .when(col("lang") === "zh", translate(t, "aeiou", "iouae"))
+        .otherwise(t).as("text"))
+  }
+
   private val builtMomentTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -1962,6 +1979,30 @@ object PipelineQueries {
       TextAnalysis.chunk(Tables.load(s, dir, "documents"),
           "doc_id", "text", window = 16, stride = 8)
         .orderBy("doc", "chunk_idx")
+    }),
+
+    // LANGUAGE IDENTIFICATION — the CCNet-shape FIRST filter of a
+    // multilingual crawl pipeline (langid precedes every quality/dedup
+    // stage): char-trigram integer profiles trained per language on a
+    // PLANTED multilingual corpus (per-language character permutations
+    // of the documents text keyed by the real `lang` labels — the base
+    // text is language-neutral, so the transform is what MAKES the
+    // trigram distributions distinct and the task non-vacuous), then
+    // held-out docs (doc_id % 5 = 0) classified by integer dot-score
+    // against the broadcast profiles. Output (doc, true, pred, score)
+    // — the confusion surface, hash-gated: the oracle re-trains and
+    // re-classifies relationally, so a drift in trigram extraction,
+    // rank weighting, or the argmax tiebreak mismatches.
+    "q_langid" -> ((s, dir) => {
+      val planted = langidPlanted(Tables.load(s, dir, "documents"))
+      val test = planted.filter(col("doc_id") % 5 === 0)
+      val profiles = TextAnalysis.trigramProfiles(
+        planted.filter(col("doc_id") % 5 =!= 0), "lang", "text", k = 64)
+      TextAnalysis.langidByProfiles(test, "doc_id", "text", profiles)
+        .join(test.select(col("doc_id"), col("lang").as("lang_true")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"), col("score"))
+        .orderBy("doc_id")
     }),
 
     // Text analysis: token counts, quality, language-ID, fingerprint.
@@ -4139,6 +4180,50 @@ object PipelineQueries {
     "q_nb_incremental" -> nbOracle,
 
     "q_naive_bayes" -> nbOracle,
+
+    // langid: full relational replay — plant the per-language
+    // permutations, re-train the trigram rank profiles on the train
+    // split, re-classify the held-out split, same integer weights and
+    // (score DESC, lang ASC) argmax. score = Σ w over OCCURRENCES on
+    // the engine ≡ Σ count·w here — identical integer sums.
+    "q_langid" ->
+      """WITH planted AS (
+           SELECT doc_id, lang,
+                  CASE lang
+                    WHEN 'es' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'eioua')
+                    WHEN 'de' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'uoiea')
+                    WHEN 'fr' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'nrst', 'rstn')
+                    WHEN 'zh' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'iouae')
+                    ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS text
+           FROM documents),
+         train AS (SELECT * FROM planted WHERE doc_id % 5 != 0),
+         test AS (SELECT * FROM planted WHERE doc_id % 5 = 0),
+         tg AS (SELECT lang, substring(lt, i, 3) AS gram
+                FROM (SELECT lang, lower(text) AS lt,
+                             unnest(range(1, greatest(length(text) - 1, 1))) AS i
+                      FROM train) t),
+         cnt AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+         prof AS (
+           SELECT lang, gram, CAST(65 - rn AS BIGINT) AS w FROM (
+             SELECT lang, gram,
+                    row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rn
+             FROM cnt) r
+           WHERE rn <= 64),
+         dtg AS (SELECT doc_id, substring(lt, i, 3) AS gram
+                 FROM (SELECT doc_id, lower(text) AS lt,
+                              unnest(range(1, greatest(length(text) - 1, 1))) AS i
+                       FROM test) t),
+         sc AS (SELECT d.doc_id, p.lang, CAST(sum(p.w) AS BIGINT) AS score
+                FROM dtg d JOIN prof p ON p.gram = d.gram GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang AS lang_pred, score FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn FROM sc) b
+                  WHERE rn = 1)
+         SELECT t.doc_id, t.lang AS lang_true,
+                coalesce(b.lang_pred, 'und') AS lang_pred,
+                coalesce(b.score, 0) AS score
+         FROM test t LEFT JOIN best b USING (doc_id)
+         ORDER BY t.doc_id""",
 
 
     "q_spell_correct" ->

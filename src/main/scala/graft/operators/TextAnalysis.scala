@@ -82,6 +82,73 @@ object TextAnalysis {
     when(nWinners === 1, coalesce(winners: _*)).otherwise(lit("und"))
   }
 
+  /** Character trigrams of lowercased text as an array — the langid
+    * feature unit (Cavnar & Trenkle n-gram profiles / the CCNet-shape
+    * classifier's char n-grams). Guarded against sub-3-char inputs:
+    * Spark's `sequence(1, 0)` DESCENDS, so the range is gated. */
+  def charTrigrams(c: Column): Column = {
+    val lc = lower(c)
+    when(length(lc) >= 3,
+      transform(sequence(lit(1), length(lc) - 2),
+        i => lc.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train integer char-trigram language profiles from a labeled corpus
+    * — the model half of the CCNet-shape FIRST filter every multilingual
+    * crawl pipeline applies before any quality/dedup stage: per
+    * language, the top-`k` trigrams by (count DESC, gram ASC) with
+    * rank-based integer weights (rank 1 → k, rank k → 1; the Cavnar &
+    * Trenkle rank-profile device made integer-deterministic). Output:
+    * (lang, gram, w) — k·|languages| rows, a codebook-sized broadcast
+    * artifact.
+    *
+    * Scale: one shuffle on (lang, gram) for the counts; the rank window
+    * partitions by language over ≤ |grams(lang)| rows. Training reads
+    * the corpus once. */
+  def trigramProfiles(train: DataFrame, lang: String, text: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = train
+      .select(col(lang).as("lang"), explode(charTrigrams(col(text))).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("gram").asc)))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("gram"), (lit(k + 1) - col("rn")).cast("long").as("w"))
+  }
+
+  /** Classify documents against trained [[trigramProfiles]]: score(doc,
+    * lang) = Σ over the doc's trigram OCCURRENCES of the profile weight
+    * (≡ Σ count·w), argmax by (score DESC, lang ASC); docs whose text
+    * hits no profile gram classify 'und' with score 0. Output:
+    * (id, lang_pred, score) — integer-deterministic end to end.
+    *
+    * Scale shape: the profiles broadcast (k·L rows), the exploded
+    * trigrams join them map-side, and ONE exchange on (doc, lang)
+    * aggregates the scores; the per-doc argmax is a co-partitioned
+    * min_by fold, never a global window. */
+  def langidByProfiles(docs: DataFrame, id: String, text: String,
+      profiles: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col(id).as("_doc"), explode(charTrigrams(col(text))).as("gram"))
+      .join(broadcast(profiles), Seq("gram"))
+      .groupBy(col("_doc"), col("lang"))
+      .agg(sum("w").as("score"))
+      .groupBy("_doc")
+      // min over (-score, lang) ≡ argmax score with lang-ASC tiebreak
+      .agg(min_by(struct(col("lang"), col("score")),
+        struct((-col("score")).as("ns"), col("lang"))).as("_b"))
+      .select(col("_doc"), col("_b.lang").as("lang_pred"),
+        col("_b.score").as("score"))
+    docs.select(col(id).as("_doc"))
+      .join(scored, Seq("_doc"), "left")
+      .select(col("_doc").as(id),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (stable, portable,
     * collision-safe at corpus scale); bucket = top 16 bits for sharding. */
   def fingerprint(c: Column): Column = md5(Dedup.normText(c))

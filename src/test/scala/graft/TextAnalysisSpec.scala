@@ -1049,6 +1049,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(total === 3L * sign("alpha") + sign("beta"))
   }
 
+  test("langid: trigram profiles separate planted languages; short/no-hit docs → und; ties break lang-ASC") {
+    // two synthetic languages with disjoint trigram inventories
+    val train = Seq(
+      ("aa", "the cat and the dog and the fox"),
+      ("aa", "the end of the land and the sand"),
+      ("bb", "zyx wvu zyx wvu qpo zyx"),
+      ("bb", "wvu qpo zyx qpo wvu qpo")).toDF("lang", "text")
+    val profiles = TextAnalysis.trigramProfiles(train, "lang", "text", k = 16)
+    // ≤ k rows per language, weights descend from k with rank
+    val pCount = profiles.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pCount.values.forall(_ <= 16L))
+    assert(profiles.agg(max("w")).head().getLong(0) === 16L)
+    val docs = Seq(
+      (1L, "the cat and the fox ran to the sand"), // aa-shaped
+      (2L, "qpo zyx wvu zyx"),                     // bb-shaped
+      (3L, "zz"),                                  // sub-trigram → und
+      (4L, "#### !!!! ****")                       // no profile hits → und
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langidByProfiles(docs, "doc_id", "text", profiles)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L)._1 === "aa" && got(1L)._2 > 0L)
+    assert(got(2L)._1 === "bb" && got(2L)._2 > 0L)
+    assert(got(3L) === ("und", 0L))
+    assert(got(4L) === ("und", 0L))
+    // deterministic tie: equal scores resolve to the lexicographically
+    // smallest language
+    val tied = Seq(("aa", "xq z"), ("bb", "xq z")).toDF("lang", "text")
+    val tp = TextAnalysis.trigramProfiles(tied, "lang", "text", k = 4)
+    val t = TextAnalysis.langidByProfiles(Seq((9L, "xq ")).toDF("doc_id", "text"),
+      "doc_id", "text", tp).head()
+    assert(t.getString(1) === "aa")
+    // charTrigrams: the sub-3-char guard (sequence(1, 0) would DESCEND)
+    val tg = Seq(("ab"), ("abcd")).toDF("t")
+      .select(size(TextAnalysis.charTrigrams(col("t"))).as("n"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(tg === Seq(0, 2))
+  }
+
   test("duplicatedSpansEval: no reported spans → NULL precision (zero-division guard)") {
     // a corpus with no repeated L-grams reports zero spans; precision is
     // UNDEFINED there, not 0 and not a crash — NULL on both engines
