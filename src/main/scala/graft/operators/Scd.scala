@@ -292,13 +292,22 @@ object Scd {
   def cdcApplyJoin(viewIn: DataFrame, changesFIn: DataFrame,
       changesD: DataFrame, factSnap: DataFrame, dimSnap: DataFrame,
       factKey: String, joinKey: String,
-      factCols: Seq[String], dimCols: Seq[String]): DataFrame = {
-    val outCols = (factKey +: joinKey +: (factCols ++ dimCols)).map(col)
+      factCols: Seq[String], dimCols: Seq[String]): DataFrame =
     // the view and ΔF are each probed twice below; a CHAINED apply
     // feeds one step's output into the next (the cdcApplyMinMax
     // materialization contract)
-    val view = viewIn.localCheckpoint(false)
-    val changesF = changesFIn.localCheckpoint(false)
+    cdcApplyJoinCore(viewIn.localCheckpoint(false),
+      changesFIn.localCheckpoint(false), changesD, factSnap, dimSnap,
+      factKey, joinKey, factCols, dimCols)
+
+  /** [[cdcApplyJoin]] body over ALREADY-materialized view/ΔF —
+    * factored so [[cdcApplyJoinWithDelta]] shares the checkpoints
+    * instead of stacking a second materialization per step. */
+  private def cdcApplyJoinCore(view: DataFrame, changesF: DataFrame,
+      changesD: DataFrame, factSnap: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String]): DataFrame = {
+    val outCols = (factKey +: joinKey +: (factCols ++ dimCols)).map(col)
     val jk = col(joinKey)
     // fact keys with ANY change: their view rows are fully re-derived
     val fIds = changesF.select(col(factKey).as("_fk")).distinct()
@@ -342,4 +351,127 @@ object Scd {
     factSnap.select(col(factKey) +: col(joinKey) +: factCols.map(col): _*)
       .join(dimSnap.select(col(joinKey) +: dimCols.map(col): _*), Seq(joinKey))
       .select((factKey +: joinKey +: (factCols ++ dimCols)).map(col): _*)
+
+  /** LEFT-OUTER join-view incremental maintenance — the late-arriving-
+    * dimension shape [[cdcApplyJoin]]'s inner algebra cannot express:
+    * every live fact stays in the view, carried with NULL dim columns
+    * until its dim arrives; a dim INSERT flips its fact rows from
+    * null-dims to joined, a dim DELETE flips them back rather than
+    * dropping them.
+    *
+    * The outer invariant makes the view SELF-MAINTAINABLE: since every
+    * live fact is in the view (exactly one row per fact key), the
+    * dim-dirty branch re-derives from the VIEW itself — strip the dim
+    * columns off the dirty join keys' rows and re-left-join the new dim
+    * image — never from the fact table. The inner variant's unpruned
+    * fact-rescan caveat (a dim insert must find fact rows that are not
+    * in the view) does not exist here; the maintained view is the only
+    * large input and it is semi-join-pruned to the dirty keys.
+    *
+    *  - untouched: fact key ∉ ΔF and join key ∉ ΔD — served verbatim;
+    *  - fact-changed: ΔF after-images LEFT JOIN the new dim image
+    *    (inserts and updates land joined or null-dimmed; deletes never
+    *    reappear — including join-key churn);
+    *  - dim-dirty: view rows with a dirty join key, minus ΔF's keys,
+    *    dim columns re-derived against the new dim image (absence ⇒
+    *    NULL — the delete flip-back).
+    *
+    * NULL join keys: a fact with a NULL join key never matches any dim
+    * (SQL join semantics), so its row lives permanently in the
+    * untouched/fact-changed branches — the dirty-key match is `===`
+    * (never null-dirty) by design.
+    *
+    * Same preconditions as [[cdcApplyJoin]] (net changes per key; dim
+    * keyed by `joinKey`; `changesD` carries the dim key as `joinKey`).
+    * Output: (factKey, joinKey, factCols..., dimCols...) — seed with
+    * [[cdcBaseJoinOuter]]. */
+  def cdcApplyJoinOuter(viewIn: DataFrame, changesFIn: DataFrame,
+      changesD: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String]): DataFrame = {
+    val outCols = (factKey +: joinKey +: (factCols ++ dimCols)).map(col)
+    val view = viewIn.localCheckpoint(false)
+    val changesF = changesFIn.localCheckpoint(false)
+    val jk = col(joinKey)
+    val fIds = changesF.select(col(factKey).as("_fk")).distinct()
+      .localCheckpoint(false)
+    val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
+      .localCheckpoint(false)
+    val keep = view
+      .join(fIds, col(factKey) === col("_fk"), "left_anti")
+      .join(dirtyJk, jk === col("_dj"), "left_anti")
+    val dimNew = dimSnap.select(jk +: dimCols.map(col): _*)
+    val afterFacts = changesF.filter(col("kind").isin("insert", "update"))
+      .select(col(factKey) +: col(s"after_$joinKey").as(joinKey) +:
+        factCols.map(c => col(s"after_$c").as(c)): _*)
+    val dimForFacts = dimNew.join(
+      afterFacts.select(jk.as("_aj")).distinct(), jk === col("_aj"),
+      "left_semi")
+    val fromFacts = afterFacts
+      .join(broadcast(dimForFacts), Seq(joinKey), "left_outer")
+    // dim-dirty branch FROM THE VIEW: the outer invariant guarantees
+    // the dirty keys' fact rows are all here — strip dim cols, re-join
+    val dimForDirty = dimNew.join(dirtyJk, jk === col("_dj"), "left_semi")
+    val fromDim = view
+      .join(dirtyJk, jk === col("_dj"), "left_semi")
+      .join(fIds, col(factKey) === col("_fk"), "left_anti")
+      .select(col(factKey) +: jk +: factCols.map(col): _*)
+      .join(broadcast(dimForDirty), Seq(joinKey), "left_outer")
+    keep.select(outCols: _*)
+      .unionByName(fromFacts.select(outCols: _*))
+      .unionByName(fromDim.select(outCols: _*))
+  }
+
+  /** The matching left-outer base/rescan join — shared by the seed of a
+    * [[cdcApplyJoinOuter]] chain and its verification rescan. */
+  def cdcBaseJoinOuter(factSnap: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String]): DataFrame =
+    factSnap.select(col(factKey) +: col(joinKey) +: factCols.map(col): _*)
+      .join(dimSnap.select(col(joinKey) +: dimCols.map(col): _*),
+        Seq(joinKey), "left_outer")
+      .select((factKey +: joinKey +: (factCols ++ dimCols)).map(col): _*)
+
+  /** [[cdcApplyJoin]] that ALSO emits Δview — the missing link of the
+    * IVM stack: a downstream [[cdcApply]]/[[cdcApplyMinMax]] over the
+    * joined view can consume the returned delta at |Δ| cost instead of
+    * diffing two view images (F⋈D → groupBy maintained end to end, every
+    * stage delta-sized).
+    *
+    * The delta is computed from exactly the partitions the apply already
+    * derives: old touched rows = the view's rows for changed fact keys
+    * or dirty join keys (the complement of the verbatim-served `keep`);
+    * new touched rows = the fact-changed ∪ dim-dirty branches. [[diff]]
+    * over the two (both |Δ|-sized; fact key unique in an inner view of a
+    * keyed dim) yields the kind-tagged before_/after_ frame the cdcApply
+    * family consumes — rows whose re-derivation changed nothing are NOT
+    * emitted (a no-op dim update nets no delta).
+    *
+    * Returns (new view, Δview with `kind` ∈ insert/update/delete and
+    * before_/after_ images of joinKey ++ factCols ++ dimCols). */
+  def cdcApplyJoinWithDelta(viewIn: DataFrame, changesFIn: DataFrame,
+      changesD: DataFrame, factSnap: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String]): (DataFrame, DataFrame) = {
+    val view = viewIn.localCheckpoint(false)
+    val changesF = changesFIn.localCheckpoint(false)
+    val newView = cdcApplyJoinCore(view, changesF, changesD, factSnap,
+      dimSnap, factKey, joinKey, factCols, dimCols).localCheckpoint(false)
+    val jk = col(joinKey)
+    val fIds = changesF.select(col(factKey).as("_fk")).distinct()
+    val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
+    def touched(v: DataFrame): DataFrame = v
+      .join(fIds, col(factKey) === col("_fk"), "left_semi")
+      .unionByName(v
+        .join(fIds, col(factKey) === col("_fk"), "left_anti")
+        .join(dirtyJk, jk <=> col("_dj"), "left_semi"))
+    val compare = joinKey +: (factCols ++ dimCols)
+    val delta = diff(touched(view), touched(newView), factKey, compare)
+      .withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+      .drop("change")
+    (newView, delta)
+  }
 }

@@ -256,6 +256,138 @@ class ScdSpec extends AnyFunSuite {
       (3L, "jC", 30L, "z", 3L)))   // dim insert: fact 3 GAINED its match
   }
 
+  test("cdcApplyJoinOuter: delta-maintained LEFT view == rescan left join on random chains with facts-before-dims") {
+    // the outer invariant under the same randomized adversary PLUS the
+    // late-arriving-dimension flow: fact join keys draw from a WIDER
+    // domain than the dims cover, so every chain carries facts whose
+    // dim has not arrived (null dims), arrives mid-chain (the flip), or
+    // dies mid-chain (the flip BACK)
+    val rnd = new scala.util.Random(424242)
+    def factSnap(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"j${rnd.nextInt(12)}", rnd.nextInt(100).toLong))
+    def dimSnap(keys: Seq[Int]): Seq[(String, String, Long)] =
+      keys.map(j => (s"j$j", s"a${rnd.nextInt(4)}", rnd.nextInt(100).toLong))
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val fc = Seq("m"); val dc = Seq("a", "b")
+    for (round <- 1 to 3) {
+      val fs = (0 to 2).map(_ =>
+        factSnap((0L until 40L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "j", "m"))
+      // dims cover only 8 of the 12 fact key values — permanent nulls
+      val ds = (0 to 2).map(_ =>
+        dimSnap((0 until 8).filter(_ => rnd.nextDouble() < 0.6))
+          .toDF("j", "a", "b"))
+      val base = Scd.cdcBaseJoinOuter(fs(0), ds(0), "k", "j", fc, dc)
+      val v1 = Scd.cdcApplyJoinOuter(base, fd(fs(0), fs(1)),
+        dd(ds(0), ds(1)), ds(1), "k", "j", fc, dc)
+      val v2 = Scd.cdcApplyJoinOuter(v1, fd(fs(1), fs(2)),
+        dd(ds(1), ds(2)), ds(2), "k", "j", fc, dc)
+      val got = v2.orderBy("k")
+        .as[(Long, String, Long, Option[String], Option[Long])].collect().toSeq
+      val want = Scd.cdcBaseJoinOuter(fs(2), ds(2), "k", "j", fc, dc)
+        .orderBy("k")
+        .as[(Long, String, Long, Option[String], Option[Long])].collect().toSeq
+      assert(got === want, s"round $round: outer join IVM drifted from rescan")
+      // the adversary actually produced null-dim rows
+      assert(want.exists(_._4.isEmpty), s"round $round: no null-dim rows — weak")
+    }
+  }
+
+  test("cdcApplyJoinOuter edges: dim arrives late (flip), dim dies (flip back), null fact jk never joins") {
+    val f0 = Seq((1L, "jA", 10L), (2L, "jB", 20L),
+      (3L, null.asInstanceOf[String], 30L)).toDF("k", "j", "m")
+    val d0 = Seq(("jB", "y", 2L)).toDF("j", "a", "b")
+    // jA arrives (fact 1 flips null→joined); jB dies (fact 2 flips back)
+    val f1 = f0
+    val d1 = Seq(("jA", "x", 1L)).toDF("j", "a", "b")
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind", lit("update"))
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val base = Scd.cdcBaseJoinOuter(f0, d0, "k", "j", Seq("m"), Seq("a", "b"))
+    assert(base.filter(col("k") === 1L).head().isNullAt(3)) // pre-arrival null
+    val got = Scd.cdcApplyJoinOuter(base, fd(f0, f1), dd(d0, d1), d1,
+        "k", "j", Seq("m"), Seq("a", "b"))
+      .orderBy("k")
+      .as[(Long, Option[String], Long, Option[String], Option[Long])]
+      .collect().toSeq
+    assert(got === Seq(
+      (1L, Some("jA"), 10L, Some("x"), Some(1L)),  // late dim: flipped to joined
+      (2L, Some("jB"), 20L, None, None),           // dim delete: flipped BACK
+      (3L, None, 30L, None, None)))                // null jk: never joins, never re-derives
+  }
+
+  test("cdcApplyJoinWithDelta: emitted Δview drives a downstream cdcApply to the rescan aggregate") {
+    // the IVM stack chained end to end on random snapshot chains:
+    // F⋈D maintained by the join apply, a grouped COUNT+SUM over the
+    // VIEW maintained from the EMITTED delta only — both must land on
+    // the final rescan exactly
+    val rnd = new scala.util.Random(777)
+    def factSnap(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"j${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+    def dimSnap(keys: Seq[Int]): Seq[(String, String, Long)] =
+      keys.map(j => (s"j$j", s"a${rnd.nextInt(3)}", rnd.nextInt(100).toLong))
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val fc = Seq("m"); val dc = Seq("a", "b")
+    for (round <- 1 to 3) {
+      val fs = (0 to 2).map(_ =>
+        factSnap((0L until 40L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "j", "m"))
+      val ds = (0 to 2).map(_ =>
+        dimSnap((0 until 8).filter(_ => rnd.nextDouble() < 0.7))
+          .toDF("j", "a", "b"))
+      val base = Scd.cdcBaseJoin(fs(0), ds(0), "k", "j", fc, dc)
+      val agg0 = Scd.cdcBaseAgg(base, "a", "m")
+      val (v1, delta1) = Scd.cdcApplyJoinWithDelta(base, fd(fs(0), fs(1)),
+        dd(ds(0), ds(1)), fs(1), ds(1), "k", "j", fc, dc)
+      val agg1 = Scd.cdcApply(agg0, delta1, "a", "m")
+      val (v2, delta2) = Scd.cdcApplyJoinWithDelta(v1, fd(fs(1), fs(2)),
+        dd(ds(1), ds(2)), fs(2), ds(2), "k", "j", fc, dc)
+      val agg2 = Scd.cdcApply(agg1, delta2, "a", "m")
+      // the view itself still lands on the rescan
+      val gotView = v2.orderBy("k")
+        .as[(Long, String, Long, String, Long)].collect().toSeq
+      val wantView = Scd.cdcBaseJoin(fs(2), ds(2), "k", "j", fc, dc)
+        .orderBy("k").as[(Long, String, Long, String, Long)].collect().toSeq
+      assert(gotView === wantView, s"round $round: view drifted")
+      // the delta-chained aggregate lands on the rescan aggregate
+      val got = agg2.orderBy("a")
+        .as[(String, Long, Long)].collect().toSeq
+      val want = Scd.cdcBaseAgg(
+          Scd.cdcBaseJoin(fs(2), ds(2), "k", "j", fc, dc), "a", "m")
+        .orderBy("a").as[(String, Long, Long)].collect().toSeq
+      assert(got === want, s"round $round: Δview-chained aggregate drifted")
+      // no-op churn is NOT emitted: every delta row actually changed
+      val noop = delta2.filter(col("kind") === "update" &&
+        col("before_j") <=> col("after_j") &&
+        col("before_m") <=> col("after_m") &&
+        col("before_a") <=> col("after_a") &&
+        col("before_b") <=> col("after_b")).count()
+      assert(noop === 0L, s"round $round: no-op rows in the emitted delta")
+    }
+  }
+
   test("cdcApplyMinMax edges: extremum delete rescans; non-extremum delete maintains; move + empty-out") {
     // g1: {1,5,9} — delete the 9 (max: dirty, rescan -> 5), delete the
     // 5's neighbor scenario is g2: {2,4,6} — delete the 4 (non-extremum:
