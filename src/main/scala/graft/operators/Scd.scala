@@ -287,18 +287,41 @@ object Scd {
     * `idstr`) — only its key/kind matter here: any dim change dirties
     * its key. Net-changes-per-key preconditions as [[cdcApplyMinMax]].
     *
+    * ==Broadcast guard==
+    * The ΔD-derived frames (dirty keys, pruned dim images) carry
+    * broadcast hints — right for micro-batch deltas, but a dim BACKFILL
+    * or re-seed makes ΔD dim-sized and a forced hint would OOM the
+    * driver instead of degrading. The hints are therefore CONDITIONAL
+    * on counted bounds (`maxBroadcastKeys`, counted over the already-
+    * materialized delta frames — two cheap jobs): over the bound the
+    * hint drops (AQE plans a shuffle join) and the shed is LOUD — a
+    * `graft_shed_cdcJoinBroadcast_*` observe metric rides the output.
+    *
     * Output: the new view, (factKey, joinKey, factCols..., dimCols...) —
     * seed with [[cdcBaseJoin]]. */
   def cdcApplyJoin(viewIn: DataFrame, changesFIn: DataFrame,
       changesD: DataFrame, factSnap: DataFrame, dimSnap: DataFrame,
       factKey: String, joinKey: String,
-      factCols: Seq[String], dimCols: Seq[String]): DataFrame =
+      factCols: Seq[String], dimCols: Seq[String],
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame =
     // the view and ΔF are each probed twice below; a CHAINED apply
     // feeds one step's output into the next (the cdcApplyMinMax
     // materialization contract)
     cdcApplyJoinCore(viewIn.localCheckpoint(false),
       changesFIn.localCheckpoint(false), changesD, factSnap, dimSnap,
-      factKey, joinKey, factCols, dimCols)
+      factKey, joinKey, factCols, dimCols, maxBroadcastKeys)
+
+  /** Hint ceiling for the delta-derived broadcast frames of the join
+    * appliers: 1M keys — far above any micro-batch delta, well under
+    * driver-broadcast trouble for the pruned dim images they bound. */
+  val DefaultMaxBroadcastKeys = 1000000L
+
+  /** Conditionally-hinted frame + the loud-shed receipt: under the
+    * bound, a forced broadcast (the delta is micro-batch-sized by
+    * contract); over it, no hint — AQE degrades to a shuffle join —
+    * and the caller's output carries a shed metric naming the device. */
+  private def hinted(df: DataFrame, nKeys: Long, bound: Long): DataFrame =
+    if (nKeys <= bound) broadcast(df) else df
 
   /** [[cdcApplyJoin]] body over ALREADY-materialized view/ΔF —
     * factored so [[cdcApplyJoinWithDelta]] shares the checkpoints
@@ -306,7 +329,8 @@ object Scd {
   private def cdcApplyJoinCore(view: DataFrame, changesF: DataFrame,
       changesD: DataFrame, factSnap: DataFrame, dimSnap: DataFrame,
       factKey: String, joinKey: String,
-      factCols: Seq[String], dimCols: Seq[String]): DataFrame = {
+      factCols: Seq[String], dimCols: Seq[String],
+      maxBroadcastKeys: Long): DataFrame = {
     val outCols = (factKey +: joinKey +: (factCols ++ dimCols)).map(col)
     val jk = col(joinKey)
     // fact keys with ANY change: their view rows are fully re-derived
@@ -317,6 +341,7 @@ object Scd {
     // after image, so the key column alone marks the dirt
     val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
       .localCheckpoint(false)
+    val nDirty = dirtyJk.count()
     // untouched view rows, served verbatim
     val keep = view
       .join(fIds, col(factKey) === col("_fk"), "left_anti")
@@ -327,20 +352,27 @@ object Scd {
     val afterFacts = changesF.filter(col("kind").isin("insert", "update"))
       .select(col(factKey) +: col(s"after_$joinKey").as(joinKey) +:
         factCols.map(c => col(s"after_$c").as(c)): _*)
-    val dimForFacts = dimNew.join(
-      afterFacts.select(jk.as("_aj")).distinct(), jk === col("_aj"),
-      "left_semi")
-    val fromFacts = afterFacts.join(broadcast(dimForFacts), Seq(joinKey))
+    val aj = afterFacts.select(jk.as("_aj")).distinct().localCheckpoint(false)
+    val nAj = aj.count()
+    val dimForFacts = dimNew.join(aj, jk === col("_aj"), "left_semi")
+    val fromFacts = afterFacts
+      .join(hinted(dimForFacts, nAj, maxBroadcastKeys), Seq(joinKey))
     // dim-dirty branch: pruned fact rescan ⋈ the dirty keys' new image
     val dimForDirty = dimNew.join(dirtyJk, jk === col("_dj"), "left_semi")
     val fromDim = factSnap
       .select(col(factKey) +: jk +: factCols.map(col): _*)
-      .join(broadcast(dirtyJk), jk === col("_dj"), "left_semi")
+      .join(hinted(dirtyJk, nDirty, maxBroadcastKeys), jk === col("_dj"),
+        "left_semi")
       .join(fIds, col(factKey) === col("_fk"), "left_anti")
-      .join(broadcast(dimForDirty), Seq(joinKey))
-    keep.select(outCols: _*)
+      .join(hinted(dimForDirty, nDirty, maxBroadcastKeys), Seq(joinKey))
+    val out = keep.select(outCols: _*)
       .unionByName(fromFacts.select(outCols: _*))
       .unionByName(fromDim.select(outCols: _*))
+    val shed = math.max(if (nDirty > maxBroadcastKeys) nDirty else 0L,
+      if (nAj > maxBroadcastKeys) nAj else 0L)
+    if (shed == 0L) out
+    else out.observe(Guard.shedMetricName("cdcJoinBroadcast"),
+      max(lit(shed)).as("unhinted_keys"))
   }
 
   /** The matching base/rescan join — one definition shared by the seed
@@ -388,7 +420,8 @@ object Scd {
   def cdcApplyJoinOuter(viewIn: DataFrame, changesFIn: DataFrame,
       changesD: DataFrame, dimSnap: DataFrame,
       factKey: String, joinKey: String,
-      factCols: Seq[String], dimCols: Seq[String]): DataFrame = {
+      factCols: Seq[String], dimCols: Seq[String],
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
     val outCols = (factKey +: joinKey +: (factCols ++ dimCols)).map(col)
     val view = viewIn.localCheckpoint(false)
     val changesF = changesFIn.localCheckpoint(false)
@@ -397,6 +430,7 @@ object Scd {
       .localCheckpoint(false)
     val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
       .localCheckpoint(false)
+    val nDirty = dirtyJk.count()
     val keep = view
       .join(fIds, col(factKey) === col("_fk"), "left_anti")
       .join(dirtyJk, jk === col("_dj"), "left_anti")
@@ -404,22 +438,30 @@ object Scd {
     val afterFacts = changesF.filter(col("kind").isin("insert", "update"))
       .select(col(factKey) +: col(s"after_$joinKey").as(joinKey) +:
         factCols.map(c => col(s"after_$c").as(c)): _*)
-    val dimForFacts = dimNew.join(
-      afterFacts.select(jk.as("_aj")).distinct(), jk === col("_aj"),
-      "left_semi")
+    val aj = afterFacts.select(jk.as("_aj")).distinct().localCheckpoint(false)
+    val nAj = aj.count()
+    val dimForFacts = dimNew.join(aj, jk === col("_aj"), "left_semi")
     val fromFacts = afterFacts
-      .join(broadcast(dimForFacts), Seq(joinKey), "left_outer")
+      .join(hinted(dimForFacts, nAj, maxBroadcastKeys), Seq(joinKey),
+        "left_outer")
     // dim-dirty branch FROM THE VIEW: the outer invariant guarantees
     // the dirty keys' fact rows are all here — strip dim cols, re-join
     val dimForDirty = dimNew.join(dirtyJk, jk === col("_dj"), "left_semi")
     val fromDim = view
-      .join(dirtyJk, jk === col("_dj"), "left_semi")
+      .join(hinted(dirtyJk, nDirty, maxBroadcastKeys), jk === col("_dj"),
+        "left_semi")
       .join(fIds, col(factKey) === col("_fk"), "left_anti")
       .select(col(factKey) +: jk +: factCols.map(col): _*)
-      .join(broadcast(dimForDirty), Seq(joinKey), "left_outer")
-    keep.select(outCols: _*)
+      .join(hinted(dimForDirty, nDirty, maxBroadcastKeys), Seq(joinKey),
+        "left_outer")
+    val out = keep.select(outCols: _*)
       .unionByName(fromFacts.select(outCols: _*))
       .unionByName(fromDim.select(outCols: _*))
+    val shed = math.max(if (nDirty > maxBroadcastKeys) nDirty else 0L,
+      if (nAj > maxBroadcastKeys) nAj else 0L)
+    if (shed == 0L) out
+    else out.observe(Guard.shedMetricName("cdcJoinBroadcast"),
+      max(lit(shed)).as("unhinted_keys"))
   }
 
   /** The matching left-outer base/rescan join — shared by the seed of a
@@ -452,11 +494,13 @@ object Scd {
   def cdcApplyJoinWithDelta(viewIn: DataFrame, changesFIn: DataFrame,
       changesD: DataFrame, factSnap: DataFrame, dimSnap: DataFrame,
       factKey: String, joinKey: String,
-      factCols: Seq[String], dimCols: Seq[String]): (DataFrame, DataFrame) = {
+      factCols: Seq[String], dimCols: Seq[String],
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): (DataFrame, DataFrame) = {
     val view = viewIn.localCheckpoint(false)
     val changesF = changesFIn.localCheckpoint(false)
     val newView = cdcApplyJoinCore(view, changesF, changesD, factSnap,
-      dimSnap, factKey, joinKey, factCols, dimCols).localCheckpoint(false)
+      dimSnap, factKey, joinKey, factCols, dimCols, maxBroadcastKeys)
+      .localCheckpoint(false)
     val jk = col(joinKey)
     val fIds = changesF.select(col(factKey).as("_fk")).distinct()
     val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Scd
+import graft.operators.{Guard, Scd}
 
 class ScdSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -385,6 +385,78 @@ class ScdSpec extends AnyFunSuite {
         col("before_a") <=> col("after_a") &&
         col("before_b") <=> col("after_b")).count()
       assert(noop === 0L, s"round $round: no-op rows in the emitted delta")
+    }
+  }
+
+  test("cdcApplyJoin broadcast guard: oversized ΔD drops the hints (shuffle join) and sheds LOUD; in-bound keeps the broadcast shape") {
+    val f0 = (0L until 40L).map(k => (k, s"j${k % 8}", k)).toDF("k", "j", "m")
+    val d0 = (0 until 8).map(j => (s"j$j", s"a$j", j.toLong)).toDF("j", "a", "b")
+    val d1 = (0 until 8).map(j => (s"j$j", s"x$j", j.toLong)).toDF("j", "a", "b")
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind", lit("update"))
+    // ΔF oversized too (every fact bumps its measure): BOTH branches'
+    // hints are under test, so both deltas must cross the bound
+    val f1 = f0.withColumn("m", col("m") + 1000L)
+    val bigF = Scd.diff(f0, f1, "k", Seq("j", "m"))
+      .withColumn("kind", lit("update"))
+    val base = Scd.cdcBaseJoin(f0, d0, "k", "j", Seq("m"), Seq("a", "b"))
+    // kill BOTH automatic broadcast routes (static planner + AQE's
+    // runtime conversion): any BroadcastHashJoin left can then only
+    // come from the operator's own forced hint — the thing under test
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = scala.util.Try(
+        spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // ΔD = a full dim re-seed, bound set below it: every forced hint
+      // must drop — the plan degrades to non-broadcast joins instead of
+      // OOMing the driver on a dim-sized broadcast
+      val guarded = Scd.cdcApplyJoin(base, bigF, dd(d0, d1), f1, d1,
+        "k", "j", Seq("m"), Seq("a", "b"), maxBroadcastKeys = 3L)
+      val rows = guarded.collect()
+      assert(!guarded.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "oversized delta still planned a broadcast join")
+      // ... and the result is still exact
+      val want = Scd.cdcBaseJoin(f1, d1, "k", "j", Seq("m"), Seq("a", "b"))
+        .collect().map(_.toSeq).toSet
+      assert(rows.map(_.toSeq).toSet === want)
+      // the shed is loud: a graft_shed_cdcJoinBroadcast_* metric rides
+      // the output with the unhinted key count
+      val shedMetrics = guarded.queryExecution.observedMetrics
+        .filter(_._1.startsWith(s"${Guard.ShedMetricPrefix}cdcJoinBroadcast"))
+      assert(shedMetrics.nonEmpty, "no shed receipt on the guarded apply")
+      assert(shedMetrics.values.head.getAs[Long]("unhinted_keys") === 8L)
+      // same for the outer variant
+      val baseO = Scd.cdcBaseJoinOuter(f0, d0, "k", "j", Seq("m"), Seq("a", "b"))
+      val guardedO = Scd.cdcApplyJoinOuter(baseO, bigF, dd(d0, d1), d1,
+        "k", "j", Seq("m"), Seq("a", "b"), maxBroadcastKeys = 3L)
+      guardedO.collect()
+      assert(!guardedO.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "outer: oversized delta still planned a broadcast join")
+      assert(guardedO.queryExecution.observedMetrics.keys
+        .exists(_.startsWith(s"${Guard.ShedMetricPrefix}cdcJoinBroadcast")))
+      // in-bound (micro-batch-sized) deltas keep the broadcast shape
+      // and emit NO receipt
+      val inBound = Scd.cdcApplyJoin(base, bigF, dd(d0, d1), f1, d1,
+        "k", "j", Seq("m"), Seq("a", "b"))
+      inBound.collect()
+      assert(inBound.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "in-bound delta lost its broadcast hint")
+      assert(!inBound.queryExecution.observedMetrics.keys
+        .exists(_.startsWith(s"${Guard.ShedMetricPrefix}cdcJoinBroadcast")))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      prevAqe match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 
