@@ -116,6 +116,42 @@ object TimesearchQueries {
     textCol = "body", editTextCol = "previous_body",
     updatable = Seq("tier", "region_c"), frozen = Seq("author"))
 
+  /** q_cdc_join_pruned's fact batch: score bumps ONLY — author (the
+    * co-partitioning column) and every other column stable per key, no
+    * tombstones, so the replay is a plain coalesce and the layout
+    * contract (key-stable partition value) provably holds. */
+  private def joinFactsBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_id") % 2 === 0)
+      .select(
+        col("event_id").cast("long").as("idint"),
+        concat(lit("e"), col("event_id")).as("idstr"),
+        col("user_id").as("created"),
+        concat(lit("u"), col("user_id")).as("author"),
+        lit("p0").as("parent"),
+        lit("s0").as("submission"),
+        concat(col("props"), lit("-v3")).as("body"),
+        (cents(col("value")) + 2).as("score"),
+        lit("sub").as("subreddit"),
+        lit(null).cast("string").as("distinguish"),
+        length(concat(col("props"), lit("-v3"))).cast("long").as("textlen"),
+        col("event_id").cast("long").as("_seq"))
+
+  /** q_cdc_join_pruned's dim batches: batch 0 seeds EVERY user; batch 1
+    * updates only the %31 slice — a deliberately SMALL dirty set, so the
+    * co-partitioned fact rescan touches few buckets. */
+  private def dimJoinUsers(s: SparkSession, dir: String, batch: Int): DataFrame = {
+    val base = Tables.load(s, dir, "events").select(col("user_id")).distinct()
+    val keep = if (batch == 0) lit(true) else col("user_id") % 31 === 0
+    base.filter(keep).select(
+      concat(lit("u"), col("user_id")).as("idstr"),
+      lit(null).cast("string").as("author"),
+      lit(null).cast("string").as("body"),
+      concat(lit("t"), (col("user_id") + lit(batch)) % 4).as("tier"),
+      (col("user_id") % 10 + lit(batch * 100)).cast("long").as("region_c"),
+      col("user_id").cast("long").as("_seq"))
+  }
+
   /** The two real versioned stores (facts ×3 versions, author dim ×3
     * versions) shared by the q_cdc_join family's rehearsals — built
     * fresh per call (the end-to-end store work IS the timed body of the
@@ -544,6 +580,47 @@ object TimesearchQueries {
       graft.operators.Scd.cdcApplyJoin(v1,
           facts.changes(1L, 2L), dimCh(1L, 2L), factsAt(2), dimAt(2),
           "idstr", "author", fCols, dCols)
+        .orderBy("idstr")
+    }),
+
+    // The PRUNED F⋈ΔD rescan — q_cdc_join's one scale caveat closed by
+    // LAYOUT: here the fact store CO-PARTITIONS BY THE JOIN KEY
+    // (author-hash buckets — stable per row key because this feed never
+    // rewrites an author), so the dim-dirty branch's fact rescan reads
+    // the dirty authors' buckets via the manifest (scanForKeys), never
+    // the table. The dirty set is deliberately small (one user slice,
+    // %31) — the production shape: a micro-batch dim update touches a
+    // handful of buckets of a 100 TB fact store. StoreSpec pins
+    // files(pruned) < files(table); the oracle is the same rescan-join
+    // device, so the pruned read must also be CORRECT (bucket-mates are
+    // residual-filtered by the apply's own semi-join).
+    "q_cdc_join_pruned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcjp")
+      val facts = new Livestream.UpsertTable(s, tmp.resolve("f").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(pmod(xxhash64(col("author")), lit(16))))
+      facts.seed(oldComments(s, dir))                                 // v0
+      facts.merge(joinFactsBatch(s, dir), "_seq", storeEdits = Some(false)) // v1
+      val dim = new Livestream.UpsertTable(s, tmp.resolve("d").toString,
+        dimEntity, dimJoinUsers(s, dir, 0).drop("_seq").limit(0),
+        outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      dim.seed(dimJoinUsers(s, dir, 0).drop("_seq"))                  // v0
+      dim.merge(dimJoinUsers(s, dir, 1), "_seq", storeEdits = Some(false)) // v1
+      def factsSel(df: DataFrame) =
+        df.select(col("idstr"), col("author"), col("score"))
+      def dimAt(v: Long) =
+        dim.at(v).select(col("idstr").as("author"), col("tier"), col("region_c"))
+      val fCols = Seq("score"); val dCols = Seq("tier", "region_c")
+      val base = graft.operators.Scd.cdcBaseJoin(factsSel(facts.at(0)),
+        dimAt(0), "idstr", "author", fCols, dCols)
+      val dimCh = dim.changes(0L, 1L)
+        .select(col("idstr").as("author"), col("kind"))
+      // the co-partitioned rescan: dirty authors → their buckets only
+      val factsPruned = factsSel(facts.scanForKeys(
+        dim.changes(0L, 1L).select(col("idstr").as("author"))))
+      graft.operators.Scd.cdcApplyJoin(base, facts.changes(0L, 1L), dimCh,
+          factsPruned, dimAt(1), "idstr", "author", fCols, dCols)
         .orderBy("idstr")
     }),
 
@@ -1459,6 +1536,33 @@ object TimesearchQueries {
       s"""$cdcJoinCtes
          SELECT m.idstr, m.author, m.score, d.tier, d.region_c
          FROM merged m JOIN dim d ON m.author = d.du
+         ORDER BY m.idstr""",
+
+    // pruned-rescan join IVM: its own replay (score-only batch ⇒ plain
+    // coalesce; dim = seed-all then update the %31 slice) — the pruned
+    // fact read must land on the same rescan join as a full one
+    "q_cdc_join_pruned" ->
+      """WITH oldf AS (
+           SELECT 'e'||event_id AS idstr, 'u'||user_id AS author,
+                  CAST(round(value*100) AS BIGINT) AS score
+           FROM events WHERE event_id % 4 != 1),
+         newf AS (
+           SELECT 'e'||event_id AS idstr,
+                  CAST(round(value*100) AS BIGINT) + 2 AS score
+           FROM events WHERE event_id % 2 = 0),
+         mergedf AS (
+           SELECT o.idstr, o.author, COALESCE(n.score, o.score) AS score
+           FROM oldf o LEFT JOIN newf n USING (idstr)),
+         users AS (SELECT DISTINCT user_id FROM events),
+         dim AS (
+           SELECT 'u'||user_id AS du,
+                  CASE WHEN user_id % 31 = 0 THEN 't'||((user_id+1)%4)
+                       ELSE 't'||(user_id%4) END AS tier,
+                  CAST(CASE WHEN user_id % 31 = 0 THEN user_id%10+100
+                            ELSE user_id%10 END AS BIGINT) AS region_c
+           FROM users)
+         SELECT m.idstr, m.author, m.score, d.tier, d.region_c
+         FROM mergedf m JOIN dim d ON m.author = d.du
          ORDER BY m.idstr""",
 
     // left-outer join IVM: same rescan, LEFT JOIN — facts keep their

@@ -436,6 +436,41 @@ object Livestream {
       keys.toDF(keyName)
     }
 
+    /** Candidate buckets of a key/value frame under the table's
+      * partition expression: evaluated over the frame (which must carry
+      * the columns the expression reads), escaped to manifest form,
+      * intersected with the published buckets. Driver-side, bounded by
+      * |frame's distinct partition values| ≤ bucket count. */
+    private def candidateBuckets(keysDf: DataFrame, pexpr: Column): Set[String] =
+      keysDf.select(ptCol(pexpr).as(PartCol))
+        .agg(collect_set(col(PartCol))).head().getSeq[String](0)
+        .map(ExternalCatalogUtils.escapePathName).toSet
+        .filter(manifest(currentVersion).contains)
+
+    /** Manifest-pruned read of ONLY the buckets a key/value set maps to
+      * under the table's partitioning — the CO-PARTITIONED RESCAN access
+      * path: when a table is bucketed by the column a consumer probes
+      * (e.g. a fact store bucketed by its JOIN key feeding
+      * [[graft.operators.Scd.cdcApplyJoin]]'s F⋈ΔD branch), the rescan
+      * reads the probe set's buckets, never the table. `keysDf` must
+      * carry the columns the partition expression reads. The read is a
+      * SUPERSET of the probed keys' rows (bucket-mates ride along) —
+      * the caller's own join/filter is the residual, so false extras
+      * are correctness-neutral. Flat tables have no pruned path and
+      * return the full current snapshot. */
+    def scanForKeys(keysDf: DataFrame): DataFrame = {
+      validatePartitioning()
+      partitioning match {
+        case None => current
+        case Some(pexpr) =>
+          if (currentVersion < 0) emptyLike.limit(0)
+          else {
+            val cand = candidateBuckets(keysDf, pexpr)
+            readParts(manifest(currentVersion).view.filterKeys(cand).toMap)
+          }
+      }
+    }
+
     /** TAKEDOWN: hard-delete keys from the table — publish version N+1
       * whose snapshot no longer carries them. The one legally-mandatory
       * operator of an LLM training-data pipeline (takedown requests,
@@ -492,10 +527,7 @@ object Livestream {
           val prev = manifest(currentVersion)
           // candidate buckets from the keys frame through the SAME
           // key-stable partition expression the merges use
-          val cand = keysDf.select(ptCol(pexpr).as(PartCol))
-            .agg(collect_set(col(PartCol))).head().getSeq[String](0)
-            .map(ExternalCatalogUtils.escapePathName).toSet
-            .filter(prev.contains)
+          val cand = candidateBuckets(keysDf, pexpr)
           if (cand.isEmpty) return 0L
           // buckets that actually HOLD purged rows + the purge count —
           // one driver-side aggregate bounded by |candidate buckets|

@@ -384,6 +384,36 @@ class StoreSpec extends AnyFunSuite {
     assert(bl.map(b => (b.file, b.col)).distinct.size === bl.size)
   }
 
+  test("scanForKeys: co-partitioned rescan reads only the probe keys' buckets, never the table") {
+    import graft.operators.Merge
+    import graft.streaming.Livestream
+    // fact store CO-PARTITIONED BY THE JOIN KEY (author-hash buckets) —
+    // the layout that turns cdcApplyJoin's F⋈ΔD rescan into a pruned
+    // read; author is stable per key here, so the layout contract holds
+    val rows = (0 until 256).map { i =>
+      C(i.toLong, s"t1_$i", i.toLong, s"u${i % 64}", "p", "s", s"b$i",
+        i.toLong, "sub", null, 2L)
+    }
+    val dir = tmp("sfk")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(pmod(xxhash64(col("author")), lit(16))))
+    table.seed(rows.toDF())
+    val probe = Seq("u1", "u2").toDF("author")
+    val pruned = table.scanForKeys(probe)
+    val full = table.current
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned read listed ${pruned.inputFiles.length} of " +
+        s"${full.inputFiles.length} files — no pruning")
+    // every probed key's row IS in the pruned read (bucket-mates ride
+    // along; the caller's residual filter handles them)
+    val want = full.filter(col("author").isin("u1", "u2")).count()
+    assert(pruned.filter(col("author").isin("u1", "u2")).count() === want)
+    assert(want === 8L)
+    // unpublished probe values contribute nothing and break nothing
+    assert(table.scanForKeys(Seq("zz_missing").toDF("author")).count() >= 0L)
+  }
+
   test("dynamic partition pruning: a dim filter prunes the partitioned fact THROUGH the join") {
     val dir = tmp("dpp")
     // fact partitioned by target (20 partitions), dim filtered to one
