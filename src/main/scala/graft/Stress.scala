@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * cdcApplyMinMax through two full-outer snapshot diffs that must
   * spill, final views EXACTLY equal to the rescan, and the
   * dirty-rescan width — the operator's own rule — measured ≤ |changes|
-  * and closed-form ×mult) — then ASSERT three things:
+  * and closed-form ×mult), and the MAINTAINED-INDEX LIFECYCLE over a
+  * ×mult vector corpus (section 8 below: StreamAnn encode/merge chains
+  * with telescoping closed-form counts, replay idempotence, bucket-
+  * pruned targeted merges measured in the manifest, a mid-stream
+  * generation rebuild with the atomic pointer flip, serve-equality vs
+  * the batch pipeline) — then ASSERT three things:
   *
   *  1. the jobs COMPLETE (no OOM) with disk spill actually observed
   *     (task-metrics `diskBytesSpilled` > 0 — a rehearsal that fit in
@@ -512,9 +517,127 @@ object Stress {
     val ivmOk = ivmAggDriftOk && ivmMmDriftOk && ivmWidthOk &&
       ivmGroupsOk && ivmSpillOk
 
+    // 8. MAINTAINED-INDEX LIFECYCLE at stress scale — the StreamAnn
+    // codes table driven through its whole production life against a
+    // ×idxMult corpus under the starved session: encode/merge CHAINS
+    // (4 micro-batch merges into the key-bucketed versioned table),
+    // a REBUILD mid-stream into a new generation with the atomic
+    // pointer flip (the maintained table must be unaffected), replay
+    // idempotence, bucket-pruned small merges, and a serve-equality
+    // spot check against the batch pipeline. Closed forms:
+    //  - codes rows after the chain == idxMult × single-copy eligible
+    //    vectors (disjoint ids; zero-norm drops replicate), and the
+    //    per-chunk running counts telescope exactly;
+    //  - a re-merged chunk changes NOTHING (encode is a pure function
+    //    of (vector, frozen codebooks); the merge replays last-wins);
+    //  - a 10-vid targeted merge re-points EXACTLY those vids' buckets
+    //    in the manifest — the pruned-merge cost model measured, not
+    //    argued.
+    // Memory-pressure note, honest: the codes table is index-sized BY
+    // DESIGN (the 100 TB corpus compresses to a ~3 TB index — that is
+    // the artifact's point), so this section asserts lifecycle
+    // invariants, not spill; the ANN-family pressure rehearsal is
+    // section 6's training (checkpoint blocks on disk, asserted above).
+    val idxMult = sys.env.getOrElse("SPARK_GRAFT_STRESS_IDX_MULT", "16").toInt
+    require(idxMult >= 2, s"bad idx knob: mult=$idxMult")
+    import streaming.StreamAnn
+    val bigIdxEmb = (0 until idxMult).map { i =>
+      embA.select((col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val elig1 = operators.Similarity.normalized(embA, "vec_id", "embedding")
+      .count()
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_stress_idx")
+      .toString
+    val ((idxChecks, idxCodesN), tIdx) = timed {
+      val (coarse, cbRes) = operators.Similarity.trainAnnArtifact(
+        operators.Similarity.normalized(bigIdxEmb, "vec_id", "embedding"),
+        nlist = 32, m = 16, ksub = 32, iters = 1)
+      val table = StreamAnn.table(spark, s"$idxRoot/codes", nBuckets = 16)
+      // the encode/merge chain: 4 micro-batches, running counts telescope
+      var running = 0L
+      var chainOk = true
+      for (c <- 0 until 4) {
+        val chunk = bigIdxEmb.filter(pmod(col("vec_id"), lit(4)) === c)
+        val rows = StreamAnn.encodeRows(chunk, "vec_id", "embedding",
+            coarse, cbRes)
+          .withColumn("_seq", monotonically_increasing_id())
+        table.merge(rows, "_seq", storeEdits = Some(false))
+        running += operators.Similarity.normalized(chunk, "vec_id", "embedding")
+          .count()
+        chainOk &&= StreamAnn.codes(table).count() == running
+      }
+      val codesN = StreamAnn.codes(table).count()
+      val countOk = chainOk && codesN == idxMult * elig1
+      // replay idempotence: re-merge chunk 0 — byte-identical index
+      val before = StreamAnn.codes(table)
+        .select(col("vid"), col("cid"), col("codes")).collect()
+        .map(_.toString).sorted.toSeq
+      val replayRows = StreamAnn.encodeRows(
+          bigIdxEmb.filter(pmod(col("vec_id"), lit(4)) === 0),
+          "vec_id", "embedding", coarse, cbRes)
+        .withColumn("_seq", monotonically_increasing_id())
+      table.merge(replayRows, "_seq", storeEdits = Some(false))
+      val after = StreamAnn.codes(table)
+        .select(col("vid"), col("cid"), col("codes")).collect()
+        .map(_.toString).sorted.toSeq
+      val replayOk = before == after
+      // bucket-pruned targeted merge: 10 vids re-point EXACTLY their
+      // own buckets in the manifest
+      val vids10 = (0L until 10L)
+      val prevMan = table.manifest(table.currentVersion)
+      val rows10 = StreamAnn.encodeRows(
+          bigIdxEmb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          coarse, cbRes)
+        .withColumn("_seq", monotonically_increasing_id())
+      table.merge(rows10, "_seq", storeEdits = Some(false))
+      val newMan = table.manifest(table.currentVersion)
+      val repointed = newMan.filter { case (pt, v) =>
+        !prevMan.get(pt).contains(v) }.keySet
+      val expBuckets = vids10
+        .map(v => streaming.Livestream.keyBucketValue(v.toString, 16).toString)
+        .toSet
+      val pruneOk = repointed == expBuckets
+      // REBUILD mid-stream: a new generation publishes with the atomic
+      // pointer flip; the maintained table is untouched; the superseded
+      // generation reclaims
+      StreamAnn.writeArtifact(s"$idxRoot/gen0", coarse, cbRes, 16)
+      StreamAnn.publishGeneration(idxRoot, "gen0")
+      val (_, c1, _) = StreamAnn.rebuild(spark, idxRoot, "gen1", embA,
+        "vec_id", "embedding", nlist = 16, m = 8, ksub = 16, iters = 1,
+        nBuckets = 8)
+      val (_, cActive, _) = StreamAnn.openActive(spark, idxRoot)
+      val flipOk = StreamAnn.activeGeneration(idxRoot).contains("gen1") &&
+        cActive == c1 &&
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(idxRoot, "gen0", "codebooks.csv")) &&
+        StreamAnn.codes(table).count() == codesN
+      StreamAnn.dropGeneration(idxRoot, "gen0")
+      val genOk = flipOk &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(idxRoot, "gen0"))
+      // serve-equality spot check: the maintained table through the
+      // verbatim ADC tail == the inline batch pipeline
+      val nrm = operators.Similarity.normalized(bigIdxEmb, "vec_id",
+        "embedding").localCheckpoint(false)
+      val qids = Seq(0L, 1L, 2L, 3L)
+      val servedM = StreamAnn.serve(table, bigIdxEmb, "vec_id", "embedding",
+          coarse, cbRes, queryIds = qids, k = 10, nprobe = 8)
+        .collect().map(_.toString).sorted.toSeq
+      val servedB = operators.Similarity.adcServeCodes(
+          operators.Similarity.encodeResidual(nrm, coarse, cbRes), nrm,
+          coarse, cbRes, qids, 10, 8)
+        .collect().map(_.toString).sorted.toSeq
+      val serveOk = servedM == servedB && servedM.nonEmpty
+      ((countOk, replayOk, pruneOk, genOk, serveOk), codesN)
+    }
+    val (idxCountOk, idxReplayOk, idxPruneOk, idxGenOk, idxServeOk) = idxChecks
+    val idxOk = idxCountOk && idxReplayOk && idxPruneOk && idxGenOk &&
+      idxServeOk
+
     val spillOk = spilledDisk.get() > 0
     val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk &&
-      annOk && ivmOk
+      annOk && ivmOk && idxOk
     println(
       s"""{"metric":"stress","sf":"$sfDir","mult":$mult,""" +
       s""""mem_fraction":$memFrac,"rows":${mult * n1},""" +
@@ -536,6 +659,7 @@ object Stress {
       s""""ivm_mult":$ivmMult,"ivm_sec":$tIvm,""" +
       s""""ivm_dirty_groups":$ivmDirtyBig,"ivm_changes":$ivmCh12N,""" +
       s""""ivm_groups":$ivmAggViewN,"ivm_spill_bytes":$ivmSpill,""" +
+      s""""idx_mult":$idxMult,"idx_sec":$tIdx,"idx_codes":$idxCodesN,""" +
       s""""disk_spill_bytes":${spilledDisk.get()},""" +
       s""""memory_spill_bytes":${spilledMem.get()},""" +
       s""""agg_ok":$aggOk,"sort_ok":$sortOk,"join_ok":$joinOk,""" +
@@ -548,6 +672,9 @@ object Stress {
       s""""ivm_agg_drift_ok":$ivmAggDriftOk,"ivm_minmax_drift_ok":$ivmMmDriftOk,""" +
       s""""ivm_width_ok":$ivmWidthOk,"ivm_groups_ok":$ivmGroupsOk,""" +
       s""""ivm_spill_ok":$ivmSpillOk,""" +
+      s""""idx_count_ok":$idxCountOk,"idx_replay_ok":$idxReplayOk,""" +
+      s""""idx_prune_ok":$idxPruneOk,"idx_gen_ok":$idxGenOk,""" +
+      s""""idx_serve_ok":$idxServeOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()
