@@ -487,6 +487,32 @@ object PipelineQueries {
       table
     })
 
+  private val builtLangidTables =
+    new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
+
+  /** Stream-maintained langid gram counts over the PLANTED multilingual
+    * corpus's train split: 4 real micro-batches through
+    * [[graft.streaming.StreamLangid.langidSink]] — built once per
+    * session; serving derives rank profiles from the maintained counts
+    * through the batch trainer's own FromCounts code. */
+  private def incrementalLangid(s: SparkSession, dir: String): Livestream.UpsertTable =
+    builtLangidTables.computeIfAbsent(memoKey(s, dir), _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_langid")
+      deleteOnExit(tmp)
+      val train = langidPlanted(Tables.load(s, dir, "documents"))
+        .filter(col("doc_id") % 5 =!= 0)
+        .select("doc_id", "lang", "text")
+      val src = tmp.resolve("in").toString
+      train.repartition(4).write.parquet(src)
+      val table = graft.streaming.StreamLangid.table(s, tmp.resolve("tbl").toString)
+      val stream = s.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamLangid.langidSink(stream, "text",
+        "lang", table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      table
+    })
+
   private val builtHistTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -2005,6 +2031,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Langid served from the INCREMENTALLY-MAINTAINED gram-count model
+    // (StreamLangid — the 16th maintained artifact): labeled planted
+    // docs arrive as 4 micro-batches of additive (lang, gram) counter
+    // upserts; serving derives the rank profiles from the maintained
+    // counts through the batch trainer's own FromCounts code and
+    // classifies the held-out split — must equal batch q_langid
+    // exactly (shared oracle VERBATIM): counts are additive integers,
+    // so any maintenance leak (a dropped batch, a double-counted gram,
+    // a key-codec collision) shifts a rank and hash-mismatches.
+    "q_langid_incremental" -> ((s, dir) => {
+      val planted = langidPlanted(Tables.load(s, dir, "documents"))
+      val test = planted.filter(col("doc_id") % 5 === 0)
+      val profiles = graft.streaming.StreamLangid.profiles(
+        incrementalLangid(s, dir), k = 64)
+      TextAnalysis.langidByProfiles(test, "doc_id", "text", profiles)
+        .join(test.select(col("doc_id"), col("lang").as("lang_true")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang_true"), col("lang_pred"), col("score"))
+        .orderBy("doc_id")
+    }),
+
     // Text analysis: token counts, quality, language-ID, fingerprint.
     // Multinomial Naive Bayes trained AND served in-engine: language
     // classification of the corpus, add-one smoothing, every ln floored
@@ -2027,6 +2074,40 @@ object PipelineQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
           graft.streaming.StreamNb.tokenCounts(t),
           graft.streaming.StreamNb.classDocs(t))
+        .orderBy("label", "predicted")
+    }),
+
+    // TAKEDOWN on the COUNTER-type artifact — DECREMENTAL learning
+    // (StreamNb.retract): the replace-by-doc fleet purges rows
+    // (q_takedown); an additive model instead SUBTRACTS the retracted
+    // docs' contributions and purges zeroed keys, so the maintained
+    // model equals a batch train over corpus-minus-docs EXACTLY —
+    // including the smoothing vocabulary (a zero-count row left behind
+    // would shift every likelihood). Build: the real 4-micro-batch
+    // sink, then retract doc_id % 7 = 3 in the timed body, classify
+    // the remaining corpus from the maintained model. Oracle: the full
+    // NB replay over documents WHERE doc_id % 7 != 3 — train and
+    // classify on the post-takedown corpus.
+    "q_takedown_nb" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_takedown_nb")
+      deleteOnExit(tmp)
+      val docs = Tables.load(s, dir, "documents")
+        .select("doc_id", "text", "lang")
+      val src = tmp.resolve("in").toString
+      docs.repartition(4).write.parquet(src)
+      val table = graft.streaming.StreamNb.table(s, tmp.resolve("tbl").toString)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamNb.nbSink(stream, "doc_id", "text",
+        "lang", table, tmp.resolve("ckp").toString).start()
+      q.awaitTermination()
+      graft.streaming.StreamNb.retract(table,
+        docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", "lang",
+        seqBase = 100L)
+      graft.operators.NaiveBayes.confusionFromModel(
+          docs.filter(col("doc_id") % 7 =!= 3), "doc_id", "text", "lang",
+          graft.streaming.StreamNb.tokenCounts(table),
+          graft.streaming.StreamNb.classDocs(table))
         .orderBy("label", "predicted")
     }),
 
@@ -4121,13 +4202,16 @@ object PipelineQueries {
 
   /** q_naive_bayes ground truth — shared verbatim by the maintained-
     * model serving path (q_nb_incremental), which must converge to the
-    * batch counts. */
-  private val nbOracle =
-    """WITH base AS (
+    * batch counts; parameterized by a corpus predicate so the
+    * DECREMENTAL takedown (q_takedown_nb) gates against the SAME replay
+    * over corpus-minus-docs — the restriction is the entire diff. */
+  private def nbOracleFrom(where: String) =
+    s"""WITH base AS (
            SELECT doc_id AS doc, lang AS lbl,
                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               x -> length(x) > 0) AS t
-           FROM documents),
+           FROM documents $where),""" +
+    """
          postings AS MATERIALIZED (
            SELECT doc, lbl, tok, CAST(count(*) AS BIGINT) AS tf
            FROM (SELECT doc, lbl, unnest(t) AS tok FROM base)
@@ -4171,23 +4255,14 @@ object PipelineQueries {
          SELECT lbl AS label, c AS predicted, CAST(count(*) AS BIGINT) AS n
          FROM pred GROUP BY 1, 2 ORDER BY label, predicted"""
 
-  private val oraclesRaw: Map[String, String] = Map(
+  private val nbOracle = nbOracleFrom("")
 
-    "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
-
-    // the maintained model must converge to the batch counts, so the
-    // streamed serving path shares q_naive_bayes' oracle verbatim
-    "q_nb_incremental" -> nbOracle,
-
-    "q_naive_bayes" -> nbOracle,
-
-    // langid: full relational replay — plant the per-language
-    // permutations, re-train the trigram rank profiles on the train
-    // split, re-classify the held-out split, same integer weights and
-    // (score DESC, lang ASC) argmax. score = Σ w over OCCURRENCES on
-    // the engine ≡ Σ count·w here — identical integer sums.
-    "q_langid" ->
-      """WITH planted AS (
+  /** q_langid ground truth — shared verbatim by the maintained-model
+    * serving path (q_langid_incremental): plant the per-language
+    * permutations, re-train the trigram rank profiles on the train
+    * split, re-classify the held-out split. */
+  private val langidOracle =
+    """WITH planted AS (
            SELECT doc_id, lang,
                   CASE lang
                     WHEN 'es' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'eioua')
@@ -4223,8 +4298,33 @@ object PipelineQueries {
                 coalesce(b.lang_pred, 'und') AS lang_pred,
                 coalesce(b.score, 0) AS score
          FROM test t LEFT JOIN best b USING (doc_id)
-         ORDER BY t.doc_id""",
+         ORDER BY t.doc_id"""
 
+  private val oraclesRaw: Map[String, String] = Map(
+
+    // decremental takedown: train AND classify over corpus-minus-docs —
+    // the maintained model (subtract + purge-zeroed) must reproduce it
+    "q_takedown_nb" -> nbOracleFrom("WHERE doc_id % 7 != 3"),
+
+    "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
+
+    // the maintained model must converge to the batch counts, so the
+    // streamed serving path shares q_naive_bayes' oracle verbatim
+    "q_nb_incremental" -> nbOracle,
+
+    "q_naive_bayes" -> nbOracle,
+
+    // langid: full relational replay — plant the per-language
+    // permutations, re-train the trigram rank profiles on the train
+    // split, re-classify the held-out split, same integer weights and
+    // (score DESC, lang ASC) argmax. score = Σ w over OCCURRENCES on
+    // the engine ≡ Σ count·w here — identical integer sums.
+    "q_langid" -> langidOracle,
+
+    // the maintained gram-count model must converge to the batch
+    // counts, so the streamed serving path shares q_langid's oracle
+    // VERBATIM (the q_nb_incremental device)
+    "q_langid_incremental" -> langidOracle,
 
     "q_spell_correct" ->
       """WITH vocab AS (

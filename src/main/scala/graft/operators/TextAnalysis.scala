@@ -107,11 +107,20 @@ object TextAnalysis {
     * partitions by language over ≤ |grams(lang)| rows. Training reads
     * the corpus once. */
   def trigramProfiles(train: DataFrame, lang: String, text: String,
-      k: Int = 64): DataFrame = {
+      k: Int = 64): DataFrame =
+    trigramProfilesFromCounts(
+      train.select(col(lang).as("lang"),
+          explode(charTrigrams(col(text))).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("c")), k)
+
+  /** The rank-profile derivation over an ALREADY-aggregated
+    * (lang, gram, c) count relation — shared by the batch trainer above
+    * and the stream-maintained counter table
+    * ([[graft.streaming.StreamLangid]]), so the two routes cannot
+    * drift: counts are additive integers, so the maintained table's
+    * counts equal the batch counts exactly and the profiles follow. */
+  def trigramProfilesFromCounts(counts: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = train
-      .select(col(lang).as("lang"), explode(charTrigrams(col(text))).as("gram"))
-      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
     counts
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("c").desc, col("gram").asc)))

@@ -57,6 +57,25 @@ object StreamNb {
     tokRows.unionByName(docRows)
   }
 
+  /** The additive read-modify-write shared by ingest ([[nbSink]]) and
+    * retraction ([[retract]]): fold a (k, cnt_d) delta into the counter
+    * table's current counts and merge-publish. */
+  private def applyCounts(table: Livestream.UpsertTable, delta: DataFrame,
+      seqBase: Long): Unit = {
+    val cur = table.current.select(col(Merge.KeyCol).as("k"),
+      col("cnt").as("cnt_0"))
+    val rows = delta.join(cur, Seq("k"), "left")
+      .select(col("k").as(Merge.KeyCol),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("body"),
+        (coalesce(col("cnt_0"), lit(0L)) + col("cnt_d")).as("cnt"))
+      .withColumn("_seq",
+        lit(seqBase) * 1000000000L + monotonically_increasing_id())
+      .persist()
+    try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+    finally rows.unpersist()
+  }
+
   /** Wire a labeled document stream into the model table — the additive
     * read-modify-write of the sketch/model sinks; same `_seq` and
     * empty-batch contract. */
@@ -72,20 +91,39 @@ object StreamNb {
         // the scaladoc
         val bad = batch.filter(col(label).contains(":")).limit(1).count()
         require(bad == 0, s"label values must not contain ':' (key codec)")
-        val delta = nbDelta(batch, id, text, label)
-        val cur = table.current.select(col(Merge.KeyCol).as("k"),
-          col("cnt").as("cnt_0"))
-        val rows = delta.join(cur, Seq("k"), "left")
-          .select(col("k").as(Merge.KeyCol),
-            lit(null).cast("string").as("author"),
-            lit(null).cast("string").as("body"),
-            (coalesce(col("cnt_0"), lit(0L)) + col("cnt_d")).as("cnt"))
-          .withColumn("_seq",
-            lit(batchId) * 1000000000L + monotonically_increasing_id())
-          .persist()
-        try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
-        finally rows.unpersist()
+        applyCounts(table, nbDelta(batch, id, text, label), batchId)
       }
+
+  /** TAKEDOWN propagation into the COUNTER-type artifact — DECREMENTAL
+    * learning: the replace-by-doc fleet purges rows
+    * ([[Livestream.UpsertTable.purgeKeys]]), but an additive model has
+    * no per-doc rows to purge — a retracted doc's contribution is
+    * SUBTRACTED instead (the additive inverse of the ingest delta),
+    * and keys whose count reaches zero are then PURGED so the model
+    * equals a batch train over corpus-minus-docs EXACTLY: a zero-count
+    * token row left behind would still inflate the add-one-smoothing
+    * vocabulary and drift every likelihood.
+    *
+    * Retraction needs the docs' TEXT (the features being subtracted) —
+    * consume the CDC before-image, or retract BEFORE erasing the
+    * document store; the erasure-ordering contract is
+    * [[Livestream.UpsertTable.purge]]'s. Each doc must be retracted
+    * exactly once (the ingest admission contract, inverted); a doc
+    * never ingested drives counts negative, which fails LOUDLY here
+    * rather than serving a silently-corrupt model. */
+  def retract(table: Livestream.UpsertTable, docs: DataFrame,
+      id: String, text: String, label: String, seqBase: Long = 0L): Unit = {
+    val delta = nbDelta(docs, id, text, label)
+      .select(col("k"), (-col("cnt_d")).as("cnt_d"))
+    applyCounts(table, delta, seqBase)
+    val neg = table.current.filter(col("cnt") < 0L).limit(1).count()
+    require(neg == 0L,
+      "retract drove a model count NEGATIVE — a doc was retracted that " +
+        "was never ingested (or retracted twice); the model table is " +
+        "versioned: roll back by reopening the previous version")
+    table.purgeKeys(table.current.filter(col("cnt") === 0L)
+      .select(col(Merge.KeyCol)))
+  }
 
   /** The maintained (tok, c, cnt) token-count view —
     * [[graft.operators.NaiveBayes.classifyFromModel]]'s first input. */

@@ -640,6 +640,77 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(StreamLsh.state(lshT).count() === 2L)
   }
 
+  test("StreamNb.retract: decremental takedown — subtract + purge-zeroed equals the model trained without the docs") {
+    import graft.streaming.StreamNb
+    implicit val sqlCtx = spark.sqlContext
+    val keep = Seq(LDoc(1L, "alpha beta alpha", "en"),
+      LDoc(2L, "beta gamma", "fr"), LDoc(3L, "alpha delta", "en"))
+    val drop = Seq(LDoc(4L, "epsilon zeta beta", "fr"),
+      LDoc(5L, "alpha alpha", "en"))
+    def modelOf(docs: Seq[LDoc]): (Map[(String, String), Long], Map[String, Long], Livestream.UpsertTable) = {
+      val mem = MemoryStream[LDoc]
+      val t = StreamNb.table(spark, tmp("nbr"), nBuckets = 4)
+      val q = StreamNb.nbSink(mem.toDF(), "doc_id", "text", "lang", t,
+        tmp("nbrck"), Trigger.ProcessingTime(0)).start()
+      try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+      (StreamNb.tokenCounts(t).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+        StreamNb.classDocs(t).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap, t)
+    }
+    val (_, _, full) = modelOf(keep ++ drop)
+    StreamNb.retract(full, drop.toDF(), "doc_id", "text", "lang")
+    val gotTok = StreamNb.tokenCounts(full).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val gotCls = StreamNb.classDocs(full).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (wantTok, wantCls, _) = modelOf(keep)
+    assert(gotTok === wantTok, "retracted token counts != train-without model")
+    assert(gotCls === wantCls)
+    // zeroed keys are PURGED, not left at zero: the smoothing vocabulary
+    // must equal the without-model's ('epsilon'/'zeta'/'delta' edges)
+    assert(full.current.filter(col("cnt") === 0L).count() === 0L)
+    assert(!gotTok.keySet.exists(_._1 == "epsilon"))
+    // retracting a doc that was never ingested fails LOUDLY
+    val e = intercept[IllegalArgumentException](StreamNb.retract(full,
+      Seq(LDoc(9L, "neverseen neverseen", "en")).toDF(),
+      "doc_id", "text", "lang", seqBase = 7L))
+    assert(e.getMessage.toLowerCase.contains("negative"))
+  }
+
+  test("StreamLangid: maintained gram counts equal the batch trainer's; hex key codec round-trips hostile grams") {
+    import graft.streaming.{StreamLangid, Livestream => _}
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    // grams containing the key separator and whitespace — the codec's
+    // hostile cases
+    val docs = Seq(LDoc(1L, "a:b c", "en"), LDoc(2L, "x y:z", "fr"),
+      LDoc(3L, "a:b a:b", "en"))
+    val mem = MemoryStream[LDoc]
+    val t = StreamLangid.table(spark, tmp("lgt"), nBuckets = 4)
+    val q = StreamLangid.langidSink(mem.toDF(), "text", "lang", t,
+      tmp("lgck"), Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(docs.take(2): _*); q.processAllAvailable()
+      mem.addData(docs.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamLangid.gramCounts(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = docs.toDF("doc_id", "text", "lang")
+      .select(col("lang"), explode(TextAnalysis.charTrigrams(col("text"))).as("gram"))
+      .groupBy("lang", "gram").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want, "maintained gram counts drifted from batch")
+    assert(got.keySet.exists(_._2.contains(":")), "no hostile gram exercised")
+    // profiles from the maintained counts == the batch trainer's
+    val gotProf = StreamLangid.profiles(t, k = 8).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val wantProf = TextAnalysis.trigramProfiles(
+        docs.toDF("doc_id", "text", "lang"), "lang", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotProf === wantProf)
+  }
+
   test("StreamModel: incrementally-maintained DSIR model equals the batch model; buckets sum across batches") {
     import graft.streaming.StreamModel
     import graft.operators.Importance
