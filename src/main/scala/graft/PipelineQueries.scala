@@ -2031,6 +2031,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The CCNet SHARD SPLIT — what langid is FOR: the whole corpus
+    // (train + held-out) classifies against the trained profiles and
+    // lands in per-language shards; the output is the shard manifest
+    // (lang_pred, n_docs, sum_chars) a downstream per-language pipeline
+    // consumes. Integer stats; the oracle re-runs the full
+    // train-classify-shard chain.
+    "q_langid_shard" -> ((s, dir) => {
+      val planted = langidPlanted(Tables.load(s, dir, "documents"))
+      val profiles = TextAnalysis.trigramProfiles(
+        planted.filter(col("doc_id") % 5 =!= 0), "lang", "text", k = 64)
+      TextAnalysis.langidByProfiles(planted, "doc_id", "text", profiles)
+        .join(planted.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang_pred")
+    }),
+
     // Langid served from the INCREMENTALLY-MAINTAINED gram-count model
     // (StreamLangid — the 16th maintained artifact): labeled planted
     // docs arrive as 4 micro-batches of additive (lang, gram) counter
@@ -4325,6 +4343,49 @@ object PipelineQueries {
     // counts, so the streamed serving path shares q_langid's oracle
     // VERBATIM (the q_nb_incremental device)
     "q_langid_incremental" -> langidOracle,
+
+    // shard split: the langid chain re-rooted at the WHOLE corpus,
+    // aggregated into the per-language shard manifest
+    "q_langid_shard" ->
+      """WITH planted AS (
+           SELECT doc_id, lang,
+                  CASE lang
+                    WHEN 'es' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'eioua')
+                    WHEN 'de' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'uoiea')
+                    WHEN 'fr' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'nrst', 'rstn')
+                    WHEN 'zh' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'iouae')
+                    ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS text
+           FROM documents),
+         train AS (SELECT * FROM planted WHERE doc_id % 5 != 0),
+         tg AS (SELECT lang, substring(lt, i, 3) AS gram
+                FROM (SELECT lang, lower(text) AS lt,
+                             unnest(range(1, greatest(length(text) - 1, 1))) AS i
+                      FROM train) t),
+         cnt AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+         prof AS (
+           SELECT lang, gram, CAST(65 - rn AS BIGINT) AS w FROM (
+             SELECT lang, gram,
+                    row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rn
+             FROM cnt) r
+           WHERE rn <= 64),
+         dtg AS (SELECT doc_id, substring(lt, i, 3) AS gram
+                 FROM (SELECT doc_id, lower(text) AS lt,
+                              unnest(range(1, greatest(length(text) - 1, 1))) AS i
+                       FROM planted) t),
+         sc AS (SELECT d.doc_id, p.lang, CAST(sum(p.w) AS BIGINT) AS score
+                FROM dtg d JOIN prof p ON p.gram = d.gram GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang AS lang_pred FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn FROM sc) b
+                  WHERE rn = 1),
+         shard AS (
+           SELECT p.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred,
+                  CAST(length(p.text) AS BIGINT) AS n_chars
+           FROM planted p LEFT JOIN best b USING (doc_id))
+         SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM shard GROUP BY lang_pred
+         ORDER BY lang_pred""",
 
     "q_spell_correct" ->
       """WITH vocab AS (

@@ -545,6 +545,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.exchanges <= 4, s"maintained-refine exchange count drifted: $c")
   }
 
+  test("q_takedown: post-purge serve keeps the maintained-index shape — codes scanned, queries broadcast") {
+    // the takedown must not change the SERVING plan: after the pruned
+    // purge + erasure, the serve is still the q_ann_incremental shape
+    // (codes-table scan, probed queries + LUT broadcast, top-k window +
+    // output sort)
+    val c = audited("q_takedown")
+    assert(c.broadcasts >= 1, s"probed-query side must broadcast: $c")
+    assert(c.exchanges <= 3, s"post-purge serve exchange count drifted: $c")
+  }
+
+  test("q_langid: profiles broadcast; one score exchange + co-partitioned argmax + output sort") {
+    // the CCNet first filter's scale shape: the k·L profile codebook
+    // rides a broadcast into the exploded-trigram join (no shuffle on
+    // the corpus side before scoring); exchanges are the (doc, lang)
+    // score aggregate, the per-doc argmax re-key, the true-label join,
+    // and the output sort
+    val c = audited("q_langid")
+    assert(c.broadcasts >= 1, s"profile side must broadcast: $c")
+    assert(c.exchanges <= 5, s"langid exchange count drifted: $c")
+  }
+
   test("q_ann_pca: reduce map-only; candidate + rerank windows are the only exchanges") {
     val c = audited("q_ann_pca")
     // reduced queries, candidate list, and full query vectors all ride

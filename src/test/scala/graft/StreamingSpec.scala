@@ -640,6 +640,38 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(StreamLsh.state(lshT).count() === 2L)
   }
 
+  test("purge between micro-batches: the stream keeps merging, a purged key can legitimately re-arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[C]
+    val table = new Livestream.UpsertTable(spark, tmp("pstr"),
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    val q = Livestream.upsertSink(mem.toDF(), table, tmp("pstrck"),
+      Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(c(1, "a", 1), c(2, "b", 2), c(3, "c", 3))
+      q.processAllAvailable()
+      // takedown lands between triggers — the operational reality
+      assert(table.purge(Seq("t1_2"), eraseHistory = true) === 1L)
+      assert(table.current.count() === 2L)
+      // the stream continues: new keys merge, and the purged key may
+      // legitimately RE-ARRIVE (a new document with a recycled id is a
+      // fresh row, not a resurrection — takedown is not a tombstone)
+      mem.addData(c(4, "d", 4), c(2, "b2", 20))
+      q.processAllAvailable()
+      val rows = table.current.collect()
+        .map(r => r.getAs[String]("idstr") -> r.getAs[String]("body")).toMap
+      assert(rows === Map("t1_1" -> "a", "t1_2" -> "b2", "t1_3" -> "c",
+        "t1_4" -> "d"))
+      // the purged generation of t1_2's text is still GONE from history:
+      // erasure vacuumed to the purge, so only post-purge versions exist
+      // and none of their files carry the purged body
+      val leftover = spark.read.parquet(table.current.inputFiles: _*)
+        .filter(col("body") === "b").count()
+      assert(leftover === 0L)
+    } finally q.stop()
+  }
+
   test("StreamNb.retract: decremental takedown — subtract + purge-zeroed equals the model trained without the docs") {
     import graft.streaming.StreamNb
     implicit val sqlCtx = spark.sqlContext
