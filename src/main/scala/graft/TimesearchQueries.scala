@@ -178,6 +178,38 @@ object TimesearchQueries {
     (facts, dim)
   }
 
+  /** q_cdc_snowflake's SECOND-LEVEL dimension batches: region codes —
+    * the domain the author dim's `region_c` draws from ({0..9} ∪
+    * {100..109} ∪ {200..209}) — with batch-parametric attributes
+    * (latest batch containing a code wins, the [[dimUsers]] device).
+    * Batch 0 seeds the 0-level; batch 1 inserts the 100-level and
+    * updates the even 0-level codes; batch 2 inserts the 200-level
+    * MINUS 207 (a deliberate residue: view1 rows with region 207 stay
+    * out of the inner level-2 view — the gate proves the inner drop,
+    * not just the happy path) and updates the %5 codes below it. */
+  private def dimRegion(s: SparkSession, batch: Int): DataFrame = {
+    val code = col("id")
+    val keep = batch match {
+      case 0 => code < 100
+      case 1 => (code >= 100 && code < 200) || (code < 100 && code % 2 === 0)
+      case _ => (code >= 200 && code =!= 207) || (code < 200 && code % 5 === 0)
+    }
+    s.range(0, 300).filter(code % 100 < 10).filter(keep).select(
+      concat(lit("r"), code).as("idstr"),
+      lit(null).cast("string").as("author"),
+      lit(null).cast("string").as("body"),
+      concat(lit("z"), (code + lit(batch)) % 4).as("zone"),
+      (code + lit(batch * 1000)).cast("long").as("zpop"),
+      code.as("_seq"))
+  }
+
+  /** The region entity for the snowflake's third UpsertTable — same
+    * convention as [[dimEntity]] (attributes updatable, author/body
+    * only for the merge fold's tombstone guard, always null here). */
+  private val regionEntity: Merge.Entity = Merge.Entity(
+    textCol = "body", editTextCol = "previous_body",
+    updatable = Seq("zone", "zpop"), frozen = Seq("author"))
+
   /** orders → submission-shaped rows shared by the q_index_* listings. */
   private def indexSubs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders").select(
@@ -687,6 +719,95 @@ object TimesearchQueries {
       graft.operators.Scd.cdcApply(agg1, d2, "tier", "score",
           "n_rows", "sum_score_c")
         .orderBy("tier")
+    }),
+
+    // Δview chaining for the OUTER view — the late-arriving-dimension
+    // view drives a downstream aggregate at |Δ| cost too: facts with
+    // no dim yet live in the NULL-tier group, and the outer delta
+    // carries each null→joined flip (a dim insert) as an update whose
+    // before-image holds the null dims, so cdcApply moves those facts
+    // between the null group and their new tier without ever seeing
+    // the view. Oracle: aggregate of the rescan LEFT JOIN — the
+    // uncovered-author residue keeps the NULL group non-empty at the
+    // final state, so the null-group algebra faces the gate.
+    "q_cdc_join_outer_agg" -> ((s, dir) => {
+      val (facts, dim) = cdcJoinTables(s, dir)
+      def factsAt(v: Long) =
+        facts.at(v).select(col("idstr"), col("author"), col("score"))
+      def dimAt(v: Long) =
+        dim.at(v).select(col("idstr").as("author"), col("tier"), col("region_c"))
+      def dimCh(a: Long, b: Long) =
+        dim.changes(a, b).select(col("idstr").as("author"), col("kind"))
+      val fCols = Seq("score"); val dCols = Seq("tier", "region_c")
+      val base = graft.operators.Scd.cdcBaseJoinOuter(factsAt(0), dimAt(0),
+        "idstr", "author", fCols, dCols)
+      val agg0 = graft.operators.Scd.cdcBaseAgg(base, "tier", "score",
+        "n_rows", "sum_score_c")
+      val (v1, d1) = graft.operators.Scd.cdcApplyJoinOuterWithDelta(base,
+        facts.changes(0L, 1L), dimCh(0L, 1L), dimAt(1),
+        "idstr", "author", fCols, dCols)
+      val agg1 = graft.operators.Scd.cdcApply(agg0, d1, "tier", "score",
+        "n_rows", "sum_score_c")
+      val (_, d2) = graft.operators.Scd.cdcApplyJoinOuterWithDelta(v1,
+        facts.changes(1L, 2L), dimCh(1L, 2L), dimAt(2),
+        "idstr", "author", fCols, dCols)
+      graft.operators.Scd.cdcApply(agg1, d2, "tier", "score",
+          "n_rows", "sum_score_c")
+        .orderBy("tier")
+    }),
+
+    // SNOWFLAKE IVM — view-over-view: level 1 maintains F⋈D(users)
+    // emitting Δview1; level 2 consumes Δview1 AS ITS FACT CHANGES
+    // (the WithDelta contract is exactly the changesF contract — that
+    // is the point) against a third versioned store, the region dim
+    // keyed by view1's region_c. Three tables churn concurrently
+    // (facts ×3, users ×3, regions ×3 versions); no table and neither
+    // view is ever rescanned — level 2's dim-dirty branch reads
+    // view1 (its "fact table" IS the maintained level-1 view). The
+    // region batches leave 207 uncovered, so the inner drop at level
+    // 2 is exercised, and view1 rows GAIN level-2 matches mid-chain
+    // as the 100/200-level codes arrive. Oracle: rescan join of all
+    // THREE replayed merges.
+    "q_cdc_snowflake" -> ((s, dir) => {
+      val (facts, dim) = cdcJoinTables(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcsf")
+      val reg = new Livestream.UpsertTable(s, tmp.resolve("r").toString,
+        regionEntity, dimRegion(s, 0).drop("_seq").limit(0),
+        outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+      reg.seed(dimRegion(s, 0).drop("_seq"))                          // v0
+      reg.merge(dimRegion(s, 1), "_seq", storeEdits = Some(false))    // v1
+      reg.merge(dimRegion(s, 2), "_seq", storeEdits = Some(false))    // v2
+      def factsAt(v: Long) =
+        facts.at(v).select(col("idstr"), col("author"), col("score"))
+      def dimAt(v: Long) =
+        dim.at(v).select(col("idstr").as("author"), col("tier"), col("region_c"))
+      def dimCh(a: Long, b: Long) =
+        dim.changes(a, b).select(col("idstr").as("author"), col("kind"))
+      val regionCode = expr("CAST(substr(idstr, 2) AS BIGINT)").as("region_c")
+      def regAt(v: Long) =
+        reg.at(v).select(regionCode, col("zone"), col("zpop"))
+      def regCh(a: Long, b: Long) =
+        reg.changes(a, b).select(regionCode, col("kind"))
+      val f1Cols = Seq("score"); val d1Cols = Seq("tier", "region_c")
+      val f2Cols = Seq("author", "score", "tier"); val d2Cols = Seq("zone", "zpop")
+      val view1_0 = graft.operators.Scd.cdcBaseJoin(factsAt(0), dimAt(0),
+        "idstr", "author", f1Cols, d1Cols)
+      val view2_0 = graft.operators.Scd.cdcBaseJoin(view1_0, regAt(0),
+        "idstr", "region_c", f2Cols, d2Cols)
+      val (view1_1, dv1) = graft.operators.Scd.cdcApplyJoinWithDelta(view1_0,
+        facts.changes(0L, 1L), dimCh(0L, 1L), factsAt(1), dimAt(1),
+        "idstr", "author", f1Cols, d1Cols)
+      val view2_1 = graft.operators.Scd.cdcApplyJoin(view2_0, dv1,
+        regCh(0L, 1L), view1_1, regAt(1),
+        "idstr", "region_c", f2Cols, d2Cols)
+      val (view1_2, dv2) = graft.operators.Scd.cdcApplyJoinWithDelta(view1_1,
+        facts.changes(1L, 2L), dimCh(1L, 2L), factsAt(2), dimAt(2),
+        "idstr", "author", f1Cols, d1Cols)
+      graft.operators.Scd.cdcApplyJoin(view2_1, dv2,
+          regCh(1L, 2L), view1_2, regAt(2),
+          "idstr", "region_c", f2Cols, d2Cols)
+        .orderBy("idstr")
     }),
 
     // J2+A5+P5 — the batch upsert merge: final table state.
@@ -1582,6 +1703,48 @@ object TimesearchQueries {
          FROM merged m JOIN dim d ON m.author = d.du
          GROUP BY d.tier
          ORDER BY d.tier""",
+
+    // outer Δview chaining: the rescan LEFT JOIN aggregated — the
+    // engine maintained it from emitted outer deltas only, null-tier
+    // group included (the uncovered-author residue keeps it non-empty)
+    "q_cdc_join_outer_agg" ->
+      s"""$cdcJoinCtes
+         SELECT d.tier, COUNT(*) AS n_rows,
+                CAST(SUM(m.score) AS BIGINT) AS sum_score_c
+         FROM merged m LEFT JOIN dim d ON m.author = d.du
+         GROUP BY d.tier
+         ORDER BY d.tier""",
+
+    // snowflake IVM: the oracle rescans and re-joins all THREE
+    // replayed merges (facts, author dim, region dim — latest batch
+    // containing a key wins) — the maintained level-2 view leaned
+    // only on deltas, including Δview1 as its fact changes
+    "q_cdc_snowflake" ->
+      s"""$cdcJoinCtes,
+         rcodes AS (SELECT range AS code FROM range(0, 300)
+                    WHERE range % 100 < 10),
+         regall AS (
+           SELECT code, 'z'||(code % 4) AS zone,
+                  CAST(code AS BIGINT) AS zpop, 0 AS b
+           FROM rcodes WHERE code < 100
+           UNION ALL
+           SELECT code, 'z'||((code + 1) % 4), CAST(code + 1000 AS BIGINT), 1
+           FROM rcodes WHERE (code >= 100 AND code < 200)
+              OR (code < 100 AND code % 2 = 0)
+           UNION ALL
+           SELECT code, 'z'||((code + 2) % 4), CAST(code + 2000 AS BIGINT), 2
+           FROM rcodes WHERE (code >= 200 AND code != 207)
+              OR (code < 200 AND code % 5 = 0)),
+         reg AS (
+           SELECT code, zone, zpop FROM (
+             SELECT *, row_number() OVER (PARTITION BY code ORDER BY b DESC)
+               AS rn
+             FROM regall) WHERE rn = 1)
+         SELECT m.idstr, d.region_c, m.author, m.score, d.tier,
+                r.zone, r.zpop
+         FROM merged m JOIN dim d ON m.author = d.du
+         JOIN reg r ON d.region_c = r.code
+         ORDER BY m.idstr""",
 
     // Golden-file oracle: rendered HTML has no relational recomputation,
     // so the ground truth is the committed (idstr, html_len, html_md5)

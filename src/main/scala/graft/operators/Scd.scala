@@ -421,10 +421,20 @@ object Scd {
       changesD: DataFrame, dimSnap: DataFrame,
       factKey: String, joinKey: String,
       factCols: Seq[String], dimCols: Seq[String],
-      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame = {
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): DataFrame =
+    cdcApplyJoinOuterCore(viewIn.localCheckpoint(false),
+      changesFIn.localCheckpoint(false), changesD, dimSnap,
+      factKey, joinKey, factCols, dimCols, maxBroadcastKeys)
+
+  /** [[cdcApplyJoinOuter]] body over ALREADY-materialized view/ΔF —
+    * factored so [[cdcApplyJoinOuterWithDelta]] shares the checkpoints
+    * (the same split [[cdcApplyJoinCore]] gives the inner pair). */
+  private def cdcApplyJoinOuterCore(view: DataFrame, changesF: DataFrame,
+      changesD: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String],
+      maxBroadcastKeys: Long): DataFrame = {
     val outCols = (factKey +: joinKey +: (factCols ++ dimCols)).map(col)
-    val view = viewIn.localCheckpoint(false)
-    val changesF = changesFIn.localCheckpoint(false)
     val jk = col(joinKey)
     val fIds = changesF.select(col(factKey).as("_fk")).distinct()
       .localCheckpoint(false)
@@ -509,6 +519,51 @@ object Scd {
       .unionByName(v
         .join(fIds, col(factKey) === col("_fk"), "left_anti")
         .join(dirtyJk, jk <=> col("_dj"), "left_semi"))
+    val compare = joinKey +: (factCols ++ dimCols)
+    val delta = diff(touched(view), touched(newView), factKey, compare)
+      .withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+      .drop("change")
+    (newView, delta)
+  }
+
+  /** [[cdcApplyJoinOuter]] that ALSO emits Δview — the outer half of
+    * [[cdcApplyJoinWithDelta]]'s contract, so the late-arriving-
+    * dimension view chains into downstream consumers at |Δ| cost too.
+    * The outer delta carries the null→joined flips a dim INSERT causes
+    * (and the flip-backs of a dim DELETE) as `update` rows whose
+    * before-image holds the NULL dim columns — exactly what a
+    * downstream [[cdcApply]] needs to move those facts between the
+    * null group and their new one.
+    *
+    * Touched-row bound: a view row is touched iff its fact key is in
+    * ΔF or its join key is in ΔD — the dirty match is `===` like the
+    * applier's (NULL join keys are never dim-dirty), so the diff input
+    * stays |Δ|-sized. The outer invariant (exactly one row per live
+    * fact key) makes the fact-key diff well-defined.
+    *
+    * Returns (new view, Δview with `kind` ∈ insert/update/delete and
+    * before_/after_ images of joinKey ++ factCols ++ dimCols). */
+  def cdcApplyJoinOuterWithDelta(viewIn: DataFrame, changesFIn: DataFrame,
+      changesD: DataFrame, dimSnap: DataFrame,
+      factKey: String, joinKey: String,
+      factCols: Seq[String], dimCols: Seq[String],
+      maxBroadcastKeys: Long = DefaultMaxBroadcastKeys): (DataFrame, DataFrame) = {
+    val view = viewIn.localCheckpoint(false)
+    val changesF = changesFIn.localCheckpoint(false)
+    val newView = cdcApplyJoinOuterCore(view, changesF, changesD, dimSnap,
+      factKey, joinKey, factCols, dimCols, maxBroadcastKeys)
+      .localCheckpoint(false)
+    val jk = col(joinKey)
+    val fIds = changesF.select(col(factKey).as("_fk")).distinct()
+    val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
+    def touched(v: DataFrame): DataFrame = v
+      .join(fIds, col(factKey) === col("_fk"), "left_semi")
+      .unionByName(v
+        .join(fIds, col(factKey) === col("_fk"), "left_anti")
+        .join(dirtyJk, jk === col("_dj"), "left_semi"))
     val compare = joinKey +: (factCols ++ dimCols)
     val delta = diff(touched(view), touched(newView), factKey, compare)
       .withColumn("kind",

@@ -388,6 +388,172 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcApplyJoinOuterWithDelta: outer Δview drives a downstream cdcApply, null group included") {
+    // the outer half of the chained stack: facts without a dim live in
+    // the NULL group of the downstream aggregate, and the emitted delta
+    // must carry every null→joined flip (dim arrival) and flip-back
+    // (dim death) so cdcApply moves them between groups correctly
+    val rnd = new scala.util.Random(31337)
+    def factSnap(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"j${rnd.nextInt(12)}", rnd.nextInt(100).toLong))
+    def dimSnap(keys: Seq[Int]): Seq[(String, String, Long)] =
+      keys.map(j => (s"j$j", s"a${rnd.nextInt(3)}", rnd.nextInt(100).toLong))
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val fc = Seq("m"); val dc = Seq("a", "b")
+    for (round <- 1 to 3) {
+      val fs = (0 to 2).map(_ =>
+        factSnap((0L until 40L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "j", "m"))
+      // dims cover 8 of 12 fact key values — the null group stays live
+      val ds = (0 to 2).map(_ =>
+        dimSnap((0 until 8).filter(_ => rnd.nextDouble() < 0.6))
+          .toDF("j", "a", "b"))
+      val base = Scd.cdcBaseJoinOuter(fs(0), ds(0), "k", "j", fc, dc)
+      val agg0 = Scd.cdcBaseAgg(base, "a", "m")
+      val (v1, delta1) = Scd.cdcApplyJoinOuterWithDelta(base, fd(fs(0), fs(1)),
+        dd(ds(0), ds(1)), ds(1), "k", "j", fc, dc)
+      val agg1 = Scd.cdcApply(agg0, delta1, "a", "m")
+      val (v2, delta2) = Scd.cdcApplyJoinOuterWithDelta(v1, fd(fs(1), fs(2)),
+        dd(ds(1), ds(2)), ds(2), "k", "j", fc, dc)
+      val agg2 = Scd.cdcApply(agg1, delta2, "a", "m")
+      val gotView = v2.orderBy("k")
+        .as[(Long, String, Long, Option[String], Option[Long])].collect().toSeq
+      val wantView = Scd.cdcBaseJoinOuter(fs(2), ds(2), "k", "j", fc, dc)
+        .orderBy("k")
+        .as[(Long, String, Long, Option[String], Option[Long])].collect().toSeq
+      assert(gotView === wantView, s"round $round: outer view drifted")
+      val got = agg2.orderBy(col("a").asc_nulls_first)
+        .as[(Option[String], Long, Long)].collect().toSeq
+      val want = Scd.cdcBaseAgg(wantView.toDF("k", "j", "m", "a", "b"), "a", "m")
+        .orderBy(col("a").asc_nulls_first)
+        .as[(Option[String], Long, Long)].collect().toSeq
+      assert(got === want, s"round $round: outer Δview-chained aggregate drifted")
+      // the adversary exercised the null group, not just joined rows
+      assert(want.exists(_._1.isEmpty), s"round $round: null group empty — weak")
+      val noop = delta2.filter(col("kind") === "update" &&
+        col("before_j") <=> col("after_j") &&
+        col("before_m") <=> col("after_m") &&
+        col("before_a") <=> col("after_a") &&
+        col("before_b") <=> col("after_b")).count()
+      assert(noop === 0L, s"round $round: no-op rows in the emitted outer delta")
+    }
+  }
+
+  test("cdcApplyJoinWithDelta: emitted Δview drives cdcApplyMinMax with the new view as its rescan snapshot") {
+    // the non-additive half chains too: min/max over the JOINED view
+    // maintained from the emitted delta, dirty-group rescans reading
+    // the NEW view image the same WithDelta call returned — no table
+    // and no extra view materialization needed
+    val rnd = new scala.util.Random(8086)
+    def factSnap(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"j${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+    def dimSnap(keys: Seq[Int]): Seq[(String, String, Long)] =
+      keys.map(j => (s"j$j", s"a${rnd.nextInt(3)}", rnd.nextInt(100).toLong))
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val fc = Seq("m"); val dc = Seq("a", "b")
+    for (round <- 1 to 3) {
+      val fs = (0 to 2).map(_ =>
+        factSnap((0L until 40L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "j", "m"))
+      val ds = (0 to 2).map(_ =>
+        dimSnap((0 until 8).filter(_ => rnd.nextDouble() < 0.7))
+          .toDF("j", "a", "b"))
+      val base = Scd.cdcBaseJoin(fs(0), ds(0), "k", "j", fc, dc)
+      val mm0 = Scd.cdcBaseMinMax(base, "a", "m")
+      val (v1, delta1) = Scd.cdcApplyJoinWithDelta(base, fd(fs(0), fs(1)),
+        dd(ds(0), ds(1)), fs(1), ds(1), "k", "j", fc, dc)
+      val mm1 = Scd.cdcApplyMinMax(mm0, delta1, v1, "a", "m")
+      val (v2, delta2) = Scd.cdcApplyJoinWithDelta(v1, fd(fs(1), fs(2)),
+        dd(ds(1), ds(2)), fs(2), ds(2), "k", "j", fc, dc)
+      val mm2 = Scd.cdcApplyMinMax(mm1, delta2, v2, "a", "m")
+      val got = mm2.orderBy("a")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      val want = Scd.cdcBaseMinMax(
+          Scd.cdcBaseJoin(fs(2), ds(2), "k", "j", fc, dc), "a", "m")
+        .orderBy("a").as[(String, Long, Long, Long)].collect().toSeq
+      assert(got === want, s"round $round: Δview-chained min/max drifted")
+    }
+  }
+
+  test("snowflake chaining: Δview1 as level-2 fact changes == rescan of the three-table join") {
+    // view-over-view: level 1 maintains F⋈D1 emitting Δview1; level 2
+    // consumes Δview1 AS ITS changesF against a second dim keyed by a
+    // level-1 DIM attribute — the WithDelta output satisfies the
+    // changesF contract by construction, and level 2's dim-dirty branch
+    // reads view1 as its fact table. All three tables churn per step.
+    val rnd = new scala.util.Random(5150)
+    def factSnap(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"j${rnd.nextInt(8)}", rnd.nextInt(100).toLong))
+    def dim1Snap(keys: Seq[Int]): Seq[(String, String, Long)] =
+      keys.map(j => (s"j$j", s"a${rnd.nextInt(4)}", rnd.nextInt(100).toLong))
+    def dim2Snap(keys: Seq[Int]): Seq[(String, Long)] =
+      keys.map(a => (s"a$a", rnd.nextInt(1000).toLong))
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def d1d(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def d2d(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "a", Seq("z")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val f1c = Seq("m"); val d1c = Seq("a", "b")
+    val f2c = Seq("j", "m", "b"); val d2c = Seq("z")
+    for (round <- 1 to 3) {
+      val fs = (0 to 2).map(_ =>
+        factSnap((0L until 40L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "j", "m"))
+      val d1s = (0 to 2).map(_ =>
+        dim1Snap((0 until 8).filter(_ => rnd.nextDouble() < 0.7))
+          .toDF("j", "a", "b"))
+      val d2s = (0 to 2).map(_ =>
+        dim2Snap((0 until 4).filter(_ => rnd.nextDouble() < 0.7))
+          .toDF("a", "z"))
+      val view1_0 = Scd.cdcBaseJoin(fs(0), d1s(0), "k", "j", f1c, d1c)
+      val view2_0 = Scd.cdcBaseJoin(view1_0, d2s(0), "k", "a", f2c, d2c)
+      val (view1_1, dv1) = Scd.cdcApplyJoinWithDelta(view1_0, fd(fs(0), fs(1)),
+        d1d(d1s(0), d1s(1)), fs(1), d1s(1), "k", "j", f1c, d1c)
+      val view2_1 = Scd.cdcApplyJoin(view2_0, dv1, d2d(d2s(0), d2s(1)),
+        view1_1, d2s(1), "k", "a", f2c, d2c)
+      val (view1_2, dv2) = Scd.cdcApplyJoinWithDelta(view1_1, fd(fs(1), fs(2)),
+        d1d(d1s(1), d1s(2)), fs(2), d1s(2), "k", "j", f1c, d1c)
+      val view2_2 = Scd.cdcApplyJoin(view2_1, dv2, d2d(d2s(1), d2s(2)),
+        view1_2, d2s(2), "k", "a", f2c, d2c)
+      val got = view2_2.orderBy("k")
+        .as[(Long, String, String, Long, Long, Long)].collect().toSeq
+      val want = Scd.cdcBaseJoin(
+          Scd.cdcBaseJoin(fs(2), d1s(2), "k", "j", f1c, d1c),
+          d2s(2), "k", "a", f2c, d2c)
+        .orderBy("k").as[(Long, String, String, Long, Long, Long)]
+        .collect().toSeq
+      assert(got === want, s"round $round: snowflake view drifted from rescan")
+    }
+  }
+
   test("cdcApplyJoin broadcast guard: oversized ΔD drops the hints (shuffle join) and sheds LOUD; in-bound keeps the broadcast shape") {
     val f0 = (0L until 40L).map(k => (k, s"j${k % 8}", k)).toDF("k", "j", "m")
     val d0 = (0 until 8).map(j => (s"j$j", s"a$j", j.toLong)).toDF("j", "a", "b")

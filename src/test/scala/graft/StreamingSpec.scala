@@ -672,6 +672,78 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     } finally q.stop()
   }
 
+  test("takedown flows through the join IVM: fact purge retires view rows, dim purge drops (inner) or null-flips (outer)") {
+    import graft.operators.Scd
+    // purge publishes ordinary CDC deletes — so the joined views the
+    // cdcApplyJoin family maintains retire takedown rows through their
+    // EXISTING delta algebra, no special path. Facts keyed t1_i with
+    // shared authors u0..u3; dim keyed by author with one attribute.
+    val facts = new Livestream.UpsertTable(spark, tmp("tj_f"),
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    facts.seed((0 until 12).map(i => C(i.toLong, s"t1_$i", i.toLong,
+      s"u${i % 4}", "t3_r", "t3_r", s"b$i", i.toLong * 10, "sub", null,
+      2L)).toDF())                                                    // v0
+    val dimEnt = Merge.Entity(textCol = "body", editTextCol = "previous_body",
+      updatable = Seq("tier"), frozen = Seq("author"))
+    val dim = new Livestream.UpsertTable(spark, tmp("tj_d"), dimEnt,
+      Seq.empty[(String, String, String, String)]
+        .toDF("idstr", "author", "body", "tier"),
+      outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    dim.seed((0 until 4).map(i => (s"u$i", null: String, null: String,
+      s"t$i")).toDF("idstr", "author", "body", "tier"))               // v0
+    def factsSel(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("idstr"), col("author"), col("score"))
+    def dimSel(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("idstr").as("author"), col("tier"))
+    val fc = Seq("score"); val dc = Seq("tier")
+    val baseI = Scd.cdcBaseJoin(factsSel(facts.current), dimSel(dim.current),
+      "idstr", "author", fc, dc)
+    val baseO = Scd.cdcBaseJoinOuter(factsSel(facts.current),
+      dimSel(dim.current), "idstr", "author", fc, dc)
+    val noDimCh = dim.changes(0L, 0L).select(col("idstr").as("author"),
+      col("kind")).limit(0)
+    // STEP 1 — fact takedown: purge two fact keys; the purge's CDC
+    // deletes retire exactly those view rows in both variants.
+    // eraseHistory=false here: the IVM consumer reads changes(0,1), so
+    // the pre-purge version must stay readable until it has consumed —
+    // the vacuum-then-consume ordering hazard is exactly why purge
+    // documents "vacuum AFTER downstream consumers advance".
+    assert(facts.purge(Seq("t1_3", "t1_7"), eraseHistory = false) === 2L)
+    val fCh = facts.changes(0L, 1L)
+    val vI1 = Scd.cdcApplyJoin(baseI, fCh, noDimCh,
+      factsSel(facts.current), dimSel(dim.current), "idstr", "author", fc, dc)
+    val vO1 = Scd.cdcApplyJoinOuter(baseO, fCh, noDimCh,
+      dimSel(dim.current), "idstr", "author", fc, dc)
+    assert(vI1.filter(col("idstr").isin("t1_3", "t1_7")).count() === 0L)
+    assert(vO1.filter(col("idstr").isin("t1_3", "t1_7")).count() === 0L)
+    assert(vI1.count() === 10L && vO1.count() === 10L)
+    // STEP 2 — dim takedown (an author erased): inner view drops the
+    // author's rows; outer view KEEPS the facts, dims flipped to null
+    assert(dim.purge(Seq("u1"), eraseHistory = false) === 1L)
+    val dCh = dim.changes(0L, 1L).select(col("idstr").as("author"), col("kind"))
+    val noFactCh = fCh.limit(0)
+    val vI2 = Scd.cdcApplyJoin(vI1, noFactCh, dCh,
+      factsSel(facts.current), dimSel(dim.current), "idstr", "author", fc, dc)
+    val vO2 = Scd.cdcApplyJoinOuter(vO1, noFactCh, dCh,
+      dimSel(dim.current), "idstr", "author", fc, dc)
+    // both land exactly on the rescan of the post-takedown tables
+    val wantI = Scd.cdcBaseJoin(factsSel(facts.current), dimSel(dim.current),
+      "idstr", "author", fc, dc)
+    val wantO = Scd.cdcBaseJoinOuter(factsSel(facts.current),
+      dimSel(dim.current), "idstr", "author", fc, dc)
+    assert(vI2.orderBy("idstr").collect().toSeq ===
+      wantI.orderBy("idstr").collect().toSeq)
+    assert(vO2.orderBy("idstr").collect().toSeq ===
+      wantO.orderBy("idstr").collect().toSeq)
+    assert(vI2.filter(col("author") === "u1").count() === 0L)
+    val flipped = vO2.filter(col("author") === "u1")
+    assert(flipped.count() === 3L, "outer view lost the purged author's facts")
+    assert(flipped.filter(col("tier").isNull).count() === 3L,
+      "dim purge did not null-flip the outer rows")
+  }
+
   test("StreamNb.retract: decremental takedown — subtract + purge-zeroed equals the model trained without the docs") {
     import graft.streaming.StreamNb
     implicit val sqlCtx = spark.sqlContext
