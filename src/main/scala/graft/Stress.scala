@@ -523,8 +523,11 @@ object Stress {
     // (4 micro-batch merges into the key-bucketed versioned table),
     // a REBUILD mid-stream into a new generation with the atomic
     // pointer flip (the maintained table must be unaffected), replay
-    // idempotence, bucket-pruned small merges, and a serve-equality
-    // spot check against the batch pipeline. Closed forms:
+    // idempotence, bucket-pruned small merges, a serve-equality
+    // spot check against the batch pipeline, and a mid-stream
+    // TAKEDOWN (hard purge of a vid set: closed-form row drop, the
+    // purged vids never serve again, re-purge is a no-op). Closed
+    // forms:
     //  - codes rows after the chain == idxMult × single-copy eligible
     //    vectors (disjoint ids; zero-norm drops replicate), and the
     //    per-chunk running counts telescope exactly;
@@ -629,11 +632,29 @@ object Stress {
           coarse, cbRes, qids, 10, 8)
         .collect().map(_.toString).sorted.toSeq
       val serveOk = servedM == servedB && servedM.nonEmpty
-      ((countOk, replayOk, pruneOk, genOk, serveOk), codesN)
+      // TAKEDOWN mid-stream at stress scale: hard-purge a vid set from
+      // the maintained index — closed form (rows drop by exactly the
+      // purged vids present in the codes table), the purged vids never
+      // serve again, and a re-purge finds nothing (idempotence). The
+      // purge is a pruned bucket rewrite, so it stays micro-batch-cheap
+      // against the ×idxMult table.
+      val purgeVids = (20L until 30L)
+      val presentBefore = StreamAnn.codes(table)
+        .filter(col("vid").isin(purgeVids: _*)).count()
+      val nPurged = StreamAnn.purge(table, purgeVids)
+      val codesAfterPurge = StreamAnn.codes(table).count()
+      val servedP = StreamAnn.serve(table, bigIdxEmb, "vec_id", "embedding",
+          coarse, cbRes, queryIds = qids, k = 10, nprobe = 8)
+        .filter(col("neighbor_id").isin(purgeVids: _*)).count()
+      val purgeOk = presentBefore > 0 && nPurged == presentBefore &&
+        codesAfterPurge == codesN - presentBefore && servedP == 0L &&
+        StreamAnn.purge(table, purgeVids) == 0L
+      ((countOk, replayOk, pruneOk, genOk, serveOk, purgeOk), codesN)
     }
-    val (idxCountOk, idxReplayOk, idxPruneOk, idxGenOk, idxServeOk) = idxChecks
+    val (idxCountOk, idxReplayOk, idxPruneOk, idxGenOk, idxServeOk,
+      idxPurgeOk) = idxChecks
     val idxOk = idxCountOk && idxReplayOk && idxPruneOk && idxGenOk &&
-      idxServeOk
+      idxServeOk && idxPurgeOk
 
     val spillOk = spilledDisk.get() > 0
     val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk &&
@@ -674,7 +695,7 @@ object Stress {
       s""""ivm_spill_ok":$ivmSpillOk,""" +
       s""""idx_count_ok":$idxCountOk,"idx_replay_ok":$idxReplayOk,""" +
       s""""idx_prune_ok":$idxPruneOk,"idx_gen_ok":$idxGenOk,""" +
-      s""""idx_serve_ok":$idxServeOk,""" +
+      s""""idx_serve_ok":$idxServeOk,"idx_purge_ok":$idxPurgeOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()
