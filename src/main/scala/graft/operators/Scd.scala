@@ -253,6 +253,119 @@ object Scd {
         min(col(measure).cast("long")).as(minCol),
         max(col(measure).cast("long")).as(maxCol))
 
+  /** Per-group TOP-K incremental view maintenance — the leaderboard /
+    * serve-top-docs-per-shard shape, generalizing [[cdcApplyMinMax]]
+    * from the extremum to the top-k ROWS per group (ranked by
+    * `measure` DESC then `key` ASC — a total order, so the view is
+    * deterministic under ties). The maintained frame holds
+    * (`group`, `key`, `mCol`, `rkCol`): the top-min(k, live) rows of
+    * each group with their 1-based ranks.
+    *
+    * The partition rule (the [[cdcApplyJoin]] keep/touch device crossed
+    * with the min/max dirty-group rescan):
+    *
+    *  - untouched groups (no after-image lands in them, no removal hits
+    *    their maintained rows) are served from the view VERBATIM —
+    *    their ranks cannot have moved;
+    *  - dirty groups — a removal (delete / update before-image) whose
+    *    (group, key) IS a maintained top-k row — rescan pruned from the
+    *    snapshot. Because maintained rows are KEYED, the dirty test is
+    *    an exact membership match, not [[cdcApplyMinMax]]'s
+    *    conservative value-equality: removing a below-top-k duplicate
+    *    of the boundary value rescans nothing;
+    *  - the remaining touched groups re-rank (maintained rows of the
+    *    group ∪ the group's after-images) keeping ≤ k. Sound because a
+    *    clean group's removals were all below its top-k (the group's
+    *    live count exceeds k, so the k kept rows survive), and an
+    *    after-image's key cannot collide with a maintained row of a
+    *    clean group — if the fact existed there, its before-image
+    *    either matched a top-k row (dirty) or sat below it (absent).
+    *
+    * Scale: dirty + touched are |changes|-bounded; the rescan is
+    * `snapshot ⋉ dirty` (bucket-pruned on a group-co-partitioned
+    * store); the re-rank windows over |Δ| + k·|touched groups| rows.
+    * The view itself flows through untouched — never re-derived.
+    *
+    * Null measures are never in the view (the SUM/extremum null-skip
+    * analog): a null after-image adds nothing; a row updated to a null
+    * measure retires like a delete (dirty if it held a top-k slot). A
+    * group whose live rows all die rescans to zero rows and vanishes.
+    * Net-changes-per-key precondition as [[cdcApplyMinMax]].
+    *
+    * `changes` carries the fact key AS `key` (un-prefixed — keys never
+    * change) and before_/after_ images of `group` and `measure`.
+    * Seed with [[cdcBaseTopK]] at the same `k`.
+    */
+  def cdcApplyTopK(maintainedIn: DataFrame, changesIn: DataFrame,
+      snapshot: DataFrame, group: String, key: String, measure: String,
+      k: Int, mCol: String = "m", rkCol: String = "rk"): DataFrame = {
+    require(k >= 1, s"cdcApplyTopK: need k >= 1, got $k")
+    // chained applies feed one step's output into the next — without
+    // materialization the maintained DAG re-expands per step (the
+    // cdcApplyMinMax checkpoint device); changes is read three times
+    val maintained = maintainedIn.localCheckpoint(false)
+    val changes = changesIn.localCheckpoint(false)
+    val g = col(group)
+    // removals that HELD a top-k slot dirty their group (exact keyed
+    // membership — null-measure before-images can never match a view
+    // row, the isNotNull is just a prune)
+    val rem = changes.filter(col("kind").isin("delete", "update"))
+      .select(col(key).as("_rk"), col(s"before_$group").as("_rg"),
+        col(s"before_$measure").cast("long").as("_rm"))
+      .filter(col("_rm").isNotNull)
+    val dirty = rem
+      .join(maintained, col("_rg") <=> g && col("_rk") === col(key),
+        "left_semi")
+      .select(col("_rg").as(group)).distinct()
+      .localCheckpoint(false)
+    // after-images land in their new group; null measures never enter
+    val plus = changes.filter(col("kind").isin("insert", "update"))
+      .select(col(s"after_$group").as(group), col(key),
+        col(s"after_$measure").cast("long").as(mCol))
+      .filter(col(mCol).isNotNull)
+      .localCheckpoint(false)
+    val touched = plus.select(group).distinct()
+      .join(dirty.withColumnRenamed(group, "_dg"), g <=> col("_dg"),
+        "left_anti")
+      .localCheckpoint(false)
+    val rank = row_number().over(
+      Window.partitionBy(g).orderBy(col(mCol).desc, col(key)))
+    // untouched groups: the view verbatim — ranks cannot have moved
+    val keep = maintained
+      .join(dirty.withColumnRenamed(group, "_dg"), g <=> col("_dg"),
+        "left_anti")
+      .join(touched.withColumnRenamed(group, "_tg"), g <=> col("_tg"),
+        "left_anti")
+    // touched-clean groups: re-rank maintained ∪ after-images, keep ≤ k
+    val folded = maintained.drop(rkCol)
+      .join(touched.withColumnRenamed(group, "_tg"), g <=> col("_tg"),
+        "left_semi")
+      .unionByName(plus
+        .join(dirty.withColumnRenamed(group, "_dg"), g <=> col("_dg"),
+          "left_anti"))
+      .withColumn(rkCol, rank).filter(col(rkCol) <= k)
+    // dirty groups: pruned rescan of ONLY those groups from the snapshot
+    val rescan = snapshot
+      .select(g, col(key), col(measure).cast("long").as(mCol))
+      .filter(col(mCol).isNotNull)
+      .join(dirty.withColumnRenamed(group, "_dg"), g <=> col("_dg"),
+        "left_semi")
+      .withColumn(rkCol, rank).filter(col(rkCol) <= k)
+    keep.unionByName(folded).unionByName(rescan)
+  }
+
+  /** The matching top-k base/rescan — shared by the seed of a
+    * [[cdcApplyTopK]] chain and its verification rescan. */
+  def cdcBaseTopK(snapshot: DataFrame, group: String, key: String,
+      measure: String, k: Int, mCol: String = "m",
+      rkCol: String = "rk"): DataFrame =
+    snapshot
+      .select(col(group), col(key), col(measure).cast("long").as(mCol))
+      .filter(col(mCol).isNotNull)
+      .withColumn(rkCol, row_number().over(
+        Window.partitionBy(col(group)).orderBy(col(mCol).desc, col(key))))
+      .filter(col(rkCol) <= k)
+
   /** JOIN-view incremental maintenance — the two-table half the cdcApply
     * family was missing (the enriched-dashboard shape: facts ⋈ dimension
     * on `joinKey`, dimension keyed BY `joinKey`, facts keyed by

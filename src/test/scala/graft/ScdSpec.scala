@@ -178,6 +178,66 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcApplyTopK: keyed dirty-group rescan == full rescan on random snapshot CHAINS") {
+    // the top-k IVM invariant: for ANY chain of snapshots — inserts,
+    // deletes, in-place updates, GROUP-MOVING updates, null measures
+    // (never in the view), ties (deterministic by key), groups
+    // shrinking below k, and groups dying entirely — applying the
+    // diffs step by step reproduces the rescan top-k exactly, RANKS
+    // INCLUDED
+    val rnd = new scala.util.Random(31337)
+    def snapshot(keys: Seq[Long]): Seq[(Long, String, Option[Long])] =
+      keys.map(k => (k, s"g${rnd.nextInt(5)}",
+        // a narrow value range forces ties at the k-boundary
+        if (rnd.nextDouble() < 0.15) None else Some(rnd.nextInt(12).toLong)))
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      Scd.cdcBaseTopK(df, "g", "k", "m", 3)
+        .orderBy("g", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSeq
+    for (round <- 1 to 4) {
+      val snaps = (0 to 3).map { _ =>
+        snapshot((0L until 60L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "g", "m")
+      }
+      var view = Scd.cdcBaseTopK(snaps.head, "g", "k", "m", 3)
+      for (i <- 1 until snaps.size) {
+        view = Scd.cdcApplyTopK(view, asCdc(snaps(i - 1), snaps(i)),
+          snaps(i), "g", "k", "m", 3)
+        val got = view.orderBy("g", "rk").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getInt(3))).toSeq
+        assert(got === topk(snaps(i)),
+          s"round $round step $i: top-k IVM drifted from rescan")
+      }
+    }
+    // the keyed dirty test is EXACT: removing a below-top-k duplicate
+    // of the boundary value must not dirty the group (min/max's
+    // value-equality rule would); the view is served verbatim
+    val b = Seq((1L, "g", Some(9L)), (2L, "g", Some(5L)),
+      (3L, "g", Some(5L)), (4L, "g", Some(5L))).toDF("k", "g", "m")
+    val a = Seq((1L, "g", Some(9L)), (2L, "g", Some(5L)),
+      (3L, "g", Some(5L))).toDF("k", "g", "m")   // k=4 (dup of rk-3's m) dies
+    val ch = asCdc(b, a)
+    val seed = Scd.cdcBaseTopK(b, "g", "k", "m", 3)
+    // empty snapshot in place of the real one: a rescan would return
+    // zero rows, so the assert below also proves no rescan ran
+    val emptySnap = a.limit(0)
+    val served = Scd.cdcApplyTopK(seed, ch, emptySnap, "g", "k", "m", 3)
+      .orderBy("rk").collect().map(r => (r.getLong(1), r.getInt(3))).toSeq
+    assert(served === Seq((1L, 1), (2L, 2), (3L, 3)))
+    // a group that empties out vanishes; a group-move lands in its
+    // destination; an update to a NULL measure retires its slot
+    val b2 = Seq((1L, "only", Some(5L)), (2L, "mover", Some(7L)),
+      (3L, "nuller", Some(4L))).toDF("k", "g", "m")
+    val a2 = Seq((2L, "dest", Some(9L)),
+      (3L, "nuller", None: Option[Long])).toDF("k", "g", "m")
+    val v2 = Scd.cdcApplyTopK(Scd.cdcBaseTopK(b2, "g", "k", "m", 3),
+        asCdc(b2, a2), a2, "g", "k", "m", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v2 === Seq(("dest", 2L)))
+  }
+
   test("cdcApplyJoin: delta-maintained join view == rescan join on random snapshot CHAINS") {
     // the join-IVM invariant: for ANY chain of snapshots on BOTH tables
     // — inserts, deletes, in-place updates, and join-KEY CHURN on the
