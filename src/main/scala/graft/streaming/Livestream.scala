@@ -631,6 +631,26 @@ object Livestream {
       n
     }
 
+    /** [[purge]] by PREDICATE — the form takedown requests actually
+      * arrive in ("erase everything by author X / from domain Y"): the
+      * keys resolve from the current snapshot by `pred`, then the same
+      * erasure act runs. The resolved frame carries full rows, so any
+      * partitioning expression's columns are present for the candidate-
+      * bucket derivation. The result must still be takedown-sized (the
+      * [[purgeKeys]] broadcast contract) — a predicate matching most of
+      * the table is a table rewrite, not a takedown; reach for
+      * [[seed]]/filtered re-seed instead. Idempotent: once purged, the
+      * predicate resolves zero rows. */
+    def purgeWhere(pred: Column, eraseHistory: Boolean = true): Long = {
+      if (currentVersion < 0) return 0L
+      // frozen before purgeKeys publishes, and read three times
+      // (candidate buckets, the purge joins, the edits scrub)
+      val kf = at(currentVersion).filter(pred).localCheckpoint(false)
+      val n = purgeKeys(kf)
+      if (eraseHistory) { vacuum(keep = 1); purgeEdits(kf) }
+      n
+    }
+
     /** Drop data no kept version references. Unpartitioned: version dirs
       * older than the `keep` most recent. Partitioned: a LEAF dir
       * `v=K/pt=X` survives as long as any kept manifest still points at it

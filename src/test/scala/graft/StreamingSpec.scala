@@ -592,6 +592,43 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(table.purge(Seq("t1_1", "t1_2"), eraseHistory = true) === 0L)
   }
 
+  test("purgeWhere: predicate takedown resolves keys, erases, and is idempotent") {
+    val dir = tmp("purgew")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    val rows = (0 until 40).map(i => c(i.toLong, s"b$i", (i % 7).toLong))
+    table.seed(rows.toDF())                                          // v0
+    table.merge(rows.take(10).map(r => r.copy(body = r.body + "-v2"))
+      .toDF().withColumn("_seq", lit(0L)), "_seq")                   // v1
+    // erase one author's documents — key resolution from the snapshot,
+    // then the full act (author is NOT the table key; the resolved
+    // frame carries the key + partitioning columns by construction)
+    val n = table.purgeWhere(col("author") === "u7")                 // v2
+    assert(n === 1L)
+    assert(table.current.filter(col("author") === "u7").count() === 0L)
+    assert(table.current.count() === 39L)
+    // erasure ran: pre-purge versions are unreadable
+    assert(!table.versionAvailable(0L) && !table.versionAvailable(1L))
+    // the edits log no longer quotes the purged author's key
+    assert(table.edits.filter(col("idstr") === "t1_7").count() === 0L)
+    assert(table.edits.count() > 0L)
+    // bytes gone from every surviving data file
+    assert(spark.read.parquet(table.current.inputFiles: _*)
+      .filter(col("idstr") === "t1_7").count() === 0L)
+    // idempotent: the predicate now resolves zero rows, nothing publishes
+    val v = table.currentVersion
+    assert(table.purgeWhere(col("author") === "u7") === 0L)
+    assert(table.currentVersion === v)
+    // a multi-row predicate (score class) purges the whole class
+    val cls = table.current.filter(col("score") === 3L).count()
+    assert(cls > 1L)
+    assert(table.purgeWhere(col("score") === 3L) === cls)
+    assert(table.current.filter(col("score") === 3L).count() === 0L)
+    // matching-zero predicate is a clean no-op, not an empty publish
+    assert(table.purgeWhere(col("author") === "nobody") === 0L)
+  }
+
   test("takedown propagates uniformly through the maintained artifacts (codes, assignments, postings, LSH state)") {
     import graft.streaming.{StreamAnn, StreamClusters, StreamIndex, StreamLsh}
     import graft.operators.Similarity
