@@ -522,6 +522,25 @@ object TimesearchQueries {
       table.changes(0L, 1L).orderBy("kind", "idstr")
     }),
 
+    // PREDICATE takedown — the form erasure requests actually arrive in
+    // ("erase every document by these authors"): UpsertTable.purgeWhere
+    // resolves the keys from the current snapshot, rewrites ONLY the
+    // buckets holding them, vacuums superseded bytes, and scrubs the
+    // CDC/edits log — the FULL erasure act in the timed body, on a
+    // store with real stored edits. Gated against the replayed merge
+    // minus the predicate's rows: a row that survived the purge, or a
+    // non-matching row the rewrite dropped, hash-mismatches.
+    "q_takedown_author" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tdauth")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                 // v0
+      table.merge(newComments(s, dir), "_seq", storeEdits = Some(true)) // v1
+      table.purgeWhere(col("author").endsWith("5"))                   // v2
+      table.current.orderBy("idstr")
+    }),
+
     // CDC CONSUMED: a downstream grouped view (docs + score mass per
     // author) maintained ONLY from version-range deltas across TWO real
     // published versions — the incremental-view-maintenance loop
@@ -582,6 +601,39 @@ object TimesearchQueries {
           table.changes(1L, 2L), table.at(2L),
           cols._1, cols._2, cols._3, cols._4, cols._5)
         .orderBy("author")
+    }),
+
+    // Per-group TOP-K incremental view maintenance — the leaderboard
+    // shape (top-3 docs per author by score, ranks included), via
+    // Scd.cdcApplyTopK's KEYED dirty-group rescan: only groups where a
+    // removed row actually HELD a top-k slot rescan (exact membership,
+    // not min/max's conservative value-equality); groups an after-image
+    // lands in re-rank |Δ|+k rows; every other group serves from the
+    // view verbatim. Same two-real-published-versions construction as
+    // q_cdc_consume; the oracle windows the final merged state, so a
+    // stale rank, a missed eviction, or a resurrected below-top-k row
+    // hash-mismatches.
+    "q_cdc_topk" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdctk")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                   // v0
+      val nc = newComments(s, dir)
+      table.merge(nc.filter(col("idint") % 4 === 0), "_seq",
+        storeEdits = Some(false))                                       // v1
+      table.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
+        storeEdits = Some(false))                                       // v2
+      val base = graft.operators.Scd.cdcBaseTopK(table.at(0L),
+        "author", "idstr", "score", 3, "score_c", "rk")
+      val afterV1 = graft.operators.Scd.cdcApplyTopK(base,
+        table.changes(0L, 1L), table.at(1L),
+        "author", "idstr", "score", 3, "score_c", "rk")
+      graft.operators.Scd.cdcApplyTopK(afterV1,
+          table.changes(1L, 2L), table.at(2L),
+          "author", "idstr", "score", 3, "score_c", "rk")
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("author", "rk")
     }),
 
     // JOIN-view incremental maintenance — the two-table half of the
@@ -754,6 +806,43 @@ object TimesearchQueries {
       graft.operators.Scd.cdcApply(agg1, d2, "tier", "score",
           "n_rows", "sum_score_c")
         .orderBy("tier")
+    }),
+
+    // TOP-K chained off the join view — the leaderboard over an
+    // ENRICHED view, maintained end to end at |Δ| cost: the emitted
+    // Δview is cdcApplyTopK's changes frame verbatim (fact key +
+    // before_/after_ images — the WithDelta contract IS the changes
+    // contract), and the new view the SAME call returns is the top-k
+    // applier's dirty-group rescan snapshot (the min/max chaining
+    // device). Top-3 facts per tier by score through two version steps
+    // on both tables; the oracle windows the rescan join, so a stale
+    // rank riding a dim re-attribution (a fact whose tier CHANGED
+    // must leave one leaderboard and enter another) hash-mismatches.
+    "q_cdc_join_topk" -> ((s, dir) => {
+      val (facts, dim) = cdcJoinTables(s, dir)
+      def factsAt(v: Long) =
+        facts.at(v).select(col("idstr"), col("author"), col("score"))
+      def dimAt(v: Long) =
+        dim.at(v).select(col("idstr").as("author"), col("tier"), col("region_c"))
+      def dimCh(a: Long, b: Long) =
+        dim.changes(a, b).select(col("idstr").as("author"), col("kind"))
+      val fCols = Seq("score"); val dCols = Seq("tier", "region_c")
+      val base = graft.operators.Scd.cdcBaseJoin(factsAt(0), dimAt(0),
+        "idstr", "author", fCols, dCols)
+      val tk0 = graft.operators.Scd.cdcBaseTopK(base, "tier", "idstr",
+        "score", 3, "score_c", "rk")
+      val (v1, d1) = graft.operators.Scd.cdcApplyJoinWithDelta(base,
+        facts.changes(0L, 1L), dimCh(0L, 1L), factsAt(1), dimAt(1),
+        "idstr", "author", fCols, dCols)
+      val tk1 = graft.operators.Scd.cdcApplyTopK(tk0, d1, v1,
+        "tier", "idstr", "score", 3, "score_c", "rk")
+      val (v2, d2) = graft.operators.Scd.cdcApplyJoinWithDelta(v1,
+        facts.changes(1L, 2L), dimCh(1L, 2L), factsAt(2), dimAt(2),
+        "idstr", "author", fCols, dCols)
+      graft.operators.Scd.cdcApplyTopK(tk1, d2, v2,
+          "tier", "idstr", "score", 3, "score_c", "rk")
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("tier", "rk")
     }),
 
     // SNOWFLAKE IVM — view-over-view: level 1 maintains F⋈D(users)
@@ -1627,6 +1716,16 @@ object TimesearchQueries {
     "q_stream_upsert" -> upsertOracle,
     "q_table_changes" -> tableChangesOracle,
 
+    // predicate takedown: the replayed merge MINUS the erased authors —
+    // the oracle never sees the purge, so both failure directions
+    // (retained purged rows, dropped innocent rows) hash-mismatch
+    "q_takedown_author" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect)
+         SELECT * FROM merged WHERE author NOT LIKE '%5'
+         ORDER BY idstr""",
+
     // CDC-maintained view == aggregate of the final merged state: the
     // oracle NEVER sees the deltas — it rescans the replayed merge, so
     // any leak in the delta algebra (a double-counted update, a
@@ -1650,6 +1749,23 @@ object TimesearchQueries {
                 CAST(MIN(score) AS BIGINT) AS min_score_c,
                 CAST(MAX(score) AS BIGINT) AS max_score_c
          FROM merged GROUP BY author ORDER BY author""",
+
+    // top-k IVM: same construction — the oracle windows the final
+    // merged state (ROW_NUMBER over score DESC, idstr — the view's own
+    // total order), so the keyed dirty marking, the eviction fold, and
+    // the served ranks all face the gate
+    "q_cdc_topk" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect),
+         ranked AS (
+           SELECT author, idstr, CAST(score AS BIGINT) AS score_c,
+                  ROW_NUMBER() OVER (PARTITION BY author
+                    ORDER BY score DESC, idstr) AS rk
+           FROM merged WHERE score IS NOT NULL)
+         SELECT author, idstr, score_c, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY author, rk""",
 
     // join IVM: the oracle rescans BOTH replayed merges and re-joins —
     // the maintained view never gets to lean on either delta
@@ -1703,6 +1819,21 @@ object TimesearchQueries {
          FROM merged m JOIN dim d ON m.author = d.du
          GROUP BY d.tier
          ORDER BY d.tier""",
+
+    // top-k over the joined view: the rescan join WINDOWED per tier —
+    // the engine maintained the leaderboard from emitted view deltas
+    // only, re-attributed facts moving between tiers' top-3
+    "q_cdc_join_topk" ->
+      s"""$cdcJoinCtes,
+         ranked AS (
+           SELECT d.tier, m.idstr, CAST(m.score AS BIGINT) AS score_c,
+                  ROW_NUMBER() OVER (PARTITION BY d.tier
+                    ORDER BY m.score DESC, m.idstr) AS rk
+           FROM merged m JOIN dim d ON m.author = d.du
+           WHERE m.score IS NOT NULL)
+         SELECT tier, idstr, score_c, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY tier, rk""",
 
     // outer Δview chaining: the rescan LEFT JOIN aggregated — the
     // engine maintained it from emitted outer deltas only, null-tier
