@@ -34,6 +34,38 @@ object TimesearchQueries {
   }
 
   /** events → comment-shaped "old" store (the archive before a batch). */
+  /** Stream-maintained leaderboard, once per session per corpus — seed
+    * the fact store with the old batch, then drive the new batch
+    * through [[graft.streaming.StreamTopK.leaderboardSink]] as TWO real
+    * micro-batches (merge + |Δ| view catch-up per trigger). Returns
+    * (fact table, view root). */
+  private val builtTopkViews = new java.util.concurrent.ConcurrentHashMap[
+    String, (Livestream.UpsertTable, String)]()
+  private def incrementalTopk(s: SparkSession, dir: String):
+      (Livestream.UpsertTable, String) =
+    builtTopkViews.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk")
+        val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+          Merge.comments, oldComments(s, dir).limit(0),
+          outputPartitions = Some(1),
+          partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+        table.seed(oldComments(s, dir))
+        val root = tmp.resolve("view").toString
+        graft.streaming.StreamTopK.seedView(table, root,
+          "author", "idstr", "score", 3, "score_c", "rk")
+        val src = tmp.resolve("in").toString
+        val nc = newComments(s, dir)
+        nc.repartition(2).write.parquet(src)
+        val stream = s.readStream.schema(nc.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = graft.streaming.StreamTopK.leaderboardSink(stream, table,
+          root, "author", "idstr", "score", 3,
+          tmp.resolve("ckp").toString, "score_c", "rk").start()
+        q.awaitTermination()
+        (table, root)
+      })
+
   private[graft] def oldComments(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .filter(col("event_id") % 4 =!= 1)
@@ -601,6 +633,22 @@ object TimesearchQueries {
           table.changes(1L, 2L), table.at(2L),
           cols._1, cols._2, cols._3, cols._4, cols._5)
         .orderBy("author")
+    }),
+
+    // The leaderboard MAINTAINED BY THE STREAM (17th maintained
+    // artifact): StreamTopK.leaderboardSink merges each micro-batch
+    // into the versioned fact store and catches the published view up
+    // by changes(basis, current) — the basis recorded IN the artifact
+    // makes the refresh idempotent and crash-resumable. Build runs as
+    // untimed setup (Bench.IncrementalSetup — the production split:
+    // the stream maintains the view long before a query arrives);
+    // the timed body READS the leaderboard. Shares q_cdc_topk's oracle
+    // VERBATIM: maintenance leaks hash-mismatch.
+    "q_topk_incremental" -> ((s, dir) => {
+      val (_, root) = incrementalTopk(s, dir)
+      graft.streaming.StreamTopK.view(s, root)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("author", "rk")
     }),
 
     // Per-group TOP-K incremental view maintenance — the leaderboard
@@ -1563,6 +1611,23 @@ object TimesearchQueries {
        $mergedSelect
        ORDER BY idstr"""
 
+  /** Top-3-per-author over the final merged state — shared by
+    * q_cdc_topk (explicit version-range applies) and q_topk_incremental
+    * (the stream-maintained leaderboard) so both maintenance paths face
+    * the identical gate. */
+  private val topkOracle: String =
+    s"""$oldNewCtes,
+       merged AS (
+         $mergedSelect),
+       ranked AS (
+         SELECT author, idstr, CAST(score AS BIGINT) AS score_c,
+                ROW_NUMBER() OVER (PARTITION BY author
+                  ORDER BY score DESC, idstr) AS rk
+         FROM merged WHERE score IS NOT NULL)
+       SELECT author, idstr, score_c, CAST(rk AS BIGINT) AS rk
+       FROM ranked WHERE rk <= 3
+       ORDER BY author, rk"""
+
   /** changes(0, 1) replay: v0 = old, v1 = the merge result; full-outer
     * re-join classifies insert/update (delete is structurally absent for
     * an upsert-only table), with before_/after_ flattening. */
@@ -1754,18 +1819,13 @@ object TimesearchQueries {
     // merged state (ROW_NUMBER over score DESC, idstr — the view's own
     // total order), so the keyed dirty marking, the eviction fold, and
     // the served ranks all face the gate
-    "q_cdc_topk" ->
-      s"""$oldNewCtes,
-         merged AS (
-           $mergedSelect),
-         ranked AS (
-           SELECT author, idstr, CAST(score AS BIGINT) AS score_c,
-                  ROW_NUMBER() OVER (PARTITION BY author
-                    ORDER BY score DESC, idstr) AS rk
-           FROM merged WHERE score IS NOT NULL)
-         SELECT author, idstr, score_c, CAST(rk AS BIGINT) AS rk
-         FROM ranked WHERE rk <= 3
-         ORDER BY author, rk""",
+    "q_cdc_topk" -> topkOracle,
+
+    // the stream-maintained leaderboard serves the SAME final state —
+    // oracle shared verbatim, so maintenance (basis tracking, the
+    // per-trigger catch-up, the atomic view publish) leaks
+    // hash-mismatch
+    "q_topk_incremental" -> topkOracle,
 
     // join IVM: the oracle rescans BOTH replayed merges and re-joins —
     // the maintained view never gets to lean on either delta

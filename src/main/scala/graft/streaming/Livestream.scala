@@ -634,18 +634,22 @@ object Livestream {
     /** [[purge]] by PREDICATE — the form takedown requests actually
       * arrive in ("erase everything by author X / from domain Y"): the
       * keys resolve from the current snapshot by `pred`, then the same
-      * erasure act runs. The resolved frame carries full rows, so any
-      * partitioning expression's columns are present for the candidate-
-      * bucket derivation. The result must still be takedown-sized (the
-      * [[purgeKeys]] broadcast contract) — a predicate matching most of
-      * the table is a table rewrite, not a takedown; reach for
-      * [[seed]]/filtered re-seed instead. Idempotent: once purged, the
-      * predicate resolves zero rows. */
+      * erasure act runs. Resolution reads through [[scanAuto]], so a
+      * sidecar-covered predicate column (zone map ranges, bloom =/IN)
+      * prunes the resolution scan to candidate files instead of reading
+      * the table — the part of a predicate takedown that would
+      * otherwise be table-sized at 100 TB. The resolved frame carries
+      * full rows, so any partitioning expression's columns are present
+      * for the candidate-bucket derivation. The result must still be
+      * takedown-sized (the [[purgeKeys]] broadcast contract) — a
+      * predicate matching most of the table is a table rewrite, not a
+      * takedown; reach for [[seed]]/filtered re-seed instead.
+      * Idempotent: once purged, the predicate resolves zero rows. */
     def purgeWhere(pred: Column, eraseHistory: Boolean = true): Long = {
       if (currentVersion < 0) return 0L
       // frozen before purgeKeys publishes, and read three times
       // (candidate buckets, the purge joins, the edits scrub)
-      val kf = at(currentVersion).filter(pred).localCheckpoint(false)
+      val kf = scanAuto()._1.filter(pred).localCheckpoint(false)
       val n = purgeKeys(kf)
       if (eraseHistory) { vacuum(keep = 1); purgeEdits(kf) }
       n

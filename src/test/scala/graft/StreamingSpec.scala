@@ -620,13 +620,76 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     val v = table.currentVersion
     assert(table.purgeWhere(col("author") === "u7") === 0L)
     assert(table.currentVersion === v)
-    // a multi-row predicate (score class) purges the whole class
+    // a multi-row predicate (score class) purges the whole class — with
+    // the sidecars refreshed first, so the resolution scan exercises
+    // the zone-map/bloom-pruned scanAuto path purgeWhere reads through
+    table.refreshZoneMap(Seq("score"))
+    table.refreshBloom(Seq("author"))
     val cls = table.current.filter(col("score") === 3L).count()
     assert(cls > 1L)
     assert(table.purgeWhere(col("score") === 3L) === cls)
     assert(table.current.filter(col("score") === 3L).count() === 0L)
     // matching-zero predicate is a clean no-op, not an empty publish
     assert(table.purgeWhere(col("author") === "nobody") === 0L)
+  }
+
+  test("StreamTopK: maintained leaderboard equals the batch top-k after every trigger; refresh is idempotent") {
+    import graft.streaming.StreamTopK
+    import graft.operators.Scd
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[C]
+    val base = tmp("topk")
+    val table = new Livestream.UpsertTable(spark, s"$base/tbl",
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    val root = s"$base/view"
+    // group by score-class (score % 3 via construction), top-2 by created
+    def served() = StreamTopK.view(spark, root)
+      .orderBy("subreddit", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    def rescan() = Scd.cdcBaseTopK(table.current, "subreddit", "idstr",
+        "score", 2)
+      .orderBy("subreddit", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    val q = StreamTopK.leaderboardSink(mem.toDF(), table, root,
+      "subreddit", "idstr", "score", 2, s"$base/ckp",
+      trigger = Trigger.ProcessingTime(0)).start()
+    try {
+      // rows with two groups (subreddit field repurposed as the group)
+      def row(id: Long, g: String, score: Long) =
+        c(id, s"b$id", score).copy(subreddit = g)
+      mem.addData(row(1, "g1", 10), row(2, "g1", 20), row(3, "g2", 5))
+      q.processAllAvailable()
+      assert(served() === rescan())
+      // evictions + an update that dethrones a leader + a new group
+      mem.addData(row(4, "g1", 30),        // evicts id 1 from g1's top-2
+        row(2, "g1", 1),                   // leader falls out entirely
+        row(5, "g3", 7))
+      q.processAllAvailable()
+      assert(served() === rescan())
+      assert(served().exists { case (g, k, _, _) => g == "g1" && k == "t1_4" })
+      assert(!served().exists { case (_, k, _, _) => k == "t1_2" })
+      // idempotent refresh: basis == current ⇒ nothing republishes
+      val b = StreamTopK.basis(root)
+      StreamTopK.refresh(spark, table, root, "subreddit", "idstr",
+        "score", 2)
+      assert(StreamTopK.basis(root) === b)
+      // catch-up across MISSED versions: merge twice outside the sink,
+      // then one refresh applies the whole range
+      table.merge(Seq(row(6, "g2", 50)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+      table.merge(Seq(row(7, "g2", 60)).toDF()
+        .withColumn("_seq", lit(1L)), "_seq", storeEdits = Some(false))
+      StreamTopK.refresh(spark, table, root, "subreddit", "idstr",
+        "score", 2)
+      assert(served() === rescan())
+      assert(StreamTopK.basis(root) === table.currentVersion)
+      // vacuum keeps the basis view readable
+      StreamTopK.vacuumView(root)
+      assert(served() === rescan())
+    } finally q.stop()
   }
 
   test("takedown propagates uniformly through the maintained artifacts (codes, assignments, postings, LSH state)") {
