@@ -410,7 +410,8 @@ object Stress {
     }
     val annOk = annCbOk && annPressureOk && annGuardOk
 
-    // 7. IVM at stress scale — cdcApply + cdcApplyMinMax CHAINS over
+    // 7. IVM at stress scale — cdcApply + cdcApplyMinMax + cdcApplyTopK
+    // CHAINS (the full single-table applier family) over
     // ×ivmMult replicated change streams under the starved pool. Corpus:
     // three deterministic snapshots of a keyed (k, g, m) table derived
     // from lineitem (s0 → s1 drops every 7th key and bumps every 5th's
@@ -419,15 +420,16 @@ object Stress {
     // then each snapshot replicated with disjoint key AND group offsets,
     // so every view statistic and the dirty-rescan width multiply
     // EXACTLY (the disjoint-id closed form). Three claims face the gate:
-    //  - NO VIEW DRIFT through the spill path: both chains' final views
-    //    equal the s2 rescan EXACTLY (set equality, not samples) — the
-    //    two full-outer diffs over the ×mult snapshots are the memory
-    //    hazard (stage-delta spill asserted);
+    //  - NO VIEW DRIFT through the spill path: all three chains' final
+    //    views equal the s2 rescan EXACTLY (set equality, not samples) —
+    //    the two full-outer diffs over the ×mult snapshots are the
+    //    memory hazard (stage-delta spill asserted);
     //  - the dirty-rescan width (the operator's OWN rule,
     //    Scd.minMaxDirtyGroups) stays ≤ |changes| — the scale claim
     //    rehearsed, not argued — and equals mult × the single-copy
     //    width (closed form);
-    //  - group counts multiply exactly (mult × single-copy groups).
+    //  - group counts multiply exactly (mult × single-copy groups),
+    //    top-k view rows included (disjoint per-replica groups).
     val ivmMult = sys.env.getOrElse("SPARK_GRAFT_STRESS_IVM_MULT", "16").toInt
     require(ivmMult >= 2, s"bad ivm knob: mult=$ivmMult")
     // keyed BY CONSTRUCTION: (orderkey, linenumber) repeats in the
@@ -484,14 +486,26 @@ object Stress {
       val mmMid = operators.Scd.cdcApplyMinMax(
         operators.Scd.cdcBaseMinMax(s0, "g", "m"), ch01, s1, "g", "m")
       val mmV = operators.Scd.cdcApplyMinMax(mmMid, ch12, s2, "g", "m")
+      // the third applier: per-group TOP-3 through the same chain (the
+      // keyed dirty-group rescan under the sliver; the base/rescan
+      // window sorts the ×mult frame — deliberate pressure)
+      val tkMid = operators.Scd.cdcApplyTopK(
+        operators.Scd.cdcBaseTopK(s0, "g", "k", "m", 3), ch01, s1,
+        "g", "k", "m", 3)
+      val tkV = operators.Scd.cdcApplyTopK(tkMid, ch12, s2,
+        "g", "k", "m", 3)
       // drift checks: EXACT set equality against the s2 rescan
       val aggRescan = operators.Scd.cdcBaseAgg(s2, "g", "m")
       val mmRescan = operators.Scd.cdcBaseMinMax(s2, "g", "m")
+      val tkRescan = operators.Scd.cdcBaseTopK(s2, "g", "k", "m", 3)
       val aggViewN = aggV.count()
       val aggDriftOk = aggViewN == aggRescan.count() &&
         aggV.exceptAll(aggRescan).isEmpty
       val mmDriftOk = mmV.count() == mmRescan.count() &&
         mmV.exceptAll(mmRescan).isEmpty
+      val tkViewN = tkV.count()
+      val tkDriftOk = tkViewN == tkRescan.count() &&
+        tkV.exceptAll(tkRescan).isEmpty
       // the operator's own dirty rule at step 2, big vs single copy
       val dirtyBig = operators.Scd.minMaxDirtyGroups(mmMid, ch12, "g", "m")
         .count()
@@ -505,17 +519,27 @@ object Stress {
         operators.Scd.cdcApply(operators.Scd.cdcBaseAgg(s0a, "g", "m"),
           ivmCdc(s0a, s1a), "g", "m"),
         ivmCdc(s1a, s2a), "g", "m").count()
-      (aggDriftOk, mmDriftOk, dirtyBig, ch12N, dirty1, aggViewN, agg1N)
+      // per-replica group ids are disjoint, so the big top-k view is
+      // exactly mult × the single-copy chain's — same closed form as
+      // the agg view
+      val tk1N = operators.Scd.cdcApplyTopK(
+        operators.Scd.cdcApplyTopK(
+          operators.Scd.cdcBaseTopK(s0a, "g", "k", "m", 3),
+          ivmCdc(s0a, s1a), s1a, "g", "k", "m", 3),
+        ivmCdc(s1a, s2a), s2a, "g", "k", "m", 3).count()
+      (aggDriftOk, mmDriftOk, tkDriftOk, dirtyBig, ch12N, dirty1,
+        aggViewN, agg1N, tkViewN, tk1N)
     }
     val ivmSpill = spilledDisk.get() - preIvmSpill
-    val (ivmAggDriftOk, ivmMmDriftOk, ivmDirtyBig, ivmCh12N, ivmDirty1,
-      ivmAggViewN, ivmAgg1N) = ivmRes
+    val (ivmAggDriftOk, ivmMmDriftOk, ivmTkDriftOk, ivmDirtyBig, ivmCh12N,
+      ivmDirty1, ivmAggViewN, ivmAgg1N, ivmTkViewN, ivmTk1N) = ivmRes
     val ivmWidthOk = ivmDirtyBig <= ivmCh12N &&
       ivmDirtyBig == ivmMult.toLong * ivmDirty1
-    val ivmGroupsOk = ivmAggViewN == ivmMult.toLong * ivmAgg1N
+    val ivmGroupsOk = ivmAggViewN == ivmMult.toLong * ivmAgg1N &&
+      ivmTkViewN == ivmMult.toLong * ivmTk1N
     val ivmSpillOk = ivmSpill > 0
-    val ivmOk = ivmAggDriftOk && ivmMmDriftOk && ivmWidthOk &&
-      ivmGroupsOk && ivmSpillOk
+    val ivmOk = ivmAggDriftOk && ivmMmDriftOk && ivmTkDriftOk &&
+      ivmWidthOk && ivmGroupsOk && ivmSpillOk
 
     // 8. MAINTAINED-INDEX LIFECYCLE at stress scale — the StreamAnn
     // codes table driven through its whole production life against a
@@ -691,6 +715,7 @@ object Stress {
       s""""ann_codebook_ok":$annCbOk,"ann_pressure_ok":$annPressureOk,""" +
       s""""ann_guard_ok":$annGuardOk,""" +
       s""""ivm_agg_drift_ok":$ivmAggDriftOk,"ivm_minmax_drift_ok":$ivmMmDriftOk,""" +
+      s""""ivm_topk_drift_ok":$ivmTkDriftOk,""" +
       s""""ivm_width_ok":$ivmWidthOk,"ivm_groups_ok":$ivmGroupsOk,""" +
       s""""ivm_spill_ok":$ivmSpillOk,""" +
       s""""idx_count_ok":$idxCountOk,"idx_replay_ok":$idxReplayOk,""" +
