@@ -545,6 +545,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.exchanges <= 4, s"maintained-refine exchange count drifted: $c")
   }
 
+  test("q_topk_incremental: the maintained leaderboard SERVES as a read — one artifact scan, output sort only") {
+    // the StreamTopK production point: serving the leaderboard is
+    // reading a k·|groups|-sized published view — one parquet scan of
+    // the artifact, no joins, no windows, the output sort as the only
+    // exchange. The |Δ| maintenance cost lives in the (untimed) sink,
+    // not in this plan.
+    val c = audited("q_topk_incremental")
+    assert(c.scans <= 1, s"leaderboard serve must read ONE artifact: $c")
+    assert(c.exchanges <= 1, s"leaderboard serve exchange count drifted: $c")
+    assert(c.broadcasts === 0, s"nothing should join at serve time: $c")
+  }
+
   test("q_takedown: post-purge serve keeps the maintained-index shape — codes scanned, queries broadcast") {
     // the takedown must not change the SERVING plan: after the pruned
     // purge + erasure, the serve is still the q_ann_incremental shape
