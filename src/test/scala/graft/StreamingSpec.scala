@@ -689,6 +689,16 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
       // vacuum keeps the basis view readable
       StreamTopK.vacuumView(root)
       assert(served() === rescan())
+      // TAKEDOWN through the leaderboard: a purge publishes ordinary
+      // CDC deletes, so the next refresh retires the erased leader
+      // through the applier's existing dirty-group algebra — no
+      // leaderboard-specific takedown code exists or is needed
+      val leader = served().head._2                    // a current top row
+      assert(table.purgeKeys(Seq(leader).toDF("idstr")) === 1L)
+      StreamTopK.refresh(spark, table, root, "subreddit", "idstr",
+        "score", 2)
+      assert(!served().exists { case (_, k, _, _) => k == leader })
+      assert(served() === rescan())
     } finally q.stop()
   }
 
