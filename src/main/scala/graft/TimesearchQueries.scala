@@ -856,6 +856,41 @@ object TimesearchQueries {
         .orderBy("tier")
     }),
 
+    // The PRUNED top-k dirty-group rescan — the q_cdc_join_pruned
+    // layout applied to the new applier: the fact store CO-PARTITIONS
+    // BY THE GROUP (author-hash buckets; key-stable because this feed
+    // never rewrites an author), so the rescan snapshot is a
+    // manifest-pruned scanForKeys read of the REMOVAL AUTHORS' buckets
+    // — a correct over-approximation of the dirty set (dirty ⊆ removal
+    // groups; the applier's own semi-join prunes exactly, bucket-mates
+    // are residual-filtered). The dirty slice is deliberately small
+    // (one %31 user slice of score bumps) — the micro-batch-against-
+    // 100TB shape; StoreSpec pins files(pruned) < files(table) for the
+    // device. Oracle: the replayed bump windowed — the pruned read
+    // must also be CORRECT.
+    "q_cdc_topk_pruned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdctkp")
+      val facts = new Livestream.UpsertTable(s, tmp.resolve("f").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(pmod(xxhash64(col("author")), lit(16))))
+      facts.seed(oldComments(s, dir))                                 // v0
+      val bump = oldComments(s, dir).filter(col("created") % 31 === 0)
+        .withColumn("score", col("score") + lit(7L))
+        .withColumn("_seq", lit(0L))
+      facts.merge(bump, "_seq", storeEdits = Some(false))             // v1
+      val base = graft.operators.Scd.cdcBaseTopK(facts.at(0),
+        "author", "idstr", "score", 3, "score_c", "rk")
+      val ch = facts.changes(0L, 1L)
+      val removalAuthors = ch
+        .filter(col("kind").isin("delete", "update"))
+        .select(col("before_author").as("author"))
+      val snapPruned = facts.scanForKeys(removalAuthors)
+      graft.operators.Scd.cdcApplyTopK(base, ch, snapPruned,
+          "author", "idstr", "score", 3, "score_c", "rk")
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("author", "rk")
+    }),
+
     // TOP-K chained off the join view — the leaderboard over an
     // ENRICHED view, maintained end to end at |Δ| cost: the emitted
     // Δview is cdcApplyTopK's changes frame verbatim (fact key +
@@ -1879,6 +1914,24 @@ object TimesearchQueries {
          FROM merged m JOIN dim d ON m.author = d.du
          GROUP BY d.tier
          ORDER BY d.tier""",
+
+    // pruned top-k rescan: its own replay (the %31 score bump) windowed
+    // — the manifest-pruned rescan read must land on the same final
+    // leaderboard as a full one
+    "q_cdc_topk_pruned" ->
+      """WITH oldc AS (
+           SELECT 'e'||event_id AS idstr, 'u'||user_id AS author,
+                  CAST(round(value*100) AS BIGINT)
+                    + CASE WHEN user_id % 31 = 0 THEN 7 ELSE 0 END AS score
+           FROM events WHERE event_id % 4 != 1),
+         ranked AS (
+           SELECT author, idstr, score AS score_c,
+                  ROW_NUMBER() OVER (PARTITION BY author
+                    ORDER BY score DESC, idstr) AS rk
+           FROM oldc)
+         SELECT author, idstr, score_c, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY author, rk""",
 
     // top-k over the joined view: the rescan join WINDOWED per tier —
     // the engine maintained the leaderboard from emitted view deltas
