@@ -508,6 +508,61 @@ class ScdSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcApplyJoinOuterWithDelta: outer Δview drives cdcApplyTopK — the null-group leaderboard chains too") {
+    // the top-k half of the outer chained stack: the "unattributed"
+    // leaderboard (facts whose dim has not arrived, the NULL group) is
+    // a group like any other — dim arrivals move a fact from the null
+    // leaderboard to its attribute's through the emitted delta alone,
+    // and the new view the SAME WithDelta call returns is the top-k
+    // applier's dirty-group rescan snapshot
+    val rnd = new scala.util.Random(777777)
+    def factSnap(keys: Seq[Long]): Seq[(Long, String, Long)] =
+      keys.map(k => (k, s"j${rnd.nextInt(12)}", rnd.nextInt(40).toLong))
+    def dimSnap(keys: Seq[Int]): Seq[(String, String, Long)] =
+      keys.map(j => (s"j$j", s"a${rnd.nextInt(3)}", rnd.nextInt(40).toLong))
+    def fd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("j", "m")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    def dd(b: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "j", Seq("a", "b")).withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    val fc = Seq("m"); val dc = Seq("a", "b")
+    def topk(view: org.apache.spark.sql.DataFrame) =
+      Scd.cdcBaseTopK(view, "a", "k", "m", 2)
+        .orderBy(col("a").asc_nulls_first, col("rk"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          r.getLong(2), r.getInt(3))).toSeq
+    for (round <- 1 to 3) {
+      val fs = (0 to 2).map(_ =>
+        factSnap((0L until 40L).filter(_ => rnd.nextDouble() < 0.75))
+          .toDF("k", "j", "m"))
+      val ds = (0 to 2).map(_ =>
+        dimSnap((0 until 8).filter(_ => rnd.nextDouble() < 0.6))
+          .toDF("j", "a", "b"))
+      val base = Scd.cdcBaseJoinOuter(fs(0), ds(0), "k", "j", fc, dc)
+      val tk0 = Scd.cdcBaseTopK(base, "a", "k", "m", 2)
+      val (v1, delta1) = Scd.cdcApplyJoinOuterWithDelta(base, fd(fs(0), fs(1)),
+        dd(ds(0), ds(1)), ds(1), "k", "j", fc, dc)
+      val tk1 = Scd.cdcApplyTopK(tk0, delta1, v1, "a", "k", "m", 2)
+      val (v2, delta2) = Scd.cdcApplyJoinOuterWithDelta(v1, fd(fs(1), fs(2)),
+        dd(ds(1), ds(2)), ds(2), "k", "j", fc, dc)
+      val tk2 = Scd.cdcApplyTopK(tk1, delta2, v2, "a", "k", "m", 2)
+      val got = tk2.orderBy(col("a").asc_nulls_first, col("rk"))
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+          r.getLong(2), r.getInt(3))).toSeq
+      val want = topk(Scd.cdcBaseJoinOuter(fs(2), ds(2), "k", "j", fc, dc))
+      assert(got === want,
+        s"round $round: outer Δview-chained top-k drifted from rescan")
+      // the adversary exercised the null leaderboard, not just joined rows
+      assert(want.exists(_._1.isEmpty),
+        s"round $round: null-group leaderboard empty — weak")
+    }
+  }
+
   test("cdcApplyJoinWithDelta: emitted Δview drives cdcApplyMinMax with the new view as its rescan snapshot") {
     // the non-additive half chains too: min/max over the JOINED view
     // maintained from the emitted delta, dirty-group rescans reading
