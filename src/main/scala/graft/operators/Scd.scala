@@ -98,21 +98,41 @@ object Scd {
     * consumers). Null groups are groups like any other (both Spark and
     * the oracle aggregate NULL as one group); a null measure adds its
     * row count but no sum, matching SUM's null-skipping on the rescan
-    * side.
+    * side — with ONE documented divergence at the SQL-null boundary: a
+    * group whose LAST non-null measure leaves nets to sum 0 here
+    * (X − X), where a rescan SUM over the remaining all-null rows is
+    * SQL NULL. (n, sum) carries no non-null-measure count, so the
+    * additive algebra cannot see that transition; it is exact for any
+    * group retaining ≥ 1 non-null measure — and everywhere, for
+    * non-null measure columns (every gated consumer). Groups needing
+    * SQL-null sums under fully-nullable measures belong with the
+    * rescan-on-dirty appliers (pinned in ScdSpec).
     */
   def cdcApply(maintained: DataFrame, changes: DataFrame, group: String,
       measure: String, nCol: String = "n_rows", sCol: String = "sum_m"):
-      DataFrame = {
+      DataFrame =
+    cdcApplyGrouped(maintained, changes, Seq(group), measure, nCol, sCol)
+
+  /** [[cdcApply]] generalized to MULTI-COLUMN group keys — the real-
+    * dashboard shape (group by (dim1, dim2)): identical delta algebra,
+    * one exchange on the composite key. [[cdcApply]] is the 1-element
+    * case; callers never pack lossy string concats. */
+  def cdcApplyGrouped(maintained: DataFrame, changes: DataFrame,
+      groups: Seq[String], measure: String, nCol: String = "n_rows",
+      sCol: String = "sum_m"): DataFrame = {
+    require(groups.nonEmpty, "cdcApplyGrouped: need at least one group column")
     val plus = changes.filter(col("kind").isin("insert", "update"))
-      .select(col(s"after_$group").as(group), lit(1L).as("_dn"),
-        col(s"after_$measure").cast("long").as("_dm"))
+      .select(groups.map(g => col(s"after_$g").as(g)) :+
+        lit(1L).as("_dn") :+
+        col(s"after_$measure").cast("long").as("_dm"): _*)
     val minus = changes.filter(col("kind").isin("delete", "update"))
-      .select(col(s"before_$group").as(group), lit(-1L).as("_dn"),
-        (-col(s"before_$measure")).cast("long").as("_dm"))
+      .select(groups.map(g => col(s"before_$g").as(g)) :+
+        lit(-1L).as("_dn") :+
+        (-col(s"before_$measure")).cast("long").as("_dm"): _*)
     maintained
-      .select(col(group), col(nCol).as("_dn"), col(sCol).as("_dm"))
+      .select(groups.map(col) :+ col(nCol).as("_dn") :+ col(sCol).as("_dm"): _*)
       .unionByName(plus).unionByName(minus)
-      .groupBy(group)
+      .groupBy(groups.map(col): _*)
       .agg(sum("_dn").as(nCol), sum("_dm").as(sCol))
       .filter(col(nCol) =!= 0L)
   }
@@ -122,8 +142,88 @@ object Scd {
     * two sides cannot drift. */
   def cdcBaseAgg(snapshot: DataFrame, group: String, measure: String,
       nCol: String = "n_rows", sCol: String = "sum_m"): DataFrame =
-    snapshot.groupBy(group)
+    cdcBaseAggGrouped(snapshot, Seq(group), measure, nCol, sCol)
+
+  /** [[cdcBaseAgg]] for multi-column group keys. */
+  def cdcBaseAggGrouped(snapshot: DataFrame, groups: Seq[String],
+      measure: String, nCol: String = "n_rows", sCol: String = "sum_m"):
+      DataFrame =
+    snapshot.groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as(nCol), sum(col(measure).cast("long")).as(sCol))
+
+  /** TIME-WINDOWED incremental view maintenance — the applier family's
+    * time dimension (the per-window dashboard view, the most common
+    * streaming-serving shape after the leaderboard): maintain a
+    * COUNT + SUM view keyed on (window_start, groups...) from the
+    * same net-changes contract. Tumbling windows are
+    * `slideSec == windowSec`; HOPPING windows expand each image into
+    * its `windowSec / slideSec` memberships — the constant fan-out the
+    * batch hopping aggregate (q_hopping_agg) models with an explicit
+    * k-unnest, applied to the |Δ|-sized change frame instead of the
+    * corpus. An update whose timestamp moved subtracts from every
+    * before-window and adds to every after-window, so rows MOVE
+    * between windows exactly; late data lands in its own window's
+    * group by construction — the store's net-changes contract carries
+    * it, no watermark semantics to invent (SESSION windows are the
+    * genuinely stateful case and stay with the batch sessionizer).
+    *
+    * `tsCol` must be a non-negative integral epoch column (window
+    * starts use the `t - t mod slide` device, exact for t ≥ 0); a NULL
+    * timestamp has no window and contributes nothing on that side.
+    * Scale: |Δ|·k input rows, one exchange on the composite key —
+    * never a window-table rescan. Seed with [[cdcBaseWindowed]]. */
+  def cdcApplyWindowed(maintained: DataFrame, changes: DataFrame,
+      groups: Seq[String], measure: String, tsCol: String,
+      windowSec: Long, slideSec: Long, wCol: String = "w_start",
+      nCol: String = "n_rows", sCol: String = "sum_m"): DataFrame = {
+    val k = windowMemberships(windowSec, slideSec)
+    def side(kinds: Seq[String], prefix: String, sign: Long): DataFrame =
+      changes.filter(col("kind").isin(kinds: _*))
+        .select(groups.map(g => col(s"$prefix$g").as(g)) :+
+          col(s"$prefix$measure").cast("long").as("_m") :+
+          col(s"$prefix$tsCol").cast("long").as("_t"): _*)
+        .filter(col("_t").isNotNull)
+        .withColumn("_j", explode(sequence(lit(0L), lit(k - 1))))
+        .select(((col("_t") - pmod(col("_t"), lit(slideSec)) -
+            col("_j") * slideSec).as(wCol) +:
+          groups.map(col)) :+
+          lit(sign).as("_dn") :+ (col("_m") * sign).as("_dm"): _*)
+    val keys = wCol +: groups
+    maintained
+      .select(keys.map(col) :+ col(nCol).as("_dn") :+ col(sCol).as("_dm"): _*)
+      .unionByName(side(Seq("insert", "update"), "after_", 1L))
+      .unionByName(side(Seq("delete", "update"), "before_", -1L))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("_dn").as(nCol), sum("_dm").as(sCol))
+      .filter(col(nCol) =!= 0L)
+  }
+
+  /** The matching windowed base/rescan aggregate — shared by the seed
+    * of a [[cdcApplyWindowed]] chain and its verification rescan. */
+  def cdcBaseWindowed(snapshot: DataFrame, groups: Seq[String],
+      measure: String, tsCol: String, windowSec: Long, slideSec: Long,
+      wCol: String = "w_start", nCol: String = "n_rows",
+      sCol: String = "sum_m"): DataFrame = {
+    val k = windowMemberships(windowSec, slideSec)
+    snapshot
+      .select(groups.map(col) :+
+        col(measure).cast("long").as("_m") :+
+        col(tsCol).cast("long").as("_t"): _*)
+      .filter(col("_t").isNotNull)
+      .withColumn("_j", explode(sequence(lit(0L), lit(k - 1))))
+      .select(((col("_t") - pmod(col("_t"), lit(slideSec)) -
+          col("_j") * slideSec).as(wCol) +:
+        groups.map(col)) :+ col("_m"): _*)
+      .groupBy((wCol +: groups).map(col): _*)
+      .agg(count(lit(1)).as(nCol), sum("_m").as(sCol))
+  }
+
+  private def windowMemberships(windowSec: Long, slideSec: Long): Long = {
+    require(windowSec > 0 && slideSec > 0 && windowSec % slideSec == 0,
+      s"window/slide must be positive with slide dividing window: " +
+        s"got window=$windowSec slide=$slideSec")
+    windowSec / slideSec
+  }
 
   /** MIN/MAX incremental view maintenance — the non-additive half
     * [[cdcApply]]'s scaladoc deferred ("min/max need the full group on
@@ -354,6 +454,40 @@ object Scd {
     keep.unionByName(folded).unionByName(rescan)
   }
 
+  /** [[cdcApplyTopK]] generalized to MULTI-COLUMN group keys via the
+    * struct-packing device: the group columns pack into one struct
+    * column (field-by-field null-safe equality and grouping are
+    * Spark's struct semantics — NULL fields compare equal, exactly the
+    * single-column `<=>` contract), the proven single-group algebra
+    * runs unchanged, and the output unpacks. Nothing string-concats —
+    * the lossy encoding this entry point exists to prevent. The
+    * maintained frame carries the group columns UNPACKED
+    * (`groups..., key, mCol, rkCol` — [[cdcBaseTopKGrouped]]'s shape);
+    * `changes` carries before_/after_ images of every group column. */
+  def cdcApplyTopKGrouped(maintained: DataFrame, changes: DataFrame,
+      snapshot: DataFrame, groups: Seq[String], key: String,
+      measure: String, k: Int, mCol: String = "m",
+      rkCol: String = "rk"): DataFrame = {
+    require(groups.nonEmpty,
+      "cdcApplyTopKGrouped: need at least one group column")
+    if (groups.size == 1)
+      return cdcApplyTopK(maintained, changes, snapshot, groups.head, key,
+        measure, k, mCol, rkCol)
+    val G = "_g_pack"
+    def pack(cols: Seq[Column]): Column =
+      struct(cols.zip(groups).map { case (c, g) => c.as(g) }: _*)
+    val m2 = maintained
+      .withColumn(G, pack(groups.map(col)))
+      .select(col(G), col(key), col(mCol), col(rkCol))
+    val ch2 = changes
+      .withColumn(s"before_$G", pack(groups.map(g => col(s"before_$g"))))
+      .withColumn(s"after_$G", pack(groups.map(g => col(s"after_$g"))))
+    val sn2 = snapshot.withColumn(G, pack(groups.map(col)))
+    cdcApplyTopK(m2, ch2, sn2, G, key, measure, k, mCol, rkCol)
+      .select(groups.map(g => col(s"$G.$g").as(g)) ++
+        Seq(col(key), col(mCol), col(rkCol)): _*)
+  }
+
   /** The matching top-k base/rescan — shared by the seed of a
     * [[cdcApplyTopK]] chain and its verification rescan. */
   def cdcBaseTopK(snapshot: DataFrame, group: String, key: String,
@@ -364,6 +498,21 @@ object Scd {
       .filter(col(mCol).isNotNull)
       .withColumn(rkCol, row_number().over(
         Window.partitionBy(col(group)).orderBy(col(mCol).desc, col(key))))
+      .filter(col(rkCol) <= k)
+
+  /** [[cdcBaseTopK]] for multi-column group keys — UNPACKED output
+    * (`groups..., key, mCol, rkCol`), [[cdcApplyTopKGrouped]]'s
+    * maintained shape. */
+  def cdcBaseTopKGrouped(snapshot: DataFrame, groups: Seq[String],
+      key: String, measure: String, k: Int, mCol: String = "m",
+      rkCol: String = "rk"): DataFrame =
+    snapshot
+      .select(groups.map(col) :+ col(key) :+
+        col(measure).cast("long").as(mCol): _*)
+      .filter(col(mCol).isNotNull)
+      .withColumn(rkCol, row_number().over(
+        Window.partitionBy(groups.map(col): _*)
+          .orderBy(col(mCol).desc, col(key))))
       .filter(col(rkCol) <= k)
 
   /** JOIN-view incremental maintenance — the two-table half the cdcApply

@@ -644,14 +644,59 @@ object Livestream {
       * takedown-sized (the [[purgeKeys]] broadcast contract) — a
       * predicate matching most of the table is a table rewrite, not a
       * takedown; reach for [[seed]]/filtered re-seed instead.
-      * Idempotent: once purged, the predicate resolves zero rows. */
-    def purgeWhere(pred: Column, eraseHistory: Boolean = true): Long = {
+      * Idempotent: once purged, the predicate resolves zero rows.
+      *
+      * ==Erasure-completeness contract==
+      * `pred` resolves keys from the CURRENT snapshot, so the edits
+      * scrub is complete only when the predicate reads FROZEN /
+      * key-stable columns (author, created, the key itself — the
+      * shipped takedown gates). A predicate over an UPDATABLE column
+      * (body, score) misses keys whose QUOTED BEFORE-IMAGE matched
+      * while the current value no longer does — their purged-content
+      * bytes would survive in the CDC log. For those, pass
+      * `editsPred`: a predicate over the edits-log schema
+      * (`idstr`, the entity's `previous_*` text column, `replaced_at`)
+      * that additionally resolves keys from the log's before-images;
+      * every edit row of a so-resolved key scrubs (over-scrubbing a
+      * key's non-matching edit rows is the safe direction for an
+      * erasure act — never the reverse). The rows themselves stay in
+      * the snapshot (their current state does not match `pred`).
+      *
+      * Erasure runs on DRIVER-COLLECTED keys: the resolved frame's
+      * lineage reads the pre-purge version's files, which
+      * `vacuum(keep = 1)` deletes before the edits scrub re-reads it —
+      * `localCheckpoint` is not fault-tolerant, so on a real cluster a
+      * lost block would recompute against deleted files and kill the
+      * act between the vacuum and the scrub. The key set is
+      * takedown-sized by the [[purgeKeys]] broadcast contract, so
+      * collecting it is the same cost class as the broadcast it
+      * already rides. */
+    def purgeWhere(pred: Column, eraseHistory: Boolean = true,
+        editsPred: Option[Column] = None): Long = {
       if (currentVersion < 0) return 0L
       // frozen before purgeKeys publishes, and read three times
       // (candidate buckets, the purge joins, the edits scrub)
       val kf = scanAuto()._1.filter(pred).localCheckpoint(false)
+      val key = keyName
+      // collected BEFORE purgeKeys/vacuum invalidate kf's lineage (see
+      // the erasure-completeness contract above); the edits-side keys
+      // resolve from the log, which vacuum never touches, but are
+      // collected alongside so the whole act runs on local data
+      val snapKeys =
+        if (eraseHistory)
+          kf.select(col(key)).distinct().collect().map(_.getString(0)).toSeq
+        else Seq.empty[String]
+      val editKeys = editsPred match {
+        case Some(ep) if eraseHistory =>
+          edits.filter(ep).select(col(key)).distinct()
+            .collect().map(_.getString(0)).toSeq
+        case _ => Seq.empty[String]
+      }
       val n = purgeKeys(kf)
-      if (eraseHistory) { vacuum(keep = 1); purgeEdits(kf) }
+      if (eraseHistory) {
+        vacuum(keep = 1)
+        purgeEdits(keysFrame((snapKeys ++ editKeys).distinct))
+      }
       n
     }
 

@@ -91,7 +91,13 @@ object StreamTopK {
   /** Catch the view up to the fact store's current version by applying
     * `changes(basis, current)` — idempotent (basis == current is a
     * no-op) and range-tolerant (a missed trigger catches up in one
-    * apply). */
+    * apply). If the recorded basis version is NO LONGER READABLE in the
+    * fact store's history (an erasure act — purge/purgeWhere with
+    * `eraseHistory` — ran `vacuum(keep = 1)` between triggers), the
+    * view RESEEDS from the current snapshot instead of throwing on
+    * every subsequent trigger: the reseed is the documented
+    * post-erasure catch-up, and it also retires any purged rows the
+    * stale view still served. */
   def refresh(spark: SparkSession, table: Livestream.UpsertTable,
       root: String, group: String, key: String, measure: String, k: Int,
       mCol: String = "m", rkCol: String = "rk"): Unit = {
@@ -103,6 +109,9 @@ object StreamTopK {
     }
     val cur = table.currentVersion
     if (cur == b) return
+    if (!table.versionAvailable(b)) {
+      seedView(table, root, group, key, measure, k, mCol, rkCol); return
+    }
     val nv = Scd.cdcApplyTopK(view(spark, root), table.changes(b, cur),
       table.at(cur), group, key, measure, k, mCol, rkCol)
     publish(nv, root, cur)

@@ -238,6 +238,129 @@ class ScdSpec extends AnyFunSuite {
     assert(v2 === Seq(("dest", 2L)))
   }
 
+  test("cdcApplyGrouped + cdcApplyTopKGrouped: two-column group keys == rescan on random snapshot pairs, null group values included") {
+    // the multi-column generalization (the real-dashboard (dim1, dim2)
+    // key): same IVM invariant as the single-group appliers, with NULL
+    // values in the second group column facing the null-safe composite
+    // grouping — and no lossy string concat anywhere
+    val rnd = new scala.util.Random(90210)
+    // measures non-null: the additive count/sum family's exactness
+    // domain (the all-null-transition edge is pinned below); NULLS live
+    // in the GROUP columns, which is what this test gates
+    def snapshot(keys: Seq[Long]): Seq[(Long, String, Option[String], Option[Long])] =
+      keys.map(k => (k, s"a${rnd.nextInt(3)}",
+        if (rnd.nextDouble() < 0.2) None else Some(s"b${rnd.nextInt(3)}"),
+        Some(rnd.nextInt(12).toLong)))
+    def cdc(b: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("g1", "g2", "m"))
+        .withColumn("kind",
+          when(col("change") === "added", lit("insert"))
+            .when(col("change") === "removed", lit("delete"))
+            .otherwise(lit("update")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(i => Option(r.get(i))))
+        .toSeq.sortBy(_.toString)
+    for (round <- 1 to 3) {
+      val before = snapshot((0L until 60L)
+        .filter(_ => rnd.nextDouble() < 0.8)).toDF("k", "g1", "g2", "m")
+      val after = snapshot((0L until 60L)
+        .filter(_ => rnd.nextDouble() < 0.8)).toDF("k", "g1", "g2", "m")
+      val ch = cdc(before, after)
+      val gs = Seq("g1", "g2")
+      assert(rows(Scd.cdcApplyGrouped(
+          Scd.cdcBaseAggGrouped(before, gs, "m"), ch, gs, "m")) ===
+        rows(Scd.cdcBaseAggGrouped(after, gs, "m")),
+        s"round $round: grouped agg IVM drifted from rescan")
+      assert(rows(Scd.cdcApplyTopKGrouped(
+          Scd.cdcBaseTopKGrouped(before, gs, "k", "m", 2), ch, after,
+          gs, "k", "m", 2)) ===
+        rows(Scd.cdcBaseTopKGrouped(after, gs, "k", "m", 2)),
+        s"round $round: grouped top-k IVM drifted from rescan")
+    }
+    // PINNED additive-domain edge (the cdcApply scaladoc's documented
+    // divergence): a group whose LAST non-null measure leaves nets to
+    // sum 0 (X − X), where a rescan SUM over the remaining all-null
+    // rows is SQL NULL — (n, sum) carries no non-null-measure count,
+    // so the additive algebra cannot see the transition. Exact for any
+    // group retaining ≥ 1 non-null measure, and everywhere for
+    // non-null measure columns (every gated consumer).
+    val bE = Seq((1L, "a", Some("b"), Some(5L))).toDF("k", "g1", "g2", "m")
+    val aE = Seq((1L, "a", Some("b"), None: Option[Long]))
+      .toDF("k", "g1", "g2", "m")
+    val edge = Scd.cdcApplyGrouped(
+        Scd.cdcBaseAggGrouped(bE, Seq("g1", "g2"), "m"),
+        cdc(bE, aE), Seq("g1", "g2"), "m")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)))).toSeq
+    assert(edge === Seq(("a", "b", 1L, Some(0L))))   // rescan would say None
+
+    // single-element delegation: identical output to the scalar applier
+    val b1 = Seq((1L, "x", Some("y"), Some(3L)),
+      (2L, "x", Some("z"), Some(7L))).toDF("k", "g1", "g2", "m")
+    val a1 = Seq((1L, "x", Some("y"), Some(5L))).toDF("k", "g1", "g2", "m")
+    val chS = Scd.diff(b1, a1, "k", Seq("g1", "m"))
+      .withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+    assert(rows(Scd.cdcApplyGrouped(Scd.cdcBaseAgg(b1, "g1", "m"), chS,
+        Seq("g1"), "m")) ===
+      rows(Scd.cdcApply(Scd.cdcBaseAgg(b1, "g1", "m"), chS, "g1", "m")))
+  }
+
+  test("cdcApplyWindowed: tumbling and hopping window views == rescan; ts updates move rows between windows") {
+    // the applier family's time dimension: (window_start, group) keyed
+    // COUNT+SUM maintained from the same net-changes contract — the
+    // hopping case expands each image into its k memberships; an
+    // update whose ts moved must leave every before-window and land in
+    // every after-window
+    val rnd = new scala.util.Random(5150)
+    // null TIMESTAMPS face the gate (no window, contributes nothing);
+    // measures stay non-null — the additive family's exactness domain
+    // (the all-null-transition edge is pinned in the grouped test)
+    def snapshot(keys: Seq[Long]): Seq[(Long, String, Option[Long], Option[Long])] =
+      keys.map(k => (k, s"g${rnd.nextInt(3)}",
+        if (rnd.nextDouble() < 0.1) None else Some(rnd.nextInt(100).toLong),
+        Some(rnd.nextInt(20).toLong)))
+    def cdc(b: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame) =
+      Scd.diff(b, a, "k", Seq("g", "t", "m"))
+        .withColumn("kind",
+          when(col("change") === "added", lit("insert"))
+            .when(col("change") === "removed", lit("delete"))
+            .otherwise(lit("update")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until r.length).map(i => Option(r.get(i))))
+        .toSeq.sortBy(_.toString)
+    for ((win, slide) <- Seq((10L, 10L), (30L, 10L)); round <- 1 to 2) {
+      val before = snapshot((0L until 50L)
+        .filter(_ => rnd.nextDouble() < 0.8)).toDF("k", "g", "t", "m")
+      val after = snapshot((0L until 50L)
+        .filter(_ => rnd.nextDouble() < 0.8)).toDF("k", "g", "t", "m")
+      val got = Scd.cdcApplyWindowed(
+        Scd.cdcBaseWindowed(before, Seq("g"), "m", "t", win, slide),
+        cdc(before, after), Seq("g"), "m", "t", win, slide)
+      val want = Scd.cdcBaseWindowed(after, Seq("g"), "m", "t", win, slide)
+      assert(rows(got) === rows(want),
+        s"win=$win slide=$slide round $round: windowed IVM drifted")
+    }
+    // explicit window-move micro-case: one key's ts crosses a tumbling
+    // boundary — the old window empties (vanishes), the new one appears
+    val b2 = Seq((1L, "g", Some(5L), Some(2L))).toDF("k", "g", "t", "m")
+    val a2 = Seq((1L, "g", Some(15L), Some(2L))).toDF("k", "g", "t", "m")
+    val v2 = Scd.cdcApplyWindowed(
+        Scd.cdcBaseWindowed(b2, Seq("g"), "m", "t", 10L, 10L),
+        cdc(b2, a2), Seq("g"), "m", "t", 10L, 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(v2 === Seq((10L, "g", 1L, 2L)))
+    // slide must divide window, loudly
+    intercept[IllegalArgumentException](Scd.cdcApplyWindowed(
+      Scd.cdcBaseWindowed(b2, Seq("g"), "m", "t", 10L, 10L),
+      cdc(b2, a2), Seq("g"), "m", "t", 10L, 7L))
+  }
+
   test("cdcApplyJoin: delta-maintained join view == rescan join on random snapshot CHAINS") {
     // the join-IVM invariant: for ANY chain of snapshots on BOTH tables
     // — inserts, deletes, in-place updates, and join-KEY CHURN on the

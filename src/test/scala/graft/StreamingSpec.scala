@@ -633,6 +633,62 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(table.purgeWhere(col("author") === "nobody") === 0L)
   }
 
+  test("purgeWhere editsPred: a quoted before-image matching the predicate scrubs even when the current value no longer does") {
+    val dir = tmp("purgewe")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    table.seed(Seq(c(1, "secret-alpha", 1), c(2, "secret-beta", 2),
+      c(3, "benign", 3)).toDF())                                     // v0
+    // key 1's body rewrites to a clean value: the SNAPSHOT no longer
+    // matches the predicate, but the edits log QUOTES the secret text
+    table.merge(Seq(c(1, "clean", 1)).toDF().withColumn("_seq", lit(0L)),
+      "_seq")                                                        // v1
+    assert(table.edits
+      .filter(col("previous_body").contains("secret")).count() === 1L)
+    // key 2 still matches in the snapshot; key 1 only in the log's
+    // before-image — the erasure-completeness gap editsPred closes
+    val n = table.purgeWhere(col("body").contains("secret"),
+      editsPred = Some(col("previous_body").contains("secret")))
+    assert(n === 1L)
+    assert(table.current.filter(col("idstr") === "t1_2").count() === 0L)
+    // key 1's ROW survives (its current state is clean) ...
+    assert(table.current.filter(col("idstr") === "t1_1").count() === 1L)
+    // ... but no edit row quotes the secret text anymore — neither by
+    // content nor by the resolved key
+    assert(table.edits
+      .filter(col("previous_body").contains("secret")).count() === 0L)
+    assert(table.edits.filter(col("idstr") === "t1_1").count() === 0L)
+    // idempotent end to end
+    assert(table.purgeWhere(col("body").contains("secret"),
+      editsPred = Some(col("previous_body").contains("secret"))) === 0L)
+  }
+
+  test("StreamTopK refresh reseeds when the recorded basis was erased from the fact history") {
+    import graft.streaming.StreamTopK
+    val base = tmp("topk_erase")
+    val table = new Livestream.UpsertTable(spark, s"$base/tbl",
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    table.seed(Seq(c(1, "a", 10), c(2, "b", 20), c(3, "d", 5)).toDF()) // v0
+    val root = s"$base/view"
+    StreamTopK.seedView(table, root, "subreddit", "idstr", "score", 2)
+    assert(StreamTopK.basis(root) === 0L)
+    // an erasure act between triggers: purge with eraseHistory runs
+    // vacuum(keep = 1), so the recorded basis version 0 is unreadable
+    assert(table.purge(Seq("t1_2"), eraseHistory = true) === 1L)
+    assert(!table.versionAvailable(0L))
+    // the pre-fix contract threw from changes(0, cur) on every later
+    // trigger, failing the sink permanently; refresh now falls back to
+    // the documented post-erasure reseed — which also retires the
+    // purged row the stale view still served
+    StreamTopK.refresh(spark, table, root, "subreddit", "idstr", "score", 2)
+    assert(StreamTopK.basis(root) === table.currentVersion)
+    val served = StreamTopK.view(spark, root).collect()
+      .map(_.getString(1)).toSet
+    assert(served === Set("t1_1", "t1_3"))
+  }
+
   test("StreamTopK: maintained leaderboard equals the batch top-k after every trigger; refresh is idempotent") {
     import graft.streaming.StreamTopK
     import graft.operators.Scd
