@@ -503,10 +503,23 @@ object Stress {
         "g", "k", "m", 3)
       val tkV = operators.Scd.cdcApplyTopK(tkMid, ch12, s2,
         "g", "k", "m", 3)
+      // the fourth applier: hopping-WINDOW view (windows on the m axis,
+      // 40 wide sliding 20 — every change expands ×2 memberships, and
+      // the m mutations move rows between windows) through the same
+      // chain; m is positive by construction (quantity ≥ 1 ⇒ ≥ 91
+      // after the −9 shift; inserts use m2 % 1000 ≥ 0), the mod
+      // device's domain
+      val wvMid = operators.Scd.cdcApplyWindowed(
+        operators.Scd.cdcBaseWindowed(s0, Seq("g"), "m", "m", 40L, 20L),
+        ch01, Seq("g"), "m", "m", 40L, 20L).localCheckpoint(false)
+      val wvV = operators.Scd.cdcApplyWindowed(wvMid, ch12,
+        Seq("g"), "m", "m", 40L, 20L)
       // drift checks: EXACT set equality against the s2 rescan
       val aggRescan = operators.Scd.cdcBaseAgg(s2, "g", "m")
       val mmRescan = operators.Scd.cdcBaseMinMax(s2, "g", "m")
       val tkRescan = operators.Scd.cdcBaseTopK(s2, "g", "k", "m", 3)
+      val wvRescan = operators.Scd.cdcBaseWindowed(s2, Seq("g"), "m",
+        "m", 40L, 20L)
       val aggViewN = aggV.count()
       val aggDriftOk = aggViewN == aggRescan.count() &&
         aggV.exceptAll(aggRescan).isEmpty
@@ -515,6 +528,9 @@ object Stress {
       val tkViewN = tkV.count()
       val tkDriftOk = tkViewN == tkRescan.count() &&
         tkV.exceptAll(tkRescan).isEmpty
+      val wvViewN = wvV.count()
+      val wvDriftOk = wvViewN == wvRescan.count() &&
+        wvV.exceptAll(wvRescan).isEmpty
       // the operator's own dirty rule at step 2, big vs single copy
       val dirtyBig = operators.Scd.minMaxDirtyGroups(mmMid, ch12, "g", "m")
         .count()
@@ -536,19 +552,29 @@ object Stress {
           operators.Scd.cdcBaseTopK(s0a, "g", "k", "m", 3),
           ivmCdc(s0a, s1a), s1a, "g", "k", "m", 3),
         ivmCdc(s1a, s2a), s2a, "g", "k", "m", 3).count()
+      // windowed closed form: (w_start, g) keys are disjoint per
+      // replica (disjoint g offsets), so the big view is exactly
+      // mult × the single-copy chain's
+      val wv1N = operators.Scd.cdcApplyWindowed(
+        operators.Scd.cdcApplyWindowed(
+          operators.Scd.cdcBaseWindowed(s0a, Seq("g"), "m", "m", 40L, 20L),
+          ivmCdc(s0a, s1a), Seq("g"), "m", "m", 40L, 20L),
+        ivmCdc(s1a, s2a), Seq("g"), "m", "m", 40L, 20L).count()
       (aggDriftOk, mmDriftOk, tkDriftOk, dirtyBig, ch12N, dirty1,
-        aggViewN, agg1N, tkViewN, tk1N)
+        aggViewN, agg1N, tkViewN, tk1N, wvDriftOk, wvViewN, wv1N)
     }
     val ivmSpill = spilledDisk.get() - preIvmSpill
     val (ivmAggDriftOk, ivmMmDriftOk, ivmTkDriftOk, ivmDirtyBig, ivmCh12N,
-      ivmDirty1, ivmAggViewN, ivmAgg1N, ivmTkViewN, ivmTk1N) = ivmRes
+      ivmDirty1, ivmAggViewN, ivmAgg1N, ivmTkViewN, ivmTk1N,
+      ivmWvDriftOk, ivmWvViewN, ivmWv1N) = ivmRes
     val ivmWidthOk = ivmDirtyBig <= ivmCh12N &&
       ivmDirtyBig == ivmMult.toLong * ivmDirty1
     val ivmGroupsOk = ivmAggViewN == ivmMult.toLong * ivmAgg1N &&
-      ivmTkViewN == ivmMult.toLong * ivmTk1N
+      ivmTkViewN == ivmMult.toLong * ivmTk1N &&
+      ivmWvViewN == ivmMult.toLong * ivmWv1N
     val ivmSpillOk = ivmSpill > 0
     val ivmOk = ivmAggDriftOk && ivmMmDriftOk && ivmTkDriftOk &&
-      ivmWidthOk && ivmGroupsOk && ivmSpillOk
+      ivmWvDriftOk && ivmWidthOk && ivmGroupsOk && ivmSpillOk
 
     // 8. MAINTAINED-INDEX LIFECYCLE at stress scale — the StreamAnn
     // codes table driven through its whole production life against a
@@ -724,7 +750,8 @@ object Stress {
       s""""ann_codebook_ok":$annCbOk,"ann_pressure_ok":$annPressureOk,""" +
       s""""ann_guard_ok":$annGuardOk,""" +
       s""""ivm_agg_drift_ok":$ivmAggDriftOk,"ivm_minmax_drift_ok":$ivmMmDriftOk,""" +
-      s""""ivm_topk_drift_ok":$ivmTkDriftOk,""" +
+      s""""ivm_topk_drift_ok":$ivmTkDriftOk,"ivm_window_drift_ok":$ivmWvDriftOk,""" +
+      s""""ivm_window_rows":$ivmWvViewN,""" +
       s""""ivm_width_ok":$ivmWidthOk,"ivm_groups_ok":$ivmGroupsOk,""" +
       s""""ivm_spill_ok":$ivmSpillOk,""" +
       s""""idx_count_ok":$idxCountOk,"idx_replay_ok":$idxReplayOk,""" +

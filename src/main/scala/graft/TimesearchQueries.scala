@@ -982,6 +982,81 @@ object TimesearchQueries {
         .orderBy("idstr")
     }),
 
+    // The OUTER top-k chain — the last cell of the chained-IVM matrix
+    // (inner/outer × count-sum/min-max/top-k): the LEFT-OUTER join view
+    // maintained by cdcApplyJoinOuterWithDelta feeds cdcApplyTopK, so
+    // the NULL-tier group — facts whose author has no dim yet — runs a
+    // live "unattributed" leaderboard. The dim batches seed only a
+    // third of the users, so most facts START on the null-group
+    // leaderboard and MOVE to their tier's as dims arrive (the outer
+    // delta carries each flip as an update whose before-image holds
+    // the null dims); the uncovered-author residue keeps the null
+    // leaderboard non-empty at the gated final state. Oracle: the
+    // rescan LEFT JOIN windowed per tier — q_cdc_topk's window form
+    // verbatim, NULL tier one partition in both engines.
+    "q_cdc_join_outer_topk" -> ((s, dir) => {
+      val (facts, dim) = cdcJoinTables(s, dir)
+      def factsAt(v: Long) =
+        facts.at(v).select(col("idstr"), col("author"), col("score"))
+      def dimAt(v: Long) =
+        dim.at(v).select(col("idstr").as("author"), col("tier"), col("region_c"))
+      def dimCh(a: Long, b: Long) =
+        dim.changes(a, b).select(col("idstr").as("author"), col("kind"))
+      val fCols = Seq("score"); val dCols = Seq("tier", "region_c")
+      val base = graft.operators.Scd.cdcBaseJoinOuter(factsAt(0), dimAt(0),
+        "idstr", "author", fCols, dCols)
+      val tk0 = graft.operators.Scd.cdcBaseTopK(base, "tier", "idstr",
+        "score", 3, "score_c", "rk")
+      val (v1, d1) = graft.operators.Scd.cdcApplyJoinOuterWithDelta(base,
+        facts.changes(0L, 1L), dimCh(0L, 1L), dimAt(1),
+        "idstr", "author", fCols, dCols)
+      val tk1 = graft.operators.Scd.cdcApplyTopK(tk0, d1, v1,
+        "tier", "idstr", "score", 3, "score_c", "rk")
+      val (v2, d2) = graft.operators.Scd.cdcApplyJoinOuterWithDelta(v1,
+        facts.changes(1L, 2L), dimCh(1L, 2L), dimAt(2),
+        "idstr", "author", fCols, dCols)
+      graft.operators.Scd.cdcApplyTopK(tk1, d2, v2,
+          "tier", "idstr", "score", 3, "score_c", "rk")
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("tier", "rk")
+    }),
+
+    // TIME-WINDOWED IVM — the applier family's time dimension
+    // (Scd.cdcApplyWindowed): a per-(window, group) COUNT+SUM dashboard
+    // view maintained from version-range deltas only, hopping windows
+    // (600 wide, sliding 200 — each image expands into its 3
+    // memberships, the q_hopping_agg k-unnest device applied to the
+    // |Δ|-sized change frame instead of the corpus). The window keys on
+    // the SCORE axis deliberately: scores CHANGE across the merges, so
+    // rows move between windows live through the gate (an update
+    // subtracts from every before-window and adds to every
+    // after-window); `distinguish` rides as a second, NULL-carrying
+    // group column. Oracle: the final merged state re-windowed by the
+    // same membership unnest — a row served in a stale window, a
+    // missed move, or a lingering empty window hash-mismatches.
+    "q_cdc_window" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcw")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                   // v0
+      val nc = newComments(s, dir)
+      table.merge(nc.filter(col("idint") % 4 === 0), "_seq",
+        storeEdits = Some(false))                                       // v1
+      table.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
+        storeEdits = Some(false))                                       // v2
+      val gs = Seq("distinguish")
+      val base = graft.operators.Scd.cdcBaseWindowed(table.at(0L), gs,
+        "textlen", "score", 600L, 200L, "w_start", "n_rows", "sum_len")
+      val v1 = graft.operators.Scd.cdcApplyWindowed(base,
+        table.changes(0L, 1L), gs, "textlen", "score", 600L, 200L,
+        "w_start", "n_rows", "sum_len")
+      graft.operators.Scd.cdcApplyWindowed(v1,
+          table.changes(1L, 2L), gs, "textlen", "score", 600L, 200L,
+          "w_start", "n_rows", "sum_len")
+        .orderBy("w_start", "distinguish")
+    }),
+
     // J2+A5+P5 — the batch upsert merge: final table state.
     "q_merge_upsert" -> ((s, dir) => {
       Merge.upsert(oldComments(s, dir), newComments(s, dir),
@@ -1947,6 +2022,42 @@ object TimesearchQueries {
          SELECT tier, idstr, score_c, CAST(rk AS BIGINT) AS rk
          FROM ranked WHERE rk <= 3
          ORDER BY tier, rk""",
+
+    // the outer top-k chain: the rescan LEFT JOIN windowed per tier —
+    // q_cdc_topk's window form verbatim; the NULL tier is one
+    // partition in both engines, so the "unattributed" leaderboard
+    // (and every fact that MOVED off it as its dim arrived) faces the
+    // same gate as the attributed ones
+    "q_cdc_join_outer_topk" ->
+      s"""$cdcJoinCtes,
+         ranked AS (
+           SELECT d.tier, m.idstr, CAST(m.score AS BIGINT) AS score_c,
+                  ROW_NUMBER() OVER (PARTITION BY d.tier
+                    ORDER BY m.score DESC, m.idstr) AS rk
+           FROM merged m LEFT JOIN dim d ON m.author = d.du
+           WHERE m.score IS NOT NULL)
+         SELECT tier, idstr, score_c, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 3
+         ORDER BY tier, rk""",
+
+    // windowed IVM: the final merged state re-windowed by the same
+    // 3-membership unnest (w = s - s%200 - k*200; scores are
+    // positive, so the mod device is exact) — the engine maintained
+    // the window table from deltas only, score bumps moving rows
+    // between windows included
+    "q_cdc_window" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect),
+         member AS (
+           SELECT (score - (score % 200)) - k * 200 AS w_start,
+                  distinguish, textlen
+           FROM (SELECT score, distinguish, textlen,
+                        unnest(range(0, 3)) AS k FROM merged) t0)
+         SELECT w_start, distinguish, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(textlen) AS BIGINT) AS sum_len
+         FROM member GROUP BY w_start, distinguish
+         ORDER BY w_start, distinguish""",
 
     // outer Δview chaining: the rescan LEFT JOIN aggregated — the
     // engine maintained it from emitted outer deltas only, null-tier
