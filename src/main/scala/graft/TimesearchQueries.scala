@@ -210,6 +210,49 @@ object TimesearchQueries {
     (facts, dim)
   }
 
+  /** The two-schema-generation store shared by q_schema_evolve and
+    * q_schema_evolve_changes: v0/v1 publish under the 11-column comments
+    * schema; the table REOPENS widened (nullable `lang`, updatable) and
+    * the v2 merge publishes the new generation. The widening batch sets
+    * ONLY the key, the new column, and a score bump — every frozen
+    * column rides the merge fold's first-row rule and the text column's
+    * null-ignore, so the replay is exactly a LEFT JOIN fold. */
+  private def schemaEvolvedTable(s: SparkSession, dir: String):
+      Livestream.UpsertTable = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sev")
+    val part = Some(Livestream.keyBucket(nBuckets = 16))
+    val v1Table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+      Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+      partitioning = part)
+    v1Table.seed(oldComments(s, dir))                                 // v0
+    v1Table.merge(newComments(s, dir), "_seq", storeEdits = Some(false)) // v1
+    // the reopen: widened schema + the new column's merge role
+    val entityV2 = Merge.comments.copy(
+      updatable = Merge.comments.updatable :+ "lang")
+    val emptyV2 = oldComments(s, dir).limit(0)
+      .withColumn("lang", lit(null).cast("string"))
+    val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+      entityV2, emptyV2, outputPartitions = Some(1), partitioning = part)
+    val batch = Tables.load(s, dir, "events")
+      .filter(col("event_id") % 6 === 2)
+      .select(
+        col("event_id").cast("long").as("idint"),
+        concat(lit("e"), col("event_id")).as("idstr"),
+        lit(null).cast("long").as("created"),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("parent"),
+        lit(null).cast("string").as("submission"),
+        lit(null).cast("string").as("body"),
+        (cents(col("value")) + 100).as("score"),
+        lit(null).cast("string").as("subreddit"),
+        lit(null).cast("string").as("distinguish"),
+        lit(null).cast("long").as("textlen"),
+        concat(lit("l"), col("event_id") % 4).as("lang"),
+        col("event_id").cast("long").as("_seq"))
+    table.merge(batch, "_seq", storeEdits = Some(false))              // v2
+    table
+  }
+
   /** q_cdc_snowflake's SECOND-LEVEL dimension batches: region codes —
     * the domain the author dim's `region_c` draws from ({0..9} ∪
     * {100..109} ∪ {200..209}) — with batch-parametric attributes
@@ -552,6 +595,40 @@ object TimesearchQueries {
       table.seed(oldComments(s, dir))                            // v0
       table.merge(newComments(s, dir), "_seq", storeEdits = Some(false)) // v1
       table.changes(0L, 1L).orderBy("kind", "idstr")
+    }),
+
+    // STORE SCHEMA EVOLUTION — the reference's own lifecycle
+    // (DATABASE_VERSION 1→2, utilities/database_upgrader.py:24-49)
+    // landed at the store layer: the comments store publishes v0/v1
+    // under the 11-column schema, REOPENS with a widened entity (a
+    // nullable `lang` column, updatable), and the v2 merge publishes
+    // the new schema generation — pre-evolution files never rewrite
+    // (they null-fill at read), the batch's lang values land through
+    // the ordinary merge fold, and the manifest carries untouched
+    // buckets by reference ACROSS the boundary. Oracle: the replayed
+    // upsert LEFT JOIN the replayed widening batch — a dropped old
+    // row, a lost lang value, or a widened read of a stale generation
+    // hash-mismatches.
+    "q_schema_evolve" -> ((s, dir) => {
+      val table = schemaEvolvedTable(s, dir)
+      table.current
+        .select(col("idstr"), col("author"), col("score"), col("lang"))
+        .orderBy("idstr")
+    }),
+
+    // CDC ACROSS the evolution boundary: changes(v1, v2) reads both
+    // endpoints at the TO-side schema generation, so the widening
+    // surfaces as ordinary updates whose before-image holds NULL for
+    // the new column — exactly what a downstream IVM applier needs.
+    // Oracle: the widening batch re-derived against the replayed
+    // merge.
+    "q_schema_evolve_changes" -> ((s, dir) => {
+      val table = schemaEvolvedTable(s, dir)
+      table.changes(1L, 2L)
+        .select(col("kind"), col("idstr"),
+          col("before_score"), col("after_score"),
+          col("before_lang"), col("after_lang"))
+        .orderBy("idstr")
     }),
 
     // PREDICATE takedown — the form erasure requests actually arrive in
@@ -1890,6 +1967,43 @@ object TimesearchQueries {
   private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
     "q_table_changes" -> tableChangesOracle,
+
+    // schema evolution: the replayed upsert LEFT JOIN the replayed
+    // widening batch — the oracle never sees the store, so a dropped
+    // pre-evolution row, a lost lang value, or a stale-generation read
+    // hash-mismatches
+    "q_schema_evolve" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect),
+         b3 AS (
+           SELECT 'e'||event_id AS idstr,
+                  CAST(round(value*100) AS BIGINT) + 100 AS score,
+                  'l'||(event_id % 4) AS lang
+           FROM events WHERE event_id % 6 = 2)
+         SELECT m.idstr, m.author, COALESCE(b.score, m.score) AS score,
+                b.lang
+         FROM merged m LEFT JOIN b3 b ON m.idstr = b.idstr
+         ORDER BY m.idstr""",
+
+    // CDC across the evolution boundary: every widening-batch key is an
+    // update (the score bump guarantees a differing column) whose
+    // before-image holds NULL for the new column — the TO-side schema
+    // read the endpoints
+    "q_schema_evolve_changes" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect),
+         b3 AS (
+           SELECT 'e'||event_id AS idstr,
+                  CAST(round(value*100) AS BIGINT) + 100 AS score,
+                  'l'||(event_id % 4) AS lang
+           FROM events WHERE event_id % 6 = 2)
+         SELECT 'update' AS kind, m.idstr,
+                m.score AS before_score, b.score AS after_score,
+                CAST(NULL AS VARCHAR) AS before_lang, b.lang AS after_lang
+         FROM merged m JOIN b3 b ON m.idstr = b.idstr
+         ORDER BY m.idstr""",
 
     // predicate takedown: the replayed merge MINUS the erased authors —
     // the oracle never sees the purge, so both failure directions

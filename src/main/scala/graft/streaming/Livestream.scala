@@ -85,6 +85,96 @@ object Livestream {
     def currentVersion: Long =
       if (Files.exists(ptr)) new String(Files.readAllBytes(ptr)).trim.toLong else -1L
 
+    // ==== schema versioning (tsdb.py:34-37 DATABASE_VERSION;
+    //      utilities/database_upgrader.py:24-49) ======================
+    //
+    // The reference stamps `PRAGMA user_version` and migrates with
+    // sequential ALTERs. On immutable columnar storage the store-level
+    // equivalent is WIDEN-ONLY READ-SIDE ALIGNMENT: each published
+    // schema generation is recorded in `_schema/s=<firstVersion>`
+    // (tmp+ATOMIC_MOVE, written before the version pointer), reads
+    // resolve the generation in force at their version and hand the
+    // parquet reader that EXPLICIT schema — files written under an
+    // older, narrower generation null-fill the later columns
+    // (the SchemaEvolution.alignTo device, done structurally by the
+    // reader), so evolving a 100 TB table rewrites NOTHING. Narrowing
+    // and type changes are refused at open (below): they would need a
+    // rewrite and are not evolution.
+
+    /** Entity schema in force at `version`: the newest recorded
+      * generation ≤ version; tables that predate recording (or
+      * version −1) fall back to the construction schema. Time travel
+      * returns the SHAPE as of the version too — a pre-evolution
+      * `at(v)` has the old columns, the boundary merge's version the
+      * new ones. */
+    def schemaAt(version: Long): org.apache.spark.sql.types.StructType = {
+      val d = Paths.get(path, "_schema")
+      if (version < 0 || !Files.exists(d)) return emptyLike.schema
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val gens =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("s=") && !n.endsWith(".tmp"))
+          .map(_.drop(2).toLong).filter(_ <= version).toList
+        finally s.close()
+      if (gens.isEmpty) emptyLike.schema
+      else org.apache.spark.sql.types.DataType
+        .fromJson(new String(Files.readAllBytes(
+          d.resolve(s"s=${gens.max}")), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+    /** The schema serving the CURRENT version (the newest recorded
+      * generation; the construction schema until an evolving merge
+      * publishes). */
+    def currentSchema: org.apache.spark.sql.types.StructType =
+      schemaAt(currentVersion)
+
+    private def writeSchemaFile(version: Long,
+        st: org.apache.spark.sql.types.StructType): Unit = {
+      val d = Paths.get(path, "_schema")
+      Files.createDirectories(d)
+      val tmp = d.resolve(s"s=$version.tmp")
+      Files.write(tmp, st.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(s"s=$version"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** Widen-only evolution contract, checked at every entry point: a
+      * reopen may ADD nullable columns relative to the recorded
+      * generation (the pending widening the next merge publishes) —
+      * dropping a recorded column or changing its type fails HERE with
+      * a named reason, because on immutable files either would need a
+      * table rewrite masquerading as a reopen. */
+    private def validateSchema(): Unit = {
+      if (currentVersion < 0) return
+      val recorded = schemaAt(currentVersion)
+      val mine = emptyLike.schema
+      recorded.fields.foreach { f =>
+        val m = mine.fields.find(_.name.equalsIgnoreCase(f.name))
+        require(m.isDefined,
+          s"UpsertTable at $path: recorded schema generation carries " +
+            s"column '${f.name}' but the table was reopened without it — " +
+            "schema evolution is WIDEN-ONLY (dropping a column needs an " +
+            "explicit rewrite, not a reopen)")
+        require(m.get.dataType == f.dataType,
+          s"UpsertTable at $path: column '${f.name}' was recorded as " +
+            s"${f.dataType.simpleString} but reopened as " +
+            s"${m.get.dataType.simpleString} — type changes are not " +
+            "evolution (published files would read wrong); reopen with " +
+            "the recorded type or migrate via an explicit rewrite")
+      }
+      mine.fields
+        .filterNot(f => recorded.fields.exists(_.name.equalsIgnoreCase(f.name)))
+        .foreach(f => require(f.nullable,
+          s"UpsertTable at $path: new column '${f.name}' must be NULLABLE " +
+            "— pre-evolution files read it as null by construction"))
+    }
+
+    private def emptyFrame(st: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+
     /** Canonical string form of the partitioning layout, persisted in the
       * archive `_config` on first publish and REQUIRED to match on every
       * later open: the manifest format, directory layout, and the pruned
@@ -110,7 +200,12 @@ object Livestream {
       * merge. (A legacy bucket-count mismatch is not detectable from
       * disk; descriptor-less tables are upgraded on their next
       * same-layout merge.) */
-    private def validatePartitioning(): Unit = config.get(PartKey) match {
+    private def validatePartitioning(): Unit = {
+      validateSchema()
+      validatePartitioningLayout()
+    }
+
+    private def validatePartitioningLayout(): Unit = config.get(PartKey) match {
       case Some(stored) =>
         val mine = partitioningDescriptor
         require(stored == mine,
@@ -184,28 +279,40 @@ object Livestream {
     private def leaf(v: Long, escapedPt: String) =
       Paths.get(path, s"v=$v", s"$PartCol=$escapedPt")
 
-    /** Read a set of (escapedPt → version) partitions as one frame.
-      * `basePath` recovers the `v`/`pt` directory levels as columns, which
-      * are bookkeeping and dropped — data files carry the entity columns. */
-    private def readParts(m: Map[String, Long]): DataFrame =
-      if (m.isEmpty) emptyLike.limit(0)
-      // explicit schema (the published entity schema is fixed): skips the
-      // per-open footer-inference pass over every pruned leaf — at many
-      // leaves that inference is a second full file-listing's worth of IO
-      else spark.read.option("basePath", path).schema(emptyLike.schema)
+    /** Read a set of (escapedPt → version) partitions as one frame at
+      * an explicit schema generation. `basePath` recovers the `v`/`pt`
+      * directory levels as columns, which are bookkeeping and dropped —
+      * data files carry the entity columns. The explicit schema both
+      * skips the per-open footer-inference pass over every pruned leaf
+      * (at many leaves that inference is a second full file-listing's
+      * worth of IO) and IS the evolution mechanism: leaves written
+      * under an older, narrower generation null-fill the later
+      * columns. */
+    private def readParts(m: Map[String, Long],
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (m.isEmpty) emptyFrame(schema)
+      else spark.read.option("basePath", path).schema(schema)
         .parquet(m.toSeq.map { case (pt, v) => leaf(v, pt).toString }: _*)
         .drop("v", PartCol)
 
+    private def readParts(m: Map[String, Long]): DataFrame =
+      readParts(m, currentSchema)
+
+    /** Flat-table version read at an explicit schema generation. */
+    private def readFlat(version: Long,
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
+        emptyFrame(schema)
+      else spark.read.schema(schema).parquet(s"$path/v=$version")
+
     /** Time travel: read a specific published version (−1 or a vacuumed
-      * version yields the empty frame). */
+      * version yields the empty frame), in the SCHEMA GENERATION in
+      * force at that version. */
     def at(version: Long): DataFrame = {
       validatePartitioning()
       partitioning match {
-        case Some(_) => readParts(manifest(version))
-        case None =>
-          if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
-            emptyLike.limit(0)
-          else spark.read.parquet(s"$path/v=$version")
+        case Some(_) => readParts(manifest(version), schemaAt(version))
+        case None => readFlat(version, schemaAt(version))
       }
     }
 
@@ -253,17 +360,23 @@ object Livestream {
           "inserts); re-baseline from changes(-1, v)")
       require(versionAvailable(toV),
         s"changes: version $toV is not readable (never published or vacuumed)")
+      // both endpoints read at the TO-side schema generation: across an
+      // evolution boundary the before image null-fills the new columns
+      // (so a key whose new column gains a value surfaces as an update
+      // with a null before-image — the widening IS ordinary CDC), and a
+      // key untouched by the boundary merge diffs equal on both sides
+      val cmpSchema = schemaAt(toV)
       val (before, after) = partitioning match {
         case Some(_) =>
           val m1 = manifest(fromV); val m2 = manifest(toV)
           val b = m1.filter { case (pt, v) => !m2.get(pt).contains(v) }
           val a = m2.filter { case (pt, v) => !m1.get(pt).contains(v) }
-          (readParts(b), readParts(a))
-        case None => (at(fromV), at(toV))
+          (readParts(b, cmpSchema), readParts(a, cmpSchema))
+        case None => (readFlat(fromV, cmpSchema), readFlat(toV, cmpSchema))
       }
-      val key = emptyLike.schema.fieldNames
+      val key = cmpSchema.fieldNames
         .find(_.equalsIgnoreCase(Merge.KeyCol)).get
-      val compare = emptyLike.schema.fieldNames.filterNot(_ == key).toSeq
+      val compare = cmpSchema.fieldNames.filterNot(_ == key).toSeq
       graft.operators.Scd.diff(before, after, key, compare)
         .withColumn("kind",
           when(col("change") === "added", lit("insert"))
@@ -305,7 +418,7 @@ object Livestream {
       val fresh =
         if (missing.isEmpty) Seq.empty
         else graft.sources.ZoneMap.fileStats(
-          spark.read.option("basePath", path).schema(emptyLike.schema)
+          spark.read.option("basePath", path).schema(currentSchema)
             .parquet(missing: _*), cols)
       // fresh recomputes ALL requested cols for the backfilled files —
       // drop the superseded rows so (file, col) stays unique
@@ -339,7 +452,7 @@ object Livestream {
       val fresh =
         if (missing.isEmpty) Seq.empty
         else graft.sources.ZoneMap.fileBloomStats(
-          spark.read.option("basePath", path).schema(emptyLike.schema)
+          spark.read.option("basePath", path).schema(currentSchema)
             .parquet(missing: _*), cols, mBits, k)
       val kept = existing.filterNot(b =>
         missingSet(b.file) && cols.contains(b.col))
@@ -357,8 +470,7 @@ object Livestream {
     /** String-range overload (UTF-8 byte order — Spark's min/max order);
       * the natural form for the merge key. */
     def scanRangeKey(lo: String, hi: String): DataFrame = {
-      val key = emptyLike.schema.fieldNames
-        .find(_.equalsIgnoreCase(Merge.KeyCol)).get
+      val key = keyName
       scanPruned(key, lo, hi, col(key) >= lo && col(key) <= hi)
     }
 
@@ -369,7 +481,7 @@ object Livestream {
       val (kept, _) = graft.sources.ZoneMap.pruneFiles(
         graft.sources.ZoneMap.read(path), cur.inputFiles.toSeq, c, lo, hi)
       if (kept.isEmpty) cur.filter(residual).limit(0)
-      else spark.read.option("basePath", path).schema(emptyLike.schema)
+      else spark.read.option("basePath", path).schema(currentSchema)
         .parquet(kept: _*).drop("v", PartCol).filter(residual)
     }
 
@@ -388,7 +500,7 @@ object Livestream {
         org.apache.spark.sql.graftshim.ZoneMapFileIndex) = {
       validatePartitioning()
       org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(spark,
-        current.inputFiles.toSeq, emptyLike.schema,
+        current.inputFiles.toSeq, currentSchema,
         graft.sources.ZoneMap.read(path),
         graft.sources.ZoneMap.readBloom(path))
     }
@@ -825,9 +937,21 @@ object Livestream {
       validatePartitioning()
       val cdc = storeEdits.getOrElse(storeEditsEnabled)
       val next = currentVersion + 1
+      // SCHEMA EVOLUTION: the construction schema is the merge target.
+      // When it is wider than the recorded generation (a reopen added
+      // nullable columns — validateSchema guarantees widen-only), this
+      // merge publishes the new generation: the existing data reads at
+      // the TARGET width (old files null-fill, nothing rewrites beyond
+      // the batch's own touched partitions), the batch must carry the
+      // full target schema, and `_schema/s=<next>` records the boundary
+      // before the pointer moves. Downstream changes() consumers see
+      // the widening as ordinary updates with null before-images.
+      val target = emptyLike.schema
+      val evolving = currentVersion >= 0 && schemaAt(currentVersion) != target
       partitioning match {
         case None =>
-          val r = Merge.upsert(current, batch, entity, seqCol, storeEdits = cdc)
+          val existing = readFlat(currentVersion, target)
+          val r = Merge.upsert(existing, batch, entity, seqCol, storeEdits = cdc)
           // With CDC on, table + edits are two actions over the same
           // union+window stack — stage it once (bounded by existing+batch,
           // i.e. by what this merge reads anyway; spills, never OOMs).
@@ -839,6 +963,7 @@ object Livestream {
             if (cdc)
               outputPartitions.map(r.edits.coalesce).getOrElse(r.edits)
                 .write.mode("overwrite").parquet(s"$path/edits/ev=$next")
+            if (evolving) writeSchemaFile(next, target)
             publishAndPin(next)
           } finally if (cdc) r.staged.unpersist()
 
@@ -857,8 +982,9 @@ object Livestream {
             .map(ExternalCatalogUtils.escapePathName).toSet
           if (touched.isEmpty) return   // empty batch: nothing to publish
           val prev = manifest(currentVersion)
-          // Pruned read: only the partitions this batch touches.
-          val existing = readParts(prev.view.filterKeys(touched).toMap)
+          // Pruned read: only the partitions this batch touches — at
+          // the TARGET width (an evolving merge null-fills old files).
+          val existing = readParts(prev.view.filterKeys(touched).toMap, target)
           val r = Merge.upsert(existing, batch, entity, seqCol, storeEdits = cdc)
           // Same two-consumer staging as the flat branch, bounded here by
           // the TOUCHED partitions + batch — the pruned merge's working set.
@@ -875,6 +1001,7 @@ object Livestream {
               outputPartitions.map(r.edits.coalesce).getOrElse(r.edits)
                 .write.mode("overwrite").parquet(s"$path/edits/ev=$next")
             writeManifest(next, prev ++ touched.map(_ -> next))
+            if (evolving) writeSchemaFile(next, target)
             publishAndPin(next)
           } finally if (cdc) r.staged.unpersist()
       }
@@ -910,6 +1037,7 @@ object Livestream {
           finally s.close()
           writeManifest(0, pts.map(_ -> 0L).toMap)
       }
+      writeSchemaFile(0, emptyLike.schema)
       publishAndPin(0)
     }
 
@@ -976,7 +1104,7 @@ object Livestream {
           // output tasks: ≤ maxFiles files per leaf.
           import org.apache.spark.sql.types.{StringType, StructField, StructType}
           val src = spark.read.option("basePath", path)
-            .schema(StructType(emptyLike.schema.fields :+
+            .schema(StructType(currentSchema.fields :+
               StructField(PartCol, StringType)))
             .parquet(oversized.toSeq.map { case (pt, v) => leaf(v, pt).toString }: _*)
             .drop("v")

@@ -530,6 +530,77 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(e.getMessage.contains("ACTIVE"))
   }
 
+  test("schema evolution: widened reopen + evolving merge; old files null-fill, CDC crosses the boundary, time travel keeps shapes, narrowing fails loudly") {
+    val dir = tmp("sevolve")
+    val part = Some(Livestream.keyBucket(nBuckets = 8))
+    val t1 = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1), partitioning = part)
+    t1.seed((0 until 12).map(i => c(i.toLong, s"b$i", i.toLong)).toDF()) // v0
+    t1.merge(Seq(c(1, "b1-v2", 11)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                                // v1
+    val filesV1 = t1.current.inputFiles.toSet
+    // REOPEN widened: nullable lang, updatable in the merge fold
+    val entityV2 = Merge.comments.copy(
+      updatable = Merge.comments.updatable :+ "lang")
+    val emptyV2 = Seq.empty[C].toDF()
+      .withColumn("lang", lit(null).cast("string"))
+    val t2 = new Livestream.UpsertTable(spark, dir, entityV2, emptyV2,
+      outputPartitions = Some(1), partitioning = part)
+    // pending widening: reads still serve the RECORDED generation
+    assert(!t2.currentSchema.fieldNames.contains("lang"))
+    // the evolving merge publishes generation v2
+    t2.merge(Seq(c(2, "b2", 2L)).toDF().withColumn("lang", lit("en"))
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))  // v2
+    assert(t2.currentSchema.fieldNames.contains("lang"))
+    // old rows null-fill; the batch's row carries its value; NOTHING
+    // pre-evolution rewrote beyond the batch's own touched bucket
+    val byId = t2.current.select("idstr", "lang").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byId("t1_2") === Some("en"))
+    assert(byId("t1_1") === None && byId("t1_0") === None)
+    assert((filesV1 & t2.current.inputFiles.toSet).nonEmpty,
+      "untouched pre-evolution buckets were rewritten instead of carried")
+    // time travel returns the SHAPE as of the version
+    assert(!t2.at(1L).schema.fieldNames.contains("lang"))
+    assert(t2.at(2L).schema.fieldNames.contains("lang"))
+    // CDC across the boundary: the widened key is an update with a
+    // null before-image for the new column
+    val ch = t2.changes(1L, 2L)
+      .select("kind", "idstr", "before_lang", "after_lang").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3)))).toSeq
+    assert(ch === Seq(("update", "t1_2", None, Some("en"))))
+    // a later merge under the SAME schema is not an evolution (one
+    // generation recorded per widening, not per merge)
+    t2.merge(Seq(c(3, "b3", 3L)).toDF().withColumn("lang", lit("fr"))
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))  // v3
+    assert(t2.schemaAt(2L).fieldNames.sameElements(
+      t2.schemaAt(3L).fieldNames))
+    // NARROWING refuses loudly: reopening without a recorded column
+    val tNarrow = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1), partitioning = part)
+    val eN = intercept[IllegalArgumentException](tNarrow.current)
+    assert(eN.getMessage.contains("WIDEN-ONLY"))
+    // TYPE CHANGE refuses loudly
+    val emptyBadType = Seq.empty[C].toDF()
+      .withColumn("lang", lit(null).cast("long"))
+    val tBad = new Livestream.UpsertTable(spark, dir, entityV2, emptyBadType,
+      outputPartitions = Some(1), partitioning = part)
+    val eT = intercept[IllegalArgumentException](tBad.current)
+    assert(eT.getMessage.contains("type"))
+    // a NON-NULLABLE new column refuses loudly (pre-evolution files
+    // must be able to read it as null)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val badNullable = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(emptyV2.schema.fields :+
+        StructField("flags", LongType, nullable = false)))
+    val tNn = new Livestream.UpsertTable(spark, dir, entityV2, badNullable,
+      outputPartitions = Some(1), partitioning = part)
+    val eNn = intercept[IllegalArgumentException](tNn.current)
+    assert(eNn.getMessage.contains("NULLABLE"))
+  }
+
   test("purgeKeys takedown: pruned bucket rewrite, CDC deletes, empty-bucket manifest drop, erasure, idempotence") {
     val dir = tmp("purge")
     val nB = 8
