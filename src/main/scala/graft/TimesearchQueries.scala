@@ -650,6 +650,31 @@ object TimesearchQueries {
       table.current.orderBy("idstr")
     }),
 
+    // DELETION-VECTOR takedown — the small-purge economics path: the
+    // same erase-these-authors request served by purgeKeys(dv = true),
+    // which publishes a sidecar-sized deletion vector instead of
+    // rewriting the purged keys' buckets (the manifest carries every
+    // bucket by reference; StoreSpec-class bytes pin lives in
+    // StreamingSpec). The timed body is resolve + vector publish +
+    // the merge-on-read serve. Gated on the SAME corpus-minus-keys
+    // oracle as q_takedown_author: a suppressed row leaking through
+    // the vector-filtered read, or an innocent row suppressed,
+    // hash-mismatches. (A DV is NOT byte erasure — purge composes
+    // the rewrite for the compliance path; this is the daily-batch
+    // path.)
+    "q_takedown_dv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tddv")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                 // v0
+      table.merge(newComments(s, dir), "_seq", storeEdits = Some(false)) // v1
+      val kf = table.current.filter(col("author").endsWith("5"))
+        .localCheckpoint(false)
+      table.purgeKeys(kf, dv = true)                                  // v2
+      table.current.orderBy("idstr")
+    }),
+
     // CDC CONSUMED: a downstream grouped view (docs + score mass per
     // author) maintained ONLY from version-range deltas across TWO real
     // published versions — the incremental-view-maintenance loop
@@ -2009,6 +2034,16 @@ object TimesearchQueries {
     // the oracle never sees the purge, so both failure directions
     // (retained purged rows, dropped innocent rows) hash-mismatch
     "q_takedown_author" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect)
+         SELECT * FROM merged WHERE author NOT LIKE '%5'
+         ORDER BY idstr""",
+
+    // the deletion-vector takedown serves the SAME corpus-minus-keys
+    // state — oracle shared verbatim, so the vector-filtered read
+    // faces the rewrite path's exact gate
+    "q_takedown_dv" ->
       s"""$oldNewCtes,
          merged AS (
            $mergedSelect)

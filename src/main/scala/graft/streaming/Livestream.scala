@@ -175,6 +175,75 @@ object Livestream {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
 
+    // ==== deletion vectors (merge-on-read small purges) ===============
+    //
+    // The small-purge economics complement of [[purgeKeys]]'s rewrite:
+    // a 1-key takedown against a 1 GB bucket should not rewrite 1 GB.
+    // `_dv/d=<version>` (tmp+ATOMIC_MOVE, written before the pointer)
+    // holds the CUMULATIVE live deletion set as of that version — one
+    // `pt<TAB>md5(key)` line per suppressed row, md5-addressed so the
+    // sidecar's content is deterministic (hash-gateable) and quotes no
+    // key text. Reads resolve the newest d ≤ their version and apply
+    // the set as a broadcast anti-join (takedown-sized by the purge
+    // contract); a version with no own d-file inherits the previous —
+    // the manifest device. Rewriting publishes MATERIALIZE the vector:
+    // merge/compaction/rewrite-purge read dv-filtered, so a rewritten
+    // bucket's entries retire from the carried file. A DV is NOT byte
+    // erasure — the suppressed rows' bytes stay in the data files
+    // until a rewrite touches their bucket; [[purge]] composes the
+    // rewrite for the compliance path. `_dv` files are md5-only and
+    // never vacuumed (older versions inherit through them).
+
+    /** Live deletion set as of `version`: (escaped pt, md5(key)). */
+    def dvAt(version: Long): Seq[(String, String)] = {
+      val d = Paths.get(path, "_dv")
+      if (version < 0 || !Files.exists(d)) return Seq.empty
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val gens =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("d=") && !n.endsWith(".tmp"))
+          .map(_.drop(2).toLong).filter(_ <= version).toList
+        finally s.close()
+      if (gens.isEmpty) Seq.empty
+      else Files.readAllLines(d.resolve(s"d=${gens.max}")).asScala
+        .filter(l => l.nonEmpty && l.indexOf('\t') > 0)
+        .map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i), l.substring(i + 1))
+        }.toSeq
+    }
+
+    private def writeDvFile(version: Long,
+        entries: Seq[(String, String)]): Unit = {
+      val d = Paths.get(path, "_dv")
+      Files.createDirectories(d)
+      val tmp = d.resolve(s"d=$version.tmp")
+      Files.write(tmp, entries.sorted
+        .map { case (pt, h) => s"$pt\t$h" }.mkString("\n").getBytes)
+      Files.move(tmp, d.resolve(s"d=$version"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** Carry the deletion vector across a publish that REWRITES the
+      * `rewritten` buckets: their entries materialized (the rewrite
+      * read dv-filtered), everything else carries. No-op when no
+      * vector exists. */
+    private def carryDv(next: Long, rewritten: Set[String]): Unit = {
+      val prev = dvAt(currentVersion)
+      if (prev.nonEmpty) writeDvFile(next, prev.filterNot(e => rewritten(e._1)))
+    }
+
+    /** Suppress a deletion set's rows from a read — a broadcast
+      * anti-join on md5(key), takedown-sized by the purge contract. */
+    private def applyDv(df: DataFrame, dv: Seq[(String, String)]): DataFrame =
+      if (dv.isEmpty) df
+      else {
+        import spark.implicits._
+        val dvDf = dv.map(_._2).distinct.toDF("_dvh")
+        df.join(broadcast(dvDf), md5(col(keyName)) === col("_dvh"), "left_anti")
+      }
+
     /** Canonical string form of the partitioning layout, persisted in the
       * archive `_config` on first publish and REQUIRED to match on every
       * later open: the manifest format, directory layout, and the pruned
@@ -289,16 +358,23 @@ object Livestream {
       * under an older, narrower generation null-fill the later
       * columns. */
     private def readParts(m: Map[String, Long],
-        schema: org.apache.spark.sql.types.StructType): DataFrame =
+        schema: org.apache.spark.sql.types.StructType,
+        dv: Seq[(String, String)]): DataFrame =
       if (m.isEmpty) emptyFrame(schema)
-      else spark.read.option("basePath", path).schema(schema)
+      else applyDv(spark.read.option("basePath", path).schema(schema)
         .parquet(m.toSeq.map { case (pt, v) => leaf(v, pt).toString }: _*)
-        .drop("v", PartCol)
+        .drop("v", PartCol), dv)
+
+    private def readParts(m: Map[String, Long],
+        schema: org.apache.spark.sql.types.StructType): DataFrame =
+      readParts(m, schema, dvAt(currentVersion))
 
     private def readParts(m: Map[String, Long]): DataFrame =
-      readParts(m, currentSchema)
+      readParts(m, currentSchema, dvAt(currentVersion))
 
-    /** Flat-table version read at an explicit schema generation. */
+    /** Flat-table version read at an explicit schema generation. Flat
+      * tables never carry a deletion vector (no buckets to avoid
+      * rewriting — [[purgeKeys]]'s dv mode refuses them). */
     private def readFlat(version: Long,
         schema: org.apache.spark.sql.types.StructType): DataFrame =
       if (version < 0 || !Files.exists(Paths.get(path, s"v=$version")))
@@ -307,11 +383,12 @@ object Livestream {
 
     /** Time travel: read a specific published version (−1 or a vacuumed
       * version yields the empty frame), in the SCHEMA GENERATION in
-      * force at that version. */
+      * force at that version and under its deletion vector. */
     def at(version: Long): DataFrame = {
       validatePartitioning()
       partitioning match {
-        case Some(_) => readParts(manifest(version), schemaAt(version))
+        case Some(_) =>
+          readParts(manifest(version), schemaAt(version), dvAt(version))
         case None => readFlat(version, schemaAt(version))
       }
     }
@@ -369,9 +446,18 @@ object Livestream {
       val (before, after) = partitioning match {
         case Some(_) =>
           val m1 = manifest(fromV); val m2 = manifest(toV)
-          val b = m1.filter { case (pt, v) => !m2.get(pt).contains(v) }
-          val a = m2.filter { case (pt, v) => !m1.get(pt).contains(v) }
-          (readParts(b, cmpSchema), readParts(a, cmpSchema))
+          val dv1 = dvAt(fromV); val dv2 = dvAt(toV)
+          // a DV-only purge re-points NOTHING (the manifest carries by
+          // reference) — the deletes live in the VECTOR delta, so the
+          // newly-suppressed entries' buckets join both sides: same
+          // files, different vector, the purged keys read only on the
+          // before side and classify `delete`; bucket-mates cancel
+          val dvDeltaPts = (dv2.toSet -- dv1.toSet).map(_._1)
+          val b = m1.filter { case (pt, v) =>
+            !m2.get(pt).contains(v) || dvDeltaPts(pt) }
+          val a = m2.filter { case (pt, v) =>
+            !m1.get(pt).contains(v) || dvDeltaPts(pt) }
+          (readParts(b, cmpSchema, dv1), readParts(a, cmpSchema, dv2))
         case None => (readFlat(fromV, cmpSchema), readFlat(toV, cmpSchema))
       }
       val key = cmpSchema.fieldNames
@@ -481,8 +567,9 @@ object Livestream {
       val (kept, _) = graft.sources.ZoneMap.pruneFiles(
         graft.sources.ZoneMap.read(path), cur.inputFiles.toSeq, c, lo, hi)
       if (kept.isEmpty) cur.filter(residual).limit(0)
-      else spark.read.option("basePath", path).schema(currentSchema)
-        .parquet(kept: _*).drop("v", PartCol).filter(residual)
+      else applyDv(spark.read.option("basePath", path).schema(currentSchema)
+        .parquet(kept: _*).drop("v", PartCol), dvAt(currentVersion))
+        .filter(residual)
     }
 
     /** Catalyst-integrated read of the CURRENT version: the manifest's
@@ -499,10 +586,11 @@ object Livestream {
     def scanAuto(): (DataFrame,
         org.apache.spark.sql.graftshim.ZoneMapFileIndex) = {
       validatePartitioning()
-      org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(spark,
-        current.inputFiles.toSeq, currentSchema,
+      val (df, idx) = org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(
+        spark, current.inputFiles.toSeq, currentSchema,
         graft.sources.ZoneMap.read(path),
         graft.sources.ZoneMap.readBloom(path))
+      (applyDv(df, dvAt(currentVersion)), idx)
     }
 
     /** Pruned read of ONE partition value (e.g. one archive target): only
@@ -612,16 +700,57 @@ object Livestream {
       * buckets). The request is takedown-sized by contract — it rides a
       * broadcast.
       *
+      * ==`dv = true`: the merge-on-read small purge==
+      * Publishes a DELETION-VECTOR version instead of rewriting: the
+      * manifest carries every bucket BY REFERENCE and `_dv/d=<N+1>`
+      * gains the purged rows' (bucket, md5(key)) entries — bytes
+      * written are sidecar-sized, not bucket-sized, so a 1-key
+      * takedown against a 1 GB bucket costs a few hundred bytes.
+      * Every read path applies the vector (scan, time travel, CDC,
+      * the pruned merge read); `changes` still classifies the purge
+      * as ordinary `delete`s; the next rewrite of a bucket (merge,
+      * [[optimize]], a rewrite purge) MATERIALIZES its entries. A DV
+      * is NOT byte erasure — the rows' bytes stay in the data files
+      * until materialized, and the CDC log is untouched: for the
+      * compliance path use [[purge]], which composes the rewrite,
+      * the vacuum, and the edits scrub. Partitioned tables only (a
+      * flat table has no buckets to avoid rewriting — refused
+      * loudly).
+      *
       * @return number of rows removed; 0 ⇒ nothing published (idempotent:
       *         re-purging the same keys is a no-op). */
-    def purgeKeys(keysDf: DataFrame): Long = {
+    def purgeKeys(keysDf: DataFrame, dv: Boolean = false): Long = {
       validatePartitioning()
       if (currentVersion < 0) return 0L
+      require(!dv || partitioning.isDefined,
+        s"UpsertTable at $path is unpartitioned: a deletion-vector purge " +
+          "has no bucket rewrite to avoid — use the rewrite path " +
+          "(purgeKeys without dv)")
       val key = keyName
       val keys = keysDf.select(col(key).as("_pk"))
         .filter(col("_pk").isNotNull).distinct()
         .localCheckpoint(false)
       val next = currentVersion + 1
+      if (dv) {
+        val pexpr = partitioning.get
+        val prev = manifest(currentVersion)
+        val cand = candidateBuckets(keysDf, pexpr)
+        if (cand.isEmpty) return 0L
+        // rows actually live (readParts is vector-filtered, so re-purging
+        // already-suppressed keys finds nothing) — takedown-sized collect
+        val hits = readParts(prev.view.filterKeys(cand).toMap)
+          .join(broadcast(keys), col(key) === col("_pk"), "left_semi")
+          .select(ptCol(pexpr).as(PartCol), md5(col(key)).as("_h"))
+          .collect()
+        if (hits.isEmpty) return 0L
+        val fresh = hits.map(r =>
+          (ExternalCatalogUtils.escapePathName(r.getString(0)),
+            r.getString(1))).toSeq
+        writeManifest(next, prev)                 // carried by reference
+        writeDvFile(next, dvAt(currentVersion) ++ fresh)
+        publishAndPin(next)
+        return hits.length.toLong
+      }
       partitioning match {
         case None =>
           val cur = at(currentVersion)
@@ -661,6 +790,7 @@ object Livestream {
           // manifest (unlike merge, where touched buckets always carry)
           val written = touched.filter(pt => Files.exists(leaf(next, pt)))
           writeManifest(next, (prev -- touched) ++ written.map(_ -> next))
+          carryDv(next, touched)
           publishAndPin(next)
           nPurged
       }
@@ -1001,6 +1131,7 @@ object Livestream {
               outputPartitions.map(r.edits.coalesce).getOrElse(r.edits)
                 .write.mode("overwrite").parquet(s"$path/edits/ev=$next")
             writeManifest(next, prev ++ touched.map(_ -> next))
+            carryDv(next, touched)
             if (evolving) writeSchemaFile(next, target)
             publishAndPin(next)
           } finally if (cdc) r.staged.unpersist()
@@ -1103,11 +1234,11 @@ object Livestream {
           // is sized by the oversized data only and buys leaf-aligned
           // output tasks: ≤ maxFiles files per leaf.
           import org.apache.spark.sql.types.{StringType, StructField, StructType}
-          val src = spark.read.option("basePath", path)
+          val src = applyDv(spark.read.option("basePath", path)
             .schema(StructType(currentSchema.fields :+
               StructField(PartCol, StringType)))
             .parquet(oversized.toSeq.map { case (pt, v) => leaf(v, pt).toString }: _*)
-            .drop("v")
+            .drop("v"), dvAt(currentVersion))
           val aligned =
             if (maxFiles == 1) src.repartition(col(PartCol))
             else src.repartition(col(PartCol),
@@ -1118,6 +1249,7 @@ object Livestream {
           // its manifest entry on the old (uncompacted but readable) leaf
           val written = oversized.keys.filter(pt => Files.exists(leaf(next, pt)))
           writeManifest(next, prev ++ written.map(_ -> next))
+          carryDv(next, oversized.keySet)
           publish(next)
       }
     }
@@ -1159,6 +1291,7 @@ object Livestream {
           // no directory keeps its old (readable) manifest entry
           val written = prev.keys.filter(pt => Files.exists(leaf(next, pt)))
           writeManifest(next, prev ++ written.map(_ -> next))
+          carryDv(next, prev.keySet)
           publish(next)
       }
       refreshZoneMap(Seq(ca, cb) :+ emptyLike.schema.fieldNames

@@ -663,6 +663,86 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(table.purge(Seq("t1_1", "t1_2"), eraseHistory = true) === 0L)
   }
 
+  test("deletion-vector purge: sidecar-sized bytes, suppressed on every read path, ordinary CDC deletes, materialized by rewrites") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    def treeBytes(p: java.nio.file.Path): Long = {
+      if (!JFiles.exists(p)) return 0L
+      val s = JFiles.walk(p)
+      try s.filter(JFiles.isRegularFile(_))
+        .mapToLong(JFiles.size(_)).sum
+      finally s.close()
+    }
+    val dir = tmp("dvp")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    val rows = (0 until 64).map(i => c(i.toLong, s"b$i", i.toLong))
+    table.seed(rows.toDF())                                          // v0
+    val purged = Seq("t1_3", "t1_7")
+    val n = table.purgeKeys(purged.toDF("idstr"), dv = true)         // v1
+    assert(n === 2L && table.currentVersion === 1L)
+    // NO data files written: the manifest carries every bucket by
+    // reference; bytes written are sidecar-sized
+    assert(!JFiles.exists(JPaths.get(dir, "v=1")))
+    assert(table.manifest(1L) === table.manifest(0L))
+    val dvBytes = JFiles.size(JPaths.get(dir, "_dv", "d=1"))
+    // vs the REWRITE purge of the same keys on an identical table
+    val dir2 = tmp("dvp_rw")
+    val table2 = new Livestream.UpsertTable(spark, dir2, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    table2.seed(rows.toDF())
+    assert(table2.purgeKeys(purged.toDF("idstr")) === 2L)
+    val rewriteBytes = treeBytes(JPaths.get(dir2, "v=1"))
+    assert(dvBytes * 5 < rewriteBytes,
+      s"dv purge wrote $dvBytes B vs rewrite $rewriteBytes B — not small")
+    // suppressed on EVERY read path
+    assert(table.current.filter(col("idstr").isin(purged: _*)).count() === 0L)
+    assert(table.current.count() === 62L)
+    assert(table.scanForKeys(purged.toDF("idstr"))
+      .filter(col("idstr").isin(purged: _*)).count() === 0L)
+    assert(table.scanAuto()._1
+      .filter(col("idstr").isin(purged: _*)).count() === 0L)
+    // time travel: the pre-purge version still serves them
+    assert(table.at(0L).filter(col("idstr").isin(purged: _*)).count() === 2L)
+    // the purge reads as ordinary CDC deletes (manifests identical —
+    // the delta lives in the vector)
+    val ch = table.changes(0L, 1L).select("kind", "idstr").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(ch.toSet === purged.map("delete" -> _).toSet)
+    // idempotent: the suppressed keys resolve no live rows
+    assert(table.purgeKeys(purged.toDF("idstr"), dv = true) === 0L)
+    assert(table.currentVersion === 1L)
+    // a MERGE touching a suppressed key's bucket materializes its
+    // entry — and a re-added key is a genuine re-insert (the merge
+    // read is vector-filtered, so the old row does not resurrect
+    // alongside)
+    table.merge(Seq(c(3, "b3-back", 99)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false)) // v2
+    val back = table.current.filter(col("idstr") === "t1_3").collect()
+    assert(back.length === 1 && back.head.getAs[String]("body") === "b3-back")
+    assert(!table.dvAt(2L).exists(_._2 ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("t1_3")),
+      "materialized entry still in the carried vector")
+    // the untouched suppressed key carries — still suppressed
+    assert(table.current.filter(col("idstr") === "t1_7").count() === 0L)
+    // OPTIMIZE ZORDER rewrites every leaf: the whole vector
+    // materializes and the suppressed bytes leave the data files
+    table.optimize(zorderBy = Some(("idint", "score")))               // v3
+    assert(table.dvAt(table.currentVersion).isEmpty)
+    assert(table.current.filter(col("idstr") === "t1_7").count() === 0L)
+    assert(spark.read.parquet(table.current.inputFiles: _*)
+      .filter(col("idstr") === "t1_7").count() === 0L,
+      "suppressed bytes survived the materializing rewrite")
+    // flat tables refuse the dv mode loudly
+    val flat = new Livestream.UpsertTable(spark, tmp("dvflat"), Merge.comments,
+      Seq.empty[C].toDF())
+    flat.seed(rows.take(4).toDF())
+    val e = intercept[IllegalArgumentException](
+      flat.purgeKeys(Seq("t1_0").toDF("idstr"), dv = true))
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
   test("purgeWhere: predicate takedown resolves keys, erases, and is idempotent") {
     val dir = tmp("purgew")
     val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
