@@ -69,7 +69,8 @@ object Livestream {
     *        None = legacy full-rewrite layout. */
   final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
       emptyLike: DataFrame, outputPartitions: Option[Int] = None,
-      partitioning: Option[Column] = None) {
+      partitioning: Option[Column] = None,
+      clock: () => Long = () => System.currentTimeMillis()) {
     // The merge layer keys on Merge.KeyCol end-to-end (upsert window,
     // keyBucket default, the maxFiles>1 compaction salt below): require
     // it at construction so a key-less schema fails HERE with a named
@@ -953,7 +954,48 @@ object Livestream {
       require(keep >= 1)
       val cur = currentVersion
       if (cur < 0) return
-      val cutoff = cur - (keep - 1)
+      vacuumTo(cur - (keep - 1))
+    }
+
+    /** AGE-BASED retention — the compliance contract version count
+      * cannot express ("purge history older than N days" breaks as a
+      * keep-count proxy under variable trigger cadence): a version is
+      * vacuum-eligible iff it is SUPERSEDED and its recorded publish
+      * time is older than the horizon (`clock() - retainMillis`, on
+      * the table's injectable clock). Versions published before
+      * publish-time recording existed never age out — the safe
+      * direction.
+      *
+      * `pinned` names versions that downstream basis-pointer artifacts
+      * (StreamTopK `_BASIS`, StreamAnn generations) still catch up
+      * from: retention REFUSES — loudly, nothing deleted — rather than
+      * silently outrun a recorded basis; refresh the artifact (advance
+      * its basis) and retry. Deliberate erasure stays [[purge]]'s job
+      * (its vacuum is version-scoped, and the artifacts' documented
+      * post-erasure catch-up is the reseed). */
+    def vacuumRetain(retainMillis: Long, pinned: Seq[Long] = Nil): Unit = {
+      require(retainMillis >= 0, s"retainMillis must be >= 0: $retainMillis")
+      val cur = currentVersion
+      if (cur < 0) return
+      val horizon = clock() - retainMillis
+      val times = publishTimes
+      val eligible = (0L until cur)
+        .filter(v => times.get(v).exists(_ < horizon))
+      if (eligible.isEmpty) return
+      val doomedPins = pinned.filter(eligible.contains)
+      require(doomedPins.isEmpty,
+        s"vacuumRetain at $path would erase pinned version(s) " +
+          s"${doomedPins.mkString(", ")} — retention must not outrun a " +
+          "maintained artifact's recorded basis; refresh the artifact " +
+          "(advance its basis past the horizon) and retry")
+      vacuumTo(eligible.max + 1)
+    }
+
+    /** The vacuum core: reclaim everything no version ≥ `cutoff`
+      * references (leaf liveness through the manifests — carried
+      * partitions survive regardless of the version dir they sit in). */
+    private def vacuumTo(cutoff: Long): Unit = {
+      val cur = currentVersion
       import scala.jdk.CollectionConverters._
       def versionDirs(): List[java.nio.file.Path] = {
         val s = Files.list(Paths.get(path))
@@ -1298,7 +1340,35 @@ object Livestream {
         .find(_.equalsIgnoreCase(Merge.KeyCol)).get)
     }
 
+    /** Publish timestamps (version → epoch millis at publish), the
+      * retention clock's evidence — recorded at every pointer move.
+      * Versions published before recording existed have no entry and
+      * NEVER age out (the safe direction). */
+    def publishTimes: Map[Long, Long] = {
+      val f = Paths.get(path, "_history")
+      if (!Files.exists(f)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(f).asScala
+          .filter(l => l.nonEmpty && l.indexOf('\t') > 0)
+          .map { l =>
+            val i = l.indexOf('\t')
+            l.substring(0, i).toLong -> l.substring(i + 1).toLong
+          }.toMap
+      }
+    }
+
+    private def recordPublishTime(version: Long): Unit = {
+      val m = publishTimes + (version -> clock())
+      val tmp = Paths.get(path, "_history.tmp")
+      Files.write(tmp, m.toSeq.sortBy(_._1)
+        .map { case (v, t) => s"$v\t$t" }.mkString("\n").getBytes)
+      Files.move(tmp, Paths.get(path, "_history"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
     private def publish(version: Long): Unit = {
+      recordPublishTime(version)
       val tmp = Paths.get(path, "_VERSION.tmp")
       Files.write(tmp, version.toString.getBytes)
       Files.move(tmp, ptr, StandardCopyOption.ATOMIC_MOVE,

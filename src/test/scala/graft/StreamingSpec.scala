@@ -601,6 +601,65 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(eNn.getMessage.contains("NULLABLE"))
   }
 
+  test("vacuumRetain: age-based retention on the injectable clock; pinned artifact bases refuse loudly") {
+    import graft.streaming.StreamTopK
+    var now = 1000000L
+    val dir = tmp("retain")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)),
+      clock = () => now)
+    table.seed(Seq(c(1, "a", 1)).toDF())                             // v0 @ t0
+    now += 10000
+    table.merge(Seq(c(2, "b", 2)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // v1 @ t0+10s
+    now += 10000
+    table.merge(Seq(c(3, "d", 3)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // v2 @ t0+20s
+    assert(table.publishTimes.keySet === Set(0L, 1L, 2L))
+    // a wide horizon retires nothing
+    table.vacuumRetain(3600 * 1000L)
+    assert(table.versionAvailable(0L) && table.versionAvailable(1L))
+    // v0 (age 35 s) ages past a 30 s horizon; v1 (age 25 s) stays —
+    // version count is irrelevant, only publish age (the
+    // variable-cadence contract)
+    now += 15000
+    table.vacuumRetain(30000L)
+    assert(!table.versionAvailable(0L))
+    assert(table.versionAvailable(1L) && table.versionAvailable(2L))
+    assert(table.current.count() === 3L)   // carried leaves intact
+    // a pinned basis inside the horizon's victims refuses LOUDLY and
+    // deletes nothing
+    val e = intercept[IllegalArgumentException](
+      table.vacuumRetain(1000L, pinned = Seq(1L)))
+    assert(e.getMessage.contains("basis"))
+    assert(table.versionAvailable(1L))
+    // unpinned, the same horizon retires it
+    table.vacuumRetain(1000L)
+    assert(!table.versionAvailable(1L) && table.versionAvailable(2L))
+    // the CURRENT version never ages out (superseded-only eligibility)
+    now += 10000000
+    table.vacuumRetain(1L)
+    assert(table.versionAvailable(2L) && table.current.count() === 3L)
+    // StreamTopK integration: the leaderboard's recorded basis pins
+    // retention until a refresh advances it past the horizon
+    val root = tmp("retain_view")
+    StreamTopK.seedView(table, root, "subreddit", "idstr", "score", 2)
+    now += 10000
+    table.merge(Seq(c(4, "e", 9)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // v3
+    now += 10000000
+    val b = StreamTopK.basis(root)
+    assert(b === 2L)
+    intercept[IllegalArgumentException](
+      table.vacuumRetain(1000L, pinned = Seq(b)))
+    assert(table.versionAvailable(2L), "refusal must delete nothing")
+    StreamTopK.refresh(spark, table, root, "subreddit", "idstr", "score", 2)
+    table.vacuumRetain(1000L, pinned = Seq(StreamTopK.basis(root)))
+    assert(!table.versionAvailable(2L) && table.versionAvailable(3L))
+    assert(StreamTopK.view(spark, root).count() > 0L)
+  }
+
   test("purgeKeys takedown: pruned bucket rewrite, CDC deletes, empty-bucket manifest drop, erasure, idempotence") {
     val dir = tmp("purge")
     val nB = 8
