@@ -215,8 +215,33 @@ object BenchDiff {
       queryMap("queries_min"), sentinel)
   }
 
+  /** WARMTH adjudication across bases (r16 verdict ask): a query whose
+    * min-of-reps ratio and ISOLATED-artifact ratio disagree by more
+    * than `band` is flagged informationally — the min-of-reps number
+    * is carrying shared-session warmth (page cache / JIT / GC
+    * history), not a plan change, when the isolated basis disagrees.
+    * Returns (name, minBasisRatio, isolatedRatio) sorted by
+    * disagreement, worst first. Reporting-only — never gates. */
+  def warmthFindings(prevMin: Map[String, Double],
+      curMin: Map[String, Double], prevIso: Map[String, Double],
+      curIso: Map[String, Double], band: Double = 1.25):
+      Seq[(String, Double, Double)] = {
+    require(band >= 1.0, s"band must be >= 1: $band")
+    val shared = prevMin.keySet & curMin.keySet & prevIso.keySet & curIso.keySet
+    shared.toSeq
+      .filter(n => Seq(prevMin(n), curMin(n), prevIso(n), curIso(n))
+        .forall(_ > 0.0))
+      .map { n =>
+        (n, curMin(n) / prevMin(n), curIso(n) / prevIso(n))
+      }
+      .filter { case (_, rm, ri) => math.max(rm / ri, ri / rm) > band }
+      .sortBy { case (_, rm, ri) => -math.max(rm / ri, ri / rm) }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: BenchDiff <prev.json> <cur.json>")
+    require(args.length == 2 || args.length == 4,
+      "usage: BenchDiff <prev.json> <cur.json> " +
+        "[<prev_isolated.json> <cur_isolated.json>]")
     val factor = sys.env.get("SPARK_GRAFT_DIFF_FACTOR")
       .flatMap(v => Try(v.toDouble).toOption).getOrElse(2.0)
     def load(p: String) = parseArtifact(
@@ -254,6 +279,23 @@ object BenchDiff {
       f"removed=${r.removed.size} new=${r.added.size} " +
       f"flakes=${r.flakes.size}")
     r.all.foreach(f => println("[benchdiff] " + f.render))
+    // optional isolated-artifact pair: report min-basis vs isolated
+    // ratio disagreements (>1.25x) so a warmth swing reads as warmth
+    // in ONE output instead of a hand-join of two artifacts —
+    // informational, never a gate input
+    if (args.length == 4) {
+      val (ia, ib) = (load(args(2)), load(args(3)))
+      val w = warmthFindings(prev, cur,
+        ia.min.getOrElse(ia.median), ib.min.getOrElse(ib.median))
+      if (w.isEmpty)
+        println("[benchdiff] warmth: all shared queries agree across " +
+          "bases (<=1.25x)")
+      w.foreach { case (n, rm, ri) =>
+        println(f"[benchdiff] WARMTH     $n: min-basis ${rm}%.2fx vs " +
+          f"isolated ${ri}%.2fx — bases disagree; trust the isolated " +
+          "number for plan-change questions")
+      }
+    }
     if (r.gateFailed) sys.exit(1)
   }
 }

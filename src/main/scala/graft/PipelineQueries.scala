@@ -847,6 +847,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The CCNet pipeline COMPOSITION — what the langid operator exists
+    // for, end to end in ONE declarative plan: langid shard routing
+    // (the whole corpus classified against the trained trigram
+    // profiles, 'und' included) → per-LANGUAGE exact dedup (first doc
+    // per (lang, text) survives; the window keys on (lang, md5(text)),
+    // one composite exchange) → per-LANGUAGE unigram-LM surprisal (one
+    // model per shard, trained and scored in the same plan) →
+    // head/middle/tail PERPLEXITY TERTILES per language (the
+    // histogram-cumulative device — no corpus sort) → deterministic
+    // mixture sample (head 80% / middle 50% / tail 10%, the md5-bucket
+    // rule). Oracle: the full chain replayed as chained CTEs — five
+    // already-gated devices composed, so a drift ANYWHERE in the chain
+    // (a misrouted doc, a dedup survivor swap, a per-shard LM leak, a
+    // tertile boundary off by one, a sample-rate slip) hash-mismatches.
+    "q_pipeline_ccnet" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val planted = langidPlanted(Tables.load(s, dir, "documents"))
+      val profiles = TextAnalysis.trigramProfiles(
+        planted.filter(col("doc_id") % 5 =!= 0), "lang", "text", k = 64)
+      val routed = TextAnalysis.langidByProfiles(planted, "doc_id", "text",
+          profiles)
+        .join(planted.select("doc_id", "text"), Seq("doc_id"))
+      val dedupW = Window.partitionBy(col("lang_pred"), md5(col("text")))
+        .orderBy(col("doc_id"))
+      val deduped = routed.withColumn("_rn", row_number().over(dedupW))
+        .filter(col("_rn") === 1).drop("_rn")
+      val scored = TextAnalysis.unigramSurprisalBy(deduped, "doc_id",
+        "text", "lang_pred")
+      val tert = TextAnalysis.tertilesBy(scored, "lang_pred",
+        "mean_surprisal_bp")
+      TextAnalysis.stratifiedSample(tert, "doc", "tertile",
+          Map("head" -> 80, "middle" -> 50, "tail" -> 10))
+        .select(col("doc").as("doc_id"), col("lang_pred"), col("tertile"),
+          col("mean_surprisal_bp"))
+        .orderBy("doc_id")
+    }),
+
     // Fuzzy decontamination: corpus↔benchmark shingle-Jaccard pairs.
     // CONTRACT: the oracle does NOT model freqCap — this registration must
     // keep the cap above every shingle's corpus frequency at oracle scale
@@ -4338,6 +4375,94 @@ object PipelineQueries {
     // (score DESC, lang ASC) argmax. score = Σ w over OCCURRENCES on
     // the engine ≡ Σ count·w here — identical integer sums.
     "q_langid" -> langidOracle,
+
+    // the CCNet composition: the langid routing chain re-rooted at the
+    // whole corpus, then dedup → per-shard LM → tertiles → sample as
+    // chained CTEs, each the already-gated device's relational replay
+    "q_pipeline_ccnet" ->
+      """WITH planted AS (
+           SELECT doc_id, lang,
+                  CASE lang
+                    WHEN 'es' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'eioua')
+                    WHEN 'de' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'uoiea')
+                    WHEN 'fr' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'nrst', 'rstn')
+                    WHEN 'zh' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'iouae')
+                    ELSE regexp_replace(text, '[^ -~]', '', 'g') END AS text
+           FROM documents),
+         train AS (SELECT * FROM planted WHERE doc_id % 5 != 0),
+         tg AS (SELECT lang, substring(lt, i, 3) AS gram
+                FROM (SELECT lang, lower(text) AS lt,
+                             unnest(range(1, greatest(length(text) - 1, 1))) AS i
+                      FROM train) t),
+         cnt AS (SELECT lang, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+         prof AS (
+           SELECT lang, gram, CAST(65 - rn AS BIGINT) AS w FROM (
+             SELECT lang, gram,
+                    row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram ASC) AS rn
+             FROM cnt) r
+           WHERE rn <= 64),
+         dtg AS (SELECT doc_id, substring(lt, i, 3) AS gram
+                 FROM (SELECT doc_id, lower(text) AS lt,
+                              unnest(range(1, greatest(length(text) - 1, 1))) AS i
+                       FROM planted) t),
+         sc AS (SELECT d.doc_id, p.lang, CAST(sum(p.w) AS BIGINT) AS score
+                FROM dtg d JOIN prof p ON p.gram = d.gram GROUP BY 1, 2),
+         best AS (SELECT doc_id, lang AS lang_pred FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rn FROM sc) b
+                  WHERE rn = 1),
+         routed AS (
+           SELECT p.doc_id, coalesce(b.lang_pred, 'und') AS lang, p.text
+           FROM planted p LEFT JOIN best b USING (doc_id)),
+         ded AS (
+           SELECT doc_id, lang, text FROM (
+             SELECT *, row_number() OVER (PARTITION BY lang, text
+                         ORDER BY doc_id) AS rn FROM routed) d
+           WHERE rn = 1),
+         toks AS (SELECT lang, doc_id AS doc,
+                         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+                  FROM ded),
+         tf AS (SELECT lang, doc, tok, count(*) AS tf FROM toks
+                WHERE tok <> '' GROUP BY 1, 2, 3),
+         cnt2 AS (SELECT lang, tok, CAST(sum(tf) AS BIGINT) AS cnt
+                  FROM tf GROUP BY 1, 2),
+         tot2 AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS t
+                  FROM cnt2 GROUP BY 1),
+         lmsc AS (
+           SELECT tf.lang, tf.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(ln(CAST(t AS DOUBLE) / cnt) * 10000) AS BIGINT)) AS BIGINT) AS tsb
+           FROM tf JOIN cnt2 ON tf.lang = cnt2.lang AND tf.tok = cnt2.tok
+           JOIN tot2 ON tf.lang = tot2.lang
+           GROUP BY 1, 2),
+         meansc AS (
+           SELECT lang, doc,
+                  CAST(floor(CAST(tsb AS DOUBLE) / n_tokens) AS BIGINT) AS mbp
+           FROM lmsc),
+         hist AS (SELECT lang, mbp, CAST(count(*) AS BIGINT) AS c
+                  FROM meansc GROUP BY 1, 2),
+         cum AS (SELECT lang, mbp,
+                        sum(c) OVER (PARTITION BY lang ORDER BY mbp) AS cum
+                 FROM hist),
+         nt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+         bounds AS (
+           SELECT cum.lang,
+                  min(CASE WHEN cum * 3 >= n THEN mbp END) AS t1,
+                  min(CASE WHEN cum * 3 >= n * 2 THEN mbp END) AS t2
+           FROM cum JOIN nt ON cum.lang = nt.lang GROUP BY 1),
+         tert AS (
+           SELECT m.doc, m.lang, m.mbp,
+                  CASE WHEN m.mbp <= b.t1 THEN 'head'
+                       WHEN m.mbp <= b.t2 THEN 'middle'
+                       ELSE 'tail' END AS tertile
+           FROM meansc m JOIN bounds b ON m.lang = b.lang)
+         SELECT doc AS doc_id, lang AS lang_pred, tertile,
+                mbp AS mean_surprisal_bp
+         FROM tert
+         WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) <
+               CASE tertile WHEN 'head' THEN 'cccc'
+                            WHEN 'middle' THEN '8000'
+                            ELSE '1999' END
+         ORDER BY doc_id""",
 
     // the maintained gram-count model must converge to the batch
     // counts, so the streamed serving path shares q_langid's oracle

@@ -932,6 +932,68 @@ object TextAnalysis {
           .cast("long").as("mean_surprisal_bp"))
   }
 
+  /** Per-GROUP unigram-LM surprisal — the CCNet shape: ONE language
+    * model per shard (token counts keyed by (group, tok), totals by
+    * group), trained and scored in a single declarative plan instead
+    * of a per-shard driver loop. Same integer-bp determinism device as
+    * [[unigramSurprisal]] (per-distinct-(group, tok) floor, tf-weighted
+    * integer sums). Exchanges are bounded by distinct (group, doc, tok)
+    * and per-group vocab — never corpus bytes; the per-group totals
+    * broadcast (|groups| rows). Output: (group, doc, n_tokens,
+    * total_surprisal_bp, mean_surprisal_bp); token-less docs absent
+    * (the family contract). */
+  def unigramSurprisalBy(df: DataFrame, id: String, text: String,
+      group: String): DataFrame = {
+    val tf = df
+      .select(col(group).as("_g"), col(id).as("doc"),
+        explode(tokenize(col(text))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("_g", "doc", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)  // feeds counts, totals, and the scoring join
+    val cnt = tf.groupBy("_g", "tok").agg(sum("tf").as("cnt"))
+    val tot = cnt.groupBy("_g").agg(sum("cnt").as("t"))
+    // mirrored literally in the DuckDB oracle
+    val surpBp = floor(log(col("t").cast("double") / col("cnt")) * 10000)
+    tf.join(cnt, Seq("_g", "tok")).join(broadcast(tot), Seq("_g"))
+      .groupBy("_g", "doc").agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * surpBp).as("total_surprisal_bp"))
+      .select(col("_g").as(group), col("doc"), col("n_tokens"),
+        col("total_surprisal_bp"),
+        floor(col("total_surprisal_bp").cast("double") / col("n_tokens"))
+          .cast("long").as("mean_surprisal_bp"))
+  }
+
+  /** Per-group TERTILE split of a bounded integer score — CCNet's
+    * head/middle/tail perplexity buckets per language, via the
+    * histogram-cumulative device: one (group, value) count aggregate,
+    * a cumulative window over the HISTOGRAM (≤ |distinct values| rows
+    * per group — domain-bounded, never the corpus), integer boundary
+    * rules t1/t2 = the smallest values whose cumulative count reaches
+    * ⌈n/3⌉ / ⌈2n/3⌉ (compared multiplicatively — `cum·3 ≥ n` — so no
+    * division enters either engine), broadcast back as a |groups|-row
+    * join. Ties AT a boundary share its side (value-deterministic;
+    * head = LOWEST values). Output: the input plus `tertile`. */
+  def tertilesBy(df: DataFrame, group: String, value: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.localCheckpoint(false)  // histogram + the assignment join
+    val hist = d.groupBy(col(group).as("_g"), col(value).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = hist.withColumn("_cum",
+      sum("_c").over(Window.partitionBy("_g").orderBy("_v")))
+    val nt = hist.groupBy("_g").agg(sum("_c").as("_n"))
+    val bounds = cum.join(nt, Seq("_g"))
+      .groupBy("_g")
+      .agg(min(when(col("_cum") * 3 >= col("_n"), col("_v"))).as("_t1"),
+        min(when(col("_cum") * 3 >= col("_n") * 2, col("_v"))).as("_t2"))
+    d.join(broadcast(bounds), col(group) === col("_g"), "left")
+      .withColumn("tertile",
+        when(col(value) <= col("_t1"), "head")
+          .when(col(value) <= col("_t2"), "middle")
+          .otherwise("tail"))
+      .drop("_g", "_t1", "_t2")
+  }
+
   /** Bigram-LM surprisal per document — one Markov order above
     * [[unigramSurprisal]], the next rung toward the KenLM-style
     * perplexity filters of CCNet/Gopher: every token is an event

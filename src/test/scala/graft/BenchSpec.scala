@@ -34,6 +34,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
   }
 
+  test("BenchDiff.warmthFindings: flags base disagreements, worst first; agreement and missing queries stay silent") {
+    val prevMin = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "d" -> 1.0)
+    val curMin = Map("a" -> 1.6, "b" -> 1.1, "c" -> 3.0, "d" -> 1.0)
+    val prevIso = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    val curIso = Map("a" -> 0.9, "b" -> 1.05, "c" -> 1.0)
+    // a: min 1.6x vs iso 0.9x (1.78x apart) — warmth; b: 1.1 vs 1.05 —
+    // agreement; c: 3.0 vs 1.0 (3x apart) — worst, sorts first; d has
+    // no isolated number — silent (absence of evidence flags nothing)
+    val w = BenchDiff.warmthFindings(prevMin, curMin, prevIso, curIso)
+    assert(w.map(_._1) === Seq("c", "a"))
+    assert(w.head._2 === 3.0 && w.head._3 === 1.0)
+    // a failed (-1) query never divides into a ratio
+    val wf = BenchDiff.warmthFindings(Map("x" -> -1.0), Map("x" -> 2.0),
+      Map("x" -> 1.0), Map("x" -> 1.0))
+    assert(wf.isEmpty)
+  }
+
   // ===== BenchDiff: the round-over-round per-query regression gate =====
 
   test("benchdiff: an intentional 2.5x regression is flagged; noise and floor are not") {
