@@ -21,6 +21,24 @@ class PlanAuditSpec extends AnyFunSuite {
     c
   }
 
+  test("q_takedown_dv: the vector-filtered serve is a broadcast anti-join — zero hash exchanges") {
+    val c = audited("q_takedown_dv")
+    // the deletion vector applies as a broadcast anti-join on md5(key):
+    // the table read gains NO hash exchange (the orderBy range exchange
+    // is the output contract) — merge-on-read must not cost a shuffle
+    assert(c.exchanges == 0, s"dv-filtered read must not shuffle: $c")
+    assert(c.broadcasts >= 1, s"the takedown-sized vector must broadcast: $c")
+  }
+
+  test("q_window_incremental: the maintained dashboard serves from the artifact — one scan, zero hash exchanges") {
+    val c = audited("q_window_incremental")
+    // serving reads the published window table (domain-bounded rows):
+    // one parquet scan, no hash exchange — the per-trigger |Δ|·k apply
+    // already happened in the maintenance loop, never at serve time
+    assert(c.exchanges == 0, s"dashboard serve must not shuffle: $c")
+    assert(c.scans <= 1, s"dashboard serve re-read regressed: $c")
+  }
+
   test("q_bm25: corpus is scanned at most once post-checkpoint; small sides broadcast") {
     val c = audited("q_bm25")
     // the postings pass is materialized once — every lexical consumer

@@ -968,6 +968,66 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     } finally q.stop()
   }
 
+  test("StreamWindow: maintained dashboard equals the windowed rescan after every trigger; moves, catch-up, erasure reseed") {
+    import graft.streaming.StreamWindow
+    import graft.operators.Scd
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[C]
+    val base = tmp("winsink")
+    val table = new Livestream.UpsertTable(spark, s"$base/tbl",
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    val root = s"$base/view"
+    val gs = Seq("subreddit")
+    def served() = StreamWindow.view(spark, root)
+      .orderBy("w_start", "subreddit").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    def rescan() = Scd.cdcBaseWindowed(table.current, gs, "textlen",
+        "score", 20L, 10L)
+      .orderBy("w_start", "subreddit").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    def row(id: Long, g: String, score: Long) =
+      c(id, s"b$id", score).copy(subreddit = g)
+    val q = StreamWindow.windowSink(mem.toDF(), table, root, gs,
+      "textlen", "score", 20L, 10L, s"$base/ckp",
+      trigger = Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(row(1, "g1", 15), row(2, "g1", 35), row(3, "g2", 5))
+      q.processAllAvailable()
+      assert(served() === rescan())
+      // an update whose score crosses a window boundary MOVES the row
+      // between windows; a new group appears
+      mem.addData(row(1, "g1", 25), row(4, "g3", 7))
+      q.processAllAvailable()
+      assert(served() === rescan())
+      // idempotent refresh
+      val b = StreamWindow.basis(root)
+      StreamWindow.refresh(spark, table, root, gs, "textlen", "score",
+        20L, 10L)
+      assert(StreamWindow.basis(root) === b)
+      // catch-up across missed versions in one apply
+      table.merge(Seq(row(5, "g2", 50)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+      table.merge(Seq(row(6, "g2", 60)).toDF()
+        .withColumn("_seq", lit(1L)), "_seq", storeEdits = Some(false))
+      StreamWindow.refresh(spark, table, root, gs, "textlen", "score",
+        20L, 10L)
+      assert(served() === rescan())
+      assert(StreamWindow.basis(root) === table.currentVersion)
+      StreamWindow.vacuumView(root)
+      assert(served() === rescan())
+      // an erasure act between triggers: the basis dies, refresh
+      // reseeds (the post-erasure catch-up) and the purged row's
+      // window contributions retire
+      assert(table.purge(Seq("t1_2"), eraseHistory = true) === 1L)
+      StreamWindow.refresh(spark, table, root, gs, "textlen", "score",
+        20L, 10L)
+      assert(served() === rescan())
+    } finally q.stop()
+  }
+
   test("takedown propagates uniformly through the maintained artifacts (codes, assignments, postings, LSH state)") {
     import graft.streaming.{StreamAnn, StreamClusters, StreamIndex, StreamLsh}
     import graft.operators.Similarity
