@@ -1193,6 +1193,41 @@ object TimesearchQueries {
         .orderBy("w_start", "distinguish")
     }),
 
+    // WINDOWED view chained off the join Δview — the time-dimension
+    // cell of the chained-IVM matrix: the enriched view's emitted
+    // delta (cdcApplyJoinWithDelta) IS cdcApplyWindowed's changes
+    // frame verbatim, so a per-(window, tier) dashboard over F⋈D
+    // maintains end to end at |Δ|·k cost — re-attributed facts move
+    // between tiers' windows, score bumps move rows between windows,
+    // and neither table nor view ever rescans. Oracle: the rescan
+    // join re-windowed by the same membership unnest.
+    "q_cdc_join_window" -> ((s, dir) => {
+      val (facts, dim) = cdcJoinTables(s, dir)
+      def factsAt(v: Long) =
+        facts.at(v).select(col("idstr"), col("author"), col("score"))
+      def dimAt(v: Long) =
+        dim.at(v).select(col("idstr").as("author"), col("tier"), col("region_c"))
+      def dimCh(a: Long, b: Long) =
+        dim.changes(a, b).select(col("idstr").as("author"), col("kind"))
+      val fCols = Seq("score"); val dCols = Seq("tier", "region_c")
+      val gs = Seq("tier")
+      val base = graft.operators.Scd.cdcBaseJoin(factsAt(0), dimAt(0),
+        "idstr", "author", fCols, dCols)
+      val wv0 = graft.operators.Scd.cdcBaseWindowed(base, gs, "score",
+        "score", 600L, 200L)
+      val (v1, d1) = graft.operators.Scd.cdcApplyJoinWithDelta(base,
+        facts.changes(0L, 1L), dimCh(0L, 1L), factsAt(1), dimAt(1),
+        "idstr", "author", fCols, dCols)
+      val wv1 = graft.operators.Scd.cdcApplyWindowed(wv0, d1, gs,
+        "score", "score", 600L, 200L)
+      val (_, d2) = graft.operators.Scd.cdcApplyJoinWithDelta(v1,
+        facts.changes(1L, 2L), dimCh(1L, 2L), factsAt(2), dimAt(2),
+        "idstr", "author", fCols, dCols)
+      graft.operators.Scd.cdcApplyWindowed(wv1, d2, gs,
+          "score", "score", 600L, 200L)
+        .orderBy("w_start", "tier")
+    }),
+
     // The windowed dashboard MAINTAINED BY THE STREAM (18th maintained
     // artifact): StreamWindow.windowSink merges each micro-batch into
     // the versioned fact store and catches the published view up by
@@ -2292,6 +2327,23 @@ object TimesearchQueries {
     // the window table from deltas only, score bumps moving rows
     // between windows included
     "q_cdc_window" -> windowOracle,
+
+    // the windowed chain off the join Δview: the rescan join
+    // re-windowed by the same 3-membership unnest — the engine
+    // maintained the per-(window, tier) view from emitted view deltas
+    // only
+    "q_cdc_join_window" ->
+      s"""$cdcJoinCtes,
+         member AS (
+           SELECT (x.score - (x.score % 200)) - x.k * 200 AS w_start,
+                  x.tier, x.score
+           FROM (SELECT m.score AS score, d.tier AS tier,
+                        unnest(range(0, 3)) AS k
+                 FROM merged m JOIN dim d ON m.author = d.du) x)
+         SELECT w_start, tier, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(score) AS BIGINT) AS sum_m
+         FROM member GROUP BY w_start, tier
+         ORDER BY w_start, tier""",
 
     // the stream-maintained windowed dashboard serves the SAME final
     // state — oracle shared verbatim (the q_topk_incremental device),

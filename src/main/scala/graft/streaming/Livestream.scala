@@ -914,6 +914,21 @@ object Livestream {
       * takedown-sized by the [[purgeKeys]] broadcast contract, so
       * collecting it is the same cost class as the broadcast it
       * already rides. */
+    /** [[purgeWhere]]'s DELETION-VECTOR form — the daily-batch
+      * predicate takedown: keys resolve from the current snapshot by
+      * `pred` (through the sidecar-pruned [[scanAuto]], like
+      * purgeWhere), then [[purgeKeys]]`(dv = true)` publishes the
+      * sidecar-sized vector version. No history vacuum, no edits
+      * scrub — a DV is NOT erasure; this is the cheap suppress-now
+      * path, with [[purgeWhere]] as the compliance act (its rewrite
+      * later MATERIALIZES any vector entries its buckets carry).
+      * Partitioned tables only (the purgeKeys dv contract).
+      * Idempotent: suppressed rows no longer resolve. */
+    def purgeWhereDv(pred: Column): Long = {
+      if (currentVersion < 0) return 0L
+      purgeKeys(scanAuto()._1.filter(pred).localCheckpoint(false), dv = true)
+    }
+
     def purgeWhere(pred: Column, eraseHistory: Boolean = true,
         editsPred: Option[Column] = None): Long = {
       if (currentVersion < 0) return 0L

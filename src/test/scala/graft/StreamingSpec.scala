@@ -802,6 +802,87 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(e.getMessage.contains("unpartitioned"))
   }
 
+  test("a deletion-vector purge maintains downstream IVM views through ordinary CDC deletes") {
+    import graft.operators.Scd
+    val dir = tmp("dvivm")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    val rows = (0 until 12).map(i =>
+      c(i.toLong, s"b$i", (i * 3).toLong).copy(subreddit = s"g${i % 3}"))
+    table.seed(rows.toDF())                                          // v0
+    val base = Scd.cdcBaseAgg(table.at(0L), "subreddit", "score",
+      "n_docs", "sum_c")
+    assert(table.purgeKeys(Seq("t1_3", "t1_4").toDF("idstr"),
+      dv = true) === 2L)                                             // v1
+    // the DV purge rode changes() as ordinary deletes — the maintained
+    // view lands on the post-purge rescan without dv-specific code
+    val view = Scd.cdcApply(base, table.changes(0L, 1L), "subreddit",
+        "score", "n_docs", "sum_c")
+      .orderBy("subreddit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val rescan = Scd.cdcBaseAgg(table.current, "subreddit", "score",
+        "n_docs", "sum_c")
+      .orderBy("subreddit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(view === rescan)
+  }
+
+  test("schema evolution feeds IVM as ordinary updates: a maintained view crosses the boundary unmodified") {
+    import graft.operators.Scd
+    val dir = tmp("sevivm")
+    val part = Some(Livestream.keyBucket(nBuckets = 8))
+    val t1 = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1), partitioning = part)
+    val rows = (0 until 10).map(i =>
+      c(i.toLong, s"b$i", (i * 2).toLong).copy(subreddit = s"g${i % 2}"))
+    t1.seed(rows.toDF())                                             // v0
+    val base = Scd.cdcBaseAgg(t1.at(0L), "subreddit", "score",
+      "n_docs", "sum_c")
+    // the widened reopen + evolving merge (score bumps ride along)
+    val entityV2 = Merge.comments.copy(
+      updatable = Merge.comments.updatable :+ "lang")
+    val t2 = new Livestream.UpsertTable(spark, dir, entityV2,
+      Seq.empty[C].toDF().withColumn("lang", lit(null).cast("string")),
+      outputPartitions = Some(1), partitioning = part)
+    t2.merge(Seq(c(1, "b1", 100), c(2, "b2", 200)).toDF()
+      .withColumn("lang", lit("en")).withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // v1
+    // the boundary CDC (wide schema, null before-images for lang)
+    // feeds the UNMODIFIED applier; the maintained view lands on the
+    // post-evolution rescan
+    val view = Scd.cdcApply(base, t2.changes(0L, 1L), "subreddit",
+        "score", "n_docs", "sum_c")
+      .orderBy("subreddit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val rescan = Scd.cdcBaseAgg(t2.current, "subreddit", "score",
+        "n_docs", "sum_c")
+      .orderBy("subreddit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(view === rescan)
+  }
+
+  test("purgeWhereDv: predicate resolution + sidecar-sized suppress; the rewrite path composes after it") {
+    val dir = tmp("pwdv")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    table.seed((0 until 20).map(i => c(i.toLong, s"b$i", i.toLong)).toDF())
+    val v0 = table.currentVersion
+    assert(table.purgeWhereDv(col("author") === "u7") === 1L)        // v1
+    assert(table.currentVersion === v0 + 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"v=${v0 + 1}")),
+      "dv predicate purge wrote data files")
+    assert(table.current.filter(col("author") === "u7").count() === 0L)
+    // idempotent: the suppressed row no longer resolves
+    assert(table.purgeWhereDv(col("author") === "u7") === 0L)
+    // a later COMPLIANCE purge (rewrite + erasure) composes on top of
+    // the live vector; the untouched suppressed key stays suppressed
+    assert(table.purgeWhere(col("author") === "u3") === 1L)
+    assert(table.current.filter(col("author").isin("u3", "u7")).count() === 0L)
+  }
+
   test("purgeWhere: predicate takedown resolves keys, erases, and is idempotent") {
     val dir = tmp("purgew")
     val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
