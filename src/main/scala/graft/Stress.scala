@@ -67,7 +67,13 @@ object Stress {
     val memFrac = sys.env.getOrElse("SPARK_GRAFT_STRESS_MEMFRAC", "0.02")
     require(mult >= 2, s"mult must be >= 2: $mult")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt)
+    // task retry must ride the MASTER STRING in local mode:
+    // `local[N, F]` — SparkContext's local scheduler hard-codes
+    // maxFailures = 1 for plain `local[N]` and IGNORES the
+    // spark.task.maxFailures conf (the r16 conf-based fix was a no-op;
+    // the ~1-in-3 section-4/8 page-race deaths kept reproducing). The
+    // conf below stays for documentation and for any non-local reuse.
+    val spark = Sessions.builder(s"local[$cpus, 4]", cpus.toInt)
       // the starvation IS the test: execution memory a sliver of the
       // heap so the multiplied corpus cannot possibly fit
       .config("spark.memory.fraction", memFrac)
@@ -708,12 +714,49 @@ object Stress {
       val purgeOk = presentBefore > 0 && nPurged == presentBefore &&
         codesAfterPurge == codesN - presentBefore && servedP == 0L &&
         StreamAnn.purge(table, purgeVids) == 0L
-      ((countOk, replayOk, pruneOk, genOk, serveOk, purgeOk), codesN)
+      // DELETION-VECTOR takedown at stress scale: a second vid set
+      // suppresses via the SIDECAR against the ×idxMult table — ZERO
+      // data files written (the manifest carries every bucket by
+      // reference), closed-form row drop, re-purge idempotent, and a
+      // later targeted merge of one suppressed vid's bucket
+      // MATERIALIZES its entry (the re-added vid lives again) while
+      // every other suppressed vid stays suppressed.
+      import spark.implicits._
+      val dvVids = (40L until 50L)
+      val presentDv = StreamAnn.codes(table)
+        .filter(col("vid").isin(dvVids: _*))
+        .select("vid").collect().map(_.getLong(0)).sorted.toSeq
+      val verBefore = table.currentVersion
+      val manBefore = table.manifest(verBefore)
+      val nDv = table.purgeKeys(dvVids.map(_.toString).toDF("idstr"),
+        dv = true)
+      val noNewFiles = !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$idxRoot/codes", s"v=${verBefore + 1}"))
+      val manCarried = table.manifest(table.currentVersion) == manBefore
+      val dvCodesN = StreamAnn.codes(table).count()
+      val dvRepurge = table.purgeKeys(dvVids.map(_.toString).toDF("idstr"),
+        dv = true)
+      val backVid = presentDv.head
+      table.merge(StreamAnn.encodeRows(
+          bigIdxEmb.filter(col("vec_id") === backVid), "vec_id",
+          "embedding", coarse, cbRes)
+        .withColumn("_seq", monotonically_increasing_id()),
+        "_seq", storeEdits = Some(false))
+      val stillGone = presentDv.filterNot(_ == backVid)
+      val dvBackOk = StreamAnn.codes(table)
+        .filter(col("vid") === backVid).count() == 1L &&
+        (stillGone.isEmpty || StreamAnn.codes(table)
+          .filter(col("vid").isin(stillGone: _*)).count() == 0L)
+      val dvOk = presentDv.nonEmpty && nDv == presentDv.size.toLong &&
+        noNewFiles && manCarried &&
+        dvCodesN == codesAfterPurge - presentDv.size &&
+        dvRepurge == 0L && dvBackOk
+      ((countOk, replayOk, pruneOk, genOk, serveOk, purgeOk, dvOk), codesN)
     }
     val (idxCountOk, idxReplayOk, idxPruneOk, idxGenOk, idxServeOk,
-      idxPurgeOk) = idxChecks
+      idxPurgeOk, idxDvOk) = idxChecks
     val idxOk = idxCountOk && idxReplayOk && idxPruneOk && idxGenOk &&
-      idxServeOk && idxPurgeOk
+      idxServeOk && idxPurgeOk && idxDvOk
 
     val spillOk = spilledDisk.get() > 0
     val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk &&
@@ -757,6 +800,7 @@ object Stress {
       s""""idx_count_ok":$idxCountOk,"idx_replay_ok":$idxReplayOk,""" +
       s""""idx_prune_ok":$idxPruneOk,"idx_gen_ok":$idxGenOk,""" +
       s""""idx_serve_ok":$idxServeOk,"idx_purge_ok":$idxPurgeOk,""" +
+      s""""idx_dv_ok":$idxDvOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()
