@@ -165,7 +165,8 @@ object Scd {
     * between windows exactly; late data lands in its own window's
     * group by construction — the store's net-changes contract carries
     * it, no watermark semantics to invent (SESSION windows are the
-    * genuinely stateful case and stay with the batch sessionizer).
+    * genuinely stateful case — [[cdcApplySession]] maintains them at
+    * GROUP granularity via the dirty-group rescan).
     *
     * `tsCol` must be a non-negative integral epoch column (window
     * starts use the `t - t mod slide` device, exact for t ≥ 0); a NULL
@@ -224,6 +225,62 @@ object Scd {
         s"got window=$windowSec slide=$slideSec")
     windowSec / slideSec
   }
+
+  /** SESSION-WINDOW incremental view maintenance — the data-dependent
+    * window [[cdcApplyWindowed]]'s clock-aligned algebra cannot express
+    * (a session's boundaries move with its neighbours: one inserted
+    * event can MERGE two sessions, one delete can SPLIT one). The sound
+    * incremental unit is therefore the GROUP, not the row: any change
+    * touching a group (an image landing in it, or leaving it) marks it
+    * dirty, dirty groups re-sessionize from a pruned snapshot rescan,
+    * untouched groups serve from the view VERBATIM — the
+    * [[cdcApplyTopK]] dirty-group device with the batch sessionizer
+    * ([[graft.streaming.Sessionize.batch]]) as the per-group rebuild,
+    * so maintained ≡ batch holds structurally (shared code), never by
+    * re-derivation.
+    *
+    * Scale: |dirty groups| ≤ 2·|changes|; the rescan is
+    * `snapshot ⋉ dirty` — bucket-pruned on a group-co-partitioned store
+    * ([[graft.streaming.Livestream.UpsertTable.scanForKeys]]), never
+    * the table; within a dirty group the rebuild is one window pass
+    * over that group's events. A power-user group with millions of
+    * events makes its own rescan wide — that is the honest cost of
+    * session semantics (the interval-merge cascade is unbounded in
+    * theory); the group unit keeps it local.
+    *
+    * `maintained` carries [[cdcBaseSession]]'s shape (`group`,
+    * session_id, start, end, n_events); `changes` carries
+    * before_/after_ images of `group` and `tsCol` (net changes per key,
+    * the family precondition). NULL timestamps ride through the batch
+    * sessionizer identically on both paths; NULL groups are groups like
+    * any other (null-safe dirty matching). */
+  def cdcApplySession(maintained: DataFrame, changes: DataFrame,
+      snapshot: DataFrame, group: String, tsCol: String,
+      gapSec: Long): DataFrame = {
+    val g = col(group)
+    val dirty = changes.filter(col("kind").isin("insert", "update"))
+      .select(col(s"after_$group").as(group))
+      .unionByName(changes.filter(col("kind").isin("delete", "update"))
+        .select(col(s"before_$group").as(group)))
+      .distinct()
+      .localCheckpoint(false)
+    val keep = maintained
+      .join(dirty.withColumnRenamed(group, "_dg"), g <=> col("_dg"),
+        "left_anti")
+    val rescan = cdcBaseSession(
+      snapshot.join(dirty.withColumnRenamed(group, "_dg"),
+        g <=> col("_dg"), "left_semi"),
+      group, tsCol, gapSec)
+    keep.unionByName(rescan)
+  }
+
+  /** The matching base/rescan sessionizer — shared by the seed of a
+    * [[cdcApplySession]] chain and its verification rescan (and with
+    * the batch operator itself: one definition, zero drift). */
+  def cdcBaseSession(snapshot: DataFrame, group: String, tsCol: String,
+      gapSec: Long): DataFrame =
+    graft.streaming.Sessionize.batch(snapshot, group,
+      col(tsCol).cast("long"), gapSec)
 
   /** MIN/MAX incremental view maintenance — the non-additive half
     * [[cdcApply]]'s scaladoc deferred ("min/max need the full group on

@@ -236,13 +236,35 @@ object Livestream {
     }
 
     /** Suppress a deletion set's rows from a read — a broadcast
-      * anti-join on md5(key), takedown-sized by the purge contract. */
+      * anti-join, takedown-sized by the purge contract. Partitioned
+      * tables (the only kind that can carry a vector) match on
+      * (bucket, md5(key)), not the hash alone: with an arbitrary
+      * partitioning expression a key re-inserted into a DIFFERENT
+      * bucket than its entry's must not be suppressed — the merge only
+      * materializes entries for buckets it rewrites, so hash-only
+      * matching would swallow the new row silently. Every row's
+      * physical bucket equals the expression evaluated over its columns
+      * (all write paths derive the directory from the same expression
+      * on the same row data), so the probe side recomputes it; the
+      * entries' path-escaped bucket unescapes driver-side (the set is
+      * takedown-sized). */
     private def applyDv(df: DataFrame, dv: Seq[(String, String)]): DataFrame =
       if (dv.isEmpty) df
       else {
         import spark.implicits._
-        val dvDf = dv.map(_._2).distinct.toDF("_dvh")
-        df.join(broadcast(dvDf), md5(col(keyName)) === col("_dvh"), "left_anti")
+        partitioning match {
+          case Some(pexpr) =>
+            val dvDf = dv.map { case (pt, h) =>
+              (ExternalCatalogUtils.unescapePathName(pt), h) }
+              .distinct.toDF("_dvpt", "_dvh")
+            df.join(broadcast(dvDf),
+              ptCol(pexpr) === col("_dvpt") &&
+                md5(col(keyName)) === col("_dvh"), "left_anti")
+          case None =>   // unreachable: flat tables refuse dv at purge
+            val dvDf = dv.map(_._2).distinct.toDF("_dvh")
+            df.join(broadcast(dvDf), md5(col(keyName)) === col("_dvh"),
+              "left_anti")
+        }
       }
 
     /** Canonical string form of the partitioning layout, persisted in the
@@ -438,6 +460,13 @@ object Livestream {
           "inserts); re-baseline from changes(-1, v)")
       require(versionAvailable(toV),
         s"changes: version $toV is not readable (never published or vacuumed)")
+      // a MIGRATION boundary inside the range switches to the
+      // per-generation diff: the widen-only read-alignment below cannot
+      // express a rename/retype (old files would read wrong under the
+      // new shape), so before/after images surface at their own
+      // generations instead
+      if (migrations.exists(m => m > fromV && m <= toV))
+        return changesAcrossMigration(fromV, toV)
       // both endpoints read at the TO-side schema generation: across an
       // evolution boundary the before image null-fills the new columns
       // (so a key whose new column gains a value surfaces as an update
@@ -732,6 +761,7 @@ object Livestream {
         .filter(col("_pk").isNotNull).distinct()
         .localCheckpoint(false)
       val next = currentVersion + 1
+      guardStagedSchema(next)
       if (dv) {
         val pexpr = partitioning.get
         val prev = manifest(currentVersion)
@@ -994,22 +1024,286 @@ object Livestream {
       if (cur < 0) return
       val horizon = clock() - retainMillis
       val times = publishTimes
-      val eligible = (0L until cur)
-        .filter(v => times.get(v).exists(_ < horizon))
-      if (eligible.isEmpty) return
-      val doomedPins = pinned.filter(eligible.contains)
+      // the cutoff advances only through CONTIGUOUSLY-eligible versions
+      // from the oldest: vacuumTo deletes EVERYTHING below the cutoff,
+      // so a version with no recorded publish time (the pre-recording
+      // table shape, promised to never age out) must BLOCK the cutoff,
+      // not be skipped over — and the pinned guard compares against the
+      // cutoff itself, so nothing below it can dodge the refusal by
+      // being absent from the eligible set
+      var cutoff = 0L
+      while (cutoff < cur && times.get(cutoff).exists(_ < horizon))
+        cutoff += 1
+      if (cutoff == 0L) return
+      val allPinned = pinned ++ registeredBases.values
+      val doomedPins = allPinned.filter(_ < cutoff)
       require(doomedPins.isEmpty,
         s"vacuumRetain at $path would erase pinned version(s) " +
-          s"${doomedPins.mkString(", ")} — retention must not outrun a " +
-          "maintained artifact's recorded basis; refresh the artifact " +
+          s"${doomedPins.distinct.sorted.mkString(", ")} — retention must " +
+          "not outrun a maintained artifact's recorded basis (caller-" +
+          "pinned or registered under _bases/); refresh the artifact " +
           "(advance its basis past the horizon) and retry")
-      vacuumTo(eligible.max + 1)
+      vacuumTo(cutoff)
+    }
+
+    // ==== downstream-basis registry (the `_schema` sidecar device) ======
+    //
+    // Maintained artifacts (StreamTopK/StreamWindow/StreamAnn) record the
+    // fact version they caught up to in their OWN roots — invisible to
+    // retention unless the caller enumerates them. Registering the basis
+    // UNDER THE FACT STORE's root on every artifact publish lets
+    // [[vacuumRetain]] refuse by construction instead of by caller
+    // discipline. Plain [[vacuum]]/[[purge]] deliberately do NOT consult
+    // the registry: erasure outranks a stale artifact (the documented
+    // post-erasure catch-up is the reseed).
+
+    /** Record (or advance) a downstream artifact's basis pointer under
+      * this table's root. `artifactId` is any stable identifier — the
+      * artifact's own root path by convention; the filename is its md5
+      * so arbitrary paths need no escaping. */
+    def registerBasis(artifactId: String, basis: Long): Unit = {
+      val d = Paths.get(path, "_bases")
+      Files.createDirectories(d)
+      val f = md5Hex(artifactId)
+      val tmp = d.resolve(s"$f.tmp")
+      Files.write(tmp, s"$artifactId\t$basis".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(f), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** Drop an artifact's registered basis (the artifact was retired). */
+    def unregisterBasis(artifactId: String): Unit = {
+      val f = Paths.get(path, "_bases", md5Hex(artifactId))
+      if (Files.exists(f)) Files.delete(f)
+    }
+
+    /** Registered artifact bases: artifactId → basis version. */
+    def registeredBases: Map[String, Long] = {
+      val d = Paths.get(path, "_bases")
+      if (!Files.exists(d)) return Map.empty
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val files = try s.iterator().asScala.toList
+        .filterNot(_.getFileName.toString.endsWith(".tmp"))
+      finally s.close()
+      files.flatMap { f =>
+        val l = new String(Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val i = l.lastIndexOf('\t')
+        if (i <= 0) None else Some(l.substring(0, i) -> l.substring(i + 1).trim.toLong)
+      }.toMap
+    }
+
+    private def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+
+    // ==== savepoint pins (the [[Savepoint]] components) =================
+
+    /** The table's root directory — the identity [[Savepoint]] vectors
+      * key on. */
+    def tablePath: String = path
+
+    /** Versions pinned by published savepoints: savepoint name →
+      * version. [[vacuumTo]] refuses to erase below any of them. */
+    def savepointPins: Map[String, Long] = {
+      val d = Paths.get(path, "_savepoints")
+      if (!Files.exists(d)) return Map.empty
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val files = try s.iterator().asScala.toList
+        .filterNot(_.getFileName.toString.endsWith(".tmp"))
+      finally s.close()
+      files.map(f => f.getFileName.toString ->
+        new String(Files.readAllBytes(f)).trim.toLong).toMap
+    }
+
+    private[streaming] def pinSavepoint(name: String, version: Long): Unit = {
+      val d = Paths.get(path, "_savepoints")
+      Files.createDirectories(d)
+      val tmp = d.resolve(s"$name.tmp")
+      Files.write(tmp, version.toString.getBytes)
+      Files.move(tmp, d.resolve(name), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    private[streaming] def unpinSavepoint(name: String): Unit = {
+      val f = Paths.get(path, "_savepoints", name)
+      if (Files.exists(f)) Files.delete(f)
+    }
+
+    // ==== explicit migration (the non-widening half) =====================
+
+    /** Migration boundaries: versions published by [[migrate]], recorded
+      * in `_migrations` (atomic rewrite). [[changes]] crossing one
+      * switches to the per-generation diff shape. */
+    def migrations: Seq[Long] = {
+      val f = Paths.get(path, "_migrations")
+      if (!Files.exists(f)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(f).asScala.filter(_.nonEmpty)
+          .map(_.trim.toLong).toSeq.sorted
+      }
+    }
+
+    private def recordMigration(v: Long): Unit = {
+      val all = (migrations :+ v).distinct.sorted
+      val tmp = Paths.get(path, "_migrations.tmp")
+      Files.write(tmp, all.mkString("\n").getBytes)
+      Files.move(tmp, Paths.get(path, "_migrations"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    /** A rewriting publisher must not silently ADOPT a schema generation
+      * staged for its target version by a crashed [[migrate]]: the
+      * pointer move would make the orphan live and serve old-shape data
+      * under the migrated schema. A staged generation matching this
+      * handle's own schema is the publisher's OWN replay (the evolving
+      * merge's retry-idempotence contract) and passes. */
+    private def guardStagedSchema(next: Long): Unit = {
+      val f = Paths.get(path, "_schema", s"s=$next")
+      if (!Files.exists(f)) return
+      val staged = org.apache.spark.sql.types.DataType
+        .fromJson(new String(Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(staged == emptyLike.schema,
+        s"UpsertTable at $path: version $next has a STAGED schema " +
+          s"generation from a crashed migration (staged " +
+          s"${staged.simpleString}); re-run the migrate() that staged " +
+          "it — publishing over it would serve old-shape data under " +
+          "the migrated schema")
+    }
+
+    /** EXPLICIT MIGRATION — the sanctioned path THROUGH what
+      * [[validateSchema]] refuses (rename / drop / retype): publish a
+      * whole-table rewrite under a NEW schema generation. `transform`
+      * maps the current snapshot (old generation) to the new shape; its
+      * output must carry every column of `to` (aligned and cast here —
+      * a missing column fails loudly), including the merge key under
+      * its existing name (keys are identity, not shape). The reference
+      * analog is the sequential database upgrader
+      * (utilities/database_upgrader.py:24-49) — a versioned rewrite per
+      * schema step, not an in-place mutation.
+      *
+      * Contract:
+      *  - CRASH-SAFE: data, manifest, schema generation, and the
+      *    migration marker all stage under version N+1; the `_VERSION`
+      *    pointer moves LAST, so a crash anywhere leaves the old
+      *    version serving and a re-run overwrites the staging. Other
+      *    publishers refuse a crashed migration's staged generation
+      *    ([[guardStagedSchema]]) instead of adopting it.
+      *  - THIS HANDLE IS DONE after a successful migrate: its
+      *    construction schema no longer matches the recorded
+      *    generation, so every subsequent call refuses (the widen-only
+      *    validator working as designed). Reopen with the new schema.
+      *  - CDC IS DEFINED ACROSS THE BOUNDARY: [[changes]] over a range
+      *    crossing the migration emits every surviving key as an
+      *    `update` whose before-image carries the OLD generation's
+      *    columns and after-image the NEW generation's (each at its own
+      *    shape); rows the transform dropped are `delete`s, rows it
+      *    created `insert`s. The rewrite re-images every row by
+      *    construction, so "everything is an update" is the truth, not
+      *    an approximation.
+      *  - The rewrite reads dv-filtered and touches every bucket, so
+      *    any deletion vector fully materializes.
+      *  - SAME-SCHEMA rewrites are refused — that is [[optimize]]'s
+      *    job, and a no-op boundary would make every later CDC range
+      *    crossing it pay the full-snapshot diff for nothing.
+      *
+      * Scale: ONE whole-table rewrite — the honest cost of a rename or
+      * retype on immutable files; widening stays [[merge]]'s zero-
+      * rewrite evolution path. */
+    def migrate(to: org.apache.spark.sql.types.StructType,
+        transform: DataFrame => DataFrame): Unit = {
+      validatePartitioning()
+      val cur = currentVersion
+      require(cur >= 0, s"migrate at $path: nothing published")
+      require(to.fieldNames.exists(_.equalsIgnoreCase(Merge.KeyCol)),
+        s"migrate at $path: the target schema must keep the merge key " +
+          s"'${Merge.KeyCol}' (keys are identity, not shape)")
+      require(to.json != schemaAt(cur).json,
+        s"migrate at $path: target schema equals the recorded " +
+          "generation — a same-schema rewrite is optimize()'s job")
+      val next = cur + 1
+      val out = transform(at(cur))
+      val missing = to.fieldNames
+        .filterNot(f => out.columns.exists(_.equalsIgnoreCase(f)))
+      require(missing.isEmpty,
+        s"migrate at $path: transform output lacks target column(s) " +
+          s"[${missing.mkString(", ")}]")
+      val aligned = out.select(to.fields.toSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      partitioning match {
+        case None =>
+          val o = outputPartitions.map(aligned.coalesce).getOrElse(aligned)
+          o.write.mode("overwrite").parquet(s"$path/v=$next")
+        case Some(pexpr) =>
+          alignToBuckets(aligned.withColumn(PartCol, ptCol(pexpr)))
+            .write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$path/v=$next")
+          // manifest from the directories actually written (the seed
+          // device) — every bucket re-points to the migration version
+          import scala.jdk.CollectionConverters._
+          val s = Files.list(Paths.get(path, s"v=$next"))
+          val pts = try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(s"$PartCol=")).map(_.drop(PartCol.length + 1))
+            .toList
+          finally s.close()
+          writeManifest(next, pts.map(_ -> next).toMap)
+      }
+      // the rewrite read dv-filtered and re-imaged every bucket — the
+      // whole vector materializes
+      carryDv(next, dvAt(cur).map(_._1).toSet)
+      writeSchemaFile(next, to)
+      recordMigration(next)
+      publishAndPin(next)
+    }
+
+    /** [[changes]] across a [[migrate]] boundary: before/after images
+      * each at their OWN generation (the range endpoints' shapes). */
+    private def changesAcrossMigration(fromV: Long, toV: Long): DataFrame = {
+      val key = keyName
+      val before = at(fromV)
+      val after = at(toV)
+      require(after.columns.exists(_.equalsIgnoreCase(key)),
+        s"changes at $path: post-migration schema lost the merge key")
+      val bCols = before.columns.filterNot(_.equalsIgnoreCase(key)).toSeq
+      val aCols = after.columns.filterNot(_.equalsIgnoreCase(key)).toSeq
+      val b = before.select(col(key) +:
+        bCols.map(c => col(c).as(s"before_$c")): _*)
+        .withColumn("_in_old", lit(1))
+      val a = after.select(col(key) +:
+        aCols.map(c => col(c).as(s"after_$c")): _*)
+        .withColumn("_in_new", lit(1))
+      b.join(a, Seq(key), "full_outer")
+        .withColumn("kind",
+          when(col("_in_old").isNull, lit("insert"))
+            .when(col("_in_new").isNull, lit("delete"))
+            .otherwise(lit("update")))
+        .drop("_in_old", "_in_new")
     }
 
     /** The vacuum core: reclaim everything no version ≥ `cutoff`
       * references (leaf liveness through the manifests — carried
-      * partitions survive regardless of the version dir they sit in). */
+      * partitions survive regardless of the version dir they sit in).
+      * REFUSES — loudly, nothing deleted — when a published savepoint
+      * ([[Savepoint]]) pins a version below the cutoff: a savepoint is
+      * a reader's consistent multi-table world, and silently erasing a
+      * component would serve a state no rescan ever produced. Drop the
+      * savepoint (`Savepoint.drop`) or retain past it; for an erasure
+      * act the refusal is the point — the operator must decide that
+      * erasure outranks the snapshot, by dropping it first. */
     private def vacuumTo(cutoff: Long): Unit = {
+      val doomedSp = savepointPins.filter(_._2 < cutoff)
+      require(doomedSp.isEmpty,
+        s"vacuum at $path would erase savepoint-pinned version(s) " +
+          doomedSp.toSeq.sorted.map { case (n, v) => s"$v (savepoint '$n')" }
+            .mkString(", ") +
+          " — drop the savepoint(s) via Savepoint.drop, or retain past them")
       val cur = currentVersion
       import scala.jdk.CollectionConverters._
       def versionDirs(): List[java.nio.file.Path] = {
@@ -1066,6 +1360,26 @@ object Livestream {
               .foreach(Files.delete)
             finally ms.close()
           }
+      }
+      // `_dv` retirement: a kept version v (≥ cutoff) resolves the
+      // newest d ≤ v, so every d ≥ cutoff is reachable plus the single
+      // newest d ≤ cutoff (it resolves kept versions between the cutoff
+      // and the next d); older files are unreachable from any kept
+      // version and retire — without this, the sidecar directory grows
+      // one cumulative file per DV publish forever
+      val dvDir = Paths.get(path, "_dv")
+      if (Files.exists(dvDir)) {
+        val s = Files.list(dvDir)
+        val gens = try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("d=") && !n.endsWith(".tmp"))
+          .map(_.drop(2).toLong).toList
+        finally s.close()
+        val atOrBelow = gens.filter(_ <= cutoff)
+        if (atOrBelow.nonEmpty) {
+          val keep = atOrBelow.max
+          atOrBelow.filter(_ != keep)
+            .foreach(g => Files.delete(dvDir.resolve(s"d=$g")))
+        }
       }
     }
 
@@ -1124,6 +1438,7 @@ object Livestream {
       validatePartitioning()
       val cdc = storeEdits.getOrElse(storeEditsEnabled)
       val next = currentVersion + 1
+      guardStagedSchema(next)
       // SCHEMA EVOLUTION: the construction schema is the merge target.
       // When it is wider than the recorded generation (a reopen added
       // nullable columns — validateSchema guarantees widen-only), this
@@ -1258,6 +1573,7 @@ object Livestream {
       val cur = currentVersion
       if (cur < 0) return
       val next = cur + 1
+      guardStagedSchema(next)
       zorderBy match {
         case Some((ca, cb)) =>
           optimizeZOrdered(ca, cb, maxFiles, zorderBits, cur, next)
@@ -1302,11 +1618,18 @@ object Livestream {
               pmod(xxhash64(col(Merge.KeyCol)), lit(maxFiles.toLong)))
           aligned.write.mode("overwrite").partitionBy(PartCol)
             .parquet(s"$path/v=$next")
-          // a pathological all-empty-files leaf writes no directory: keep
-          // its manifest entry on the old (uncompacted but readable) leaf
+          // a leaf whose rewrite wrote no directory (all rows empty-file
+          // pathology, or — since the source read is DV-FILTERED — every
+          // row suppressed by the deletion vector) keeps its old
+          // (uncompacted but readable) manifest entry. Its DV entries
+          // must then CARRY, not retire: retiring by the ATTEMPTED set
+          // would resurrect every suppressed row in a kept old leaf on
+          // all subsequent reads, with changes() never emitting the
+          // re-inserts. Only buckets whose rewrite really materialized
+          // the vector (wrote a new leaf) retire.
           val written = oversized.keys.filter(pt => Files.exists(leaf(next, pt)))
           writeManifest(next, prev ++ written.map(_ -> next))
-          carryDv(next, oversized.keySet)
+          carryDv(next, written.toSet)
           publish(next)
       }
     }
@@ -1345,14 +1668,69 @@ object Livestream {
             .write.mode("overwrite").partitionBy(PartCol)
             .parquet(s"$path/v=$next")
           // same empty-leaf caveat as plain compaction: a leaf that wrote
-          // no directory keeps its old (readable) manifest entry
+          // no directory (including one whose every row is DV-suppressed —
+          // the snapshot read is vector-filtered) keeps its old (readable)
+          // manifest entry, so only the leaves that actually rewrote
+          // retire their deletion-vector entries
           val written = prev.keys.filter(pt => Files.exists(leaf(next, pt)))
           writeManifest(next, prev ++ written.map(_ -> next))
-          carryDv(next, prev.keySet)
+          carryDv(next, written.toSet)
           publish(next)
       }
       refreshZoneMap(Seq(ca, cb) :+ emptyLike.schema.fieldNames
         .find(_.equalsIgnoreCase(Merge.KeyCol)).get)
+    }
+
+    /** MATERIALIZE the deletion vector: rewrite exactly the buckets the
+      * vector names — the dv-filtered read drops the suppressed rows, so
+      * their bytes leave the data files — and retire every entry. This
+      * closes the merge-on-read purge's unbounded tail: each DV publish
+      * carries the FULL cumulative live set, so at daily-takedown
+      * cadence the sidecar and its broadcast anti-join grow until
+      * buckets happen to rewrite; calling this (e.g. when `dvAt
+      * (currentVersion).size` crosses an operational bound) compacts
+      * exactly the suppressed buckets and resets the vector to empty.
+      * Untouched buckets carry BY REFERENCE (bytes rewritten = the
+      * named buckets only); a fully-suppressed bucket writes no leaf
+      * and DROPS from the manifest (the [[purgeKeys]] device). Old
+      * versions still read through their retained files and their own
+      * vector resolution. NOT an erasure act: superseded versions and
+      * the CDC log keep the bytes — [[purge]] composes that.
+      *
+      * @return number of live buckets rewritten (0 ⇒ nothing
+      *         published: no vector, or entries only name long-dropped
+      *         buckets, which retire without a data write). */
+    def materializeDv(): Int = {
+      validatePartitioning()
+      val cur = currentVersion
+      if (cur < 0) return 0
+      val dv = dvAt(cur)
+      if (dv.isEmpty) return 0
+      val pexpr = partitioning.getOrElse(throw new IllegalStateException(
+        s"UpsertTable at $path carries a deletion vector but no " +
+          "partitioning — vectors are refused on flat tables at purge"))
+      val prev = manifest(cur)
+      val entryBuckets = dv.map(_._1).toSet
+      val targets = entryBuckets.filter(prev.contains)
+      val next = cur + 1
+      guardStagedSchema(next)
+      if (targets.nonEmpty) {
+        val src = readParts(prev.view.filterKeys(targets).toMap)
+        alignToBuckets(src.withColumn(PartCol, ptCol(pexpr)))
+          .write.mode("overwrite").partitionBy(PartCol)
+          .parquet(s"$path/v=$next")
+        val written = targets.filter(pt => Files.exists(leaf(next, pt)))
+        writeManifest(next, (prev -- targets) ++ written.map(_ -> next))
+      } else {
+        // entries only for buckets no longer in the manifest: retire
+        // them with a metadata-only publish
+        writeManifest(next, prev)
+      }
+      // every named bucket either rewrote dv-filtered or no longer
+      // exists — the whole vector retires (carryDv writes the empty set)
+      carryDv(next, entryBuckets)
+      publishAndPin(next)
+      targets.size
     }
 
     /** Publish timestamps (version → epoch millis at publish), the

@@ -86,6 +86,9 @@ object StreamTopK {
     require(cur >= 0L, "seedView: fact store has no published version")
     publish(Scd.cdcBaseTopK(table.at(cur), group, key, measure, k,
       mCol, rkCol), root, cur)
+    // register the basis UNDER THE FACT STORE's root, so vacuumRetain
+    // refuses by construction instead of by caller discipline
+    table.registerBasis(root, cur)
   }
 
   /** Catch the view up to the fact store's current version by applying
@@ -115,10 +118,13 @@ object StreamTopK {
     val nv = Scd.cdcApplyTopK(view(spark, root), table.changes(b, cur),
       table.at(cur), group, key, measure, k, mCol, rkCol)
     publish(nv, root, cur)
+    table.registerBasis(root, cur)
   }
 
-  /** Reclaim superseded view dirs (everything but the basis). */
-  def vacuumView(root: String): Unit = {
+  /** Reclaim superseded view dirs (everything but the basis, and any
+    * version in `keep` — e.g. a [[Savepoint]]'s pinned basis, so a
+    * savepointed world's artifact read stays servable). */
+  def vacuumView(root: String, keep: Set[Long] = Set.empty): Unit = {
     val b = basis(root)
     val d = Paths.get(root)
     if (!Files.exists(d)) return
@@ -127,7 +133,8 @@ object StreamTopK {
     val victims =
       try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("v=") && n != s"v=$b"
+        n.startsWith("v=") && n != s"v=$b" &&
+          !keep.contains(n.drop(2).toLong)
       }.toList
       finally s.close()
     victims.foreach { v =>

@@ -82,6 +82,9 @@ object StreamWindow {
     require(cur >= 0L, "seedView: fact store has no published version")
     publish(Scd.cdcBaseWindowed(table.at(cur), groups, measure, tsCol,
       windowSec, slideSec, wCol, nCol, sCol), root, cur)
+    // the StreamTopK basis-registry device: retention refuses by
+    // construction, not by caller discipline
+    table.registerBasis(root, cur)
   }
 
   /** Catch the view up to the fact store's current version — idempotent
@@ -106,10 +109,12 @@ object StreamWindow {
     val nv = Scd.cdcApplyWindowed(view(spark, root), table.changes(b, cur),
       groups, measure, tsCol, windowSec, slideSec, wCol, nCol, sCol)
     publish(nv, root, cur)
+    table.registerBasis(root, cur)
   }
 
-  /** Reclaim superseded view dirs (everything but the basis). */
-  def vacuumView(root: String): Unit = {
+  /** Reclaim superseded view dirs (everything but the basis, and any
+    * version in `keep` — e.g. a [[Savepoint]]'s pinned basis). */
+  def vacuumView(root: String, keep: Set[Long] = Set.empty): Unit = {
     val b = basis(root)
     val d = Paths.get(root)
     if (!Files.exists(d)) return
@@ -118,7 +123,8 @@ object StreamWindow {
     val victims =
       try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("v=") && n != s"v=$b"
+        n.startsWith("v=") && n != s"v=$b" &&
+          !keep.contains(n.drop(2).toLong)
       }.toList
       finally s.close()
     victims.foreach { v =>

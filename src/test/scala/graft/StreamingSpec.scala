@@ -2274,4 +2274,404 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
         ("2024-01-01 10:05:00.0", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("a compaction that writes no leaf for a fully-DV-suppressed bucket carries its entries — no resurrection") {
+    val nB = 4
+    val dir = tmp("dvcarry")
+    // outputPartitions=3 (NOT 4): the write salt is xxhash64(key) mod n,
+    // the bucket xxhash64(key) mod nB — equal moduli would make salt ≡
+    // bucket and collapse every leaf to one file, leaving compaction
+    // nothing to attempt
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(3),
+      partitioning = Some(Livestream.keyBucket(nBuckets = nB)))
+    // AQE coalesces this test-sized shuffle to one task (one file per
+    // leaf — nothing for compaction to attempt); hold it off for the
+    // seed so the leaves really carry several files each
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try table.seed(
+      (0 until 64).map(i => c(i.toLong, s"b$i", i.toLong)).toDF()) // v0
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // every key of ONE bucket, suppressed via the deletion vector
+    val b0Keys = (0 until 64).map(i => s"t1_$i")
+      .filter(k => Livestream.keyBucketValue(k, nB) == 0L)
+    assert(b0Keys.size > 1)
+    assert(table.purgeKeys(b0Keys.toDF("idstr"), dv = true)
+      === b0Keys.size.toLong)                                        // v1
+    val vDv = table.currentVersion
+    // the salted seed wrote several files per bucket, so compaction
+    // attempts every bucket — including the fully-suppressed one, whose
+    // dv-filtered read is EMPTY and writes no leaf
+    table.optimize(maxFiles = 1)                                      // v2
+    val vOpt = table.currentVersion
+    assert(vOpt === vDv + 1)
+    // the suppressed bucket kept its OLD leaf by reference...
+    assert(table.manifest(vOpt)("0") === table.manifest(vDv)("0"))
+    // ...so its vector entries must CARRY: nothing resurrects
+    assert(table.current.filter(col("idstr").isin(b0Keys: _*)).count() === 0L)
+    assert(table.dvAt(vOpt).count(_._1 == "0") === b0Keys.size,
+      "empty-rewrite bucket's DV entries retired — suppressed rows resurrect")
+    // other buckets DID rewrite (compaction did real work) and CDC
+    // across the compaction emits nothing (data identical both sides)
+    assert(table.manifest(vOpt).exists { case (pt, v) => pt != "0" && v == vOpt })
+    assert(table.changes(vDv, vOpt).count() === 0L)
+    // the ZORDER path shares the caveat: still nothing resurrects
+    table.optimize(zorderBy = Some(("idint", "score")))               // v3
+    assert(table.current.filter(col("idstr").isin(b0Keys: _*)).count() === 0L)
+    assert(table.changes(vOpt, table.currentVersion).count() === 0L)
+  }
+
+  test("vacuumRetain: an untimed version blocks the cutoff; pins compare against the cutoff itself") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    var now = 1000000L
+    val dir = tmp("retain_untimed")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)),
+      clock = () => now)
+    table.seed(Seq(c(1, "a", 1)).toDF())                             // v0
+    (2 to 4).foreach { i =>
+      now += 10000
+      table.merge(Seq(c(i.toLong, s"b$i", i.toLong)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
+    }                                                                // v1-v3
+    // simulate a pre-publish-time-recording store upgraded in place:
+    // v1's history line vanishes (the shape the scaladoc promises
+    // "never ages out")
+    val hist = JPaths.get(dir, "_history")
+    val kept = JFiles.readAllLines(hist).asScala
+      .filterNot(_.startsWith("1\t")).toSeq
+    JFiles.write(hist, kept.mkString("\n").getBytes)
+    assert(!table.publishTimes.contains(1L))
+    now += 10000000
+    // a pin BELOW the cutoff refuses even though v0 is the only
+    // eligible victim (the old guard compared against eligibility and
+    // let untimed pins below the cutoff through)
+    val e = intercept[IllegalArgumentException](
+      table.vacuumRetain(1000L, pinned = Seq(0L)))
+    assert(e.getMessage.contains("pinned"))
+    assert(table.versionAvailable(0L), "refusal must delete nothing")
+    // unpinned: the cutoff stops AT the untimed version — v0 retires,
+    // v1 (untimed) and everything above it survive even though v2's
+    // recorded time is far past the horizon
+    table.vacuumRetain(1000L)
+    assert(!table.versionAvailable(0L))
+    assert(table.versionAvailable(1L), "untimed version aged out")
+    assert(table.versionAvailable(2L),
+      "version above an untimed blocker was deleted below the cutoff")
+    assert(table.current.count() === 4L)
+  }
+
+  test("DV suppression is bucket-scoped: a key re-inserted into a different bucket is not swallowed") {
+    val dir = tmp("dvbucket")
+    // a NON-key-derived (but key-stable by contract) partitioning: the
+    // vector must couple (bucket, hash), not trust the expression
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(col("subreddit")))
+    val rows = (0 until 8).map(i =>
+      c(i.toLong, s"b$i", i.toLong).copy(subreddit = s"g${i % 2}"))
+    table.seed(rows.toDF())                                          // v0
+    assert(table.purgeKeys(
+      Seq(("t1_3", "g1")).toDF("idstr", "subreddit"), dv = true) === 1L) // v1
+    assert(table.current.filter(col("idstr") === "t1_3").count() === 0L)
+    // the key re-arrives in a DIFFERENT bucket (g9): the merge touches
+    // only g9, so the g1 entry carries — and must not suppress the new
+    // row, whose recomputed bucket differs from the entry's
+    table.merge(Seq(c(3, "b3-new", 30).copy(subreddit = "g9")).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false)) // v2
+    val back = table.current.filter(col("idstr") === "t1_3").collect()
+    assert(back.length === 1, "re-inserted key swallowed by a stale " +
+      "DV entry from another bucket")
+    assert(back.head.getAs[String]("subreddit") === "g9")
+    // the old row's bucket entry still suppresses AT ITS bucket: time
+    // travel to v1 shows the key gone, and the entry itself carried
+    assert(table.at(1L).filter(col("idstr") === "t1_3").count() === 0L)
+    assert(table.dvAt(table.currentVersion).exists(_._1 == "g1"))
+  }
+
+  test("materializeDv: rewrites exactly the named buckets, retires the vector; vacuum retires unreachable _dv files") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = tmp("dvmat")
+    val nB = 8
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = nB)))
+    table.seed((0 until 64).map(i => c(i.toLong, s"b$i", i.toLong)).toDF()) // v0
+    // an untouched-bucket witness: a key in a bucket the purge misses
+    val purged = Seq("t1_3", "t1_7")
+    val purgedBuckets = purged
+      .map(k => Livestream.keyBucketValue(k, nB).toString).toSet
+    assert(table.purgeKeys(purged.toDF("idstr"), dv = true) === 2L)   // v1
+    assert(table.dvAt(1L).nonEmpty)
+    val m1 = table.manifest(1L)
+    val n = table.materializeDv()                                     // v2
+    assert(n === purgedBuckets.size)
+    // (a) the carried d-file shrinks to the un-rewritten remainder —
+    // here empty: every named bucket rewrote
+    assert(table.dvAt(table.currentVersion).isEmpty)
+    // (b) bytes rewritten = the named buckets only: every other bucket
+    // carries BY REFERENCE (same manifest entry)
+    val m2 = table.manifest(2L)
+    m1.keys.foreach { pt =>
+      if (purgedBuckets(pt)) assert(m2(pt) === 2L)
+      else assert(m2(pt) === m1(pt), s"untouched bucket $pt rewritten")
+    }
+    // the suppressed bytes left the data files
+    assert(spark.read.parquet(table.current.inputFiles: _*)
+      .filter(col("idstr").isin(purged: _*)).count() === 0L)
+    assert(table.current.count() === 62L)
+    // (c) old versions still read correctly through retained files and
+    // their own vector resolution
+    assert(table.at(0L).count() === 64L)
+    assert(table.at(1L).filter(col("idstr").isin(purged: _*)).count() === 0L)
+    assert(table.at(1L).count() === 62L)
+    // idempotent: no vector, nothing published
+    assert(table.materializeDv() === 0)
+    assert(table.currentVersion === 2L)
+    // a FULLY-suppressed bucket drops from the manifest on materialize
+    val b0Keys = (0 until 64).map(i => s"t1_$i")
+      .filter(k => Livestream.keyBucketValue(k, nB) == 0L)
+    assert(table.purgeKeys(b0Keys.toDF("idstr"), dv = true)
+      === b0Keys.size.toLong)                                         // v3
+    assert(table.materializeDv() === 1)                               // v4
+    assert(!table.manifest(4L).contains("0"))
+    assert(table.dvAt(4L).isEmpty)
+    // _dv retirement: d-files live at 1 (purge), 2 (empty carry),
+    // 3 (purge), 4 (empty carry); vacuum to the current version keeps
+    // only the newest d ≤ cutoff and everything above
+    table.vacuum(keep = 1)   // cutoff = 4
+    val dvFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = JFiles.list(JPaths.get(dir, "_dv"))
+      try s.iterator().asScala.map(_.getFileName.toString).toSet
+      finally s.close()
+    }
+    assert(dvFiles === Set("d=4"),
+      s"unreachable _dv files survived vacuum: $dvFiles")
+    assert(table.current.count() === 64L - 2L - b0Keys.size)
+  }
+
+  test("savepoint: a consistent multi-table world — merges between reads change nothing; vacuum refuses pinned components") {
+    import graft.streaming.Savepoint
+    val dir1 = tmp("sp_t1"); val dir2 = tmp("sp_t2"); val root = tmp("sp_root")
+    def mk(dir: String) = new Livestream.UpsertTable(spark, dir,
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    val facts = mk(dir1); val dim = mk(dir2)
+    facts.seed(Seq(c(1, "f1", 10), c(2, "f2", 20)).toDF())           // v0
+    dim.seed(Seq(c(1, "d1", 1)).toDF())                              // v0
+    facts.merge(Seq(c(3, "f3", 30)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // v1
+    val sp = Savepoint.create(root, "w1", Seq(facts, dim))
+    assert(sp.tables.values.toSet === Set(1L, 0L))
+    // read ONE side, then a merge publishes, then the other side: the
+    // composed world is still the pinned one
+    val factsAtSp = sp.read(facts).select("idstr").collect()
+      .map(_.getString(0)).toSet
+    dim.merge(Seq(c(9, "d9", 9)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // dim v1
+    facts.merge(Seq(c(4, "f4", 40)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // facts v2
+    val dimAtSp = sp.read(dim).select("idstr").collect()
+      .map(_.getString(0)).toSet
+    assert(factsAtSp === Set("t1_1", "t1_2", "t1_3"))
+    assert(dimAtSp === Set("t1_1"), "post-savepoint dim merge leaked " +
+      "into the pinned read")
+    // load() resolves the published vector; an unknown table refuses
+    val sp2 = Savepoint.load(root, "w1")
+    assert(sp2 === sp)
+    intercept[RuntimeException](sp2.versionOfPath("/nope"))
+    // vacuum REFUSES to erase a pinned component (facts pin = v1 < the
+    // keep-1 cutoff v2)...
+    val e = intercept[IllegalArgumentException](facts.vacuum(keep = 1))
+    assert(e.getMessage.contains("savepoint"))
+    assert(facts.versionAvailable(1L), "refusal must delete nothing")
+    // ...purge's erasure vacuum hits the same refusal (erasure must
+    // consciously outrank the snapshot — by dropping it). The purge
+    // VERSION still publishes (the snapshot stops serving the keys)
+    // before the history vacuum refuses — the act completes on retry
+    // after the drop, which is the safe partial order (suppress now,
+    // reclaim bytes after the operator decides).
+    val e2 = intercept[IllegalArgumentException](
+      facts.purge(Seq("t1_1"), eraseHistory = true))
+    assert(e2.getMessage.contains("savepoint"))
+    assert(facts.currentVersion === 3L)   // the purge version landed
+    assert(facts.current.filter(col("idstr") === "t1_1").count() === 0L)
+    // vacuum ABOVE the pin proceeds (facts v0 < pin v1 is reclaimable)
+    facts.vacuum(keep = 3)
+    assert(!facts.versionAvailable(0L) && facts.versionAvailable(1L))
+    // drop retires the vector first, then the pins — vacuum unblocks
+    Savepoint.drop(root, "w1", Seq(facts, dim))
+    assert(Savepoint.list(root).isEmpty)
+    facts.vacuum(keep = 1)
+    assert(!facts.versionAvailable(1L) && facts.versionAvailable(3L))
+    // a TORN create (pins written, vector crash): load refuses — no
+    // half-pinned world ever resolves — and drop() is the recovery
+    facts.asInstanceOf[Livestream.UpsertTable]
+    val torn = Savepoint.create(root, "torn", Seq(facts))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "sp=torn"))
+    intercept[IllegalArgumentException](Savepoint.load(root, "torn"))
+    assert(facts.savepointPins.contains("torn"), "orphan pin must hold")
+    Savepoint.drop(root, "torn", Seq(facts))
+    assert(!facts.savepointPins.contains("torn"))
+    assert(torn.name === "torn")
+  }
+
+  test("migrate: rename/retype/drop rewrite under a new generation — stale handle refuses, CDC crosses at own shapes, crash leaves old serving") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("migrate")
+    val part = Some(Livestream.keyBucket(nBuckets = 4))
+    val t1 = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1), partitioning = part)
+    t1.seed(Seq(c(1, "b1", 10), c(2, "b2", 20), c(3, "b3", 30)).toDF()) // v0
+    val to = StructType(Seq(
+      StructField("idstr", StringType), StructField("author", StringType),
+      StructField("body", StringType),
+      StructField("score_s", StringType), StructField("body_len", LongType)))
+    // same-schema rewrite refused (that is optimize's job)
+    val e0 = intercept[IllegalArgumentException](
+      t1.migrate(t1.currentSchema, identity))
+    assert(e0.getMessage.contains("same-schema"))
+    // a transform missing a target column fails loudly
+    val eM = intercept[IllegalArgumentException](
+      t1.migrate(to, df => df.drop("textlen")))
+    assert(eM.getMessage.contains("score_s"))
+    // the migration: rename textlen→body_len, retype score→string,
+    // drop everything else; one row filtered out (a delete across CDC)
+    t1.migrate(to, df => df
+      .filter(col("idstr") =!= "t1_3")
+      .withColumnRenamed("textlen", "body_len")
+      .withColumn("score_s", concat(lit("s"), col("score"))))          // v1
+    // the OLD handle is done — the widen-only validator refuses it
+    val eStale = intercept[IllegalArgumentException](t1.current)
+    assert(eStale.getMessage.contains("WIDEN-ONLY") ||
+      eStale.getMessage.contains("type"))
+    // reopen with the new shape
+    val entity2 = Merge.Entity(textCol = "body",
+      editTextCol = "previous_body", updatable = Seq("score_s"),
+      frozen = Seq("author", "body_len"))
+    val t2 = new Livestream.UpsertTable(spark, dir, entity2,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(to.fields.map(_.copy(nullable = true)))),
+      outputPartitions = Some(1), partitioning = part)
+    val rows = t2.current.collect()
+      .map(r => r.getAs[String]("idstr") -> r.getAs[String]("score_s")).toMap
+    assert(rows === Map("t1_1" -> "s10", "t1_2" -> "s20"))
+    // time travel returns the shape AS OF the version
+    assert(t2.at(0L).columns.contains("textlen"))
+    assert(!t2.at(0L).columns.contains("body_len"))
+    assert(t2.migrations === Seq(1L))
+    // CDC across the boundary: every surviving key an update with
+    // before at the OLD generation and after at the NEW; the filtered
+    // key a delete
+    val ch = t2.changes(0L, 1L)
+    assert(ch.columns.contains("before_textlen") &&
+      ch.columns.contains("after_body_len") &&
+      ch.columns.contains("before_score") &&
+      ch.columns.contains("after_score_s"))
+    val kinds = ch.select("kind", "idstr").collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(kinds === Map("t1_1" -> "update", "t1_2" -> "update",
+      "t1_3" -> "delete"))
+    // a post-migration merge with the NEW handle works
+    t2.merge(Seq(("t1_4", null: String, null: String, "s40", 2L))
+      .toDF("idstr", "author", "body", "score_s", "body_len")
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))  // v2
+    assert(t2.current.count() === 3L)
+    // non-crossing ranges still use the aligned-read CDC
+    assert(t2.changes(1L, 2L).filter(col("kind") === "insert").count() === 1L)
+    // CRASH REHEARSAL: stage a fake half-migration for v3 (schema file
+    // written, pointer never moved) — the old version keeps serving and
+    // a plain merge REFUSES to adopt the orphan generation
+    val orphan = StructType(Seq(StructField("idstr", StringType),
+      StructField("renamed_again", LongType)))
+    val d = java.nio.file.Paths.get(dir, "_schema")
+    java.nio.file.Files.write(d.resolve("s=3"), orphan.json.getBytes)
+    assert(t2.current.count() === 3L, "staged migration must not serve")
+    val eOrphan = intercept[IllegalArgumentException](
+      t2.merge(Seq(("t1_5", null: String, null: String, "s50", 2L))
+        .toDF("idstr", "author", "body", "score_s", "body_len")
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false)))
+    assert(eOrphan.getMessage.contains("STAGED"))
+    // the documented recovery: re-run the migration that staged it
+    // (here: retire the orphan instead) — merges proceed again
+    java.nio.file.Files.delete(d.resolve("s=3"))
+    t2.merge(Seq(("t1_5", null: String, null: String, "s50", 2L))
+      .toDF("idstr", "author", "body", "score_s", "body_len")
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))  // v3
+    assert(t2.current.count() === 4L)
+  }
+
+  test("cdcApplySession: dirty-group rescan equals the batch rescan under inserts, score moves, and DV deletes") {
+    import graft.operators.Scd
+    val dir = tmp("cdcsess")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)))
+    // authors g0/g1/g2, events on the score axis
+    val rows = (0 until 24).map(i =>
+      C(i.toLong, s"t1_$i", i.toLong, s"g${i % 3}", "p", "s",
+        s"b$i", (i * 40).toLong, "sub", null, 2L))
+    table.seed(rows.toDF())                                           // v0
+    val base = Scd.cdcBaseSession(table.at(0L), "author", "score", 100L)
+    // merge: score moves split/join sessions; one brand-new author
+    val batch = Seq(
+      C(3, "t1_3", 3, "g0", "p", "s", "b3", 1000L, "sub", null, 2L),
+      C(100, "t1_100", 100, "g9", "p", "s", "x", 5L, "sub", null, 1L))
+    table.merge(batch.toDF().withColumn("_seq", lit(0L)), "_seq",
+      storeEdits = Some(false))                                       // v1
+    val v1 = Scd.cdcApplySession(base, table.changes(0L, 1L),
+      table.at(1L), "author", "score", 100L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("author", "session_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(canon(v1) === canon(
+      Scd.cdcBaseSession(table.at(1L), "author", "score", 100L)))
+    // a DV purge rides changes() as deletes; touched groups re-collapse
+    assert(table.purgeKeys(Seq("t1_0", "t1_100").toDF("idstr"),
+      dv = true) === 2L)                                              // v2
+    val v2 = Scd.cdcApplySession(v1, table.changes(1L, 2L),
+      table.at(2L), "author", "score", 100L)
+    assert(canon(v2) === canon(
+      Scd.cdcBaseSession(table.at(2L), "author", "score", 100L)))
+    // the fully-purged new author's sessions vanished
+    assert(!canon(v2).exists(_._1 == "g9"))
+  }
+
+  test("basis registry: vacuumRetain refuses from registered bases even when the caller pins nothing") {
+    var now = 1000000L
+    val dir = tmp("basereg")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)),
+      clock = () => now)
+    table.seed(Seq(c(1, "a", 1), c(2, "b", 5)).toDF())               // v0
+    val root = tmp("basereg_view")
+    graft.streaming.StreamTopK.seedView(table, root, "subreddit",
+      "idstr", "score", 2)
+    // the artifact registered its basis on publish — visible to the store
+    assert(table.registeredBases.get(root).contains(0L))
+    now += 10000
+    table.merge(Seq(c(3, "d", 9)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // v1
+    now += 10000000
+    // the caller FORGETS the pin — retention still refuses, because the
+    // registry knows the recorded basis
+    val e = intercept[IllegalArgumentException](table.vacuumRetain(1000L))
+    assert(e.getMessage.contains("_bases"))
+    assert(table.versionAvailable(0L), "refusal must delete nothing")
+    // a refresh advances the registered basis; retention then proceeds
+    graft.streaming.StreamTopK.refresh(spark, table, root, "subreddit",
+      "idstr", "score", 2)
+    assert(table.registeredBases.get(root).contains(1L))
+    table.vacuumRetain(1000L)
+    assert(!table.versionAvailable(0L) && table.versionAvailable(1L))
+    // unregister retires the pin entirely
+    table.unregisterBasis(root)
+    assert(!table.registeredBases.contains(root))
+  }
 }
