@@ -513,6 +513,117 @@ object PipelineQueries {
       table
     })
 
+  private val builtCcnetPipelines = new java.util.concurrent.ConcurrentHashMap[
+    String, (Livestream.UpsertTable, Livestream.UpsertTable)]()
+
+  /** The CCNet pipeline MAINTAINED BY THE STREAM — the r17 batch
+    * composition's incremental twin, wiring three maintained artifacts
+    * into one pipeline:
+    *
+    *  - PHASE 1 (model): the langid gram counts maintained over the
+    *    train split ([[incrementalLangid]] — 4 real micro-batches;
+    *    maintained counts ≡ batch counts is q_langid_incremental's
+    *    proven gate, so the serving profiles are the batch trainer's).
+    *  - PHASE 2 (corpus): the WHOLE planted corpus streams in 4 real
+    *    micro-batches through a composite foreachBatch sink that per
+    *    batch (a) ROUTES against the final phase-1 profiles (training
+    *    precedes routing in the batch plan too — scores are
+    *    functionals of the FINAL model, which is why tertiles stay a
+    *    serve-time device), (b) MIN-FOLDS the routed batch into the
+    *    deduped-corpus store keyed `lang:md5(text)` — the fold is
+    *    commutative, so admission is ORDER-INDEPENDENT and converges
+    *    to batch dedup's min-doc_id survivor regardless of micro-batch
+    *    arrival order, and the store read is bucket-pruned to the
+    *    batch's keys ([[Livestream.UpsertTable.scanForKeys]]), (c)
+    *    adds the NEWLY-admitted keys' token counts to the per-language
+    *    LM ([[graft.streaming.StreamNb]]'s count table — duplicates
+    *    share text, so the counts are survivor-independent and each
+    *    distinct (lang, text) counts exactly once).
+    *
+    * Returns (deduped-corpus store, LM count table). Serving re-scores
+    * the maintained corpus against the maintained counts through the
+    * batch scorer's own FromCounts core, then tertiles + mixture-
+    * samples — hash-equal to the batch plan by construction. */
+  private def incrementalCcnet(s: SparkSession, dir: String):
+      (Livestream.UpsertTable, Livestream.UpsertTable) =
+    builtCcnetPipelines.computeIfAbsent(memoKey(s, dir), _ => {
+      import graft.operators.Merge
+      val langidTable = incrementalLangid(s, dir)          // phase 1
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ccnet")
+      deleteOnExit(tmp)
+      val dedupEntity = Merge.Entity(textCol = "body",
+        editTextCol = "previous_body", updatable = Seq("doc_id"),
+        frozen = Seq("author", "lang_pred", "text"))
+      val emptyDedup = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("idstr",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("author",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("body",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang_pred",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val dedup = new Livestream.UpsertTable(s, tmp.resolve("dedup").toString,
+        dedupEntity, emptyDedup, outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      val lm = graft.streaming.StreamNb.table(s, tmp.resolve("lm").toString)
+      val planted = langidPlanted(Tables.load(s, dir, "documents"))
+        .select("doc_id", "text")
+      val src = tmp.resolve("in").toString
+      planted.repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", tmp.resolve("ckp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val profiles = graft.streaming.StreamLangid
+            .profiles(langidTable, 64).localCheckpoint(false)
+          val routed = TextAnalysis.langidByProfiles(batch, "doc_id",
+              "text", profiles)
+            .join(batch.select("doc_id", "text"), Seq("doc_id"))
+          // per-key min-fold candidates (duplicates share text, so any
+          // deterministic pick of the non-key columns is THE value)
+          val cand = routed
+            .withColumn("idstr",
+              concat(col("lang_pred"), lit(":"), md5(col("text"))))
+            .groupBy("idstr").agg(min("doc_id").as("doc_id"),
+              min("lang_pred").as("lang_pred"), min("text").as("text"))
+            .localCheckpoint(false)
+          // bucket-pruned current rows for exactly this batch's keys
+          val cur = dedup.scanForKeys(cand)
+            .select(col("idstr"), col("doc_id").as("_doc0"))
+          // newly-admitted contents feed the LM exactly once
+          val fresh = cand.join(cur, Seq("idstr"), "left_anti")
+            .localCheckpoint(false)
+          if (!fresh.isEmpty)
+            graft.streaming.StreamNb.ingest(lm, fresh, "idstr", "text",
+              "lang_pred", seqBase = batchId)
+          val rows = cand.join(cur, Seq("idstr"), "left")
+            .select(col("idstr"),
+              lit(null).cast("string").as("author"),
+              lit(null).cast("string").as("body"),
+              least(col("doc_id"),
+                coalesce(col("_doc0"), col("doc_id"))).as("doc_id"),
+              col("lang_pred"), col("text"))
+            .withColumn("_seq",
+              lit(batchId) * 1000000000L + monotonically_increasing_id())
+            .persist()
+          try { if (!rows.isEmpty)
+            dedup.merge(rows, "_seq", storeEdits = Some(false)) }
+          finally rows.unpersist()
+        }
+        .start()
+      q.awaitTermination()
+      (dedup, lm)
+    })
+
   private val builtHistTables =
     new java.util.concurrent.ConcurrentHashMap[String, Livestream.UpsertTable]()
 
@@ -875,6 +986,33 @@ object PipelineQueries {
         .filter(col("_rn") === 1).drop("_rn")
       val scored = TextAnalysis.unigramSurprisalBy(deduped, "doc_id",
         "text", "lang_pred")
+      val tert = TextAnalysis.tertilesBy(scored, "lang_pred",
+        "mean_surprisal_bp")
+      TextAnalysis.stratifiedSample(tert, "doc", "tertile",
+          Map("head" -> 80, "middle" -> 50, "tail" -> 10))
+        .select(col("doc").as("doc_id"), col("lang_pred"), col("tertile"),
+          col("mean_surprisal_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // The CCNet pipeline MAINTAINED BY THE STREAM (incrementalCcnet):
+    // langid model + deduped corpus + per-language LM counts each
+    // stream-maintained across real micro-batches; serving re-scores
+    // the maintained corpus against the maintained counts through the
+    // batch scorer's own FromCounts core, then tertiles + samples.
+    // Shares q_pipeline_ccnet's oracle VERBATIM — a drift anywhere in
+    // the maintained chain (a misrouted doc, a wrong dedup survivor, a
+    // double-counted LM token, a moved tertile boundary) hash-
+    // mismatches. Build runs as untimed setup (Bench.IncrementalSetup);
+    // the timed body serves from the maintained artifacts.
+    "q_pipeline_ccnet_incremental" -> ((s, dir) => {
+      val (dedup, lm) = incrementalCcnet(s, dir)
+      val corpus = dedup.current
+        .select(col("doc_id"), col("lang_pred"), col("text"))
+      val counts = graft.streaming.StreamNb.tokenCounts(lm)
+        .select(col("c").as("lang_pred"), col("tok"), col("cnt"))
+      val scored = TextAnalysis.unigramSurprisalByFromCounts(corpus,
+        "doc_id", "text", "lang_pred", counts)
       val tert = TextAnalysis.tertilesBy(scored, "lang_pred",
         "mean_surprisal_bp")
       TextAnalysis.stratifiedSample(tert, "doc", "tertile",
@@ -4355,32 +4493,13 @@ object PipelineQueries {
          FROM test t LEFT JOIN best b USING (doc_id)
          ORDER BY t.doc_id"""
 
-  private val oraclesRaw: Map[String, String] = Map(
-
-    // decremental takedown: train AND classify over corpus-minus-docs —
-    // the maintained model (subtract + purge-zeroed) must reproduce it
-    "q_takedown_nb" -> nbOracleFrom("WHERE doc_id % 7 != 3"),
-
-    "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
-
-    // the maintained model must converge to the batch counts, so the
-    // streamed serving path shares q_naive_bayes' oracle verbatim
-    "q_nb_incremental" -> nbOracle,
-
-    "q_naive_bayes" -> nbOracle,
-
-    // langid: full relational replay — plant the per-language
-    // permutations, re-train the trigram rank profiles on the train
-    // split, re-classify the held-out split, same integer weights and
-    // (score DESC, lang ASC) argmax. score = Σ w over OCCURRENCES on
-    // the engine ≡ Σ count·w here — identical integer sums.
-    "q_langid" -> langidOracle,
-
-    // the CCNet composition: the langid routing chain re-rooted at the
-    // whole corpus, then dedup → per-shard LM → tertiles → sample as
-    // chained CTEs, each the already-gated device's relational replay
-    "q_pipeline_ccnet" ->
-      """WITH planted AS (
+  /** The CCNet composition ground truth — the full chain replayed as
+    * chained CTEs (langid routing → per-language dedup → per-shard LM →
+    * tertiles → mixture sample), shared VERBATIM by the batch
+    * composition (q_pipeline_ccnet) and its stream-maintained twin
+    * (q_pipeline_ccnet_incremental). */
+  private val ccnetOracle: String =
+    """WITH planted AS (
            SELECT doc_id, lang,
                   CASE lang
                     WHEN 'es' THEN translate(regexp_replace(text, '[^ -~]', '', 'g'), 'aeiou', 'eioua')
@@ -4462,7 +4581,40 @@ object PipelineQueries {
                CASE tertile WHEN 'head' THEN 'cccc'
                             WHEN 'middle' THEN '8000'
                             ELSE '1999' END
-         ORDER BY doc_id""",
+         ORDER BY doc_id"""
+
+  private val oraclesRaw: Map[String, String] = Map(
+
+    // decremental takedown: train AND classify over corpus-minus-docs —
+    // the maintained model (subtract + purge-zeroed) must reproduce it
+    "q_takedown_nb" -> nbOracleFrom("WHERE doc_id % 7 != 3"),
+
+    "q_kmeans" -> kmeansOracle(k = 8, iters = 4),
+
+    // the maintained model must converge to the batch counts, so the
+    // streamed serving path shares q_naive_bayes' oracle verbatim
+    "q_nb_incremental" -> nbOracle,
+
+    "q_naive_bayes" -> nbOracle,
+
+    // langid: full relational replay — plant the per-language
+    // permutations, re-train the trigram rank profiles on the train
+    // split, re-classify the held-out split, same integer weights and
+    // (score DESC, lang ASC) argmax. score = Σ w over OCCURRENCES on
+    // the engine ≡ Σ count·w here — identical integer sums.
+    "q_langid" -> langidOracle,
+
+    // the CCNet composition: the langid routing chain re-rooted at the
+    // whole corpus, then dedup → per-shard LM → tertiles → sample as
+    // chained CTEs, each the already-gated device's relational replay
+    "q_pipeline_ccnet" -> ccnetOracle,
+
+    // the maintained pipeline serves the SAME final state after real
+    // micro-batches — oracle shared VERBATIM (the q_dsir_incremental
+    // pairing device at pipeline scale): langid model, dedup
+    // admission, LM counts, tertiles, and the sample all face the
+    // batch composition's exact gate
+    "q_pipeline_ccnet_incremental" -> ccnetOracle,
 
     // the maintained gram-count model must converge to the batch
     // counts, so the streamed serving path shares q_langid's oracle

@@ -665,6 +665,114 @@ object TimesearchQueries {
         .orderBy("idstr")
     }),
 
+    // EXPLICIT MIGRATION — the sanctioned path THROUGH what widen-only
+    // evolution refuses (UpsertTable.migrate): the merged store
+    // rewrites wholesale under a new generation that RENAMES textlen →
+    // body_len, RETYPES score to a string form, and DROPS distinguish;
+    // the migrated handle is done by contract, so the read reopens
+    // with the new shape (the lifecycle the query demonstrates).
+    // Oracle: the replayed merge re-projected by the same rename/
+    // retype/drop — a lost row, a stale-generation read, or a retype
+    // drift hash-mismatches.
+    "q_schema_migrate" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_smig")
+      val part = Some(Livestream.keyBucket(nBuckets = 16))
+      val t1 = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0),
+        outputPartitions = Some(1), partitioning = part)
+      t1.seed(oldComments(s, dir))                                    // v0
+      t1.merge(newComments(s, dir), "_seq", storeEdits = Some(false)) // v1
+      import org.apache.spark.sql.types._
+      val to = StructType(Seq(
+        StructField("idint", LongType), StructField("idstr", StringType),
+        StructField("created", LongType), StructField("author", StringType),
+        StructField("parent", StringType),
+        StructField("submission", StringType),
+        StructField("body", StringType),
+        StructField("score_s", StringType),
+        StructField("subreddit", StringType),
+        StructField("body_len", LongType)))
+      t1.migrate(to, df => df
+        .withColumnRenamed("textlen", "body_len")
+        .withColumn("score_s", concat(lit("s"), col("score")))
+        .drop("score", "distinguish"))                                // v2
+      // the old handle is DONE (widen-only validator refuses it) —
+      // reopen with the migrated shape to read
+      val entity2 = Merge.Entity(textCol = "body",
+        editTextCol = "previous_body", updatable = Seq("score_s"),
+        frozen = Seq("author"))
+      val t2 = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        entity2, s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], to),
+        outputPartitions = Some(1), partitioning = part)
+      t2.current.orderBy("idstr")
+    }),
+
+    // CROSS-STORE CONSISTENT SNAPSHOT: two independent versioned
+    // stores churn to v2, but the reader composes the WORLD a
+    // savepoint pinned at v1 of both — merges publishing between (and
+    // after) the pins change nothing the savepoint serves. Oracle: the
+    // PARTIAL replay (only the first fact batch, only the first two
+    // dim batches) joined — a read that leaked any post-savepoint
+    // state hash-mismatches against the pinned world.
+    "q_snapshot_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap")
+      val facts = new Livestream.UpsertTable(s, tmp.resolve("f").toString,
+        Merge.comments, oldComments(s, dir).limit(0),
+        outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      facts.seed(oldComments(s, dir))                                 // v0
+      val nc = newComments(s, dir)
+      facts.merge(nc.filter(col("idint") % 4 === 0), "_seq",
+        storeEdits = Some(false))                                     // v1
+      val dim = new Livestream.UpsertTable(s, tmp.resolve("d").toString,
+        dimEntity, dimUsers(s, dir, 0).drop("_seq").limit(0),
+        outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      dim.seed(dimUsers(s, dir, 0).drop("_seq"))                      // v0
+      dim.merge(dimUsers(s, dir, 1), "_seq", storeEdits = Some(false)) // v1
+      val sp = graft.streaming.Savepoint.create(
+        tmp.resolve("sps").toString, "world_v1", Seq(facts, dim))
+      // the world churns ON past the pins
+      facts.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
+        storeEdits = Some(false))                                     // v2
+      dim.merge(dimUsers(s, dir, 2), "_seq", storeEdits = Some(false)) // v2
+      sp.read(facts).select(col("idstr"), col("author"), col("score"))
+        .join(sp.read(dim).select(col("idstr").as("author"), col("tier"),
+          col("region_c")), Seq("author"))
+        .select(col("idstr"), col("author"), col("score"), col("tier"),
+          col("region_c"))
+        .orderBy("idstr")
+    }),
+
+    // SESSION-WINDOW IVM — the data-dependent window closing the
+    // applier-family matrix (Scd.cdcApplySession): per-author sessions
+    // on the SCORE axis (scores change across the merges, so session
+    // boundaries genuinely move — splits and merges included),
+    // maintained from version-range deltas by the dirty-GROUP rescan
+    // (touched authors re-sessionize from the pruned snapshot,
+    // untouched authors serve verbatim). Oracle: the final merged
+    // state re-sessionized by the q_sessionize lag/cumsum replay.
+    "q_cdc_session" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcsess")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                 // v0
+      val nc = newComments(s, dir)
+      table.merge(nc.filter(col("idint") % 4 === 0), "_seq",
+        storeEdits = Some(false))                                     // v1
+      table.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
+        storeEdits = Some(false))                                     // v2
+      val base = graft.operators.Scd.cdcBaseSession(table.at(0L),
+        "author", "score", 500L)
+      val v1 = graft.operators.Scd.cdcApplySession(base,
+        table.changes(0L, 1L), table.at(1L), "author", "score", 500L)
+      graft.operators.Scd.cdcApplySession(v1,
+          table.changes(1L, 2L), table.at(2L), "author", "score", 500L)
+        .orderBy("author", "session_id")
+    }),
+
     // PREDICATE takedown — the form erasure requests actually arrive in
     // ("erase every document by these authors"): UpsertTable.purgeWhere
     // resolves the keys from the current snapshot, rewrites ONLY the
@@ -1892,8 +2000,12 @@ object TimesearchQueries {
   /** The old/new comment-store CTEs (oldComments/newComments mirrored)
     * and the merge SELECT, shared by the upsert oracle and the
     * version-range CDC oracle (which time-travels between them). */
-  private val oldNewCtes: String =
-    """WITH old AS (
+  /** [[oldNewCtes]] with a parameterized `new`-batch predicate — the
+    * savepoint oracle replays the PARTIAL merge state (only the first
+    * batch landed) by narrowing the filter; the default keeps the
+    * original text byte-compatible. */
+  private def oldNewCtesWhere(newWhere: String): String =
+    s"""WITH old AS (
          SELECT CAST(event_id AS BIGINT) AS idint, 'e'||event_id AS idstr,
                 user_id AS created, 'u'||user_id AS author,
                 'p0' AS parent, 's0' AS submission, props AS body,
@@ -1910,7 +2022,9 @@ object TimesearchQueries {
                 CAST(round(value*100) AS BIGINT) + 1 AS score, 'sub' AS subreddit,
                 CAST(NULL AS VARCHAR) AS distinguish,
                 CAST(length(CASE WHEN event_id % 5 = 0 THEN '[removed]' ELSE props||'-v2' END) AS BIGINT) AS textlen
-         FROM events WHERE event_id % 2 = 0)"""
+         FROM events WHERE $newWhere)"""
+
+  private val oldNewCtes: String = oldNewCtesWhere("event_id % 2 = 0")
 
   private val mergedSelect: String =
     """SELECT COALESCE(o.idint, n.idint) AS idint,
@@ -1966,7 +2080,8 @@ object TimesearchQueries {
          SELECT (score - (score % 200)) - k * 200 AS w_start,
                 distinguish, textlen
          FROM (SELECT score, distinguish, textlen,
-                      unnest(range(0, 3)) AS k FROM merged) t0)
+                      unnest(range(0, 3)) AS k FROM merged
+               WHERE score IS NOT NULL) t0)
        SELECT w_start, distinguish, CAST(count(*) AS BIGINT) AS n_rows,
               CAST(sum(textlen) AS BIGINT) AS sum_len
        FROM member GROUP BY w_start, distinguish
@@ -2162,6 +2277,71 @@ object TimesearchQueries {
          FROM merged m JOIN b3 b ON m.idstr = b.idstr
          ORDER BY m.idstr""",
 
+    // explicit migration: the replayed merge re-projected by the same
+    // rename (textlen → body_len), retype (score → 's'||score), and
+    // drop (distinguish) — the oracle never sees the store, so a lost
+    // row, a stale-generation read, or a retype drift hash-mismatches
+    "q_schema_migrate" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect)
+         SELECT idint, idstr, created, author, parent, submission, body,
+                's'||score AS score_s, subreddit, textlen AS body_len
+         FROM merged
+         ORDER BY idstr""",
+
+    // the savepoint-pinned world: only the FIRST fact batch (event_id
+    // % 4 = 0 — the %2 batch narrowed to its first half) and the first
+    // TWO dim batches existed at the pins; the oracle replays exactly
+    // that partial state, so any leak of post-savepoint data into the
+    // pinned read hash-mismatches
+    "q_snapshot_join" ->
+      s"""${oldNewCtesWhere("event_id % 4 = 0")},
+         merged AS (
+           $mergedSelect),
+         users AS (SELECT DISTINCT user_id FROM events),
+         dimall AS (
+           SELECT 'u'||user_id AS du, 't'||(user_id % 4) AS tier,
+                  CAST(user_id % 10 AS BIGINT) AS region_c, 0 AS b
+           FROM users WHERE user_id % 3 = 0
+           UNION ALL
+           SELECT 'u'||user_id, 't'||((user_id + 1) % 4),
+                  CAST(user_id % 10 + 100 AS BIGINT), 1
+           FROM users WHERE user_id % 3 = 1 OR user_id % 5 = 0),
+         dim AS (
+           SELECT du, tier, region_c FROM (
+             SELECT *, row_number() OVER (PARTITION BY du ORDER BY b DESC)
+               AS rn
+             FROM dimall) WHERE rn = 1)
+         SELECT m.idstr, m.author, m.score, d.tier, d.region_c
+         FROM merged m JOIN dim d ON m.author = d.du
+         ORDER BY m.idstr""",
+
+    // session IVM: the final merged state re-sessionized per author on
+    // the score axis — the q_sessionize lag/cumsum replay; a stale
+    // session served for a touched author, or a dropped untouched one,
+    // hash-mismatches
+    "q_cdc_session" ->
+      s"""$oldNewCtes,
+         merged AS (
+           $mergedSelect),
+         m AS (SELECT author, score AS t FROM merged),
+         x AS (
+           SELECT author, t,
+                  CASE WHEN t - lag(t) OVER (PARTITION BY author ORDER BY t) > 500
+                         OR lag(t) OVER (PARTITION BY author ORDER BY t) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM m),
+         sg AS (
+           SELECT author, t,
+                  SUM(new_s) OVER (PARTITION BY author ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM x)
+         SELECT author, CAST(session_id AS BIGINT) AS session_id,
+                min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
+         FROM sg GROUP BY author, session_id
+         ORDER BY author, session_id""",
+
     // predicate takedown: the replayed merge MINUS the erased authors —
     // the oracle never sees the purge, so both failure directions
     // (retained purged rows, dropped innocent rows) hash-mismatch
@@ -2339,7 +2519,8 @@ object TimesearchQueries {
                   x.tier, x.score
            FROM (SELECT m.score AS score, d.tier AS tier,
                         unnest(range(0, 3)) AS k
-                 FROM merged m JOIN dim d ON m.author = d.du) x)
+                 FROM merged m JOIN dim d ON m.author = d.du
+                 WHERE m.score IS NOT NULL) x)
          SELECT w_start, tier, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(score) AS BIGINT) AS sum_m
          FROM member GROUP BY w_start, tier

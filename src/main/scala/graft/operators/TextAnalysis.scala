@@ -944,13 +944,36 @@ object TextAnalysis {
     * (the family contract). */
   def unigramSurprisalBy(df: DataFrame, id: String, text: String,
       group: String): DataFrame = {
-    val tf = df
-      .select(col(group).as("_g"), col(id).as("doc"),
+    val tf = groupedPostings(df, id, text, group)
+    unigramSurprisalByCore(tf,
+      tf.groupBy("_g", "tok").agg(sum("tf").as("cnt")), group)
+  }
+
+  /** [[unigramSurprisalBy]] scoring against an ALREADY-aggregated
+    * per-group (group, tok, cnt) count model — the serving entry for
+    * maintained models (e.g. the CCNet pipeline's stream-maintained
+    * per-language LM, [[graft.streaming.StreamNb]]'s count table):
+    * shared scoring core with the batch trainer, so maintained ≡ batch
+    * holds structurally once the counts agree. Docs whose tokens miss
+    * the model contribute no surprisal for those tokens (the self-
+    * scoring contract assumes the model covers the corpus — true when
+    * the model was maintained over exactly this corpus). */
+  def unigramSurprisalByFromCounts(df: DataFrame, id: String,
+      text: String, group: String, counts: DataFrame): DataFrame =
+    unigramSurprisalByCore(groupedPostings(df, id, text, group),
+      counts.select(col(group).as("_g"), col("tok"), col("cnt")), group)
+
+  /** Shared (group, doc, tok, tf) postings pass of the per-group LM. */
+  private def groupedPostings(df: DataFrame, id: String, text: String,
+      group: String): DataFrame =
+    df.select(col(group).as("_g"), col(id).as("doc"),
         explode(tokenize(col(text))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("_g", "doc", "tok").agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)  // feeds counts, totals, and the scoring join
-    val cnt = tf.groupBy("_g", "tok").agg(sum("tf").as("cnt"))
+
+  private def unigramSurprisalByCore(tf: DataFrame, cnt: DataFrame,
+      group: String): DataFrame = {
     val tot = cnt.groupBy("_g").agg(sum("cnt").as("t"))
     // mirrored literally in the DuckDB oracle
     val surpBp = floor(log(col("t").cast("double") / col("cnt")) * 10000)

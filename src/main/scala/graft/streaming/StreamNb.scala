@@ -76,6 +76,16 @@ object StreamNb {
     finally rows.unpersist()
   }
 
+  /** Batch-shaped ingest: fold one ALREADY-ADMITTED document batch's
+    * counts into the model table — the composite-pipeline entry for
+    * foreachBatch sinks that gate admission themselves (e.g. the CCNet
+    * pipeline's dedup-gated per-language LM: only newly-admitted
+    * distinct contents count). Same each-doc-exactly-once admission
+    * contract as [[nbSink]]; the caller owns it. */
+  def ingest(table: Livestream.UpsertTable, docs: DataFrame, id: String,
+      text: String, label: String, seqBase: Long): Unit =
+    applyCounts(table, nbDelta(docs, id, text, label), seqBase)
+
   /** Wire a labeled document stream into the model table — the additive
     * read-modify-write of the sketch/model sinks; same `_seq` and
     * empty-batch contract. */
