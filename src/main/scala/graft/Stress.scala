@@ -751,12 +751,59 @@ object Stress {
         noNewFiles && manCarried &&
         dvCodesN == codesAfterPurge - presentDv.size &&
         dvRepurge == 0L && dvBackOk
-      ((countOk, replayOk, pruneOk, genOk, serveOk, purgeOk, dvOk), codesN)
+      // MATERIALIZE + SAVEPOINT at stress scale: pin the
+      // pre-materialize world, then materializeDv rewrites EXACTLY the
+      // remaining entries' buckets (the suppressed bytes leave the
+      // data files, every other bucket carries by reference), the
+      // vector resets, the pinned read still serves, vacuum REFUSES
+      // until the savepoint drops, and after the drop `_dv` retirement
+      // leaves only the file kept versions can reach.
+      val spRoot = s"$idxRoot/sps"
+      val preMatN = StreamAnn.codes(table).count()
+      val sp = streaming.Savepoint.create(spRoot, "pre_mat", Seq(table))
+      val entries = table.dvAt(table.currentVersion)
+      val entryBuckets = entries.map(_._1).toSet
+      val manPre = table.manifest(table.currentVersion)
+      val nMat = table.materializeDv()
+      val manPost = table.manifest(table.currentVersion)
+      val repointedMat = manPost.filter { case (pt, v) =>
+        !manPre.get(pt).contains(v) }.keySet
+      // raw files carry the store's physical key column (idstr), not
+      // the codes view's vid rename
+      val rawGone = stillGone.isEmpty || spark.read
+        .parquet(table.current.inputFiles: _*)
+        .filter(col("idstr").isin(stillGone.map(_.toString): _*))
+        .count() == 0L
+      val matOk = entries.nonEmpty && nMat == entryBuckets.size &&
+        table.dvAt(table.currentVersion).isEmpty &&
+        StreamAnn.codes(table).count() == preMatN &&
+        repointedMat == entryBuckets && rawGone
+      val spPinnedOk = sp.read(table).count() == preMatN
+      val spRefusedOk =
+        try { table.vacuum(keep = 1); false }
+        catch { case _: IllegalArgumentException =>
+          table.versionAvailable(sp.versionOf(table)) }
+      streaming.Savepoint.drop(spRoot, "pre_mat", Seq(table))
+      table.vacuum(keep = 1)
+      val dvDirFiles = {
+        val dvDir = java.nio.file.Paths.get(s"$idxRoot/codes", "_dv")
+        if (!java.nio.file.Files.exists(dvDir)) Nil
+        else {
+          import scala.jdk.CollectionConverters._
+          val st = java.nio.file.Files.list(dvDir)
+          try st.iterator().asScala.map(_.getFileName.toString).toList
+          finally st.close()
+        }
+      }
+      val spOk = spPinnedOk && spRefusedOk && dvDirFiles.size <= 1 &&
+        StreamAnn.codes(table).count() == preMatN
+      ((countOk, replayOk, pruneOk, genOk, serveOk, purgeOk, dvOk,
+        matOk, spOk), codesN)
     }
     val (idxCountOk, idxReplayOk, idxPruneOk, idxGenOk, idxServeOk,
-      idxPurgeOk, idxDvOk) = idxChecks
+      idxPurgeOk, idxDvOk, idxMatOk, idxSpOk) = idxChecks
     val idxOk = idxCountOk && idxReplayOk && idxPruneOk && idxGenOk &&
-      idxServeOk && idxPurgeOk && idxDvOk
+      idxServeOk && idxPurgeOk && idxDvOk && idxMatOk && idxSpOk
 
     val spillOk = spilledDisk.get() > 0
     val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk &&
@@ -801,6 +848,7 @@ object Stress {
       s""""idx_prune_ok":$idxPruneOk,"idx_gen_ok":$idxGenOk,""" +
       s""""idx_serve_ok":$idxServeOk,"idx_purge_ok":$idxPurgeOk,""" +
       s""""idx_dv_ok":$idxDvOk,""" +
+      s""""idx_mat_ok":$idxMatOk,"idx_sp_ok":$idxSpOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()

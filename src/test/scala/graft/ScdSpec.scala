@@ -361,6 +361,56 @@ class ScdSpec extends AnyFunSuite {
       cdc(b2, a2), Seq("g"), "m", "t", 10L, 7L))
   }
 
+  test("cdcApplySession: dirty-group rescan == batch sessionize on random snapshot CHAINS") {
+    // the session-IVM invariant: for ANY chain of snapshots — inserts,
+    // deletes, timestamp moves (session splits AND merges), group
+    // moves, null timestamps, whole groups dying — applying the diffs
+    // step by step reproduces the batch sessionizer's rescan exactly.
+    // The gap (35) vs the value grid (multiples of 20) makes both
+    // boundary directions common: one moved event can bridge two
+    // sessions or cleave one.
+    val rnd = new scala.util.Random(8118)
+    def snapshot(keys: Seq[Long]): Seq[(Long, String, Option[Long])] =
+      keys.map(k => (k, s"u${rnd.nextInt(6)}",
+        if (rnd.nextDouble() < 0.08) None
+        else Some(rnd.nextInt(40).toLong * 20)))
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      // all-null-ts groups carry NULL start/end (min/max of nothing);
+      // surface them as a sentinel instead of throwing
+      def lng(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+      df.orderBy("g", "session_id").collect()
+        .map(r => (r.getString(0), lng(r, 1), lng(r, 2),
+          lng(r, 3), lng(r, 4))).toSeq
+    }
+    for (round <- 1 to 4) {
+      val snaps = (0 to 3).map { _ =>
+        snapshot((0L until 50L).filter(_ => rnd.nextDouble() < 0.7))
+          .toDF("k", "g", "m")
+      }
+      var view = Scd.cdcBaseSession(snaps.head, "g", "m", 35L)
+      for (i <- 1 until snaps.size) {
+        view = Scd.cdcApplySession(view, asCdc(snaps(i - 1), snaps(i)),
+          snaps(i), "g", "m", 35L)
+        assert(canon(view) === canon(
+          Scd.cdcBaseSession(snaps(i), "g", "m", 35L)),
+          s"round $round step $i: session IVM drifted from rescan")
+      }
+    }
+    // untouched groups are served VERBATIM — with an empty snapshot in
+    // place of the real one, a rescan would return zero rows, so a
+    // surviving untouched group proves no rescan ran for it
+    val b = Seq((1L, "keep", Some(10L)), (2L, "keep", Some(20L)),
+      (3L, "dirty", Some(10L))).toDF("k", "g", "m")
+    val a = Seq((1L, "keep", Some(10L)), (2L, "keep", Some(20L)),
+      (3L, "dirty", Some(200L))).toDF("k", "g", "m")
+    val served = Scd.cdcApplySession(Scd.cdcBaseSession(b, "g", "m", 35L),
+        asCdc(b, a), a.filter(col("g") === "dirty"), "g", "m", 35L)
+      .collect().map(r => (r.getString(0), r.getLong(4))).toSeq
+    assert(served.toSet === Set(("keep", 2L), ("dirty", 1L)),
+      "untouched group not served verbatim (or dirty group not rescanned)")
+  }
+
   test("cdcApplyJoin: delta-maintained join view == rescan join on random snapshot CHAINS") {
     // the join-IVM invariant: for ANY chain of snapshots on BOTH tables
     // — inserts, deletes, in-place updates, and join-KEY CHURN on the
