@@ -1135,6 +1135,40 @@ object TimesearchQueries {
         .orderBy("author", "rk")
     }),
 
+    // The PRUNED session dirty-group rescan — the q_cdc_topk_pruned
+    // layout applied to the session applier: the fact store
+    // CO-PARTITIONS BY THE GROUP (author-hash buckets; key-stable
+    // because this feed never rewrites an author), so the rescan
+    // snapshot is a manifest-pruned scanForKeys read of the dirty
+    // authors' buckets — a correct over-approximation (bucket-mates
+    // ride along; the applier's semi-join prunes exactly). The dirty
+    // slice is deliberately small (one %31 user slice of score bumps)
+    // — the micro-batch-against-100TB shape. Oracle: the replayed
+    // bump re-sessionized — the pruned read must also be CORRECT.
+    "q_cdc_session_pruned" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcsp")
+      val facts = new Livestream.UpsertTable(s, tmp.resolve("f").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(pmod(xxhash64(col("author")), lit(16))))
+      facts.seed(oldComments(s, dir))                                 // v0
+      val bump = oldComments(s, dir).filter(col("created") % 31 === 0)
+        .withColumn("score", col("score") + lit(7L))
+        .withColumn("_seq", lit(0L))
+      facts.merge(bump, "_seq", storeEdits = Some(false))             // v1
+      val base = graft.operators.Scd.cdcBaseSession(facts.at(0),
+        "author", "score", 500L)
+      val ch = facts.changes(0L, 1L)
+      val dirtyAuthors = ch.filter(col("kind").isin("insert", "update"))
+        .select(col("after_author").as("author"))
+        .unionByName(ch.filter(col("kind").isin("delete", "update"))
+          .select(col("before_author").as("author")))
+        .distinct()
+      val snapPruned = facts.scanForKeys(dirtyAuthors)
+      graft.operators.Scd.cdcApplySession(base, ch, snapPruned,
+          "author", "score", 500L)
+        .orderBy("author", "session_id")
+    }),
+
     // TOP-K chained off the join view — the leaderboard over an
     // ENRICHED view, maintained end to end at |Δ| cost: the emitted
     // Δview is cdcApplyTopK's changes frame verbatim (fact key +
@@ -2468,6 +2502,31 @@ object TimesearchQueries {
          SELECT author, idstr, score_c, CAST(rk AS BIGINT) AS rk
          FROM ranked WHERE rk <= 3
          ORDER BY author, rk""",
+
+    // the pruned session rescan: the replayed %31 score bump
+    // re-sessionized per author — the manifest-pruned scanForKeys
+    // snapshot must also be CORRECT, not just narrow
+    "q_cdc_session_pruned" ->
+      """WITH oldc AS (
+           SELECT 'u'||user_id AS author,
+                  CAST(round(value*100) AS BIGINT)
+                    + CASE WHEN user_id % 31 = 0 THEN 7 ELSE 0 END AS t
+           FROM events WHERE event_id % 4 != 1),
+         x AS (
+           SELECT author, t,
+                  CASE WHEN t - lag(t) OVER (PARTITION BY author ORDER BY t) > 500
+                         OR lag(t) OVER (PARTITION BY author ORDER BY t) IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+           FROM oldc),
+         sg AS (
+           SELECT author, t,
+                  SUM(new_s) OVER (PARTITION BY author ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM x)
+         SELECT author, CAST(session_id AS BIGINT) AS session_id,
+                min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
+         FROM sg GROUP BY author, session_id
+         ORDER BY author, session_id""",
 
     // top-k over the joined view: the rescan join WINDOWED per tier —
     // the engine maintained the leaderboard from emitted view deltas

@@ -66,11 +66,19 @@ object Livestream {
     *        touched bucket. Raise it when single buckets are large
     *        enough that one write task per bucket becomes the straggler.
     * @param partitioning key-stable partition expression (see above);
-    *        None = legacy full-rewrite layout. */
+    *        None = legacy full-rewrite layout.
+    * @param dvAutoMaterialize deletion-vector size bound: when a
+    *        `dv = true` purge leaves MORE than this many live entries,
+    *        [[materializeDv]] runs immediately after the vector
+    *        publish — the self-maintaining form of the DV lifecycle
+    *        (daily small takedowns stay sidecar-cheap; the occasional
+    *        materialization pays the suppressed buckets, never the
+    *        table). None (default) = explicit-operator-call only. */
   final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
       emptyLike: DataFrame, outputPartitions: Option[Int] = None,
       partitioning: Option[Column] = None,
-      clock: () => Long = () => System.currentTimeMillis()) {
+      clock: () => Long = () => System.currentTimeMillis(),
+      dvAutoMaterialize: Option[Int] = None) {
     // The merge layer keys on Merge.KeyCol end-to-end (upsert window,
     // keyBucket default, the maxFiles>1 compaction salt below): require
     // it at construction so a key-less schema fails HERE with a named
@@ -780,6 +788,12 @@ object Livestream {
         writeManifest(next, prev)                 // carried by reference
         writeDvFile(next, dvAt(currentVersion) ++ fresh)
         publishAndPin(next)
+        // the self-maintaining lifecycle: past the bound, compact the
+        // suppressed buckets NOW instead of letting the sidecar (and
+        // its broadcast anti-join) grow until buckets happen to rewrite
+        dvAutoMaterialize.foreach { bound =>
+          if (dvAt(currentVersion).size > bound) materializeDv()
+        }
         return hits.length.toLong
       }
       partitioning match {

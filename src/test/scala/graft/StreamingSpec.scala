@@ -2453,6 +2453,65 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(table.current.count() === 64L - 2L - b0Keys.size)
   }
 
+  test("dvAutoMaterialize: past the bound, the purge compacts its own suppressed buckets immediately") {
+    val dir = tmp("dvauto")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 8)),
+      dvAutoMaterialize = Some(3))
+    table.seed((0 until 32).map(i => c(i.toLong, s"b$i", i.toLong)).toDF()) // v0
+    // 2 entries ≤ bound 3: the sidecar carries, nothing materializes
+    assert(table.purgeKeys(Seq("t1_3", "t1_7").toDF("idstr"), dv = true)
+      === 2L)                                                        // v1
+    assert(table.currentVersion === 1L)
+    assert(table.dvAt(1L).size === 2)
+    // 2 more → 4 > 3: the purge publishes the vector (v2) and then
+    // materializes it (v3) — the sidecar resets, the bytes leave
+    assert(table.purgeKeys(Seq("t1_11", "t1_13").toDF("idstr"), dv = true)
+      === 2L)                                                        // v2+v3
+    assert(table.currentVersion === 3L)
+    assert(table.dvAt(table.currentVersion).isEmpty)
+    val gone = Seq("t1_3", "t1_7", "t1_11", "t1_13")
+    assert(table.current.filter(col("idstr").isin(gone: _*)).count() === 0L)
+    assert(spark.read.parquet(table.current.inputFiles: _*)
+      .filter(col("idstr").isin(gone: _*)).count() === 0L,
+      "auto-materialize left suppressed bytes in the data files")
+    assert(table.current.count() === 28L)
+    // the intermediate vector version still time-travels correctly
+    assert(table.at(2L).count() === 28L)
+  }
+
+  test("savepoint pins an artifact basis: the pinned view version survives vacuumView(keep) and still serves") {
+    import graft.streaming.{Savepoint, StreamTopK}
+    val dir = tmp("sp_art"); val root = tmp("sp_art_view")
+    val spRoot = tmp("sp_art_root")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    table.seed(Seq(c(1, "a", 10), c(2, "b", 20)).toDF())             // v0
+    StreamTopK.seedView(table, root, "subreddit", "idstr", "score", 2)
+    val sp = Savepoint.create(spRoot, "w", Seq(table), Seq(root))
+    assert(sp.basisOf(root) === 0L)
+    // the artifact advances past the pin
+    table.merge(Seq(c(3, "d", 30)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                              // v1
+    StreamTopK.refresh(spark, table, root, "subreddit", "idstr", "score", 2)
+    assert(StreamTopK.basis(root) === 1L)
+    // vacuumView with the savepoint's basis kept: the pinned dir
+    // survives and still serves the pinned world (top-2 without the
+    // later score-30 arrival; the refreshed view leads with it)
+    StreamTopK.vacuumView(root, keep = Set(sp.basisOf(root)))
+    val pinnedView = spark.read.parquet(
+      java.nio.file.Paths.get(root, s"v=${sp.basisOf(root)}").toString)
+    assert(pinnedView.agg(max("m")).head().getLong(0) === 20L)
+    assert(StreamTopK.view(spark, root)
+      .agg(max("m")).head().getLong(0) === 30L)
+    // without the keep, the superseded pinned dir reclaims
+    StreamTopK.vacuumView(root)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, s"v=${sp.basisOf(root)}")))
+  }
+
   test("savepoint: a consistent multi-table world — merges between reads change nothing; vacuum refuses pinned components") {
     import graft.streaming.Savepoint
     val dir1 = tmp("sp_t1"); val dir2 = tmp("sp_t2"); val root = tmp("sp_root")
