@@ -2664,6 +2664,62 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(t2.current.count() === 4L)
   }
 
+  test("migrate on a FLAT table; CDC across TWO boundaries; savepoint re-create re-points") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.Savepoint
+    val dir = tmp("migrate_flat")
+    val t1 = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1))
+    t1.seed(Seq(c(1, "b1", 10), c(2, "b2", 20)).toDF())              // v0
+    // savepoint the pre-migration flat world (also proves the pin and
+    // refusal machinery on the FLAT layout)
+    val spRoot = tmp("migrate_flat_sp")
+    val sp0 = Savepoint.create(spRoot, "w", Seq(t1))
+    assert(sp0.versionOf(t1) === 0L)
+    val to1 = StructType(Seq(
+      StructField("idstr", StringType), StructField("author", StringType),
+      StructField("body", StringType), StructField("score_s", StringType)))
+    t1.migrate(to1, df => df
+      .withColumn("score_s", concat(lit("s"), col("score"))))          // v1
+    val mk1 = Merge.Entity("body", "previous_body", Seq("score_s"),
+      Seq("author"))
+    val t2 = new Livestream.UpsertTable(spark, dir, mk1,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(to1.fields.map(_.copy(nullable = true)))),
+      outputPartitions = Some(1))
+    assert(t2.current.collect().map(_.getAs[String]("score_s")).sorted
+      .toSeq === Seq("s10", "s20"))
+    // re-create the savepoint under the SAME name: it re-points
+    val sp1 = Savepoint.create(spRoot, "w", Seq(t2))
+    assert(sp1.versionOf(t2) === 1L)
+    assert(Savepoint.load(spRoot, "w").versionOf(t2) === 1L)
+    // a SECOND migration (drop author) — the range (0, 2) crosses TWO
+    // boundaries; the diff still reads each endpoint at its own shape
+    val to2 = StructType(Seq(
+      StructField("idstr", StringType), StructField("body", StringType),
+      StructField("score_s", StringType)))
+    t2.migrate(to2, df => df.drop("author"))                           // v2
+    val t3 = new Livestream.UpsertTable(spark, dir,
+      Merge.Entity("body", "previous_body", Seq("score_s"), Nil),
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(to2.fields.map(_.copy(nullable = true)))),
+      outputPartitions = Some(1))
+    assert(t3.migrations === Seq(1L, 2L))
+    val ch = t3.changes(0L, 2L)
+    assert(ch.columns.contains("before_score") &&     // v0's shape
+      ch.columns.contains("before_author") &&
+      ch.columns.contains("after_score_s") &&         // v2's shape
+      !ch.columns.contains("after_author"))
+    assert(ch.filter(col("kind") === "update").count() === 2L)
+    // the flat savepoint still pins: vacuum refuses below the pin
+    val e = intercept[IllegalArgumentException](t3.vacuum(keep = 1))
+    assert(e.getMessage.contains("savepoint"))
+    assert(t3.versionAvailable(1L))
+    Savepoint.drop(spRoot, "w", Seq(t3))
+    t3.vacuum(keep = 1)
+    assert(!t3.versionAvailable(1L) && t3.versionAvailable(2L))
+  }
+
   test("cdcApplySession: dirty-group rescan equals the batch rescan under inserts, score moves, and DV deletes") {
     import graft.operators.Scd
     val dir = tmp("cdcsess")
