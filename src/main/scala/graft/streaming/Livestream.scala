@@ -1711,9 +1711,13 @@ object Livestream {
       * vector resolution. NOT an erasure act: superseded versions and
       * the CDC log keep the bytes — [[purge]] composes that.
       *
-      * @return number of live buckets rewritten (0 ⇒ nothing
-      *         published: no vector, or entries only name long-dropped
-      *         buckets, which retire without a data write). */
+      * @return number of buckets whose rewrite actually WROTE a leaf —
+      *         a fully-suppressed bucket drops from the manifest
+      *         instead and does not count. 0 with no vector ⇒ nothing
+      *         published; 0 with a vector whose entries only name
+      *         dropped or fully-suppressed buckets ⇒ a METADATA-ONLY
+      *         version still publishes (the vector must retire — that
+      *         is the call's point), it just wrote no data leaf. */
     def materializeDv(): Int = {
       validatePartitioning()
       val cur = currentVersion
@@ -1728,23 +1732,26 @@ object Livestream {
       val targets = entryBuckets.filter(prev.contains)
       val next = cur + 1
       guardStagedSchema(next)
-      if (targets.nonEmpty) {
-        val src = readParts(prev.view.filterKeys(targets).toMap)
-        alignToBuckets(src.withColumn(PartCol, ptCol(pexpr)))
-          .write.mode("overwrite").partitionBy(PartCol)
-          .parquet(s"$path/v=$next")
-        val written = targets.filter(pt => Files.exists(leaf(next, pt)))
-        writeManifest(next, (prev -- targets) ++ written.map(_ -> next))
-      } else {
-        // entries only for buckets no longer in the manifest: retire
-        // them with a metadata-only publish
-        writeManifest(next, prev)
-      }
+      val written: Set[String] =
+        if (targets.nonEmpty) {
+          val src = readParts(prev.view.filterKeys(targets).toMap)
+          alignToBuckets(src.withColumn(PartCol, ptCol(pexpr)))
+            .write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$path/v=$next")
+          val w = targets.filter(pt => Files.exists(leaf(next, pt)))
+          writeManifest(next, (prev -- targets) ++ w.map(_ -> next))
+          w
+        } else {
+          // entries only for buckets no longer in the manifest: retire
+          // them with a metadata-only publish
+          writeManifest(next, prev)
+          Set.empty
+        }
       // every named bucket either rewrote dv-filtered or no longer
       // exists — the whole vector retires (carryDv writes the empty set)
       carryDv(next, entryBuckets)
       publishAndPin(next)
-      targets.size
+      written.size
     }
 
     /** Publish timestamps (version → epoch millis at publish), the

@@ -22,7 +22,6 @@ object Sessionize {
   /** Batch sessionization: rows → (key, session_id, start, end, n_events).
     * `session_id` is 1-based per key in time order. */
   def batch(df: DataFrame, key: String, tsSec: Column, gapSec: Long): DataFrame = {
-    val w = Window.partitionBy(key).orderBy("_ts")
     df.select(col(key).as("k"), tsSec.as("_ts"))
       .withColumn("_new",
         when(col("_ts") - lag(col("_ts"), 1).over(

@@ -316,16 +316,75 @@ object StreamAnn {
   /** Delete a SUPERSEDED generation — codes table, artifact, directory
     * — the vacuum of the generation lifecycle. Refuses the active
     * generation (the pointer is the liveness authority: flip first,
-    * then reclaim). Missing directories are a no-op, like table
+    * then reclaim) and any generation a published [[Savepoint]] pins
+    * (the vacuumTo refusal device at generation granularity: a pinned
+    * world composing this index must keep serving it — drop the
+    * savepoint first). Missing directories are a no-op, like table
     * vacuum's idempotence. */
   def dropGeneration(root: String, gen: String): Unit = {
     requireSafeGen(gen)
     require(!activeGeneration(root).contains(gen),
       s"generation '$gen' is ACTIVE under $root — publish another " +
         "generation first, then reclaim this one")
+    val pinnedBy = generationPins(root).collect {
+      case (sp, gens) if gens.contains(gen) => sp }
+    require(pinnedBy.isEmpty,
+      s"generation '$gen' under $root is pinned by savepoint(s) " +
+        s"${pinnedBy.toSeq.sorted.mkString(", ")} — drop the savepoint(s) " +
+        "via Savepoint.drop, then reclaim")
     val dir = java.nio.file.Paths.get(root, gen)
     if (!java.nio.file.Files.exists(dir)) return
     deleteTree(dir)
+  }
+
+  /** Generations pinned by published savepoints: savepoint name →
+    * pinned generation names (one per line of the pin file; a
+    * re-create's window holds both the old and new generation — the
+    * [[Savepoint]] min-first discipline). */
+  def generationPins(root: String): Map[String, Seq[String]] = {
+    val d = java.nio.file.Paths.get(root, "_savepoints")
+    if (!java.nio.file.Files.exists(d)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(d)
+    val files = try s.iterator().asScala.toList
+      .filterNot(_.getFileName.toString.endsWith(".tmp"))
+    finally s.close()
+    files.map { f =>
+      f.getFileName.toString ->
+        java.nio.file.Files.readAllLines(f).asScala.toSeq
+          .map(_.trim).filter(_.nonEmpty)
+    }.toMap
+  }
+
+  /** Pin (or re-pin) a savepoint's protected generation set under the
+    * index root — the [[Savepoint]] component write, colocated like the
+    * table pins so [[dropGeneration]] refuses without a registry
+    * lookup. */
+  private[streaming] def pinGenerations(root: String, spName: String,
+      gens: Seq[String]): Unit = {
+    gens.foreach(requireSafeGen)
+    val d = java.nio.file.Paths.get(root, "_savepoints")
+    java.nio.file.Files.createDirectories(d)
+    val tmp = d.resolve(s"$spName.tmp")
+    java.nio.file.Files.write(tmp, gens.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, d.resolve(spName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve a SPECIFIC generation (codes table, coarse, residual
+    * codebooks) — the savepointed-world read path: a [[Savepoint]]
+    * pins the generation name; this opens it regardless of what the
+    * ACTIVE pointer moved on to. */
+  def openGeneration(spark: SparkSession, root: String, gen: String):
+      (Livestream.UpsertTable, IndexedSeq[IndexedSeq[Double]],
+        IndexedSeq[IndexedSeq[IndexedSeq[Double]]]) = {
+    requireSafeGen(gen)
+    require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, gen, "codebooks.csv")),
+      s"no published generation '$gen' under $root")
+    val (coarse, cbRes, nBuckets) = readArtifact(s"$root/$gen")
+    (table(spark, s"$root/$gen/codes", nBuckets), coarse, cbRes)
   }
 
   /** Resolve the ACTIVE generation: (codes table, coarse, residual

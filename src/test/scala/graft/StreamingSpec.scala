@@ -2435,7 +2435,12 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
       .filter(k => Livestream.keyBucketValue(k, nB) == 0L)
     assert(table.purgeKeys(b0Keys.toDF("idstr"), dv = true)
       === b0Keys.size.toLong)                                         // v3
-    assert(table.materializeDv() === 1)                               // v4
+    // the fully-suppressed bucket writes NO leaf — it drops from the
+    // manifest rather than rewriting, so the "buckets rewritten" count
+    // is 0 even though a (metadata-only) version still published and
+    // the vector retired
+    assert(table.materializeDv() === 0)                               // v4
+    assert(table.currentVersion === 4L)
     assert(!table.manifest(4L).contains("0"))
     assert(table.dvAt(4L).isEmpty)
     // _dv retirement: d-files live at 1 (purge), 2 (empty carry),
@@ -2576,6 +2581,100 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     Savepoint.drop(root, "torn", Seq(facts))
     assert(!facts.savepointPins.contains("torn"))
     assert(torn.name === "torn")
+  }
+
+  test("savepoint hardening: tab-safe vector parse, vector-resolved drop, re-create tightens pins, read refuses a vacuumed pin") {
+    import graft.streaming.Savepoint
+    val root = tmp("sp_hard_root")
+    // a table PATH carrying a literal tab must not shift the version
+    // field of its vector line: the parse splits at the LAST tab (the
+    // registerBasis discipline) — asserted on a hand-written vector
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "sp=tabby"),
+      "T\t/x/with\ttab\t7".getBytes)
+    assert(Savepoint.load(root, "tabby").tables === Map("/x/with\ttab" -> 7L))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "sp=tabby"))
+    val tabDir = tmp("sp_hard_tbl")
+    val t = new Livestream.UpsertTable(spark, tabDir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    t.seed(Seq(c(1, "a", 10)).toDF())                                 // v0
+    val sp = Savepoint.create(root, "w", Seq(t))
+    assert(Savepoint.load(root, "w").versionOf(t) === 0L)
+    // drop() resolves the pin set FROM THE VECTOR: a caller passing a
+    // DIFFERENT (here: empty) table list still retires every recorded
+    // pin — no orphan pin blocking vacuum forever under an omitted root
+    t.merge(Seq(c(2, "b", 20)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                               // v1
+    Savepoint.drop(root, "w", Nil)
+    assert(t.savepointPins.isEmpty, "vector-recorded pin not retired")
+    t.vacuum(keep = 1)
+    assert(!t.versionAvailable(0L))
+    // re-create under an existing name: the committed pin tightens to
+    // the new version (the min(old, new) hold exists only inside the
+    // create window — over-retain, never under-pin)
+    val sp1 = Savepoint.create(root, "w", Seq(t))
+    assert(sp1.versionOf(t) === 1L)
+    t.merge(Seq(c(3, "d", 30)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                               // v2
+    val sp2 = Savepoint.create(root, "w", Seq(t))
+    assert(sp2.versionOf(t) === 2L)
+    assert(t.savepointPins("w") === 2L, "pin must tighten to the new " +
+      "vector's version after the commit")
+    // Snapshot.read REFUSES a pin whose version was erased out-of-band
+    // (at() would silently serve the empty frame as the pinned world);
+    // the out-of-band act: delete the pin file directly, then vacuum
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(tabDir, "_savepoints", "w"))
+    t.merge(Seq(c(4, "e", 40)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                               // v3
+    t.vacuum(keep = 1)
+    assert(!t.versionAvailable(2L))
+    val e = intercept[IllegalArgumentException](sp2.read(t))
+    assert(e.getMessage.contains("no longer readable"))
+    assert(sp.name === "w")
+  }
+
+  test("savepoint pins an ANN generation: the pinned world serves the old generation; dropGeneration refuses until the savepoint drops") {
+    import graft.streaming.{Savepoint, StreamAnn}
+    val root = tmp("sp_ann_root"); val annRoot = tmp("sp_ann_idx")
+    val facts = new Livestream.UpsertTable(spark, tmp("sp_ann_f"),
+      Merge.comments, Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    facts.seed(Seq(c(1, "f1", 10)).toDF())                            // v0
+    val corpus = (0L until 24L).map(i =>
+      (i, Seq.tabulate(4)(j => math.sin(i * 1.9 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (_, c0, r0) = StreamAnn.rebuild(spark, annRoot, "gen0", corpus,
+      "vec_id", "embedding", nlist = 2, m = 2, ksub = 4, iters = 1,
+      nBuckets = 4)
+    // the savepointed world: facts + the ANN index at its ACTIVE gen
+    val sp = Savepoint.create(root, "w", Seq(facts),
+      generationRoots = Seq(annRoot))
+    assert(sp.generationOf(annRoot) === "gen0")
+    assert(Savepoint.load(root, "w").generationOf(annRoot) === "gen0")
+    // the index re-trains past the pin: pointer flips to gen1
+    StreamAnn.rebuild(spark, annRoot, "gen1", corpus, "vec_id",
+      "embedding", nlist = 4, m = 2, ksub = 4, iters = 1, nBuckets = 4)
+    assert(StreamAnn.activeGeneration(annRoot) === Some("gen1"))
+    // the pinned world still opens (and serves) the OLD generation
+    val (tPin, cPin, rPin) = StreamAnn.openGeneration(spark, annRoot,
+      sp.generationOf(annRoot))
+    assert(cPin === c0 && rPin === r0)
+    assert(StreamAnn.serve(tPin, corpus, "vec_id", "embedding", cPin,
+      rPin, Seq(0L, 1L), k = 3, nprobe = 2).count() > 0L)
+    // generation retirement REFUSES the pinned generation
+    val e = intercept[IllegalArgumentException](
+      StreamAnn.dropGeneration(annRoot, "gen0"))
+    assert(e.getMessage.contains("savepoint"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(annRoot, "gen0")), "refusal deleted data")
+    // Savepoint.drop retires the generation pin too (recorded in the
+    // vector) — then retirement proceeds
+    Savepoint.drop(root, "w", Seq(facts))
+    StreamAnn.dropGeneration(annRoot, "gen0")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(annRoot, "gen0")))
   }
 
   test("migrate: rename/retype/drop rewrite under a new generation — stale handle refuses, CDC crosses at own shapes, crash leaves old serving") {
