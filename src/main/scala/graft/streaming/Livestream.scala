@@ -20,14 +20,42 @@ import graft.operators.Merge
   */
 object Livestream {
 
+  /** Typed commit conflict: another writer holds (or already published)
+    * the claim on `version` of the table at `tablePath` — the loud
+    * replacement for the silent lost update two concurrent publishers
+    * would otherwise produce. See the UpsertTable writer contract for
+    * the retry/recovery playbook. */
+  final class ConcurrentWriteException(val tablePath: String,
+      val version: Long, msg: String) extends RuntimeException(msg)
+
   /** Parquet-backed upsert target with atomic version swap.
     *
     * Layout: `path/v=N/` table versions (readers pick max N via a pointer
     * file written last), `path/edits/` append-only CDC log. A Delta/Iceberg
     * table would subsume this; the contract here is engine-agnostic and
     * filesystem-atomic (pointer rename). One SQLite file per target in the
-    * reference ↔ one table directory per target here. Single-writer per
-    * table (the reference's one-process contract); readers are lock-free.
+    * reference ↔ one table directory per target here. Readers are
+    * lock-free.
+    *
+    * ==Writer contract: one INTENDED writer, concurrent writers CONFLICT==
+    * The reference ran single-writer by construction (SQLite's write
+    * lock, tsdb.py:194-195); this store states the same operational
+    * contract — one pipeline owns a table — and ENFORCES it with
+    * optimistic concurrency instead of trusting it: every publishing
+    * operation first CLAIMS its target version by atomically creating
+    * `_commits/c=<next>` (fail-if-exists — the Delta/Iceberg commit-
+    * protocol shape), and only the claim holder stages data and moves
+    * the pointer. A second concurrent writer therefore fails LOUDLY with
+    * a typed [[Livestream.ConcurrentWriteException]] before writing a
+    * byte — never a silent lost update, never trampled staging. The
+    * loser's sound retry is to re-read the published state and redo the
+    * operation against it ([[mergeRetry]] packages that for merges —
+    * merge is idempotent per batch, so the replay is safe); a claim
+    * whose writer crashed before the pointer move blocks the version
+    * until [[recoverCommit]] rolls the invisible staging back (an
+    * operator act: only safe once no other writer is live). A FAILED
+    * (non-crash) attempt releases its own claim on the way out, so
+    * plain retry-after-error needs no recovery.
     *
     * ==Partition-pruned incremental merge==
     *
@@ -93,6 +121,98 @@ object Livestream {
 
     def currentVersion: Long =
       if (Files.exists(ptr)) new String(Files.readAllBytes(ptr)).trim.toLong else -1L
+
+    // ==== optimistic concurrency: the per-version commit claim ==========
+    //
+    // Every publishing operation computes next = currentVersion + 1 and
+    // must CLAIM `_commits/c=<next>` (atomic fail-if-exists create)
+    // BEFORE its first write. Holding the claim on N+1 while the pointer
+    // is at N is exclusive by construction — the pointer only advances
+    // to a version whose claim the mover holds — so claim-first both
+    // serializes publishes and keeps a loser from trampling the winner's
+    // staging directories (the loser never writes at all). On success
+    // the claim file stays as the version's commit record (retired by
+    // vacuum alongside old manifests); on failure the claim releases.
+
+    private def commitsDir = Paths.get(path, "_commits")
+
+    private def claimCommit(next: Long): Unit = {
+      Files.createDirectories(commitsDir)
+      try Files.createFile(commitsDir.resolve(s"c=$next"))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val cur = currentVersion
+          val state =
+            if (cur >= next)
+              "that writer already PUBLISHED — re-read the current " +
+                "state, recompute, and retry (mergeRetry does this for " +
+                "merges)"
+            else
+              "its pointer move is pending: the writer is either IN " +
+                "FLIGHT (wait for its publish, then retry) or CRASHED " +
+                "mid-commit (recoverCommit() rolls the orphan back — " +
+                "only safe once no other writer is live)"
+          throw new ConcurrentWriteException(path, next,
+            s"UpsertTable at $path: version $next is already claimed " +
+              s"by another writer; $state")
+      }
+    }
+
+    private def releaseClaim(next: Long): Unit = {
+      val f = commitsDir.resolve(s"c=$next")
+      if (Files.exists(f)) Files.delete(f)
+    }
+
+    /** Stage-and-publish `body` under the claim on `next`: a FAILED
+      * attempt (exception before the pointer reached `next`) releases
+      * the claim so a plain retry works; a successful publish keeps the
+      * claim file as the version's commit record. */
+    private def committing[A](next: Long)(body: => A): A = {
+      claimCommit(next)
+      try body
+      catch {
+        case e: Throwable =>
+          if (currentVersion < next) releaseClaim(next)
+          throw e
+      }
+    }
+
+    /** Roll BACK a crashed writer's orphan claim: when `_commits/c=N+1`
+      * exists but the pointer never reached N+1, the staged version is
+      * provably invisible (every read path resolves through the
+      * pointer), so deleting the staging and the claim returns the
+      * table to its published state and unblocks publishers. Returns
+      * true iff an orphan was cleared. OPERATOR ACT: calling this while
+      * the claiming writer is still alive hands its claim to someone
+      * else mid-write — only run it once no other writer is live (the
+      * same judgment SQLite's stale-lock removal needs). */
+    def recoverCommit(): Boolean = {
+      val cur = currentVersion
+      val next = cur + 1
+      val claim = commitsDir.resolve(s"c=$next")
+      if (!Files.exists(claim)) return false
+      Seq(Paths.get(path, s"v=$next"), Paths.get(path, "edits", s"ev=$next"))
+        .foreach(d => if (Files.exists(d)) deleteDirTree(d))
+      Seq(Paths.get(path, "_manifest", s"m=$next"),
+          Paths.get(path, "_schema", s"s=$next"),
+          Paths.get(path, "_dv", s"d=$next"))
+        .foreach(p => if (Files.exists(p)) Files.delete(p))
+      // a crashed migrate may have recorded its boundary marker — a
+      // later real publish of this version must not read as a boundary
+      if (migrations.contains(next)) {
+        val kept = migrations.filter(_ <= cur)
+        val mf = Paths.get(path, "_migrations")
+        if (kept.isEmpty) Files.delete(mf)
+        else {
+          val tmp = Paths.get(path, "_migrations.tmp")
+          Files.write(tmp, kept.mkString("\n").getBytes)
+          Files.move(tmp, mf, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      Files.delete(claim)
+      true
+    }
 
     // ==== schema versioning (tsdb.py:34-37 DATABASE_VERSION;
     //      utilities/database_upgrader.py:24-49) ======================
@@ -785,9 +905,11 @@ object Livestream {
         val fresh = hits.map(r =>
           (ExternalCatalogUtils.escapePathName(r.getString(0)),
             r.getString(1))).toSeq
-        writeManifest(next, prev)                 // carried by reference
-        writeDvFile(next, dvAt(currentVersion) ++ fresh)
-        publishAndPin(next)
+        committing(next) {
+          writeManifest(next, prev)               // carried by reference
+          writeDvFile(next, dvAt(currentVersion) ++ fresh)
+          publishAndPin(next)
+        }
         // the self-maintaining lifecycle: past the bound, compact the
         // suppressed buckets NOW instead of letting the sidecar (and
         // its broadcast anti-join) grow until buckets happen to rewrite
@@ -805,9 +927,11 @@ object Livestream {
           if (nPurged == 0L) return 0L
           val remaining = cur
             .join(broadcast(keys), col(key) === col("_pk"), "left_anti")
-          val out = outputPartitions.map(remaining.coalesce).getOrElse(remaining)
-          out.write.mode("overwrite").parquet(s"$path/v=$next")
-          publishAndPin(next)
+          committing(next) {
+            val out = outputPartitions.map(remaining.coalesce).getOrElse(remaining)
+            out.write.mode("overwrite").parquet(s"$path/v=$next")
+            publishAndPin(next)
+          }
           nPurged
         case Some(pexpr) =>
           val prev = manifest(currentVersion)
@@ -828,15 +952,17 @@ object Livestream {
             .toSet
           val remaining = readParts(prev.view.filterKeys(touched).toMap)
             .join(broadcast(keys), col(key) === col("_pk"), "left_anti")
-          alignToBuckets(remaining.withColumn(PartCol, ptCol(pexpr)))
-            .write.mode("overwrite").partitionBy(PartCol)
-            .parquet(s"$path/v=$next")
-          // a fully-purged bucket writes no leaf — it DROPS from the
-          // manifest (unlike merge, where touched buckets always carry)
-          val written = touched.filter(pt => Files.exists(leaf(next, pt)))
-          writeManifest(next, (prev -- touched) ++ written.map(_ -> next))
-          carryDv(next, touched)
-          publishAndPin(next)
+          committing(next) {
+            alignToBuckets(remaining.withColumn(PartCol, ptCol(pexpr)))
+              .write.mode("overwrite").partitionBy(PartCol)
+              .parquet(s"$path/v=$next")
+            // a fully-purged bucket writes no leaf — it DROPS from the
+            // manifest (unlike merge, where touched buckets always carry)
+            val written = touched.filter(pt => Files.exists(leaf(next, pt)))
+            writeManifest(next, (prev -- touched) ++ written.map(_ -> next))
+            carryDv(next, touched)
+            publishAndPin(next)
+          }
           nPurged
       }
     }
@@ -1251,30 +1377,32 @@ object Livestream {
           s"[${missing.mkString(", ")}]")
       val aligned = out.select(to.fields.toSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      partitioning match {
-        case None =>
-          val o = outputPartitions.map(aligned.coalesce).getOrElse(aligned)
-          o.write.mode("overwrite").parquet(s"$path/v=$next")
-        case Some(pexpr) =>
-          alignToBuckets(aligned.withColumn(PartCol, ptCol(pexpr)))
-            .write.mode("overwrite").partitionBy(PartCol)
-            .parquet(s"$path/v=$next")
-          // manifest from the directories actually written (the seed
-          // device) — every bucket re-points to the migration version
-          import scala.jdk.CollectionConverters._
-          val s = Files.list(Paths.get(path, s"v=$next"))
-          val pts = try s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith(s"$PartCol=")).map(_.drop(PartCol.length + 1))
-            .toList
-          finally s.close()
-          writeManifest(next, pts.map(_ -> next).toMap)
+      committing(next) {
+        partitioning match {
+          case None =>
+            val o = outputPartitions.map(aligned.coalesce).getOrElse(aligned)
+            o.write.mode("overwrite").parquet(s"$path/v=$next")
+          case Some(pexpr) =>
+            alignToBuckets(aligned.withColumn(PartCol, ptCol(pexpr)))
+              .write.mode("overwrite").partitionBy(PartCol)
+              .parquet(s"$path/v=$next")
+            // manifest from the directories actually written (the seed
+            // device) — every bucket re-points to the migration version
+            import scala.jdk.CollectionConverters._
+            val s = Files.list(Paths.get(path, s"v=$next"))
+            val pts = try s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.startsWith(s"$PartCol=")).map(_.drop(PartCol.length + 1))
+              .toList
+            finally s.close()
+            writeManifest(next, pts.map(_ -> next).toMap)
+        }
+        // the rewrite read dv-filtered and re-imaged every bucket — the
+        // whole vector materializes
+        carryDv(next, dvAt(cur).map(_._1).toSet)
+        writeSchemaFile(next, to)
+        recordMigration(next)
+        publishAndPin(next)
       }
-      // the rewrite read dv-filtered and re-imaged every bucket — the
-      // whole vector materializes
-      carryDv(next, dvAt(cur).map(_._1).toSet)
-      writeSchemaFile(next, to)
-      recordMigration(next)
-      publishAndPin(next)
     }
 
     /** [[changes]] across a [[migrate]] boundary: before/after images
@@ -1395,6 +1523,20 @@ object Livestream {
             .foreach(g => Files.delete(dvDir.resolve(s"d=$g")))
         }
       }
+      // commit-record retirement: a claim file below the cutoff guards
+      // a version whose data is gone — dead weight, retired alongside
+      // the old manifests (claims are never re-contended downward: every
+      // publisher computes next = currentVersion + 1 ≥ cutoff)
+      if (Files.exists(commitsDir)) {
+        val cs = Files.list(commitsDir)
+        try cs.iterator().asScala.toList
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("c=") && n.drop(2).toLong < cutoff
+          }
+          .foreach(Files.delete)
+        finally cs.close()
+      }
     }
 
     // ==== per-archive config KV (tsdb.py:46-49, 204-215) ================
@@ -1473,7 +1615,7 @@ object Livestream {
           // i.e. by what this merge reads anyway; spills, never OOMs).
           if (cdc) r.staged.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
+          try committing(next) {
             val out = outputPartitions.map(r.table.coalesce).getOrElse(r.table)
             out.write.mode("overwrite").parquet(s"$path/v=$next")
             if (cdc)
@@ -1506,7 +1648,7 @@ object Livestream {
           // the TOUCHED partitions + batch — the pruned merge's working set.
           if (cdc) r.staged.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
+          try committing(next) {
             // Re-derive pt from the MERGED rows (key-stable expression ⇒
             // still inside the touched set) and align write tasks to
             // buckets (see alignToBuckets).
@@ -1524,6 +1666,59 @@ object Livestream {
       }
     }
 
+    /** [[merge]] with the documented conflict retry — the loser's side
+      * of the optimistic-concurrency protocol: on a
+      * [[Livestream.ConcurrentWriteException]], wait (bounded) for the
+      * winning writer's pointer move, then re-merge against the
+      * PUBLISHED state — sound because a merge is idempotent per batch
+      * (the upsert fold replays last-write-wins), so the loser's batch
+      * lands on top of the winner's and BOTH survive. A pointer that
+      * never advances inside `conflictWaitMillis` is a crashed winner's
+      * orphan — rethrown rather than retried ([[recoverCommit]] is an
+      * operator act, deliberately not automated here: automating it
+      * would hand a LIVE slow writer's claim to its competitor). */
+    def mergeRetry(batch: DataFrame, seqCol: String,
+        storeEdits: Option[Boolean] = None, maxAttempts: Int = 5,
+        conflictWaitMillis: Long = 60000L): Unit = {
+      var attempt = 1
+      while (true) {
+        val seen = currentVersion
+        try { merge(batch, seqCol, storeEdits); return }
+        catch {
+          case e: ConcurrentWriteException =>
+            if (attempt >= maxAttempts) throw e
+            attempt += 1
+            val deadline = System.currentTimeMillis() + conflictWaitMillis
+            while (currentVersion <= seen &&
+                System.currentTimeMillis() < deadline)
+              Thread.sleep(10L)
+            if (currentVersion <= seen) throw e
+        }
+      }
+    }
+
+    /** [[merge]] for a CHECKPOINTED SINK'S CRASH REPLAY — the T3 path:
+      * a restart replays the batch whose merge died mid-commit, and the
+      * dead attempt's claim may still be standing. Structured Streaming
+      * runs AT MOST ONE active query per checkpoint, and a checkpointed
+      * sink is its table's single intended writer — so a claim blocking
+      * our next version while the pointer never advanced can only be
+      * our own crashed predecessor's orphan: roll it back
+      * ([[recoverCommit]]) and re-merge, keeping replay hands-free. If
+      * the pointer DID advance, a foreign writer truly published —
+      * rethrown, because recovering would hand that writer's state a
+      * silent overwrite (the exact failure the protocol exists to make
+      * loud). Non-sink callers should use [[merge]]/[[mergeRetry]]. */
+    def mergeReplay(batch: DataFrame, seqCol: String,
+        storeEdits: Option[Boolean] = None): Unit =
+      try merge(batch, seqCol, storeEdits)
+      catch {
+        case e: ConcurrentWriteException =>
+          if (currentVersion >= e.version) throw e
+          if (!recoverCommit()) throw e
+          merge(batch, seqCol, storeEdits)
+      }
+
     /** Bulk initial load: publish `df` as version 0 WITHOUT the upsert
       * machinery (no union+window, no CDC — there is nothing to merge
       * against). The bootstrap analog of the reference creating a fresh
@@ -1536,26 +1731,28 @@ object Livestream {
       require(currentVersion < 0,
         s"UpsertTable at $path already has published versions; use merge()")
       validatePartitioning()
-      partitioning match {
-        case None =>
-          val out = outputPartitions.map(df.coalesce).getOrElse(df)
-          out.write.mode("overwrite").parquet(s"$path/v=0")
-        case Some(pexpr) =>
-          alignToBuckets(df.withColumn(PartCol, ptCol(pexpr)))
-            .write.mode("overwrite").partitionBy(PartCol)
-            .parquet(s"$path/v=0")
-          // manifest from the directories actually written — one listing,
-          // no extra job over the data
-          import scala.jdk.CollectionConverters._
-          val s = Files.list(Paths.get(path, "v=0"))
-          val pts = try s.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith(s"$PartCol=")).map(_.drop(PartCol.length + 1))
-            .toList
-          finally s.close()
-          writeManifest(0, pts.map(_ -> 0L).toMap)
+      committing(0L) {
+        partitioning match {
+          case None =>
+            val out = outputPartitions.map(df.coalesce).getOrElse(df)
+            out.write.mode("overwrite").parquet(s"$path/v=0")
+          case Some(pexpr) =>
+            alignToBuckets(df.withColumn(PartCol, ptCol(pexpr)))
+              .write.mode("overwrite").partitionBy(PartCol)
+              .parquet(s"$path/v=0")
+            // manifest from the directories actually written — one listing,
+            // no extra job over the data
+            import scala.jdk.CollectionConverters._
+            val s = Files.list(Paths.get(path, "v=0"))
+            val pts = try s.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.startsWith(s"$PartCol=")).map(_.drop(PartCol.length + 1))
+              .toList
+            finally s.close()
+            writeManifest(0, pts.map(_ -> 0L).toMap)
+        }
+        writeSchemaFile(0, emptyLike.schema)
+        publishAndPin(0)
       }
-      writeSchemaFile(0, emptyLike.schema)
-      publishAndPin(0)
     }
 
     /** OPTIMIZE-style compaction: rewrite partitions (or the whole table,
@@ -1604,9 +1801,11 @@ object Livestream {
       partitioning match {
         case None =>
           if (parquetCount(Paths.get(path, s"v=$cur")) <= maxFiles) return
-          at(cur).coalesce(maxFiles).write.mode("overwrite")
-            .parquet(s"$path/v=$next")
-          publish(next)
+          committing(next) {
+            at(cur).coalesce(maxFiles).write.mode("overwrite")
+              .parquet(s"$path/v=$next")
+            publish(next)
+          }
         case Some(_) =>
           val prev = manifest(cur)
           val oversized = prev.filter { case (pt, v) =>
@@ -1630,21 +1829,23 @@ object Livestream {
             if (maxFiles == 1) src.repartition(col(PartCol))
             else src.repartition(col(PartCol),
               pmod(xxhash64(col(Merge.KeyCol)), lit(maxFiles.toLong)))
-          aligned.write.mode("overwrite").partitionBy(PartCol)
-            .parquet(s"$path/v=$next")
-          // a leaf whose rewrite wrote no directory (all rows empty-file
-          // pathology, or — since the source read is DV-FILTERED — every
-          // row suppressed by the deletion vector) keeps its old
-          // (uncompacted but readable) manifest entry. Its DV entries
-          // must then CARRY, not retire: retiring by the ATTEMPTED set
-          // would resurrect every suppressed row in a kept old leaf on
-          // all subsequent reads, with changes() never emitting the
-          // re-inserts. Only buckets whose rewrite really materialized
-          // the vector (wrote a new leaf) retire.
-          val written = oversized.keys.filter(pt => Files.exists(leaf(next, pt)))
-          writeManifest(next, prev ++ written.map(_ -> next))
-          carryDv(next, written.toSet)
-          publish(next)
+          committing(next) {
+            aligned.write.mode("overwrite").partitionBy(PartCol)
+              .parquet(s"$path/v=$next")
+            // a leaf whose rewrite wrote no directory (all rows empty-file
+            // pathology, or — since the source read is DV-FILTERED — every
+            // row suppressed by the deletion vector) keeps its old
+            // (uncompacted but readable) manifest entry. Its DV entries
+            // must then CARRY, not retire: retiring by the ATTEMPTED set
+            // would resurrect every suppressed row in a kept old leaf on
+            // all subsequent reads, with changes() never emitting the
+            // re-inserts. Only buckets whose rewrite really materialized
+            // the vector (wrote a new leaf) retire.
+            val written = oversized.keys.filter(pt => Files.exists(leaf(next, pt)))
+            writeManifest(next, prev ++ written.map(_ -> next))
+            carryDv(next, written.toSet)
+            publish(next)
+          }
       }
     }
 
@@ -1666,30 +1867,34 @@ object Livestream {
         col(cb).cast("long"), stats.getLong(2), stats.getLong(3), bits)
       partitioning match {
         case None =>
-          snap.withColumn("_z", z)
-            .repartitionByRange(maxFiles, col("_z"))
-            .sortWithinPartitions("_z")
-            .drop("_z")
-            .write.mode("overwrite").parquet(s"$path/v=$next")
-          publish(next)
+          committing(next) {
+            snap.withColumn("_z", z)
+              .repartitionByRange(maxFiles, col("_z"))
+              .sortWithinPartitions("_z")
+              .drop("_z")
+              .write.mode("overwrite").parquet(s"$path/v=$next")
+            publish(next)
+          }
         case Some(pexpr) =>
           val prev = manifest(cur)
           val nOut = math.max(1, prev.size * maxFiles)
-          snap.withColumn(PartCol, ptCol(pexpr)).withColumn("_z", z)
-            .repartitionByRange(nOut, col(PartCol), col("_z"))
-            .sortWithinPartitions(col(PartCol), col("_z"))
-            .drop("_z")
-            .write.mode("overwrite").partitionBy(PartCol)
-            .parquet(s"$path/v=$next")
-          // same empty-leaf caveat as plain compaction: a leaf that wrote
-          // no directory (including one whose every row is DV-suppressed —
-          // the snapshot read is vector-filtered) keeps its old (readable)
-          // manifest entry, so only the leaves that actually rewrote
-          // retire their deletion-vector entries
-          val written = prev.keys.filter(pt => Files.exists(leaf(next, pt)))
-          writeManifest(next, prev ++ written.map(_ -> next))
-          carryDv(next, written.toSet)
-          publish(next)
+          committing(next) {
+            snap.withColumn(PartCol, ptCol(pexpr)).withColumn("_z", z)
+              .repartitionByRange(nOut, col(PartCol), col("_z"))
+              .sortWithinPartitions(col(PartCol), col("_z"))
+              .drop("_z")
+              .write.mode("overwrite").partitionBy(PartCol)
+              .parquet(s"$path/v=$next")
+            // same empty-leaf caveat as plain compaction: a leaf that wrote
+            // no directory (including one whose every row is DV-suppressed —
+            // the snapshot read is vector-filtered) keeps its old (readable)
+            // manifest entry, so only the leaves that actually rewrote
+            // retire their deletion-vector entries
+            val written = prev.keys.filter(pt => Files.exists(leaf(next, pt)))
+            writeManifest(next, prev ++ written.map(_ -> next))
+            carryDv(next, written.toSet)
+            publish(next)
+          }
       }
       refreshZoneMap(Seq(ca, cb) :+ emptyLike.schema.fieldNames
         .find(_.equalsIgnoreCase(Merge.KeyCol)).get)
@@ -1732,26 +1937,28 @@ object Livestream {
       val targets = entryBuckets.filter(prev.contains)
       val next = cur + 1
       guardStagedSchema(next)
-      val written: Set[String] =
-        if (targets.nonEmpty) {
-          val src = readParts(prev.view.filterKeys(targets).toMap)
-          alignToBuckets(src.withColumn(PartCol, ptCol(pexpr)))
-            .write.mode("overwrite").partitionBy(PartCol)
-            .parquet(s"$path/v=$next")
-          val w = targets.filter(pt => Files.exists(leaf(next, pt)))
-          writeManifest(next, (prev -- targets) ++ w.map(_ -> next))
-          w
-        } else {
-          // entries only for buckets no longer in the manifest: retire
-          // them with a metadata-only publish
-          writeManifest(next, prev)
-          Set.empty
-        }
-      // every named bucket either rewrote dv-filtered or no longer
-      // exists — the whole vector retires (carryDv writes the empty set)
-      carryDv(next, entryBuckets)
-      publishAndPin(next)
-      written.size
+      committing(next) {
+        val written: Set[String] =
+          if (targets.nonEmpty) {
+            val src = readParts(prev.view.filterKeys(targets).toMap)
+            alignToBuckets(src.withColumn(PartCol, ptCol(pexpr)))
+              .write.mode("overwrite").partitionBy(PartCol)
+              .parquet(s"$path/v=$next")
+            val w = targets.filter(pt => Files.exists(leaf(next, pt)))
+            writeManifest(next, (prev -- targets) ++ w.map(_ -> next))
+            w
+          } else {
+            // entries only for buckets no longer in the manifest: retire
+            // them with a metadata-only publish
+            writeManifest(next, prev)
+            Set.empty
+          }
+        // every named bucket either rewrote dv-filtered or no longer
+        // exists — the whole vector retires (carryDv writes the empty set)
+        carryDv(next, entryBuckets)
+        publishAndPin(next)
+        written.size
+      }
     }
 
     /** Publish timestamps (version → epoch millis at publish), the
@@ -1872,7 +2079,10 @@ object Livestream {
         // flat table a merge of zero rows would rewrite the whole table
         try {
           if (!seqd.isEmpty) {
-            table.merge(seqd, "_seq")
+            // mergeReplay: a restart's replay self-recovers its own
+            // crashed attempt's orphan claim (the checkpointed sink is
+            // the single intended writer — see the writer contract)
+            table.mergeReplay(seqd, "_seq")
             // post-publish sidecar refresh: a streamed store keeps its
             // file skipping current without operator action. Incremental
             // by construction (refreshZoneMap stats only files not yet

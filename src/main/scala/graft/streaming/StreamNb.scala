@@ -72,7 +72,7 @@ object StreamNb {
       .withColumn("_seq",
         lit(seqBase) * 1000000000L + monotonically_increasing_id())
       .persist()
-    try { if (!rows.isEmpty) table.merge(rows, "_seq", storeEdits = Some(false)) }
+    try { if (!rows.isEmpty) table.mergeReplay(rows, "_seq", storeEdits = Some(false)) }
     finally rows.unpersist()
   }
 

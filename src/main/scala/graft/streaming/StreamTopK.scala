@@ -162,7 +162,7 @@ object StreamTopK {
           .persist()
         try {
           if (!rows.isEmpty)
-            table.merge(rows, "_seq", storeEdits = Some(false))
+            table.mergeReplay(rows, "_seq", storeEdits = Some(false))
         } finally rows.unpersist()
         refresh(batch.sparkSession, table, root, group, key, measure, k,
           mCol, rkCol)

@@ -154,7 +154,7 @@ object StreamWindow {
           .persist()
         try {
           if (!rows.isEmpty)
-            table.merge(rows, "_seq", storeEdits = Some(false))
+            table.mergeReplay(rows, "_seq", storeEdits = Some(false))
         } finally rows.unpersist()
         refresh(batch.sparkSession, table, root, groups, measure, tsCol,
           windowSec, slideSec, wCol, nCol, sCol)

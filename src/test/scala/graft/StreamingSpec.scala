@@ -1576,8 +1576,11 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     Files.writeString(java.nio.file.Paths.get(dir, "_VERSION"), "0")
     // ...staged-but-unpublished edits must be invisible...
     assert(table.edits.count() === 0)
-    // ...and the foreachBatch replay must overwrite the stage, not append.
-    table.merge(editBatch, "_seq")
+    // ...and the foreachBatch replay must overwrite the stage, not
+    // append — mergeReplay rolls the dead attempt's commit claim back
+    // first (the checkpointed-sink replay path; a plain merge() would
+    // conflict LOUDLY on the orphan, which is right for other writers)
+    table.mergeReplay(editBatch, "_seq")
     assert(table.edits.count() === 1)
     assert(table.current.collect().map(_.getAs[String]("body")).toSeq === Seq("b"))
   }
@@ -1962,7 +1965,7 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     Files.writeString(java.nio.file.Paths.get(dir, "_VERSION"), "0")
     assert(table.current.head().getAs[String]("body") === "a1")   // v=1 invisible
     assert(table.edits.count() === 0)
-    table.merge(editBatch, "_seq")                              // replay
+    table.mergeReplay(editBatch, "_seq")                        // replay
     assert(table.current.head().getAs[String]("body") === "a2")
     assert(table.edits.count() === 1)
   }
@@ -2581,6 +2584,91 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     Savepoint.drop(root, "torn", Seq(facts))
     assert(!facts.savepointPins.contains("torn"))
     assert(torn.name === "torn")
+  }
+
+  test("optimistic concurrency: a second writer conflicts LOUDLY before writing; recoverCommit rolls the orphan back; a failed attempt self-releases") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = tmp("occ")
+    def mk() = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    val a = mk()
+    a.seed(Seq(c(1, "a1", 10)).toDF())                                // v0
+    // simulate a writer that CLAIMED v1 and crashed before the pointer
+    // move: claim file + half-staged data dir, pointer still at 0
+    JFiles.createDirectories(JPaths.get(dir, "_commits"))
+    JFiles.createFile(JPaths.get(dir, "_commits", "c=1"))
+    JFiles.createDirectories(JPaths.get(dir, "v=1", "pt=9"))
+    val b = mk()
+    val batch = Seq(c(2, "b2", 20)).toDF().withColumn("_seq", lit(0L))
+    // the second writer detects the claim BEFORE writing a byte — a
+    // typed conflict, never a silent last-writer-wins
+    val e = intercept[Livestream.ConcurrentWriteException](
+      b.merge(batch, "_seq", storeEdits = Some(false)))
+    assert(e.version === 1L && e.getMessage.contains("claimed"))
+    assert(b.currentVersion === 0L, "conflict must publish nothing")
+    assert(b.current.count() === 1L)
+    // the orphan blocks until the OPERATOR rolls it back: claim and
+    // invisible staging clear, the table is back at its published state
+    assert(b.recoverCommit())
+    assert(!JFiles.exists(JPaths.get(dir, "v=1")))
+    assert(!JFiles.exists(JPaths.get(dir, "_commits", "c=1")))
+    assert(!b.recoverCommit(), "recovery is idempotent")
+    b.merge(batch, "_seq", storeEdits = Some(false))                  // v1
+    assert(b.current.count() === 2L)
+    // a FAILED (non-crash) attempt releases its own claim: a batch that
+    // dies mid-job leaves no claim behind, so plain retry works
+    val bad = Seq(c(3, "x", 30)).toDF()
+      .withColumn("body", raise_error(lit("boom")).cast("string"))
+      .withColumn("_seq", lit(0L))
+    intercept[Exception](b.merge(bad, "_seq", storeEdits = Some(false)))
+    assert(!JFiles.exists(JPaths.get(dir, "_commits", "c=2")),
+      "failed attempt must release its claim")
+    b.merge(Seq(c(3, "b3", 30)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                               // v2
+    assert(b.current.count() === 3L)
+    // successful publishes keep their commit records; vacuum retires
+    // the ones below the cutoff
+    assert(JFiles.exists(JPaths.get(dir, "_commits", "c=2")))
+    b.vacuum(keep = 1)
+    assert(!JFiles.exists(JPaths.get(dir, "_commits", "c=1")))
+    assert(JFiles.exists(JPaths.get(dir, "_commits", "c=2")))
+  }
+
+  test("optimistic concurrency: interleaved publishers — every loser retries via mergeRetry and ALL batches land") {
+    val dir = tmp("occ_threads")
+    def mk() = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    mk().seed(Seq(c(0, "seed", 0)).toDF())                            // v0
+    val nWriters = 4
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nWriters).map { w =>
+      val th = new Thread(() => {
+        try {
+          start.await()
+          // each pipeline its own handle, all racing on one table: the
+          // claim serializes them; every loser re-merges against the
+          // winner's published state, so no batch is ever lost
+          mk().mergeRetry(
+            Seq(c(100L + w, s"w$w", w.toLong)).toDF()
+              .withColumn("_seq", lit(0L)),
+            "_seq", storeEdits = Some(false), maxAttempts = 40)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+      th.start(); th
+    }
+    start.countDown()
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val t = mk()
+    // one version per successful merge — the claim made them serial
+    assert(t.currentVersion === nWriters.toLong)
+    val keys = t.current.select("idstr").collect().map(_.getString(0)).toSet
+    assert(keys === (Set("t1_0") ++
+      (0 until nWriters).map(w => s"t1_${100 + w}")),
+      "a concurrent writer's batch was lost")
   }
 
   test("savepoint hardening: tab-safe vector parse, vector-resolved drop, re-create tightens pins, read refuses a vacuumed pin") {
