@@ -1764,6 +1764,27 @@ object TimesearchQueries {
         .orderBy("event_id")
     }),
 
+    // n-COLUMN Z-order (the Delta OPTIMIZE ZORDER BY (a, b, c) arity):
+    // the same per-column affine bucket ranks interleaved 3 ways by the
+    // generalized layout — column i's bit k at position n·k + (n−1−i),
+    // which REPRODUCES q_zorder's classic 2-dim interleave at n = 2
+    // (one definition, every arity; the oracle's term list is generated
+    // by the SAME ZOrder.interleaveSqlN the Column form uses).
+    "q_zorder3" -> ((s, dir) => {
+      val raw = Tables.load(s, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"), tsSec(raw).as("t"),
+        cents(col("value")).as("value_c"))
+      val r = ev.agg(min("user_id"), max("user_id"), min("t"), max("t"),
+        min("value_c"), max("value_c")).head()
+      ev.select(col("event_id"), col("user_id"), col("t"), col("value_c"),
+          graft.sources.ZOrder.zValueN(Seq(
+            (col("user_id"), r.getLong(0), r.getLong(1)),
+            (col("t"), r.getLong(2), r.getLong(3)),
+            (col("value_c"), r.getLong(4), r.getLong(5))),
+            bits = 8).as("zval"))
+        .orderBy("event_id")
+    }),
+
     // File-level zone maps over the z-ordered layout: writeZOrdered
     // gives every file a tight bounding box in BOTH interleaved
     // dimensions, the ZoneMap sidecar records per-file min/max, and
@@ -3418,6 +3439,27 @@ object TimesearchQueries {
            FROM ev CROSS JOIN mm)
          SELECT event_id, user_id, t,
                 CAST(${graft.sources.ZOrder.interleaveSql("ba", "bb", 8)} AS BIGINT) AS zval
+         FROM bk ORDER BY event_id"""),
+
+    // 3-column Z-order replay: same min/max CTE device, three bucket
+    // ranks, and the SAME generated n-way interleave term list
+    // (ZOrder.interleaveSqlN — the two forms cannot drift)
+    "q_zorder3" -> (
+      s"""WITH ev AS (
+           SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                  CAST(round(value*100) AS BIGINT) AS value_c
+           FROM events),
+         mm AS (SELECT min(user_id) AS amn, max(user_id) AS amx,
+                       min(t) AS bmn, max(t) AS bmx,
+                       min(value_c) AS cmn, max(value_c) AS cmx FROM ev),
+         bk AS (
+           SELECT event_id, user_id, t, value_c,
+                  ((user_id - amn) * 256) // (amx - amn + 1) AS ba,
+                  ((t - bmn) * 256) // (bmx - bmn + 1) AS bb,
+                  ((value_c - cmn) * 256) // (cmx - cmn + 1) AS bc
+           FROM ev CROSS JOIN mm)
+         SELECT event_id, user_id, t, value_c,
+                CAST(${graft.sources.ZOrder.interleaveSqlN(Seq("ba", "bb", "bc"), 8)} AS BIGINT) AS zval
          FROM bk ORDER BY event_id"""),
 
     // zone-map pruned scan loses nothing: plain range filter over events

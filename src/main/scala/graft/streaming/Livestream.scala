@@ -1762,34 +1762,37 @@ object Livestream {
       * pointer moves last. Complements [[vacuum]], which then reclaims the
       * superseded originals.
       *
-      * `zorderBy = Some((a, b))` switches compaction into OPTIMIZE
-      * ZORDER mode (the Delta `OPTIMIZE ... ZORDER BY` analog): EVERY
-      * live leaf rewrites with rows re-clustered along the two columns'
-      * Morton curve ([[graft.sources.ZOrder]] — global [min, max] from
-      * one stats aggregate, pure-integer z-values), so each output
-      * file gets a tight bounding box in BOTH dimensions and the
-      * zone-map sidecar — refreshed here, for the z-columns plus the
-      * merge key — starts pruning 2-dim range predicates the scattered
-      * merge-order layout kept every file for. Unlike plain compaction
-      * this is unconditional (re-clustering IS the point, not a
-      * file-count repair); within the key-bucketed layout the bucket
-      * boundaries stay put (merges stay pruned) and only the
-      * WITHIN-leaf order and file split change. Both z-columns must be
-      * integral-typed. */
+      * `zorderByCols = Seq(a, b, …)` (or the 2-column `zorderBy`
+      * shorthand) switches compaction into OPTIMIZE ZORDER mode (the
+      * Delta `OPTIMIZE ... ZORDER BY` analog, at ANY arity ≥ 2): EVERY
+      * live leaf rewrites with rows re-clustered along the columns'
+      * Morton curve ([[graft.sources.ZOrder.zValueN]] — global
+      * [min, max] from one stats aggregate, pure-integer z-values), so
+      * each output file gets a tight bounding box in EVERY listed
+      * dimension and the zone-map sidecar — refreshed here, for the
+      * z-columns plus the merge key — starts pruning range predicates
+      * on any of them that the scattered merge-order layout kept every
+      * file for. Unlike plain compaction this is unconditional
+      * (re-clustering IS the point, not a file-count repair); within
+      * the key-bucketed layout the bucket boundaries stay put (merges
+      * stay pruned) and only the WITHIN-leaf order and file split
+      * change. All z-columns must be integral-typed. */
     def optimize(maxFiles: Int = 1,
         zorderBy: Option[(String, String)] = None,
-        zorderBits: Int = 8): Unit = {
+        zorderBits: Int = 8,
+        zorderByCols: Seq[String] = Nil): Unit = {
       require(maxFiles >= 1)
+      require(zorderBy.isEmpty || zorderByCols.isEmpty,
+        "optimize: pass zorderBy (2 columns) or zorderByCols (n), not both")
       validatePartitioning()
       val cur = currentVersion
       if (cur < 0) return
       val next = cur + 1
       guardStagedSchema(next)
-      zorderBy match {
-        case Some((ca, cb)) =>
-          optimizeZOrdered(ca, cb, maxFiles, zorderBits, cur, next)
-          return
-        case None => ()
+      val zcols = zorderBy.map(p => Seq(p._1, p._2)).getOrElse(zorderByCols)
+      if (zcols.nonEmpty) {
+        optimizeZOrdered(zcols, maxFiles, zorderBits, cur, next)
+        return
       }
       def parquetCount(d: java.nio.file.Path): Int = {
         if (!Files.exists(d)) return 0
@@ -1849,22 +1852,23 @@ object Livestream {
       }
     }
 
-    /** The ZORDER compaction body: global [min, max] of the two columns
+    /** The ZORDER compaction body: global [min, max] of the n columns
       * (one stats-sized aggregate), z-value per row, range-repartition
       * along (leaf, z) so output tasks are leaf-aligned AND curve-
       * contiguous (~`maxFiles` files per leaf), in-task sort by z for
       * tight row-group stats, one partitioned write, sidecar refresh. */
-    private def optimizeZOrdered(ca: String, cb: String, maxFiles: Int,
+    private def optimizeZOrdered(zcols: Seq[String], maxFiles: Int,
         bits: Int, cur: Long, next: Long): Unit = {
       val snap = at(cur)
-      val stats = snap.agg(
-        min(col(ca).cast("long")), max(col(ca).cast("long")),
-        min(col(cb).cast("long")), max(col(cb).cast("long"))).head()
-      // empty table or all-null z-columns: nothing to cluster
-      if (stats.isNullAt(0) || stats.isNullAt(2)) return
-      val z = graft.sources.ZOrder.zValue(
-        col(ca).cast("long"), stats.getLong(0), stats.getLong(1),
-        col(cb).cast("long"), stats.getLong(2), stats.getLong(3), bits)
+      val aggs = zcols.flatMap(c =>
+        Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+      val stats = snap.agg(aggs.head, aggs.tail: _*).head()
+      // empty table or an all-null z-column: nothing to cluster
+      if (zcols.indices.exists(i => stats.isNullAt(2 * i))) return
+      val z = graft.sources.ZOrder.zValueN(
+        zcols.zipWithIndex.map { case (c, i) =>
+          (col(c).cast("long"), stats.getLong(2 * i), stats.getLong(2 * i + 1))
+        }, bits)
       partitioning match {
         case None =>
           committing(next) {
@@ -1896,7 +1900,7 @@ object Livestream {
             publish(next)
           }
       }
-      refreshZoneMap(Seq(ca, cb) :+ emptyLike.schema.fieldNames
+      refreshZoneMap(zcols :+ emptyLike.schema.fieldNames
         .find(_.equalsIgnoreCase(Merge.KeyCol)).get)
     }
 

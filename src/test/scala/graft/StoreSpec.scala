@@ -110,6 +110,74 @@ class StoreSpec extends AnyFunSuite {
       s"z-order boxes not tight: x=$zx y=$zy (linear y=$liny)")
   }
 
+  test("ZOrder n-column: 3-dim boxes tighten on EVERY dim; zone map prunes on the third column; n=2 reproduces the classic interleave") {
+    import graft.sources.{ZOrder, ZoneMap}
+    import org.apache.spark.sql.functions._
+    // the generalized layout at n = 2 IS the classic (2k+1, 2k)
+    // interleave — one definition, every arity
+    def refInterleave(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map { k =>
+        (((a >> k) & 1L) << (2 * k + 1)) | (((b >> k) & 1L) << (2 * k))
+      }.sum
+    val got2 = Seq((170L, 85L), (255L, 0L), (3L, 200L)).toDF("a", "b")
+      .select(ZOrder.interleaveN(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 === Seq((170L, 85L), (255L, 0L), (3L, 200L))
+      .map { case (a, b) => refInterleave(a, b, 8) })
+    // driver-side reference of the 3-way layout: col i bit k at 3k+(2-i)
+    def ref3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).map { k =>
+        (((a >> k) & 1L) << (3 * k + 2)) | (((b >> k) & 1L) << (3 * k + 1)) |
+          (((c >> k) & 1L) << (3 * k))
+      }.sum
+    val got3 = Seq((5L, 6L, 7L), (255L, 0L, 128L)).toDF("a", "b", "c")
+      .select(ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 === Seq((5L, 6L, 7L), (255L, 0L, 128L))
+      .map { case (a, b, c) => ref3(a, b, c, 8) })
+    // arity/width guards: < 2 dims and > 62 result bits refuse
+    intercept[IllegalArgumentException](ZOrder.interleaveN(Seq(col("a")), 8))
+    intercept[IllegalArgumentException](
+      ZOrder.interleaveSqlN(Seq("a", "b", "c"), 21))
+    // layout: three independent uniform dims; the 3-way curve tightens
+    // ALL of them vs an x-sorted layout that is blind on y and z
+    val n = 4000
+    val data = (0 until n).map { i =>
+      (i.toLong, (i * 48271 % 1009).toLong, (i * 16807 % 1013).toLong,
+        (i * 69621 % 1019).toLong)
+    }.toDF("id", "x", "y", "z")
+    def meanSpread(path: String, c: String, range: Double): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("s"))
+        .collect().map(_.getLong(1).toDouble / range)
+      perFile.sum / perFile.length
+    }
+    val zPath = tmp("graft_z3")
+    ZOrder.writeZOrderedN(data, Seq("x", "y", "z"), zPath, numFiles = 27)
+    val linPath = tmp("graft_z3lin")
+    data.repartitionByRange(27, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linPath)
+    val (sx, sy, sz) = (meanSpread(zPath, "x", 1009),
+      meanSpread(zPath, "y", 1013), meanSpread(zPath, "z", 1019))
+    assert(meanSpread(linPath, "z", 1019) > 0.8,
+      "x-sorted layout unexpectedly tight on z")
+    assert(sx < 0.75 && sy < 0.75 && sz < 0.75,
+      s"3-dim z-order boxes not tight: x=$sx y=$sy z=$sz")
+    // the THIRD column prunes through the sidecar like the first two
+    ZoneMap.build(spark, zPath, Seq("x", "y", "z"))
+    val total = spark.read.parquet(zPath).inputFiles.length
+    for (c <- Seq("x", "y", "z")) {
+      val pruned = ZoneMap.scanRange(spark, zPath, c, 100L, 220L)
+      assert(pruned.inputFiles.length < total,
+        s"$c: no files skipped (${pruned.inputFiles.length} of $total)")
+      val want = spark.read.parquet(zPath)
+        .filter(col(c).between(100L, 220L))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === want,
+        s"$c: pruning changed the result")
+    }
+  }
+
   test("zone maps: z-ordered layout prunes FILES on both dimensions; results unchanged") {
     import graft.sources.{ZOrder, ZoneMap}
     val n = 4000
@@ -345,6 +413,53 @@ class StoreSpec extends AnyFunSuite {
       .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))
     assert(table.current.filter(col("idstr") === "t1_21")
       .head().getAs[String]("body") === "edited")
+  }
+
+  test("OPTIMIZE ZORDER at arity 3 (zorderByCols): data unchanged, the THIRD dimension prunes too") {
+    import graft.operators.Merge
+    import graft.streaming.Livestream
+    // three decorrelated multiplicative scans of 0..511 — created,
+    // score, AND textlen scatter independently of merge order
+    val rows = (0 until 512).map { i =>
+      C(i.toLong, s"t1_$i", (i * 193L) % 512, s"u$i", "p", "s", s"b$i",
+        (i * 37L) % 512, "sub", null, (i * 101L) % 512)
+    }
+    val dir = tmp("zopt3")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    table.seed(rows.toDF())
+    // zorderBy and zorderByCols are mutually exclusive spellings
+    intercept[IllegalArgumentException](table.optimize(
+      zorderBy = Some(("created", "score")),
+      zorderByCols = Seq("created", "score", "textlen")))
+    val want = table.current.collect()
+      .map(_.getAs[Long]("idint")).sorted.toSeq
+    table.optimize(maxFiles = 4,
+      zorderByCols = Seq("created", "score", "textlen"))
+    val (df1, idx1) = table.scanAuto()
+    assert(df1.collect().map(_.getAs[Long]("idint")).sorted.toSeq === want,
+      "3-dim ZORDER compaction changed the data")
+    // a selective range on EACH of the three curve dimensions skips
+    // files through the refreshed sidecar — including the third one the
+    // 2-dim arity could never cluster
+    for (c <- Seq("created", "score", "textlen")) {
+      val (dfc, idxc) = table.scanAuto()
+      val got = dfc.filter(col(c).between(64L, 160L)).collect()
+        .map(_.getAs[Long]("idint")).sorted.toSeq
+      assert(idxc.lastKept < idxc.lastListed,
+        s"$c: post-optimize predicate skipped nothing " +
+          s"(${idxc.lastKept}/${idxc.lastListed})")
+      val wantC = rows.filter(r => {
+        val v = c match {
+          case "created" => r.created; case "score" => r.score
+          case _ => r.textlen
+        }
+        v >= 64L && v <= 160L
+      }).map(_.idint).sorted.toSeq
+      assert(got === wantC, s"$c: pruning changed the result")
+    }
+    assert(idx1.lastListed > 0)
   }
 
   test("sidecar refresh tracks coverage per (file, col): widening the column set backfills") {
