@@ -101,12 +101,24 @@ object Livestream {
     *        publish — the self-maintaining form of the DV lifecycle
     *        (daily small takedowns stay sidecar-cheap; the occasional
     *        materialization pays the suppressed buckets, never the
-    *        table). None (default) = explicit-operator-call only. */
+    *        table). None (default) = explicit-operator-call only.
+    * @param autoCompact live-files-per-bucket bound — the
+    *        dvAutoMaterialize device applied to LEAF COUNTS: after each
+    *        merge publishes, any bucket whose live file count exceeds
+    *        the bound compacts immediately ([[optimize]]'s batched
+    *        rewrite under its own claimed version), so a store written
+    *        with intra-bucket parallelism (`outputPartitions` > bound,
+    *        backfills, AQE-split writes) maintains its own layout
+    *        instead of waiting for an operator to remember. Per-merge
+    *        cost when nothing is oversized: one driver-side directory
+    *        listing per live bucket — metadata, no Spark job. None
+    *        (default) = explicit optimize() only. */
   final class UpsertTable(spark: SparkSession, path: String, entity: Merge.Entity,
       emptyLike: DataFrame, outputPartitions: Option[Int] = None,
       partitioning: Option[Column] = None,
       clock: () => Long = () => System.currentTimeMillis(),
-      dvAutoMaterialize: Option[Int] = None) {
+      dvAutoMaterialize: Option[Int] = None,
+      autoCompact: Option[Int] = None) {
     // The merge layer keys on Merge.KeyCol end-to-end (upsert window,
     // keyBucket default, the maxFiles>1 compaction salt below): require
     // it at construction so a key-less schema fails HERE with a named
@@ -1664,6 +1676,10 @@ object Livestream {
             publishAndPin(next)
           } finally if (cdc) r.staged.unpersist()
       }
+      // self-maintaining layout: past the bound, compact the oversized
+      // buckets NOW under their own claimed version (see @param
+      // autoCompact) — a no-op costs one listing per live bucket
+      autoCompact.foreach(b => optimize(maxFiles = b))
     }
 
     /** [[merge]] with the documented conflict retry — the loser's side

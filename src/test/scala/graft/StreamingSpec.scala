@@ -2671,6 +2671,86 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
       "a concurrent writer's batch was lost")
   }
 
+  test("autoCompact: a merge past the bound compacts its own oversized buckets — version sequence, file-count drop, identical reads, DV carry") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val dir = tmp("autoc")
+    val nB = 2
+    // intra-bucket write parallelism (outputPartitions = 5 > bound = 2)
+    // is what makes leaves wide; AQE would coalesce the test-sized
+    // salted repartition to one task, hiding the width — off for writes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+        Seq.empty[C].toDF(), outputPartitions = Some(5),
+        partitioning = Some(Livestream.keyBucket(nBuckets = nB)),
+        autoCompact = Some(2))
+      def leafFiles(v: Long, pt: String): Int = {
+        val d = JPaths.get(dir, s"v=$v", s"pt=$pt")
+        if (!JFiles.exists(d)) 0
+        else {
+          val s = JFiles.list(d)
+          try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .count().toInt
+          finally s.close()
+        }
+      }
+      table.seed((0 until 64).map(i => c(i.toLong, s"b$i", i.toLong)).toDF()) // v0
+      assert(table.manifest(0L).exists { case (pt, v) => leafFiles(v, pt) > 2 },
+        "seed did not produce an oversized leaf — fixture broken")
+      // a DV purge before the compaction: its entries must RETIRE only
+      // through rewrites, and suppressed rows must never resurface
+      val gone = "t1_7"
+      val bGone = Livestream.keyBucketValue(gone, nB)
+      assert(table.purgeKeys(Seq(gone).toDF("idstr"), dv = true) === 1L) // v1
+      assert(table.dvAt(1L).nonEmpty)
+      val want = table.current.orderBy("idstr").collect()
+        .map(_.getAs[String]("idstr")).toSeq
+      // a merge key hashing to the OTHER bucket: the merge rewrites that
+      // bucket narrow, so the auto-compaction's oversized set is exactly
+      // gone's (still seed-wide) bucket — whose dv-filtered rewrite must
+      // retire the entry and drop the suppressed bytes
+      val mergeK = (100 until 200)
+        .find(i => Livestream.keyBucketValue(s"t1_$i", nB) != bGone).get
+      // ONE merge → TWO versions: the merge publish (v2), then the
+      // auto-compaction it triggered (v3)
+      table.merge(Seq(c(mergeK.toLong, "new", 1)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false)) // v2+v3
+      assert(table.currentVersion === 3L,
+        "merge past the bound must publish merge + auto-compaction")
+      // the file-count drop: every live leaf is now within the bound
+      table.manifest(3L).foreach { case (pt, v) =>
+        assert(leafFiles(v, pt) <= 2, s"bucket $pt still oversized")
+      }
+      // reads identical (plus the merged row), the suppressed key still
+      // suppressed — and since the entry's bucket rewrote dv-filtered,
+      // the vector retired and the bytes left the files
+      val got = table.current.orderBy("idstr").collect()
+        .map(_.getAs[String]("idstr")).toSeq
+      assert(got === (want :+ s"t1_$mergeK").sorted)
+      assert(!got.contains(gone))
+      assert(table.dvAt(3L).isEmpty,
+        "rewritten buckets must retire their DV entries")
+      assert(spark.read.parquet(table.current.inputFiles: _*)
+        .filter(col("idstr") === gone).count() === 0L)
+      // CARRY half: suppress a key, then merge keys that all hash into
+      // the OTHER bucket — only that bucket oversizes and rewrites, so
+      // the suppressed key's entry (other bucket) must carry verbatim
+      val gone2 = "t1_9"
+      val b2 = Livestream.keyBucketValue(gone2, nB)
+      assert(table.purgeKeys(Seq(gone2).toDF("idstr"), dv = true) === 1L) // v4
+      val widen = (200 until 300)
+        .filter(i => Livestream.keyBucketValue(s"t1_$i", nB) != b2)
+        .take(12)
+      table.merge(widen.map(i => c(i.toLong, s"w$i", 1)).toDF()
+        .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false)) // v5+v6
+      assert(table.currentVersion === 6L)
+      val dvNow = table.dvAt(table.currentVersion)
+      assert(dvNow.map(_._1).toSet === Set(b2.toString),
+        s"un-rewritten bucket's DV entry must carry: $dvNow")
+      assert(table.current.filter(col("idstr") === gone2).count() === 0L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("savepoint hardening: tab-safe vector parse, vector-resolved drop, re-create tightens pins, read refuses a vacuumed pin") {
     import graft.streaming.Savepoint
     val root = tmp("sp_hard_root")
