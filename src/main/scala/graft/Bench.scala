@@ -16,7 +16,7 @@ object Bench {
       "q_item_recs_incremental", "q_embed_cov_incremental",
       "q_ann_incremental", "q_ann_incremental_refine",
       "q_topk_incremental", "q_window_incremental",
-      "q_pipeline_ccnet_incremental")
+      "q_session_incremental", "q_pipeline_ccnet_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

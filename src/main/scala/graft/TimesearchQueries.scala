@@ -100,6 +100,39 @@ object TimesearchQueries {
         root
       })
 
+  /** Stream-maintained SESSION dashboard (the 19th maintained
+    * artifact), once per session per corpus — seed the fact store with
+    * the old batch, then drive the new batch through
+    * [[graft.streaming.StreamSession.sessionSink]] as TWO real
+    * micro-batches (merge + dirty-group session catch-up per trigger).
+    * Same (group = author, axis = score, gap = 500) parameters as
+    * q_cdc_session so the oracle is shared verbatim. */
+  private val builtSessionViews = new java.util.concurrent.ConcurrentHashMap[
+    String, String]()
+  private def incrementalSession(s: SparkSession, dir: String): String =
+    builtSessionViews.computeIfAbsent(
+      s"${s.sparkContext.applicationId}:$dir", _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+        val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+          Merge.comments, oldComments(s, dir).limit(0),
+          outputPartitions = Some(1),
+          partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+        table.seed(oldComments(s, dir))
+        val root = tmp.resolve("view").toString
+        graft.streaming.StreamSession.seedView(table, root,
+          "author", "score", 500L)
+        val src = tmp.resolve("in").toString
+        val nc = newComments(s, dir)
+        nc.repartition(2).write.parquet(src)
+        val stream = s.readStream.schema(nc.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+        val q = graft.streaming.StreamSession.sessionSink(stream, table,
+          root, "author", "score", 500L, tmp.resolve("ckp").toString)
+          .start()
+        q.awaitTermination()
+        root
+      })
+
   private[graft] def oldComments(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
       .filter(col("event_id") % 4 =!= 1)
@@ -1384,6 +1417,18 @@ object TimesearchQueries {
         .orderBy("w_start", "distinguish")
     }),
 
+    // Stream-maintained SESSION dashboard — the 19th maintained
+    // artifact (StreamSession.sessionSink): real micro-batches, each a
+    // merge into the versioned fact store plus a dirty-group session
+    // catch-up through the SHARED batch sessionizer; the published view
+    // must equal q_cdc_session's chained-applier result, whose oracle
+    // (the lag/cumsum rescan of the final merged state) gates VERBATIM.
+    "q_session_incremental" -> ((s, dir) => {
+      val root = incrementalSession(s, dir)
+      graft.streaming.StreamSession.view(s, root)
+        .orderBy("author", "session_id")
+    }),
+
     // Multi-column group keys through the top-k applier — the
     // real-dashboard (dim1, dim2) leaderboard (Scd.cdcApplyTopKGrouped,
     // the struct-packing device over the proven single-group algebra):
@@ -2142,6 +2187,32 @@ object TimesearchQueries {
        FROM member GROUP BY w_start, distinguish
        ORDER BY w_start, distinguish"""
 
+  /** The final merged state re-sessionized per author on the score
+    * axis (the q_sessionize lag/cumsum replay) — shared by
+    * q_cdc_session (explicit version-range applies) and
+    * q_session_incremental (the stream-maintained session dashboard)
+    * so both maintenance paths face the identical gate. */
+  private val sessionOracle: String =
+    s"""$oldNewCtes,
+       merged AS (
+         $mergedSelect),
+       m AS (SELECT author, score AS t FROM merged),
+       x AS (
+         SELECT author, t,
+                CASE WHEN t - lag(t) OVER (PARTITION BY author ORDER BY t) > 500
+                       OR lag(t) OVER (PARTITION BY author ORDER BY t) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+         FROM m),
+       sg AS (
+         SELECT author, t,
+                SUM(new_s) OVER (PARTITION BY author ORDER BY t
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM x)
+       SELECT author, CAST(session_id AS BIGINT) AS session_id,
+              min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
+       FROM sg GROUP BY author, session_id
+       ORDER BY author, session_id"""
+
   /** changes(0, 1) replay: v0 = old, v1 = the merge result; full-outer
     * re-join classifies insert/update (delete is structurally absent for
     * an upsert-only table), with before_/after_ flattening. */
@@ -2376,26 +2447,12 @@ object TimesearchQueries {
     // the score axis — the q_sessionize lag/cumsum replay; a stale
     // session served for a touched author, or a dropped untouched one,
     // hash-mismatches
-    "q_cdc_session" ->
-      s"""$oldNewCtes,
-         merged AS (
-           $mergedSelect),
-         m AS (SELECT author, score AS t FROM merged),
-         x AS (
-           SELECT author, t,
-                  CASE WHEN t - lag(t) OVER (PARTITION BY author ORDER BY t) > 500
-                         OR lag(t) OVER (PARTITION BY author ORDER BY t) IS NULL
-                       THEN 1 ELSE 0 END AS new_s
-           FROM m),
-         sg AS (
-           SELECT author, t,
-                  SUM(new_s) OVER (PARTITION BY author ORDER BY t
-                    ROWS UNBOUNDED PRECEDING) AS session_id
-           FROM x)
-         SELECT author, CAST(session_id AS BIGINT) AS session_id,
-                min(t) AS start, max(t) AS "end", COUNT(*) AS n_events
-         FROM sg GROUP BY author, session_id
-         ORDER BY author, session_id""",
+    "q_cdc_session" -> sessionOracle,
+
+    // the stream-maintained session dashboard serves the SAME state —
+    // oracle shared verbatim, so the trigger-driven maintenance faces
+    // the chained appliers' exact gate
+    "q_session_incremental" -> sessionOracle,
 
     // predicate takedown: the replayed merge MINUS the erased authors —
     // the oracle never sees the purge, so both failure directions

@@ -2987,6 +2987,68 @@ test("StreamSketch Bloom: maintained OR-merge words equal the batch bitmap; repl
     assert(!t3.versionAvailable(1L) && t3.versionAvailable(2L))
   }
 
+  test("StreamSession: maintained table tracks session MERGE and SPLIT across trigger boundaries; untouched groups verbatim; erasure reseeds") {
+    import graft.streaming.{Sessionize, StreamSession}
+    import graft.operators.Scd
+    val tmpD = tmp("streamsess")
+    val dir = s"$tmpD/tbl"; val root = s"$tmpD/view"
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    def row(id: Long, author: String, score: Long) =
+      C(id, s"t1_$id", id, author, "p", "s", s"b$id", score, "sub", null, 2L)
+    // author A: two sessions on the score axis at gap 150 ({0, 50} and
+    // {300, 350}); author B: one session — the untouched-group witness
+    table.seed(Seq(row(1, "A", 0), row(2, "A", 50), row(3, "A", 300),
+      row(4, "A", 350), row(10, "B", 7), row(11, "B", 57)).toDF()) // v0
+    StreamSession.seedView(table, root, "author", "score", 150L)
+    def sessions(a: String) = StreamSession.view(spark, root)
+      .filter(col("author") === a).orderBy("session_id").collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("end"),
+        r.getAs[Long]("n_events"))).toSeq
+    assert(sessions("A") === Seq((0L, 50L, 2L), (300L, 350L, 2L)))
+    val b0 = sessions("B")
+    // trigger 2 — MERGE: one arriving event (score 175) bridges both of
+    // A's sessions (gaps 125 and 125 ≤ 150): the dirty-group rescan
+    // fuses them into ONE session spanning the boundary
+    table.merge(Seq(row(5, "A", 175)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                             // v1
+    StreamSession.refresh(spark, table, root, "author", "score", 150L)
+    assert(sessions("A") === Seq((0L, 350L, 5L)), "session MERGE failed")
+    assert(sessions("B") === b0, "untouched group not served verbatim")
+    // trigger 3 — SPLIT: the bridge row's score moves away (an UPDATE
+    // through the merge layer): the fused session cuts back in two,
+    // plus the moved event's own singleton
+    table.merge(Seq(row(5, "A", 2000)).toDF().withColumn("_seq", lit(1L)),
+      "_seq", storeEdits = Some(false))                             // v2
+    StreamSession.refresh(spark, table, root, "author", "score", 150L)
+    assert(sessions("A") ===
+      Seq((0L, 50L, 2L), (300L, 350L, 2L), (2000L, 2000L, 1L)),
+      "session SPLIT failed")
+    // maintained ≡ batch structurally: the view equals the shared batch
+    // sessionizer over the current snapshot, for every group
+    val viewAll = StreamSession.view(spark, root)
+      .orderBy("author", "session_id").collect().map(_.toSeq).toSeq
+    val batchAll = Scd.cdcBaseSession(table.current, "author", "score", 150L)
+      .orderBy("author", "session_id").collect().map(_.toSeq).toSeq
+    assert(viewAll === batchAll)
+    // refresh is idempotent at basis == current
+    StreamSession.refresh(spark, table, root, "author", "score", 150L)
+    assert(StreamSession.basis(root) === table.currentVersion)
+    // erasure between triggers: the recorded basis vanishes, refresh
+    // RESEEDS from the current snapshot (the post-erasure contract)
+    table.purge(Seq("t1_5"), eraseHistory = true)
+    StreamSession.refresh(spark, table, root, "author", "score", 150L)
+    assert(sessions("A") === Seq((0L, 50L, 2L), (300L, 350L, 2L)))
+    assert(StreamSession.basis(root) === table.currentVersion)
+    // vacuumView reclaims superseded view dirs, keeps the basis
+    StreamSession.vacuumView(root)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root,
+      s"v=${StreamSession.basis(root)}")))
+    assert(Sessionize.batch(table.current, "author",
+      col("score").cast("long"), 150L).count() === 3L)
+  }
+
   test("cdcApplySession: dirty-group rescan equals the batch rescan under inserts, score moves, and DV deletes") {
     import graft.operators.Scd
     val dir = tmp("cdcsess")
