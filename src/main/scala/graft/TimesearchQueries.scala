@@ -645,6 +645,26 @@ object TimesearchQueries {
       table.current.orderBy("idstr")
     }),
 
+    // The SQL-readable store surface (spark.read.format("graft") — the
+    // DataSource V2 TableProvider over the existing gated read stack):
+    // the same seeded+merged store as q_stream_upsert, read back ONLY
+    // through the format + a temp view + plain SQL, and gated on the
+    // upsert oracle VERBATIM — a divergence anywhere in the standalone
+    // resolution (pointer, manifest, schema generation, deletion
+    // vector) between the Scala read stack and the SQL surface
+    // hash-mismatches.
+    "q_dsv2_read" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                                 // v0
+      table.merge(newComments(s, dir), "_seq", storeEdits = Some(false)) // v1
+      s.read.format("graft").load(tmp.resolve("tbl").toString)
+        .createOrReplaceTempView("graft_dsv2_read")
+      s.sql("SELECT * FROM graft_dsv2_read ORDER BY idstr")
+    }),
+
     // Version-range CDC over the versioned store — UpsertTable.changes,
     // the table_changes()/Delta-CDF analog: seed publishes v0, one
     // upsert batch publishes v1, and changes(0, 1) classifies every key
@@ -2364,6 +2384,10 @@ object TimesearchQueries {
 
   private val oraclesRaw: Map[String, String] = Map(
     "q_stream_upsert" -> upsertOracle,
+
+    // the format("graft") SQL surface serves the SAME merged state —
+    // oracle shared verbatim with the batch and streaming upsert paths
+    "q_dsv2_read" -> upsertOracle,
     "q_table_changes" -> tableChangesOracle,
 
     // schema evolution: the replayed upsert LEFT JOIN the replayed

@@ -28,6 +28,82 @@ object Livestream {
   final class ConcurrentWriteException(val tablePath: String,
       val version: Long, msg: String) extends RuntimeException(msg)
 
+  /** Path-level readers of the store's published METADATA files — the
+    * single definition of the on-disk formats (pointer, manifest,
+    * schema generations, deletion vectors), shared by [[UpsertTable]]'s
+    * instance methods and the standalone SQL read surface
+    * ([[graft.sources.GraftSource]]), which must resolve a table from
+    * its path alone (no entity, no partitioning expression in hand). */
+  private[graft] object StoreMeta {
+
+    def currentVersion(path: String): Long = {
+      val ptr = Paths.get(path, "_VERSION")
+      if (Files.exists(ptr))
+        new String(Files.readAllBytes(ptr)).trim.toLong
+      else -1L
+    }
+
+    /** Does the table use the partitioned (manifested) layout? */
+    def isPartitioned(path: String): Boolean =
+      Files.exists(Paths.get(path, "_manifest"))
+
+    def manifest(path: String, version: Long): Map[String, Long] = {
+      val f = Paths.get(path, "_manifest", s"m=$version")
+      if (version < 0 || !Files.exists(f)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        // skip malformed (tab-less) lines defensively: a torn write on a
+        // filesystem without atomic rename must not throw from every read
+        Files.readAllLines(f).asScala
+          .filter(l => l.nonEmpty && l.indexOf('\t') > 0)
+          .map { line =>
+            val i = line.indexOf('\t')
+            line.substring(i + 1) -> line.substring(0, i).toLong
+          }.toMap
+      }
+    }
+
+    /** The newest recorded schema generation ≤ `version`, if any. */
+    def schemaGen(path: String,
+        version: Long): Option[org.apache.spark.sql.types.StructType] = {
+      val d = Paths.get(path, "_schema")
+      if (version < 0 || !Files.exists(d)) return None
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val gens =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("s=") && !n.endsWith(".tmp"))
+          .map(_.drop(2).toLong).filter(_ <= version).toList
+        finally s.close()
+      if (gens.isEmpty) None
+      else Some(org.apache.spark.sql.types.DataType
+        .fromJson(new String(Files.readAllBytes(
+          d.resolve(s"s=${gens.max}")),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+
+    /** Live deletion set as of `version`: (escaped pt, md5(key)). */
+    def dv(path: String, version: Long): Seq[(String, String)] = {
+      val d = Paths.get(path, "_dv")
+      if (version < 0 || !Files.exists(d)) return Seq.empty
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      val gens =
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("d=") && !n.endsWith(".tmp"))
+          .map(_.drop(2).toLong).filter(_ <= version).toList
+        finally s.close()
+      if (gens.isEmpty) Seq.empty
+      else Files.readAllLines(d.resolve(s"d=${gens.max}")).asScala
+        .filter(l => l.nonEmpty && l.indexOf('\t') > 0)
+        .map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i), l.substring(i + 1))
+        }.toSeq
+    }
+  }
+
   /** Parquet-backed upsert target with atomic version swap.
     *
     * Layout: `path/v=N/` table versions (readers pick max N via a pointer
@@ -131,8 +207,7 @@ object Livestream {
     private val PartCol = "pt"
     private val PartKey = "partitioning"
 
-    def currentVersion: Long =
-      if (Files.exists(ptr)) new String(Files.readAllBytes(ptr)).trim.toLong else -1L
+    def currentVersion: Long = StoreMeta.currentVersion(path)
 
     // ==== optimistic concurrency: the per-version commit claim ==========
     //
@@ -248,22 +323,8 @@ object Livestream {
       * returns the SHAPE as of the version too — a pre-evolution
       * `at(v)` has the old columns, the boundary merge's version the
       * new ones. */
-    def schemaAt(version: Long): org.apache.spark.sql.types.StructType = {
-      val d = Paths.get(path, "_schema")
-      if (version < 0 || !Files.exists(d)) return emptyLike.schema
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(d)
-      val gens =
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("s=") && !n.endsWith(".tmp"))
-          .map(_.drop(2).toLong).filter(_ <= version).toList
-        finally s.close()
-      if (gens.isEmpty) emptyLike.schema
-      else org.apache.spark.sql.types.DataType
-        .fromJson(new String(Files.readAllBytes(
-          d.resolve(s"s=${gens.max}")), java.nio.charset.StandardCharsets.UTF_8))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-    }
+    def schemaAt(version: Long): org.apache.spark.sql.types.StructType =
+      StoreMeta.schemaGen(path, version).getOrElse(emptyLike.schema)
 
     /** The schema serving the CURRENT version (the newest recorded
       * generation; the construction schema until an evolving merge
@@ -336,24 +397,8 @@ object Livestream {
     // never vacuumed (older versions inherit through them).
 
     /** Live deletion set as of `version`: (escaped pt, md5(key)). */
-    def dvAt(version: Long): Seq[(String, String)] = {
-      val d = Paths.get(path, "_dv")
-      if (version < 0 || !Files.exists(d)) return Seq.empty
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(d)
-      val gens =
-        try s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("d=") && !n.endsWith(".tmp"))
-          .map(_.drop(2).toLong).filter(_ <= version).toList
-        finally s.close()
-      if (gens.isEmpty) Seq.empty
-      else Files.readAllLines(d.resolve(s"d=${gens.max}")).asScala
-        .filter(l => l.nonEmpty && l.indexOf('\t') > 0)
-        .map { l =>
-          val i = l.indexOf('\t')
-          (l.substring(0, i), l.substring(i + 1))
-        }.toSeq
-    }
+    def dvAt(version: Long): Seq[(String, String)] =
+      StoreMeta.dv(path, version)
 
     private def writeDvFile(version: Long,
         entries: Seq[(String, String)]): Unit = {
@@ -481,21 +526,8 @@ object Livestream {
       * rewrote it. Values are stored path-escaped (one `v<TAB>pt` line per
       * partition), so the manifest line format and the directory name
       * agree byte-for-byte. */
-    def manifest(version: Long): Map[String, Long] = {
-      val f = Paths.get(path, "_manifest", s"m=$version")
-      if (version < 0 || !Files.exists(f)) Map.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        // skip malformed (tab-less) lines defensively: a torn write on a
-        // filesystem without atomic rename must not throw from every read
-        Files.readAllLines(f).asScala
-          .filter(l => l.nonEmpty && l.indexOf('\t') > 0)
-          .map { line =>
-            val i = line.indexOf('\t')
-            line.substring(i + 1) -> line.substring(0, i).toLong
-          }.toMap
-      }
-    }
+    def manifest(version: Long): Map[String, Long] =
+      StoreMeta.manifest(path, version)
 
     private def writeManifest(version: Long, m: Map[String, Long]): Unit = {
       val dir = Paths.get(path, "_manifest")

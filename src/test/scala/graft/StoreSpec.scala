@@ -462,6 +462,75 @@ class StoreSpec extends AnyFunSuite {
     assert(idx1.lastListed > 0)
   }
 
+  test("format(\"graft\"): plain SQL reads the store — current, versionAsOf, savepoint world, DV suppression, pushed-predicate skipping") {
+    import graft.operators.Merge
+    import graft.streaming.{Livestream, Savepoint}
+    val rows = (0 until 256).map { i =>
+      C(i.toLong, s"t1_$i", (i * 193L) % 512, s"u${i % 8}", "p", "s",
+        s"b$i", (i * 37L) % 512, "sub", null, 2L)
+    }
+    val dir = tmp("dsv2")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    table.seed(rows.toDF())                                           // v0
+    table.merge(Seq(C(1L, "t1_1", 193L, "u1", "p", "s", "edited", 999L,
+        "sub", null, 6L)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                               // v1
+    def viaFormat(extra: (String, String)*): org.apache.spark.sql.DataFrame =
+      extra.foldLeft(spark.read.format("graft"))(
+        (r, kv) => r.option(kv._1, kv._2)).load(dir)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("idstr").collect().map(_.getString(0)).sorted.toSeq
+    // the format read equals the Scala API's current snapshot, and a
+    // plain-SQL consumer composes over it
+    assert(ids(viaFormat()) === ids(table.current))
+    viaFormat().createOrReplaceTempView("graft_dsv2_t")
+    assert(spark.sql(
+        "SELECT body FROM graft_dsv2_t WHERE idstr = 't1_1'")
+      .head().getString(0) === "edited")
+    // time travel through an option
+    assert(viaFormat("versionAsOf" -> "0")
+      .filter(col("idstr") === "t1_1").head().getAs[String]("body") === "b1")
+    // schema generation: a widened reopen + evolving merge serves the
+    // new column through the format read with old files null-filled
+    // (covered structurally — the resolved schema IS the generation)
+    assert(viaFormat().schema.fieldNames.toSeq ===
+      table.currentSchema.fieldNames.toSeq)
+    // savepoint world: pin v1, churn past it, the format read with the
+    // savepoint option serves the pinned state
+    val spRoot = tmp("dsv2_sp")
+    val sp = Savepoint.create(spRoot, "w", Seq(table))
+    table.merge(Seq(C(500L, "t1_500", 1L, "u5", "p", "s", "late", 1L,
+        "sub", null, 4L)).toDF().withColumn("_seq", lit(0L)),
+      "_seq", storeEdits = Some(false))                               // v2
+    val pinned = viaFormat("savepoint" -> "w", "savepointRoot" -> spRoot)
+    assert(ids(pinned) === ids(sp.read(table)))
+    assert(!ids(pinned).contains("t1_500"))
+    // DV suppression rides the format read (merge-on-read, bucket from
+    // the file path)
+    assert(table.purgeKeys(Seq("t1_7").toDF("idstr"), dv = true) === 1L) // v3
+    assert(!ids(viaFormat()).contains("t1_7"))
+    assert(ids(viaFormat()).contains("t1_500"))
+    // pushed predicates reach the zone-map index: cluster the layout,
+    // then a plain SQL WHERE skips files (kept < listed)
+    table.optimize(maxFiles = 4, zorderBy = Some(("created", "score")))  // v4
+    viaFormat().createOrReplaceTempView("graft_dsv2_t")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_dsv2_t WHERE created BETWEEN 10 AND 80")
+      .head().getLong(0)
+    assert(n === table.current.filter(col("created").between(10L, 80L))
+      .count())
+    val idx = graft.sources.GraftSource.lastIndex.get
+    assert(idx.lastKept < idx.lastListed,
+      s"pushed predicate skipped nothing (${idx.lastKept}/${idx.lastListed})")
+    // a vacuumed versionAsOf fails LOUDLY, never an empty frame
+    Savepoint.drop(spRoot, "w", Seq(table))
+    table.vacuum(keep = 1)
+    val e = intercept[Exception](viaFormat("versionAsOf" -> "0").count())
+    assert(e.getMessage.contains("not readable"))
+  }
+
   test("sidecar refresh tracks coverage per (file, col): widening the column set backfills") {
     import graft.operators.Merge
     import graft.streaming.Livestream
