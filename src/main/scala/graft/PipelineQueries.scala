@@ -958,6 +958,73 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ARCHIVE-TO-CORPUS showcase — BOTH halves of the engine composed
+    // end to end: the reference's archive lifecycle (NDJSON dump →
+    // pinned-schema ingest → Normalize → versioned store seed + merge →
+    // MID-STREAM TAKEDOWN with full erasure) feeding the LLM curation
+    // chain (keep-canonical exact dedup → LM-surprisal quality filter
+    // trained on the deduped archive → leak-free train split by
+    // canonical id → sequence packing). Every stage is an
+    // already-gated device; the composition is the proof they
+    // interoperate — the oracle chains the SAME dedup/LM/split/pack
+    // CTE fragments q_pipeline gates on, over the takedown-filtered
+    // corpus (the store's net state), so a drift ANYWHERE in the
+    // archive half (a lost ingest row, a merge casualty, an
+    // under/over-purged key, a body mangled in the JSON round-trip)
+    // or the curation half hash-mismatches.
+    "q_pipeline_archive" -> ((s, dir) => {
+      import graft.streaming.Livestream
+      import graft.operators.{Merge, Normalize}
+      val tmpD = java.nio.file.Files.createTempDirectory("graft_parch")
+      deleteOnExit(tmpD)
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      // 1. the archive dump: comment-shaped NDJSON lines (created_utc
+      //    carries doc_id so the curation half recovers it without a
+      //    base36 round-trip)
+      val src = tmpD.resolve("dump").toString
+      docs.select(to_json(struct(
+          col("doc_id").cast("string").as("id"),
+          concat(lit("t1_"), col("doc_id")).as("name"),
+          col("doc_id").as("created_utc"),
+          concat(lit("u"), col("doc_id") % 50).as("author"),
+          col("text").as("body"),
+          lit("t3_0").as("link_id"),
+          lit("sub").as("subreddit"))).as("line"))
+        .coalesce(1).write.mode("overwrite").text(src)
+      // 2. pinned-schema ingest + normalization (the reference's S1/S2
+      //    path), split into a backfill batch and a streamed increment
+      val normalized = Normalize.comments(
+          graft.sources.Ndjson.commentsRaw(
+            graft.sources.Ndjson.read(s, src)))
+        .drop("_edited").withColumn("_seq", lit(0L))
+      val table = new Livestream.UpsertTable(s, tmpD.resolve("tbl").toString,
+        Merge.comments, normalized.drop("_seq").limit(0),
+        outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(normalized.filter(col("created") % 3 =!= 2).drop("_seq")) // v0
+      table.merge(normalized.filter(col("created") % 3 === 2), "_seq",
+        storeEdits = Some(false))                                     // v1
+      // 3. MID-STREAM TAKEDOWN: a predicate erasure request lands
+      //    between the archive half and the curation read — rewrite,
+      //    history vacuum, the full act
+      table.purgeWhere(col("created") % 13 === 0)                     // v2
+      // 4. the curation chain over the store's NET state
+      val corpus = table.current
+        .select(col("created").as("doc_id"), col("body").as("text"))
+      val deduped = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+      val scored = TextAnalysis.unigramSurprisal(deduped, "doc_id", "text")
+      val kept = scored.filter(col("mean_surprisal_bp") <= 34050L)
+        .select(col("doc").as("doc_id"), col("n_tokens"))
+      // the split key IS the canonical id (survivors of keep-canonical
+      // dedup satisfy doc_id == canon), so duplicates can never
+      // straddle train/val/test — the q_split_leakfree contract
+      val train = TextAnalysis.hashSplit(kept, "doc_id")
+        .filter(col("split") === "train")
+      TextAnalysis.packSequences(train, "doc_id", col("n_tokens"),
+          capacity = 256L)
+        .orderBy("doc_id")
+    }),
+
     // The CCNet pipeline COMPOSITION — what the langid operator exists
     // for, end to end in ONE declarative plan: langid shard routing
     // (the whole corpus classified against the trained trigram
@@ -3937,6 +4004,54 @@ object PipelineQueries {
          FROM s$i CROSS JOIN (SELECT l AS wl, r AS wr, m AS wm FROM win$i) w$i)"""
   }
 
+  /** Keep-canonical exact-dedup CTE over source relation `src` — the
+    * q_dedup_exact window-min device, parameterized so q_pipeline (raw
+    * documents) and q_pipeline_archive (the takedown-filtered store
+    * state) share the fragment verbatim. */
+  private def pipelineDedupCte(src: String): String =
+    """dd AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    min(doc_id) OVER (
+                      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                    ) AS keep
+             FROM """ + src + """) WHERE doc_id = keep)"""
+
+  /** The curation tail over the `dd` CTE: unigram-LM surprisal trained
+    * on the deduped corpus, the 34050 bp quality gate, the md5 train
+    * split (leak-free: survivors satisfy doc_id == canon), and
+    * capacity-256 sequence packing — shared verbatim by q_pipeline and
+    * q_pipeline_archive. */
+  private val pipelineTail: String =
+    """,
+         toks AS (
+           SELECT doc_id AS doc,
+                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+           FROM dd),
+         tf AS (SELECT doc, tok, count(*) AS tf
+                FROM toks WHERE tok <> '' GROUP BY 1, 2),
+         cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
+         per AS (
+           SELECT tf.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                  CAST(sum(tf * CAST(floor(ln(CAST(t AS DOUBLE) / cnt) * 10000) AS BIGINT)) AS BIGINT)
+                    AS total_bp
+           FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+           GROUP BY 1),
+         kept AS (
+           SELECT doc, n_tokens FROM per
+           WHERE CAST(floor(CAST(total_bp AS DOUBLE) / n_tokens) AS BIGINT) <= 34050),
+         train AS (
+           SELECT doc AS doc_id, CAST(doc % 32 AS BIGINT) AS shard, n_tokens
+           FROM kept
+           WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) < 'cccc')
+         SELECT doc_id, shard,
+                CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
+                     AS BIGINT) AS bin,
+                n_tokens
+         FROM train ORDER BY doc_id"""
+
   private def bpeTrainingCtes(carryW: Boolean): String = {
     val w = if (carryW) "w, " else ""
     s"""WITH w0 AS MATERIALIZED (
@@ -5040,41 +5155,15 @@ object PipelineQueries {
 
     // Chains the dedup-keep, surprisal, split, and pack oracle fragments
     // over the same staged semantics (LM counts post-dedup).
-    "q_pipeline" ->
-      """WITH dd AS (
-           SELECT doc_id, text FROM (
-             SELECT doc_id, text,
-                    min(doc_id) OVER (
-                      PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-                    ) AS keep
-             FROM documents) WHERE doc_id = keep),
-         toks AS (
-           SELECT doc_id AS doc,
-                  unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
-           FROM dd),
-         tf AS (SELECT doc, tok, count(*) AS tf
-                FROM toks WHERE tok <> '' GROUP BY 1, 2),
-         cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
-         per AS (
-           SELECT tf.doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
-                  CAST(sum(tf * CAST(floor(ln(CAST(t AS DOUBLE) / cnt) * 10000) AS BIGINT)) AS BIGINT)
-                    AS total_bp
-           FROM tf JOIN cnt USING (tok) CROSS JOIN tot
-           GROUP BY 1),
-         kept AS (
-           SELECT doc, n_tokens FROM per
-           WHERE CAST(floor(CAST(total_bp AS DOUBLE) / n_tokens) AS BIGINT) <= 34050),
-         train AS (
-           SELECT doc AS doc_id, CAST(doc % 32 AS BIGINT) AS shard, n_tokens
-           FROM kept
-           WHERE substr(md5(CAST(doc AS VARCHAR)), 1, 4) < 'cccc')
-         SELECT doc_id, shard,
-                CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) - n_tokens) // 256
-                     AS BIGINT) AS bin,
-                n_tokens
-         FROM train ORDER BY doc_id""",
+    "q_pipeline" -> ("WITH " + pipelineDedupCte("documents") + pipelineTail),
+
+    // the archive half's NET state (ingest → store → mid-stream
+    // takedown = the %13 erasure) feeding the SAME dedup/LM/split/pack
+    // fragments q_pipeline gates on — one shared tail, zero drift
+    "q_pipeline_archive" ->
+      ("""WITH archive AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+         """ + pipelineDedupCte("archive") + pipelineTail),
 
     // Same relational algebra as TextAnalysis.fuzzyContamination; the
     // jaccard floor expression is the engine's proven jaccardOracle form.
