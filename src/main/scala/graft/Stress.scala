@@ -805,9 +805,134 @@ object Stress {
     val idxOk = idxCountOk && idxReplayOk && idxPruneOk && idxGenOk &&
       idxServeOk && idxPurgeOk && idxDvOk && idxMatOk && idxSpOk
 
+    // 9. CONCURRENT PUBLISHERS + the SQL READ SURFACE at stress scale:
+    // the optimistic-concurrency protocol driven by REAL racing
+    // threads against one key-bucketed store under the starved
+    // session. Four writer threads each mergeRetry a DISJOINT
+    // key-offset replica of the corpus (each merge a full
+    // shuffle+window under the sliver — the race and the spill
+    // pressure compose); the commit claim serializes them, every loser
+    // re-reads and re-merges, and the closed forms are exact: versions
+    // == seed + one per writer (no batch lost, no double publish),
+    // rows == 5 × single-copy count, integer score sum == 5 × the
+    // single-copy sum (a trampled staging dir or a lost batch breaks
+    // the sum even if the count survives). Then spark.read
+    // .format("graft") + plain SQL serves the SAME state (count + sum
+    // drift zero vs the Scala read), a deletion-vector purge's
+    // suppression rides the SQL path, and versionAsOf time-travels to
+    // the pre-purge state.
+    val occWriters = 4
+    val occRoot = java.nio.file.Files
+      .createTempDirectory("graft_stress_occ").toString
+    // author rides frozen because the merge fold's tombstone guard
+    // reads it (the StreamAnn entity device — always null here)
+    val occEntity = operators.Merge.Entity("body", "previous_body",
+      updatable = Seq("score"), frozen = Seq("author"))
+    // per-key pre-aggregation makes every batch KEY-UNIQUE (the merge
+    // folds duplicate in-batch keys last-wins, which would break the
+    // additive closed form) while keeping sum(score) = the slice's
+    // full qty_c sum — so the store total telescopes exactly. The
+    // SEED is the whole ×1 corpus (the at-scale store); each racing
+    // writer's batch is a DISJOINT key-offset slice (micro-batch-
+    // sized, the streaming-cadence shape — the race is on the commit
+    // claim, and each merge stays a pruned bucket write against the
+    // big store). Slices are pre-materialized per thread so the race
+    // measures the protocol, not four concurrent corpus shuffles
+    // inside one starved session.
+    def occKeyed(src: org.apache.spark.sql.DataFrame,
+        offset: Long): org.apache.spark.sql.DataFrame =
+      src.select(
+          concat(lit("k"), (col("l_orderkey") * 10 + col("l_partkey") % 10 +
+            lit(offset)).cast("string")).as("idstr"),
+          col("qty_c"))
+        .groupBy("idstr")
+        .agg(lit(null).cast("string").as("author"),
+          lit(null).cast("string").as("body"),
+          sum("qty_c").as("score"))
+    def occTable() = new streaming.Livestream.UpsertTable(spark, occRoot,
+      occEntity, occKeyed(li, 0L).limit(0), outputPartitions = Some(1),
+      partitioning = Some(streaming.Livestream.keyBucket(nBuckets = 16)))
+    val (occChecks, tOcc) = timed {
+      val seedRows = occKeyed(li, 0L)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val seedStats = seedRows.agg(count(lit(1)), sum("score")).head()
+      val (seedN, seedSum) = (seedStats.getLong(0), seedStats.getLong(1))
+      occTable().seed(seedRows)                                     // v0
+      // disjoint micro-batch slices, materialized BEFORE the race
+      val slices = (1 to occWriters).map { w =>
+        val s = occKeyed(li.filter(col("l_orderkey") % 199 === w),
+            w.toLong * 100000000000L)
+          .localCheckpoint(true)
+        val st = s.agg(count(lit(1)), sum("score")).head()
+        (s, st.getLong(0), st.getLong(1))
+      }
+      val occErrs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = slices.map { case (s, _, _) =>
+        val th = new Thread(() => {
+          try {
+            start.await()
+            occTable().mergeRetry(
+              s.withColumn("_seq", monotonically_increasing_id()),
+              "_seq", storeEdits = Some(false), maxAttempts = 40,
+              conflictWaitMillis = 300000L)
+          } catch { case t: Throwable => occErrs.add(t) }
+        })
+        th.start(); th
+      }
+      start.countDown()
+      threads.foreach(_.join(600000))
+      occErrs.forEach(t => System.err.println(
+        s"[stress] occ writer failed: ${t.getClass.getSimpleName}: " +
+          s"${t.getMessage}"))
+      try {
+        val t = occTable()
+        val errsOk = occErrs.isEmpty
+        val verOk = t.currentVersion == occWriters.toLong
+        val snap = t.current.agg(count(lit(1)), sum("score")).head()
+        val countOk = snap.getLong(0) == seedN + slices.map(_._2).sum
+        val sumOk = snap.getLong(1) == seedSum + slices.map(_._3).sum
+        // the SQL surface serves the same state
+        spark.read.format("graft").load(occRoot)
+          .createOrReplaceTempView("graft_stress_occ")
+        val sql = spark.sql(
+          "SELECT count(*), sum(score) FROM graft_stress_occ").head()
+        val sqlOk = sql.getLong(0) == snap.getLong(0) &&
+          sql.getLong(1) == snap.getLong(1)
+        // DV purge suppression through the SQL path + versionAsOf back
+        // to the pre-purge state
+        import spark.implicits._
+        val dvKeys = t.current.select("idstr").limit(5)
+          .collect().map(_.getString(0)).toSeq
+        val present = t.current.filter(col("idstr").isin(dvKeys: _*)).count()
+        val nSupp = t.purgeKeys(dvKeys.toDF("idstr"), dv = true)
+        spark.read.format("graft").load(occRoot)
+          .createOrReplaceTempView("graft_stress_occ2")
+        val sqlAfter = spark.sql(
+          "SELECT count(*) FROM graft_stress_occ2").head().getLong(0)
+        val asOf = spark.read.format("graft")
+          .option("versionAsOf", occWriters.toString).load(occRoot)
+          .filter(col("idstr").isin(dvKeys: _*)).count()
+        val dvSqlOk = present > 0 && nSupp == present &&
+          sqlAfter == snap.getLong(0) - present && asOf == present
+        seedRows.unpersist()
+        (errsOk && verOk, countOk && sumOk, sqlOk, dvSqlOk)
+      } catch {
+        case e: Throwable =>
+          // the gate must REPORT, not die mid-artifact: any residue of
+          // a failed race lands as flags=false with the cause on stderr
+          System.err.println(s"[stress] occ section failed: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          (false, false, false, false)
+      }
+    }
+    val (occVerOk, occCountOk, occSqlOk, occDvOk) = occChecks
+    val occOk = occVerOk && occCountOk && occSqlOk && occDvOk
+
     val spillOk = spilledDisk.get() > 0
     val ok = aggOk && sortOk && joinOk && spillOk && graphOk && lshOk &&
-      annOk && ivmOk && idxOk
+      annOk && ivmOk && idxOk && occOk
     println(
       s"""{"metric":"stress","sf":"$sfDir","mult":$mult,""" +
       s""""mem_fraction":$memFrac,"rows":${mult * n1},""" +
@@ -849,6 +974,9 @@ object Stress {
       s""""idx_serve_ok":$idxServeOk,"idx_purge_ok":$idxPurgeOk,""" +
       s""""idx_dv_ok":$idxDvOk,""" +
       s""""idx_mat_ok":$idxMatOk,"idx_sp_ok":$idxSpOk,""" +
+      s""""occ_writers":$occWriters,"occ_sec":$tOcc,""" +
+      s""""occ_ver_ok":$occVerOk,"occ_count_ok":$occCountOk,""" +
+      s""""occ_sql_ok":$occSqlOk,"occ_dv_ok":$occDvOk,""" +
       s""""spill_ok":$spillOk,""" +
       s""""ok":$ok}""")
     spark.stop()
