@@ -88,9 +88,13 @@ object GraftSource {
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
   private[graft] def resolve(options: Map[String, String]): Resolved = {
-    val path = opt(options, "path").getOrElse(sys.error(
+    val raw = opt(options, "path").getOrElse(sys.error(
       "graft source: a table path is required — " +
         "spark.read.format(\"graft\").load(<path>) or option(\"path\", …)"))
+    // the catalog path (CREATE TABLE ... USING graft) arrives as a
+    // file: URI; the store's metadata readers are java.nio local paths
+    val path =
+      if (raw.startsWith("file:")) new java.net.URI(raw).getPath else raw
     val cur = Livestream.StoreMeta.currentVersion(path)
     require(cur >= 0, s"graft source: no published version under $path " +
       "(not an UpsertTable root, or nothing published yet)")

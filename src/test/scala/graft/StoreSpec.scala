@@ -524,6 +524,13 @@ class StoreSpec extends AnyFunSuite {
     val idx = graft.sources.GraftSource.lastIndex.get
     assert(idx.lastKept < idx.lastListed,
       s"pushed predicate skipped nothing (${idx.lastKept}/${idx.lastListed})")
+    // SQL DDL rides the same provider: CREATE TABLE ... USING graft
+    // gives a catalog name any SQL-only consumer can query
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_t")
+    spark.sql(s"CREATE TABLE graft_ddl_t USING graft OPTIONS (path '$dir')")
+    assert(spark.sql("SELECT count(*) FROM graft_ddl_t").head().getLong(0)
+      === table.current.count())
+    spark.sql("DROP TABLE graft_ddl_t")
     // a vacuumed versionAsOf fails LOUDLY, never an empty frame
     Savepoint.drop(spRoot, "w", Seq(table))
     table.vacuum(keep = 1)
