@@ -684,6 +684,27 @@ object TimesearchQueries {
       table.changes(0L, 1L).orderBy("kind", "idstr")
     }),
 
+    // The CHANGE FEED through the SQL surface — the same version-range
+    // CDC served by spark.read.format("graft") + changesFrom/changesTo
+    // options (the Delta table_changes() analog for SQL-only
+    // consumers): the standalone path-metadata resolution rebuilds the
+    // manifest-pruned diff, and the read gates on q_table_changes'
+    // oracle VERBATIM — a divergence between the Scala changes() and
+    // the SQL surface hash-mismatches.
+    "q_dsv2_changes" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsv2ch")
+      val table = new Livestream.UpsertTable(s, tmp.resolve("tbl").toString,
+        Merge.comments, oldComments(s, dir).limit(0), outputPartitions = Some(1),
+        partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
+      table.seed(oldComments(s, dir))                            // v0
+      table.merge(newComments(s, dir), "_seq", storeEdits = Some(false)) // v1
+      s.read.format("graft")
+        .option("changesFrom", "0").option("changesTo", "1")
+        .load(tmp.resolve("tbl").toString)
+        .createOrReplaceTempView("graft_dsv2_changes")
+      s.sql("SELECT * FROM graft_dsv2_changes ORDER BY kind, idstr")
+    }),
+
     // STORE SCHEMA EVOLUTION — the reference's own lifecycle
     // (DATABASE_VERSION 1→2, utilities/database_upgrader.py:24-49)
     // landed at the store layer: the comments store publishes v0/v1
@@ -2389,6 +2410,11 @@ object TimesearchQueries {
     // oracle shared verbatim with the batch and streaming upsert paths
     "q_dsv2_read" -> upsertOracle,
     "q_table_changes" -> tableChangesOracle,
+
+    // the SQL-surface change feed serves the SAME diff — oracle shared
+    // verbatim, so the standalone path-metadata resolution faces the
+    // Scala changes() read's exact gate
+    "q_dsv2_changes" -> tableChangesOracle,
 
     // schema evolution: the replayed upsert LEFT JOIN the replayed
     // widening batch — the oracle never sees the store, so a dropped

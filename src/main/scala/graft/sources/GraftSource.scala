@@ -73,9 +73,13 @@ class GraftSource extends TableProvider with DataSourceRegister {
 object GraftSource {
 
   /** A resolved read: table path, pinned version, its schema
-    * generation, layout. */
+    * generation, layout — plus the CDC range when the read is a
+    * `changesFrom`/`changesTo` change feed (there `schema` is the
+    * flattened before_/after_/kind diff shape and `version` = the TO
+    * endpoint). */
   private[graft] final case class Resolved(path: String, version: Long,
-      schema: StructType, partitioned: Boolean)
+      schema: StructType, partitioned: Boolean,
+      changes: Option[(Long, Long)] = None)
 
   /** Test/observability hook: the zone-map FileIndex behind the most
     * recent [[GraftSource]] scan built in this JVM (the
@@ -100,6 +104,11 @@ object GraftSource {
       "(not an UpsertTable root, or nothing published yet)")
     val vAsOf = opt(options, "versionAsOf").map(_.trim.toLong)
     val spName = opt(options, "savepoint")
+    val chFrom = opt(options, "changesFrom").map(_.trim.toLong)
+    val chTo = opt(options, "changesTo").map(_.trim.toLong)
+    require(chFrom.isDefined == chTo.isDefined,
+      "graft source: changesFrom and changesTo come together (the CDC " +
+        "range's two endpoints)")
     val version = (vAsOf, spName) match {
       case (Some(_), Some(_)) => sys.error(
         "graft source: versionAsOf and savepoint are mutually exclusive")
@@ -109,75 +118,185 @@ object GraftSource {
           "graft source: option savepoint requires savepointRoot " +
             "(the directory the savepoint vector was published under)"))
         Savepoint.load(root, name).versionOfPath(path)
-      case (None, None) => cur
+      case (None, None) => chTo.getOrElse(cur)
     }
-    require(version >= 0 && version <= cur,
-      s"graft source: version $version is outside the published range " +
-        s"[0, $cur] of $path")
     val partitioned = Livestream.StoreMeta.isPartitioned(path)
-    // a vacuumed version must fail LOUDLY, not read as an empty table
-    if (partitioned)
-      require(Livestream.StoreMeta.manifest(path, version).nonEmpty,
-        s"graft source: version $version of $path is not readable " +
-          "(vacuumed?) — its manifest is gone")
-    else
-      require(java.nio.file.Files.exists(
-          java.nio.file.Paths.get(path, s"v=$version")),
-        s"graft source: version $version of $path is not readable " +
-          "(vacuumed?) — its version directory is gone")
-    val schema = Livestream.StoreMeta.schemaGen(path, version).getOrElse(
+    // a vacuumed version must fail LOUDLY, not read as an empty table;
+    // -1 (the empty pre-first-publish state, a legal CDC base) passes
+    def requireReadable(v: Long): Unit = {
+      if (v == -1L) return
+      require(v >= 0 && v <= cur,
+        s"graft source: version $v is outside the published range " +
+          s"[0, $cur] of $path")
+      if (partitioned)
+        require(Livestream.StoreMeta.manifest(path, v).nonEmpty,
+          s"graft source: version $v of $path is not readable " +
+            "(vacuumed?) — its manifest is gone")
+      else
+        require(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(path, s"v=$v")),
+          s"graft source: version $v of $path is not readable " +
+            "(vacuumed?) — its version directory is gone")
+    }
+    requireReadable(version)
+    val cdc = (chFrom, chTo) match {
+      case (Some(f), Some(t)) =>
+        require(vAsOf.isEmpty && spName.isEmpty, "graft source: a CDC " +
+          "range is exclusive with versionAsOf/savepoint (changesTo IS " +
+          "the read's version)")
+        require(f <= t, s"graft source: changes range must ascend: $f > $t")
+        requireReadable(f)
+        // the per-generation diff a migration boundary needs has no
+        // one-relation SQL shape — route those ranges to the Scala API
+        require(!Livestream.StoreMeta.migrations(path)
+            .exists(m => m > f && m <= t),
+          s"graft source: the range ($f, $t] crosses a migration " +
+            "boundary — its before/after images live at different " +
+            "schema generations; use UpsertTable.changes for that read")
+        Some((f, t))
+      case _ => None
+    }
+    val gen = Livestream.StoreMeta.schemaGen(path, version).getOrElse(
       sys.error(s"graft source: $path records no schema generation at " +
         s"version $version — not a store this surface can self-describe"))
-    Resolved(path, version, schema, partitioned)
+    val schema = cdc.fold(gen)(_ => changesSchema(gen))
+    Resolved(path, version, schema, partitioned, cdc)
   }
 
-  /** The resolved version's frame through the EXISTING read stack:
-    * manifest-listed files behind the zone-map/bloom FileIndex, at the
-    * version's schema generation, deletion vector applied. `pred` is
+  /** The CDC read's flattened shape: key, before_/after_ images of
+    * every non-key column at the TO endpoint's generation, kind. */
+  private def changesSchema(gen: StructType): StructType = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val key = keyOf(gen)
+    StructType(
+      StructField(key, gen(key).dataType) +:
+      (gen.fields.filterNot(_.name == key)
+        .flatMap(f => Seq(
+          StructField(s"before_${f.name}", f.dataType),
+          StructField(s"after_${f.name}", f.dataType))).toSeq :+
+        StructField("kind", StringType)))
+  }
+
+  private def keyOf(schema: StructType): String =
+    schema.fieldNames
+      .find(_.equalsIgnoreCase(graft.operators.Merge.KeyCol))
+      .getOrElse(sys.error("graft source: the schema carries no merge " +
+        "key — not an UpsertTable store"))
+
+  /** The resolved read's frame: a snapshot through the EXISTING read
+    * stack (manifest-listed files behind the zone-map/bloom FileIndex,
+    * the version's schema generation, deletion vector applied), or —
+    * in CDC mode — the manifest-pruned version-range diff. `pred` is
     * the replicated pushdown (see the class note). */
   private def frame(spark: SparkSession, res: Resolved,
       pred: Option[Column], required: StructType): DataFrame = {
-    val base: DataFrame =
-      if (!res.partitioned) {
-        val (df, idx) = org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(
-          spark, listParquet(s"${res.path}/v=${res.version}"), res.schema,
-          ZoneMap.read(res.path), ZoneMap.readBloom(res.path))
-        lastIndex = Some(idx)
-        df   // flat tables never carry a deletion vector (purge refuses)
-      } else {
-        val m = Livestream.StoreMeta.manifest(res.path, res.version)
-        val files = m.toSeq.flatMap { case (pt, v) =>
-          listParquet(s"${res.path}/v=$v/pt=$pt") }
-        val (df, idx) = org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(
-          spark, files, res.schema,
-          ZoneMap.read(res.path), ZoneMap.readBloom(res.path))
-        lastIndex = Some(idx)
-        val dv = Livestream.StoreMeta.dv(res.path, res.version)
-        if (dv.isEmpty) df
-        else {
-          // (bucket, md5(key)) suppression — the applyDv contract; the
-          // row's bucket is recovered from its FILE PATH (the physical
-          // truth: a key re-inserted into a different bucket than its
-          // entry's must not be suppressed), so no partitioning
-          // expression is needed in hand
-          val key = res.schema.fieldNames
-            .find(_.equalsIgnoreCase(graft.operators.Merge.KeyCol))
-            .getOrElse(sys.error(s"graft source: ${res.path} schema " +
-              "carries no merge key — not an UpsertTable store"))
-          import spark.implicits._
-          val dvDf = dv.distinct.toDF("_dvpt", "_dvh")
-          // input_file_name() is non-deterministic — project it to an
-          // attribute first; join conditions must be deterministic
-          df.withColumn("_pt",
-              regexp_extract(input_file_name(), "/pt=([^/]+)/", 1))
-            .join(broadcast(dvDf),
-              col("_pt") === col("_dvpt") &&
-                md5(col(key)) === col("_dvh"), "left_anti")
-            .drop("_pt")
-        }
-      }
+    val base: DataFrame = res.changes match {
+      case Some((f, t)) => changesFrame(spark, res, f, t)
+      case None => snapshotFrame(spark, res)
+    }
     val filtered = pred.fold(base)(base.filter)
     filtered.select(required.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** (bucket, md5(key)) deletion-vector suppression — the applyDv
+    * contract; the row's bucket is recovered from its FILE PATH (the
+    * physical truth: a key re-inserted into a different bucket than
+    * its entry's must not be suppressed), so no partitioning
+    * expression is needed in hand. */
+  private def applyDvByPath(spark: SparkSession, df: DataFrame,
+      dv: Seq[(String, String)], key: String): DataFrame =
+    if (dv.isEmpty) df
+    else {
+      import spark.implicits._
+      val dvDf = dv.distinct.toDF("_dvpt", "_dvh")
+      // input_file_name() is non-deterministic — project it to an
+      // attribute first; join conditions must be deterministic
+      df.withColumn("_pt",
+          regexp_extract(input_file_name(), "/pt=([^/]+)/", 1))
+        .join(broadcast(dvDf),
+          col("_pt") === col("_dvpt") &&
+            md5(col(key)) === col("_dvh"), "left_anti")
+        .drop("_pt")
+    }
+
+  private def snapshotFrame(spark: SparkSession, res: Resolved): DataFrame =
+    if (!res.partitioned) {
+      val (df, idx) = org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(
+        spark, listParquet(s"${res.path}/v=${res.version}"), res.schema,
+        ZoneMap.read(res.path), ZoneMap.readBloom(res.path))
+      lastIndex = Some(idx)
+      df   // flat tables never carry a deletion vector (purge refuses)
+    } else {
+      val m = Livestream.StoreMeta.manifest(res.path, res.version)
+      val files = m.toSeq.flatMap { case (pt, v) =>
+        listParquet(s"${res.path}/v=$v/pt=$pt") }
+      val (df, idx) = org.apache.spark.sql.graftshim.ZoneMapScan.scanFiles(
+        spark, files, res.schema,
+        ZoneMap.read(res.path), ZoneMap.readBloom(res.path))
+      lastIndex = Some(idx)
+      applyDvByPath(spark, df,
+        Livestream.StoreMeta.dv(res.path, res.version), keyOf(res.schema))
+    }
+
+  /** A manifest SUBSET read at an explicit schema (the pruned
+    * endpoint read of the CDC diff), dv-applied. */
+  private def partFrame(spark: SparkSession, path: String,
+      m: Map[String, Long], schema: StructType,
+      dv: Seq[(String, String)]): DataFrame =
+    if (m.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else applyDvByPath(spark,
+      spark.read.option("basePath", path).schema(schema)
+        .parquet(m.toSeq.map { case (pt, v) => s"$path/v=$v/pt=$pt" }: _*)
+        .drop("v", "pt"),
+      dv, keyOf(schema))
+
+  private def flatFrame(spark: SparkSession, path: String, v: Long,
+      schema: StructType): DataFrame =
+    if (v < 0 || !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, s"v=$v")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(s"$path/v=$v")
+
+  /** The version-range CDC read — UpsertTable.changes' MANIFEST-PRUNED
+    * diff rebuilt from path metadata: a partition whose manifest entry
+    * is the same version at both endpoints is carried by reference
+    * (byte-identical files) and never scanned; a DV-only purge's
+    * newly-suppressed buckets join both sides (same files, different
+    * vector — the purged keys read only on the before side and
+    * classify delete). Both endpoints read at the TO-side generation
+    * (the range was refused at resolve if it crossed a migration). */
+  private def changesFrame(spark: SparkSession, res: Resolved,
+      fromV: Long, toV: Long): DataFrame = {
+    val gen = Livestream.StoreMeta.schemaGen(res.path, toV).getOrElse(
+      sys.error(s"graft source: ${res.path} records no schema " +
+        s"generation at version $toV"))
+    val key = keyOf(gen)
+    val (before, after) =
+      if (res.partitioned) {
+        val m1 = Livestream.StoreMeta.manifest(res.path, fromV)
+        val m2 = Livestream.StoreMeta.manifest(res.path, toV)
+        val dv1 = Livestream.StoreMeta.dv(res.path, fromV)
+        val dv2 = Livestream.StoreMeta.dv(res.path, toV)
+        val dvDeltaPts = (dv2.toSet -- dv1.toSet).map(_._1)
+        val b = m1.filter { case (pt, v) =>
+          !m2.get(pt).contains(v) || dvDeltaPts(pt) }
+        val a = m2.filter { case (pt, v) =>
+          !m1.get(pt).contains(v) || dvDeltaPts(pt) }
+        (partFrame(spark, res.path, b, gen, dv1),
+          partFrame(spark, res.path, a, gen, dv2))
+      } else
+        (flatFrame(spark, res.path, fromV, gen),
+          flatFrame(spark, res.path, toV, gen))
+    val compare = gen.fieldNames.filterNot(_ == key).toSeq
+    graft.operators.Scd.diff(before, after, key, compare)
+      .withColumn("kind",
+        when(col("change") === "added", lit("insert"))
+          .when(col("change") === "removed", lit("delete"))
+          .otherwise(lit("update")))
+      .drop("change")
   }
 
   private def listParquet(dir: String): Seq[String] = {

@@ -83,6 +83,17 @@ object Livestream {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     }
 
+    /** Migration-boundary versions recorded in `_migrations`. */
+    def migrations(path: String): Seq[Long] = {
+      val f = Paths.get(path, "_migrations")
+      if (!Files.exists(f)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(f).asScala.filter(_.nonEmpty)
+          .map(_.trim.toLong).toSeq.sorted
+      }
+    }
+
     /** Live deletion set as of `version`: (escaped pt, md5(key)). */
     def dv(path: String, version: Long): Seq[(String, String)] = {
       val d = Paths.get(path, "_dv")
@@ -1323,15 +1334,7 @@ object Livestream {
     /** Migration boundaries: versions published by [[migrate]], recorded
       * in `_migrations` (atomic rewrite). [[changes]] crossing one
       * switches to the per-generation diff shape. */
-    def migrations: Seq[Long] = {
-      val f = Paths.get(path, "_migrations")
-      if (!Files.exists(f)) Seq.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        Files.readAllLines(f).asScala.filter(_.nonEmpty)
-          .map(_.trim.toLong).toSeq.sorted
-      }
-    }
+    def migrations: Seq[Long] = StoreMeta.migrations(path)
 
     private def recordMigration(v: Long): Unit = {
       val all = (migrations :+ v).distinct.sorted

@@ -39,6 +39,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(c.scans <= 1, s"dashboard serve re-read regressed: $c")
   }
 
+  test("q_session_incremental: the maintained session table serves from the artifact — one scan, zero hash exchanges") {
+    val c = audited("q_session_incremental")
+    // serving reads the published session table (session-table-sized):
+    // one parquet scan, no hash exchange — the dirty-group rescan
+    // already happened in the maintenance loop, never at serve time
+    assert(c.exchanges == 0, s"session serve must not shuffle: $c")
+    assert(c.scans <= 1, s"session serve re-read regressed: $c")
+  }
+
+  test("q_dsv2_read: the SQL surface adds no exchange beyond the output sort; the DV anti-join broadcasts") {
+    val c = audited("q_dsv2_read")
+    // the format("graft") read is the same physical scan the Scala API
+    // plans: manifest-listed files + the ORDER BY's range exchange —
+    // a hash exchange here would mean the V1 adapter grew a shuffle
+    assert(c.exchanges == 0, s"SQL-surface read must not hash-shuffle: $c")
+  }
+
   test("q_bm25: corpus is scanned at most once post-checkpoint; small sides broadcast") {
     val c = audited("q_bm25")
     // the postings pass is materialized once — every lexical consumer

@@ -538,6 +538,55 @@ class StoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not readable"))
   }
 
+  test("format(\"graft\") change feed: equals changes(), classifies DV purges as deletes, refuses migration-crossing ranges and vacuumed bases") {
+    import graft.operators.Merge
+    import graft.streaming.Livestream
+    val dir = tmp("dsv2cdc")
+    val table = new Livestream.UpsertTable(spark, dir, Merge.comments,
+      Seq.empty[C].toDF(), outputPartitions = Some(1),
+      partitioning = Some(Livestream.keyBucket(nBuckets = 4)))
+    def cRow(id: Long, body: String, score: Long) =
+      C(id, s"t1_$id", id, s"u$id", "p", "s", body, score, "sub", null, 2L)
+    table.seed(Seq(cRow(1, "a1", 10), cRow(2, "a2", 20),
+      cRow(3, "a3", 30)).toDF())                                           // v0
+    table.merge(Seq(cRow(2, "a2-v2", 25), cRow(4, "a4", 40)).toDF()
+      .withColumn("_seq", lit(0L)), "_seq", storeEdits = Some(false))      // v1
+    def feed(f: Long, t: Long) = spark.read.format("graft")
+      .option("changesFrom", f.toString).option("changesTo", t.toString)
+      .load(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("idstr", "kind", "before_body", "after_body")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    // the SQL feed equals the Scala changes() read, shape and values
+    assert(rows(feed(0, 1)) === rows(table.changes(0L, 1L)))
+    assert(rows(feed(0, 1)) === Set(
+      ("t1_2", "update", "a2", "a2-v2"), ("t1_4", "insert", null, "a4")))
+    // changes(-1, v): the full snapshot as inserts (the empty base)
+    assert(feed(-1, 0).filter(col("kind") === "insert").count() === 3L)
+    // a DV-only purge re-points NOTHING, yet the feed classifies the
+    // suppressed key as a delete (the vector-delta bucket join)
+    assert(table.purgeKeys(Seq("t1_3").toDF("idstr"), dv = true) === 1L) // v2
+    assert(rows(feed(1, 2)) === Set(("t1_3", "delete", "a3", null)))
+    // half a range is refused; a vacuumed base is refused LOUDLY
+    intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("changesFrom", "0").load(dir).count())
+    table.vacuum(keep = 1)
+    val eV = intercept[Exception](feed(0, 2).count())
+    assert(eV.getMessage.contains("not readable"))
+    // a migration boundary inside the range routes to the Scala API
+    import org.apache.spark.sql.types._
+    val to = StructType(Seq(StructField("idstr", StringType),
+      StructField("author", StringType), StructField("body", StringType),
+      StructField("score_s", StringType)))
+    table.migrate(to, df => df
+      .withColumn("score_s", concat(lit("s"), col("score"))))            // v3
+    val eM = intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("changesFrom", "2").option("changesTo", "3").load(dir)
+      .count())
+    assert(eM.getMessage.contains("migration"))
+  }
+
   test("sidecar refresh tracks coverage per (file, col): widening the column set backfills") {
     import graft.operators.Merge
     import graft.streaming.Livestream
