@@ -642,6 +642,19 @@ object Scd {
   private def hinted(df: DataFrame, nKeys: Long, bound: Long): DataFrame =
     if (nKeys <= bound) broadcast(df) else df
 
+  /** The two hint-bound cardinalities of one apply step in ONE job:
+    * each count alone costs a scheduling round-trip, and both frames
+    * are lazily-checkpointed delta derivations this job is also what
+    * materializes — so tag, union, and aggregate by side instead of
+    * counting twice. */
+  private def countPair(a: DataFrame, b: DataFrame): (Long, Long) = {
+    val m = a.select(lit(0).as("_side"))
+      .unionByName(b.select(lit(1).as("_side")))
+      .groupBy("_side").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (m.getOrElse(0, 0L), m.getOrElse(1, 0L))
+  }
+
   /** [[cdcApplyJoin]] body over ALREADY-materialized view/ΔF —
     * factored so [[cdcApplyJoinWithDelta]] shares the checkpoints
     * instead of stacking a second materialization per step. */
@@ -660,7 +673,6 @@ object Scd {
     // after image, so the key column alone marks the dirt
     val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
       .localCheckpoint(false)
-    val nDirty = dirtyJk.count()
     // untouched view rows, served verbatim
     val keep = view
       .join(fIds, col(factKey) === col("_fk"), "left_anti")
@@ -672,7 +684,7 @@ object Scd {
       .select(col(factKey) +: col(s"after_$joinKey").as(joinKey) +:
         factCols.map(c => col(s"after_$c").as(c)): _*)
     val aj = afterFacts.select(jk.as("_aj")).distinct().localCheckpoint(false)
-    val nAj = aj.count()
+    val (nDirty, nAj) = countPair(dirtyJk, aj)
     val dimForFacts = dimNew.join(aj, jk === col("_aj"), "left_semi")
     val fromFacts = afterFacts
       .join(hinted(dimForFacts, nAj, maxBroadcastKeys), Seq(joinKey))
@@ -759,7 +771,6 @@ object Scd {
       .localCheckpoint(false)
     val dirtyJk = changesD.select(col(joinKey).as("_dj")).distinct()
       .localCheckpoint(false)
-    val nDirty = dirtyJk.count()
     val keep = view
       .join(fIds, col(factKey) === col("_fk"), "left_anti")
       .join(dirtyJk, jk === col("_dj"), "left_anti")
@@ -768,7 +779,7 @@ object Scd {
       .select(col(factKey) +: col(s"after_$joinKey").as(joinKey) +:
         factCols.map(c => col(s"after_$c").as(c)): _*)
     val aj = afterFacts.select(jk.as("_aj")).distinct().localCheckpoint(false)
-    val nAj = aj.count()
+    val (nDirty, nAj) = countPair(dirtyJk, aj)
     val dimForFacts = dimNew.join(aj, jk === col("_aj"), "left_semi")
     val fromFacts = afterFacts
       .join(hinted(dimForFacts, nAj, maxBroadcastKeys), Seq(joinKey),

@@ -1673,6 +1673,13 @@ object Livestream {
           } finally if (cdc) r.staged.unpersist()
 
         case Some(pexpr) =>
+          // (Measured, not kept: persisting the batch for its two
+          // consumers here — touched aggregate + union/window upsert —
+          // costs more than the second lineage evaluation it saves, both
+          // locally and in principle: the batch is micro-batch-sized and
+          // its lineage is a scan+projection, while persist adds a cache
+          // materialization pass.)
+          val b = batch
           // Touched-partition set: a driver-side distinct over the batch's
           // partition VALUES — |result| is bounded by the batch (micro-
           // batches touch a handful of targets / key buckets), never by
@@ -1682,7 +1689,7 @@ object Livestream {
           // collect_set, not distinct().collect(): one partial-agg stage
           // into a single reduce task instead of a full shuffle — the set
           // is bounded by |partitions| either way.
-          val touched = batch.select(ptCol(pexpr).as(PartCol))
+          val touched = b.select(ptCol(pexpr).as(PartCol))
             .agg(collect_set(col(PartCol))).head().getSeq[String](0)
             .map(ExternalCatalogUtils.escapePathName).toSet
           if (touched.isEmpty) return   // empty batch: nothing to publish
@@ -1690,7 +1697,7 @@ object Livestream {
           // Pruned read: only the partitions this batch touches — at
           // the TARGET width (an evolving merge null-fills old files).
           val existing = readParts(prev.view.filterKeys(touched).toMap, target)
-          val r = Merge.upsert(existing, batch, entity, seqCol, storeEdits = cdc)
+          val r = Merge.upsert(existing, b, entity, seqCol, storeEdits = cdc)
           // Same two-consumer staging as the flat branch, bounded here by
           // the TOUCHED partitions + batch — the pruned merge's working set.
           if (cdc) r.staged.persist(
