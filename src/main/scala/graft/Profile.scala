@@ -17,6 +17,37 @@ object Profile {
     names.foreach(n => require(SparkEntry.queries.contains(n),
       s"unknown query '$n'"))
     val spark = Sessions.local()
+    // GRAFT_PROF_VERBOSE=1: per-job durations with stage names/details —
+    // the local stand-in for the Spark UI's job table (UI is disabled in
+    // the gate sessions).
+    if (sys.env.contains("GRAFT_PROF_VERBOSE")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = j.stageInfos
+              .map(s => s"${s.name.takeWhile(_ != '$')}#${s.numTasks}t")
+              .mkString("|")
+            starts.put(j.jobId, (System.nanoTime(), site))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(j.jobId)
+            if (s != null)
+              println(f"[job] ${(System.nanoTime() - s._1) / 1e9}%6.3fs  ${s._2.take(140)}")
+          }
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val dt = (for { a <- si.completionTime; b <- si.submissionTime }
+              yield (a - b) / 1e3).getOrElse(-1.0)
+            if (dt > 0.3)
+              println(f"[stage] ${dt}%6.3fs tasks=${si.numTasks} " +
+                si.details.linesIterator.take(3).mkString(" <- ").take(200))
+          }
+        })
+    }
     // absorb session bring-up / codegen like Bench's untimed warmup
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
     names.foreach { name =>

@@ -26,6 +26,12 @@ object Sessions {
       // runtime bloom filters stand in for the reference's idstr indexes
       // on selective key joins (SURVEY §4)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // let the planner take a shuffled-hash join when its size checks
+      // pass instead of always sorting both sides (guide §3.1/§9): the
+      // engine's |Δ|-sized diffs and store-replay joins are exactly the
+      // moderate-per-partition-build shapes SHJ wins on; sort-merge
+      // remains the planner's fallback when the build side is unbounded
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // spill-awareness: the default 128 MB input split is right for this
       // engine's scan-heavy plans; shrink on memory-tight executors rather
       // than raising shuffle partitions reactively

@@ -190,8 +190,18 @@ object TimesearchQueries {
     * attribute values non-null, so the merge's coalesce(new, old) means
     * the LATEST batch containing a key wins — the oracle replays
     * exactly that with a row_number over batch DESC. */
-  private def dimUsers(s: SparkSession, dir: String, batch: Int): DataFrame = {
-    val base = Tables.load(s, dir, "events").select(col("user_id")).distinct()
+  private def dimUsers(s: SparkSession, dir: String, batch: Int): DataFrame =
+    dimUsersFrom(distinctUsers(s, dir), batch)
+
+  /** The events-derived distinct user-id base every dim batch filters —
+    * factored so multi-batch store builds can checkpoint it ONCE (each
+    * merge otherwise re-runs the distinct per consumer: the touched-
+    * partition aggregate and the union+window upsert both evaluate the
+    * batch lineage). */
+  private def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(col("user_id")).distinct()
+
+  private def dimUsersFrom(base: DataFrame, batch: Int): DataFrame = {
     val keep = batch match {
       case 0 => col("user_id") % 3 === 0
       case 1 => col("user_id") % 3 === 1 || col("user_id") % 5 === 0
@@ -239,8 +249,7 @@ object TimesearchQueries {
   /** q_cdc_join_pruned's dim batches: batch 0 seeds EVERY user; batch 1
     * updates only the %31 slice — a deliberately SMALL dirty set, so the
     * co-partitioned fact rescan touches few buckets. */
-  private def dimJoinUsers(s: SparkSession, dir: String, batch: Int): DataFrame = {
-    val base = Tables.load(s, dir, "events").select(col("user_id")).distinct()
+  private def dimJoinUsers(base: DataFrame, batch: Int): DataFrame = {
     val keep = if (batch == 0) lit(true) else col("user_id") % 31 === 0
     base.filter(keep).select(
       concat(lit("u"), col("user_id")).as("idstr"),
@@ -267,13 +276,16 @@ object TimesearchQueries {
       storeEdits = Some(false))                                       // v1
     facts.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
       storeEdits = Some(false))                                       // v2
+    // one materialization of the distinct-user base all three dim
+    // batches filter (each merge evaluates its batch lineage twice)
+    val users = distinctUsers(s, dir).localCheckpoint()
     val dim = new Livestream.UpsertTable(s, tmp.resolve("d").toString,
-      dimEntity, dimUsers(s, dir, 0).drop("_seq").limit(0),
+      dimEntity, dimUsersFrom(users, 0).drop("_seq").limit(0),
       outputPartitions = Some(1),
       partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
-    dim.seed(dimUsers(s, dir, 0).drop("_seq"))                        // v0
-    dim.merge(dimUsers(s, dir, 1), "_seq", storeEdits = Some(false))  // v1
-    dim.merge(dimUsers(s, dir, 2), "_seq", storeEdits = Some(false))  // v2
+    dim.seed(dimUsersFrom(users, 0).drop("_seq"))                     // v0
+    dim.merge(dimUsersFrom(users, 1), "_seq", storeEdits = Some(false)) // v1
+    dim.merge(dimUsersFrom(users, 2), "_seq", storeEdits = Some(false)) // v2
     (facts, dim)
   }
 
@@ -799,18 +811,19 @@ object TimesearchQueries {
       val nc = newComments(s, dir)
       facts.merge(nc.filter(col("idint") % 4 === 0), "_seq",
         storeEdits = Some(false))                                     // v1
+      val users = distinctUsers(s, dir).localCheckpoint()
       val dim = new Livestream.UpsertTable(s, tmp.resolve("d").toString,
-        dimEntity, dimUsers(s, dir, 0).drop("_seq").limit(0),
+        dimEntity, dimUsersFrom(users, 0).drop("_seq").limit(0),
         outputPartitions = Some(1),
         partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
-      dim.seed(dimUsers(s, dir, 0).drop("_seq"))                      // v0
-      dim.merge(dimUsers(s, dir, 1), "_seq", storeEdits = Some(false)) // v1
+      dim.seed(dimUsersFrom(users, 0).drop("_seq"))                   // v0
+      dim.merge(dimUsersFrom(users, 1), "_seq", storeEdits = Some(false)) // v1
       val sp = graft.streaming.Savepoint.create(
         tmp.resolve("sps").toString, "world_v1", Seq(facts, dim))
       // the world churns ON past the pins
       facts.merge(nc.filter(col("idint") % 4 =!= 0), "_seq",
         storeEdits = Some(false))                                     // v2
-      dim.merge(dimUsers(s, dir, 2), "_seq", storeEdits = Some(false)) // v2
+      dim.merge(dimUsersFrom(users, 2), "_seq", storeEdits = Some(false)) // v2
       sp.read(facts).select(col("idstr"), col("author"), col("score"))
         .join(sp.read(dim).select(col("idstr").as("author"), col("tier"),
           col("region_c")), Seq("author"))
@@ -1051,12 +1064,13 @@ object TimesearchQueries {
         partitioning = Some(pmod(xxhash64(col("author")), lit(16))))
       facts.seed(oldComments(s, dir))                                 // v0
       facts.merge(joinFactsBatch(s, dir), "_seq", storeEdits = Some(false)) // v1
+      val users = distinctUsers(s, dir).localCheckpoint()
       val dim = new Livestream.UpsertTable(s, tmp.resolve("d").toString,
-        dimEntity, dimJoinUsers(s, dir, 0).drop("_seq").limit(0),
+        dimEntity, dimJoinUsers(users, 0).drop("_seq").limit(0),
         outputPartitions = Some(1),
         partitioning = Some(Livestream.keyBucket(nBuckets = 16)))
-      dim.seed(dimJoinUsers(s, dir, 0).drop("_seq"))                  // v0
-      dim.merge(dimJoinUsers(s, dir, 1), "_seq", storeEdits = Some(false)) // v1
+      dim.seed(dimJoinUsers(users, 0).drop("_seq"))                   // v0
+      dim.merge(dimJoinUsers(users, 1), "_seq", storeEdits = Some(false)) // v1
       def factsSel(df: DataFrame) =
         df.select(col("idstr"), col("author"), col("score"))
       def dimAt(v: Long) =

@@ -178,8 +178,18 @@ object Dedup {
         sum(when(size(col("_ds")) > freqCap, size(col("_ds")).cast("long"))
           .otherwise(0L)).as("shed_members"))
       .filter(size(col("_ds")).between(2, freqCap))
-      .select(explode(flatten(transform(col("_ds"), x =>
-        filter(transform(col("_ds"), y => pairOf(x, y)), p => p.isNotNull)))).as("_p"))
+      // pair emission as two chained explodes (x-major, y-minor — the
+      // exact order the old flatten(transform(filter(transform)))
+      // emitted): Generate fuses into the whole-stage-codegen loop, so
+      // each candidate is one codegen'd expression eval instead of an
+      // interpreted per-element lambda allocating f arrays of f structs
+      // per group. Same f² per-group bound, far cheaper constant — the
+      // pair stage is byte-light but compute-dense, so AQE legitimately
+      // gives it few tasks and the constant IS the stage.
+      .select(col("_ds"), explode(col("_ds")).as("_x"))
+      .select(col("_x"), explode(col("_ds")).as("_y"))
+      .select(pairOf(col("_x"), col("_y")).as("_p"))
+      .filter(col("_p").isNotNull)
 
   /** All pairs with shingle-set Jaccard ≥ threshold, exactly.
     *
@@ -370,10 +380,18 @@ object Dedup {
         Window.partitionBy("doc").orderBy(col("dfs"), col("s"))))
     val prefix = ranked.filter(col("rn") <=
       col("nsh") - expr(s"(($thresholdBp * nsh + 9999) div 10000)") + 1)
+    // LENGTH FILTER at emission (the prefix-filter family's standard
+    // companion, exact like the prefix theorem: c ≤ min(ni,nj) and
+    // ni+nj−c ≥ max(ni,nj), so J ≥ t forces min ≥ t·max) — sizes ride
+    // the prefix rows, so incompatible-length pairs never reach the
+    // distinct or the array-verify join (the verify stage attaches both
+    // full shingle arrays per candidate; it was the measured hot spot).
     val cand = groupPairs(
-        prefix.select(col("s"), struct(col("doc")).as("d")),
+        prefix.select(col("s"), struct(col("doc"), col("nsh")).as("d")),
         Seq("s"), col("d"),
-        (x, y) => when(x.getField("doc") < y.getField("doc"),
+        (x, y) => when(x.getField("doc") < y.getField("doc") &&
+            least(x.getField("nsh"), y.getField("nsh")) * 10000 >=
+              greatest(x.getField("nsh"), y.getField("nsh")) * thresholdBp,
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"))),
         freqCap, device = "prefixJaccardPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j")).distinct()

@@ -158,20 +158,29 @@ object Graphs {
     }
     val w1 = wedgeSrc.select(col("src"), col("dst").as("b"), col("kdst").as("kb"))
     val w2 = wedgeSrc.select(col("src"), col("dst").as("c"), col("kdst").as("kc"))
+    // the close key (b, c) packed into ONE long — same id < 2³¹ contract
+    // as the order-key packing above. A single-long equi-join key builds
+    // Spark's specialized LongHashedRelation instead of the generic
+    // UnsafeRow-keyed map (the Σ outdeg² probe stream hits that map once
+    // per wedge — measured 4.4 s → 1.9 s at sf0.1's 41M wedges), and on
+    // the beyond-broadcast path the wedge exchange carries two longs per
+    // wedge instead of three (b and c unpack from the key after the join).
     val wedges = w1.join(w2, Seq("src")).filter(col("kb") < col("kc"))
-      .select(col("src"), col("b"), col("c"))
-    val close = oriented.select(col("src").as("b"), col("dst").as("c"))
+      .select(col("src"), (col("b") * 4294967296L + col("c")).as("bc"))
+    val close = oriented
+      .select((col("src") * 4294967296L + col("dst")).as("bc"))
     // close wedges against a BROADCAST of the edge set when it fits: the
     // wedge stream (Σ outdeg² rows — orders of magnitude bigger than
     // |E|) is generated and filtered inside one stage and never
     // shuffles; only |E| bytes move. Without this the wedges exchange
     // dominated the whole query (measured 49.6 s → 5 s at sf0.1's
     // 1.2M-edge graph). Beyond broadcast reach, hash-partition both
-    // sides on (b, c); shuffle_hash keeps the wedge side sort-free.
+    // sides on the packed key; shuffle_hash keeps the wedge side
+    // sort-free.
     val eCount = e.count()
     val closed =
       if (eCount <= broadcastMaxEdges)
-        wedges.join(broadcast(close), Seq("b", "c"))
+        wedges.join(broadcast(close), Seq("bc"))
       else {
         val parts = math.max(1, edges.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "200").toInt)
@@ -182,9 +191,11 @@ object Graphs {
               eCount * CloseBuildBytesPerRow / parts > closeBuildMaxPartitionBytes)
             "merge"
           else closeHint
-        wedges.join(close.hint(hint), Seq("b", "c"))
+        wedges.join(close.hint(hint), Seq("bc"))
       }
-    closed.select(col("src").as("a"), col("b"), col("c"))
+    closed.select(col("src").as("a"),
+      shiftright(col("bc"), 32).as("b"),
+      col("bc").bitwiseAND(lit(4294967295L)).as("c"))
   }
 
   /** Per-node triangle participation counts, top-k by (count desc, id). */

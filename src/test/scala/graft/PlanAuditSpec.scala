@@ -452,11 +452,12 @@ class PlanAuditSpec extends AnyFunSuite {
       .distinct()
     def closeJoin(df: org.apache.spark.sql.DataFrame): String = {
       df.collect()
-      // the close join is the one keyed [b, c] — identify it by key
-      // names so the wedge join's (AQE-chosen) strategy can't alias it
+      // the close join is the one keyed on the packed (b, c) long `bc`
+      // — identify it by key name so the wedge join's (AQE-chosen)
+      // strategy can't alias it
       val plan = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
-      """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[b#""".r
+      """(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \[bc#""".r
         .findFirstMatchIn(plan).map(_.group(1)).getOrElse(s"none in:\n$plan")
     }
     // default gate (|E| ≈ 9k at sf0.001, far under 10M): broadcast close
