@@ -39,6 +39,36 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Character trigrams of a string as ONE native expression — the langid
+  * / trigram-postings feature unit. Output order is positional (every
+  * occurrence, the profile-count contract); `distinct = true` keeps the
+  * first occurrence only (≡ `array_distinct`, the postings contract).
+  * Code-POINT boundaries, matching both prior formulations (regex
+  * `split("")` iterates code points; SQL `substring` is code-point
+  * indexed); under 3 code points yields the empty array. Replaces the
+  * interpreted per-position transform/element_at (or substring) HOFs —
+  * one pass over the UTF-8 bytes, no per-trigram Catalyst eval. */
+case class CharTrigrams(child: Expression, distinct: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"CharTrigrams requires string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.charTrigrams(input.asInstanceOf[UTF8String], distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.charTrigrams($c, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+}
+
 /** SimHash over a word array as ONE native expression: per-bit majority
   * vote of the word hashes, folded row-locally. Replaces an explode +
   * per-bit hash aggregate — i.e. removes the token exchange from the
@@ -216,6 +246,40 @@ object TextOps {
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** See [[CharTrigrams]]: one pass over the UTF-8 bytes — code-point
+    * start offsets, then a zero-copy UTF8String per trigram window. */
+  def charTrigrams(s: UTF8String, distinct: Boolean): ArrayData = {
+    val b = s.getBytes
+    val nb = b.length
+    if (nb < 3) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](nb + 1)
+    var n = 0
+    var i = 0
+    while (i < nb) {
+      offs(n) = i; n += 1
+      i += UTF8String.numBytesForFirstByte(b(i))
+    }
+    offs(n) = nb
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    if (!distinct) {
+      val out = new Array[AnyRef](n - 2)
+      var j = 0
+      while (j < n - 2) {
+        out(j) = UTF8String.fromBytes(b, offs(j), offs(j + 3) - offs(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var j = 0
+      while (j < n - 2) {
+        seen.add(UTF8String.fromBytes(b, offs(j), offs(j + 3) - offs(j)))
+        j += 1
+      }
+      new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    }
   }
 
   /** One pass: L−n+1 shingles, first-occurrence dedup. Null words (never

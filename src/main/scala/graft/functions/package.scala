@@ -111,6 +111,12 @@ package object functions {
   def wordShingles(words: Column, n: Int): Column =
     column(WordShingles(expression(words), n))
 
+  /** Character trigrams of a string (code-point boundaries, every
+    * occurrence in position order), one codegen'd pass; `distinct`
+    * keeps first occurrences only (≡ array_distinct). */
+  def charTrigrams(c: Column, distinct: Boolean = false): Column =
+    column(CharTrigrams(expression(c), distinct))
+
   /** 64-bit SimHash of a word array, one codegen'd pass (no shuffle). */
   def simHash64(words: Column): Column =
     column(SimHash64(expression(words)))

@@ -81,6 +81,15 @@ object Merge {
     *                 tsdb.py:374-377) which times the CDC record.
     * @param nowEpoch timestamp for CDC rows whose `_edited` is unknown.
     * @param storeEdits the reference's `store_edits` config (tsdb.py:204-215).
+    * @param clusterCol a column (present in both frames, constant within
+    *                 each key group — the versioned store's key-stable
+    *                 partition value) to pre-partition the union by: the
+    *                 window then partitions by (cluster, key), which
+    *                 `HashPartitioning(cluster)` already satisfies
+    *                 (ClusteredDistribution subset rule), so the ONE
+    *                 exchange both feeds the merge fold AND leaves the
+    *                 output aligned for a partitioned write — the second
+    *                 per-publish exchange (write alignment) disappears.
     */
   def upsert(
       existing: DataFrame,
@@ -88,7 +97,8 @@ object Merge {
       entity: Entity,
       seqCol: String,
       nowEpoch: Column = unix_timestamp(current_timestamp()),
-      storeEdits: Boolean = true): MergeResult = {
+      storeEdits: Boolean = true,
+      clusterCol: Option[String] = None): MergeResult = {
 
     val text = entity.textCol
     val hasEdited = incoming.columns.contains("_edited")
@@ -99,10 +109,12 @@ object Merge {
       .withColumn("_seq", lit(-1L))
 
     val cols = existing.columns.toSeq
-    val all = ex.select((cols.map(col) :+ col("_edited") :+ col("_seq")): _*)
+    val unioned = ex.select((cols.map(col) :+ col("_edited") :+ col("_seq")): _*)
       .unionByName(in.select((cols.map(col) :+ col("_edited") :+ col("_seq")): _*))
+    val all = clusterCol.map(c => unioned.repartition(col(c))).getOrElse(unioned)
 
-    val w = Window.partitionBy(KeyCol).orderBy("_seq")
+    val w = Window.partitionBy((clusterCol.toSeq :+ KeyCol).map(col): _*)
+      .orderBy("_seq")
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wEnd = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
 

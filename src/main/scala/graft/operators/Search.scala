@@ -257,17 +257,12 @@ object Search {
     * pass here, or served maintained by
     * [[graft.streaming.StreamTrgm]]. */
   def gramRows(docs: DataFrame, id: String, text: String): DataFrame =
-    // explicit sub-trigram guard: sequence(1, 0) would generate a
-    // DESCENDING [1, 0] in Spark (not empty) — harmless here (2-char
-    // "grams" can never equal a 3-char pattern gram) but subtle enough
-    // to not rely on
-    docs.select(col(id).as("doc_id"), lower(col(text)).as("t"))
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "case when length(t) >= 3 then " +
-            "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) " +
-            "else array() end")))
-          .as("g"))
+    // native one-pass distinct trigrams (code-point boundaries, first-
+    // occurrence order — exactly the old substring-HOF + array_distinct
+    // output, including the empty array under 3 chars)
+    docs.select(col(id).as("doc_id"),
+      explode(graft.functions.charTrigrams(lower(col(text)),
+        distinct = true)).as("g"))
 
   /** [[substringSearch]]'s core over a PREBUILT (doc_id, g) trigram
     * postings view — candidate generation touches only the gram index

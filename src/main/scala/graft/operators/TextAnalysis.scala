@@ -84,27 +84,14 @@ object TextAnalysis {
 
   /** Character trigrams of lowercased text as an array — the langid
     * feature unit (Cavnar & Trenkle n-gram profiles / the CCNet-shape
-    * classifier's char n-grams). Guarded against sub-3-char inputs:
-    * Spark's `sequence(1, 0)` DESCENDS, so the range is gated.
-    *
-    * Extraction binds the CHAR ARRAY once per row via a single-element
-    * lambda (the expression-level materialize-once device) and slices
-    * it with O(1) element_at: the naive substr-per-position form
-    * re-walks the string's bytes for every trigram (UTF8String's
-    * char-index→byte-offset scan), turning a 1 kB document into ~len²
-    * byte operations — measured ~6× on the full-corpus shard split.
-    * Boundaries are code UNITS (split by the empty pattern); the
-    * pipelines feed ASCII-scrubbed text (the t64 device), where units
-    * ≡ code points. */
-  def charTrigrams(c: Column): Column = {
-    val lc = lower(c)
-    flatten(transform(array(split(lc, "")), ch =>
-      when(size(ch) >= 3,
-        transform(sequence(lit(1), size(ch) - 2),
-          i => concat(element_at(ch, i), element_at(ch, i + 1),
-            element_at(ch, i + 2))))
-        .otherwise(array().cast("array<string>"))))
-  }
+    * classifier's char n-grams). One native codegen'd pass
+    * ([[graft.functions.CharTrigrams]]) over the UTF-8 bytes: code-point
+    * offsets once, a zero-copy slice per trigram, empty array under 3
+    * code points — the same output as the earlier split("")-array HOF
+    * (both iterate code points) without its per-trigram interpreted
+    * lambda evals. */
+  def charTrigrams(c: Column): Column =
+    graft.functions.charTrigrams(lower(c))
 
   /** Train integer char-trigram language profiles from a labeled corpus
     * — the model half of the CCNet-shape FIRST filter every multilingual
@@ -118,20 +105,11 @@ object TextAnalysis {
     * Scale: one shuffle on (lang, gram) for the counts; the rank window
     * partitions by language over ≤ |grams(lang)| rows. Training reads
     * the corpus once. */
-  /** (key, gram) rows of a frame — the hot-path trigram explode: the
-    * char array lands in its OWN projection first (an attribute, not an
-    * expression tree), so the per-element slices read a row field
-    * instead of re-deriving lower/split per trigram — the same
-    * materialize-once rule as [[profile]]'s token arrays. */
+  /** (key, gram) rows of a frame — the hot-path trigram explode, fed by
+    * the native [[charTrigrams]] pass. */
   private def gramRows(df: DataFrame, key: Column, text: String): DataFrame =
-    df.select(key.as("_k"), split(lower(col(text)), "").as("_ch"))
-      .select(col("_k"), explode(
-        when(size(col("_ch")) >= 3,
-          transform(sequence(lit(1), size(col("_ch")) - 2),
-            i => concat(element_at(col("_ch"), i),
-              element_at(col("_ch"), i + 1),
-              element_at(col("_ch"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+    df.select(key.as("_k"),
+      explode(graft.functions.charTrigrams(lower(col(text)))).as("gram"))
 
   def trigramProfiles(train: DataFrame, lang: String, text: String,
       k: Int = 64): DataFrame =

@@ -1697,16 +1697,36 @@ object Livestream {
           // Pruned read: only the partitions this batch touches — at
           // the TARGET width (an evolving merge null-fills old files).
           val existing = readParts(prev.view.filterKeys(touched).toMap, target)
-          val r = Merge.upsert(existing, b, entity, seqCol, storeEdits = cdc)
+          // ONE-exchange publish (the default, outputPartitions ≤ 1):
+          // materialize pt on BOTH inputs and hand it to the upsert as
+          // the cluster column — the union pre-partitions on pt, the
+          // merge fold windows over (pt, key) on that same exchange
+          // (key-stable partition value ⇒ pt is constant within each key
+          // group: the identical invariant `touched`-from-the-batch and
+          // the pruned read above already rely on), and the merged
+          // output leaves the window ALREADY aligned one-task-per-bucket
+          // for the partitioned write — the separate alignToBuckets
+          // exchange per publish disappears. The salted multi-file form
+          // (outputPartitions > 1) keeps the post-merge alignment: its
+          // (pt, salt) distribution cannot ride the window's clustering.
+          val fused = outputPartitions.forall(_ <= 1)
+          val r =
+            if (fused) Merge.upsert(
+              existing.withColumn(PartCol, ptCol(pexpr)),
+              b.withColumn(PartCol, ptCol(pexpr)),
+              entity.copy(frozen = entity.frozen :+ PartCol), seqCol,
+              storeEdits = cdc, clusterCol = Some(PartCol))
+            else Merge.upsert(existing, b, entity, seqCol, storeEdits = cdc)
           // Same two-consumer staging as the flat branch, bounded here by
           // the TOUCHED partitions + batch — the pruned merge's working set.
           if (cdc) r.staged.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try committing(next) {
             // Re-derive pt from the MERGED rows (key-stable expression ⇒
-            // still inside the touched set) and align write tasks to
-            // buckets (see alignToBuckets).
-            alignToBuckets(r.table.withColumn(PartCol, ptCol(pexpr)))
+            // still inside the touched set); the fused path's pt rode
+            // the fold as a frozen column and is already aligned.
+            (if (fused) r.table
+             else alignToBuckets(r.table.withColumn(PartCol, ptCol(pexpr))))
               .write.mode("overwrite").partitionBy(PartCol)
               .parquet(s"$path/v=$next")
             if (cdc)
