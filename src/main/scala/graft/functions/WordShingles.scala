@@ -39,6 +39,31 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** POSITIONAL word n-grams (single-space joins, every occurrence, NO
+  * dedup) as ONE native expression — the LM/feature counterpart of
+  * [[WordShingles]] (which dedups): bigram features, HLL bigram rows.
+  * Replaces the slice+zip_with interpreted HOF (two array copies + one
+  * lambda eval per gram). Under n words yields the empty array. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram width must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"WordNgrams requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextOps.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** Character trigrams of a string as ONE native expression — the langid
   * / trigram-postings feature unit. Output order is positional (every
   * occurrence, the profile-count contract); `distinct = true` keeps the
@@ -244,6 +269,28 @@ object TextOps {
       while (j < (b + 1) * r) { acc = XXH64.hashLong(mins(j), acc); j += 1 }
       out(b) = acc
       b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[WordNgrams]]: positional n-grams, one pass, no dedup. Null
+    * words (never produced by split) are treated as empty strings —
+    * the [[shingles]] convention. */
+  def ngrams(words: ArrayData, n: Int): ArrayData = {
+    val L = words.numElements()
+    if (L < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](L - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= L - n) {
+      var k = 0
+      while (k < n) {
+        val w = words.getUTF8String(i + k)
+        parts(k) = if (w == null) UTF8String.EMPTY_UTF8 else w
+        k += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
     }
     new GenericArrayData(out)
   }

@@ -117,6 +117,11 @@ package object functions {
   def charTrigrams(c: Column, distinct: Boolean = false): Column =
     column(CharTrigrams(expression(c), distinct))
 
+  /** Positional word n-grams (single-space joins, no dedup), one
+    * codegen'd pass — the LM/feature counterpart of [[wordShingles]]. */
+  def wordNgrams(words: Column, n: Int): Column =
+    column(WordNgrams(expression(words), n))
+
   /** 64-bit SimHash of a word array, one codegen'd pass (no shuffle). */
   def simHash64(words: Column): Column =
     column(SimHash64(expression(words)))

@@ -41,15 +41,13 @@ object Importance {
   /** (doc, is_t, b, c): hashed-n-gram bucket counts per document, with
     * the target-membership flag carried through (constant per doc).
     * Features = word unigrams + adjacent-pair bigrams over THE
-    * tokenization contract; the bigram zip pairs the token array with
-    * its own tail — no explode-then-window, one projection. */
+    * tokenization contract; bigrams come from the native positional
+    * n-gram pass (same rows as the old slice+zip_with HOF) — no
+    * explode-then-window, one projection. */
   def featureCounts(df: DataFrame, id: String, text: String,
       isTarget: Column): DataFrame = {
     val toks = filter(TextAnalysis.tokenize(col(text)), t => length(t) > 0)
-    val n1 = greatest(size(col("_w")) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(col("_w"), lit(1), n1), slice(col("_w"), lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
+    val bigrams = graft.functions.wordNgrams(col("_w"), 2)
     df.select(col(id).as("doc"), isTarget.as("is_t"), toks.as("_w"))
       .select(col("doc"), col("is_t"),
         explode(concat(col("_w"), bigrams)).as("f"))

@@ -170,11 +170,10 @@ object Sketches {
   def bigramsOf(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val w = toks(col(textCol))
     df.select(col(groupCol).as("g"), w.as("w"))
+      // native positional bigrams — same rows as the old slice+zip_with
+      // HOF without its two array copies and per-gram lambda evals
       .select(col("g"),
-        explode(zip_with(
-          slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
-          slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
+        explode(graft.functions.wordNgrams(col("w"), 2)).as("bg"))
   }
 
   /** (g, r, mr) HLL registers over (g, bg) rows: register = first 2 md5
