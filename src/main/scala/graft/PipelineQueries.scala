@@ -615,8 +615,9 @@ object PipelineQueries {
             .withColumn("_seq",
               lit(batchId) * 1000000000L + monotonically_increasing_id())
             .persist()
-          try { if (!rows.isEmpty)
-            dedup.merge(rows, "_seq", storeEdits = Some(false)) }
+          // partitioned layout: merge's own touched-set probe covers
+          // the empty batch — no separate per-trigger isEmpty job
+          try { dedup.merge(rows, "_seq", storeEdits = Some(false)); () }
           finally rows.unpersist()
         }
         .start()

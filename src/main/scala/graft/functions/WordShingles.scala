@@ -39,12 +39,15 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** POSITIONAL word n-grams (single-space joins, every occurrence, NO
-  * dedup) as ONE native expression — the LM/feature counterpart of
-  * [[WordShingles]] (which dedups): bigram features, HLL bigram rows.
-  * Replaces the slice+zip_with interpreted HOF (two array copies + one
-  * lambda eval per gram). Under n words yields the empty array. */
-case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+/** POSITIONAL word n-grams (`sep`-joined, every occurrence, NO dedup)
+  * as ONE native expression — the LM/feature counterpart of
+  * [[WordShingles]] (which dedups): bigram features, HLL bigram rows,
+  * LM (p, t) events, event-path windows (sep " -> "). Replaces the
+  * slice+zip_with interpreted HOF (two array copies + one lambda eval
+  * per gram). Under n words yields the empty array; null words join as
+  * empty strings (the [[WordShingles]] convention). */
+case class WordNgrams(child: Expression, n: Int, sep: String = " ")
+    extends UnaryExpression {
   require(n >= 1, "n-gram width must be >= 1")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -54,14 +57,51 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any =
-    TextOps.ngrams(input.asInstanceOf[ArrayData], n)
+  @transient private lazy val sepU = UTF8String.fromString(sep)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.ngrams($c, $n)")
+  override def nullSafeEval(input: Any): Any =
+    TextOps.ngrams(input.asInstanceOf[ArrayData], n, sepU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("sep", sepU,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.ngrams($c, $n, $sepRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
+}
+
+/** |A ∩ B| of two string arrays as ONE native expression — exactly
+  * `size(array_intersect(a, b))` (distinct common elements, a shared
+  * null element counts once) without materializing the intersection
+  * ARRAY per row: the dedup verify stages evaluate this once per
+  * candidate pair over millions of pairs, and the only consumer of the
+  * intersection is its size. */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"IntersectSize requires two array<string>, got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextOps.intersectSize(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextOps.intersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Character trigrams of a string as ONE native expression — the langid
@@ -276,7 +316,9 @@ object TextOps {
   /** See [[WordNgrams]]: positional n-grams, one pass, no dedup. Null
     * words (never produced by split) are treated as empty strings —
     * the [[shingles]] convention. */
-  def ngrams(words: ArrayData, n: Int): ArrayData = {
+  def ngrams(words: ArrayData, n: Int): ArrayData = ngrams(words, n, Space)
+
+  def ngrams(words: ArrayData, n: Int, sep: UTF8String): ArrayData = {
     val L = words.numElements()
     if (L < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[AnyRef](L - n + 1)
@@ -289,10 +331,40 @@ object TextOps {
         parts(k) = if (w == null) UTF8String.EMPTY_UTF8 else w
         k += 1
       }
-      out(i) = UTF8String.concatWs(Space, parts: _*)
+      out(i) = UTF8String.concatWs(sep, parts: _*)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** See [[IntersectSize]]: |A ∩ B| with `array_intersect` semantics —
+    * distinct elements of `a` that also occur in `b`; a null element
+    * present in both sides counts once. One pass per side, no
+    * intersection array materialized. */
+  def intersectSize(a: ArrayData, b: ArrayData): Int = {
+    val nb = b.numElements()
+    val na = a.numElements()
+    if (na == 0 || nb == 0) return 0
+    val inB = new java.util.HashSet[UTF8String](Math.max(8, nb * 2))
+    var bNull = false
+    var j = 0
+    while (j < nb) {
+      val w = b.getUTF8String(j)
+      if (w == null) bNull = true else inB.add(w)
+      j += 1
+    }
+    val seen = new java.util.HashSet[UTF8String](Math.max(8, na))
+    var n = 0
+    var aNullCounted = false
+    var i = 0
+    while (i < na) {
+      val w = a.getUTF8String(i)
+      if (w == null) {
+        if (bNull && !aNullCounted) { n += 1; aNullCounted = true }
+      } else if (inB.contains(w) && seen.add(w)) n += 1
+      i += 1
+    }
+    n
   }
 
   /** See [[CharTrigrams]]: one pass over the UTF-8 bytes — code-point

@@ -122,6 +122,15 @@ package object functions {
   def wordNgrams(words: Column, n: Int): Column =
     column(WordNgrams(expression(words), n))
 
+  /** [[wordNgrams]] with an explicit join separator (event paths). */
+  def wordNgrams(words: Column, n: Int, sep: String): Column =
+    column(WordNgrams(expression(words), n, sep))
+
+  /** |A ∩ B| of two string arrays — `size(array_intersect(a, b))`
+    * without materializing the intersection array, one codegen'd pass. */
+  def intersectSize(a: Column, b: Column): Column =
+    column(IntersectSize(expression(a), expression(b)))
+
   /** 64-bit SimHash of a word array, one codegen'd pass (no shuffle). */
   def simHash64(words: Column): Column =
     column(SimHash64(expression(words)))

@@ -88,7 +88,7 @@ object Dedup {
     val probes = ranked.select(col("_id").as("_aid"), col("_toks").as("_atoks"),
       explode(sequence(col("_rank") + 1, col("_rank") + (window - 1)))
         .as("_rank"))
-    val inter = size(array_intersect(col("_atoks"), col("_toks")))
+    val inter = graft.functions.intersectSize(col("_atoks"), col("_toks"))
     val uni = size(col("_atoks")) + size(col("_toks")) - inter
     probes.join(ranked, "_rank")
       .withColumn("_inter", inter.cast("long"))
@@ -395,7 +395,8 @@ object Dedup {
           struct(x.getField("doc").as("i"), y.getField("doc").as("j"))),
         freqCap, device = "prefixJaccardPairs")
       .select(col("_p.i").as("i"), col("_p.j").as("j")).distinct()
-    val inter = size(array_intersect(col("_ai"), col("_aj"))).cast("long")
+    // count-only intersection (no intersection array per candidate)
+    val inter = graft.functions.intersectSize(col("_ai"), col("_aj")).cast("long")
     cand
       .join(sets.select(col("doc").as("i"), col("_arr").as("_ai")), "i")
       .join(sets.select(col("doc").as("j"), col("_arr").as("_aj")), "j")
@@ -493,7 +494,7 @@ object Dedup {
       .join(state.select(col("doc").as("i"), col("_arr").as("_ai")), "i")
       .join(state.select(col("doc").as("j"), col("_arr").as("_aj")), "j")
       .select(col("i"), col("j"),
-        size(array_intersect(col("_ai"), col("_aj"))).as("c"),
+        graft.functions.intersectSize(col("_ai"), col("_aj")).as("c"),
         size(col("_ai")).as("ni"), size(col("_aj")).as("nj"))
       .withColumn("jac_bp",
         floor(col("c") * 10000.0 / (col("ni") + col("nj") - col("c"))).cast("long"))

@@ -429,10 +429,14 @@ object Events {
         .as("evs"))
       .select(expr("transform(evs, e -> e.y)").as("ys"))
       .filter(size(col("ys")) >= n)
+    // length-n windows as ONE native n-gram pass (" -> "-joined) per
+    // user row — the transform/sequence/array_join HOF was interpreted
+    // per window with a slice copy each (guide §4.1). Identical paths
+    // (event types are non-null by the caller's schema; a null type
+    // would join as "" here where array_join skipped it).
     seqs
-      .select(explode(expr(
-        s"transform(sequence(1, size(ys) - ${n - 1})," +
-          s" i -> array_join(slice(ys, i, $n), ' -> '))")).as("path"))
+      .select(explode(graft.functions.wordNgrams(col("ys"), n, " -> "))
+        .as("path"))
       .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(desc("n_occurrences"), col("path"))
       .limit(k)

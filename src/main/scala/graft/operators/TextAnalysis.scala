@@ -1019,13 +1019,18 @@ object TextAnalysis {
     val toks = filter(tokenize(col(text)), t => length(t) > 0)
     val withT = df.select(col(id).as("doc"), toks.as("_t"))
       .filter(size(col("_t")) > 0)
-    val prevArr = concat(array(lit("<s>")),
-      slice(col("_t"), lit(1), size(col("_t")) - 1))
+    // (p, t) events as native positional bigrams over the <s>-padded
+    // token array (guide §4.1: codegen'd one-pass expression instead of
+    // the interpreted slice+zip_with struct lambda): "<s> t1", "t1 t2",
+    // … — identical pairs, since tokens are space-free ([a-z0-9]+) the
+    // gram string ↔ (p, t) split is a bijection; the split happens once
+    // per DISTINCT (doc, gram), before the checkpoint.
     val tf2 = withT
-      .select(col("doc"), explode(zip_with(prevArr, col("_t"),
-        (a, b) => struct(a.as("p"), b.as("t")))).as("e"))
-      .select(col("doc"), col("e.p").as("p"), col("e.t").as("t"))
-      .groupBy("doc", "p", "t").agg(count(lit(1)).as("tf"))
+      .select(col("doc"), explode(graft.functions.wordNgrams(
+        concat(array(lit("<s>")), col("_t")), 2)).as("_g"))
+      .groupBy("doc", "_g").agg(count(lit(1)).as("tf"))
+      .select(col("doc"), substring_index(col("_g"), " ", 1).as("p"),
+        substring_index(col("_g"), " ", -1).as("t"), col("tf"))
       .localCheckpoint(false)
     val c2 = tf2.groupBy("p", "t").agg(sum("tf").as("c2"))
     val c1 = tf2.groupBy("p").agg(sum("tf").as("c1"))
@@ -1104,14 +1109,16 @@ object TextAnalysis {
   def collocations(df: DataFrame, id: String, text: String,
       minCount: Long = 5L, k: Int = 30): DataFrame = {
     val toks = filter(tokenize(col(text)), t => length(t) > 0)
+    // adjacent pairs as native positional bigrams (guide §4.1 — the
+    // slice×2+zip_with struct lambda was interpreted per element); the
+    // "a b" gram ↔ (a, b) split is exact over space-free tokens and
+    // runs once per DISTINCT pair, after the count aggregate
     val pairs = df.select(col(id).as("doc"), toks.as("_t"))
       .filter(size(col("_t")) > 1)
-      .select(explode(zip_with(
-        slice(col("_t"), lit(1), size(col("_t")) - 1),
-        slice(col("_t"), lit(2), size(col("_t")) - 1),
-        (a, b) => struct(a.as("a"), b.as("b")))).as("e"))
-      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-      .agg(count(lit(1)).as("c_ab"))
+      .select(explode(graft.functions.wordNgrams(col("_t"), 2)).as("_g"))
+      .groupBy("_g").agg(count(lit(1)).as("c_ab"))
+      .select(substring_index(col("_g"), " ", 1).as("a"),
+        substring_index(col("_g"), " ", -1).as("b"), col("c_ab"))
       .localCheckpoint(false)
     val ca = pairs.groupBy("a").agg(sum("c_ab").as("c_a"))
     val cb = pairs.groupBy("b").agg(sum("c_ab").as("c_b"))
@@ -1265,13 +1272,13 @@ object TextAnalysis {
     val toks = filter(tokenize(col(text)), t => length(t) > 0)
     val withT = df.select(col(id).as("doc"), toks.as("_t"))
       .filter(size(col("_t")) > 0)
-    val prevArr = concat(array(lit("<s>")),
-      slice(col("_t"), lit(1), size(col("_t")) - 1))
+    // same native <s>-padded bigram device as [[bigramSurprisal]]
     val tf2 = withT
-      .select(col("doc"), explode(zip_with(prevArr, col("_t"),
-        (a, b) => struct(a.as("p"), b.as("t")))).as("e"))
-      .select(col("doc"), col("e.p").as("p"), col("e.t").as("t"))
-      .groupBy("doc", "p", "t").agg(count(lit(1)).as("tf"))
+      .select(col("doc"), explode(graft.functions.wordNgrams(
+        concat(array(lit("<s>")), col("_t")), 2)).as("_g"))
+      .groupBy("doc", "_g").agg(count(lit(1)).as("tf"))
+      .select(col("doc"), substring_index(col("_g"), " ", 1).as("p"),
+        substring_index(col("_g"), " ", -1).as("t"), col("tf"))
       .localCheckpoint(false)
     val c2 = tf2.groupBy("p", "t").agg(sum("tf").as("c2"))
     val ctx = c2.groupBy("p").agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
@@ -1318,21 +1325,20 @@ object TextAnalysis {
     val toks = filter(tokenize(col(text)), t => length(t) > 0)
     val withT = df.select(col(id).as("doc"), toks.as("_t"))
       .filter(size(col("_t")) > 0)
-    // shift-by-k as slice(pad ++ toks, 1, n): correct for ALL doc
-    // lengths (a "pad ++ slice(toks, 1, n-2)" form under-fills for
-    // 1-token docs and zip_with would null-pad the gap)
-    val n = size(col("_t"))
-    val p1Arr = slice(concat(array(lit("<s>")), col("_t")), lit(1), n)
-    val p2Arr = slice(concat(array(lit("<s>"), lit("<s>")), col("_t")), lit(1), n)
+    // (p2, p1, t) events as native positional trigrams over the
+    // "<s> <s>"-padded token array (the [[bigramSurprisal]] device, one
+    // order deeper): n grams for an n-token doc, one ending at each
+    // token — exactly the old double-zip_with triples, with the gram
+    // string ↔ (p2, p1, t) split a bijection over space-free tokens,
+    // applied once per DISTINCT (doc, gram) before the checkpoint
     val tf3 = withT
-      .select(col("doc"), explode(zip_with(
-        zip_with(p2Arr, p1Arr, (a, b) => struct(a.as("p2"), b.as("p1"))),
-        col("_t"),
-        (pp, t) => struct(pp.getField("p2").as("p2"),
-          pp.getField("p1").as("p1"), t.as("t")))).as("e"))
-      .select(col("doc"), col("e.p2").as("p2"), col("e.p1").as("p1"),
-        col("e.t").as("t"))
-      .groupBy("doc", "p2", "p1", "t").agg(count(lit(1)).as("tf"))
+      .select(col("doc"), explode(graft.functions.wordNgrams(
+        concat(array(lit("<s>"), lit("<s>")), col("_t")), 3)).as("_g"))
+      .groupBy("doc", "_g").agg(count(lit(1)).as("tf"))
+      .select(col("doc"),
+        substring_index(col("_g"), " ", 1).as("p2"),
+        substring_index(substring_index(col("_g"), " ", 2), " ", -1).as("p1"),
+        substring_index(col("_g"), " ", -1).as("t"), col("tf"))
       .localCheckpoint(false)
     val c3 = tf3.groupBy("p2", "p1", "t").agg(sum("tf").as("c3"))
       .localCheckpoint(false)

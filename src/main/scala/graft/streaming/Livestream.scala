@@ -1462,18 +1462,30 @@ object Livestream {
         s"changes at $path: post-migration schema lost the merge key")
       val bCols = before.columns.filterNot(_.equalsIgnoreCase(key)).toSeq
       val aCols = after.columns.filterNot(_.equalsIgnoreCase(key)).toSeq
-      val b = before.select(col(key) +:
-        bCols.map(c => col(c).as(s"before_$c")): _*)
-        .withColumn("_in_old", lit(1))
-      val a = after.select(col(key) +:
-        aCols.map(c => col(c).as(s"after_$c")): _*)
-        .withColumn("_in_new", lit(1))
-      b.join(a, Seq(key), "full_outer")
+      // one-exchange tagged-union fold (the Scd.diff device, asymmetric
+      // columns): each side packs its own generation's columns into a
+      // struct, the union folds per key, presence = struct non-nullness
+      // — the former full-outer join shuffled both generation reads
+      def sideType(df: org.apache.spark.sql.DataFrame, cs: Seq[String]) =
+        org.apache.spark.sql.types.StructType(
+          cs.map(c => df.schema(df.schema.fieldIndex(c))))
+      val b = before.select(col(key),
+        struct(bCols.map(col): _*).as("_b"),
+        lit(null).cast(sideType(after, aCols)).as("_a"))
+      val a = after.select(col(key),
+        lit(null).cast(sideType(before, bCols)).as("_b"),
+        struct(aCols.map(col): _*).as("_a"))
+      b.unionByName(a).groupBy(key)
+        .agg(first(col("_b"), ignoreNulls = true).as("_b"),
+          first(col("_a"), ignoreNulls = true).as("_a"))
         .withColumn("kind",
-          when(col("_in_old").isNull, lit("insert"))
-            .when(col("_in_new").isNull, lit("delete"))
+          when(col("_b").isNull, lit("insert"))
+            .when(col("_a").isNull, lit("delete"))
             .otherwise(lit("update")))
-        .drop("_in_old", "_in_new")
+        .select(col(key) +:
+          (bCols.map(c => col("_b").getField(c).as(s"before_$c")) ++
+            aCols.map(c => col("_a").getField(c).as(s"after_$c")) :+
+            col("kind")): _*)
     }
 
     /** The vacuum core: reclaim everything no version ≥ `cutoff`
@@ -1635,9 +1647,12 @@ object Livestream {
       * duplicate CDC rows.
       *
       * @param storeEdits explicit CDC override; None (the default) follows
-      *        the archive's persisted `store_edits` config. */
+      *        the archive's persisted `store_edits` config.
+      * @return true iff a new version was published (a partitioned merge
+      *         of an empty batch publishes nothing and returns false) —
+      *         so sinks need no separate emptiness probe job. */
     def merge(batch: DataFrame, seqCol: String,
-        storeEdits: Option[Boolean] = None): Unit = {
+        storeEdits: Option[Boolean] = None): Boolean = {
       validatePartitioning()
       val cdc = storeEdits.getOrElse(storeEditsEnabled)
       val next = currentVersion + 1
@@ -1692,7 +1707,7 @@ object Livestream {
           val touched = b.select(ptCol(pexpr).as(PartCol))
             .agg(collect_set(col(PartCol))).head().getSeq[String](0)
             .map(ExternalCatalogUtils.escapePathName).toSet
-          if (touched.isEmpty) return   // empty batch: nothing to publish
+          if (touched.isEmpty) return false  // empty batch: nothing to publish
           val prev = manifest(currentVersion)
           // Pruned read: only the partitions this batch touches — at
           // the TARGET width (an evolving merge null-fills old files).
@@ -1742,6 +1757,7 @@ object Livestream {
       // buckets NOW under their own claimed version (see @param
       // autoCompact) — a no-op costs one listing per live bucket
       autoCompact.foreach(b => optimize(maxFiles = b))
+      true
     }
 
     /** [[merge]] with the documented conflict retry — the loser's side
@@ -1757,11 +1773,11 @@ object Livestream {
       * would hand a LIVE slow writer's claim to its competitor). */
     def mergeRetry(batch: DataFrame, seqCol: String,
         storeEdits: Option[Boolean] = None, maxAttempts: Int = 5,
-        conflictWaitMillis: Long = 60000L): Unit = {
+        conflictWaitMillis: Long = 60000L): Boolean = {
       var attempt = 1
       while (true) {
         val seen = currentVersion
-        try { merge(batch, seqCol, storeEdits); return }
+        try return merge(batch, seqCol, storeEdits)
         catch {
           case e: ConcurrentWriteException =>
             if (attempt >= maxAttempts) throw e
@@ -1773,6 +1789,7 @@ object Livestream {
             if (currentVersion <= seen) throw e
         }
       }
+      false   // unreachable (the loop returns or throws)
     }
 
     /** [[merge]] for a CHECKPOINTED SINK'S CRASH REPLAY — the T3 path:
@@ -1788,7 +1805,7 @@ object Livestream {
       * silent overwrite (the exact failure the protocol exists to make
       * loud). Non-sink callers should use [[merge]]/[[mergeRetry]]. */
     def mergeReplay(batch: DataFrame, seqCol: String,
-        storeEdits: Option[Boolean] = None): Unit =
+        storeEdits: Option[Boolean] = None): Boolean =
       try merge(batch, seqCol, storeEdits)
       catch {
         case e: ConcurrentWriteException =>
@@ -1796,6 +1813,12 @@ object Livestream {
           if (!recoverCommit()) throw e
           merge(batch, seqCol, storeEdits)
       }
+
+    /** Whether this table uses the partition-pruned layout — sinks use
+      * it to skip the per-batch emptiness probe (a partitioned [[merge]]
+      * already derives the touched set from the batch and publishes
+      * nothing when it is empty). */
+    private[streaming] def isPartitionedLayout: Boolean = partitioning.isDefined
 
     /** Bulk initial load: publish `df` as version 0 WITHOUT the upsert
       * machinery (no union+window, no CDC — there is nothing to merge
@@ -2158,13 +2181,19 @@ object Livestream {
           lit(batchId) * 1000000000L + monotonically_increasing_id()).persist()
         // no-data micro-batches (noDataMicroBatches, restart replays of
         // fully-consumed sources) must not publish a new version — for a
-        // flat table a merge of zero rows would rewrite the whole table
+        // flat table a merge of zero rows would rewrite the whole table.
+        // A PARTITIONED table needs no separate emptiness probe job: its
+        // merge derives the touched set from the batch anyway and
+        // publishes nothing when it is empty — merge's return value is
+        // the probe, one job per trigger saved on every non-empty batch.
         try {
-          if (!seqd.isEmpty) {
-            // mergeReplay: a restart's replay self-recovers its own
-            // crashed attempt's orphan claim (the checkpointed sink is
-            // the single intended writer — see the writer contract)
-            table.mergeReplay(seqd, "_seq")
+          // mergeReplay: a restart's replay self-recovers its own
+          // crashed attempt's orphan claim (the checkpointed sink is
+          // the single intended writer — see the writer contract)
+          val published =
+            if (table.isPartitionedLayout) table.mergeReplay(seqd, "_seq")
+            else !seqd.isEmpty && table.mergeReplay(seqd, "_seq")
+          if (published) {
             // post-publish sidecar refresh: a streamed store keeps its
             // file skipping current without operator action. Incremental
             // by construction (refreshZoneMap stats only files not yet

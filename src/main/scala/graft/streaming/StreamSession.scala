@@ -150,8 +150,11 @@ object StreamSession {
           lit(batchId) * 1000000000L + monotonically_increasing_id())
           .persist()
         try {
-          if (!rows.isEmpty)
-            table.mergeReplay(rows, "_seq", storeEdits = Some(false))
+          // partitioned layout: merge's own touched-set probe covers the
+          // empty batch — no separate per-trigger isEmpty job
+          if (table.isPartitionedLayout || !rows.isEmpty) {
+            table.mergeReplay(rows, "_seq", storeEdits = Some(false)); ()
+          }
         } finally rows.unpersist()
         refresh(batch.sparkSession, table, root, group, tsCol, gapSec)
       }

@@ -93,7 +93,7 @@ object StreamSketch {
           .withColumn("_seq",
             lit(batchId) * 1000000000L + monotonically_increasing_id())
           .persist()
-        try { if (!rows.isEmpty) table.mergeReplay(rows, "_seq", storeEdits = Some(false)) }
+        try { table.mergeReplay(rows, "_seq", storeEdits = Some(false)); () }
         finally rows.unpersist()
       }
   }
@@ -137,7 +137,7 @@ object StreamSketch {
           .withColumn("_seq",
             lit(batchId) * 1000000000L + monotonically_increasing_id())
           .persist()
-        try { if (!rows.isEmpty) table.mergeReplay(rows, "_seq", storeEdits = Some(false)) }
+        try { table.mergeReplay(rows, "_seq", storeEdits = Some(false)); () }
         finally rows.unpersist()
       }
   }
@@ -191,7 +191,7 @@ object StreamSketch {
           .withColumn("_seq",
             lit(batchId) * 1000000000L + monotonically_increasing_id())
           .persist()
-        try { if (!rows.isEmpty) table.mergeReplay(rows, "_seq", storeEdits = Some(false)) }
+        try { table.mergeReplay(rows, "_seq", storeEdits = Some(false)); () }
         finally rows.unpersist()
       }
 
@@ -240,7 +240,7 @@ object StreamSketch {
           .withColumn("_seq",
             lit(batchId) * 1000000000L + monotonically_increasing_id())
           .persist()
-        try { if (!rows.isEmpty) table.mergeReplay(rows, "_seq", storeEdits = Some(false)) }
+        try { table.mergeReplay(rows, "_seq", storeEdits = Some(false)); () }
         finally rows.unpersist()
       }
   }
@@ -310,7 +310,7 @@ object StreamSketch {
           .withColumn("_seq",
             lit(batchId) * 1000000000L + monotonically_increasing_id())
           .persist()
-        try { if (!rows.isEmpty) table.mergeReplay(rows, "_seq", storeEdits = Some(false)) }
+        try { table.mergeReplay(rows, "_seq", storeEdits = Some(false)); () }
         finally rows.unpersist()
       }
 

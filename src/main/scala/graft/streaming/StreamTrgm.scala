@@ -83,7 +83,7 @@ object StreamTrgm {
           .withColumn("_seq",
             lit(batchId) * 1000000000L + monotonically_increasing_id())
           .persist()
-        try { if (!rows.isEmpty) table.mergeReplay(rows, "_seq", storeEdits = Some(false)) }
+        try { table.mergeReplay(rows, "_seq", storeEdits = Some(false)); () }
         finally rows.unpersist()
       }
 

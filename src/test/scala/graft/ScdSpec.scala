@@ -92,6 +92,25 @@ class ScdSpec extends AnyFunSuite {
       5L -> "added"))
   }
 
+  test("diff: struct-level change detection matches per-column <=> on null boundaries") {
+    // the one-exchange diff classifies via !(_b <=> _a) on the packed
+    // structs — field-wise with null fields equal; these rows pin the
+    // null boundaries that must match the old per-column OR exactly
+    val older = Seq(
+      (1L, None: Option[Long], "F"),   // null == null, F == F -> unchanged
+      (2L, None: Option[Long], "F"),   // null -> 5: changed
+      (3L, Some(5L), "F")              // 5 -> null: changed
+    ).toDF("k", "price_c", "status")
+    val newer = Seq(
+      (1L, None: Option[Long], "F"),
+      (2L, Some(5L), "F"),
+      (3L, None: Option[Long], "F")
+    ).toDF("k", "price_c", "status")
+    val got = Scd.diff(older, newer, "k", Seq("price_c", "status"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "changed", 3L -> "changed"))
+  }
+
   test("PIT composition: each fact matches the dim version valid at its timestamp") {
     import graft.operators.TemporalJoin
     // user 1: attr a@10 -> b@30 -> c@50; facts at 10, 29, 30, 49, 99

@@ -91,6 +91,43 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngrams with separator == naive sliding mkString; null words join as empty") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "d")
+    for (_ <- 1 to 100) {
+      val n = 1 + rng.nextInt(3)
+      val words = Seq.fill(rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+      val got = TextOps.ngrams(arr(words), n, UTF8String.fromString(" -> "))
+      val want =
+        if (words.length < n) Seq.empty
+        else words.sliding(n).map(_.mkString(" -> ")).toSeq
+      assert((0 until got.numElements())
+        .map(got.getUTF8String(_).toString) === want)
+    }
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("x"), null, UTF8String.fromString("z")))
+    val g = TextOps.ngrams(withNull, 2, UTF8String.fromString("|"))
+    assert((0 until g.numElements()).map(g.getUTF8String(_).toString) ===
+      Seq("x|", "|z"))
+  }
+
+  test("intersectSize == size(array_intersect) semantics on random inputs") {
+    val rng = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      val b = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      val want = a.distinct.count(b.contains)   // distinct common elements
+      assert(TextOps.intersectSize(arr(a), arr(b)) === want, s"a=$a b=$b")
+    }
+    // a null element shared by both sides counts once (array_intersect)
+    def withNull(ws: Seq[String]) = new GenericArrayData(
+      (ws.map(UTF8String.fromString) :+ null).toArray[Any])
+    assert(TextOps.intersectSize(withNull(Seq("a")), withNull(Seq("b"))) === 1)
+    assert(TextOps.intersectSize(withNull(Seq("a")), arr(Seq("a"))) === 1)
+    assert(TextOps.intersectSize(arr(Seq.empty), withNull(Seq("a"))) === 0)
+  }
+
   test("simhash64: deterministic, order-insensitive for permutations, 0 for empty") {
     val a = arr(Seq("alpha", "beta", "gamma"))
     val b = arr(Seq("gamma", "alpha", "beta"))   // votes are order-free
